@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+import graft.SparkSpec
+
+class InfoThSelectorSpec extends SparkSpec {
+
+  private def toDf(rows: Seq[(Double, Vector)]) =
+    spark.createDataFrame(rows).toDF("label", "features")
+
+  /** label = x0; x1..x3 noise. All criteria must pick 0 first. */
+  private lazy val copyFixture = {
+    val rng = new scala.util.Random(11)
+    toDf((0 until 400).map { _ =>
+      val x0 = rng.nextInt(2)
+      (x0.toDouble, Vectors.dense(x0.toDouble, rng.nextInt(4).toDouble,
+        rng.nextInt(4).toDouble, rng.nextInt(2).toDouble))
+    })
+  }
+
+  /** label mostly = x0 xor x3 (jointly decisive), with a 15% direct-copy
+    * leak from x0 so relevance(x0) clears the noise floor and the greedy
+    * start is deterministic. x3 alone stays irrelevant; only the
+    * conditional term I(x3; x0 | Y) can surface it. */
+  private lazy val xorFixture = {
+    val rng = new scala.util.Random(13)
+    toDf((0 until 2000).map { _ =>
+      val x0 = rng.nextInt(2); val x3 = rng.nextInt(2)
+      val label = if (rng.nextDouble() < 0.15) x0 else x0 ^ x3
+      (label.toDouble, Vectors.dense(x0.toDouble,
+        rng.nextInt(4).toDouble, rng.nextInt(4).toDouble, x3.toDouble))
+    })
+  }
+
+  test("all criteria put the copy feature first") {
+    graft.core.InfoThCriterionFactory.all.foreach { crit =>
+      val model = new InfoThSelector().setCriterion(crit)
+        .setNumTopFeatures(2).fit(copyFixture)
+      assert(model.selectionPath.head._1 == 0,
+        s"$crit picked ${model.selectionPath.head._1} first")
+      assert(model.selectedFeatures.length == 2)
+      assert(model.selectedFeatures.contains(0))
+    }
+  }
+
+  test("JMI surfaces the xor pair {0, 3} via the conditional term") {
+    // CMIM/ICAP floor their modifier at 0 (score <= relevance), so only
+    // JMI's +sum(cmi)/k term can lift the xor partner above the noise.
+    val model = new InfoThSelector().setCriterion("jmi")
+      .setNumTopFeatures(2).fit(xorFixture)
+    assert(model.selectionPath.map(_._1).toSeq == Seq(0, 3),
+      s"jmi selected ${model.selectionPath.map(_._1).mkString(",")}")
+  }
+
+  test("returns min(k, nFeatures) sorted distinct indices") {
+    val model = new InfoThSelector().setCriterion("mrmr")
+      .setNumTopFeatures(100).fit(copyFixture)
+    assert(model.selectedFeatures.toSeq == model.selectedFeatures.toSeq.sorted)
+    assert(model.selectedFeatures.distinct.length == model.selectedFeatures.length)
+    assert(model.selectedFeatures.length == 4)
+  }
+
+  test("MIM selection order is relevance order") {
+    val model = new InfoThSelector().setCriterion("mim")
+      .setNumTopFeatures(4).fit(copyFixture)
+    val scores = model.selectionPath.map(_._2)
+    assert(scores.toSeq == scores.toSeq.sortBy(-(_: Double)))
+    assert(model.selectionPath.head._1 == 0)
+  }
+
+  test("transform gathers selected indices (dense and sparse)") {
+    val model = new InfoThSelector().setCriterion("mrmr")
+      .setNumTopFeatures(2).fit(copyFixture)
+    val out = model.transform(copyFixture)
+    val first = out.select("selectedFeatures").head.getAs[Vector](0)
+    assert(first.size == 2)
+
+    // gather semantics directly
+    val idx = Array(1, 3)
+    val dense = InfoThSelectorModel.gather(Vectors.dense(9, 8, 7, 6), idx)
+    assert(dense.toArray.toSeq == Seq(8.0, 6.0))
+    val sparse = InfoThSelectorModel.gather(
+      Vectors.sparse(4, Array(0, 3), Array(5.0, 2.0)), idx)
+    assert(sparse.toArray.toSeq == Seq(0.0, 2.0))
+    assert(sparse.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
+  }
+
+  test("model save/load round-trip") {
+    val model = new InfoThSelector().setCriterion("jmi")
+      .setNumTopFeatures(2).fit(copyFixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.write.overwrite().save(dir)
+    val loaded = InfoThSelectorModel.load(dir)
+    assert(loaded.selectedFeatures.toSeq == model.selectedFeatures.toSeq)
+    assert(loaded.getCriterion == "jmi")
+  }
+}

@@ -1,0 +1,356 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ml.{FrequencyDiscretizer, InfoThSelector, InfoThSelectorModel}
+
+/**
+ * Oracle-checked query surface over the driver's lineitem table.
+ *
+ * Shared feature definition (both sides compute it identically):
+ *   feature 0 = CAST(l_quantity AS INT)            (1..50)
+ *   feature 1 = CAST(ROUND(l_discount*100) AS INT) (0..10)
+ *   feature 2 = CAST(ROUND(l_tax*100) AS INT)      (0..8)
+ *   feature 3 = l_linenumber                       (1..7)
+ *   label (col 4) = returnflag index A->0, N->1, R->2
+ *
+ * The Spark side of each query runs the ENGINE kernels (columnar
+ * transpose -> histogram mapPartitions -> MI/CMI math), then emits a
+ * long-form DataFrame; the oracle recomputes the same quantity in plain
+ * SQL. This validates the distributed implementation itself, not merely
+ * Spark SQL vs DuckDB SQL. Float outputs are rounded to 6 decimals on
+ * both sides.
+ */
+object Queries {
+
+  // ---- shared SQL fragments (DuckDB oracle side) ----
+
+  private val ySql =
+    "CASE WHEN l_returnflag='A' THEN 0 WHEN l_returnflag='N' THEN 1 ELSE 2 END"
+
+  private val featureExprs = Seq(
+    0 -> "CAST(l_quantity AS INTEGER)",
+    1 -> "CAST(ROUND(l_discount*100) AS INTEGER)",
+    2 -> "CAST(ROUND(l_tax*100) AS INTEGER)",
+    3 -> "l_linenumber")
+
+  /** Long form (feature, x, y=label) for features 0..3. */
+  private val featsCte = featureExprs.map { case (i, e) =>
+    s"SELECT $i AS feature, $e AS x, $ySql AS y FROM lineitem"
+  }.mkString(" UNION ALL ")
+
+  /** Long form including the label itself as column 4 (x = label). */
+  private val featsWithLabelCte =
+    featsCte + s" UNION ALL SELECT 4 AS feature, $ySql AS x, 0 AS y FROM lineitem"
+
+  /** Long form (feature, x, y=f0, z=label) for features 1..3. */
+  private val feats3dCte = featureExprs.drop(1).map { case (i, e) =>
+    s"SELECT $i AS feature, $e AS x, CAST(l_quantity AS INTEGER) AS y, $ySql AS z FROM lineitem"
+  }.mkString(" UNION ALL ")
+
+  // ---- Spark-side shared state ----
+
+  /** Columnar working set per (session, dir) — queries share one
+    * transpose within a Verify/Bench run. */
+  private val colCache = TrieMap.empty[(SparkSession, String), ColumnarData]
+
+  private[graft] def columnar(spark: SparkSession, dir: String): ColumnarData =
+    colCache.getOrElseUpdate((spark, dir),
+      Columnar.fromLabeledDf(SparkEntry.assembled(spark, dir)))
+
+  private def r6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- queries ----
+
+  /** A3: 2-D contingency tables (engine kernel), long form, nonzero cells. */
+  def hist2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
+    Histograms.histogram2D(col, col.labelIndex, yB)
+      .flatMap { case (f, h) =>
+        for {
+          x <- 0 until h.xs; y <- 0 until h.ys
+          c = h(x, y) if c > 0
+        } yield (f, x, y, c)
+      }
+      .toDF("feature", "x", "y", "cnt")
+      .orderBy("feature", "x", "y")
+  }
+
+  val hist2dSql: String =
+    s"""WITH feats AS ($featsCte)
+       |SELECT feature, x, y, COUNT(*) AS cnt FROM feats
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** A5: 3-D contingency tables (x vs y=f0, z=label), nonzero cells. */
+  def hist3d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val sc = spark.sparkContext
+    val yB = sc.broadcast(col.collectColumn(0))
+    val zB = sc.broadcast(col.collectColumn(col.labelIndex))
+    Histograms.histogram3D(col, 0, col.labelIndex, yB, zB)
+      .flatMap { case (f, h) =>
+        for {
+          x <- 0 until h.xs; y <- 0 until h.ys; z <- 0 until h.zs
+          c = h(x, y, z) if c > 0
+        } yield (f, x, y, z, c)
+      }
+      .toDF("feature", "x", "y", "z", "cnt")
+      .orderBy("feature", "x", "y", "z")
+  }
+
+  val hist3dSql: String =
+    s"""WITH feats AS ($feats3dCte)
+       |SELECT feature, x, y, z, COUNT(*) AS cnt FROM feats
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** A7: marginal probability tables p(x) per feature (incl. label col). */
+  def margin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val n = col.nInstances
+    val allFeats = (0 to col.labelIndex)
+    val rows = allFeats.flatMap { f =>
+      val freq = Histograms.frequencies(col.collectColumn(f), col.cardinality(f))
+      freq.zipWithIndex.collect { case (c, x) if c > 0 =>
+        (f, x, r6(c.toDouble / n))
+      }
+    }
+    rows.toDF("feature", "x", "p").orderBy("feature", "x")
+  }
+
+  val marginSql: String =
+    s"""WITH feats AS ($featsWithLabelCte)
+       |SELECT feature, x,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem), 6) AS p
+       |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A7: joint probability tables p(x, y=label) per feature. */
+  def joint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val n = col.nInstances
+    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
+    Histograms.histogram2D(col, col.labelIndex, yB)
+      .flatMap { case (f, h) =>
+        for {
+          x <- 0 until h.xs; y <- 0 until h.ys
+          c = h(x, y) if c > 0
+        } yield (f, x, y, r6(c.toDouble / n))
+      }
+      .toDF("feature", "x", "y", "p")
+      .orderBy("feature", "x", "y")
+  }
+
+  val jointSql: String =
+    s"""WITH feats AS ($featsCte)
+       |SELECT feature, x, y,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem), 6) AS p
+       |FROM feats GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** A8: relevance I(Xf; Y) per feature from the engine's 2-D kernel. */
+  def mi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val n = col.nInstances
+    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
+    Histograms.histogram2D(col, col.labelIndex, yB)
+      .map { case (f, h) => (f, r6(InfoTheory.mutualInfo(h, n))) }
+      .toDF("feature", "mi")
+      .orderBy("feature")
+  }
+
+  val miSql: String =
+    s"""WITH feats AS ($featsCte),
+       |h AS (SELECT feature, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy
+       |      FROM h)
+       |SELECT feature,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))), 6) AS mi
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A9: fused (mi, cmi) per feature vs y=f0 conditioned on z=label,
+    * from the engine's 3-D kernel — the per-round greedy computation. */
+  def micmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val n = col.nInstances
+    val sc = spark.sparkContext
+    val yB = sc.broadcast(col.collectColumn(0))
+    val zB = sc.broadcast(col.collectColumn(col.labelIndex))
+    Histograms.histogram3D(col, 0, col.labelIndex, yB, zB)
+      .map { case (f, h) =>
+        val (m, c) = InfoTheory.miAndCmi(h, n)
+        (f, r6(m), r6(c))
+      }
+      .toDF("feature", "mi", "cmi")
+      .orderBy("feature")
+  }
+
+  val micmiSql: String =
+    s"""WITH feats AS ($feats3dCte),
+       |h AS (SELECT feature, x, y, z, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3, 4),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy,
+       |        SUM(cnt) OVER (PARTITION BY feature, x, y) AS cxy,
+       |        SUM(cnt) OVER (PARTITION BY feature, z) AS cz,
+       |        SUM(cnt) OVER (PARTITION BY feature, x, z) AS cxz,
+       |        SUM(cnt) OVER (PARTITION BY feature, y, z) AS cyz
+       |      FROM h)
+       |SELECT feature,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cxy AS DOUBLE)*n/(cx*cy))), 6) AS mi,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cz AS DOUBLE)*cnt/(CAST(cxz AS DOUBLE)*cyz))), 6) AS cmi
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A12: per-column entropy H(Xf) (incl. the label column). */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    val n = col.nInstances
+    (0 to col.labelIndex).map { f =>
+      val freq = Histograms.frequencies(col.collectColumn(f), col.cardinality(f))
+      (f, r6(InfoTheory.entropy(freq, n)))
+    }.toDF("feature", "h").orderBy("feature")
+  }
+
+  val entropySql: String =
+    s"""WITH feats AS ($featsWithLabelCte),
+       |h AS (SELECT feature, x, COUNT(*) AS cnt FROM feats GROUP BY 1, 2),
+       |w AS (SELECT feature, cnt, SUM(cnt) OVER (PARTITION BY feature) AS n FROM h)
+       |SELECT feature,
+       |  ROUND(SUM(-(CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)/n)), 6) AS h
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A1: per-column cardinality (max value + 1), engine pre-pass. */
+  def cardinality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = columnar(spark, dir)
+    col.cardinality.zipWithIndex.map { case (c, f) => (f, c) }
+      .toSeq.toDF("feature", "card").orderBy("feature")
+  }
+
+  val cardinalitySql: String =
+    s"""WITH feats AS ($featsWithLabelCte)
+       |SELECT feature, MAX(x) + 1 AS card FROM feats
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** O2 + I1(MIM): top-2 features by relevance — full MIM selection. */
+  def selectorMim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = new InfoThSelector().setCriterion("mim").setNumTopFeatures(2)
+      .fit(SparkEntry.assembled(spark, dir))
+    model.selectionPath.toSeq.map { case (f, s) => (f, r6(s)) }
+      .toDF("feature", "score")
+  }
+
+  val selectorMimSql: String =
+    s"""WITH feats AS ($featsCte),
+       |h AS (SELECT feature, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy
+       |      FROM h),
+       |m AS (SELECT feature,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM w GROUP BY 1)
+       |SELECT feature, ROUND(mi, 6) AS score FROM m
+       |ORDER BY mi DESC, feature LIMIT 2""".stripMargin
+
+  /** P1: vector gather through the model transform (fixed indices 0, 2),
+    * keyed by (orderkey, linenumber) for deterministic compare. */
+  def transformGather(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    val model = new InfoThSelectorModel("gather", Array(0, 2),
+      Array((0, 0.0), (2, 0.0)))
+    val df = SparkEntry.assembledWithKey(spark, dir)
+    model.setFeaturesCol("features").setOutputCol("sel")
+    model.transform(df)
+      .select($"l_orderkey", $"l_linenumber",
+        vector_to_array($"sel").getItem(0).cast("int").as("s0"),
+        vector_to_array($"sel").getItem(1).cast("int").as("s1"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val transformGatherSql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(l_quantity AS INTEGER) AS s0,
+       |  CAST(ROUND(l_tax*100) AS INTEGER) AS s1
+       |FROM lineitem ORDER BY 1, 2""".stripMargin
+
+  /** D1-D5: equal-frequency discretizer on f0 (quantity). numBuckets=245
+    * makes the sample the full table at sf<=0.01 and puts quantity's ~50
+    * distinct values on the few-distincts branch, where splits = all
+    * distinct values and bucket(x) = dense rank of x. */
+  def discretize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("double").as("q"))
+      .map(r => Tuple1(Vectors.dense(r.getDouble(0)))).toDF("features")
+    val model = new FrequencyDiscretizer().setNumBuckets(245).setSeed(42)
+      .setInputCol("features").setOutputCol("disc").fit(df)
+    import org.apache.spark.ml.functions.vector_to_array
+    model.transform(df)
+      .select(vector_to_array(col("features")).getItem(0).cast("int").as("x"),
+        vector_to_array(col("disc")).getItem(0).cast("double").as("bucket"))
+      .distinct()
+      .orderBy("x")
+  }
+
+  val discretizeSql: String =
+    s"""WITH v AS (SELECT DISTINCT CAST(l_quantity AS INTEGER) AS x FROM lineitem)
+       |SELECT x, CAST(DENSE_RANK() OVER (ORDER BY x) AS DOUBLE) AS bucket
+       |FROM v ORDER BY x""".stripMargin
+
+  /** A11: instance count. */
+  def countInstances(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(columnar(spark, dir).nInstances).toDF("n")
+  }
+
+  val countInstancesSql: String = "SELECT COUNT(*) AS n FROM lineitem"
+
+  // ---- registry ----
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hist2d" -> hist2d _,
+    "q_hist3d" -> hist3d _,
+    "q_margin" -> margin _,
+    "q_joint" -> joint _,
+    "q_mi" -> mi _,
+    "q_micmi" -> micmi _,
+    "q_entropy" -> entropy _,
+    "q_cardinality" -> cardinality _,
+    "q_selector_mim" -> selectorMim _,
+    "q_transform_gather" -> transformGather _,
+    "q_discretize" -> discretize _,
+    "q_count" -> countInstances _)
+
+  val oracles: Map[String, String] = Map(
+    "q_hist2d" -> hist2dSql,
+    "q_hist3d" -> hist3dSql,
+    "q_margin" -> marginSql,
+    "q_joint" -> jointSql,
+    "q_mi" -> miSql,
+    "q_micmi" -> micmiSql,
+    "q_entropy" -> entropySql,
+    "q_cardinality" -> cardinalitySql,
+    "q_selector_mim" -> selectorMimSql,
+    "q_transform_gather" -> transformGatherSql,
+    "q_discretize" -> discretizeSql,
+    "q_count" -> countInstancesSql)
+}

@@ -33,6 +33,25 @@ object SparkEntry {
     }.toDF("label", "features")
   }
 
+  /** Same as [[assembled]] plus the lineitem primary key, for queries
+    * needing a deterministic per-row compare. */
+  private[graft] def assembledWithKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("int").as("f0"),
+      round(col("l_discount") * 100).cast("int").as("f1"),
+      round(col("l_tax") * 100).cast("int").as("f2"),
+      col("l_linenumber").cast("int").as("f3"))
+      .map { r =>
+        (r.getLong(0), r.getInt(1), Vectors.dense(
+          r.getInt(2).toDouble, r.getInt(3).toDouble,
+          r.getInt(4).toDouble, r.getInt(5).toDouble))
+      }.toDF("l_orderkey", "l_linenumber", "features")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full greedy mRMR feature selection over lineitem-derived features,
     * returning the selection path (feature index, greedy score). */
@@ -45,11 +64,11 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }
 
 /** Manual end-to-end smoke drive (same shape as the driver's t1 check):

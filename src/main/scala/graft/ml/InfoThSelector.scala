@@ -195,6 +195,9 @@ class InfoThSelectorModel(
   require(selectedFeatures.sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
     "selectedFeatures must be strictly increasing")
 
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
     val indices = selectedFeatures

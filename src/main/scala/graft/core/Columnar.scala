@@ -13,24 +13,28 @@ import org.apache.spark.storage.StorageLevel
  * representation, mirroring the reference's `ColumnarData`
  * (reference: InfoSelector.scala:73-75) re-expressed Spark-first.
  *
- * Layout: `RDD[(feature, (block, bytes))]` where `block` is the source
+ * Layout: `RDD[((feature, block), bytes)]` where `block` is the source
  * partition id and `bytes` holds that feature's values for the block's
  * instances in row order. The class label is just another column at
  * index `nFeatures` (the reference appends it the same way,
- * InfoSelector.scala:431). Hash-partitioned by feature so all blocks of
- * one feature are co-located (reference: partitionByRange,
- * InfoSelector.scala:436) — histogram partial aggregation then completes
- * within a single partition and the keyed merge is shuffle-free.
+ * InfoSelector.scala:431).
  *
- * Scale notes (100 TB design): the transpose moves each cell exactly
- * once, packed in per-feature byte blocks (shuffle volume = O(cells)
- * BYTES, not O(cells) records). Blocks carry their own id, so later
- * repartitioning can never break the x/y alignment invariant
- * (SURVEY §7 risk 1) — alignment is by block id, never partition
- * placement.
+ * Scale notes (100 TB design):
+ * - The transpose moves each cell exactly once, packed in per-feature
+ *   byte blocks: shuffle volume is O(cells) BYTES, not O(cells) records.
+ * - Partitioning is by hash of (feature, block) — NOT by feature alone —
+ *   so scan parallelism grows with data volume; a feature's partial
+ *   histograms merge through a keyed reduce that shuffles only
+ *   O(nFeatures x partitions) tiny count matrices (<= 6 KB each for a
+ *   256x|Y| table). Partitioning by feature alone (the reference's
+ *   partitionByRange(0), InfoSelector.scala:436) would make one task
+ *   scan an entire feature column — a straggler at billions of rows.
+ * - Blocks carry their own id, so repartitioning can never break the
+ *   x/y alignment invariant (SURVEY §7 risk 1): alignment is by block
+ *   id, never partition placement.
  */
 final case class ColumnarData(
-    data: RDD[(Int, (Int, Array[Byte]))],
+    data: RDD[((Int, Int), Array[Byte])],
     nInstances: Long,
     nFeatures: Int,
     cardinality: Array[Int]) {
@@ -42,7 +46,7 @@ final case class ColumnarData(
     * broadcast side of the histogram kernels (reference: the
     * `withBroadcastSet` y/z columns, InfoTheory.scala:481, :541-545). */
   def collectColumn(feature: Int): Map[Int, Array[Byte]] =
-    data.filter(_._1 == feature).map { case (_, (b, v)) => (b, v) }
+    data.filter(_._1._1 == feature).map { case ((_, b), v) => (b, v) }
       .collect().toMap
 
   def unpersist(): Unit = data.unpersist(blocking = false)
@@ -78,12 +82,13 @@ object Columnar {
       labelCol: String = "label",
       numPartitions: Int = 0): ColumnarData = {
 
-    val rows = df.select(labelCol, featuresCol).rdd
+    val rows0 = df.select(labelCol, featuresCol).rdd
+    val rows = withParallelism(rows0, numPartitions)
     val nf = df.select(featuresCol).head
       .getAs[Vector](0).size
     val nCols = nf + 1
 
-    val transposed: RDD[(Int, (Int, Array[Byte]))] =
+    val transposed: RDD[((Int, Int), Array[Byte])] =
       rows.mapPartitionsWithIndex { (pid, it) =>
         val builders = Array.fill(nCols)(new mutable.ArrayBuilder.ofByte)
         it.foreach { row =>
@@ -108,41 +113,82 @@ object Columnar {
           builders(nCols - 1) += toByteChecked(row.getDouble(0))
         }
         builders.iterator.zipWithIndex.collect {
-          case (b, f) =>
-            val arr = b.result()
-            (f, (pid, arr))
-        }.filter(_._2._2.nonEmpty)
+          case (b, f) => ((f, pid), b.result())
+        }.filter(_._2.nonEmpty)
       }
+    finish(transposed, rows.getNumPartitions, nCols)
+  }
 
-    val parts =
+  /**
+   * Fast-path transpose from integer-valued columns (no ml.Vector
+   * construction or UDT serialization on the hot path). `featureCols`
+   * become features 0..n-1 in order; `labelCol` becomes column n.
+   */
+  def fromIntColumns(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      numPartitions: Int = 0): ColumnarData = {
+    val nf = featureCols.length
+    val nCols = nf + 1
+    val rows0 = df.select((featureCols :+ labelCol).map(
+      c => org.apache.spark.sql.functions.col(c).cast("int")): _*).rdd
+    val rows = withParallelism(rows0, numPartitions)
+    val transposed: RDD[((Int, Int), Array[Byte])] =
+      rows.mapPartitionsWithIndex { (pid, it) =>
+        val builders = Array.fill(nCols)(new mutable.ArrayBuilder.ofByte)
+        it.foreach { row =>
+          var j = 0
+          while (j < nCols) {
+            builders(j) += toByteChecked(row.getInt(j).toDouble); j += 1
+          }
+        }
+        builders.iterator.zipWithIndex.collect {
+          case (b, f) => ((f, pid), b.result())
+        }.filter(_._2.nonEmpty)
+      }
+    finish(transposed, rows.getNumPartitions, nCols)
+  }
+
+  /** Spread narrow inputs (e.g. a single parquet row group) across the
+    * cluster before the transpose; a wide input keeps its partitioning. */
+  private def withParallelism[T: scala.reflect.ClassTag](
+      rows: RDD[T], numPartitions: Int): RDD[T] = {
+    val target =
       if (numPartitions > 0) numPartitions
-      else rows.getNumPartitions
+      else rows.sparkContext.defaultParallelism
+    if (rows.getNumPartitions < target) rows.repartition(target) else rows
+  }
+
+  /** Partition by (feature, block), persist, and run the single stats
+    * pass: per-feature (max value, instance count) in one job
+    * (cardinality pre-pass per reference InfoTheory.scala:415-419 fused
+    * with the instance count). */
+  private def finish(
+      transposed: RDD[((Int, Int), Array[Byte])],
+      parts: Int,
+      nCols: Int): ColumnarData = {
     val partitioned = transposed
       .partitionBy(new HashPartitioner(parts))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Cardinality pre-pass: per-feature max+1 bounds histogram dims
-    // (reference: InfoTheory.scala:415-419). One cheap scan; map-side
-    // combine keeps shuffle at O(nFeatures) records.
-    val cards = partitioned
-      .mapValues { case (_, bytes) =>
+    val stats = partitioned
+      .map { case ((f, _), bytes) =>
         var m = 0
         var i = 0
         while (i < bytes.length) {
           val v = idx(bytes(i)); if (v > m) m = v; i += 1
         }
-        m
+        (f, (m, bytes.length.toLong))
       }
-      .reduceByKey(math.max(_, _))
+      .reduceByKey((a, b) => (math.max(a._1, b._1), a._2 + b._2))
       .collect()
     val cardinality = new Array[Int](nCols)
-    cards.foreach { case (f, m) => cardinality(f) = m + 1 }
-
-    val nInstances = partitioned
-      .filter(_._1 == nCols - 1)
-      .map(_._2._2.length.toLong)
-      .fold(0L)(_ + _)
-
-    ColumnarData(partitioned, nInstances, nf, cardinality)
+    var nInstances = 0L
+    stats.foreach { case (f, (m, c)) =>
+      cardinality(f) = m + 1
+      if (f == nCols - 1) nInstances = c
+    }
+    ColumnarData(partitioned, nInstances, nCols - 1, cardinality)
   }
 }

@@ -32,15 +32,15 @@ final case class Hist3D(xs: Int, ys: Int, zs: Int, counts: Array[Long]) {
  * Re-expression of the reference's histogram dataflows
  * (reference: computeHistograms InfoTheory.scala:474-521,
  * computeConditionalHistograms InfoTheory.scala:535-586): each partition
- * scans its co-located feature blocks against 1-2 broadcast columns and
- * accumulates tight primitive-array matrices (the partial/combiner
- * stage); the keyed merge is shuffle-free because the columnar RDD is
- * hash-partitioned by feature, so every feature's blocks — and thus its
- * entire partial histogram — already live in one partition.
+ * scans its feature blocks against 1-2 broadcast columns and accumulates
+ * tight primitive-array matrices (the partial/combiner stage); the keyed
+ * merge then shuffles only O(nFeatures x partitions) small matrices
+ * (<= xs*|Y|(*|Z|) longs each) — independent of nInstances. Scan
+ * parallelism follows the (feature, block) partitioning, so no task ever
+ * scans a whole feature column.
  *
- * Scale: output is O(nFeatures) records of <=256*|Y|(*|Z|) longs,
- * independent of nInstances. The broadcast side is 1-2 byte columns
- * (ni bytes each), block-chunked, shipped via torrent broadcast.
+ * The broadcast side is 1-2 byte columns (ni bytes each), block-chunked,
+ * shipped via torrent broadcast.
  */
 object Histograms {
 
@@ -57,10 +57,10 @@ object Histograms {
       yBlocks: Broadcast[Map[Int, Array[Byte]]]): RDD[(Int, Hist2D)] = {
     val ys = col.cardinality(yFeat)
     val cards = col.data.sparkContext.broadcast(col.cardinality)
-    col.data.mapPartitions({ it =>
+    col.data.mapPartitions { it =>
       val acc = new mutable.HashMap[Int, Hist2D]
       val yb = yBlocks.value
-      it.foreach { case (f, (block, bytes)) =>
+      it.foreach { case ((f, block), bytes) =>
         if (f != yFeat) {
           val h = acc.getOrElseUpdate(f, {
             val xs = cards.value(f)
@@ -76,8 +76,7 @@ object Histograms {
         }
       }
       acc.iterator
-    }, preservesPartitioning = true)
-      .reduceByKey(_.add(_))
+    }.reduceByKey(_.add(_))
   }
 
   /**
@@ -94,11 +93,11 @@ object Histograms {
     val ys = col.cardinality(yFeat)
     val zs = col.cardinality(zFeat)
     val cards = col.data.sparkContext.broadcast(col.cardinality)
-    col.data.mapPartitions({ it =>
+    col.data.mapPartitions { it =>
       val acc = new mutable.HashMap[Int, Hist3D]
       val yb = yBlocks.value
       val zb = zBlocks.value
-      it.foreach { case (f, (block, bytes)) =>
+      it.foreach { case ((f, block), bytes) =>
         if (f != yFeat && f != zFeat) {
           val h = acc.getOrElseUpdate(f, {
             val xs = cards.value(f)
@@ -116,8 +115,7 @@ object Histograms {
         }
       }
       acc.iterator
-    }, preservesPartitioning = true)
-      .reduceByKey(_.add(_))
+    }.reduceByKey(_.add(_))
   }
 
   /** Value-frequency histogram of a single collected column

@@ -153,14 +153,28 @@ object PipelineQueries {
       |    array_to_string(string_split(text, ' ')[1:GREATEST(len(string_split(text, ' ')) - 3, 1)], ' ')
       |  FROM documents WHERE doc_id < 150""".stripMargin
 
-  /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5. */
+  /** Document-frequency cap for the near-dup queries: tokens present in
+    * more than this many documents are excluded from similarity (hot-token
+    * filtering — the join-group bound that makes the inverted index safe
+    * at corpus scale). Both engines apply it identically. */
+  val HotTokenCap: Long = 200L
+
+  /** Capped (id, tok) postings over the near-dup corpus, oracle side. */
+  private val cappedPostingsSql =
+    s"""t0 AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
+       |keep AS (SELECT tok FROM t0 GROUP BY tok HAVING COUNT(*) <= $HotTokenCap),
+       |t AS (SELECT t0.id, t0.tok FROM t0 JOIN keep USING (tok))""".stripMargin
+
+  /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5,
+    * hot tokens (df > cap) excluded on both sides. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(nearDupCorpus(spark, dir), "doc_id", "text", 1, 0.5)
+    Dedup.ngramJaccard(nearDupCorpus(spark, dir), "doc_id", "text", 1, 0.5,
+      HotTokenCap)
       .orderBy("ida", "idb")
 
   val dedupJaccardSql: String =
     s"""WITH c AS ($nearDupCorpusSql),
-       |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
+       |$cappedPostingsSql,
        |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
        |inter AS (
        |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
@@ -178,21 +192,21 @@ object PipelineQueries {
     s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})"
   }.mkString(", ")
 
-  /** MinHash + LSH banding near-dup pairs, verified jaccard >= 0.5. */
+  /** MinHash + LSH banding near-dup pairs, verified jaccard >= 0.5.
+    * Token ids are md5-derived (no vocabulary pass in either engine). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(nearDupCorpus(spark, dir), "doc_id", "text", 0.5)
+    Dedup.minhashLsh(nearDupCorpus(spark, dir), "doc_id", "text", 0.5,
+      HotTokenCap)
       .orderBy("ida", "idb")
 
   val dedupMinhashSql: String =
     s"""WITH c AS ($nearDupCorpusSql),
-       |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
-       |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tokId
-       |          FROM (SELECT DISTINCT tok FROM t)),
+       |$cappedPostingsSql,
        |hp (hashIdx, a, b) AS (VALUES $minhashParamsSql),
        |sigs AS (
        |  SELECT t.id, hp.hashIdx,
-       |    MIN((hp.a * vocab.tokId + hp.b) % ${Dedup.MinhashP}) AS minv
-       |  FROM t JOIN vocab ON t.tok = vocab.tok CROSS JOIN hp
+       |    MIN((hp.a * ${Dedup.tokenIdSql("t.tok")} + hp.b) % ${Dedup.MinhashP}) AS minv
+       |  FROM t CROSS JOIN hp
        |  GROUP BY 1, 2),
        |bands AS (
        |  SELECT id, hashIdx // ${Dedup.BandSize} AS band,
@@ -217,7 +231,8 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
-  /** SimHash near-dup pairs (same 16-bit prefix, hamming <= 6). */
+  /** SimHash near-dup pairs (4x8-bit band collision blocking,
+    * hamming <= 6). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(nearDupCorpus(spark, dir), "doc_id", "text", 6)
       .orderBy("ida", "idb")
@@ -225,22 +240,24 @@ object PipelineQueries {
   val dedupSimhashSql: String =
     s"""WITH c AS ($nearDupCorpusSql),
        |t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM c),
-       |vocab AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tokId
-       |          FROM (SELECT DISTINCT tok FROM t)),
        |bits AS (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit),
        |signs AS (
        |  SELECT t.id, bits.bit,
-       |    SUM(CASE WHEN CAST(FLOOR(((${Dedup.SimhashA} * vocab.tokId + ${Dedup.SimhashB}) % ${Dedup.MinhashP}) / POWER(2, bits.bit)) AS BIGINT) % 2 = 1
+       |    SUM(CASE WHEN CAST(FLOOR(((${Dedup.SimhashA} * ${Dedup.tokenIdSql("t.tok")} + ${Dedup.SimhashB}) % ${Dedup.MinhashP}) / POWER(2, bits.bit)) AS BIGINT) % 2 = 1
        |        THEN 1 ELSE -1 END) AS s
-       |  FROM t JOIN vocab ON t.tok = vocab.tok CROSS JOIN bits
+       |  FROM t CROSS JOIN bits
        |  GROUP BY 1, 2),
        |sigs AS (
        |  SELECT id, SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
-       |  FROM signs GROUP BY 1)
-       |SELECT a.id AS ida, b.id AS idb,
+       |  FROM signs GROUP BY 1),
+       |bands AS (
+       |  SELECT id, simhash, bb.band,
+       |    CAST(FLOOR(simhash / POWER(256, bb.band)) AS BIGINT) % 256 AS bval
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS band) bb)
+       |SELECT DISTINCT a.id AS ida, b.id AS idb,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM sigs a JOIN sigs b
-       |  ON a.simhash // 65536 = b.simhash // 65536 AND a.id < b.id
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY 1, 2""".stripMargin
 

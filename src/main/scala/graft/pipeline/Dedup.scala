@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
  * exactly the shape that scales: candidate generation is O(postings),
  * never O(n^2) over documents.
  *
- * Hash functions are pure arithmetic over a rank-based vocabulary id so
- * that an independent SQL engine (the DuckDB oracle) reproduces results
- * bit-for-bit; swapping in xxhash64 keeps the plan identical.
+ * Token ids are derived arithmetically from md5(token) — a pure
+ * per-row expression, so there is NO global vocabulary pass (no
+ * distinct, no window, no join): the id of a token is a function of its
+ * bytes, computed identically by the DuckDB oracle. At 100 TB the
+ * vocabulary is billions of tokens; any materialized vocabulary (let
+ * alone a global-sort window) is a hard stop, while this path adds zero
+ * jobs.
  */
 object Dedup {
 
@@ -27,6 +31,20 @@ object Dedup {
     809L, 1601L, 3203L, 6421L, 12809L, 25603L, 51203L, 102407L, 204803L)
   val NumHashes: Int = MinhashA.length // 16
   val BandSize: Int = 4                // -> 4 bands
+
+  /**
+   * Token id in [0, MinhashP): the first 15 hex digits of md5(tok) read
+   * as an integer, reduced mod p. 15 hex digits = 60 bits, so the
+   * intermediate fits a signed long, and a*tokId + b (a <= 2^21,
+   * tokId < 2^31) never overflows. The DuckDB oracle computes the
+   * identical value via CAST('0x' || substr(md5(tok),1,15) AS BIGINT).
+   */
+  def tokenId(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** Same token id as SQL text for the DuckDB oracle. */
+  def tokenIdSql(tok: String): String =
+    s"(CAST(('0x' || substr(md5($tok), 1, 15)) AS BIGINT) % $MinhashP)"
 
   /**
    * Exact deduplication: every row mapped to the minimum id sharing its
@@ -46,14 +64,43 @@ object Dedup {
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
 
   /**
+   * Postings with a document-frequency cap: tokens present in more than
+   * `maxDf` documents are dropped (PPJoin-style hot-token filtering).
+   * A stopword shared by 10^9 documents would otherwise make its join
+   * group quadratic; dropping it bounds every group at maxDf while
+   * near-identical documents still share nearly all their informative
+   * tokens. One extra partial-agg pass; skipped entirely when
+   * maxDf == Long.MaxValue.
+   */
+  private def cappedPostings(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val post = postings(df, idCol, textCol)
+    if (maxDf == Long.MaxValue) post
+    else {
+      val dfc = post.groupBy("tok").agg(count("*").as("dfc"))
+        .filter(col("dfc") <= maxDf).drop("dfc")
+      post.join(dfc, "tok").select("id", "tok")
+    }
+  }
+
+  /**
    * N-gram (word shingle) Jaccard similarity over all candidate pairs
    * sharing at least one shingle — inverted-index join, partial-agg
    * friendly. Returns (ida, idb, jaccard) for pairs >= `threshold`.
-   * For n = 1 this is token-set Jaccard.
+   * For n = 1 this is token-set Jaccard. With a finite `maxDf`,
+   * similarity is defined over the capped token space (hot tokens
+   * contribute to neither intersections nor sizes — both engines agree).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxDf == Long.MaxValue) sh0
+      else {
+        val dfc = sh0.groupBy("tok").agg(count("*").as("dfc"))
+          .filter(col("dfc") <= maxDf).drop("dfc")
+        sh0.join(dfc, "tok").select("id", "tok")
+      }
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -68,41 +115,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** (id, tok) distinct word n-gram shingles. */
+  /** (id, tok) distinct word n-gram shingles. Documents shorter than n
+    * tokens contribute no shingles (no truncated grams). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     if (n <= 1) postings(df, idCol, textCol)
     else {
       val toks = split(col(textCol), " ")
       val grams = transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "))
-      df.select(col(idCol).as("id"),
-        explode(array_distinct(grams)).as("tok"))
+      df.select(col(idCol).as("id"), toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("id"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("tok"))
     }
   }
 
   /**
-   * Rank-based vocabulary ids: token -> dense rank in lexicographic
-   * order. The vocabulary is orders of magnitude smaller than the corpus
-   * and broadcast back; at larger scale substitute xxhash64(tok) and drop
-   * this pass entirely (plan shape unchanged).
-   */
-  def vocabIds(post: DataFrame): DataFrame =
-    post.select("tok").distinct()
-      .withColumn("tokId", dense_rank().over(Window.orderBy("tok")).cast("long"))
-
-  /**
    * MinHash signatures: for each document and hash i, the minimum of
-   * (a_i * tokId + b_i) mod p over the document's token set.
-   * Output: (id, hashIdx, minv).
+   * (a_i * tokenId(tok) + b_i) mod p over the document's token set.
+   * Output: (id, hashIdx, minv). The hash-parameter table is a 16-row
+   * broadcast; token ids are computed inline (no vocabulary job).
    */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val post = postings(df, idCol, textCol)
-    val vocab = vocabIds(post)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val post = cappedPostings(df, idCol, textCol, maxDf)
     val hp = post.sparkSession.createDataFrame(
       (0 until NumHashes).map(i => (i, MinhashA(i), MinhashB(i))))
       .toDF("hashIdx", "a", "b")
-    post.join(broadcast(vocab), "tok")
+    post.withColumn("tokId", tokenId(col("tok")))
       .join(broadcast(hp))
       .groupBy(col("id"), col("hashIdx"))
       .agg(min((col("a") * col("tokId") + col("b")) % MinhashP).as("minv"))
@@ -111,13 +154,14 @@ object Dedup {
   /**
    * MinHash + LSH near-duplicate candidates: band the k signatures into
    * k/BandSize bands, bucket-join on (band, band-signature), verify
-   * candidates with exact token-set Jaccard. Returns (ida, idb, jaccard)
-   * >= threshold. The self-join is on band buckets (high cardinality),
-   * never all-pairs — the standard web-scale dedup topology.
+   * candidates with exact token-set Jaccard (over the same capped token
+   * space). Returns (ida, idb, jaccard) >= threshold. The self-join is
+   * on band buckets (high cardinality), never all-pairs — the standard
+   * web-scale dedup topology.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol)
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, maxDf)
     val bands = sigs
       .withColumn("band", floor(col("hashIdx") / BandSize))
       .groupBy("id", "band")
@@ -129,7 +173,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
-    val post = postings(df, idCol, textCol)
+    val post = cappedPostings(df, idCol, textCol, maxDf)
     val sizes = post.groupBy("id").agg(count("*").as("sz"))
     val inter = cands.join(post.withColumnRenamed("id", "ida"), "ida")
       .join(post.withColumnRenamed("id", "idb").withColumnRenamed("tok", "tokb"), "idb")
@@ -144,25 +188,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash parameters (single universal hash over vocab ids whose bits
+  /** SimHash parameters (single universal hash over token ids whose bits
     * are the hyperplane signs). */
   val SimhashBits: Int = 32
   val SimhashA: Long = 1103515245L
   val SimhashB: Long = 12345L
+  /** Number of bit-segment band tables for near-dup blocking. */
+  val SimhashBands: Int = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 8
 
   /**
    * 32-bit SimHash per document: bit k is set iff the count of tokens
    * whose hashed bit k is 1 strictly exceeds those with 0.
-   * Output: (id, simhash: long).
+   * Output: (id, simhash: long). Token ids computed inline (no
+   * vocabulary job); the 32-row bit table is a broadcast.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val post = postings(df, idCol, textCol)
-    val vocab = vocabIds(post)
-    val h = (lit(SimhashA) * col("tokId") + lit(SimhashB)) % lit(MinhashP)
+    val h = (lit(SimhashA) * tokenId(col("tok")) + lit(SimhashB)) % lit(MinhashP)
     val bits = post.sparkSession.createDataFrame(
       (0 until SimhashBits).map(Tuple1(_))).toDF("bit")
-    post.join(broadcast(vocab), "tok")
-      .join(broadcast(bits))
+    post.join(broadcast(bits))
       .withColumn("sign",
         when(floor(h / pow(lit(2.0), col("bit"))).cast("long") % 2 === 1, 1)
           .otherwise(-1))
@@ -172,17 +218,33 @@ object Dedup {
         pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist.
-    * All-pairs compare is restricted to same-band prefixes in real
-    * deployments; here candidates sharing the top 16 bits. */
+  /**
+   * Near-duplicate pairs by SimHash Hamming distance <= maxDist, blocked
+   * by multi-table bit-segment banding: the 32-bit signature splits into
+   * 4 bands of 8 bits; a pair is a candidate iff it collides in ANY
+   * band (guaranteed to catch every pair with hamming <= 3, and in
+   * practice nearly all <= 6). Bucket count is 4 * 2^8 per distinct
+   * band value — cost follows band-bucket occupancy, never a fixed
+   * 2^16 ceiling.
+   */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val sig = simhash(df, idCol, textCol)
-      .withColumn("prefix", floor(col("simhash") / 65536L))
-    sig.as("a").join(sig.as("b"),
-        col("a.prefix") === col("b.prefix") && col("a.id") < col("b.id"))
+    val bandCols = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        (floor(col("simhash") / math.pow(256.0, b)).cast("long") % 256L)
+          .as("bval"))
+    }
+    val bands = sig.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle SQL over the same testdata parquet tables.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT")
+            failures += 1
+            continue
+        sq = con.execute(
+            f"SELECT * FROM read_parquet({files!r})")
+        scols = [d[0] for d in sq.description]
+        srows = sq.fetchall()
+        try:
+            oq = con.execute(oracles[name])
+            ocols = [d[0] for d in oq.description]
+            orows = oq.fetchall()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR: {e}")
+            failures += 1
+            continue
+        sc, sr = frame_key(scols, srows)
+        oc, orr = frame_key(ocols, orows)
+        if sc != oc:
+            print(f"{name}: SCHEMA MISMATCH spark={sc} oracle={oc}")
+            failures += 1
+        elif len(sr) != len(orr):
+            print(f"{name}: ROWS {len(sr)} vs {len(orr)}")
+            failures += 1
+        elif sr != orr:
+            bad = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            print(f"{name}: VALUE MISMATCH, first diffs: {bad}")
+            failures += 1
+        else:
+            print(f"{name}: ok ({len(sr)} rows)")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()

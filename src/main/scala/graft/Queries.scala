@@ -55,13 +55,22 @@ object Queries {
   // ---- Spark-side shared state ----
 
   /** Columnar working set per (session, dir) — queries share one
-    * transpose within a Verify/Bench run. */
+    * transpose within a Verify/Bench run. Built under a lock so two
+    * concurrent first calls can't each persist a copy; [[clearCache]]
+    * unpersists everything (called when a Verify/Bench run finishes). */
   private val colCache = TrieMap.empty[(SparkSession, String), ColumnarData]
 
   private[graft] def columnar(spark: SparkSession, dir: String): ColumnarData =
-    colCache.getOrElseUpdate((spark, dir),
-      Columnar.fromIntColumns(SparkEntry.lineitemFeatures(spark, dir),
-        Seq("f0", "f1", "f2", "f3"), "label"))
+    colCache.synchronized {
+      colCache.getOrElseUpdate((spark, dir),
+        Columnar.fromIntColumns(SparkEntry.lineitemFeatures(spark, dir),
+          Seq("f0", "f1", "f2", "f3"), "label"))
+    }
+
+  private[graft] def clearCache(): Unit = colCache.synchronized {
+    colCache.values.foreach(_.unpersist())
+    colCache.clear()
+  }
 
   private def r6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -72,8 +81,7 @@ object Queries {
   def hist2d(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val col = columnar(spark, dir)
-    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
-    Histograms.histogram2D(col, col.labelIndex, yB)
+    Histograms.histogram2D(col)
       .flatMap { case (f, h) =>
         for {
           x <- 0 until h.xs; y <- 0 until h.ys
@@ -93,10 +101,8 @@ object Queries {
   def hist3d(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val col = columnar(spark, dir)
-    val sc = spark.sparkContext
-    val yB = sc.broadcast(col.collectColumn(0))
-    val zB = sc.broadcast(col.collectColumn(col.labelIndex))
-    Histograms.histogram3D(col, 0, col.labelIndex, yB, zB)
+    val yB = spark.sparkContext.broadcast(col.collectColumn(0))
+    Histograms.histogram3D(col, 0, yB)
       .flatMap { case (f, h) =>
         for {
           x <- 0 until h.xs; y <- 0 until h.ys; z <- 0 until h.zs
@@ -112,17 +118,17 @@ object Queries {
        |SELECT feature, x, y, z, COUNT(*) AS cnt FROM feats
        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
 
-  /** A7: marginal probability tables p(x) per feature (incl. label col). */
+  /** A7: marginal probability tables p(x) per feature (incl. label col),
+    * from ONE distributed frequency job (no per-column driver collects). */
   def margin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    val allFeats = (0 to col.labelIndex)
-    val rows = allFeats.flatMap { f =>
-      val freq = Histograms.frequencies(col.collectColumn(f), col.cardinality(f))
-      freq.zipWithIndex.collect { case (c, x) if c > 0 =>
-        (f, x, r6(c.toDouble / n))
-      }
+    val rows = Histograms.frequenciesByFeature(col).toSeq.flatMap {
+      case (f, freq) =>
+        freq.zipWithIndex.collect { case (c, x) if c > 0 =>
+          (f, x, r6(c.toDouble / n))
+        }
     }
     rows.toDF("feature", "x", "p").orderBy("feature", "x")
   }
@@ -138,8 +144,7 @@ object Queries {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
-    Histograms.histogram2D(col, col.labelIndex, yB)
+    Histograms.histogram2D(col)
       .flatMap { case (f, h) =>
         for {
           x <- 0 until h.xs; y <- 0 until h.ys
@@ -161,8 +166,7 @@ object Queries {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    val yB = spark.sparkContext.broadcast(col.collectColumn(col.labelIndex))
-    Histograms.histogram2D(col, col.labelIndex, yB)
+    Histograms.histogram2D(col)
       .map { case (f, h) => (f, r6(InfoTheory.mutualInfo(h, n))) }
       .toDF("feature", "mi")
       .orderBy("feature")
@@ -186,10 +190,8 @@ object Queries {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    val sc = spark.sparkContext
-    val yB = sc.broadcast(col.collectColumn(0))
-    val zB = sc.broadcast(col.collectColumn(col.labelIndex))
-    Histograms.histogram3D(col, 0, col.labelIndex, yB, zB)
+    val yB = spark.sparkContext.broadcast(col.collectColumn(0))
+    Histograms.histogram3D(col, 0, yB)
       .map { case (f, h) =>
         val (m, c) = InfoTheory.miAndCmi(h, n)
         (f, r6(m), r6(c))
@@ -215,13 +217,13 @@ object Queries {
        |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cz AS DOUBLE)*cnt/(CAST(cxz AS DOUBLE)*cyz))), 6) AS cmi
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** A12: per-column entropy H(Xf) (incl. the label column). */
+  /** A12: per-column entropy H(Xf) (incl. the label column), from ONE
+    * distributed frequency job. */
   def entropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    (0 to col.labelIndex).map { f =>
-      val freq = Histograms.frequencies(col.collectColumn(f), col.cardinality(f))
+    Histograms.frequenciesByFeature(col).toSeq.map { case (f, freq) =>
       (f, r6(InfoTheory.entropy(freq, n)))
     }.toDF("feature", "h").orderBy("feature")
   }

@@ -8,20 +8,48 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
+/** One column's values for one block of instances (row order preserved). */
+sealed trait ColBlock extends Serializable {
+  /** Number of instances in the block. */
+  def n: Int
+}
+
+/** Dense column block: one byte per instance. */
+final case class DenseBlock(values: Array[Byte]) extends ColBlock {
+  def n: Int = values.length
+}
+
+/**
+ * Sparse column block: explicit entries at `rows(i) -> values(i)`
+ * (rows strictly increasing); every other instance is implicitly 0.
+ * Mirrors the reference's implicit-zero histogram accounting
+ * (reference: InfoTheory.scala:274-310, :324-390) — on a 0.1%-dense
+ * corpus the cached working set shrinks ~1000x vs densification.
+ */
+final case class SparseBlock(n: Int, rows: Array[Int], values: Array[Byte])
+    extends ColBlock
+
 /**
  * Columnar (transposed) working set: the engine's core internal
  * representation, mirroring the reference's `ColumnarData`
  * (reference: InfoSelector.scala:73-75) re-expressed Spark-first.
  *
- * Layout: `RDD[((feature, block), bytes)]` where `block` is the source
- * partition id and `bytes` holds that feature's values for the block's
- * instances in row order. The class label is just another column at
- * index `nFeatures` (the reference appends it the same way,
- * InfoSelector.scala:431).
+ * Layout: `RDD[((feature, block), LabeledBlock)]` where `block` is the
+ * source partition id and each record carries BOTH that feature's column
+ * block and the block's class-label bytes. The label is also kept as its
+ * own column at index `nFeatures` (the reference appends it the same
+ * way, InfoSelector.scala:431).
  *
  * Scale notes (100 TB design):
  * - The transpose moves each cell exactly once, packed in per-feature
  *   byte blocks: shuffle volume is O(cells) BYTES, not O(cells) records.
+ * - The label column rides along with every feature block, so the
+ *   relevance/redundancy kernels never pull an O(nInstances) label
+ *   column through the driver — at 10^11 rows a collected label column
+ *   (~100 GB) could neither be collected nor broadcast. Cost: label
+ *   bytes are duplicated once per feature (ships and caches like one
+ *   extra feature per feature); the driver never holds more than its
+ *   own result rows.
  * - Partitioning is by hash of (feature, block) — NOT by feature alone —
  *   so scan parallelism grows with data volume; a feature's partial
  *   histograms merge through a keyed reduce that shuffles only
@@ -33,8 +61,10 @@ import org.apache.spark.storage.StorageLevel
  *   x/y alignment invariant (SURVEY §7 risk 1): alignment is by block
  *   id, never partition placement.
  */
+final case class LabeledBlock(x: ColBlock, label: Array[Byte])
+
 final case class ColumnarData(
-    data: RDD[((Int, Int), Array[Byte])],
+    data: RDD[((Int, Int), LabeledBlock)],
     nInstances: Long,
     nFeatures: Int,
     cardinality: Array[Int]) {
@@ -42,11 +72,14 @@ final case class ColumnarData(
   /** Index of the class-label column. */
   def labelIndex: Int = nFeatures
 
-  /** Collect one feature's blocks (block id -> bytes). Used to build the
-    * broadcast side of the histogram kernels (reference: the
-    * `withBroadcastSet` y/z columns, InfoTheory.scala:481, :541-545). */
+  /** Collect one feature's blocks (block id -> densified bytes). Used
+    * only for the per-round selected-column broadcast (one column,
+    * torrent-chunked — reference: the `withBroadcastSet` y column,
+    * InfoTheory.scala:541-545). The label column never goes through
+    * here: it rides inside every block. */
   def collectColumn(feature: Int): Map[Int, Array[Byte]] =
-    data.filter(_._1._1 == feature).map { case ((_, b), v) => (b, v) }
+    data.filter(_._1._1 == feature)
+      .map { case ((_, b), blk) => (b, Columnar.densify(blk.x)) }
       .collect().toMap
 
   def unpersist(): Unit = data.unpersist(blocking = false)
@@ -68,13 +101,29 @@ object Columnar {
 
   @inline def idx(b: Byte): Int = b & 0xFF
 
+  /** Densified view of a column block. */
+  def densify(blk: ColBlock): Array[Byte] = blk match {
+    case DenseBlock(b) => b
+    case SparseBlock(n, rows, vals) =>
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < rows.length) { out(rows(i)) = vals(i); i += 1 }
+      out
+  }
+
+  /** Max feature count supported by the sparse transpose packing
+    * (feature id must fit in 22 bits next to a 32-bit row id). */
+  val MaxSparseFeatures: Int = 1 << 22
+
   /**
    * Block-local transpose of a `(label, features)` DataFrame into
-   * columnar byte blocks (reference semantics: InfoSelector.scala:421-438).
+   * columnar blocks (reference semantics: InfoSelector.scala:421-438),
+   * each carrying the block's label bytes.
    *
-   * Sparse vectors are densified per row (implicit zeros become byte 0) —
-   * the reference's dedicated sparse selection path is unimplemented
-   * anyway (`selectSparseFeatures` throws, InfoSelector.scala:378-386).
+   * The storage mode follows the input vectors: sparse rows transpose
+   * into [[SparseBlock]]s (implicit zeros never materialize — neither in
+   * the shuffle nor the cache), dense rows into [[DenseBlock]]s. The
+   * label column is always dense.
    */
   def fromLabeledDf(
       df: DataFrame,
@@ -88,35 +137,111 @@ object Columnar {
       .getAs[Vector](0).size
     val nCols = nf + 1
 
-    val transposed: RDD[((Int, Int), Array[Byte])] =
-      rows.mapPartitionsWithIndex { (pid, it) =>
-        val builders = Array.fill(nCols)(new mutable.ArrayBuilder.ofByte)
-        it.foreach { row =>
-          val vec = row.getAs[Vector](1)
-          require(vec.size == nf,
-            s"Inconsistent vector size: ${vec.size} != $nf")
-          vec match {
-            case dv: DenseVector =>
-              val vals = dv.values
-              var j = 0
-              while (j < nf) { builders(j) += toByteChecked(vals(j)); j += 1 }
-            case sv: SparseVector =>
-              val dense = new Array[Byte](nf)
-              val ids = sv.indices; val vals = sv.values
-              var j = 0
-              while (j < ids.length) {
-                dense(ids(j)) = toByteChecked(vals(j)); j += 1
-              }
-              j = 0
-              while (j < nf) { builders(j) += dense(j); j += 1 }
-          }
-          builders(nCols - 1) += toByteChecked(row.getDouble(0))
+    val transposed: RDD[((Int, Int), LabeledBlock)] =
+      rows.mapPartitionsWithIndex { (pid, it0) =>
+        val it = it0.buffered
+        if (!it.hasNext) Iterator.empty
+        else it.head.getAs[Vector](1) match {
+          case _: SparseVector => transposeSparse(pid, it, nf)
+          case _ => transposeDense(pid, it, nf)
         }
-        builders.iterator.zipWithIndex.collect {
-          case (b, f) => ((f, pid), b.result())
-        }.filter(_._2.nonEmpty)
       }
     finish(transposed, rows.getNumPartitions, nCols)
+  }
+
+  /** Dense-mode partition transpose: one byte builder per column. */
+  private def transposeDense(pid: Int, it: Iterator[org.apache.spark.sql.Row],
+      nf: Int): Iterator[((Int, Int), LabeledBlock)] = {
+    val builders = Array.fill(nf)(new mutable.ArrayBuilder.ofByte)
+    val labels = new mutable.ArrayBuilder.ofByte
+    it.foreach { row =>
+      val vec = row.getAs[Vector](1)
+      require(vec.size == nf, s"Inconsistent vector size: ${vec.size} != $nf")
+      vec match {
+        case dv: DenseVector =>
+          val vals = dv.values
+          var j = 0
+          while (j < nf) { builders(j) += toByteChecked(vals(j)); j += 1 }
+        case sv: SparseVector =>
+          val dense = new Array[Byte](nf)
+          val ids = sv.indices; val vals = sv.values
+          var j = 0
+          while (j < ids.length) { dense(ids(j)) = toByteChecked(vals(j)); j += 1 }
+          j = 0
+          while (j < nf) { builders(j) += dense(j); j += 1 }
+      }
+      labels += toByteChecked(row.getDouble(0))
+    }
+    val labelArr = labels.result()
+    val out = Iterator.tabulate(nf) { f =>
+      ((f, pid), LabeledBlock(DenseBlock(builders(f).result()), labelArr))
+    }
+    out ++ Iterator.single(
+      ((nf, pid), LabeledBlock(DenseBlock(labelArr), labelArr)))
+  }
+
+  /**
+   * Sparse-mode partition transpose: nonzeros pack into one long each
+   * (feature << 40 | row << 8 | value), a single array sort groups them
+   * by feature, and per-feature slices become [[SparseBlock]]s. Every
+   * feature emits a record (possibly with zero explicit entries) so the
+   * histogram kernels see every (feature, block) cell — implicit zeros
+   * are patched in-kernel, never materialized.
+   */
+  private def transposeSparse(pid: Int, it: Iterator[org.apache.spark.sql.Row],
+      nf: Int): Iterator[((Int, Int), LabeledBlock)] = {
+    require(nf < MaxSparseFeatures,
+      s"sparse transpose supports < $MaxSparseFeatures features, got $nf")
+    val packed = new mutable.ArrayBuilder.ofLong
+    val labels = new mutable.ArrayBuilder.ofByte
+    var rowIdx = 0
+    it.foreach { row =>
+      val vec = row.getAs[Vector](1)
+      require(vec.size == nf, s"Inconsistent vector size: ${vec.size} != $nf")
+      vec match {
+        case sv: SparseVector =>
+          val ids = sv.indices; val vals = sv.values
+          var j = 0
+          while (j < ids.length) {
+            val v = toByteChecked(vals(j))
+            if (v != 0) {
+              packed += (ids(j).toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
+            }
+            j += 1
+          }
+        case dv: DenseVector =>
+          val vals = dv.values
+          var j = 0
+          while (j < vals.length) {
+            val v = toByteChecked(vals(j))
+            if (v != 0) {
+              packed += (j.toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
+            }
+            j += 1
+          }
+      }
+      labels += toByteChecked(row.getDouble(0))
+      rowIdx += 1
+    }
+    val labelArr = labels.result()
+    val n = rowIdx
+    val arr = packed.result()
+    java.util.Arrays.sort(arr)
+    // slice per feature
+    var p = 0
+    val out = Iterator.tabulate(nf) { f =>
+      val rows = new mutable.ArrayBuilder.ofInt
+      val vals = new mutable.ArrayBuilder.ofByte
+      while (p < arr.length && (arr(p) >>> 40).toInt == f) {
+        rows += ((arr(p) >>> 8) & 0xFFFFFFFFL).toInt
+        vals += (arr(p) & 0xFFL).toByte
+        p += 1
+      }
+      ((f, pid), LabeledBlock(SparseBlock(n, rows.result(), vals.result()),
+        labelArr))
+    }
+    out ++ Iterator.single(
+      ((nf, pid), LabeledBlock(DenseBlock(labelArr), labelArr)))
   }
 
   /**
@@ -134,18 +259,25 @@ object Columnar {
     val rows0 = df.select((featureCols :+ labelCol).map(
       c => org.apache.spark.sql.functions.col(c).cast("int")): _*).rdd
     val rows = withParallelism(rows0, numPartitions)
-    val transposed: RDD[((Int, Int), Array[Byte])] =
+    val transposed: RDD[((Int, Int), LabeledBlock)] =
       rows.mapPartitionsWithIndex { (pid, it) =>
         val builders = Array.fill(nCols)(new mutable.ArrayBuilder.ofByte)
+        var n = 0
         it.foreach { row =>
           var j = 0
           while (j < nCols) {
             builders(j) += toByteChecked(row.getInt(j).toDouble); j += 1
           }
+          n += 1
         }
-        builders.iterator.zipWithIndex.collect {
-          case (b, f) => ((f, pid), b.result())
-        }.filter(_._2.nonEmpty)
+        if (n == 0) Iterator.empty
+        else {
+          val labelArr = builders(nCols - 1).result()
+          Iterator.tabulate(nf)(f =>
+            ((f, pid), LabeledBlock(DenseBlock(builders(f).result()), labelArr))
+          ) ++ Iterator.single(
+            ((nf, pid), LabeledBlock(DenseBlock(labelArr), labelArr)))
+        }
       }
     finish(transposed, rows.getNumPartitions, nCols)
   }
@@ -165,7 +297,7 @@ object Columnar {
     * (cardinality pre-pass per reference InfoTheory.scala:415-419 fused
     * with the instance count). */
   private def finish(
-      transposed: RDD[((Int, Int), Array[Byte])],
+      transposed: RDD[((Int, Int), LabeledBlock)],
       parts: Int,
       nCols: Int): ColumnarData = {
     val partitioned = transposed
@@ -173,13 +305,24 @@ object Columnar {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val stats = partitioned
-      .map { case ((f, _), bytes) =>
-        var m = 0
-        var i = 0
-        while (i < bytes.length) {
-          val v = idx(bytes(i)); if (v > m) m = v; i += 1
+      .map { case ((f, _), blk) =>
+        val (m, cnt) = blk.x match {
+          case DenseBlock(bytes) =>
+            var mx = 0
+            var i = 0
+            while (i < bytes.length) {
+              val v = idx(bytes(i)); if (v > mx) mx = v; i += 1
+            }
+            (mx, bytes.length.toLong)
+          case SparseBlock(n, _, vals) =>
+            var mx = 0
+            var i = 0
+            while (i < vals.length) {
+              val v = idx(vals(i)); if (v > mx) mx = v; i += 1
+            }
+            (mx, n.toLong)
         }
-        (f, (m, bytes.length.toLong))
+        (f, (m, cnt))
       }
       .reduceByKey((a, b) => (math.max(a._1, b._1), a._2 + b._2))
       .collect()

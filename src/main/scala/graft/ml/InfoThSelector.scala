@@ -121,61 +121,59 @@ object InfoThSelector extends DefaultParamsReadable[InfoThSelector] {
       beta: Double): Array[(Int, Double)] = {
 
     val sc = colData.data.sparkContext
-    val label = colData.labelIndex
     val n = colData.nInstances
     require(n > 0, "empty input")
 
-    val yBlocks = sc.broadcast(colData.collectColumn(label))
-    try {
-      // Relevances: one histogram pass vs. the class column
-      // (reference: initializeDense, InfoTheory.scala:409-435).
-      val relevances = Histograms.histogram2D(colData, label, yBlocks)
-        .mapValues(h => InfoTheory.mutualInfo(h, n))
-        .collect()
+    // Relevances: one histogram pass vs. the block-carried class column
+    // (reference: initializeDense, InfoTheory.scala:409-435). No label
+    // collect/broadcast — the label rides inside every block.
+    val relevances = Histograms.histogram2D(colData)
+      .mapValues(h => InfoTheory.mutualInfo(h, n))
+      .collect()
 
-      val nToSelect = math.min(k, colData.nFeatures)
+    val nToSelect = math.min(k, colData.nFeatures)
 
-      if (criterionName == InfoThCriterionFactory.Mim) {
-        // MIM short-circuit: pure top-k on relevance, ties broken by
-        // lowest index (the reference's tie behavior is nondeterministic
-        // — SURVEY §7 risk 4 — we fix it deterministically).
-        return relevances.sortBy { case (f, r) => (-r, f) }.take(nToSelect)
+    if (criterionName == InfoThCriterionFactory.Mim) {
+      // MIM short-circuit: pure top-k on relevance, ties broken by
+      // lowest index (the reference's tie behavior is nondeterministic
+      // — SURVEY §7 risk 4 — we fix it deterministically).
+      return relevances.sortBy { case (f, r) => (-r, f) }.take(nToSelect)
+    }
+
+    val criteria: Array[(Int, InfoThCriterion)] = relevances.map {
+      case (f, rel) =>
+        f -> InfoThCriterionFactory(criterionName, beta).init(rel)
+    }
+
+    val selected = collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    while (selected.length < nToSelect) {
+      // argmax over valid criteria (reference A10); deterministic ties.
+      var best: (Int, InfoThCriterion) = null
+      criteria.foreach { case c @ (f, cr) =>
+        if (cr.valid && (best == null || cr.score > best._2.score ||
+            (cr.score == best._2.score && f < best._1))) best = c
       }
-
-      val criteria: Array[(Int, InfoThCriterion)] = relevances.map {
-        case (f, rel) =>
-          f -> InfoThCriterionFactory(criterionName, beta).init(rel)
-      }
-
-      val selected = collection.mutable.ArrayBuffer.empty[(Int, Double)]
-      while (selected.length < nToSelect) {
-        // argmax over valid criteria (reference A10); deterministic ties.
-        var best: (Int, InfoThCriterion) = null
-        criteria.foreach { case c @ (f, cr) =>
-          if (cr.valid && (best == null || cr.score > best._2.score ||
-              (cr.score == best._2.score && f < best._1))) best = c
-        }
-        val (maxFeat, maxCrit) = best
-        selected += ((maxFeat, maxCrit.score))
-        maxCrit.setValid(false)
-        if (selected.length < nToSelect) {
-          // One job: 3-D histograms vs. (selected, class) -> (mi, cmi)
-          // (reference: getRedundancies, InfoTheory.scala:445-461).
-          val zBlocks = sc.broadcast(colData.collectColumn(maxFeat))
-          val redundancies = try {
-            Histograms.histogram3D(colData, maxFeat, label, zBlocks, yBlocks)
-              .mapValues(h => InfoTheory.miAndCmi(h, n))
-              .collect().toMap
-          } finally zBlocks.destroy()
-          criteria.foreach { case (f, cr) =>
-            if (cr.valid) redundancies.get(f).foreach {
-              case (mi, cmi) => cr.update(mi, cmi)
-            }
+      val (maxFeat, maxCrit) = best
+      selected += ((maxFeat, maxCrit.score))
+      maxCrit.setValid(false)
+      if (selected.length < nToSelect) {
+        // One job: 3-D histograms vs. (selected, class) -> (mi, cmi)
+        // (reference: getRedundancies, InfoTheory.scala:445-461). The
+        // selected column is the ONLY broadcast — one column, chunked.
+        val yBlocks = sc.broadcast(colData.collectColumn(maxFeat))
+        val redundancies = try {
+          Histograms.histogram3D(colData, maxFeat, yBlocks)
+            .mapValues(h => InfoTheory.miAndCmi(h, n))
+            .collect().toMap
+        } finally yBlocks.destroy()
+        criteria.foreach { case (f, cr) =>
+          if (cr.valid) redundancies.get(f).foreach {
+            case (mi, cmi) => cr.update(mi, cmi)
           }
         }
       }
-      selected.toArray
-    } finally yBlocks.destroy()
+    }
+    selected.toArray
   }
 }
 

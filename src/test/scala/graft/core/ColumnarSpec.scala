@@ -43,17 +43,59 @@ class ColumnarSpec extends SparkSpec {
     col.unpersist()
   }
 
-  test("sparse vectors densify with implicit zeros") {
+  test("sparse vectors stay sparse and reconstruct with implicit zeros") {
     val data = Seq(
       (1.0, Vectors.sparse(4, Array(1, 3), Array(2.0, 7.0))),
       (0.0, Vectors.sparse(4, Array(0), Array(5.0))))
     val df = spark.createDataFrame(data).toDF("label", "features")
     val col = Columnar.fromLabeledDf(df)
+    // feature blocks are SparseBlocks (no densification in the cache)
+    val kinds = col.data.filter(_._1._1 < col.nFeatures)
+      .map(_._2.x.getClass.getSimpleName).distinct().collect().toSet
+    assert(kinds == Set("SparseBlock"))
     assert(col.collectColumn(0).values.flatten.map(_.toInt).toSeq.sorted == Seq(0, 5))
     assert(col.collectColumn(1).values.flatten.map(_.toInt).toSeq.sorted == Seq(0, 2))
     assert(col.collectColumn(2).values.flatten.map(_.toInt).toSeq.sorted == Seq(0, 0))
     assert(col.collectColumn(3).values.flatten.map(_.toInt).toSeq.sorted == Seq(0, 7))
     col.unpersist()
+  }
+
+  test("sparse histograms equal dense histograms on the same data") {
+    val rng = new scala.util.Random(11)
+    val n = 300
+    // ~80% zeros in both features
+    val xs = Seq.fill(n)(if (rng.nextInt(5) == 0) 1 + rng.nextInt(4) else 0)
+    val ys = Seq.fill(n)(if (rng.nextInt(5) == 0) 1 + rng.nextInt(3) else 0)
+    val lbl = Seq.fill(n)(rng.nextInt(3))
+    val sparseRows = (0 until n).map { i =>
+      (lbl(i).toDouble, Vectors.dense(xs(i).toDouble, ys(i).toDouble).toSparse
+        .asInstanceOf[org.apache.spark.ml.linalg.Vector])
+    }
+    val denseRows = (0 until n).map { i =>
+      (lbl(i).toDouble,
+        Vectors.dense(xs(i).toDouble, ys(i).toDouble))
+    }
+    val sCol = Columnar.fromLabeledDf(
+      spark.createDataFrame(sparseRows).toDF("label", "features").repartition(3))
+    val dCol = Columnar.fromLabeledDf(
+      spark.createDataFrame(denseRows).toDF("label", "features").repartition(3))
+    assert(sCol.cardinality.toSeq == dCol.cardinality.toSeq)
+    val h2s = Histograms.histogram2D(sCol).collect().toMap
+    val h2d = Histograms.histogram2D(dCol).collect().toMap
+    assert(h2s.keySet == h2d.keySet)
+    h2s.foreach { case (f, h) =>
+      assert(h.counts.toSeq == h2d(f).counts.toSeq, s"2D mismatch at f=$f")
+    }
+    val yBs = spark.sparkContext.broadcast(sCol.collectColumn(1))
+    val yBd = spark.sparkContext.broadcast(dCol.collectColumn(1))
+    val h3s = Histograms.histogram3D(sCol, 1, yBs).collect().toMap
+    val h3d = Histograms.histogram3D(dCol, 1, yBd).collect().toMap
+    assert(h3s(0).counts.toSeq == h3d(0).counts.toSeq)
+    // frequencies kernel agrees too
+    val fs = Histograms.frequenciesByFeature(sCol)
+    val fd = Histograms.frequenciesByFeature(dCol)
+    fs.foreach { case (f, a) => assert(a.toSeq == fd(f).toSeq) }
+    sCol.unpersist(); dCol.unpersist()
   }
 
   test("out-of-domain values are rejected") {
@@ -76,17 +118,16 @@ class ColumnarSpec extends SparkSpec {
     }
     val col = Columnar.fromLabeledDf(labeledDf(rows).repartition(3))
     val sc = spark.sparkContext
-    val yB = sc.broadcast(col.collectColumn(col.labelIndex))
 
-    val h2 = Histograms.histogram2D(col, col.labelIndex, yB).collect().toMap
+    val h2 = Histograms.histogram2D(col).collect().toMap
     assert(h2.keySet == Set(0, 1))
     val expected2 = Brute.hist2d(xs, lbl)
     assert(h2(0).counts.toSeq == expected2.counts.toSeq)
     assert(h2(0).total == n)
 
     val zB = sc.broadcast(col.collectColumn(1))
-    // x vs y=feature1, z=label
-    val h3 = Histograms.histogram3D(col, 1, col.labelIndex, zB, yB)
+    // x vs y=feature1, z=label (label rides with the blocks)
+    val h3 = Histograms.histogram3D(col, 1, zB)
       .collect().toMap
     assert(h3.keySet == Set(0))
     val expected3 = Brute.hist3d(xs, ys, lbl)

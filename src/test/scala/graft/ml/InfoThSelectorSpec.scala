@@ -86,6 +86,33 @@ class InfoThSelectorSpec extends SparkSpec {
     assert(sparse.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
   }
 
+  test("sparse input selects identically to its dense equivalent") {
+    // the reference throws on sparse selection (InfoSelector.scala:378-386);
+    // we support it via implicit-zero histogram kernels
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 600).map { _ =>
+      val x0 = if (rng.nextInt(4) == 0) 1 + rng.nextInt(2) else 0
+      val noise = Array.fill(3)(if (rng.nextInt(5) == 0) rng.nextInt(3) else 0)
+      val label = if (rng.nextDouble() < 0.8) (if (x0 > 0) 1 else 0) else rng.nextInt(2)
+      (label.toDouble, Array(x0.toDouble) ++ noise.map(_.toDouble))
+    }
+    val denseDf = toDf(rows.map { case (l, v) => (l, Vectors.dense(v)) })
+    val sparseDf = toDf(rows.map { case (l, v) =>
+      (l, Vectors.dense(v).toSparse.asInstanceOf[Vector])
+    })
+    Seq("mrmr", "jmi", "mim").foreach { crit =>
+      val d = new InfoThSelector().setCriterion(crit).setNumTopFeatures(3)
+        .fit(denseDf)
+      val s = new InfoThSelector().setCriterion(crit).setNumTopFeatures(3)
+        .fit(sparseDf)
+      assert(s.selectionPath.map(_._1).toSeq == d.selectionPath.map(_._1).toSeq,
+        s"$crit order differs")
+      s.selectionPath.zip(d.selectionPath).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12, s"$crit score differs: $a vs $b")
+      }
+    }
+  }
+
   test("model save/load round-trip") {
     val model = new InfoThSelector().setCriterion("jmi")
       .setNumTopFeatures(2).fit(copyFixture)

@@ -272,6 +272,58 @@ object Queries {
        |SELECT feature, ROUND(mi, 6) AS score FROM m
        |ORDER BY mi DESC, feature LIMIT 2""".stripMargin
 
+  /** I1 + A10 + §2.11(mRMR): the greedy loop itself, k=3 — each round's
+    * (feature, score-at-selection). This certifies the driver-loop +
+    * 3-D-histogram + criterion-fold path end-to-end (the reference's
+    * flagship semantics, InfoSelector.scala:354-364), not just the MIM
+    * short-circuit. */
+  def selectorMrmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = InfoThSelector.select(columnar(spark, dir), "mrmr", 3, 0.0)
+    selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
+      .toSeq.toDF("round", "feature", "score")
+  }
+
+  /** Unrolled 3-round greedy mRMR in SQL: pairwise MI over all feature
+    * pairs (incl. the label), then per round
+    * score(f) = rel(f) - mean(mi(f, s) for s selected), argmax with the
+    * same (score desc, index asc) tie-break as the engine. */
+  val selectorMrmrSql: String = {
+    val exprs = featureExprs.map { case (i, e) => i -> e } :+ (4 -> ySql)
+    val pairsCte = (for {
+      (i, ei) <- exprs; (j, ej) <- exprs if i < j
+    } yield s"SELECT $i AS fa, $j AS fb, $ei AS x, $ej AS y FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH pr AS ($pairsCte),
+       |h AS (SELECT fa, fb, x, y, COUNT(*) AS cnt FROM pr GROUP BY 1, 2, 3, 4),
+       |w AS (SELECT fa, fb, cnt,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb) AS n,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, y) AS cy
+       |      FROM h),
+       |m AS (SELECT fa, fb,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM w GROUP BY 1, 2),
+       |pmi AS (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
+       |rel AS (SELECT fa AS f, mi FROM pmi WHERE fb = 4),
+       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |r2 AS (SELECT rel.f, rel.mi - p1.mi AS score
+       |       FROM rel JOIN pmi p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
+       |       WHERE rel.f NOT IN (SELECT f FROM r1)
+       |       ORDER BY score DESC, rel.f LIMIT 1),
+       |r3 AS (SELECT rel.f, rel.mi - (p1.mi + p2.mi) / 2 AS score
+       |       FROM rel
+       |       JOIN pmi p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
+       |       JOIN pmi p2 ON p2.fa = rel.f AND p2.fb = (SELECT f FROM r2)
+       |       WHERE rel.f NOT IN (SELECT f FROM r1 UNION ALL SELECT f FROM r2)
+       |       ORDER BY score DESC, rel.f LIMIT 1)
+       |SELECT * FROM (
+       |  SELECT 1 AS round, f AS feature, ROUND(score, 6) AS score FROM r1
+       |  UNION ALL SELECT 2, f, ROUND(score, 6) FROM r2
+       |  UNION ALL SELECT 3, f, ROUND(score, 6) FROM r3)
+       |ORDER BY round""".stripMargin
+  }
+
   /** P1: vector gather through the model transform (fixed indices 0, 2),
     * keyed by (orderkey, linenumber) for deterministic compare. */
   def transformGather(spark: SparkSession, dir: String): DataFrame = {
@@ -327,6 +379,70 @@ object Queries {
 
   val countInstancesSql: String = "SELECT COUNT(*) AS n FROM lineitem"
 
+  /** Shared oracle for the io round-trips: per-label row count and
+    * per-feature sums over the lineitem feature table. */
+  private val ioAggSql: String =
+    s"""SELECT $ySql AS label, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS s0,
+       |  CAST(SUM(CAST(ROUND(l_discount*100) AS INTEGER)) AS BIGINT) AS s1,
+       |  CAST(SUM(CAST(ROUND(l_tax*100) AS INTEGER)) AS BIGINT) AS s2,
+       |  CAST(SUM(l_linenumber) AS BIGINT) AS s3
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def ioAgg(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val a = vector_to_array(col("features"))
+    df.select(col("label").cast("int").as("label"),
+        a.getItem(0).as("f0"), a.getItem(1).as("f1"),
+        a.getItem(2).as("f2"), a.getItem(3).as("f3"))
+      .groupBy("label")
+      .agg(count("*").as("n"),
+        sum("f0").cast("long").as("s0"), sum("f1").cast("long").as("s1"),
+        sum("f2").cast("long").as("s2"), sum("f3").cast("long").as("s3"))
+      .orderBy("label")
+  }
+
+  /** S2: LibSVM source round-trip — lineitem features written as LibSVM
+    * text (zeros omitted, 1-based indices), re-read through Spark's
+    * distributed libsvm relation, aggregated per label. The oracle
+    * recomputes the aggregate from the original parquet, so any
+    * formatting/parsing/implicit-zero defect breaks the match. */
+  def libsvmRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/libsvm-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.io.LibSvm.write(SparkEntry.assembled(spark, dir), path)
+    ioAgg(spark, graft.io.LibSvm.read(spark, path, 4))
+  }
+
+  /** S1: KEEL source round-trip — features + nominal class written in
+    * KEEL format (header `@attribute` lines, comma rows, nominal label
+    * mapped by value-list position), read back through [[graft.io.KeelReader]],
+    * aggregated per label, checked against the parquet oracle. */
+  def keelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/keel-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.select(concat_ws(",",
+        col("l_quantity").cast("int"),
+        round(col("l_discount") * 100).cast("int"),
+        round(col("l_tax") * 100).cast("int"),
+        col("l_linenumber").cast("int"),
+        col("l_returnflag")).as("value"))
+      .write.mode("overwrite").text(path)
+    val header = Seq(
+      "@relation lineitem",
+      "@attribute f0 integer [0, 255]",
+      "@attribute f1 integer [0, 255]",
+      "@attribute f2 integer [0, 255]",
+      "@attribute f3 integer [0, 255]",
+      "@attribute class {A, N, R}",
+      "@data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "zz-header.keel"),
+      header.mkString("\n").getBytes("UTF-8"))
+    ioAgg(spark, graft.io.KeelReader.read(spark, path))
+  }
+
+  val ioRoundtripSql: String = ioAggSql
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,9 +455,12 @@ object Queries {
     "q_entropy" -> entropy _,
     "q_cardinality" -> cardinality _,
     "q_selector_mim" -> selectorMim _,
+    "q_selector_mrmr" -> selectorMrmr _,
     "q_transform_gather" -> transformGather _,
     "q_discretize" -> discretize _,
-    "q_count" -> countInstances _)
+    "q_count" -> countInstances _,
+    "q_libsvm_roundtrip" -> libsvmRoundtrip _,
+    "q_keel_read" -> keelRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -353,7 +472,10 @@ object Queries {
     "q_entropy" -> entropySql,
     "q_cardinality" -> cardinalitySql,
     "q_selector_mim" -> selectorMimSql,
+    "q_selector_mrmr" -> selectorMrmrSql,
     "q_transform_gather" -> transformGatherSql,
     "q_discretize" -> discretizeSql,
-    "q_count" -> countInstancesSql)
+    "q_count" -> countInstancesSql,
+    "q_libsvm_roundtrip" -> ioRoundtripSql,
+    "q_keel_read" -> ioRoundtripSql)
 }

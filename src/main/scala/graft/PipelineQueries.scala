@@ -313,14 +313,56 @@ object PipelineQueries {
        |SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** LSH-bucketed embedding near-dup pairs: bucket-collision candidates
+    * verified with exact cosine >= 0.1 (the scale path for
+    * embedding-cosine dedup — cost follows bucket occupancy). */
+  def annNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineNearDup(emb, 0.1).orderBy("ida", "idb")
+  }
+
+  val annNearDupSql: String = {
+    val planeTerms = (0 until 8).map { i =>
+      s"""SUM(v * ((((${Dedup.MinhashA(i)} * i + ${Dedup.MinhashB(i)}) % 97) - 48) / 48.0))"""
+    }
+    val bits = planeTerms.zipWithIndex.map { case (t, i) =>
+      s"CASE WHEN $t > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+       |b AS (SELECT vec_id, $bits AS bucket FROM u GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS ida, b2.vec_id AS idb
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |d AS (
+       |  SELECT p.ida, p.idb, SUM(ua.v * ub.v) AS dot
+       |  FROM pairs p
+       |  JOIN u ua ON ua.vec_id = p.ida
+       |  JOIN u ub ON ub.vec_id = p.idb AND ua.i = ub.i
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT ida, idb, ROUND(dot / (na.nrm * nb.nrm), 5) AS cos
+       |  FROM d JOIN n na ON ida = na.vec_id JOIN n nb ON idb = nb.vec_id)
+       |SELECT ida, idb, cos FROM s WHERE cos >= 0.1 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------- multimodal ----------
 
   /** Multimodal plumbing: payload size + byte-distribution entropy via
-    * the batch decode path (documents as UTF-8 media payloads). */
+    * the batch decode path (documents as UTF-8 media payloads). The
+    * corpus is restricted to ASCII rows by construction so the oracle's
+    * per-character accounting equals the engine's per-byte accounting
+    * (multi-byte codepoints would diverge by definition, not by bug). */
   def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val ascii = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(octet_length(col("text")) === length(col("text")))
     Multimodal.extractFeatures(
-      Multimodal.documentsAsMedia(spark, dir), new Multimodal.FakeDecoder(16))
+      Multimodal.asMedia(ascii), new Multimodal.FakeDecoder(16))
       .map(f => (f.id, f.nBytes, BigDecimal(f.byteEntropy)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("doc_id", "n_bytes", "entropy")
@@ -328,8 +370,10 @@ object PipelineQueries {
   }
 
   val multimodalStatsSql: String =
-    """WITH ch AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    """WITH ascii AS (
+      |  SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)),
+      |ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM ascii),
       |f AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
       |n AS (SELECT doc_id, SUM(cnt) AS n FROM f GROUP BY 1)
       |SELECT f.doc_id,
@@ -352,6 +396,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
+    "q_ann_neardup" -> annNearDup _,
     "q_multimodal_stats" -> multimodalStats _)
 
   val oracles: Map[String, String] = Map(
@@ -366,5 +411,6 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
+    "q_ann_neardup" -> annNearDupSql,
     "q_multimodal_stats" -> multimodalStatsSql)
 }

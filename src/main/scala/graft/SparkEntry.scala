@@ -66,12 +66,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data pipeline operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ PipelineQueries.all
+    Queries.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ PipelineQueries.oracles
+    Queries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles
 }
 
 /** Manual end-to-end smoke drive (same shape as the driver's t1 check):

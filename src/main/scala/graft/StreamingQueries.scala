@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/**
+ * Oracle-checked queries for the streaming module over the driver's
+ * `events` table. Each runs the BATCH side of code shared verbatim with
+ * the streaming path (unified Dataset API), so a green row certifies the
+ * logic both modes execute; streaming-specific mechanics (state folding,
+ * timeouts, incremental equivalence) are covered by StreamingOpsSpec.
+ */
+object StreamingQueries {
+
+  /** Events reader: the driver's events.parquet stores ts as
+    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts as a
+    * long (nanosAsLong); normalize to a proper timestamp column via
+    * integer ns->us division (DuckDB truncates ns->us the same way). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  private val labelSql =
+    """CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      | WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin
+      .replace("\n", "")
+
+  /** Per-user sessionization (30-min gap): the exact core the streaming
+    * flatMapGroupsWithState path folds incrementally. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"))
+      .as[StreamingOps.Event]
+    StreamingOps.Sessionize.batch(ev).toDF().orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+       |s AS (SELECT user_id, t,
+       |        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+       |                  > ${StreamingOps.Sessionize.GapMicros}
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e),
+       |g AS (SELECT user_id,
+       |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+       |                       ROWS UNBOUNDED PRECEDING) AS sess
+       |      FROM s),
+       |c AS (SELECT user_id, sess, COUNT(*) AS len FROM g GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions, MAX(len) AS max_session_len
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Tumbling 1-hour windows per event type (the same aggregation the
+    * watermarked streaming variant runs). Window start as epoch micros
+    * for an engine-neutral compare. */
+  def windowStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    StreamingOps.windowedStats(ev, "1 hour")
+      .select(unix_micros(col("w")).as("w"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("w", "event_type")
+  }
+
+  val windowStatsSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS w, event_type,
+      |  COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Incremental selector refit: events split into 3 deterministic
+    * micro-batches folded through IncrementalHistogramState; relevance
+    * I(Xf; label) from the ACCUMULATED state must equal the oracle's MI
+    * over the whole table (additivity is the module's core invariant). */
+  def incrementalMi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = events(spark, dir)
+    val st = new StreamingOps.IncrementalHistogramState(4, 256, 5)
+    (0 until 3).foreach { b =>
+      st.update(StreamingOps.eventFeatures(raw.filter(col("event_id") % 3 === b)))
+    }
+    st.relevances.toSeq
+      .map { case (f, m) =>
+        (f, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("feature", "mi").orderBy("feature")
+  }
+
+  val incrementalMiSql: String =
+    s"""WITH feats AS (
+       |  SELECT 0 AS feature, LEAST(CAST(FLOOR(value) AS INTEGER), 255) AS x, $labelSql AS y FROM events
+       |  UNION ALL SELECT 1, CAST(user_id % 50 AS INTEGER), $labelSql FROM events
+       |  UNION ALL SELECT 2, CAST(EXTRACT(hour FROM ts) AS INTEGER), $labelSql FROM events
+       |  UNION ALL SELECT 3, CAST(EXTRACT(day FROM ts) AS INTEGER), $labelSql FROM events),
+       |h AS (SELECT feature, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy
+       |      FROM h)
+       |SELECT feature,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))), 6) AS mi
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> sessionize _,
+    "q_window_stats" -> windowStats _,
+    "q_incremental_mi" -> incrementalMi _)
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_window_stats" -> windowStatsSql,
+    "q_incremental_mi" -> incrementalMiSql)
+}

@@ -73,10 +73,13 @@ object Multimodal {
 
   /** Wrap the documents table as a media table (text payload encoded as
     * UTF-8 binary) — the test stand-in for an image/audio corpus. */
-  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    asMedia(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** Wrap any (doc_id, text, lang, source) frame as a media table. */
+  def asMedia(df: DataFrame): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("text"), col("lang"), col("source"))
       .map { r =>
         MediaRecord(r.getLong(0), "text",
           r.getString(1).getBytes("UTF-8"),

@@ -48,14 +48,14 @@ object Similarity {
       .select("qid", "nid", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs (ida < idb) with
-    * cosine >= threshold. Broadcast-join shape for a bounded left side. */
-  def cosineNearDup(df: DataFrame, threshold: Double): DataFrame = {
-    df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        round(cosine(col("a.vec"), col("b.vec")), 5).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
+  /** Embedding-cosine near-duplicate pairs (approximate): candidates
+    * come from sign-LSH bucket collisions, then exact cosine verifies.
+    * There is deliberately NO all-pairs variant — a cartesian self-join
+    * has no place in the API at corpus scale; more recall = more planes
+    * or multiple hash tables, never brute force. */
+  def cosineNearDup(df: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame =
+    lshNearDup(df, nPlanes, threshold)
 
   /** Deterministic pseudo-hyperplane component j of plane i:
     * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */

@@ -18,12 +18,14 @@ import graft.core.{Hist2D, InfoTheory}
  *   watermark-friendly windowed aggregations;
  * - [[Sessionize]]: per-user sessionization — one shared gap-split core,
  *   exposed both as a batch `flatMapGroups` and as a streaming
- *   `flatMapGroupsWithState` with processing-time timeout;
+ *   `flatMapGroupsWithState` whose per-user state is O(open session)
+ *   (closed sessions fold into two counters) with a processing-time
+ *   timeout that closes idle users and drops their state;
  * - [[IncrementalHistogramState]]: `foreachBatch`-driven incremental
  *   refit of the info-theoretic selector — per micro-batch contingency
  *   deltas are merged into running per-feature tables; because counts
  *   are additive, incremental state after N batches equals the batch
- *   computation over the union (the oracle checks exactly that).
+ *   computation over the union (the specs check exactly that).
  */
 object StreamingOps {
 
@@ -90,28 +92,60 @@ object StreamingOps {
       }
     }
 
-    /** Streaming path: flatMapGroupsWithState holding the open session +
-      * closed-session summary per user; emits a summary snapshot on
-      * every update (OutputMode.Update). */
-    final case class UserState(closedLens: List[Long], openTs: List[Long])
+    /**
+     * Streaming per-user state: closed sessions are FOLDED to
+     * (count, max length) — never a growing list — plus the open
+     * session's timestamps (bounded by the activity within one gap
+     * window). Idle users time out after `idleTimeoutMs` of processing
+     * time: their open session closes, a final summary emits, and the
+     * state is removed — so state size tracks ACTIVE users, not
+     * all-time users.
+     */
+    final case class UserState(nClosed: Long, maxClosed: Long,
+        openTs: List[Long])
 
-    def streaming(events: Dataset[Event]): Dataset[SessionSummary] = {
+    val IdleTimeoutMs: Long = 3600 * 1000L // close idle users after 1h
+
+    /** `idleTimeoutMs <= 0` disables the processing-time timeout (state
+      * then lives until the query stops — only for bounded test runs;
+      * a long-running production stream should always evict). Note that
+      * with timeouts enabled Spark schedules continuous empty
+      * micro-batches to evaluate them — that is the expected cost of
+      * processing-time eviction, not a bug. */
+    def streaming(events: Dataset[Event],
+        idleTimeoutMs: Long = IdleTimeoutMs): Dataset[SessionSummary] = {
       import events.sparkSession.implicits._
+      val timeoutConf =
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()
       events.groupByKey(_.user_id)
         .flatMapGroupsWithState[UserState, SessionSummary](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          OutputMode.Update(), timeoutConf) {
           (uid, it, state: GroupState[UserState]) =>
-            val prev = state.getOption.getOrElse(UserState(Nil, Nil))
-            val all = prev.openTs ++ it.map(_.tsMicros).toSeq
-            val lens = sessionLengths(all)
-            // keep the last session open (more events may arrive)
-            val closed = prev.closedLens ++ lens.dropRight(1)
-            val openLen = lens.lastOption.getOrElse(0L)
-            state.update(UserState(closed,
-              all.sorted.takeRight(openLen.toInt)))
-            val summaryLens = closed :+ openLen
-            Iterator.single(SessionSummary(uid, summaryLens.length.toLong,
-              summaryLens.max))
+            if (state.hasTimedOut) {
+              // no new events: close the open session, emit, drop state
+              val prev = state.get
+              val openLen = prev.openTs.length.toLong
+              val n = prev.nClosed + (if (openLen > 0) 1 else 0)
+              val mx = math.max(prev.maxClosed, openLen)
+              state.remove()
+              Iterator.single(SessionSummary(uid, n, mx))
+            } else {
+              val prev = state.getOption.getOrElse(UserState(0L, 0L, Nil))
+              val all = prev.openTs ++ it.map(_.tsMicros).toSeq
+              val lens = sessionLengths(all)
+              // keep the last session open (more events may arrive)
+              val closedNow = lens.dropRight(1)
+              val nClosed = prev.nClosed + closedNow.length
+              val maxClosed = (prev.maxClosed +: closedNow).max
+              val openLen = lens.lastOption.getOrElse(0L)
+              state.update(UserState(nClosed, maxClosed,
+                all.sorted.takeRight(openLen.toInt)))
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+              val n = nClosed + (if (openLen > 0) 1 else 0)
+              Iterator.single(SessionSummary(uid, n,
+                math.max(maxClosed, openLen)))
+            }
         }
     }
   }
@@ -122,6 +156,9 @@ object StreamingOps {
    * deltas computed with one `groupBy.count` per micro-batch (Catalyst
    * partial aggregation does the heavy lifting; the delta crossing to
    * the driver is O(nonzero cells) <= 256 x |Y| per feature).
+   *
+   * Requires non-null feature/label columns in the byte domain (the
+   * same contract as the batch selector input).
    */
   final class IncrementalHistogramState(
       val nFeatures: Int, val xCard: Int, val yCard: Int)
@@ -133,7 +170,6 @@ object StreamingOps {
 
     /** Fold one micro-batch of feature rows (f0..f{n-1}, label). */
     def update(batch: DataFrame): this.type = {
-      val cols = (0 until nFeatures).map(i => col(s"f$i")) :+ col("label")
       // one long-form delta per batch: (feature, x, y, cnt)
       val stacked = batch.select(
         explode(array((0 until nFeatures).map(i =>
@@ -142,14 +178,17 @@ object StreamingOps {
         .select(col("fx.feature"), col("fx.x"), col("y"))
         .groupBy("feature", "x", "y").count()
       val rows = stacked.collect()
-      var batchN = 0L
+      var total = 0L
       rows.foreach { r =>
         val f = r.getInt(0); val x = r.getInt(1); val y = r.getInt(2)
         val c = r.getLong(3)
         counts(f)(x * yCard + y) += c
-        if (f == 0) batchN += c
+        total += c
       }
-      nInstances += batchN
+      // every input row contributes exactly one cell per feature
+      require(total % nFeatures == 0,
+        s"delta total $total not divisible by $nFeatures (null feature values?)")
+      nInstances += total / nFeatures
       this
     }
 

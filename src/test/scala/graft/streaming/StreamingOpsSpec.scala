@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps._
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def mkEvents(n: Int, users: Int, seed: Int): Seq[Event] = {
+    val rng = new scala.util.Random(seed)
+    // timestamps spread so that real session gaps (> 30 min) occur
+    (0 until n).map { i =>
+      Event(rng.nextInt(users).toLong,
+        i.toLong * 300L * 1000000L + rng.nextInt(1000000),
+        rng.nextDouble() * 100)
+    }
+  }
+
+  test("sessionLengths splits on gaps > 30 min") {
+    val m = 60L * 1000000L
+    assert(Sessionize.sessionLengths(Nil) == Nil)
+    assert(Sessionize.sessionLengths(Seq(0L)) == Seq(1L))
+    // 0, 10min, 50min(gap), 60min, 120min(gap)
+    assert(Sessionize.sessionLengths(Seq(0L, 10 * m, 50 * m, 60 * m, 120 * m))
+      == Seq(2L, 2L, 1L))
+    // unsorted input is sorted first
+    assert(Sessionize.sessionLengths(Seq(120 * m, 0L, 60 * m, 10 * m, 50 * m))
+      == Seq(2L, 2L, 1L))
+  }
+
+  test("batch sessionize matches a brute-force per-user computation") {
+    import spark.implicits._
+    val events = mkEvents(500, 7, 3)
+    val got = Sessionize.batch(events.toDS()).collect()
+      .map(s => s.user_id -> ((s.n_sessions, s.max_session_len))).toMap
+    val expected = events.groupBy(_.user_id).map { case (u, es) =>
+      val lens = Sessionize.sessionLengths(es.map(_.tsMicros))
+      u -> ((lens.length.toLong, lens.max))
+    }
+    assert(got == expected)
+  }
+
+  test("streaming sessionize over micro-batches converges to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(300, 5, 9).sortBy(_.tsMicros)
+    val stream = MemoryStream[Event]
+    // timeout disabled: the memory-stream test drives batches by addData
+    val query = Sessionize.streaming(stream.toDS(), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // feed time-ordered chunks like a live source would
+      events.grouped(75).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // last emitted snapshot per user == batch result over everything
+      val snaps = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val last = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      val expected = Sessionize.batch(events.toDS()).collect()
+        .map(s => s.user_id -> ((s.user_id, s.n_sessions, s.max_session_len)))
+        .toMap
+      assert(last == expected)
+    } finally query.stop()
+  }
+
+  test("incremental histogram state over N batches equals one batch over the union") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val rows = (0 until 900).map { _ =>
+      (rng.nextInt(6), rng.nextInt(50), rng.nextInt(24), 1 + rng.nextInt(28),
+        rng.nextInt(5))
+    }
+    val df = rows.toDF("f0", "f1", "f2", "f3", "label")
+    val inc = new IncrementalHistogramState(4, 256, 5)
+    (0 until 3).foreach { b =>
+      inc.update(df.filter($"f1" % 3 === b))
+    }
+    val once = new IncrementalHistogramState(4, 256, 5).update(df)
+    assert(inc.nInstances == rows.length.toLong)
+    assert(once.nInstances == rows.length.toLong)
+    assert(inc.toLongForm == once.toLongForm)
+    inc.relevances.zip(once.relevances).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
+  test("windowed stats agree between batch frame and streaming frame shape") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+    val df = Seq(
+      (ts, "click", 2.0), (ts, "click", 3.0), (ts2, "error", 5.0))
+      .toDF("ts", "event_type", "value")
+    val got = StreamingOps.windowedStats(df, "1 hour")
+      .orderBy("w", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 5.0),
+      ("2024-01-01 11:00:00.0", "error", 1L, 5.0)))
+  }
+}

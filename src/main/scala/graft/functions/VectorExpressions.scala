@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression for the embedding dot product.
+ *
+ * Spark's `zip_with`/`aggregate` higher-order functions are evaluated
+ * INTERPRETED (no whole-stage codegen): scoring n_corpus x n_query
+ * candidate pairs allocates a lambda frame per element. This expression
+ * generates a tight primitive loop instead — the preference order the
+ * engine follows everywhere: built-in function > custom codegen
+ * Expression > UDF.
+ *
+ * Semantics: sum over i of a(i)*b(i) in double precision, left-to-right
+ * (bitwise-identical to the previous zip_with/aggregate formulation, so
+ * oracle results are unchanged). Arrays must have equal length; null
+ * elements are treated as 0.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if numericElem(lt) && numericElem(rt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects numeric arrays, got ${left.dataType} and ${right.dataType}")
+    }
+  }
+
+  private def numericElem(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType | ShortType => true
+    case _ => false
+  }
+
+  @inline private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lt = elemType(left); val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else numAt(x, i, lt)
+      val yv = if (y.isNullAt(i)) 0.0 else numAt(y, i, rt)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  private def numAt(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  private def genGet(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lt = elemType(left); val rt = elemType(right)
+    val lNulls = left.dataType.asInstanceOf[ArrayType].containsNull
+    val rNulls = right.dataType.asInstanceOf[ArrayType].containsNull
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val xGet =
+        if (lNulls) s"double $xv = $x.isNullAt($i) ? 0.0d : ${genGet(x, i, lt)};"
+        else s"double $xv = ${genGet(x, i, lt)};"
+      val yGet =
+        if (rNulls) s"double $yv = $y.isNullAt($i) ? 0.0d : ${genGet(y, i, rt)};"
+        else s"double $yv = ${genGet(y, i, rt)};"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $xGet
+         |  $yGet
+         |  $acc += $xv * $yv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot_product"
+}
+
+/** Column-level entry points for the native vector expressions. */
+object VectorFunctions {
+
+  /** dot(a, b): codegen'd double dot product over numeric arrays. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** L2 norm via the same codegen'd kernel. */
+  def l2Norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
+}

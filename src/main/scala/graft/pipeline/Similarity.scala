@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a, b) in double precision, left-to-right summation. */
+  /** dot(a, b) in double precision, left-to-right summation — a native
+    * codegen'd Catalyst expression ([[graft.functions.DotProduct]]), not
+    * an interpreted higher-order function. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorFunctions.l2Norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -38,10 +38,16 @@ object Similarity {
    * tie-break so results are reproducible across engines.
    */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+    // norms computed ONCE per row before the join — Spark's higher-order
+    // functions are interpreted (no codegen), so per-pair work must be
+    // a single dot product, not dot + two norms.
+    val q = queries.withColumn("qn", norm(col("vec")))
+    val c = corpus.withColumn("cn", norm(col("vec")))
+    val scored = c.as("c").join(broadcast(q.as("q")),
         col("q.id") =!= col("c.id"))
       .select(col("q.id").as("qid"), col("c.id").as("nid"),
-        round(cosine(col("q.vec"), col("c.vec")), 5).as("cos"))
+        round(dot(col("q.vec"), col("c.vec")) / (col("qn") * col("cn")), 5)
+          .as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -84,11 +90,14 @@ object Similarity {
    * so cost follows bucket occupancy, not corpus^2.
    */
   def lshNearDup(df: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
-    val bucketed = df.withColumn("bucket", lshBucket(col("vec"), nPlanes))
+    val bucketed = df
+      .withColumn("bucket", lshBucket(col("vec"), nPlanes))
+      .withColumn("nrm", norm(col("vec")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        round(cosine(col("a.vec"), col("b.vec")), 5).as("cos"))
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 5)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -136,19 +136,26 @@ object Dedup {
   /**
    * MinHash signatures: for each document and hash i, the minimum of
    * (a_i * tokenId(tok) + b_i) mod p over the document's token set.
-   * Output: (id, hashIdx, minv). The hash-parameter table is a 16-row
-   * broadcast; token ids are computed inline (no vocabulary job).
+   * Output: (id, hashIdx, minv) long form.
+   *
+   * All k minima compute as k `min` aggregates in ONE groupBy(id) pass
+   * over the postings — no k-way row blowup against a parameter table
+   * (k x fewer shuffle rows; partial aggregation still applies). The
+   * long form is restored by a narrow 16-element explode of the
+   * aggregated row.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val post = cappedPostings(df, idCol, textCol, maxDf)
-    val hp = post.sparkSession.createDataFrame(
-      (0 until NumHashes).map(i => (i, MinhashA(i), MinhashB(i))))
-      .toDF("hashIdx", "a", "b")
-    post.withColumn("tokId", tokenId(col("tok")))
-      .join(broadcast(hp))
-      .groupBy(col("id"), col("hashIdx"))
-      .agg(min((col("a") * col("tokId") + col("b")) % MinhashP).as("minv"))
+    val tid = tokenId(col("tok"))
+    val aggs = (0 until NumHashes).map { i =>
+      min((lit(MinhashA(i)) * tid + MinhashB(i)) % MinhashP).as(s"m$i")
+    }
+    post.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), explode(array((0 until NumHashes).map(i =>
+        struct(lit(i).as("hashIdx"), col(s"m$i").as("minv"))): _*)).as("hm"))
+      .select(col("id"), col("hm.hashIdx").as("hashIdx"),
+        col("hm.minv").as("minv"))
   }
 
   /**
@@ -200,22 +207,25 @@ object Dedup {
   /**
    * 32-bit SimHash per document: bit k is set iff the count of tokens
    * whose hashed bit k is 1 strictly exceeds those with 0.
-   * Output: (id, simhash: long). Token ids computed inline (no
-   * vocabulary job); the 32-row bit table is a broadcast.
+   * Output: (id, simhash: long).
+   *
+   * All 32 bit-sign sums compute in ONE groupBy(id) pass (32 sum
+   * aggregates over the postings) instead of a 32x row blowup against a
+   * bit table; the signature assembles from the aggregated row with a
+   * pure projection.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val post = postings(df, idCol, textCol)
     val h = (lit(SimhashA) * tokenId(col("tok")) + lit(SimhashB)) % lit(MinhashP)
-    val bits = post.sparkSession.createDataFrame(
-      (0 until SimhashBits).map(Tuple1(_))).toDF("bit")
-    post.join(broadcast(bits))
-      .withColumn("sign",
-        when(floor(h / pow(lit(2.0), col("bit"))).cast("long") % 2 === 1, 1)
-          .otherwise(-1))
-      .groupBy("id", "bit").agg(sum("sign").as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+    val aggs = (0 until SimhashBits).map { b =>
+      sum(when(floor(h / math.pow(2.0, b)).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val sig = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    post.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), sig.as("simhash"))
   }
 
   /**

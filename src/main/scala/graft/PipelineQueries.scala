@@ -350,6 +350,73 @@ object PipelineQueries {
        |SELECT ida, idb, cos FROM s WHERE cos >= 0.1 ORDER BY 1, 2""".stripMargin
   }
 
+  /** IVF approximate top-3 neighbors: 8 coarse centroids (the first 8
+    * corpus vectors), queries probe their 2 nearest clusters. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    Similarity.ivfTopK(emb.filter(col("id") < 50), emb, centroids, 2, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annIvfSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+      |cc AS (
+      |  SELECT e.vec_id AS id, c.vec_id AS cid,
+      |    ROUND(SUM(eu.v * cu.v) / (ne.nrm * nc.nrm), 5) AS ccos
+      |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+      |  JOIN u eu ON eu.vec_id = e.vec_id
+      |  JOIN u cu ON cu.vec_id = c.vec_id AND cu.i = eu.i
+      |  JOIN n ne ON ne.vec_id = e.vec_id
+      |  JOIN n nc ON nc.vec_id = c.vec_id
+      |  GROUP BY 1, 2, ne.nrm, nc.nrm),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+      |    FROM cc) WHERE rk = 1),
+      |probes AS (
+      |  SELECT id AS qid, cid FROM (
+      |    SELECT id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+      |    FROM cc WHERE id < 50) WHERE rk <= 2),
+      |cand AS (
+      |  SELECT p.qid, a.id AS nid
+      |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.qid <> a.id),
+      |scored AS (
+      |  SELECT cand.qid, cand.nid,
+      |    ROUND(SUM(qu.v * nu.v) / (nq.nrm * nn.nrm), 5) AS cos
+      |  FROM cand
+      |  JOIN u qu ON qu.vec_id = cand.qid
+      |  JOIN u nu ON nu.vec_id = cand.nid AND nu.i = qu.i
+      |  JOIN n nq ON nq.vec_id = cand.qid
+      |  JOIN n nn ON nn.vec_id = cand.nid
+      |  GROUP BY 1, 2, nq.nrm, nn.nrm),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |      FROM scored)
+      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
+    * a codegen'd column fold in Spark and a list_reduce in the oracle. */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintRollingSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % ${TextOps.RollingMod}) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------- multimodal ----------
 
   /** Multimodal plumbing: payload size + byte-distribution entropy via
@@ -397,6 +464,8 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
+    "q_ann_ivf" -> annIvf _,
+    "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _)
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +481,7 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
+    "q_ann_ivf" -> annIvfSql,
+    "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql)
 }

@@ -63,6 +63,52 @@ object Similarity {
       nPlanes: Int = 8): DataFrame =
     lshNearDup(df, nPlanes, threshold)
 
+  /**
+   * IVF (inverted-file) approximate top-k: the corpus is coarsely
+   * quantized to its nearest of C broadcast centroid vectors; each
+   * query probes its `nProbe` nearest centroids and scores ONLY those
+   * clusters. The scale path when LSH recall is insufficient: cost per
+   * query is nProbe/C of the corpus, and the per-cluster inverted lists
+   * shuffle once on cid (bucket them by cid at rest to remove even
+   * that). Cosines round to 5 decimals before every argmax/rank with an
+   * id tie-break, so an independent engine reproduces the result
+   * exactly.
+   *
+   * `centroids`: (cid, cvec) — any deterministic coarse codebook; the
+   * oracle-checked query uses the first C corpus vectors (k-means would
+   * drift between engines).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("cid"), col("cvec"),
+      norm(col("cvec")).as("cnrm")))
+    val corpusN = corpus.withColumn("nrm", norm(col("vec")))
+    val aw = Window.partitionBy("id").orderBy(desc("ccos"), asc("cid"))
+    val assigned = corpusN.join(cent)
+      .select(col("id"), col("vec"), col("nrm"), col("cid"),
+        round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 5)
+          .as("ccos"))
+      .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
+      .select("id", "vec", "nrm", "cid")
+    val qN = queries.withColumn("qnrm", norm(col("vec")))
+    val pw = Window.partitionBy("qid").orderBy(desc("pcos"), asc("cid"))
+    val probes = qN.join(cent)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("qnrm"),
+        col("cid"),
+        round(dot(col("vec"), col("cvec")) / (col("qnrm") * col("cnrm")), 5)
+          .as("pcos"))
+      .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nProbe)
+      .select("qid", "qvec", "qnrm", "cid")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")), 5)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
+
   /** Deterministic pseudo-hyperplane component j of plane i:
     * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */
   private def planeComponent(i: Int, j: Column): Column =

@@ -99,4 +99,16 @@ object TextOps {
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
     h
   }
+
+  /** Modulus for the column-level rolling fingerprint (fits h*31 + c in
+    * a long with no overflow). */
+  val RollingMod: Long = 1000000007L
+
+  /** Rolling polynomial fingerprint as a column expression:
+    * h = (h*31 + codepoint) mod 1e9+7 folded left-to-right over the
+    * characters — the Karp-Rabin document fingerprint, reproduced
+    * exactly by the oracle's list_reduce. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % RollingMod)
 }

@@ -79,6 +79,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._1 == 2L && top.head._2 == 1.0)
   }
 
+  test("ivfTopK: probed clusters contain the brute-force winner for aligned data") {
+    // 2 clean clusters along axes; centroids = one vector from each
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)), (1L, Array(0.1f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.2f, 0.0f)), (3L, Array(0.2f, 0.9f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.1f)), (5L, Array(0.0f, 1.0f, 0.1f)))
+      .toDF("id", "vec")
+    val centroids = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val ivf = Similarity.ivfTopK(corpus.filter(col("id") === 0L), corpus,
+      centroids, 1, 2).collect().map(r => r.getLong(1)).toSet
+    // probing only cluster 0 must surface the x-axis neighbors, not y
+    assert(ivf == Set(2L, 4L))
+    // nProbe = all clusters degenerates to brute force
+    val full = Similarity.ivfTopK(corpus.filter(col("id") === 0L), corpus,
+      centroids, 2, 5).collect().map(_.getLong(1)).toSet
+    val brute = Similarity.cosineTopK(corpus.filter(col("id") === 0L), corpus, 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(full == brute)
+  }
+
   test("lshNearDup finds the colinear pair and buckets deterministically") {
     val out = Similarity.lshNearDup(vecs, 8, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -133,6 +154,21 @@ class TextOpsSpec extends SparkSpec {
   test("rolling hash is stable and content-sensitive") {
     assert(TextOps.rollingHash("abc") == TextOps.rollingHash("abc"))
     assert(TextOps.rollingHash("abc") != TextOps.rollingHash("abd"))
+  }
+
+  test("column rolling fingerprint matches the reference fold") {
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "hello worlD"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextOps.rollingFingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 31 + c.toLong) % TextOps.RollingMod)
+      h
+    }
+    assert(got(1L) == ref("hello world"))
+    assert(got(3L) == ref("hello worlD"))
+    assert(got(1L) != got(3L))
   }
 
   test("subword count adds units for long words") {

@@ -59,6 +59,14 @@ object StreamingQueries {
        |SELECT user_id, COUNT(*) AS n_sessions, MAX(len) AS max_session_len
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Same sessionization through Spark's built-in `session_window`
+    * (declarative path — identical answer, engine-managed session merge,
+    * streaming-ready with a watermark). Checked against the same SQL
+    * oracle as q_sessionize. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.Sessionize.native(events(spark, dir), "30 minutes")
+      .orderBy("user_id")
+
   /** Tumbling 1-hour windows per event type (the same aggregation the
     * watermarked streaming variant runs). Window start as epoch micros
     * for an engine-neutral compare. */
@@ -111,11 +119,13 @@ object StreamingQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
+    "q_sessionize_native" -> sessionizeNative _,
     "q_window_stats" -> windowStats _,
     "q_incremental_mi" -> incrementalMi _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
+    "q_sessionize_native" -> sessionizeSql,
     "q_window_stats" -> windowStatsSql,
     "q_incremental_mi" -> incrementalMiSql)
 }

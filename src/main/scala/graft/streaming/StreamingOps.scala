@@ -93,6 +93,22 @@ object StreamingOps {
     }
 
     /**
+     * Declarative variant on Spark's built-in `session_window` (works on
+     * batch AND streaming frames; on streaming, state merging and
+     * watermark eviction are handled by the engine). Input needs
+     * (user_id, ts: timestamp). Spark merges an event into a session
+     * when its ts is STRICTLY inside the previous window (gap boundary
+     * starts a new session) — the same `diff > gap` split as
+     * [[sessionLengths]].
+     */
+    def native(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+      events
+        .groupBy(col("user_id"), session_window(col("ts"), gap))
+        .agg(count("*").as("len"))
+        .groupBy("user_id")
+        .agg(count("*").as("n_sessions"), max("len").as("max_session_len"))
+
+    /**
      * Streaming per-user state: closed sessions are FOLDED to
      * (count, max length) — never a growing list — plus the open
      * session's timestamps (bounded by the activity within one gap

@@ -113,6 +113,49 @@ class InfoThSelectorSpec extends SparkSpec {
     }
   }
 
+  test("greedy mRMR/JMI over 24 features matches a local brute-force run") {
+    // independent in-memory reimplementation of the greedy loop: exact MI
+    // and CMI from full contingency counts, same criterion algebra
+    val rng = new scala.util.Random(29)
+    val nf = 24
+    val n = 800
+    val rows = (0 until n).map { _ =>
+      val x = Array.fill(nf)(rng.nextInt(4))
+      val label = (x(3) + x(17) + (if (rng.nextDouble() < 0.2) 1 else 0)) % 4
+      (label.toDouble, x)
+    }
+    val df = toDf(rows.map { case (l, x) =>
+      (l, Vectors.dense(x.map(_.toDouble)))
+    })
+    val xs = Array.tabulate(nf)(j => rows.map(_._2(j)))
+    val y = rows.map(_._1.toInt)
+    def brutalGreedy(crit: String, k: Int): Seq[Int] = {
+      val rel = (0 until nf).map(f => graft.core.Brute.mi(xs(f), y))
+      val cs = (0 until nf).map(f =>
+        graft.core.InfoThCriterionFactory(crit).init(rel(f)))
+      val sel = collection.mutable.ArrayBuffer.empty[Int]
+      while (sel.length < k) {
+        val valid = (0 until nf).filter(f => cs(f).valid)
+        val best = valid.maxBy(f => (cs(f).score, -f))
+        sel += best
+        cs(best).setValid(false)
+        if (sel.length < k) (0 until nf).foreach { f =>
+          if (cs(f).valid) {
+            cs(f).update(graft.core.Brute.mi(xs(f), xs(best)),
+              graft.core.Brute.cmi(xs(f), xs(best), y))
+          }
+        }
+      }
+      sel.toSeq
+    }
+    Seq("mrmr", "jmi").foreach { crit =>
+      val model = new InfoThSelector().setCriterion(crit)
+        .setNumTopFeatures(6).fit(df)
+      assert(model.selectionPath.map(_._1).toSeq == brutalGreedy(crit, 6),
+        s"$crit distributed selection diverges from brute force")
+    }
+  }
+
   test("model save/load round-trip") {
     val model = new InfoThSelector().setCriterion("jmi")
       .setNumTopFeatures(2).fit(copyFixture)

@@ -56,6 +56,19 @@ object PipelineQueries {
        |      + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS score
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish subword count per document (words + extra units per 4 chars
+    * beyond the first). */
+  def subwordCount(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  val subwordCountSql: String =
+    """SELECT doc_id,
+      |  list_sum(list_transform(string_split(text, ' '),
+      |    x -> 1 + CAST(FLOOR(GREATEST(length(x) - 1, 0) / 4) AS BIGINT))) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: argmax marker-hit ratio, declaration-order
     * tie-break. */
   def langId(spark: SparkSession, dir: String): DataFrame =
@@ -230,6 +243,36 @@ object PipelineQueries {
        |JOIN sizes sb ON idb = sb.id
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY 1, 2""".stripMargin
+
+  /** Dedup clusters: connected components over the Jaccard near-dup
+    * pairs — every doc labeled with the minimum id reachable through the
+    * near-dup graph (its keeper). Oracle: recursive closure in SQL. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccard(nearDupCorpus(spark, dir), "doc_id", "text", 1, 0.5,
+        HotTokenCap))
+      .orderBy("id")
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE c AS ($nearDupCorpusSql),
+       |$cappedPostingsSql,
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ida, idb FROM inter
+       |  JOIN sizes sa ON ida = sa.id
+       |  JOIN sizes sb ON idb = sb.id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SimHash near-dup pairs (4x8-bit band collision blocking,
     * hamming <= 6). */
@@ -461,6 +504,8 @@ object PipelineQueries {
     "q_dedup_jaccard" -> dedupJaccard _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
+    "q_dedup_components" -> dedupComponents _,
+    "q_subword_count" -> subwordCount _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
@@ -478,6 +523,8 @@ object PipelineQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_components" -> dedupComponentsSql,
+    "q_subword_count" -> subwordCountSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,

@@ -195,6 +195,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Connected components over near-duplicate pairs: every node labeled
+   * with the minimum id reachable through the pair graph — the keeper
+   * assignment that turns pairwise near-dup hits into dedup clusters.
+   *
+   * Iterative min-label propagation: each round joins the (symmetrized)
+   * edge set against current labels and keeps the per-node minimum;
+   * rounds needed = graph diameter (near-dup clusters are shallow, so
+   * typically 2-4). Each round persists its labels and truncates
+   * lineage via localCheckpoint so the plan stays flat no matter how
+   * many rounds run — the standard Spark iterative-dataframe pattern.
+   * Output: (id, comp).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") < col("o.comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** SimHash parameters (single universal hash over token ids whose bits
     * are the hyperplane signs). */
   val SimhashBits: Int = 32

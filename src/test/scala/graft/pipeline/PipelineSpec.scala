@@ -42,6 +42,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 4L))
   }
 
+  test("connectedComponents labels chains and leaves singletons out") {
+    // graph: 1-2-3 chain, 7-9 pair, 5 absent (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 1 round)") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("ida", "idb")
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(0L))
+    assert(comp.keySet == (0L until 12L).toSet)
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val sigs = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -217,20 +217,23 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so sum(comp) is strictly monotone while
+    // anything changes — convergence is one tiny aggregate per round,
+    // not a join against the previous labels.
+    def labelMass(df: DataFrame): Long =
+      df.agg(sum("comp")).head.getLong(0)
+    var mass = labelMass(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop)
+      labels = labels.union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") < col("o.comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      val nextMass = labelMass(labels)
+      converged = nextMass == mass
+      mass = nextMass
       iter += 1
     }
     edges.unpersist(blocking = false)

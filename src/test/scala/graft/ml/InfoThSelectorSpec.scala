@@ -156,6 +156,28 @@ class InfoThSelectorSpec extends SparkSpec {
     }
   }
 
+  test("chains inside a spark.ml Pipeline (discretize -> select)") {
+    import org.apache.spark.ml.Pipeline
+    val rng = new scala.util.Random(31)
+    val df = toDf((0 until 300).map { _ =>
+      val x0 = rng.nextInt(2)
+      (x0.toDouble, Vectors.dense(x0 * 10.0, rng.nextDouble() * 100,
+        rng.nextDouble() * 100, rng.nextInt(3).toDouble))
+    })
+    val disc = new FrequencyDiscretizer().setNumBuckets(8).setSeed(7)
+      .setInputCol("features").setOutputCol("disc")
+    val sel = new InfoThSelector().setCriterion("mrmr").setNumTopFeatures(2)
+      .setFeaturesCol("disc").setOutputCol("sel")
+    val pipe = new Pipeline().setStages(Array(disc, sel)).fit(df)
+    val out = pipe.transform(df)
+    assert(out.columns.contains("sel"))
+    val first = out.select("sel").head.getAs[Vector](0)
+    assert(first.size == 2)
+    // the discretized copy feature must win round 1
+    val model = pipe.stages(1).asInstanceOf[InfoThSelectorModel]
+    assert(model.selectionPath.head._1 == 0)
+  }
+
   test("model save/load round-trip") {
     val model = new InfoThSelector().setCriterion("jmi")
       .setNumTopFeatures(2).fit(copyFixture)

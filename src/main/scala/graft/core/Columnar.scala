@@ -90,7 +90,10 @@ object Columnar {
   /** Byte-domain validation (reference: requireByteValues,
     * InfoSelector.scala:404-416; README.md:22-23 "maximum of 256 distinct
     * values"). We use the unsigned domain [0, 255] — values are histogram
-    * indices. */
+    * indices. Documented divergence: the reference's check accepts
+    * [-128, 127], but its own error message says [0, 255] and a negative
+    * value would corrupt its histogram indexing (negative array index
+    * after toByte); we enforce what the reference can actually process. */
   @inline def toByteChecked(v: Double): Byte = {
     if (v < 0.0 || v > 255.0 || v % 1 != 0.0) {
       throw new IllegalArgumentException(

@@ -393,6 +393,47 @@ object PipelineQueries {
        |SELECT ida, idb, cos FROM s WHERE cos >= 0.1 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Oracle-side sign-LSH bucket bits over planes [offset, offset+n). */
+  private def lshBitsSql(offset: Int, n: Int): String =
+    (0 until n).map { i =>
+      val p = offset + i
+      s"CASE WHEN SUM(v * ((((${Dedup.MinhashA(p)} * i + ${Dedup.MinhashB(p)}) % 97) - 48) / 48.0)) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Multi-table LSH near-dup: 2 independent tables of 8 planes each,
+    * candidates = union of per-table collisions, exact cosine >= 0.1
+    * verify (the recall knob over q_ann_neardup's single table). */
+  def annNearDupMulti(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.lshNearDupMulti(emb, 2, 8, 0.1).orderBy("ida", "idb")
+  }
+
+  val annNearDupMultiSql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+       |b0 AS (SELECT vec_id, ${lshBitsSql(0, 8)} AS bucket FROM u GROUP BY vec_id),
+       |b1 AS (SELECT vec_id, ${lshBitsSql(8, 8)} AS bucket FROM u GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id
+       |  FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |d AS (
+       |  SELECT p.ida, p.idb, SUM(ua.v * ub.v) AS dot
+       |  FROM pairs p
+       |  JOIN u ua ON ua.vec_id = p.ida
+       |  JOIN u ub ON ub.vec_id = p.idb AND ua.i = ub.i
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT ida, idb, ROUND(dot / (na.nrm * nb.nrm), 5) AS cos
+       |  FROM d JOIN n na ON ida = na.vec_id JOIN n nb ON idb = nb.vec_id)
+       |SELECT ida, idb, cos FROM s WHERE cos >= 0.1 ORDER BY 1, 2""".stripMargin
+
   /** IVF approximate top-3 neighbors: 8 coarse centroids (the first 8
     * corpus vectors), queries probe their 2 nearest clusters. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -509,6 +550,7 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
+    "q_ann_neardup_multi" -> annNearDupMulti _,
     "q_ann_ivf" -> annIvf _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _)
@@ -528,6 +570,7 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
+    "q_ann_neardup_multi" -> annNearDupMultiSql,
     "q_ann_ivf" -> annIvfSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql)

@@ -119,15 +119,53 @@ object Similarity {
    * Sign-LSH bucket key: for each of `nPlanes` deterministic
    * hyperplanes, the sign bit of dot(plane, vec); key = packed bits.
    */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    lshBucketOffset(vec, nPlanes, 0)
+
+  /** Bucket key over planes [offset, offset + nPlanes). */
+  def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column = {
     val bits = (0 until nPlanes).map { i =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(i, j)),
+          (x, j) => x.cast("double") * planeComponent(offset + i, j)),
         lit(0.0), (acc, v) => acc + v)
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /**
+   * Multi-table sign-LSH near-dup: `nTables` independent hash tables of
+   * `planesPerTable` hyperplanes each (table t uses plane indices
+   * t*planesPerTable ...); a pair is a candidate if it collides in ANY
+   * table. The recall knob: P(candidate) = 1 - (1 - p^b)^T for
+   * per-plane agreement p — more tables buy recall at linear candidate
+   * cost, never a cartesian. Requires
+   * nTables * planesPerTable <= 16 (the deterministic plane family).
+   */
+  def lshNearDupMulti(df: DataFrame, nTables: Int, planesPerTable: Int,
+      threshold: Double): DataFrame = {
+    require(nTables * planesPerTable <= Dedup.MinhashA.length,
+      s"need nTables*planesPerTable <= ${Dedup.MinhashA.length}")
+    val tableCols = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucketOffset(col("vec"), planesPerTable, t * planesPerTable)
+          .as("bucket"))
+    }
+    val bucketed = df
+      .withColumn("nrm", norm(col("vec")))
+      .select(col("id"), col("vec"), col("nrm"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 5)
+          .as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
   }
 
   /**

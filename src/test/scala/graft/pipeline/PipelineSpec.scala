@@ -117,6 +117,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("multi-table LSH candidates are a superset of the single table's") {
+    val rng = new scala.util.Random(41)
+    val emb = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val single = Similarity.lshNearDup(emb, 8, -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshNearDupMulti(emb, 2, 8, -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"missing: ${(single -- multi).take(5)}")
+  }
+
   test("lshNearDup finds the colinear pair and buckets deterministically") {
     val out = Similarity.lshNearDup(vecs, 8, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

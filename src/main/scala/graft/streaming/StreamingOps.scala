@@ -46,11 +46,16 @@ object StreamingOps {
 
   /** Tumbling-window statistics per event type. On a streaming input,
     * pair with `withWatermark("ts", ...)` upstream; the aggregation is
-    * identical for batch. */
+    * identical for batch. Groups by the FULL window struct (projecting
+    * `start` only afterwards) — grouping by a field of the window would
+    * sever the watermark linkage and make streaming append mode
+    * impossible. */
   def windowedStats(events: DataFrame, windowLength: String): DataFrame =
-    events.groupBy(window(col("ts"), windowLength).getField("start").as("w"),
+    events.groupBy(window(col("ts"), windowLength).as("win"),
         col("event_type"))
       .agg(count("*").as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .select(col("win.start").as("w"), col("event_type"),
+        col("cnt"), col("sum_value"))
 
   /** Watermarked streaming variant (event-time, late data dropped after
     * `delay`). */

@@ -89,4 +89,22 @@ class FrequencyDiscretizerSpec extends SparkSpec {
     assert(loaded.splitsArray.map(_.toSeq).toSeq ==
       model.splitsArray.map(_.toSeq).toSeq)
   }
+
+  test("splits are Bucketizer-compatible: same buckets from Spark's Bucketizer") {
+    import org.apache.spark.ml.feature.Bucketizer
+    import org.apache.spark.ml.linalg.Vector
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 9.0, 12.0, 20.0)
+    val df = spark.createDataFrame(vals.map(v => Tuple1(Vectors.dense(v))))
+      .toDF("features")
+    val model = new FrequencyDiscretizer().setNumBuckets(4).setSeed(1)
+      .setInputCol("features").setOutputCol("disc").fit(df)
+    val plain = vals.toDF("raw")
+    val viaBucketizer = new Bucketizer().setSplits(model.splitsArray(0))
+      .setInputCol("raw").setOutputCol("b").transform(plain)
+      .select("b").collect().map(_.getDouble(0)).toSeq
+    val viaModel = model.transform(df).select("disc").collect()
+      .map(_.getAs[Vector](0)(0)).toSeq
+    assert(viaBucketizer == viaModel)
+  }
 }

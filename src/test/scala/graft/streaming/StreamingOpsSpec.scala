@@ -69,6 +69,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked streaming windowed stats finalize closed windows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.streamingWindowedStats(
+      stream.toDS().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val query = agg.writeStream.format("memory").queryName("wstats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2024-01-01 10:05:00"), "click", 2.0),
+        (ts("2024-01-01 10:55:00"), "click", 3.0))
+      query.processAllAvailable()
+      // watermark hasn't passed 11:00 yet -> nothing finalized
+      assert(spark.table("wstats").count() == 0)
+      // an event far past the window end pushes the watermark over it
+      stream.addData((ts("2024-01-01 13:00:00"), "error", 1.0))
+      query.processAllAvailable()
+      stream.addData((ts("2024-01-01 15:00:00"), "error", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("wstats").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(rows.toSet.contains(("2024-01-01 10:00:00.0", "click", 2L, 5.0)),
+        s"got ${rows.mkString("; ")}")
+    } finally query.stop()
+  }
+
   test("incremental histogram state over N batches equals one batch over the union") {
     import spark.implicits._
     val rng = new scala.util.Random(21)

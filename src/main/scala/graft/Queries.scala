@@ -67,9 +67,15 @@ object Queries {
           Seq("f0", "f1", "f2", "f3"), "label"))
     }
 
-  private[graft] def clearCache(): Unit = colCache.synchronized {
-    colCache.values.foreach(_.unpersist())
-    colCache.clear()
+  private[graft] def clearCache(): Unit = {
+    colCache.synchronized {
+      colCache.values.foreach(_.unpersist())
+      colCache.clear()
+    }
+    wideCache.synchronized {
+      wideCache.values.foreach(_.unpersist())
+      wideCache.clear()
+    }
   }
 
   private def r6(d: Double): Double =
@@ -324,6 +330,62 @@ object Queries {
        |ORDER BY round""".stripMargin
   }
 
+  /** Wide-feature working set: 32 deterministic hash-derived byte
+    * features over lineitem — exercises the histogram kernels at a
+    * realistic feature count (the reference's benchmark datasets have
+    * hundreds of features, not 4). Shared per session/dir. */
+  private val WideN = 32
+  private def wideFeatureExpr(i: Int): String =
+    s"(l_orderkey * ${Dedup_A(i)} + l_partkey * ${Dedup_B(i)} + l_linenumber) % 64"
+  // reuse the public deterministic constant families
+  private def Dedup_A(i: Int) =
+    graft.pipeline.Dedup.MinhashA(i % 16) + i / 16
+  private def Dedup_B(i: Int) =
+    graft.pipeline.Dedup.MinhashB(i % 16) + i / 16
+
+  private val wideCache = TrieMap.empty[(SparkSession, String), ColumnarData]
+
+  private[graft] def wideColumnar(spark: SparkSession, dir: String): ColumnarData =
+    wideCache.synchronized {
+      wideCache.getOrElseUpdate((spark, dir), {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val cols = (0 until WideN).map(i =>
+          expr(wideFeatureExpr(i)).cast("int").as(s"w$i"))
+        val df = li.select(cols :+
+          (when(col("l_returnflag") === "A", 0)
+            .when(col("l_returnflag") === "N", 1)
+            .otherwise(2)).cast("int").as("label"): _*)
+        Columnar.fromIntColumns(df, (0 until WideN).map(i => s"w$i"), "label")
+      })
+    }
+
+  /** O2 at width: MIM top-8 over the 32 wide features — the full
+    * relevance pass (32 contingency tables in one distributed job). */
+  def selectorMimWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = InfoThSelector.select(wideColumnar(spark, dir), "mim", 8, 0.0)
+    selected.toSeq.map { case (f, s) => (f, r6(s)) }
+      .toDF("feature", "score")
+  }
+
+  val selectorMimWideSql: String = {
+    val featsCte = (0 until WideN).map { i =>
+      s"SELECT $i AS feature, ${wideFeatureExpr(i)} AS x, $ySql AS y FROM lineitem"
+    }.mkString(" UNION ALL ")
+    s"""WITH feats AS ($featsCte),
+       |h AS (SELECT feature, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy
+       |      FROM h),
+       |m AS (SELECT feature,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM w GROUP BY 1)
+       |SELECT feature, ROUND(mi, 6) AS score FROM m
+       |ORDER BY mi DESC, feature LIMIT 8""".stripMargin
+  }
+
   /** P1: vector gather through the model transform (fixed indices 0, 2),
     * keyed by (orderkey, linenumber) for deterministic compare. */
   def transformGather(spark: SparkSession, dir: String): DataFrame = {
@@ -455,6 +517,7 @@ object Queries {
     "q_entropy" -> entropy _,
     "q_cardinality" -> cardinality _,
     "q_selector_mim" -> selectorMim _,
+    "q_selector_mim_wide" -> selectorMimWide _,
     "q_selector_mrmr" -> selectorMrmr _,
     "q_transform_gather" -> transformGather _,
     "q_discretize" -> discretize _,
@@ -472,6 +535,7 @@ object Queries {
     "q_entropy" -> entropySql,
     "q_cardinality" -> cardinalitySql,
     "q_selector_mim" -> selectorMimSql,
+    "q_selector_mim_wide" -> selectorMimWideSql,
     "q_selector_mrmr" -> selectorMrmrSql,
     "q_transform_gather" -> transformGatherSql,
     "q_discretize" -> discretizeSql,

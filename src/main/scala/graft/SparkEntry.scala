@@ -23,33 +23,28 @@ object SparkEntry {
       col("l_linenumber").cast("int").as("f3"))
   }
 
+  /** Columnar vector assembly via `array_to_vector` — stays in
+    * whole-stage codegen up to the vector UDT boundary (no Dataset.map
+    * row deserialization pass). */
   private[graft] def assembled(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    import spark.implicits._
-    lineitemFeatures(spark, dir).map { r =>
-      (r.getDouble(0), Vectors.dense(
-        r.getInt(1).toDouble, r.getInt(2).toDouble,
-        r.getInt(3).toDouble, r.getInt(4).toDouble))
-    }.toDF("label", "features")
+    import org.apache.spark.ml.functions.array_to_vector
+    lineitemFeatures(spark, dir).select(col("label"),
+      array_to_vector(array(col("f0").cast("double"), col("f1").cast("double"),
+        col("f2").cast("double"), col("f3").cast("double"))).as("features"))
   }
 
   /** Same as [[assembled]] plus the lineitem primary key, for queries
     * needing a deterministic per-row compare. */
   private[graft] def assembledWithKey(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     li.select(
       col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity").cast("int").as("f0"),
-      round(col("l_discount") * 100).cast("int").as("f1"),
-      round(col("l_tax") * 100).cast("int").as("f2"),
-      col("l_linenumber").cast("int").as("f3"))
-      .map { r =>
-        (r.getLong(0), r.getInt(1), Vectors.dense(
-          r.getInt(2).toDouble, r.getInt(3).toDouble,
-          r.getInt(4).toDouble, r.getInt(5).toDouble))
-      }.toDF("l_orderkey", "l_linenumber", "features")
+      array_to_vector(array(
+        col("l_quantity").cast("double"),
+        round(col("l_discount") * 100).cast("double"),
+        round(col("l_tax") * 100).cast("double"),
+        col("l_linenumber").cast("double"))).as("features"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

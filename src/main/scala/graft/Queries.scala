@@ -348,7 +348,11 @@ object Queries {
   private[graft] def wideColumnar(spark: SparkSession, dir: String): ColumnarData =
     wideCache.synchronized {
       wideCache.getOrElseUpdate((spark, dir), {
+        // repartition the RAW source before projecting: the 32 feature
+        // expressions then evaluate across all cores (and the shuffle
+        // ships 4 narrow columns, not 33 computed ones)
         val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
         val cols = (0 until WideN).map(i =>
           expr(wideFeatureExpr(i)).cast("int").as(s"w$i"))
         val df = li.select(cols :+

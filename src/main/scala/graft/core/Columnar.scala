@@ -251,6 +251,11 @@ object Columnar {
    * Fast-path transpose from integer-valued columns (no ml.Vector
    * construction or UDT serialization on the hot path). `featureCols`
    * become features 0..n-1 in order; `labelCol` becomes column n.
+   *
+   * Iterates Tungsten InternalRows directly (`queryExecution.toRdd`) —
+   * primitive `getInt` reads with zero per-row boxing, and the
+   * parallelism repartition happens at the DataFrame level so the
+   * exchange ships unsafe rows, not Scala objects.
    */
   def fromIntColumns(
       df: DataFrame,
@@ -259,9 +264,16 @@ object Columnar {
       numPartitions: Int = 0): ColumnarData = {
     val nf = featureCols.length
     val nCols = nf + 1
-    val rows0 = df.select((featureCols :+ labelCol).map(
-      c => org.apache.spark.sql.functions.col(c).cast("int")): _*).rdd
-    val rows = withParallelism(rows0, numPartitions)
+    val projected = df.select((featureCols :+ labelCol).map(
+      c => org.apache.spark.sql.functions.col(c).cast("int")): _*)
+    val target =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (projected.queryExecution.toRdd.getNumPartitions < target) {
+        projected.repartition(target)
+      } else projected
+    val rows = spread.queryExecution.toRdd
     val transposed: RDD[((Int, Int), LabeledBlock)] =
       rows.mapPartitionsWithIndex { (pid, it) =>
         val builders = Array.fill(nCols)(new mutable.ArrayBuilder.ofByte)

@@ -119,6 +119,38 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch incremental refit over a live stream converges to batch MI") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 600).map { _ =>
+      (rng.nextInt(6), rng.nextInt(50), rng.nextInt(24), 1 + rng.nextInt(28),
+        rng.nextInt(5))
+    }
+    val state = new IncrementalHistogramState(4, 256, 5)
+    val stream = MemoryStream[(Int, Int, Int, Int, Int)]
+    val query = stream.toDS()
+      .toDF("f0", "f1", "f2", "f3", "label")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state.update(batch); ()
+      }
+      .start()
+    try {
+      rows.grouped(200).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val batchState = new IncrementalHistogramState(4, 256, 5)
+      .update(rows.toDF("f0", "f1", "f2", "f3", "label"))
+    assert(state.nInstances == 600)
+    assert(state.toLongForm == batchState.toLongForm)
+    state.relevances.zip(batchState.relevances).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

@@ -304,6 +304,63 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY 1, 2""".stripMargin
 
+  /** The composed cleaning pipeline — near-dup clustering over the
+    * corpus, keep only each cluster's keeper (minimum id) plus
+    * untouched docs, then quality-filter the survivors. One query
+    * certifying that the operators COMPOSE: dedup pairs -> connected
+    * components -> anti-join -> quality score. */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", 1, 0.5,
+      HotTokenCap)
+    val comps = Dedup.connectedComponents(pairs)
+    val kept = corpus.join(comps, corpus("doc_id") === comps("id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    kept.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .filter(col("q") >= 0.45)
+      .orderBy("doc_id")
+  }
+
+  val cleanPipelineSql: String =
+    s"""WITH RECURSIVE c AS ($nearDupCorpusSql),
+       |$cappedPostingsSql,
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ida, idb FROM inter
+       |  JOIN sizes sa ON ida = sa.id
+       |  JOIN sizes sb ON idb = sb.id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1),
+       |kept AS (
+       |  SELECT c.doc_id, c.text FROM c LEFT JOIN comp ON c.doc_id = comp.id
+       |  WHERE comp.id IS NULL OR comp.comp = c.doc_id),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopListSql))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct
+       |  FROM kept),
+       |s AS (
+       |  SELECT doc_id,
+       |    ROUND(0.4 * LEAST(1.0, n_tokens / 50.0)
+       |        + 0.4 * (1.0 - LEAST(1.0, ABS(stop - 0.12) / 0.5))
+       |        + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS q
+       |  FROM m)
+       |SELECT doc_id, q FROM s WHERE q >= 0.45 ORDER BY doc_id""".stripMargin
+
   // ---------- similarity search ----------
 
   /** Brute-force cosine top-3 neighbors for query vectors vec_id < 50. */
@@ -546,6 +603,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_components" -> dedupComponents _,
+    "q_clean_pipeline" -> cleanPipeline _,
     "q_subword_count" -> subwordCount _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
@@ -566,6 +624,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_components" -> dedupComponentsSql,
+    "q_clean_pipeline" -> cleanPipelineSql,
     "q_subword_count" -> subwordCountSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,

@@ -125,6 +125,15 @@ object StreamingOps {
     final case class UserState(nClosed: Long, maxClosed: Long,
         openTs: List[Long])
 
+    /** Final summary for a user whose open session just closed (idle
+      * timeout): the open session, if any, becomes a closed one. */
+    def finalizeUser(uid: Long, prev: UserState): SessionSummary = {
+      val openLen = prev.openTs.length.toLong
+      SessionSummary(uid,
+        prev.nClosed + (if (openLen > 0) 1 else 0),
+        math.max(prev.maxClosed, openLen))
+    }
+
     val IdleTimeoutMs: Long = 3600 * 1000L // close idle users after 1h
 
     /** `idleTimeoutMs <= 0` disables the processing-time timeout (state
@@ -145,12 +154,9 @@ object StreamingOps {
           (uid, it, state: GroupState[UserState]) =>
             if (state.hasTimedOut) {
               // no new events: close the open session, emit, drop state
-              val prev = state.get
-              val openLen = prev.openTs.length.toLong
-              val n = prev.nClosed + (if (openLen > 0) 1 else 0)
-              val mx = math.max(prev.maxClosed, openLen)
+              val out = finalizeUser(uid, state.get)
               state.remove()
-              Iterator.single(SessionSummary(uid, n, mx))
+              Iterator.single(out)
             } else {
               val prev = state.getOption.getOrElse(UserState(0L, 0L, Nil))
               val all = prev.openTs ++ it.map(_.tsMicros).toSeq

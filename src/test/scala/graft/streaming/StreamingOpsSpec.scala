@@ -98,6 +98,19 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("idle-timeout finalization closes the open session exactly once") {
+    import Sessionize._
+    // user with 2 closed sessions (max 5) and a 3-event open session
+    val s = finalizeUser(9L, UserState(2L, 5L, List(1L, 2L, 3L)))
+    assert(s == SessionSummary(9L, 3L, 5L))
+    // open session longer than any closed one
+    val s2 = finalizeUser(9L, UserState(2L, 2L, List(1L, 2L, 3L)))
+    assert(s2 == SessionSummary(9L, 3L, 3L))
+    // nothing open: state unchanged by the close
+    val s3 = finalizeUser(9L, UserState(4L, 7L, Nil))
+    assert(s3 == SessionSummary(9L, 4L, 7L))
+  }
+
   test("incremental histogram state over N batches equals one batch over the union") {
     import spark.implicits._
     val rng = new scala.util.Random(21)

@@ -330,6 +330,71 @@ object Queries {
        |ORDER BY round""".stripMargin
   }
 
+  /** I1 + A9 + §2.11(JMI): the greedy loop under JMI, k=3 — unlike
+    * mRMR, JMI folds BOTH the mi and cmi outputs of the 3-D kernel
+    * (score = rel - (sum mi - sum cmi)/k), so a green row certifies the
+    * conditional-mutual-information path through the loop. */
+  def selectorJmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = InfoThSelector.select(columnar(spark, dir), "jmi", 3, 0.0)
+    selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
+      .toSeq.toDF("round", "feature", "score")
+  }
+
+  val selectorJmiSql: String = {
+    val exprs = featureExprs
+    // ordered feature pairs (fa != fb) with the label as z
+    val pairs3Cte = (for {
+      (i, ei) <- exprs; (j, ej) <- exprs if i != j
+    } yield s"SELECT $i AS fa, $j AS fb, $ei AS x, $ej AS y, $ySql AS z FROM lineitem")
+      .mkString(" UNION ALL ")
+    val relCte = exprs.map { case (i, e) =>
+      s"SELECT $i AS f, $e AS x, $ySql AS y FROM lineitem"
+    }.mkString(" UNION ALL ")
+    s"""WITH pr AS ($pairs3Cte),
+       |h AS (SELECT fa, fb, x, y, z, COUNT(*) AS cnt FROM pr GROUP BY 1, 2, 3, 4, 5),
+       |w AS (SELECT fa, fb, cnt,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb) AS n,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, y) AS cy,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, x, y) AS cxy,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, z) AS cz,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, x, z) AS cxz,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, y, z) AS cyz
+       |      FROM h),
+       |mc AS (SELECT fa, fb,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cxy AS DOUBLE)*n/(cx*cy))) AS mi,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cz AS DOUBLE)*cnt/(CAST(cxz AS DOUBLE)*cyz))) AS cmi
+       |      FROM w GROUP BY 1, 2),
+       |rf AS ($relCte),
+       |rh AS (SELECT f, x, y, COUNT(*) AS cnt FROM rf GROUP BY 1, 2, 3),
+       |rw AS (SELECT f, cnt,
+       |        SUM(cnt) OVER (PARTITION BY f) AS n,
+       |        SUM(cnt) OVER (PARTITION BY f, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY f, y) AS cy
+       |      FROM rh),
+       |rel AS (SELECT f,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM rw GROUP BY 1),
+       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |r2 AS (SELECT rel.f, rel.mi - (p1.mi - p1.cmi) AS score
+       |       FROM rel JOIN mc p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
+       |       WHERE rel.f NOT IN (SELECT f FROM r1)
+       |       ORDER BY score DESC, rel.f LIMIT 1),
+       |r3 AS (SELECT rel.f,
+       |         rel.mi - ((p1.mi + p2.mi) - (p1.cmi + p2.cmi)) / 2 AS score
+       |       FROM rel
+       |       JOIN mc p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
+       |       JOIN mc p2 ON p2.fa = rel.f AND p2.fb = (SELECT f FROM r2)
+       |       WHERE rel.f NOT IN (SELECT f FROM r1 UNION ALL SELECT f FROM r2)
+       |       ORDER BY score DESC, rel.f LIMIT 1)
+       |SELECT * FROM (
+       |  SELECT 1 AS round, f AS feature, ROUND(score, 6) AS score FROM r1
+       |  UNION ALL SELECT 2, f, ROUND(score, 6) FROM r2
+       |  UNION ALL SELECT 3, f, ROUND(score, 6) FROM r3)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Wide-feature working set: 32 deterministic hash-derived byte
     * features over lineitem — exercises the histogram kernels at a
     * realistic feature count (the reference's benchmark datasets have
@@ -523,6 +588,7 @@ object Queries {
     "q_selector_mim" -> selectorMim _,
     "q_selector_mim_wide" -> selectorMimWide _,
     "q_selector_mrmr" -> selectorMrmr _,
+    "q_selector_jmi" -> selectorJmi _,
     "q_transform_gather" -> transformGather _,
     "q_discretize" -> discretize _,
     "q_count" -> countInstances _,
@@ -541,6 +607,7 @@ object Queries {
     "q_selector_mim" -> selectorMimSql,
     "q_selector_mim_wide" -> selectorMimWideSql,
     "q_selector_mrmr" -> selectorMrmrSql,
+    "q_selector_jmi" -> selectorJmiSql,
     "q_transform_gather" -> transformGatherSql,
     "q_discretize" -> discretizeSql,
     "q_count" -> countInstancesSql,

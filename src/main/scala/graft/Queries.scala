@@ -330,20 +330,21 @@ object Queries {
        |ORDER BY round""".stripMargin
   }
 
-  /** I1 + A9 + §2.11(JMI): the greedy loop under JMI, k=3 — unlike
-    * mRMR, JMI folds BOTH the mi and cmi outputs of the 3-D kernel
-    * (score = rel - (sum mi - sum cmi)/k), so a green row certifies the
-    * conditional-mutual-information path through the loop. */
-  def selectorJmi(spark: SparkSession, dir: String): DataFrame = {
+  /** Spark side of a 3-round greedy selection: the loop under any
+    * criterion, emitting each round's (feature, score-at-selection). */
+  private def selectorPath(crit: String, beta: Double = 0.0)(
+      spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val selected = InfoThSelector.select(columnar(spark, dir), "jmi", 3, 0.0)
+    val selected = InfoThSelector.select(columnar(spark, dir), crit, 3, beta)
     selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
       .toSeq.toDF("round", "feature", "score")
   }
 
-  val selectorJmiSql: String = {
+  /** Shared CTE prefix for the unrolled greedy oracles: pairwise
+    * (mi, cmi) for every ordered feature pair (`mc`), plus per-feature
+    * relevance vs the label (`rel`). */
+  private val greedyCtes: String = {
     val exprs = featureExprs
-    // ordered feature pairs (fa != fb) with the label as z
     val pairs3Cte = (for {
       (i, ei) <- exprs; (j, ej) <- exprs if i != j
     } yield s"SELECT $i AS fa, $j AS fb, $ei AS x, $ej AS y, $ySql AS z FROM lineitem")
@@ -351,7 +352,7 @@ object Queries {
     val relCte = exprs.map { case (i, e) =>
       s"SELECT $i AS f, $e AS x, $ySql AS y FROM lineitem"
     }.mkString(" UNION ALL ")
-    s"""WITH pr AS ($pairs3Cte),
+    s"""pr AS ($pairs3Cte),
        |h AS (SELECT fa, fb, x, y, z, COUNT(*) AS cnt FROM pr GROUP BY 1, 2, 3, 4, 5),
        |w AS (SELECT fa, fb, cnt,
        |        SUM(cnt) OVER (PARTITION BY fa, fb) AS n,
@@ -375,14 +376,20 @@ object Queries {
        |      FROM rh),
        |rel AS (SELECT f,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
-       |      FROM rw GROUP BY 1),
+       |      FROM rw GROUP BY 1)""".stripMargin
+  }
+
+  /** Unrolled 3-round greedy oracle for one criterion: `score2`/`score3`
+    * are the round-2/3 score expressions over rel.mi and the selected
+    * features' p1/p2 (mi, cmi) rows — exactly the criterion's fold. */
+  private def greedyOracleSql(score2: String, score3: String): String =
+    s"""WITH $greedyCtes,
        |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
-       |r2 AS (SELECT rel.f, rel.mi - (p1.mi - p1.cmi) AS score
+       |r2 AS (SELECT rel.f, $score2 AS score
        |       FROM rel JOIN mc p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
        |       WHERE rel.f NOT IN (SELECT f FROM r1)
        |       ORDER BY score DESC, rel.f LIMIT 1),
-       |r3 AS (SELECT rel.f,
-       |         rel.mi - ((p1.mi + p2.mi) - (p1.cmi + p2.cmi)) / 2 AS score
+       |r3 AS (SELECT rel.f, $score3 AS score
        |       FROM rel
        |       JOIN mc p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
        |       JOIN mc p2 ON p2.fa = rel.f AND p2.fb = (SELECT f FROM r2)
@@ -393,7 +400,27 @@ object Queries {
        |  UNION ALL SELECT 2, f, ROUND(score, 6) FROM r2
        |  UNION ALL SELECT 3, f, ROUND(score, 6) FROM r3)
        |ORDER BY round""".stripMargin
-  }
+
+  /** I1 + A9 + §2.11: the greedy loop under every remaining criterion
+    * (MIM's short-circuit and mRMR's loop are covered separately).
+    * JMI folds BOTH kernel outputs (rel - (sum mi - sum cmi)/k), so its
+    * row certifies the conditional-mutual-information path; CMIM/IF
+    * fold a running max, ICAP a capped sum, MIFS a beta-weighted sum. */
+  val selectorJmiSql: String = greedyOracleSql(
+    "rel.mi - (p1.mi - p1.cmi)",
+    "rel.mi - ((p1.mi + p2.mi) - (p1.cmi + p2.cmi)) / 2")
+
+  val selectorMifsSql: String = greedyOracleSql(
+    "rel.mi - 0.5 * p1.mi",
+    "rel.mi - 0.5 * (p1.mi + p2.mi)")
+
+  val selectorCmimSql: String = greedyOracleSql(
+    "rel.mi - GREATEST(p1.mi - p1.cmi, 0)",
+    "rel.mi - GREATEST(p1.mi - p1.cmi, p2.mi - p2.cmi, 0)")
+
+  val selectorIcapSql: String = greedyOracleSql(
+    "rel.mi - GREATEST(p1.mi - p1.cmi, 0)",
+    "rel.mi - (GREATEST(p1.mi - p1.cmi, 0) + GREATEST(p2.mi - p2.cmi, 0))")
 
   /** Wide-feature working set: 32 deterministic hash-derived byte
     * features over lineitem — exercises the histogram kernels at a
@@ -588,7 +615,11 @@ object Queries {
     "q_selector_mim" -> selectorMim _,
     "q_selector_mim_wide" -> selectorMimWide _,
     "q_selector_mrmr" -> selectorMrmr _,
-    "q_selector_jmi" -> selectorJmi _,
+    "q_selector_jmi" -> selectorPath("jmi") _,
+    "q_selector_mifs" -> selectorPath("mifs", beta = 0.5) _,
+    "q_selector_cmim" -> selectorPath("cmim") _,
+    "q_selector_icap" -> selectorPath("icap") _,
+    "q_selector_if" -> selectorPath("if") _,
     "q_transform_gather" -> transformGather _,
     "q_discretize" -> discretize _,
     "q_count" -> countInstances _,
@@ -608,6 +639,10 @@ object Queries {
     "q_selector_mim_wide" -> selectorMimWideSql,
     "q_selector_mrmr" -> selectorMrmrSql,
     "q_selector_jmi" -> selectorJmiSql,
+    "q_selector_mifs" -> selectorMifsSql,
+    "q_selector_cmim" -> selectorCmimSql,
+    "q_selector_icap" -> selectorIcapSql,
+    "q_selector_if" -> selectorCmimSql,
     "q_transform_gather" -> transformGatherSql,
     "q_discretize" -> discretizeSql,
     "q_count" -> countInstancesSql,

@@ -20,9 +20,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
 
-    // A failing query must be visible as a failure, never a fast time:
-    // failures report in an "errors" map and count as 0 in per-query
-    // seconds but poison nothing else.
+    // A failing query must be visible as a failure, never a success:
+    // failures report in an "errors" map; their elapsed-to-failure time
+    // still appears in "queries"/total, so read totals together with
+    // "errors" when comparing runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {

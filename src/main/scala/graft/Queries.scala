@@ -278,18 +278,6 @@ object Queries {
        |SELECT feature, ROUND(mi, 6) AS score FROM m
        |ORDER BY mi DESC, feature LIMIT 2""".stripMargin
 
-  /** I1 + A10 + §2.11(mRMR): the greedy loop itself, k=3 — each round's
-    * (feature, score-at-selection). This certifies the driver-loop +
-    * 3-D-histogram + criterion-fold path end-to-end (the reference's
-    * flagship semantics, InfoSelector.scala:354-364), not just the MIM
-    * short-circuit. */
-  def selectorMrmr(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val selected = InfoThSelector.select(columnar(spark, dir), "mrmr", 3, 0.0)
-    selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
-      .toSeq.toDF("round", "feature", "score")
-  }
-
   /** Unrolled 3-round greedy mRMR in SQL: pairwise MI over all feature
     * pairs (incl. the label), then per round
     * score(f) = rel(f) - mean(mi(f, s) for s selected), argmax with the
@@ -614,7 +602,7 @@ object Queries {
     "q_cardinality" -> cardinality _,
     "q_selector_mim" -> selectorMim _,
     "q_selector_mim_wide" -> selectorMimWide _,
-    "q_selector_mrmr" -> selectorMrmr _,
+    "q_selector_mrmr" -> selectorPath("mrmr") _,
     "q_selector_jmi" -> selectorPath("jmi") _,
     "q_selector_mifs" -> selectorPath("mifs", beta = 0.5) _,
     "q_selector_cmim" -> selectorPath("cmim") _,

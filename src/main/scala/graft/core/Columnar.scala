@@ -281,6 +281,12 @@ object Columnar {
         it.foreach { row =>
           var j = 0
           while (j < nCols) {
+            // UnsafeRow.getInt silently reads null as 0 — fail loudly
+            // instead of corrupting histograms with phantom zeros
+            if (row.isNullAt(j)) {
+              throw new IllegalArgumentException(
+                s"null value in column $j: feature columns must be non-null")
+            }
             builders(j) += toByteChecked(row.getInt(j).toDouble); j += 1
           }
           n += 1

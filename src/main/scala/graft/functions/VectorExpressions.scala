@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
  * Expression > UDF.
  *
  * Semantics: sum over i of a(i)*b(i) in double precision, left-to-right
- * (bitwise-identical to the previous zip_with/aggregate formulation, so
- * oracle results are unchanged). Arrays must have equal length; null
- * elements are treated as 0.
+ * (bitwise-identical to the zip_with/aggregate formulation on
+ * well-formed input, so oracle results are unchanged). Arrays of
+ * unequal length throw — a malformed embedding must fail the job, not
+ * produce a plausible wrong cosine. Null elements count as 0.
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,7 +50,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product arrays differ in length: $n vs ${y.numElements()}")
+    }
     val lt = elemType(left); val rt = elemType(right)
     var acc = 0.0
     var i = 0
@@ -97,7 +102,11 @@ case class DotProduct(left: Expression, right: Expression)
         if (rNulls) s"double $yv = $y.isNullAt($i) ? 0.0d : ${genGet(y, i, rt)};"
         else s"double $yv = ${genGet(y, i, rt)};"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product arrays differ in length: " + $n + " vs " + $y.numElements());
+         |}
          |double $acc = 0.0d;
          |for (int $i = 0; $i < $n; $i++) {
          |  $xGet

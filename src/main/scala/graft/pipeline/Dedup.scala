@@ -73,8 +73,12 @@ object Dedup {
    * maxDf == Long.MaxValue.
    */
   private def cappedPostings(df: DataFrame, idCol: String, textCol: String,
-      maxDf: Long): DataFrame = {
-    val post = postings(df, idCol, textCol)
+      maxDf: Long): DataFrame =
+    capByDocFrequency(postings(df, idCol, textCol), maxDf)
+
+  /** Apply the df cap to any (id, tok) frame (shared by the token and
+    * shingle paths so the cap semantics can never diverge). */
+  private def capByDocFrequency(post: DataFrame, maxDf: Long): DataFrame = {
     if (maxDf == Long.MaxValue) post
     else {
       val dfc = post.groupBy("tok").agg(count("*").as("dfc"))
@@ -93,14 +97,7 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxDf == Long.MaxValue) sh0
-      else {
-        val dfc = sh0.groupBy("tok").agg(count("*").as("dfc"))
-          .filter(col("dfc") <= maxDf).drop("dfc")
-        sh0.join(dfc, "tok").select("id", "tok")
-      }
+    val sh = capByDocFrequency(shingles(df, idCol, textCol, n), maxDf)
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -120,11 +117,7 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     if (n <= 1) postings(df, idCol, textCol)
     else {
-      val toks = split(col(textCol), " ")
-      val grams = transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))
-      df.select(col(idCol).as("id"), toks.as("toks"))
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
         .filter(size(col("toks")) >= n)
         .select(col("id"),
           explode(array_distinct(transform(
@@ -145,8 +138,10 @@ object Dedup {
    * aggregated row.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      maxDf: Long = Long.MaxValue): DataFrame = {
-    val post = cappedPostings(df, idCol, textCol, maxDf)
+      maxDf: Long = Long.MaxValue): DataFrame =
+    signaturesFromPostings(cappedPostings(df, idCol, textCol, maxDf))
+
+  private def signaturesFromPostings(post: DataFrame): DataFrame = {
     val tid = tokenId(col("tok"))
     val aggs = (0 until NumHashes).map { i =>
       min((lit(MinhashA(i)) * tid + MinhashB(i)) % MinhashP).as(s"m$i")
@@ -168,7 +163,11 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, maxDf)
+    // capped postings built ONCE and shared by the signature and
+    // verification stages (the df-cap aggregation is a wide stage —
+    // running it twice would double the dominant cost at corpus scale)
+    val post = cappedPostings(df, idCol, textCol, maxDf)
+    val sigs = signaturesFromPostings(post)
     val bands = sigs
       .withColumn("band", floor(col("hashIdx") / BandSize))
       .groupBy("id", "band")
@@ -180,7 +179,6 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
-    val post = cappedPostings(df, idCol, textCol, maxDf)
     val sizes = post.groupBy("id").agg(count("*").as("sz"))
     val inter = cands.join(post.withColumnRenamed("id", "ida"), "ida")
       .join(post.withColumnRenamed("id", "idb").withColumnRenamed("tok", "tokb"), "idb")
@@ -219,9 +217,11 @@ object Dedup {
       .localCheckpoint()
     // labels only ever decrease, so sum(comp) is strictly monotone while
     // anything changes — convergence is one tiny aggregate per round,
-    // not a join against the previous labels.
+    // not a join against the previous labels. coalesce handles the
+    // empty-graph case (no pairs -> sum is NULL -> 0 -> immediate
+    // convergence with an empty result).
     def labelMass(df: DataFrame): Long =
-      df.agg(sum("comp")).head.getLong(0)
+      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
     var mass = labelMass(labels)
     var iter = 0
     var converged = false

@@ -101,10 +101,11 @@ object StreamingOps {
      * Declarative variant on Spark's built-in `session_window` (works on
      * batch AND streaming frames; on streaming, state merging and
      * watermark eviction are handled by the engine). Input needs
-     * (user_id, ts: timestamp). Spark merges an event into a session
-     * when its ts is STRICTLY inside the previous window (gap boundary
-     * starts a new session) — the same `diff > gap` split as
-     * [[sessionLengths]].
+     * (user_id, ts: timestamp). Boundary semantics match
+     * [[sessionLengths]]: an event exactly `gap` after the previous one
+     * MERGES into the session; only a strictly larger difference splits
+     * (verified empirically against Spark 4.1.2 — do not "fix" either
+     * side alone, the q_sessionize oracles pin both).
      */
     def native(events: DataFrame, gap: String = "30 minutes"): DataFrame =
       events

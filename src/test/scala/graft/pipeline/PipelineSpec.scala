@@ -42,6 +42,11 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 4L))
   }
 
+  test("connectedComponents on an empty pair set returns empty (no crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("connectedComponents labels chains and leaves singletons out") {
     // graph: 1-2-3 chain, 7-9 pair, 5 absent (no pairs)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")

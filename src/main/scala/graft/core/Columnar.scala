@@ -3,7 +3,7 @@ package graft.core
 import scala.collection.mutable
 
 import org.apache.spark.HashPartitioner
-import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector}
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
@@ -127,6 +127,11 @@ object Columnar {
    * into [[SparseBlock]]s (implicit zeros never materialize — neither in
    * the shuffle nor the cache), dense rows into [[DenseBlock]]s. The
    * label column is always dense.
+   *
+   * The hot loop reads the vector UDT struct fields straight out of
+   * Tungsten InternalRows (`queryExecution.toRdd`): no Row wrapper, no
+   * ml.Vector allocation per row — the transpose touches each value
+   * exactly once as a primitive.
    */
   def fromLabeledDf(
       df: DataFrame,
@@ -134,44 +139,66 @@ object Columnar {
       labelCol: String = "label",
       numPartitions: Int = 0): ColumnarData = {
 
-    val rows0 = df.select(labelCol, featuresCol).rdd
-    val rows = withParallelism(rows0, numPartitions)
+    val projected = df.select(
+      org.apache.spark.sql.functions.col(labelCol).cast("double"),
+      org.apache.spark.sql.functions.col(featuresCol))
+    val target =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (projected.queryExecution.toRdd.getNumPartitions < target) {
+        projected.repartition(target)
+      } else projected
     val nf = df.select(featuresCol).head
       .getAs[Vector](0).size
     val nCols = nf + 1
+    val rows = spread.queryExecution.toRdd
 
     val transposed: RDD[((Int, Int), LabeledBlock)] =
       rows.mapPartitionsWithIndex { (pid, it0) =>
         val it = it0.buffered
         if (!it.hasNext) Iterator.empty
-        else it.head.getAs[Vector](1) match {
-          case _: SparseVector => transposeSparse(pid, it, nf)
-          case _ => transposeDense(pid, it, nf)
+        else {
+          // ml.VectorUDT layout: struct<type:byte, size:int,
+          //   indices:array<int>, values:array<double>>; type 0 = sparse
+          val sparseFirst = it.head.getStruct(1, 4).getByte(0) == 0
+          if (sparseFirst) transposeSparse(pid, it, nf)
+          else transposeDense(pid, it, nf)
         }
       }
     finish(transposed, rows.getNumPartitions, nCols)
   }
 
+  /** Vector size from the UDT struct (dense: values length; sparse: the
+    * size field). */
+  @inline private def vecSize(
+      s: org.apache.spark.sql.catalyst.InternalRow): Int =
+    if (s.getByte(0) == 0) s.getInt(1) else s.getArray(3).numElements()
+
   /** Dense-mode partition transpose: one byte builder per column. */
-  private def transposeDense(pid: Int, it: Iterator[org.apache.spark.sql.Row],
+  private def transposeDense(pid: Int,
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       nf: Int): Iterator[((Int, Int), LabeledBlock)] = {
     val builders = Array.fill(nf)(new mutable.ArrayBuilder.ofByte)
     val labels = new mutable.ArrayBuilder.ofByte
     it.foreach { row =>
-      val vec = row.getAs[Vector](1)
-      require(vec.size == nf, s"Inconsistent vector size: ${vec.size} != $nf")
-      vec match {
-        case dv: DenseVector =>
-          val vals = dv.values
-          var j = 0
-          while (j < nf) { builders(j) += toByteChecked(vals(j)); j += 1 }
-        case sv: SparseVector =>
-          val dense = new Array[Byte](nf)
-          val ids = sv.indices; val vals = sv.values
-          var j = 0
-          while (j < ids.length) { dense(ids(j)) = toByteChecked(vals(j)); j += 1 }
-          j = 0
-          while (j < nf) { builders(j) += dense(j); j += 1 }
+      val vec = row.getStruct(1, 4)
+      require(vecSize(vec) == nf,
+        s"Inconsistent vector size: ${vecSize(vec)} != $nf")
+      if (vec.getByte(0) != 0) {
+        val vals = vec.getArray(3)
+        var j = 0
+        while (j < nf) { builders(j) += toByteChecked(vals.getDouble(j)); j += 1 }
+      } else {
+        val dense = new Array[Byte](nf)
+        val ids = vec.getArray(2); val vals = vec.getArray(3)
+        val nnz = ids.numElements()
+        var j = 0
+        while (j < nnz) {
+          dense(ids.getInt(j)) = toByteChecked(vals.getDouble(j)); j += 1
+        }
+        j = 0
+        while (j < nf) { builders(j) += dense(j); j += 1 }
       }
       labels += toByteChecked(row.getDouble(0))
     }
@@ -191,7 +218,8 @@ object Columnar {
    * histogram kernels see every (feature, block) cell — implicit zeros
    * are patched in-kernel, never materialized.
    */
-  private def transposeSparse(pid: Int, it: Iterator[org.apache.spark.sql.Row],
+  private def transposeSparse(pid: Int,
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       nf: Int): Iterator[((Int, Int), LabeledBlock)] = {
     require(nf < MaxSparseFeatures,
       s"sparse transpose supports < $MaxSparseFeatures features, got $nf")
@@ -199,29 +227,30 @@ object Columnar {
     val labels = new mutable.ArrayBuilder.ofByte
     var rowIdx = 0
     it.foreach { row =>
-      val vec = row.getAs[Vector](1)
-      require(vec.size == nf, s"Inconsistent vector size: ${vec.size} != $nf")
-      vec match {
-        case sv: SparseVector =>
-          val ids = sv.indices; val vals = sv.values
-          var j = 0
-          while (j < ids.length) {
-            val v = toByteChecked(vals(j))
-            if (v != 0) {
-              packed += (ids(j).toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
-            }
-            j += 1
+      val vec = row.getStruct(1, 4)
+      require(vecSize(vec) == nf,
+        s"Inconsistent vector size: ${vecSize(vec)} != $nf")
+      if (vec.getByte(0) == 0) {
+        val ids = vec.getArray(2); val vals = vec.getArray(3)
+        val nnz = ids.numElements()
+        var j = 0
+        while (j < nnz) {
+          val v = toByteChecked(vals.getDouble(j))
+          if (v != 0) {
+            packed += (ids.getInt(j).toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
           }
-        case dv: DenseVector =>
-          val vals = dv.values
-          var j = 0
-          while (j < vals.length) {
-            val v = toByteChecked(vals(j))
-            if (v != 0) {
-              packed += (j.toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
-            }
-            j += 1
+          j += 1
+        }
+      } else {
+        val vals = vec.getArray(3)
+        var j = 0
+        while (j < nf) {
+          val v = toByteChecked(vals.getDouble(j))
+          if (v != 0) {
+            packed += (j.toLong << 40) | (rowIdx.toLong << 8) | (v & 0xFFL)
           }
+          j += 1
+        }
       }
       labels += toByteChecked(row.getDouble(0))
       rowIdx += 1
@@ -301,16 +330,6 @@ object Columnar {
         }
       }
     finish(transposed, rows.getNumPartitions, nCols)
-  }
-
-  /** Spread narrow inputs (e.g. a single parquet row group) across the
-    * cluster before the transpose; a wide input keeps its partitioning. */
-  private def withParallelism[T: scala.reflect.ClassTag](
-      rows: RDD[T], numPartitions: Int): RDD[T] = {
-    val target =
-      if (numPartitions > 0) numPartitions
-      else rows.sparkContext.defaultParallelism
-    if (rows.getNumPartitions < target) rows.repartition(target) else rows
   }
 
   /** Partition by (feature, block), persist, and run the single stats

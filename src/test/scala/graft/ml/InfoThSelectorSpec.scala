@@ -178,6 +178,32 @@ class InfoThSelectorSpec extends SparkSpec {
     assert(model.selectionPath.head._1 == 0)
   }
 
+  test("sparse selection scales to 1000 features without densification") {
+    val rng = new scala.util.Random(43)
+    val nf = 1000
+    val rows = (0 until 400).map { _ =>
+      val label = rng.nextInt(2)
+      // informative feature 7 fires with the label; 5 random noise nnz
+      val idx = (Seq.fill(5)(rng.nextInt(nf)).toSet ++
+        (if (label == 1 && rng.nextDouble() < 0.9) Set(7) else Set.empty[Int]))
+        .toSeq.sorted.toArray
+      val vals = idx.map(_ => (1 + rng.nextInt(3)).toDouble)
+      (label.toDouble, Vectors.sparse(nf, idx, vals).asInstanceOf[Vector])
+    }
+    val model = new InfoThSelector().setCriterion("mim").setNumTopFeatures(5)
+      .fit(toDf(rows))
+    assert(model.selectedFeatures.length == 5)
+    assert(model.selectionPath.head._1 == 7,
+      s"expected informative feature 7 first, got ${model.selectionPath.head._1}")
+    // the cached working set must hold SparseBlocks, not densified rows
+    val df = toDf(rows)
+    val colData = graft.core.Columnar.fromLabeledDf(df)
+    val kinds = colData.data.filter(_._1._1 < nf)
+      .map(_._2.x.getClass.getSimpleName).distinct().collect().toSet
+    assert(kinds == Set("SparseBlock"))
+    colData.unpersist()
+  }
+
   test("model save/load round-trip") {
     val model = new InfoThSelector().setCriterion("jmi")
       .setNumTopFeatures(2).fit(copyFixture)

@@ -204,6 +204,28 @@ class InfoThSelectorSpec extends SparkSpec {
     colData.unpersist()
   }
 
+  test("reference benchmark shape: nf=631, ni=8000, dense, mRMR k=10") {
+    // the reference's intended benchmark defaults (ECBDL14 subset:
+    // test/InfoSelectorTest.scala:100-105 — NF=631, NI=8000, nfeat=10)
+    val rng = new scala.util.Random(53)
+    val nf = 631
+    val rows = (0 until 8000).map { _ =>
+      val label = rng.nextInt(2)
+      val v = Array.fill(nf)(rng.nextInt(8).toDouble)
+      // plant signal: feature 100 tracks the label closely
+      v(100) = (if (rng.nextDouble() < 0.85) label * 4 else rng.nextInt(8)).toDouble
+      (label.toDouble, Vectors.dense(v))
+    }
+    val t0 = System.nanoTime()
+    val model = new InfoThSelector().setCriterion("mrmr")
+      .setNumTopFeatures(10).fit(toDf(rows))
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"fit took $sec%.2f s (11 passes over 8000x631)")
+    assert(model.selectedFeatures.length == 10)
+    assert(model.selectionPath.head._1 == 100,
+      s"expected planted feature 100 first, got ${model.selectionPath.head._1}")
+  }
+
   test("model save/load round-trip") {
     val model = new InfoThSelector().setCriterion("jmi")
       .setNumTopFeatures(2).fit(copyFixture)

@@ -525,6 +525,27 @@ object Queries {
 
   val countInstancesSql: String = "SELECT COUNT(*) AS n FROM lineitem"
 
+  /** Exact per-group percentiles (p25/p50/p75 of extendedprice by
+    * returnflag) — the analytics staple the discretizer's split search
+    * generalizes. Exact percentile sorts within each group; at 100 TB
+    * swap in `approx_percentile` (Greenwald-Khanna) — same call shape,
+    * bounded memory, no sort. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75"))
+      .orderBy("l_returnflag")
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared oracle for the io round-trips: per-label row count and
     * per-feature sums over the lineitem feature table. */
   private val ioAggSql: String =
@@ -612,7 +633,8 @@ object Queries {
     "q_discretize" -> discretize _,
     "q_count" -> countInstances _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
-    "q_keel_read" -> keelRoundtrip _)
+    "q_keel_read" -> keelRoundtrip _,
+    "q_quantiles" -> quantiles _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -635,5 +657,6 @@ object Queries {
     "q_discretize" -> discretizeSql,
     "q_count" -> countInstancesSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
-    "q_keel_read" -> ioRoundtripSql)
+    "q_keel_read" -> ioRoundtripSql,
+    "q_quantiles" -> quantilesSql)
 }

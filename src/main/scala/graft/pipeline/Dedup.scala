@@ -212,8 +212,12 @@ object Dedup {
       .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with the FIRST propagation step for free: each node starts
+    // at min(self, direct neighbors) — diameter-1 clusters (the common
+    // near-dup case) then converge after a single confirming round
+    var labels = edges.select(col("src").as("id"), col("dst").as("comp"))
+      .union(edges.select(col("src").as("id"), col("src").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
       .localCheckpoint()
     // labels only ever decrease, so sum(comp) is strictly monotone while
     // anything changes — convergence is one tiny aggregate per round,

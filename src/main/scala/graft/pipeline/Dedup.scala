@@ -163,30 +163,38 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    // capped postings built ONCE and shared by the signature and
-    // verification stages (the df-cap aggregation is a wide stage —
-    // running it twice would double the dominant cost at corpus scale)
     val post = cappedPostings(df, idCol, textCol, maxDf)
-    val sigs = signaturesFromPostings(post)
-    val bands = sigs
-      .withColumn("band", floor(col("hashIdx") / BandSize))
-      .groupBy("id", "band")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("hashIdx"), col("minv")))),
-        s => s.getField("minv")), ",").as("bkey"))
+    // ONE aggregation pass over the postings yields all 16 minima AND
+    // the per-doc token-set size; band keys project straight off the
+    // wide row (no long-form re-aggregation, no separate sizes pass) and
+    // sizes ride through the candidate join, so the only re-scan of the
+    // postings is the unavoidable intersection self-join.
+    val tid = tokenId(col("tok"))
+    val aggs = (0 until NumHashes).map { i =>
+      min((lit(MinhashA(i)) * tid + MinhashB(i)) % MinhashP).as(s"m$i")
+    } :+ count("*").as("sz")
+    val wide = post.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val nBands = NumHashes / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandSize).map(i =>
+          col(s"m${b * BandSize + i}")): _*).as("bkey"))
+    }
+    val bands = wide.select(col("id"), col("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sz"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
       .distinct()
-    val sizes = post.groupBy("id").agg(count("*").as("sz"))
     val inter = cands.join(post.withColumnRenamed("id", "ida"), "ida")
       .join(post.withColumnRenamed("id", "idb").withColumnRenamed("tok", "tokb"), "idb")
       .filter(col("tok") === col("tokb"))
-      .groupBy("ida", "idb").agg(count("*").as("i"))
+      .groupBy("ida", "idb", "sa", "sb").agg(count("*").as("i"))
     inter
-      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sa"), "ida")
-      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "sb"), "idb")
       .select(col("ida"), col("idb"),
         round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 6)
           .as("jaccard"))

@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.ml.param.Params
-import org.apache.spark.ml.util.{MLReader, MLWriter}
+
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -41,7 +41,6 @@ private[graft] object MetaIO {
 
   /** Returns (uid, paramName -> raw json literal). */
   def load(path: String, spark: SparkSession): (String, Map[String, String]) = {
-    import spark.implicits._
     val json = spark.read.textFile(new Path(path, "metadata").toString)
       .head()
     val uid = """"uid":"((?:[^"\\]|\\.)*)"""".r

@@ -24,7 +24,13 @@ object Bench {
     // failures report in an "errors" map; their elapsed-to-failure time
     // still appears in "queries"/total, so read totals together with
     // "errors" when comparing runs.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-profiling filter: SPARK_GRAFT_ONLY=q_a,q_b runs just
+    // those queries (driver never sets it, so driver runs are unaffected).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>

@@ -76,6 +76,7 @@ object Queries {
       wideCache.values.foreach(_.unpersist())
       wideCache.clear()
     }
+    PipelineQueries.clearCache()
   }
 
   private def r6(d: Double): Double =

@@ -72,7 +72,7 @@ object Dedup {
    * tokens. One extra partial-agg pass; skipped entirely when
    * maxDf == Long.MaxValue.
    */
-  private def cappedPostings(df: DataFrame, idCol: String, textCol: String,
+  def cappedPostings(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long): DataFrame =
     capByDocFrequency(postings(df, idCol, textCol), maxDf)
 
@@ -96,8 +96,15 @@ object Dedup {
    * contribute to neither intersections nor sizes — both engines agree).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = capByDocFrequency(shingles(df, idCol, textCol, n), maxDf)
+      n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame =
+    jaccardFromPostings(
+      capByDocFrequency(shingles(df, idCol, textCol, n), maxDf), threshold)
+
+  /** Jaccard pairs >= threshold over a prepared (id, tok) postings frame
+    * — lets callers persist one postings set and reuse it across the
+    * dedup family (pairs, components, clean pipeline) instead of
+    * re-deriving it per query. */
+  def jaccardFromPostings(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -162,8 +169,12 @@ object Dedup {
    * web-scale dedup topology.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val post = cappedPostings(df, idCol, textCol, maxDf)
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame =
+    minhashLshFromPostings(cappedPostings(df, idCol, textCol, maxDf), threshold)
+
+  /** MinHash + LSH over a prepared (id, tok) postings frame (shares the
+    * cached postings with the Jaccard family). */
+  def minhashLshFromPostings(post: DataFrame, threshold: Double): DataFrame = {
     // ONE aggregation pass over the postings yields all 16 minima AND
     // the per-doc token-set size; band keys project straight off the
     // wide row (no long-form re-aggregation, no separate sizes pass) and

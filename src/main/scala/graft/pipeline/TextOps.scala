@@ -20,10 +20,13 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish sub-word count approximation: words plus extra units for
-    * every 4 chars beyond the first 4 of each word (cheap, codegen'd). */
+    * every 4 chars beyond the first 4 of each word (cheap, codegen'd).
+    * Long-typed on both sides — DuckDB's list_sum widens to HUGEINT, so
+    * the oracle casts back to BIGINT and we emit int64 here. */
   def subwordCount(text: Column): Column =
     aggregate(tokens(text), lit(0),
       (acc, w) => acc + lit(1) + floor(greatest(length(w) - lit(1), lit(0)) / lit(4)).cast("int"))
+      .cast("long")
 
   /** Ratio of tokens found in `words`, rounded to 6 decimals. */
   def hitRatio(text: Column, words: Seq[String]): Column = {

@@ -208,6 +208,6 @@ class TextOpsSpec extends SparkSpec {
   test("subword count adds units for long words") {
     val df = Seq((1L, "hi international")).toDF("id", "text")
     // hi -> 1; international (13 chars) -> 1 + floor(12/4) = 4
-    assert(df.select(TextOps.subwordCount(col("text"))).head.getInt(0) == 5)
+    assert(df.select(TextOps.subwordCount(col("text"))).head.getLong(0) == 5L)
   }
 }

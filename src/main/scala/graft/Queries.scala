@@ -108,8 +108,7 @@ object Queries {
   def hist3d(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val col = columnar(spark, dir)
-    val yB = spark.sparkContext.broadcast(col.collectColumn(0))
-    Histograms.histogram3D(col, 0, yB)
+    Histograms.histogram3D(col, 0)
       .flatMap { case (f, h) =>
         for {
           x <- 0 until h.xs; y <- 0 until h.ys; z <- 0 until h.zs
@@ -197,8 +196,7 @@ object Queries {
     import spark.implicits._
     val col = columnar(spark, dir)
     val n = col.nInstances
-    val yB = spark.sparkContext.broadcast(col.collectColumn(0))
-    Histograms.histogram3D(col, 0, yB)
+    Histograms.histogram3D(col, 0)
       .map { case (f, h) =>
         val (m, c) = InfoTheory.miAndCmi(h, n)
         (f, r6(m), r6(c))

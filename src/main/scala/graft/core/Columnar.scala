@@ -2,7 +2,6 @@ package graft.core
 
 import scala.collection.mutable
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
@@ -41,25 +40,30 @@ final case class SparseBlock(n: Int, rows: Array[Int], values: Array[Byte])
  * way, InfoSelector.scala:431).
  *
  * Scale notes (100 TB design):
- * - The transpose moves each cell exactly once, packed in per-feature
- *   byte blocks: shuffle volume is O(cells) BYTES, not O(cells) records.
- * - The label column rides along with every feature block, so the
- *   relevance/redundancy kernels never pull an O(nInstances) label
- *   column through the driver — at 10^11 rows a collected label column
- *   (~100 GB) could neither be collected nor broadcast. Cost: label
- *   bytes are duplicated once per feature (ships and caches like one
- *   extra feature per feature); the driver never holds more than its
- *   own result rows.
- * - Partitioning is by hash of (feature, block) — NOT by feature alone —
- *   so scan parallelism grows with data volume; a feature's partial
+ * - BLOCK-MAJOR CO-LOCATION: all columns of one instance block stay in
+ *   the block's own partition — the transpose is a pure mapPartitions
+ *   (ZERO shuffle; the only exchange anywhere is the optional
+ *   parallelism repartition of the raw rows, which ships unsafe rows
+ *   once). Every per-block pairing the kernels need (x vs label, x vs
+ *   the per-round selected column y) is partition-local by
+ *   construction, so NO column is ever collected, broadcast, or
+ *   shuffled during selection: at 10^11 rows a collected/broadcast
+ *   column (~100 GB) would exceed both driver and executor memory —
+ *   here the per-task working set stays O(block), independent of
+ *   nInstances.
+ * - Scan parallelism = number of blocks, which grows with data volume
+ *   (the reference's partitionByRange(0) by feature,
+ *   InfoSelector.scala:436, would make one task scan an entire feature
+ *   column — a straggler at billions of rows). A feature's partial
  *   histograms merge through a keyed reduce that shuffles only
- *   O(nFeatures x partitions) tiny count matrices (<= 6 KB each for a
- *   256x|Y| table). Partitioning by feature alone (the reference's
- *   partitionByRange(0), InfoSelector.scala:436) would make one task
- *   scan an entire feature column — a straggler at billions of rows.
- * - Blocks carry their own id, so repartitioning can never break the
+ *   O(nFeatures x blocks) tiny count matrices (<= 6 KB each for a
+ *   256x|Y| table) — independent of nInstances.
+ * - The label column rides along with every feature block (in-memory
+ *   it's one shared array reference per block, not a copy).
+ * - Blocks carry their own id, so block-id keying can never break the
  *   x/y alignment invariant (SURVEY §7 risk 1): alignment is by block
- *   id, never partition placement.
+ *   id, never partition placement — and co-location makes the aligned
+ *   pairing free.
  */
 final case class LabeledBlock(x: ColBlock, label: Array[Byte])
 
@@ -72,11 +76,10 @@ final case class ColumnarData(
   /** Index of the class-label column. */
   def labelIndex: Int = nFeatures
 
-  /** Collect one feature's blocks (block id -> densified bytes). Used
-    * only for the per-round selected-column broadcast (one column,
-    * torrent-chunked — reference: the `withBroadcastSet` y column,
-    * InfoTheory.scala:541-545). The label column never goes through
-    * here: it rides inside every block. */
+  /** Collect one feature's blocks (block id -> densified bytes).
+    * TEST/DEBUG ONLY — the engine never collects a column: the greedy
+    * loop's per-round y column is read partition-locally thanks to
+    * block-major co-location (see [[Histograms.histogram3D]]). */
   def collectColumn(feature: Int): Map[Int, Array[Byte]] =
     data.filter(_._1._1 == feature)
       .map { case ((_, b), blk) => (b, Columnar.densify(blk.x)) }
@@ -166,7 +169,7 @@ object Columnar {
           else transposeDense(pid, it, nf)
         }
       }
-    finish(transposed, rows.getNumPartitions, nCols)
+    finish(transposed, nCols)
   }
 
   /** Vector size from the UDT struct (dense: values length; sparse: the
@@ -329,19 +332,18 @@ object Columnar {
             ((nf, pid), LabeledBlock(DenseBlock(labelArr), labelArr)))
         }
       }
-    finish(transposed, rows.getNumPartitions, nCols)
+    finish(transposed, nCols)
   }
 
-  /** Partition by (feature, block), persist, and run the single stats
-    * pass: per-feature (max value, instance count) in one job
-    * (cardinality pre-pass per reference InfoTheory.scala:415-419 fused
-    * with the instance count). */
+  /** Persist (block-major: records stay in their source partition — no
+    * shuffle, so each block's columns are co-located with each other by
+    * construction) and run the single stats pass: per-feature (max
+    * value, instance count) in one job (cardinality pre-pass per
+    * reference InfoTheory.scala:415-419 fused with the instance count). */
   private def finish(
       transposed: RDD[((Int, Int), LabeledBlock)],
-      parts: Int,
       nCols: Int): ColumnarData = {
     val partitioned = transposed
-      .partitionBy(new HashPartitioner(parts))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val stats = partitioned

@@ -2,7 +2,6 @@ package graft.core
 
 import scala.collection.mutable
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 
 /** Dense 2-D contingency table for one feature: counts(x*ys + y). */
@@ -99,29 +98,42 @@ object Histograms {
   }
 
   /**
-   * 3-D contingency tables of every feature x vs. a broadcast column y
-   * (the newly selected feature) and the block-carried class label as z,
-   * excluding y and the label themselves (reference: FilterWitH3
-   * application, InfoTheory.scala:455-456).
+   * 3-D contingency tables of every feature x vs. column y (the newly
+   * selected feature) and the block-carried class label as z, excluding
+   * y and the label themselves (reference: FilterWitH3 application,
+   * InfoTheory.scala:455-456).
+   *
+   * The y column is NEVER collected, broadcast or shuffled: block-major
+   * co-location (see [[ColumnarData]]) guarantees each partition holds
+   * the y blocks of exactly the blocks it scans, so every task reads y
+   * partition-locally. The buffering below materializes an array of
+   * RECORD REFERENCES into the cached partition (pointers, not byte
+   * copies) to locate the y blocks before the accumulation sweep.
+   * Per-round cost at any scale: one cached scan + the
+   * O(nFeatures x blocks) matrix merge — no O(nInstances) term on any
+   * single node.
    */
-  def histogram3D(
-      col: ColumnarData,
-      yFeat: Int,
-      yBlocks: Broadcast[Map[Int, Array[Byte]]]): RDD[(Int, Hist3D)] = {
+  def histogram3D(col: ColumnarData, yFeat: Int): RDD[(Int, Hist3D)] = {
     val ys = col.cardinality(yFeat)
     val zs = col.cardinality(col.labelIndex)
     val labelIdx = col.labelIndex
     val cards = col.data.sparkContext.broadcast(col.cardinality)
     col.data.mapPartitions { it =>
+      val recs = it.toArray
+      val yb = new mutable.HashMap[Int, Array[Byte]]
+      recs.foreach { case ((f, block), blk) =>
+        if (f == yFeat) yb(block) = Columnar.densify(blk.x)
+      }
       val acc = new mutable.HashMap[Int, Hist3D]
-      val yb = yBlocks.value
-      it.foreach { case ((f, block), blk) =>
+      recs.foreach { case ((f, block), blk) =>
         if (f != yFeat && f != labelIdx) {
           val h = acc.getOrElseUpdate(f, {
             val xs = cards.value(f)
             Hist3D(xs, ys, zs, new Array[Long](xs * ys * zs))
           })
-          accumulate3D(blk.x, yb(block), blk.label, h.counts, h.xs, ys, zs)
+          val ycol = yb.getOrElse(block, throw new IllegalStateException(
+            s"block $block lost co-location with feature $yFeat"))
+          accumulate3D(blk.x, ycol, blk.label, h.counts, h.xs, ys, zs)
         }
       }
       acc.iterator
@@ -187,14 +199,4 @@ object Histograms {
     }.collect().toMap
   }
 
-  /** Value-frequency histogram of a single collected column
-    * (reference: computeFrequency, InfoTheory.scala:230-235). */
-  def frequencies(blocks: Map[Int, Array[Byte]], card: Int): Array[Long] = {
-    val out = new Array[Long](card)
-    blocks.valuesIterator.foreach { bytes =>
-      var i = 0
-      while (i < bytes.length) { out(idx(bytes(i))) += 1L; i += 1 }
-    }
-    out
-  }
 }

@@ -63,17 +63,19 @@ trait InfoThSelectorParams extends Params
  *     feature relevance I(Xi; Y) collected to the driver (nFeatures rows);
  *  3. driver-side greedy loop (replaces the Flink bulk iteration,
  *     reference InfoSelector.scala:354-364 — criterion state is tiny, so
- *     distributed iteration state buys nothing): per round, broadcast the
- *     newly selected column, one job builds 3-D histograms and returns
- *     (feature, mi, cmi) rows, the driver folds them into the criteria.
- *     MIM short-circuits to top-k relevance (reference
- *     InfoSelector.scala:313-315) with zero extra passes.
+ *     distributed iteration state buys nothing): per round, one job
+ *     builds 3-D histograms against the newly selected column — read
+ *     partition-locally via block-major co-location, with NO collect and
+ *     NO broadcast of any column — and returns (feature, mi, cmi) rows
+ *     the driver folds into the criteria. MIM short-circuits to top-k
+ *     relevance (reference InfoSelector.scala:313-315) with zero extra
+ *     passes.
  *  4. model holds the sorted selected indices
  *     (reference InfoSelector.scala:491).
  *
  * Total cost: (k+1) scans of the cached columnar set — the reference's
- * own cost model (BASELINE.md) — with the class column broadcast once
- * and reused across all rounds.
+ * own cost model (BASELINE.md) — with per-round driver traffic bounded
+ * by O(nFeatures) score rows, independent of nInstances.
  */
 class InfoThSelector(override val uid: String)
     extends Estimator[InfoThSelectorModel] with InfoThSelectorParams
@@ -120,7 +122,6 @@ object InfoThSelector extends DefaultParamsReadable[InfoThSelector] {
       k: Int,
       beta: Double): Array[(Int, Double)] = {
 
-    val sc = colData.data.sparkContext
     val n = colData.nInstances
     require(n > 0, "empty input")
 
@@ -159,13 +160,13 @@ object InfoThSelector extends DefaultParamsReadable[InfoThSelector] {
       if (selected.length < nToSelect) {
         // One job: 3-D histograms vs. (selected, class) -> (mi, cmi)
         // (reference: getRedundancies, InfoTheory.scala:445-461). The
-        // selected column is the ONLY broadcast — one column, chunked.
-        val yBlocks = sc.broadcast(colData.collectColumn(maxFeat))
-        val redundancies = try {
-          Histograms.histogram3D(colData, maxFeat, yBlocks)
+        // selected column is read partition-locally (block-major
+        // co-location) — nothing is collected or broadcast; only the
+        // O(nFeatures) (mi, cmi) rows reach the driver.
+        val redundancies =
+          Histograms.histogram3D(colData, maxFeat)
             .mapValues(h => InfoTheory.miAndCmi(h, n))
             .collect().toMap
-        } finally yBlocks.destroy()
         criteria.foreach { case (f, cr) =>
           if (cr.valid) redundancies.get(f).foreach {
             case (mi, cmi) => cr.update(mi, cmi)

@@ -86,16 +86,33 @@ class ColumnarSpec extends SparkSpec {
     h2s.foreach { case (f, h) =>
       assert(h.counts.toSeq == h2d(f).counts.toSeq, s"2D mismatch at f=$f")
     }
-    val yBs = spark.sparkContext.broadcast(sCol.collectColumn(1))
-    val yBd = spark.sparkContext.broadcast(dCol.collectColumn(1))
-    val h3s = Histograms.histogram3D(sCol, 1, yBs).collect().toMap
-    val h3d = Histograms.histogram3D(dCol, 1, yBd).collect().toMap
+    val h3s = Histograms.histogram3D(sCol, 1).collect().toMap
+    val h3d = Histograms.histogram3D(dCol, 1).collect().toMap
     assert(h3s(0).counts.toSeq == h3d(0).counts.toSeq)
     // frequencies kernel agrees too
     val fs = Histograms.frequenciesByFeature(sCol)
     val fd = Histograms.frequenciesByFeature(dCol)
     fs.foreach { case (f, a) => assert(a.toSeq == fd(f).toSeq) }
     sCol.unpersist(); dCol.unpersist()
+  }
+
+  test("block-major co-location: every block's columns share one partition") {
+    val rng = new scala.util.Random(3)
+    val rows = Seq.fill(64)((rng.nextInt(2).toDouble,
+      Array(rng.nextInt(8).toDouble, rng.nextInt(8).toDouble)))
+    val col = Columnar.fromLabeledDf(labeledDf(rows).repartition(5))
+    val placement = col.data.mapPartitionsWithIndex { (pid, it) =>
+      it.map { case ((f, b), _) => (b, (pid, f)) }
+    }.collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    placement.foreach { case (b, recs) =>
+      // one partition per block…
+      assert(recs.map(_._1).distinct.length == 1,
+        s"block $b spread over partitions ${recs.map(_._1).distinct.toSeq}")
+      // …holding every column of that block (features + label)
+      assert(recs.map(_._2).sorted.toSeq == (0 to col.nFeatures),
+        s"block $b missing columns")
+    }
+    col.unpersist()
   }
 
   test("out-of-domain values are rejected") {
@@ -117,7 +134,6 @@ class ColumnarSpec extends SparkSpec {
       (lbl(i).toDouble, Array(xs(i).toDouble, ys(i).toDouble))
     }
     val col = Columnar.fromLabeledDf(labeledDf(rows).repartition(3))
-    val sc = spark.sparkContext
 
     val h2 = Histograms.histogram2D(col).collect().toMap
     assert(h2.keySet == Set(0, 1))
@@ -125,9 +141,9 @@ class ColumnarSpec extends SparkSpec {
     assert(h2(0).counts.toSeq == expected2.counts.toSeq)
     assert(h2(0).total == n)
 
-    val zB = sc.broadcast(col.collectColumn(1))
-    // x vs y=feature1, z=label (label rides with the blocks)
-    val h3 = Histograms.histogram3D(col, 1, zB)
+    // x vs y=feature1, z=label (y read partition-locally, label rides
+    // with the blocks)
+    val h3 = Histograms.histogram3D(col, 1)
       .collect().toMap
     assert(h3.keySet == Set(0))
     val expected3 = Brute.hist3d(xs, ys, lbl)

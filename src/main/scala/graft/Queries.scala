@@ -498,11 +498,21 @@ object Queries {
   def discretize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.linalg.Vectors
-    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_quantity").cast("double").as("q"))
-      .map(r => Tuple1(Vectors.dense(r.getDouble(0)))).toDF("features")
+    val df = raw.map(r => Tuple1(Vectors.dense(r.getDouble(0))))
+      .toDF("features")
     val model = new FrequencyDiscretizer().setNumBuckets(245).setSeed(42)
       .setInputCol("features").setOutputCol("disc").fit(df)
+    // The dense-rank oracle is only valid on the few-distincts branch
+    // with EVERY distinct value present in the sample (at sf<=0.01 the
+    // sample is the full table). If a larger sf ever makes the Bernoulli
+    // sample miss a value, fail loudly instead of hash-diverging. (The
+    // check scans the narrow raw column — codegen'd, no vector UDT.)
+    val nDistinct = raw.agg(count_distinct(col("q"))).head.getLong(0)
+    require(model.splitsArray(0).length == nDistinct + 2,
+      s"discretize oracle invalidated: sample covered " +
+        s"${model.splitsArray(0).length - 2} of $nDistinct distinct values")
     import org.apache.spark.ml.functions.vector_to_array
     model.transform(df)
       .select(vector_to_array(col("features")).getItem(0).cast("int").as("x"),

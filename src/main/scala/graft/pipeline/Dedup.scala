@@ -240,11 +240,15 @@ object Dedup {
       .localCheckpoint()
     // labels only ever decrease, so sum(comp) is strictly monotone while
     // anything changes — convergence is one tiny aggregate per round,
-    // not a join against the previous labels. coalesce handles the
-    // empty-graph case (no pairs -> sum is NULL -> 0 -> immediate
-    // convergence with an empty result).
-    def labelMass(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+    // not a join against the previous labels. The sum runs in
+    // DECIMAL(38,0): a Long sum wraps at corpus scale (10^11 nodes x
+    // 10^10 ids ~ 10^21 > 2^63), and a wrapped "converged" compare
+    // could terminate early. coalesce handles the empty-graph case (no
+    // pairs -> sum is NULL -> 0 -> immediate convergence, empty result).
+    val zero = lit(0).cast("decimal(38,0)")
+    def labelMass(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")), zero))
+        .head.getDecimal(0)
     var mass = labelMass(labels)
     var iter = 0
     var converged = false
@@ -255,7 +259,7 @@ object Dedup {
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
       val nextMass = labelMass(labels)
-      converged = nextMass == mass
+      converged = nextMass.compareTo(mass) == 0
       mass = nextMass
       iter += 1
     }

@@ -64,6 +64,18 @@ class DedupSpec extends SparkSpec {
     assert(comp.keySet == (0L until 12L).toSet)
   }
 
+  test("connectedComponents is exact with ids near Long.MaxValue") {
+    // a Long sum of these ids wraps; the decimal(38,0) convergence
+    // signal must not terminate early or corrupt labels
+    val m = Long.MaxValue
+    val pairs = Seq((m - 1, m), (m - 2, m - 1), (m - 9, m - 8))
+      .toDF("ida", "idb")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
+      (m - 8) -> (m - 9), (m - 9) -> (m - 9)))
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val sigs = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -76,6 +76,10 @@ object Queries {
       wideCache.values.foreach(_.unpersist())
       wideCache.clear()
     }
+    sparseCache.synchronized {
+      sparseCache.values.foreach(_.unpersist())
+      sparseCache.clear()
+    }
     PipelineQueries.clearCache()
   }
 
@@ -469,6 +473,88 @@ object Queries {
        |ORDER BY mi DESC, feature LIMIT 8""".stripMargin
   }
 
+  // ---- sparse end-to-end (SparseBlock kernels against the oracle) ----
+
+  /** Deterministic ~12%-dense feature j over lineitem: nonzero only on
+    * rows with (orderkey + j*linenumber) % 8 == 0. The SAME SQL text
+    * evaluates on both engines, so the sparse kernels are oracle-checked
+    * end-to-end (implicit-zero patching included). */
+  private def sparseFeatExpr(j: Int): String =
+    s"CASE WHEN (l_orderkey + $j * l_linenumber) % 8 = 0 " +
+      "THEN 1 + (CAST(l_quantity AS INTEGER) % 8) ELSE 0 END"
+
+  private val SparseN = 8
+
+  private val sparseCache = TrieMap.empty[(SparkSession, String), ColumnarData]
+
+  /** Columnar set built through the SPARSE path: rows become ml
+    * SparseVectors, so the transpose packs [[graft.core.SparseBlock]]s
+    * and every downstream kernel runs the implicit-zero branch. */
+  private[graft] def sparseColumnar(spark: SparkSession, dir: String): ColumnarData =
+    sparseCache.synchronized {
+      sparseCache.getOrElseUpdate((spark, dir), {
+        import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val cols = (0 until SparseN).map(j => expr(sparseFeatExpr(j)).cast("double"))
+        val toSparseVec = udf { a: Seq[Double] =>
+          Vectors.dense(a.toArray).toSparse: MlVector
+        }
+        val df = li.select(expr(ySql).cast("double").as("label"),
+          toSparseVec(array(cols: _*)).as("features"))
+        Columnar.fromLabeledDf(df)
+      })
+    }
+
+  /** A3/A4 sparse: 2-D contingency tables through the SparseBlock kernel
+    * (nonzero cells, long form) — the end-to-end certification of the
+    * implicit-zero path. */
+  def sparseHist2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = sparseColumnar(spark, dir)
+    Histograms.histogram2D(col)
+      .flatMap { case (f, h) =>
+        for {
+          x <- 0 until h.xs; y <- 0 until h.ys
+          c = h(x, y) if c > 0
+        } yield (f, x, y, c)
+      }
+      .toDF("feature", "x", "y", "cnt")
+      .orderBy("feature", "x", "y")
+  }
+
+  private val sparseFeatsCte = (0 until SparseN).map { j =>
+    s"SELECT $j AS feature, ${sparseFeatExpr(j)} AS x, $ySql AS y FROM lineitem"
+  }.mkString(" UNION ALL ")
+
+  val sparseHist2dSql: String =
+    s"""WITH feats AS ($sparseFeatsCte)
+       |SELECT feature, x, y, COUNT(*) AS cnt FROM feats
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** O2 sparse: MIM top-4 over the sparse columnar set — relevance
+    * kernel through SparseBlocks, greedy short-circuit on top. */
+  def sparseSelectorMim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = InfoThSelector.select(sparseColumnar(spark, dir), "mim", 4, 0.0)
+    selected.toSeq.map { case (f, s) => (f, r6(s)) }
+      .toDF("feature", "score")
+  }
+
+  val sparseSelectorMimSql: String =
+    s"""WITH feats AS ($sparseFeatsCte),
+       |h AS (SELECT feature, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy
+       |      FROM h),
+       |m AS (SELECT feature,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM w GROUP BY 1)
+       |SELECT feature, ROUND(mi, 6) AS score FROM m
+       |ORDER BY mi DESC, feature LIMIT 4""".stripMargin
+
   /** P1: vector gather through the model transform (fixed indices 0, 2),
     * keyed by (orderkey, linenumber) for deterministic compare. */
   def transformGather(spark: SparkSession, dir: String): DataFrame = {
@@ -643,7 +729,9 @@ object Queries {
     "q_count" -> countInstances _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
-    "q_quantiles" -> quantiles _)
+    "q_quantiles" -> quantiles _,
+    "q_sparse_hist2d" -> sparseHist2d _,
+    "q_sparse_selector_mim" -> sparseSelectorMim _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -667,5 +755,7 @@ object Queries {
     "q_count" -> countInstancesSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
-    "q_quantiles" -> quantilesSql)
+    "q_quantiles" -> quantilesSql,
+    "q_sparse_hist2d" -> sparseHist2dSql,
+    "q_sparse_selector_mim" -> sparseSelectorMimSql)
 }

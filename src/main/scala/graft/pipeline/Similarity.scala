@@ -69,8 +69,9 @@ object Similarity {
    * query probes its `nProbe` nearest centroids and scores ONLY those
    * clusters. The scale path when LSH recall is insufficient: cost per
    * query is nProbe/C of the corpus, and the per-cluster inverted lists
-   * shuffle once on cid (bucket them by cid at rest to remove even
-   * that). Cosines round to 5 decimals before every argmax/rank with an
+   * shuffle once on cid (persist them with [[ivfWriteIndex]] — a
+   * cid-bucketed table — to remove even that). Cosines round to 5
+   * decimals before every argmax/rank with an
    * id tie-break, so an independent engine reproduces the result
    * exactly.
    *
@@ -79,17 +80,45 @@ object Similarity {
    * drift between engines).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int): DataFrame =
+    ivfTopKAssigned(queries, ivfAssign(corpus, centroids), centroids,
+      nProbe, k)
+
+  /** Coarse quantization: every corpus vector labeled with its nearest
+    * centroid — the IVF inverted lists as a frame (id, vec, nrm, cid). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = broadcast(centroids.select(col("cid"), col("cvec"),
       norm(col("cvec")).as("cnrm")))
     val corpusN = corpus.withColumn("nrm", norm(col("vec")))
     val aw = Window.partitionBy("id").orderBy(desc("ccos"), asc("cid"))
-    val assigned = corpusN.join(cent)
+    corpusN.join(cent)
       .select(col("id"), col("vec"), col("nrm"), col("cid"),
         round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 5)
           .as("ccos"))
       .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
       .select("id", "vec", "nrm", "cid")
+  }
+
+  /**
+   * Materialize the IVF index AT REST: the assigned inverted lists
+   * written as a cid-bucketed, cid-sorted table. Probe joins against
+   * `spark.table(name)` then read pre-shuffled lists — no exchange on
+   * the corpus side of the probe join (only the tiny probe side moves),
+   * which at corpus scale removes the one remaining O(corpus) shuffle
+   * per query batch.
+   */
+  def ivfWriteIndex(corpus: DataFrame, centroids: DataFrame,
+      name: String, nBuckets: Int): Unit =
+    ivfAssign(corpus, centroids).write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, "cid").sortBy("cid")
+      .saveAsTable(name)
+
+  /** IVF top-k over a prepared (possibly bucketed-at-rest) assignment. */
+  def ivfTopKAssigned(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("cid"), col("cvec"),
+      norm(col("cvec")).as("cnrm")))
     val qN = queries.withColumn("qnrm", norm(col("vec")))
     val pw = Window.partitionBy("qid").orderBy(desc("pcos"), asc("cid"))
     val probes = qN.join(cent)

@@ -134,6 +134,75 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("ivf bucket-at-rest: same results, no exchange on the corpus side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val rng = new scala.util.Random(23)
+    val corpus = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val centroids = corpus.filter(col("id") < 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val queries = corpus.filter(col("id") < 10)
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+    // a previous JVM's managed-table dir survives the in-memory catalog
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/spark-warehouse/ivf_idx_spec"))
+    Similarity.ivfWriteIndex(corpus, centroids, "ivf_idx_spec", 4)
+    val fromIndex = Similarity.ivfTopKAssigned(
+      queries, spark.table("ivf_idx_spec"), centroids, 2, 3)
+    val direct = Similarity.ivfTopK(queries, corpus, centroids, 2, 3)
+    assert(fromIndex.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq ==
+      direct.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq)
+    // At test scale the tiny corpus gets broadcast (also shuffle-free).
+    // Disable broadcast joins to force the at-scale shape — a shuffled
+    // join where the bucketed index side must arrive WITHOUT an
+    // exchange: only the probe side may shuffle.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = Similarity.ivfTopKAssigned(
+        queries, spark.table("ivf_idx_spec"), centroids, 2, 3)
+      big.collect()
+      // collect() does not descend into AQE wrappers — flatten through
+      // AdaptiveSparkPlanExec / QueryStageExec explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(flatten)
+      val plan = big.queryExecution.executedPlan
+      val nodes = flatten(plan)
+      def hasBucketedScan(p: SparkPlan): Boolean = flatten(p).exists {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      }
+      assert(hasBucketedScan(plan),
+        s"index read did not use a bucketed scan:\n$plan")
+      // the JOIN child holding the bucketed scan must contain no
+      // exchange (exchanges above the join — e.g. the top-k window's —
+      // are unrelated to the index side)
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val scanSides = nodes.collect {
+        case j: BaseJoinExec => j.children.filter(hasBucketedScan)
+      }.flatten
+      assert(scanSides.nonEmpty, s"no join over the bucketed scan:\n$plan")
+      scanSides.foreach { side =>
+        val shuffled = flatten(side).collect { case e: ShuffleExchangeExec => e }
+        assert(shuffled.isEmpty,
+          s"corpus side of the IVF probe join was shuffled:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
   test("multi-table LSH candidates are a superset of the single table's") {
     val rng = new scala.util.Random(41)
     val emb = Seq.tabulate(60)(i =>

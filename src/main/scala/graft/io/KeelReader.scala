@@ -22,14 +22,21 @@ object KeelReader {
     def apply(s: String): Double = index.getOrElse(s,
       throw new IllegalArgumentException(s"Unknown nominal value: $s"))
   }
-  case object Numeric extends AttrType
+  /** Numeric attribute, optionally bounded by an explicit KEEL range
+    * (`integer [0, 255]` / `real [0.0, 1.0]` — reference:
+    * keel/Dataset/Attribute.java:57-68 stores min/max the same way).
+    * Out-of-range values fail loudly at parse time. */
+  final case class Numeric(min: Double = Double.NegativeInfinity,
+      max: Double = Double.PositiveInfinity) extends AttrType
 
   final case class Attr(name: String, tpe: AttrType)
 
   private val attrRe =
     """(?i)@attribute\s+(\S+?)\s*(\{.*\}|integer.*|real.*|numeric.*)?\s*$""".r
+  private val rangeRe = """\[\s*([^,\]]+)\s*,\s*([^\]]+)\s*\]""".r
 
-  /** Parse one `@attribute` line (nominal `{a, b, c}` or numeric). */
+  /** Parse one `@attribute` line: nominal `{a, b, c}`, or numeric with
+    * an optional `[min, max]` range. */
   private[io] def parseAttribute(line: String): Attr = {
     val body = line.trim
     attrRe.findFirstMatchIn(body) match {
@@ -40,7 +47,14 @@ object KeelReader {
           val vals = rest.stripPrefix("{").stripSuffix("}")
             .split(",").map(_.trim).filter(_.nonEmpty)
           Attr(name, Nominal(vals))
-        } else Attr(name, Numeric)
+        } else {
+          val tpe = rangeRe.findFirstMatchIn(rest) match {
+            case Some(r) => Numeric(r.group(1).trim.toDouble,
+              r.group(2).trim.toDouble)
+            case None => Numeric()
+          }
+          Attr(name, tpe)
+        }
       case None =>
         throw new IllegalArgumentException(s"Bad @attribute line: $line")
     }
@@ -51,13 +65,24 @@ object KeelReader {
     lines.filter(_.trim.toLowerCase.startsWith("@attribute"))
       .map(parseAttribute).toArray
 
+  /** KEEL missing-value token (reference: the vendored parser accepts
+    * `?` / `<null>` in data rows). */
+  private def isMissing(s: String): Boolean = s == "?" || s == "<null>"
+
   /**
    * Read a KEEL data file. Header (`@...`) and `separation` lines are
    * dropped from the scan exactly like the reference driver
    * (reference: test/InfoSelectorTest.scala:110). The last attribute is
    * the class label (reference: test/KeelParser.scala:55-57).
+   *
+   * `missingValue`: substitution for `?` / `<null>` cells (KEEL's
+   * missing markers). Defaults to NaN so missingness stays visible —
+   * byte-domain validation downstream will reject it loudly unless the
+   * caller substitutes a real value (e.g. 0.0) or filters first.
+   * Explicit `[min, max]` ranges on numeric attributes are enforced.
    */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      missingValue: Double = Double.NaN): DataFrame = {
     import spark.implicits._
     val raw = spark.read.textFile(path)
     // KEEL headers are tiny; collect only the @-lines to the driver.
@@ -74,10 +99,16 @@ object KeelReader {
       val as = bAttrs.value
       require(parts.length == as.length,
         s"Row has ${parts.length} fields, expected ${as.length}: $line")
-      def parse(i: Int): Double = as(i).tpe match {
-        case n: Nominal => n(parts(i))
-        case Numeric    => parts(i).toDouble
-      }
+      def parse(i: Int): Double =
+        if (isMissing(parts(i))) missingValue
+        else as(i).tpe match {
+          case n: Nominal => n(parts(i))
+          case Numeric(min, max) =>
+            val v = parts(i).toDouble
+            require(v >= min && v <= max,
+              s"${as(i).name}=$v outside declared range [$min, $max]")
+            v
+        }
       val features = Array.tabulate(nf)(parse)
       (parse(nf), Vectors.dense(features))
     }.toDF("label", "features")

@@ -117,15 +117,40 @@ object StreamingQueries {
        |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))), 6) AS mi
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** First-seen dedup of events by (user, type) fingerprint — the batch
+    * canonical form of [[StreamingOps.streamingDedup]] (first by
+    * (ts, event_id) per fingerprint); the streaming first-arrival
+    * equivalence is pinned by StreamingOpsSpec. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    StreamingOps.firstSeenBatch(ev,
+      md5(concat_ws(":", col("user_id"), col("event_type"))),
+      "ts", "event_id")
+      .select(col("fp"), col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("fp")
+  }
+
+  val streamDedupSql: String =
+    """WITH f AS (
+      |  SELECT md5(user_id || ':' || event_type) AS fp, event_id, user_id,
+      |    event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(user_id || ':' || event_type)
+      |                       ORDER BY ts, event_id) AS rk
+      |  FROM events)
+      |SELECT fp, event_id, user_id, event_type FROM f
+      |WHERE rk = 1 ORDER BY fp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
     "q_window_stats" -> windowStats _,
-    "q_incremental_mi" -> incrementalMi _)
+    "q_incremental_mi" -> incrementalMi _,
+    "q_stream_dedup" -> streamDedup _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_native" -> sessionizeSql,
     "q_window_stats" -> windowStatsSql,
-    "q_incremental_mi" -> incrementalMiSql)
+    "q_incremental_mi" -> incrementalMiSql,
+    "q_stream_dedup" -> streamDedupSql)
 }

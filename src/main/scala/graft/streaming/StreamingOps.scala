@@ -179,6 +179,38 @@ object StreamingOps {
   }
 
   /**
+   * Streaming first-seen deduplication — the streaming face of
+   * [[graft.pipeline.Dedup.exact]]: the first record of each content
+   * fingerprint passes, later duplicates are dropped. State holds one
+   * key per distinct fingerprint inside the watermark horizon and is
+   * evicted beyond it (`dropDuplicatesWithinWatermark`), so state size
+   * tracks the dedup window, not the stream's lifetime — the property
+   * that makes streaming dedup viable on an unbounded corpus.
+   *
+   * Streaming keeps the FIRST ARRIVAL; the batch canonical form
+   * [[firstSeenBatch]] keeps the first by (event time, id). On an
+   * in-order stream the two coincide (the spec pins this equivalence).
+   */
+  def streamingDedup(df: DataFrame, fp: org.apache.spark.sql.Column,
+      tsCol: String, delay: String): DataFrame =
+    df.withColumn("fp", fp)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch canonical first-seen dedup: the row with the minimum
+    * (tsCol, idCol) per fingerprint — deterministic, so an independent
+    * SQL engine reproduces it exactly. */
+  def firstSeenBatch(df: DataFrame, fp: org.apache.spark.sql.Column,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col(tsCol), col(idCol))
+    df.withColumn("fp", fp)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /**
    * Incremental selector refit state: running per-feature 2-D
    * contingency tables (feature value x label), merged from per-batch
    * deltas computed with one `groupBy.count` per micro-batch (Catalyst

@@ -164,6 +164,45 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup keeps the first arrival across micro-batches, " +
+      "matching the batch canonical form on an in-order stream") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (id, content, tsMicros); duplicates within AND across batches
+    val rows = Seq(
+      (1L, "alpha", 1000L), (2L, "beta", 2000L), (3L, "alpha", 3000L),
+      (4L, "gamma", 4000L), (5L, "beta", 5000L), (6L, "delta", 6000L),
+      (7L, "alpha", 7000L), (8L, "delta", 8000L))
+    val stream = MemoryStream[(Long, String, Long)]
+    val deduped = StreamingOps.streamingDedup(
+      stream.toDS().toDF("id", "content", "tsMicros")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(col("tsMicros"))),
+      md5(col("content")), "ts", "1 hour")
+    val query = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val got = spark.table("sdedup").select("id").collect()
+        .map(_.getLong(0)).toSet
+      // first arrival of each content wins: alpha->1, beta->2, gamma->4,
+      // delta->6
+      assert(got == Set(1L, 2L, 4L, 6L))
+      // equals the batch canonical form on this in-order input
+      val batch = StreamingOps.firstSeenBatch(
+        rows.toDF("id", "content", "tsMicros")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(col("tsMicros"))),
+        md5(col("content")), "ts", "id")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

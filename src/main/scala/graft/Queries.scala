@@ -555,6 +555,45 @@ object Queries {
        |SELECT feature, ROUND(mi, 6) AS score FROM m
        |ORDER BY mi DESC, feature LIMIT 4""".stripMargin
 
+  /** A6 sparse + A9: fused (mi, cmi) per sparse feature vs y = sparse
+    * feature 0 conditioned on z = label — drives the 3-D SPARSE kernel
+    * (implicit-zero yz patching, partition-local sparse y densify)
+    * end-to-end against the oracle. */
+  def sparseMicmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val col = sparseColumnar(spark, dir)
+    val n = col.nInstances
+    Histograms.histogram3D(col, 0)
+      .map { case (f, h) =>
+        val (m, c) = InfoTheory.miAndCmi(h, n)
+        (f, r6(m), r6(c))
+      }
+      .toDF("feature", "mi", "cmi")
+      .orderBy("feature")
+  }
+
+  val sparseMicmiSql: String = {
+    val feats = (1 until SparseN).map { j =>
+      s"SELECT $j AS feature, ${sparseFeatExpr(j)} AS x, " +
+        s"${sparseFeatExpr(0)} AS y, $ySql AS z FROM lineitem"
+    }.mkString(" UNION ALL ")
+    s"""WITH feats AS ($feats),
+       |h AS (SELECT feature, x, y, z, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3, 4),
+       |w AS (SELECT feature, cnt,
+       |        SUM(cnt) OVER (PARTITION BY feature) AS n,
+       |        SUM(cnt) OVER (PARTITION BY feature, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY feature, y) AS cy,
+       |        SUM(cnt) OVER (PARTITION BY feature, x, y) AS cxy,
+       |        SUM(cnt) OVER (PARTITION BY feature, z) AS cz,
+       |        SUM(cnt) OVER (PARTITION BY feature, x, z) AS cxz,
+       |        SUM(cnt) OVER (PARTITION BY feature, y, z) AS cyz
+       |      FROM h)
+       |SELECT feature,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cxy AS DOUBLE)*n/(cx*cy))), 6) AS mi,
+       |  ROUND(SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cz AS DOUBLE)*cnt/(CAST(cxz AS DOUBLE)*cyz))), 6) AS cmi
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** P1: vector gather through the model transform (fixed indices 0, 2),
     * keyed by (orderkey, linenumber) for deterministic compare. */
   def transformGather(spark: SparkSession, dir: String): DataFrame = {
@@ -731,7 +770,8 @@ object Queries {
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
     "q_sparse_hist2d" -> sparseHist2d _,
-    "q_sparse_selector_mim" -> sparseSelectorMim _)
+    "q_sparse_selector_mim" -> sparseSelectorMim _,
+    "q_sparse_micmi" -> sparseMicmi _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -757,5 +797,6 @@ object Queries {
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,
     "q_sparse_hist2d" -> sparseHist2dSql,
-    "q_sparse_selector_mim" -> sparseSelectorMimSql)
+    "q_sparse_selector_mim" -> sparseSelectorMimSql,
+    "q_sparse_micmi" -> sparseMicmiSql)
 }

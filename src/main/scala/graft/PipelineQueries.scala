@@ -236,6 +236,37 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  /** Word 3-gram shingle Jaccard near-dup pairs — the n>1 shingle path
+    * (documents shorter than 3 tokens contribute no shingles; both
+    * engines agree). */
+  def dedupJaccard3(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(nearDupCorpus(spark, dir), "doc_id", "text", 3, 0.5,
+      HotTokenCap)
+      .orderBy("ida", "idb")
+
+  val dedupJaccard3Sql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |tk AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM c),
+       |t0 AS (
+       |  SELECT id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+       |  FROM tk WHERE len(toks) >= 3),
+       |keep AS (SELECT tok FROM t0 GROUP BY tok HAVING COUNT(*) <= $HotTokenCap),
+       |t AS (SELECT t0.id, t0.tok FROM t0 JOIN keep USING (tok)),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ida = sa.id
+       |JOIN sizes sb ON idb = sb.id
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
   private val minhashParamsSql = (0 until Dedup.NumHashes).map { i =>
     s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})"
   }.mkString(", ")
@@ -629,6 +660,7 @@ object PipelineQueries {
     "q_doc_stats" -> docStats _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
+    "q_dedup_jaccard3" -> dedupJaccard3 _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_components" -> dedupComponents _,
@@ -650,6 +682,7 @@ object PipelineQueries {
     "q_doc_stats" -> docStatsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_jaccard3" -> dedupJaccard3Sql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_components" -> dedupComponentsSql,

@@ -650,6 +650,35 @@ object PipelineQueries {
       |FROM f JOIN n ON f.doc_id = n.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Frame-sampling plumbing over the ASCII corpus: every 2nd 32-byte
+    * frame, identified by (doc, frame index, byte length, md5). The
+    * oracle recomputes frames as substrings (ASCII ⇒ byte == char). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val ascii = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(octet_length(col("text")) === length(col("text")))
+    Multimodal.sampleFrames(Multimodal.asMedia(ascii), 32, 2)
+      .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+        octet_length(col("frame")).as("n_bytes"),
+        md5(col("frame")).as("fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH ascii AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE octet_length(encode(text)) = length(text)),
+      |idx AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0,
+      |      CAST(CEIL(length(text) / 32.0) AS INTEGER) - 1)) AS i
+      |  FROM ascii),
+      |f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    substring(text, i * 32 + 1, 32) AS frame
+      |  FROM idx WHERE i % 2 = 0)
+      |SELECT doc_id, frame_idx, length(frame) AS n_bytes, md5(frame) AS fp
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------- registry (extended by the dedup/similarity batch) ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -672,7 +701,8 @@ object PipelineQueries {
     "q_ann_neardup_multi" -> annNearDupMulti _,
     "q_ann_ivf" -> annIvf _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
-    "q_multimodal_stats" -> multimodalStats _)
+    "q_multimodal_stats" -> multimodalStats _,
+    "q_multimodal_frames" -> multimodalFrames _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -694,5 +724,6 @@ object PipelineQueries {
     "q_ann_neardup_multi" -> annNearDupMultiSql,
     "q_ann_ivf" -> annIvfSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
-    "q_multimodal_stats" -> multimodalStatsSql)
+    "q_multimodal_stats" -> multimodalStatsSql,
+    "q_multimodal_frames" -> multimodalFramesSql)
 }

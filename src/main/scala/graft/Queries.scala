@@ -594,6 +594,19 @@ object Queries {
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** I1 at width (perf row): greedy mRMR k=5 over the 32 wide features —
+    * 4 histogram3D passes at realistic width. No SQL oracle (a 992-pair
+    * unrolled greedy CTE is impractical); the driver records the weaker
+    * rows-only check, and the greedy algebra itself is oracle-certified
+    * at 4 features by q_selector_* plus spec-certified at 24/631 features
+    * against local brute force. */
+  def selectorMrmrWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = InfoThSelector.select(wideColumnar(spark, dir), "mrmr", 5, 0.0)
+    selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
+      .toSeq.toDF("round", "feature", "score")
+  }
+
   /** P1: vector gather through the model transform (fixed indices 0, 2),
     * keyed by (orderkey, linenumber) for deterministic compare. */
   def transformGather(spark: SparkSession, dir: String): DataFrame = {
@@ -771,7 +784,8 @@ object Queries {
     "q_quantiles" -> quantiles _,
     "q_sparse_hist2d" -> sparseHist2d _,
     "q_sparse_selector_mim" -> sparseSelectorMim _,
-    "q_sparse_micmi" -> sparseMicmi _)
+    "q_sparse_micmi" -> sparseMicmi _,
+    "q_selector_mrmr_wide" -> selectorMrmrWide _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,

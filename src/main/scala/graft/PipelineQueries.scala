@@ -103,6 +103,26 @@ object PipelineQueries {
        |SELECT doc_id, p$n AS lang_pred FROM f$n ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary statistics: top-100 tokens by total occurrences with
+    * document frequency — the corpus-analytics pass tokenizer training
+    * starts from. Deterministic ties (count desc, token asc). One
+    * shuffle (groupBy token) with partial aggregation; at 100 TB swap
+    * `count_distinct` for `approx_count_distinct` (same plan shape,
+    * sketch-bounded memory) if exact df is not required. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count("*").as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(100)
+
+  val vocabTopKSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      |FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 100""".stripMargin
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -603,6 +623,49 @@ object PipelineQueries {
       |      FROM scored)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** Deterministic Lloyd k-means over the embedding corpus: k=8
+    * centroids (init = first 8 vectors), 2 iterations; output = final
+    * centroids in long form. Mirrors [[Similarity.kmeansCentroids]]'s
+    * rounding contract exactly (d to 5, components to 6). */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.kmeansCentroids(emb, 8, 2)
+  }
+
+  val kmeansSql: String = {
+    val k = 8
+    // one Lloyd iteration from centroid CTE cPrev -> cNext (1-based i
+    // internally; the final projection shifts to Spark's 0-based pos)
+    def iter(cPrev: String, cNext: String, t: Int): String =
+      s"""cn$t AS (SELECT cid, SUM(v * v) AS cn2 FROM $cPrev GROUP BY 1),
+         |dot$t AS (
+         |  SELECT u.vec_id, c.cid, SUM(u.v * c.v) AS dp
+         |  FROM u JOIN $cPrev c USING (i) GROUP BY 1, 2),
+         |d$t AS (
+         |  SELECT dot$t.vec_id, dot$t.cid,
+         |    ROUND(cn$t.cn2 - 2 * dp + vv.n2, 5) AS d
+         |  FROM dot$t JOIN cn$t USING (cid)
+         |  JOIN vv ON vv.vec_id = dot$t.vec_id),
+         |s$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |    FROM d$t) WHERE rk = 1),
+         |$cNext AS (
+         |  SELECT s$t.cid, u.i, ROUND(AVG(u.v), 6) AS v
+         |  FROM s$t JOIN u USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    s"""WITH u AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |vv AS (SELECT vec_id, SUM(v * v) AS n2 FROM u GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, v FROM u WHERE vec_id < $k),
+       |${iter("c0", "c1", 0)},
+       |${iter("c1", "c2", 1)}
+       |SELECT cid, i - 1 AS i, v FROM c2 ORDER BY cid, i""".stripMargin
+  }
+
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
@@ -702,7 +765,9 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvf _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
-    "q_multimodal_frames" -> multimodalFrames _)
+    "q_multimodal_frames" -> multimodalFrames _,
+    "q_vocab_topk" -> vocabTopK _,
+    "q_kmeans" -> kmeans _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -725,5 +790,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
-    "q_multimodal_frames" -> multimodalFramesSql)
+    "q_multimodal_frames" -> multimodalFramesSql,
+    "q_vocab_topk" -> vocabTopKSql,
+    "q_kmeans" -> kmeansSql)
 }

@@ -138,6 +138,61 @@ object Similarity {
       .select("qid", "nid", "cos")
   }
 
+  /**
+   * Deterministic Lloyd k-means over an (id, vec) corpus — the centroid
+   * trainer for [[ivfTopK]]'s coarse codebook and the clustering pass a
+   * curation pipeline runs over embeddings.
+   *
+   * Determinism contract (so an independent engine reproduces it bit
+   * for bit): init = the k vectors with the smallest ids; per
+   * iteration, squared-euclidean distances ROUND to 5 decimals before
+   * the argmin (ties -> smallest cid) and new centroid components ROUND
+   * to 6 decimals. Assignment is pure codegen (DotProduct + array_min
+   * over (d, cid) structs — no UDF); the update is one posexplode +
+   * groupBy(cid, i) averaging pass per iteration. Only k x dim doubles
+   * ever reach the driver, so iterations scale to any corpus size.
+   * Returns long-form centroids (cid, i, v).
+   */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Int, Seq[Double])] = corpus.filter(col("id") < k)
+      .select(col("id").cast("int"), col("vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+    val vNorm2 = dot(col("vec"), col("vec"))
+    for (_ <- 0 until iters) {
+      val distCols = cent.map { case (cid, c) =>
+        val cn2 = c.map(x => x * x).sum
+        struct(
+          round(lit(cn2) - lit(2.0) * dot(col("vec"), typedlit(c)) + vNorm2, 5)
+            .as("d"),
+          lit(cid).as("cid"))
+      }
+      val assigned = corpus.select(col("vec"),
+        array_min(array(distCols: _*)).getField("cid").as("cid"))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(round(avg(col("v").cast("double")), 6).as("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+      cent = cent.map { case (cid, prev) =>
+        // a cluster that captured no points keeps its centroid
+        updated.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq)
+          case None => (cid, prev)
+        }
+      }
+    }
+    cent.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, i) => (cid, i, v) }
+    }.toDF("cid", "i", "v").orderBy("cid", "i")
+  }
+
   /** Deterministic pseudo-hyperplane component j of plane i:
     * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */
   private def planeComponent(i: Int, j: Column): Column =

@@ -203,6 +203,26 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
   }
 
+  test("kmeans centroids move toward cluster means and keep empty clusters") {
+    // two tight clusters on opposite axes; k=2 init picks ids 0 and 1
+    // (one from each cluster), so Lloyd converges in one step
+    val corpus = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),
+      (2L, Array(12.0f, 0.0f)), (3L, Array(0.0f, 12.0f)),
+      (4L, Array(14.0f, 0.0f)), (5L, Array(0.0f, 14.0f)))
+      .toDF("id", "vec")
+    val cent = Similarity.kmeansCentroids(corpus, 2, 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cent.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(cent((0, 0)) == 12.0 && cent((0, 1)) == 0.0)
+    assert(cent((1, 0)) == 0.0 && cent((1, 1)) == 12.0)
+    // k larger than the distinct-capture count: cluster 2 never captures
+    // a point (ids 0..2 all nearer cid 0/1 groups) and must keep its init
+    val cent3 = Similarity.kmeansCentroids(corpus, 3, 1).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cent3.keySet.map(_._1) == Set(0, 1, 2))
+  }
+
   test("multi-table LSH candidates are a superset of the single table's") {
     val rng = new scala.util.Random(41)
     val emb = Seq.tabulate(60)(i =>

@@ -633,10 +633,12 @@ object PipelineQueries {
     Similarity.kmeansCentroids(emb, 8, 2)
   }
 
-  val kmeansSql: String = {
+  /** CTE chain computing 2 Lloyd iterations over `u`/`vv` into a final
+    * centroid CTE `c2` (1-based i internally; consumers shift to
+    * Spark's 0-based pos where needed). Shared by q_kmeans and the
+    * composed q_ann_ivf_kmeans. */
+  private val kmeansCtes: String = {
     val k = 8
-    // one Lloyd iteration from centroid CTE cPrev -> cNext (1-based i
-    // internally; the final projection shifts to Spark's 0-based pos)
     def iter(cPrev: String, cNext: String, t: Int): String =
       s"""cn$t AS (SELECT cid, SUM(v * v) AS cn2 FROM $cPrev GROUP BY 1),
          |dot$t AS (
@@ -655,16 +657,70 @@ object PipelineQueries {
          |$cNext AS (
          |  SELECT s$t.cid, u.i, ROUND(AVG(u.v), 6) AS v
          |  FROM s$t JOIN u USING (vec_id) GROUP BY 1, 2)""".stripMargin
-    s"""WITH u AS (
+    s"""u AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |    CAST(unnest(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
        |vv AS (SELECT vec_id, SUM(v * v) AS n2 FROM u GROUP BY 1),
        |c0 AS (SELECT vec_id AS cid, i, v FROM u WHERE vec_id < $k),
        |${iter("c0", "c1", 0)},
-       |${iter("c1", "c2", 1)}
-       |SELECT cid, i - 1 AS i, v FROM c2 ORDER BY cid, i""".stripMargin
+       |${iter("c1", "c2", 1)}""".stripMargin
   }
+
+  val kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT cid, i - 1 AS i, v FROM c2 ORDER BY cid, i""".stripMargin
+
+  /** Composition row: IVF top-3 probing k-means-TRAINED centroids
+    * (kmeansCentroids -> ivfTopK), certifying the similarity stack
+    * composes — trained codebook in, ANN results out. */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = Similarity.kmeansCentroids(emb, 8, 2)
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        x => x.getField("v")).as("cvec"))
+    Similarity.ivfTopK(emb.filter(col("id") < 50), emb, centroids, 2, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annIvfKmeansSql: String =
+    s"""WITH $kmeansCtes,
+       |n AS (SELECT vec_id, SQRT(n2) AS nrm FROM vv),
+       |cn AS (SELECT cid, SQRT(SUM(v * v)) AS nrm FROM c2 GROUP BY 1),
+       |cc AS (
+       |  SELECT u.vec_id AS id, c.cid,
+       |    ROUND(SUM(u.v * c.v) / (MAX(n.nrm) * MAX(cn.nrm)), 5) AS ccos
+       |  FROM u JOIN c2 c USING (i)
+       |  JOIN n ON n.vec_id = u.vec_id
+       |  JOIN cn ON cn.cid = c.cid
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+       |    FROM cc) WHERE rk = 1),
+       |probes AS (
+       |  SELECT id AS qid, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+       |    FROM cc WHERE id < 50) WHERE rk <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.id AS nid
+       |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.qid <> a.id),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ROUND(SUM(qu.v * nu.v) / (MAX(nq.nrm) * MAX(nn.nrm)), 5) AS cos
+       |  FROM cand
+       |  JOIN u qu ON qu.vec_id = cand.qid
+       |  JOIN u nu ON nu.vec_id = cand.nid AND nu.i = qu.i
+       |  JOIN n nq ON nq.vec_id = cand.qid
+       |  JOIN n nn ON nn.vec_id = cand.nid
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM scored)
+       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
@@ -767,7 +823,8 @@ object PipelineQueries {
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
     "q_vocab_topk" -> vocabTopK _,
-    "q_kmeans" -> kmeans _)
+    "q_kmeans" -> kmeans _,
+    "q_ann_ivf_kmeans" -> annIvfKmeans _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -792,5 +849,6 @@ object PipelineQueries {
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_vocab_topk" -> vocabTopKSql,
-    "q_kmeans" -> kmeansSql)
+    "q_kmeans" -> kmeansSql,
+    "q_ann_ivf_kmeans" -> annIvfKmeansSql)
 }

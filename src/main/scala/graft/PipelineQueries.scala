@@ -227,12 +227,15 @@ object PipelineQueries {
       })
     }
 
-  private[graft] def clearCache(): Unit = dedupCache.synchronized {
-    dedupCache.values.foreach { ws =>
-      ws.post.unpersist(blocking = false)
-      ws.pairs.unpersist(blocking = false)
+  private[graft] def clearCache(): Unit = {
+    dedupCache.synchronized {
+      dedupCache.values.foreach { ws =>
+        ws.post.unpersist(blocking = false)
+        ws.pairs.unpersist(blocking = false)
+      }
+      dedupCache.clear()
     }
-    dedupCache.clear()
+    kmeansCache.synchronized(kmeansCache.clear())
   }
 
   /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5,
@@ -623,14 +626,29 @@ object PipelineQueries {
       |      FROM scored)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** Trained-centroid cache (k x dim rows — tiny): q_kmeans and
+    * q_ann_ivf_kmeans share one Lloyd run per (session, dir). Collected
+    * rows, not a persisted frame, so nothing to unpersist. */
+  private val kmeansCache =
+    TrieMap.empty[(SparkSession, String), Seq[(Int, Int, Double)]]
+
+  private def trainedCentroids(spark: SparkSession, dir: String): Seq[(Int, Int, Double)] =
+    kmeansCache.synchronized {
+      kmeansCache.getOrElseUpdate((spark, dir), {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.kmeansCentroids(emb, 8, 2).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+      })
+    }
+
   /** Deterministic Lloyd k-means over the embedding corpus: k=8
     * centroids (init = first 8 vectors), 2 iterations; output = final
     * centroids in long form. Mirrors [[Similarity.kmeansCentroids]]'s
     * rounding contract exactly (d to 5, components to 6). */
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.kmeansCentroids(emb, 8, 2)
+    import spark.implicits._
+    trainedCentroids(spark, dir).toDF("cid", "i", "v").orderBy("cid", "i")
   }
 
   /** CTE chain computing 2 Lloyd iterations over `u`/`vv` into a final
@@ -675,12 +693,13 @@ object PipelineQueries {
     * (kmeansCentroids -> ivfTopK), certifying the similarity stack
     * composes — trained codebook in, ANN results out. */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val centroids = Similarity.kmeansCentroids(emb, 8, 2)
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
-        x => x.getField("v")).as("cvec"))
+    val centroids = trainedCentroids(spark, dir)
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+      .toDF("cid", "cvec")
     Similarity.ivfTopK(emb.filter(col("id") < 50), emb, centroids, 2, 3)
       .orderBy("qid", "nid")
   }

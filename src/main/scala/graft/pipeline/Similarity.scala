@@ -152,6 +152,11 @@ object Similarity {
    * groupBy(cid, i) averaging pass per iteration. Only k x dim doubles
    * ever reach the driver, so iterations scale to any corpus size.
    * Returns long-form centroids (cid, i, v).
+   *
+   * The k-distance-column assignment shape fits coarse codebooks
+   * (k <= ~1024, the IVF regime); a large-k product-quantizer codebook
+   * would switch to a broadcast-join assignment against a centroid
+   * table — same per-iteration dataflow, different join shape.
    */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.functions.typedlit

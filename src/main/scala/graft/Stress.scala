@@ -20,8 +20,12 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val nRows = args.headOption.map(_.toLong).getOrElse(10000000L)
-    val k = if (args.length > 1) args(1).toInt else 3
+    val mode = args.headOption.filter(a => a == "selector" || a == "dedup")
+      .getOrElse("selector")
+    val numArgs = args.dropWhile(a => a == "selector" || a == "dedup")
+    val nRows = numArgs.headOption.map(_.toLong)
+      .getOrElse(if (mode == "dedup") 1000000L else 10000000L)
+    val k = if (numArgs.length > 1) numArgs(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +33,8 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -52,6 +58,39 @@ object Stress {
       s""""transpose_stats_sec":$tTranspose,"greedy_mrmr_sec":$tSelect,""" +
       s""""selected":[${selected.map(_._1).mkString(",")}]}""")
     colData.unpersist()
+    spark.stop()
+  }
+
+  /** Dedup-family stress: nDocs synthetic 40-token documents (50k-token
+    * vocabulary, distributed synthesis; every 10th doc is an exact
+    * duplicate of its predecessor) through exact dedup and the full
+    * MinHash+LSH pipeline (signatures, banding join, verification). */
+  private def dedupStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Dedup
+    // dupe every 10th doc: base id collapses i and i-1 when i%10==0.
+    // Token modulus is a prime well above nDocs so distinct base ids
+    // can never share a full token set (a composite modulus ~nDocs/20
+    // makes every doc ~20-way duplicated — the max-skew case, measured
+    // separately below).
+    val tokMod = 100000007L
+    val base = when(col("id") % 10 === 0, col("id") - 1).otherwise(col("id"))
+    val docs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit("t"), (base * (31 + j) + j * 7) % tokMod)): _*).as("text"))
+
+    val t0 = System.nanoTime()
+    val nExact = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("doc_id") === col("keeper")).count()
+    val tExact = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val nPairs = Dedup.minhashLsh(docs, "doc_id", "text", 0.5, 100000L).count()
+    val tMinhash = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"stress_dedup","docs":$nDocs,""" +
+      s""""exact_sec":$tExact,"exact_keepers":$nExact,""" +
+      s""""minhash_lsh_sec":$tMinhash,"neardup_pairs":$nPairs}""")
     spark.stop()
   }
 }

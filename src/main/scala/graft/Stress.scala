@@ -20,11 +20,11 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(a => a == "selector" || a == "dedup")
-      .getOrElse("selector")
-    val numArgs = args.dropWhile(a => a == "selector" || a == "dedup")
+    val modes = Set("selector", "dedup", "ann")
+    val mode = args.headOption.filter(modes).getOrElse("selector")
+    val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
-      .getOrElse(if (mode == "dedup") 1000000L else 10000000L)
+      .getOrElse(if (mode == "selector") 10000000L else 1000000L)
     val k = if (numArgs.length > 1) numArgs(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -35,6 +35,7 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
+    if (mode == "ann") { annStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -91,6 +92,29 @@ object Stress {
     println(s"""{"metric":"stress_dedup","docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_keepers":$nExact,""" +
       s""""minhash_lsh_sec":$tMinhash,"neardup_pairs":$nPairs}""")
+    spark.stop()
+  }
+
+  /** ANN stress: nVecs synthetic 64-dim embeddings, 256-centroid IVF
+    * (assign the whole corpus, probe 4/256 clusters for 100 queries). */
+  private def annStress(spark: SparkSession, nVecs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Similarity
+    val dim = 64
+    // deterministic floats in [-0.5, 0.5): ((id*a + j*b) mod m)/m - 0.5
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val centroids = emb.filter(col("id") < 256)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val queries = emb.filter(col("id") < 100)
+
+    val t0 = System.nanoTime()
+    val n = Similarity.ivfTopK(queries, emb, centroids, 4, 10).count()
+    val tIvf = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"stress_ann","vecs":$nVecs,"dim":$dim,""" +
+      s""""ivf_topk_sec":$tIvf,"result_rows":$n}""")
     spark.stop()
   }
 }

@@ -125,6 +125,118 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot_product"
 }
 
+/**
+ * Top-`nProbe` nearest centroids of a vector by rounded cosine — the
+ * IVF assignment/probe kernel as ONE expression.
+ *
+ * The codebook rides as a plan REFERENCE OBJECT, not as per-element
+ * literals: a C-column `array_min(array(struct...))` projection inlines
+ * C x dim literal loads and blows Janino's 64 KB method limit at
+ * C=256 x dim=64; here the generated code is a constant-size call into
+ * [[NearestCentroids.compute]] (a tight JIT-compiled loop), so code
+ * size is independent of C and dim.
+ *
+ * Contract (shared with the DuckDB oracles): cosine rounds HALF_UP to
+ * 5 decimals exactly like Spark's `round`, ranking is (cosine desc,
+ * cid asc). Returns the cids as array<long> in rank order.
+ */
+case class NearestCentroids(child: Expression,
+    codebook: Array[Array[Double]], norms: Array[Double], cids: Array[Long],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects a float/double array, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      NearestCentroids.compute(v.asInstanceOf[ArrayData], isFloat,
+        codebook, norms, cids, nProbe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "double[][]")
+    val cn = ctx.addReferenceObj("cnorms", norms, "double[]")
+    val ci = ctx.addReferenceObj("cids", cids, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.NearestCentroids.compute($v, $isFloat, $cb, $cn, $ci, $nProbe));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nearest_centroids"
+}
+
+object NearestCentroids {
+
+  /** Spark `round(x, 5)` semantics for doubles (HALF_UP via the
+    * shortest-decimal BigDecimal; NaN/Inf pass through). */
+  def round5(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-n centroid cids of `vec` by (rounded cosine desc, cid asc).
+    * Called from both interpreted eval and generated code (static
+    * forwarder), so the hot loop is identical either way. */
+  def compute(vec: ArrayData, isFloat: Boolean, cb: Array[Array[Double]],
+      cnorm: Array[Double], cids: Array[Long], nProbe: Int): Array[Long] = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    var n2 = 0.0
+    i = 0
+    while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    val vnorm = math.sqrt(n2)
+    val n = math.min(nProbe, cb.length)
+    val topCos = new Array[Double](n)
+    val topCid = new Array[Long](n)
+    var filled = 0
+    var c = 0
+    while (c < cb.length) {
+      val cv = cb(c)
+      require(cv.length == dim,
+        s"vector dim $dim != codebook dim ${cv.length}")
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += v(i) * cv(i); i += 1 }
+      val cos = round5(dot / (vnorm * cnorm(c)))
+      val cid = cids(c)
+      // insertion into the (cos desc, cid asc) top-n
+      var pos = filled
+      while (pos > 0 && (cos > topCos(pos - 1) ||
+          (cos == topCos(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      if (pos < n) {
+        val last = math.min(filled, n - 1)
+        var j = last
+        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topCos(pos) = cos
+        topCid(pos) = cid
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topCid, filled)
+  }
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -136,4 +248,10 @@ object VectorFunctions {
   /** L2 norm via the same codegen'd kernel. */
   def l2Norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
+
+  /** Top-n nearest centroid cids (rounded-cosine desc, cid asc). */
+  def nearestCentroids(vec: Column, codebook: Array[Array[Double]],
+      norms: Array[Double], cids: Array[Long], nProbe: Int): Column =
+    GraftSqlBridge.column(NearestCentroids(
+      GraftSqlBridge.expression(vec), codebook, norms, cids, nProbe))
 }

@@ -84,18 +84,52 @@ object Similarity {
     ivfTopKAssigned(queries, ivfAssign(corpus, centroids), centroids,
       nProbe, k)
 
-  /** Coarse quantization: every corpus vector labeled with its nearest
-    * centroid — the IVF inverted lists as a frame (id, vec, nrm, cid). */
+  /** Collect the coarse codebook to the driver — it is broadcast-small
+    * by the IVF contract (C x dim doubles; C <= ~1024). Returns
+    * (cid, components-as-double, l2norm), cid-sorted. The norm is the
+    * same left-to-right double fold `l2Norm` computes. */
+  private def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] = {
+    val rows = centroids.select(col("cid"), col("cvec")).collect()
+    require(rows.nonEmpty, "empty centroid codebook")
+    rows.map { r =>
+      val cid = r.get(0).asInstanceOf[Number].longValue
+      val vec: Seq[Double] = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue
+      }.toSeq
+      var n2 = 0.0
+      vec.foreach(x => n2 += x * x)
+      (cid, vec, math.sqrt(n2))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Top-n nearest-centroid cids of a vector column against a collected
+    * codebook — one [[graft.functions.NearestCentroids]] expression (the
+    * codebook rides as a plan reference object; generated code size is
+    * independent of C and dim). */
+  private def nearestCids(vec: Column,
+      cb: Seq[(Long, Seq[Double], Double)], nProbe: Int): Column =
+    graft.functions.VectorFunctions.nearestCentroids(vec,
+      cb.map(_._2.toArray).toArray, cb.map(_._3).toArray,
+      cb.map(_._1).toArray, nProbe)
+
+  /**
+   * Coarse quantization: every corpus vector labeled with its nearest
+   * centroid — the IVF inverted lists as a frame (id, vec, nrm, cid).
+   *
+   * PURE PROJECTION: one `NearestCentroids` expression per row — no
+   * join, no row blowup, no window. The round-2 crossjoin-then-rank
+   * shape materialized corpus x C rows through a per-id window (256M
+   * rows at 1M x 256 — it did not finish in 11 min on local[32]); a
+   * C-literal-column `array_min` projection fixes the dataflow but
+   * blows Janino's 64 KB codegen limit at C=256 — the custom expression
+   * solves both.
+   */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cent = broadcast(centroids.select(col("cid"), col("cvec"),
-      norm(col("cvec")).as("cnrm")))
-    val corpusN = corpus.withColumn("nrm", norm(col("vec")))
-    val aw = Window.partitionBy("id").orderBy(desc("ccos"), asc("cid"))
-    corpusN.join(cent)
-      .select(col("id"), col("vec"), col("nrm"), col("cid"),
-        round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 5)
-          .as("ccos"))
-      .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
+    val cb = collectCodebook(centroids)
+    corpus.withColumn("nrm", norm(col("vec")))
+      .withColumn("cid", element_at(nearestCids(col("vec"), cb, 1), 1))
       .select("id", "vec", "nrm", "cid")
   }
 
@@ -114,20 +148,17 @@ object Similarity {
       .bucketBy(nBuckets, "cid").sortBy("cid")
       .saveAsTable(name)
 
-  /** IVF top-k over a prepared (possibly bucketed-at-rest) assignment. */
+  /** IVF top-k over a prepared (possibly bucketed-at-rest) assignment.
+    * Probe selection is the same pure projection as [[ivfAssign]]:
+    * sort the C rounded-cosine structs per query row, take the first
+    * nProbe, explode — no join or window on the query side either. */
   def ivfTopKAssigned(queries: DataFrame, assigned: DataFrame,
       centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col("cid"), col("cvec"),
-      norm(col("cvec")).as("cnrm")))
+    val cb = collectCodebook(centroids)
     val qN = queries.withColumn("qnrm", norm(col("vec")))
-    val pw = Window.partitionBy("qid").orderBy(desc("pcos"), asc("cid"))
-    val probes = qN.join(cent)
+    val probes = qN
       .select(col("id").as("qid"), col("vec").as("qvec"), col("qnrm"),
-        col("cid"),
-        round(dot(col("vec"), col("cvec")) / (col("qnrm") * col("cnrm")), 5)
-          .as("pcos"))
-      .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nProbe)
-      .select("qid", "qvec", "qnrm", "cid")
+        explode(nearestCids(col("vec"), cb, nProbe)).as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     probes.join(assigned, "cid")
       .filter(col("qid") =!= col("id"))

@@ -52,4 +52,21 @@ class VectorExpressionsSpec extends SparkSpec {
     val n = df.select(VectorFunctions.l2Norm($"v")).head.getDouble(0)
     assert(math.abs(n - 5.0) < 1e-12)
   }
+
+  test("nearestCentroids ranks by rounded cosine desc with cid-asc ties") {
+    import spark.implicits._
+    // centroids 7 and 9 are colinear with v (identical rounded cosine);
+    // 3 is orthogonal. Tie must resolve to the smaller cid.
+    val cb = Array(Array(1.0, 0.0), Array(2.0, 0.0), Array(0.0, 1.0))
+    val norms = cb.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cids = Array(9L, 7L, 3L)
+    val df = Seq(Tuple1(Array(5.0f, 0.0f))).toDF("v")
+    val top = df.select(VectorFunctions.nearestCentroids(
+      $"v", cb, norms, cids, 3)).head.getSeq[Long](0)
+    assert(top == Seq(7L, 9L, 3L))
+    // nProbe truncates in rank order
+    val one = df.select(VectorFunctions.nearestCentroids(
+      $"v", cb, norms, cids, 1)).head.getSeq[Long](0)
+    assert(one == Seq(7L))
+  }
 }

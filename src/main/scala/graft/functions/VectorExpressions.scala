@@ -136,13 +136,17 @@ case class DotProduct(left: Expression, right: Expression)
  * [[NearestCentroids.compute]] (a tight JIT-compiled loop), so code
  * size is independent of C and dim.
  *
- * Contract (shared with the DuckDB oracles): cosine rounds HALF_UP to
- * 5 decimals exactly like Spark's `round`, ranking is (cosine desc,
- * cid asc). Returns the cids as array<long> in rank order.
+ * Contract (shared with the DuckDB oracles): the score rounds HALF_UP
+ * to 5 decimals exactly like Spark's `round`; ranking is (cosine desc,
+ * cid asc), or with `euclidean = true` (squared-distance asc, cid asc)
+ * where d = |c|^2 - 2<v,c> + |v|^2 computed in exactly that
+ * association (the k-means oracle's algebra). `norms2` holds SQUARED
+ * centroid norms (sum v*v, the oracle's cn2). Returns the cids as
+ * array<long> in rank order.
  */
 case class NearestCentroids(child: Expression,
-    codebook: Array[Array[Double]], norms: Array[Double], cids: Array[Long],
-    nProbe: Int)
+    codebook: Array[Array[Double]], norms2: Array[Double], cids: Array[Long],
+    nProbe: Int, euclidean: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -162,15 +166,15 @@ case class NearestCentroids(child: Expression,
   override protected def nullSafeEval(v: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       NearestCentroids.compute(v.asInstanceOf[ArrayData], isFloat,
-        codebook, norms, cids, nProbe))
+        codebook, norms2, cids, nProbe, euclidean))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("codebook", codebook, "double[][]")
-    val cn = ctx.addReferenceObj("cnorms", norms, "double[]")
+    val cn = ctx.addReferenceObj("cnorms2", norms2, "double[]")
     val ci = ctx.addReferenceObj("cids", cids, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.NearestCentroids.compute($v, $isFloat, $cb, $cn, $ci, $nProbe));
+         |  graft.functions.NearestCentroids.compute($v, $isFloat, $cb, $cn, $ci, $nProbe, $euclidean));
        """.stripMargin)
   }
 
@@ -189,11 +193,14 @@ object NearestCentroids {
     else java.math.BigDecimal.valueOf(x)
       .setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Top-n centroid cids of `vec` by (rounded cosine desc, cid asc).
-    * Called from both interpreted eval and generated code (static
-    * forwarder), so the hot loop is identical either way. */
+  /** Top-n centroid cids of `vec` — (rounded cosine desc, cid asc), or
+    * euclidean (rounded |c|^2 - 2<v,c> + |v|^2 asc, cid asc). Called
+    * from both interpreted eval and generated code (static forwarder),
+    * so the hot loop is identical either way. Scores negate internally
+    * so one ascending insertion handles both metrics. */
   def compute(vec: ArrayData, isFloat: Boolean, cb: Array[Array[Double]],
-      cnorm: Array[Double], cids: Array[Long], nProbe: Int): Array[Long] = {
+      cnorm2: Array[Double], cids: Array[Long], nProbe: Int,
+      euclidean: Boolean): Array[Long] = {
     val dim = vec.numElements()
     val v = new Array[Double](dim)
     var i = 0
@@ -206,7 +213,7 @@ object NearestCentroids {
     while (i < dim) { n2 += v(i) * v(i); i += 1 }
     val vnorm = math.sqrt(n2)
     val n = math.min(nProbe, cb.length)
-    val topCos = new Array[Double](n)
+    val topScore = new Array[Double](n)
     val topCid = new Array[Long](n)
     var filled = 0
     var c = 0
@@ -217,17 +224,20 @@ object NearestCentroids {
       var dot = 0.0
       i = 0
       while (i < dim) { dot += v(i) * cv(i); i += 1 }
-      val cos = round5(dot / (vnorm * cnorm(c)))
+      // ascending-better score: negated rounded cosine, or rounded d
+      val score =
+        if (euclidean) round5(cnorm2(c) - 2 * dot + n2)
+        else -round5(dot / (vnorm * math.sqrt(cnorm2(c))))
       val cid = cids(c)
-      // insertion into the (cos desc, cid asc) top-n
+      // insertion into the (score asc, cid asc) top-n
       var pos = filled
-      while (pos > 0 && (cos > topCos(pos - 1) ||
-          (cos == topCos(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      while (pos > 0 && (score < topScore(pos - 1) ||
+          (score == topScore(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
       if (pos < n) {
         val last = math.min(filled, n - 1)
         var j = last
-        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
-        topCos(pos) = cos
+        while (j > pos) { topScore(j) = topScore(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topScore(pos) = score
         topCid(pos) = cid
         if (filled < n) filled += 1
       }
@@ -249,9 +259,13 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
 
-  /** Top-n nearest centroid cids (rounded-cosine desc, cid asc). */
+  /** Top-n nearest centroid cids: (rounded-cosine desc, cid asc), or
+    * euclidean (rounded squared-distance asc, cid asc). `norms2` =
+    * squared centroid norms. */
   def nearestCentroids(vec: Column, codebook: Array[Array[Double]],
-      norms: Array[Double], cids: Array[Long], nProbe: Int): Column =
+      norms2: Array[Double], cids: Array[Long], nProbe: Int,
+      euclidean: Boolean = false): Column =
     GraftSqlBridge.column(NearestCentroids(
-      GraftSqlBridge.expression(vec), codebook, norms, cids, nProbe))
+      GraftSqlBridge.expression(vec), codebook, norms2, cids, nProbe,
+      euclidean))
 }

@@ -86,8 +86,9 @@ object Similarity {
 
   /** Collect the coarse codebook to the driver — it is broadcast-small
     * by the IVF contract (C x dim doubles; C <= ~1024). Returns
-    * (cid, components-as-double, l2norm), cid-sorted. The norm is the
-    * same left-to-right double fold `l2Norm` computes. */
+    * (cid, components-as-double, squared-l2norm), cid-sorted. The
+    * squared norm is the same left-to-right double fold `l2Norm`
+    * squares. */
   private def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] = {
     val rows = centroids.select(col("cid"), col("cvec")).collect()
     require(rows.nonEmpty, "empty centroid codebook")
@@ -100,7 +101,7 @@ object Similarity {
       }.toSeq
       var n2 = 0.0
       vec.foreach(x => n2 += x * x)
-      (cid, vec, math.sqrt(n2))
+      (cid, vec, n2)
     }.toSeq.sortBy(_._1)
   }
 
@@ -198,23 +199,22 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .toSeq.sortBy(_._1)
-    val vNorm2 = dot(col("vec"), col("vec"))
     for (_ <- 0 until iters) {
-      val distCols = cent.map { case (cid, c) =>
-        val cn2 = c.map(x => x * x).sum
-        struct(
-          round(lit(cn2) - lit(2.0) * dot(col("vec"), typedlit(c)) + vNorm2, 5)
-            .as("d"),
-          lit(cid).as("cid"))
-      }
+      // assignment via the NearestCentroids expression in euclidean
+      // mode (d = |c|^2 - 2<v,c> + |v|^2 rounded to 5, tie -> min cid)
+      // — codebook as a plan reference object, so any k codegens
+      val assignExpr = graft.functions.VectorFunctions.nearestCentroids(
+        col("vec"), cent.map(_._2.toArray).toArray,
+        cent.map { case (_, c) => c.map(x => x * x).sum }.toArray,
+        cent.map(_._1.toLong).toArray, 1, euclidean = true)
       val assigned = corpus.select(col("vec"),
-        array_min(array(distCols: _*)).getField("cid").as("cid"))
+        element_at(assignExpr, 1).as("cid"))
       val updated = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))
         .groupBy("cid", "i")
         .agg(round(avg(col("v").cast("double")), 6).as("v"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))
         .groupBy(_._1)
       cent = cent.map { case (cid, prev) =>
         // a cluster that captured no points keeps its centroid

@@ -20,7 +20,7 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("selector", "dedup", "ann")
+    val modes = Set("selector", "dedup", "ann", "kmeans")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -36,6 +36,7 @@ object Stress {
 
     if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "ann") { annStress(spark, nRows, cpus.toInt); return }
+    if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -115,6 +116,24 @@ object Stress {
     val tIvf = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"stress_ann","vecs":$nVecs,"dim":$dim,""" +
       s""""ivf_topk_sec":$tIvf,"result_rows":$n}""")
+    spark.stop()
+  }
+
+  /** k-means stress: 2 Lloyd iterations, 256 centroids, 64-dim — the
+    * large-codebook case the NearestCentroids expression exists for. */
+  private def kmeansStress(spark: SparkSession, nVecs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Similarity
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val t0 = System.nanoTime()
+    val n = Similarity.kmeansCentroids(emb, 256, 2).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"stress_kmeans","vecs":$nVecs,"dim":$dim,""" +
+      s""""k":256,"iters":2,"fit_sec":$t,"centroid_rows":$n}""")
     spark.stop()
   }
 }

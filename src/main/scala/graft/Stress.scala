@@ -87,12 +87,20 @@ object Stress {
     val tExact = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val nPairs = Dedup.minhashLsh(docs, "doc_id", "text", 0.5, 100000L).count()
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 0.5, 100000L)
+      .persist()
+    val nPairs = pairs.count()
     val tMinhash = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val nComps = Dedup.connectedComponents(pairs).count()
+    val tCc = (System.nanoTime() - t2) / 1e9
+    pairs.unpersist(blocking = false)
 
     println(s"""{"metric":"stress_dedup","docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_keepers":$nExact,""" +
-      s""""minhash_lsh_sec":$tMinhash,"neardup_pairs":$nPairs}""")
+      s""""minhash_lsh_sec":$tMinhash,"neardup_pairs":$nPairs,""" +
+      s""""cc_sec":$tCc,"cc_labeled_nodes":$nComps}""")
     spark.stop()
   }
 

@@ -290,6 +290,96 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  /** Decontamination corpora: eval = first 50 docs; train = the rest
+    * PLUS truncated copies of the eval docs injected at +20000 (known
+    * contamination both engines construct identically). */
+  private def evalCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+
+  private def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rest = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+    val ev = d.filter(col("doc_id") < 50)
+    val toks = split(col("text"), " ")
+    rest.union(ev.select((col("doc_id") + 20000).as("doc_id"),
+      array_join(slice(toks, lit(1), greatest(size(toks) - 3, lit(1))), " ")
+        .as("text")))
+  }
+
+  private val evalCorpusSql =
+    "SELECT doc_id, text FROM documents WHERE doc_id < 50"
+
+  private val trainCorpusSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id >= 50
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    array_to_string(string_split(text, ' ')[1:GREATEST(len(string_split(text, ' ')) - 3, 1)], ' ')
+      |  FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** Decontamination: train docs sharing >= 0.5 3-gram Jaccard with any
+    * eval doc — per flagged train doc, how many eval docs it hits and
+    * the worst overlap. The pre-training contamination sweep. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.crossJaccard(trainCorpus(spark, dir), evalCorpus(spark, dir),
+      "doc_id", "text", 3, 0.5, HotTokenCap)
+      .groupBy(col("lid").as("train_id"))
+      .agg(count("*").as("n_eval_matches"), max("jaccard").as("max_j"))
+      .orderBy("train_id")
+
+  val decontaminateSql: String =
+    s"""WITH tr AS ($trainCorpusSql),
+       |ev AS ($evalCorpusSql),
+       |ltk AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM tr),
+       |rtk AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM ev),
+       |l0 AS (
+       |  SELECT id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+       |  FROM ltk WHERE len(toks) >= 3),
+       |r0 AS (
+       |  SELECT id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+       |  FROM rtk WHERE len(toks) >= 3),
+       |keep AS (
+       |  SELECT tok FROM (SELECT tok FROM l0 UNION ALL SELECT tok FROM r0)
+       |  GROUP BY tok HAVING COUNT(*) <= $HotTokenCap),
+       |l AS (SELECT l0.id, l0.tok FROM l0 JOIN keep USING (tok)),
+       |r AS (SELECT r0.id, r0.tok FROM r0 JOIN keep USING (tok)),
+       |lsz AS (SELECT id, COUNT(*) AS lsz FROM l GROUP BY 1),
+       |rsz AS (SELECT id, COUNT(*) AS rsz FROM r GROUP BY 1),
+       |inter AS (
+       |  SELECT l.id AS lid, r.id AS rid, COUNT(*) AS i
+       |  FROM l JOIN r USING (tok) GROUP BY 1, 2),
+       |j AS (
+       |  SELECT lid, rid,
+       |    ROUND(CAST(i AS DOUBLE) / (lsz.lsz + rsz.rsz - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN lsz ON lid = lsz.id
+       |  JOIN rsz ON rid = rsz.id
+       |  WHERE CAST(i AS DOUBLE) / (lsz.lsz + rsz.rsz - i) >= 0.5)
+       |SELECT lid AS train_id, COUNT(*) AS n_eval_matches,
+       |  MAX(jaccard) AS max_j
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic 80/10/10 hash split of the corpus: md5-derived
+    * uniform per doc_id — stable across runs/engines/layouts. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Splits.assign(spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+      Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String = {
+    val u = s"(CAST(${Dedup.tokenIdSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / ${Dedup.MinhashP})"
+    s"""SELECT doc_id,
+       |  CASE WHEN $u < 0.8 THEN 'train'
+       |       WHEN $u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val minhashParamsSql = (0 until Dedup.NumHashes).map { i =>
     s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})"
   }.mkString(", ")
@@ -843,7 +933,9 @@ object PipelineQueries {
     "q_multimodal_frames" -> multimodalFrames _,
     "q_vocab_topk" -> vocabTopK _,
     "q_kmeans" -> kmeans _,
-    "q_ann_ivf_kmeans" -> annIvfKmeans _)
+    "q_ann_ivf_kmeans" -> annIvfKmeans _,
+    "q_decontaminate" -> decontaminate _,
+    "q_split" -> splitAssign _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -869,5 +961,7 @@ object PipelineQueries {
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_kmeans" -> kmeansSql,
-    "q_ann_ivf_kmeans" -> annIvfKmeansSql)
+    "q_ann_ivf_kmeans" -> annIvfKmeansSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_split" -> splitAssignSql)
 }

@@ -119,6 +119,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Cross-corpus Jaccard (decontamination core): similarity of every
+   * (left, right) pair sharing a shingle across TWO corpora — the
+   * train-vs-eval overlap check an LLM data pipeline runs before
+   * training. Same inverted-index topology as [[ngramJaccard]], but the
+   * join is across corpora (and therefore never self-quadratic). Hot
+   * shingles are df-capped on the UNION of both sides so the join-group
+   * bound holds regardless of which corpus a stopword-like gram comes
+   * from; similarity is over the capped shingle space on both sides
+   * (the engines agree by construction).
+   * Returns (lid, rid, jaccard) with jaccard >= threshold.
+   */
+  def crossJaccard(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val lsh0 = shingles(left, idCol, textCol, n)
+    val rsh0 = shingles(right, idCol, textCol, n)
+    val keep =
+      if (maxDf == Long.MaxValue) null
+      else lsh0.select("tok").union(rsh0.select("tok"))
+        .groupBy("tok").agg(count("*").as("dfc"))
+        .filter(col("dfc") <= maxDf).drop("dfc")
+    def cap(post: DataFrame): DataFrame =
+      if (keep == null) post else post.join(keep, "tok").select("id", "tok")
+    val lsh = cap(lsh0)
+    val rsh = cap(rsh0)
+    val lsz = lsh.groupBy("id").agg(count("*").as("lsz"))
+    val rsz = rsh.groupBy("id").agg(count("*").as("rsz"))
+    val inter = lsh.withColumnRenamed("id", "lid")
+      .join(rsh.withColumnRenamed("id", "rid"), "tok")
+      .groupBy("lid", "rid").agg(count("*").as("i"))
+    inter
+      .join(lsz.withColumnRenamed("id", "lid"), "lid")
+      .join(rsz.withColumnRenamed("id", "rid"), "rid")
+      .select(col("lid"), col("rid"),
+        round(col("i").cast("double") / (col("lsz") + col("rsz") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** (id, tok) distinct word n-gram shingles. Documents shorter than n
     * tokens contribute no shingles (no truncated grams). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

@@ -76,6 +76,39 @@ class DedupSpec extends SparkSpec {
       (m - 8) -> (m - 9), (m - 9) -> (m - 9)))
   }
 
+  test("crossJaccard flags cross-corpus overlap, never within-corpus pairs") {
+    val train = Seq(
+      (1L, "a b c d e f"),    // contains eval doc 10's text exactly
+      (2L, "x y z w q r"),    // disjoint from eval
+      (3L, "a b c d e f")).toDF("id", "text") // duplicate of train 1
+    val eval = Seq(
+      (10L, "a b c d e f"),
+      (11L, "m n o p s t")).toDF("id", "text")
+    val hits = Dedup.crossJaccard(train, eval, "id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both contaminated train docs hit eval 10; train-train and
+    // eval-eval pairs never appear
+    assert(hits == Set((1L, 10L), (3L, 10L)))
+  }
+
+  test("hash split is deterministic and respects cumulative fractions") {
+    val df = spark.range(2000).toDF("id")
+    val cuts = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+    val counts = Splits.assign(df, "id", cuts)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 uniformity at n=2000: generous tolerance, zero flake risk
+    assert(math.abs(counts("train") - 1600L) < 120,
+      s"train count ${counts("train")}")
+    assert(counts("val") + counts("test") == 2000 - counts("train"))
+    // deterministic: same assignment on recompute
+    val again = Splits.assign(df, "id", cuts)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val sigs = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -123,6 +123,190 @@ object PipelineQueries {
       |SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
       |FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 100""".stripMargin
 
+  /** Gopher-style repetition metrics per document: duplicate-token
+    * fraction, most-frequent-token fraction, most-frequent-bigram
+    * fraction — all pure per-row column expressions (narrow scan). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.dupTokenFrac(col("text")).as("dup_tok_frac"),
+        TextOps.topTokenFrac(col("text")).as("top_tok_frac"),
+        TextOps.topBigramFrac(col("text")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |  CASE WHEN len(toks) < 2 THEN NULL
+      |       ELSE list_transform(generate_series(1, len(toks) - 1),
+      |              i -> toks[i] || ' ' || toks[i + 1]) END AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      |  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_tok_frac,
+      |  ROUND(CAST(list_max(list_transform(list_distinct(toks),
+      |    t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE) / len(toks), 6) AS top_tok_frac,
+      |  CASE WHEN grams IS NULL THEN 0.0
+      |       ELSE ROUND(CAST(list_max(list_transform(list_distinct(grams),
+      |         g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE) / len(grams), 6)
+      |       END AS top_bigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Composed quality filter: first-fail reason per document + keep
+    * flag (the C4/Gopher-style pre-training filter pass). */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.filterReason(col("text")).as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS nt,
+       |  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dupf,
+       |  CASE WHEN len(toks) < 2 THEN 0.0
+       |       ELSE ROUND(CAST(list_max(list_transform(
+       |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1])),
+       |         g2 -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1]), x -> x = g2)))) AS DOUBLE)
+       |         / (len(toks) - 1), 6) END AS topbg,
+       |  ROUND(CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE) / len(toks), 6) AS stopr
+       |  FROM t),
+       |r AS (SELECT doc_id,
+       |  CASE WHEN nt < 25 THEN 'too_short'
+       |       WHEN dupf > 0.65 THEN 'repetitive_tokens'
+       |       WHEN topbg > 0.06 THEN 'dominant_bigram'
+       |       WHEN stopr < 0.01 THEN 'low_stopword'
+       |       ELSE 'ok' END AS reason
+       |  FROM m)
+       |SELECT doc_id, reason, reason = 'ok' AS keep FROM r ORDER BY doc_id""".stripMargin
+
+  /** Deterministic per-language stratified sampling: en at 50%, other
+    * languages at 25% — the data-mixing downsampling pass. Pure
+    * projection (md5-derived salted draw), reproducible anywhere. */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Splits.stratifiedSample(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "lang", SampleRates)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  val sampleStratifiedSql: String = {
+    val u = s"(CAST(${Dedup.tokenIdSql("'smp:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / ${Dedup.MinhashP})"
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $u < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Chunk (paragraph-level) exact dedup over a corpus with injected
+    * boilerplate: docs < 200 plus 32-token-prefix copies at +5000.
+    * Every 16-token chunk labeled with its first occurrence. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val corpus = d.union(d.select((col("doc_id") + 5000).as("doc_id"),
+      array_join(slice(toks, 1, 32), " ").as("text")))
+    Dedup.chunkDedup(corpus, "doc_id", "text", 16)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 5000, array_to_string(string_split(text, ' ')[1:32], ' ')
+       |  FROM documents WHERE doc_id < 200),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(CEIL(len(toks) / 16.0) AS INTEGER) - 1)) AS chunk_idx,
+       |    toks
+       |  FROM d),
+       |ck AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk
+       |  FROM ch),
+       |kk AS (
+       |  SELECT doc_id, chunk_idx,
+       |    MIN(doc_id * ${Dedup.ChunkKeyBase} + chunk_idx)
+       |      OVER (PARTITION BY md5(chunk)) AS k
+       |  FROM ck)
+       |SELECT doc_id, chunk_idx,
+       |  k // ${Dedup.ChunkKeyBase} AS keeper_doc,
+       |  k % ${Dedup.ChunkKeyBase} AS keeper_idx
+       |FROM kk ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** SemDeDup-style semantic dedup: k-means-trained clusters scope the
+    * near-dup search; within-cluster cosine >= 0.15 pairs collapse to
+    * the minimum-id keeper. Composes the trained codebook (shared with
+    * q_kmeans / q_ann_ivf_kmeans) into the dedup family. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = trainedCentroids(spark, dir)
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+      .toDF("cid", "cvec")
+    Similarity.semanticNearDup(emb, centroids, 0.15).orderBy("id")
+  }
+
+  // lazy: kmeansCtes is declared later in this object (declaration-order
+  // initialization would otherwise interpolate null)
+  lazy val semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |n AS (SELECT vec_id, SQRT(n2) AS nrm FROM vv),
+       |cn AS (SELECT cid, SQRT(SUM(v * v)) AS nrm FROM c2 GROUP BY 1),
+       |cc AS (
+       |  SELECT u.vec_id AS id, c.cid,
+       |    ROUND(SUM(u.v * c.v) / (MAX(n.nrm) * MAX(cn.nrm)), 5) AS ccos
+       |  FROM u JOIN c2 c USING (i)
+       |  JOIN n ON n.vec_id = u.vec_id
+       |  JOIN cn ON cn.cid = c.cid
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+       |    FROM cc) WHERE rk = 1),
+       |pr AS (
+       |  SELECT a.id AS ida, b.id AS idb
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id),
+       |d AS (
+       |  SELECT pr.ida, pr.idb,
+       |    ROUND(SUM(ua.v * ub.v) / (MAX(na.nrm) * MAX(nb.nrm)), 5) AS cos
+       |  FROM pr
+       |  JOIN u ua ON ua.vec_id = pr.ida
+       |  JOIN u ub ON ub.vec_id = pr.idb AND ua.i = ub.i
+       |  JOIN n na ON na.vec_id = pr.ida
+       |  JOIN n nb ON nb.vec_id = pr.idb
+       |  GROUP BY 1, 2),
+       |p2 AS (SELECT idb AS id, MIN(ida) AS partner FROM d WHERE cos >= 0.15 GROUP BY 1)
+       |SELECT e.vec_id AS id,
+       |  LEAST(e.vec_id, COALESCE(p2.partner, e.vec_id)) AS keeper
+       |FROM embeddings e LEFT JOIN p2 ON p2.id = e.vec_id
+       |ORDER BY id""".stripMargin
+
+  /** BPE merge-candidate counting (round 1): adjacent character-pair
+    * frequencies over all corpus words, top 30 (count desc, pair asc).
+    * The distributed half of tokenizer training; the merge loop itself
+    * is [[Bpe.train]] (spec-pinned). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Bpe.pairCounts(spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .orderBy(desc("cnt"), asc("pair")).limit(30)
+
+  val bpePairsSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+      |    i -> substring(w, i, 2))) AS pair
+      |  FROM w WHERE length(w) >= 2)
+      |SELECT pair, COUNT(*) AS cnt FROM p
+      |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -935,7 +1119,13 @@ object PipelineQueries {
     "q_kmeans" -> kmeans _,
     "q_ann_ivf_kmeans" -> annIvfKmeans _,
     "q_decontaminate" -> decontaminate _,
-    "q_split" -> splitAssign _)
+    "q_split" -> splitAssign _,
+    "q_repetition" -> repetition _,
+    "q_quality_filter" -> qualityFilter _,
+    "q_sample_stratified" -> sampleStratified _,
+    "q_chunk_dedup" -> chunkDedup _,
+    "q_semdedup" -> semDedup _,
+    "q_bpe_pairs" -> bpePairs _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -963,5 +1153,11 @@ object PipelineQueries {
     "q_kmeans" -> kmeansSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_decontaminate" -> decontaminateSql,
-    "q_split" -> splitAssignSql)
+    "q_split" -> splitAssignSql,
+    "q_repetition" -> repetitionSql,
+    "q_quality_filter" -> qualityFilterSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_chunk_dedup" -> chunkDedupSql,
+    "q_semdedup" -> semDedupSql,
+    "q_bpe_pairs" -> bpePairsSql)
 }

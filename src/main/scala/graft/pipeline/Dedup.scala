@@ -159,6 +159,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Positional key packing for sub-document dedup: (doc, idx) pairs
+    * order like (doc asc, idx asc) under doc*ChunkKeyBase + idx. */
+  val ChunkKeyBase: Long = 1000000L
+
+  /**
+   * Sub-document (paragraph/chunk) exact deduplication: each document
+   * splits into consecutive `chunkTokens`-token chunks; every chunk is
+   * labeled with the first (minimum (doc, idx)) occurrence of its
+   * content anywhere in the corpus. Duplicated boilerplate paragraphs
+   * dedup across documents while unique content keeps itself.
+   *
+   * Same scale shape as [[exact]]: one shuffle keyed on the content
+   * hash (chunk explosion is narrow); skew = true duplicate mass. The
+   * packed keeper key keeps the window state one long per row.
+   * Output: (doc_id, chunk_idx, keeper_doc, keeper_idx).
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk")))
+    chunks
+      .withColumn("k", col("doc_id") * ChunkKeyBase + col("chunk_idx"))
+      .withColumn("kk", min(col("k")).over(w))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("kk") / ChunkKeyBase).cast("long").as("keeper_doc"),
+        (col("kk") % ChunkKeyBase).cast("long").as("keeper_idx"))
+  }
+
   /** (id, tok) distinct word n-gram shingles. Documents shorter than n
     * tokens contribute no shingles (no truncated grams). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

@@ -229,6 +229,35 @@ object Similarity {
     }.toDF("cid", "i", "v").orderBy("cid", "i")
   }
 
+  /**
+   * Semantic (embedding-cluster) deduplication, SemDeDup-style: the
+   * corpus is partitioned by nearest trained centroid ([[ivfAssign]] —
+   * a pure projection), near-duplicate pairs are scored ONLY within a
+   * cluster (exact cosine, rounded to 5, >= `threshold`), and every
+   * vector is labeled with its keeper = min(own id, smallest
+   * near-duplicate partner id). The cluster key makes the self-join
+   * cost follow cluster occupancy — the IVF topology reused for dedup;
+   * at corpus scale the assignment is a narrow scan and the only
+   * shuffle is the per-cluster join.
+   * Returns (id, keeper); keeper != id marks a semantic duplicate.
+   */
+  def semanticNearDup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 5)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+    val partner = pairs.groupBy(col("idb").as("id"))
+      .agg(min(col("ida")).as("partner"))
+    assigned.select(col("id"))
+      .join(partner, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("partner"), col("id"))).as("keeper"))
+  }
+
   /** Deterministic pseudo-hyperplane component j of plane i:
     * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */
   private def planeComponent(i: Int, j: Column): Column =

@@ -35,4 +35,30 @@ object Splits {
       .foldLeft(first) { case (acc, (name, cut)) => acc.when(u < cut, name) }
       .otherwise(cuts.last._1)
   }
+
+  /**
+   * Deterministic stratified (per-stratum rate) sampling — the
+   * language/source-balanced downsampling pass of a data-mixing
+   * pipeline. A row is kept iff its md5-derived uniform draw (salted,
+   * so samples are independent of split assignment) falls under its
+   * stratum's rate. Pure per-row projection: reproducible across
+   * runs/engines/layouts, no shuffle, no RNG state — at 100 TB this is
+   * a filter pushed into the scan, not a sampling job.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "smp"): DataFrame =
+    df.filter(sampleDraw(col(idCol), salt) < sampleRate(col(strataCol), rates, defaultRate))
+
+  /** The salted uniform draw in [0, 1) for a row id. */
+  def sampleDraw(id: Column, salt: String = "smp"): Column =
+    Dedup.tokenId(concat(lit(salt + ":"), id.cast("string")))
+      .cast("double") / Dedup.MinhashP
+
+  /** The per-stratum keep rate as a column. */
+  def sampleRate(stratum: Column, rates: Map[String, Double],
+      defaultRate: Double): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (name, r)) => when(stratum === name, r).otherwise(acc)
+    }
 }

@@ -90,6 +90,68 @@ object TextOps {
     }._1
   }
 
+  // ---- repetition metrics (Gopher-style filters) ----
+  //
+  // All three are PURE per-document column expressions (higher-order
+  // functions over the token array): a narrow scan with no explode, no
+  // shuffle, no per-document state anywhere else — the shape that holds
+  // at 100 TB because repetition is a per-row property. The per-doc
+  // distinct-gram scan is O(distinct x n) inside the row, bounded by
+  // document length, never by corpus size.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - |distinct| / n, rounded to 6. */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks), 6)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token. */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    round(array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double") / size(toks), 6)
+  }
+
+  /** Word bigrams of the document as an array ("w1 w2" strings). */
+  private def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+  }
+
+  /** Fraction of bigram slots taken by the most frequent word bigram
+    * (0.0 for sub-2-token docs). The fraction is tie-invariant, so no
+    * argmax-over-strings determinism contract is needed. */
+  def topBigramFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, lit(0.0)).otherwise(
+      round(array_max(transform(array_distinct(bigrams(text)),
+          g => size(filter(bigrams(text), x => x === g)))).cast("double") /
+        (size(toks) - 1), 6))
+  }
+
+  /**
+   * Composed document-quality filter rules, first-fail semantics:
+   * (ruleName, failCondition) evaluated in order; a document's `reason`
+   * is the first failing rule or "ok". Thresholds sit inside the
+   * observed sf-corpus distributions so every rule actually fires.
+   */
+  def filterRules(text: Column): Seq[(String, Column)] = Seq(
+    "too_short" -> (tokenCount(text) < 25),
+    "repetitive_tokens" -> (dupTokenFrac(text) > 0.65),
+    "dominant_bigram" -> (topBigramFrac(text) > 0.06),
+    "low_stopword" -> (hitRatio(text, stopwords) < 0.01))
+
+  /** First failing rule name, or "ok". */
+  def filterReason(text: Column): Column = {
+    val rules = filterRules(text)
+    rules.tail.foldLeft(when(rules.head._2, rules.head._1)) {
+      case (acc, (name, cond)) => acc.when(cond, name)
+    }.otherwise("ok")
+  }
+
   /** Content fingerprint: md5 hex (matches DuckDB's md5()). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -344,4 +344,147 @@ class TextOpsSpec extends SparkSpec {
     // hi -> 1; international (13 chars) -> 1 + floor(12/4) = 4
     assert(df.select(TextOps.subwordCount(col("text"))).head.getLong(0) == 5L)
   }
+
+  test("repetition metrics: duplicate, top-token and top-bigram fractions") {
+    val df = Seq(
+      (1L, "a a a b"),      // dup 1-2/4=0.5; top tok 3/4; bigrams [aa,aa,ab] -> 2/3
+      (2L, "a b c d"),      // all distinct
+      (3L, "x")).toDF("id", "text") // single token: bigram frac 0
+    val m = df.select(col("id"),
+      TextOps.dupTokenFrac(col("text")),
+      TextOps.topTokenFrac(col("text")),
+      TextOps.topBigramFrac(col("text"))).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((0.5, 0.75, 0.666667)))
+    assert(m(2L) == ((0.0, 0.25, 0.333333)))
+    assert(m(3L) == ((0.0, 1.0, 0.0)))
+  }
+
+  test("quality filter reasons fire first-fail and in order") {
+    val longOk = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and"
+    val df = Seq(
+      (1L, "a b c"),                          // too_short
+      (2L, ("x " * 30).trim),                 // repetitive (but ALSO short? 30 tokens -> not short; dup frac 29/30)
+      (3L, longOk)).toDF("id", "text")        // passes: 33 distinct tokens, stopwords present
+    val m = df.select(col("id"), TextOps.filterReason(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "too_short")
+    assert(m(2L) == "repetitive_tokens")
+    assert(m(3L) == "ok")
+  }
+
+  test("chunk dedup labels repeated chunks with their first occurrence") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks (size 3): [a b c][d e f]
+      (2L, "d e f a b c"),   // same chunks, swapped order
+      (3L, "q r s")).toDF("id", "text")
+    val out = Dedup.chunkDedup(df, "id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 0)) == ((1L, 0L)))
+    assert(out((1L, 1)) == ((1L, 1L)))
+    assert(out((2L, 0)) == ((1L, 1L)))  // "d e f" first seen at doc 1 idx 1
+    assert(out((2L, 1)) == ((1L, 0L)))
+    assert(out((3L, 0)) == ((3L, 0L)))
+  }
+
+  test("stratified sample: per-stratum rates hold and resampling is stable") {
+    val df = spark.range(4000).toDF("id")
+      .withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Splits.stratifiedSample(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.1))
+    val counts = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1000L) < 120, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 200L) < 80, s"b=${counts("b")}")
+    assert(kept.collect().map(_.getLong(0)).toSet ==
+      Splits.stratifiedSample(df, "id", "s", Map("a" -> 0.5, "b" -> 0.1))
+        .collect().map(_.getLong(0)).toSet)
+    // unknown stratum defaults to rate 0 -> dropped
+    val other = df.withColumn("s", lit("zz"))
+    assert(Splits.stratifiedSample(other, "id", "s", Map("a" -> 0.5))
+      .count() == 0L)
+  }
+}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pair counts over words") {
+    val df = Seq((1L, "abab cd c")).toDF("id", "text")
+    val m = Bpe.pairCounts(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abab: ab, ba, ab; cd: cd; c: none
+    assert(m == Map("ab" -> 2L, "ba" -> 1L, "cd" -> 1L))
+  }
+
+  test("mergeFold merges greedily left-to-right without overlap") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a"))
+      .toDF("syms")
+    val out = df.select(Bpe.mergeFold(col("syms"), "a", "a")).collect()
+      .map(_.getSeq[String](0).toList).toSet
+    assert(out == Set(List("aa", "a"), List("aa", "aa"), List("b", "a")))
+  }
+
+  test("train learns the dominant pair first; segment applies the table") {
+    val df = Seq((1L, "abab abab cdcd ab")).toDF("id", "text")
+    val merges = Bpe.train(df, "text", 2)
+    // "ab" occurs 5 times (2+2+1) beating "ba" (2) and "cd" (2);
+    // after merging (a,b), pair ("ab","ab") appears twice -> next merge
+    assert(merges.head == ("a", "b"))
+    assert(merges.length == 2)
+    assert(Bpe.segment("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    assert(Bpe.segment("abab", merges) ==
+      (if (merges(1) == ("ab", "ab")) Seq("abab") else Seq("ab", "ab")))
+    // driver-side segment agrees with the distributed fold
+    val folded = Seq(Seq("a", "b", "a", "b")).toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "b")).head.getSeq[String](0)
+    assert(folded == Bpe.segment("abab", Seq(("a", "b"))))
+  }
+
+  test("merges never increase total symbol count on the corpus") {
+    val df = Seq((1L, "the quick brown fox the quick")).toDF("id", "text")
+    val before = Bpe.corpusSymbols(df, "text")
+      .select(sum(size(col("syms")))).head.getLong(0)
+    val merges = Bpe.train(df, "text", 3)
+    assert(merges.nonEmpty)
+    var syms = Bpe.corpusSymbols(df, "text")
+    merges.foreach { case (x, y) =>
+      syms = syms.select(Bpe.mergeFold(col("syms"), x, y).as("syms"))
+    }
+    val after = syms.select(sum(size(col("syms")))).head.getLong(0)
+    assert(after < before)
+  }
+}
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticNearDup: within-cluster duplicates collapse, cross-cluster don't") {
+    // cluster 0: x-axis (ids 0,2,4 colinear); cluster 1: y-axis (1,3)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 3.0f)),
+      (4L, Array(5.0f, 0.0f)), (5L, Array(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val centroids = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val keepers = Similarity.semanticNearDup(corpus, centroids, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // colinear x vectors all collapse to 0; y vectors to 1; the
+    // opposite-direction vector 5 sits in a cluster but is no dup
+    assert(keepers == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L,
+      4L -> 0L, 5L -> 5L))
+  }
+
+  test("semanticNearDup returns one row per corpus vector") {
+    val rng = new scala.util.Random(7)
+    val corpus = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val centroids = corpus.filter(col("id") < 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val out = Similarity.semanticNearDup(corpus, centroids, 0.95)
+    assert(out.count() == 100L)
+    // keeper <= id always
+    assert(out.filter(col("keeper") > col("id")).count() == 0L)
+  }
 }

@@ -20,7 +20,8 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("selector", "dedup", "ann", "kmeans")
+    val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
+      "semdedup")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -37,6 +38,9 @@ object Stress {
     if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "ann") { annStress(spark, nRows, cpus.toInt); return }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
+    if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
+    if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
+    if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -124,6 +128,97 @@ object Stress {
     val tIvf = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"stress_ann","vecs":$nVecs,"dim":$dim,""" +
       s""""ivf_topk_sec":$tIvf,"result_rows":$n}""")
+    spark.stop()
+  }
+
+  /** Text-pipeline stress: repetition metrics + composed quality filter
+    * (pure narrow HOF scan) and chunk dedup (one md5-keyed shuffle) over
+    * nDocs synthetic 40-token documents with injected boilerplate (every
+    * doc shares one of 1000 stock 8-token openings — duplicated chunks
+    * at corpus scale). */
+  private def textStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.{Dedup, TextOps}
+    val tokMod = 100000007L
+    // first 8 tokens: one of 1000 stock openings (boilerplate);
+    // remaining 32: doc-unique
+    val opening = (0 until 8).map(j =>
+      concat(lit("b"), ((col("id") % 1000) * (17 + j) + j) % 1000))
+    // half the docs carry stopwords so the low_stopword rule
+    // discriminates instead of dropping everything
+    val body = (0 until 32).map {
+      case 0 => when(col("id") % 2 === 0, lit("the"))
+        .otherwise(concat(lit("t"), col("id") % tokMod))
+      case 1 => when(col("id") % 2 === 0, lit("of"))
+        .otherwise(concat(lit("u"), col("id") % tokMod))
+      case j => concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod)
+    }
+    val docs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", opening ++ body: _*).as("text"))
+
+    val t0 = System.nanoTime()
+    val nKeep = docs.select(col("doc_id"),
+        TextOps.filterReason(col("text")).as("reason"),
+        TextOps.dupTokenFrac(col("text")).as("d"),
+        TextOps.topBigramFrac(col("text")).as("g"))
+      .filter(col("reason") === "ok").count()
+    val tFilter = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val dedupedChunks = Dedup.chunkDedup(docs, "doc_id", "text", 8)
+      .filter(col("doc_id") === col("keeper_doc") &&
+        col("chunk_idx") === col("keeper_idx")).count()
+    val tChunk = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"stress_text","docs":$nDocs,""" +
+      s""""filter_sec":$tFilter,"kept_docs":$nKeep,""" +
+      s""""chunk_dedup_sec":$tChunk,"kept_chunks":$dedupedChunks}""")
+    spark.stop()
+  }
+
+  /** BPE stress: distributed pair counting + 3 greedy merge rounds over
+    * nDocs x 40-word synthetic corpus (each word 6-9 chars from a 26-char
+    * alphabet) — the shuffle is O(distinct pairs) after partial agg. */
+  private def bpeStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Bpe
+    val tokMod = 100000007L
+    val docs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          // word = base-26 rendering of a doc/pos-derived number
+          conv((col("id") * (31 + j) + j * 7) % tokMod, 10, 26)): _*)
+          .as("text"))
+    val t0 = System.nanoTime()
+    val nPairs = Bpe.pairCounts(docs, "text").count()
+    val tCount = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val merges = Bpe.train(docs, "text", 3)
+    val tTrain = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"stress_bpe","docs":$nDocs,""" +
+      s""""pair_count_sec":$tCount,"distinct_pairs":$nPairs,""" +
+      s""""train3_sec":$tTrain,"merges":"${merges.map(m => m._1 + m._2).mkString(",")}"}""")
+    spark.stop()
+  }
+
+  /** SemDeDup stress: semantic dedup of nVecs 64-dim embeddings against
+    * a 256-centroid codebook — assignment is the narrow NearestCentroids
+    * projection; the near-dup join is scoped per cluster. */
+  private def semDedupStress(spark: SparkSession, nVecs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Similarity
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val centroids = emb.filter(col("id") < 256)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val t0 = System.nanoTime()
+    val nDups = Similarity.semanticNearDup(emb, centroids, 0.9)
+      .filter(col("keeper") =!= col("id")).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"stress_semdedup","vecs":$nVecs,"dim":$dim,""" +
+      s""""clusters":256,"semdedup_sec":$t,"dup_rows":$nDups}""")
     spark.stop()
   }
 

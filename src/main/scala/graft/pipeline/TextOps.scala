@@ -92,45 +92,36 @@ object TextOps {
 
   // ---- repetition metrics (Gopher-style filters) ----
   //
-  // All three are PURE per-document column expressions (higher-order
-  // functions over the token array): a narrow scan with no explode, no
-  // shuffle, no per-document state anywhere else — the shape that holds
-  // at 100 TB because repetition is a per-row property. The per-doc
-  // distinct-gram scan is O(distinct x n) inside the row, bounded by
-  // document length, never by corpus size.
+  // All three are PURE per-document expressions - a narrow scan with no
+  // explode, no shuffle, no per-document state anywhere else: the shape
+  // that holds at 100 TB because repetition is a per-row property. The
+  // metrics compute in ONE hash-counting pass per row via the native
+  // [[graft.functions.RepetitionStats]] Catalyst expression (the
+  // higher-order-function formulation is interpreted and re-evaluates
+  // captured subtrees per lambda call - the measured bottleneck of the
+  // 1M-doc text stress). Equal stats subtrees inside one projection are
+  // merged by codegen subexpression elimination, so stacking the three
+  // metrics (or the composed filter) still costs one pass per row.
+
+  /** All repetition metrics in one pass:
+    * struct(dup_tok_frac, top_tok_frac, top_bigram_frac). */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextFunctions.repetitionStats(tokens(text))
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 - |distinct| / n, rounded to 6. */
-  def dupTokenFrac(text: Column): Column = {
-    val toks = tokens(text)
-    round(lit(1.0) -
-      size(array_distinct(toks)).cast("double") / size(toks), 6)
-  }
+  def dupTokenFrac(text: Column): Column =
+    repetitionStats(text).getField("dup_tok_frac")
 
   /** Fraction of tokens taken by the single most frequent token. */
-  def topTokenFrac(text: Column): Column = {
-    val toks = tokens(text)
-    round(array_max(transform(array_distinct(toks),
-        t => size(filter(toks, x => x === t)))).cast("double") / size(toks), 6)
-  }
-
-  /** Word bigrams of the document as an array ("w1 w2" strings). */
-  private def bigrams(text: Column): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-  }
+  def topTokenFrac(text: Column): Column =
+    repetitionStats(text).getField("top_tok_frac")
 
   /** Fraction of bigram slots taken by the most frequent word bigram
     * (0.0 for sub-2-token docs). The fraction is tie-invariant, so no
     * argmax-over-strings determinism contract is needed. */
-  def topBigramFrac(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) < 2, lit(0.0)).otherwise(
-      round(array_max(transform(array_distinct(bigrams(text)),
-          g => size(filter(bigrams(text), x => x === g)))).cast("double") /
-        (size(toks) - 1), 6))
-  }
+  def topBigramFrac(text: Column): Column =
+    repetitionStats(text).getField("top_bigram_frac")
 
   /**
    * Composed document-quality filter rules, first-fail semantics:

@@ -177,16 +177,18 @@ object Stress {
   }
 
   /** BPE stress: distributed pair counting + 3 greedy merge rounds over
-    * nDocs x 40-word synthetic corpus (each word 6-9 chars from a 26-char
-    * alphabet) — the shuffle is O(distinct pairs) after partial agg. */
+    * nDocs x 40-word synthetic corpus with a bounded 200k-word
+    * vocabulary (as real corpora have) — pair counting shuffles
+    * O(distinct pairs) after partial agg, and the merge rounds scan
+    * only the word-frequency table. */
   private def bpeStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
     import graft.pipeline.Bpe
-    val tokMod = 100000007L
+    val vocabMod = 200003L
     val docs = spark.range(nDocs).repartition(cpus * 4)
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 40).map(j =>
           // word = base-26 rendering of a doc/pos-derived number
-          conv((col("id") * (31 + j) + j * 7) % tokMod, 10, 26)): _*)
+          conv((col("id") * (31 + j) + j * 7) % vocabMod, 10, 26)): _*)
           .as("text"))
     val t0 = System.nanoTime()
     val nPairs = Bpe.pairCounts(docs, "text").count()

@@ -110,6 +110,165 @@ object RepetitionStats {
   }
 }
 
+/**
+ * Adjacent character pairs of a string as an array of 2-char strings —
+ * the BPE round-1 candidate generator as ONE native expression (the
+ * `transform(sequence(...), i -> substr ...)` formulation pays an
+ * interpreted lambda frame per character across the corpus).
+ * Codepoint-aware (UTF8String.substringSQL), matching both Spark's
+ * `Column.substr` and DuckDB's `substring`. Words with < 2 chars
+ * yield an empty array.
+ */
+case class CharPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_pairs expects string, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharPairs.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CharPairs.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_char_pairs"
+}
+
+object CharPairs {
+  def compute(w: UTF8String): ArrayData = {
+    val n = w.numChars()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = w.substringSQL(i + 1, 2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * Adjacent symbol pairs of a symbol array as "x y" strings (the BPE
+ * merge-candidate generator over partially-merged corpora). Arrays
+ * with < 2 elements yield an empty array.
+ */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adjacent_pairs expects array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    AdjacentPairs.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AdjacentPairs.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_adjacent_pairs"
+}
+
+object AdjacentPairs {
+  private val Sep = UTF8String.fromString(" ")
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(arr.getUTF8String(i), Sep,
+        arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * One BPE merge (x, y) -> xy applied to a symbol array: greedy
+ * left-to-right non-overlapping, as standard BPE does. One linear scan
+ * per row (the HOF fold's per-element slice+concat rebuilds the
+ * accumulator array O(len) times per word). The merge pair rides as
+ * expression parameters, so generated code is constant-size.
+ */
+case class MergePair(child: Expression, x: String, y: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"merge_pair expects array<string>, got $other")
+    }
+
+  @transient private lazy val ux = UTF8String.fromString(x)
+  @transient private lazy val uy = UTF8String.fromString(y)
+  @transient private lazy val uxy = UTF8String.fromString(x + y)
+
+  override protected def nullSafeEval(v: Any): Any =
+    MergePair.compute(v.asInstanceOf[ArrayData], ux, uy, uxy)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bx = ctx.addReferenceObj("mx", ux, "org.apache.spark.unsafe.types.UTF8String")
+    val by = ctx.addReferenceObj("my", uy, "org.apache.spark.unsafe.types.UTF8String")
+    val bxy = ctx.addReferenceObj("mxy", uxy, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.MergePair.compute($v, $bx, $by, $bxy);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_merge_pair"
+}
+
+object MergePair {
+  def compute(arr: ArrayData, x: UTF8String, y: UTF8String,
+      xy: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && x.equals(s) && y.equals(arr.getUTF8String(i + 1))) {
+        out(o) = xy; o += 1; i += 2
+      } else {
+        out(o) = s; o += 1; i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], o)
+        .asInstanceOf[Array[Any]])
+  }
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
 
@@ -117,4 +276,16 @@ object TextFunctions {
     * struct(dup_tok_frac, top_tok_frac, top_bigram_frac). */
   def repetitionStats(toks: Column): Column =
     GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(toks)))
+
+  /** Adjacent character pairs of a word as 2-char strings. */
+  def charPairs(w: Column): Column =
+    GraftSqlBridge.column(CharPairs(GraftSqlBridge.expression(w)))
+
+  /** Adjacent symbol pairs of a symbol array as "x y" strings. */
+  def adjacentPairs(syms: Column): Column =
+    GraftSqlBridge.column(AdjacentPairs(GraftSqlBridge.expression(syms)))
+
+  /** One greedy BPE merge (x, y) -> xy over a symbol array. */
+  def mergePair(syms: Column, x: String, y: String): Column =
+    GraftSqlBridge.column(MergePair(GraftSqlBridge.expression(syms), x, y))
 }

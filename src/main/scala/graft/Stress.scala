@@ -203,24 +203,29 @@ object Stress {
   }
 
   /** SemDeDup stress: semantic dedup of nVecs 64-dim embeddings against
-    * a 256-centroid codebook — assignment is the narrow NearestCentroids
-    * projection; the near-dup join is scoped per cluster. */
+    * a 2048-centroid codebook — assignment is the narrow
+    * NearestCentroids projection; the near-dup join is scoped per
+    * cluster, so pair cost is ~n^2/(2k). k is THE knob: 256 clusters at
+    * 1M vectors means ~2B scored pairs (measured: did not finish in
+    * 12 min); 2048 takes it to ~250M. Real deployments size k so mean
+    * cluster occupancy stays in the hundreds. */
   private def semDedupStress(spark: SparkSession, nVecs: Long, cpus: Int): Unit = {
     import graft.pipeline.Similarity
     val dim = 64
+    val k = 2048
     def comp(j: Int) =
       (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
         .cast("double") / 100003.0 - 0.5).cast("float")
     val emb = spark.range(nVecs).repartition(cpus * 4)
       .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
-    val centroids = emb.filter(col("id") < 256)
+    val centroids = emb.filter(col("id") < k)
       .select(col("id").as("cid"), col("vec").as("cvec"))
     val t0 = System.nanoTime()
     val nDups = Similarity.semanticNearDup(emb, centroids, 0.9)
       .filter(col("keeper") =!= col("id")).count()
     val t = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"stress_semdedup","vecs":$nVecs,"dim":$dim,""" +
-      s""""clusters":256,"semdedup_sec":$t,"dup_rows":$nDups}""")
+      s""""clusters":$k,"semdedup_sec":$t,"dup_rows":$nDups}""")
     spark.stop()
   }
 

@@ -307,6 +307,50 @@ object PipelineQueries {
       |SELECT pair, COUNT(*) AS cnt FROM p
       |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** Corpus with deterministic synthetic PII appended (both engines
+    * construct it identically): every 3rd doc gains an email, every 7th
+    * a 10-digit phone-like number. */
+  private def piiCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call "), (lit(5551234000L) + col("doc_id")).cast("string")))
+            .otherwise("")).as("text"))
+
+  private val piiCorpusSql =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' call ' || CAST(5551234000 + doc_id AS VARCHAR) ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  /** PII scrub: per-document pattern counts + the md5 of the redacted
+    * text (emails, long digit runs -> placeholders). Pure regexp
+    * projections — the redaction pass of a pre-training pipeline. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiCorpus(spark, dir).select(col("doc_id"),
+      TextOps.patternCount(col("text"), TextOps.piiRules(0)._2).as("n_email"),
+      TextOps.patternCount(col("text"), TextOps.piiRules(1)._2).as("n_number"),
+      md5(TextOps.redact(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String = {
+    val email = TextOps.piiRules(0)._2
+    val num = TextOps.piiRules(1)._2
+    s"""WITH c AS ($piiCorpusSql)
+       |SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(text, '$email')) - 1 AS BIGINT) AS n_email,
+       |  CAST(len(regexp_split_to_array(text, '$num')) - 1 AS BIGINT) AS n_number,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$num', '<NUM>', 'g')) AS fp
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -1125,7 +1169,8 @@ object PipelineQueries {
     "q_sample_stratified" -> sampleStratified _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_semdedup" -> semDedup _,
-    "q_bpe_pairs" -> bpePairs _)
+    "q_bpe_pairs" -> bpePairs _,
+    "q_pii_scrub" -> piiScrub _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1159,5 +1204,6 @@ object PipelineQueries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_semdedup" -> semDedupSql,
-    "q_bpe_pairs" -> bpePairsSql)
+    "q_bpe_pairs" -> bpePairsSql,
+    "q_pii_scrub" -> piiScrubSql)
 }

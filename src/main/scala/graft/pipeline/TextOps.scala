@@ -143,6 +143,28 @@ object TextOps {
     }.otherwise("ok")
   }
 
+  // ---- PII scrubbing ----
+  //
+  // Pattern-based redaction: pure regexp projections (codegen'd, narrow
+  // scan). Patterns stay in the POSIX-compatible subset both Java regex
+  // and the oracle's RE2 interpret identically.
+
+  /** (name, pattern, replacement) redaction rules: emails and long
+    * digit runs (phone-ish). */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+    ("number", "[0-9]{7,}", "<NUM>"))
+
+  /** Count of matches of one pattern (via split length - 1: identical
+    * accounting in both engines for non-overlapping matches). */
+  def patternCount(text: Column, pattern: String): Column =
+    (size(split(text, pattern, -1)) - 1).cast("long")
+
+  /** Text with every rule's matches replaced by its placeholder,
+    * rules applied in declaration order. */
+  def redact(text: Column): Column =
+    piiRules.foldLeft(text) { case (t, (_, p, r)) => regexp_replace(t, p, r) }
+
   /** Content fingerprint: md5 hex (matches DuckDB's md5()). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -387,6 +387,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out((3L, 0)) == ((3L, 0L)))
   }
 
+  test("pii scrub: counts and redaction") {
+    val df = Seq(
+      (1L, "mail me at bob.smith@corp.example or 5551234567 thanks"),
+      (2L, "no pii here 123456")).toDF("id", "text") // 6 digits: below threshold
+    val out = df.select(col("id"),
+      TextOps.patternCount(col("text"), TextOps.piiRules(0)._2).as("ne"),
+      TextOps.patternCount(col("text"), TextOps.piiRules(1)._2).as("nn"),
+      TextOps.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "mail me at <EMAIL> or <NUM> thanks")))
+    assert(out(2L) == ((0L, 0L, "no pii here 123456")))
+  }
+
   test("stratified sample: per-stratum rates hold and resampling is stable") {
     val df = spark.range(4000).toDF("id")
       .withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))

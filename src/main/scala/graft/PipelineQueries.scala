@@ -351,6 +351,79 @@ object PipelineQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** The composed curation pipeline in ONE narrow pass — the common
+    * 100 TB shape: quality filter -> deterministic stratified sample ->
+    * split assignment -> PII redaction + scoring, all pure
+    * projections/filters over a single scan (no shuffle anywhere
+    * except the presentation sort). Certifies that the text-pipeline
+    * operators COMPOSE: a kept row carries its language, split, quality
+    * score and redacted-content fingerprint. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call "), (lit(5551234000L) + col("doc_id")).cast("string")))
+            .otherwise("")).as("text"))
+    d.withColumn("reason", TextOps.filterReason(col("text")))
+      .filter(col("reason") === "ok")
+      .filter(Splits.sampleDraw(col("doc_id")) <
+        Splits.sampleRate(col("lang"), SampleRates, 0.0))
+      .select(col("doc_id"), col("lang"),
+        Splits.splitColumn(col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))).as("split"),
+        TextOps.qualityScore(col("text")).as("q"),
+        md5(TextOps.redact(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  lazy val curateSql: String = {
+    val email = TextOps.piiRules(0)._2
+    val num = TextOps.piiRules(1)._2
+    val draw = s"(CAST(${Dedup.tokenIdSql("'smp:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / ${Dedup.MinhashP})"
+    val u = s"(CAST(${Dedup.tokenIdSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / ${Dedup.MinhashP})"
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' call ' || CAST(5551234000 + doc_id AS VARCHAR) ELSE '' END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM c),
+       |m AS (SELECT doc_id, lang, text, len(toks) AS nt,
+       |  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dupf,
+       |  CASE WHEN len(toks) < 2 THEN 0.0
+       |       ELSE ROUND(CAST(list_max(list_transform(
+       |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1])),
+       |         g2 -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1]), x -> x = g2)))) AS DOUBLE)
+       |         / (len(toks) - 1), 6) END AS topbg,
+       |  ROUND(CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE) / len(toks), 6) AS stopr,
+       |  CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE) / len(toks) AS stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct
+       |  FROM t),
+       |kept AS (
+       |  SELECT * FROM m
+       |  WHERE NOT (nt < 25) AND NOT (dupf > 0.65) AND NOT (topbg > 0.06)
+       |    AND NOT (stopr < 0.01)
+       |    AND $draw < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)
+       |SELECT doc_id, lang,
+       |  CASE WHEN $u < 0.8 THEN 'train'
+       |       WHEN $u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  ROUND(0.4 * LEAST(1.0, nt / 50.0)
+       |      + 0.4 * (1.0 - LEAST(1.0, ABS(stop - 0.12) / 0.5))
+       |      + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS q,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$num', '<NUM>', 'g')) AS fp
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -1170,7 +1243,8 @@ object PipelineQueries {
     "q_chunk_dedup" -> chunkDedup _,
     "q_semdedup" -> semDedup _,
     "q_bpe_pairs" -> bpePairs _,
-    "q_pii_scrub" -> piiScrub _)
+    "q_pii_scrub" -> piiScrub _,
+    "q_curate" -> curate _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1205,5 +1279,6 @@ object PipelineQueries {
     "q_chunk_dedup" -> chunkDedupSql,
     "q_semdedup" -> semDedupSql,
     "q_bpe_pairs" -> bpePairsSql,
-    "q_pii_scrub" -> piiScrubSql)
+    "q_pii_scrub" -> piiScrubSql,
+    "q_curate" -> curateSql)
 }

@@ -175,14 +175,22 @@ object Dedup {
    * packed keeper key keeps the window state one long per row.
    * Output: (doc_id, chunk_idx, keeper_doc, keeper_idx).
    */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+  /** (doc_id, chunk_idx, chunk) rows: each document split into
+    * consecutive `chunkTokens`-token chunks — a stateless narrow
+    * projection, so it runs identically under batch and readStream. */
+  def chunkRows(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    val chunks = df.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
-          .as(Seq("chunk_idx", "chunk")))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = chunkRows(df, idCol, textCol, chunkTokens)
     val w = Window.partitionBy(md5(col("chunk")))
     chunks
       .withColumn("k", col("doc_id") * ChunkKeyBase + col("chunk_idx"))

@@ -98,6 +98,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunk dedup keeps exactly the batch chunk keepers on in-order input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // chunk size 3; doc 2 re-orders doc 1's chunks, doc 3 repeats one
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "d e f a b c"),
+      (3L, "a b c x y z"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // same chunking as Dedup.chunkRows with the event time carried
+    // through (stateless projection — streaming-safe by construction)
+    val streamChunks = {
+      val df = stream.toDS().toDF("ts", "doc_id", "text")
+      val toks = split(col("text"), " ")
+      val nChunks = ceil(size(toks).cast("double") / 3).cast("int")
+      df.select(col("ts"), col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+    }
+    val deduped = StreamingOps.streamingDedup(
+      streamChunks, md5(col("chunk")), "ts", "10 minutes")
+    val query = deduped.writeStream.format("memory").queryName("cdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        stream.addData((ts(i), id, text))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("cdedup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet
+      // batch keepers (first occurrence in doc_id, chunk_idx order —
+      // the arrival order here)
+      val batchKeepers = graft.pipeline.Dedup.chunkDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .filter(col("doc_id") === col("keeper_doc") &&
+          col("chunk_idx") === col("keeper_idx"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed == batchKeepers,
+        s"streamed=$streamed batch=$batchKeepers")
+    } finally query.stop()
+  }
+
   test("idle-timeout finalization closes the open session exactly once") {
     import Sessionize._
     // user with 2 closed sessions (max 5) and a 3-event open session

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, RepetitionStats}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -15,27 +15,52 @@ import graft.functions.DotProduct
  * installs the same functions directly into the session's registry.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2,
-      s"graft_dot_product expects 2 arguments, got ${exprs.length}")
-    DotProduct(exprs.head, exprs(1))
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.length == n,
+        s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
   }
 
-  private[plans] val dotProductDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
-    dotProductBuilder)
+  /** Evaluate a foldable string argument (e.g. the merge pair's x/y). */
+  private def literalString(name: String, e: Expression): String = {
+    require(e.foldable, s"$name expects a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$name got a null literal")
+    v.toString
+  }
+
+  private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot_product", classOf[DotProduct],
+      arity("graft_dot_product", 2)(es => DotProduct(es.head, es(1)))),
+    ("graft_repetition_stats", classOf[RepetitionStats],
+      arity("graft_repetition_stats", 1)(es => RepetitionStats(es.head))),
+    ("graft_char_pairs", classOf[CharPairs],
+      arity("graft_char_pairs", 1)(es => CharPairs(es.head))),
+    ("graft_adjacent_pairs", classOf[AdjacentPairs],
+      arity("graft_adjacent_pairs", 1)(es => AdjacentPairs(es.head))),
+    ("graft_merge_pair", classOf[MergePair],
+      arity("graft_merge_pair", 3)(es => MergePair(es.head,
+        literalString("graft_merge_pair", es(1)),
+        literalString("graft_merge_pair", es(2))))))
+
+  private[plans] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, cls, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
+    }
 
   /** Install the functions into a live session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_product", dotProductBuilder, "built-in")
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

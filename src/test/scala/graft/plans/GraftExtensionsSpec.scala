@@ -24,4 +24,27 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT graft_dot_product(array(1.0D))").collect()
     }
   }
+
+  test("text kernels are callable from SQL") {
+    GraftExtensions.register(spark)
+    val rs = spark.sql(
+      "SELECT graft_repetition_stats(array('a','a','b')) AS s").head.getStruct(0)
+    assert(rs.getDouble(1) == 0.666667) // top-token frac 2/3
+    val pairs = spark.sql("SELECT graft_char_pairs('abc')").head
+      .getSeq[String](0)
+    assert(pairs == Seq("ab", "bc"))
+    val adj = spark.sql("SELECT graft_adjacent_pairs(array('x','y','z'))")
+      .head.getSeq[String](0)
+    assert(adj == Seq("x y", "y z"))
+    val merged = spark.sql(
+      "SELECT graft_merge_pair(array('a','b','a'), 'a', 'b')").head
+      .getSeq[String](0)
+    assert(merged == Seq("ab", "a"))
+    // non-literal (column-valued) merge pair rejected
+    intercept[Exception] {
+      spark.sql(
+        "SELECT graft_merge_pair(array('a'), c, 'b') FROM (SELECT 'a' AS c)")
+        .collect()
+    }
+  }
 }

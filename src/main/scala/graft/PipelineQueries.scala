@@ -181,6 +181,49 @@ object PipelineQueries {
        |  FROM m)
        |SELECT doc_id, reason, reason = 'ok' AS keep FROM r ORDER BY doc_id""".stripMargin
 
+  /** Adaptive per-language quality thresholding: within each language,
+    * keep documents above the 30th percentile of the quality score —
+    * the data-driven filter cut a pipeline uses instead of fixed global
+    * thresholds (score distributions differ by language). Rank by
+    * (rounded score, doc_id) so the percentile is deterministic across
+    * engines. The window is PARTITIONED by language — never global (a
+    * global rank cannot scale and `PlanAuditSpec` forbids it); at
+    * corpus scale a language's percentile cut would come from a
+    * per-group `approxQuantile` sketch and the filter stays a narrow
+    * predicate — same output contract. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))
+    scored
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .filter(col("pct") >= 0.3)
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks, text FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    len(toks) AS n_tokens,
+       |    CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE) / len(toks) AS stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(0.4 * LEAST(1.0, n_tokens / 50.0)
+       |        + 0.4 * (1.0 - LEAST(1.0, ABS(stop - 0.12) / 0.5))
+       |        + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS q
+       |  FROM m),
+       |r AS (
+       |  SELECT doc_id, lang, q,
+       |    ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q, doc_id), 6) AS pct
+       |  FROM s)
+       |SELECT doc_id, lang, q, pct FROM r WHERE pct >= 0.3 ORDER BY doc_id""".stripMargin
+
   /** Deterministic per-language stratified sampling: en at 50%, other
     * languages at 25% — the data-mixing downsampling pass. Pure
     * projection (md5-derived salted draw), reproducible anywhere. */
@@ -1244,7 +1287,8 @@ object PipelineQueries {
     "q_semdedup" -> semDedup _,
     "q_bpe_pairs" -> bpePairs _,
     "q_pii_scrub" -> piiScrub _,
-    "q_curate" -> curate _)
+    "q_curate" -> curate _,
+    "q_quality_percentile" -> qualityPercentile _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1280,5 +1324,6 @@ object PipelineQueries {
     "q_semdedup" -> semDedupSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_pii_scrub" -> piiScrubSql,
-    "q_curate" -> curateSql)
+    "q_curate" -> curateSql,
+    "q_quality_percentile" -> qualityPercentileSql)
 }

@@ -224,6 +224,38 @@ object PipelineQueries {
        |  FROM s)
        |SELECT doc_id, lang, q, pct FROM r WHERE pct >= 0.3 ORDER BY doc_id""".stripMargin
 
+  /** Unigram language-model score per document (CCNet-style quality
+    * signal): mean log10 of each token's corpus frequency. Two passes:
+    * a token-frequency aggregation (the vocab_topk shuffle — at corpus
+    * scale this table is vocab-sized and BROADCASTS), then a
+    * postings-join + per-doc mean. Rare-token-heavy documents score
+    * low; repetitive common-token documents score high — the signal a
+    * perplexity filter thresholds on. Token order inside a doc does
+    * not matter, so the mean is computed as an aggregate (no fold-order
+    * divergence; round 6 on output). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val post = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = post.groupBy("tok").agg(count("*").as("tf"))
+    val total = post.count()
+    post.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg(round(avg(log10(col("tf").cast("double") / total)), 6)
+        .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, COUNT(*) AS tf FROM p GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS total FROM p)
+      |SELECT doc_id,
+      |  ROUND(AVG(LOG10(CAST(tf AS DOUBLE) / total)), 6) AS lm_score
+      |FROM p JOIN f USING (tok) CROSS JOIN n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic per-language stratified sampling: en at 50%, other
     * languages at 25% — the data-mixing downsampling pass. Pure
     * projection (md5-derived salted draw), reproducible anywhere. */
@@ -793,6 +825,77 @@ object PipelineQueries {
        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality-aware dedup keeper selection: within each near-dup
+    * component, keep the HIGHEST-QUALITY document (ties -> smallest
+    * id) instead of the smallest id — the keep-the-best-copy policy a
+    * curation pipeline actually wants. Composes the shared component
+    * labels with the quality score; the argmax is one struct-max
+    * aggregate per component (partial-agg friendly, no window over
+    * documents). Output: every doc with its component and the chosen
+    * keeper. */
+  def dedupBestKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val comps = dedupShared(spark, dir).comps
+    val scored = corpus.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val withComp = scored.join(comps, scored("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("q"))
+    val best = withComp
+      .groupBy("comp")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("comp"), (-col("m.nid")).cast("long").as("keeper"))
+    withComp.join(best, "comp")
+      .select(col("doc_id"), col("comp"), col("keeper"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupBestKeeperSql: String =
+    s"""WITH RECURSIVE c AS ($nearDupCorpusSql),
+       |$cappedPostingsSql,
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS i
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ida, idb FROM inter
+       |  JOIN sizes sa ON ida = sa.id
+       |  JOIN sizes sb ON idb = sb.id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |cmp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS nt,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopListSql))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct
+       |  FROM c),
+       |s AS (
+       |  SELECT doc_id,
+       |    ROUND(0.4 * LEAST(1.0, nt / 50.0)
+       |        + 0.4 * (1.0 - LEAST(1.0, ABS(stop - 0.12) / 0.5))
+       |        + 0.2 * (1.0 - LEAST(1.0, punct * 5.0)), 6) AS q
+       |  FROM m),
+       |wc AS (
+       |  SELECT s.doc_id, COALESCE(cmp.comp, s.doc_id) AS comp, s.q
+       |  FROM s LEFT JOIN cmp ON s.doc_id = cmp.id),
+       |best AS (
+       |  SELECT comp, doc_id AS keeper FROM (
+       |    SELECT comp, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rk
+       |    FROM wc) WHERE rk = 1)
+       |SELECT wc.doc_id, wc.comp, best.keeper
+       |FROM wc JOIN best USING (comp)
+       |ORDER BY wc.doc_id""".stripMargin
+
   /** SimHash near-dup pairs (4x8-bit band collision blocking,
     * hamming <= 6). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -1288,7 +1391,9 @@ object PipelineQueries {
     "q_bpe_pairs" -> bpePairs _,
     "q_pii_scrub" -> piiScrub _,
     "q_curate" -> curate _,
-    "q_quality_percentile" -> qualityPercentile _)
+    "q_quality_percentile" -> qualityPercentile _,
+    "q_lm_score" -> lmScore _,
+    "q_dedup_best_keeper" -> dedupBestKeeper _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1325,5 +1430,7 @@ object PipelineQueries {
     "q_bpe_pairs" -> bpePairsSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_curate" -> curateSql,
-    "q_quality_percentile" -> qualityPercentileSql)
+    "q_quality_percentile" -> qualityPercentileSql,
+    "q_lm_score" -> lmScoreSql,
+    "q_dedup_best_keeper" -> dedupBestKeeperSql)
 }

@@ -256,6 +256,95 @@ object PipelineQueries {
       |FROM p JOIN f USING (tok) CROSS JOIN n
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Target corpus mixture per source (fractions sum to 1): the
+    * data-mixing spec a training run declares. */
+  val MixTargets: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
+  /** Domain-mixture resampling: compute per-source keep rates that
+    * reshape the corpus toward [[MixTargets]] (rate_s =
+    * min(1, target_s * N / n_s / maxShare) where maxShare normalizes so
+    * the largest required rate is 1 — downsample-only mixing), then
+    * apply them with the deterministic salted draw. The per-source
+    * counts are a tiny aggregate (collected — O(sources) driver rows);
+    * the sampling itself stays a pure pushed predicate. Rates round to
+    * 6 decimals before the draw compare so both engines cut
+    * identically. */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // required rate proportional to target/actual share; normalize so
+    // max required rate = 1 (pure downsampling, no upsampling)
+    val raw = counts.map { case (s, n) =>
+      s -> (MixTargets.getOrElse(s, 0.0) * total / n)
+    }
+    val maxRate = raw.values.max
+    val rates = raw.map { case (s, r) =>
+      s -> BigDecimal(r / maxRate).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    Splits.stratifiedSample(docs, "doc_id", "source", rates, salt = "mix")
+      .groupBy("source").agg(count("*").as("kept"))
+      .orderBy("source")
+  }
+
+  val mixtureSql: String = {
+    val draw = s"(CAST(${Dedup.tokenIdSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / ${Dedup.MinhashP})"
+    val targets = MixTargets.toSeq.sortBy(_._1).map { case (s, t) =>
+      s"('$s', CAST($t AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH tgt (source, target) AS (VALUES $targets),
+       |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS total FROM cnt),
+       |raw AS (
+       |  SELECT cnt.source, COALESCE(tgt.target, 0.0) * tot.total / cnt.n AS r
+       |  FROM cnt LEFT JOIN tgt USING (source) CROSS JOIN tot),
+       |mx AS (SELECT MAX(r) AS mr FROM raw),
+       |rates AS (SELECT source, ROUND(r / mx.mr, 6) AS rate FROM raw CROSS JOIN mx)
+       |SELECT d.source, COUNT(*) AS kept
+       |FROM documents d JOIN rates ON d.source = rates.source
+       |WHERE $draw < rates.rate
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Sequence packing: assign documents (in doc_id order, per language)
+    * to fixed-budget training bins of 512 tokens — the packing step
+    * that turns a curated corpus into training sequences. Bin id = floor of
+    * the running token count before the doc / budget; the cumulative
+    * sum windows PER LANGUAGE (shard-local packing — a global running
+    * sum cannot scale and `PlanAuditSpec` forbids the unpartitioned
+    * window). Output: (doc_id, lang, n_tokens, bin, offset). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum") / budget).cast("long").as("bin"),
+        (col("cum") % budget).as("offset"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, cum // 512 AS bin, cum % 512 AS offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Deterministic per-language stratified sampling: en at 50%, other
     * languages at 25% — the data-mixing downsampling pass. Pure
     * projection (md5-derived salted draw), reproducible anywhere. */
@@ -1393,7 +1482,9 @@ object PipelineQueries {
     "q_curate" -> curate _,
     "q_quality_percentile" -> qualityPercentile _,
     "q_lm_score" -> lmScore _,
-    "q_dedup_best_keeper" -> dedupBestKeeper _)
+    "q_dedup_best_keeper" -> dedupBestKeeper _,
+    "q_mixture" -> mixture _,
+    "q_pack_sequences" -> packSequences _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1432,5 +1523,7 @@ object PipelineQueries {
     "q_curate" -> curateSql,
     "q_quality_percentile" -> qualityPercentileSql,
     "q_lm_score" -> lmScoreSql,
-    "q_dedup_best_keeper" -> dedupBestKeeperSql)
+    "q_dedup_best_keeper" -> dedupBestKeeperSql,
+    "q_mixture" -> mixtureSql,
+    "q_pack_sequences" -> packSequencesSql)
 }

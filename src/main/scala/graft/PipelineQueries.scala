@@ -985,6 +985,35 @@ object PipelineQueries {
        |FROM wc JOIN best USING (comp)
        |ORDER BY wc.doc_id""".stripMargin
 
+  /** Duplicate-passage mining (ExactSubstr-style at fixed granularity):
+    * every overlapping 8-token passage occurring in 2+ distinct
+    * documents, with its document frequency — the pass that builds a
+    * boilerplate/blocklist table for substring-level dedup. One
+    * explode + partial-aggregated groupBy; at corpus scale the group
+    * key is the passage hash (shuffle rows are O(corpus tokens) — the
+    * honest cost of substring-level dedup; the df-cap/blocklist output
+    * is what makes the later scrub pass cheap). Runs over the near-dup
+    * corpus so truncated copies produce real shared passages. */
+  def dupPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(nearDupCorpus(spark, dir), "doc_id", "text", 8)
+      .groupBy("tok")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("tok").as("passage"), col("n_docs"))
+      .orderBy("passage")
+
+  val dupPassagesSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |tk AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM c),
+       |t0 AS (
+       |  SELECT id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 7),
+       |    i -> array_to_string(toks[i:i+7], ' ')))) AS tok
+       |  FROM tk WHERE len(toks) >= 8)
+       |SELECT tok AS passage, COUNT(DISTINCT id) AS n_docs
+       |FROM t0 GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2
+       |ORDER BY 1""".stripMargin
+
   /** SimHash near-dup pairs (4x8-bit band collision blocking,
     * hamming <= 6). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -1484,7 +1513,8 @@ object PipelineQueries {
     "q_lm_score" -> lmScore _,
     "q_dedup_best_keeper" -> dedupBestKeeper _,
     "q_mixture" -> mixture _,
-    "q_pack_sequences" -> packSequences _)
+    "q_pack_sequences" -> packSequences _,
+    "q_dup_passages" -> dupPassages _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1525,5 +1555,6 @@ object PipelineQueries {
     "q_lm_score" -> lmScoreSql,
     "q_dedup_best_keeper" -> dedupBestKeeperSql,
     "q_mixture" -> mixtureSql,
-    "q_pack_sequences" -> packSequencesSql)
+    "q_pack_sequences" -> packSequencesSql,
+    "q_dup_passages" -> dupPassagesSql)
 }

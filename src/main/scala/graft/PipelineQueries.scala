@@ -280,14 +280,20 @@ object PipelineQueries {
     val raw = counts.map { case (s, n) =>
       s -> (MixTargets.getOrElse(s, 0.0) * total / n)
     }
-    val maxRate = raw.values.max
-    val rates = raw.map { case (s, r) =>
-      s -> BigDecimal(r / maxRate).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    val maxRate = if (raw.isEmpty) 0.0 else raw.values.max
+    if (maxRate <= 0.0) {
+      // empty corpus, or no present source carries target weight: the
+      // mixed corpus is empty (the oracle returns no rows here too)
+      docs.groupBy("source").agg(count("*").as("kept")).limit(0)
+    } else {
+      val rates = raw.map { case (s, r) =>
+        s -> BigDecimal(r / maxRate).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+      Splits.stratifiedSample(docs, "doc_id", "source", rates, salt = "mix")
+        .groupBy("source").agg(count("*").as("kept"))
+        .orderBy("source")
     }
-    Splits.stratifiedSample(docs, "doc_id", "source", rates, salt = "mix")
-      .groupBy("source").agg(count("*").as("kept"))
-      .orderBy("source")
   }
 
   val mixtureSql: String = {
@@ -327,7 +333,9 @@ object PipelineQueries {
     docs
       .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("cum") / budget).cast("long").as("bin"),
+        // exact integer division (`/` on longs is lossy double division
+        // above 2^53 — must match the oracle's `//`)
+        expr(s"cum div $budget").as("bin"),
         (col("cum") % budget).as("offset"))
       .orderBy("doc_id")
   }

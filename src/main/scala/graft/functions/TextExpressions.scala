@@ -192,14 +192,19 @@ case class AdjacentPairs(child: Expression) extends UnaryExpression {
 
 object AdjacentPairs {
   private val Sep = UTF8String.fromString(" ")
+  /** Null elements are treated as empty strings (the declared output
+    * type is containsNull = false — matching RepetitionStats). */
+  @inline private[functions] def at(arr: ArrayData, i: Int): UTF8String = {
+    val s = arr.getUTF8String(i)
+    if (s == null) UTF8String.EMPTY_UTF8 else s
+  }
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - 1)
     var i = 0
     while (i < n - 1) {
-      out(i) = UTF8String.concat(arr.getUTF8String(i), Sep,
-        arr.getUTF8String(i + 1))
+      out(i) = UTF8String.concat(at(arr, i), Sep, at(arr, i + 1))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -256,8 +261,9 @@ object MergePair {
     var o = 0
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (i + 1 < n && x.equals(s) && y.equals(arr.getUTF8String(i + 1))) {
+      // null elements normalize to empty (output declares no nulls)
+      val s = AdjacentPairs.at(arr, i)
+      if (i + 1 < n && x.equals(s) && y.equals(AdjacentPairs.at(arr, i + 1))) {
         out(o) = xy; o += 1; i += 2
       } else {
         out(o) = s; o += 1; i += 1

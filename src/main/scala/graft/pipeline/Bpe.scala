@@ -102,7 +102,19 @@ object Bpe {
   /** Segment a word with a learned merge table (driver-side utility,
     * mirrors what a tokenizer would ship): applies merges in order. */
   def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    // iterate CODE POINTS, not UTF-16 chars — the distributed kernels
+    // (split(w, ""), CharPairs) are codepoint-aware, and surrogate-half
+    // symbols would never match merges learned over codepoints
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     merges.foreach { case (x, y) =>
       val out = Vector.newBuilder[String]
       var i = 0

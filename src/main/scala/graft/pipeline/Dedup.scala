@@ -160,7 +160,10 @@ object Dedup {
   }
 
   /** Positional key packing for sub-document dedup: (doc, idx) pairs
-    * order like (doc asc, idx asc) under doc*ChunkKeyBase + idx. */
+    * order like (doc asc, idx asc) under doc*ChunkKeyBase + idx.
+    * Preconditions (validated in [[chunkDedup]]): doc ids non-negative
+    * and < Long.MaxValue/ChunkKeyBase; documents shorter than
+    * ChunkKeyBase chunks. */
   val ChunkKeyBase: Long = 1000000L
 
   /**
@@ -177,27 +180,39 @@ object Dedup {
    */
   /** (doc_id, chunk_idx, chunk) rows: each document split into
     * consecutive `chunkTokens`-token chunks — a stateless narrow
-    * projection, so it runs identically under batch and readStream. */
+    * projection, so it runs identically under batch and readStream.
+    * `carry` columns (e.g. an event-time column for streaming) pass
+    * through unchanged. */
   def chunkRows(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
+      chunkTokens: Int, carry: Seq[String] = Nil): DataFrame = {
     val toks = split(col(textCol), " ")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    df.select(col(idCol).cast("long").as("doc_id"),
+    df.select(carry.map(col) ++ Seq(col(idCol).cast("long").as("doc_id"),
       posexplode(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
-        .as(Seq("chunk_idx", "chunk")))
+        .as(Seq("chunk_idx", "chunk"))): _*)
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
     val chunks = chunkRows(df, idCol, textCol, chunkTokens)
     val w = Window.partitionBy(md5(col("chunk")))
-    chunks
-      .withColumn("k", col("doc_id") * ChunkKeyBase + col("chunk_idx"))
+    // key packing needs non-negative in-range ids and idx < base — fail
+    // loudly instead of silently corrupting keeper labels
+    val guarded = chunks.withColumn("k",
+      when(col("doc_id") < 0 ||
+          col("doc_id") >= Long.MaxValue / ChunkKeyBase ||
+          col("chunk_idx") >= ChunkKeyBase,
+        raise_error(concat(lit("chunkDedup: id/idx out of packing range: "),
+          col("doc_id"), lit("/"), col("chunk_idx"))))
+        .otherwise(col("doc_id") * ChunkKeyBase + col("chunk_idx")))
+    // unpack with exact integer division — `/` on longs is lossy double
+    // division (diverges from the oracle's `//` above 2^53)
+    guarded
       .withColumn("kk", min(col("k")).over(w))
       .select(col("doc_id"), col("chunk_idx"),
-        (col("kk") / ChunkKeyBase).cast("long").as("keeper_doc"),
-        (col("kk") % ChunkKeyBase).cast("long").as("keeper_idx"))
+        expr(s"kk div $ChunkKeyBase").as("keeper_doc"),
+        (col("kk") % ChunkKeyBase).as("keeper_idx"))
   }
 
   /** (id, tok) distinct word n-gram shingles. Documents shorter than n

@@ -32,6 +32,8 @@ object GraftExtensions {
   /** Evaluate a foldable string argument (e.g. the merge pair's x/y). */
   private def literalString(name: String, e: Expression): String = {
     require(e.foldable, s"$name expects a string literal, got $e")
+    require(e.dataType == org.apache.spark.sql.types.StringType,
+      s"$name expects a STRING literal, got ${e.dataType.sql}")
     val v = e.eval()
     require(v != null, s"$name got a null literal")
     v.toString

@@ -108,17 +108,11 @@ class StreamingOpsSpec extends SparkSpec {
       (2L, "d e f a b c"),
       (3L, "a b c x y z"))
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
-    // same chunking as Dedup.chunkRows with the event time carried
-    // through (stateless projection — streaming-safe by construction)
-    val streamChunks = {
-      val df = stream.toDS().toDF("ts", "doc_id", "text")
-      val toks = split(col("text"), " ")
-      val nChunks = ceil(size(toks).cast("double") / 3).cast("int")
-      df.select(col("ts"), col("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")))
-          .as(Seq("chunk_idx", "chunk")))
-    }
+    // THE batch chunking operator, with the event time carried through
+    // (stateless projection — streaming-safe by construction)
+    val streamChunks = graft.pipeline.Dedup.chunkRows(
+      stream.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text", 3,
+      carry = Seq("ts"))
     val deduped = StreamingOps.streamingDedup(
       streamChunks, md5(col("chunk")), "ts", "10 minutes")
     val query = deduped.writeStream.format("memory").queryName("cdedup")

@@ -226,9 +226,10 @@ object PipelineQueries {
 
   /** Unigram language-model score per document (CCNet-style quality
     * signal): mean log10 of each token's corpus frequency. Two passes:
-    * a token-frequency aggregation (the vocab_topk shuffle — at corpus
-    * scale this table is vocab-sized and BROADCASTS), then a
-    * postings-join + per-doc mean. Rare-token-heavy documents score
+    * a token-frequency aggregation (vocab-sized — at 100 TB the vocab
+    * is billions of tokens, so the join back to postings is a plain
+    * shuffled join on `tok`; AQE broadcasts only when it actually
+    * fits), then a postings-join + per-doc mean. Rare-token-heavy documents score
     * low; repetitive common-token documents score high — the signal a
     * perplexity filter thresholds on. Token order inside a doc does
     * not matter, so the mean is computed as an aggregate (no fold-order
@@ -238,8 +239,13 @@ object PipelineQueries {
     val post = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = post.groupBy("tok").agg(count("*").as("tf"))
-    val total = post.count()
-    post.join(broadcast(freq), "tok")
+    // total postings = sum of term frequencies — derived from the
+    // vocab-sized aggregate, not a second full postings scan
+    val total = freq.agg(sum(col("tf"))).head.getLong(0)
+    // no broadcast hint: at 100 TB the vocabulary is billions of tokens
+    // (see Dedup's md5 token-id rationale); a shuffled join is the
+    // scale-safe default and AQE broadcasts when freq actually fits
+    post.join(freq, "tok")
       .groupBy("doc_id")
       .agg(round(avg(log10(col("tf").cast("double") / total)), 6)
         .as("lm_score"))
@@ -347,8 +353,8 @@ object PipelineQueries {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, lang, n_tokens,
-      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum
       |  FROM t)
       |SELECT doc_id, lang, n_tokens, cum // 512 AS bin, cum % 512 AS offset
       |FROM c ORDER BY doc_id""".stripMargin

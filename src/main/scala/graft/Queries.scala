@@ -594,17 +594,80 @@ object Queries {
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** I1 at width (perf row): greedy mRMR k=5 over the 32 wide features —
-    * 4 histogram3D passes at realistic width. No SQL oracle (a 992-pair
-    * unrolled greedy CTE is impractical); the driver records the weaker
-    * rows-only check, and the greedy algebra itself is oracle-certified
-    * at 4 features by q_selector_* plus spec-certified at 24/631 features
-    * against local brute force. */
+  /** I1 at width: greedy mRMR k=5 over the 32 wide features —
+    * 4 histogram3D passes at realistic width, oracle-checked. */
   def selectorMrmrWide(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val selected = InfoThSelector.select(wideColumnar(spark, dir), "mrmr", 5, 0.0)
     selected.zipWithIndex.map { case ((f, s), i) => (i + 1, f, r6(s)) }
       .toSeq.toDF("round", "feature", "score")
+  }
+
+  /** Unrolled greedy mRMR oracle AT WIDTH (32 features, k=5). A
+    * per-pair UNION ALL over lineitem (the 4-feature generator's shape)
+    * would scan lineitem 992 times, and a self-join needs a unique row
+    * key the synthetic lineitem does not have ((l_orderkey,
+    * l_linenumber) repeats); instead lineitem is scanned ONCE into a
+    * MATERIALIZED 32-column wide CTE, and the 496 unordered pairs
+    * select from that in-memory table — and mRMR needs only pairwise MI
+    * (no z), so the pair table groups to <= 496 x 64 x 64 cells before
+    * any window. Rounds 2..5 are generated: round t scores
+    * rel.mi - (sum of MI with the t-1 selected) / (t-1), ties -> lowest
+    * feature id, exactly the engine's fold. */
+  val selectorMrmrWideSql: String = {
+    val wideCols = (0 until WideN).map(i =>
+      s"${wideFeatureExpr(i)} AS w$i").mkString(", ")
+    val pairCte = (for {
+      i <- 0 until WideN; j <- (i + 1) until WideN
+    } yield s"SELECT $i AS fa, $j AS fb, w$i AS x, w$j AS y FROM wide")
+      .mkString(" UNION ALL ")
+    val featsCte = (0 until WideN).map(i =>
+      s"SELECT $i AS f, w$i AS x, yy AS y FROM wide").mkString(" UNION ALL ")
+    val rounds = (2 to 5).map { t =>
+      val joins = (1 until t).map(s =>
+        s"JOIN pmi p$s ON p$s.fa = rel.f AND p$s.fb = (SELECT f FROM r$s)")
+        .mkString("\n       ")
+      val excl = (1 until t).map(s => s"SELECT f FROM r$s").mkString(" UNION ALL ")
+      val sums = (1 until t).map(s => s"p$s.mi").mkString(" + ")
+      val score = if (t == 2) s"rel.mi - $sums"
+      else s"rel.mi - ($sums) / ${t - 1}"
+      s"""r$t AS (SELECT rel.f, $score AS score
+         |       FROM rel
+         |       $joins
+         |       WHERE rel.f NOT IN ($excl)
+         |       ORDER BY score DESC, rel.f LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to 5).map(t =>
+      s"UNION ALL SELECT $t, f, ROUND(score, 6) FROM r$t").mkString("\n  ")
+    s"""WITH wide AS MATERIALIZED (
+       |  SELECT $wideCols, $ySql AS yy FROM lineitem),
+       |pr AS ($pairCte),
+       |feats AS ($featsCte),
+       |h AS (SELECT fa, fb, x, y, COUNT(*) AS cnt FROM pr GROUP BY 1, 2, 3, 4),
+       |w AS (SELECT fa, fb, cnt,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb) AS n,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY fa, fb, y) AS cy
+       |      FROM h),
+       |m AS (SELECT fa, fb,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM w GROUP BY 1, 2),
+       |pmi AS (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
+       |rh AS (SELECT f, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
+       |rw AS (SELECT f, cnt,
+       |        SUM(cnt) OVER (PARTITION BY f) AS n,
+       |        SUM(cnt) OVER (PARTITION BY f, x) AS cx,
+       |        SUM(cnt) OVER (PARTITION BY f, y) AS cy
+       |      FROM rh),
+       |rel AS (SELECT f,
+       |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
+       |      FROM rw GROUP BY 1),
+       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1 AS round, f AS feature, ROUND(score, 6) AS score FROM r1
+       |  $out)
+       |ORDER BY round""".stripMargin
   }
 
   /** P1: vector gather through the model transform (fixed indices 0, 2),
@@ -812,5 +875,6 @@ object Queries {
     "q_quantiles" -> quantilesSql,
     "q_sparse_hist2d" -> sparseHist2dSql,
     "q_sparse_selector_mim" -> sparseSelectorMimSql,
-    "q_sparse_micmi" -> sparseMicmiSql)
+    "q_sparse_micmi" -> sparseMicmiSql,
+    "q_selector_mrmr_wide" -> selectorMrmrWideSql)
 }

@@ -106,12 +106,18 @@ object Histograms {
    * The y column is NEVER collected, broadcast or shuffled: block-major
    * co-location (see [[ColumnarData]]) guarantees each partition holds
    * the y blocks of exactly the blocks it scans, so every task reads y
-   * partition-locally. The buffering below materializes an array of
-   * RECORD REFERENCES into the cached partition (pointers, not byte
-   * copies) to locate the y blocks before the accumulation sweep.
-   * Per-round cost at any scale: one cached scan + the
-   * O(nFeatures x blocks) matrix merge — no O(nInstances) term on any
-   * single node.
+   * partition-locally.
+   *
+   * The scan is single-pass and streaming: records arrive block-grouped
+   * and feature-ordered within a block (the transpose emits features
+   * 0..nf in order and the cached partition preserves it), so at most
+   * the records PRECEDING a block's y record are stashed (references,
+   * not copies) and replayed once y is densified; everything after y
+   * streams straight through. Unlike a whole-partition toArray, a
+   * spilled-and-reread partition never pins more than the pre-y prefix
+   * of one block in task heap. Per-round cost at any scale: one cached
+   * scan + the O(nFeatures x blocks) matrix merge — no O(nInstances)
+   * term on any single node.
    */
   def histogram3D(col: ColumnarData, yFeat: Int): RDD[(Int, Hist3D)] = {
     val ys = col.cardinality(yFeat)
@@ -119,23 +125,34 @@ object Histograms {
     val labelIdx = col.labelIndex
     val cards = col.data.sparkContext.broadcast(col.cardinality)
     col.data.mapPartitions { it =>
-      val recs = it.toArray
-      val yb = new mutable.HashMap[Int, Array[Byte]]
-      recs.foreach { case ((f, block), blk) =>
-        if (f == yFeat) yb(block) = Columnar.densify(blk.x)
-      }
       val acc = new mutable.HashMap[Int, Hist3D]
-      recs.foreach { case ((f, block), blk) =>
+      def fold(f: Int, blk: LabeledBlock, ycol: Array[Byte]): Unit =
         if (f != yFeat && f != labelIdx) {
           val h = acc.getOrElseUpdate(f, {
             val xs = cards.value(f)
             Hist3D(xs, ys, zs, new Array[Long](xs * ys * zs))
           })
-          val ycol = yb.getOrElse(block, throw new IllegalStateException(
-            s"block $block lost co-location with feature $yFeat"))
           accumulate3D(blk.x, ycol, blk.label, h.counts, h.xs, ys, zs)
         }
+      var curBlock = -1
+      var ycol: Array[Byte] = null
+      val pending = new mutable.ArrayBuffer[(Int, LabeledBlock)]
+      it.foreach { case ((f, block), blk) =>
+        if (block != curBlock) {
+          if (pending.nonEmpty) throw new IllegalStateException(
+            s"block $curBlock lost co-location with feature $yFeat")
+          curBlock = block
+          ycol = null
+        }
+        if (f == yFeat) {
+          ycol = Columnar.densify(blk.x)
+          pending.foreach { case (pf, pblk) => fold(pf, pblk, ycol) }
+          pending.clear()
+        } else if (ycol != null) fold(f, blk, ycol)
+        else pending += ((f, blk))
       }
+      if (pending.nonEmpty) throw new IllegalStateException(
+        s"block $curBlock lost co-location with feature $yFeat")
       acc.iterator
     }.reduceByKey(_.add(_))
   }

@@ -247,6 +247,96 @@ object NearestCentroids {
   }
 }
 
+/**
+ * Packed sign bits of a vector against a family of deterministic
+ * pseudo-hyperplanes — the sign-LSH bucket key as ONE codegen'd
+ * expression.
+ *
+ * Replaces the last interpreted-HOF hot loop
+ * ([[graft.pipeline.Similarity.lshBucketOffset]]'s per-plane
+ * `zip_with` + `aggregate`): the HOF shape re-walks the vector once per
+ * plane through interpreted lambda frames, while this kernel computes
+ * all plane dots in one tight JIT-compiled pass. The plane family
+ * parameters ride as plan reference objects (like
+ * [[NearestCentroids]]), so generated code size is independent of the
+ * plane count.
+ *
+ * Bit p (p in [0, planes)) is set iff
+ * sum_j vec(j) * ((((a(p)*(j+1) + b(p)) mod 97) - 48) / 48.0) > 0,
+ * summed left-to-right in double — bitwise-identical to the HOF
+ * formulation. A null ELEMENT nulls the dot under the HOF fold, whose
+ * `when(d > 0)` then yields bit 0 for every plane — mirrored here by
+ * returning bucket 0. (Divergence, documented: a null ARRAY returns
+ * null here, where the HOF chain collapsed it to bucket 0 — a null
+ * embedding should not bucket-collide with other null embeddings.)
+ */
+case class PlaneSigns(child: Expression, a: Array[Long], b: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(a.length == b.length && a.length <= 63,
+    s"plane family arrays must match and fit a long bucket, got ${a.length}/${b.length}")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"plane_signs expects a float/double array, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    PlaneSigns.compute(v.asInstanceOf[ArrayData], isFloat, a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ar = ctx.addReferenceObj("planesA", a, "long[]")
+    val br = ctx.addReferenceObj("planesB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PlaneSigns.compute($v, $isFloat, $ar, $br);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigns =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_plane_signs"
+}
+
+object PlaneSigns {
+
+  /** All plane sign bits in one pass. Static forwarder shared by
+    * interpreted eval and generated code. */
+  def compute(vec: ArrayData, isFloat: Boolean,
+      a: Array[Long], b: Array[Long]): Long = {
+    val n = vec.numElements()
+    var j = 0
+    while (j < n) {
+      // null element => null dot under the HOF fold => every bit 0
+      if (vec.isNullAt(j)) return 0L
+      j += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < a.length) {
+      var d = 0.0
+      j = 0
+      while (j < n) {
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        val comp = ((a(p) * (j + 1) + b(p)) % 97 - 48).toDouble / 48.0
+        d += x * comp
+        j += 1
+      }
+      if (d > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -268,4 +358,9 @@ object VectorFunctions {
     GraftSqlBridge.column(NearestCentroids(
       GraftSqlBridge.expression(vec), codebook, norms2, cids, nProbe,
       euclidean))
+
+  /** Packed sign-LSH bucket key over the given plane family (one
+    * codegen'd pass over the vector for all planes). */
+  def planeSigns(vec: Column, a: Array[Long], b: Array[Long]): Column =
+    GraftSqlBridge.column(PlaneSigns(GraftSqlBridge.expression(vec), a, b))
 }

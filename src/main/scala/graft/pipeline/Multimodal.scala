@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
  * columns with typed metadata, batch-oriented decode/feature-extract
  * over `mapPartitions`.
  *
- * The decode step itself is STUBBED (this container has no image/audio
- * codecs): [[FakeDecoder]] is a deterministic stand-in with the same
- * signature a real decoder would have. Everything around it — schema,
- * batch shape, partitioning, the narrow `mapPartitions` execution — is
- * real and tested. Swapping in an actual codec touches only
- * `MediaDecoder.decode`.
+ * Images decode for REAL through [[ImageIoDecoder]] (the JVM's
+ * built-in `javax.imageio` codecs — PNG/JPEG/GIF/BMP, no external
+ * libraries). Audio/video codecs are not available in this container,
+ * so [[FakeDecoder]] remains the deterministic stand-in for those
+ * modalities (and the oracle path over the text-payload testdata);
+ * everything around the decoder — schema, batch shape, partitioning,
+ * the narrow `mapPartitions` execution — is identical either way, so
+ * swapping in a real audio codec touches only `MediaDecoder.decode`.
  */
 object Multimodal {
 
@@ -57,6 +59,56 @@ object Multimodal {
       if (content.length > 0) {
         var j = 0
         while (j < descriptorSize) { out(j) /= content.length; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** REAL image decoder over the JVM's built-in codecs
+    * (`javax.imageio`: PNG, JPEG, GIF, BMP — no external libraries):
+    * payload -> BufferedImage -> `grid` x `grid` mean-luma descriptor
+    * in [0, 1] (Rec.601 luma, pixels block-averaged into the grid).
+    * An undecodable payload fails loudly — a corrupt image must fail
+    * the job, not yield a plausible zero descriptor. Decoder instances
+    * are per-partition (see [[extractFeatures]]), and the in-memory
+    * stream path never touches ImageIO's disk cache. */
+  final class ImageIoDecoder(val grid: Int = 4) extends MediaDecoder {
+    override def descriptorSize: Int = grid * grid
+    override def decode(content: Array[Byte]): Array[Float] = {
+      // MemoryCacheImageInputStream keeps the decode off ImageIO's disk
+      // cache; ImageIO.read closes the stream itself when done
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(content)))
+      if (img == null) {
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${content.length} bytes)")
+      }
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * grid / w, grid - 1)
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          sums(gy * grid + gx) += luma
+          counts(gy * grid + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](grid * grid)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (counts(i) == 0) 0f
+          else (sums(i) / counts(i) / 255.0).toFloat
+        i += 1
       }
       out
     }

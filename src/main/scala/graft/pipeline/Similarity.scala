@@ -239,11 +239,29 @@ object Similarity {
    * cost follow cluster occupancy — the IVF topology reused for dedup;
    * at corpus scale the assignment is a narrow scan and the only
    * shuffle is the per-cluster join.
+   *
+   * OCCUPANCY GUARD: the self-join is quadratic in cluster size, so an
+   * undersized codebook (too few centroids for the corpus) makes it go
+   * quietly quadratic — own stress run: k=256 at 1M vectors is ~2B
+   * pairs and does not finish. A cheap pre-join aggregate (O(C) rows)
+   * fails loudly when any cluster exceeds `maxClusterSize`; the fix is
+   * a larger codebook, or a deliberate raise of the knob.
    * Returns (id, keeper); keeper != id marks a semantic duplicate.
    */
   def semanticNearDup(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxClusterSize: Long = 100000L): DataFrame = {
     val assigned = ivfAssign(corpus, centroids)
+    val over = assigned.groupBy("cid").count()
+      .filter(col("count") > maxClusterSize)
+      .agg(count("*").as("n"), max("count").as("mx")).head
+    if (over.getLong(0) > 0) {
+      throw new IllegalArgumentException(
+        s"semanticNearDup: ${over.getLong(0)} cluster(s) exceed " +
+          s"maxClusterSize=$maxClusterSize (largest holds ${over.getLong(1)} " +
+          "vectors); the per-cluster self-join is quadratic in occupancy — " +
+          "train a larger codebook (more centroids) or raise maxClusterSize " +
+          "deliberately")
+    }
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
@@ -258,30 +276,25 @@ object Similarity {
         least(col("id"), coalesce(col("partner"), col("id"))).as("keeper"))
   }
 
-  /** Deterministic pseudo-hyperplane component j of plane i:
-    * ((a_i * (j+1) + b_i) mod 97 - 48) / 48  in [-1, 1]. */
-  private def planeComponent(i: Int, j: Column): Column =
-    (((lit(Dedup.MinhashA(i)) * (j + 1) + Dedup.MinhashB(i)) % 97) - 48)
-      .cast("double") / 48.0
-
   /**
    * Sign-LSH bucket key: for each of `nPlanes` deterministic
-   * hyperplanes, the sign bit of dot(plane, vec); key = packed bits.
+   * pseudo-hyperplanes (component j of plane i =
+   * ((a_i * (j+1) + b_i) mod 97 - 48) / 48 in [-1, 1]), the sign bit of
+   * dot(plane, vec); key = packed bits.
    */
   def lshBucket(vec: Column, nPlanes: Int): Column =
     lshBucketOffset(vec, nPlanes, 0)
 
-  /** Bucket key over planes [offset, offset + nPlanes). */
-  def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column = {
-    val bits = (0 until nPlanes).map { i =>
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(offset + i, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Bucket key over planes [offset, offset + nPlanes) — ONE codegen'd
+    * [[graft.functions.PlaneSigns]] pass over the vector for all
+    * planes (the per-plane `zip_with`+`aggregate` shape re-walked the
+    * vector through interpreted lambda frames once per plane — the
+    * documented interpreted-HOF pitfall, now gone from the last hot
+    * loop that had it). */
+  def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column =
+    graft.functions.VectorFunctions.planeSigns(vec,
+      Dedup.MinhashA.slice(offset, offset + nPlanes),
+      Dedup.MinhashB.slice(offset, offset + nPlanes))
 
   /**
    * Multi-table sign-LSH near-dup: `nTables` independent hash tables of

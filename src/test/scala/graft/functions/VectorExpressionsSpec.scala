@@ -69,4 +69,48 @@ class VectorExpressionsSpec extends SparkSpec {
       $"v", cb, norms, cids, 1)).head.getSeq[Long](0)
     assert(one == Seq(7L))
   }
+
+  /** The interpreted-HOF formulation PlaneSigns replaced — kept here to
+    * pin bitwise equivalence of the native kernel. */
+  private def hofBucket(vec: org.apache.spark.sql.Column,
+      nPlanes: Int, offset: Int): org.apache.spark.sql.Column = {
+    import graft.pipeline.Dedup
+    val bits = (0 until nPlanes).map { i =>
+      val comp = (j: org.apache.spark.sql.Column) =>
+        (((lit(Dedup.MinhashA(offset + i)) * (j + 1) +
+          Dedup.MinhashB(offset + i)) % 97) - 48).cast("double") / 48.0
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * comp(j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  test("PlaneSigns matches the HOF bucket formulation on every offset") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rng = new scala.util.Random(17)
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(32)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    for (offset <- Seq(0, 4, 8); nPlanes <- Seq(4, 8)) {
+      val got = df.select(
+        VectorFunctions.planeSigns($"vec",
+          Dedup.MinhashA.slice(offset, offset + nPlanes),
+          Dedup.MinhashB.slice(offset, offset + nPlanes)).as("native"),
+        hofBucket($"vec", nPlanes, offset).as("hof")).collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bucket mismatch at offset=$offset nPlanes=$nPlanes"))
+    }
+  }
+
+  test("PlaneSigns: null element collapses the bucket to 0 (HOF parity)") {
+    import graft.pipeline.Dedup
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 2.0D) AS vec")
+    val b = df.select(VectorFunctions.planeSigns(col("vec"),
+      Dedup.MinhashA.take(8), Dedup.MinhashB.take(8))).head
+    assert(!b.isNullAt(0) && b.getLong(0) == 0L)
+  }
 }

@@ -295,6 +295,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).descriptor.toSeq == Seq(0.25f, 0.25f, 0.25f, 0.25f))
   }
 
+  test("ImageIoDecoder: real PNG decode to mean-luma grid descriptor") {
+    // generated fixture: 8x8 PNG, left half black, right half white
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val dec = new Multimodal.ImageIoDecoder(grid = 2)
+    val d = dec.decode(png)
+    assert(d.length == 4)
+    // left cells pure black (0), right cells pure white (1)
+    assert(d(0) == 0f && d(2) == 0f)
+    assert(math.abs(d(1) - 1f) < 1e-6 && math.abs(d(3) - 1f) < 1e-6)
+  }
+
+  test("ImageIoDecoder: runs distributed through extractFeatures") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", png, Map("fmt" -> "png")),
+      Multimodal.MediaRecord(2L, "image", png, Map.empty)).toDS()
+    val out = Multimodal.extractFeatures(recs, new Multimodal.ImageIoDecoder(2))
+      .collect().map(f => f.id -> f).toMap
+    assert(out.size == 2)
+    // uniform gray 0x80 -> every grid cell 128/255
+    out.values.foreach { f =>
+      assert(f.descriptor.length == 4)
+      f.descriptor.foreach(v => assert(math.abs(v - 128f / 255f) < 1e-6))
+    }
+  }
+
+  test("ImageIoDecoder: corrupt payload fails loudly") {
+    val dec = new Multimodal.ImageIoDecoder()
+    val e = intercept[IllegalArgumentException] {
+      dec.decode(Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
   test("sampleFrames: stride sampling of fixed-size frames") {
     val recs = Seq(Multimodal.MediaRecord(1L, "video",
       (0 until 10).map(_.toByte).toArray, Map.empty)).toDS()
@@ -499,5 +545,24 @@ class SemDedupSpec extends SparkSpec {
     assert(out.count() == 100L)
     // keeper <= id always
     assert(out.filter(col("keeper") > col("id")).count() == 0L)
+  }
+
+  test("semanticNearDup fails loudly when a cluster exceeds maxClusterSize") {
+    // a deliberately undersized codebook: one centroid captures all 100
+    // vectors, so the per-cluster self-join would be quadratic
+    val rng = new scala.util.Random(11)
+    val corpus = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val centroids = corpus.filter(col("id") === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticNearDup(corpus, centroids, 0.95,
+        maxClusterSize = 50L)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+    assert(e.getMessage.contains("100"))  // reports the oversized occupancy
+    // the same corpus under a sufficient cap still runs
+    assert(Similarity.semanticNearDup(corpus, centroids, 0.95,
+      maxClusterSize = 100L).count() == 100L)
   }
 }

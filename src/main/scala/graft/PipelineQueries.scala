@@ -71,6 +71,61 @@ object PipelineQueries {
       |    x -> 1 + CAST(FLOOR(GREATEST(length(x) - 1, 0) / 4) AS BIGINT))) AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Fixed "pretrained" merge table for [[bpeEncode]] — applying a
+    * shipped tokenizer is the production per-row op (training one is
+    * [[graft.pipeline.Bpe.train]] / q_bpe_pairs). The chain t→a→ta→b→
+    * tab→le→table exercises multi-level merges where a merged symbol
+    * re-participates in later rules. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "s" -> "t", "l" -> "e",
+    "t" -> "a", "ta" -> "b", "tab" -> "le", "v" -> "a", "va" -> "l",
+    "val" -> "u", "valu" -> "e")
+
+  /** BPE encode (tokenizer APPLY): segment every word of every document
+    * with the merge table — a chain of native [[graft.functions.MergePair]]
+    * single-scan codegen'd expressions over the word's symbol array,
+    * then one partial-aggregated groupBy(doc_id). The merge table rides
+    * in the closure (it is the tokenizer, O(vocab) — tiny); the corpus
+    * is scanned exactly once and nothing shuffles before the per-doc
+    * count aggregate. At 100 TB this is the tokenize-and-count pass of
+    * a training-data pipeline. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = bpeMerges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) {
+      case (c, (x, y)) => Bpe.mergeFold(c, x, y)
+    }
+    words.select(col("doc_id"), size(encoded).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: greedy left-to-right non-overlapping pair-merging equals a
+    * chained REPLACE over a '|'-delimited symbol string ('|' never
+    * occurs in the corpus): with R(syms) = '|'+join(syms,'||')+'|',
+    * replacing R([x,y]) with R([xy]) consumes exactly one boundary at
+    * exactly the positions the greedy scan merges (REPLACE also scans
+    * left-to-right non-overlapping and resumes after the match — run
+    * and overlap edge cases verified against MergePair in BpeSpec). */
+  val bpeEncodeSql: String = {
+    val chain = bpeMerges.foldLeft(
+      "'|' || array_to_string(string_split(w, ''), '||') || '|'") {
+      case (acc, (x, y)) => s"replace($acc, '|$x||$y|', '|$x$y|')"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    x -> length(x) > 0)) AS w
+       |  FROM documents),
+       |e AS (SELECT doc_id, $chain AS s FROM w)
+       |SELECT doc_id,
+       |  CAST(SUM(1 + (length(s) - length(replace(s, '||', ''))) // 2) AS BIGINT) AS n_bpe_tokens,
+       |  COUNT(*) AS n_words
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID heuristic: argmax marker-hit ratio, declaration-order
     * tie-break. */
   def langId(spark: SparkSession, dir: String): DataFrame =
@@ -1502,6 +1557,7 @@ object PipelineQueries {
     "q_dedup_components" -> dedupComponents _,
     "q_clean_pipeline" -> cleanPipeline _,
     "q_subword_count" -> subwordCount _,
+    "q_bpe_encode" -> bpeEncode _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
@@ -1544,6 +1600,7 @@ object PipelineQueries {
     "q_dedup_components" -> dedupComponentsSql,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_subword_count" -> subwordCountSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,

@@ -301,9 +301,9 @@ object Queries {
        |m AS (SELECT fa, fb,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
        |      FROM w GROUP BY 1, 2),
-       |pmi AS (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
-       |rel AS (SELECT fa AS f, mi FROM pmi WHERE fb = 4),
-       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |pmi AS MATERIALIZED (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
+       |rel AS MATERIALIZED (SELECT fa AS f, mi FROM pmi WHERE fb = 4),
+       |r1 AS MATERIALIZED (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
        |r2 AS (SELECT rel.f, rel.mi - p1.mi AS score
        |       FROM rel JOIN pmi p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
        |       WHERE rel.f NOT IN (SELECT f FROM r1)
@@ -354,7 +354,7 @@ object Queries {
        |        SUM(cnt) OVER (PARTITION BY fa, fb, x, z) AS cxz,
        |        SUM(cnt) OVER (PARTITION BY fa, fb, y, z) AS cyz
        |      FROM h),
-       |mc AS (SELECT fa, fb,
+       |mc AS MATERIALIZED (SELECT fa, fb,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cxy AS DOUBLE)*n/(cx*cy))) AS mi,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cz AS DOUBLE)*cnt/(CAST(cxz AS DOUBLE)*cyz))) AS cmi
        |      FROM w GROUP BY 1, 2),
@@ -365,7 +365,7 @@ object Queries {
        |        SUM(cnt) OVER (PARTITION BY f, x) AS cx,
        |        SUM(cnt) OVER (PARTITION BY f, y) AS cy
        |      FROM rh),
-       |rel AS (SELECT f,
+       |rel AS MATERIALIZED (SELECT f,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
        |      FROM rw GROUP BY 1)""".stripMargin
   }
@@ -375,8 +375,8 @@ object Queries {
     * features' p1/p2 (mi, cmi) rows — exactly the criterion's fold. */
   private def greedyOracleSql(score2: String, score3: String): String =
     s"""WITH $greedyCtes,
-       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
-       |r2 AS (SELECT rel.f, $score2 AS score
+       |r1 AS MATERIALIZED (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |r2 AS MATERIALIZED (SELECT rel.f, $score2 AS score
        |       FROM rel JOIN mc p1 ON p1.fa = rel.f AND p1.fb = (SELECT f FROM r1)
        |       WHERE rel.f NOT IN (SELECT f FROM r1)
        |       ORDER BY score DESC, rel.f LIMIT 1),
@@ -631,7 +631,7 @@ object Queries {
       val sums = (1 until t).map(s => s"p$s.mi").mkString(" + ")
       val score = if (t == 2) s"rel.mi - $sums"
       else s"rel.mi - ($sums) / ${t - 1}"
-      s"""r$t AS (SELECT rel.f, $score AS score
+      s"""r$t AS MATERIALIZED (SELECT rel.f, $score AS score
          |       FROM rel
          |       $joins
          |       WHERE rel.f NOT IN ($excl)
@@ -652,17 +652,17 @@ object Queries {
        |m AS (SELECT fa, fb,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
        |      FROM w GROUP BY 1, 2),
-       |pmi AS (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
+       |pmi AS MATERIALIZED (SELECT fa, fb, mi FROM m UNION ALL SELECT fb, fa, mi FROM m),
        |rh AS (SELECT f, x, y, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3),
        |rw AS (SELECT f, cnt,
        |        SUM(cnt) OVER (PARTITION BY f) AS n,
        |        SUM(cnt) OVER (PARTITION BY f, x) AS cx,
        |        SUM(cnt) OVER (PARTITION BY f, y) AS cy
        |      FROM rh),
-       |rel AS (SELECT f,
+       |rel AS MATERIALIZED (SELECT f,
        |        SUM((CAST(cnt AS DOUBLE)/n) * LOG2(CAST(cnt AS DOUBLE)*n/(cx*cy))) AS mi
        |      FROM rw GROUP BY 1),
-       |r1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
+       |r1 AS MATERIALIZED (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),
        |$rounds
        |SELECT * FROM (
        |  SELECT 1 AS round, f AS feature, ROUND(score, 6) AS score FROM r1
@@ -820,6 +820,112 @@ object Queries {
 
   val ioRoundtripSql: String = ioAggSql
 
+  /** Columns profiled by [[profile]] — lineitem's numeric surface. */
+  private val profileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Data profiling: per-column row/non-null/distinct counts and
+    * min/max in ONE table scan — melt the columns with `stack` (a
+    * narrow 8× row expansion, no Expand operator) and aggregate the
+    * long (column, value) stream with partial aggregation, so the
+    * whole profile is a single shuffle keyed by column name. Exact
+    * `count_distinct` here because the DuckDB oracle must match
+    * bit-for-bit; at 100 TB swap in `approx_count_distinct` — same
+    * plan shape, HLL-sketch-bounded memory (documented in SCALING.md). */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val stackArgs = profileCols
+      .map(c => s"'$c', cast($c as double)").mkString(", ")
+    li.select(expr(s"stack(${profileCols.length}, $stackArgs) as (column_name, v)"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+        count_distinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("column_name")
+  }
+
+  val profileSql: String = {
+    val union = profileCols.map(c =>
+      s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  $union)
+       |SELECT column_name, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
+       |  COUNT(DISTINCT v) AS n_distinct, MIN(v) AS min_v, MAX(v) AS max_v
+       |FROM m GROUP BY column_name ORDER BY column_name""".stripMargin
+  }
+
+  /** Bucketed co-located join: lineitem and orders written as
+    * 8-bucket tables hashed on the order key (`bucketBy` + `sortBy`),
+    * then joined WITHOUT a shuffle on either side — the bucketed scan's
+    * HashPartitioning satisfies the join's distribution requirement, so
+    * the plan is scan→sort-merge-join with no Exchange before the join
+    * (asserted mechanically in BucketedJoinSpec). This is THE 100 TB
+    * pattern for repeated fact-to-fact joins: pay the partitioning once
+    * at write time, join shuffle-free forever after. The checked output
+    * avoids float-sum nondeterminism (quantities are integer-valued). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"target/tmp/bucketed-$tag"
+    val liT = s"graft_bkt_lineitem_$tag"
+    val ordT = s"graft_bkt_orders_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $liT")
+    spark.sql(s"DROP TABLE IF EXISTS $ordT")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable(liT)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable(ordT)
+    bucketedJoinAgg(spark.table(liT), spark.table(ordT))
+  }
+
+  /** The join+aggregate over the bucketed tables (factored out so the
+    * spec can assert its plan has no pre-join Exchange). */
+  private[graft] def bucketedJoinAgg(li: DataFrame, ord: DataFrame): DataFrame =
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        sum("l_quantity").as("total_qty"))
+      .orderBy("o_orderpriority")
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders, SUM(l_quantity) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** S-family: JSONL (newline-delimited JSON) round-trip — the lingua
+    * franca of web-scale text corpora. Documents are written as JSONL
+    * and re-read with an EXPLICIT schema (schema-on-read: no inference
+    * pass, which at 100 TB would be a second full scan), then
+    * aggregated per language against the parquet oracle, so any
+    * escaping/encoding defect in either direction breaks the match. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/jsonl-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").json(path)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .json(path)
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -848,7 +954,10 @@ object Queries {
     "q_sparse_hist2d" -> sparseHist2d _,
     "q_sparse_selector_mim" -> sparseSelectorMim _,
     "q_sparse_micmi" -> sparseMicmi _,
-    "q_selector_mrmr_wide" -> selectorMrmrWide _)
+    "q_selector_mrmr_wide" -> selectorMrmrWide _,
+    "q_profile" -> profile _,
+    "q_bucketed_join" -> bucketedJoin _,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -876,5 +985,8 @@ object Queries {
     "q_sparse_hist2d" -> sparseHist2dSql,
     "q_sparse_selector_mim" -> sparseSelectorMimSql,
     "q_sparse_micmi" -> sparseMicmiSql,
-    "q_selector_mrmr_wide" -> selectorMrmrWideSql)
+    "q_selector_mrmr_wide" -> selectorMrmrWideSql,
+    "q_profile" -> profileSql,
+    "q_bucketed_join" -> bucketedJoinSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
 }

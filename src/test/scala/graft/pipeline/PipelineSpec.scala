@@ -513,6 +513,40 @@ class BpeSpec extends SparkSpec {
     val after = syms.select(sum(size(col("syms")))).head.getLong(0)
     assert(after < before)
   }
+
+  test("q_bpe_encode oracle equivalence: greedy merge chain == " +
+      "delimiter-encoded REPLACE chain (randomized)") {
+    // The DuckDB oracle encodes syms as '|'+join('||')+'|' and applies
+    // each merge as a literal left-to-right non-overlapping replace —
+    // the exact semantics of java.lang.String.replace, so the oracle's
+    // transform can be simulated here and checked against the real
+    // distributed MergePair fold on adversarial inputs (runs, chained
+    // merges, merged symbols re-matching later rules).
+    def oracleEncode(word: String, merges: Seq[(String, String)]): Int = {
+      var s = "|" + word.split("").mkString("||") + "|"
+      merges.foreach { case (x, y) =>
+        s = s.replace(s"|$x||$y|", s"|$x$y|")
+      }
+      1 + (s.length - s.replace("||", "").length) / 2
+    }
+    val merges = Seq("a" -> "a", "a" -> "b", "ab" -> "b", "b" -> "a",
+      "aa" -> "ab", "ba" -> "ba")
+    val rnd = new scala.util.Random(7)
+    val words = Seq("a", "b", "aaaa", "aaab", "abab", "aabb", "bbbb",
+      "ababa", "aaaaaaa") ++
+      (1 to 200).map(_ => (1 to (1 + rnd.nextInt(9)))
+        .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+    val df = words.toDF("w")
+    val encoded = merges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) {
+      case (c, (x, y)) => Bpe.mergeFold(c, x, y)
+    }
+    val got = df.select(col("w"), size(encoded)).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == oracleEncode(w, merges),
+        s"word [$w]: mergeFold=${got(w)} oracle=${oracleEncode(w, merges)}")
+    }
+  }
 }
 
 class SemDedupSpec extends SparkSpec {

@@ -126,6 +126,50 @@ object PipelineQueries {
        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per document — the classic corpus-relevance
+    * pass (keyword extraction, quality signals, BM25 precursors).
+    * Shape: one explode + two partial-aggregated shuffles (term
+    * frequency per (doc, tok); document frequency per tok), a shuffled
+    * join on tok (AQE broadcasts the df table when it fits — it is
+    * O(vocab), so never hint it; cf. q_lm_score round 4), and a
+    * doc-partitioned window for the top-k. Ranking is on the ROUNDED
+    * score with a token tie-break so the order is engine-independent
+    * (round-before-rank). The corpus size N rides in as a literal from
+    * parquet row-group metadata (no data scan). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count() // parquet footer count, no column scan
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTab, "tok")
+      .withColumn("score",
+        round(col("tf") * (log(lit((n + 1).toDouble) / (col("df") + 1)) + 1), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("tok"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT doc_id, tok,
+      |    ROUND(tf * (LN((n.n + 1.0) / (df + 1.0)) + 1), 6) AS score
+      |  FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      |  FROM s)
+      |SELECT doc_id, tok, score, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   /** Language-ID heuristic: argmax marker-hit ratio, declaration-order
     * tie-break. */
   def langId(spark: SparkSession, dir: String): DataFrame =
@@ -1558,6 +1602,7 @@ object PipelineQueries {
     "q_clean_pipeline" -> cleanPipeline _,
     "q_subword_count" -> subwordCount _,
     "q_bpe_encode" -> bpeEncode _,
+    "q_tfidf" -> tfidf _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
@@ -1601,6 +1646,7 @@ object PipelineQueries {
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_subword_count" -> subwordCountSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_tfidf" -> tfidfSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,

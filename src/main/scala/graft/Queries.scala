@@ -872,11 +872,16 @@ object Queries {
     val ordT = s"graft_bkt_orders_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $liT")
     spark.sql(s"DROP TABLE IF EXISTS $ordT")
+    // prune to the query's columns before the bucketed write — the
+    // write is the pay-once cost of the pattern and column pruning
+    // applies to it exactly as to any scan
     spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$base/lineitem").saveAsTable(liT)
     spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$base/orders").saveAsTable(ordT)
@@ -926,6 +931,36 @@ object Queries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Partition pruning: documents written `partitionBy(lang)` (the
+    * hive-style layout a 100 TB corpus would use — one directory tree
+    * per language), then a lang-filtered aggregate reads back through
+    * the partitioned scan. The filter never touches data: it prunes at
+    * PLANNING time to the one matching directory (PartitionFilters in
+    * the scan, asserted in ProfileIoSpec), so a query over one language
+    * of a 100 TB corpus reads only that language's files. The oracle
+    * recomputes the same aggregate from the unpartitioned parquet. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/partlang-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    prunedAgg(spark.read.parquet(path))
+  }
+
+  /** The pruned aggregate (factored out so the spec can assert the
+    * scan's partition filters). */
+  private[graft] def prunedAgg(docs: DataFrame): DataFrame =
+    docs.filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("source")
+
+  val partitionedPruneSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -957,7 +992,8 @@ object Queries {
     "q_selector_mrmr_wide" -> selectorMrmrWide _,
     "q_profile" -> profile _,
     "q_bucketed_join" -> bucketedJoin _,
-    "q_jsonl_roundtrip" -> jsonlRoundtrip _)
+    "q_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "q_partitioned_prune" -> partitionedPrune _)
 
   val oracles: Map[String, String] = Map(
     "q_hist2d" -> hist2dSql,
@@ -988,5 +1024,6 @@ object Queries {
     "q_selector_mrmr_wide" -> selectorMrmrWideSql,
     "q_profile" -> profileSql,
     "q_bucketed_join" -> bucketedJoinSql,
-    "q_jsonl_roundtrip" -> jsonlRoundtripSql)
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_partitioned_prune" -> partitionedPruneSql)
 }

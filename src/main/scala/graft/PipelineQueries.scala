@@ -1509,6 +1509,117 @@ object PipelineQueries {
        |      FROM scored)
        |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  // PQ parameters for the oracle row: 4 subspaces x 16 dims, 8
+  // centroids each (2 Lloyd iterations), 3 queries, top-5. Production
+  // shape is k=256 (one byte per code) over the same machinery — 8
+  // keeps the unrolled SQL oracle tractable.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqNQueries = 3
+  private val PqTopK = 5
+
+  /** Product quantization end-to-end: train M per-subspace codebooks
+    * (deterministic Lloyd), ENCODE the corpus to M codes (one narrow
+    * codegen'd projection — the 64-floats-to-M-codes compression pass),
+    * then ADC search: each query's m x k distance table is driver
+    * arithmetic and every corpus distance is M table lookups on the
+    * codes, so the search never rereads the floats. The billion-vector
+    * memory path next to IVF (which prunes WORK; PQ shrinks MEMORY —
+    * production stacks compose them). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val books = Similarity.pqTrainCodebooks(emb, PqM, PqSubDim, PqK, 2)
+    val codes = Similarity.pqEncode(emb, books, PqSubDim)
+    val queries = emb.filter(col("id") < PqNQueries).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    Similarity.pqSearch(codes, books, queries, PqSubDim, PqTopK)
+      .orderBy("qid", "rk")
+  }
+
+  /** Unrolled PQ oracle: per subspace, the same 2-iteration Lloyd CTE
+    * chain as q_kmeans (restricted to the subspace's i-range, with the
+    * engine's keep-empty-cluster semantics via LEFT JOIN + COALESCE),
+    * then a final assignment (codes), per-query subspace distance
+    * tables rounded to 6, and the fixed-order 4-term total rounded to
+    * 5 with id tie-breaks. */
+  val annPqSql: String = {
+    def sub(s: Int): String = {
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      def iter(cPrev: String, cNext: String, t: Int): String =
+        s"""cn${s}_$t AS (SELECT cid, SUM(v * v) AS cn2 FROM $cPrev GROUP BY 1),
+           |dot${s}_$t AS (
+           |  SELECT u$s.vec_id, c.cid, SUM(u$s.v * c.v) AS dp
+           |  FROM u$s JOIN $cPrev c USING (i) GROUP BY 1, 2),
+           |d${s}_$t AS (
+           |  SELECT dot${s}_$t.vec_id, dot${s}_$t.cid,
+           |    ROUND(cn${s}_$t.cn2 - 2 * dp + vv$s.n2, 5) AS d
+           |  FROM dot${s}_$t JOIN cn${s}_$t USING (cid)
+           |  JOIN vv$s ON vv$s.vec_id = dot${s}_$t.vec_id),
+           |s${s}_$t AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |    FROM d${s}_$t) WHERE rk = 1),
+           |$cNext AS MATERIALIZED (
+           |  SELECT p.cid, p.i, COALESCE(nx.v, p.v) AS v
+           |  FROM $cPrev p LEFT JOIN (
+           |    SELECT s${s}_$t.cid, u2.i, ROUND(AVG(u2.v), 6) AS v
+           |    FROM s${s}_$t JOIN u$s u2 USING (vec_id) GROUP BY 1, 2) nx
+           |  ON nx.cid = p.cid AND nx.i = p.i)""".stripMargin
+      s"""u$s AS MATERIALIZED (SELECT vec_id, i, v FROM u WHERE i BETWEEN $lo AND $hi),
+         |vv$s AS (SELECT vec_id, SUM(v * v) AS n2 FROM u$s GROUP BY 1),
+         |c0_$s AS (SELECT vec_id AS cid, i, v FROM u$s WHERE vec_id < $PqK),
+         |${iter(s"c0_$s", s"c1_$s", 0)},
+         |${iter(s"c1_$s", s"c2_$s", 1)},
+         |cnf$s AS (SELECT cid, SUM(v * v) AS cn2 FROM c2_$s GROUP BY 1),
+         |dotf$s AS (
+         |  SELECT u$s.vec_id, c.cid, SUM(u$s.v * c.v) AS dp
+         |  FROM u$s JOIN c2_$s c USING (i) GROUP BY 1, 2),
+         |df$s AS (
+         |  SELECT dotf$s.vec_id, dotf$s.cid,
+         |    ROUND(cnf$s.cn2 - 2 * dp + vv$s.n2, 5) AS d
+         |  FROM dotf$s JOIN cnf$s USING (cid)
+         |  JOIN vv$s ON vv$s.vec_id = dotf$s.vec_id),
+         |code$s AS MATERIALIZED (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |    FROM df$s) WHERE rk = 1),
+         |adc$s AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    ROUND(SUM((q.v - c.v) * (q.v - c.v)), 6) AS d
+         |  FROM u$s q JOIN c2_$s c USING (i)
+         |  WHERE q.vec_id < $PqNQueries GROUP BY 1, 2)""".stripMargin
+    }
+    val subs = (0 until PqM).map(sub).mkString(",\n")
+    val codeJoins = (1 until PqM)
+      .map(s => s"JOIN code$s USING (vec_id)").mkString(" ")
+    val adcJoins = (0 until PqM).map { s =>
+      val qidCond = if (s == 0) "" else s" AND a$s.qid = a0.qid"
+      s"JOIN adc$s a$s ON a$s.cid = code$s.code$qidCond"
+    }.mkString("\n  ")
+    val total = (0 until PqM).map(s => s"a$s.d").mkString(" + ")
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |$subs,
+       |t AS (
+       |  SELECT a0.qid, code0.vec_id, ROUND($total, 5) AS d
+       |  FROM code0 $codeJoins
+       |  $adcJoins),
+       |r AS (SELECT qid, vec_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+       |  FROM t)
+       |SELECT qid, vec_id, d, rk FROM r WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
@@ -1614,6 +1725,7 @@ object PipelineQueries {
     "q_vocab_topk" -> vocabTopK _,
     "q_kmeans" -> kmeans _,
     "q_ann_ivf_kmeans" -> annIvfKmeans _,
+    "q_ann_pq" -> annPq _,
     "q_decontaminate" -> decontaminate _,
     "q_split" -> splitAssign _,
     "q_repetition" -> repetition _,
@@ -1658,6 +1770,7 @@ object PipelineQueries {
     "q_vocab_topk" -> vocabTopKSql,
     "q_kmeans" -> kmeansSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
+    "q_ann_pq" -> annPqSql,
     "q_decontaminate" -> decontaminateSql,
     "q_split" -> splitAssignSql,
     "q_repetition" -> repetitionSql,

@@ -230,6 +230,87 @@ object Similarity {
   }
 
   /**
+   * Product-quantization (PQ) training: `m` INDEPENDENT per-subspace
+   * deterministic k-means codebooks over equal `subDim` slices of the
+   * vector — the memory-compression path for billion-vector ANN (a
+   * 64-float vector becomes m small codes; with k<=256 that is m
+   * bytes, a 64x shrink, searchable without touching the floats).
+   * Training cost: m Lloyd runs over SLICED columns (each a narrow
+   * projection of the same scan). Returns cid-ordered codebooks.
+   */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int): Seq[Array[Array[Double]]] =
+    (0 until m).map { s =>
+      val sliced = corpus.select(col("id"),
+        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
+      kmeansCentroids(sliced, k, iters).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, comps) => comps.sortBy(_._2).map(_._3) }
+        .toArray
+    }
+
+  /**
+   * PQ encode: compress every vector to its m nearest-subspace-centroid
+   * codes in ONE narrow codegen'd projection (m [[graft.functions.NearestCentroids]]
+   * expressions over slices — no join, no shuffle; the codebooks ride
+   * in the plan as reference objects). Distances follow the engine's
+   * determinism contract: squared euclidean rounded to 5, ties to the
+   * smallest cid. Output: (id, code0..code{m-1}).
+   */
+  def pqEncode(corpus: DataFrame, books: Seq[Array[Array[Double]]],
+      subDim: Int): DataFrame = {
+    val codes = books.zipWithIndex.map { case (book, s) =>
+      element_at(graft.functions.VectorFunctions.nearestCentroids(
+        slice(col("vec"), s * subDim + 1, subDim), book,
+        book.map(_.map(x => x * x).sum),
+        book.indices.map(_.toLong).toArray, 1, euclidean = true), 1)
+        .as(s"code$s")
+    }
+    corpus.select(col("id") +: codes: _*)
+  }
+
+  /**
+   * Asymmetric-distance (ADC) PQ search: each query precomputes its
+   * m x k table of exact subspace distances to the codebooks (driver
+   * arithmetic — m*k*subDim flops, microseconds), then every corpus
+   * vector's approximate distance is m TABLE LOOKUPS on its codes —
+   * a pure projection over the (id, codes) table; the floats are never
+   * read again. Per-query top-k via a qid-partitioned window. Subspace
+   * distances round to 6 before the fixed-order total (rounded to 5,
+   * ties to the smaller id) so an independent engine reproduces the
+   * ranking exactly.
+   */
+  def pqSearch(codes: DataFrame, books: Seq[Array[Array[Double]]],
+      queries: Seq[(Long, Seq[Double])], subDim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val perQuery = queries.map { case (qid, qvec) =>
+      val adc: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+        book.toSeq.map { cent =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = qvec(s * subDim + i) - cent(i)
+            d += diff * diff
+            i += 1
+          }
+          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      val dist = round(adc.zipWithIndex.map { case (tab, s) =>
+        element_at(typedlit(tab), col(s"code$s").cast("int") + 1)
+      }.reduce(_ + _), 5)
+      codes.select(lit(qid).as("qid"), col("id").as("vec_id"),
+        dist.as("d"))
+    }
+    val scored = perQuery.reduce(_ union _)
+    val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "vec_id", "d", "rk")
+  }
+
+  /**
    * Semantic (embedding-cluster) deduplication, SemDeDup-style: the
    * corpus is partitioned by nearest trained centroid ([[ivfAssign]] —
    * a pure projection), near-duplicate pairs are scored ONLY within a

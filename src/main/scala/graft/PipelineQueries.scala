@@ -814,6 +814,10 @@ object PipelineQueries {
       dedupCache.clear()
     }
     kmeansCache.synchronized(kmeansCache.clear())
+    ivfPqCache.synchronized {
+      ivfPqCache.values.foreach(_.assigned.unpersist(blocking = false))
+      ivfPqCache.clear()
+    }
   }
 
   /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5,
@@ -1518,6 +1522,11 @@ object PipelineQueries {
   private val PqK = 8
   private val PqNQueries = 3
   private val PqTopK = 5
+  // IVF-PQ: coarse codebook = first C corpus vectors, nProbe clusters
+  // probed per query. Declared here (before the oracle vals that
+  // interpolate them) — object init order matters.
+  private val IvfPqC = 8
+  private val IvfPqNProbe = 2
 
   /** Product quantization end-to-end: train M per-subspace codebooks
     * (deterministic Lloyd), ENCODE the corpus to M codes (one narrow
@@ -1546,56 +1555,68 @@ object PipelineQueries {
     * then a final assignment (codes), per-query subspace distance
     * tables rounded to 6, and the fixed-order 4-term total rounded to
     * 5 with id tie-breaks. */
-  val annPqSql: String = {
-    def sub(s: Int): String = {
-      val lo = s * PqSubDim + 1
-      val hi = (s + 1) * PqSubDim
-      def iter(cPrev: String, cNext: String, t: Int): String =
-        s"""cn${s}_$t AS (SELECT cid, SUM(v * v) AS cn2 FROM $cPrev GROUP BY 1),
-           |dot${s}_$t AS (
-           |  SELECT u$s.vec_id, c.cid, SUM(u$s.v * c.v) AS dp
-           |  FROM u$s JOIN $cPrev c USING (i) GROUP BY 1, 2),
-           |d${s}_$t AS (
-           |  SELECT dot${s}_$t.vec_id, dot${s}_$t.cid,
-           |    ROUND(cn${s}_$t.cn2 - 2 * dp + vv$s.n2, 5) AS d
-           |  FROM dot${s}_$t JOIN cn${s}_$t USING (cid)
-           |  JOIN vv$s ON vv$s.vec_id = dot${s}_$t.vec_id),
-           |s${s}_$t AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-           |    FROM d${s}_$t) WHERE rk = 1),
-           |$cNext AS MATERIALIZED (
-           |  SELECT p.cid, p.i, COALESCE(nx.v, p.v) AS v
-           |  FROM $cPrev p LEFT JOIN (
-           |    SELECT s${s}_$t.cid, u2.i, ROUND(AVG(u2.v), 6) AS v
-           |    FROM s${s}_$t JOIN u$s u2 USING (vec_id) GROUP BY 1, 2) nx
-           |  ON nx.cid = p.cid AND nx.i = p.i)""".stripMargin
-      s"""u$s AS MATERIALIZED (SELECT vec_id, i, v FROM u WHERE i BETWEEN $lo AND $hi),
-         |vv$s AS (SELECT vec_id, SUM(v * v) AS n2 FROM u$s GROUP BY 1),
-         |c0_$s AS (SELECT vec_id AS cid, i, v FROM u$s WHERE vec_id < $PqK),
-         |${iter(s"c0_$s", s"c1_$s", 0)},
-         |${iter(s"c1_$s", s"c2_$s", 1)},
-         |cnf$s AS (SELECT cid, SUM(v * v) AS cn2 FROM c2_$s GROUP BY 1),
-         |dotf$s AS (
+  /** Shared generator: per-subspace PQ TRAINING chain over a long-form
+    * source `src(vec_id, i, v)` — subspace slice `u$s`, init centroids
+    * from `vec_id` in [initLo, initLo+k) (cid = vec_id - initLo,
+    * matching the engine's position-indexed codebooks), two Lloyd
+    * iterations with keep-empty-cluster semantics, and the final code
+    * assignment `code$s`. Used by q_ann_pq (src = raw vectors) and
+    * q_ann_ivfpq (src = coarse residuals, init past the zero-residual
+    * centroid vectors). */
+  private def pqTrainSubCtes(src: String, s: Int, initLo: Int): String = {
+    val lo = s * PqSubDim + 1
+    val hi = (s + 1) * PqSubDim
+    def iter(cPrev: String, cNext: String, t: Int): String =
+      s"""cn${s}_$t AS (SELECT cid, SUM(v * v) AS cn2 FROM $cPrev GROUP BY 1),
+         |dot${s}_$t AS (
          |  SELECT u$s.vec_id, c.cid, SUM(u$s.v * c.v) AS dp
-         |  FROM u$s JOIN c2_$s c USING (i) GROUP BY 1, 2),
-         |df$s AS (
-         |  SELECT dotf$s.vec_id, dotf$s.cid,
-         |    ROUND(cnf$s.cn2 - 2 * dp + vv$s.n2, 5) AS d
-         |  FROM dotf$s JOIN cnf$s USING (cid)
-         |  JOIN vv$s ON vv$s.vec_id = dotf$s.vec_id),
-         |code$s AS MATERIALIZED (
-         |  SELECT vec_id, cid AS code FROM (
+         |  FROM u$s JOIN $cPrev c USING (i) GROUP BY 1, 2),
+         |d${s}_$t AS (
+         |  SELECT dot${s}_$t.vec_id, dot${s}_$t.cid,
+         |    ROUND(cn${s}_$t.cn2 - 2 * dp + vv$s.n2, 5) AS d
+         |  FROM dot${s}_$t JOIN cn${s}_$t USING (cid)
+         |  JOIN vv$s ON vv$s.vec_id = dot${s}_$t.vec_id),
+         |s${s}_$t AS (
+         |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-         |    FROM df$s) WHERE rk = 1),
+         |    FROM d${s}_$t) WHERE rk = 1),
+         |$cNext AS MATERIALIZED (
+         |  SELECT p.cid, p.i, COALESCE(nx.v, p.v) AS v
+         |  FROM $cPrev p LEFT JOIN (
+         |    SELECT s${s}_$t.cid, u2.i, ROUND(AVG(u2.v), 6) AS v
+         |    FROM s${s}_$t JOIN u$s u2 USING (vec_id) GROUP BY 1, 2) nx
+         |  ON nx.cid = p.cid AND nx.i = p.i)""".stripMargin
+    s"""u$s AS MATERIALIZED (SELECT vec_id, i, v FROM $src WHERE i BETWEEN $lo AND $hi),
+       |vv$s AS (SELECT vec_id, SUM(v * v) AS n2 FROM u$s GROUP BY 1),
+       |c0_$s AS (SELECT vec_id - $initLo AS cid, i, v FROM u$s
+       |  WHERE vec_id BETWEEN $initLo AND ${initLo + PqK - 1}),
+       |${iter(s"c0_$s", s"c1_$s", 0)},
+       |${iter(s"c1_$s", s"c2_$s", 1)},
+       |cnf$s AS (SELECT cid, SUM(v * v) AS cn2 FROM c2_$s GROUP BY 1),
+       |dotf$s AS (
+       |  SELECT u$s.vec_id, c.cid, SUM(u$s.v * c.v) AS dp
+       |  FROM u$s JOIN c2_$s c USING (i) GROUP BY 1, 2),
+       |df$s AS (
+       |  SELECT dotf$s.vec_id, dotf$s.cid,
+       |    ROUND(cnf$s.cn2 - 2 * dp + vv$s.n2, 5) AS d
+       |  FROM dotf$s JOIN cnf$s USING (cid)
+       |  JOIN vv$s ON vv$s.vec_id = dotf$s.vec_id),
+       |code$s AS MATERIALIZED (
+       |  SELECT vec_id, cid AS code FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |    FROM df$s) WHERE rk = 1)""".stripMargin
+  }
+
+  val annPqSql: String = {
+    def sub(s: Int): String =
+      s"""${pqTrainSubCtes("u", s, 0)},
          |adc$s AS MATERIALIZED (
          |  SELECT q.vec_id AS qid, c.cid,
          |    ROUND(SUM((q.v - c.v) * (q.v - c.v)), 6) AS d
          |  FROM u$s q JOIN c2_$s c USING (i)
          |  WHERE q.vec_id < $PqNQueries GROUP BY 1, 2)""".stripMargin
-    }
     val subs = (0 until PqM).map(sub).mkString(",\n")
     val codeJoins = (1 until PqM)
       .map(s => s"JOIN code$s USING (vec_id)").mkString(" ")
@@ -1610,7 +1631,7 @@ object PipelineQueries {
        |  FROM embeddings),
        |$subs,
        |t AS (
-       |  SELECT a0.qid, code0.vec_id, ROUND($total, 5) AS d
+       |  SELECT a0.qid, code0.vec_id, ROUND($total, 6) AS d
        |  FROM code0 $codeJoins
        |  $adcJoins),
        |r AS (SELECT qid, vec_id, d,
@@ -1618,6 +1639,174 @@ object PipelineQueries {
        |  FROM t)
        |SELECT qid, vec_id, d, rk FROM r WHERE rk <= $PqTopK
        |ORDER BY qid, rk""".stripMargin
+  }
+
+  /** Unrolled IVF-PQ oracle: coarse codebook = first C vectors, coarse
+    * assignment (euclidean, round-5, cid ties), residuals, the shared
+    * per-subspace PQ training chains over the residuals (init past the
+    * zero-residual centroid vectors), nProbe probing per query, ADC
+    * tables from residual queries (q - probed coarse), candidates
+    * restricted to probed clusters, fixed-order totals, id tie-breaks. */
+  val ivfPqSql: String = {
+    val subs = (0 until PqM).map { s =>
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      s"""${pqTrainSubCtes("res", s, IvfPqC)},
+         |adc$s AS MATERIALIZED (
+         |  SELECT p.qid, p.cid AS ccid, c.cid AS code,
+         |    ROUND(SUM((q.v - pc.v - c.v) * (q.v - pc.v - c.v)), 6) AS d
+         |  FROM probes p
+         |  JOIN u q ON q.vec_id = p.qid AND q.i BETWEEN $lo AND $hi
+         |  JOIN cc pc ON pc.cid = p.cid AND pc.i = q.i
+         |  JOIN c2_$s c ON c.i = q.i
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN code$s ON code$s.vec_id = ca.vec_id").mkString("\n  ")
+    val adcJoins = (0 until PqM).map { s =>
+      s"JOIN adc$s a$s ON a$s.qid = p.qid AND a$s.ccid = ca.cid " +
+        s"AND a$s.code = code$s.code"
+    }.mkString("\n  ")
+    val total = (0 until PqM).map(s => s"a$s.d").mkString(" + ")
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |cc AS MATERIALIZED (SELECT vec_id AS cid, i, v FROM u WHERE vec_id < $IvfPqC),
+       |ccn AS (SELECT cid, SUM(v * v) AS cn2 FROM cc GROUP BY 1),
+       |uvv AS (SELECT vec_id, SUM(v * v) AS n2 FROM u GROUP BY 1),
+       |cdot AS (SELECT u.vec_id, c.cid, SUM(u.v * c.v) AS dp
+       |  FROM u JOIN cc c USING (i) GROUP BY 1, 2),
+       |cd AS MATERIALIZED (SELECT cdot.vec_id, cdot.cid,
+       |    ROUND(ccn.cn2 - 2 * dp + uvv.n2, 5) AS d
+       |  FROM cdot JOIN ccn USING (cid)
+       |  JOIN uvv ON uvv.vec_id = cdot.vec_id),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |    FROM cd) WHERE rk = 1),
+       |res AS MATERIALIZED (
+       |  SELECT u.vec_id, u.i, u.v - cc.v AS v
+       |  FROM u JOIN cassign USING (vec_id)
+       |  JOIN cc ON cc.cid = cassign.cid AND cc.i = u.i),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |    FROM cd WHERE vec_id < $PqNQueries) WHERE rk <= $IvfPqNProbe),
+       |$subs,
+       |t AS (
+       |  SELECT p.qid, ca.vec_id, ROUND($total, 6) AS d
+       |  FROM cassign ca
+       |  JOIN probes p ON p.cid = ca.cid
+       |  $codeJoins
+       |  $adcJoins),
+       |rr AS (SELECT qid, vec_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+       |  FROM t)
+       |SELECT qid, vec_id, d, rk FROM rr WHERE rk <= $PqTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
+  // ---------- IVF-PQ (IVFADC) ----------
+
+  /** Coarse assignment + residual PQ state, persisted once per
+    * (session, dir): `assigned` carries the O(C*dim) coarse assignment
+    * behind a persist barrier (the projection-collapse rule), `books`
+    * are the residual-trained PQ codebooks. Dropped by [[clearCache]]. */
+  private final case class IvfPqState(assigned: DataFrame,
+      coarse: Seq[Array[Double]], cn2: Array[Double],
+      books: Seq[Array[Array[Double]]])
+
+  private val ivfPqCache = TrieMap.empty[(SparkSession, String), IvfPqState]
+
+  private def ivfPqShared(spark: SparkSession, dir: String): IvfPqState =
+    ivfPqCache.synchronized {
+      ivfPqCache.getOrElseUpdate((spark, dir), {
+        val dim = PqM * PqSubDim
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val coarse: Seq[Array[Double]] = emb.filter(col("id") < IvfPqC)
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Number](1).map(_.doubleValue()).toArray))
+          .sortBy(_._1).map(_._2).toSeq
+        val cn2 = coarse.map(v => v.map(x => x * x).sum).toArray
+        val assignExpr = element_at(
+          graft.functions.VectorFunctions.nearestCentroids(
+            col("vec"), coarse.toArray, cn2,
+            (0 until IvfPqC).map(_.toLong).toArray, 1, euclidean = true), 1)
+        val assigned = emb
+          .select(col("id"), col("vec"), assignExpr.as("ccid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val books = Similarity.pqTrainCodebooks(
+          ivfPqResiduals(assigned, coarse), PqM, PqSubDim, PqK, 2,
+          initFrom = IvfPqC)
+        IvfPqState(assigned, coarse, cn2, books)
+      })
+    }
+
+  /** Residual projection v - coarse[ccid(v)]: pure column arithmetic
+    * against the coarse codebook as a flat literal (C*dim doubles) —
+    * no join, and the assignment is read from the persisted frame, not
+    * recomputed per component. */
+  private def ivfPqResiduals(assigned: DataFrame,
+      coarse: Seq[Array[Double]]): DataFrame = {
+    val dim = PqM * PqSubDim
+    val flat = typedlit(coarse.flatten.toSeq)
+    val resVec = array((0 until dim).map(i =>
+      col("vec").getItem(i).cast("double") -
+        element_at(flat, col("ccid").cast("int") * dim + i + 1)): _*)
+    assigned.select(col("id"), col("ccid"), resVec.as("vec"))
+  }
+
+  /** IVF-PQ end-to-end: coarse-quantize the corpus (first-C codebook,
+    * the q_ann_ivf convention), train PQ on the RESIDUALS (seeded past
+    * the zero-residual centroid vectors), encode, then ADC-search with
+    * candidates pruned to each query's nProbe coarse clusters. The
+    * per-(query, probe) distance tables are computed on the driver from
+    * the residual query vectors and ride in the broadcast probes frame. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = PqM * PqSubDim
+    val st = ivfPqShared(spark, dir)
+    val codes = Similarity.pqEncode(ivfPqResiduals(st.assigned, st.coarse),
+      st.books, PqSubDim, extra = Seq("ccid"))
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < PqNQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1)
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val ranked = st.coarse.zipWithIndex.map { case (c, cid) =>
+        var dot = 0.0
+        var n2 = 0.0
+        var j = 0
+        while (j < dim) { dot += q(j) * c(j); n2 += q(j) * q(j); j += 1 }
+        (graft.functions.NearestCentroids.round5(
+          st.cn2(cid) - 2 * dot + n2), cid.toLong)
+      }.sorted.take(IvfPqNProbe)
+      ranked.map { case (_, ccid) =>
+        val c = st.coarse(ccid.toInt)
+        val tables = (0 until PqM).map { s =>
+          st.books(s).toSeq.map { cent =>
+            var d = 0.0
+            var j = 0
+            while (j < PqSubDim) {
+              val diff = (q(s * PqSubDim + j) - c(s * PqSubDim + j)) - cent(j)
+              d += diff * diff
+              j += 1
+            }
+            BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+        (qid, ccid, tables(0), tables(1), tables(2), tables(3))
+      }
+    }
+    val probes = probeRows.toSeq.toDF("qid", "ccid", "t0", "t1", "t2", "t3")
+    Similarity.ivfPqSearch(codes, probes, PqM, PqTopK).orderBy("qid", "rk")
   }
 
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
@@ -1726,6 +1915,7 @@ object PipelineQueries {
     "q_kmeans" -> kmeans _,
     "q_ann_ivf_kmeans" -> annIvfKmeans _,
     "q_ann_pq" -> annPq _,
+    "q_ann_ivfpq" -> annIvfPq _,
     "q_decontaminate" -> decontaminate _,
     "q_split" -> splitAssign _,
     "q_repetition" -> repetition _,
@@ -1771,6 +1961,7 @@ object PipelineQueries {
     "q_kmeans" -> kmeansSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivfpq" -> ivfPqSql,
     "q_decontaminate" -> decontaminateSql,
     "q_split" -> splitAssignSql,
     "q_repetition" -> repetitionSql,

@@ -244,12 +244,19 @@ object Similarity {
    * projection of the same scan). Returns cid-ordered codebooks.
    */
   def pqTrainCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int): Seq[Array[Array[Double]]] = {
-    // init: slices of the first k vectors, exactly like kmeansCentroids
+      iters: Int, initFrom: Long = 0L): Seq[Array[Array[Double]]] = {
+    // init: slices of the k vectors with id in [initFrom, initFrom+k)
+    // (cid = rank by id, matching the position-indexed codebooks).
+    // initFrom matters when the corpus is residuals: the vectors that
+    // ARE the coarse centroids have all-zero residuals, so IVF-PQ
+    // seeds past them. Element reads go through Number — the corpus
+    // may be raw float embeddings or double residual projections.
     var books: IndexedSeq[Array[Array[Double]]] = {
-      val rows = corpus.filter(col("id") < k)
-        .select(col("id").cast("int"), col("vec")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      val rows = corpus
+        .filter(col("id") >= initFrom && col("id") < initFrom + k)
+        .select(col("id"), col("vec")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Number](1).map(_.doubleValue())))
         .sortBy(_._1)
       (0 until m).map { s =>
         rows.map { case (_, v) =>
@@ -308,7 +315,7 @@ object Similarity {
    * smallest cid. Output: (id, code0..code{m-1}).
    */
   def pqEncode(corpus: DataFrame, books: Seq[Array[Array[Double]]],
-      subDim: Int): DataFrame = {
+      subDim: Int, extra: Seq[String] = Nil): DataFrame = {
     val codes = books.zipWithIndex.map { case (book, s) =>
       element_at(graft.functions.VectorFunctions.nearestCentroids(
         slice(col("vec"), s * subDim + 1, subDim), book,
@@ -316,7 +323,7 @@ object Similarity {
         book.indices.map(_.toLong).toArray, 1, euclidean = true), 1)
         .as(s"code$s")
     }
-    corpus.select(col("id") +: codes: _*)
+    corpus.select((col("id") +: extra.map(col)) ++ codes: _*)
   }
 
   /**
@@ -350,12 +357,36 @@ object Similarity {
       }
       val dist = round(adc.zipWithIndex.map { case (tab, s) =>
         element_at(typedlit(tab), col(s"code$s").cast("int") + 1)
-      }.reduce(_ + _), 5)
+      }.reduce(_ + _), 6)
       struct(lit(qid).as("qid"), dist.as("d"))
     }
     val scored = codes
       .select(col("id").as("vec_id"), explode(array(qd: _*)).as("qd"))
       .select(col("qd.qid").as("qid"), col("vec_id"), col("qd.d").as("d"))
+    val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "vec_id", "d", "rk")
+  }
+
+  /**
+   * IVF-PQ (IVFADC) search — the canonical billion-vector composition:
+   * IVF prunes WORK (candidates come only from each query's probed
+   * coarse clusters), PQ shrinks MEMORY (distances are ADC lookups on
+   * RESIDUAL codes; the floats are never read). The per-(query, probe)
+   * subspace distance tables ride IN the probes frame as array columns
+   * — the broadcast-join payload (Q x nProbe rows) — so scoring is a
+   * pure projection over the ccid-keyed codes table, then one
+   * per-query top-k. `codes`: (id, ccid, code0..code{m-1});
+   * `probes`: (qid, ccid, t0..t{m-1}: array<double>).
+   */
+  def ivfPqSearch(codes: DataFrame, probes: DataFrame, m: Int,
+      k: Int): DataFrame = {
+    val dist = round((0 until m).map(s =>
+      element_at(col(s"t$s"), col(s"code$s").cast("int") + 1))
+      .reduce(_ + _), 6)
+    val scored = codes.join(broadcast(probes), "ccid")
+      .select(col("qid"), col("id").as("vec_id"), dist.as("d"))
     val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -285,6 +285,21 @@ class SimilaritySpec extends SparkSpec {
       s"odd-cluster id ranked in the even cluster's top-20: ${top.toSeq}")
   }
 
+  test("ivfPqSearch scores only probed clusters and ranks by ADC distance") {
+    // codes for 6 vectors in 2 coarse clusters; 1 subspace, k=2 books
+    val codes = Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 0L),
+      (3L, 1L, 0L), (4L, 1L, 1L), (5L, 1L, 0L))
+      .toDF("id", "ccid", "code0")
+    // one query probing ONLY cluster 0; table: code 0 -> 0.25, code 1 -> 4.0
+    val probes = Seq((7L, 0L, Seq(0.25, 4.0))).toDF("qid", "ccid", "t0")
+    val got = Similarity.ivfPqSearch(codes, probes, 1, 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster-1 vectors never scored; code-0 vectors outrank code-1
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(got.toSeq == Seq((0L, 0.25, 1L), (2L, 0.25, 2L), (1L, 4.0, 3L)))
+  }
+
   test("multi-table LSH candidates are a superset of the single table's") {
     val rng = new scala.util.Random(41)
     val emb = Seq.tabulate(60)(i =>

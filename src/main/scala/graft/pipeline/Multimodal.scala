@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
  * over `mapPartitions`.
  *
  * Images decode for REAL through [[ImageIoDecoder]] (the JVM's
- * built-in `javax.imageio` codecs — PNG/JPEG/GIF/BMP, no external
- * libraries). Audio/video codecs are not available in this container,
- * so [[FakeDecoder]] remains the deterministic stand-in for those
- * modalities (and the oracle path over the text-payload testdata);
- * everything around the decoder — schema, batch shape, partitioning,
- * the narrow `mapPartitions` execution — is identical either way, so
- * swapping in a real audio codec touches only `MediaDecoder.decode`.
+ * built-in `javax.imageio` codecs — PNG/JPEG/GIF/BMP) and audio
+ * through [[WavDecoder]] (`javax.sound.sampled` — WAV/AIFF/AU PCM),
+ * both with zero external libraries. Compressed video codecs are not
+ * available in this container, so [[FakeDecoder]] remains the
+ * deterministic stand-in for that modality (and the oracle path over
+ * the text-payload testdata); everything around the decoder — schema,
+ * batch shape, partitioning, the narrow `mapPartitions` execution —
+ * is identical either way, so swapping in a real video codec touches
+ * only `MediaDecoder.decode`.
  */
 object Multimodal {
 
@@ -108,6 +110,78 @@ object Multimodal {
         out(i) =
           if (counts(i) == 0) 0f
           else (sums(i) / counts(i) / 255.0).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** REAL audio decoder over the JVM's built-in `javax.sound.sampled`
+    * codecs (WAV/AIFF/AU PCM — no external libraries): payload -> PCM
+    * frames -> per-segment RMS envelope descriptor in [0, 1]
+    * (`segments` values; channels mixed down to mono; 16-bit signed
+    * and 8-bit samples supported). Undecodable or non-PCM payloads
+    * fail loudly, like [[ImageIoDecoder]] — a corrupt clip must fail
+    * the job, not yield a plausible silent descriptor. */
+  final class WavDecoder(val segments: Int = 8) extends MediaDecoder {
+    override def descriptorSize: Int = segments
+    override def decode(content: Array[Byte]): Array[Float] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"undecodable audio payload (${content.length} bytes)", e)
+        }
+      val fmt = in.getFormat
+      val bytes =
+        try in.readAllBytes()
+        finally in.close()
+      val ch = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 16 || bits == 8,
+        s"unsupported sample size: $bits bits")
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      require(signed ||
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"unsupported encoding: ${fmt.getEncoding}")
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val nFrames = bytes.length / frameBytes
+      require(nFrames > 0, "empty audio payload")
+      val big = fmt.isBigEndian
+      val sums = new Array[Double](segments)
+      val counts = new Array[Long](segments)
+      var f = 0
+      while (f < nFrames) {
+        val seg = math.min(f * segments / nFrames, segments - 1)
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = f * frameBytes + c * bytesPerSample
+          val s =
+            if (bits == 16) {
+              val lo = bytes(off + (if (big) 1 else 0)) & 0xFF
+              val hi = bytes(off + (if (big) 0 else 1)).toInt
+              ((hi << 8) | lo).toShort / 32768.0
+            } else if (signed) bytes(off) / 128.0
+            else ((bytes(off) & 0xFF) - 128) / 128.0
+          acc += s
+          c += 1
+        }
+        val v = acc / ch
+        sums(seg) += v * v
+        counts(seg) += 1
+        f += 1
+      }
+      val out = new Array[Float](segments)
+      var i = 0
+      while (i < segments) {
+        out(i) =
+          if (counts(i) == 0) 0f
+          else math.sqrt(sums(i) / counts(i)).toFloat
         i += 1
       }
       out

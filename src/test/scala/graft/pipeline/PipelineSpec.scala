@@ -357,6 +357,52 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d(1) - 1f) < 1e-6 && math.abs(d(3) - 1f) < 1e-6)
   }
 
+  private def sineWav(nSamples: Int, amp: Double, rate: Float = 8000f,
+      silentTail: Boolean = true): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nSamples * 2)
+    val active = if (silentTail) nSamples / 2 else nSamples
+    for (i <- 0 until active) {
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder: real WAV decode to a per-segment RMS envelope") {
+    // 1 s of 16-bit mono: first half a 0.5-amplitude sine, then silence
+    val wav = sineWav(8000, 0.5)
+    val d = new Multimodal.WavDecoder(4).decode(wav)
+    assert(d.length == 4)
+    // sine RMS = amp/sqrt(2) ~ 0.3536; silent segments exactly 0
+    assert(math.abs(d(0) - 0.3536) < 0.005, s"seg0 = ${d(0)}")
+    assert(math.abs(d(1) - 0.3536) < 0.005, s"seg1 = ${d(1)}")
+    assert(d(2) == 0f && d(3) == 0f)
+  }
+
+  test("WavDecoder: corrupt payload fails loudly; runs distributed") {
+    intercept[IllegalArgumentException] {
+      new Multimodal.WavDecoder(4).decode(Array[Byte](1, 2, 3, 4))
+    }
+    val wav = sineWav(4000, 0.25, silentTail = false)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, Map("fmt" -> "wav")),
+      Multimodal.MediaRecord(2L, "audio", wav, Map.empty)).toDS()
+    val out = Multimodal.extractFeatures(recs, new Multimodal.WavDecoder(2))
+      .collect()
+    assert(out.length == 2)
+    out.foreach { f =>
+      assert(f.descriptor.length == 2)
+      f.descriptor.foreach(v => assert(math.abs(v - 0.25 / math.sqrt(2)) < 0.005))
+    }
+  }
+
   test("ImageIoDecoder: runs distributed through extractFeatures") {
     val img = new java.awt.image.BufferedImage(4, 4,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

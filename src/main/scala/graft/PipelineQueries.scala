@@ -361,6 +361,63 @@ object PipelineQueries {
       |FROM p JOIN f USING (tok) CROSS JOIN n
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bigram interpolated language-model score per document — the
+    * KenLM-shaped perplexity signal one tier above [[lmScore]]'s
+    * unigram: mean log10(0.7 * P(w2|w1) + 0.3 * P(w2)) over each doc's
+    * adjacent token pairs, with P(w2|w1) = c(w1 w2)/c(w1) and
+    * P(w2) = c(w2)/N estimated from the corpus itself. Bigram strings
+    * come from the native single-scan [[graft.functions.AdjacentPairs]]
+    * expression (the BPE trainer's pair kernel, reused). Both frequency
+    * tables are corpus aggregates — O(vocab) and O(vocab²-bounded)
+    * respectively, so neither is broadcast-hinted (the q_lm_score
+    * round-4 lesson): plain shuffled joins on the token keys, AQE
+    * broadcasts only when a side actually fits. Token order inside a
+    * doc never matters to the mean, so no fold-order divergence. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val post = docs.select(explode(col("toks")).as("tok"))
+    val uf = post.groupBy("tok").agg(count(lit(1)).as("uc"))
+    // total postings derived from the vocab-sized aggregate, not a
+    // second corpus scan
+    val total = uf.agg(sum(col("uc"))).head.getLong(0)
+    val bg = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.adjacentPairs(col("toks")))
+          .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val bf = bg.groupBy("bg").agg(count(lit(1)).as("bc"))
+    bg.join(bf, "bg")
+      .join(uf.withColumnRenamed("tok", "w1").withColumnRenamed("uc", "uc1"), "w1")
+      .join(uf.withColumnRenamed("tok", "w2").withColumnRenamed("uc", "uc2"), "w2")
+      .groupBy("doc_id")
+      .agg(round(avg(log10(
+        lit(0.7) * col("bc").cast("double") / col("uc1")
+          + lit(0.3) * col("uc2").cast("double") / total)), 6)
+        .as("lm_bigram"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |uf AS (SELECT tok, COUNT(*) AS uc FROM p GROUP BY 1),
+      |bf AS (SELECT bg, COUNT(*) AS bc FROM b GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS total FROM p)
+      |SELECT doc_id,
+      |  ROUND(AVG(LOG10(0.7 * CAST(bc AS DOUBLE) / u1.uc
+      |               + 0.3 * CAST(u2.uc AS DOUBLE) / total)), 6) AS lm_bigram
+      |FROM b JOIN bf USING (bg)
+      |  JOIN uf u1 ON u1.tok = split_part(bg, ' ', 1)
+      |  JOIN uf u2 ON u2.tok = split_part(bg, ' ', 2)
+      |  CROSS JOIN n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Target corpus mixture per source (fractions sum to 1): the
     * data-mixing spec a training run declares. */
   val MixTargets: Map[String, Double] =
@@ -1824,6 +1881,77 @@ object PipelineQueries {
        |    (h, c) -> (h * 31 + c) % ${TextOps.RollingMod}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing k-gram size / window size / position bits in the packed
+    * (hash, pos) key. PosBits = 21 caps documents at 2M chars — the
+    * guard in [[fingerprintWinnow]] fails loudly past it (same policy
+    * as chunk dedup's packed keeper key). */
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowPosBits = 21
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every K-char gram, slide a
+    * window of W consecutive hashes, and select each window's minimum
+    * (leftmost on ties) — guaranteeing any match of length >= K+W-1 is
+    * caught while storing ~2/(W+1) of the hashes. The selection is a
+    * per-document window MIN over a PACKED key hash*2^21+pos, so
+    * "leftmost minimal hash" is exactly integer MIN and both engines agree on
+    * ties (duplicate k-grams inside a window are common). Per doc the
+    * output is the fingerprint count and sum — certifying the full
+    * selected set. Scale: the explode is narrow (hash projected before
+    * any shuffle), the window and the final aggregate share one
+    * doc_id hash partitioning, so the whole query is ONE shuffle. */
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= WinnowK)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (WinnowK - 1)).as("np"))
+      .withColumn("np",
+        when(col("np") >= (1 << WinnowPosBits),
+          raise_error(concat(lit("winnow: doc too long for packed key: "),
+            col("doc_id")))).otherwise(col("np")))
+    val hashes = docs
+      .select(col("doc_id"), col("np"),
+        explode(sequence(lit(1), col("np"))).as("pos"), col("text"))
+      .select(col("doc_id"), col("np"), col("pos"),
+        (conv(substring(md5(col("text").substr(col("pos"), lit(WinnowK))),
+          1, 8), 16, 10).cast("long") * (1L << WinnowPosBits) + col("pos"))
+          .as("comb"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    hashes
+      .withColumn("mc", min(col("comb")).over(w))
+      .filter(col("pos") <= greatest(col("np") - (WinnowW - 1), lit(1)))
+      .select(col("doc_id"), col("mc")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintWinnowSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text) - ${WinnowK - 1})) AS pos, text
+       |  FROM documents WHERE length(text) >= $WinnowK),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, 8)) AS BIGINT)
+       |      * ${1L << WinnowPosBits} + pos AS comb,
+       |    length(text) - ${WinnowK - 1} AS np
+       |  FROM pos),
+       |m AS (
+       |  SELECT doc_id, pos, np,
+       |    MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+       |                    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mc
+       |  FROM h),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mc FROM m
+       |  WHERE pos <= GREATEST(np - ${WinnowW - 1}, 1))
+       |SELECT doc_id, COUNT(*) AS n_fp,
+       |  CAST(SUM(mc // ${1L << WinnowPosBits}) AS BIGINT) AS fp_sum
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- multimodal ----------
 
   /** Multimodal plumbing: payload size + byte-distribution entropy via
@@ -1931,7 +2059,9 @@ object PipelineQueries {
     "q_dedup_best_keeper" -> dedupBestKeeper _,
     "q_mixture" -> mixture _,
     "q_pack_sequences" -> packSequences _,
-    "q_dup_passages" -> dupPassages _)
+    "q_dup_passages" -> dupPassages _,
+    "q_lm_perplexity" -> lmPerplexity _,
+    "q_fingerprint_winnow" -> fingerprintWinnow _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -1977,5 +2107,7 @@ object PipelineQueries {
     "q_dedup_best_keeper" -> dedupBestKeeperSql,
     "q_mixture" -> mixtureSql,
     "q_pack_sequences" -> packSequencesSql,
-    "q_dup_passages" -> dupPassagesSql)
+    "q_dup_passages" -> dupPassagesSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_fingerprint_winnow" -> fingerprintWinnowSql)
 }

@@ -140,17 +140,41 @@ object StreamingQueries {
       |SELECT fp, event_id, user_id, event_type FROM f
       |WHERE rk = 1 ORDER BY fp""".stripMargin
 
+  /** Click-to-purchase attribution (2-hour window) — the batch side of
+    * [[StreamingOps.attributionJoin]], the code the watermarked
+    * stream-stream interval join runs verbatim (equivalence pinned in
+    * StreamingOpsSpec). Batch plan: one shuffle per side on user_id,
+    * SortMergeJoin with the range predicate as a join filter. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    StreamingOps.attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id AS user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
     "q_window_stats" -> windowStats _,
     "q_incremental_mi" -> incrementalMi _,
-    "q_stream_dedup" -> streamDedup _)
+    "q_stream_dedup" -> streamDedup _,
+    "q_stream_join" -> streamJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_native" -> sessionizeSql,
     "q_window_stats" -> windowStatsSql,
     "q_incremental_mi" -> incrementalMiSql,
-    "q_stream_dedup" -> streamDedupSql)
+    "q_stream_dedup" -> streamDedupSql,
+    "q_stream_join" -> streamJoinSql)
 }

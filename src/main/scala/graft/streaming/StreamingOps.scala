@@ -63,6 +63,39 @@ object StreamingOps {
       delay: String): DataFrame =
     windowedStats(events.withWatermark("ts", delay), windowLength)
 
+  /** Click-to-purchase attribution join: every (purchase, click) pair by
+    * the same user where the click lands inside the `window` before the
+    * purchase (strictly earlier — a click AT the purchase timestamp is
+    * not a cause). Written against the unified API: on batch frames it
+    * plans as an equi-join on user_id with a pushed range filter
+    * (SortMergeJoin — both sides shuffle once on user_id, never a
+    * nested loop); on two `readStream` inputs the SAME call is Spark's
+    * canonical watermarked stream-stream interval join, the time bound
+    * letting the state store evict rows older than the window + the
+    * inputs' watermark delay. Columns are disambiguated BEFORE the join
+    * so the caller never touches ambiguous `ts` references. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c, col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window")
+        && col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  /** Streaming attribution: watermark both sides, then the shared
+    * interval join. State per user is bounded by window + delay. */
+  def streamingAttribution(clicks: DataFrame, purchases: DataFrame,
+      window: String = "2 hours", delay: String = "30 minutes"): DataFrame =
+    attributionJoin(
+      clicks.withWatermark("ts", delay),
+      purchases.withWatermark("ts", delay), window)
+
   final case class Event(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Long,
       max_session_len: Long)

@@ -242,6 +242,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream attribution join emits exactly the batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // (event_id, user_id, ts): user 1 has two clicks inside the window
+    // of purchase 103 and one outside (ts(0), 180 min early); user 2
+    // has one in-window click (90 min) and one AT the purchase
+    // timestamp (excluded — strict <)
+    val clicks = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(100)), (3L, 1L, ts(110)),
+      (4L, 2L, ts(50)), (5L, 2L, ts(140)))
+    val purchases = Seq((103L, 1L, ts(180)), (204L, 2L, ts(140)))
+    val cs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(s: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      s.toDS().toDF("event_id", "user_id", "ts")
+    val joined = StreamingOps.streamingAttribution(
+      named(cs), named(ps), "2 hours", "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cs.addData(clicks)
+      ps.addData(purchases)
+      query.processAllAvailable()
+      val streamed = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = StreamingOps.attributionJoin(
+        clicks.toDF("event_id", "user_id", "ts"),
+        purchases.toDF("event_id", "user_id", "ts"), "2 hours")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // inner-join results emit eagerly (the watermark only bounds state)
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch == Set(
+        (103L, 2L, 1L, 80L * 60000000L),
+        (103L, 3L, 1L, 70L * 60000000L),
+        (204L, 4L, 2L, 90L * 60000000L)))
+    } finally query.stop()
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

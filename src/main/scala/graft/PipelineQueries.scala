@@ -515,6 +515,62 @@ object PipelineQueries {
       |SELECT doc_id, lang, n_tokens, cum // 512 AS bin, cum % 512 AS offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Tokenize-and-pack, the composed training-batch prep pass: BPE
+    * token counts (the [[bpeEncode]] merge-table chain — real tokenizer
+    * lengths, not whitespace counts) drive the per-language cumulative
+    * packing of [[packSequences]]. One narrow tokenize scan, one
+    * partitioned window — the end-to-end shape of "turn a curated
+    * corpus into fixed-budget training sequences". */
+  def tokenizePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1024L
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = bpeMerges.foldLeft(
+      split(col("w"), ""): org.apache.spark.sql.Column) {
+      case (c, (x, y)) => Bpe.mergeFold(c, x, y)
+    }
+    val counts = words
+      .select(col("doc_id"), col("lang"), size(encoded).as("n"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").as("n_bpe_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum",
+        sum(col("n_bpe_tokens")).over(w) - col("n_bpe_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_bpe_tokens"),
+        expr(s"cum div $budget").as("bin"),
+        (col("cum") % budget).as("offset"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizePackSql: String = {
+    val chain = bpeMerges.foldLeft(
+      "'|' || array_to_string(string_split(w, ''), '||') || '|'") {
+      case (acc, (x, y)) => s"replace($acc, '|$x||$y|', '|$x$y|')"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+       |    x -> length(x) > 0)) AS w
+       |  FROM documents),
+       |e AS (SELECT doc_id, lang, $chain AS s FROM w),
+       |t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(1 + (length(s) - length(replace(s, '||', ''))) // 2) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM e GROUP BY 1, 2),
+       |c AS (
+       |  SELECT doc_id, lang, n_bpe_tokens,
+       |    CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, n_bpe_tokens, cum // 1024 AS bin, cum % 1024 AS offset
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic per-language stratified sampling: en at 50%, other
     * languages at 25% — the data-mixing downsampling pass. Pure
     * projection (md5-derived salted draw), reproducible anywhere. */
@@ -1187,6 +1243,34 @@ object PipelineQueries {
        |SELECT tok AS passage, COUNT(DISTINCT id) AS n_docs
        |FROM t0 GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2
        |ORDER BY 1""".stripMargin
+
+  /** Per-document duplicated-span coverage: how much of each document
+    * is 8-token passages shared with other documents — the "what
+    * fraction of this doc is boilerplate" scrub signal built on the
+    * q_dup_passages blocklist. */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(nearDupCorpus(spark, dir), "doc_id", "text", 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val dupSpanCoverageSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |tk AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM c),
+       |s AS (
+       |  SELECT id, pos, array_to_string(toks[pos:pos+7], ' ') AS tok
+       |  FROM (SELECT id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+       |        FROM tk WHERE len(toks) >= 8)),
+       |dup AS (SELECT tok FROM s GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2),
+       |cnt AS (
+       |  SELECT id, COUNT(*) AS n_dup FROM (
+       |    SELECT DISTINCT id, ti FROM (
+       |      SELECT id, unnest(generate_series(pos, pos + 7)) AS ti
+       |      FROM s JOIN dup USING (tok)))
+       |  GROUP BY 1)
+       |SELECT tk.id AS doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       |  ROUND(COALESCE(cnt.n_dup, 0) / CAST(len(tk.toks) AS DOUBLE), 6) AS dup_frac
+       |FROM tk LEFT JOIN cnt ON tk.id = cnt.id ORDER BY 1""".stripMargin
 
   /** SimHash near-dup pairs (4x8-bit band collision blocking,
     * hamming <= 6). */
@@ -2061,7 +2145,9 @@ object PipelineQueries {
     "q_pack_sequences" -> packSequences _,
     "q_dup_passages" -> dupPassages _,
     "q_lm_perplexity" -> lmPerplexity _,
-    "q_fingerprint_winnow" -> fingerprintWinnow _)
+    "q_fingerprint_winnow" -> fingerprintWinnow _,
+    "q_dup_span_coverage" -> dupSpanCoverage _,
+    "q_tokenize_pack" -> tokenizePack _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -2109,5 +2195,7 @@ object PipelineQueries {
     "q_pack_sequences" -> packSequencesSql,
     "q_dup_passages" -> dupPassagesSql,
     "q_lm_perplexity" -> lmPerplexitySql,
-    "q_fingerprint_winnow" -> fingerprintWinnowSql)
+    "q_fingerprint_winnow" -> fingerprintWinnowSql,
+    "q_dup_span_coverage" -> dupSpanCoverageSql,
+    "q_tokenize_pack" -> tokenizePackSql)
 }

@@ -229,6 +229,52 @@ object Dedup {
     }
   }
 
+  /** (id, pos, tok) positional word n-gram shingles (pos 1-based, NOT
+    * distinct — every occurrence keeps its position, unlike
+    * [[shingles]]). Documents shorter than n tokens contribute none. */
+  def shinglesPositional(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+        .as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+
+  /**
+   * Per-document duplicated-span coverage (the ExactSubstr dedup
+   * metric, Lee et al. 2022 at fixed n-token granularity): the count
+   * and fraction of each document's tokens covered by at least one
+   * n-gram that occurs in 2+ distinct documents. The cross-document
+   * span table is the same blocklist aggregate as duplicate-passage
+   * mining (bounded by the HAVING, so the join back to positional
+   * shingles is blocklist-vs-corpus — AQE broadcasts the blocklist
+   * when it fits, shuffles on the shingle otherwise, never
+   * self-quadratic). Coverage union = explode to covered indices +
+   * distinct, both partition-local per document after the join.
+   */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val pos = shinglesPositional(df, idCol, textCol, n)
+    val dup = pos.groupBy("tok")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("tok")
+    val covered = pos.join(dup, "tok")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_tokens"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   /**
    * MinHash signatures: for each document and hash i, the minimum of
    * (a_i * tokenId(tok) + b_i) mod p over the document's token set.

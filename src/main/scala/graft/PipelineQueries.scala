@@ -1965,54 +1965,18 @@ object PipelineQueries {
        |    (h, c) -> (h * 31 + c) % ${TextOps.RollingMod}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Winnowing k-gram size / window size / position bits in the packed
-    * (hash, pos) key. PosBits = 21 caps documents at 2M chars — the
-    * guard in [[fingerprintWinnow]] fails loudly past it (same policy
-    * as chunk dedup's packed keeper key). */
+  /** Winnowing k-gram / window sizes for the oracle row. */
   private val WinnowK = 8
   private val WinnowW = 4
-  private val WinnowPosBits = 21
+  private val WinnowPosBits = TextOps.WinnowPosBits
 
-  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    * SIGMOD 2003 — the MOSS algorithm): hash every K-char gram, slide a
-    * window of W consecutive hashes, and select each window's minimum
-    * (leftmost on ties) — guaranteeing any match of length >= K+W-1 is
-    * caught while storing ~2/(W+1) of the hashes. The selection is a
-    * per-document window MIN over a PACKED key hash*2^21+pos, so
-    * "leftmost minimal hash" is exactly integer MIN and both engines agree on
-    * ties (duplicate k-grams inside a window are common). Per doc the
-    * output is the fingerprint count and sum — certifying the full
-    * selected set. Scale: the explode is narrow (hash projected before
-    * any shuffle), the window and the final aggregate share one
-    * doc_id hash partitioning, so the whole query is ONE shuffle. */
-  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(length(col("text")) >= WinnowK)
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) - (WinnowK - 1)).as("np"))
-      .withColumn("np",
-        when(col("np") >= (1 << WinnowPosBits),
-          raise_error(concat(lit("winnow: doc too long for packed key: "),
-            col("doc_id")))).otherwise(col("np")))
-    val hashes = docs
-      .select(col("doc_id"), col("np"),
-        explode(sequence(lit(1), col("np"))).as("pos"), col("text"))
-      .select(col("doc_id"), col("np"), col("pos"),
-        (conv(substring(md5(col("text").substr(col("pos"), lit(WinnowK))),
-          1, 8), 16, 10).cast("long") * (1L << WinnowPosBits) + col("pos"))
-          .as("comb"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    hashes
-      .withColumn("mc", min(col("comb")).over(w))
-      .filter(col("pos") <= greatest(col("np") - (WinnowW - 1), lit(1)))
-      .select(col("doc_id"), col("mc")).distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"),
-        sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
+  /** Winnowing document fingerprints — [[TextOps.winnowFingerprints]]
+    * (MOSS, Schleimer et al. 2003) over the documents table. */
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", WinnowK, WinnowW)
       .orderBy("doc_id")
-  }
 
   val fingerprintWinnowSql: String =
     s"""WITH pos AS (

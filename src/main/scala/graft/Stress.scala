@@ -21,7 +21,7 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq")
+      "semdedup", "pq", "spans")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -42,6 +42,7 @@ object Stress {
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
+    if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -212,6 +213,37 @@ object Stress {
     println(s"""{"metric":"stress_text","docs":$nDocs,""" +
       s""""filter_sec":$tFilter,"kept_docs":$nKeep,""" +
       s""""chunk_dedup_sec":$tChunk,"kept_chunks":$dedupedChunks}""")
+    spark.stop()
+  }
+
+  /** Spans stress: winnowing fingerprints + duplicated-span coverage
+    * over nDocs synthetic ~250-char documents sharing 1000 stock
+    * openings (real cross-doc duplicated passages). Winnow is one
+    * doc-partitioned shuffle over O(chars) rows; span coverage joins
+    * positional shingles to the bounded dup blocklist. */
+  private def spansStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.{Dedup, TextOps}
+    val tokMod = 100000007L
+    val opening = (0 until 10).map(j =>
+      concat(lit("b"), ((col("id") % 1000) * (17 + j) + j) % 1000))
+    val body = (0 until 30).map(j =>
+      concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+    val docs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", opening ++ body: _*).as("text"))
+
+    val t0 = System.nanoTime()
+    val nWinnow = TextOps.winnowFingerprints(docs, "doc_id", "text").count()
+    val tWinnow = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val nCovered = Dedup.dupSpanCoverage(docs, "doc_id", "text", 8)
+      .filter(col("n_dup_tokens") > 0).count()
+    val tSpans = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"stress_spans","docs":$nDocs,""" +
+      s""""winnow_sec":$tWinnow,"winnowed_docs":$nWinnow,""" +
+      s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered}""")
     spark.stop()
   }
 

@@ -189,4 +189,52 @@ object TextOps {
   def rollingFingerprint(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (h, c) => (h * 31L + ascii(c)) % RollingMod)
+
+  /** Bits reserved for the character position in the winnowing packed
+    * key — caps documents at 2^21 chars (fail-loud guard below). */
+  val WinnowPosBits: Int = 21
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS algorithm): hash every k-char gram, slide a
+   * window of w consecutive hashes, select each window's minimum
+   * (leftmost on ties) — any match of length >= k+w-1 is guaranteed
+   * caught while keeping ~2/(w+1) of the hashes. Selection is a
+   * per-document window MIN over a PACKED key hash*2^21+pos, so
+   * "leftmost minimal hash" is plain integer MIN and ties (duplicate
+   * k-grams inside a window are common) break identically everywhere.
+   * Output: one row per document — fingerprint count and fingerprint
+   * sum, certifying the full selected set. Scale: the explode is
+   * narrow (the hash is projected before any shuffle) and the window,
+   * distinct, and final aggregate all share one doc-id hash
+   * partitioning, so the whole operator is ONE shuffle.
+   */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol).as("__text"),
+        (length(col(textCol)) - (k - 1)).as("np"))
+      .withColumn("np",
+        when(col("np") >= (1 << WinnowPosBits),
+          raise_error(concat(lit("winnow: doc too long for packed key: "),
+            col(idCol)))).otherwise(col("np")))
+    val hashes = docs
+      .select(col(idCol), col("np"),
+        explode(sequence(lit(1), col("np"))).as("pos"), col("__text"))
+      .select(col(idCol), col("np"), col("pos"),
+        (conv(substring(md5(col("__text").substr(col("pos"), lit(k))),
+          1, 8), 16, 10).cast("long") * (1L << WinnowPosBits) + col("pos"))
+          .as("comb"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    hashes
+      .withColumn("mc", min(col("comb")).over(win))
+      .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col(idCol), col("mc")).distinct()
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_fp"),
+        sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
+  }
 }

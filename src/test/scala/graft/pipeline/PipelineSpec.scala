@@ -553,6 +553,68 @@ class TextOpsSpec extends SparkSpec {
     assert(Splits.stratifiedSample(other, "id", "s", Map("a" -> 0.5))
       .count() == 0L)
   }
+
+  /** Brute-force winnowing (Schleimer et al.): same md5-derived 32-bit
+    * k-gram hash, leftmost-min per window of w, distinct selections. */
+  private def bruteWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    if (text.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (1 to text.length - k + 1).map { pos =>
+      val hex = md.digest(text.substring(pos - 1, pos - 1 + k)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      pos -> java.lang.Long.parseLong(hex, 16)
+    }
+    val np = hs.length
+    (1 to math.max(np - w + 1, 1)).flatMap { j =>
+      val win = hs.slice(j - 1, math.min(j - 1 + w, np))
+      Some(win.minBy { case (p, h) => (h, p) })
+    }.toSet.map { t: (Int, Long) => t }
+  }
+
+  test("winnowFingerprints matches a brute-force implementation") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"), // degenerate: all k-grams identical
+      (3L, "exactly8"),             // one k-gram, fewer hashes than w
+      (4L, "short"))                // below k -> no row
+    val out = TextOps.winnowFingerprints(
+      texts.toDF("id", "text"), "id", "text", 8, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expected = texts.flatMap { case (id, t) =>
+      val sel = bruteWinnow(t, 8, 4)
+      if (sel.isEmpty) None
+      else Some(id -> ((sel.size.toLong, sel.toSeq.map(_._2).sum)))
+    }.toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(!out.contains(4L))
+  }
+
+  test("winnowing guarantee: k+w-1 char matches share a fingerprint") {
+    // two docs embedding the same 11-char run (k=8, w=4) at different
+    // offsets must select at least one common k-gram hash
+    val common = "SHAREDRUN11"
+    val a = s"xxxx${common}yyyyyyyy"
+    val b = s"zzzzzzzzzz${common}ww"
+    val Seq(fa, fb) = Seq(a, b).map(t => bruteWinnow(t, 8, 4).map(_._2))
+    assert((fa intersect fb).nonEmpty)
+  }
+
+  test("dupSpanCoverage counts tokens under shared 3-gram spans only") {
+    // docs 1 and 2 share the opening 4 tokens (two overlapping 3-grams
+    // covering tokens 1..4); doc 3 is disjoint
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s t u v k")).toDF("id", "text")
+    val out = Dedup.dupSpanCoverage(df, "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((8L, 4L, 0.5)))
+    assert(out(2L) == ((8L, 4L, 0.5)))
+    assert(out(3L) == ((8L, 0L, 0.0)))
+  }
 }
 
 class BpeSpec extends SparkSpec {

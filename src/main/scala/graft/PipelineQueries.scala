@@ -1498,7 +1498,11 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
-  val annIvfSql: String =
+  /** Shared oracle CTE chain for the IVF rows: component table, norms,
+    * all-pairs centroid cosines, rk=1 assignment, rk<=2 probes, and
+    * the probed-cluster candidate scoring (same shape q_ann_ivf has
+    * certified since round 3). */
+  private val ivfScoredCte: String =
     """WITH u AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS v
@@ -1534,10 +1538,30 @@ object PipelineQueries {
       |  JOIN u nu ON nu.vec_id = cand.nid AND nu.i = qu.i
       |  JOIN n nq ON nq.vec_id = cand.qid
       |  JOIN n nn ON nn.vec_id = cand.nid
-      |  GROUP BY 1, 2, nq.nrm, nn.nrm),
-      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-      |      FROM scored)
-      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+      |  GROUP BY 1, 2, nq.nrm, nn.nrm)""".stripMargin
+
+  val annIvfSql: String =
+    s"""$ivfScoredCte,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM scored)
+       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** IVF radius search: everything with cosine >= 0.3 inside the
+    * probed clusters — [[Similarity.ivfRange]], the threshold-driven
+    * retrieval shape next to top-k. */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    Similarity.ivfRange(emb.filter(col("id") < 50), emb, centroids, 2, 0.3)
+      .orderBy("qid", "nid")
+  }
+
+  val annRangeSql: String =
+    s"""$ivfScoredCte
+       |SELECT qid, nid, cos FROM scored WHERE cos >= 0.3
+       |ORDER BY qid, nid""".stripMargin
 
   /** Trained-centroid cache (k x dim rows — tiny): q_kmeans and
     * q_ann_ivf_kmeans share one Lloyd run per (session, dir). Collected
@@ -2111,7 +2135,8 @@ object PipelineQueries {
     "q_lm_perplexity" -> lmPerplexity _,
     "q_fingerprint_winnow" -> fingerprintWinnow _,
     "q_dup_span_coverage" -> dupSpanCoverage _,
-    "q_tokenize_pack" -> tokenizePack _)
+    "q_tokenize_pack" -> tokenizePack _,
+    "q_ann_range" -> annRange _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -2161,5 +2186,6 @@ object PipelineQueries {
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_fingerprint_winnow" -> fingerprintWinnowSql,
     "q_dup_span_coverage" -> dupSpanCoverageSql,
-    "q_tokenize_pack" -> tokenizePackSql)
+    "q_tokenize_pack" -> tokenizePackSql,
+    "q_ann_range" -> annRangeSql)
 }

@@ -171,6 +171,32 @@ object Similarity {
   }
 
   /**
+   * Radius (range) search over the IVF index: every corpus vector in a
+   * query's nProbe probed clusters with cosine >= minCos — the
+   * threshold-driven retrieval shape (dedup candidate generation,
+   * "everything similar enough" filtering) next to [[ivfTopK]]'s
+   * k-driven one. Identical probe/score machinery, no rank window:
+   * the result size follows the data, and the cosine filter applies
+   * BEFORE anything aggregates, so an oversized neighborhood costs
+   * only its own rows. Each corpus vector belongs to exactly one
+   * inverted list, so no result dedup is needed.
+   */
+  def ivfRange(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, minCos: Double): DataFrame = {
+    val cb = collectCodebook(centroids)
+    val qN = queries.withColumn("qnrm", norm(col("vec")))
+    val probes = qN
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("qnrm"),
+        explode(nearestCids(col("vec"), cb, nProbe)).as("cid"))
+    probes.join(ivfAssign(corpus, centroids), "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")), 5)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /**
    * Deterministic Lloyd k-means over an (id, vec) corpus — the centroid
    * trainer for [[ivfTopK]]'s coarse codebook and the clustering pass a
    * curation pipeline runs over embeddings.

@@ -30,6 +30,13 @@ object PipelineQueries {
 
   private val stopListSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Winnowing k-gram / window sizes shared by the q_fingerprint_winnow
+    * and q_dedup_winnow oracle rows (declared ahead of both SQL vals —
+    * object init order). */
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowPosBits = TextOps.WinnowPosBits
+
   /** Quality metrics + composite score per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -1272,6 +1279,47 @@ object PipelineQueries {
        |  ROUND(COALESCE(cnt.n_dup, 0) / CAST(len(tk.toks) AS DOUBLE), 6) AS dup_frac
        |FROM tk LEFT JOIN cnt ON tk.id = cnt.id ORDER BY 1""".stripMargin
 
+  /** Winnowing near-dup pairs (MOSS end-to-end): fingerprint-sketch
+    * containment >= 0.5 over the truncated-copy corpus — catches every
+    * (doc, truncated copy) pair because winnowing guarantees any
+    * k+w-1-char match shares a fingerprint. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowNearDup(nearDupCorpus(spark, dir), "doc_id", "text")
+      .orderBy("ida", "idb")
+
+  val dedupWinnowSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |pos AS (
+       |  SELECT doc_id AS id, unnest(generate_series(1, length(text) - ${WinnowK - 1})) AS pos,
+       |    text, length(text) - ${WinnowK - 1} AS np
+       |  FROM c WHERE length(text) >= $WinnowK),
+       |h AS (
+       |  SELECT id, pos, np,
+       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, 8)) AS BIGINT)
+       |      * ${1L << WinnowPosBits} + pos AS comb
+       |  FROM pos),
+       |m AS (
+       |  SELECT id, pos, np,
+       |    MIN(comb) OVER (PARTITION BY id ORDER BY pos
+       |                    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mc
+       |  FROM h),
+       |sel AS MATERIALIZED (
+       |  SELECT DISTINCT id, mc // ${1L << WinnowPosBits} AS fp FROM m
+       |  WHERE pos <= GREATEST(np - ${WinnowW - 1}, 1)),
+       |nf AS (SELECT id, COUNT(*) AS n FROM sel GROUP BY 1),
+       |freq AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY 1),
+       |capped AS (SELECT id, sel.fp FROM sel JOIN freq USING (fp) WHERE df <= 64),
+       |pairs AS (
+       |  SELECT a.id AS ida, b.id AS idb, COUNT(*) AS shared
+       |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT ida, idb, shared,
+       |    ROUND(CAST(shared AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment
+       |  FROM pairs JOIN nf na ON na.id = ida JOIN nf nb ON nb.id = idb)
+       |SELECT ida, idb, shared, containment FROM sim
+       |WHERE containment >= 0.5 ORDER BY 1, 2""".stripMargin
+
   /** SimHash near-dup pairs (4x8-bit band collision blocking,
     * hamming <= 6). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -1989,11 +2037,6 @@ object PipelineQueries {
        |    (h, c) -> (h * 31 + c) % ${TextOps.RollingMod}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Winnowing k-gram / window sizes for the oracle row. */
-  private val WinnowK = 8
-  private val WinnowW = 4
-  private val WinnowPosBits = TextOps.WinnowPosBits
-
   /** Winnowing document fingerprints — [[TextOps.winnowFingerprints]]
     * (MOSS, Schleimer et al. 2003) over the documents table. */
   def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
@@ -2136,7 +2179,8 @@ object PipelineQueries {
     "q_fingerprint_winnow" -> fingerprintWinnow _,
     "q_dup_span_coverage" -> dupSpanCoverage _,
     "q_tokenize_pack" -> tokenizePack _,
-    "q_ann_range" -> annRange _)
+    "q_ann_range" -> annRange _,
+    "q_dedup_winnow" -> dedupWinnow _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -2187,5 +2231,6 @@ object PipelineQueries {
     "q_fingerprint_winnow" -> fingerprintWinnowSql,
     "q_dup_span_coverage" -> dupSpanCoverageSql,
     "q_tokenize_pack" -> tokenizePackSql,
-    "q_ann_range" -> annRangeSql)
+    "q_ann_range" -> annRangeSql,
+    "q_dedup_winnow" -> dedupWinnowSql)
 }

@@ -276,6 +276,41 @@ object Dedup {
   }
 
   /**
+   * Winnowing near-duplicate pairs (the MOSS pipeline end-to-end):
+   * document pairs whose winnowed fingerprint sets overlap with
+   * containment shared/min(|A|,|B|) >= minContainment. The join is the
+   * standard inverted index over fingerprint VALUES with a
+   * document-frequency cap (a fingerprint selected by more than maxDf
+   * docs is boilerplate — the same stop-shingle guard as Jaccard's
+   * cappedPostings; similarity is defined over the capped sketch).
+   * Winnowing keeps ~2/(w+1) of each doc's k-gram hashes, so the
+   * index is w/2 smaller than a full shingle index for the same
+   * k+w-1 guaranteed-match length. Containment (not Jaccard) so a
+   * short document embedded in a long one still scores high — the
+   * plagiarism/boilerplate shape winnowing exists for.
+   */
+  def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Long = 64L,
+      minContainment: Double = 0.5): DataFrame = {
+    val sel = TextOps.winnowSelections(df, idCol, textCol, k, w)
+      .withColumnRenamed(idCol, "id")
+    val nf = sel.groupBy("id").agg(count(lit(1)).as("n"))
+    val freq = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+    val capped = sel.join(freq.filter(col("df") <= maxDf), "fp")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nf.select(col("id").as("ida"), col("n").as("na")), "ida")
+      .join(nf.select(col("id").as("idb"), col("n").as("nb")), "idb")
+      .select(col("ida"), col("idb"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /**
    * MinHash signatures: for each document and hash i, the minimum of
    * (a_i * tokenId(tok) + b_i) mod p over the document's token set.
    * Output: (id, hashIdx, minv) long form.

@@ -210,7 +210,25 @@ object TextOps {
    * partitioning, so the whole operator is ONE shuffle.
    */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    winnowMins(df, idCol, textCol, k, w)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_fp"),
+        sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
+
+  /** Distinct winnowed fingerprint VALUES per document (position
+    * dropped) — the per-doc sketch the near-dup miner joins on. */
+  def winnowSelections(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    winnowMins(df, idCol, textCol, k, w)
+      .select(col(idCol), shiftright(col("mc"), WinnowPosBits).as("fp"))
+      .distinct()
+
+  /** The shared winnowing core: distinct selected packed (hash, pos)
+    * keys per document. One shuffle — window, distinct, and every
+    * downstream per-doc aggregate share the doc-id partitioning. */
+  private def winnowMins(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = df
       .filter(length(col(textCol)) >= k)
@@ -233,8 +251,5 @@ object TextOps {
       .withColumn("mc", min(col("comb")).over(win))
       .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
       .select(col(idCol), col("mc")).distinct()
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_fp"),
-        sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
   }
 }

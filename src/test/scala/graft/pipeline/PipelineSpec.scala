@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 4L))
   }
 
+  test("winnowNearDup pairs a doc with its truncated copy, not strangers") {
+    val base = "the winnowing algorithm selects the minimum hash of every window"
+    val df = Seq(
+      (1L, base),
+      (2L, base.dropRight(12)),            // truncated copy of 1
+      (3L, "completely different content with no shared eight char runs"))
+      .toDF("id", "text")
+    val out = Dedup.winnowNearDup(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 >= 0.5)
+  }
+
   test("connectedComponents on an empty pair set returns empty (no crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.connectedComponents(empty).collect().isEmpty)

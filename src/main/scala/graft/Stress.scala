@@ -241,9 +241,28 @@ object Stress {
       .filter(col("n_dup_tokens") > 0).count()
     val tSpans = (System.nanoTime() - t1) / 1e9
 
+    // near-dup mining over a dup-bearing corpus (every 10th doc is a
+    // truncated copy of its predecessor; the 1000 boilerplate openings
+    // fall to the df cap, true copies survive it)
+    val base = when(col("id") % 10 === 0, col("id") - 1).otherwise(col("id"))
+    val nd = (0 until 30).map(j =>
+      concat(lit("t"), (base * (31 + j) + j * 7) % tokMod))
+    // originals carry a unique tail token; copies (id%10==0) omit it
+    // (concat_ws skips NULL) -> the copy is a strict prefix, the
+    // containment shape winnowNearDup exists for
+    val dupDocs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", nd :+
+          when(col("id") % 10 =!= 0, concat(lit("xx"), col("id"))): _*)
+          .as("text"))
+    val t2 = System.nanoTime()
+    val nPairs = Dedup.winnowNearDup(dupDocs, "doc_id", "text").count()
+    val tWnd = (System.nanoTime() - t2) / 1e9
+
     println(s"""{"metric":"stress_spans","docs":$nDocs,""" +
       s""""winnow_sec":$tWinnow,"winnowed_docs":$nWinnow,""" +
-      s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered}""")
+      s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered,""" +
+      s""""winnow_neardup_sec":$tWnd,"neardup_pairs":$nPairs}""")
     spark.stop()
   }
 

@@ -292,8 +292,13 @@ object Dedup {
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 64L,
       minContainment: Double = 0.5): DataFrame = {
+    // the sketch is consumed by nf, freq, and both sides of the pair
+    // join — persist makes the one-computation structural rather than
+    // relying on runtime exchange reuse to dedupe the identical
+    // winnow subplans (cost parity measured at 200k docs either way)
     val sel = TextOps.winnowSelections(df, idCol, textCol, k, w)
       .withColumnRenamed(idCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nf = sel.groupBy("id").agg(count(lit(1)).as("n"))
     val freq = sel.groupBy("fp").agg(count(lit(1)).as("df"))
     val capped = sel.join(freq.filter(col("df") <= maxDf), "fp")

@@ -162,13 +162,45 @@ object StreamingQueries {
       |  AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
       |ORDER BY 1, 2""".stripMargin
 
+  /** As-of join: every purchase matched to the user's LAST strictly
+    * earlier click (left-outer) — [[StreamingOps.asofJoin]]'s
+    * union+window sorted-merge, no join operator at all. The oracle
+    * computes the same relation the textbook way (left join + rank
+    * window with the identical max-ts/max-id tie rule) — two
+    * independent algorithms, one answer. */
+  def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    StreamingOps.asofJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      "user_id", "ts", "click_id", "purchase_id")
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |                       ORDER BY c.ts DESC, c.click_id DESC) AS rk
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts)
+      |SELECT purchase_id, user_id, click_id, lag_us FROM j
+      |WHERE rk = 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
     "q_window_stats" -> windowStats _,
     "q_incremental_mi" -> incrementalMi _,
     "q_stream_dedup" -> streamDedup _,
-    "q_stream_join" -> streamJoin _)
+    "q_stream_join" -> streamJoin _,
+    "q_asof_join" -> asofJoinQ _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -176,5 +208,6 @@ object StreamingQueries {
     "q_window_stats" -> windowStatsSql,
     "q_incremental_mi" -> incrementalMiSql,
     "q_stream_dedup" -> streamDedupSql,
-    "q_stream_join" -> streamJoinSql)
+    "q_stream_join" -> streamJoinSql,
+    "q_asof_join" -> asofJoinSql)
 }

@@ -96,6 +96,48 @@ object StreamingOps {
       clicks.withWatermark("ts", delay),
       purchases.withWatermark("ts", delay), window)
 
+  /**
+   * As-of join (pandas `merge_asof` / kdb `aj`): for every right-side
+   * row, the LAST left-side row with a strictly earlier timestamp on
+   * the same key — WITHOUT a join. Both sides are tagged and unioned,
+   * then ONE key-partitioned, time-ordered window scan carries the
+   * latest left id/ts forward (`last(..., ignoreNulls)` over unbounded
+   * preceding). Strictness and ties are deterministic by the sort key
+   * (ts, tag, leftId): at equal timestamps the right row sorts BEFORE
+   * left rows (a left row AT the right row's timestamp never matches),
+   * and equal-timestamp left rows resolve to the max id. Unmatched
+   * right rows survive with NULLs (left-outer semantics).
+   *
+   * Scale: one shuffle on the key + a sort — the canonical
+   * sorted-merge as-of. A join formulation either range-explodes
+   * (every earlier left row per right row) or needs a range-join
+   * operator Spark lacks; this shape is linear in rows and skew-bound
+   * only by true key skew.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key).as("k"), col(ts).as("t"),
+      lit(1).as("tag"),
+      col(leftId).as("lid"), col(ts).as("lts"),
+      lit(null).cast("long").as("rid"))
+    val r = right.select(col(key).as("k"), col(ts).as("t"),
+      lit(0).as("tag"),
+      lit(null).cast("long").as("lid"),
+      lit(null).cast(l.schema("lts").dataType).as("lts"),
+      col(rightId).as("rid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("t"), col("tag"), col("lid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_lid", last(col("lid"), ignoreNulls = true).over(w))
+      .withColumn("asof_lts", last(col("lts"), ignoreNulls = true).over(w))
+      .filter(col("rid").isNotNull)
+      .select(col("rid").as(rightId), col("k").as(key),
+        col("asof_lid").as(leftId),
+        (unix_micros(col("t")) - unix_micros(col("asof_lts"))).as("lag_us"))
+  }
+
   final case class Event(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Long,
       max_session_len: Long)

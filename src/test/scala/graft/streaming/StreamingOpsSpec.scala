@@ -284,6 +284,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("asofJoin: strict before, max-id ties, left-outer nulls") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // key 1: left ids 2 and 3 share t=20 (tie -> max id); right at t=20
+    // must NOT see them (strict <); key 2 has no left rows at all
+    val left = Seq(
+      (1L, 1L, ts(10)), (2L, 1L, ts(20)), (3L, 1L, ts(20)))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (100L, 1L, ts(5)),   // before any left -> null
+      (101L, 1L, ts(20)),  // left rows AT 20 excluded -> id 1
+      (102L, 1L, ts(25)),  // tie at 20 -> max id 3
+      (200L, 2L, ts(50)))  // keyless -> null
+      .toDF("rid", "k", "ts")
+    val out = StreamingOps.asofJoin(left, right, "k", "ts", "lid", "rid")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(out(100L) == ((None, None)))
+    assert(out(101L) == ((Some(1L), Some(10L * 60000000L))))
+    assert(out(102L) == ((Some(3L), Some(5L * 60000000L))))
+    assert(out(200L) == ((None, None)))
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

@@ -193,6 +193,87 @@ object StreamingQueries {
       |SELECT purchase_id, user_id, click_id, lag_us FROM j
       |WHERE rk = 1 ORDER BY 1""".stripMargin
 
+  /** Conversion-funnel analysis (view -> click within 24h -> purchase
+    * within 24h), per user: the classic ordered-sequence event query.
+    * Three STACKED conditional-MIN windows over the same user_id
+    * partition — each stage's cutoff references the previous stage's
+    * column — then one per-user aggregate. The windows and the groupBy
+    * all share one user_id hash partitioning: the whole funnel is ONE
+    * shuffle, never a self-join per stage (the join formulation
+    * multiplies the events table by the funnel depth). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val ev = events(spark, dir)
+    val day = expr("INTERVAL 24 HOURS")
+    val s1 = ev.withColumn("tv",
+      min(when(col("event_type") === "view", col("ts"))).over(w))
+    val s2 = s1.withColumn("tc",
+      min(when(col("event_type") === "click"
+        && col("ts") >= col("tv") && col("ts") <= col("tv") + day,
+        col("ts"))).over(w))
+    val s3 = s2.withColumn("tp",
+      min(when(col("event_type") === "purchase"
+        && col("ts") >= col("tc") && col("ts") <= col("tc") + day,
+        col("ts"))).over(w))
+    s3.groupBy("user_id").agg(
+      unix_micros(max("tv")).as("t_view"),
+      unix_micros(max("tc")).as("t_click"),
+      unix_micros(max("tp")).as("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tv
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= tv
+      |                      AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS tc FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= tc
+      |                      AND ts <= tc + INTERVAL 24 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS tp FROM s2)
+      |SELECT user_id, epoch_us(MAX(tv)) AS t_view, epoch_us(MAX(tc)) AS t_click,
+      |  epoch_us(MAX(tp)) AS t_purchase
+      |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cohort retention over a sparse activity signal (value > 95, ~5%
+    * of events): cohort = week of first high-value event, cell =
+    * distinct active users per (cohort_week, week_offset). Shape: one
+    * small first-activity aggregate joined back to the activity rows
+    * (shuffled on user_id — at 100 TB the cohort table is
+    * users-sized, never hinted), then one partial-agg count-distinct.
+    * The decaying matrix is the product-analytics staple. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val hv = events(spark, dir).filter(col("value") > 95)
+      .select(col("user_id"), col("ts"))
+    val f = hv.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+    hv.join(f, "user_id")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), col("d0")) / 7).cast("long")
+          .as("week_offset"),
+        floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
+          .cast("long").as("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH hv AS (SELECT user_id, ts FROM events WHERE value > 95),
+      |f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM hv GROUP BY 1),
+      |a AS (
+      |  SELECT hv.user_id,
+      |    CAST(FLOOR(date_diff('day', f.d0, CAST(hv.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+      |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.d0) / 7) AS BIGINT) AS cohort_week
+      |  FROM hv JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -200,7 +281,9 @@ object StreamingQueries {
     "q_incremental_mi" -> incrementalMi _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_join" -> streamJoin _,
-    "q_asof_join" -> asofJoinQ _)
+    "q_asof_join" -> asofJoinQ _,
+    "q_funnel" -> funnel _,
+    "q_retention" -> retention _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -209,5 +292,7 @@ object StreamingQueries {
     "q_incremental_mi" -> incrementalMiSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
-    "q_asof_join" -> asofJoinSql)
+    "q_asof_join" -> asofJoinSql,
+    "q_funnel" -> funnelSql,
+    "q_retention" -> retentionSql)
 }

@@ -274,6 +274,27 @@ object StreamingQueries {
       |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Daily event counts pivoted by type — Spark's `pivot` with the
+    * value list DECLARED, which plans as ONE single-pass conditional
+    * aggregation (omit the list and Spark runs an extra
+    * distinct-values job first, a second full scan at corpus scale).
+    * The oracle is the equivalent explicit CASE aggregation. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .orderBy("day")
+
+  val pivotDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -283,7 +304,8 @@ object StreamingQueries {
     "q_stream_join" -> streamJoin _,
     "q_asof_join" -> asofJoinQ _,
     "q_funnel" -> funnel _,
-    "q_retention" -> retention _)
+    "q_retention" -> retention _,
+    "q_pivot" -> pivotDaily _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -294,5 +316,6 @@ object StreamingQueries {
     "q_stream_join" -> streamJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_funnel" -> funnelSql,
-    "q_retention" -> retentionSql)
+    "q_retention" -> retentionSql,
+    "q_pivot" -> pivotDailySql)
 }

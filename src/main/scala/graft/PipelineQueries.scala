@@ -347,7 +347,7 @@ object PipelineQueries {
     val freq = post.groupBy("tok").agg(count("*").as("tf"))
     // total postings = sum of term frequencies — derived from the
     // vocab-sized aggregate, not a second full postings scan
-    val total = freq.agg(sum(col("tf"))).head.getLong(0)
+    val total = freq.agg(sum(col("tf"))).head().getLong(0)
     // no broadcast hint: at 100 TB the vocabulary is billions of tokens
     // (see Dedup's md5 token-id rationale); a shuffled join is the
     // scale-safe default and AQE broadcasts when freq actually fits
@@ -387,7 +387,7 @@ object PipelineQueries {
     val uf = post.groupBy("tok").agg(count(lit(1)).as("uc"))
     // total postings derived from the vocab-sized aggregate, not a
     // second corpus scan
-    val total = uf.agg(sum(col("uc"))).head.getLong(0)
+    val total = uf.agg(sum(col("uc"))).head().getLong(0)
     val bg = docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.adjacentPairs(col("toks")))

@@ -710,7 +710,7 @@ object Queries {
     // sample is the full table). If a larger sf ever makes the Bernoulli
     // sample miss a value, fail loudly instead of hash-diverging. (The
     // check scans the narrow raw column — codegen'd, no vector UDT.)
-    val nDistinct = raw.agg(count_distinct(col("q"))).head.getLong(0)
+    val nDistinct = raw.agg(count_distinct(col("q"))).head().getLong(0)
     require(model.splitsArray(0).length == nDistinct + 2,
       s"discretize oracle invalidated: sample covered " +
         s"${model.splitsArray(0).length - 2} of $nDistinct distinct values")

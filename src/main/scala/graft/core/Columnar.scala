@@ -152,7 +152,7 @@ object Columnar {
       if (projected.queryExecution.toRdd.getNumPartitions < target) {
         projected.repartition(target)
       } else projected
-    val nf = df.select(featuresCol).head
+    val nf = df.select(featuresCol).head()
       .getAs[Vector](0).size
     val nCols = nf + 1
     val rows = spread.queryExecution.toRdd

@@ -212,6 +212,63 @@ object AdjacentPairs {
 }
 
 /**
+ * Overlapping word n-gram shingles of a token array as space-joined
+ * strings — the generalized [[AdjacentPairs]] (n = 2), the dedup
+ * family's shingle kernel (duplicate-passage mining, 3-gram Jaccard,
+ * decontamination, span coverage). One linear scan, no per-element
+ * lambda interpretation, constant generated-code size. Arrays with
+ * < n elements yield an empty array; null elements read as empty
+ * strings (containsNull = false output, matching AdjacentPairs).
+ */
+case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram_shingles expects n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_shingles expects array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    NGramShingles.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NGramShingles.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ngram_shingles"
+}
+
+object NGramShingles {
+  private val Sep = UTF8String.fromString(" ")
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < 2 * n - 1) { parts(j) = Sep; j += 2 }
+    var i = 0
+    while (i <= len - n) {
+      var k = 0
+      while (k < n) { parts(2 * k) = AdjacentPairs.at(arr, i + k); k += 1 }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * One BPE merge (x, y) -> xy applied to a symbol array: greedy
  * left-to-right non-overlapping, as standard BPE does. One linear scan
  * per row (the HOF fold's per-element slice+concat rebuilds the
@@ -294,4 +351,8 @@ object TextFunctions {
   /** One greedy BPE merge (x, y) -> xy over a symbol array. */
   def mergePair(syms: Column, x: String, y: String): Column =
     GraftSqlBridge.column(MergePair(GraftSqlBridge.expression(syms), x, y))
+
+  /** Overlapping word n-gram shingles of a token array. */
+  def ngramShingles(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(NGramShingles(GraftSqlBridge.expression(toks), n))
 }

@@ -111,7 +111,7 @@ class FrequencyDiscretizer(override val uid: String)
     * standard QuantileDiscretizer contract). */
   private def fitSketched(vecs: DataFrame): Array[Array[Double]] = {
     import org.apache.spark.ml.functions.vector_to_array
-    val nf = vecs.select(col($(inputCol))).head.getAs[Vector](0).size
+    val nf = vecs.select(col($(inputCol))).head().getAs[Vector](0).size
     val arr = vecs.select(vector_to_array(col($(inputCol))).as("a"))
     val flat = arr.select((0 until nf).map(j =>
       col("a").getItem(j).as(s"c$j")): _*)

@@ -216,16 +216,19 @@ object Dedup {
   }
 
   /** (id, tok) distinct word n-gram shingles. Documents shorter than n
-    * tokens contribute no shingles (no truncated grams). */
+    * tokens contribute no shingles (no truncated grams). The gram
+    * builder is the native [[graft.functions.NGramShingles]] kernel —
+    * one linear scan per doc; the HOF formulation
+    * (transform + array_join(slice)) interprets its lambda per gram. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     if (n <= 1) postings(df, idCol, textCol)
     else {
       df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
         .filter(size(col("toks")) >= n)
         .select(col("id"),
-          explode(array_distinct(transform(
-            sequence(lit(0), size(col("toks")) - n),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("tok"))
+          explode(array_distinct(
+            graft.functions.TextFunctions.ngramShingles(col("toks"), n)))
+            .as("tok"))
     }
   }
 
@@ -236,9 +239,8 @@ object Dedup {
       n: Int): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+      .select(col("id"), posexplode(
+        graft.functions.TextFunctions.ngramShingles(col("toks"), n))
         .as(Seq("pos0", "tok")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, RepetitionStats}
+import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, NGramShingles, RepetitionStats}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -51,7 +51,14 @@ object GraftExtensions {
     ("graft_merge_pair", classOf[MergePair],
       arity("graft_merge_pair", 3)(es => MergePair(es.head,
         literalString("graft_merge_pair", es(1)),
-        literalString("graft_merge_pair", es(2))))))
+        literalString("graft_merge_pair", es(2))))),
+    ("graft_ngram_shingles", classOf[NGramShingles],
+      arity("graft_ngram_shingles", 2)(es => NGramShingles(es.head, {
+        require(es(1).foldable && es(1).dataType ==
+          org.apache.spark.sql.types.IntegerType,
+          s"graft_ngram_shingles expects an INT literal n, got ${es(1)}")
+        es(1).eval().asInstanceOf[Int]
+      }))))
 
   private[plans] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -110,4 +110,24 @@ class PipelinePropSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("NGramShingles matches sliding-join for every n, and n=2 == AdjacentPairs") {
+    val gen: Gen[(List[String], Int)] = for {
+      n <- Gen.choose(1, 5)
+      len <- Gen.choose(0, 12)
+      s <- Gen.listOfN(len, Gen.stringOfN(2, Gen.alphaLowerChar))
+    } yield (s, n)
+    check(Prop.forAll(gen) { case (s: List[String], n: Int) =>
+      val a = graft.functions.NGramShingles.compute(arr(s), n)
+      val got = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      val want =
+        if (s.length < n) Seq.empty
+        else s.sliding(n).map(_.mkString(" ")).toSeq
+      val pairEquiv = n != 2 || {
+        val p = graft.functions.AdjacentPairs.compute(arr(s))
+        (0 until p.numElements()).map(i => p.getUTF8String(i).toString) == got
+      }
+      got == want && pairEquiv
+    })
+  }
 }

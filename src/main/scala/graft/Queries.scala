@@ -987,6 +987,25 @@ object Queries {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** ROLLUP subtotals (flag, status) -> (flag) -> grand total — the
+    * hierarchical-aggregate OLAP staple. Spark plans rollup as ONE
+    * Expand + single partial-aggregated shuffle (each input row fans
+    * to its grouping sets map-side), never one job per level; NULL
+    * grouping indicators match ANSI semantics on both engines. Sums
+    * are integer-valued, cast to BIGINT after aggregation. */
+  def rollupQty(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").cast("long").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val rollupQtySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1009,6 +1028,7 @@ object Queries {
     "q_transform_gather" -> transformGather _,
     "q_discretize" -> discretize _,
     "q_count" -> countInstances _,
+    "q_rollup" -> rollupQty _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
@@ -1042,6 +1062,7 @@ object Queries {
     "q_transform_gather" -> transformGatherSql,
     "q_discretize" -> discretizeSql,
     "q_count" -> countInstancesSql,
+    "q_rollup" -> rollupQtySql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,

@@ -821,6 +821,29 @@ object PipelineQueries {
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
+  /** Unicode NFC canonicalization (native [[graft.functions.NormalizeNfc]]
+    * expression, java.text.Normalizer under codegen) — every row is
+    * made to exercise real composition by appending a DECOMPOSED
+    * "e"+U+0301, which NFC must collapse into one code point ("é")
+    * before the fingerprint; the md5 then certifies byte-identical
+    * canonical forms across engines (DuckDB's utf8proc vs the JDK).
+    * Narrow scan, no shuffle — canonicalize-before-hash is the first
+    * pass of any multilingual dedup pipeline. */
+  def normalizeNfcQ(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit("e\u0301"))
+    val nfc = graft.functions.TextFunctions.normalizeNfc(raw)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(raw).as("len_raw"),
+        length(nfc).as("len_nfc"), md5(nfc).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeNfcSql: String =
+    """SELECT doc_id, length(text || 'e' || chr(769)) AS len_raw,
+      |  length(nfc_normalize(text || 'e' || chr(769))) AS len_nfc,
+      |  md5(nfc_normalize(text || 'e' || chr(769))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -2180,7 +2203,8 @@ object PipelineQueries {
     "q_dup_span_coverage" -> dupSpanCoverage _,
     "q_tokenize_pack" -> tokenizePack _,
     "q_ann_range" -> annRange _,
-    "q_dedup_winnow" -> dedupWinnow _)
+    "q_dedup_winnow" -> dedupWinnow _,
+    "q_normalize_nfc" -> normalizeNfcQ _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -2232,5 +2256,6 @@ object PipelineQueries {
     "q_dup_span_coverage" -> dupSpanCoverageSql,
     "q_tokenize_pack" -> tokenizePackSql,
     "q_ann_range" -> annRangeSql,
-    "q_dedup_winnow" -> dedupWinnowSql)
+    "q_dedup_winnow" -> dedupWinnowSql,
+    "q_normalize_nfc" -> normalizeNfcSql)
 }

@@ -212,6 +212,50 @@ object AdjacentPairs {
 }
 
 /**
+ * Unicode NFC canonicalization (java.text.Normalizer) — the
+ * text-canonicalization pass a multilingual corpus needs before any
+ * hashing/dedup: decomposed "e"+U+0301 and composed "é" must
+ * fingerprint identically or every accent-bearing duplicate escapes
+ * the md5 window. Fast path: already-normalized strings (the
+ * overwhelming majority of real text) return the input UTF8String
+ * with zero allocation via Normalizer.isNormalized.
+ */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_nfc expects string, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    NormalizeNfc.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NormalizeNfc.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_normalize_nfc"
+}
+
+object NormalizeNfc {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/**
  * Overlapping word n-gram shingles of a token array as space-joined
  * strings — the generalized [[AdjacentPairs]] (n = 2), the dedup
  * family's shingle kernel (duplicate-passage mining, 3-gram Jaccard,
@@ -355,4 +399,8 @@ object TextFunctions {
   /** Overlapping word n-gram shingles of a token array. */
   def ngramShingles(toks: Column, n: Int): Column =
     GraftSqlBridge.column(NGramShingles(GraftSqlBridge.expression(toks), n))
+
+  /** Unicode NFC canonicalization. */
+  def normalizeNfc(text: Column): Column =
+    GraftSqlBridge.column(NormalizeNfc(GraftSqlBridge.expression(text)))
 }

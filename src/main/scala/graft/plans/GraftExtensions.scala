@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, NGramShingles, RepetitionStats}
+import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, NGramShingles, NormalizeNfc, RepetitionStats}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -52,6 +52,8 @@ object GraftExtensions {
       arity("graft_merge_pair", 3)(es => MergePair(es.head,
         literalString("graft_merge_pair", es(1)),
         literalString("graft_merge_pair", es(2))))),
+    ("graft_normalize_nfc", classOf[NormalizeNfc],
+      arity("graft_normalize_nfc", 1)(es => NormalizeNfc(es.head))),
     ("graft_ngram_shingles", classOf[NGramShingles],
       arity("graft_ngram_shingles", 2)(es => NGramShingles(es.head, {
         require(es(1).foldable && es(1).dataType ==

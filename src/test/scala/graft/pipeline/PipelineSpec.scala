@@ -613,6 +613,17 @@ class TextOpsSpec extends SparkSpec {
     assert((fa intersect fb).nonEmpty)
   }
 
+  test("NormalizeNfc composes decomposed accents; identity on normal text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("cafe\u0301")
+    val composed = UTF8String.fromString("caf\u00e9")
+    assert(graft.functions.NormalizeNfc.compute(decomposed) == composed)
+    // fast path: already-NFC input returns the same instance, no copy
+    val plain = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NormalizeNfc.compute(plain) eq plain)
+    assert(graft.functions.NormalizeNfc.compute(composed) eq composed)
+  }
+
   test("dupSpanCoverage counts tokens under shared 3-gram spans only") {
     // docs 1 and 2 share the opening 4 tokens (two overlapping 3-grams
     // covering tokens 1..4); doc 3 is disjoint

@@ -21,7 +21,7 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq", "spans")
+      "semdedup", "pq", "spans", "events")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -43,6 +43,7 @@ object Stress {
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
+    if (mode == "events") { eventsStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -263,6 +264,70 @@ object Stress {
       s""""winnow_sec":$tWinnow,"winnowed_docs":$nWinnow,""" +
       s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered,""" +
       s""""winnow_neardup_sec":$tWnd,"neardup_pairs":$nPairs}""")
+    spark.stop()
+  }
+
+  /** Event-OLAP stress: funnel, as-of join, and attribution over
+    * nRows synthetic events (1M users, 30-day span, 5 types). Funnel
+    * and as-of are single-shuffle window shapes; attribution is the
+    * user-keyed SortMergeJoin. */
+  private def eventsStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    import graft.streaming.StreamingOps
+    val base = 1700000000000000L // micros
+    val ev = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("event_id"),
+        // prime modulus: a user's successive event ids step by 999983,
+        // which is coprime to the 5-cycle of the type hash, so every
+        // user mixes all event types (1e6 would alias type to user)
+        (col("id") % 999983L).as("user_id"),
+        // Murmur3-mixed timestamps: a LINEAR id*C mod span puts every
+        // user's inter-event gaps on one shared lattice (all-or-nothing
+        // window matches); hashing breaks it
+        timestamp_micros(lit(base)
+          + pmod(hash(col("id")).cast("long") * 6037L,
+            lit(30L * 86400000000L))).as("ts"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("signup"),
+            lit("error")),
+          ((col("id") * 40503L) % 5 + 1).cast("int")).as("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // materialize so each op times its own work
+
+    val t0 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val day = expr("INTERVAL 24 HOURS")
+    val s1 = ev.withColumn("tv",
+      min(when(col("event_type") === "view", col("ts"))).over(w))
+    val s2 = s1.withColumn("tc",
+      min(when(col("event_type") === "click"
+        && col("ts") >= col("tv") && col("ts") <= col("tv") + day,
+        col("ts"))).over(w))
+    val nFunnel = s2.groupBy("user_id")
+      .agg(max("tv").as("tv"), max("tc").as("tc"))
+      .filter(col("tc").isNotNull).count()
+    val tFunnel = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val nAsof = StreamingOps.asofJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      "user_id", "ts", "click_id", "purchase_id")
+      .filter(col("click_id").isNotNull).count()
+    val tAsof = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val nAttr = StreamingOps.attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "2 hours").count()
+    val tAttr = (System.nanoTime() - t2) / 1e9
+
+    println(s"""{"metric":"stress_events","rows":$nRows,""" +
+      s""""funnel_sec":$tFunnel,"funnel_users":$nFunnel,""" +
+      s""""asof_sec":$tAsof,"asof_matched":$nAsof,""" +
+      s""""attribution_sec":$tAttr,"attribution_pairs":$nAttr}""")
+    ev.unpersist(blocking = false)
     spark.stop()
   }
 

@@ -46,5 +46,17 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_merge_pair(array('a'), c, 'b') FROM (SELECT 'a' AS c)")
         .collect()
     }
+    val sh = spark.sql("SELECT graft_ngram_shingles(array('a','b','c','d'), 3)")
+      .head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    // non-literal n rejected
+    intercept[Exception] {
+      spark.sql(
+        "SELECT graft_ngram_shingles(array('a'), n) FROM (SELECT 2 AS n)")
+        .collect()
+    }
+    val nfc = spark.sql("SELECT graft_normalize_nfc('cafe\u0301')")
+      .head.getString(0)
+    assert(nfc == "caf\u00e9")
   }
 }

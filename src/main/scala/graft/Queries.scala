@@ -1006,6 +1006,40 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Schema evolution across parquet batches — the data-lake reality
+    * at 100 TB: an early ingest batch lacks a column later batches
+    * carry. Batch 1 is written WITHOUT `source`; batch 2 with it; the
+    * read passes `mergeSchema` so the union-by-name schema comes from
+    * footers (a per-file FOOTER read, not a data scan — still avoid
+    * on hot paths by declaring the schema once evolution stabilizes).
+    * Missing values surface as NULLs and flow through COALESCE. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = "target/tmp/evolve-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") < 250)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/batch=1")
+    docs.filter(col("doc_id") >= 250)
+      .select("doc_id", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$base/batch=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch=1", s"$base/batch=2")
+      .groupBy(coalesce(col("source"), lit("unknown")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("source")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH b1 AS (SELECT doc_id, lang, n_chars, NULL AS source
+      |            FROM documents WHERE doc_id < 250),
+      |b2 AS (SELECT doc_id, lang, n_chars, source
+      |       FROM documents WHERE doc_id >= 250),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT COALESCE(source, 'unknown') AS source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1029,6 +1063,7 @@ object Queries {
     "q_discretize" -> discretize _,
     "q_count" -> countInstances _,
     "q_rollup" -> rollupQty _,
+    "q_schema_evolution" -> schemaEvolution _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
@@ -1063,6 +1098,7 @@ object Queries {
     "q_discretize" -> discretizeSql,
     "q_count" -> countInstancesSql,
     "q_rollup" -> rollupQtySql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,

@@ -295,6 +295,30 @@ object StreamingQueries {
       |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi-structured JSON column extraction: `props` parsed with
+    * `from_json` under an EXPLICIT schema — a codegen-adjacent
+    * per-row parse, never schema inference (which at corpus scale is
+    * a second full scan), then a plain grouped aggregate over the
+    * extracted field. The event-properties pattern every telemetry
+    * corpus carries. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -305,7 +329,8 @@ object StreamingQueries {
     "q_asof_join" -> asofJoinQ _,
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
-    "q_pivot" -> pivotDaily _)
+    "q_pivot" -> pivotDaily _,
+    "q_json_extract" -> jsonExtract _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -317,5 +342,6 @@ object StreamingQueries {
     "q_asof_join" -> asofJoinSql,
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
-    "q_pivot" -> pivotDailySql)
+    "q_pivot" -> pivotDailySql,
+    "q_json_extract" -> jsonExtractSql)
 }

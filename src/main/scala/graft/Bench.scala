@@ -43,13 +43,25 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query isolation: drop every shared working set, persisted
+    // frame, and cached table AFTER each query's clock stops, so query
+    // N+1's timing measures query N+1 — not the crowding (cache memory
+    // pressure, GC) of everything that ran before it. Consequence:
+    // every query pays its own COLD working-set build (members of a
+    // shared-cache family each rebuild it), so per-query times are the
+    // comparable metric and the total is an upper bound, not a sum of
+    // marginal costs.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      Queries.clearCache()
+      spark.catalog.clearCache()
+      System.gc()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

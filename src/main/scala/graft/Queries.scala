@@ -701,25 +701,34 @@ object Queries {
     import org.apache.spark.ml.linalg.Vectors
     val raw = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_quantity").cast("double").as("q"))
+    // The vector frame is consumed three times (fit's count, fit's
+    // sample collect, the transform) — persist it for the query's
+    // lifetime so the Dataset.map deserialization runs ONCE, and
+    // materialize the (tiny) result with an eager localCheckpoint so
+    // the cache can be released before returning (no session leak).
     val df = raw.map(r => Tuple1(Vectors.dense(r.getDouble(0))))
       .toDF("features")
-    val model = new FrequencyDiscretizer().setNumBuckets(245).setSeed(42)
-      .setInputCol("features").setOutputCol("disc").fit(df)
-    // The dense-rank oracle is only valid on the few-distincts branch
-    // with EVERY distinct value present in the sample (at sf<=0.01 the
-    // sample is the full table). If a larger sf ever makes the Bernoulli
-    // sample miss a value, fail loudly instead of hash-diverging. (The
-    // check scans the narrow raw column — codegen'd, no vector UDT.)
-    val nDistinct = raw.agg(count_distinct(col("q"))).head().getLong(0)
-    require(model.splitsArray(0).length == nDistinct + 2,
-      s"discretize oracle invalidated: sample covered " +
-        s"${model.splitsArray(0).length - 2} of $nDistinct distinct values")
-    import org.apache.spark.ml.functions.vector_to_array
-    model.transform(df)
-      .select(vector_to_array(col("features")).getItem(0).cast("int").as("x"),
-        vector_to_array(col("disc")).getItem(0).cast("double").as("bucket"))
-      .distinct()
-      .orderBy("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new FrequencyDiscretizer().setNumBuckets(245).setSeed(42)
+        .setInputCol("features").setOutputCol("disc").fit(df)
+      // The dense-rank oracle is only valid on the few-distincts branch
+      // with EVERY distinct value present in the sample (at sf<=0.01 the
+      // sample is the full table). If a larger sf ever makes the Bernoulli
+      // sample miss a value, fail loudly instead of hash-diverging. (The
+      // check scans the narrow raw column — codegen'd, no vector UDT.)
+      val nDistinct = raw.agg(count_distinct(col("q"))).head().getLong(0)
+      require(model.splitsArray(0).length == nDistinct + 2,
+        s"discretize oracle invalidated: sample covered " +
+          s"${model.splitsArray(0).length - 2} of $nDistinct distinct values")
+      import org.apache.spark.ml.functions.vector_to_array
+      model.transform(df)
+        .select(vector_to_array(col("features")).getItem(0).cast("int").as("x"),
+          vector_to_array(col("disc")).getItem(0).cast("double").as("bucket"))
+        .distinct()
+        .orderBy("x")
+        .localCheckpoint(true)
+    } finally df.unpersist(blocking = false)
   }
 
   val discretizeSql: String =

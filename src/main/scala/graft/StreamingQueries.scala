@@ -278,13 +278,20 @@ object StreamingQueries {
     * value list DECLARED, which plans as ONE single-pass conditional
     * aggregation (omit the list and Spark runs an extra
     * distinct-values job first, a second full scan at corpus scale).
-    * The oracle is the equivalent explicit CASE aggregation. */
-  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    * The oracle is the equivalent explicit CASE aggregation. Empty
+    * (day, type) cells are filled to 0: pivot+count yields NULL for a
+    * cell with no rows while COUNT(CASE ...) yields 0, so without the
+    * fill the parity would hold only while every day happens to contain
+    * every type. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .count()
+      .na.fill(0L, types)
       .orderBy("day")
+  }
 
   val pivotDailySql: String =
     """SELECT CAST(ts AS DATE) AS day,

@@ -294,31 +294,38 @@ object Dedup {
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 64L,
       minContainment: Double = 0.5): DataFrame = {
-    // the sketch is consumed by nf and both sides of the pair join —
-    // persist makes the one-computation structural rather than relying
-    // on runtime exchange reuse to dedupe the identical winnow subplans
+    // ONE linear pipeline, three shuffles total, nothing persisted:
+    //   1. sketch-size window over id (each row carries its doc's |sketch|,
+    //      so no separate size aggregate and no join-back later);
+    //   2. groupBy(fp) -> the full (bounded: df cap) posting list per
+    //      fingerprint, with pairs generated PARTITION-LOCALLY from the
+    //      collected list — the self-join formulation shuffled the whole
+    //      sketch again per side and then shipped every (pair, fp) row
+    //      through the join machinery; here a fingerprint's <= maxDf
+    //      postings expand to its pairs inline, no join operator at all;
+    //   3. groupBy(ida, idb) to count shared fingerprints (partial agg
+    //      combines map-side). Sizes na/nb ride the posting structs, so
+    //      the two id-keyed size joins of the old shape are gone too.
     val sel = TextOps.winnowSelections(df, idCol, textCol, k, w)
       .withColumnRenamed(idCol, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nf = sel.groupBy("id").agg(count(lit(1)).as("n"))
-    // df cap as a COUNT over the fp window, not aggregate+join-back:
-    // winnowed fingerprints are mostly low-df (boilerplate thins to
-    // ~2/(w+1) density before it ever reaches the index), so a partial
-    // agg would barely shrink — the window costs ONE fp shuffle that
-    // the self-join then reuses (vs three sketch-sized exchanges;
-    // 67.4 s -> 56.3 s end-to-end at 200k docs). cappedPostings keeps
-    // the agg+join shape because raw token postings DO shrink massively.
-    val fpw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val capped = sel
-      .withColumn("dfc", count(lit(1)).over(fpw))
-      .filter(col("dfc") <= maxDf).drop("dfc")
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(nf.select(col("id").as("ida"), col("n").as("na")), "ida")
-      .join(nf.select(col("id").as("idb"), col("n").as("nb")), "idb")
+    val idw = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val withN = sel.withColumn("n", count(lit(1)).over(idw))
+    val posting = withN.groupBy("fp")
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+    // all i < j pairs of the id-sorted posting list (HOF lambdas are
+    // interpreted, but the arrays are <= maxDf long and this replaces a
+    // sketch-squared join, not codegen work)
+    val ds = array_sort(col("docs"))
+    val pairsArr = flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        b => struct(a.as("a"), b.as("b")))))
+    posting.select(explode(pairsArr).as("p"))
+      .select(col("p.a.id").as("ida"), col("p.a.n").as("na"),
+        col("p.b.id").as("idb"), col("p.b.n").as("nb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("shared"), min("na").as("na"),
+        min("nb").as("nb"))
       .select(col("ida"), col("idb"), col("shared"),
         round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
           .as("containment"))

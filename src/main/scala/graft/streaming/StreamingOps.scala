@@ -116,13 +116,16 @@ object StreamingOps {
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       ts: String, leftId: String, rightId: String): DataFrame = {
+    // null placeholders take each side's ACTUAL id type (string/int ids
+    // would otherwise hit union coercion surprises against a hardcoded
+    // long), same as lts already does
     val l = left.select(col(key).as("k"), col(ts).as("t"),
       lit(1).as("tag"),
       col(leftId).as("lid"), col(ts).as("lts"),
-      lit(null).cast("long").as("rid"))
+      lit(null).cast(right.schema(rightId).dataType).as("rid"))
     val r = right.select(col(key).as("k"), col(ts).as("t"),
       lit(0).as("tag"),
-      lit(null).cast("long").as("lid"),
+      lit(null).cast(left.schema(leftId).dataType).as("lid"),
       lit(null).cast(l.schema("lts").dataType).as("lts"),
       col(rightId).as("rid"))
     val w = org.apache.spark.sql.expressions.Window

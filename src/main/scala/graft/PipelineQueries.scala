@@ -961,6 +961,7 @@ object PipelineQueries {
       ivfPqCache.values.foreach(_.assigned.unpersist(blocking = false))
       ivfPqCache.clear()
     }
+    Similarity.releaseRetained()
   }
 
   /** Token-set Jaccard near-dup pairs (inverted-index join), j >= 0.5,

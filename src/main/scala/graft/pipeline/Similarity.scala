@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Frames persisted by operators whose internal working set outlives
+    * the call (e.g. [[semanticNearDup]]'s cluster assignment, computed
+    * by the eager occupancy guard and then read by the pair join and
+    * the keeper join). Released by `PipelineQueries.clearCache()` at
+    * the end of a Verify/Bench run — same lifecycle as the dedup
+    * working set. */
+  private val retained = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  private[graft] def releaseRetained(): Unit = retained.synchronized {
+    retained.foreach(_.unpersist(blocking = false))
+    retained.clear()
+  }
+
   /** dot(a, b) in double precision, left-to-right summation — a native
     * codegen'd Catalyst expression ([[graft.functions.DotProduct]]), not
     * an interpreted higher-order function. */
@@ -440,7 +453,12 @@ object Similarity {
    */
   def semanticNearDup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, maxClusterSize: Long = 100000L): DataFrame = {
+    // the assignment feeds the guard, both pair-join sides, and the
+    // keeper join — persist so the guard's (already eager) action
+    // computes it ONCE; released via releaseRetained/clearCache
     val assigned = ivfAssign(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retained.synchronized { retained += assigned }
     val over = assigned.groupBy("cid").count()
       .filter(col("count") > maxClusterSize)
       .agg(count("*").as("n"), max("count").as("mx")).head

@@ -338,6 +338,102 @@ object PlaneSigns {
 }
 
 /** Column-level entry points for the native vector expressions. */
+/**
+ * Per-feature bucketize of an ml VectorUDT column against fixed split
+ * arrays — the discretizer model's transform as a NATIVE expression.
+ *
+ * Spark's own `Bucketizer` is a ScalaUDF inside (per-row boundary
+ * crossing: InternalRow -> Vector object -> InternalRow), and it only
+ * takes double columns, so a vector input would need a
+ * vector_to_array / array_to_vector sandwich (two more UDF crossings).
+ * This expression works on the UDT's INTERNAL struct representation
+ * directly — (type, size, indices, values) — no Vector object is ever
+ * materialized, and the static `compute` is shared by interpreted eval
+ * and generated code (the [[NearestCentroids]] pattern).
+ *
+ * Semantics match [[graft.ml.FrequencyDiscretizer.binarySearchForBuckets]]
+ * (Spark Bucketizer conventions): value == last split -> top bucket,
+ * out-of-bounds throws. Sparse inputs bucketize their implicit zeros;
+ * output is always dense (bucket(0) is generally nonzero).
+ */
+case class BucketizeVector(child: Expression, splits: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bucketize_vector expects an ml vector, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    BucketizeVector.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], splits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("splits", splits, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BucketizeVector.compute($v, $sp);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketizeVector =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bucketize_vector"
+}
+
+object BucketizeVector {
+
+  /** Shared eval/codegen kernel over the VectorUDT struct encoding:
+    * type (0 = sparse, 1 = dense), size, indices, values. */
+  def compute(row: org.apache.spark.sql.catalyst.InternalRow,
+      splits: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val out: Array[Double] = row.getByte(0) match {
+      case 1 => // dense
+        val values = row.getArray(3)
+        val n = values.numElements()
+        require(n == splits.length,
+          s"vector size $n != number of split arrays ${splits.length}")
+        val o = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          o(j) = graft.ml.FrequencyDiscretizer
+            .binarySearchForBuckets(splits(j), values.getDouble(j))
+          j += 1
+        }
+        o
+      case _ => // sparse: explicit entries scatter over bucketized zeros
+        val size = row.getInt(1)
+        require(size == splits.length,
+          s"vector size $size != number of split arrays ${splits.length}")
+        val indices = row.getArray(2)
+        val values = row.getArray(3)
+        val o = new Array[Double](size)
+        var j = 0
+        while (j < size) {
+          o(j) = graft.ml.FrequencyDiscretizer
+            .binarySearchForBuckets(splits(j), 0.0)
+          j += 1
+        }
+        var k = 0
+        val nnz = indices.numElements()
+        while (k < nnz) {
+          val idx = indices.getInt(k)
+          o(idx) = graft.ml.FrequencyDiscretizer
+            .binarySearchForBuckets(splits(idx), values.getDouble(k))
+          k += 1
+        }
+        o
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1.toByte, null, null,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+}
+
 object VectorFunctions {
 
   /** dot(a, b): codegen'd double dot product over numeric arrays. */
@@ -363,4 +459,9 @@ object VectorFunctions {
     * codegen'd pass over the vector for all planes). */
   def planeSigns(vec: Column, a: Array[Long], b: Array[Long]): Column =
     GraftSqlBridge.column(PlaneSigns(GraftSqlBridge.expression(vec), a, b))
+
+  /** Per-feature vector bucketize against fixed splits (the discretizer
+    * transform) — native, no ScalaUDF, no Vector object per row. */
+  def bucketizeVector(vec: Column, splits: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(BucketizeVector(GraftSqlBridge.expression(vec), splits))
 }

@@ -221,7 +221,12 @@ object FrequencyDiscretizer extends DefaultParamsReadable[FrequencyDiscretizer] 
 
 /** Model: per-feature bucketize via binary search — narrow, no shuffle
   * (reference transform: FrequencyDiscretizer.scala:301-332). Splits map
-  * 1:1 onto Spark `Bucketizer.splitsArray` conventions. */
+  * 1:1 onto Spark `Bucketizer.splitsArray` conventions; the transform is
+  * the native [[graft.functions.BucketizeVector]] expression rather than
+  * Spark's `Bucketizer` because Bucketizer is a ScalaUDF inside AND only
+  * takes double columns (a vector input would need a vector_to_array /
+  * array_to_vector sandwich — three per-row object boundaries where the
+  * native kernel has none). */
 class FrequencyDiscretizerModel(
     override val uid: String,
     val splitsArray: Array[Array[Double]])
@@ -230,17 +235,9 @@ class FrequencyDiscretizerModel(
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
-    val splits = splitsArray
-    val bucketize = udf { v: Vector =>
-      val out = new Array[Double](v.size)
-      var j = 0
-      while (j < v.size) {
-        out(j) = FrequencyDiscretizer.binarySearchForBuckets(splits(j), v(j))
-        j += 1
-      }
-      Vectors.dense(out)
-    }
-    dataset.withColumn($(outputCol), bucketize(col($(inputCol))))
+    dataset.withColumn($(outputCol),
+      graft.functions.VectorFunctions.bucketizeVector(
+        col($(inputCol)), splitsArray))
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -137,4 +137,29 @@ class FrequencyDiscretizerSpec extends SparkSpec {
       .map(_.getAs[Vector](0)(0)).toSeq
     assert(viaBucketizer == viaModel)
   }
+
+  test("transform is a native expression (no ScalaUDF) and handles sparse input") {
+    import org.apache.spark.ml.linalg.Vector
+    val df = spark.createDataFrame((0 until 100).map { i =>
+      Tuple1(Vectors.dense(i.toDouble % 10, i.toDouble % 7))
+    }).toDF("features")
+    val model = new FrequencyDiscretizer().setNumBuckets(4).setSeed(5)
+      .setInputCol("features").setOutputCol("disc").fit(df)
+    val plan = model.transform(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"transform plan has a UDF:\n$plan")
+    // sparse vectors bucketize their implicit zeros and yield the same
+    // answer as the equivalent dense vector
+    val sparse = spark.createDataFrame(Seq(
+      Tuple1(Vectors.sparse(2, Array(1), Array(6.0))),
+      Tuple1(Vectors.sparse(2, Array(), Array()))))
+      .toDF("features")
+    val dense = spark.createDataFrame(Seq(
+      Tuple1(Vectors.dense(0.0, 6.0)),
+      Tuple1(Vectors.dense(0.0, 0.0))))
+      .toDF("features")
+    def buckets(in: org.apache.spark.sql.DataFrame) =
+      model.transform(in).select("disc").collect()
+        .map(_.getAs[Vector](0).toArray.toSeq).toSeq
+    assert(buckets(sparse) == buckets(dense))
+  }
 }

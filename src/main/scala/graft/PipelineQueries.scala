@@ -2152,6 +2152,132 @@ object PipelineQueries {
       |SELECT doc_id, frame_idx, length(frame) AS n_bytes, md5(frame) AS fp
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Deterministic binary-media fixture parameters, shared between the
+    * Spark-side generators and the formula-only DuckDB oracles below.
+    * The fixtures are sf-independent (the testdata carries no binary
+    * media), so the oracle rows certify the REAL decoders on identical
+    * data at every scale factor. */
+  private val NImages = 40
+  private val ImgGrid = 4
+  private val NClips = 30
+  private val AudioSegs = 8
+
+  private def mediaFixturePath(kind: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_$kind").toString
+
+  /** REAL image decode, oracle-certified end to end: deterministic
+    * gradient PNGs — pixel (x, y) of image id is the gray value
+    * (id*37 + x*5 + y*11) % 256, sizes varying so grid cells get
+    * unequal pixel counts — are encoded with `ImageIO.write`, written
+    * to a binary-payload parquet, read back, and decoded DISTRIBUTED
+    * through [[Multimodal.ImageIoDecoder]] (the same
+    * mapPartitions batch path as every media query). The oracle never
+    * sees the PNG bytes: it recomputes each grid cell's mean luma from
+    * the pixel FORMULA alone, so a decode that was anything but
+    * bit-faithful (PNG is lossless) would hash-diverge. */
+  def multimodalImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = (0 until NImages).map { id =>
+      val w = 16 + id % 13
+      val h = 16 + id % 7
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (id * 37 + x * 5 + y * 11) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRecord(id.toLong, "image", bos.toByteArray,
+        Map("w" -> w.toString, "h" -> h.toString))
+    }
+    val fix = mediaFixturePath("img")
+    spark.createDataset(recs).write.mode("overwrite").parquet(fix)
+    Multimodal.extractFeatures(
+      spark.read.parquet(fix).as[Multimodal.MediaRecord],
+      new Multimodal.ImageIoDecoder(ImgGrid))
+      .toDF()
+      .select(col("id"), posexplode(col("descriptor")).as(Seq("cell", "luma")))
+      .select(col("id"), col("cell"),
+        round(col("luma").cast("double"), 3).as("luma"))
+      .orderBy("id", "cell")
+  }
+
+  val multimodalImageSql: String =
+    s"""WITH imgs AS (
+       |  SELECT CAST(i AS BIGINT) AS id, 16 + i % 13 AS w, 16 + i % 7 AS h
+       |  FROM range(0, $NImages) t(i)),
+       |px AS (
+       |  SELECT id,
+       |    LEAST((y * $ImgGrid) // h, ${ImgGrid - 1}) * $ImgGrid
+       |      + LEAST((x * $ImgGrid) // w, ${ImgGrid - 1}) AS cell,
+       |    CAST((id * 37 + x * 5 + y * 11) % 256 AS DOUBLE) AS g
+       |  FROM imgs, range(0, 28) xs(x), range(0, 22) ys(y)
+       |  WHERE x < w AND y < h)
+       |SELECT id, CAST(cell AS INTEGER) AS cell,
+       |  ROUND(AVG(0.299 * g + 0.587 * g + 0.114 * g) / 255.0, 3) AS luma
+       |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** REAL audio decode, oracle-certified the same way: deterministic
+    * 16-bit PCM mono WAVs — frame f of clip id is the raw sample
+    * ((id*31 + f*7) % 2001 - 1000) * 32 — encoded with
+    * `AudioSystem.write`, round-tripped through a binary parquet, and
+    * decoded distributed via [[Multimodal.WavDecoder]]'s RMS-envelope
+    * path; the oracle recomputes the per-segment RMS from the sample
+    * formula (16-bit PCM is exact). */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = (0 until NClips).map { id =>
+      val n = 800 + id % 50
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true, false) // 16-bit signed PCM, mono, little-endian
+      val bytes = new Array[Byte](n * 2)
+      var f = 0
+      while (f < n) {
+        val raw = (((id * 31 + f * 7) % 2001) - 1000) * 32
+        bytes(2 * f) = (raw & 0xFF).toByte
+        bytes(2 * f + 1) = ((raw >> 8) & 0xFF).toByte
+        f += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.MediaRecord(id.toLong, "audio", bos.toByteArray,
+        Map("frames" -> n.toString))
+    }
+    val fix = mediaFixturePath("wav")
+    spark.createDataset(recs).write.mode("overwrite").parquet(fix)
+    Multimodal.extractFeatures(
+      spark.read.parquet(fix).as[Multimodal.MediaRecord],
+      new Multimodal.WavDecoder(AudioSegs))
+      .toDF()
+      .select(col("id"), posexplode(col("descriptor")).as(Seq("seg", "rms")))
+      .select(col("id"), col("seg"),
+        round(col("rms").cast("double"), 3).as("rms"))
+      .orderBy("id", "seg")
+  }
+
+  val multimodalAudioSql: String =
+    s"""WITH clips AS (
+       |  SELECT CAST(i AS BIGINT) AS id, 800 + i % 50 AS n
+       |  FROM range(0, $NClips) t(i)),
+       |s AS (
+       |  SELECT id, LEAST((f * $AudioSegs) // n, ${AudioSegs - 1}) AS seg,
+       |    (((id * 31 + f * 7) % 2001) - 1000) * 32 / 32768.0 AS v
+       |  FROM clips, range(0, 850) fs(f) WHERE f < n)
+       |SELECT id, CAST(seg AS INTEGER) AS seg,
+       |  ROUND(SQRT(AVG(v * v)), 3) AS rms
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------- registry (extended by the dedup/similarity batch) ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2205,7 +2331,9 @@ object PipelineQueries {
     "q_tokenize_pack" -> tokenizePack _,
     "q_ann_range" -> annRange _,
     "q_dedup_winnow" -> dedupWinnow _,
-    "q_normalize_nfc" -> normalizeNfcQ _)
+    "q_normalize_nfc" -> normalizeNfcQ _,
+    "q_multimodal_image" -> multimodalImage _,
+    "q_multimodal_audio" -> multimodalAudio _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -2258,5 +2386,7 @@ object PipelineQueries {
     "q_tokenize_pack" -> tokenizePackSql,
     "q_ann_range" -> annRangeSql,
     "q_dedup_winnow" -> dedupWinnowSql,
-    "q_normalize_nfc" -> normalizeNfcSql)
+    "q_normalize_nfc" -> normalizeNfcSql,
+    "q_multimodal_image" -> multimodalImageSql,
+    "q_multimodal_audio" -> multimodalAudioSql)
 }

@@ -36,6 +36,7 @@ object PipelineQueries {
   private val WinnowK = 8
   private val WinnowW = 4
   private val WinnowPosBits = TextOps.WinnowPosBits
+  private val WinnowHashHex = TextOps.WinnowHashHex
 
   /** Quality metrics + composite score per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
@@ -1319,7 +1320,7 @@ object PipelineQueries {
        |  FROM c WHERE length(text) >= $WinnowK),
        |h AS (
        |  SELECT id, pos, np,
-       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, 8)) AS BIGINT)
+       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, $WinnowHashHex)) AS BIGINT)
        |      * ${1L << WinnowPosBits} + pos AS comb
        |  FROM pos),
        |m AS (
@@ -2075,7 +2076,7 @@ object PipelineQueries {
        |  FROM documents WHERE length(text) >= $WinnowK),
        |h AS (
        |  SELECT doc_id, pos,
-       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, 8)) AS BIGINT)
+       |    CAST(('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, $WinnowHashHex)) AS BIGINT)
        |      * ${1L << WinnowPosBits} + pos AS comb,
        |    length(text) - ${WinnowK - 1} AS np
        |  FROM pos),

@@ -201,27 +201,13 @@ object StreamingQueries {
     * all share one user_id hash partitioning: the whole funnel is ONE
     * shuffle, never a self-join per stage (the join formulation
     * multiplies the events table by the funnel depth). */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id")
-    val ev = events(spark, dir)
-    val day = expr("INTERVAL 24 HOURS")
-    val s1 = ev.withColumn("tv",
-      min(when(col("event_type") === "view", col("ts"))).over(w))
-    val s2 = s1.withColumn("tc",
-      min(when(col("event_type") === "click"
-        && col("ts") >= col("tv") && col("ts") <= col("tv") + day,
-        col("ts"))).over(w))
-    val s3 = s2.withColumn("tp",
-      min(when(col("event_type") === "purchase"
-        && col("ts") >= col("tc") && col("ts") <= col("tc") + day,
-        col("ts"))).over(w))
-    s3.groupBy("user_id").agg(
-      unix_micros(max("tv")).as("t_view"),
-      unix_micros(max("tc")).as("t_click"),
-      unix_micros(max("tp")).as("t_purchase"))
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.Funnel.batch(events(spark, dir))
+      .select(col("user_id"),
+        unix_micros(col("t0")).as("t_view"),
+        unix_micros(col("t1")).as("t_click"),
+        unix_micros(col("t2")).as("t_purchase"))
       .orderBy("user_id")
-  }
 
   val funnelSql: String =
     """WITH s1 AS (

@@ -21,7 +21,7 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq", "spans", "events")
+      "semdedup", "pq", "spans", "events", "incdedup")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -43,6 +43,7 @@ object Stress {
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
+    if (mode == "incdedup") { incDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "events") { eventsStress(spark, nRows, cpus.toInt); return }
 
     val nf = 32
@@ -264,6 +265,63 @@ object Stress {
       s""""winnow_sec":$tWinnow,"winnowed_docs":$nWinnow,""" +
       s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered,""" +
       s""""winnow_neardup_sec":$tWnd,"neardup_pairs":$nPairs}""")
+    spark.stop()
+  }
+
+  /** Incremental-ingest stress: Jaccard working set over nDocs base
+    * documents, then ONE 1%-sized shard folded in via
+    * [[graft.pipeline.Dedup.jaccardMerge]] vs a full recompute over the
+    * union — the 100 TB claim under test is that shard ingest costs
+    * the delta neighborhood, not the corpus. Every 10th shard doc
+    * near-dups a base doc so the merge produces real new pairs. */
+  private def incDedupStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Dedup
+    // 5M-token vocabulary -> mean token df ~ nDocs*40/5M (~8 at 1M
+    // docs): moderate sharing, so the FULL job's candidate volume is
+    // sum(df^2) over the vocabulary (superlinear in corpus growth)
+    // while a 1% shard's neighborhood stays ~1% of the postings — the
+    // regime incremental ingest exists for. (A near-unique-token corpus
+    // makes the full pair join linear and trivially cheap, which
+    // benchmarks the wrong thing.)
+    val tokMod = 5000003L
+    def corpus(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit("t"), (col("base") * (31 + j) + j * 7) % tokMod)): _*)
+          .as("text"))
+    val base = corpus(spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id"), col("id").as("base")))
+    val nDelta = math.max(nDocs / 100, 1000L)
+    // shard ids start above the base; every 10th is a copy of a base doc
+    val delta = corpus(spark.range(nDelta).repartition(cpus)
+      .select((col("id") + nDocs).as("id"),
+        when(col("id") % 10 === 0, col("id") * 97 % nDocs)
+          .otherwise(col("id") + nDocs).as("base")))
+
+    val t0 = System.nanoTime()
+    val st = Dedup.jaccardInit(base, "doc_id", "text", 0.5, 256L)
+    val nBasePairs = st.pairs.count()
+    val tInit = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val merged = Dedup.jaccardMerge(st, delta, "doc_id", "text", 0.5, 256L)
+    val nMergedPairs = merged.pairs.count()
+    val tMerge = (System.nanoTime() - t1) / 1e9
+    st.release()
+
+    val t2 = System.nanoTime()
+    val full = Dedup.jaccardInit(base.unionByName(delta),
+      "doc_id", "text", 0.5, 256L)
+    val nFullPairs = full.pairs.count()
+    val tFull = (System.nanoTime() - t2) / 1e9
+    full.release(); merged.release()
+
+    require(nMergedPairs == nFullPairs,
+      s"incremental merge diverged: $nMergedPairs vs full $nFullPairs")
+    println(s"""{"metric":"stress_incdedup","docs":$nDocs,"delta":$nDelta,""" +
+      s""""init_sec":$tInit,"base_pairs":$nBasePairs,""" +
+      s""""merge_sec":$tMerge,"merged_pairs":$nMergedPairs,""" +
+      s""""full_recompute_sec":$tFull,"full_pairs":$nFullPairs}""")
     spark.stop()
   }
 

@@ -376,6 +376,224 @@ object MergePair {
   }
 }
 
+/**
+ * Winnowing sketch of a document as a PURE PROJECTION: the distinct
+ * selected fingerprint VALUES, each paired with the document's distinct-
+ * value count — array<struct<fp, n>> ready to explode straight into the
+ * near-dup inverted index.
+ *
+ * Algorithm identical to [[graft.pipeline.TextOps]]' windowed pipeline
+ * (md5-derived 40-bit k-gram hash, leftmost-min over each window of w
+ * via the packed hash*2^21+pos key, distinct): the per-position
+ * explode + per-doc window + distinct + size-count of the declarative
+ * formulation is ~12 shuffled rows PER CHARACTER of corpus; this kernel
+ * does the whole sketch in one monotone-deque pass per row, so the
+ * sketch stage shuffles NOTHING.
+ */
+case class WinnowPostings(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow expects k, w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("fp", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_postings expects string, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowPostings.compute(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WinnowPostings.compute($v, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPostings =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow_postings"
+}
+
+object WinnowPostings {
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 40-bit gram hash = first 10 hex chars (5 bytes) of md5, identical
+    * to conv(substring(md5(gram), 1, 10), 16, 10). */
+  private def hash40(d: Array[Byte]): Long =
+    ((d(0) & 0xFFL) << 32) | ((d(1) & 0xFFL) << 24) |
+      ((d(2) & 0xFFL) << 16) | ((d(3) & 0xFFL) << 8) | (d(4) & 0xFFL)
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val np = nChars - k + 1
+    val posBits = graft.pipeline.TextOps.WinnowPosBits
+    if (np >= (1 << posBits))
+      throw new IllegalArgumentException(
+        s"winnow: doc too long for packed key: $np k-gram positions")
+    val md = md5.get()
+    // packed comb(pos) = hash40 * 2^21 + pos, 1-based positions; ASCII
+    // fast path hashes byte slices, multi-byte text falls back to
+    // char-correct substrings (matching Spark's substr semantics)
+    val combs = new Array[Long](np + 1)
+    if (text.numBytes() == nChars) {
+      val bytes = text.getBytes
+      var p = 1
+      while (p <= np) {
+        md.update(bytes, p - 1, k)
+        combs(p) = (hash40(md.digest()) << posBits) | p.toLong
+        p += 1
+      }
+    } else {
+      val s = text.toString
+      var p = 1
+      while (p <= np) {
+        md.update(s.substring(p - 1, p - 1 + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        combs(p) = (hash40(md.digest()) << posBits) | p.toLong
+        p += 1
+      }
+    }
+    // leftmost-min per window of w consecutive positions (monotone
+    // deque; combs are pairwise distinct, so min is unambiguous and a
+    // re-selected element is always consecutive -> dedupe by last)
+    val nWin = math.max(np - w + 1, 1)
+    val dq = new Array[Int](np + 1)
+    var head = 0
+    var tail = 0
+    def push(r: Int): Unit = {
+      while (tail > head && combs(dq(tail - 1)) > combs(r)) tail -= 1
+      dq(tail) = r
+      tail += 1
+    }
+    var r = 1
+    while (r <= math.min(w, np)) { push(r); r += 1 }
+    val selected = new Array[Long](nWin)
+    var nSel = 0
+    var p = 1
+    while (p <= nWin) {
+      if (p > 1) {
+        if (dq(head) < p) head += 1
+        if (p + w - 1 <= np) push(p + w - 1)
+      }
+      val m = combs(dq(head))
+      if (nSel == 0 || selected(nSel - 1) != m) { selected(nSel) = m; nSel += 1 }
+      p += 1
+    }
+    // distinct fingerprint VALUES (positions dropped) + their count
+    val fps = new Array[Long](nSel)
+    var i = 0
+    while (i < nSel) { fps(i) = selected(i) >>> posBits; i += 1 }
+    java.util.Arrays.sort(fps, 0, nSel)
+    var nFp = 0
+    i = 0
+    while (i < nSel) {
+      if (nFp == 0 || fps(nFp - 1) != fps(i)) { fps(nFp) = fps(i); nFp += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nFp)
+    i = 0
+    while (i < nFp) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](fps(i), nFp.toLong))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * All i < j pairs of an (id, n) posting list, id-sorted — the
+ * partition-local pair generator of the winnow near-dup index. The
+ * higher-order-function formulation (flatten of nested transforms with
+ * slice) is evaluated interpreted with a lambda frame per element and
+ * re-evaluates the array reference per step; this kernel is one tight
+ * loop emitting d(d-1)/2 rows, bounded by the caller's df cap.
+ */
+case class PairCombos(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ida", LongType, nullable = false),
+      StructField("na", LongType, nullable = false),
+      StructField("idb", LongType, nullable = false),
+      StructField("nb", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_combos expects array<struct<long, long>>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PairCombos.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PairCombos.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombos =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pair_combos"
+}
+
+object PairCombos {
+  def compute(arr: ArrayData): ArrayData = {
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val ns = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val s = arr.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      ns(i) = s.getLong(1)
+      i += 1
+    }
+    // insertion sort by id (d is df-cap bounded, typically tiny)
+    i = 1
+    while (i < d) {
+      val ki = ids(i); val kn = ns(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > ki) {
+        ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1
+      }
+      ids(j + 1) = ki; ns(j + 1) = kn
+      i += 1
+    }
+    val out = new Array[Any](d * (d - 1) / 2)
+    var o = 0
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(i), ns(i), ids(j), ns(j)))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
 
@@ -403,4 +621,12 @@ object TextFunctions {
   /** Unicode NFC canonicalization. */
   def normalizeNfc(text: Column): Column =
     GraftSqlBridge.column(NormalizeNfc(GraftSqlBridge.expression(text)))
+
+  /** Winnowing sketch as array<struct<fp, n>> — one pass, no shuffle. */
+  def winnowPostings(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowPostings(GraftSqlBridge.expression(text), k, w))
+
+  /** All i < j pairs of an (id, n) posting list, id-sorted. */
+  def pairCombos(docs: Column): Column =
+    GraftSqlBridge.column(PairCombos(GraftSqlBridge.expression(docs)))
 }

@@ -87,6 +87,127 @@ object Dedup {
     }
   }
 
+  // ---------- incremental corpus addition ----------
+
+  /** Jaccard dedup working set for a corpus ingested in shards:
+    * UNCAPPED postings, the token document-frequency table, and the
+    * scored pairs — all PERSISTED and MATERIALIZED (ingest is an
+    * eager operation: each fold's heavy lifting must run exactly once,
+    * not once per downstream consumer). Call [[release]] on a
+    * superseded state once the next one is built. */
+  final case class JaccardState(post: DataFrame, dfTab: DataFrame,
+      pairs: DataFrame) {
+    private[Dedup] def materialize(): JaccardState = {
+      Seq(post, dfTab, pairs).foreach(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Seq(post, dfTab, pairs).foreach(_.count())
+      this
+    }
+    /** Drop this state's cached frames. */
+    def release(): Unit =
+      Seq(post, dfTab, pairs).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Build the initial [[JaccardState]] from the first shard. */
+  def jaccardInit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long): JaccardState = {
+    val post = postings(df, idCol, textCol)
+    val dfTab = post.groupBy("tok").agg(count("*").as("dfc"))
+    val capped = post
+      .join(dfTab.filter(col("dfc") <= maxDf).select("tok"), "tok")
+      .select("id", "tok")
+    JaccardState(post, dfTab, jaccardFromPostings(capped, threshold))
+      .materialize()
+  }
+
+  /**
+   * Fold one new shard into a [[JaccardState]], producing the state a
+   * full [[jaccardInit]] over the union would produce (the spec pins
+   * exact equality) at DELTA cost, not corpus cost:
+   *
+   * - postings/df: the shard's postings are unioned in; the df table
+   *   merges by partial-agg (vocabulary-sized — never the corpus).
+   * - the df cap makes incremental scoring non-additive at the margin:
+   *   a token the shard pushes past `maxDf` leaves the index, which
+   *   changes the capped sizes and intersections of OLD documents that
+   *   carry it. Those "affected" docs are bounded by construction
+   *   (each crossed token had <= maxDf old docs), and only pairs with
+   *   an affected or shard-new side can change — everything else is
+   *   carried over from the previous state untouched.
+   * - rescoring joins ONLY the affected/new docs' postings against
+   *   their token-sharing partners — the same inverted-index shape as
+   *   the full job, restricted to the delta neighborhood.
+   *
+   * Document ids must be unique across shards (the caller's contract).
+   */
+  def jaccardMerge(state: JaccardState, delta: DataFrame, idCol: String,
+      textCol: String, threshold: Double, maxDf: Long): JaccardState = {
+    import org.apache.spark.storage.StorageLevel
+    val dPost = postings(delta, idCol, textCol)
+    val dDf = dPost.groupBy("tok").agg(count("*").as("dfc"))
+    // the next state's df table: an aggregate over the PERSISTED old
+    // table + the shard's — vocabulary-sized, never a corpus rescan.
+    // Materialized first so everything below reads it, not its lineage.
+    val mergedDf = state.dfTab.unionByName(dDf)
+      .groupBy("tok").agg(sum("dfc").as("dfc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mergedDf.count()
+    val post2 = state.post.unionByName(dPost)
+    // tokens the shard pushed over the cap: indexed before, hot now.
+    // Only tokens IN the shard can cross, so this is the (small) shard
+    // vocabulary probing the persisted df table — never vocab x vocab.
+    val crossed = dDf.select(col("tok"), col("dfc").as("ddfc"))
+      .join(state.dfTab, "tok")
+      .filter(col("dfc") <= maxDf && col("dfc") + col("ddfc") > maxDf)
+      .select("tok")
+    // docs whose capped token set changed: old docs carrying a crossed
+    // token, plus every shard doc. Eagerly checkpointed (small by
+    // construction: <= maxDf docs per crossed token + the shard) — it
+    // feeds four joins below and must not recompute per consumer.
+    val affected = state.post.join(crossed, "tok").select("id").distinct()
+      .unionByName(delta.select(col(idCol).as("id"))).distinct()
+      .localCheckpoint(true)
+    // The fold never builds merged capped postings over the corpus —
+    // that join IS the full job's cost. Instead: every corpus touch
+    // below is a scan of the persisted postings with a SMALL build
+    // side (affected ids, their capped tokens, the neighborhood ids),
+    // and the df cap is applied to the delta neighborhood only.
+    val okTokOf = (toks: DataFrame) =>
+      toks.join(mergedDf.filter(col("dfc") <= maxDf).select("tok"), "tok")
+    // capped tokens of affected docs -> their pair partners
+    val aTok = okTokOf(
+      post2.join(affected, Seq("id"), "left_semi").select("tok").distinct())
+      .localCheckpoint(true)
+    val nbrIds = post2.join(aTok, "tok").select("id").distinct()
+      .localCheckpoint(true)
+    // full capped postings of the neighborhood (affected + partners)
+    val rUncapped = post2.join(nbrIds, Seq("id"), "left_semi")
+    val restricted = rUncapped
+      .join(okTokOf(rUncapped.select("tok").distinct()), "tok")
+      .select("id", "tok")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // score the neighborhood, keep pairs with >= 1 affected side (two
+    // equi semi-joins + dedupe implement the OR without a nested-loop
+    // join); checkpoint forces the whole fold to run ONCE, here
+    val rescoredAll = jaccardFromPostings(restricted, threshold)
+    val rescored = rescoredAll
+      .join(affected.withColumnRenamed("id", "ida"), Seq("ida"), "left_semi")
+      .select("ida", "idb", "jaccard")
+      .unionByName(rescoredAll
+        .join(affected.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")
+        .select("ida", "idb", "jaccard"))
+      .dropDuplicates("ida", "idb")
+      .localCheckpoint(true)
+    restricted.unpersist(blocking = false)
+    // pairs with NO affected side carry over verbatim
+    val carried = state.pairs
+      .join(affected.withColumnRenamed("id", "ida"), Seq("ida"), "left_anti")
+      .join(affected.withColumnRenamed("id", "idb"), Seq("idb"), "left_anti")
+      .select("ida", "idb", "jaccard")
+    JaccardState(post2, mergedDf, carried.unionByName(rescored))
+      .materialize()
+  }
+
   /**
    * N-gram (word shingle) Jaccard similarity over all candidate pairs
    * sharing at least one shingle — inverted-index join, partial-agg
@@ -294,35 +415,30 @@ object Dedup {
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 64L,
       minContainment: Double = 0.5): DataFrame = {
-    // ONE linear pipeline, three shuffles total, nothing persisted:
-    //   1. sketch-size window over id (each row carries its doc's |sketch|,
-    //      so no separate size aggregate and no join-back later);
-    //   2. groupBy(fp) -> the full (bounded: df cap) posting list per
-    //      fingerprint, with pairs generated PARTITION-LOCALLY from the
-    //      collected list — the self-join formulation shuffled the whole
-    //      sketch again per side and then shipped every (pair, fp) row
-    //      through the join machinery; here a fingerprint's <= maxDf
-    //      postings expand to its pairs inline, no join operator at all;
-    //   3. groupBy(ida, idb) to count shared fingerprints (partial agg
-    //      combines map-side). Sizes na/nb ride the posting structs, so
-    //      the two id-keyed size joins of the old shape are gone too.
-    val sel = TextOps.winnowSelections(df, idCol, textCol, k, w)
-      .withColumnRenamed(idCol, "id")
-    val idw = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val withN = sel.withColumn("n", count(lit(1)).over(idw))
-    val posting = withN.groupBy("fp")
+    // ONE linear pipeline, TWO shuffles total, nothing persisted:
+    //   1. the sketch is the native WinnowPostings kernel — a pure
+    //      narrow projection emitting (fp, |sketch|) pairs per doc, so
+    //      sizes ride along for free (the declarative formulation
+    //      shuffled ~12 rows per corpus character through a per-doc
+    //      window + distinct, then needed a size window on top);
+    //   2. groupBy(fp) -> the (df-cap bounded) posting list per
+    //      fingerprint, expanded to its i<j pairs PARTITION-LOCALLY by
+    //      the native PairCombos kernel — the self-join formulation
+    //      shuffled the whole sketch once more per side and shipped
+    //      every (pair, fp) row through join machinery;
+    //   3. groupBy(ida, idb) counts shared fingerprints (map-side
+    //      partial agg) and closes with the containment filter.
+    val sel = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions
+          .winnowPostings(col(textCol), k, w)).as("p"))
+      .select(col("id"), col("p.fp").as("fp"), col("p.n").as("n"))
+    val posting = sel.groupBy("fp")
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
-    // all i < j pairs of the id-sorted posting list (HOF lambdas are
-    // interpreted, but the arrays are <= maxDf long and this replaces a
-    // sketch-squared join, not codegen work)
-    val ds = array_sort(col("docs"))
-    val pairsArr = flatten(transform(ds, (a, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        b => struct(a.as("a"), b.as("b")))))
-    posting.select(explode(pairsArr).as("p"))
-      .select(col("p.a.id").as("ida"), col("p.a.n").as("na"),
-        col("p.b.id").as("idb"), col("p.b.n").as("nb"))
+    posting.select(explode(graft.functions.TextFunctions
+        .pairCombos(col("docs"))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.na").as("na"),
+        col("p.idb").as("idb"), col("p.nb").as("nb"))
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("shared"), min("na").as("na"),
         min("nb").as("nb"))

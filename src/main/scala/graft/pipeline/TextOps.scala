@@ -194,6 +194,15 @@ object TextOps {
     * key — caps documents at 2^21 chars (fail-loud guard below). */
   val WinnowPosBits: Int = 21
 
+  /** Hex digits of md5 used as the k-gram fingerprint: 10 -> a 40-bit
+    * hash (packed key stays in 40 + 21 = 61 bits). 40 bits matter at
+    * corpus scale: a 32-bit fingerprint over a 10^8-row sketch produces
+    * ~10^9 birthday-colliding candidate PAIRS in the near-dup index
+    * join (measured: the pair stage, not the join plan, dominated the
+    * 1M-doc stress); at 40 bits the same sketch yields ~5M — the
+    * candidate volume tracks true duplication again. */
+  val WinnowHashHex: Int = 10
+
   /**
    * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
    * SIGMOD 2003 — the MOSS algorithm): hash every k-char gram, slide a
@@ -217,12 +226,18 @@ object TextOps {
         sum(shiftright(col("mc"), WinnowPosBits)).as("fp_sum"))
 
   /** Distinct winnowed fingerprint VALUES per document (position
-    * dropped) — the per-doc sketch the near-dup miner joins on. */
+    * dropped) — the per-doc sketch the near-dup miner joins on. Runs
+    * the native [[graft.functions.WinnowPostings]] kernel: the sketch
+    * is a pure narrow projection (identical values to the windowed
+    * [[winnowMins]] pipeline — spec-pinned against the same brute
+    * force), where the declarative form shuffled ~one row per corpus
+    * CHARACTER through the per-doc window + distinct. */
   def winnowSelections(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
-    winnowMins(df, idCol, textCol, k, w)
-      .select(col(idCol), shiftright(col("mc"), WinnowPosBits).as("fp"))
-      .distinct()
+    df.select(col(idCol),
+        explode(graft.functions.TextFunctions
+          .winnowPostings(col(textCol), k, w)).as("__p"))
+      .select(col(idCol), col("__p.fp").as("fp"))
 
   /** The shared winnowing core: distinct selected packed (hash, pos)
     * keys per document. One shuffle — window, distinct, and every
@@ -243,7 +258,8 @@ object TextOps {
         explode(sequence(lit(1), col("np"))).as("pos"), col("__text"))
       .select(col(idCol), col("np"), col("pos"),
         (conv(substring(md5(col("__text").substr(col("pos"), lit(k))),
-          1, 8), 16, 10).cast("long") * (1L << WinnowPosBits) + col("pos"))
+          1, WinnowHashHex), 16, 10).cast("long")
+          * (1L << WinnowPosBits) + col("pos"))
           .as("comb"))
     val win = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)

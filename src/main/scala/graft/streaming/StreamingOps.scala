@@ -145,6 +145,105 @@ object StreamingOps {
   final case class SessionSummary(user_id: Long, n_sessions: Long,
       max_session_len: Long)
 
+  final case class FunnelEventRow(user_id: Long, tsMicros: Long,
+      event_type: String)
+
+  /** Cumulative funnel progress for one user: event-time micros of each
+    * COMPLETED stage, in stage order (a strict prefix of the stage
+    * list — stage k+1 can only complete after stage k). */
+  final case class FunnelProgress(user_id: Long, stage_times: Seq[Long])
+
+  /**
+   * Ordered-sequence conversion funnel, one semantics two executions:
+   *
+   * - [[funnelBatch]]: stage k's completion time is the MIN event time
+   *   of a stage-k event inside the window after stage k-1's completion
+   *   — N stacked conditional-MIN windows sharing ONE user_id hash
+   *   partitioning, then one per-user aggregate (a join formulation
+   *   would multiply the events table by the funnel depth).
+   * - [[streamingFunnel]]: the same definition folded incrementally per
+   *   user in `flatMapGroupsWithState`. State per user is O(depth)
+   *   longs — never an event buffer — and on a per-user time-ordered
+   *   stream the fold's "first qualifying event" IS the batch "min
+   *   qualifying event" (the equivalence the spec pins, the same
+   *   in-order contract as [[Sessionize.streaming]] / [[streamingDedup]];
+   *   events within one micro-batch are time-sorted before folding, so
+   *   only cross-batch disorder breaks it). An idle timeout evicts
+   *   users, bounding state by ACTIVE users.
+   */
+  object Funnel {
+
+    val WindowMicros: Long = 86400000000L // 24 hours
+    val Stages: Seq[String] = Seq("view", "click", "purchase")
+
+    /** Fold one event into a user's completed-stage times. */
+    def fold(times: List[Long], stages: Seq[String], windowMicros: Long,
+        tsMicros: Long, eventType: String): List[Long] = {
+      val k = times.length
+      if (k < stages.length && eventType == stages(k) &&
+        (k == 0 ||
+          (tsMicros >= times.last && tsMicros <= times.last + windowMicros)))
+        times :+ tsMicros
+      else times
+    }
+
+    /** Batch funnel over (user_id, ts: timestamp, event_type): one row
+      * per user with nullable timestamp columns t0..t{n-1}. */
+    def batch(events: DataFrame, stages: Seq[String] = Stages,
+        window: String = "24 hours"): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val iv = expr(s"INTERVAL $window")
+      var df = events
+      stages.zipWithIndex.foreach { case (s, i) =>
+        val cond =
+          if (i == 0) col("event_type") === s
+          else col("event_type") === s &&
+            col("ts") >= col(s"t${i - 1}") &&
+            col("ts") <= col(s"t${i - 1}") + iv
+        df = df.withColumn(s"t$i", min(when(cond, col("ts"))).over(w))
+      }
+      df.groupBy("user_id")
+        .agg(max(col("t0")).as("t0"),
+          stages.indices.drop(1).map(i => max(col(s"t$i")).as(s"t$i")): _*)
+    }
+
+    /** Streaming funnel (Update mode): emits a user's cumulative
+      * [[FunnelProgress]] whenever one of their micro-batches advances
+      * or re-reports it; the LAST update per user is the final answer.
+      * `idleTimeoutMs <= 0` disables eviction (bounded test runs). */
+    def streaming(events: Dataset[FunnelEventRow],
+        stages: Seq[String] = Stages,
+        windowMicros: Long = WindowMicros,
+        idleTimeoutMs: Long = 0L): Dataset[FunnelProgress] = {
+      import events.sparkSession.implicits._
+      val timeoutConf =
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[Long], FunnelProgress](
+          OutputMode.Update(), timeoutConf) {
+          (uid, it, state: GroupState[List[Long]]) =>
+            if (state.hasTimedOut) {
+              // every update already emitted the cumulative snapshot;
+              // eviction only drops the state
+              state.remove()
+              Iterator.empty
+            } else {
+              var times = state.getOption.getOrElse(Nil)
+              // micro-batch iterators are partition-ordered, not
+              // time-ordered — sort within the batch before folding
+              it.toSeq.sortBy(_.tsMicros).foreach { e =>
+                times = fold(times, stages, windowMicros,
+                  e.tsMicros, e.event_type)
+              }
+              state.update(times)
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+              Iterator.single(FunnelProgress(uid, times))
+            }
+        }
+    }
+  }
+
   /** Per-user sessionization with a fixed inactivity gap. */
   object Sessionize {
 

@@ -567,14 +567,15 @@ class TextOpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
-  /** Brute-force winnowing (Schleimer et al.): same md5-derived 32-bit
+  /** Brute-force winnowing (Schleimer et al.): same md5-derived 40-bit
     * k-gram hash, leftmost-min per window of w, distinct selections. */
   private def bruteWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
     if (text.length < k) return Set.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = (1 to text.length - k + 1).map { pos =>
       val hex = md.digest(text.substring(pos - 1, pos - 1 + k)
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(TextOps.WinnowHashHex)
       pos -> java.lang.Long.parseLong(hex, 16)
     }
     val np = hs.length
@@ -603,6 +604,60 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("native winnowPostings kernel matches brute force (values + count), incl. non-ASCII") {
+    import org.apache.spark.sql.Row
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"),
+      (3L, "exactly8"),
+      (4L, "short"),
+      (5L, "café au lait café au lait et des croissants")) // multi-byte
+    val out = texts.toDF("id", "text")
+      .select($"id", graft.functions.TextFunctions
+        .winnowPostings($"text", 8, 4).as("arr"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1)
+        .map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    texts.foreach { case (id, t) =>
+      val expected = bruteWinnow(t, 8, 4).map(_._2)
+      assert(out(id).map(_._1).toSet == expected, s"doc $id fps")
+      assert(out(id).map(_._1).toSeq == out(id).map(_._1).toSeq.sorted.distinct,
+        s"doc $id not sorted-distinct")
+      out(id).foreach { case (_, n) =>
+        assert(n == expected.size.toLong, s"doc $id n")
+      }
+    }
+    assert(out(4L).isEmpty)
+    // and the exploded winnowSelections view equals the old contract:
+    // distinct (id, fp) rows
+    val sel = TextOps.winnowSelections(texts.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedSel = texts.flatMap { case (id, t) =>
+      bruteWinnow(t, 8, 4).map(_._2).map(id -> _)
+    }.toSet
+    assert(sel == expectedSel)
+  }
+
+  test("pairCombos emits all i<j pairs sorted by id") {
+    import org.apache.spark.sql.Row
+    val df = Seq(Tuple1(Seq((30L, 3L), (10L, 1L), (20L, 2L))))
+      .toDF("docs")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.pairCombos($"docs")).as("p"))
+      .select("p.ida", "p.na", "p.idb", "p.nb")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (10L, 1L, 20L, 2L), (10L, 1L, 30L, 3L), (20L, 2L, 30L, 3L)))
+    // empty and singleton lists emit nothing
+    val none = Seq(Tuple1(Seq.empty[(Long, Long)]), Tuple1(Seq((1L, 1L))))
+      .toDF("docs")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.pairCombos($"docs")).as("p"))
+    assert(none.count() == 0L)
+  }
+
   test("winnowing guarantee: k+w-1 char matches share a fingerprint") {
     // two docs embedding the same 11-char run (k=8, w=4) at different
     // offsets must select at least one common k-gram hash
@@ -622,6 +677,47 @@ class TextOpsSpec extends SparkSpec {
     val plain = UTF8String.fromString("plain ascii")
     assert(graft.functions.NormalizeNfc.compute(plain) eq plain)
     assert(graft.functions.NormalizeNfc.compute(composed) eq composed)
+  }
+
+  test("jaccardMerge equals a full recompute over the union, including cap crossings") {
+    import graft.pipeline.Dedup
+    val base = Seq(
+      (1L, "hot a b c d"),
+      (2L, "hot a b c e"),
+      (3L, "hot x y z w"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    // shard 5 near-dups doc 1; shard 6 pushes 'hot' over maxDf=3 (docs
+    // 1-3's capped sizes and the 1-2 intersection change — the
+    // non-additive case); shard 7 is unrelated
+    val delta = Seq(
+      (5L, "a b c d f"),
+      (6L, "hot m n"),
+      (7L, "zz yy")).toDF("doc_id", "text")
+    val threshold = 0.1
+    val maxDf = 3L
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = Dedup.jaccardMerge(
+      Dedup.jaccardInit(base, "doc_id", "text", threshold, maxDf),
+      delta, "doc_id", "text", threshold, maxDf)
+    val full = Dedup.jaccardInit(base.unionByName(delta),
+      "doc_id", "text", threshold, maxDf)
+    assert(pairsOf(merged.pairs) == pairsOf(full.pairs))
+    assert(pairsOf(merged.pairs).nonEmpty)
+    // the crossing actually happened and re-scored an old pair
+    val mergedDf = merged.dfTab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedDf("hot") == 4L)
+    val oldPair12 = pairsOf(Dedup.jaccardInit(base,
+      "doc_id", "text", threshold, maxDf).pairs)
+      .find(p => p._1 == 1L && p._2 == 2L).get._3
+    val newPair12 = pairsOf(merged.pairs)
+      .find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(oldPair12 != newPair12,
+      s"fixture never exercised the rescore path ($oldPair12)")
+    // df table matches the recomputed one exactly
+    assert(mergedDf == full.dfTab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   test("dupSpanCoverage counts tokens under shared 3-gram spans only") {

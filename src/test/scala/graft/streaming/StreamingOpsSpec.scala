@@ -308,6 +308,74 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(200L) == ((None, None)))
   }
 
+  test("streaming funnel over micro-batches converges to the batch funnel") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val rng = new scala.util.Random(13)
+    // strictly increasing distinct timestamps (ties would make in-order
+    // feeding ambiguous at equal ts); ~2h spacing over 9 users puts a
+    // user's consecutive events ~18h apart, so 24h windows both hit
+    // and (via type randomness) miss
+    val events = (0 until 400).map { i =>
+      StreamingOps.FunnelEventRow(rng.nextInt(9).toLong,
+        i.toLong * 7200L * 1000000L + rng.nextInt(1000000),
+        types(rng.nextInt(types.length)))
+    }
+    val stream = MemoryStream[StreamingOps.FunnelEventRow]
+    val query = StreamingOps.Funnel.streaming(stream.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      events.grouped(80).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // last emitted snapshot per user
+      val snaps = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val streamed = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1._2.toList }
+      // batch stacked-window funnel over the identical frame; nullable
+      // stage columns collapse to the completed-stage prefix
+      val batchDf = events.toDF()
+        .select(col("user_id"),
+          timestamp_micros(col("tsMicros")).as("ts"), col("event_type"))
+      val batch = StreamingOps.Funnel.batch(batchDf).collect()
+        .map { r =>
+          val ts = (1 to 3).map(i =>
+            Option(r.getTimestamp(i)).map(t =>
+              t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L))
+          r.getLong(0) -> ts.takeWhile(_.isDefined).flatten.toList
+        }.toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the data actually exercises full conversions AND partial depths
+      val depths = streamed.values.map(_.length).toSet
+      assert(depths.contains(3) && depths.size >= 2,
+        s"degenerate fixture: ${streamed.values.map(_.length)}")
+    } finally query.stop()
+  }
+
+  test("funnel fold: stage order, window cutoffs, no regression") {
+    import StreamingOps.Funnel.fold
+    val st = Seq("a", "b", "c")
+    val day = 100L
+    // wrong first stage ignored; then a, b in window, c late -> ignored
+    var t = List.empty[Long]
+    t = fold(t, st, day, 5L, "b"); assert(t == Nil)
+    t = fold(t, st, day, 10L, "a"); assert(t == List(10L))
+    // a again does not reset
+    t = fold(t, st, day, 20L, "a"); assert(t == List(10L))
+    // b exactly at the window edge qualifies
+    t = fold(t, st, day, 110L, "b"); assert(t == List(10L, 110L))
+    // c one past b's window -> ignored; then in-window c lands
+    t = fold(t, st, day, 211L, "c"); assert(t == List(10L, 110L))
+    t = fold(t, st, day, 150L, "c"); assert(t == List(10L, 110L, 150L))
+    // complete funnel is frozen
+    t = fold(t, st, day, 160L, "c"); assert(t == List(10L, 110L, 150L))
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

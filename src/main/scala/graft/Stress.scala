@@ -21,7 +21,7 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq", "spans", "events", "incdedup")
+      "semdedup", "pq", "spans", "events", "eventskew", "incdedup")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -45,6 +45,9 @@ object Stress {
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
     if (mode == "incdedup") { incDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "events") { eventsStress(spark, nRows, cpus.toInt); return }
+    if (mode == "eventskew") {
+      eventsStress(spark, nRows, cpus.toInt, skewed = true); return
+    }
 
     val nf = 32
     // deterministic byte features from the row id (pure codegen, no data
@@ -326,18 +329,38 @@ object Stress {
   }
 
   /** Event-OLAP stress: funnel, as-of join, and attribution over
-    * nRows synthetic events (1M users, 30-day span, 5 types). Funnel
-    * and as-of are single-shuffle window shapes; attribution is the
-    * user-keyed SortMergeJoin. */
-  private def eventsStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    * nRows synthetic events (30-day span, 5 types). Funnel and as-of
+    * are single-shuffle window shapes; attribution is the user-keyed
+    * SortMergeJoin.
+    *
+    * `skewed = false`: ~uniform users (1M, prime modulus).
+    * `skewed = true` (mode `eventskew`): power-law users — one whale
+    * user owns 1% of ALL events (1M events at nRows=100M, the single
+    * hottest window partition possible), a 9999-user hot tier owns
+    * ~49.5%, the rest spread over 1M users — so ~1% of users own ~50%
+    * of events. This pins the skew story: the window shapes (funnel,
+    * as-of) degrade to ONE straggler task doing an O(n log n) sort of
+    * the whale's rows (no 2x blowup, no OOM — state is a running MIN/
+    * last, not a buffer), while the attribution JOIN's cost under a
+    * whale is output-bound (every in-window click x purchase pair of
+    * the whale exists in the answer by definition — the reason the
+    * as-of/window formulation, not the pair join, is the scale path). */
+  private def eventsStress(spark: SparkSession, nRows: Long, cpus: Int,
+      skewed: Boolean = false): Unit = {
     import graft.streaming.StreamingOps
     val base = 1700000000000000L // micros
+    val userExpr =
+      if (skewed)
+        when(col("id") % 100 === 0, lit(0L))
+          .when(col("id") % 2 === 1, (col("id") % 9999L) + 1L)
+          .otherwise(col("id") % 999983L + 10000L)
+      else col("id") % 999983L
     val ev = spark.range(nRows).repartition(cpus * 4)
       .select(col("id").as("event_id"),
-        // prime modulus: a user's successive event ids step by 999983,
-        // which is coprime to the 5-cycle of the type hash, so every
+        // uniform: prime modulus — a user's successive event ids step
+        // by 999983, coprime to the 5-cycle of the type hash, so every
         // user mixes all event types (1e6 would alias type to user)
-        (col("id") % 999983L).as("user_id"),
+        userExpr.as("user_id"),
         // Murmur3-mixed timestamps: a LINEAR id*C mod span puts every
         // user's inter-event gaps on one shared lattice (all-or-nothing
         // window matches); hashing breaks it
@@ -381,7 +404,12 @@ object Stress {
       ev.filter(col("event_type") === "purchase"), "2 hours").count()
     val tAttr = (System.nanoTime() - t2) / 1e9
 
-    println(s"""{"metric":"stress_events","rows":$nRows,""" +
+    val whale = if (!skewed) "" else {
+      val n = ev.filter(col("user_id") === 0L).count()
+      s""""whale_events":$n,"""
+    }
+    println(s"""{"metric":"stress_events","rows":$nRows,"skewed":$skewed,""" +
+      whale +
       s""""funnel_sec":$tFunnel,"funnel_users":$nFunnel,""" +
       s""""asof_sec":$tAsof,"asof_matched":$nAsof,""" +
       s""""attribution_sec":$tAttr,"attribution_pairs":$nAttr}""")

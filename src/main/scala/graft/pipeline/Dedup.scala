@@ -97,13 +97,17 @@ object Dedup {
     * superseded state once the next one is built. */
   final case class JaccardState(post: DataFrame, dfTab: DataFrame,
       pairs: DataFrame) {
-    private[Dedup] def materialize(): JaccardState = {
-      Seq(post, dfTab, pairs).foreach(
+    private[Dedup] def materialize(persistPost: Boolean): JaccardState = {
+      val frames = (if (persistPost) Seq(post) else Nil) ++ Seq(dfTab, pairs)
+      frames.foreach(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      Seq(post, dfTab, pairs).foreach(_.count())
+      frames.foreach(_.count())
       this
     }
-    /** Drop this state's cached frames. */
+    /** Drop the frames THIS state persisted. A merged state's postings
+      * are a lazy union over the INITIAL state's cache (re-persisting
+      * the corpus every shard would rewrite it), so in a chain of
+      * merges release the init state last. */
     def release(): Unit =
       Seq(post, dfTab, pairs).foreach(_.unpersist(blocking = false))
   }
@@ -117,7 +121,7 @@ object Dedup {
       .join(dfTab.filter(col("dfc") <= maxDf).select("tok"), "tok")
       .select("id", "tok")
     JaccardState(post, dfTab, jaccardFromPostings(capped, threshold))
-      .materialize()
+      .materialize(persistPost = true)
   }
 
   /**
@@ -160,43 +164,70 @@ object Dedup {
       .join(state.dfTab, "tok")
       .filter(col("dfc") <= maxDf && col("dfc") + col("ddfc") > maxDf)
       .select("tok")
+      .localCheckpoint(true)
+    val hasCrossed = crossed.limit(1).count() > 0
     // docs whose capped token set changed: old docs carrying a crossed
     // token, plus every shard doc. Eagerly checkpointed (small by
     // construction: <= maxDf docs per crossed token + the shard) — it
-    // feeds four joins below and must not recompute per consumer.
-    val affected = state.post.join(crossed, "tok").select("id").distinct()
-      .unionByName(delta.select(col(idCol).as("id"))).distinct()
+    // feeds the joins below and must not recompute per consumer. The
+    // old-postings probe is SKIPPED entirely when nothing crossed (the
+    // common shard).
+    val affected = (if (hasCrossed)
+        state.post.join(crossed, "tok").select("id").distinct()
+          .unionByName(delta.select(col(idCol).as("id"))).distinct()
+      else delta.select(col(idCol).as("id")).distinct())
       .localCheckpoint(true)
     // The fold never builds merged capped postings over the corpus —
-    // that join IS the full job's cost. Instead: every corpus touch
-    // below is a scan of the persisted postings with a SMALL build
-    // side (affected ids, their capped tokens, the neighborhood ids),
-    // and the df cap is applied to the delta neighborhood only.
+    // that join IS the full job's cost. Instead: the corpus is touched
+    // by exactly TWO scans of the persisted postings with a SMALL
+    // build side (the partner probe and the neighborhood extract), and
+    // the df cap is applied to the delta neighborhood only.
     val okTokOf = (toks: DataFrame) =>
       toks.join(mergedDf.filter(col("dfc") <= maxDf).select("tok"), "tok")
-    // capped tokens of affected docs -> their pair partners
-    val aTok = okTokOf(
-      post2.join(affected, Seq("id"), "left_semi").select("tok").distinct())
-      .localCheckpoint(true)
+    // capped tokens of affected docs -> their pair partners. With no
+    // crossings the affected docs ARE the shard, whose postings we
+    // already hold — no corpus scan to fetch them.
+    val aTokSrc =
+      if (hasCrossed)
+        post2.join(affected, Seq("id"), "left_semi").select("tok").distinct()
+      else dPost.select("tok").distinct()
+    val aTok = okTokOf(aTokSrc).localCheckpoint(true)
     val nbrIds = post2.join(aTok, "tok").select("id").distinct()
       .localCheckpoint(true)
-    // full capped postings of the neighborhood (affected + partners)
+    // full postings of the neighborhood (affected + partners), capped
+    // against the merged df table
     val rUncapped = post2.join(nbrIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
     val restricted = rUncapped
       .join(okTokOf(rUncapped.select("tok").distinct()), "tok")
       .select("id", "tok")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // score the neighborhood, keep pairs with >= 1 affected side (two
-    // equi semi-joins + dedupe implement the OR without a nested-loop
-    // join); checkpoint forces the whole fold to run ONCE, here
-    val rescoredAll = jaccardFromPostings(restricted, threshold)
-    val rescored = rescoredAll
-      .join(affected.withColumnRenamed("id", "ida"), Seq("ida"), "left_semi")
-      .select("ida", "idb", "jaccard")
-      .unionByName(rescoredAll
-        .join(affected.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")
-        .select("ida", "idb", "jaccard"))
-      .dropDuplicates("ida", "idb")
+    // Rescore exactly the pairs with >= 1 affected side — never the
+    // full neighborhood self-join (O(affected x df) pair rows instead
+    // of O(neighborhood^2)): affected-x-partner pairs from an
+    // asymmetric join (pair order normalized), affected-x-affected
+    // pairs from the small self-join; the two sets are disjoint by
+    // construction. Sizes come from the capped neighborhood postings.
+    // The checkpoint forces the whole fold to run ONCE, here.
+    val sizes = restricted.groupBy("id").agg(count("*").as("sz"))
+    val aP = restricted.join(affected, Seq("id"), "left_semi")
+    val pP = restricted.join(affected, Seq("id"), "left_anti")
+    val inter = aP.as("a").join(pP.as("b"), col("a.tok") === col("b.tok"))
+      .select(least(col("a.id"), col("b.id")).as("ida"),
+        greatest(col("a.id"), col("b.id")).as("idb"))
+      .unionByName(aP.as("a").join(aP.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ida"), col("b.id").as("idb")))
+      .groupBy("ida", "idb").agg(count("*").as("i"))
+    val rescored = inter
+      .join(sizes.withColumnRenamed("id", "ida")
+        .withColumnRenamed("sz", "sa"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb")
+        .withColumnRenamed("sz", "sb"), "idb")
+      .select(col("ida"), col("idb"),
+        round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     restricted.unpersist(blocking = false)
     // pairs with NO affected side carry over verbatim
@@ -205,7 +236,7 @@ object Dedup {
       .join(affected.withColumnRenamed("id", "idb"), Seq("idb"), "left_anti")
       .select("ida", "idb", "jaccard")
     JaccardState(post2, mergedDf, carried.unionByName(rescored))
-      .materialize()
+      .materialize(persistPost = false)
   }
 
   /**

@@ -315,12 +315,13 @@ class StreamingOpsSpec extends SparkSpec {
     val types = Seq("view", "click", "purchase", "error", "signup")
     val rng = new scala.util.Random(13)
     // strictly increasing distinct timestamps (ties would make in-order
-    // feeding ambiguous at equal ts); ~2h spacing over 9 users puts a
-    // user's consecutive events ~18h apart, so 24h windows both hit
-    // and (via type randomness) miss
+    // feeding ambiguous at equal ts); ~30min spacing over 9 users puts
+    // a user's consecutive events ~4.5h apart — ~5 land in each 24h
+    // stage window, so stages complete often (1 - (4/5)^5 ≈ 0.67 per
+    // stage) but not always: full and partial depths both occur
     val events = (0 until 400).map { i =>
       StreamingOps.FunnelEventRow(rng.nextInt(9).toLong,
-        i.toLong * 7200L * 1000000L + rng.nextInt(1000000),
+        i.toLong * 1800L * 1000000L + rng.nextInt(1000000),
         types(rng.nextInt(types.length)))
     }
     val stream = MemoryStream[StreamingOps.FunnelEventRow]

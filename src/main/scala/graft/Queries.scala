@@ -1049,6 +1049,92 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Build the demo versioned table (Delta/Iceberg-shaped surface over
+    * plain parquet, [[graft.io.Versioned]]): v1 = every document
+    * (doc_id, lang, n_chars); v2 = an UPSERT of docs with
+    * doc_id % 5 == 0 (n_chars + 1000) that ALSO adds the `source`
+    * column (schema evolution inside the version log); v3 = tombstone
+    * DELETEs of doc_id % 7 == 0. Deterministically rebuilt per call. */
+  private def buildVersionedDemo(spark: SparkSession, dir: String,
+      tag: String): String = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-" + tag + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Versioned.drop(spark, path)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
+    Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 1000).as("n_chars"), col("source")), path)
+    Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id"), path)
+    path
+  }
+
+  /** Shared oracle CTEs reconstructing the version log from the
+    * documents table (the same trick as the schema-evolution oracle:
+    * the oracle never reads the table files, it re-derives them). */
+  private val versionedLogSql: String =
+    """u AS (
+      |  SELECT doc_id, lang, n_chars, NULL AS source, FALSE AS del, 1 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000, source, FALSE, 2
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, TRUE, 3
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Merge-on-read CURRENT over the versioned table — after a
+    * `compact` checkpoint, so the read certifies the checkpointed path
+    * (current == current-after-compact is also spec-pinned). One
+    * key-partitioned window resolves latest-per-key + tombstones. */
+  def tableCurrent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "cur")
+    Versioned.compact(spark, path, "doc_id")
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableCurrentSql: String =
+    s"""WITH $versionedLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
+
+  /** Time travel: the resolved state AS OF each version — live doc
+    * count and total chars per version (upserts shift totals, deletes
+    * shrink the count). */
+  def tableAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "asof")
+    (1 to 3).map { v =>
+      val cur = Versioned.currentAsOf(spark, path, "doc_id", v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .head()
+      (v, cur.getLong(0), cur.getLong(1))
+    }.toDF("version", "n_docs", "total_chars").orderBy("version")
+  }
+
+  val tableAsOfSql: String =
+    s"""WITH $versionedLogSql,
+       |res AS (
+       |  SELECT hi.v AS version, u.*,
+       |    ROW_NUMBER() OVER (PARTITION BY hi.v, u.doc_id ORDER BY u.v DESC) AS rk
+       |  FROM (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3) hi
+       |  JOIN u ON u.v <= hi.v)
+       |SELECT version, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM res WHERE rk = 1 AND NOT del
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1073,6 +1159,8 @@ object Queries {
     "q_count" -> countInstances _,
     "q_rollup" -> rollupQty _,
     "q_schema_evolution" -> schemaEvolution _,
+    "q_table_current" -> tableCurrent _,
+    "q_table_asof" -> tableAsOf _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
@@ -1108,6 +1196,8 @@ object Queries {
     "q_count" -> countInstancesSql,
     "q_rollup" -> rollupQtySql,
     "q_schema_evolution" -> schemaEvolutionSql,
+    "q_table_current" -> tableCurrentSql,
+    "q_table_asof" -> tableAsOfSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,

@@ -2103,11 +2103,13 @@ object PipelineQueries {
     import spark.implicits._
     val ascii = spark.read.parquet(s"$dir/documents.parquet")
       .filter(octet_length(col("text")) === length(col("text")))
+    // columnar projection after the typed decode step — round() stays
+    // in codegen where a per-row BigDecimal map would leave it
     Multimodal.extractFeatures(
       Multimodal.asMedia(ascii), new Multimodal.FakeDecoder(16))
-      .map(f => (f.id, f.nBytes, BigDecimal(f.byteEntropy)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("doc_id", "n_bytes", "entropy")
+      .toDF()
+      .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+        round(col("byteEntropy"), 6).as("entropy"))
       .orderBy("doc_id")
   }
 

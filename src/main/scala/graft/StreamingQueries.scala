@@ -83,6 +83,24 @@ object StreamingQueries {
       |  COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hopping windows (1h length, 30min slide): every event counted in
+    * exactly 2 overlapping windows. The oracle expands the window
+    * membership explicitly (slide-aligned bucket and its predecessor)
+    * — two independent formulations of the same assignment rule. */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.slidingWindowStats(events(spark, dir), "1 hour", "30 minutes")
+      .select(unix_micros(col("w")).as("w"), col("event_type"), col("cnt"))
+      .orderBy("w", "event_type")
+
+  val windowSlidingSql: String =
+    """WITH k AS (SELECT 0 AS k UNION ALL SELECT 1),
+      |s AS (
+      |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts))
+      |           - k.k * 1800000000 AS w, event_type
+      |  FROM events, k)
+      |SELECT w, event_type, COUNT(*) AS cnt
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Incremental selector refit: events split into 3 deterministic
     * micro-batches folded through IncrementalHistogramState; relevance
     * I(Xf; label) from the ACCUMULATED state must equal the oracle's MI
@@ -316,6 +334,7 @@ object StreamingQueries {
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
     "q_window_stats" -> windowStats _,
+    "q_window_sliding" -> windowSliding _,
     "q_incremental_mi" -> incrementalMi _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_join" -> streamJoin _,
@@ -329,6 +348,7 @@ object StreamingQueries {
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_native" -> sessionizeSql,
     "q_window_stats" -> windowStatsSql,
+    "q_window_sliding" -> windowSlidingSql,
     "q_incremental_mi" -> incrementalMiSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,

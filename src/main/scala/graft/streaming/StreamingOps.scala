@@ -63,6 +63,19 @@ object StreamingOps {
       delay: String): DataFrame =
     windowedStats(events.withWatermark("ts", delay), windowLength)
 
+  /** Hopping (sliding) window counts per event type: every event lands
+    * in windowLength/slide overlapping windows — Spark expands the
+    * assignment per row (no self-join against a window table) and the
+    * aggregate partial-combines map-side like any groupBy. Same
+    * unified-API contract as [[windowedStats]]: add a watermark
+    * upstream and the identical call streams in append mode. */
+  def slidingWindowStats(events: DataFrame, windowLength: String,
+      slide: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLength, slide).as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("w"), col("event_type"), col("cnt"))
+
   /** Click-to-purchase attribution join: every (purchase, click) pair by
     * the same user where the click lands inside the `window` before the
     * purchase (strictly earlier — a click AT the purchase timestamp is

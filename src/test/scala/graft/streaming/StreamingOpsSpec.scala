@@ -377,6 +377,18 @@ class StreamingOpsSpec extends SparkSpec {
     t = fold(t, st, day, 160L, "c"); assert(t == List(10L, 110L, 150L))
   }
 
+  test("sliding windows: every event lands in exactly length/slide windows") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:40:00")
+    val df = Seq((ts, "click", 1.0)).toDF("ts", "event_type", "value")
+    val got = StreamingOps.slidingWindowStats(df, "1 hour", "30 minutes")
+      .orderBy("w").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    // 10:40 belongs to [10:00, 11:00) and [10:30, 11:30)
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 1L), ("2024-01-01 10:30:00.0", 1L)))
+  }
+
   test("windowed stats agree between batch frame and streaming frame shape") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")

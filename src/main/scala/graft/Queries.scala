@@ -1056,7 +1056,7 @@ object Queries {
     * column (schema evolution inside the version log); v3 = tombstone
     * DELETEs of doc_id % 7 == 0. Deterministically rebuilt per call. */
   private def buildVersionedDemo(spark: SparkSession, dir: String,
-      tag: String): String = {
+      tag: String, withInserts: Boolean = false): String = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-" + tag + "-" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1068,6 +1068,12 @@ object Queries {
         (col("n_chars") + 1000).as("n_chars"), col("source")), path)
     Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
       .select("doc_id"), path)
+    if (withInserts)
+      // v4: brand-new keys (offset far past the corpus id range)
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("xx").as("lang"), col("doc_id").cast("long").as("n_chars")),
+        path)
     path
   }
 
@@ -1135,6 +1141,43 @@ object Queries {
        |FROM res WHERE rk = 1 AND NOT del
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CDC between resolved versions (change-data-feed shape): what
+    * happened to each key between v1 and v4 — inserts (v4's new keys),
+    * updates (v2 upserts that survived v3's deletes, detected by
+    * null-safe common-column compare), deletes (v3 tombstones). The
+    * oracle derives the same relation from a FULL OUTER JOIN of the
+    * two reconstructed resolved states. */
+  def tableChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "cdc", withInserts = true)
+    Versioned.changes(spark, path, "doc_id", 1, 4)
+      .orderBy("doc_id")
+  }
+
+  val tableChangesSql: String =
+    s"""WITH $versionedLogSql,
+       |u2 AS (
+       |  SELECT * FROM u
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, 'xx', doc_id, NULL, FALSE, 4
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |       FROM u2 WHERE v <= 1),
+       |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |       FROM u2 WHERE v <= 4),
+       |a AS (SELECT doc_id, lang, n_chars FROM ra WHERE rk = 1 AND NOT del),
+       |b AS (SELECT doc_id, lang, n_chars FROM rb WHERE rk = 1 AND NOT del),
+       |j AS (
+       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+       |         WHEN b.doc_id IS NULL THEN 'delete'
+       |         WHEN (a.lang IS DISTINCT FROM b.lang)
+       |           OR (a.n_chars IS DISTINCT FROM b.n_chars) THEN 'update'
+       |         ELSE 'none' END AS change_type
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, change_type FROM j
+       |WHERE change_type <> 'none' ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1161,6 +1204,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolution _,
     "q_table_current" -> tableCurrent _,
     "q_table_asof" -> tableAsOf _,
+    "q_table_changes" -> tableChanges _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
@@ -1198,6 +1242,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_table_current" -> tableCurrentSql,
     "q_table_asof" -> tableAsOfSql,
+    "q_table_changes" -> tableChangesSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,

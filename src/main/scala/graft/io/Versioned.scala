@@ -136,6 +136,37 @@ object Versioned {
     commit(resolved, path, checkpoint = true)
   }
 
+  /** CDC view (change-data-feed shape): per key, what happened between
+    * the resolved states at `fromV` and `toV` — `insert` (key appears),
+    * `delete` (key gone), `update` (any COMMON column differs,
+    * null-safe; columns added by schema evolution after `fromV` can't
+    * be compared and don't count). One full-outer join of two resolved
+    * states — each a single window over its version range. */
+  def changes(spark: SparkSession, path: String, keyCol: String,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
+    val a = currentAsOf(spark, path, keyCol, fromV)
+      .drop(VersionCol, DeletedCol)
+    val b = currentAsOf(spark, path, keyCol, toV)
+      .drop(VersionCol, DeletedCol)
+    val common = a.columns.intersect(b.columns).filterNot(_ == keyCol)
+    val af = a.select(Seq(col(keyCol), lit(true).as("__ina")) ++
+      common.map(c => col(c).as(s"__a_$c")): _*)
+    val bf = b.select(Seq(col(keyCol), lit(true).as("__inb")) ++
+      common.map(c => col(c).as(s"__b_$c")): _*)
+    val differs =
+      if (common.isEmpty) lit(false)
+      else common.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+        .reduce(_ || _)
+    af.join(bf, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__ina").isNull, lit("insert"))
+          .when(col("__inb").isNull, lit("delete"))
+          .when(differs, lit("update"))
+          .otherwise(lit("none")).as("change_type"))
+      .filter(col("change_type") =!= "none")
+  }
+
   /** Destroy the table (test/fixture reset). */
   def drop(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)

@@ -70,6 +70,22 @@ class VersionedSpec extends SparkSpec {
       Set((1L, 10), (2L, 99), (3L, 30)))
   }
 
+  test("changes: insert/update/delete between resolved versions, none suppressed") {
+    val p = freshPath("cdc")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 99)).toDF("k", "x"), p)  // update k=2
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)     // delete k=3
+    Versioned.append(Seq((4L, 40)).toDF("k", "x"), p)  // insert k=4
+    val got = Versioned.changes(spark, p, "k", 1, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // k=1 unchanged -> absent
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    // re-inserting the same value is NOT a change between those versions
+    assert(Versioned.changes(spark, p, "k", 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(3L -> "delete", 4L -> "insert"))
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

@@ -158,6 +158,55 @@ object StreamingOps {
   final case class SessionSummary(user_id: Long, n_sessions: Long,
       max_session_len: Long)
 
+  /** Tagged input row for [[streamingAsof]]: tag 1 = left (the
+    * reference stream whose latest row enriches), 0 = right (the
+    * stream being enriched). */
+  final case class AsofInput(k: Long, tsMicros: Long, tag: Int, id: Long)
+  final case class AsofOut(rid: Long, k: Long, lid: Option[Long],
+      lag_us: Option[Long])
+
+  /**
+   * Streaming as-of join — the streaming face of [[asofJoin]] (the
+   * "latest quote for each trade" enrichment): per key, every right
+   * event emits the LAST strictly-earlier left event (or NULLs).
+   * State per key is ONE (ts, id) pair — not a buffer — so memory
+   * tracks live keys, with the usual idle-timeout eviction. Semantics
+   * match the batch operator exactly on a per-key time-ordered stream
+   * (the [[Funnel.streaming]] in-order contract): within a micro-batch
+   * events sort by (ts, tag, id), so a left row AT a right row's
+   * timestamp is invisible to it and equal-timestamp left rows resolve
+   * to the max id — the batch sort key verbatim.
+   */
+  def streamingAsof(events: Dataset[AsofInput],
+      idleTimeoutMs: Long = 0L): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[(Long, Long), AsofOut](
+        OutputMode.Append(), timeoutConf) {
+        (k, it, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption // (left ts, left id)
+            val out = Seq.newBuilder[AsofOut]
+            it.toSeq.sortBy(e => (e.tsMicros, e.tag, e.id)).foreach { e =>
+              if (e.tag == 1) last = Some((e.tsMicros, e.id))
+              else out += AsofOut(e.id, k, last.map(_._2),
+                last.map(l => e.tsMicros - l._1))
+            }
+            last.foreach { l =>
+              state.update(l)
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class FunnelEventRow(user_id: Long, tsMicros: Long,
       event_type: String)
 

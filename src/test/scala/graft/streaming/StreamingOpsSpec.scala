@@ -284,6 +284,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of over micro-batches emits exactly the batch as-of matches") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(31)
+    // strictly increasing distinct timestamps; explicit tie coverage is
+    // in the batch asofJoin test — here equivalence on in-order feed
+    val rows = (0 until 300).map { i =>
+      StreamingOps.AsofInput(rng.nextInt(6).toLong,
+        i.toLong * 1000000L + rng.nextInt(1000),
+        if (rng.nextBoolean()) 1 else 0, 1000L + i)
+    }
+    val stream = MemoryStream[StreamingOps.AsofInput]
+    val query = StreamingOps.streamingAsof(stream.toDS())
+      .writeStream.format("memory").queryName("sasof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(60).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("sasof").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+        .toSet
+      val left = rows.filter(_.tag == 1)
+        .map(e => (e.id, e.k, timestampOf(e.tsMicros)))
+        .toDF("lid", "k", "ts")
+      val right = rows.filter(_.tag == 0)
+        .map(e => (e.id, e.k, timestampOf(e.tsMicros)))
+        .toDF("rid", "k", "ts")
+      val batch = StreamingOps.asofJoin(left, right, "k", "ts", "lid", "rid")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+        .toSet
+      assert(streamed == batch)
+      // coverage: both matched and unmatched right rows occurred
+      assert(streamed.exists(_._2.isDefined) && streamed.exists(_._2.isEmpty),
+        "degenerate fixture")
+    } finally query.stop()
+  }
+
+  private def timestampOf(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(micros / 1000L)
+    t.setNanos((micros % 1000000L).toInt * 1000)
+    t
+  }
+
   test("asofJoin: strict before, max-id ties, left-outer nulls") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)

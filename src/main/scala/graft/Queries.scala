@@ -1015,6 +1015,42 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): every grouping-set subtotal in
+    * ONE Expand + one partial-agged shuffle (each input row fans to its
+    * 4 grouping sets map-side) — same plan family as rollup, the full
+    * lattice instead of the hierarchy. */
+  def cubeQty(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").cast("long").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val cubeQtySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Per-language length quartiles via NTILE — the quantile-bucketed
+    * feature assignment (a PARTITIONED window: the per-key rank shape
+    * that scales; a global NTILE would serialize the corpus through
+    * one task and is banned by the plan audit). Deterministic tie
+    * order by (n_chars, doc_id) on both engines. */
+  def ntileLang(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("doc_id")
+  }
+
+  val ntileLangSql: String =
+    """SELECT doc_id, lang,
+      |  NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Schema evolution across parquet batches — the data-lake reality
     * at 100 TB: an early ingest batch lacks a column later batches
     * carry. Batch 1 is written WITHOUT `source`; batch 2 with it; the
@@ -1205,6 +1241,8 @@ object Queries {
     "q_table_current" -> tableCurrent _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
+    "q_cube" -> cubeQty _,
+    "q_ntile_lang" -> ntileLang _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
     "q_keel_read" -> keelRoundtrip _,
     "q_quantiles" -> quantiles _,
@@ -1243,6 +1281,8 @@ object Queries {
     "q_table_current" -> tableCurrentSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
+    "q_cube" -> cubeQtySql,
+    "q_ntile_lang" -> ntileLangSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,
     "q_keel_read" -> ioRoundtripSql,
     "q_quantiles" -> quantilesSql,

@@ -21,7 +21,8 @@ import graft.ml.InfoThSelector
 object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq", "spans", "events", "eventskew", "incdedup")
+      "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
+      "vtable")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -44,6 +45,7 @@ object Stress {
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
     if (mode == "incdedup") { incDedupStress(spark, nRows, cpus.toInt); return }
+    if (mode == "vtable") { vtableStress(spark, nRows, cpus.toInt); return }
     if (mode == "events") { eventsStress(spark, nRows, cpus.toInt); return }
     if (mode == "eventskew") {
       eventsStress(spark, nRows, cpus.toInt, skewed = true); return
@@ -268,6 +270,55 @@ object Stress {
       s""""winnow_sec":$tWinnow,"winnowed_docs":$nWinnow,""" +
       s""""span_coverage_sec":$tSpans,"covered_docs":$nCovered,""" +
       s""""winnow_neardup_sec":$tWnd,"neardup_pairs":$nPairs}""")
+    spark.stop()
+  }
+
+  /** Versioned-table stress: nRows base version + 50 upsert versions
+    * (1% of keys each) + a tombstone version, then the merge-on-read
+    * resolve BEFORE vs AFTER a compact checkpoint — the claim under
+    * test: read cost tracks live data after compaction, not history
+    * length, while time travel below the checkpoint stays intact. */
+  private def vtableStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-stress"
+    Versioned.drop(spark, path)
+    val base = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("k"), (col("id") % 97).as("x"))
+    val t0 = System.nanoTime()
+    Versioned.append(base, path)
+    (1 to 50).foreach { i =>
+      Versioned.append(
+        spark.range(nRows / 100)
+          .select((col("id") * 100 + i % 100).as("k"),
+            (col("id") + i).as("x")), path)
+    }
+    Versioned.delete(spark.range(nRows / 100)
+      .select((col("id") * 101).as("k")), path)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val nPre = Versioned.current(spark, path, "k").count()
+    val tPre = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val cp = Versioned.compact(spark, path, "k")
+    val tCompact = (System.nanoTime() - t2) / 1e9
+
+    val t3 = System.nanoTime()
+    val nPost = Versioned.current(spark, path, "k").count()
+    val tPost = (System.nanoTime() - t3) / 1e9
+    require(nPre == nPost, s"compact changed the resolved state: $nPre vs $nPost")
+
+    // time travel below the checkpoint still resolves
+    val t4 = System.nanoTime()
+    val nTt = Versioned.currentAsOf(spark, path, "k", 25).count()
+    val tTt = (System.nanoTime() - t4) / 1e9
+
+    println(s"""{"metric":"stress_vtable","rows":$nRows,"versions":${cp},""" +
+      s""""build_sec":$tBuild,"resolve_pre_compact_sec":$tPre,""" +
+      s""""live_rows":$nPre,"compact_sec":$tCompact,""" +
+      s""""resolve_post_compact_sec":$tPost,"timetravel_v25_sec":$tTt,""" +
+      s""""timetravel_rows":$nTt}""")
     spark.stop()
   }
 

@@ -75,6 +75,28 @@ object Versioned {
   def delete(keys: DataFrame, path: String): Int =
     commit(keys.withColumn(DeletedCol, lit(true)), path, checkpoint = false)
 
+  /** Idempotent micro-batch commit — the `foreachBatch` streaming sink:
+    * appends `df` as the next version UNLESS `batchId` is already
+    * committed (a `_BATCH_<id>` marker in its version dir), so
+    * Structured Streaming's batch re-delivery on restart cannot
+    * duplicate rows. Returns the version holding the batch either way.
+    * The marker lands right after the version's `_SUCCESS`; a crash in
+    * that instant re-appends the batch — same at-least-once-marker
+    * caveat as any marker-file sink (a metastore CAS closes it in a
+    * real deployment). */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Int = {
+    val spark = df.sparkSession
+    val marker = s"_BATCH_$batchId"
+    val f = fs(spark, path)
+    versions(spark, path)
+      .find(v => f.exists(new Path(s"$path/v=$v", marker)))
+      .getOrElse {
+        val v = commit(df, path, checkpoint = false)
+        f.create(new Path(s"$path/v=$v", marker)).close()
+        v
+      }
+  }
+
   private def commit(df: DataFrame, path: String, checkpoint: Boolean): Int = {
     val spark = df.sparkSession
     val v = latestVersion(spark, path) + 1

@@ -86,6 +86,38 @@ class VersionedSpec extends SparkSpec {
       Map(3L -> "delete", 4L -> "insert"))
   }
 
+  test("appendBatch: re-delivered micro-batches commit exactly once") {
+    val p = freshPath("batch")
+    assert(Versioned.appendBatch(Seq((1L, 10)).toDF("k", "x"), p, 0L) == 1)
+    // same batchId re-delivered (streaming restart): no new version
+    assert(Versioned.appendBatch(Seq((1L, 10)).toDF("k", "x"), p, 0L) == 1)
+    assert(Versioned.appendBatch(Seq((2L, 20)).toDF("k", "x"), p, 1L) == 2)
+    assert(Versioned.latestVersion(spark, p) == 2)
+    assert(Versioned.current(spark, p, "k").count() == 2L)
+  }
+
+  test("streaming ingest via foreachBatch lands every row exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = freshPath("stream")
+    val stream = MemoryStream[(Long, Int)]
+    val query = stream.toDS().toDF("k", "x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.appendBatch(b, p, id); ()
+      }
+      .start()
+    try {
+      stream.addData((1L, 10), (2L, 20))
+      query.processAllAvailable()
+      stream.addData((3L, 30))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 10), (2L, 20), (3L, 30)))
+    assert(Versioned.latestVersion(spark, p) == 2)
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

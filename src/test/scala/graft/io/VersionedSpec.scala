@@ -118,6 +118,172 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, p) == 2)
   }
 
+  test("asOf is the log view: counts invariant under compact, checkpoints excluded") {
+    val p = freshPath("asofcp")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 99)).toDF("k", "x"), p)
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)
+    val before = (1 to 3).map(v => Versioned.asOf(spark, p, v).count())
+    Versioned.compact(spark, p, "k") // v4 checkpoint
+    // the log view at every pre-compact version is unchanged — the
+    // checkpoint's materialized copies never double-count
+    assert((1 to 3).map(v => Versioned.asOf(spark, p, v).count()) == before)
+    // at the checkpoint version itself the log still holds 5 rows
+    // (3 appends + 1 upsert + 1 tombstone), not 5 + |resolved|
+    assert(Versioned.asOf(spark, p, 4).count() == 5L)
+    // a post-compact append shows up exactly once
+    Versioned.append(Seq((9L, 90)).toDF("k", "x"), p)
+    assert(Versioned.asOf(spark, p, 5).count() == 6L)
+  }
+
+  test("vacuum: reads inside the horizon survive, below the base fail loudly") {
+    val p = freshPath("vac")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p) // v1
+    Versioned.append(Seq((2L, 99)).toDF("k", "x"), p)                     // v2
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)                        // v3
+    Versioned.compact(spark, p, "k")                                      // v4 ckpt
+    Versioned.append(Seq((4L, 40)).toDF("k", "x"), p)                     // v5
+    Versioned.append(Seq((5L, 50)).toDF("k", "x"), p)                     // v6
+    val curBefore = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // horizon 2: base = newest checkpoint <= 6-2=4 → v4; v1..v3 reclaimed
+    assert(Versioned.vacuum(spark, p, 2) == Seq(1, 2, 3))
+    assert(Versioned.versions(spark, p) == Seq(4, 5, 6))
+    // resolved reads at/above the base are intact
+    assert(Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == curBefore)
+    assert(Versioned.currentAsOf(spark, p, "k", 5)
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == curBefore - ((5L, 50)))
+    // the log view inside the horizon: base checkpoint stands in for
+    // the reclaimed prefix (2 resolved rows) + v5 + v6
+    assert(Versioned.asOf(spark, p, 6).count() == 4L)
+    // below the base: loud failure, never a silent partial read
+    val e1 = intercept[IllegalArgumentException](
+      Versioned.asOf(spark, p, 3).count())
+    assert(e1.getMessage.contains("vacuum"))
+    val e2 = intercept[IllegalArgumentException](
+      Versioned.currentAsOf(spark, p, "k", 3).count())
+    assert(e2.getMessage.contains("vacuum"))
+    // idempotent: nothing else old enough
+    assert(Versioned.vacuum(spark, p, 2) == Nil)
+  }
+
+  test("vacuum bounds the version-dir count across append/compact cycles") {
+    val p = freshPath("vacbound")
+    for (round <- 1 to 4) {
+      Versioned.append(Seq((round.toLong, round)).toDF("k", "x"), p)
+      Versioned.append(Seq((round.toLong + 100, round)).toDF("k", "x"), p)
+      Versioned.compact(spark, p, "k")
+      Versioned.vacuum(spark, p, 1)
+    }
+    // 4 cycles x 3 commits = 12 versions written; retention keeps the
+    // listing bounded (newest checkpoint + the tail inside the horizon)
+    assert(Versioned.versions(spark, p).size <= 4)
+    assert(Versioned.current(spark, p, "k").count() == 8L)
+  }
+
+  test("appendBatch marker is atomic with visibility; staging leftovers invisible") {
+    val p = freshPath("atomic")
+    val v = Versioned.appendBatch(Seq((1L, 10)).toDF("k", "x"), p, 7L)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committed dir holds BOTH _SUCCESS and the batch marker — they
+    // were staged together and published by one rename, so no crash
+    // point separates them
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v=$v/_SUCCESS")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v=$v/_BATCH_7")))
+    // a crashed commit = an orphaned staging dir: invisible to readers
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/.staging-v=2-deadbeef"))
+    assert(Versioned.versions(spark, p) == Seq(1))
+    assert(Versioned.current(spark, p, "k").count() == 1L)
+    // re-delivery after the "crash" commits the batch exactly once
+    assert(Versioned.appendBatch(Seq((2L, 20)).toDF("k", "x"), p, 8L) == 2)
+    assert(Versioned.appendBatch(Seq((2L, 20)).toDF("k", "x"), p, 8L) == 2)
+    assert(Versioned.current(spark, p, "k").count() == 2L)
+  }
+
+  test("duplicate key within one commit resolves deterministically across reads") {
+    val p = freshPath("dupkey")
+    // contract violation (two rows, same key, same commit): the resolve
+    // must still pick ONE row and the SAME row on every read
+    Versioned.append(Seq((1L, 10), (1L, 20)).toDF("k", "x"), p)
+    val first = Versioned.current(spark, p, "k").select("k", "x").collect()
+    assert(first.length == 1)
+    (1 to 3).foreach { _ =>
+      assert(Versioned.current(spark, p, "k").select("k", "x").collect()
+        .sameElements(first))
+    }
+  }
+
+  test("merge: per-column upsert, insert-when-missing, superseded by later append") {
+    val p = freshPath("merge")
+    Versioned.append(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "x"), p)
+    // column-level update: x changes, s (null in the update) is kept
+    Versioned.merge(Seq((1L, Option.empty[String], Some(99)))
+      .toDF("k", "s", "x"), p)
+    // merge on an absent key = insert
+    Versioned.merge(Seq((7L, Some("new"), Option.empty[Int]))
+      .toDF("k", "s", "x"), p)
+    def cur = Versioned.current(spark, p, "k")
+      .select("k", "s", "x").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(cur == Map(
+      1L -> ((Some("a"), Some(99))),   // s kept, x updated
+      2L -> ((Some("b"), Some(20))),   // untouched
+      3L -> ((Some("c"), Some(30))),   // untouched
+      7L -> ((Some("new"), None))))    // inserted by merge
+    // a later FULL append replaces the whole row (earlier merges die)
+    Versioned.append(Seq((1L, Option.empty[String], Some(5)))
+      .toDF("k", "s", "x"), p)
+    assert(cur(1L) == ((None, Some(5))))
+    // merge stacking: newest non-null per column wins
+    Versioned.merge(Seq((2L, Some("B2"), Option.empty[Int]))
+      .toDF("k", "s", "x"), p)
+    Versioned.merge(Seq((2L, Option.empty[String], Some(22)))
+      .toDF("k", "s", "x"), p)
+    assert(cur(2L) == ((Some("B2"), Some(22))))
+  }
+
+  test("merge after delete inserts; compact materializes merged state") {
+    val p = freshPath("mergedel")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p)
+    Versioned.delete(Seq(Tuple1(2L)).toDF("k"), p)
+    Versioned.merge(Seq((2L, 200)).toDF("k", "x"), p) // resurrects k=2
+    def cur = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = cur
+    assert(before == Set((1L, 10), (2L, 200)))
+    // compaction folds merges into full rows; resolve is unchanged and
+    // takes the fast (merge-free) path from the checkpoint on
+    Versioned.compact(spark, p, "k")
+    assert(cur == before)
+    // ...and a merge after the checkpoint still applies
+    Versioned.merge(Seq((1L, 11)).toDF("k", "x"), p)
+    assert(cur == Set((1L, 11), (2L, 200)))
+  }
+
+  test("currentAsOfRange prunes files by footer zone maps, same answer") {
+    val p = freshPath("zone")
+    val wide = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 97).as("x"))
+    // range-partitioned write → each file covers a disjoint key slice
+    Versioned.append(wide.repartitionByRange(8, col("k")), p)
+    Versioned.append(Seq((17L, 999L)).toDF("k", "x"), p) // upsert inside range
+    val full = Versioned.current(spark, p, "k")
+    val pruned = Versioned.currentAsOfRange(spark, p, "k", 2, 10L, 40L)
+    val expect = full.filter(col("k").between(10, 40))
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(expect((17L, 999L)))
+    // the zone maps dropped most of the 8 range files
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.length <= 3)
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

@@ -446,26 +446,39 @@ object Dedup {
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 64L,
       minContainment: Double = 0.5): DataFrame = {
-    // ONE linear pipeline, TWO shuffles total, nothing persisted:
+    // ONE linear pipeline, nothing persisted; three shuffles, of which
+    // the hot-fingerprint count is |distinct fp| rows after map-side
+    // partial aggregation:
     //   1. the sketch is the native WinnowPostings kernel — a pure
     //      narrow projection emitting (fp, |sketch|) pairs per doc, so
     //      sizes ride along for free (the declarative formulation
     //      shuffled ~12 rows per corpus character through a per-doc
     //      window + distinct, then needed a size window on top);
-    //   2. groupBy(fp) -> the (df-cap bounded) posting list per
-    //      fingerprint, expanded to its i<j pairs PARTITION-LOCALLY by
-    //      the native PairCombos kernel — the self-join formulation
-    //      shuffled the whole sketch once more per side and shipped
-    //      every (pair, fp) row through join machinery;
-    //   3. groupBy(ida, idb) counts shared fingerprints (map-side
+    //   2. the df cap is applied BEFORE any posting list materializes:
+    //      a count-per-fingerprint pass (map-side partial agg, output =
+    //      |distinct fp| rows) semi-joins the postings down to
+    //      fingerprints with 2..maxDf docs, so the collect_list buffer
+    //      that follows is bounded by maxDf — a boilerplate fingerprint
+    //      shared by millions of docs never reaches an in-memory
+    //      aggregation buffer (it would OOM the executor; the spillable
+    //      count pass absorbs it instead);
+    //   3. groupBy(fp) -> the (bounded) posting list per fingerprint,
+    //      expanded to its i<j pairs PARTITION-LOCALLY by the native
+    //      PairCombos kernel — the self-join formulation shuffled the
+    //      whole sketch once more per side and shipped every (pair, fp)
+    //      row through join machinery;
+    //   4. groupBy(ida, idb) counts shared fingerprints (map-side
     //      partial agg) and closes with the containment filter.
     val sel = df.select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions
           .winnowPostings(col(textCol), k, w)).as("p"))
       .select(col("id"), col("p.fp").as("fp"), col("p.n").as("n"))
-    val posting = sel.groupBy("fp")
+    val inRange = sel.groupBy("fp").agg(count(lit(1)).as("__dfc"))
+      .filter(col("__dfc").between(2, maxDf))
+      .select("fp")
+    val posting = sel.join(inRange, Seq("fp"), "left_semi")
+      .groupBy("fp")
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxDf))
     posting.select(explode(graft.functions.TextFunctions
         .pairCombos(col("docs"))).as("p"))
       .select(col("p.ida").as("ida"), col("p.na").as("na"),

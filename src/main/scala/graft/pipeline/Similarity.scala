@@ -458,7 +458,15 @@ object Similarity {
     // computes it ONCE; released via releaseRetained/clearCache
     val assigned = ivfAssign(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    retained.synchronized { retained += assigned }
+    retained.synchronized {
+      // one live working set at a time: a long-lived session (Verify
+      // never calls clearCache between queries) must not accumulate one
+      // MEMORY_AND_DISK cache per call — the superseded frame's
+      // consumers just recompute if re-read, correctness unaffected
+      retained.foreach(_.unpersist(blocking = false))
+      retained.clear()
+      retained += assigned
+    }
     val over = assigned.groupBy("cid").count()
       .filter(col("count") > maxClusterSize)
       .agg(count("*").as("n"), max("count").as("mx")).head

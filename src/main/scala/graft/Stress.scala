@@ -20,8 +20,8 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("selector", "dedup", "ann", "kmeans", "text", "bpe",
-      "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
+    val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
+      "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
       "vtable")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
@@ -51,13 +51,27 @@ object Stress {
       eventsStress(spark, nRows, cpus.toInt, skewed = true); return
     }
 
-    val nf = 32
+    // "selector": the default 10M x 32 shape. "wide": SURVEY §1's real
+    // dataset width — nf = 631 features (E. coli promoter-style wide
+    // byte matrix), mRMR k = 10 — pinning that the (k+1)-scan cost
+    // model and the O(nFeatures)-rows-per-round driver traffic hold at
+    // real width, not just at 32.
+    val (nf, kk, rows) =
+      if (mode == "wide")
+        (631, if (numArgs.length > 1) numArgs(1).toInt else 10,
+          if (numArgs.nonEmpty) nRows else 1000000L)
+      else (32, k, nRows)
+    selectorStress(spark, rows, nf, kk, cpus.toInt)
+  }
+
+  private def selectorStress(spark: SparkSession, nRows: Long, nf: Int,
+      k: Int, cpus: Int): Unit = {
     // deterministic byte features from the row id (pure codegen, no data
     // generation on the driver); label = 3-way hash class
     val feats = (0 until nf).map { j =>
       ((col("id") * (2654435761L + j) + j) % 64).cast("int").as(s"f$j")
     }
-    val df = spark.range(nRows).repartition(cpus.toInt * 4)
+    val df = spark.range(nRows).repartition(cpus * 4)
       .select(feats :+ ((col("id") * 40503L) % 3).cast("int").as("label"): _*)
 
     val t0 = System.nanoTime()
@@ -69,8 +83,12 @@ object Stress {
     val selected = InfoThSelector.select(colData, "mrmr", k, 0.0)
     val tSelect = (System.nanoTime() - t1) / 1e9
 
+    // greedy cost model: 1 relevance pass + k CMI passes over the
+    // columnar blocks; driver traffic = nf criterion rows per round
     println(s"""{"metric":"stress","rows":$nRows,"features":$nf,"k":$k,""" +
       s""""transpose_stats_sec":$tTranspose,"greedy_mrmr_sec":$tSelect,""" +
+      s""""per_round_sec":${tSelect / math.max(k, 1)},""" +
+      s""""driver_rows_per_round":$nf,""" +
       s""""selected":[${selected.map(_._1).mkString(",")}]}""")
     colData.unpersist()
     spark.stop()
@@ -314,11 +332,25 @@ object Stress {
     val nTt = Versioned.currentAsOf(spark, path, "k", 25).count()
     val tTt = (System.nanoTime() - t4) / 1e9
 
+    // retention: vacuum under a 10-version horizon reclaims everything
+    // below the checkpoint; the dir listing is bounded and resolved
+    // reads are unchanged
+    val t5 = System.nanoTime()
+    val reclaimed = Versioned.vacuum(spark, path, 10)
+    val tVacuum = (System.nanoTime() - t5) / 1e9
+    val nDirs = Versioned.versions(spark, path).size
+    val t6 = System.nanoTime()
+    val nPostVac = Versioned.current(spark, path, "k").count()
+    val tPostVac = (System.nanoTime() - t6) / 1e9
+    require(nPostVac == nPre,
+      s"vacuum changed the resolved state: $nPre vs $nPostVac")
+
     println(s"""{"metric":"stress_vtable","rows":$nRows,"versions":${cp},""" +
       s""""build_sec":$tBuild,"resolve_pre_compact_sec":$tPre,""" +
       s""""live_rows":$nPre,"compact_sec":$tCompact,""" +
       s""""resolve_post_compact_sec":$tPost,"timetravel_v25_sec":$tTt,""" +
-      s""""timetravel_rows":$nTt}""")
+      s""""timetravel_rows":$nTt,"vacuum_sec":$tVacuum,""" +
+      s""""vacuumed_versions":${reclaimed.size},"dirs_after_vacuum":$nDirs}""")
     spark.stop()
   }
 
@@ -372,10 +404,30 @@ object Stress {
 
     require(nMergedPairs == nFullPairs,
       s"incremental merge diverged: $nMergedPairs vs full $nFullPairs")
+
+    // at-rest variant: postings bucketed on disk, fold cost = pruned
+    // probes + delta writes (no in-memory working set at all)
+    val restPath = "target/tmp/jrest-stress"
+    val t3 = System.nanoTime()
+    val rst = Dedup.jaccardRestInit(base, "doc_id", "text", 0.5, 256L,
+      restPath, nBuckets = 64)
+    val tRestInit = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val rst2 = Dedup.jaccardRestMerge(rst, delta, "doc_id", "text")
+    val tRestMerge = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val nRestPairs = Dedup.jaccardRestPairs(spark, rst2).count()
+    val tRestRead = (System.nanoTime() - t5) / 1e9
+    require(nRestPairs == nFullPairs,
+      s"at-rest merge diverged: $nRestPairs vs full $nFullPairs")
+    Dedup.jaccardRestDrop(spark, restPath)
+
     println(s"""{"metric":"stress_incdedup","docs":$nDocs,"delta":$nDelta,""" +
       s""""init_sec":$tInit,"base_pairs":$nBasePairs,""" +
       s""""merge_sec":$tMerge,"merged_pairs":$nMergedPairs,""" +
-      s""""full_recompute_sec":$tFull,"full_pairs":$nFullPairs}""")
+      s""""full_recompute_sec":$tFull,"full_pairs":$nFullPairs,""" +
+      s""""rest_init_sec":$tRestInit,"rest_merge_sec":$tRestMerge,""" +
+      s""""rest_pairs_read_sec":$tRestRead,"rest_pairs":$nRestPairs}""")
     spark.stop()
   }
 

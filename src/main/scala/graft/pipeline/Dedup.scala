@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -237,6 +237,273 @@ object Dedup {
       .select("ida", "idb", "jaccard")
     JaccardState(post2, mergedDf, carried.unionByName(rescored))
       .materialize(persistPost = false)
+  }
+
+  // ---------- incremental corpus addition, AT REST ----------
+
+  /** Handle to a [[jaccardRestInit]]-built on-disk working set. Nothing
+    * is persisted in executor memory between folds — the state IS the
+    * table. */
+  final case class JaccardRest(path: String, nBuckets: Int, fold: Int,
+      threshold: Double, maxDf: Long)
+
+  private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(c), lit(n)).cast("int")
+
+  /** Append `df` under `dir` as a parquet table DIRECTORY-PARTITIONED
+    * by `bcol` (token or id hash bucket) and row-group-sorted by
+    * `sortCol`, so probe joins on (bucket, key) get all three read
+    * levers: static partition pruning on literal bucket sets, dynamic
+    * partition pruning from a joined probe side, and min/max row-group
+    * skipping inside each file. */
+  private def writeBucketed(df: DataFrame, dir: String, bcol: String,
+      sortCol: String): Unit =
+    df.repartition(col(bcol)).sortWithinPartitions(sortCol)
+      .write.mode("append").partitionBy(bcol).parquet(dir)
+
+  private def writeRestMeta(st: JaccardRest): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq((st.nBuckets, st.fold, st.threshold, st.maxDf))
+      .toDF("nBuckets", "fold", "threshold", "maxDf")
+      .coalesce(1).write.mode("overwrite").parquet(s"${st.path}/meta")
+  }
+
+  /** Reopen an at-rest working set written by a previous session. */
+  def jaccardRestOpen(spark: SparkSession, path: String): JaccardRest = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    JaccardRest(path, m.getInt(0), m.getInt(1), m.getDouble(2), m.getLong(3))
+  }
+
+  /**
+   * Build the Jaccard dedup working set AT REST — the scale shape of
+   * [[jaccardInit]]/[[jaccardMerge]]. The in-memory variant's shard
+   * fold pays TWO full scans of the persisted corpus postings (partner
+   * probe + neighborhood extract) with join-shuffle on the corpus
+   * side; here the corpus lives on disk as bucket-partitioned parquet
+   * and every fold touches it through (bucket, key) equi-joins whose
+   * probe side is delta-sized — partition-pruned when the probe's
+   * buckets are few, broadcast (zero corpus shuffle) when AQE sees the
+   * probe is small, and at worst ONE sort-merge pass, never two.
+   *
+   * Layout under `path` (all plain parquet, append-only logs):
+   *  - `post_tok/tb=B/` postings partitioned by token hash bucket —
+   *    the partner-probe side;
+   *  - `post_id/ib=B/` the same postings partitioned by doc-id bucket
+   *    — read ONLY on the rare df-cap-crossing path to fetch affected
+   *    old docs' full token sets;
+   *  - `dflog/tb=B/` per-fold token document-frequency DELTAS; the
+   *    current df of a token set is a pruned sum over its buckets
+   *    (ingest never rewrites the vocabulary table);
+   *  - `sizes/` (id, sz, fold): capped token-set sizes, latest fold
+   *    per id wins;
+   *  - `pairs/` (ida, idb, jaccard, fold): scored-pair emissions;
+   *  - `wm/` (id, fold): the affected-doc watermark. Every fold
+   *    re-emits ALL surviving pairs that involve a doc it touched, so
+   *    at read time a pair is live iff its emission fold >= both
+   *    sides' watermarks — deletion without tombstones, and fold cost
+   *    never includes a scan of the pairs log.
+   * [[jaccardRestPairs]] resolves pairs+wm; compaction (rewriting the
+   * logs resolved) is the same checkpoint lever as the versioned
+   * table's and is left to the caller's cadence.
+   */
+  def jaccardRestInit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long, path: String,
+      nBuckets: Int = 64): JaccardRest = {
+    val spark = df.sparkSession
+    jaccardRestDrop(spark, path)
+    val post = postings(df, idCol, textCol)
+      .withColumn("tb", bucketOf(col("tok"), nBuckets))
+    writeBucketed(post, s"$path/post_tok", "tb", "tok")
+    // re-read the written postings (columnar) rather than re-exploding
+    // the source text for each downstream pass
+    val postR = spark.read.parquet(s"$path/post_tok")
+    writeBucketed(postR.select(col("id"), col("tok"),
+      bucketOf(col("id"), nBuckets).as("ib")), s"$path/post_id", "ib", "id")
+    val dfTab = postR.groupBy("tb", "tok").agg(count(lit(1)).as("dfc"))
+    writeBucketed(dfTab, s"$path/dflog", "tb", "tok")
+    val capped = postR
+      .join(spark.read.parquet(s"$path/dflog")
+        .groupBy("tok").agg(sum("dfc").as("dfc"))
+        .filter(col("dfc") <= maxDf).select("tok"), "tok")
+      .select("id", "tok")
+    capped.groupBy("id").agg(count(lit(1)).as("sz"))
+      .withColumn("fold", lit(0))
+      .write.mode("append").parquet(s"$path/sizes")
+    jaccardFromPostings(capped, threshold)
+      .withColumn("fold", lit(0))
+      .write.mode("append").parquet(s"$path/pairs")
+    spark.range(0).select(col("id"), lit(0).as("fold"))
+      .write.parquet(s"$path/wm")
+    val st = JaccardRest(path, nBuckets, 0, threshold, maxDf)
+    writeRestMeta(st)
+    st
+  }
+
+  /** Latest committed capped size per doc. */
+  private def latestSizes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sizes")
+      .groupBy("id")
+      .agg(max(struct(col("fold"), col("sz"))).getField("sz").as("sz"))
+
+  /**
+   * Fold one shard into an at-rest working set — same semantics as
+   * [[jaccardMerge]] (spec pins equality with a full recompute,
+   * including df-cap crossings), delta-cost reads:
+   *  - crossing check = pruned (tb, tok) probe of the df log by the
+   *    shard vocabulary;
+   *  - affected old docs (crossings only) = pruned probe of `post_tok`
+   *    by the crossed tokens, then of `post_id` by the affected ids;
+   *  - partner/intersection rows = ONE probe of `post_tok` by the
+   *    affected docs' capped tokens. Intersections of affected pairs
+   *    only ever involve the affected side's own tokens, so this probe
+   *    is the complete rescore input — the in-memory variant's second
+   *    full scan (neighborhood extract keyed by id) is replaced by the
+   *    maintained sizes log.
+   * Document ids must be unique across shards (caller's contract).
+   */
+  def jaccardRestMerge(st: JaccardRest, delta: DataFrame, idCol: String,
+      textCol: String): JaccardRest = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = delta.sparkSession
+    val nB = st.nBuckets
+    val fold = st.fold + 1
+    val path = st.path
+    // stage-attribution timing for stress profiling (off in production)
+    val debugT = sys.env.contains("SPARK_GRAFT_DEBUG_TIMING")
+    var lastT = System.nanoTime()
+    def mark(label: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      println(f"[jrest] $label%-14s ${(now - lastT) / 1e9}%.2fs")
+      lastT = now
+    }
+    val dPost = postings(delta, idCol, textCol)
+      .withColumn("tb", bucketOf(col("tok"), nB))
+      .localCheckpoint(true)
+    val dDf = dPost.groupBy("tb", "tok").agg(count(lit(1)).as("dfc"))
+      .localCheckpoint(true)
+    mark("delta")
+    // tokens the shard pushes over the cap: pre-shard df of the SHARD
+    // vocabulary only (pruned probe of the df log)
+    val crossed = spark.read.parquet(s"$path/dflog")
+      .join(dDf.withColumnRenamed("dfc", "ddfc"), Seq("tb", "tok"))
+      .groupBy("tb", "tok", "ddfc").agg(sum("dfc").as("olddfc"))
+      .filter(col("olddfc") <= st.maxDf &&
+        col("olddfc") + col("ddfc") > st.maxDf)
+      .select("tb", "tok")
+      .localCheckpoint(true)
+    val hasCrossed = crossed.limit(1).count() > 0
+    mark("crosscheck")
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val affectedOld =
+      if (hasCrossed)
+        spark.read.parquet(s"$path/post_tok")
+          .join(crossed, Seq("tb", "tok")).select("id").distinct()
+          .localCheckpoint(true)
+      else spark.range(0).select(col("id"))
+    val affected = affectedOld.unionByName(deltaIds).distinct()
+      .localCheckpoint(true)
+    mark("affected")
+    // full token sets of affected OLD docs, via the id-bucketed copy;
+    // materialized BEFORE the shard is appended (lazy reads would see
+    // the new files)
+    val affPost = (if (hasCrossed)
+        spark.read.parquet(s"$path/post_id")
+          .join(affectedOld.withColumn("ib", bucketOf(col("id"), nB)),
+            Seq("ib", "id"))
+          .select(col("id"), col("tok"), bucketOf(col("tok"), nB).as("tb"))
+          .unionByName(dPost.select("id", "tok", "tb"))
+      else dPost.select("id", "tok", "tb"))
+      .localCheckpoint(true)
+    mark("affpost")
+    // publish the shard (postings + df deltas); everything below reads
+    // the merged state
+    writeBucketed(dPost.select("id", "tok", "tb"), s"$path/post_tok", "tb", "tok")
+    writeBucketed(dPost.select(col("id"), col("tok"),
+      bucketOf(col("id"), nB).as("ib")), s"$path/post_id", "ib", "id")
+    writeBucketed(dDf, s"$path/dflog", "tb", "tok")
+    mark("publish")
+    // capped tokens of affected docs against the MERGED df (pruned sum)
+    val aTok = spark.read.parquet(s"$path/dflog")
+      .join(affPost.select("tb", "tok").distinct(), Seq("tb", "tok"))
+      .groupBy("tb", "tok").agg(sum("dfc").as("dfc"))
+      .filter(col("dfc") <= st.maxDf)
+
+      .select("tb", "tok")
+      .localCheckpoint(true)
+    mark("atok")
+    // THE corpus probe: every (id, tok in aTok) row, shard included —
+    // one pruned/broadcast-joined pass, materialized once
+    val nbrRows = spark.read.parquet(s"$path/post_tok")
+      .join(aTok, Seq("tb", "tok")).select("id", "tok")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (debugT) { nbrRows.count(); mark("nbrrows") }
+    val aP = nbrRows.join(affected, Seq("id"), "left_semi")
+    val pP = nbrRows.join(affected, Seq("id"), "left_anti")
+    // capped sizes: affected recomputed (aP IS their capped postings),
+    // partners from the sizes log (unchanged by this fold)
+    val szAff = aP.groupBy("id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    mark("sizes")
+    val szPart = latestSizes(spark, path)
+      .join(pP.select("id").distinct(), Seq("id"), "left_semi")
+    val sizes = szAff.unionByName(szPart)
+    val inter = aP.as("a").join(pP.as("b"), col("a.tok") === col("b.tok"))
+      .select(least(col("a.id"), col("b.id")).as("ida"),
+        greatest(col("a.id"), col("b.id")).as("idb"))
+      .unionByName(aP.as("a").join(aP.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ida"), col("b.id").as("idb")))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("i"))
+    val rescored = inter
+      .join(sizes.withColumnRenamed("id", "ida")
+        .withColumnRenamed("sz", "sa"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb")
+        .withColumnRenamed("sz", "sb"), "idb")
+      .select(col("ida"), col("idb"),
+        round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= st.threshold)
+    rescored.withColumn("fold", lit(fold))
+      .write.mode("append").parquet(s"$path/pairs")
+    affected.withColumn("fold", lit(fold))
+      .write.mode("append").parquet(s"$path/wm")
+    szAff.withColumn("fold", lit(fold))
+      .write.mode("append").parquet(s"$path/sizes")
+    mark("rescore+write")
+    nbrRows.unpersist(blocking = false)
+    val next = st.copy(fold = fold)
+    writeRestMeta(next)
+    next
+  }
+
+  /** Live scored pairs of an at-rest working set: latest emission per
+    * pair, kept iff emitted at or after BOTH sides' affected
+    * watermarks (every fold re-emits all surviving pairs of the docs
+    * it touched, so an older emission involving a touched doc is dead
+    * by construction). */
+  def jaccardRestPairs(spark: SparkSession, st: JaccardRest): DataFrame = {
+    val latest = spark.read.parquet(s"${st.path}/pairs")
+      .groupBy("ida", "idb")
+      .agg(max(struct(col("fold"), col("jaccard"))).as("s"))
+      .select(col("ida"), col("idb"), col("s.fold").as("pf"),
+        col("s.jaccard").as("jaccard"))
+    val wm = spark.read.parquet(s"${st.path}/wm")
+      .groupBy("id").agg(max("fold").as("wf"))
+    latest
+      .join(wm.select(col("id").as("ida"), col("wf").as("wa")), Seq("ida"), "left")
+      .join(wm.select(col("id").as("idb"), col("wf").as("wb")), Seq("idb"), "left")
+      .filter(col("pf") >= coalesce(col("wa"), lit(0)) &&
+        col("pf") >= coalesce(col("wb"), lit(0)))
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** Destroy an at-rest working set. */
+  def jaccardRestDrop(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) { f.delete(p, true); () }
   }
 
   /**

@@ -207,6 +207,66 @@ object StreamingOps {
       }
   }
 
+  /** State for [[streamingAsofOutOfOrder]]: the folded latest-left
+    * (ts, id) over MATURED events, plus the events still inside the
+    * watermark delay. */
+  final case class AsofBufState(lastTs: Option[Long], lastId: Option[Long],
+      pending: Seq[AsofInput])
+
+  /** [[AsofInput]] plus the watermark column — the eventTime attribute
+    * must survive into the stateful operator or the analyzer prunes
+    * the watermark node and rejects the event-time timeout. */
+  private[streaming] final case class AsofInputWm(k: Long, tsMicros: Long,
+      tag: Int, id: Long, eventTime: java.sql.Timestamp)
+
+  /**
+   * Out-of-order tolerant [[streamingAsof]]: events are held in an
+   * event-time buffer until the WATERMARK passes them, then folded in
+   * timestamp order — so ANY arrival disorder within `delay` (across
+   * micro-batches included) produces exactly the batch [[asofJoin]]
+   * answer, where the plain [[streamingAsof]] pins equivalence only
+   * under per-key in-order delivery. The price is the standard
+   * watermark trade: results for a right event emit only once the
+   * watermark passes its timestamp (one `delay` of latency), and state
+   * carries up to `delay`'s worth of a key's events instead of O(1).
+   * Buffered keys register an event-time timeout at their oldest
+   * pending timestamp, so maturation never depends on more events
+   * arriving for the key.
+   */
+  def streamingAsofOutOfOrder(events: Dataset[AsofInput],
+      delay: String): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val wm = events
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", delay)
+      .as[AsofInputWm]
+    wm.groupByKey(_.k)
+      .flatMapGroupsWithState[AsofBufState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k, it, state: GroupState[AsofBufState]) =>
+          // timeout firings and data batches share one path: release
+          // everything the watermark has passed, hold the rest
+          val st = state.getOption.getOrElse(AsofBufState(None, None, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val incoming = it.map(e => AsofInput(e.k, e.tsMicros, e.tag, e.id))
+          val (ready, hold) = (st.pending ++ incoming.toSeq)
+            .partition(_.tsMicros <= wmMicros)
+          var last = st.lastTs.zip(st.lastId)
+          val out = Seq.newBuilder[AsofOut]
+          ready.sortBy(e => (e.tsMicros, e.tag, e.id)).foreach { e =>
+            if (e.tag == 1) last = Some((e.tsMicros, e.id))
+            else out += AsofOut(e.id, k, last.map(_._2),
+              last.map(l => e.tsMicros - l._1))
+          }
+          state.update(AsofBufState(last.map(_._1), last.map(_._2), hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              hold.map(_.tsMicros).min / 1000L))
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEventRow(user_id: Long, tsMicros: Long,
       event_type: String)
 
@@ -302,6 +362,55 @@ object StreamingOps {
               if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
               Iterator.single(FunnelProgress(uid, times))
             }
+        }
+    }
+
+    /** State for [[streamingOutOfOrder]]: folded stage times over
+      * matured events + the events still inside the watermark delay. */
+    final case class FunnelBufState(times: List[Long],
+        pending: Seq[FunnelEventRow])
+
+    /** [[FunnelEventRow]] plus the watermark column (see
+      * [[StreamingOps.AsofInputWm]]). */
+    private[streaming] final case class FunnelEventWm(user_id: Long,
+        tsMicros: Long, event_type: String,
+        eventTime: java.sql.Timestamp)
+
+    /** Out-of-order tolerant [[streaming]]: the same event-time buffer
+      * as [[StreamingOps.streamingAsofOutOfOrder]] — hold events until
+      * the watermark passes them, fold in timestamp order — so arrival
+      * disorder within `delay` (cross-batch included) converges to the
+      * batch funnel, not just in-order feeds. Update mode: each batch
+      * that matures events re-emits the user's cumulative progress. */
+    def streamingOutOfOrder(events: Dataset[FunnelEventRow], delay: String,
+        stages: Seq[String] = Stages,
+        windowMicros: Long = WindowMicros): Dataset[FunnelProgress] = {
+      import events.sparkSession.implicits._
+      val wm = events
+        .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+        .withWatermark("eventTime", delay)
+        .as[FunnelEventWm]
+      wm.groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelBufState, FunnelProgress](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+          (uid, it, state: GroupState[FunnelBufState]) =>
+            val st = state.getOption.getOrElse(FunnelBufState(Nil, Nil))
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val incoming = it.map(e =>
+              FunnelEventRow(e.user_id, e.tsMicros, e.event_type))
+            val (ready, hold) = (st.pending ++ incoming.toSeq)
+              .partition(_.tsMicros <= wmMicros)
+            var times = st.times
+            ready.sortBy(_.tsMicros).foreach { e =>
+              times = fold(times, stages, windowMicros,
+                e.tsMicros, e.event_type)
+            }
+            state.update(FunnelBufState(times, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                hold.map(_.tsMicros).min / 1000L))
+            Iterator.single(FunnelProgress(uid, times))
         }
     }
   }

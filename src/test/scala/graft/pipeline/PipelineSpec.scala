@@ -720,6 +720,52 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  test("at-rest jaccard: init + two folds equal full recomputes, incl. cap crossing") {
+    import graft.pipeline.Dedup
+    val base = Seq(
+      (1L, "hot a b c d"),
+      (2L, "hot a b c e"),
+      (3L, "hot x y z w"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    // shard 1 = the in-memory spec's fixture: a near-dup, a cap
+    // crossing ('hot' passes maxDf=3), and an unrelated doc
+    val delta1 = Seq(
+      (5L, "a b c d f"),
+      (6L, "hot m n"),
+      (7L, "zz yy")).toDF("doc_id", "text")
+    // shard 2 touches shard-1 docs (8 near-dups 5) and base docs
+    val delta2 = Seq(
+      (8L, "a b c d g"),
+      (9L, "p q r t")).toDF("doc_id", "text")
+    val threshold = 0.1
+    val maxDf = 3L
+    val path = "target/tmp/jrest-spec"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val st0 = Dedup.jaccardRestInit(base, "doc_id", "text", threshold, maxDf,
+      path, nBuckets = 8)
+    assert(pairsOf(Dedup.jaccardRestPairs(spark, st0)) ==
+      pairsOf(Dedup.jaccardInit(base, "doc_id", "text", threshold, maxDf).pairs))
+    val st1 = Dedup.jaccardRestMerge(st0, delta1, "doc_id", "text")
+    val full1 = Dedup.jaccardInit(base.unionByName(delta1),
+      "doc_id", "text", threshold, maxDf)
+    val got1 = pairsOf(Dedup.jaccardRestPairs(spark, st1))
+    assert(got1 == pairsOf(full1.pairs))
+    assert(got1.nonEmpty)
+    // the crossing actually exercised the rescore path (1-2 changed)
+    val pre12 = pairsOf(Dedup.jaccardInit(base, "doc_id", "text",
+      threshold, maxDf).pairs).find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(got1.find(p => p._1 == 1L && p._2 == 2L).get._3 != pre12)
+    // second fold on the reopened state (the durable-handle path)
+    val st1r = Dedup.jaccardRestOpen(spark, path)
+    assert(st1r == st1)
+    val st2 = Dedup.jaccardRestMerge(st1r, delta2, "doc_id", "text")
+    val full2 = Dedup.jaccardInit(base.unionByName(delta1).unionByName(delta2),
+      "doc_id", "text", threshold, maxDf)
+    assert(pairsOf(Dedup.jaccardRestPairs(spark, st2)) == pairsOf(full2.pairs))
+    Dedup.jaccardRestDrop(spark, path)
+  }
+
   test("dupSpanCoverage counts tokens under shared 3-gram spans only") {
     // docs 1 and 2 share the opening 4 tokens (two overlapping 3-grams
     // covering tokens 1..4); doc 3 is disjoint

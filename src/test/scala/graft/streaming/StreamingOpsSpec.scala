@@ -325,6 +325,112 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("out-of-order streaming as-of equals batch under shuffled-within-delay feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    // strictly increasing distinct timestamps 60s apart; disorder is
+    // introduced by shuffling 90-event blocks, then feeding batches of
+    // 60 — displacement <= 90 min, within the 2h watermark delay, and
+    // the 90/60 mismatch guarantees disorder ACROSS batch boundaries
+    // (the case the in-order operator cannot handle)
+    val rows = (0 until 360).map { i =>
+      val k = rng.nextInt(5).toLong
+      // key 4 is right-only, so unmatched (null-left) rights occur
+      val tag = if (k == 4L || !rng.nextBoolean()) 0 else 1
+      StreamingOps.AsofInput(k,
+        i.toLong * 60L * 1000000L + rng.nextInt(1000), tag, 1000L + i)
+    }
+    val shuffled = rows.grouped(90).flatMap(b => rng.shuffle(b)).toSeq
+    assert(shuffled != rows.sortBy(_.tsMicros), "fixture failed to disorder")
+    val maxTs = rows.map(_.tsMicros).max
+    // sentinel left row far past max+delay: advances the watermark so
+    // every real event matures; emits nothing itself (tag 1)
+    val sentinel = StreamingOps.AsofInput(999L,
+      maxTs + 4L * 3600L * 1000000L, 1, 999999L)
+    val stream = MemoryStream[StreamingOps.AsofInput]
+    val query = StreamingOps.streamingAsofOutOfOrder(stream.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("sasof_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shuffled.grouped(60).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      stream.addData(sentinel)
+      query.processAllAvailable()
+      val streamed = spark.table("sasof_ooo").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+        .toSet
+      val left = rows.filter(_.tag == 1)
+        .map(e => (e.id, e.k, timestampOf(e.tsMicros)))
+        .toDF("lid", "k", "ts")
+      val right = rows.filter(_.tag == 0)
+        .map(e => (e.id, e.k, timestampOf(e.tsMicros)))
+        .toDF("rid", "k", "ts")
+      val batch = StreamingOps.asofJoin(left, right, "k", "ts", "lid", "rid")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_._2.isDefined) && streamed.exists(_._2.isEmpty),
+        "degenerate fixture")
+    } finally query.stop()
+  }
+
+  test("out-of-order streaming funnel equals batch under shuffled-within-delay feed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val rng = new scala.util.Random(53)
+    // same disorder construction as the as-of test: 30min spacing,
+    // 90-block shuffle (<= 45h displacement) under a 48h delay, fed in
+    // 60-event batches so disorder crosses batch boundaries
+    val events = (0 until 360).map { i =>
+      StreamingOps.FunnelEventRow(rng.nextInt(9).toLong,
+        i.toLong * 1800L * 1000000L + rng.nextInt(1000000),
+        types(rng.nextInt(types.length)))
+    }
+    val shuffled = events.grouped(90).flatMap(b => rng.shuffle(b)).toSeq
+    val maxTs = events.map(_.tsMicros).max
+    val sentinel = StreamingOps.FunnelEventRow(999L,
+      maxTs + 96L * 3600L * 1000000L, "error")
+    val stream = MemoryStream[StreamingOps.FunnelEventRow]
+    val query = StreamingOps.Funnel
+      .streamingOutOfOrder(stream.toDS(), "48 hours")
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(60).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      stream.addData(sentinel)
+      query.processAllAvailable()
+      // LAST update per user is the converged answer
+      val updates = spark.table("funnel_ooo").collect()
+      val streamed = updates.zipWithIndex
+        .groupBy(_._1.getLong(0)).map { case (u, rs) =>
+          u -> rs.maxBy(_._2)._1.getSeq[Long](1).toList
+        }
+        .filter(_._1 != 999L)
+      val batch = StreamingOps.Funnel.batch(
+        events.map(e => (e.user_id, timestampOf(e.tsMicros), e.event_type))
+          .toDF("user_id", "ts", "event_type"))
+        .collect().map { r =>
+          r.getLong(0) -> (1 until r.length).toList
+            .map(i => Option(r.getTimestamp(i)))
+            .takeWhile(_.isDefined)
+            .map(t => t.get.getTime * 1000L + t.get.getNanos / 1000 % 1000)
+        }.toMap
+      assert(streamed == batch)
+      // coverage: both completed and partial funnels occurred
+      assert(streamed.values.exists(_.length == 3) &&
+        streamed.values.exists(_.length < 3), "degenerate fixture")
+    } finally query.stop()
+  }
+
   private def timestampOf(micros: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(micros / 1000L)
     t.setNanos((micros % 1000000L).toInt * 1000)

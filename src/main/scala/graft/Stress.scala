@@ -332,18 +332,28 @@ object Stress {
     val nTt = Versioned.currentAsOf(spark, path, "k", 25).count()
     val tTt = (System.nanoTime() - t4) / 1e9
 
-    // retention: vacuum under a 10-version horizon reclaims everything
-    // below the checkpoint; the dir listing is bounded and resolved
-    // reads are unchanged
+    // retention: 5 more post-checkpoint appends, then vacuum with a
+    // 5-version horizon — base = the checkpoint, the 52 pre-checkpoint
+    // dirs are reclaimed, the post-checkpoint tail is retained; the dir
+    // listing is bounded and resolved reads are unchanged
+    (1 to 5).foreach { i =>
+      Versioned.append(
+        spark.range(nRows / 100)
+          .select((col("id") * 100 + i % 100).as("k"),
+            (col("id") + 1000L + i).as("x")), path)
+    }
+    val nPreVac = Versioned.current(spark, path, "k").count()
     val t5 = System.nanoTime()
-    val reclaimed = Versioned.vacuum(spark, path, 10)
+    val reclaimed = Versioned.vacuum(spark, path, 5)
     val tVacuum = (System.nanoTime() - t5) / 1e9
     val nDirs = Versioned.versions(spark, path).size
+    require(reclaimed.nonEmpty && nDirs <= 7,
+      s"vacuum reclaimed ${reclaimed.size} dirs, $nDirs remain")
     val t6 = System.nanoTime()
     val nPostVac = Versioned.current(spark, path, "k").count()
     val tPostVac = (System.nanoTime() - t6) / 1e9
-    require(nPostVac == nPre,
-      s"vacuum changed the resolved state: $nPre vs $nPostVac")
+    require(nPostVac == nPreVac,
+      s"vacuum changed the resolved state: $nPreVac vs $nPostVac")
 
     println(s"""{"metric":"stress_vtable","rows":$nRows,"versions":${cp},""" +
       s""""build_sec":$tBuild,"resolve_pre_compact_sec":$tPre,""" +

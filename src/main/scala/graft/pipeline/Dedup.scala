@@ -499,6 +499,55 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  /**
+   * Checkpoint-compact an at-rest working set: every log is rewritten
+   * RESOLVED — pairs to the live set (watermarks folded in, wm log
+   * emptied), sizes to latest-per-doc, the df log to one aggregated
+   * fold, and the two postings tables coalesced (shard appends
+   * accumulate small files per bucket; compaction rewrites each bucket
+   * once). O(corpus) cost by design — the same cadence lever as the
+   * versioned table's `compact`: fold cost stays delta-sized between
+   * compactions, read-resolve cost resets to zero history. Single
+   * writer, like every other mutation here.
+   */
+  def jaccardRestCompact(spark: SparkSession, st: JaccardRest): JaccardRest = {
+    val path = st.path
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      val tmp = s"$path/.compact-$sub"
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      write(tmp)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      ()
+    }
+    // each swap WRITES the resolved view to a temp dir (reading the
+    // still-present source logs), then deletes the source and renames —
+    // no lineage ever outlives its files. Resolved pairs re-stamp at
+    // the current fold; all watermarks are thereby satisfied, so the
+    // wm log restarts empty.
+    swapIn("pairs")(t => jaccardRestPairs(spark, st)
+      .withColumn("fold", lit(st.fold)).write.parquet(t))
+    swapIn("wm")(t => spark.range(0)
+      .select(col("id"), lit(0).as("fold")).write.parquet(t))
+    swapIn("sizes")(t => latestSizes(spark, path)
+      .withColumn("fold", lit(st.fold)).write.parquet(t))
+    swapIn("dflog")(t => spark.read.parquet(s"$path/dflog")
+      .groupBy("tb", "tok").agg(sum("dfc").as("dfc"))
+      .repartition(col("tb")).sortWithinPartitions("tok")
+      .write.partitionBy("tb").parquet(t))
+    Seq("post_tok" -> "tb", "post_id" -> "ib").foreach { case (sub, bcol) =>
+      swapIn(sub)(t => spark.read.parquet(s"$path/$sub")
+        .repartition(col(bcol))
+        .sortWithinPartitions(if (bcol == "tb") "tok" else "id")
+        .write.partitionBy(bcol).parquet(t))
+    }
+    writeRestMeta(st)
+    st
+  }
+
   /** Destroy an at-rest working set. */
   def jaccardRestDrop(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

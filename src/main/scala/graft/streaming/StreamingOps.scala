@@ -576,27 +576,53 @@ object StreamingOps {
       Array.fill(nFeatures)(new Array[Long](xCard * yCard))
     var nInstances: Long = 0L
 
-    /** Fold one micro-batch of feature rows (f0..f{n-1}, label). */
+    /** Fold one micro-batch of feature rows (f0..f{n-1}, label).
+      *
+      * Per-partition primitive-array accumulation (the batch histogram
+      * kernel's shape): each task folds its rows into nFeatures dense
+      * count matrices and the matrices tree-reduce — no row expansion
+      * anywhere. The previous formulation exploded nFeatures structs
+      * per row before a groupBy; at the survey's real width (631
+      * features) that is a 631x row blowup through the shuffle, where
+      * this ships O(partitions x nFeatures x xCard x yCard) longs
+      * regardless of batch size or width. */
     def update(batch: DataFrame): this.type = {
-      // one long-form delta per batch: (feature, x, y, cnt)
-      val stacked = batch.select(
-        explode(array((0 until nFeatures).map(i =>
-          struct(lit(i).as("feature"), col(s"f$i").as("x"))): _*)).as("fx"),
-        col("label").as("y"))
-        .select(col("fx.feature"), col("fx.x"), col("y"))
-        .groupBy("feature", "x", "y").count()
-      val rows = stacked.collect()
-      var total = 0L
-      rows.foreach { r =>
-        val f = r.getInt(0); val x = r.getInt(1); val y = r.getInt(2)
-        val c = r.getLong(3)
-        counts(f)(x * yCard + y) += c
-        total += c
+      val nf = nFeatures; val xc = xCard; val yc = yCard
+      val rdd = batch
+        .select((0 until nf).map(i => col(s"f$i")) :+ col("label"): _*)
+        .rdd
+      if (rdd.getNumPartitions == 0) return this // empty micro-batch
+      val (delta, n) = rdd.mapPartitions { it =>
+          val acc = Array.fill(nf)(new Array[Long](xc * yc))
+          var n = 0L
+          it.foreach { r =>
+            require(!(0 to nf).exists(r.isNullAt),
+              "IncrementalHistogramState: null feature/label value")
+            val y = r.getInt(nf)
+            var f = 0
+            while (f < nf) { acc(f)(r.getInt(f) * yc + y) += 1L; f += 1 }
+            n += 1L
+          }
+          Iterator.single((acc, n))
+        }
+        .treeReduce({ case ((a, na), (b, nb)) =>
+          var f = 0
+          while (f < nf) {
+            val af = a(f); val bf = b(f)
+            var i = 0
+            while (i < af.length) { af(i) += bf(i); i += 1 }
+            f += 1
+          }
+          (a, na + nb)
+        }, depth = 2)
+      var f = 0
+      while (f < nf) {
+        val cf = counts(f); val df = delta(f)
+        var i = 0
+        while (i < cf.length) { cf(i) += df(i); i += 1 }
+        f += 1
       }
-      // every input row contributes exactly one cell per feature
-      require(total % nFeatures == 0,
-        s"delta total $total not divisible by $nFeatures (null feature values?)")
-      nInstances += total / nFeatures
+      nInstances += n
       this
     }
 

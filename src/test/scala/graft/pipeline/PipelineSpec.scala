@@ -762,7 +762,18 @@ class TextOpsSpec extends SparkSpec {
     val st2 = Dedup.jaccardRestMerge(st1r, delta2, "doc_id", "text")
     val full2 = Dedup.jaccardInit(base.unionByName(delta1).unionByName(delta2),
       "doc_id", "text", threshold, maxDf)
-    assert(pairsOf(Dedup.jaccardRestPairs(spark, st2)) == pairsOf(full2.pairs))
+    val got2 = pairsOf(Dedup.jaccardRestPairs(spark, st2))
+    assert(got2 == pairsOf(full2.pairs))
+    // compaction rewrites every log resolved: same pairs, and a
+    // POST-compact fold still equals the full recompute
+    val stC = Dedup.jaccardRestCompact(spark, st2)
+    assert(pairsOf(Dedup.jaccardRestPairs(spark, stC)) == got2)
+    val delta3 = Seq((10L, "a b c d h"), (11L, "hot v")).toDF("doc_id", "text")
+    val st3 = Dedup.jaccardRestMerge(stC, delta3, "doc_id", "text")
+    val full3 = Dedup.jaccardInit(
+      base.unionByName(delta1).unionByName(delta2).unionByName(delta3),
+      "doc_id", "text", threshold, maxDf)
+    assert(pairsOf(Dedup.jaccardRestPairs(spark, st3)) == pairsOf(full3.pairs))
     Dedup.jaccardRestDrop(spark, path)
   }
 

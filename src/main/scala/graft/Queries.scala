@@ -879,21 +879,27 @@ object Queries {
     val base = s"target/tmp/bucketed-$tag"
     val liT = s"graft_bkt_lineitem_$tag"
     val ordT = s"graft_bkt_orders_$tag"
-    spark.sql(s"DROP TABLE IF EXISTS $liT")
-    spark.sql(s"DROP TABLE IF EXISTS $ordT")
-    // prune to the query's columns before the bucketed write — the
-    // write is the pay-once cost of the pattern and column pruning
-    // applies to it exactly as to any scan
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_quantity")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable(liT)
-    spark.read.parquet(s"$dir/orders.parquet")
-      .select("o_orderkey", "o_orderpriority")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable(ordT)
+    // pay-once fixture (the pattern's whole point): built once per JVM
+    // — like the vtable fixtures, so the bench times the shuffle-free
+    // JOIN, not two bucketed table writes
+    fixtureBuilt.getOrElseUpdate(base, {
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $ordT")
+      // prune to the query's columns before the bucketed write — the
+      // write is the pay-once cost of the pattern and column pruning
+      // applies to it exactly as to any scan
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(liT)
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ordT)
+      ()
+    })
     bucketedJoinAgg(spark.table(liT), spark.table(ordT))
   }
 
@@ -1101,7 +1107,7 @@ object Queries {
     // untimed warm pass absorbs the fixture writes so its timed pass
     // measures the RESOLVE (the operator), not three parquet writes.
     // On-disk state, not a Spark cache — clearCache leaves it alone.
-    vtableBuilt.getOrElseUpdate(path, {
+    fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
@@ -1122,8 +1128,11 @@ object Queries {
     path
   }
 
-  /** Fixture paths already built this JVM (see [[buildVersionedDemo]]). */
-  private val vtableBuilt = TrieMap.empty[String, Unit]
+  /** On-disk fixture paths already built this JVM (versioned tables,
+    * bucketed tables) — deterministic per (tag, dir), so the bench's
+    * untimed warm pass absorbs the build and the timed pass measures
+    * the operator. */
+  private val fixtureBuilt = TrieMap.empty[String, Unit]
 
   /** Shared oracle CTEs reconstructing the version log from the
     * documents table (the same trick as the schema-evolution oracle:
@@ -1237,7 +1246,7 @@ object Queries {
   def tableMerge(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-merge-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    vtableBuilt.getOrElseUpdate(path, {
+    fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
@@ -1275,7 +1284,7 @@ object Queries {
   def tablePrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-prune-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    vtableBuilt.getOrElseUpdate(path, {
+    fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       Versioned.append(docs.select("doc_id", "n_chars")

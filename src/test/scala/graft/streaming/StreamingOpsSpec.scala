@@ -576,6 +576,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch shard ingest into the AT-REST dedup set converges to batch") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shards = Seq(
+      Seq((1L, "hot a b c d"), (2L, "hot a b c e"), (3L, "hot x y z")),
+      Seq((4L, "a b c d f"), (5L, "hot m n")),
+      Seq((6L, "p q r s")))
+    val threshold = 0.1
+    val maxDf = 3L
+    val path = "target/tmp/jrest-stream"
+    Dedup.jaccardRestDrop(spark, path)
+    // durable state: each micro-batch folds into the ON-DISK working
+    // set; nothing survives in memory between batches (the handle is
+    // re-opened from the meta file — a restart would do the same)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+        val b = rows.toSeq.toDF("doc_id", "text")
+        if (!new java.io.File(s"$path/meta").exists())
+          Dedup.jaccardRestInit(b, "doc_id", "text", threshold, maxDf,
+            path, nBuckets = 8)
+        else
+          Dedup.jaccardRestMerge(Dedup.jaccardRestOpen(spark, path),
+            b, "doc_id", "text")
+        ()
+      }
+      .start()
+    try {
+      shards.foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = pairsOf(Dedup.jaccardRestPairs(spark,
+      Dedup.jaccardRestOpen(spark, path)))
+    val batchAll = pairsOf(Dedup.jaccardInit(
+      shards.flatten.toDF("doc_id", "text"),
+      "doc_id", "text", threshold, maxDf).pairs)
+    assert(streamed == batchAll, s"streamed=$streamed batch=$batchAll")
+    assert(streamed.nonEmpty)
+    Dedup.jaccardRestDrop(spark, path)
+  }
+
   test("sliding windows: every event lands in exactly length/slide windows") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:40:00")

@@ -166,6 +166,7 @@ object Versioned {
    */
   private def commit(df: DataFrame, path: String, checkpoint: Boolean = false,
       merge: Boolean = false, batchMarker: Option[String] = None,
+      sortBy: Seq[org.apache.spark.sql.Column] = Nil, sortFiles: Int = 0,
       attempt: Int = 0): Int = {
     require(attempt < 5, s"commit at $path lost the version slot $attempt " +
       "times to concurrent writers; coordinate writers or add a metastore CAS")
@@ -179,11 +180,23 @@ object Versioned {
       .withColumn(SeqCol, monotonically_increasing_id())
     val staging = new Path(path,
       s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    stamped.write.mode("overwrite").parquet(staging.toString)
+    // optional clustering (compactZOrder): range-partition + sort by the
+    // cluster key so each FILE covers a tight slice of it — that is
+    // what makes the per-file footer stats selective
+    val laidOut =
+      if (sortBy.isEmpty) stamped
+      else stamped.repartitionByRange(
+        if (sortFiles > 0) sortFiles
+        else math.max(spark.sparkContext.defaultParallelism, 1), sortBy: _*)
+        .sortWithinPartitions(sortBy: _*)
+    laidOut.write.mode("overwrite").parquet(staging.toString)
     writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
     if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
     if (merge) f.create(new Path(staging, MergeMarker)).close()
     batchMarker.foreach(m => f.create(new Path(staging, m)).close())
+    // commit wall-clock stamp (timestamp time travel); inside staging,
+    // atomic with everything else
+    f.create(new Path(staging, s"_TS_${System.currentTimeMillis()}")).close()
     val dst = new Path(path, s"v=$v")
     // a legacy torn dir (pre-staging era, or manual damage) without
     // _SUCCESS is invisible to readers; reclaim its slot
@@ -191,9 +204,39 @@ object Versioned {
       f.delete(dst, true)
     if (f.exists(dst) || !f.rename(staging, dst)) {
       f.delete(staging, true)
-      commit(df, path, checkpoint, merge, batchMarker, attempt + 1)
+      commit(df, path, checkpoint, merge, batchMarker, sortBy, sortFiles,
+        attempt + 1)
     } else v
   }
+
+  /** Commit wall-clock time (epoch millis) per committed version, from
+    * the `_TS_` marker stamped atomically with each commit. */
+  def commitTimes(spark: SparkSession, path: String): Map[Int, Long] = {
+    val f = fs(spark, path)
+    versions(spark, path).flatMap { v =>
+      f.listStatus(new Path(s"$path/v=$v")).toSeq
+        .map(_.getPath.getName).find(_.startsWith("_TS_"))
+        .map(n => v -> n.stripPrefix("_TS_").toLong)
+    }.toMap
+  }
+
+  /** The newest version committed at or before epoch-millis `ts` —
+    * timestamp time travel (`TIMESTAMP AS OF`). Versions without a
+    * timestamp marker (pre-stamp tables) count as infinitely old.
+    * Wall-clock caveat: ordering is only as good as the writer's clock;
+    * version numbers are the authoritative order. */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val times = commitTimes(spark, path)
+    val elig = versions(spark, path)
+      .filter(v => times.get(v).forall(_ <= tsMillis))
+    require(elig.nonEmpty,
+      s"no version committed at or before epoch-millis $tsMillis at $path")
+    elig.max
+  }
+
+  def currentAtTime(spark: SparkSession, path: String, keyCol: String,
+      tsMillis: Long): DataFrame =
+    currentAsOf(spark, path, keyCol, versionAt(spark, path, tsMillis))
 
   /** Union the given committed version dirs — mergeSchema, so a column
     * added in a later version reads as NULL in earlier rows. */
@@ -426,23 +469,50 @@ object Versioned {
     val from = base.map(_ - 1).getOrElse(0)
     val vs = versions(spark, path).filter(v => v > from && v <= version)
     require(vs.nonEmpty, s"no committed versions in ($from, $version] at $path")
+    resolve(readPruned(spark, path, vs, keyCol, lo, hi), keyCol,
+      mergeVersions(spark, path).exists(v => v > from && v <= version))
+      // exact predicate on top of the pruned scan
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** Zone-map-pruned union read of the given version dirs: only files
+    * whose footer [min,max] for `colName` may intersect [lo, hi] are
+    * opened. */
+  private def readPruned(spark: SparkSession, path: String, vs: Seq[Int],
+      colName: String, lo: Any, hi: Any): DataFrame = {
     val f = fs(spark, path)
     val files = vs.flatMap { v =>
       val dir = new Path(s"$path/v=$v")
       val stats = readStats(f, dir)
       f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
         .filter(s => mayIntersect(
-          stats.getOrElse(s.getPath.getName, Map.empty), keyCol, lo, hi))
+          stats.getOrElse(s.getPath.getName, Map.empty), colName, lo, hi))
         .map(_.getPath.toString)
     }
-    val raw =
-      if (files.isEmpty) // nothing can match; keep the schema
-        readDirs(spark, path, vs).filter(lit(false))
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
-    resolve(raw, keyCol,
-      mergeVersions(spark, path).exists(v => v > from && v <= version))
-      // exact predicate on top of the pruned scan
-      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    if (files.isEmpty) // nothing can match; keep the schema
+      readDirs(spark, path, vs).filter(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Zone-map-pruned LOG view: `asOf` restricted to rows with `colName`
+    * in [lo, hi]. Unlike [[currentAsOfRange]] this is sound for ANY
+    * column (the log view resolves no keys, so dropping files that
+    * cannot match loses nothing) — with a Z-ORDER-clustered checkpoint
+    * ([[compactZOrder]]) it skips files on every clustered column. */
+  def asOfRange(spark: SparkSession, path: String, version: Int,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val ck = checkpoints(spark, path).toSet
+    val picked = vacuumBase(spark, path) match {
+      case Some(base) =>
+        require(version >= base, s"asOfRange($version): versions below " +
+          s"$base were vacuumed at $path; earliest readable version is $base")
+        base +: vs.filter(v => v > base && v <= version && !ck.contains(v))
+      case None => vs.filter(v => v <= version && !ck.contains(v))
+    }
+    readPruned(spark, path, picked, colName, lo, hi)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   def currentRange(spark: SparkSession, path: String, keyCol: String,
@@ -456,6 +526,66 @@ object Versioned {
     val resolved = current(spark, path, keyCol)
       .drop(VersionCol, SeqCol, MergeCol)
     commit(resolved, path, checkpoint = true)
+  }
+
+  /** Morton (interleaved-bit) clustering key: each column linearly
+    * scaled to 8 bits over its (lo, hi), bits interleaved — nearby
+    * rows agree on the high bits of EVERY column, so a range-sorted
+    * layout keeps each file's footer range tight on all of them.
+    * Linear scaling, not equi-depth: heavy skew in a clustered column
+    * wants quantile bucketing instead (the usual Z-order trade). */
+  private def zorderKey(
+      cols: Seq[(org.apache.spark.sql.Column, Double, Double)])
+      : org.apache.spark.sql.Column = {
+    val n = cols.length
+    val buckets = cols.map { case (c, lo, hi) =>
+      least(greatest(
+        (((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)))
+          * 255.0).cast("int"), lit(0)), lit(255))
+    }
+    (0 until 8).flatMap { bit =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * n + (n - 1 - j))
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Checkpoint-compact with Z-ORDER clustering (Delta's `OPTIMIZE
+    * ZORDER BY` shape): the resolved state is written range-partitioned
+    * and sorted by the Morton key of `zCols` (min/max from one agg), so
+    * [[snapshotRange]] skips files on ANY clustered column, not just a
+    * single sort prefix. `nFiles` > 0 fixes the checkpoint's file count
+    * (finer files → finer skipping). */
+  def compactZOrder(spark: SparkSession, path: String, keyCol: String,
+      zCols: Seq[String], nFiles: Int = 0): Int = {
+    val resolved = current(spark, path, keyCol)
+      .drop(VersionCol, SeqCol, MergeCol)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = resolved.agg(aggs.head, aggs.tail: _*).head()
+    val z = zorderKey(zCols.zipWithIndex.map { case (c, i) =>
+      val lo = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
+      val hi = if (mm.isNullAt(2 * i + 1)) 1.0 else mm.getDouble(2 * i + 1)
+      (col(c), lo, hi)
+    })
+    commit(resolved, path, checkpoint = true, sortBy = Seq(z),
+      sortFiles = nFiles)
+  }
+
+  /** Zone-map scan of a CHECKPOINT snapshot with a predicate on ANY
+    * column: the materialized resolved state holds each key exactly
+    * once, so file-skipping by a non-key column loses nothing. (On a
+    * raw version log this is UNSOUND — pruning a file holding a key's
+    * newer out-of-range row would un-supersede its older in-range one;
+    * [[currentAsOfRange]] restricts log-resolve pruning to the key,
+    * [[asOfRange]] covers the no-resolve log view.) */
+  def snapshotRange(spark: SparkSession, path: String, version: Int,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    require(checkpoints(spark, path).contains(version),
+      s"snapshotRange: version $version at $path is not a checkpoint")
+    readPruned(spark, path, Seq(version), colName, lo, hi)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+      .drop(DeletedCol, MergeCol, SeqCol)
   }
 
   /**

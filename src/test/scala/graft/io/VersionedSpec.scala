@@ -284,6 +284,57 @@ class VersionedSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= 3)
   }
 
+  test("timestamp time travel: versionAt picks the newest commit at or before ts") {
+    val p = freshPath("tstravel")
+    Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Versioned.append(Seq((1L, 99)).toDF("k", "x"), p)
+    val times = Versioned.commitTimes(spark, p)
+    assert(times.keySet == Set(1, 2) && times(1) < times(2))
+    assert(Versioned.versionAt(spark, p, between) == 1)
+    assert(Versioned.versionAt(spark, p, System.currentTimeMillis()) == 2)
+    assert(Versioned.currentAtTime(spark, p, "k", between)
+      .select("x").head().getInt(0) == 10)
+    // before any commit: loud failure
+    intercept[IllegalArgumentException](
+      Versioned.versionAt(spark, p, times(1) - 1000))
+  }
+
+  test("compactZOrder: snapshot scans skip files on every clustered column") {
+    val p = freshPath("zorder")
+    val n = 4096L
+    // x decorrelated from k (multiplicative shuffle) so a single-column
+    // sort could not make BOTH footer ranges tight
+    val df = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 2654435761L) % n).as("x"))
+    Versioned.append(df.repartitionByRange(8, col("k")), p)
+    // upsert stays inside the x domain: linear bucket scaling means ONE
+    // wild outlier would stretch the scale and collapse all normal
+    // values into bucket 0 (the documented linear-vs-equi-depth trade)
+    Versioned.append(Seq((17L, 4000L)).toDF("k", "x"), p)
+    val cp = Versioned.compactZOrder(spark, p, "k", Seq("k", "x"), nFiles = 32)
+    val all = Versioned.current(spark, p, "k")
+    assert(all.inputFiles.length > 8, "fixture: checkpoint should be many files")
+    val expect = all.filter(col("x").between(0, 255))
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // predicate on x — NOT the resolve key, NOT the leading sort column
+    val zx = Versioned.snapshotRange(spark, p, cp, "x", 0L, 255L)
+    assert(zx.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(expect.nonEmpty)
+    assert(zx.inputFiles.length < all.inputFiles.length / 2,
+      s"x-scan read ${zx.inputFiles.length} of ${all.inputFiles.length} files")
+    // ...and on k, simultaneously
+    val zk = Versioned.snapshotRange(spark, p, cp, "k", 0L, 255L)
+    assert(zk.inputFiles.length < all.inputFiles.length / 2)
+    assert(zk.select("k").collect().map(_.getLong(0)).toSet ==
+      all.filter(col("k") <= 255).select("k").collect().map(_.getLong(0)).toSet)
+    // the upsert inside the range is the checkpointed (resolved) value
+    assert(zk.filter(col("k") === 17L).select("x").head().getLong(0) == 4000L)
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

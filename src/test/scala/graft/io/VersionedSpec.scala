@@ -284,6 +284,33 @@ class VersionedSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= 3)
   }
 
+  test("asOfRange: pruned log view equals brute filter, checkpoints excluded") {
+    val p = freshPath("asofrange")
+    val df = spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 7).as("x"))
+    Versioned.append(df.repartitionByRange(8, col("k")), p)
+    Versioned.append(Seq((5L, 77L)).toDF("k", "x"), p)
+    Versioned.compact(spark, p, "k") // must not double-count in the log view
+    val got = Versioned.asOfRange(spark, p, 3, "k", 100L, 200L)
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (100L to 200L).toSeq) // log rows, no checkpoint dupes
+    val full = Versioned.asOf(spark, p, 3)
+    assert(Versioned.asOfRange(spark, p, 3, "k", 100L, 200L)
+      .inputFiles.length < full.inputFiles.length)
+  }
+
+  test("changes sees through MERGE commits: column update surfaces as 'update'") {
+    val p = freshPath("cdcmerge")
+    Versioned.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "x"), p)
+    Versioned.merge(Seq((1L, Option.empty[String], Some(99)))
+      .toDF("k", "s", "x"), p)           // x updated, s kept
+    Versioned.merge(Seq((3L, Some("c"), Option.empty[Int]))
+      .toDF("k", "s", "x"), p)           // insert-by-merge
+    val got = Versioned.changes(spark, p, "k", 1, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "update", 3L -> "insert"))
+  }
+
   test("timestamp time travel: versionAt picks the newest commit at or before ts") {
     val p = freshPath("tstravel")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

@@ -73,11 +73,12 @@ object Versioned {
   val DeletedCol = "__deleted"
   val MergeCol = "__merge"
   val SeqCol = "__seq"
+  val CkptCol = "__ckpt"
   private val CheckpointMarker = "_CHECKPOINT"
   private val MergeMarker = "_MERGE"
   private val SuccessMarker = "_SUCCESS"
   private val StatsFile = "_STATS.tsv"
-  private val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol)
+  private val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,6 +177,9 @@ object Versioned {
     val stamped = (if (df.columns.contains(DeletedCol)) df
       else df.withColumn(DeletedCol, lit(false)))
       .withColumn(MergeCol, lit(merge))
+      // rides IN the data (not only the marker file) so the streaming
+      // log source can exclude checkpoint duplicates row-wise
+      .withColumn(CkptCol, lit(checkpoint))
       .withColumn(VersionCol, lit(v))
       .withColumn(SeqCol, monotonically_increasing_id())
     val staging = new Path(path,
@@ -307,7 +311,8 @@ object Versioned {
     val df = (if (df0.columns.contains(SeqCol)) df0
       else df0.withColumn(SeqCol, lit(null).cast("long")))
       .withColumn(MergeCol, coalesce(col(MergeCol), lit(false)))
-    val outCols = df.columns.filterNot(c => c == MergeCol || c == SeqCol)
+    val outCols = df.columns
+      .filterNot(c => c == MergeCol || c == SeqCol || c == CkptCol)
     if (!hasMerges) {
       val w = Window.partitionBy(keyCol)
         .orderBy(col(VersionCol).desc, col(SeqCol).desc_nulls_last)
@@ -524,7 +529,7 @@ object Versioned {
     * at or past the checkpoint no longer touch older versions. */
   def compact(spark: SparkSession, path: String, keyCol: String): Int = {
     val resolved = current(spark, path, keyCol)
-      .drop(VersionCol, SeqCol, MergeCol)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
     commit(resolved, path, checkpoint = true)
   }
 
@@ -559,7 +564,7 @@ object Versioned {
   def compactZOrder(spark: SparkSession, path: String, keyCol: String,
       zCols: Seq[String], nFiles: Int = 0): Int = {
     val resolved = current(spark, path, keyCol)
-      .drop(VersionCol, SeqCol, MergeCol)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val mm = resolved.agg(aggs.head, aggs.tail: _*).head()
@@ -585,7 +590,7 @@ object Versioned {
       s"snapshotRange: version $version at $path is not a checkpoint")
     readPruned(spark, path, Seq(version), colName, lo, hi)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
-      .drop(DeletedCol, MergeCol, SeqCol)
+      .drop(DeletedCol, MergeCol, SeqCol, CkptCol)
   }
 
   /**
@@ -631,9 +636,9 @@ object Versioned {
       fromV: Int, toV: Int): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
     val a = currentAsOf(spark, path, keyCol, fromV)
-      .drop(VersionCol, DeletedCol, MergeCol, SeqCol)
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
     val b = currentAsOf(spark, path, keyCol, toV)
-      .drop(VersionCol, DeletedCol, MergeCol, SeqCol)
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
     val common = a.columns.intersect(b.columns).filterNot(_ == keyCol)
     val af = a.select(Seq(col(keyCol), lit(true).as("__ina")) ++
       common.map(c => col(c).as(s"__a_$c")): _*)
@@ -650,6 +655,32 @@ object Versioned {
           .when(differs, lit("update"))
           .otherwise(lit("none")).as("change_type"))
       .filter(col("change_type") =!= "none")
+  }
+
+  /**
+   * The table as a STREAMING source (Delta's `readStream` shape): a
+   * Structured Streaming file source over the version dirs, emitting
+   * each committed version's rows exactly once as the directory
+   * appears. Works because publication is one atomic rename — a
+   * version is never listed half-written — and hidden staging dirs /
+   * underscore marker files are invisible to the file source.
+   * Checkpoint versions are excluded row-wise via the `__ckpt` stamp
+   * (they are materialized duplicates of rows the stream already
+   * delivered). Rows keep `__v` (ordering/CDC tag) and `__deleted`
+   * (downstream tombstone handling); the schema is FIXED at stream
+   * start (file sources do not evolve schemas mid-stream — restart the
+   * stream after a schema-evolving commit to pick up new columns).
+   * Requires at least one committed version (the schema source).
+   */
+  def logStream(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"logStream: no committed versions at $path " +
+      "(the first version fixes the stream schema)")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(v => s"$path/v=$v"): _*).schema
+    spark.readStream.schema(schema).parquet(s"$path/v=*")
+      .filter(!coalesce(col(CkptCol), lit(false)))
+      .drop(MergeCol, SeqCol, CkptCol)
   }
 
   /** Destroy the table (test/fixture reset). */

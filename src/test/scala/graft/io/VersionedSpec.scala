@@ -362,6 +362,28 @@ class VersionedSpec extends SparkSpec {
     assert(zk.filter(col("k") === 17L).select("x").head().getLong(0) == 4000L)
   }
 
+  test("logStream: committed versions arrive exactly once, checkpoints excluded") {
+    val p = freshPath("logstream")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p)
+    val q = Versioned.logStream(spark, p)
+      .writeStream.format("memory").queryName("vlog")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got = spark.table("vlog")
+        .select("k", "x", Versioned.VersionCol).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == Set((1L, 10, 1), (2L, 20, 1)))
+      // new commits stream in as their dirs appear; the checkpoint's
+      // materialized copies do NOT re-deliver
+      Versioned.append(Seq((2L, 99)).toDF("k", "x"), p)
+      Versioned.compact(spark, p, "k")
+      Versioned.append(Seq((3L, 30)).toDF("k", "x"), p)
+      q.processAllAvailable()
+      assert(got == Set((1L, 10, 1), (2L, 20, 1), (2L, 99, 2), (3L, 30, 4)))
+    } finally q.stop()
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

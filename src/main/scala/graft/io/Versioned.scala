@@ -354,6 +354,44 @@ object Versioned {
   def current(spark: SparkSession, path: String, keyCol: String): DataFrame =
     currentAsOf(spark, path, keyCol, latestVersion(spark, path))
 
+  /**
+   * SCD Type-2 history view: every state each key has taken, with the
+   * version interval it was valid for — `valid_from` (the commit that
+   * wrote the state), `valid_to` (the commit BEFORE the one that
+   * superseded it; null while still live) and `is_current`. A
+   * tombstone closes the preceding interval and contributes no row of
+   * its own, so a deleted key's last state carries a finite
+   * `valid_to` and `is_current = false`.
+   *
+   * One key-partitioned `lead` window over the append-log view — the
+   * same single-shuffle shape as the resolve, and invariant under
+   * `compact` because [[asOf]] excludes checkpoint dirs. MERGE
+   * commits are rejected (fail-loud): a column overlay has no
+   * self-contained row to open an interval with — expanding merges
+   * into materialized states would need a per-column running
+   * coalesce, which is a different (and rarely wanted) read shape.
+   * After `vacuum`, history begins at the vacuum base's materialized
+   * state, like Delta's `DESCRIBE HISTORY` after retention.
+   */
+  def history(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    require(mergeVersions(spark, path).isEmpty,
+      s"history: $path contains MERGE commits; the SCD2 view is defined " +
+        "over append/upsert/delete logs only")
+    val raw = asOf(spark, path, latestVersion(spark, path))
+    val df = if (raw.columns.contains(SeqCol)) raw
+      else raw.withColumn(SeqCol, lit(null).cast("long"))
+    val outCols = df.columns
+      .filterNot(c => MetaCols.contains(c)).map(col)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(VersionCol), col(SeqCol).asc_nulls_first)
+    df.withColumn("__vnext", lead(col(VersionCol), 1).over(w))
+      .filter(!col(DeletedCol))
+      .select(outCols ++ Seq(
+        col(VersionCol).cast("int").as("valid_from"),
+        (col("__vnext") - 1).cast("int").as("valid_to"),
+        col("__vnext").isNull.as("is_current")): _*)
+  }
+
   // ---------- zone-map file skipping ----------
 
   /** Per-file min/max column stats from the parquet FOOTERS of `dir`

@@ -425,4 +425,29 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.append(Seq((2L, 20)).toDF("k", "x"), p) == 2)
     assert(Versioned.current(spark, p, "k").count() == 2L)
   }
+
+  test("history: SCD2 intervals, tombstone closes, invariant under compact") {
+    val p = freshPath("hist")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 99)).toDF("k", "x"), p) // upsert k=2
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)    // delete k=3
+    def hist() = Versioned.history(spark, p, "k")
+      .select("k", "x", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+      .toSet
+    val expected = Set(
+      (1L, 10, 1, -1, true),  // never touched: open interval
+      (2L, 20, 1, 1, false),  // superseded by the v2 upsert
+      (2L, 99, 2, -1, true),
+      (3L, 30, 1, 2, false))  // tombstoned at v3: closed, no v3 row
+    assert(hist() == expected)
+    // checkpoints are materialized copies, not history events
+    Versioned.compact(spark, p, "k")
+    assert(hist() == expected)
+    // MERGE commits have no self-contained state to open an interval
+    Versioned.merge(Seq((1L, 77)).toDF("k", "x"), p)
+    assertThrows[IllegalArgumentException](Versioned.history(spark, p, "k"))
+  }
 }

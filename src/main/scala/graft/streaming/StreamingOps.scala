@@ -558,6 +558,78 @@ object StreamingOps {
       .drop("rk")
   }
 
+  /** Input row for [[streamingDedupOutOfOrder]]. */
+  final case class DedupInput(fp: String, tsMicros: Long, id: Long)
+
+  /** The canonical keeper of one fingerprint. */
+  final case class DedupKeeper(fp: String, tsMicros: Long, id: Long)
+
+  /** State for [[streamingDedupOutOfOrder]]: the keeper once emitted,
+    * plus (ts, id) rows still inside the watermark delay. */
+  final case class DedupBufState(keeperTs: Option[Long],
+      keeperId: Option[Long], pending: Seq[(Long, Long)])
+
+  private[streaming] final case class DedupInputWm(fp: String,
+      tsMicros: Long, id: Long, eventTime: java.sql.Timestamp)
+
+  /**
+   * Out-of-order tolerant first-seen dedup: where [[streamingDedup]]
+   * keeps the first ARRIVAL of a fingerprint (== the batch canonical
+   * [[firstSeenBatch]] only on in-order streams), this holds rows in
+   * an event-time buffer until the WATERMARK passes them and then
+   * emits the minimum-(ts, id) row — the batch canonical keeper —
+   * regardless of arrival order within `delay`. Same watermark-buffer
+   * pattern (and the same latency/state trade) as
+   * [[streamingAsofOutOfOrder]].
+   *
+   * After the keeper is emitted, later duplicates are dropped while
+   * the fingerprint's state lives; state is evicted once the watermark
+   * passes `keeperTs + horizonMicros`, so — exactly like
+   * `dropDuplicatesWithinWatermark` — a duplicate arriving beyond the
+   * horizon re-emits, and state size tracks the dedup window, not the
+   * stream's lifetime.
+   */
+  def streamingDedupOutOfOrder(rows: Dataset[DedupInput], delay: String,
+      horizonMicros: Long): Dataset[DedupKeeper] = {
+    import rows.sparkSession.implicits._
+    val wm = rows
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", delay)
+      .as[DedupInputWm]
+    wm.groupByKey(_.fp)
+      .flatMapGroupsWithState[DedupBufState, DedupKeeper](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (fp, it, state: GroupState[DedupBufState]) =>
+          val st = state.getOption.getOrElse(DedupBufState(None, None, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val all = st.pending ++ it.map(e => (e.tsMicros, e.id)).toSeq
+          // a row is mature when no future arrival can precede it:
+          // late rows are filtered at ts < watermark, so strictly-
+          // earlier (and tie-breaking equal-ts) rows can no longer come
+          val (ready, hold) = all.partition(_._1 < wmMicros)
+          val out = Seq.newBuilder[DedupKeeper]
+          var keeper = st.keeperTs.zip(st.keeperId)
+          if (keeper.isEmpty && ready.nonEmpty) {
+            val k = ready.min
+            out += DedupKeeper(fp, k._1, k._2)
+            keeper = Some(k)
+          }
+          // matured non-keepers are duplicates by definition; drop them
+          if (hold.isEmpty && keeper.exists(k =>
+              k._1 + horizonMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(DedupBufState(keeper.map(_._1), keeper.map(_._2),
+              hold))
+            val next = (hold.map(_._1) ++
+              keeper.map(_._1 + horizonMicros)).min
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, next / 1000L + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /**
    * Incremental selector refit state: running per-feature 2-D
    * contingency tables (feature value x label), merged from per-batch

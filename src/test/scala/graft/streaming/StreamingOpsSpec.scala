@@ -437,6 +437,62 @@ class StreamingOpsSpec extends SparkSpec {
     t
   }
 
+  test("out-of-order streaming dedup emits the batch-canonical keeper " +
+      "under shuffled-within-delay feed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    // 40 fingerprints x 5 rows each, 10min apart; 50-row block shuffle
+    // (<= 500min displacement) under a 10h delay, fed in 60-row batches
+    // so disorder crosses micro-batch boundaries — the case where
+    // first-ARRIVAL (streamingDedup) diverges from the canonical
+    // first-by-(ts, id) keeper
+    val rows = (0 until 200).map { i =>
+      StreamingOps.DedupInput("fp" + (i % 40),
+        i.toLong * 600L * 1000000L + rng.nextInt(1000), i.toLong)
+    }
+    val shuffled = rows.grouped(50).flatMap(b => rng.shuffle(b)).toSeq
+    val canonical = rows.groupBy(_.fp).map { case (fp, rs) =>
+      val k = rs.map(r => (r.tsMicros, r.id)).min
+      (fp, k._1, k._2)
+    }.toSet
+    // non-degeneracy: after shuffling, some fingerprint's first arrival
+    // is NOT its canonical keeper
+    val firstArrival = shuffled.groupBy(_.fp)
+      .map { case (fp, rs) => (fp, rs.head.tsMicros, rs.head.id) }.toSet
+    assert(firstArrival != canonical, "fixture failed to disorder")
+    val maxTs = rows.map(_.tsMicros).max
+    val sentinel = StreamingOps.DedupInput("zz",
+      maxTs + 48L * 3600L * 1000000L, 999999L)
+    val stream = MemoryStream[StreamingOps.DedupInput]
+    val query = StreamingOps.streamingDedupOutOfOrder(
+        stream.toDS(), "10 hours", 24L * 3600L * 1000000L)
+      .writeStream.format("memory").queryName("sdedup_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shuffled.grouped(60).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      stream.addData(sentinel) // advances the watermark past every row
+      query.processAllAvailable()
+      val streamed = spark.table("sdedup_ooo").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == canonical, s"missing=${canonical -- streamed} " +
+        s"extra=${streamed -- canonical}")
+      // and the canonical set IS the batch operator's keeper set
+      val batch = StreamingOps.firstSeenBatch(
+          rows.toDF("fp0", "tsMicros", "id")
+            .withColumn("ts", org.apache.spark.sql.functions
+              .timestamp_micros(col("tsMicros"))),
+          col("fp0"), "ts", "id")
+        .select("fp", "tsMicros", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == canonical)
+    } finally query.stop()
+  }
+
   test("asofJoin: strict before, max-id ties, left-outer nulls") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)

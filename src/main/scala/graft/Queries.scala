@@ -1305,6 +1305,48 @@ object Queries {
       |FROM documents WHERE doc_id BETWEEN 100 AND 600
       |ORDER BY doc_id""".stripMargin
 
+  /** Z-order snapshot range read: the demo log (append, upsert,
+    * delete) compacted with [[graft.io.Versioned.compactZOrder]] on
+    * (doc_id, n_chars) into 8 Morton-clustered files, then scanned
+    * with a NON-KEY predicate (n_chars range) through
+    * [[graft.io.Versioned.snapshotRange]] — the read that zone-map
+    * prunes files on any clustered column, sound only on a checkpoint
+    * snapshot where each key is materialized once. The oracle
+    * recomputes the resolved state and applies the same range,
+    * certifying the pruned scan loses no rows (VersionedSpec pins the
+    * file-count reduction). */
+  def tableSnapshotRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-zsnap-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars")), path)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), path)
+      Versioned.compactZOrder(spark, path, "doc_id",
+        Seq("doc_id", "n_chars"), nFiles = 8)
+      ()
+    })
+    Versioned.snapshotRange(spark, path,
+        Versioned.latestVersion(spark, path), "n_chars", 500L, 1500L)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val tableSnapshotRangeSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT doc_id, lang, n_chars FROM r
+      |WHERE n_chars BETWEEN 500 AND 1500 ORDER BY doc_id""".stripMargin
+
   /** SCD Type-2 history of the versioned table ([[graft.io.Versioned
     * .history]]): every state each doc took across the demo log
     * (append, upsert, delete), with its validity interval. Shares the
@@ -1413,6 +1455,7 @@ object Queries {
     "q_table_merge" -> tableMerge _,
     "q_table_prune" -> tablePrune _,
     "q_table_history" -> tableHistory _,
+    "q_table_snapshot_range" -> tableSnapshotRange _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -1458,6 +1501,7 @@ object Queries {
     "q_table_merge" -> tableMergeSql,
     "q_table_prune" -> tablePruneSql,
     "q_table_history" -> tableHistorySql,
+    "q_table_snapshot_range" -> tableSnapshotRangeSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

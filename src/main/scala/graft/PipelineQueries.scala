@@ -1105,6 +1105,40 @@ object PipelineQueries {
       |       END AS BIGINT) AS est_distinct
       |FROM s JOIN x ON s.lang = x.lang ORDER BY s.lang""".stripMargin
 
+  /** Bloom-filter semi-join pre-filter ([[graft.pipeline.Bloom]]):
+    * the eval vocabulary (docs < 50) builds an 8192-bit filter; the
+    * train side's postings are pre-filtered by `mightContain` BEFORE
+    * the exact semi-join, so the join shuffle carries candidates only
+    * — the runtime-filter pattern made explicit. The oracle is the
+    * plain exact semi-join: false positives are removed by the exact
+    * verify, and equality certifies the filter admits every true
+    * member (no false negatives) — the property that makes the
+    * pre-filter safe at 100 TB. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalVocab = docs.filter(col("doc_id") < 50)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val lanes = Bloom.build(evalVocab, "tok")
+    docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .filter(Bloom.mightContain("tok", lanes))
+      .join(evalVocab, Seq("tok"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val bloomJoinSql: String =
+    """WITH ev0 AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE doc_id < 50),
+      |ev AS (SELECT DISTINCT tok FROM ev0),
+      |tr0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id >= 50),
+      |tr AS (SELECT DISTINCT doc_id, tok FROM tr0)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN ev USING (tok)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Decontamination corpora: eval = first 50 docs; train = the rest
     * PLUS truncated copies of the eval docs injected at +20000 (known
     * contamination both engines construct identically). */
@@ -2382,6 +2416,7 @@ object PipelineQueries {
     "q_dedup_jaccard3" -> dedupJaccard3 _,
     "q_dedup_jaccard_rest" -> dedupJaccardRest _,
     "q_distinct_kmv" -> distinctKmv _,
+    "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_components" -> dedupComponents _,
@@ -2439,6 +2474,7 @@ object PipelineQueries {
     "q_dedup_jaccard3" -> dedupJaccard3Sql,
     "q_dedup_jaccard_rest" -> dedupJaccardRestSql,
     "q_distinct_kmv" -> distinctKmvSql,
+    "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_components" -> dedupComponentsSql,

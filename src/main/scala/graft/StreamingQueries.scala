@@ -330,6 +330,36 @@ object StreamingQueries {
       |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Event-path transition matrix (first-order Markov counts): for
+    * each user's time-ordered event stream, count (from, to) pairs of
+    * consecutive event types — the path-analysis aggregate behind
+    * "what do users do after X". One user_id-partitioned LEAD window
+    * (the per-key rank shape that scales; ties broken by event_id so
+    * both engines pair identically) feeding a partial-agg-friendly
+    * groupBy — two shuffles total, no self-join against the
+    * next event. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |FROM s WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -342,7 +372,8 @@ object StreamingQueries {
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
     "q_pivot" -> pivotDaily _,
-    "q_json_extract" -> jsonExtract _)
+    "q_json_extract" -> jsonExtract _,
+    "q_transitions" -> transitions _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -356,5 +387,6 @@ object StreamingQueries {
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
     "q_pivot" -> pivotDailySql,
-    "q_json_extract" -> jsonExtractSql)
+    "q_json_extract" -> jsonExtractSql,
+    "q_transitions" -> transitionsSql)
 }

@@ -929,3 +929,19 @@ class SemDedupSpec extends SparkSpec {
       maxClusterSize = 100L).count() == 100L)
   }
 }
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom filter: no false negatives, false-positive rate bounded") {
+    val members = (0 until 100).map(i => Tuple1(s"key$i")).toDF("tok")
+    val lanes = Bloom.build(members, "tok")
+    // every member passes (the property the q_bloom_join oracle relies on)
+    assert(members.filter(Bloom.mightContain("tok", lanes)).count() == 100L)
+    // non-members: m=8192, k=3, n=100 gives theoretical fpp ~5e-5;
+    // assert a loose 1% so the bound is robust, and that pruning is real
+    val nonMembers = (0 until 2000).map(i => Tuple1(s"other$i")).toDF("tok")
+    val fp = nonMembers.filter(Bloom.mightContain("tok", lanes)).count()
+    assert(fp < 20L, s"false positives: $fp / 2000")
+  }
+}

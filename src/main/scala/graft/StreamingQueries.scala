@@ -360,6 +360,34 @@ object StreamingQueries {
       |FROM s WHERE next_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-day top-3 most active users — the per-group top-k shape
+    * (rank over a PARTITIONED window, count desc with user_id
+    * tie-break). Spark plans this with WindowGroupLimit pushdown: only
+    * k rows per day survive each partial sort, so the shuffle carries
+    * O(days * k), not O(days * users) — the same rank-pushdown the
+    * versioned-table resolve leans on, here as a standalone operator. */
+  def topkDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("n").desc, col("user_id"))
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("day", "rk")
+  }
+
+  val topkDailySql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY day
+      |    ORDER BY n DESC, user_id) AS INT) AS rk
+      |  FROM d)
+      |SELECT day, user_id, n, rk FROM r WHERE rk <= 3
+      |ORDER BY day, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -373,7 +401,8 @@ object StreamingQueries {
     "q_retention" -> retention _,
     "q_pivot" -> pivotDaily _,
     "q_json_extract" -> jsonExtract _,
-    "q_transitions" -> transitions _)
+    "q_transitions" -> transitions _,
+    "q_topk_daily" -> topkDaily _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -388,5 +417,6 @@ object StreamingQueries {
     "q_retention" -> retentionSql,
     "q_pivot" -> pivotDailySql,
     "q_json_extract" -> jsonExtractSql,
-    "q_transitions" -> transitionsSql)
+    "q_transitions" -> transitionsSql,
+    "q_topk_daily" -> topkDailySql)
 }

@@ -524,6 +524,59 @@ object StreamingOps {
             }
         }
     }
+
+    /** State for [[streamingOutOfOrder]]: the in-order fold's fields
+      * plus the events still inside the watermark delay. */
+    final case class SessionBufState(nClosed: Long, maxClosed: Long,
+        openTs: List[Long], pending: Seq[Long])
+
+    private[streaming] final case class EventWm(user_id: Long,
+        tsMicros: Long, value: Double, eventTime: java.sql.Timestamp)
+
+    /**
+     * Out-of-order tolerant [[streaming]] (Update mode, last update
+     * per user wins): events are held until the WATERMARK passes them,
+     * then folded in timestamp order into the same
+     * closed-count/max/open-tail state as the in-order path — so any
+     * arrival disorder within `delay` produces exactly the batch
+     * [[batch]] summary. Matured events are always >= every
+     * previously-folded timestamp (they matured under an older
+     * watermark), so the incremental fold's sorted-prefix invariant
+     * holds by construction — the same argument as
+     * [[StreamingOps.streamingAsofOutOfOrder]].
+     */
+    def streamingOutOfOrder(events: Dataset[Event],
+        delay: String): Dataset[SessionSummary] = {
+      import events.sparkSession.implicits._
+      val wm = events
+        .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+        .withWatermark("eventTime", delay)
+        .as[EventWm]
+      wm.groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionBufState, SessionSummary](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+          (uid, it, state: GroupState[SessionBufState]) =>
+            val st = state.getOption
+              .getOrElse(SessionBufState(0L, 0L, Nil, Nil))
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val (ready, hold) = (st.pending ++ it.map(_.tsMicros).toSeq)
+              .partition(_ <= wmMicros)
+            val all = st.openTs ++ ready.sorted
+            val lens = sessionLengths(all)
+            val closedNow = lens.dropRight(1)
+            val nClosed = st.nClosed + closedNow.length
+            val maxClosed = (st.maxClosed +: closedNow).max
+            val openLen = lens.lastOption.getOrElse(0L)
+            state.update(SessionBufState(nClosed, maxClosed,
+              all.takeRight(openLen.toInt), hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, hold.min / 1000L + 1))
+            val n = nClosed + (if (openLen > 0) 1 else 0)
+            Iterator.single(SessionSummary(uid, n,
+              math.max(maxClosed, openLen)))
+        }
+    }
   }
 
   /**

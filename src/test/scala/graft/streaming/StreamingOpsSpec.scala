@@ -431,6 +431,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("out-of-order streaming sessionize equals batch under " +
+      "shuffled-within-delay feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(59)
+    // 8 users, strictly increasing 10-min-spaced events (gaps > 30min
+    // occur because a user's consecutive events are usually further
+    // apart than the spacing); 60-block shuffle (<= 10h displacement)
+    // under a 12h delay, fed in 45-event batches so disorder crosses
+    // micro-batch boundaries
+    val events = (0 until 240).map { i =>
+      StreamingOps.Event(rng.nextInt(8).toLong,
+        i.toLong * 600L * 1000000L + rng.nextInt(1000), 1.0)
+    }
+    val shuffled = events.grouped(60).flatMap(b => rng.shuffle(b)).toSeq
+    assert(shuffled != events, "fixture failed to disorder")
+    val maxTs = events.map(_.tsMicros).max
+    val sentinel = StreamingOps.Event(999L,
+      maxTs + 48L * 3600L * 1000000L, 1.0)
+    val stream = MemoryStream[StreamingOps.Event]
+    val query = StreamingOps.Sessionize
+      .streamingOutOfOrder(stream.toDS(), "12 hours")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(45).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      stream.addData(sentinel) // advances the watermark past every event
+      query.processAllAvailable()
+      // LAST update per user is the converged answer
+      val updates = spark.table("sess_ooo").collect()
+      val streamed = updates.zipWithIndex
+        .groupBy(_._1.getLong(0)).map { case (u, rs) =>
+          val r = rs.maxBy(_._2)._1
+          u -> (r.getLong(1), r.getLong(2))
+        }
+        .filter(_._1 != 999L)
+      val batch = StreamingOps.Sessionize.batch(events.toDS())
+        .collect().map(s => s.user_id -> (s.n_sessions, s.max_session_len))
+        .toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // coverage: multiple sessions and a multi-event session occurred
+      assert(batch.values.exists(_._1 > 1) && batch.values.exists(_._2 > 1),
+        "degenerate fixture")
+    } finally query.stop()
+  }
+
   private def timestampOf(micros: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(micros / 1000L)
     t.setNanos((micros % 1000000L).toInt * 1000)

@@ -1107,9 +1107,10 @@ object PipelineQueries {
 
   /** Bloom-filter semi-join pre-filter ([[graft.pipeline.Bloom]]):
     * the eval vocabulary (docs < 50) builds an 8192-bit filter; the
-    * train side's postings are pre-filtered by `mightContain` BEFORE
-    * the exact semi-join, so the join shuffle carries candidates only
-    * — the runtime-filter pattern made explicit. The oracle is the
+    * train side's postings are pre-filtered by `prefilter` at the
+    * SCAN — before the dedup shuffle and the exact semi-join — so
+    * both shuffles carry candidates only (one md5 + k integer tests
+    * per row). The oracle is the
     * plain exact semi-join: false positives are removed by the exact
     * verify, and equality certifies the filter admits every true
     * member (no false negatives) — the property that makes the
@@ -1119,10 +1120,10 @@ object PipelineQueries {
     val evalVocab = docs.filter(col("doc_id") < 50)
       .select(explode(split(col("text"), " ")).as("tok")).distinct()
     val lanes = Bloom.build(evalVocab, "tok")
-    docs.filter(col("doc_id") >= 50)
+    val postings = docs.filter(col("doc_id") >= 50)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
-      .filter(Bloom.mightContain("tok", lanes))
+    Bloom.prefilter(postings, "tok", lanes)
       .join(evalVocab, Seq("tok"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

@@ -10,6 +10,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Driver-written parquet carries timezone-less timestamp[us]; read it
+      // as TIMESTAMP (instant) like the DuckDB oracle gate was certified
+      // against, not TIMESTAMP_NTZ (which unix_micros/window rejects).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir", "target/tmp/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

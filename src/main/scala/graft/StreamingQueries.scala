@@ -388,6 +388,107 @@ object StreamingQueries {
       |SELECT day, user_id, n, rk FROM r WHERE rk <= 3
       |ORDER BY day, rk""".stripMargin
 
+  /** Gap-filled per-user daily series with forward fill — the resample
+    * step a time-series feature pipeline runs before training: every
+    * user's [first, last] active-day span is densified (`sequence` +
+    * explode, partition-local — no join against a global calendar),
+    * missing days get n = 0, and the running daily average is carried
+    * forward with a partitioned `last(ignoreNulls)` window. Both the
+    * explode and the fill are keyed by user_id, so the whole query
+    * rides ONE user partitioning; the user subset keeps the output
+    * bounded while exercising the full shape. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val daily = events(spark, dir)
+      .filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("day_avg"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_avg"), ignoreNulls = true).over(w).as("filled_avg"))
+      .orderBy("user_id", "day")
+  }
+
+  val gapfillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    ROUND(AVG(value), 6) AS day_avg
+      |  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT cal.user_id, cal.day, COALESCE(daily.n, 0) AS n,
+      |  last_value(daily.day_avg IGNORE NULLS) OVER (
+      |    PARTITION BY cal.user_id ORDER BY cal.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+      |FROM cal LEFT JOIN daily
+      |  ON cal.user_id = daily.user_id AND cal.day = daily.day
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Weighted PageRank over the event-type transition graph
+    * ([[graft.pipeline.Graph.pageRank]], 3 iterations, damping 0.85):
+    * edges are the q_transitions LEAD-window counts, so the graph build
+    * shares that one user_id shuffle; each iteration is one
+    * src-keyed join + dst-keyed partial agg with no driver traffic.
+    * The oracle unrolls the identical recurrence three times in SQL —
+    * the fixed iteration count is what makes an iterative algorithm
+    * oracle-checkable. */
+  def pageRankEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    graft.pipeline.Graph.pageRank(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  val pageRankEventsSql: String = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT nodes.node,
+         |    0.15 / (SELECT n FROM nn)
+         |      + 0.85 * COALESCE(c.inflow, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT p.dst AS node, SUM(p.p * $prev.r) AS inflow
+         |    FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1) c
+         |  ON nodes.node = c.node)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, COUNT(*) AS w FROM s
+       |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |o AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+       |p AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS p
+       |      FROM e JOIN o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -402,7 +503,9 @@ object StreamingQueries {
     "q_pivot" -> pivotDaily _,
     "q_json_extract" -> jsonExtract _,
     "q_transitions" -> transitions _,
-    "q_topk_daily" -> topkDaily _)
+    "q_topk_daily" -> topkDaily _,
+    "q_gapfill" -> gapfill _,
+    "q_pagerank" -> pageRankEvents _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -418,5 +521,7 @@ object StreamingQueries {
     "q_pivot" -> pivotDailySql,
     "q_json_extract" -> jsonExtractSql,
     "q_transitions" -> transitionsSql,
-    "q_topk_daily" -> topkDailySql)
+    "q_topk_daily" -> topkDailySql,
+    "q_gapfill" -> gapfillSql,
+    "q_pagerank" -> pageRankEventsSql)
 }

@@ -597,6 +597,52 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Weighted sampling without replacement ([[Splits.weightedSample]],
+    * Efraimidis–Spirakis): 100 docs drawn with probability proportional
+    * to n_chars. The md5-derived uniforms make the exact selection — not
+    * just its size — oracle-checkable; keys are rounded before the
+    * doc_id-tie-broken rank, per the determinism rules. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Splits.weightedSample(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
+        col("es_key"))
+      .orderBy("es_key", "doc_id")
+
+  val sampleWeightedSql: String = {
+    val u = s"((${Dedup.tokenIdSql("'wsmp:' || CAST(doc_id AS VARCHAR)")} + 1.0) / ${Dedup.MinhashP + 1}.0)"
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, n_chars AS w,
+       |    ROUND(-LN($u) / n_chars, 9) AS es_key
+       |  FROM documents)
+       |SELECT doc_id, lang, w, es_key FROM h
+       |ORDER BY es_key, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** Edit-distance near-dup pairs over the near-dup corpus
+    * ([[Dedup.editNearDup]]): prefix-16 blocking pairs each doc with its
+    * truncated copy (suffix edits preserve the block key), full-text
+    * Levenshtein scores the pair. Blocks are capped at 64 docs — the
+    * boilerplate-prefix guard that keeps any one block from going
+    * quadratic at corpus scale. */
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editNearDup(nearDupCorpus(spark, dir), "doc_id", "text",
+        prefixLen = 24, maxBucket = 64, maxDist = 60)
+      .orderBy("ida", "idb")
+
+  // lazy: nearDupCorpusSql is declared further down this object.
+  lazy val dedupEditSql: String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |k AS (SELECT doc_id AS id, text, substr(text, 1, 24) AS bkey FROM c),
+       |ok AS (SELECT bkey FROM k GROUP BY bkey
+       |       HAVING COUNT(*) BETWEEN 2 AND 64),
+       |kk AS (SELECT k.id, k.text, k.bkey FROM k JOIN ok USING (bkey))
+       |SELECT a.id AS ida, b.id AS idb,
+       |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+       |FROM kk a JOIN kk b ON a.bkey = b.bkey AND a.id < b.id
+       |WHERE levenshtein(a.text, b.text) <= 60
+       |ORDER BY 1, 2""".stripMargin
+
   /** Chunk (paragraph-level) exact dedup over a corpus with injected
     * boilerplate: docs < 200 plus 32-token-prefix copies at +5000.
     * Every 16-token chunk labeled with its first occurrence. */
@@ -2443,6 +2489,8 @@ object PipelineQueries {
     "q_repetition" -> repetition _,
     "q_quality_filter" -> qualityFilter _,
     "q_sample_stratified" -> sampleStratified _,
+    "q_sample_weighted" -> sampleWeighted _,
+    "q_dedup_edit" -> dedupEdit _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_semdedup" -> semDedup _,
     "q_bpe_pairs" -> bpePairs _,
@@ -2501,6 +2549,8 @@ object PipelineQueries {
     "q_repetition" -> repetitionSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_weighted" -> sampleWeightedSql,
+    "q_dedup_edit" -> dedupEditSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_semdedup" -> semDedupSql,
     "q_bpe_pairs" -> bpePairsSql,

@@ -1004,4 +1004,38 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /**
+   * Edit-distance near-duplicate pairs, prefix-blocked: candidates share
+   * their first `prefixLen` characters (one equi-join key — never a
+   * similarity cross product), and a block participates only when it
+   * holds between 2 and `maxBucket` docs. The upper bound is the
+   * boilerplate-prefix guard (the HotTokenCap idea applied to prefixes):
+   * a shared header that millions of docs start with would otherwise
+   * make one block quadratic. Within a block, i < j pairs are scored
+   * with full-text Levenshtein and kept under `maxDist`.
+   *
+   * At 100 TB: pair cost is sum over blocks of |block|^2 <= maxBucket *
+   * corpus — linear in the corpus with a constant the caller picks; the
+   * block key is a plain hash-partition key. Recall trade (documented,
+   * standard for blocking): edits inside the first `prefixLen` chars
+   * move a doc to another block, so this targets suffix-edit families
+   * (truncation, appended boilerplate, trailing noise).
+   */
+  def editNearDup(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int, maxBucket: Long, maxDist: Int): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      substring(col(textCol), 1, prefixLen).as("bkey"))
+    val live = keyed.groupBy("bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("bkey")
+    val blocked = keyed.join(live, "bkey")
+    blocked.select(col("bkey"), col("id").as("ida"), col("text").as("ta"))
+      .join(blocked.select(col("bkey"), col("id").as("idb"),
+        col("text").as("tb")), Seq("bkey"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -61,4 +61,26 @@ object Splits {
     rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (name, r)) => when(stratum === name, r).otherwise(acc)
     }
+
+  /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+   * each row draws key = -ln(u) / w from its salted md5-derived uniform
+   * u in (0, 1]; the k smallest keys ARE the sample, distributed as
+   * weighted draws without replacement. Deterministic — no RNG state,
+   * so the sample is reproducible across runs and engines, and the
+   * oracle can recompute the exact selection. Keys are rounded before
+   * ranking (id tie-break) so float noise can't flip the cutoff.
+   *
+   * At 100 TB: the key is a per-row projection and the selection is a
+   * global top-k (TakeOrderedAndProject — per-partition heaps, k rows
+   * per partition to the driver), not a global sort.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsmp"): DataFrame = {
+    val u = (Dedup.tokenId(concat(lit(salt + ":"), col(idCol).cast("string")))
+      + lit(1L)).cast("double") / (Dedup.MinhashP.toDouble + 1.0)
+    df.withColumn("es_key", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
 }

@@ -122,6 +122,38 @@ class DedupSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("editNearDup pairs suffix-edit families, caps hot-prefix blocks") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the dog"),      // suffix edit of 1
+      (3L, "the quick brown fox sleeps"),                  // same prefix, far
+      (4L, "completely different text here")).toDF("id", "text")
+    val pairs = Dedup.editNearDup(d, "id", "text",
+        prefixLen = 20, maxBucket = 64, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 5) // "lazy dog" -> "dog": 5 deletions
+    // a block larger than maxBucket is excluded entirely
+    val hot = (0 until 10).map(i => (100L + i, "shared boilerplate prefix doc " + i))
+      .toDF("id", "text")
+    assert(Dedup.editNearDup(hot, "id", "text", 20, 4, 100).count() == 0)
+  }
+
+  test("weightedSample: deterministic, k-bounded, favors heavy rows") {
+    val df = spark.range(1, 2001).toDF("id")
+      // ids <= 100 get weight 1000, the rest weight 1
+      .withColumn("w", when(col("id") <= 100, 1000.0).otherwise(1.0))
+    val got = Splits.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 50)
+    // heavy rows are 100/2000 of the population but ~98% of total mass;
+    // they should dominate the sample decisively
+    assert(got.count(_ <= 100) > 30, s"heavy picks: ${got.count(_ <= 100)}")
+    val again = Splits.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val sigs = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

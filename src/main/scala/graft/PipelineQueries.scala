@@ -1151,6 +1151,71 @@ object PipelineQueries {
       |       END AS BIGINT) AS est_distinct
       |FROM s JOIN x ON s.lang = x.lang ORDER BY s.lang""".stripMargin
 
+  /** HyperLogLog distinct-token estimate per language
+    * ([[Sketches.hllDistinct]], m = 256 registers) beside the exact
+    * count — the constant-state cousin of q_distinct_kmv. No
+    * pre-distinct pass: the register max is idempotent, so the sketch
+    * build is one map-side-combinable groupBy whose state is 256 rows
+    * per language no matter the corpus size. The md5-derived registers
+    * make the ESTIMATE itself oracle-checkable. */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+    Sketches.hllDistinct(toks, "lang", "tok")
+      .withColumnRenamed("g", "lang")
+      .join(exact, "lang")
+      .select("lang", "n_distinct", "est_distinct")
+      .orderBy("lang")
+  }
+
+  val distinctHllSql: String =
+    s"""WITH t0 AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |            FROM documents),
+       |${Sketches.hllDistinctSql("t0", "lang", "tok")},
+       |x AS (SELECT lang, COUNT(DISTINCT tok) AS n_distinct
+       |      FROM t0 GROUP BY 1)
+       |SELECT hll.g AS lang, x.n_distinct, hll.est_distinct
+       |FROM hll JOIN x ON hll.g = x.lang ORDER BY 1""".stripMargin
+
+  /** Count-min heavy hitters ([[Sketches.countMinTable]], d=3 x
+    * w=1024): the true top-20 tokens (deterministic tok tie-break)
+    * probed against the fixed-size counter table; est_n >= n always
+    * (collisions only inflate), and both the counters and the probes
+    * are salted md5 positions the oracle recomputes cell by cell. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counters = Sketches.countMinTable(toks, "tok")
+    val cands = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+    Sketches.countMinEstimate(counters, cands, "tok")
+      .select("tok", "n", "est_n")
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |            FROM documents),
+       |hi AS (SELECT unnest([0, 1, 2]) AS i),
+       |cm AS (
+       |  SELECT hi.i AS hrow,
+       |    CAST(('0x' || substr(md5('cm' || hi.i || ':' || tok), 1, 12))
+       |      AS BIGINT) % ${Sketches.CmWidth} AS pos,
+       |    COUNT(*) AS c
+       |  FROM t0, hi GROUP BY 1, 2),
+       |ex AS (SELECT tok, COUNT(*) AS n FROM t0 GROUP BY 1),
+       |cand AS (SELECT tok, n FROM ex ORDER BY n DESC, tok LIMIT 20),
+       |probe AS (
+       |  SELECT cand.tok, cand.n, hi.i AS hrow,
+       |    CAST(('0x' || substr(md5('cm' || hi.i || ':' || cand.tok), 1, 12))
+       |      AS BIGINT) % ${Sketches.CmWidth} AS pos
+       |  FROM cand, hi)
+       |SELECT probe.tok, probe.n, MIN(cm.c) AS est_n
+       |FROM probe JOIN cm ON probe.hrow = cm.hrow AND probe.pos = cm.pos
+       |GROUP BY 1, 2 ORDER BY n DESC, tok""".stripMargin
+
   /** Bloom-filter semi-join pre-filter ([[graft.pipeline.Bloom]]):
     * the eval vocabulary (docs < 50) builds an 8192-bit filter; the
     * train side's postings are pre-filtered by `prefilter` at the
@@ -2463,6 +2528,8 @@ object PipelineQueries {
     "q_dedup_jaccard3" -> dedupJaccard3 _,
     "q_dedup_jaccard_rest" -> dedupJaccardRest _,
     "q_distinct_kmv" -> distinctKmv _,
+    "q_distinct_hll" -> distinctHll _,
+    "q_heavy_hitters" -> heavyHitters _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2523,6 +2590,8 @@ object PipelineQueries {
     "q_dedup_jaccard3" -> dedupJaccard3Sql,
     "q_dedup_jaccard_rest" -> dedupJaccardRestSql,
     "q_distinct_kmv" -> distinctKmvSql,
+    "q_distinct_hll" -> distinctHllSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

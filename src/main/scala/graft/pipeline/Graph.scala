@@ -39,12 +39,18 @@ object Graph {
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     val outMass = edges.groupBy("src").agg(sum("weight").as("wout"))
+    // materialize the normalized edge list and node set once
+    // (localCheckpoint, the same iterative-dataframe pattern as
+    // Dedup.connectedComponents): every iteration re-reads THESE, not
+    // the upstream edge derivation, and rank lineage stays flat.
     val probs = edges.join(outMass, "src")
       .select(col("src"), col("dst"),
         (col("weight") / col("wout")).as("p"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {

@@ -1188,6 +1188,47 @@ object PipelineQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** BM25-ranked top-20 for the same terms ([[Search.searchBm25]],
+    * disjunctive): idf from the bucket-local postings counts, dlen from
+    * the norm-in-postings row — the serve path reads |terms| buckets
+    * plus one stats row. The oracle recomputes the full BM25 formula
+    * (Lucene idf variant, k1=1.2, b=0.75) from the documents table,
+    * score rounded before the id-tie-broken rank. */
+  def searchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val idx = searchFixture.synchronized {
+      searchFixture.getOrElseUpdate((spark, dir), {
+        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", path)
+      })
+    }
+    Search.searchBm25(spark, idx, SearchTerms, topK = 20)
+      .orderBy(col("score").desc, col("id"))
+  }
+
+  val searchBm25Sql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |             unnest(string_split(text, ' ')) AS tok,
+       |             len(string_split(text, ' ')) AS dlen
+       |           FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+  }
+
   /** HyperLogLog distinct-token estimate per language
     * ([[Sketches.hllDistinct]], m = 256 registers) beside the exact
     * count — the constant-state cousin of q_distinct_kmv. No
@@ -2567,6 +2608,7 @@ object PipelineQueries {
     "q_distinct_kmv" -> distinctKmv _,
     "q_distinct_hll" -> distinctHll _,
     "q_search_conj" -> searchConj _,
+    "q_search_bm25" -> searchBm25 _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -2630,6 +2672,7 @@ object PipelineQueries {
     "q_distinct_kmv" -> distinctKmvSql,
     "q_distinct_hll" -> distinctHllSql,
     "q_search_conj" -> searchConjSql,
+    "q_search_bm25" -> searchBm25Sql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -22,17 +22,25 @@ object Search {
   private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(c), lit(n)).cast("int")
 
-  /** Build the postings index: (tb, tok, id, tf) partitioned by token
-    * hash bucket, tok-sorted within files. tf (term frequency) rides
-    * along so queries can score without touching the documents. */
+  /** Build the postings index: (tb, tok, id, tf, dlen) partitioned by
+    * token hash bucket, tok-sorted within files. tf (term frequency)
+    * and dlen (doc token count — the Lucene norm-in-postings trick)
+    * ride along so queries score without touching the documents table;
+    * `stats` holds the two corpus constants BM25 needs (N, avgdl as an
+    * exact integer-sum ratio, so any engine recomputes it bit-equal). */
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Index = {
-    df.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"),
+        size(split(col(textCol), " ")).cast("long").as("dlen"))
+    toks.groupBy("id", "tok")
+      .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"))
       .withColumn("tb", bucketOf(col("tok"), nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/post")
+    df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
+      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     Index(path, nBuckets)
   }
 
@@ -54,5 +62,45 @@ object Search {
       .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
       .filter(col("nhit") === terms.length)
       .select(col("id"), col("score"))
+  }
+
+  /** BM25 parameters (the standard Robertson defaults). */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
+  /**
+   * BM25-ranked disjunctive (OR-of-terms) search: top-k docs by the
+   * Lucene-variant BM25 score (idf = ln((N-df+0.5)/(df+0.5) + 1), never
+   * negative). Same bucket-pruned postings read as [[searchAll]]; df
+   * per term falls out of the already-filtered postings (a term's df IS
+   * its postings count), and dlen rides in the postings row, so the
+   * serve path touches nothing but |terms| buckets plus a 1-row stats
+   * read. Scores are rounded before the id-tie-broken rank so the
+   * exact top-k is reproducible across engines.
+   */
+  def searchBm25(spark: SparkSession, idx: Index, terms: Seq[String],
+      topK: Int): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    import spark.implicits._
+    val st = spark.read.parquet(s"${idx.path}/stats").head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val buckets = terms.toDF("tok")
+      .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val post = spark.read.parquet(s"${idx.path}/post")
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+    val dfPerTerm = post.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    post.join(dfPerTerm, "tok")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("dfc") + 0.5) / (col("dfc") + 0.5)
+          + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / avgdl)))
+      .groupBy("id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
   }
 }

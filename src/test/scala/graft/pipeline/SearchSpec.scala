@@ -34,6 +34,25 @@ class SearchSpec extends SparkSpec {
     assert(one == Set(5L))
   }
 
+  test("searchBm25: rare terms outrank common ones, tf saturates") {
+    // "delta" appears in 1 of 5 docs, "beta" in 4 — a delta match must
+    // outscore a beta match at equal tf; doc 4's triple gamma beats
+    // doc 1's single gamma (monotone in tf).
+    val byDelta = Search.searchBm25(spark, idx, Seq("delta"), 10)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(byDelta == Seq(3L))
+    val scores = Search.searchBm25(spark, idx, Seq("gamma"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 3L, 4L))
+    assert(scores(4L) > scores(1L))
+    val mixed = Search.searchBm25(spark, idx, Seq("delta", "beta"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 (delta+beta) must beat any beta-only doc
+    assert(mixed(3L) == mixed.values.max)
+    // topK truncates deterministically
+    assert(Search.searchBm25(spark, idx, Seq("beta"), 2).count() == 2)
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

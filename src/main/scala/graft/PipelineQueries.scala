@@ -1229,6 +1229,44 @@ object PipelineQueries {
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Phrase to search for in q_search_phrase (adjacent tokens). */
+  val PhraseTerms: Seq[String] = Seq("table", "scan")
+
+  /** Exact phrase search over the positional index
+    * ([[Search.searchPhrase]]): docs containing the consecutive phrase,
+    * with occurrence counts, computed purely from positions in the
+    * bucket-pruned postings. The oracle re-derives adjacency from the
+    * documents table with a LEAD window over token ordinals. */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val idx = searchFixture.synchronized {
+      searchFixture.getOrElseUpdate((spark, dir), {
+        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", path)
+      })
+    }
+    Search.searchPhrase(spark, idx, PhraseTerms).orderBy("id")
+  }
+
+  val searchPhraseSql: String = {
+    // window expressions can't sit in WHERE: materialize the leads first
+    val leadCols = PhraseTerms.zipWithIndex.drop(1).map { case (_, i) =>
+      s"LEAD(tok, $i) OVER (PARTITION BY doc_id ORDER BY i) AS t$i"
+    }
+    val whereConds = PhraseTerms.zipWithIndex.map {
+      case (t, 0) => s"tok = '$t'"
+      case (t, i) => s"t$i = '$t'"
+    }.mkString(" AND ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+       |        unnest(toks) AS tok FROM t),
+       |w AS (SELECT doc_id, i, tok${if (leadCols.nonEmpty) ", " else ""}${leadCols.mkString(", ")}
+       |      FROM u)
+       |SELECT doc_id AS id, COUNT(*) AS occurrences
+       |FROM w WHERE $whereConds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** HyperLogLog distinct-token estimate per language
     * ([[Sketches.hllDistinct]], m = 256 registers) beside the exact
     * count — the constant-state cousin of q_distinct_kmv. No
@@ -2609,6 +2647,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHll _,
     "q_search_conj" -> searchConj _,
     "q_search_bm25" -> searchBm25 _,
+    "q_search_phrase" -> searchPhrase _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -2673,6 +2712,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHllSql,
     "q_search_conj" -> searchConjSql,
     "q_search_bm25" -> searchBm25Sql,
+    "q_search_phrase" -> searchPhraseSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -31,10 +31,11 @@ object Search {
   def writeIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Index = {
     val toks = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")),
         size(split(col(textCol), " ")).cast("long").as("dlen"))
     toks.groupBy("id", "tok")
-      .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"))
+      .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"),
+        collect_list(col("pos")).as("positions"))
       .withColumn("tb", bucketOf(col("tok"), nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/post")
@@ -62,6 +63,36 @@ object Search {
       .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
       .filter(col("nhit") === terms.length)
       .select(col("id"), col("score"))
+  }
+
+  /**
+   * Exact phrase search: docs where the terms appear CONSECUTIVELY, with
+   * the occurrence count. Positions ride in the postings rows, so the
+   * classic positional-index algorithm runs on the same bucket-pruned
+   * read as every other query: explode each matched term's positions,
+   * normalize to the would-be anchor (pos - term offset), and an anchor
+   * hit by all |terms| offsets is one phrase occurrence. Cost is
+   * O(matched postings positions) — never a text rescan.
+   */
+  def searchPhrase(spark: SparkSession, idx: Index,
+      terms: Seq[String]): DataFrame = {
+    require(terms.length >= 2, "phrase needs at least two terms")
+    import spark.implicits._
+    val termIdx = terms.zipWithIndex.toDF("tok", "ti")
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.toDF("tok")
+      .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    spark.read.parquet(s"${idx.path}/post")
+      .filter(col("tb").isin(buckets: _*)
+        && col("tok").isin(distinctTerms: _*))
+      .join(termIdx, "tok")
+      .select(col("id"), col("ti"), explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos") - col("ti"))
+      .groupBy("id", "anchor")
+      .agg(count_distinct(col("ti")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .groupBy("id").agg(count(lit(1)).as("occurrences"))
   }
 
   /** BM25 parameters (the standard Robertson defaults). */

@@ -53,6 +53,29 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchBm25(spark, idx, Seq("beta"), 2).count() == 2)
   }
 
+  test("searchPhrase: adjacency, occurrence counts, repeated terms") {
+    val d = Seq(
+      (1L, "a b c a b"),        // "a b" twice
+      (2L, "a c b"),            // both terms, never adjacent
+      (3L, "b a"),              // reversed
+      (4L, "x x x")).toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-phrase-spec"))
+    val pidx = Search.writeIndex(d, "doc_id", "text",
+      "target/tmp/search-phrase-spec")
+    val ab = Search.searchPhrase(spark, pidx, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == Map(1L -> 2L))
+    // repeated-term phrase: "x x" overlaps -> anchors at 0 and 1
+    val xx = Search.searchPhrase(spark, pidx, Seq("x", "x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(xx == Map(4L -> 2L))
+    // three-term phrase
+    val abc = Search.searchPhrase(spark, pidx, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc == Map(1L -> 1L))
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

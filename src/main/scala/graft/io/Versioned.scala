@@ -579,18 +579,40 @@ object Versioned {
     * wants quantile bucketing instead (the usual Z-order trade). */
   private def zorderKey(
       cols: Seq[(org.apache.spark.sql.Column, Double, Double)])
-      : org.apache.spark.sql.Column = {
-    val n = cols.length
-    val buckets = cols.map { case (c, lo, hi) =>
+      : org.apache.spark.sql.Column =
+    mortonInterleave(cols.map { case (c, lo, hi) =>
       least(greatest(
         (((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)))
           * 255.0).cast("int"), lit(0)), lit(255))
-    }
+    })
+
+  /** Interleave the low 8 bits of each bucket column into one Morton
+    * key — shared by the linear ([[compactZOrder]]) and equi-depth
+    * ([[compactZOrderQuantile]]) clusterings. */
+  private def mortonInterleave(buckets: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    val n = buckets.length
     (0 until 8).flatMap { bit =>
       buckets.zipWithIndex.map { case (b, j) =>
         shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * n + (n - 1 - j))
       }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Equi-depth bucket assignment against driver-collected cut points:
+    * a balanced CASE-WHEN binary search (8 comparisons per row at 255
+    * cuts, codegen-friendly; no UDF, no global window). Returns the
+    * bucket index in [0, cuts.length]. */
+  private def equiDepthBucket(c: org.apache.spark.sql.Column,
+      cuts: Array[Double]): org.apache.spark.sql.Column = {
+    def tree(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(c.cast("double") < lit(cuts(mid)), tree(lo, mid))
+          .otherwise(tree(mid + 1, hi))
+      }
+    if (cuts.isEmpty) lit(0) else tree(0, cuts.length)
   }
 
   /** Checkpoint-compact with Z-ORDER clustering (Delta's `OPTIMIZE
@@ -610,6 +632,29 @@ object Versioned {
       val lo = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
       val hi = if (mm.isNullAt(2 * i + 1)) 1.0 else mm.getDouble(2 * i + 1)
       (col(c), lo, hi)
+    })
+    commit(resolved, path, checkpoint = true, sortBy = Seq(z),
+      sortFiles = nFiles)
+  }
+
+  /** Checkpoint-compact with EQUI-DEPTH Z-order clustering: like
+    * [[compactZOrder]], but each column's 8-bit bucket comes from its
+    * own 255 approxQuantile cut points instead of a linear (lo, hi)
+    * scale — one wild outlier no longer collapses a column's whole
+    * range into one bucket (the skew-proof variant; Delta's OPTIMIZE
+    * has the same linear-vs-quantile trade). The cuts are a bounded
+    * driver collect (255 doubles per column from the distributed
+    * Greenwald-Khanna sketch); assignment is a balanced CASE-WHEN
+    * binary search, never a global NTILE window. */
+  def compactZOrderQuantile(spark: SparkSession, path: String,
+      keyCol: String, zCols: Seq[String], nFiles: Int = 0): Int = {
+    val resolved = current(spark, path, keyCol)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    val z = mortonInterleave(zCols.map { c =>
+      val cuts = resolved.stat.approxQuantile(c, probes, 0.01)
+        .distinct.sorted
+      least(equiDepthBucket(col(c), cuts), lit(255))
     })
     commit(resolved, path, checkpoint = true, sortBy = Seq(z),
       sortFiles = nFiles)

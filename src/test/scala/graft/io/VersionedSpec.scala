@@ -362,6 +362,45 @@ class VersionedSpec extends SparkSpec {
     assert(zk.filter(col("k") === 17L).select("x").head().getLong(0) == 4000L)
   }
 
+  test("compactZOrderQuantile: skipping survives the outlier that " +
+      "collapses linear bucketing") {
+    val p = freshPath("zorderq")
+    val n = 4096L
+    val df = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 2654435761L) % n).as("x"))
+    Versioned.append(df.repartitionByRange(8, col("k")), p)
+    // a single wild outlier: under LINEAR scaling every normal x value
+    // lands in bucket 0 (range 0..1e12), so x-files all cover the whole
+    // normal domain; equi-depth cuts ignore the outlier's magnitude
+    Versioned.append(Seq((17L, 1000000000000L)).toDF("k", "x"), p)
+    val cpLin = Versioned.compactZOrder(spark, p, "k", Seq("k", "x"),
+      nFiles = 32)
+    val cpEq = Versioned.compactZOrderQuantile(spark, p, "k", Seq("k", "x"),
+      nFiles = 32)
+    val all = Versioned.current(spark, p, "k")
+    val expect = all.filter(col("x").between(0, 255))
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty)
+    val linScan = Versioned.snapshotRange(spark, p, cpLin, "x", 0L, 255L)
+    val eqScan = Versioned.snapshotRange(spark, p, cpEq, "x", 0L, 255L)
+    // both return exactly the right rows...
+    assert(eqScan.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(linScan.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    // ...but the linear layout degenerates (x-bucket 0 for all normal
+    // rows -> x footer ranges useless) while equi-depth keeps skipping
+    val linFiles = linScan.inputFiles.length
+    val eqFiles = eqScan.inputFiles.length
+    assert(eqFiles < linFiles,
+      s"equi-depth read $eqFiles files, linear $linFiles (of 32)")
+    assert(eqFiles <= 32 / 2, s"equi-depth read $eqFiles of 32 files")
+    // key skipping still works on the equi-depth checkpoint too
+    val zk = Versioned.snapshotRange(spark, p, cpEq, "k", 0L, 255L)
+    assert(zk.select("k").collect().map(_.getLong(0)).toSet ==
+      all.filter(col("k") <= 255).select("k").collect().map(_.getLong(0)).toSet)
+  }
+
   test("logStream: committed versions arrive exactly once, checkpoints excluded") {
     val p = freshPath("logstream")
     Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p)

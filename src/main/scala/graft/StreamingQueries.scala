@@ -489,6 +489,44 @@ object StreamingQueries {
        |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** Daily volume anomaly detection: each (event_type, day) count
+    * z-scored against its own TRAILING 7-day window (prior days only —
+    * no leakage of the scored day into its baseline). One event_type
+    * partitioning carries the daily agg and both window stats; rows
+    * without a full 7-day baseline or with zero variance are excluded
+    * (exactly representable integer sums, so the sd > 0 cut is
+    * engine-stable), and z is rounded so Welford-vs-naive stddev
+    * accumulation order can't flip a hash. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("nw", count("n").over(w))
+      .filter(col("nw") === 7 && col("sd") > 0)
+      .select(col("day"), col("event_type"), col("n"),
+        round((col("n") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy("day", "event_type")
+  }
+
+  val anomalySql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT day, event_type, n,
+      |    AVG(n) OVER w AS mu,
+      |    STDDEV_SAMP(n) OVER w AS sd,
+      |    COUNT(n) OVER w AS nw
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, event_type, n, ROUND((n - mu) / sd, 6) AS z
+      |FROM s WHERE nw = 7 AND sd > 0 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> sessionize _,
     "q_sessionize_native" -> sessionizeNative _,
@@ -505,7 +543,8 @@ object StreamingQueries {
     "q_transitions" -> transitions _,
     "q_topk_daily" -> topkDaily _,
     "q_gapfill" -> gapfill _,
-    "q_pagerank" -> pageRankEvents _)
+    "q_pagerank" -> pageRankEvents _,
+    "q_anomaly" -> anomaly _)
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -523,5 +562,6 @@ object StreamingQueries {
     "q_transitions" -> transitionsSql,
     "q_topk_daily" -> topkDailySql,
     "q_gapfill" -> gapfillSql,
-    "q_pagerank" -> pageRankEventsSql)
+    "q_pagerank" -> pageRankEventsSql,
+    "q_anomaly" -> anomalySql)
 }

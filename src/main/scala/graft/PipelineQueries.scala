@@ -1229,6 +1229,32 @@ object PipelineQueries {
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Minimum-should-match search ([[Search.searchAny]], 2 of 3 terms):
+    * the OR-with-threshold retrieval mode between pure conjunction and
+    * pure disjunction, on the same bucket-pruned postings read. */
+  def searchAny(spark: SparkSession, dir: String): DataFrame = {
+    val idx = searchFixture.synchronized {
+      searchFixture.getOrElseUpdate((spark, dir), {
+        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", path)
+      })
+    }
+    Search.searchAny(spark, idx, SearchTerms, minMatch = 2).orderBy("id")
+  }
+
+  val searchAnySql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |           FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |      WHERE tok IN ($termList) GROUP BY 1, 2)
+       |SELECT doc_id AS id, COUNT(DISTINCT tok) AS nhit,
+       |  CAST(SUM(tf) AS BIGINT) AS score
+       |FROM f GROUP BY 1 HAVING COUNT(DISTINCT tok) >= 2
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Phrase to search for in q_search_phrase (adjacent tokens). */
   val PhraseTerms: Seq[String] = Seq("table", "scan")
 
@@ -1303,9 +1329,13 @@ object PipelineQueries {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("tok"))
-    val counters = Sketches.countMinTable(toks, "tok")
-    val cands = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok")).limit(20)
+    // one corpus explode: the exact (tok, n) aggregate feeds BOTH the
+    // candidate top-20 and the counter build (weighted over distinct
+    // tokens — identical counters, vocabulary-sized explode)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val counters = Sketches.countMinTableWeighted(exact, "tok", "n")
+    val cands = exact.orderBy(col("n").desc, col("tok")).limit(20)
     Sketches.countMinEstimate(counters, cands, "tok")
       .select("tok", "n", "est_n")
       .orderBy(col("n").desc, col("tok"))
@@ -2648,6 +2678,7 @@ object PipelineQueries {
     "q_search_conj" -> searchConj _,
     "q_search_bm25" -> searchBm25 _,
     "q_search_phrase" -> searchPhrase _,
+    "q_search_any" -> searchAny _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -2713,6 +2744,7 @@ object PipelineQueries {
     "q_search_conj" -> searchConjSql,
     "q_search_bm25" -> searchBm25Sql,
     "q_search_phrase" -> searchPhraseSql,
+    "q_search_any" -> searchAnySql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -66,6 +66,28 @@ object Search {
   }
 
   /**
+   * Disjunctive search with a minimum-should-match: docs containing at
+   * least `minMatch` of the terms, scored by summed tf and matched-term
+   * count. minMatch = terms.length degrades to [[searchAll]];
+   * minMatch = 1 is plain OR. Same bucket-pruned read.
+   */
+  def searchAny(spark: SparkSession, idx: Index, terms: Seq[String],
+      minMatch: Int): DataFrame = {
+    require(minMatch >= 1 && minMatch <= terms.length,
+      s"minMatch $minMatch out of range for ${terms.length} terms")
+    import spark.implicits._
+    val buckets = terms.toDF("tok")
+      .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    spark.read.parquet(s"${idx.path}/post")
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .groupBy("id")
+      .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
+      .filter(col("nhit") >= minMatch)
+      .select(col("id"), col("nhit"), col("score"))
+  }
+
+  /**
    * Exact phrase search: docs where the terms appear CONSECUTIVELY, with
    * the occurrence count. Positions ride in the postings rows, so the
    * classic positional-index algorithm runs on the same bucket-pruned

@@ -32,18 +32,38 @@ object Sketches {
    * exact powers of two differs across engines.
    */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, b))
+
+  /** The sketch STATE: (g, bucket, rmax) register rows — at most m per
+    * group. Mergeable: register tables from disjoint shards union +
+    * re-max into the exact registers of the combined corpus (max is
+    * associative/idempotent), which is what makes HLL the profile
+    * sketch for incremental ingest — fold each shard's m-row state,
+    * never re-scan the corpus. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       b: Int = 8): DataFrame = {
     require(b == 8, "register split is wired to 2 hex digits (b = 8)")
-    val m = 1 << b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val hex = md5(col(valueCol))
-    val reg = df.select(col(groupCol).as("g"),
+    df.select(col(groupCol).as("g"),
         conv(substring(hex, 1, 2), 16, 10).cast("long").as("bucket"),
         conv(substring(hex, 3, 12), 16, 10).cast("long").as("v"))
       .withColumn("rho",
         when(col("v") === 0, lit(49L))
           .otherwise(lit(49L) - length(bin(col("v")))))
       .groupBy("g", "bucket").agg(max("rho").as("rmax"))
+  }
+
+  /** Merge shard register tables (union + per-register max). */
+  def hllMerge(regs: DataFrame*): DataFrame =
+    regs.reduce(_.unionByName(_))
+      .groupBy("g", "bucket").agg(max("rmax").as("rmax"))
+
+  /** Fold register rows into the per-group estimate. */
+  def hllEstimate(reg: DataFrame, b: Int = 8): DataFrame = {
+    require(b == 8, "register split is wired to 2 hex digits (b = 8)")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     reg.groupBy("g")
       .agg(sum(pow(lit(2.0), -col("rmax"))).as("zpresent"),
         count(lit(1)).as("present"))
@@ -113,6 +133,20 @@ object Sketches {
     df.select(explode(array(cells: _*)).as("cell"))
       .groupBy(col("cell.hrow").as("hrow"), col("cell.pos").as("pos"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[countMinTable]] from a pre-aggregated (value, weight) frame —
+    * identical counters (a cell's count is the weight sum of the
+    * distinct values hashing into it), but the explode runs over
+    * DISTINCT values instead of raw rows. Use when a (value, n)
+    * aggregate already exists in the pipeline. */
+  def countMinTableWeighted(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame = {
+    val cells = (0 until CmDepth).map(i =>
+      struct(lit(i).as("hrow"), cmPos(i, col(valueCol)).as("pos")))
+    df.select(col(weightCol).as("w"), explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.hrow").as("hrow"), col("cell.pos").as("pos"))
+      .agg(sum("w").as("c"))
   }
 
   /**

@@ -53,6 +53,17 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchBm25(spark, idx, Seq("beta"), 2).count() == 2)
   }
 
+  test("searchAny: minimum-should-match spans OR to AND") {
+    val terms = Seq("alpha", "beta", "gamma")
+    def ids(m: Int) = Search.searchAny(spark, idx, terms, m)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L, 2L, 3L, 4L))     // any term
+    assert(ids(2) == Set(1L, 2L, 3L, 4L))     // all hold >= 2 of the three
+    assert(ids(3) == Set(1L, 4L))             // == searchAll
+    assert(ids(3) == Search.searchAll(spark, idx, terms)
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("searchPhrase: adjacency, occurrence counts, repeated terms") {
     val d = Seq(
       (1L, "a b c a b"),        // "a b" twice

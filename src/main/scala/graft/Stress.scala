@@ -22,7 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
       "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
-      "vtable")
+      "vtable", "search")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -43,6 +43,7 @@ object Stress {
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
+    if (mode == "search") { searchStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
@@ -240,6 +241,64 @@ object Stress {
     println(s"""{"metric":"stress_text","docs":$nDocs,""" +
       s""""filter_sec":$tFilter,"kept_docs":$nKeep,""" +
       s""""chunk_dedup_sec":$tChunk,"kept_chunks":$dedupedChunks}""")
+    spark.stop()
+  }
+
+  /** Search stress: at-rest inverted-index build + serve + incremental
+    * fold over nDocs synthetic 40-token docs (1000 stock 8-token
+    * openings — realistic shared vocabulary — plus doc-unique body
+    * tokens). Serve queries hit opening tokens so postings are fat;
+    * the fold appends a 10% shard and must cost O(shard). */
+  private def searchStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Search
+    val tokMod = 100000007L
+    def gen(ids: org.apache.spark.sql.DataFrame) = {
+      val opening = (0 until 8).map(j =>
+        concat(lit("b"), ((col("id") % 1000) * (17 + j) + j) % 1000))
+      val body = (0 until 32).map(j =>
+        concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+      ids.select(col("id").as("doc_id"),
+        concat_ws(" ", opening ++ body: _*).as("text"))
+    }
+    val docs = gen(spark.range(nDocs).repartition(cpus * 4).toDF())
+    val path = "target/tmp/stress-searchidx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+    val t0 = System.nanoTime()
+    val idx = Search.writeIndex(docs, "doc_id", "text", path)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+
+    // doc family id % 1000 == 0 carries opening tokens b0 b1 b2 ...
+    // adjacently, so conj/phrase both return that family
+    val terms = Seq("b0", "b1", "b2")
+    // cold-vs-warm: the first read after the giant index write absorbs
+    // JIT/codegen/listing warmup — time a second pass to attribute the
+    // serve path itself
+    def timed(f: => Long): (Double, Double, Long) = {
+      val c0 = System.nanoTime(); val n = f
+      val cold = (System.nanoTime() - c0) / 1e9
+      val w0 = System.nanoTime(); f
+      (cold, (System.nanoTime() - w0) / 1e9, n)
+    }
+    val (tConj, tConjW, nConj) =
+      timed(Search.searchAll(spark, idx, terms).count())
+    val (tBm, tBmW, nBm) =
+      timed(Search.searchBm25(spark, idx, terms, 10).count())
+    val (tPhrase, tPhraseW, nPhrase) =
+      timed(Search.searchPhrase(spark, idx, Seq("b0", "b1")).count())
+
+    val shard = gen(spark.range(nDocs, nDocs + nDocs / 10)
+      .repartition(cpus * 2).toDF())
+    val t4 = System.nanoTime()
+    Search.append(shard, "doc_id", "text", idx)
+    val tFold = (System.nanoTime() - t4) / 1e9
+
+    println(s"""{"metric":"stress_search","docs":$nDocs,""" +
+      s""""build_sec":$tBuild,""" +
+      s""""conj_sec":$tConj,"conj_warm_sec":$tConjW,"conj_docs":$nConj,""" +
+      s""""bm25_sec":$tBm,"bm25_warm_sec":$tBmW,"bm25_docs":$nBm,""" +
+      s""""phrase_sec":$tPhrase,"phrase_warm_sec":$tPhraseW,""" +
+      s""""phrase_docs":$nPhrase,"fold10pct_sec":$tFold}""")
     spark.stop()
   }
 

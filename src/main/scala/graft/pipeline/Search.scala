@@ -38,11 +38,55 @@ object Search {
         collect_list(col("pos")).as("positions"))
       .withColumn("tb", bucketOf(col("tok"), nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/post")
+      // small row groups so the tok-sorted min/max skipping actually
+      // bites inside fat buckets (the 128 MB default makes one group
+      // per file, turning every term probe into a full-bucket decode)
+      .write.mode("overwrite").option("parquet.block.size", 1 << 20)
+      .partitionBy("tb").parquet(s"$path/post")
     df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
       .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     Index(path, nBuckets)
+  }
+
+  /**
+   * Incremental index ingest: fold a NEW shard of documents into an
+   * existing index. The shard's postings append into the same
+   * bucket-partitioned layout (a bucket is a directory — appends never
+   * rewrite existing files), and the two corpus constants accumulate
+   * exactly (integer sums), so BM25 over the appended index equals a
+   * full rebuild bit-for-bit. Ingest cost is O(shard), never
+   * O(corpus) — the same at-rest fold contract as
+   * [[Dedup.jaccardRestMerge]].
+   *
+   * Caller contract (documented, not scanned-for): shard doc ids must
+   * be NEW — this is append-only ingest; updating a doc needs a
+   * delete+reingest cycle or the versioned-table overlay. Single
+   * writer, like every at-rest state here: the stats rewrite is not
+   * atomic with the postings append.
+   */
+  def append(df: DataFrame, idCol: String, textCol: String,
+      idx: Index): Index = {
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")),
+        size(split(col(textCol), " ")).cast("long").as("dlen"))
+    toks.groupBy("id", "tok")
+      .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"),
+        collect_list(col("pos")).as("positions"))
+      .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
+      .repartition(col("tb")).sortWithinPartitions("tok")
+      .write.mode("append").option("parquet.block.size", 1 << 20)
+      .partitionBy("tb").parquet(s"${idx.path}/post")
+    val old = spark.read.parquet(s"${idx.path}/stats").head()
+    val delta = df.select(size(split(col(textCol), " ")).cast("long")
+        .as("dlen"))
+      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen")).head()
+    import spark.implicits._
+    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "sum_dlen")
+      .coalesce(1).write.mode("overwrite").parquet(s"${idx.path}/stats")
+    idx
   }
 
   /** Conjunctive (AND-of-terms) search: docs containing EVERY query

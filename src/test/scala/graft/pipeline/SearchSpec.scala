@@ -87,6 +87,31 @@ class SearchSpec extends SparkSpec {
     assert(abc == Map(1L -> 1L))
   }
 
+  test("append: incremental ingest == full rebuild for every query mode") {
+    val shardA = docs.filter(col("doc_id") <= 3)
+    val shardB = docs.filter(col("doc_id") > 3)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-inc-spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-full-spec"))
+    val inc = Search.writeIndex(shardA, "doc_id", "text",
+      "target/tmp/search-inc-spec")
+    Search.append(shardB, "doc_id", "text", inc)
+    val full = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-full-spec")
+    val terms = Seq("alpha", "beta", "gamma")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Search.searchAll(spark, inc, terms))
+      == rows(Search.searchAll(spark, full, terms)))
+    assert(rows(Search.searchBm25(spark, inc, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)))
+    assert(rows(Search.searchPhrase(spark, inc, Seq("epsilon", "zeta")))
+      == rows(Search.searchPhrase(spark, full, Seq("epsilon", "zeta"))))
+    assert(rows(Search.searchAny(spark, inc, terms, 1))
+      == rows(Search.searchAny(spark, full, terms, 1)))
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

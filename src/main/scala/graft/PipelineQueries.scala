@@ -620,11 +620,13 @@ object PipelineQueries {
   }
 
   /** Edit-distance near-dup pairs over the near-dup corpus
-    * ([[Dedup.editNearDup]]): prefix-16 blocking pairs each doc with its
+    * ([[Dedup.editNearDup]]): prefix-24 blocking pairs each doc with its
     * truncated copy (suffix edits preserve the block key), full-text
     * Levenshtein scores the pair. Blocks are capped at 64 docs — the
     * boilerplate-prefix guard that keeps any one block from going
-    * quadratic at corpus scale. */
+    * quadratic at corpus scale. Full-text Levenshtein is O(len²) per
+    * pair; for long-document corpora pass a `maxLen` truncation to
+    * [[Dedup.editNearDup]] so one long-doc block can't dominate. */
   def dedupEdit(spark: SparkSession, dir: String): DataFrame =
     Dedup.editNearDup(nearDupCorpus(spark, dir), "doc_id", "text",
         prefixLen = 24, maxBucket = 64, maxDist = 60)
@@ -1156,26 +1158,33 @@ object PipelineQueries {
   val SearchTerms: Seq[String] = Seq("window", "merge", "vector")
 
   /** Per-JVM at-rest search index ([[Search.writeIndex]]), memoized per
-    * sf dir like the other at-rest fixtures: the bench's untimed warm
-    * pass absorbs the build, the timed pass measures the SERVE path. */
+    * (session, sf dir) like the other at-rest fixtures: the bench's
+    * untimed warm pass absorbs the build, the timed pass measures the
+    * SERVE path. The on-disk path carries the session's identity hash
+    * so two sessions in one JVM never overwrite each other's live
+    * index (cache key and path key agree). */
   private val searchFixture =
     TrieMap.empty[(SparkSession, String), Search.Index]
+
+  private def searchIndex(spark: SparkSession, dir: String): Search.Index =
+    searchFixture.synchronized {
+      searchFixture.getOrElseUpdate((spark, dir), {
+        val path = "target/tmp/searchidx-" +
+          java.lang.Integer.toHexString(System.identityHashCode(spark)) +
+          "-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", path)
+      })
+    }
 
   /** Conjunctive (AND) term search over the at-rest inverted index:
     * docs containing all three terms, scored by summed term frequency.
     * The serve read is partition-pruned to the terms' hash buckets —
     * O(matched postings), never a corpus scan; the oracle recomputes
     * the same conjunction straight from the documents table. */
-  def searchConj(spark: SparkSession, dir: String): DataFrame = {
-    val idx = searchFixture.synchronized {
-      searchFixture.getOrElseUpdate((spark, dir), {
-        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", path)
-      })
-    }
-    Search.searchAll(spark, idx, SearchTerms).orderBy("id")
-  }
+  def searchConj(spark: SparkSession, dir: String): DataFrame =
+    Search.searchAll(spark, searchIndex(spark, dir), SearchTerms)
+      .orderBy("id")
 
   val searchConjSql: String = {
     val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
@@ -1194,17 +1203,10 @@ object PipelineQueries {
     * plus one stats row. The oracle recomputes the full BM25 formula
     * (Lucene idf variant, k1=1.2, b=0.75) from the documents table,
     * score rounded before the id-tie-broken rank. */
-  def searchBm25(spark: SparkSession, dir: String): DataFrame = {
-    val idx = searchFixture.synchronized {
-      searchFixture.getOrElseUpdate((spark, dir), {
-        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", path)
-      })
-    }
-    Search.searchBm25(spark, idx, SearchTerms, topK = 20)
+  def searchBm25(spark: SparkSession, dir: String): DataFrame =
+    Search.searchBm25(spark, searchIndex(spark, dir), SearchTerms,
+        topK = 20)
       .orderBy(col("score").desc, col("id"))
-  }
 
   val searchBm25Sql: String = {
     val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
@@ -1232,16 +1234,9 @@ object PipelineQueries {
   /** Minimum-should-match search ([[Search.searchAny]], 2 of 3 terms):
     * the OR-with-threshold retrieval mode between pure conjunction and
     * pure disjunction, on the same bucket-pruned postings read. */
-  def searchAny(spark: SparkSession, dir: String): DataFrame = {
-    val idx = searchFixture.synchronized {
-      searchFixture.getOrElseUpdate((spark, dir), {
-        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", path)
-      })
-    }
-    Search.searchAny(spark, idx, SearchTerms, minMatch = 2).orderBy("id")
-  }
+  def searchAny(spark: SparkSession, dir: String): DataFrame =
+    Search.searchAny(spark, searchIndex(spark, dir), SearchTerms,
+      minMatch = 2).orderBy("id")
 
   val searchAnySql: String = {
     val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
@@ -1263,16 +1258,9 @@ object PipelineQueries {
     * with occurrence counts, computed purely from positions in the
     * bucket-pruned postings. The oracle re-derives adjacency from the
     * documents table with a LEAD window over token ordinals. */
-  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
-    val idx = searchFixture.synchronized {
-      searchFixture.getOrElseUpdate((spark, dir), {
-        val path = "target/tmp/searchidx-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", path)
-      })
-    }
-    Search.searchPhrase(spark, idx, PhraseTerms).orderBy("id")
-  }
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame =
+    Search.searchPhrase(spark, searchIndex(spark, dir), PhraseTerms)
+      .orderBy("id")
 
   val searchPhraseSql: String = {
     // window expressions can't sit in WHERE: materialize the leads first

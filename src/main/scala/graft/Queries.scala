@@ -1420,7 +1420,8 @@ object Queries {
       .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
 
   val groupingSetsAggSql: String =
-    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |GROUP BY GROUPING SETS ((lang), (source), (lang, source))
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin

@@ -489,6 +489,66 @@ object StreamingQueries {
        |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** PageRank with DANGLING-MASS redistribution over the same
+    * transition graph, with the lexicographically-largest src turned
+    * into a sink (its out-edges dropped) so dangling mass actually
+    * flows: each iteration folds the sink-parked mass back in
+    * uniformly (r' = (1-d)/N + d*danglingMass/N + d*inflow — the full
+    * recurrence whose ranks sum to 1). The per-iteration dangling mass
+    * is ONE scalar collect; the oracle unrolls the identical
+    * recurrence with a scalar subquery per round. */
+  def pageRankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edgesAll = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+      .localCheckpoint()
+    val sinkName = edgesAll.agg(max("src")).head().getString(0)
+    graft.pipeline.Graph.pageRank(
+        edgesAll.filter(col("src") =!= sinkName),
+        iters = 3, damping = 0.85, dangling = true)
+      .select(col("node"), round(col("r"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  val pageRankDanglingSql: String = {
+    val iter = (prev: String, cur: String, d: String) =>
+      s"""$d AS (
+         |  SELECT COALESCE(SUM(r), 0) AS dm FROM $prev
+         |  WHERE node NOT IN (SELECT src FROM p)),
+         |$cur AS (
+         |  SELECT nodes.node,
+         |    0.15 / (SELECT n FROM nn)
+         |      + 0.85 * (SELECT dm FROM $d) / (SELECT n FROM nn)
+         |      + 0.85 * COALESCE(c.inflow, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT p.dst AS node, SUM(p.p * $prev.r) AS inflow
+         |    FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1) c
+         |  ON nodes.node = c.node)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e0 AS (SELECT src, dst, COUNT(*) AS w FROM s
+       |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |e AS (SELECT * FROM e0 WHERE src <> (SELECT MAX(src) FROM e0)),
+       |o AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+       |p AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS p
+       |      FROM e JOIN o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", "r1", "d1")},
+       |${iter("r1", "r2", "d2")},
+       |${iter("r2", "r3", "d3")}
+       |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** Daily volume anomaly detection: each (event_type, day) count
     * z-scored against its own TRAILING 7-day window (prior days only —
     * no leakage of the scored day into its baseline). One event_type
@@ -544,6 +604,7 @@ object StreamingQueries {
     "q_topk_daily" -> topkDaily _,
     "q_gapfill" -> gapfill _,
     "q_pagerank" -> pageRankEvents _,
+    "q_pagerank_dangling" -> pageRankDangling _,
     "q_anomaly" -> anomaly _)
 
   val oracles: Map[String, String] = Map(
@@ -563,5 +624,6 @@ object StreamingQueries {
     "q_topk_daily" -> topkDailySql,
     "q_gapfill" -> gapfillSql,
     "q_pagerank" -> pageRankEventsSql,
+    "q_pagerank_dangling" -> pageRankDanglingSql,
     "q_anomaly" -> anomalySql)
 }

@@ -648,16 +648,25 @@ object Versioned {
     * binary search, never a global NTILE window. */
   def compactZOrderQuantile(spark: SparkSession, path: String,
       keyCol: String, zCols: Seq[String], nFiles: Int = 0): Int = {
+    // The log-resolve is the expensive step: cache it so the quantile
+    // pass and the checkpoint write each read the materialized state
+    // instead of re-resolving, and pull ALL columns' cut arrays from
+    // ONE distributed Greenwald-Khanna pass (multi-column overload)
+    // rather than one scan per z-column.
     val resolved = current(spark, path, keyCol)
       .drop(VersionCol, SeqCol, MergeCol, CkptCol)
-    val probes = (1 until 256).map(_ / 256.0).toArray
-    val z = mortonInterleave(zCols.map { c =>
-      val cuts = resolved.stat.approxQuantile(c, probes, 0.01)
-        .distinct.sorted
-      least(equiDepthBucket(col(c), cuts), lit(255))
-    })
-    commit(resolved, path, checkpoint = true, sortBy = Seq(z),
-      sortFiles = nFiles)
+      .persist()
+    try {
+      val probes = (1 until 256).map(_ / 256.0).toArray
+      val allCuts =
+        resolved.stat.approxQuantile(zCols.toArray, probes, 0.01)
+      val z = mortonInterleave(zCols.zip(allCuts).map { case (c, raw) =>
+        val cuts = raw.distinct.sorted
+        least(equiDepthBucket(col(c), cuts), lit(255))
+      })
+      commit(resolved, path, checkpoint = true, sortBy = Seq(z),
+        sortFiles = nFiles)
+    } finally resolved.unpersist(blocking = false)
   }
 
   /** Zone-map scan of a CHECKPOINT snapshot with a predicate on ANY

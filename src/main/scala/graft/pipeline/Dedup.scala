@@ -1013,18 +1013,28 @@ object Dedup {
    * boilerplate-prefix guard (the HotTokenCap idea applied to prefixes):
    * a shared header that millions of docs start with would otherwise
    * make one block quadratic. Within a block, i < j pairs are scored
-   * with full-text Levenshtein and kept under `maxDist`.
+   * with THRESHOLD-BANDED Levenshtein (the `levenshtein(l, r, k)`
+   * overload, O(len * maxDist) per pair instead of O(len^2) — the band
+   * abandons a pair the moment its distance provably exceeds
+   * `maxDist`) and kept under `maxDist`.
    *
    * At 100 TB: pair cost is sum over blocks of |block|^2 <= maxBucket *
    * corpus — linear in the corpus with a constant the caller picks; the
-   * block key is a plain hash-partition key. Recall trade (documented,
-   * standard for blocking): edits inside the first `prefixLen` chars
-   * move a doc to another block, so this targets suffix-edit families
-   * (truncation, appended boilerplate, trailing noise).
+   * block key is a plain hash-partition key. Per-pair cost is bounded
+   * by the band, and `maxLen` (opt-in) truncates pathological long docs
+   * before the distance — a truncated comparison is a documented
+   * precision trade for corpora with multi-MB outliers. Recall trade
+   * (documented, standard for blocking): edits inside the first
+   * `prefixLen` chars move a doc to another block, so this targets
+   * suffix-edit families (truncation, appended boilerplate, trailing
+   * noise).
    */
   def editNearDup(df: DataFrame, idCol: String, textCol: String,
-      prefixLen: Int, maxBucket: Long, maxDist: Int): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      prefixLen: Int, maxBucket: Long, maxDist: Int,
+      maxLen: Int = Int.MaxValue): DataFrame = {
+    val body = if (maxLen == Int.MaxValue) col(textCol)
+      else substring(col(textCol), 1, maxLen)
+    val keyed = df.select(col(idCol).as("id"), body.as("text"),
       substring(col(textCol), 1, prefixLen).as("bkey"))
     val live = keyed.groupBy("bkey").agg(count(lit(1)).as("bn"))
       .filter(col("bn") >= 2 && col("bn") <= maxBucket)
@@ -1034,8 +1044,10 @@ object Dedup {
       .join(blocked.select(col("bkey"), col("id").as("idb"),
         col("text").as("tb")), Seq("bkey"))
       .filter(col("ida") < col("idb"))
+      // banded: returns -1 when the distance provably exceeds maxDist,
+      // after O(len * maxDist) work instead of the full O(len^2) table
       .select(col("ida"), col("idb"),
-        levenshtein(col("ta"), col("tb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

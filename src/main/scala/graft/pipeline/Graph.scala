@@ -31,13 +31,33 @@ object Graph {
    *                no convergence test, so both engines run the same
    *                arithmetic).
    * @param damping d in r' = (1-d)/N + d * sum_in p * r.
+   * @param dangling when true, mass parked on sink nodes (no out-edges)
+   *                is redistributed uniformly each iteration: r' =
+   *                (1-d)/N + d*(danglingMass/N) + d*inflow, the full
+   *                PageRank recurrence whose ranks sum to 1. The
+   *                dangling mass is ONE scalar (a <=1-row agg) per
+   *                iteration — the only driver traffic besides |V|.
+   *                Default false keeps the simplified leaky recurrence
+   *                (ranks sum to < 1 with sinks; fine for relative
+   *                ordering, and exactly what the SQL oracle unrolls).
+   * @param saltBuckets when > 1, the dst-keyed inflow aggregation runs
+   *                TWO-STAGE (groupBy(dst, salt) then groupBy(dst),
+   *                salt = hash(src) mod saltBuckets — the repo's
+   *                saltedAgg pattern): a power-law in-degree hub no
+   *                longer funnels its whole inflow through one reduce
+   *                task. Summation ORDER changes, so floating-point
+   *                results can differ in the last ulp from the
+   *                single-stage plan — opt in for skewed graphs, keep
+   *                the default 1 when bit-stable output matters.
    *
-   * Nodes with no out-edges leak their mass (no dangling-mass
-   * redistribution) — the simplified recurrence both the operator and
-   * the SQL oracle implement identically; ranks then sum to < 1 in
-   * graphs with sinks, which is fine for relative ordering.
+   * Lineage: probs/nodes are localCheckpointed once; the rank vector is
+   * additionally localCheckpointed every 10 iterations (and every
+   * iteration when `dangling` forces a per-round action anyway), so
+   * deep iteration counts neither replay the full chain nor grow an
+   * unbounded plan.
    */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+      dangling: Boolean = false, saltBuckets: Int = 1): DataFrame = {
     val outMass = edges.groupBy("src").agg(sum("weight").as("wout"))
     // materialize the normalized edge list and node set once
     // (localCheckpoint, the same iterative-dataframe pattern as
@@ -52,15 +72,38 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    // sinks: nodes that never appear as a src (only needed for the
+    // dangling-mass scalar; O(|V|) rows, checkpointed once)
+    lazy val sinks = nodes.join(
+      probs.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
-      val inflow = probs.join(ranks, probs("src") === ranks("node"))
-        .groupBy(probs("dst").as("node"))
-        .agg(sum(col("p") * col("r")).as("inflow"))
+    for (i <- 1 to iters) {
+      val dMass =
+        if (!dangling) 0.0
+        else {
+          // materialize the round's rank vector so the scalar agg and
+          // the inflow join both read cached blocks, not the lineage
+          ranks = ranks.localCheckpoint()
+          sinks.join(ranks, "node")
+            .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+        }
+      val contrib = probs.join(ranks, probs("src") === ranks("node"))
+        .select(probs("dst").as("node"), probs("src").as("src"),
+          (col("p") * col("r")).as("c"))
+      val inflow =
+        if (saltBuckets <= 1)
+          contrib.groupBy("node").agg(sum("c").as("inflow"))
+        else contrib
+          .withColumn("__salt", pmod(hash(col("src")), lit(saltBuckets)))
+          .groupBy("node", "__salt").agg(sum("c").as("c1"))
+          .groupBy("node").agg(sum("c1").as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n)
+          (lit((1.0 - damping) / n + damping * dMass / n)
             + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      if (i % 10 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }

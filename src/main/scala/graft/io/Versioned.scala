@@ -58,11 +58,13 @@ import org.apache.spark.sql.functions._
  * matches for the same reason.
  *
  * At 100 TB: appends are just parquet writes; the staged rename gives
- * single-FS-call publication. The version counter is still
- * read-modify-write — the slot collision is detected (rename/exists)
- * and retried, but two writers racing the same instant need a
- * metastore CAS or put-if-absent log entry in a real deployment; the
- * window here is one FS call wide, not a whole job. The resolve
+ * single-FS-call publication. Version allocation is multi-writer safe
+ * via put-if-absent claim files (`.claim-v=N`, exclusive-create CAS —
+ * atomic on local FS via O_EXCL and on HDFS at the namenode; object
+ * stores without put-if-absent still need a metastore CAS, the
+ * standard Delta/Iceberg LogStore caveat): concurrent writers take
+ * distinct slots before writing any data instead of racing the same
+ * rename. The resolve
  * window shuffles once on the key and is exactly as skew-bound as the
  * data's true key skew; compaction bounds the number of live version
  * dirs; vacuum bounds total storage and the `versions()` listing.
@@ -155,15 +157,48 @@ object Versioned {
   }
 
   /**
-   * Staged commit: write data + markers + footer stats into a hidden
-   * staging dir, then publish with one atomic rename to `v=N`. A
-   * pre-existing `v=N` at publish time means a concurrent writer won
-   * the slot — the staging dir is discarded and the commit retries at
-   * the new head (data must be re-stamped with the new `__v`). The
-   * check-then-rename pair is not atomic on every filesystem (local FS
-   * rename onto an existing directory nests instead of failing); the
-   * race window is one FS call — a production deployment puts the
-   * version allocation behind a metastore CAS.
+   * Atomically claim version slot `v` by exclusively creating the
+   * hidden `.claim-v=N` marker (put-if-absent CAS). On `file://` the
+   * claim uses NIO `Files.createFile` — a true O_CREAT|O_EXCL, atomic
+   * against every other process on the machine; on HDFS,
+   * `create(overwrite=false)` is a single atomic namenode op. Object
+   * stores without put-if-absent need a metastore CAS instead (the
+   * standard Delta/Iceberg LogStore caveat). Claims outlive their
+   * commit (a published version's claim keeps the slot dead forever);
+   * a crashed writer's orphan claim wastes one slot number, never a
+   * version — `vacuum` sweeps stale ones with the same age guard as
+   * staging dirs.
+   */
+  private def claimSlot(f: FileSystem, path: String, v: Int): Boolean = {
+    val claim = new Path(path, s".claim-v=$v")
+    if (f.getScheme == "file") {
+      val local = java.nio.file.Paths.get(claim.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /**
+   * Staged commit: CLAIM a version slot with an atomic put-if-absent
+   * marker, write data + markers + footer stats into a hidden staging
+   * dir, then publish with one atomic rename to `v=N`. Version
+   * allocation is multi-writer safe: each candidate slot is taken by
+   * exclusive claim-file creation ([[claimSlot]]), so two concurrent
+   * writers get DISTINCT versions up front instead of racing the same
+   * `v=N` rename and failing late — the loser of a slot just probes
+   * the next one before writing any data. A slow writer can publish a
+   * lower version after a faster writer published a higher one; the
+   * resolve orders by `__v`, so reads are well-defined either way. The
+   * publish-time existence check + bounded retry is kept as a belt for
+   * legacy torn dirs.
    */
   private def commit(df: DataFrame, path: String, checkpoint: Boolean = false,
       merge: Boolean = false, batchMarker: Option[String] = None,
@@ -173,7 +208,15 @@ object Versioned {
       "times to concurrent writers; coordinate writers or add a metastore CAS")
     val spark = df.sparkSession
     val f = fs(spark, path)
-    val v = latestVersion(spark, path) + 1
+    var v = latestVersion(spark, path) + 1
+    var probes = 0
+    while (!claimSlot(f, path, v)) {
+      v += 1
+      probes += 1
+      require(probes < 10000,
+        s"commit at $path probed $probes claimed slots from the listed " +
+          "head; claim files and versions have diverged — run vacuum")
+    }
     val stamped = (if (df.columns.contains(DeletedCol)) df
       else df.withColumn(DeletedCol, lit(false)))
       .withColumn(MergeCol, lit(merge))
@@ -702,10 +745,19 @@ object Versioned {
     val root = new Path(path)
     if (!f.exists(root)) return Nil
     // crashed staging dirs are invisible garbage; sweep the stale ones
-    // (age guard so an in-flight commit's staging survives)
+    // (age guard so an in-flight commit's staging survives). Stale
+    // version-slot claim files get the same treatment: a claim for a
+    // PUBLISHED version is redundant with the version dir itself, and
+    // an hour-old claim with no version is a crashed writer's orphan —
+    // a live slow writer that loses its claim this way still publishes
+    // safely (the publish-time existence check catches a re-claimed
+    // slot and retries at the head).
     val now = System.currentTimeMillis()
     f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-"))
+      .filter { s =>
+        (s.isDirectory && s.getPath.getName.startsWith(".staging-")) ||
+          (!s.isDirectory && s.getPath.getName.startsWith(".claim-"))
+      }
       .filter(s => now - s.getModificationTime > 3600L * 1000)
       .foreach(s => f.delete(s.getPath, true))
     val cutoff = latestVersion(spark, path) - horizon

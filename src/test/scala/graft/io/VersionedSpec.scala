@@ -1,5 +1,7 @@
 package graft.io
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -488,5 +490,45 @@ class VersionedSpec extends SparkSpec {
     // MERGE commits have no self-contained state to open an interval
     Versioned.merge(Seq((1L, 77)).toDF("k", "x"), p)
     assertThrows[IllegalArgumentException](Versioned.history(spark, p, "k"))
+  }
+
+  test("concurrent writers: claim-file CAS gives every commit a distinct " +
+      "version, no torn state") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val p = freshPath("mw")
+    Versioned.append(Seq((999L, -1)).toDF("k", "x"), p) // seed v=1
+    val writers = 4
+    val roundsPer = 3
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (0 until roundsPer).foreach { r =>
+            got.add(Versioned.append(
+              Seq((w * 100L + r, w)).toDF("k", "x"), p))
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown() // fire all writers at once
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val vs = got.iterator().asScala.toSeq
+    assert(vs.size == writers * roundsPer)
+    assert(vs.distinct.size == vs.size,
+      s"version collision among $vs") // every commit a distinct slot
+    // all committed versions are listed and fully readable
+    assert(Versioned.versions(spark, p).size == writers * roundsPer + 1)
+    val resolved = Versioned.current(spark, p, "k")
+    assert(resolved.count() == writers * roundsPer + 1L)
+    // no stray visible garbage: only v= dirs and hidden claims/staging
+    val root = new java.io.File(p)
+    assert(root.listFiles().forall(d =>
+      d.getName.startsWith("v=") || d.getName.startsWith(".")))
   }
 }

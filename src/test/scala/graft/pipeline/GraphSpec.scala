@@ -49,4 +49,72 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got("a") - 0.15 / 2) < 1e-12)
     assert(got("sink") > got("a"))
   }
+
+  test("pageRank: empty edge list fails loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Double)]
+      .toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(empty, iters = 1, damping = 0.85)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("pageRank dangling: ranks sum to 1 with a sink, and match the " +
+      "hand-unrolled full recurrence") {
+    import spark.implicits._
+    // a -> sink, b -> a: sink holds mass that must be redistributed.
+    val edges = Seq(("a", "sink", 1.0), ("b", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val got = Graph.pageRank(edges, iters = 2, damping = 0.85,
+        dangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // hand-unrolled: n=3, r0 = 1/3 each; sink and b are dangling?
+    // sinks = nodes never appearing as src = {sink} only (b IS a src).
+    val n = 3.0
+    val d = 0.85
+    def round(r: Map[String, Double]): Map[String, Double] = {
+      val dm = r("sink")
+      val base = (1.0 - d) / n + d * dm / n
+      Map(
+        "a" -> (base + d * r("b")),     // b -> a with p=1
+        "sink" -> (base + d * r("a")),  // a -> sink with p=1
+        "b" -> base)                    // no inflow
+    }
+    val r0 = Map("a" -> 1 / n, "b" -> 1 / n, "sink" -> 1 / n)
+    val want = round(round(r0))
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v")
+  }
+
+  test("pageRank dangling: no sinks means identical to the plain path") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+      ("b", "a", 1.0)).toDF("src", "dst", "weight")
+    val plain = Graph.pageRank(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dang = Graph.pageRank(edges, iters = 3, damping = 0.85,
+        dangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- plain) assert(math.abs(dang(k) - v) < 1e-12)
+  }
+
+  test("pageRank salted inflow: hub-heavy graph matches unsalted " +
+      "within float tolerance") {
+    import spark.implicits._
+    // power-law shape: 200 spokes all pointing at one hub, hub points
+    // back at spoke 0 — the dst-keyed agg funnels 200 rows into 'hub'.
+    val spokes = (0 until 200).map(i => (s"s$i", "hub", 1.0 + i % 3))
+    val edges = (spokes :+ (("hub", "s0", 1.0)))
+      .toDF("src", "dst", "weight")
+    val plain = Graph.pageRank(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Graph.pageRank(edges, iters = 3, damping = 0.85,
+        saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == salted.keySet)
+    for ((k, v) <- plain)
+      assert(math.abs(salted(k) - v) < 1e-9, s"node $k: ${salted(k)} vs $v")
+  }
 }

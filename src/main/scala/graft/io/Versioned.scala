@@ -169,22 +169,8 @@ object Versioned {
    * version — `vacuum` sweeps stale ones with the same age guard as
    * staging dirs.
    */
-  private def claimSlot(f: FileSystem, path: String, v: Int): Boolean = {
-    val claim = new Path(path, s".claim-v=$v")
-    if (f.getScheme == "file") {
-      val local = java.nio.file.Paths.get(claim.toUri.getPath)
-      try {
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.createFile(local)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else {
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    }
-  }
+  private def claimSlot(f: FileSystem, path: String, v: Int): Boolean =
+    FsCas.createExclusive(f, new Path(path, s".claim-v=$v"))
 
   /**
    * Staged commit: CLAIM a version slot with an atomic put-if-absent

@@ -1,7 +1,10 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.FsCas
 
 /**
  * Inverted-index text search AT REST — the serve path of a corpus
@@ -14,79 +17,319 @@ import org.apache.spark.sql.functions._
  * (postings are written tok-sorted). At 100 TB the per-query read is
  * O(matched postings), never a corpus scan — index build cost is one
  * explode + one groupBy, paid once and amortized over every query.
+ *
+ * Lifecycle (since r8): the index is a LOG OF GENERATIONS, committed
+ * the Iceberg way — the commit marker file IS the commit:
+ *
+ * - each ingest ([[writeIndex]], [[append]]) or [[delete]] claims the
+ *   next generation number with an atomic put-if-absent claim file,
+ *   writes its data under `post/gen=N/tb=*` / `docs/gen=N` /
+ *   `tombs/gen=N`, then publishes by atomically renaming a staged
+ *   marker to `commits/N`. The marker carries the generation's kind
+ *   and its EXACT stats delta (doc count, token-length sum), so the
+ *   BM25 corpus constants are always consistent with exactly the set
+ *   of visible generations — there is no read-modify-write stats file
+ *   and no torn window between postings and stats. A crash at any
+ *   point leaves either an invisible orphan (no marker — swept by
+ *   [[vacuum]]) or a complete generation;
+ * - [[delete]] commits TOMBSTONES (and a negative stats delta measured
+ *   against the live doc-length table): every query anti-joins the
+ *   pruned postings read against the committed tombstone set before
+ *   aggregating, so a corrected document can leave the index —
+ *   delete + [[append]] is the reingest cycle. When no tombstones
+ *   exist the anti-join is skipped at planning time;
+ * - [[compact]] rewrites live postings as one BASE generation
+ *   (absolute stats, tombstones applied), bounding read fan-in the
+ *   way Versioned checkpoints do; [[vacuum]] reclaims generations
+ *   below the newest base plus any stale claims/orphans.
+ *
+ * Concurrent appends are slot-safe (distinct generations via the
+ * claim CAS); compact/vacuum keep the same single-maintainer contract
+ * as [[graft.io.Versioned.vacuum]].
  */
 object Search {
 
   final case class Index(path: String, nBuckets: Int)
 
+  /** One committed generation's marker payload. */
+  private final case class Meta(gen: Int, kind: String, nDocs: Long,
+    sumDlen: Long, nBuckets: Int)
+
+  private val KindSeg = "seg"
+  private val KindDel = "del"
+  private val KindBase = "base"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(c), lit(n)).cast("int")
 
-  /** Build the postings index: (tb, tok, id, tf, dlen) partitioned by
-    * token hash bucket, tok-sorted within files. tf (term frequency)
-    * and dlen (doc token count — the Lucene norm-in-postings trick)
-    * ride along so queries score without touching the documents table;
-    * `stats` holds the two corpus constants BM25 needs (N, avgdl as an
-    * exact integer-sum ratio, so any engine recomputes it bit-equal). */
-  def writeIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Index = {
-    val toks = df.select(col(idCol).as("id"),
+  // ---- generation log ----
+
+  private def commitsDir(path: String) = new Path(path, "commits")
+
+  /** Committed generation metas, ascending by generation. */
+  private def metas(f: FileSystem, path: String): Seq[Meta] = {
+    val dir = commitsDir(path)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val cols = FsCas.readSmall(f, s.getPath).trim.split("\t")
+        Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
+          cols(2).toLong, cols(3).toInt)
+      }
+      .sortBy(_.gen)
+  }
+
+  /** Metas at or above the newest base generation — the read set. */
+  private def liveMetas(f: FileSystem, path: String): Seq[Meta] = {
+    val ms = metas(f, path)
+    require(ms.nonEmpty, s"no committed index generations at $path")
+    val base = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(ms.head.gen)
+    ms.filter(_.gen >= base)
+  }
+
+  /** Claim the next free generation slot (atomic put-if-absent). */
+  private def claimGen(f: FileSystem, path: String): Int = {
+    val dir = commitsDir(path)
+    f.mkdirs(dir)
+    var g = (if (f.exists(dir)) f.listStatus(dir).toSeq
+        .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName.toInt) else Nil)
+      .maxOption.getOrElse(0) + 1
+    var probes = 0
+    while (!FsCas.createExclusive(f, new Path(dir, s".claim-$g"))) {
+      g += 1
+      probes += 1
+      require(probes < 10000, s"index at $path probed $probes claimed " +
+        "generation slots; claims and commits diverged — run vacuum")
+    }
+    g
+  }
+
+  /** Publish generation `g`: the marker file is the commit point. */
+  private def publish(f: FileSystem, path: String, g: Int, kind: String,
+      nDocs: Long, sumDlen: Long, nBuckets: Int): Unit =
+    FsCas.writeAtomic(f, new Path(commitsDir(path), g.toString),
+      s"$kind\t$nDocs\t$sumDlen\t$nBuckets")
+
+  /** Tokenized postings for one document shard. */
+  private def postingsOf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")),
         size(split(col(textCol), " ")).cast("long").as("dlen"))
-    toks.groupBy("id", "tok")
+      .groupBy("id", "tok")
       .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"),
         collect_list(col("pos")).as("positions"))
+
+  /** Write one generation's postings + per-doc lengths, then commit. */
+  private def commitSegment(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int, kind: String): Int = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, path)
+    val g = claimGen(f, path)
+    postingsOf(df, idCol, textCol)
       .withColumn("tb", bucketOf(col("tok"), nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
       // small row groups so the tok-sorted min/max skipping actually
       // bites inside fat buckets (the 128 MB default makes one group
       // per file, turning every term probe into a full-bucket decode)
       .write.mode("overwrite").option("parquet.block.size", 1 << 20)
-      .partitionBy("tb").parquet(s"$path/post")
-    df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
-      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .partitionBy("tb").parquet(s"$path/post/gen=$g")
+    // per-doc token lengths: one row per doc — what a later delete of
+    // bare ids needs to subtract exact stats without scanning postings
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("dlen"))
+      .write.mode("overwrite").parquet(s"$path/docs/gen=$g")
+    val st = df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
+      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen")).head()
+    publish(f, path, g, kind, st.getLong(0), st.getLong(1), nBuckets)
+    g
+  }
+
+  // ---- ingest / delete / maintenance ----
+
+  /** Build a FRESH index at `path` (drops any existing state):
+    * generation 1 is a base segment. */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Index = {
+    val f = fsOf(df.sparkSession, path)
+    f.delete(new Path(path), true)
+    commitSegment(df, idCol, textCol, path, nBuckets, KindBase)
     Index(path, nBuckets)
   }
 
+  /** Open an existing committed index (reads nBuckets from the log). */
+  def open(spark: SparkSession, path: String): Index =
+    Index(path, liveMetas(fsOf(spark, path), path).last.nBuckets)
+
   /**
    * Incremental index ingest: fold a NEW shard of documents into an
-   * existing index. The shard's postings append into the same
-   * bucket-partitioned layout (a bucket is a directory — appends never
-   * rewrite existing files), and the two corpus constants accumulate
-   * exactly (integer sums), so BM25 over the appended index equals a
-   * full rebuild bit-for-bit. Ingest cost is O(shard), never
-   * O(corpus) — the same at-rest fold contract as
-   * [[Dedup.jaccardRestMerge]].
+   * existing index as its own generation. Ingest cost is O(shard),
+   * never O(corpus) — the same at-rest fold contract as
+   * [[Dedup.jaccardRestMerge]] — and the generation marker commits
+   * postings and stats delta ATOMICALLY (no torn window).
    *
    * Caller contract (documented, not scanned-for): shard doc ids must
-   * be NEW — this is append-only ingest; updating a doc needs a
-   * delete+reingest cycle or the versioned-table overlay. Single
-   * writer, like every at-rest state here: the stats rewrite is not
-   * atomic with the postings append.
+   * be new OR previously [[delete]]d — reingest of a live id would
+   * double its postings. Concurrent appends are safe (distinct
+   * generation slots via the claim CAS).
    */
   def append(df: DataFrame, idCol: String, textCol: String,
       idx: Index): Index = {
-    val spark = df.sparkSession
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")),
-        size(split(col(textCol), " ")).cast("long").as("dlen"))
-    toks.groupBy("id", "tok")
-      .agg(count(lit(1)).as("tf"), first("dlen").as("dlen"),
-        collect_list(col("pos")).as("positions"))
+    commitSegment(df, idCol, textCol, idx.path, idx.nBuckets, KindSeg)
+    idx
+  }
+
+  /**
+   * Delete documents by id (tombstone generation): `ids` is a
+   * one-column frame of doc ids. Every subsequent query anti-joins the
+   * postings read against the tombstone set, and the generation's
+   * negative stats delta (count + token-length sum of the MATCHED LIVE
+   * docs, from the `docs` sidecar — never a postings scan) keeps the
+   * BM25 corpus constants exact. Deleting an unknown or already-dead
+   * id is a no-op in both the postings view and the stats.
+   * delete + [[append]] is the reingest cycle for a corrected doc.
+   */
+  def delete(ids: DataFrame, idCol: String, idx: Index): Index = {
+    val spark = ids.sparkSession
+    val f = fsOf(spark, idx.path)
+    val g = claimGen(f, idx.path)
+    val live = liveDocs(spark, f, idx.path)
+    val victims = live.join(
+        ids.select(col(idCol).as("id")).distinct(), "id")
+      .localCheckpoint() // pin: stats and tombstones must agree exactly
+    victims.select("id")
+      .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
+    val st = victims.agg(count(lit(1)).as("n"),
+      coalesce(sum("dlen"), lit(0L)).as("s")).head()
+    publish(f, idx.path, g, KindDel, -st.getLong(0), -st.getLong(1),
+      idx.nBuckets)
+    idx
+  }
+
+  /**
+   * Compact: rewrite the live postings (tombstones applied) as ONE new
+   * BASE generation with absolute stats, bounding the read fan-in the
+   * way Versioned checkpoints do. Prior generations stay on disk for
+   * in-flight readers until [[vacuum]] reclaims them. Single
+   * maintainer, like every compaction here.
+   */
+  def compact(spark: SparkSession, idx: Index): Index = {
+    val f = fsOf(spark, idx.path)
+    val g = claimGen(f, idx.path)
+    postings(spark, idx)
+      .select("id", "tok", "tf", "dlen", "positions") // drop gen/tb
       .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
-      .write.mode("append").option("parquet.block.size", 1 << 20)
-      .partitionBy("tb").parquet(s"${idx.path}/post")
-    val old = spark.read.parquet(s"${idx.path}/stats").head()
-    val delta = df.select(size(split(col(textCol), " ")).cast("long")
-        .as("dlen"))
-      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen")).head()
-    import spark.implicits._
-    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
-      .toDF("n_docs", "sum_dlen")
-      .coalesce(1).write.mode("overwrite").parquet(s"${idx.path}/stats")
+      .write.mode("overwrite").option("parquet.block.size", 1 << 20)
+      .partitionBy("tb").parquet(s"${idx.path}/post/gen=$g")
+    liveDocs(spark, f, idx.path)
+      .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
+    val st = liveDocs(spark, f, idx.path)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dlen"), lit(0L)).as("s"))
+      .head()
+    publish(f, idx.path, g, KindBase, st.getLong(0), st.getLong(1),
+      idx.nBuckets)
     idx
+  }
+
+  /**
+   * Retention: reclaim generation dirs + markers BELOW the newest base
+   * (their content is subsumed by the base rewrite), stale claim files,
+   * and orphan data dirs whose generation never committed (age-guarded
+   * so an in-flight writer's work survives). Returns reclaimed
+   * generation numbers. Must not run concurrently with readers of
+   * pre-base generations (same contract as [[graft.io.Versioned.vacuum]]).
+   */
+  def vacuum(spark: SparkSession, idx: Index): Seq[Int] = {
+    val f = fsOf(spark, idx.path)
+    val ms = metas(f, idx.path)
+    if (ms.isEmpty) return Nil
+    val base = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(ms.head.gen)
+    val doomed = ms.map(_.gen).filter(_ < base)
+    doomed.foreach { g =>
+      // marker first: a half-vacuumed generation must be invisible,
+      // never visible-but-missing-data
+      f.delete(new Path(commitsDir(idx.path), g.toString), false)
+      Seq("post", "docs", "tombs").foreach(d =>
+        f.delete(new Path(s"${idx.path}/$d/gen=$g"), true))
+    }
+    // stale claims + orphan (never-committed) generation data
+    val now = System.currentTimeMillis()
+    val committed = metas(f, idx.path).map(_.gen).toSet
+    if (f.exists(commitsDir(idx.path)))
+      f.listStatus(commitsDir(idx.path))
+        .filter(s => s.getPath.getName.startsWith(".claim-"))
+        .filter(s => now - s.getModificationTime > 3600L * 1000)
+        .foreach(s => f.delete(s.getPath, false))
+    Seq("post", "docs", "tombs").foreach { d =>
+      val dir = new Path(s"${idx.path}/$d")
+      if (f.exists(dir))
+        f.listStatus(dir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+          .filter(s =>
+            !committed(s.getPath.getName.stripPrefix("gen=").toInt))
+          .filter(s => now - s.getModificationTime > 3600L * 1000)
+          .foreach(s => f.delete(s.getPath, true))
+    }
+    doomed
+  }
+
+  // ---- read side ----
+
+  /** Live doc-length table: committed docs sidecars minus tombstones. */
+  private def liveDocs(spark: SparkSession, f: FileSystem,
+      path: String): DataFrame = {
+    val ms = liveMetas(f, path)
+    val docs = spark.read.option("basePath", s"$path/docs")
+      .parquet(ms.filter(_.kind != KindDel)
+        .map(m => s"$path/docs/gen=${m.gen}"): _*)
+      .select("id", "dlen", "gen")
+    antiTombs(spark, f, path, ms, docs).select("id", "dlen")
+  }
+
+  /** The committed, tombstone-resolved postings view. Filters applied
+    * by callers on `tb`/`tok` push below the anti-join to the pruned
+    * partition scan. */
+  private def postings(spark: SparkSession, idx: Index): DataFrame = {
+    val f = fsOf(spark, idx.path)
+    val ms = liveMetas(f, idx.path)
+    val post = spark.read.option("basePath", s"${idx.path}/post")
+      .parquet(ms.filter(_.kind != KindDel)
+        .map(m => s"${idx.path}/post/gen=${m.gen}"): _*)
+    antiTombs(spark, f, idx.path, ms, post)
+  }
+
+  /** Anti-join `df` (which must carry its `gen` partition column)
+    * against the read set's tombstones; skipped at planning time when
+    * no delete generations are visible. A tombstone committed in
+    * generation G kills rows from generations BEFORE G only — so a
+    * reingested doc (delete in G, append in G+1) is live again, and
+    * delete+append composes as the update cycle. */
+  private def antiTombs(spark: SparkSession, f: FileSystem, path: String,
+      ms: Seq[Meta], df: DataFrame): DataFrame = {
+    val dels = ms.filter(_.kind == KindDel)
+    if (dels.isEmpty) df
+    else {
+      val t = spark.read.option("basePath", s"$path/tombs")
+        .parquet(dels.map(m => s"$path/tombs/gen=${m.gen}"): _*)
+        .select(col("id").as("__tid"), col("gen").as("__tgen"))
+      df.join(t, df("id") === t("__tid") && df("gen") < t("__tgen"),
+        "left_anti")
+    }
+  }
+
+  /** Corpus constants (N, avgdl) from the read set's marker deltas —
+    * driver-side file reads, exact integer sums, zero data scan. */
+  private def stats(spark: SparkSession, idx: Index): (Long, Long) = {
+    val ms = liveMetas(fsOf(spark, idx.path), idx.path)
+    (ms.map(_.nDocs).sum, ms.map(_.sumDlen).sum)
   }
 
   /** Conjunctive (AND-of-terms) search: docs containing EVERY query
@@ -101,7 +344,7 @@ object Search {
     val buckets = terms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    spark.read.parquet(s"${idx.path}/post")
+    postings(spark, idx)
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
       .groupBy("id")
       .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
@@ -123,7 +366,7 @@ object Search {
     val buckets = terms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    spark.read.parquet(s"${idx.path}/post")
+    postings(spark, idx)
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
       .groupBy("id")
       .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
@@ -149,7 +392,7 @@ object Search {
     val buckets = distinctTerms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    spark.read.parquet(s"${idx.path}/post")
+    postings(spark, idx)
       .filter(col("tb").isin(buckets: _*)
         && col("tok").isin(distinctTerms: _*))
       .join(termIdx, "tok")
@@ -171,21 +414,20 @@ object Search {
    * negative). Same bucket-pruned postings read as [[searchAll]]; df
    * per term falls out of the already-filtered postings (a term's df IS
    * its postings count), and dlen rides in the postings row, so the
-   * serve path touches nothing but |terms| buckets plus a 1-row stats
-   * read. Scores are rounded before the id-tie-broken rank so the
-   * exact top-k is reproducible across engines.
+   * serve path touches nothing but |terms| buckets plus the driver-side
+   * marker stats. Scores are rounded before the id-tie-broken rank so
+   * the exact top-k is reproducible across engines.
    */
   def searchBm25(spark: SparkSession, idx: Index, terms: Seq[String],
       topK: Int): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     import spark.implicits._
-    val st = spark.read.parquet(s"${idx.path}/stats").head()
-    val nDocs = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / nDocs
+    val (nDocs, sumDlen) = stats(spark, idx)
+    val avgdl = sumDlen.toDouble / nDocs
     val buckets = terms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    val post = spark.read.parquet(s"${idx.path}/post")
+    val post = postings(spark, idx)
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
     val dfPerTerm = post.groupBy("tok").agg(count(lit(1)).as("dfc"))
     post.join(dfPerTerm, "tok")

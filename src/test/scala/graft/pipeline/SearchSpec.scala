@@ -112,6 +112,133 @@ class SearchSpec extends SparkSpec {
       == rows(Search.searchAny(spark, full, terms, 1)))
   }
 
+  test("delete + reingest: corrected doc leaves the index; unrelated " +
+      "queries bit-identical") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-del-spec"))
+    val didx = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-del-spec")
+    val before = Search.searchAll(spark, didx, Seq("alpha", "beta"))
+      .collect().map(_.toSeq).toSet
+    val bm25Before = Search.searchBm25(spark, didx, Seq("gamma"), 10)
+      .collect().map(_.toSeq).toSet
+    // delete doc 5 (epsilon zeta) — unrelated to alpha/beta/gamma
+    Search.delete(Seq(5L).toDF("doc_id"), "doc_id", didx)
+    assert(Search.searchAll(spark, didx, Seq("epsilon"))
+      .collect().isEmpty)
+    assert(Search.searchAll(spark, didx, Seq("alpha", "beta"))
+      .collect().map(_.toSeq).toSet == before)
+    // BM25 DOES see the stats shift (N went 5 -> 4): recompute equals
+    // a fresh index over the live docs — delete is exact, not lossy
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-del-oracle"))
+    val fresh = Search.writeIndex(docs.filter(col("doc_id") =!= 5),
+      "doc_id", "text", "target/tmp/search-del-oracle")
+    assert(Search.searchBm25(spark, didx, Seq("gamma"), 10)
+      .collect().map(_.toSeq).toSet
+      == Search.searchBm25(spark, fresh, Seq("gamma"), 10)
+        .collect().map(_.toSeq).toSet)
+    // reingest the doc with corrected text: searchable, old text gone
+    Search.append(Seq((5L, "epsilon rho")).toDF("doc_id", "text"),
+      "doc_id", "text", didx)
+    assert(Search.searchAll(spark, didx, Seq("rho"))
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(Search.searchAll(spark, didx, Seq("zeta")).collect().isEmpty)
+    assert(bm25Before != null) // silence unused warning paranoia
+  }
+
+  test("delete of unknown or already-dead ids is a stats no-op") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-del2-spec"))
+    val didx = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-del2-spec")
+    Search.delete(Seq(5L, 99L).toDF("doc_id"), "doc_id", didx) // 99 unknown
+    Search.delete(Seq(5L).toDF("doc_id"), "doc_id", didx)      // double kill
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-del2-oracle"))
+    val fresh = Search.writeIndex(docs.filter(col("doc_id") =!= 5),
+      "doc_id", "text", "target/tmp/search-del2-oracle")
+    // stats stayed exact: BM25 equals the fresh index bit-for-bit
+    assert(Search.searchBm25(spark, didx, Seq("gamma", "beta"), 10)
+      .collect().map(_.toSeq).toSet
+      == Search.searchBm25(spark, fresh, Seq("gamma", "beta"), 10)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("commit marker is the commit point: orphan generation data " +
+      "without a marker is invisible") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-crash-spec"))
+    val cidx = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-crash-spec")
+    val before = Search.searchAll(spark, cidx, Seq("alpha"))
+      .collect().map(_.toSeq).toSet
+    val bm25 = Search.searchBm25(spark, cidx, Seq("beta"), 10)
+      .collect().map(_.toSeq).toSet
+    // simulate a crash mid-append: postings + docs written for gen 2,
+    // claim taken, but NO marker (the crash window)
+    val root = "target/tmp/search-crash-spec"
+    Seq((9L, "alpha alpha alpha")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"),
+        split(col("text"), " ").getItem(0).as("tok"))
+      .write.parquet(s"$root/post/gen=2/tb=0")
+    new java.io.File(s"$root/commits/.claim-2").createNewFile()
+    // queries and stats are unaffected — the torn generation does not exist
+    assert(Search.searchAll(spark, cidx, Seq("alpha"))
+      .collect().map(_.toSeq).toSet == before)
+    assert(Search.searchBm25(spark, cidx, Seq("beta"), 10)
+      .collect().map(_.toSeq).toSet == bm25)
+    // and the next append claims PAST the crashed slot, never reuses it
+    Search.append(Seq((7L, "eta theta")).toDF("doc_id", "text"),
+      "doc_id", "text", cidx)
+    assert(Search.searchAll(spark, cidx, Seq("eta"))
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+    assert(new java.io.File(s"$root/commits/3").exists())
+  }
+
+  test("compact + vacuum: one base generation, same answers, dir count " +
+      "bounded across ingest cycles") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-compact-spec"))
+    val root = "target/tmp/search-compact-spec"
+    val vidx = Search.writeIndex(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", root)
+    Search.append(docs.filter(col("doc_id") === 3), "doc_id", "text", vidx)
+    Search.append(docs.filter(col("doc_id") === 4), "doc_id", "text", vidx)
+    Search.delete(Seq(2L).toDF("doc_id"), "doc_id", vidx)
+    Search.append(docs.filter(col("doc_id") === 5), "doc_id", "text", vidx)
+    val terms = Seq("alpha", "beta", "gamma")
+    val before = Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet
+    val bm25Before = Search.searchBm25(spark, vidx, terms, 10)
+      .collect().map(_.toSeq).toSet
+    Search.compact(spark, vidx)
+    Search.vacuum(spark, vidx)
+    // answers identical through compact + vacuum
+    assert(Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet == before)
+    assert(Search.searchBm25(spark, vidx, terms, 10)
+      .collect().map(_.toSeq).toSet == bm25Before)
+    // exactly one live postings generation and one commit marker remain
+    def gens(d: String) = Option(new java.io.File(s"$root/$d").list())
+      .map(_.count(_.startsWith("gen="))).getOrElse(0)
+    assert(gens("post") == 1, s"post gens: ${gens("post")}")
+    assert(gens("tombs") == 0)
+    assert(new java.io.File(s"$root/commits").list()
+      .count(!_.startsWith(".")) == 1)
+    // repeated cycles stay bounded
+    (6 to 9).foreach { i =>
+      Search.append(Seq((i.toLong, s"omega tok$i")).toDF("doc_id", "text"),
+        "doc_id", "text", vidx)
+      Search.compact(spark, vidx)
+      Search.vacuum(spark, vidx)
+    }
+    assert(gens("post") == 1)
+    assert(Search.searchAll(spark, vidx, Seq("omega")).count() == 4)
+    // open() recovers the index config from the log
+    assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

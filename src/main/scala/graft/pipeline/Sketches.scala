@@ -20,20 +20,28 @@ object Sketches {
 
   /**
    * HyperLogLog distinct-count estimate per group (Flajolet et al.
-   * 2007), b register-index bits (m = 2^b registers, b <= 8 so the
-   * md5 hex prefix cleanly splits: 2 hex digits of bucket, 12 of
-   * value). The register update max(rho) is idempotent, so no
-   * pre-distinct pass is needed — the groupBy partial-aggregates
-   * map-side into at most m rows per group per partition.
+   * 2007), b register-index bits (m = 2^b registers, b in [4, 12]).
+   * The register update max(rho) is idempotent, so no pre-distinct
+   * pass is needed — the groupBy partial-aggregates map-side into at
+   * most m rows per group per partition.
    *
-   * rho (leading-zero rank of the 48-bit value) is computed as
-   * 49 - length(bin(v)) — pure integer/string ops, bit-identical in
-   * both engines, avoiding floor(log2(x)) whose libm rounding at
-   * exact powers of two differs across engines.
+   * Bit layout: the md5's first 15 hex digits (60 bits, fits a signed
+   * long) split by SHIFT/MASK — top b bits index the register, the
+   * NEXT 48 bits are the rank value for every b (the value width does
+   * not move with b, so b = 8 is bit-identical to the historical
+   * 2-hex/12-hex split the oracle pins). rho (leading-zero rank of
+   * the 48-bit value) is computed as 49 - length(bin(v)) — pure
+   * integer/string ops, bit-identical in both engines, avoiding
+   * floor(log2(x)) whose libm rounding at exact powers of two differs
+   * across engines.
    */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
       b: Int = 8): DataFrame =
-    hllEstimate(hllRegisters(df, groupCol, valueCol, b))
+    hllEstimate(hllRegisters(df, groupCol, valueCol, b), b)
+
+  private def requireB(b: Int): Unit =
+    require(b >= 4 && b <= 12,
+      s"b = $b out of range: need 4 <= b <= 12 (16..4096 registers)")
 
   /** The sketch STATE: (g, bucket, rmax) register rows — at most m per
     * group. Mergeable: register tables from disjoint shards union +
@@ -43,11 +51,13 @@ object Sketches {
     * never re-scan the corpus. */
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       b: Int = 8): DataFrame = {
-    require(b == 8, "register split is wired to 2 hex digits (b = 8)")
-    val hex = md5(col(valueCol))
+    requireB(b)
+    // 60 hash bits; top b index the register, next 48 are the value
+    val h60 = conv(substring(md5(col(valueCol)), 1, 15), 16, 10)
+      .cast("long")
     df.select(col(groupCol).as("g"),
-        conv(substring(hex, 1, 2), 16, 10).cast("long").as("bucket"),
-        conv(substring(hex, 3, 12), 16, 10).cast("long").as("v"))
+        shiftright(h60, 60 - b).as("bucket"),
+        shiftright(h60, 12 - b).bitwiseAND(lit((1L << 48) - 1)).as("v"))
       .withColumn("rho",
         when(col("v") === 0, lit(49L))
           .otherwise(lit(49L) - length(bin(col("v")))))
@@ -61,7 +71,7 @@ object Sketches {
 
   /** Fold register rows into the per-group estimate. */
   def hllEstimate(reg: DataFrame, b: Int = 8): DataFrame = {
-    require(b == 8, "register split is wired to 2 hex digits (b = 8)")
+    requireB(b)
     val m = 1 << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     reg.groupBy("g")

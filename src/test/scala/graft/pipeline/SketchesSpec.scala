@@ -32,6 +32,54 @@ class SketchesSpec extends SparkSpec {
     assert(est1 == est2)
   }
 
+  test("hllDistinct: b generalizes — every register size stays within " +
+      "its own error bound, b=8 bit-stable vs the historical hex split") {
+    val df = spark.range(50000).select(lit("g").as("g"),
+      concat(lit("w"), col("id")).as("v"))
+    for (b <- Seq(4, 8, 12)) {
+      val m = 1 << b
+      val est = Sketches.hllDistinct(df, "g", "v", b)
+        .collect().head.getLong(1)
+      val sigma = 1.04 / math.sqrt(m.toDouble)
+      assert(math.abs(est - 50000.0) / 50000.0 < 4 * sigma,
+        s"b=$b est $est outside 4 sigma (${4 * sigma})")
+    }
+    assertThrows[IllegalArgumentException](
+      Sketches.hllDistinct(df, "g", "v", b = 3))
+    assertThrows[IllegalArgumentException](
+      Sketches.hllDistinct(df, "g", "v", b = 13))
+    // the b=8 register table equals the historical 2-hex-digit split
+    // exactly (the oracle pins this layout)
+    val hexSplit = df.select(col("g"),
+        conv(substring(md5(col("v")), 1, 2), 16, 10).cast("long")
+          .as("bucket"),
+        conv(substring(md5(col("v")), 3, 12), 16, 10).cast("long").as("v"))
+      .withColumn("rho", when(col("v") === 0, lit(49L))
+        .otherwise(lit(49L) - length(bin(col("v")))))
+      .groupBy("g", "bucket").agg(max("rho").as("rmax"))
+    val got = Sketches.hllRegisters(df, "g", "v", 8)
+    assert(got.exceptAll(hexSplit).isEmpty && hexSplit.exceptAll(got).isEmpty)
+  }
+
+  test("hllMerge: shard folds at non-default b equal the full-corpus " +
+      "registers") {
+    val all = spark.range(20000).select(lit("g").as("g"),
+      concat(lit("m"), col("id")).as("v"))
+    val shardA = all.filter(col("id") % 2 === 0)
+    val shardB = all.filter(col("id") % 2 =!= 0)
+    for (b <- Seq(4, 12)) {
+      val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(shardA, "g", "v", b),
+        Sketches.hllRegisters(shardB, "g", "v", b))
+      val full = Sketches.hllRegisters(all, "g", "v", b)
+      assert(merged.exceptAll(full).isEmpty
+        && full.exceptAll(merged).isEmpty, s"b=$b register drift")
+      val eM = Sketches.hllEstimate(merged, b).collect().head.getLong(1)
+      val eF = Sketches.hllEstimate(full, b).collect().head.getLong(1)
+      assert(eM == eF)
+    }
+  }
+
   test("count-min: estimates always dominate true counts, exact for " +
       "collision-free heavy hitter") {
     val toks = (Seq.fill(50)("hot") ++ (0 until 200).map("cold" + _))

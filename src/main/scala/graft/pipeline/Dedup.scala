@@ -548,6 +548,29 @@ object Dedup {
     st
   }
 
+  /**
+   * Retention sweep for an at-rest working set. [[jaccardRestCompact]]
+   * reclaims the logs themselves (each swap-in deletes the superseded
+   * log before renaming its resolved rewrite in), so the only garbage
+   * a crash can strand is a half-written `.compact-*` staging dir —
+   * this sweeps those, age-guarded like [[graft.io.Versioned.vacuum]]'s
+   * staging sweep so an in-flight compaction survives. Returns the
+   * deleted paths. Storage is therefore bounded across fold/compact
+   * cycles: logs reset to resolved size at each compaction and staging
+   * leftovers cannot accumulate past one horizon.
+   */
+  def jaccardRestVacuum(spark: SparkSession, st: JaccardRest,
+      horizonMs: Long = 3600L * 1000): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(st.path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return Nil
+    val now = System.currentTimeMillis()
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact-"))
+      .filter(s => now - s.getModificationTime > horizonMs)
+      .map { s => f.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Destroy an at-rest working set. */
   def jaccardRestDrop(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -809,6 +809,61 @@ class TextOpsSpec extends SparkSpec {
     Dedup.jaccardRestDrop(spark, path)
   }
 
+  test("jaccardRest retention: fold/compact cycles keep storage bounded, " +
+      "vacuum sweeps only stale compaction staging") {
+    import java.nio.file.{Files, Paths}
+    val path = "target/tmp/jrest-vacuum-spec"
+    Dedup.jaccardRestDrop(spark, path)
+    val threshold = 0.1
+    val maxDf = 10L
+    def pairsOf(st: Dedup.JaccardRest) =
+      Dedup.jaccardRestPairs(spark, st).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def fileCount(): Int = {
+      val root = Paths.get(path)
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).count().toInt finally s.close()
+    }
+    var st = Dedup.jaccardRestInit(
+      Seq((0L, "a b c d e"), (1L, "a b c d f")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold, maxDf, path, nBuckets = 8)
+    var all = Seq((0L, "a b c d e"), (1L, "a b c d f"))
+    var postCompactCounts = Seq.empty[Int]
+    (1 to 4).foreach { cycle =>
+      val shard = Seq((cycle * 10L, s"a b c d x$cycle"),
+        (cycle * 10L + 1, s"q$cycle r$cycle"))
+      all = all ++ shard
+      st = Dedup.jaccardRestMerge(st, shard.toDF("doc_id", "text"),
+        "doc_id", "text")
+      st = Dedup.jaccardRestCompact(spark, st)
+      Dedup.jaccardRestVacuum(spark, st)
+      postCompactCounts = postCompactCounts :+ fileCount()
+      // resolve stays equal to the full recompute after every cycle
+      assert(pairsOf(st) == Dedup.jaccardInit(all.toDF("doc_id", "text"),
+          "doc_id", "text", threshold, maxDf).pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    }
+    // bounded: once every hash bucket is populated the post-compact
+    // file count PLATEAUS — it tracks resolved data layout (<= nBuckets
+    // files per bucketed log), never fold history. Fold-linear
+    // accumulation would keep the sequence strictly climbing.
+    assert(postCompactCounts.takeRight(2).distinct.size == 1,
+      s"file counts still climbing: $postCompactCounts")
+    // vacuum: a stale crashed staging dir goes, a fresh one survives
+    val stale = Paths.get(path, ".compact-pairs")
+    Files.createDirectories(stale)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200L * 1000))
+    val fresh = Paths.get(path, ".compact-sizes")
+    Files.createDirectories(fresh)
+    val swept = Dedup.jaccardRestVacuum(spark, st)
+    assert(swept.exists(_.endsWith(".compact-pairs")))
+    assert(!Files.exists(stale))
+    assert(Files.exists(fresh))
+    Dedup.jaccardRestDrop(spark, path)
+  }
+
   test("dupSpanCoverage counts tokens under shared 3-gram spans only") {
     // docs 1 and 2 share the opening 4 tokens (two overlapping 3-grams
     // covering tokens 1..4); doc 3 is disjoint

@@ -22,7 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
       "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
-      "vtable", "search")
+      "vtable", "search", "sketch", "graph")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -44,6 +44,8 @@ object Stress {
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
     if (mode == "search") { searchStress(spark, nRows, cpus.toInt); return }
+    if (mode == "sketch") { sketchStress(spark, nRows, cpus.toInt); return }
+    if (mode == "graph") { graphStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
@@ -287,8 +289,11 @@ object Stress {
     val (tPhrase, tPhraseW, nPhrase) =
       timed(Search.searchPhrase(spark, idx, Seq("b0", "b1")).count())
 
+    // checkpoint the shard so the timed region is the INGEST (postings
+    // agg + bucketed write + sidecar + commit), not the synthetic text
+    // generation re-running once per append-internal pass
     val shard = gen(spark.range(nDocs, nDocs + nDocs / 10)
-      .repartition(cpus * 2).toDF())
+      .repartition(cpus * 2).toDF()).localCheckpoint()
     val t4 = System.nanoTime()
     Search.append(shard, "doc_id", "text", idx)
     val tFold = (System.nanoTime() - t4) / 1e9
@@ -299,6 +304,111 @@ object Stress {
       s""""bm25_sec":$tBm,"bm25_warm_sec":$tBmW,"bm25_docs":$nBm,""" +
       s""""phrase_sec":$tPhrase,"phrase_warm_sec":$tPhraseW,""" +
       s""""phrase_docs":$nPhrase,"fold10pct_sec":$tFold}""")
+    spark.stop()
+  }
+
+  /** Sketch stress: the corpus-profile pass at nDocs synthetic docs —
+    * HLL distinct tokens per group (256 registers) and count-min heavy
+    * hitters over ~40 tokens/doc. Also times the incremental story:
+    * two half-corpus register folds merged vs the full-corpus sketch
+    * (must be row-identical — the shard-fold contract at scale). */
+  private def sketchStress(spark: SparkSession, nDocs: Long, cpus: Int): Unit = {
+    import graft.pipeline.Sketches
+    val tokMod = 100000007L
+    val body = (0 until 36).map(j =>
+      concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+    // 4 hot tokens appear in every doc — the heavy hitters
+    val hot = (0 until 4).map(j => lit(s"hh$j"))
+    val docs = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id"), (col("id") % 8).cast("string").as("g"),
+        concat_ws(" ", hot ++ body: _*).as("text"))
+      .localCheckpoint()
+    val toks = docs.select(col("g"),
+      explode(split(col("text"), " ")).as("tok"))
+
+    val t0 = System.nanoTime()
+    val nHll = Sketches.hllDistinct(toks, "g", "tok").count()
+    val tHll = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val counters = Sketches.countMinTable(toks, "tok").persist()
+    val nCells = counters.count()
+    val tCmBuild = (System.nanoTime() - t1) / 1e9
+    val t1b = System.nanoTime()
+    val cands = toks.filter(col("tok").startsWith("hh"))
+      .select(col("tok")).distinct()
+    val nCm = Sketches.countMinEstimate(counters, cands, "tok")
+      .filter(col("est_n") >= nDocs).count()
+    val tCmProbe = (System.nanoTime() - t1b) / 1e9
+    counters.unpersist(blocking = false)
+    val tCm = tCmBuild + tCmProbe
+
+    // shard-fold: two half-corpus register tables merged == full
+    val t2 = System.nanoTime()
+    val half1 = Sketches.hllRegisters(
+      toks.filter(col("g").isin("0", "1", "2", "3")), "g", "tok")
+    val half2 = Sketches.hllRegisters(
+      toks.filter(!col("g").isin("0", "1", "2", "3")), "g", "tok")
+    val merged = Sketches.hllMerge(half1, half2)
+    val full = Sketches.hllRegisters(toks, "g", "tok")
+    val drift = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    val tMerge = (System.nanoTime() - t2) / 1e9
+    require(drift == 0, s"shard-fold register drift: $drift rows")
+
+    println(s"""{"metric":"stress_sketch","docs":$nDocs,""" +
+      s""""hll_sec":$tHll,"hll_groups":$nHll,""" +
+      s""""cm_sec":$tCm,"cm_build_sec":$tCmBuild,"cm_probe_sec":$tCmProbe,""" +
+      s""""cm_cells":$nCells,"cm_heavy_confirmed":$nCm,""" +
+      s""""merge_check_sec":$tMerge,"register_drift":$drift}""")
+    spark.stop()
+  }
+
+  /** Graph stress: weighted PageRank on a power-law in-degree graph —
+    * nEdges edges over nEdges/20 nodes where 30% of all edges point at
+    * ONE hub (the link-graph shape that funnels a dst-keyed inflow
+    * aggregation through a single reduce task). Times the plain
+    * aggregation vs the two-stage salted escape (saltBuckets = 16) at
+    * 5 iterations, and the dangling-mass variant (last 10% of nodes
+    * have no out-edges). Salted and plain ranks must agree to 1e-9. */
+  private def graphStress(spark: SparkSession, nEdges: Long, cpus: Int): Unit = {
+    import graft.pipeline.Graph
+    val nNodes = math.max(nEdges / 20, 100L)
+    // src uniform over non-dangling nodes; dst: 30% hub 0, rest uniform
+    val edges = spark.range(nEdges).repartition(cpus * 4)
+      .select(
+        (col("id") * 2654435761L % (nNodes * 9 / 10)).as("src"),
+        when(col("id") % 10 < 3, lit(0L))
+          .otherwise(col("id") * 40503L % nNodes).as("dst"),
+        (col("id") % 7 + 1).cast("double").as("weight"))
+      .localCheckpoint()
+
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node"), round(col("r"), 9).as("r"))
+
+    val t0 = System.nanoTime()
+    val plain = ranksOf(Graph.pageRank(edges, iters = 5, damping = 0.85))
+      .localCheckpoint()
+    val nPlain = plain.count()
+    val tPlain = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val salted = ranksOf(Graph.pageRank(edges, iters = 5, damping = 0.85,
+        saltBuckets = 16)).localCheckpoint()
+    val nSalted = salted.count()
+    val tSalted = (System.nanoTime() - t1) / 1e9
+    val diverged = plain.as("a").join(salted.as("b"), col("a.node") === col("b.node"))
+      .filter(abs(col("a.r") - col("b.r")) > 1e-9).count()
+    require(diverged == 0 && nPlain == nSalted,
+      s"salted ranks diverged on $diverged nodes")
+
+    val t2 = System.nanoTime()
+    Graph.pageRank(edges, iters = 5, damping = 0.85, dangling = true)
+      .count()
+    val tDangling = (System.nanoTime() - t2) / 1e9
+
+    println(s"""{"metric":"stress_graph","edges":$nEdges,"nodes":$nNodes,""" +
+      s""""plain_sec":$tPlain,"salted_sec":$tSalted,""" +
+      s""""dangling_sec":$tDangling,"salt_diverged":$diverged}""")
     spark.stop()
   }
 

@@ -1281,6 +1281,66 @@ object PipelineQueries {
        |FROM w WHERE $whereConds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Proximity (phrase-with-slop) search ([[Search.searchNear]],
+    * slop = 2): docs where 'table' is followed by 'scan' within 3
+    * positions, counting qualifying position tuples — the retrieval
+    * mode between exact phrase and bag-of-words conjunction, on the
+    * same bucket-pruned positional read. The oracle chains the per-term
+    * position sets with the identical bounded-gap join. */
+  def searchNear(spark: SparkSession, dir: String): DataFrame =
+    Search.searchNear(spark, searchIndex(spark, dir), PhraseTerms,
+      slop = 2).orderBy("id")
+
+  val searchNearSql: String = {
+    val termCtes = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      s"c$i AS (SELECT doc_id, i AS p$i FROM u WHERE tok = '$t')"
+    }.mkString(",\n")
+    val joins = PhraseTerms.indices.drop(1).map { i =>
+      s"JOIN c$i ON c$i.doc_id = c0.doc_id AND " +
+        s"c$i.p$i - c${i - 1}.p${i - 1} BETWEEN 1 AND 3"
+    }.mkString("\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+       |        unnest(toks) AS tok FROM t),
+       |$termCtes
+       |SELECT c0.doc_id AS id, COUNT(*) AS occurrences
+       |FROM c0
+       |$joins
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Faceted search ([[Search.searchAny]] 2-of-3 + corpus metadata):
+    * per-language hit counts and total scores over the min-should-match
+    * result — the aggregation panel beside a search-results page. The
+    * matched-id set is index-derived (bucket-pruned read), then ONE
+    * semi-join-shaped probe of the documents table attaches facets;
+    * only the hits' metadata rows are touched. */
+  def searchFacets(spark: SparkSession, dir: String): DataFrame = {
+    val hits = Search.searchAny(spark, searchIndex(spark, dir),
+      SearchTerms, minMatch = 2)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("lang"))
+      .join(hits, "id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+      .orderBy("lang")
+  }
+
+  val searchFacetsSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |           FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |      WHERE tok IN ($termList) GROUP BY 1, 2),
+       |hits AS (SELECT doc_id, SUM(tf) AS score FROM f GROUP BY 1
+       |         HAVING COUNT(DISTINCT tok) >= 2)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(hits.score) AS BIGINT) AS sum_score
+       |FROM hits JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** HyperLogLog distinct-token estimate per language
     * ([[Sketches.hllDistinct]], m = 256 registers) beside the exact
     * count — the constant-state cousin of q_distinct_kmv. No
@@ -2667,6 +2727,8 @@ object PipelineQueries {
     "q_search_bm25" -> searchBm25 _,
     "q_search_phrase" -> searchPhrase _,
     "q_search_any" -> searchAny _,
+    "q_search_near" -> searchNear _,
+    "q_search_facets" -> searchFacets _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -2733,6 +2795,8 @@ object PipelineQueries {
     "q_search_bm25" -> searchBm25Sql,
     "q_search_phrase" -> searchPhraseSql,
     "q_search_any" -> searchAnySql,
+    "q_search_near" -> searchNearSql,
+    "q_search_facets" -> searchFacetsSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -404,6 +404,44 @@ object Search {
       .groupBy("id").agg(count(lit(1)).as("occurrences"))
   }
 
+  /**
+   * Ordered PROXIMITY search (phrase-with-slop): docs where the terms
+   * appear IN ORDER with each consecutive gap at most 1 + slop token
+   * positions, counting the qualifying position tuples. slop = 0
+   * degenerates to exact adjacency ([[searchPhrase]] semantics). Runs
+   * on the same bucket-pruned positional read: each term's positions
+   * explode once, then |terms|-1 id-keyed equi-joins with a bounded
+   * gap predicate chain them — per-doc position lists are short, so
+   * the join fan-out is the per-doc occurrence product, never corpus-
+   * shaped. The tuple count (not a boolean) keeps the result
+   * oracle-checkable against an engine-independent recurrence.
+   */
+  def searchNear(spark: SparkSession, idx: Index, terms: Seq[String],
+      slop: Int): DataFrame = {
+    require(terms.length >= 2, "proximity needs at least two terms")
+    require(slop >= 0, s"negative slop $slop")
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.toDF("tok")
+      .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val matched = postings(spark, idx)
+      .filter(col("tb").isin(buckets: _*)
+        && col("tok").isin(distinctTerms: _*))
+      .select(col("id"), col("tok"), explode(col("positions")).as("pos"))
+    def positionsOf(t: String, as: String) =
+      matched.filter(col("tok") === t)
+        .select(col("id"), col("pos").as(as))
+    val first = positionsOf(terms.head, "p0")
+    val chained = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(positionsOf(t, s"p$i"), "id")
+          .filter(col(s"p$i") - col(s"p${i - 1}") >= 1 &&
+            col(s"p$i") - col(s"p${i - 1}") <= 1 + slop)
+    }
+    chained.groupBy("id").agg(count(lit(1)).as("occurrences"))
+  }
+
   /** BM25 parameters (the standard Robertson defaults). */
   val Bm25K1: Double = 1.2
   val Bm25B: Double = 0.75

@@ -112,6 +112,35 @@ class SearchSpec extends SparkSpec {
       == rows(Search.searchAny(spark, full, terms, 1)))
   }
 
+  test("searchNear: slop-bounded ordered proximity, slop 0 == phrase") {
+    val d = Seq(
+      (1L, "a b c a b"),
+      (2L, "a c b"),
+      (3L, "b a"),
+      (4L, "x x x")).toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-near-spec"))
+    val nidx = Search.writeIndex(d, "doc_id", "text",
+      "target/tmp/search-near-spec")
+    def near(terms: Seq[String], slop: Int) =
+      Search.searchNear(spark, nidx, terms, slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slop 0 == exact adjacency == searchPhrase
+    assert(near(Seq("a", "b"), 0) == Map(1L -> 2L))
+    assert(near(Seq("a", "b"), 0) ==
+      Search.searchPhrase(spark, nidx, Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // slop 1 admits one intervening token: doc 2's "a c b" qualifies;
+    // doc 1 still has exactly its two adjacent pairs (a0->b4 gap is 4)
+    assert(near(Seq("a", "b"), 1) == Map(1L -> 2L, 2L -> 1L))
+    // order matters: "b a" (doc 3) never matches the a->b direction
+    assert(!near(Seq("a", "b"), 3).contains(3L))
+    assert(near(Seq("b", "a"), 0) == Map(3L -> 1L))
+    assert(near(Seq("b", "a"), 1) == Map(1L -> 1L, 3L -> 1L)) // b1->a3
+    // repeated terms count all ordered in-window pairs
+    assert(near(Seq("x", "x"), 1) == Map(4L -> 3L))
+  }
+
   test("delete + reingest: corrected doc leaves the index; unrelated " +
       "queries bit-identical") {
     org.apache.commons.io.FileUtils.deleteQuietly(

@@ -80,6 +80,35 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min as a STREAMING aggregate: counter table after the " +
+      "last micro-batch equals the batch table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val toks = (Seq.fill(40)("hot") ++ (0 until 150).map("cold" + _))
+    val stream = MemoryStream[String]
+    // the SAME countMinTable code runs on the unified Dataset API: a
+    // fixed d*w keyspace groupBy is a complete-mode streaming agg with
+    // constant state — the map-side-combinable shape is exactly what
+    // makes the sketch streamable
+    val query = Sketches.countMinTable(stream.toDF().toDF("tok"), "tok")
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      toks.grouped(37).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("cm_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.countMinTable(toks.toDF("tok"), "tok")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.sum == 190L * Sketches.CmDepth)
+    } finally query.stop()
+  }
+
   test("count-min: estimates always dominate true counts, exact for " +
       "collision-free heavy hitter") {
     val toks = (Seq.fill(50)("hot") ++ (0 until 200).map("cold" + _))

@@ -1169,6 +1169,66 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
+  /** Incrementally-maintained materialized GROUP-BY view
+    * ([[graft.io.MatView]]): per-language row counts + n_chars totals
+    * maintained across four source commits (bulk load, upserts,
+    * deletes, inserts of a NEW language) by three delta refreshes —
+    * the last one folding TWO source versions at once. The oracle
+    * recomputes the full group-by over the resolved final state, so
+    * the gate certifies incremental == full: upsert deltas shifted
+    * totals without rescans, deletes decremented, and the 'xx' group
+    * was born from an insert delta. */
+  def tableMatView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{MatView, Versioned}
+    val tagDir = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/mvq-src-$tagDir"
+    val view = s"target/tmp/mvq-view-$tagDir"
+    val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"))
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, view)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars")), src)
+      MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), src)
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("xx").as("lang"),
+          col("doc_id").cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h) // one refresh folds BOTH versions
+      ()
+    })
+    MatView.read(spark, h).orderBy("lang")
+  }
+
+  val tableMatViewSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |    FALSE AS del, 1 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT), FALSE, 2
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, TRUE, 3
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'xx', CAST(doc_id AS BIGINT), FALSE, 4
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY v DESC) AS rk
+      |      FROM u)
+      |SELECT lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM r WHERE rk = 1 AND NOT del
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Time travel: the resolved state AS OF each version — live doc
     * count and total chars per version (upserts shift totals, deletes
     * shrink the count). */
@@ -1451,6 +1511,7 @@ object Queries {
     "q_rollup" -> rollupQty _,
     "q_schema_evolution" -> schemaEvolution _,
     "q_table_current" -> tableCurrent _,
+    "q_matview" -> tableMatView _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_merge" -> tableMerge _,
@@ -1497,6 +1558,7 @@ object Queries {
     "q_rollup" -> rollupQtySql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_table_current" -> tableCurrentSql,
+    "q_matview" -> tableMatViewSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,

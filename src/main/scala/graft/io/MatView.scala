@@ -1,0 +1,154 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained materialized GROUP-BY view over a
+ * [[Versioned]] source table — the lakehouse "incremental MV" refresh:
+ * `read` always equals `SELECT group, COUNT(*), SUM(cols...) FROM
+ * resolved-current GROUP BY group`, but `refresh` pays DELTA cost,
+ * never a source re-scan.
+ *
+ * Mechanics per refresh (source versions (from, to]):
+ *  - the delta slice is the raw version dirs in the range (checkpoint
+ *    dirs excluded — they duplicate log rows); the NEWEST row per key
+ *    inside the slice (tombstones kept) is each touched key's new
+ *    state — intermediate states inside one refresh batch never touch
+ *    the view, exactly like a collapsed CDC feed;
+ *  - old contributions come from the resolved state AS OF `from`,
+ *    SEMI-JOINED to the touched keys — the only read of pre-existing
+ *    data, pruned to the keys the delta moved (and bounded below by
+ *    the newest source checkpoint, like every resolve);
+ *  - each touched key contributes (-1, -vals) under its old group and,
+ *    unless deleted, (+1, +vals) under its new group — group
+ *    MIGRATION (an upsert that changes the group column) moves mass
+ *    between groups in one pass;
+ *  - per-group delta sums fold into the view's current rows; groups
+ *    reaching zero rows commit as tombstones. The view is itself a
+ *    Versioned table keyed by the group column, and the refresh
+ *    commits through [[Versioned.appendBatch]] with `batchId = to` —
+ *    the idempotency marker is atomic with visibility, so a crashed
+ *    refresh either never happened or is a no-op on retry
+ *    (exactly-once view maintenance, no double-counted deltas).
+ *
+ * Sums over integral columns are exact (the oracle-gated path); sums
+ * over floating columns accumulate in delta order, which can differ
+ * from a full recompute in the last ulp — the standard incremental-MV
+ * caveat, round on read if bit-stability across engines matters.
+ * MERGE (column-overlay) commits in the delta range are rejected
+ * loudly: an overlay carries no self-contained row state to diff
+ * (same contract as [[Versioned.history]]). Single maintainer per
+ * view; concurrent SOURCE writers are fine (refresh reads a pinned
+ * version range). Group values must be NON-NULL (caller contract —
+ * the view's per-group fold joins on the group key; coalesce a
+ * nullable group to a sentinel before grouping on it).
+ */
+object MatView {
+
+  final case class Handle(viewPath: String, srcPath: String,
+    keyCol: String, groupCol: String, sumCols: Seq[String])
+
+  private val GroupCol = "g"
+
+  /** Create the view (dropping any prior state) and run the first
+    * refresh against the source's current head. */
+  def init(spark: SparkSession, srcPath: String, keyCol: String,
+      groupCol: String, sumCols: Seq[String], viewPath: String): Handle = {
+    val h = Handle(viewPath, srcPath, keyCol, groupCol, sumCols)
+    Versioned.drop(spark, viewPath)
+    refresh(spark, h)
+    h
+  }
+
+  /** The source version the view reflects (0 = nothing yet): max
+    * refresh batch marker across the view's committed versions. */
+  def refreshedVersion(spark: SparkSession, h: Handle): Int = {
+    val f = new Path(h.viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.versions(spark, h.viewPath).flatMap { v =>
+      f.listStatus(new Path(s"${h.viewPath}/v=$v")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_BATCH_"))
+        .map(_.stripPrefix("_BATCH_").toInt)
+    }.maxOption.getOrElse(0)
+  }
+
+  /** Fold source versions (refreshedVersion, head] into the view.
+    * Returns the source version the view now reflects. Idempotent:
+    * re-running after a crash (or concurrently-already-applied batch)
+    * commits nothing twice. */
+  def refresh(spark: SparkSession, h: Handle): Int = {
+    val from = refreshedVersion(spark, h)
+    val to = Versioned.latestVersion(spark, h.srcPath)
+    if (to <= from) return from
+    require(!Versioned.mergeVersions(spark, h.srcPath)
+        .exists(v => v > from && v <= to),
+      s"refresh($from -> $to): MERGE commits in the delta range have no " +
+        "self-contained row state to diff; compact the source first")
+    val ck = Versioned.checkpoints(spark, h.srcPath).toSet
+    val deltaVs = Versioned.versions(spark, h.srcPath)
+      .filter(v => v > from && v <= to && !ck.contains(v))
+    // a range of pure checkpoints carries no log rows (compaction only)
+    if (deltaVs.isEmpty) return from
+    val delta = Versioned.readDirs(spark, h.srcPath, deltaVs)
+    // newest state per touched key inside the slice, tombstones kept
+    val w = Window.partitionBy(h.keyCol)
+      .orderBy(col(Versioned.VersionCol).desc,
+        col(Versioned.SeqCol).desc_nulls_last)
+    val newest0 = delta.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .localCheckpoint()
+    // a delete-only slice carries just the key column (tombstone rows
+    // have no values); surface the value columns as nulls so the
+    // non-deleted projection resolves — tombstones are filtered before
+    // any null reaches an aggregate
+    val newest = (h.groupCol +: h.sumCols).foldLeft(newest0)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    val touched = newest.select(h.keyCol).distinct()
+    val oldState =
+      if (from == 0) null
+      else Versioned.currentAsOf(spark, h.srcPath, h.keyCol, from)
+        .join(touched, Seq(h.keyCol), "left_semi")
+    def contrib(df: DataFrame, sign: Int) =
+      df.select(
+        col(h.groupCol).as(GroupCol) +:
+          lit(sign.toLong).as("__dn") +:
+          h.sumCols.map(c => (col(c) * sign).as(s"__d_$c")): _*)
+    val newC = contrib(newest.filter(!col(Versioned.DeletedCol)), 1)
+    val contribs =
+      if (oldState == null) newC
+      else newC.unionByName(contrib(oldState, -1))
+    val deltaAgg = contribs.groupBy(GroupCol)
+      .agg(sum("__dn").as("__dn"),
+        h.sumCols.map(c => sum(s"__d_$c").as(s"__d_$c")): _*)
+    // fold into the current view rows (absent group = all zeros)
+    val viewCur =
+      if (Versioned.latestVersion(spark, h.viewPath) == 0) null
+      else Versioned.current(spark, h.viewPath, GroupCol)
+        .drop(Versioned.VersionCol)
+    val joined =
+      if (viewCur == null) deltaAgg
+      else deltaAgg.join(viewCur, Seq(GroupCol), "left")
+    def base(c: String) =
+      if (viewCur == null) lit(0L) else coalesce(col(c), lit(0L))
+    val newRows = joined.select(
+      col(GroupCol) +:
+        (base("n_rows") + col("__dn")).as("n_rows") +:
+        h.sumCols.map(c =>
+          (base(s"sum_$c") + coalesce(col(s"__d_$c"), lit(0L)))
+            .as(s"sum_$c")) :+
+        (base("n_rows") + col("__dn") === 0).as(Versioned.DeletedCol): _*)
+    Versioned.appendBatch(newRows, h.viewPath, batchId = to.toLong)
+    to
+  }
+
+  /** The maintained view: (groupCol, n_rows, sum_<c>...) — always equal
+    * to the full GROUP BY over the source's resolved current state as
+    * of the last refresh. */
+  def read(spark: SparkSession, h: Handle): DataFrame =
+    Versioned.current(spark, h.viewPath, GroupCol)
+      .select(col(GroupCol).as(h.groupCol) +: col("n_rows") +:
+        h.sumCols.map(c => col(s"sum_$c")): _*)
+}

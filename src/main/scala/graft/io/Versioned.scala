@@ -108,11 +108,11 @@ object Versioned {
   }
 
   /** Committed checkpoint versions, ascending. */
-  private def checkpoints(spark: SparkSession, path: String): Seq[Int] =
+  private[io] def checkpoints(spark: SparkSession, path: String): Seq[Int] =
     withMarker(spark, path, CheckpointMarker)
 
   /** Committed MERGE (partial-update) versions, ascending. */
-  private def mergeVersions(spark: SparkSession, path: String): Seq[Int] =
+  private[io] def mergeVersions(spark: SparkSession, path: String): Seq[Int] =
     withMarker(spark, path, MergeMarker)
 
   /** Append `df` as the next version; returns the committed version.
@@ -273,7 +273,7 @@ object Versioned {
 
   /** Union the given committed version dirs — mergeSchema, so a column
     * added in a later version reads as NULL in earlier rows. */
-  private def readDirs(spark: SparkSession, path: String,
+  private[io] def readDirs(spark: SparkSession, path: String,
       vs: Seq[Int]): DataFrame = {
     require(vs.nonEmpty, s"no committed versions to read at $path")
     spark.read.option("mergeSchema", "true")

@@ -49,15 +49,24 @@ import org.apache.spark.sql.functions._
 object MatView {
 
   final case class Handle(viewPath: String, srcPath: String,
-    keyCol: String, groupCol: String, sumCols: Seq[String])
+    keyCol: String, groupCol: String, sumCols: Seq[String],
+    minMaxCols: Seq[String] = Nil)
 
   private val GroupCol = "g"
 
   /** Create the view (dropping any prior state) and run the first
-    * refresh against the source's current head. */
+    * refresh against the source's current head. `sumCols` maintain
+    * COUNT/SUM purely from deltas; `minMaxCols` add min_<c>/max_<c>
+    * maintained by SCOPED RECOMPUTE — min/max are not invertible
+    * under deletes, so each refresh recomputes them from the resolved
+    * source restricted to the TOUCHED GROUPS only (the standard
+    * incremental-MV treatment of non-distributive aggregates: cost
+    * follows the touched groups' data, untouched groups cost
+    * nothing). */
   def init(spark: SparkSession, srcPath: String, keyCol: String,
-      groupCol: String, sumCols: Seq[String], viewPath: String): Handle = {
-    val h = Handle(viewPath, srcPath, keyCol, groupCol, sumCols)
+      groupCol: String, sumCols: Seq[String], viewPath: String,
+      minMaxCols: Seq[String] = Nil): Handle = {
+    val h = Handle(viewPath, srcPath, keyCol, groupCol, sumCols, minMaxCols)
     Versioned.drop(spark, viewPath)
     refresh(spark, h)
     h
@@ -140,7 +149,23 @@ object MatView {
           (base(s"sum_$c") + coalesce(col(s"__d_$c"), lit(0L)))
             .as(s"sum_$c")) :+
         (base("n_rows") + col("__dn") === 0).as(Versioned.DeletedCol): _*)
-    Versioned.appendBatch(newRows, h.viewPath, batchId = to.toLong)
+    val withMinMax =
+      if (h.minMaxCols.isEmpty) newRows
+      else {
+        // non-invertible aggregates: recompute min/max of each TOUCHED
+        // group from the resolved source as of `to` (semi-join scoped —
+        // untouched groups never read). An emptied group finds no rows
+        // and keeps nulls; its view row is a tombstone anyway.
+        val touchedGroups = deltaAgg.select(col(GroupCol).as(h.groupCol))
+        val scoped = Versioned.currentAsOf(spark, h.srcPath, h.keyCol, to)
+          .join(touchedGroups, Seq(h.groupCol), "left_semi")
+        val aggs = h.minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val mm = scoped.groupBy(col(h.groupCol).as(GroupCol))
+          .agg(aggs.head, aggs.tail: _*)
+        newRows.join(mm, Seq(GroupCol), "left")
+      }
+    Versioned.appendBatch(withMinMax, h.viewPath, batchId = to.toLong)
     to
   }
 
@@ -150,5 +175,7 @@ object MatView {
   def read(spark: SparkSession, h: Handle): DataFrame =
     Versioned.current(spark, h.viewPath, GroupCol)
       .select(col(GroupCol).as(h.groupCol) +: col("n_rows") +:
-        h.sumCols.map(c => col(s"sum_$c")): _*)
+        (h.sumCols.map(c => col(s"sum_$c")) ++
+          h.minMaxCols.flatMap(c =>
+            Seq(col(s"min_$c"), col(s"max_$c")))): _*)
 }

@@ -91,6 +91,61 @@ class MatViewSpec extends SparkSpec {
     assert(viewRows(h) == after)
   }
 
+  test("streaming lakehouse MV: per-micro-batch refresh inside the " +
+      "ingest sink tracks the streamed source exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (src, view) = fresh("stream")
+    Versioned.append(Seq((1L, "a", 5L)).toDF("k", "grp", "x"), src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    val in = MemoryStream[(Long, String, Long)]
+    // ingest + MV maintenance in ONE foreachBatch: the source commit is
+    // idempotent on batch id, the refresh is idempotent on source
+    // version — the whole sink is restart-safe end to end
+    val ingest = in.toDS().toDF("k", "grp", "x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.appendBatch(b, src, id)
+        MatView.refresh(spark, h)
+        ()
+      }.start()
+    try {
+      in.addData((2L, "a", 7L), (3L, "b", 9L))
+      ingest.processAllAvailable()
+      assert(viewRows(h) == fullRecompute(src))
+      assert(viewRows(h) == Map("a" -> ((2L, 12L)), "b" -> ((1L, 9L))))
+      in.addData((2L, "b", 11L)) // upsert migrates k=2 from a to b
+      ingest.processAllAvailable()
+      assert(viewRows(h) == fullRecompute(src))
+      assert(viewRows(h) == Map("a" -> ((1L, 5L)), "b" -> ((2L, 20L))))
+    } finally ingest.stop()
+  }
+
+  test("min/max columns: scoped recompute survives deleting a group's " +
+      "extreme row (the non-invertible case deltas can't handle)") {
+    val (src, view) = fresh("minmax")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "a", 99L), (3L, "b", 7L))
+      .toDF("k", "grp", "x"), src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view,
+      minMaxCols = Seq("x"))
+    def rows() = MatView.read(spark, h).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n, sum, min, max)
+    assert(rows() == Map("a" -> ((2L, 109L, 10L, 99L)),
+      "b" -> ((1L, 7L, 7L, 7L))))
+    // delete the max row of group a: a pure delta cannot know the new
+    // max; the scoped recompute must find 10
+    Versioned.delete(Seq(2L).toDF("k"), src)
+    MatView.refresh(spark, h)
+    assert(rows() == Map("a" -> ((1L, 10L, 10L, 10L)),
+      "b" -> ((1L, 7L, 7L, 7L))))
+    // untouched group b kept its row; migration updates BOTH groups
+    Versioned.append(Seq((3L, "a", 1L)).toDF("k", "grp", "x"), src)
+    MatView.refresh(spark, h)
+    assert(rows() == Map("a" -> ((2L, 11L, 1L, 10L))))
+    assert(!rows().contains("b")) // b emptied by the migration
+  }
+
   test("MERGE commits in the delta range fail loudly") {
     val (src, view) = fresh("merge")
     Versioned.append(Seq((1L, "a", 3L)).toDF("k", "grp", "x"), src)

@@ -1229,6 +1229,65 @@ object Queries {
       |FROM r WHERE rk = 1 AND NOT del
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The [[tableMatView]] fixture with NON-INVERTIBLE aggregates:
+    * min/max n_chars per language maintained by scoped per-group
+    * recompute (deltas can't undo a deleted extreme; the refresh
+    * recomputes only the touched groups). Same four source commits;
+    * the oracle recomputes MIN/MAX over the resolved final state. */
+  def tableMatViewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{MatView, Versioned}
+    val tagDir = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/mvq2-src-$tagDir"
+    val view = s"target/tmp/mvq2-view-$tagDir"
+    val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"),
+      minMaxCols = Seq("n_chars"))
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, view)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars")), src)
+      MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view,
+        minMaxCols = Seq("n_chars"))
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), src)
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("xx").as("lang"),
+          col("doc_id").cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h)
+      ()
+    })
+    MatView.read(spark, h).orderBy("lang")
+  }
+
+  val tableMatViewMinMaxSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |    FALSE AS del, 1 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT), FALSE, 2
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, TRUE, 3
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'xx', CAST(doc_id AS BIGINT), FALSE, 4
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY v DESC) AS rk
+      |      FROM u)
+      |SELECT lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+      |FROM r WHERE rk = 1 AND NOT del
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Time travel: the resolved state AS OF each version — live doc
     * count and total chars per version (upserts shift totals, deletes
     * shrink the count). */
@@ -1512,6 +1571,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolution _,
     "q_table_current" -> tableCurrent _,
     "q_matview" -> tableMatView _,
+    "q_matview_minmax" -> tableMatViewMinMax _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_merge" -> tableMerge _,
@@ -1559,6 +1619,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_table_current" -> tableCurrentSql,
     "q_matview" -> tableMatViewSql,
+    "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,

@@ -22,7 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
       "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
-      "vtable", "search", "sketch", "graph")
+      "vtable", "search", "sketch", "graph", "mv")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -45,6 +45,7 @@ object Stress {
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
     if (mode == "search") { searchStress(spark, nRows, cpus.toInt); return }
     if (mode == "sketch") { sketchStress(spark, nRows, cpus.toInt); return }
+    if (mode == "mv") { mvStress(spark, nRows, cpus.toInt); return }
     if (mode == "graph") { graphStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
@@ -304,6 +305,62 @@ object Stress {
       s""""bm25_sec":$tBm,"bm25_warm_sec":$tBmW,"bm25_docs":$nBm,""" +
       s""""phrase_sec":$tPhrase,"phrase_warm_sec":$tPhraseW,""" +
       s""""phrase_docs":$nPhrase,"fold10pct_sec":$tFold}""")
+    spark.stop()
+  }
+
+  /** Materialized-view stress: incremental refresh vs full recompute
+    * at nRows source rows (1000 groups). Bulk-load + init, then a 1%
+    * delta commit (upserts incl. group migrations + deletes) and ONE
+    * refresh — the refresh must cost O(delta + touched-group scan),
+    * not O(source), and its result must equal the full group-by. */
+  private def mvStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    import graft.io.{MatView, Versioned}
+    val srcPath = "target/tmp/stress-mv-src"
+    val viewPath = "target/tmp/stress-mv-view"
+    Versioned.drop(spark, srcPath)
+    Versioned.drop(spark, viewPath)
+    val base = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("k"),
+        concat(lit("g"), col("id") % 1000).as("grp"),
+        (col("id") % 997).as("x"))
+    val t0 = System.nanoTime()
+    Versioned.append(base, srcPath)
+    val h = MatView.init(spark, srcPath, "k", "grp", Seq("x"), viewPath)
+    val tInit = (System.nanoTime() - t0) / 1e9
+
+    // 1% delta: half upserts that MIGRATE groups (+1 group shift, new
+    // value), half fresh inserts past the id range; plus 0.5% deletes
+    val delta = spark.range(nRows / 200).repartition(cpus)
+      .select((col("id") * 199).as("k"),
+        concat(lit("g"), (col("id") * 199 + 1) % 1000).as("grp"),
+        (col("id") % 991 + 7).as("x"))
+      .unionByName(spark.range(nRows, nRows + nRows / 200).repartition(cpus)
+        .select(col("id").as("k"),
+          concat(lit("g"), col("id") % 1000).as("grp"),
+          (col("id") % 983).as("x")))
+    val dels = spark.range(nRows / 200).repartition(cpus)
+      .select((col("id") * 211 + 3).as("k"))
+      .filter(col("k") < nRows)
+    Versioned.append(delta, srcPath)
+    Versioned.delete(dels, srcPath)
+    val t1 = System.nanoTime()
+    MatView.refresh(spark, h)
+    val tRefresh = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val full = Versioned.current(spark, srcPath, "k")
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("x").as("sum_x"))
+      .localCheckpoint()
+    val nFull = full.count()
+    val tFull = (System.nanoTime() - t2) / 1e9
+    // equivalence: the maintained view IS the full group-by
+    val view = MatView.read(spark, h)
+    val drift = view.exceptAll(full).count() + full.exceptAll(view).count()
+    require(drift == 0, s"view drifted from full recompute: $drift rows")
+
+    println(s"""{"metric":"stress_mv","rows":$nRows,""" +
+      s""""init_sec":$tInit,"refresh_sec":$tRefresh,""" +
+      s""""full_recompute_sec":$tFull,"groups":$nFull,"drift":$drift}""")
     spark.stop()
   }
 

@@ -58,11 +58,15 @@ object MatView {
     * refresh against the source's current head. `sumCols` maintain
     * COUNT/SUM purely from deltas; `minMaxCols` add min_<c>/max_<c>
     * maintained by SCOPED RECOMPUTE — min/max are not invertible
-    * under deletes, so each refresh recomputes them from the resolved
-    * source restricted to the TOUCHED GROUPS only (the standard
-    * incremental-MV treatment of non-distributive aggregates: cost
-    * follows the touched groups' data, untouched groups cost
-    * nothing). */
+    * under deletes, so each refresh re-derives them from the resolved
+    * source restricted to the TOUCHED GROUPS (the standard
+    * incremental-MV treatment of non-distributive aggregates).
+    * Honest cost: a row's group is only knowable post-resolve, so the
+    * min/max path pays one source resolve per refresh — bounded below
+    * by the newest source checkpoint, so keep the source compacted on
+    * a cadence; the per-group aggregation itself then touches only
+    * the touched groups' rows. The COUNT/SUM-only path resolves
+    * nothing beyond the touched keys' own rows. */
   def init(spark: SparkSession, srcPath: String, keyCol: String,
       groupCol: String, sumCols: Seq[String], viewPath: String,
       minMaxCols: Seq[String] = Nil): Handle = {
@@ -101,7 +105,17 @@ object MatView {
       .filter(v => v > from && v <= to && !ck.contains(v))
     // a range of pure checkpoints carries no log rows (compaction only)
     if (deltaVs.isEmpty) return from
-    val delta = Versioned.readDirs(spark, h.srcPath, deltaVs)
+    // project to the view-relevant columns up front so parquet column
+    // pruning drops everything else — on a wide source table the
+    // refresh reads only key + group + aggregated columns, not payloads
+    val neededCols = (h.keyCol +: h.groupCol +: (h.sumCols ++ h.minMaxCols))
+      .distinct
+    def pruned(df: DataFrame) = {
+      val keep = neededCols.filter(df.columns.contains) ++
+        df.columns.filter(Versioned.MetaCols.contains)
+      df.select(keep.map(col): _*)
+    }
+    val delta = pruned(Versioned.readDirs(spark, h.srcPath, deltaVs))
     // newest state per touched key inside the slice, tombstones kept
     val w = Window.partitionBy(h.keyCol)
       .orderBy(col(Versioned.VersionCol).desc,
@@ -115,11 +129,36 @@ object MatView {
     // any null reaches an aggregate
     val newest = (h.groupCol +: h.sumCols).foldLeft(newest0)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-    val touched = newest.select(h.keyCol).distinct()
+    val touched = newest.select(h.keyCol).distinct().localCheckpoint()
+    // the touched-key set is delta-sized and already materialized —
+    // when it fits a broadcast, pin the semi-join to BroadcastHashJoin
+    // so the big (old-state) side STREAMS through the probe instead of
+    // shuffling source-sized data on the key (the auto threshold gives
+    // up around ~10 MB; a counted, checkpointed frame is safe to force
+    // far beyond that)
+    val touchedSmall = touched.count() <= 2000000L
+    def semiTouched(df: DataFrame) =
+      df.join(if (touchedSmall) broadcast(touched) else touched,
+        Seq(h.keyCol), "left_semi")
+    // old contributions: resolve at `from` restricted to the touched
+    // keys BEFORE the resolve window (per-key resolve commutes with a
+    // key filter), so this read shuffles O(touched keys' rows) — never
+    // the whole source — and starts from the newest checkpoint <= from
+    // like every resolve
     val oldState =
       if (from == 0) null
-      else Versioned.currentAsOf(spark, h.srcPath, h.keyCol, from)
-        .join(touched, Seq(h.keyCol), "left_semi")
+      else {
+        val baseCk = Versioned.checkpoints(spark, h.srcPath)
+          .filter(_ <= from).lastOption
+        val loV = baseCk.map(_ - 1).getOrElse(0)
+        val oldVs = Versioned.versions(spark, h.srcPath)
+          .filter(v => v > loV && v <= from)
+        val hasMerges = Versioned.mergeVersions(spark, h.srcPath)
+          .exists(v => v > loV && v <= from)
+        Versioned.resolve(
+          semiTouched(pruned(Versioned.readDirs(spark, h.srcPath, oldVs))),
+          h.keyCol, hasMerges)
+      }
     def contrib(df: DataFrame, sign: Int) =
       df.select(
         col(h.groupCol).as(GroupCol) +:

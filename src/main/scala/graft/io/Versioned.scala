@@ -80,7 +80,7 @@ object Versioned {
   private val MergeMarker = "_MERGE"
   private val SuccessMarker = "_SUCCESS"
   private val StatsFile = "_STATS.tsv"
-  private val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+  private[io] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -331,7 +331,7 @@ object Versioned {
   }
 
   /** The resolve over an already-assembled log slice. */
-  private def resolve(raw: DataFrame, keyCol: String,
+  private[io] def resolve(raw: DataFrame, keyCol: String,
       hasMerges: Boolean): DataFrame = {
     // legacy dirs predate __merge/__seq; mergeSchema surfaces them as
     // null — normalize so the resolve logic sees one shape

@@ -1134,6 +1134,12 @@ object Queries {
     * the operator. */
   private val fixtureBuilt = TrieMap.empty[String, Unit]
 
+  /** Session identity tag for fixtures whose on-disk state is LIVE per
+    * session (MV refresh state): path and cache key agree, so two
+    * SparkSessions in one JVM never overwrite each other's fixture. */
+  private def sessionTag(spark: SparkSession): String =
+    java.lang.Integer.toHexString(System.identityHashCode(spark))
+
   /** Shared oracle CTEs reconstructing the version log from the
     * documents table (the same trick as the schema-evolution oracle:
     * the oracle never reads the table files, it re-derives them). */
@@ -1180,7 +1186,11 @@ object Queries {
     * was born from an insert delta. */
   def tableMatView(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{MatView, Versioned}
-    val tagDir = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // the path carries the session's identity hash (like the at-rest
+    // search fixture): the view's refresh state is LIVE per session —
+    // two sessions in one JVM must never overwrite each other's
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val src = s"target/tmp/mvq-src-$tagDir"
     val view = s"target/tmp/mvq-view-$tagDir"
     val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"))
@@ -1236,7 +1246,8 @@ object Queries {
     * the oracle recomputes MIN/MAX over the resolved final state. */
   def tableMatViewMinMax(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{MatView, Versioned}
-    val tagDir = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val src = s"target/tmp/mvq2-src-$tagDir"
     val view = s"target/tmp/mvq2-view-$tagDir"
     val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"),
@@ -1287,6 +1298,58 @@ object Queries {
       |  MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
       |FROM r WHERE rk = 1 AND NOT del
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** STREAMING lakehouse MV end to end: the documents table arrives as
+    * a Structured Streaming file source; ONE `foreachBatch` sink both
+    * commits each micro-batch into the Versioned source
+    * ([[graft.io.Versioned.appendBatch]] — idempotent on batch id) and
+    * folds it into the maintained view ([[graft.io.MatView.refresh]] —
+    * idempotent on source version), so the whole ingest→maintain loop
+    * is restart-safe. The final view must equal the full GROUP BY over
+    * everything streamed, REGARDLESS of how the source files were cut
+    * into micro-batches — which is exactly what the DuckDB oracle
+    * recomputes. */
+  def tableMatViewStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{MatView, Versioned}
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/mvq3-src-$tagDir"
+    val view = s"target/tmp/mvq3-view-$tagDir"
+    val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"))
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, view)
+      // stage the corpus as a 3-file DIRECTORY (streaming file sources
+      // monitor directories) and feed one file per micro-batch, so the
+      // ingest→refresh loop genuinely folds multiple deltas
+      val inDir = s"target/tmp/mvq3-in-$tagDir"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val ingest = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Versioned.appendBatch(b, src, id)
+          MatView.refresh(spark, h)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      ingest.awaitTermination()
+      ()
+    })
+    MatView.read(spark, h).orderBy("lang")
+  }
+
+  val tableMatViewStreamSql: String =
+    """SELECT lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Time travel: the resolved state AS OF each version — live doc
     * count and total chars per version (upserts shift totals, deletes
@@ -1572,6 +1635,7 @@ object Queries {
     "q_table_current" -> tableCurrent _,
     "q_matview" -> tableMatView _,
     "q_matview_minmax" -> tableMatViewMinMax _,
+    "q_matview_stream" -> tableMatViewStream _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_merge" -> tableMerge _,
@@ -1620,6 +1684,7 @@ object Queries {
     "q_table_current" -> tableCurrentSql,
     "q_matview" -> tableMatViewSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
+    "q_matview_stream" -> tableMatViewStreamSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,

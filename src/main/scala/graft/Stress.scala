@@ -58,13 +58,15 @@ object Stress {
     }
 
     // "selector": the default 10M x 32 shape. "wide": SURVEY §1's real
-    // dataset width — nf = 631 features (E. coli promoter-style wide
-    // byte matrix), mRMR k = 10 — pinning that the (k+1)-scan cost
+    // dataset width — default nf = 631 features (E. coli promoter-style
+    // wide byte matrix), mRMR k = 10 — pinning that the (k+1)-scan cost
     // model and the O(nFeatures)-rows-per-round driver traffic hold at
-    // real width, not just at 32.
+    // real width, not just at 32. An optional third arg widens further
+    // (`wide <rows> <k> <nf>`, e.g. nf=5000 — the 100x-width story).
     val (nf, kk, rows) =
       if (mode == "wide")
-        (631, if (numArgs.length > 1) numArgs(1).toInt else 10,
+        (if (numArgs.length > 2) numArgs(2).toInt else 631,
+          if (numArgs.length > 1) numArgs(1).toInt else 10,
           if (numArgs.nonEmpty) nRows else 1000000L)
       else (32, k, nRows)
     selectorStress(spark, rows, nf, kk, cpus.toInt)
@@ -358,9 +360,43 @@ object Stress {
     val drift = view.exceptAll(full).count() + full.exceptAll(view).count()
     require(drift == 0, s"view drifted from full recompute: $drift rows")
 
+    // min/max maintenance: APPEND-ONLY refresh must run at delta cost
+    // (monotone fold, no source resolve) vs the delete-triggered scoped
+    // recompute that has to resolve the source
+    val mmViewPath = "target/tmp/stress-mv-view-mm"
+    Versioned.drop(spark, mmViewPath)
+    val hMm = MatView.init(spark, srcPath, "k", "grp", Seq("x"), mmViewPath,
+      minMaxCols = Seq("x"))
+    val inserts = spark.range(nRows * 2, nRows * 2 + nRows / 100)
+      .repartition(cpus)
+      .select(col("id").as("k"),
+        concat(lit("g"), col("id") % 1000).as("grp"),
+        (col("id") % 977).as("x"))
+    Versioned.append(inserts, srcPath)
+    val t3 = System.nanoTime()
+    val (_, fastPath) = MatView.refreshDetailed(spark, hMm)
+    val tMmFast = (System.nanoTime() - t3) / 1e9
+    require(fastPath, "append-only min/max refresh must take the fast path")
+    val dels2 = spark.range(nRows / 200).repartition(cpus)
+      .select((col("id") * 223 + 5).as("k")).filter(col("k") < nRows)
+    Versioned.delete(dels2, srcPath)
+    val t4 = System.nanoTime()
+    val (_, fastPath2) = MatView.refreshDetailed(spark, hMm)
+    val tMmSlow = (System.nanoTime() - t4) / 1e9
+    require(!fastPath2, "a delete delta must take the scoped recompute")
+    val fullMm = Versioned.current(spark, srcPath, "k")
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+    val viewMm = MatView.read(spark, hMm)
+    val driftMm = viewMm.exceptAll(fullMm).count() +
+      fullMm.exceptAll(viewMm).count()
+    require(driftMm == 0, s"min/max view drifted: $driftMm rows")
+
     println(s"""{"metric":"stress_mv","rows":$nRows,""" +
       s""""init_sec":$tInit,"refresh_sec":$tRefresh,""" +
-      s""""full_recompute_sec":$tFull,"groups":$nFull,"drift":$drift}""")
+      s""""full_recompute_sec":$tFull,"groups":$nFull,"drift":$drift,""" +
+      s""""minmax_append_only_fastpath_sec":$tMmFast,""" +
+      s""""minmax_delete_recompute_sec":$tMmSlow,"drift_minmax":$driftMm}""")
     spark.stop()
   }
 

@@ -40,11 +40,27 @@ import org.apache.spark.sql.functions._
  * caveat, round on read if bit-stability across engines matters.
  * MERGE (column-overlay) commits in the delta range are rejected
  * loudly: an overlay carries no self-contained row state to diff
- * (same contract as [[Versioned.history]]). Single maintainer per
- * view; concurrent SOURCE writers are fine (refresh reads a pinned
- * version range). Group values must be NON-NULL (caller contract —
- * the view's per-group fold joins on the group key; coalesce a
- * nullable group to a sentinel before grouping on it).
+ * (same contract as [[Versioned.history]]).
+ *
+ * Concurrency contract:
+ *  - concurrent MAINTAINERS are safe: racing refreshes of the same
+ *    range serialize on [[Versioned.appendBatch]]'s atomic batch
+ *    claim — exactly one commits, the other adopts its version;
+ *  - concurrent SOURCE writers are safe-by-refusal: refresh FAILS
+ *    LOUDLY while a source version slot at or below its head is
+ *    claimed but unpublished (a slow writer publishing below an
+ *    already-folded head would otherwise be filtered by `v > from`
+ *    forever — silent, permanent drift). Wait the writer out (or let
+ *    `vacuum` sweep a crashed writer's stale claim) and retry;
+ *  - source VACUUM below the view's refreshed version fails the next
+ *    refresh loudly (the reclaimed deltas are unrecoverable — rebuild
+ *    with [[init]]); a vacuumed source is fine as long as the view
+ *    keeps pace with retention, and a FRESH view on a vacuumed source
+ *    bootstraps from the vacuum-base checkpoint like [[Versioned.asOf]].
+ *
+ * Group values must be NON-NULL (caller contract — the view's
+ * per-group fold joins on the group key; coalesce a nullable group to
+ * a sentinel before grouping on it).
  */
 object MatView {
 
@@ -54,19 +70,37 @@ object MatView {
 
   private val GroupCol = "g"
 
+  /** Broadcast the touched-key semi-join build side only below this
+    * ESTIMATED byte size (key payload measured by a delta-sized agg,
+    * not a row count — 2M wide string keys are hundreds of MB). */
+  private[io] val BroadcastBytes = 64L << 20
+
+  /** Estimated in-memory bytes of a one-column key frame: measured key
+    * payload (string rendering) plus per-row object overhead — one
+    * delta-sized agg, never a driver collect. */
+  private[io] def keyBytes(df: DataFrame, keyCol: String): Long = {
+    val st = df.agg(count(lit(1)),
+      coalesce(sum(bit_length(col(keyCol).cast("string"))), lit(0L)))
+      .head()
+    st.getLong(1) / 8 + st.getLong(0) * 16
+  }
+
   /** Create the view (dropping any prior state) and run the first
     * refresh against the source's current head. `sumCols` maintain
-    * COUNT/SUM purely from deltas; `minMaxCols` add min_<c>/max_<c>
-    * maintained by SCOPED RECOMPUTE — min/max are not invertible
-    * under deletes, so each refresh re-derives them from the resolved
-    * source restricted to the TOUCHED GROUPS (the standard
-    * incremental-MV treatment of non-distributive aggregates).
-    * Honest cost: a row's group is only knowable post-resolve, so the
-    * min/max path pays one source resolve per refresh — bounded below
-    * by the newest source checkpoint, so keep the source compacted on
-    * a cadence; the per-group aggregation itself then touches only
-    * the touched groups' rows. The COUNT/SUM-only path resolves
-    * nothing beyond the touched keys' own rows. */
+    * COUNT/SUM purely from deltas; `minMaxCols` add min_<c>/max_<c>.
+    *
+    * min/max are not invertible under deletes, so their maintenance is
+    * two-tier: an APPEND-ONLY refresh (no tombstones in the delta, no
+    * prior state for any touched key) folds the delta's extremes
+    * directly into the view's — monotone, delta cost, NO source read;
+    * any other refresh falls back to SCOPED RECOMPUTE — min/max of the
+    * TOUCHED groups re-derived from the resolved source (the standard
+    * incremental-MV treatment of non-distributive aggregates). Honest
+    * cost of the fallback: a row's group is only knowable post-resolve,
+    * so it pays one source resolve per refresh — bounded below by the
+    * newest source checkpoint, so keep the source compacted on a
+    * cadence. The COUNT/SUM-only path and the append-only fast path
+    * resolve nothing beyond the touched keys' own rows. */
   def init(spark: SparkSession, srcPath: String, keyCol: String,
       groupCol: String, sumCols: Seq[String], viewPath: String,
       minMaxCols: Seq[String] = Nil): Handle = {
@@ -92,19 +126,53 @@ object MatView {
     * Returns the source version the view now reflects. Idempotent:
     * re-running after a crash (or concurrently-already-applied batch)
     * commits nothing twice. */
-  def refresh(spark: SparkSession, h: Handle): Int = {
+  def refresh(spark: SparkSession, h: Handle): Int =
+    refreshDetailed(spark, h)._1
+
+  /** [[refresh]] plus whether min/max maintenance took the APPEND-ONLY
+    * fast path (delta extremes folded directly, no source resolve) —
+    * per-call observability for specs and ops dashboards. */
+  private[graft] def refreshDetailed(spark: SparkSession,
+      h: Handle): (Int, Boolean) = {
     val from = refreshedVersion(spark, h)
     val to = Versioned.latestVersion(spark, h.srcPath)
-    if (to <= from) return from
+    if (to <= from) return (from, false)
+    // in-flight source writers: a claimed-but-unpublished slot <= to
+    // could publish AFTER this refresh folded past it; every future
+    // refresh filters v > from, so the late commit would NEVER be
+    // applied — silent permanent drift. Refuse instead.
+    val pending = Versioned.unpublishedClaims(spark, h.srcPath)
+      .filter(_ <= to)
+    require(pending.isEmpty, s"refresh($from -> $to): source version " +
+      s"slots ${pending.mkString(",")} are claimed but unpublished; an " +
+      "in-flight writer could publish below the refresh head and be " +
+      "silently skipped — wait for it (or let vacuum sweep a crashed " +
+      "writer's stale claim) and retry")
     require(!Versioned.mergeVersions(spark, h.srcPath)
         .exists(v => v > from && v <= to),
       s"refresh($from -> $to): MERGE commits in the delta range have no " +
         "self-contained row state to diff; compact the source first")
     val ck = Versioned.checkpoints(spark, h.srcPath).toSet
-    val deltaVs = Versioned.versions(spark, h.srcPath)
-      .filter(v => v > from && v <= to && !ck.contains(v))
+    // vacuum guard: reclaimed version dirs would silently vanish from
+    // the delta slice (checkpoints are excluded as duplicates) — the
+    // one failure mode worse than an error
+    val vb = Versioned.vacuumBase(spark, h.srcPath)
+    vb.foreach { b =>
+      require(from == 0 || from >= b, s"refresh($from -> $to): source " +
+        s"versions below $b were vacuumed at ${h.srcPath}; the view is " +
+        "stale beyond the source's retention — rebuild it with init")
+    }
+    val deltaVs = vb match {
+      case Some(b) if from == 0 =>
+        // fresh view on a vacuumed source: the vacuum-base checkpoint
+        // stands in for the reclaimed log prefix (same rule as asOf)
+        b +: Versioned.versions(spark, h.srcPath)
+          .filter(v => v > b && v <= to && !ck.contains(v))
+      case _ => Versioned.versions(spark, h.srcPath)
+        .filter(v => v > from && v <= to && !ck.contains(v))
+    }
     // a range of pure checkpoints carries no log rows (compaction only)
-    if (deltaVs.isEmpty) return from
+    if (deltaVs.isEmpty) return (from, false)
     // project to the view-relevant columns up front so parquet column
     // pruning drops everything else — on a wide source table the
     // refresh reads only key + group + aggregated columns, not payloads
@@ -127,16 +195,19 @@ object MatView {
     // have no values); surface the value columns as nulls so the
     // non-deleted projection resolves — tombstones are filtered before
     // any null reaches an aggregate
-    val newest = (h.groupCol +: h.sumCols).foldLeft(newest0)((d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    val newest = (h.groupCol +: (h.sumCols ++ h.minMaxCols).distinct)
+      .foldLeft(newest0)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
     val touched = newest.select(h.keyCol).distinct().localCheckpoint()
     // the touched-key set is delta-sized and already materialized —
-    // when it fits a broadcast, pin the semi-join to BroadcastHashJoin
-    // so the big (old-state) side STREAMS through the probe instead of
-    // shuffling source-sized data on the key (the auto threshold gives
-    // up around ~10 MB; a counted, checkpointed frame is safe to force
-    // far beyond that)
-    val touchedSmall = touched.count() <= 2000000L
+    // when its ESTIMATED BYTES fit a broadcast, pin the semi-join to
+    // BroadcastHashJoin so the big (old-state) side STREAMS through the
+    // probe instead of shuffling source-sized data on the key. The
+    // estimate measures the real key payload (one delta-sized agg over
+    // the string rendering + per-row overhead), not a row count — 2M
+    // wide string keys would blow past executor memory long before 2M
+    // int keys do.
+    val touchedSmall = keyBytes(touched, h.keyCol) <= BroadcastBytes
     def semiTouched(df: DataFrame) =
       df.join(if (touchedSmall) broadcast(touched) else touched,
         Seq(h.keyCol), "left_semi")
@@ -144,8 +215,10 @@ object MatView {
     // keys BEFORE the resolve window (per-key resolve commutes with a
     // key filter), so this read shuffles O(touched keys' rows) — never
     // the whole source — and starts from the newest checkpoint <= from
-    // like every resolve
-    val oldState =
+    // like every resolve. Materialized when min/max needs to test it
+    // for emptiness (the fold reads it right after anyway).
+    val needMm = h.minMaxCols.nonEmpty
+    val oldState0 =
       if (from == 0) null
       else {
         val baseCk = Versioned.checkpoints(spark, h.srcPath)
@@ -159,6 +232,16 @@ object MatView {
           semiTouched(pruned(Versioned.readDirs(spark, h.srcPath, oldVs))),
           h.keyCol, hasMerges)
       }
+    val oldState =
+      if (oldState0 != null && needMm) oldState0.localCheckpoint()
+      else oldState0
+    // min/max APPEND-ONLY fast path: no tombstones in the delta and no
+    // prior state for any touched key (pure inserts) — each touched
+    // group's extremes can only widen, so fold least/greatest of the
+    // delta into the view and skip the source resolve entirely
+    val fastMm = needMm &&
+      newest0.filter(col(Versioned.DeletedCol)).isEmpty &&
+      (oldState == null || oldState.isEmpty)
     def contrib(df: DataFrame, sign: Int) =
       df.select(
         col(h.groupCol).as(GroupCol) +:
@@ -181,20 +264,36 @@ object MatView {
       else deltaAgg.join(viewCur, Seq(GroupCol), "left")
     def base(c: String) =
       if (viewCur == null) lit(0L) else coalesce(col(c), lit(0L))
-    val newRows = joined.select(
+    val stdCols =
       col(GroupCol) +:
         (base("n_rows") + col("__dn")).as("n_rows") +:
         h.sumCols.map(c =>
           (base(s"sum_$c") + coalesce(col(s"__d_$c"), lit(0L)))
             .as(s"sum_$c")) :+
-        (base("n_rows") + col("__dn") === 0).as(Versioned.DeletedCol): _*)
+        (base("n_rows") + col("__dn") === 0).as(Versioned.DeletedCol)
     val withMinMax =
-      if (h.minMaxCols.isEmpty) newRows
-      else {
-        // non-invertible aggregates: recompute min/max of each TOUCHED
+      if (!needMm) joined.select(stdCols: _*)
+      else if (fastMm) {
+        val mmAggs = h.minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__dmin_$c"), max(col(c)).as(s"__dmax_$c")))
+        val deltaMm = newest.filter(!col(Versioned.DeletedCol))
+          .groupBy(col(h.groupCol).as(GroupCol))
+          .agg(mmAggs.head, mmAggs.tail: _*)
+        // least/greatest skip nulls: a brand-new group (no view row)
+        // takes the delta extremes; a view min of null (no non-null
+        // values yet) defers to the delta likewise
+        def oldMm(c: String) =
+          if (viewCur == null) lit(null) else col(c)
+        joined.join(deltaMm, Seq(GroupCol), "left")
+          .select(stdCols ++ h.minMaxCols.flatMap(c => Seq(
+            least(oldMm(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c"),
+            greatest(oldMm(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c"))): _*)
+      } else {
+        // non-invertible fallback: recompute min/max of each TOUCHED
         // group from the resolved source as of `to` (semi-join scoped —
         // untouched groups never read). An emptied group finds no rows
         // and keeps nulls; its view row is a tombstone anyway.
+        val newRows = joined.select(stdCols: _*)
         val touchedGroups = deltaAgg.select(col(GroupCol).as(h.groupCol))
         val scoped = Versioned.currentAsOf(spark, h.srcPath, h.keyCol, to)
           .join(touchedGroups, Seq(h.groupCol), "left_semi")
@@ -205,7 +304,7 @@ object MatView {
         newRows.join(mm, Seq(GroupCol), "left")
       }
     Versioned.appendBatch(withMinMax, h.viewPath, batchId = to.toLong)
-    to
+    (to, fastMm)
   }
 
   /** The maintained view: (groupCol, n_rows, sum_<c>...) — always equal

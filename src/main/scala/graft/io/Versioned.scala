@@ -59,10 +59,11 @@ import org.apache.spark.sql.functions._
  *
  * At 100 TB: appends are just parquet writes; the staged rename gives
  * single-FS-call publication. Version allocation is multi-writer safe
- * via put-if-absent claim files (`.claim-v=N`, exclusive-create CAS —
- * atomic on local FS via O_EXCL and on HDFS at the namenode; object
- * stores without put-if-absent still need a metastore CAS, the
- * standard Delta/Iceberg LogStore caveat): concurrent writers take
+ * via put-if-absent claim files (`.claim-v=N`, exclusive-create CAS
+ * through the session's pluggable [[LogStore]] — atomic on local FS
+ * via O_EXCL and on HDFS at the namenode by default; object stores
+ * without put-if-absent plug a metastore-backed store via
+ * `spark.graft.logstore.class`): concurrent writers take
  * distinct slots before writing any data instead of racing the same
  * rename. The resolve
  * window shuffles once on the key and is exactly as skew-bound as the
@@ -146,31 +147,92 @@ object Versioned {
     * that publishes the version, so marker and visibility are atomic:
     * a crash leaves either an invisible staging dir (re-delivery
     * commits again — no duplicate, nothing was visible) or a complete
-    * version whose marker makes re-delivery a no-op. */
+    * version whose marker makes re-delivery a no-op.
+    *
+    * CONCURRENT writers of the same batch id (two racing MV
+    * maintainers folding the same source range) are serialized by an
+    * atomic `.claim-batch-<id>` put-if-absent: exactly one commits,
+    * the loser waits for the winner's version to publish and returns
+    * it — the check-then-commit window can never double-apply a
+    * batch. A claim whose owner crashed pre-publish is treated as
+    * stale after [[BatchClaimStaleMs]] (taken over by the next
+    * caller); a commit genuinely slower than that horizon is the one
+    * documented caveat. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Int = {
     val spark = df.sparkSession
     val marker = s"_BATCH_$batchId"
     val f = fs(spark, path)
-    versions(spark, path)
+    def committed: Option[Int] = versions(spark, path)
       .find(v => f.exists(new Path(s"$path/v=$v", marker)))
-      .getOrElse(commit(df, path, batchMarker = Some(marker)))
+    committed.getOrElse {
+      val claim = new Path(path, s".claim-batch-$batchId")
+      if (LogStore.forSession(spark).createExclusive(f, claim))
+        commit(df, path, batchMarker = Some(marker))
+      else {
+        // another writer owns this batch: wait for its publish
+        val deadline = System.currentTimeMillis() + 60000
+        var r = committed
+        while (r.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); r = committed
+        }
+        r.getOrElse {
+          // owner likely crashed pre-publish; take over a stale claim
+          // (nothing it staged ever became visible, so re-committing
+          // cannot duplicate). A vanished claim (vacuum swept an
+          // orphan mid-wait) just retries the CAS.
+          if (f.exists(claim)) {
+            val age = System.currentTimeMillis() -
+              f.getFileStatus(claim).getModificationTime
+            require(age > BatchClaimStaleMs, s"batch $batchId at $path is " +
+              "claimed by a concurrent writer that has not published; wait " +
+              "for it or, if it crashed, retry after the claim goes stale")
+            f.delete(claim, false)
+          }
+          appendBatch(df, path, batchId)
+        }
+      }
+    }
   }
+
+  /** Age after which an unpublished `.claim-batch-*` counts as a
+    * crashed writer's orphan and may be taken over. */
+  private[io] val BatchClaimStaleMs: Long = 15L * 60 * 1000
 
   /**
    * Atomically claim version slot `v` by exclusively creating the
-   * hidden `.claim-v=N` marker (put-if-absent CAS). On `file://` the
-   * claim uses NIO `Files.createFile` — a true O_CREAT|O_EXCL, atomic
-   * against every other process on the machine; on HDFS,
-   * `create(overwrite=false)` is a single atomic namenode op. Object
-   * stores without put-if-absent need a metastore CAS instead (the
-   * standard Delta/Iceberg LogStore caveat). Claims outlive their
-   * commit (a published version's claim keeps the slot dead forever);
-   * a crashed writer's orphan claim wastes one slot number, never a
-   * version — `vacuum` sweeps stale ones with the same age guard as
-   * staging dirs.
+   * hidden `.claim-v=N` marker — put-if-absent CAS through the
+   * session's [[LogStore]] (default [[FsLogStore]]: NIO O_EXCL on
+   * `file://`, one atomic namenode op on HDFS; object stores plug a
+   * metastore-backed store via `spark.graft.logstore.class`). Claims
+   * outlive their commit (a published version's claim keeps the slot
+   * dead forever); a crashed writer's orphan claim wastes one slot
+   * number, never a version — `vacuum` sweeps stale ones with the
+   * same age guard as staging dirs.
    */
-  private def claimSlot(f: FileSystem, path: String, v: Int): Boolean =
-    FsCas.createExclusive(f, new Path(path, s".claim-v=$v"))
+  private def claimSlot(store: LogStore, f: FileSystem, path: String,
+      v: Int): Boolean =
+    store.createExclusive(f, new Path(path, s".claim-v=$v"))
+
+  /** Version slots that are CLAIMED but have no committed `v=N` dir —
+    * in-flight (or crashed) writers that may still publish BELOW the
+    * current head. Range-refresh readers ([[MatView.refresh]]) use
+    * this to refuse folding past a slot that could later fill in. */
+  private[io] def unpublishedClaims(spark: SparkSession,
+      path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Nil
+    val published = versions(spark, path).toSet
+    // claims below the vacuum base are dead slots, not in-flight
+    // writers: their versions (published or not) are unreachable
+    val floor = vacuumBase(spark, path).getOrElse(0)
+    f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(".claim-v="))
+      .map(_.stripPrefix(".claim-v=").toInt)
+      .filter(v => v >= floor && !published.contains(v))
+      .sorted
+  }
 
   /**
    * Staged commit: CLAIM a version slot with an atomic put-if-absent
@@ -194,9 +256,10 @@ object Versioned {
       "times to concurrent writers; coordinate writers or add a metastore CAS")
     val spark = df.sparkSession
     val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
     var v = latestVersion(spark, path) + 1
     var probes = 0
-    while (!claimSlot(f, path, v)) {
+    while (!claimSlot(store, f, path, v)) {
       v += 1
       probes += 1
       require(probes < 10000,
@@ -282,7 +345,7 @@ object Versioned {
 
   /** The earliest retained version when it is a vacuum base (history
     * below it was reclaimed), else None (full log present). */
-  private def vacuumBase(spark: SparkSession, path: String): Option[Int] = {
+  private[io] def vacuumBase(spark: SparkSession, path: String): Option[Int] = {
     val vs = versions(spark, path)
     vs.headOption.filter(e => e > 1 && checkpoints(spark, path).contains(e))
   }
@@ -751,7 +814,14 @@ object Versioned {
       case None => Nil
       case Some(b) =>
         val doomed = versions(spark, path).filter(_ < b)
-        doomed.foreach(v => f.delete(new Path(s"$path/v=$v"), true))
+        doomed.foreach { v =>
+          f.delete(new Path(s"$path/v=$v"), true)
+          // the reclaimed version's claim goes with it — slots below
+          // the base are dead (commit probes upward from the head), and
+          // a lingering claim would read as an in-flight writer to the
+          // unpublished-claim guards
+          f.delete(new Path(path, s".claim-v=$v"), false)
+        }
         doomed
     }
   }

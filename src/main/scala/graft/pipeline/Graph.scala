@@ -40,6 +40,10 @@ object Graph {
    *                Default false keeps the simplified leaky recurrence
    *                (ranks sum to < 1 with sinks; fine for relative
    *                ordering, and exactly what the SQL oracle unrolls).
+   * @param tol     when > 0, stop as soon as max |r' - r| < tol (early
+   *                convergence; `iters` stays the hard cap) — one
+   *                scalar agg per round, same driver-traffic shape as
+   *                the dangling mass. 0 (default) = fixed iterations.
    * @param saltBuckets when > 1, the dst-keyed inflow aggregation runs
    *                TWO-STAGE (groupBy(dst, salt) then groupBy(dst),
    *                salt = hash(src) mod saltBuckets — the repo's
@@ -57,7 +61,20 @@ object Graph {
    * unbounded plan.
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-      dangling: Boolean = false, saltBuckets: Int = 1): DataFrame = {
+      dangling: Boolean = false, saltBuckets: Int = 1,
+      tol: Double = 0.0): DataFrame =
+    pageRankConverged(edges, iters, damping, dangling, saltBuckets, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run — the
+    * production convergence mode. When `tol` > 0 the power iteration
+    * STOPS EARLY once max |r' - r| < tol (one <=1-row scalar agg per
+    * round, the same driver-traffic pattern as the dangling mass;
+    * `iters` stays the hard cap). tol = 0 keeps the fixed-iteration
+    * mode — deterministic and oracle-friendly, both engines run the
+    * same arithmetic. */
+  private[graft] def pageRankConverged(edges: DataFrame, iters: Int,
+      damping: Double, dangling: Boolean = false, saltBuckets: Int = 1,
+      tol: Double = 0.0): (DataFrame, Int) = {
     val outMass = edges.groupBy("src").agg(sum("weight").as("wout"))
     // materialize the normalized edge list and node set once
     // (localCheckpoint, the same iterative-dataframe pattern as
@@ -79,7 +96,9 @@ object Graph {
       probs.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (i <- 1 to iters) {
+    var ran = 0
+    var converged = false
+    for (i <- 1 to iters if !converged) {
       val dMass =
         if (!dangling) 0.0
         else {
@@ -99,12 +118,28 @@ object Graph {
           .withColumn("__salt", pmod(hash(col("src")), lit(saltBuckets)))
           .groupBy("node", "__salt").agg(sum("c").as("c1"))
           .groupBy("node").agg(sum("c1").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      val next = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n + damping * dMass / n)
             + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
-      if (i % 10 == 0) ranks = ranks.localCheckpoint()
+      ran = i
+      if (tol > 0.0) {
+        // convergence test: one scalar agg joining consecutive rank
+        // vectors on the node key (<=1 row to the driver per round) —
+        // checkpoint the new vector first so the diff and the next
+        // round's inflow join both read cached blocks
+        val prev = ranks
+        ranks = next.localCheckpoint()
+        val maxDelta = ranks
+          .join(prev.withColumnRenamed("r", "__r0"), "node")
+          .agg(coalesce(max(abs(col("r") - col("__r0"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = maxDelta < tol
+      } else {
+        ranks = next
+        if (i % 10 == 0) ranks = ranks.localCheckpoint()
+      }
     }
-    ranks
+    (ranks, ran)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.FsCas
+import graft.io.LogStore
 
 /**
  * Inverted-index text search AT REST — the serve path of a corpus
@@ -44,8 +44,14 @@ import graft.io.FsCas
  *   below the newest base plus any stale claims/orphans.
  *
  * Concurrent appends are slot-safe (distinct generations via the
- * claim CAS); compact/vacuum keep the same single-maintainer contract
- * as [[graft.io.Versioned.vacuum]].
+ * claim CAS, routed through the session's pluggable
+ * [[graft.io.LogStore]]). [[compact]] and [[delete]] additionally
+ * REFUSE (fail-loud) while a lower generation slot is claimed but
+ * unpublished — an in-flight append publishing below a new base
+ * would be invisible forever (then vacuumed), and one publishing
+ * below a tombstone snapshot would be wrongly killed by it; waiting
+ * the appender out closes both races. vacuum keeps the same
+ * single-maintainer contract as [[graft.io.Versioned.vacuum]].
  */
 object Search {
 
@@ -70,13 +76,15 @@ object Search {
   private def commitsDir(path: String) = new Path(path, "commits")
 
   /** Committed generation metas, ascending by generation. */
-  private def metas(f: FileSystem, path: String): Seq[Meta] = {
+  private def metas(spark: SparkSession, f: FileSystem,
+      path: String): Seq[Meta] = {
     val dir = commitsDir(path)
     if (!f.exists(dir)) return Nil
+    val store = LogStore.forSession(spark)
     f.listStatus(dir).toSeq
       .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
       .map { s =>
-        val cols = FsCas.readSmall(f, s.getPath).trim.split("\t")
+        val cols = store.readSmall(f, s.getPath).trim.split("\t")
         Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
           cols(2).toLong, cols(3).toInt)
       }
@@ -84,24 +92,28 @@ object Search {
   }
 
   /** Metas at or above the newest base generation — the read set. */
-  private def liveMetas(f: FileSystem, path: String): Seq[Meta] = {
-    val ms = metas(f, path)
+  private def liveMetas(spark: SparkSession, f: FileSystem,
+      path: String): Seq[Meta] = {
+    val ms = metas(spark, f, path)
     require(ms.nonEmpty, s"no committed index generations at $path")
     val base = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(ms.head.gen)
     ms.filter(_.gen >= base)
   }
 
-  /** Claim the next free generation slot (atomic put-if-absent). */
-  private def claimGen(f: FileSystem, path: String): Int = {
+  /** Claim the next free generation slot (atomic put-if-absent through
+    * the session's [[LogStore]]). */
+  private[pipeline] def claimGen(spark: SparkSession, f: FileSystem,
+      path: String): Int = {
     val dir = commitsDir(path)
     f.mkdirs(dir)
+    val store = LogStore.forSession(spark)
     var g = (if (f.exists(dir)) f.listStatus(dir).toSeq
         .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
         .map(_.getPath.getName.toInt) else Nil)
       .maxOption.getOrElse(0) + 1
     var probes = 0
-    while (!FsCas.createExclusive(f, new Path(dir, s".claim-$g"))) {
+    while (!store.createExclusive(f, new Path(dir, s".claim-$g"))) {
       g += 1
       probes += 1
       require(probes < 10000, s"index at $path probed $probes claimed " +
@@ -110,10 +122,54 @@ object Search {
     g
   }
 
+  /** Generation slots claimed but not (yet) committed — in-flight or
+    * crashed writers that may still publish. */
+  private[pipeline] def unpublishedGens(spark: SparkSession, f: FileSystem,
+      path: String): Seq[Int] = {
+    val dir = commitsDir(path)
+    if (!f.exists(dir)) return Nil
+    val ms = metas(spark, f, path)
+    val committed = ms.map(_.gen).toSet
+    // claims below the newest base are dead slots (their generations
+    // were compacted away or could never land below a committed base —
+    // the in-flight guard serialized them), not in-flight writers
+    val floor = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(0)
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(".claim-"))
+      .map(_.stripPrefix(".claim-").toInt)
+      .filter(g => g >= floor && !committed.contains(g))
+      .sorted
+  }
+
+  /** Fail-loud serialization of a STRUCTURAL commit (compact's new
+    * base, delete's tombstone snapshot) against in-flight appends: a
+    * writer that claimed a LOWER generation but has not published
+    * could still land below the new base (invisible forever, then
+    * vacuumed — silent loss) or below a tombstone that would
+    * wrongly kill it. Such commits refuse to proceed while lower
+    * unpublished claims exist; the caller waits the appender out (a
+    * crashed appender's stale claim is swept by [[vacuum]]'s age
+    * guard). The aborted commit releases its own claim. */
+  private def requireNoInflightBelow(spark: SparkSession, f: FileSystem,
+      path: String, g: Int, op: String): Unit = {
+    val pending = unpublishedGens(spark, f, path).filter(_ < g)
+    if (pending.nonEmpty) {
+      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
+      sys.error(s"$op at $path: generation slots ${pending.mkString(",")} " +
+        "are claimed but unpublished; an in-flight append could publish " +
+        s"below the new generation $g and be lost — wait for it (or let " +
+        "vacuum sweep a crashed writer's stale claim) and retry")
+    }
+  }
+
   /** Publish generation `g`: the marker file is the commit point. */
-  private def publish(f: FileSystem, path: String, g: Int, kind: String,
-      nDocs: Long, sumDlen: Long, nBuckets: Int): Unit =
-    FsCas.writeAtomic(f, new Path(commitsDir(path), g.toString),
+  private[pipeline] def publish(spark: SparkSession, f: FileSystem,
+      path: String, g: Int, kind: String, nDocs: Long, sumDlen: Long,
+      nBuckets: Int): Unit =
+    LogStore.forSession(spark).writeAtomic(f,
+      new Path(commitsDir(path), g.toString),
       s"$kind\t$nDocs\t$sumDlen\t$nBuckets")
 
   /** Tokenized postings for one document shard. */
@@ -131,7 +187,18 @@ object Search {
       path: String, nBuckets: Int, kind: String): Int = {
     val spark = df.sparkSession
     val f = fsOf(spark, path)
-    val g = claimGen(f, path)
+    val g = claimGen(spark, f, path)
+    writeSegmentAt(df, idCol, textCol, path, nBuckets, kind, g)
+  }
+
+  /** Data write + publish for an ALREADY-CLAIMED generation slot —
+    * split from [[commitSegment]] so the concurrent-lifecycle spec can
+    * interleave claim and publish around a compaction. */
+  private[pipeline] def writeSegmentAt(df: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int, kind: String,
+      g: Int): Int = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, path)
     postingsOf(df, idCol, textCol)
       .withColumn("tb", bucketOf(col("tok"), nBuckets))
       .repartition(col("tb")).sortWithinPartitions("tok")
@@ -147,7 +214,7 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/docs/gen=$g")
     val st = df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
       .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen")).head()
-    publish(f, path, g, kind, st.getLong(0), st.getLong(1), nBuckets)
+    publish(spark, f, path, g, kind, st.getLong(0), st.getLong(1), nBuckets)
     g
   }
 
@@ -165,7 +232,7 @@ object Search {
 
   /** Open an existing committed index (reads nBuckets from the log). */
   def open(spark: SparkSession, path: String): Index =
-    Index(path, liveMetas(fsOf(spark, path), path).last.nBuckets)
+    Index(path, liveMetas(spark, fsOf(spark, path), path).last.nBuckets)
 
   /**
    * Incremental index ingest: fold a NEW shard of documents into an
@@ -198,7 +265,11 @@ object Search {
   def delete(ids: DataFrame, idCol: String, idx: Index): Index = {
     val spark = ids.sparkSession
     val f = fsOf(spark, idx.path)
-    val g = claimGen(f, idx.path)
+    val g = claimGen(spark, f, idx.path)
+    // an unpublished lower-gen append could land after this tombstone's
+    // stats snapshot and be wrongly killed by it — refuse until it
+    // publishes (fail-loud; see requireNoInflightBelow)
+    requireNoInflightBelow(spark, f, idx.path, g, "delete")
     val live = liveDocs(spark, f, idx.path)
     val victims = live.join(
         ids.select(col(idCol).as("id")).distinct(), "id")
@@ -207,7 +278,7 @@ object Search {
       .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
     val st = victims.agg(count(lit(1)).as("n"),
       coalesce(sum("dlen"), lit(0L)).as("s")).head()
-    publish(f, idx.path, g, KindDel, -st.getLong(0), -st.getLong(1),
+    publish(spark, f, idx.path, g, KindDel, -st.getLong(0), -st.getLong(1),
       idx.nBuckets)
     idx
   }
@@ -221,7 +292,11 @@ object Search {
    */
   def compact(spark: SparkSession, idx: Index): Index = {
     val f = fsOf(spark, idx.path)
-    val g = claimGen(f, idx.path)
+    val g = claimGen(spark, f, idx.path)
+    // an unpublished lower-gen append publishing AFTER this base commits
+    // would sit below the base — invisible to liveMetas, then vacuumed:
+    // silent loss. Refuse until the appender publishes.
+    requireNoInflightBelow(spark, f, idx.path, g, "compact")
     postings(spark, idx)
       .select("id", "tok", "tf", "dlen", "positions") // drop gen/tb
       .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
@@ -233,7 +308,7 @@ object Search {
     val st = liveDocs(spark, f, idx.path)
       .agg(count(lit(1)).as("n"), coalesce(sum("dlen"), lit(0L)).as("s"))
       .head()
-    publish(f, idx.path, g, KindBase, st.getLong(0), st.getLong(1),
+    publish(spark, f, idx.path, g, KindBase, st.getLong(0), st.getLong(1),
       idx.nBuckets)
     idx
   }
@@ -248,21 +323,24 @@ object Search {
    */
   def vacuum(spark: SparkSession, idx: Index): Seq[Int] = {
     val f = fsOf(spark, idx.path)
-    val ms = metas(f, idx.path)
+    val ms = metas(spark, f, idx.path)
     if (ms.isEmpty) return Nil
     val base = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(ms.head.gen)
     val doomed = ms.map(_.gen).filter(_ < base)
     doomed.foreach { g =>
       // marker first: a half-vacuumed generation must be invisible,
-      // never visible-but-missing-data
+      // never visible-but-missing-data. The claim goes with it — a
+      // lingering claim for a reclaimed gen would read as an in-flight
+      // writer to the compact/delete guards.
       f.delete(new Path(commitsDir(idx.path), g.toString), false)
+      f.delete(new Path(commitsDir(idx.path), s".claim-$g"), false)
       Seq("post", "docs", "tombs").foreach(d =>
         f.delete(new Path(s"${idx.path}/$d/gen=$g"), true))
     }
     // stale claims + orphan (never-committed) generation data
     val now = System.currentTimeMillis()
-    val committed = metas(f, idx.path).map(_.gen).toSet
+    val committed = metas(spark, f, idx.path).map(_.gen).toSet
     if (f.exists(commitsDir(idx.path)))
       f.listStatus(commitsDir(idx.path))
         .filter(s => s.getPath.getName.startsWith(".claim-"))
@@ -286,7 +364,7 @@ object Search {
   /** Live doc-length table: committed docs sidecars minus tombstones. */
   private def liveDocs(spark: SparkSession, f: FileSystem,
       path: String): DataFrame = {
-    val ms = liveMetas(f, path)
+    val ms = liveMetas(spark, f, path)
     val docs = spark.read.option("basePath", s"$path/docs")
       .parquet(ms.filter(_.kind != KindDel)
         .map(m => s"$path/docs/gen=${m.gen}"): _*)
@@ -299,7 +377,7 @@ object Search {
     * partition scan. */
   private def postings(spark: SparkSession, idx: Index): DataFrame = {
     val f = fsOf(spark, idx.path)
-    val ms = liveMetas(f, idx.path)
+    val ms = liveMetas(spark, f, idx.path)
     val post = spark.read.option("basePath", s"${idx.path}/post")
       .parquet(ms.filter(_.kind != KindDel)
         .map(m => s"${idx.path}/post/gen=${m.gen}"): _*)
@@ -328,7 +406,7 @@ object Search {
   /** Corpus constants (N, avgdl) from the read set's marker deltas —
     * driver-side file reads, exact integer sums, zero data scan. */
   private def stats(spark: SparkSession, idx: Index): (Long, Long) = {
-    val ms = liveMetas(fsOf(spark, idx.path), idx.path)
+    val ms = liveMetas(spark, fsOf(spark, idx.path), idx.path)
     (ms.map(_.nDocs).sum, ms.map(_.sumDlen).sum)
   }
 

@@ -146,6 +146,117 @@ class MatViewSpec extends SparkSpec {
     assert(!rows().contains("b")) // b emptied by the migration
   }
 
+  test("min/max APPEND-ONLY refresh takes the monotone fast path (no " +
+      "source resolve); upserts and deletes fall back to scoped recompute") {
+    val (src, view) = fresh("mmfast")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("k", "grp", "x"),
+      src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view,
+      minMaxCols = Seq("x"))
+    def rows() = MatView.read(spark, h).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pure inserts: new keys into an existing group and a brand-new one
+    Versioned.append(Seq((3L, "a", 99L), (4L, "c", 1L)).toDF("k", "grp", "x"),
+      src)
+    val (_, fast) = MatView.refreshDetailed(spark, h)
+    assert(fast, "insert-only delta must fold extremes without a resolve")
+    assert(rows() == Map("a" -> ((2L, 109L, 10L, 99L)),
+      "b" -> ((1L, 5L, 5L, 5L)), "c" -> ((1L, 1L, 1L, 1L))))
+    // an UPSERT (prior state exists) must fall back: the old max 99
+    // leaves and deltas can't know the survivor
+    Versioned.append(Seq((3L, "a", 50L)).toDF("k", "grp", "x"), src)
+    val (_, fast2) = MatView.refreshDetailed(spark, h)
+    assert(!fast2, "an upsert must take the scoped recompute")
+    assert(rows()("a") == ((2L, 60L, 10L, 50L)))
+    // a DELETE must fall back likewise
+    Versioned.delete(Seq(1L).toDF("k"), src)
+    val (_, fast3) = MatView.refreshDetailed(spark, h)
+    assert(!fast3, "a delete must take the scoped recompute")
+    assert(rows()("a") == ((1L, 50L, 50L, 50L)))
+    // back to append-only: fast again, extremes widen both ways
+    Versioned.append(Seq((5L, "a", 7L), (6L, "a", 200L)).toDF("k", "grp", "x"),
+      src)
+    val (_, fast4) = MatView.refreshDetailed(spark, h)
+    assert(fast4)
+    assert(rows()("a") == ((3L, 257L, 7L, 200L)))
+  }
+
+  test("refresh fails loudly when the source was vacuumed past the " +
+      "view; a FRESH view bootstraps from the vacuum-base checkpoint") {
+    val (src, view) = fresh("vac")
+    Versioned.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "grp", "x"),
+      src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    // v2 append, v3 checkpoint, v4 append; vacuum reclaims v1-v2
+    Versioned.append(Seq((3L, "a", 3L)).toDF("k", "grp", "x"), src)
+    Versioned.compact(spark, src, "k")
+    Versioned.append(Seq((4L, "c", 4L)).toDF("k", "grp", "x"), src)
+    assert(Versioned.vacuum(spark, src, 1).nonEmpty)
+    // stale view (refreshed=1 < base): the reclaimed deltas are gone —
+    // a silent partial fold would be permanent drift, so it must THROW
+    assertThrows[IllegalArgumentException](MatView.refresh(spark, h))
+    // a fresh view on the same vacuumed source: the base checkpoint
+    // stands in for the reclaimed prefix
+    val view2 = view + "-rebuilt"
+    Versioned.drop(spark, view2)
+    val h2 = MatView.init(spark, src, "k", "grp", Seq("x"), view2)
+    assert(viewRows(h2) == fullRecompute(src))
+    assert(viewRows(h2) == Map("a" -> ((2L, 4L)), "b" -> ((1L, 2L)),
+      "c" -> ((1L, 4L))))
+  }
+
+  test("refresh refuses while a source version slot at or below its " +
+      "head is claimed but unpublished (in-flight writer)") {
+    val (src, view) = fresh("claims")
+    Versioned.append(Seq((1L, "a", 1L)).toDF("k", "grp", "x"), src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight writer holds slot 2; a faster writer publishes v3
+    f.create(new org.apache.hadoop.fs.Path(src, ".claim-v=2"), true).close()
+    Versioned.append(Seq((3L, "b", 3L)).toDF("k", "grp", "x"), src)
+    assert(Versioned.latestVersion(spark, src) == 3)
+    // folding (1, 3] now would skip slot 2's late publish forever
+    assertThrows[IllegalArgumentException](MatView.refresh(spark, h))
+    // the writer crashed; its claim is swept (vacuum's age guard,
+    // simulated) — refresh then proceeds and matches the recompute
+    f.delete(new org.apache.hadoop.fs.Path(src, ".claim-v=2"), false)
+    MatView.refresh(spark, h)
+    assert(viewRows(h) == fullRecompute(src))
+  }
+
+  test("two RACING maintainers: exactly one view version commits, the " +
+      "loser adopts it — the atomic batch claim prevents double-folds") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val (src, view) = fresh("race")
+    Versioned.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "grp", "x"),
+      src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    Versioned.append(Seq((3L, "a", 10L), (2L, "a", 5L)).toDF("k", "grp", "x"),
+      src)
+    val before = Versioned.latestVersion(spark, view)
+    val rs = Await.result(Future.sequence(
+      (1 to 2).map(_ => Future(MatView.refresh(spark, h)))), 2.minutes)
+    assert(rs.forall(_ == Versioned.latestVersion(spark, src)))
+    assert(Versioned.latestVersion(spark, view) == before + 1,
+      "exactly one view commit may land for one source head")
+    assert(viewRows(h) == fullRecompute(src))
+    // key 2 migrated b -> a in the delta: a holds all three keys
+    assert(viewRows(h) == Map("a" -> ((3L, 16L))))
+  }
+
+  test("broadcast guard estimates BYTES, not rows: wide string keys " +
+      "overflow the threshold at tiny row counts; narrow ones don't") {
+    val wide = (1 to 500).map(i => ("k" * 200000) + i).toDF("k")
+    assert(MatView.keyBytes(wide, "k") > MatView.BroadcastBytes,
+      "500 x 200kB keys are ~100 MB — far past a safe broadcast")
+    val narrow = (1 to 500).map(_.toLong).toDF("k")
+    assert(MatView.keyBytes(narrow, "k") < (1L << 20))
+  }
+
   test("MERGE commits in the delta range fail loudly") {
     val (src, view) = fresh("merge")
     Versioned.append(Seq((1L, "a", 3L)).toDF("k", "grp", "x"), src)

@@ -117,4 +117,36 @@ class GraphSpec extends SparkSpec {
     for ((k, v) <- plain)
       assert(math.abs(salted(k) - v) < 1e-9, s"node $k: ${salted(k)} vs $v")
   }
+
+  test("pageRank tol: early stop on a converged graph, ranks identical " +
+      "to the fixed-iteration run at the stopping round") {
+    import spark.implicits._
+    // the symmetric two-node cycle is its own fixed point: one round
+    // should already satisfy any tolerance
+    val cyc = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val (_, ranCyc) = Graph.pageRankConverged(cyc, iters = 50,
+      damping = 0.85, tol = 1e-9)
+    assert(ranCyc == 1, s"fixed point must stop after round 1, ran $ranCyc")
+    // a non-trivial graph: converges well before the 100-round cap
+    val edges = Seq(
+      ("hub", "x", 3.0), ("hub", "y", 1.0),
+      ("x", "hub", 1.0), ("y", "hub", 1.0),
+      ("y", "x", 1.0)).toDF("src", "dst", "weight")
+    val (ranksDf, ran) = Graph.pageRankConverged(edges, iters = 100,
+      damping = 0.85, tol = 1e-10)
+    assert(ran < 100, s"must converge early, ran all $ran rounds")
+    val got = ranksDf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // identical to the plain fixed-iteration run over the same rounds
+    val fixed = Graph.pageRank(edges, iters = ran, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == fixed.keySet)
+    for ((k, v) <- fixed)
+      assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+    // the cap still binds when the tolerance is unreachable
+    val (_, ranCap) = Graph.pageRankConverged(edges, iters = 3,
+      damping = 0.85, tol = 0.0)
+    assert(ranCap == 3)
+  }
 }

@@ -268,6 +268,50 @@ class SearchSpec extends SparkSpec {
     assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
   }
 
+  test("compact refuses while an append is in flight; the late-published " +
+      "append survives the next compact and vacuum reclaims only dead gens") {
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-inflight-spec"))
+    val root = "target/tmp/search-inflight-spec"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vidx = Search.writeIndex(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", root)
+    // a SLOW appender claims its generation but has not published yet...
+    val g2 = Search.claimGen(spark, f, root)
+    // ...while a faster appender lands ABOVE it (slot-safe)
+    Search.append(docs.filter(col("doc_id") === 4), "doc_id", "text", vidx)
+    // compact must refuse: a base committed now would sit ABOVE g2, and
+    // g2's later publish would be invisible forever, then vacuumed
+    val e = intercept[RuntimeException](Search.compact(spark, vidx))
+    assert(e.getMessage.contains("claimed but unpublished"))
+    // the aborted compact released its own claim — only g2 is pending
+    assert(Search.unpublishedGens(spark, f, root) == Seq(g2))
+    // delete has the same race (its stats snapshot + tombstone would
+    // wrongly kill g2's late docs) and must refuse likewise
+    import spark.implicits._
+    val e2 = intercept[RuntimeException](
+      Search.delete(Seq(1L).toDF("doc_id"), "doc_id", vidx))
+    assert(e2.getMessage.contains("claimed but unpublished"))
+    // the slow appender finishes: marker published, docs visible
+    Search.writeSegmentAt(docs.filter(col("doc_id") === 3),
+      "doc_id", "text", root, vidx.nBuckets, "seg", g2)
+    assert(Search.searchAll(spark, vidx, Seq("delta"))
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    // with nothing in flight, compact + vacuum proceed; answers identical
+    val terms = Seq("alpha", "beta", "gamma")
+    val before = Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet
+    Search.compact(spark, vidx)
+    Search.vacuum(spark, vidx)
+    assert(Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet == before)
+    assert(Search.unpublishedGens(spark, f, root).isEmpty)
+    def gens(d: String) = Option(new java.io.File(s"$root/$d").list())
+      .map(_.count(_.startsWith("gen="))).getOrElse(0)
+    assert(gens("post") == 1)
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

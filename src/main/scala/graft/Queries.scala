@@ -1351,6 +1351,48 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The [[tableMatView]] lifecycle with VIEW SELF-MAINTENANCE in the
+    * middle: after the first two refreshes the view's own history is
+    * checkpoint-compacted and vacuumed ([[graft.io.MatView.maintainView]]
+    * — the carried `_BATCH_` marker preserves the refresh lineage), then
+    * the remaining source commits fold on top. A lineage loss would
+    * double-fold the first deltas; the oracle (the same resolved-state
+    * group-by as [[tableMatViewSql]]) catches exactly that. */
+  def tableMatViewCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{MatView, Versioned}
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/mvq4-src-$tagDir"
+    val view = s"target/tmp/mvq4-view-$tagDir"
+    val h = MatView.Handle(view, src, "doc_id", "lang", Seq("n_chars"))
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, view)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars")), src)
+      MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h)
+      MatView.maintainView(spark, h) // compact + vacuum the view itself
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), src)
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("xx").as("lang"),
+          col("doc_id").cast("long").as("n_chars")), src)
+      MatView.refresh(spark, h)
+      ()
+    })
+    MatView.read(spark, h).orderBy("lang")
+  }
+
+  /** Same final state as [[tableMatViewSql]] — maintenance must be
+    * invisible to the view's contents. */
+  val tableMatViewCompactSql: String = tableMatViewSql
+
   /** Time travel: the resolved state AS OF each version — live doc
     * count and total chars per version (upserts shift totals, deletes
     * shrink the count). */
@@ -1636,6 +1678,7 @@ object Queries {
     "q_matview" -> tableMatView _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
+    "q_matview_compact" -> tableMatViewCompact _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_merge" -> tableMerge _,
@@ -1685,6 +1728,7 @@ object Queries {
     "q_matview" -> tableMatViewSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_matview_stream" -> tableMatViewStreamSql,
+    "q_matview_compact" -> tableMatViewCompactSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,

@@ -74,6 +74,19 @@ object Stress {
 
   private def selectorStress(spark: SparkSession, nRows: Long, nf: Int,
       k: Int, cpus: Int): Unit = {
+    // max per-task execution memory across the run (the 3-D histogram
+    // working set is per-task; this is the number that must stay under
+    // an executor's task share at any width)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      })
     // deterministic byte features from the row id (pure codegen, no data
     // generation on the driver); label = 3-way hash class
     val feats = (0 until nf).map { j =>
@@ -97,6 +110,7 @@ object Stress {
       s""""transpose_stats_sec":$tTranspose,"greedy_mrmr_sec":$tSelect,""" +
       s""""per_round_sec":${tSelect / math.max(k, 1)},""" +
       s""""driver_rows_per_round":$nf,""" +
+      s""""peak_task_memory_bytes":${peakTaskMem.get()},""" +
       s""""selected":[${selected.map(_._1).mkString(",")}]}""")
     colData.unpersist()
     spark.stop()

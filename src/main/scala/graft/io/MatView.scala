@@ -307,6 +307,24 @@ object MatView {
     (to, fastMm)
   }
 
+  /** Bound the VIEW's own history: every refresh adds a view version,
+    * so over months a hot view's version listing and resolve fan-in
+    * grow without bound. This checkpoint-compacts the view and vacuums
+    * versions beyond `horizon` — like any Versioned table — but the
+    * checkpoint CARRIES the newest refresh marker forward: a plain
+    * compact + vacuum would erase the `_BATCH_` markers with the old
+    * versions, [[refreshedVersion]] would report 0, and the next
+    * refresh would re-fold already-applied source deltas into the view
+    * (silent double-count). Same single-maintainer contract as
+    * [[Versioned.vacuum]]; must not race a concurrent [[refresh]]. */
+  def maintainView(spark: SparkSession, h: Handle,
+      horizon: Int = 0): Seq[Int] = {
+    val rv = refreshedVersion(spark, h)
+    if (rv == 0) return Nil
+    Versioned.compactWithMarker(spark, h.viewPath, GroupCol, s"_BATCH_$rv")
+    Versioned.vacuum(spark, h.viewPath, horizon)
+  }
+
   /** The maintained view: (groupCol, n_rows, sum_<c>...) — always equal
     * to the full GROUP BY over the source's resolved current state as
     * of the last refresh. */

@@ -663,6 +663,17 @@ object Versioned {
     commit(resolved, path, checkpoint = true)
   }
 
+  /** [[compact]] carrying a batch-idempotency marker into the
+    * checkpoint version — what lets a maintained view's compaction
+    * survive vacuum without erasing its refresh lineage (the marker
+    * that says "source batches up to N are already folded"). */
+  private[io] def compactWithMarker(spark: SparkSession, path: String,
+      keyCol: String, marker: String): Int = {
+    val resolved = current(spark, path, keyCol)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
+    commit(resolved, path, checkpoint = true, batchMarker = Some(marker))
+  }
+
   /** Morton (interleaved-bit) clustering key: each column linearly
     * scaled to 8 bits over its (lo, hi), bits interleaved — nearby
     * rows agree on the high bits of EVERY column, so a range-sorted

@@ -257,6 +257,37 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.keyBytes(narrow, "k") < (1L << 20))
   }
 
+  test("maintainView bounds the view's own history; refresh lineage " +
+      "survives the vacuum (no double-fold afterwards)") {
+    val (src, view) = fresh("maint")
+    Versioned.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "grp", "x"),
+      src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    // four more refreshes: the view accretes a version per fold
+    (1 to 4).foreach { i =>
+      Versioned.append(Seq((10L + i, "a", i.toLong)).toDF("k", "grp", "x"),
+        src)
+      MatView.refresh(spark, h)
+    }
+    val rv = MatView.refreshedVersion(spark, h)
+    assert(Versioned.versions(spark, view).length == 5)
+    MatView.maintainView(spark, h)
+    // one checkpoint remains; the carried marker preserves lineage
+    assert(Versioned.versions(spark, view).length == 1)
+    assert(MatView.refreshedVersion(spark, h) == rv,
+      "vacuum must not erase the refresh lineage")
+    assert(viewRows(h) == fullRecompute(src))
+    // no new source versions -> refresh no-ops (a lineage loss here
+    // would re-fold everything and double-count)
+    assert(MatView.refresh(spark, h) == rv)
+    assert(viewRows(h) == fullRecompute(src))
+    // and fresh deltas still fold exactly once
+    Versioned.append(Seq((99L, "c", 9L)).toDF("k", "grp", "x"), src)
+    MatView.refresh(spark, h)
+    assert(viewRows(h) == fullRecompute(src))
+    assert(viewRows(h)("c") == ((1L, 9L)))
+  }
+
   test("MERGE commits in the delta range fail loudly") {
     val (src, view) = fresh("merge")
     Versioned.append(Seq((1L, "a", 3L)).toDF("k", "grp", "x"), src)

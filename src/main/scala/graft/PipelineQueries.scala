@@ -1410,6 +1410,35 @@ object PipelineQueries {
        |FROM probe JOIN cm ON probe.hrow = cm.hrow AND probe.pos = cm.pos
        |GROUP BY 1, 2 ORDER BY n DESC, tok""".stripMargin
 
+  /** Mergeable quantile sketch ([[Sketches.quantileBuckets]], HDR-style
+    * log2-linear buckets, rel. error <= 2^-5): per-language p50/p95/p99
+    * of document length, built as TWO SHARD sketches folded through
+    * [[Sketches.quantileMerge]] — the at-rest incremental path IS the
+    * gated path (the fold is exact, so the oracle builds one sketch
+    * over everything and must hash-match). All bucket and rank algebra
+    * is integer/string ops (length(bin(x)), power-of-two division,
+    * cross-multiplied ranks), so both engines decide every boundary
+    * identically — the same no-libm discipline as the HLL rho. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val s1 = Sketches.quantileBuckets(
+      docs.filter(col("doc_id") % 2 === 0), "lang", "n_chars")
+    val s2 = Sketches.quantileBuckets(
+      docs.filter(col("doc_id") % 2 =!= 0), "lang", "n_chars")
+    Sketches.quantileEstimate(Sketches.quantileMerge(s1, s2),
+        Seq(50, 95, 99))
+      .select(col("g").as("lang"), col("p"),
+        col("est_value").as("est_n_chars"))
+      .orderBy("lang", "p")
+  }
+
+  val quantileSketchSql: String =
+    s"""WITH ${Sketches.quantileSketchSql(
+         "documents", "lang", "n_chars", Seq(50, 95, 99))}
+       |SELECT g AS lang, p, est_value AS est_n_chars
+       |FROM qest ORDER BY 1, 2""".stripMargin
+
   /** Bloom-filter semi-join pre-filter ([[graft.pipeline.Bloom]]):
     * the eval vocabulary (docs < 50) builds an 8192-bit filter; the
     * train side's postings are pre-filtered by `prefilter` at the
@@ -2730,6 +2759,7 @@ object PipelineQueries {
     "q_search_near" -> searchNear _,
     "q_search_facets" -> searchFacets _,
     "q_heavy_hitters" -> heavyHitters _,
+    "q_quantile_sketch" -> quantileSketch _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2798,6 +2828,7 @@ object PipelineQueries {
     "q_search_near" -> searchNearSql,
     "q_search_facets" -> searchFacetsSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

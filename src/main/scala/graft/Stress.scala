@@ -462,11 +462,32 @@ object Stress {
     val tMerge = (System.nanoTime() - t2) / 1e9
     require(drift == 0, s"shard-fold register drift: $drift rows")
 
+    // quantile sketch: per-group token-length-ish value distribution
+    // (value = id-derived long, full exponent spread); build + p50/p95/
+    // p99 read, then the exact shard-fold check like HLL's
+    val vals = docs.select(col("g"), (col("id") * col("id") % 9999991L).as("x"))
+    val t3 = System.nanoTime()
+    val qs = Sketches.quantileBuckets(vals, "g", "x").persist()
+    val nQBuckets = qs.count()
+    val nQ = Sketches.quantileEstimate(qs, Seq(50, 95, 99)).count()
+    val tQs = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val qMerged = Sketches.quantileMerge(
+      Sketches.quantileBuckets(vals.filter(col("g") < "4"), "g", "x"),
+      Sketches.quantileBuckets(vals.filter(col("g") >= "4"), "g", "x"))
+    val qDrift = qMerged.exceptAll(qs).count() + qs.exceptAll(qMerged).count()
+    val tQMerge = (System.nanoTime() - t4) / 1e9
+    qs.unpersist(blocking = false)
+    require(qDrift == 0, s"quantile shard-fold drift: $qDrift rows")
+
     println(s"""{"metric":"stress_sketch","docs":$nDocs,""" +
       s""""hll_sec":$tHll,"hll_groups":$nHll,""" +
       s""""cm_sec":$tCm,"cm_build_sec":$tCmBuild,"cm_probe_sec":$tCmProbe,""" +
       s""""cm_cells":$nCells,"cm_heavy_confirmed":$nCm,""" +
-      s""""merge_check_sec":$tMerge,"register_drift":$drift}""")
+      s""""merge_check_sec":$tMerge,"register_drift":$drift,""" +
+      s""""quantile_sec":$tQs,"quantile_buckets":$nQBuckets,""" +
+      s""""quantile_rows":$nQ,"quantile_merge_sec":$tQMerge,""" +
+      s""""quantile_drift":$qDrift}""")
     spark.stop()
   }
 

@@ -177,4 +177,130 @@ object Sketches {
       .join(counters, Seq("hrow", "pos"))
       .groupBy(candidates.columns.map(col): _*)
       .agg(min("c").as("est_n"))
+
+  // ---- mergeable quantile sketch (HDR/log2-linear buckets) ----
+
+  /** Sub-bucket bits of the quantile sketch: relative error <= 2^-k
+    * (k = 5 -> 3.1%), ~2 + (63-k) * 2^k buckets max per group (~1.9k
+    * rows — constant regardless of corpus size). */
+  val QSubBits: Int = 5
+
+  /**
+   * Quantile-sketch bucket index for NON-NEGATIVE integer values
+   * (caller contract; values < 2^53 so the power-of-two scaling stays
+   * exact in DOUBLE): HdrHistogram's log2-linear scheme — values below
+   * 2^(k+1) are their own bucket (exact), above that the bucket is the
+   * value's floor(log2) exponent plus its top k mantissa bits.
+   * DETERMINISTIC ACROSS ENGINES by construction: the exponent is
+   * `length(bin(x)) - 1` (a string op, exact — never floor(log2(x))
+   * whose libm rounding differs at boundaries) and the dynamic right
+   * shift is `floor(x / 2^s)`, exact for power-of-two divisors.
+   */
+  private def qsBucket(x: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    val e = length(bin(x)).cast("long") - 1
+    val s = e - k
+    when(x < (1L << (k + 1)), x)
+      .otherwise(s * (1L << k)
+        + floor(x.cast("double") / pow(lit(2.0), s)).cast("long"))
+  }
+
+  /** Upper bound of bucket `idx` — the quantile answer is a bucket's
+    * top value, so estimates are >= the true quantile and within
+    * relative error 2^-k of it. */
+  private def qsUpper(idx: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    val s = shiftright(idx, k) - 1 // sub-bucket count recovers the shift
+    when(idx < (1L << (k + 1)), idx)
+      .otherwise((idx - s * (1L << k)) * pow(lit(2.0), s).cast("long")
+        + pow(lit(2.0), s).cast("long") - 1)
+  }
+
+  /**
+   * The quantile sketch STATE: (g, idx, cnt) bucket rows — at most
+   * ~2k rows per group for 64-bit values, map-side combinable like
+   * every sketch here. Mergeable EXACTLY: shard states union +
+   * re-sum into the combined corpus's state (sum is associative), so
+   * incremental ingest folds each shard's bucket rows and never
+   * re-scans the corpus — the same at-rest contract as
+   * [[hllRegisters]].
+   */
+  def quantileBuckets(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = QSubBits): DataFrame =
+    df.select(col(groupCol).as("g"),
+        qsBucket(col(valueCol).cast("long"), k).as("idx"))
+      .groupBy("g", "idx").agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard bucket states (union + per-bucket sum). */
+  def quantileMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy("g", "idx").agg(sum("cnt").as("cnt"))
+
+  /**
+   * Percentile estimates from a bucket state: for each group and each
+   * requested INTEGER percentile p, the upper bound of the first
+   * bucket whose cumulative count reaches rank ceil(n*p/100). The
+   * rank test is cross-multiplied into pure integer comparisons
+   * (cum >= ceil(np/100) <=> 100*cum >= np) — no division anywhere,
+   * so Spark and the oracle decide every boundary identically (a
+   * float q*n product could straddle an ulp across engines). One
+   * partitioned window over the ~2k-row-per-group state; never a
+   * corpus-sized sort.
+   */
+  def quantileEstimate(sketch: DataFrame, percentiles: Seq[Int],
+      k: Int = QSubBits): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100]: $percentiles")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("idx")
+    sketch
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .crossJoin(broadcast(percentiles.toDF("p")))
+      .filter(col("cum") * 100 >= col("n") * col("p") &&
+        (col("cum") - col("cnt")) * 100 < col("n") * col("p"))
+      .select(col("g"), col("p"), qsUpper(col("idx"), k).as("est_value"))
+  }
+
+  /** The full sketch-and-estimate recurrence as oracle SQL CTEs over
+    * rows (g, val >= 0) — the identical integer bucket/rank algebra,
+    * so estimates hash-match across engines. */
+  def quantileSketchSql(fromClause: String, gCol: String, vCol: String,
+      percentiles: Seq[Int], k: Int = QSubBits): String = {
+    val twoK = 1L << k
+    val exact = 1L << (k + 1)
+    val ps = percentiles.mkString(", ")
+    s"""qraw AS (
+       |  SELECT $gCol AS g, CAST($vCol AS BIGINT) AS x FROM $fromClause),
+       |qidx AS (
+       |  SELECT g,
+       |    CASE WHEN x < $exact THEN x
+       |      ELSE (length(bin(x)) - 1 - $k) * $twoK
+       |        + CAST(FLOOR(x / POW(2.0, length(bin(x)) - 1 - $k)) AS BIGINT)
+       |    END AS idx
+       |  FROM qraw),
+       |qbuck AS (SELECT g, idx, COUNT(*) AS cnt FROM qidx GROUP BY 1, 2),
+       |qcum AS (
+       |  SELECT g, idx, cnt,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY idx) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM qbuck),
+       |qhit AS (
+       |  SELECT g, p, idx FROM qcum
+       |  CROSS JOIN (SELECT UNNEST([$ps]) AS p)
+       |  WHERE cum * 100 >= n * p
+       |    AND (cum - cnt) * 100 < n * p),
+       |qest AS (
+       |  SELECT g, p,
+       |    CASE WHEN idx < $exact THEN idx
+       |      ELSE (idx - ((idx // $twoK) - 1) * $twoK)
+       |        * CAST(POW(2.0, (idx // $twoK) - 1) AS BIGINT)
+       |        + CAST(POW(2.0, (idx // $twoK) - 1) AS BIGINT) - 1
+       |    END AS est_value
+       |  FROM qhit)""".stripMargin
+  }
 }

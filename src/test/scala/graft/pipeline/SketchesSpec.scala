@@ -124,4 +124,79 @@ class SketchesSpec extends SparkSpec {
     // rows avoiding all collisions is overwhelmingly likely
     assert(est <= 55L, s"est $est")
   }
+
+  test("quantile sketch: estimates are upper bounds within 2^-5 relative " +
+      "error of the exact percentile; exact below 2^(k+1)") {
+    // two groups, quadratic spread — buckets span the full exponent range
+    val rows = (1 to 20000).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i.toLong * i) % 1000000))
+    val df = rows.toDF("g", "x")
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileBuckets(df, "g", "x"), Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq("a", "b"); p <- Seq(50, 90, 99)) {
+      val vals = rows.filter(_._1 == g).map(_._2).sorted
+      val rank = (vals.length * p + 99) / 100 // ceil(n*p/100)
+      val exact = vals(rank - 1)
+      val e = est((g, p))
+      assert(e >= exact, s"$g p$p: est $e below exact $exact")
+      assert(e - exact <= exact / 32 + 1,
+        s"$g p$p: est $e breaches the 2^-5 bound vs $exact")
+    }
+    // values below 2^(k+1) = 64 are their own bucket: estimates EXACT
+    val small = (1 to 1000).map(i => ("s", (i % 50).toLong)).toDF("g", "x")
+    val estS = Sketches.quantileEstimate(
+        Sketches.quantileBuckets(small, "g", "x"), Seq(50, 99))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val sVals = (1 to 1000).map(i => (i % 50).toLong).sorted
+    assert(estS(50) == sVals((1000 * 50 + 99) / 100 - 1))
+    assert(estS(99) == sVals((1000 * 99 + 99) / 100 - 1))
+  }
+
+  test("quantile sketch: shard folds are EXACT — merged state and " +
+      "estimates row-identical to the single-pass sketch") {
+    val df = spark.range(30000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * col("id") % 777777).as("x"))
+    val full = Sketches.quantileBuckets(df, "g", "x")
+    val merged = Sketches.quantileMerge(
+      Sketches.quantileBuckets(df.filter(col("id") % 2 === 0), "g", "x"),
+      Sketches.quantileBuckets(df.filter(col("id") % 2 =!= 0), "g", "x"))
+    assert(full.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(full).count() == 0)
+    val a = Sketches.quantileEstimate(full, Seq(25, 50, 75, 95))
+      .collect().map(_.toSeq).toSet
+    val b = Sketches.quantileEstimate(merged, Seq(25, 50, 75, 95))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("quantile sketch as a STREAMING aggregate: bucket state after " +
+      "the last micro-batch equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 5000).map(i => ("g" + (i % 2), (i.toLong * 7) % 90000))
+    val stream = MemoryStream[(String, Long)]
+    // same quantileBuckets code on the unified Dataset API: a bounded
+    // (~2k buckets per group) keyspace groupBy is a complete-mode
+    // streaming agg with constant state, like the count-min table
+    val query = Sketches.quantileBuckets(
+        stream.toDS().toDF("g", "x"), "g", "x")
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      vals.grouped(1234).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("qs_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.quantileBuckets(vals.toDF("g", "x"), "g", "x")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
 }

@@ -388,6 +388,36 @@ object StreamingQueries {
       |SELECT day, user_id, n, rk FROM r WHERE rk <= 3
       |ORDER BY day, rk""".stripMargin
 
+  /** Daily distinct-user estimate via the mergeable HLL register
+    * sketch ([[graft.pipeline.Sketches.hllDistinct]]) beside the exact
+    * count — the per-day cardinality profile an event pipeline
+    * publishes at CONSTANT state (256 register rows per day, no
+    * pre-distinct shuffle; the same register table streams under a
+    * watermarked event-time window, spec-pinned in SketchesSpec).
+    * user_id is string-rendered before hashing so both engines md5
+    * identical bytes. */
+  def distinctDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("uid"))
+    val exact = ev.distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_distinct"))
+    graft.pipeline.Sketches.hllDistinct(ev, "day", "uid")
+      .withColumnRenamed("g", "day")
+      .join(exact, "day")
+      .select("day", "n_distinct", "est_distinct")
+      .orderBy("day")
+  }
+
+  val distinctDailySql: String =
+    s"""WITH t0 AS (SELECT CAST(ts AS DATE) AS day,
+       |              CAST(user_id AS VARCHAR) AS uid FROM events),
+       |${graft.pipeline.Sketches.hllDistinctSql("t0", "day", "uid")},
+       |x AS (SELECT day, COUNT(DISTINCT uid) AS n_distinct
+       |      FROM t0 GROUP BY 1)
+       |SELECT hll.g AS day, x.n_distinct, hll.est_distinct
+       |FROM hll JOIN x ON hll.g = x.day ORDER BY 1""".stripMargin
+
   /** Gap-filled per-user daily series with forward fill — the resample
     * step a time-series feature pipeline runs before training: every
     * user's [first, last] active-day span is densified (`sequence` +
@@ -602,6 +632,7 @@ object StreamingQueries {
     "q_json_extract" -> jsonExtract _,
     "q_transitions" -> transitions _,
     "q_topk_daily" -> topkDaily _,
+    "q_distinct_daily" -> distinctDaily _,
     "q_gapfill" -> gapfill _,
     "q_pagerank" -> pageRankEvents _,
     "q_pagerank_dangling" -> pageRankDangling _,
@@ -622,6 +653,7 @@ object StreamingQueries {
     "q_json_extract" -> jsonExtractSql,
     "q_transitions" -> transitionsSql,
     "q_topk_daily" -> topkDailySql,
+    "q_distinct_daily" -> distinctDailySql,
     "q_gapfill" -> gapfillSql,
     "q_pagerank" -> pageRankEventsSql,
     "q_pagerank_dangling" -> pageRankDanglingSql,

@@ -199,4 +199,46 @@ class SketchesSpec extends SparkSpec {
       assert(streamed == batch)
     } finally query.stop()
   }
+
+  test("windowed HLL under a watermark: closed event-time windows emit " +
+      "register rows identical to the batch sketch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new Timestamp(3600000L + min * 60000L)
+    // two 1-hour windows of activity + a far-future flush event
+    val eventsW1 = (0 until 300).map(i => (t(i % 50), s"u${i % 40}"))
+    val eventsW2 = (0 until 300).map(i => (t(60 + i % 50), s"v${i % 70}"))
+    val flush = Seq((t(600), "zz"))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(
+        df.select(window(col("ts"), "1 hour").as("g"),
+          col("uid").as("v")), "g", "v")
+    val stream = MemoryStream[(Timestamp, String)]
+    val query = windowed(stream.toDS().toDF("ts", "uid")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("hll_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (eventsW1 ++ eventsW2).grouped(113).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      stream.addData(flush) // watermark passes both real windows
+      query.processAllAvailable()
+      val streamed = spark.table("hll_win")
+        .select(col("g.start").cast("long").as("w"), col("bucket"),
+          col("rmax"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = windowed((eventsW1 ++ eventsW2).toDF("ts", "uid"))
+        .select(col("g.start").cast("long").as("w"), col("bucket"),
+          col("rmax"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size} register rows")
+    } finally query.stop()
+  }
 }

@@ -1439,6 +1439,93 @@ object PipelineQueries {
        |SELECT g AS lang, p, est_value AS est_n_chars
        |FROM qest ORDER BY 1, 2""".stripMargin
 
+  /** Theta-style KMV set algebra ([[Sketches.kmvSetOps]], k = 64):
+    * pairwise distinct-token overlap between languages — estimated
+    * |A ∪ B|, |A ∩ B| and Jaccard ppm from the two bottom-k sketches
+    * ALONE, beside the exact counts for error exposure. This is the
+    * sketch-only source-similarity / decontamination profile: at
+    * 100 TB the exact distinct-join is unpayable, while the sketch
+    * algebra touches <= 2k hash rows per language pair. Every hash is
+    * md5-derived and every boundary (theta, the < theta sample cut,
+    * the ppm cross-multiplication) is integer algebra, so the oracle
+    * recomputes the ESTIMATES bit for bit. */
+  def distinctOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val dt = toks.distinct().localCheckpoint()
+    val sk = Sketches.kmvSketch(toks, "lang", "tok", k).localCheckpoint()
+    val langs = sk.select(col("g")).distinct()
+    val pairs = langs.select(col("g").as("la"))
+      .join(langs.select(col("g").as("lb")), col("la") < col("lb"))
+    // pair-keyed side sketches: A = la's hashes, B = lb's hashes
+    def side(keyCol: String) = pairs
+      .join(sk, col("g") === col(keyCol))
+      .select(concat(col("la"), lit("|"), col("lb")).as("g"), col("h"))
+    val ops = Sketches.kmvSetOps(side("la"), side("lb"), k)
+      .select(split(col("g"), "\\|").getItem(0).as("la"),
+        split(col("g"), "\\|").getItem(1).as("lb"),
+        col("est_union"), col("est_inter"), col("jacc_ppm"))
+    // exact overlap rides along to expose the sketch error (test-scale
+    // only — production runs the sketch algebra alone)
+    val nl = dt.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val inter = dt.as("x")
+      .join(dt.as("y"),
+        col("x.tok") === col("y.tok") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("la"), col("y.lang").as("lb"))
+      .agg(count(lit(1)).as("ni"))
+    ops
+      .join(nl.select(col("lang").as("la"), col("nd").as("nda")), "la")
+      .join(nl.select(col("lang").as("lb"), col("nd").as("ndb")), "lb")
+      .join(inter, Seq("la", "lb"), "left_outer")
+      .select(col("la"), col("lb"),
+        (col("nda") + col("ndb") - coalesce(col("ni"), lit(0L)))
+          .as("n_union"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        col("est_union"), col("est_inter"), col("jacc_ppm"))
+      .orderBy("la", "lb")
+  }
+
+  val distinctOverlapSql: String =
+    """WITH t0 AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |t AS (SELECT DISTINCT lang, tok FROM t0),
+      |h0 AS (SELECT DISTINCT lang AS g,
+      |         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+      |       FROM t),
+      |r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h)
+      |        AS rk FROM h0),
+      |sk AS (SELECT g, h FROM r WHERE rk <= 64),
+      |th AS (SELECT g, CASE WHEN COUNT(*) < 64 THEN 281474976710656
+      |         ELSE MAX(h) END AS theta
+      |       FROM sk GROUP BY 1),
+      |pr AS (SELECT a.g AS la, b.g AS lb, LEAST(a.theta, b.theta) AS theta
+      |       FROM th a JOIN th b ON a.g < b.g),
+      |ph AS (SELECT p.la, p.lb, p.theta, s.h,
+      |         MAX(CASE WHEN s.g = p.la THEN 1 ELSE 0 END) AS ina,
+      |         MAX(CASE WHEN s.g = p.lb THEN 1 ELSE 0 END) AS inb
+      |       FROM pr p JOIN sk s ON s.g IN (p.la, p.lb) AND s.h < p.theta
+      |       GROUP BY 1, 2, 3, 4),
+      |c AS (SELECT la, lb, MAX(theta) AS theta, COUNT(*) AS cu,
+      |        SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS ci
+      |      FROM ph GROUP BY 1, 2),
+      |nl AS (SELECT lang, COUNT(*) AS nd FROM t GROUP BY 1),
+      |ex AS (SELECT x.lang AS la, y.lang AS lb, COUNT(*) AS ni
+      |       FROM t x JOIN t y ON x.tok = y.tok AND x.lang < y.lang
+      |       GROUP BY 1, 2)
+      |SELECT c.la, c.lb,
+      |  CAST(na.nd + nb.nd - COALESCE(ex.ni, 0) AS BIGINT) AS n_union,
+      |  CAST(COALESCE(ex.ni, 0) AS BIGINT) AS n_inter,
+      |  CAST(ROUND(cu * 281474976710656.0 / theta) AS BIGINT) AS est_union,
+      |  CAST(ROUND(ci * 281474976710656.0 / theta) AS BIGINT) AS est_inter,
+      |  CAST(CASE WHEN cu = 0 THEN 0
+      |       ELSE (ci * 1000000) // cu END AS BIGINT) AS jacc_ppm
+      |FROM c
+      |JOIN nl na ON na.lang = c.la
+      |JOIN nl nb ON nb.lang = c.lb
+      |LEFT JOIN ex ON ex.la = c.la AND ex.lb = c.lb
+      |ORDER BY 1, 2""".stripMargin
+
   /** Bloom-filter semi-join pre-filter ([[graft.pipeline.Bloom]]):
     * the eval vocabulary (docs < 50) builds an 8192-bit filter; the
     * train side's postings are pre-filtered by `prefilter` at the
@@ -2760,6 +2847,7 @@ object PipelineQueries {
     "q_search_facets" -> searchFacets _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_quantile_sketch" -> quantileSketch _,
+    "q_distinct_overlap" -> distinctOverlap _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2829,6 +2917,7 @@ object PipelineQueries {
     "q_search_facets" -> searchFacetsSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
+    "q_distinct_overlap" -> distinctOverlapSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -1175,6 +1175,38 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
+  /** Bloom-indexed POINT lookups over the versioned table
+    * ([[graft.io.Versioned.bloomIndex]] + `currentPoint`): five keys —
+    * plain, upserted, two deleted (resolve to nothing), one absent —
+    * resolved through per-file Bloom pruning. Ingest here is NOT
+    * key-clustered, so zone maps can't skip anything; the Bloom index
+    * is what keeps a point read from opening every file of every
+    * delta (the Delta-Lake Bloom-index shape). The oracle resolves
+    * the same keys from the reconstructed log, so a false NEGATIVE
+    * (a wrongly skipped file) would drop a row and hash-mismatch. */
+  def tablePoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "pt")
+    Versioned.bloomIndex(spark, path, "doc_id")
+    Seq(3L, 10L, 14L, 21L, 999999L)
+      .map(k => Versioned.currentPoint(spark, path, "doc_id", k))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tablePointSql: String =
+    s"""WITH $versionedLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 AND NOT del
+       |  AND doc_id IN (3, 10, 14, 21, 999999)
+       |ORDER BY doc_id""".stripMargin
+
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
     * maintained across four source commits (bulk load, upserts,
@@ -1685,6 +1717,7 @@ object Queries {
     "q_table_prune" -> tablePrune _,
     "q_table_history" -> tableHistory _,
     "q_table_snapshot_range" -> tableSnapshotRange _,
+    "q_table_point" -> tablePoint _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -1735,6 +1768,7 @@ object Queries {
     "q_table_prune" -> tablePruneSql,
     "q_table_history" -> tableHistorySql,
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
+    "q_table_point" -> tablePointSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

@@ -624,9 +624,20 @@ object Versioned {
           stats.getOrElse(s.getPath.getName, Map.empty), colName, lo, hi))
         .map(_.getPath.toString)
     }
-    if (files.isEmpty) // nothing can match; keep the schema
-      readDirs(spark, path, vs).filter(lit(false))
+    readFilesAligned(spark, path, vs, files)
+  }
+
+  /** Read a pruned file list under the FULL slice schema: pruning may
+    * drop every file of a schema-evolution commit, and the survivors'
+    * merged schema would then silently lose columns — align by name
+    * against the (empty) unpruned slice so the schema never depends
+    * on which files were skipped. */
+  private def readFilesAligned(spark: SparkSession, path: String,
+      vs: Seq[Int], files: Seq[String]): DataFrame = {
+    val full = readDirs(spark, path, vs).filter(lit(false))
+    if (files.isEmpty) full // nothing can match; keep the schema
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .unionByName(full, allowMissingColumns = true)
   }
 
   /** Zone-map-pruned LOG view: `asOf` restricted to rows with `colName`
@@ -653,6 +664,127 @@ object Versioned {
   def currentRange(spark: SparkSession, path: String, keyCol: String,
       lo: Any, hi: Any): DataFrame =
     currentAsOfRange(spark, path, keyCol, latestVersion(spark, path), lo, hi)
+
+  // ---------- per-file Bloom point-lookup index ----------
+
+  private val BloomFile = "_BLOOM.tsv"
+
+  /**
+   * Maintenance op: write a per-FILE Bloom filter over `keyCol` into
+   * every committed version dir that lacks one (idempotent — dirs
+   * already indexed are skipped; a post-compact run picks up the new
+   * checkpoint dir). Zone maps prune point lookups only when ingest
+   * is key-clustered; on an UNCLUSTERED high-cardinality key every
+   * file's [min,max] spans the lookup and nothing is skipped — the
+   * per-file Bloom is the index that makes `currentAsOfPoint` open
+   * ~1 file per version dir regardless of layout (Delta's Bloom
+   * index shape). Build cost is one distributed pass per un-indexed
+   * dir (delta-sized at steady state: new commits are deltas); the
+   * driver holds mBits/8 bytes per file. Published atomically via
+   * the session's [[LogStore]] — readers see the whole index or none
+   * (absence just means "no pruning"). Returns the dirs indexed.
+   */
+  def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+      mBits: Int = 1 << 16, kHashes: Int = 5): Int = {
+    require(mBits % 64 == 0 && kHashes >= 1,
+      s"bad bloom params: mBits=$mBits kHashes=$kHashes")
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    var indexed = 0
+    versions(spark, path).foreach { v =>
+      val dir = new Path(s"$path/v=$v")
+      val bp = new Path(dir, BloomFile)
+      if (!f.exists(bp)) {
+        val parts = f.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        if (parts.nonEmpty) {
+          val lanes = graft.pipeline.Bloom.buildGrouped(
+            spark.read.option("mergeSchema", "true")
+              .parquet(parts.map(_.toString): _*)
+              .select(input_file_name().as("__file"), col(keyCol)),
+            "__file", keyCol, mBits, kHashes)
+          val lines = lanes.toSeq.sortBy(_._1).map { case (file, arr) =>
+            val name = new Path(file).getName
+            val packed = arr.zipWithIndex.collect {
+              case (bits, i) if bits != 0L =>
+                s"$i:${java.lang.Long.toHexString(bits)}"
+            }.mkString(",")
+            s"$name\t$keyCol\t$mBits\t$kHashes\t$packed"
+          }
+          store.writeAtomic(f, bp, lines.mkString("", "\n", "\n"))
+          indexed += 1
+        }
+      }
+    }
+    indexed
+  }
+
+  /** Parse a version dir's `_BLOOM.tsv` → file name →
+    * (keyCol, mBits, kHashes, lanes). Empty when un-indexed. */
+  private def readBloom(spark: SparkSession, f: FileSystem, dir: Path)
+      : Map[String, (String, Int, Int, Array[Long])] = {
+    val p = new Path(dir, BloomFile)
+    if (!f.exists(p)) return Map.empty
+    LogStore.forSession(spark).readSmall(f, p)
+      .split('\n').filter(_.nonEmpty).toSeq
+      .map(_.split('\t'))
+      .collect { case Array(file, kc, m, kh, packed) =>
+        val mBits = m.toInt
+        val arr = new Array[Long](mBits / 64)
+        packed.split(',').filter(_.nonEmpty).foreach { pair =>
+          val Array(i, hex) = pair.split(':')
+          arr(i.toInt) = java.lang.Long.parseUnsignedLong(hex, 16)
+        }
+        file -> ((kc, mBits, kh.toInt, arr))
+      }.toMap
+  }
+
+  /**
+   * Point lookup: `currentAsOf` restricted to ONE key, opening only
+   * files that may hold a row of that key — zone maps first (free),
+   * then the per-file Bloom filters where [[bloomIndex]] has run.
+   * Sound for the same reason as [[currentAsOfRange]]: every row of
+   * a key (upsert, tombstone, merge) carries the key value, the
+   * filters are built over ALL rows of each file, and a Bloom filter
+   * has no false negatives — so a skipped file holds no row of the
+   * key. Un-indexed files are read, never pruned.
+   */
+  def currentAsOfPoint(spark: SparkSession, path: String, keyCol: String,
+      version: Int, key: Any): DataFrame = {
+    val base = checkpoints(spark, path).filter(_ <= version).lastOption
+    vacuumBase(spark, path).foreach { vb =>
+      require(base.exists(_ >= vb), s"currentAsOfPoint($version): versions " +
+        s"below $vb were vacuumed at $path; earliest readable version is $vb")
+    }
+    val from = base.map(_ - 1).getOrElse(0)
+    val vs = versions(spark, path).filter(v => v > from && v <= version)
+    require(vs.nonEmpty, s"no committed versions in ($from, $version] at $path")
+    val keyS = String.valueOf(key)
+    val f = fs(spark, path)
+    val files = vs.flatMap { v =>
+      val dir = new Path(s"$path/v=$v")
+      val stats = readStats(f, dir)
+      val blooms = readBloom(spark, f, dir)
+      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .filter { s =>
+          val name = s.getPath.getName
+          mayIntersect(stats.getOrElse(name, Map.empty), keyCol, key, key) &&
+            (blooms.get(name) match {
+              case Some((kc, m, kh, lanes)) if kc == keyCol =>
+                graft.pipeline.Bloom.testKey(keyS, lanes, m, kh)
+              case _ => true
+            })
+        }
+        .map(_.getPath.toString)
+    }
+    resolve(readFilesAligned(spark, path, vs, files), keyCol,
+      mergeVersions(spark, path).exists(v => v > from && v <= version))
+      .filter(col(keyCol) === lit(key))
+  }
+
+  def currentPoint(spark: SparkSession, path: String, keyCol: String,
+      key: Any): DataFrame =
+    currentAsOfPoint(spark, path, keyCol, latestVersion(spark, path), key)
 
   /** Materialize the resolved state as a checkpoint version. History
     * is preserved (time travel to older versions still works); reads

@@ -78,4 +78,49 @@ object Bloom {
   def prefilter(df: DataFrame, keyCol: String, lanes: Array[Long],
       mBits: Int = 8192, kHashes: Int = 3): DataFrame =
     df.filter(mightContain(keyCol, lanes, mBits, kHashes))
+
+  /** Per-GROUP filter build: one lane array per value of `groupCol`
+    * — the per-file index shape ([[graft.io.Versioned.bloomIndex]]).
+    * One distributed pass (distinct → explode-k → bit_or partials);
+    * the collect is groups × nonzero lanes, bounded by the caller's
+    * group count. */
+  def buildGrouped(keys: DataFrame, groupCol: String, keyCol: String,
+      mBits: Int, kHashes: Int): Map[String, Array[Long]] = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64: $mBits")
+    val rows = keys
+      .select(col(groupCol).as("__g"),
+        col(keyCol).cast("string").as("__k")).distinct()
+      .select(col("__g"),
+        expr(halfSql("__k", 1)).as("__bf_h1"),
+        expr(halfSql("__k", 16)).as("__bf_h2"))
+      .select(col("__g"), explode(array((0 until kHashes).map(h =>
+        expr(s"CAST((__bf_h1 + $h * __bf_h2) % $mBits AS INT)")): _*))
+        .as("pos"))
+      .select(col("__g"), expr("pos div 64").cast("int").as("lane"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("bit"))
+      .groupBy("__g", "lane").agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (g, rs) =>
+      val arr = new Array[Long](mBits / 64)
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      g -> arr
+    }
+  }
+
+  /** Driver-side membership test of one key against built lanes —
+    * the same md5-halves double-hash algebra as [[build]] and
+    * [[mightContain]], so a filter built distributed can gate
+    * planning-time decisions (file pruning) on the driver. */
+  def testKey(key: String, lanes: Array[Long], mBits: Int,
+      kHashes: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    (0 until kHashes).forall { h =>
+      val pos = ((h1 + h * h2) % mBits).toInt
+      ((lanes(pos / 64) >> (pos % 64)) & 1L) == 1L
+    }
+  }
 }

@@ -303,4 +303,92 @@ object Sketches {
        |    END AS est_value
        |  FROM qhit)""".stripMargin
   }
+
+  /** Size of the 48-bit KMV/theta hash space (16^12 = 2^48 — the
+    * same 12-hex md5 prefix every deterministic hash here uses). */
+  val KmvHashMax: Long = 1L << 48
+
+  /**
+   * KMV bottom-k sketch STATE: (g, h) — the k smallest DISTINCT
+   * 48-bit md5 hashes per group (theta-sketch shape, Dasgupta et al.
+   * "Theta sketch framework", Beyer et al. 2007 KMV). The per-group
+   * rank filter plans as WindowGroupLimit (per-partition top-k
+   * heaps), so the shuffle carries O(groups * k) rows, never the
+   * value space. Mergeable EXACTLY: any hash in the union's bottom-k
+   * is in its own shard's bottom-k, so [[kmvMerge]] of shard states
+   * reproduces the full-corpus sketch bit for bit.
+   */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k = $k too small for a KMV sketch")
+    val hashed = df.select(col(groupCol).as("g"),
+      conv(substring(md5(col(valueCol)), 1, 12), 16, 10)
+        .cast("long").as("h")).distinct()
+    bottomK(hashed, k)
+  }
+
+  /** Merge shard sketches (union + distinct + re-bottom-k — exact). */
+  def kmvMerge(k: Int)(sketches: DataFrame*): DataFrame =
+    bottomK(sketches.reduce(_.unionByName(_)).distinct(), k)
+
+  private def bottomK(hashes: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("g", "h")
+  }
+
+  /** Per-group distinct estimate from a sketch: exact below k, else
+    * the classic (k-1) * H / kth unbiased KMV estimator. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.groupBy("g").agg(count(lit(1)).as("n"), max("h").as("kth"))
+      .select(col("g"),
+        when(col("n") < k, col("n"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(KmvHashMax.toDouble)
+            / col("kth").cast("double")).cast("long"))
+          .as("est_distinct"))
+
+  /**
+   * Theta-style SET ALGEBRA over two sketches: per group present in
+   * BOTH inputs, estimate |A ∪ B|, |A ∩ B| and the Jaccard overlap
+   * WITHOUT touching either corpus — the sketch-only overlap profile
+   * a 100 TB decontamination / source-similarity pass runs where the
+   * exact distinct-join is unpayable. theta = min over the two sides
+   * of (kth smallest hash, or the whole hash space when the side
+   * holds < k hashes — then the sketch IS the set and the estimates
+   * are exact); hashes below theta are a uniform sample of the union
+   * at rate theta / H, so counts scale by H / theta. The Jaccard
+   * ratio is emitted as integer parts-per-million (cross-multiplied
+   * — no float division boundary to disagree on across engines).
+   *
+   * Everything here is sketch-sized: the join carries <= 2k rows per
+   * group and the per-group theta frame is one row per group.
+   */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
+    def theta(s: DataFrame, out: String) =
+      s.groupBy("g").agg(count(lit(1)).as("n"), max("h").as("kth"))
+        .select(col("g"),
+          when(col("n") < k, lit(KmvHashMax)).otherwise(col("kth"))
+            .as(out))
+    val th = theta(a, "ta").join(theta(b, "tb"), "g")
+      .select(col("g"), least(col("ta"), col("tb")).as("theta"))
+    val marked = a.select(col("g"), col("h")).withColumn("ina", lit(1))
+      .join(b.select(col("g"), col("h")).withColumn("inb", lit(1)),
+        Seq("g", "h"), "full_outer")
+    val counted = marked.join(th, "g")
+      .filter(col("h") < col("theta"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("cu"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("ci"),
+        max("theta").as("theta"))
+    counted.select(col("g"),
+      round(col("cu").cast("double") * lit(KmvHashMax.toDouble)
+        / col("theta").cast("double")).cast("long").as("est_union"),
+      round(col("ci").cast("double") * lit(KmvHashMax.toDouble)
+        / col("theta").cast("double")).cast("long").as("est_inter"),
+      when(col("cu") === 0, 0L)
+        .otherwise(floor((col("ci") * 1000000L).cast("double")
+          / col("cu").cast("double")).cast("long")).as("jacc_ppm"))
+  }
 }

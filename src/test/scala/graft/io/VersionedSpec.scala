@@ -531,4 +531,42 @@ class VersionedSpec extends SparkSpec {
     assert(root.listFiles().forall(d =>
       d.getName.startsWith("v=") || d.getName.startsWith(".")))
   }
+
+  test("bloomIndex + currentAsOfPoint: point lookups skip files zone " +
+      "maps can't, same answers, no false negatives") {
+    val p = freshPath("bloom")
+    // UNCLUSTERED ingest: hash-spread keys → every file's [min,max]
+    // spans the whole key range, so zone maps alone prune nothing
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 97).as("x"))
+    Versioned.append(base.repartition(8, col("k")), p)
+    Versioned.append(Seq((17L, 999L), (2500L, 111L)).toDF("k", "x"), p)
+    Versioned.delete(Seq(Tuple1(40L)).toDF("k"), p)
+    val unindexed = Versioned.currentPoint(spark, p, "k", 17L)
+    val allFiles = unindexed.inputFiles.length
+    assert(Versioned.bloomIndex(spark, p, "k") == 3)
+    assert(Versioned.bloomIndex(spark, p, "k") == 0) // idempotent
+    // upserted, plain, deleted, absent keys all resolve exactly
+    def row(k: Long) = Versioned.currentPoint(spark, p, "k", k)
+      .select("k", "x").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row(17L).toSeq == Seq((17L, 999L)))
+    assert(row(2500L).toSeq == Seq((2500L, 111L)))
+    assert(row(123L).toSeq == Seq((123L, 123L % 97)))
+    assert(row(40L).isEmpty)     // tombstone file must NOT be skipped
+    assert(row(999999L).isEmpty) // absent key
+    // pruning bite: the indexed lookup opens ~1 file of the 8-file
+    // delta instead of all of them
+    val pruned = Versioned.currentPoint(spark, p, "k", 17L)
+    assert(pruned.inputFiles.length < allFiles,
+      s"bloom pruned nothing: ${pruned.inputFiles.length} of $allFiles")
+    assert(pruned.inputFiles.length <= 3)
+    // every key present after indexing — exhaustive no-false-negative
+    // sweep over a sample of the key space
+    (0L until 4000L by 211L).foreach { k =>
+      val want = if (k == 40L) Seq.empty
+        else if (k == 17L) Seq((17L, 999L))
+        else Seq((k, k % 97))
+      assert(row(k).toSeq == want, s"key $k")
+    }
+  }
 }

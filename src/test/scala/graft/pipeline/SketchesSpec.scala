@@ -241,4 +241,51 @@ class SketchesSpec extends SparkSpec {
         s"streamed ${streamed.size} vs batch ${batch.size} register rows")
     } finally query.stop()
   }
+
+  test("kmvMerge: shard folds reproduce the full-corpus sketch exactly") {
+    val df = spark.range(20000).select(lit("g").as("g"),
+      concat(lit("k"), col("id")).as("v"))
+    val full = Sketches.kmvSketch(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val s1 = Sketches.kmvSketch(df.filter(col("id") % 3 === 0), "g", "v")
+    val s2 = Sketches.kmvSketch(df.filter(col("id") % 3 === 1), "g", "v")
+    val s3 = Sketches.kmvSketch(df.filter(col("id") % 3 === 2), "g", "v")
+    val merged = Sketches.kmvMerge(64)(s1, s2, s3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(merged.toSeq == full.toSeq)
+  }
+
+  test("kmvSetOps: identical sets give jaccard 1, disjoint give 0; " +
+      "small sets are estimated exactly") {
+    val a = spark.range(40).select(lit("g").as("g"),
+      concat(lit("s"), col("id")).as("v"))
+    val same = Sketches.kmvSetOps(Sketches.kmvSketch(a, "g", "v"),
+      Sketches.kmvSketch(a, "g", "v")).collect().head
+    // both sides below k: theta = H, the sketch IS the set — exact
+    assert(same.getLong(1) == 40L && same.getLong(2) == 40L &&
+      same.getLong(3) == 1000000L, s"same-set row $same")
+    val b = spark.range(40).select(lit("g").as("g"),
+      concat(lit("t"), col("id")).as("v"))
+    val disj = Sketches.kmvSetOps(Sketches.kmvSketch(a, "g", "v"),
+      Sketches.kmvSketch(b, "g", "v")).collect().head
+    assert(disj.getLong(1) == 80L && disj.getLong(2) == 0L &&
+      disj.getLong(3) == 0L, s"disjoint row $disj")
+  }
+
+  test("kmvSetOps: union/intersection estimates within KMV error at 50k " +
+      "with half overlap") {
+    // A = [0, 50k), B = [25k, 75k): union 75k, intersection 25k
+    val a = spark.range(50000).select(lit("g").as("g"),
+      concat(lit("o"), col("id")).as("v"))
+    val b = spark.range(25000, 75000).select(lit("g").as("g"),
+      concat(lit("o"), col("id")).as("v"))
+    val r = Sketches.kmvSetOps(Sketches.kmvSketch(a, "g", "v"),
+      Sketches.kmvSketch(b, "g", "v")).collect().head
+    // KMV sigma ~ 1/sqrt(k-2) = 12.7%; intersection noisier (scaled
+    // subset of the theta sample) — allow 4/6 sigma
+    assert(math.abs(r.getLong(1) - 75000.0) / 75000.0 < 0.51,
+      s"union est ${r.getLong(1)}")
+    assert(math.abs(r.getLong(2) - 25000.0) / 25000.0 < 0.77,
+      s"inter est ${r.getLong(2)}")
+  }
 }

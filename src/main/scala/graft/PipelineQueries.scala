@@ -1369,6 +1369,24 @@ object PipelineQueries {
        |SELECT hll.g AS lang, x.n_distinct, hll.est_distinct
        |FROM hll JOIN x ON hll.g = x.lang ORDER BY 1""".stripMargin
 
+  /** [[distinctHll]] through the native [[graft.functions.HllSketchAgg]]
+    * aggregate — one 256-byte buffer per group as the whole shuffle
+    * state instead of up to 256 register rows per group per partition.
+    * SAME oracle SQL as q_distinct_hll: the native buffer build, its
+    * byte-wise partial merges and its estimate algebra must land on
+    * the register-table path's numbers exactly. */
+  def distinctHllNative(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+    Sketches.hllDistinctNative(toks, "lang", "tok")
+      .withColumnRenamed("g", "lang")
+      .join(exact, "lang")
+      .select("lang", "n_distinct", "est_distinct")
+      .orderBy("lang")
+  }
+
   /** Count-min heavy hitters ([[Sketches.countMinTable]], d=3 x
     * w=1024): the true top-20 tokens (deterministic tok tie-break)
     * probed against the fixed-size counter table; est_n >= n always
@@ -2848,6 +2866,7 @@ object PipelineQueries {
     "q_heavy_hitters" -> heavyHitters _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
+    "q_distinct_hll_native" -> distinctHllNative _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2918,6 +2937,7 @@ object PipelineQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
+    "q_distinct_hll_native" -> distinctHllSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

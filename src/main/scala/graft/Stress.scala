@@ -480,8 +480,32 @@ object Stress {
     qs.unpersist(blocking = false)
     require(qDrift == 0, s"quantile shard-fold drift: $qDrift rows")
 
+    // native byte-buffer HLL aggregate vs the register-table form at a
+    // MANY-GROUP profile shape (nDocs/10 groups): the declarative form
+    // shuffles up to m register rows per group, the native one a single
+    // 256-byte buffer per group — and the estimates must agree exactly
+    val many = docs.select((col("id") % math.max(nDocs / 10, 1L))
+        .cast("string").as("g"),
+      explode(split(col("text"), " ")).as("tok"))
+    val t5 = System.nanoTime()
+    val declRes = Sketches.hllDistinct(many, "g", "tok").persist()
+    val nManyDecl = declRes.count()
+    val tManyDecl = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime()
+    val natRes = Sketches.hllDistinctNative(many, "g", "tok").persist()
+    val nManyNat = natRes.count()
+    val tManyNat = (System.nanoTime() - t6) / 1e9
+    val natDrift = natRes.exceptAll(declRes).count() +
+      declRes.exceptAll(natRes).count()
+    declRes.unpersist(blocking = false)
+    natRes.unpersist(blocking = false)
+    require(natDrift == 0, s"native-vs-declarative HLL drift: $natDrift")
+    require(nManyDecl == nManyNat)
+
     println(s"""{"metric":"stress_sketch","docs":$nDocs,""" +
       s""""hll_sec":$tHll,"hll_groups":$nHll,""" +
+      s""""hll_many_groups":$nManyNat,"hll_many_decl_sec":$tManyDecl,""" +
+      s""""hll_many_native_sec":$tManyNat,"hll_native_drift":$natDrift,""" +
       s""""cm_sec":$tCm,"cm_build_sec":$tCmBuild,"cm_probe_sec":$tCmProbe,""" +
       s""""cm_cells":$nCells,"cm_heavy_confirmed":$nCm,""" +
       s""""merge_check_sec":$tMerge,"register_drift":$drift,""" +

@@ -64,6 +64,23 @@ object Sketches {
       .groupBy("g", "bucket").agg(max("rho").as("rmax"))
   }
 
+  /** [[hllDistinct]] through the NATIVE
+    * [[graft.functions.HllSketchAgg]] aggregate: one 2^b-byte buffer
+    * per group as the whole agg state (vs up to m register ROWS per
+    * group per partition in the declarative form) — the serve-path
+    * profile aggregate when groups are many; bit-identical estimates
+    * (spec-pinned). */
+  def hllDistinctNative(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 8): DataFrame = {
+    requireB(b)
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = GraftSqlBridge.column(
+      graft.functions.HllSketchAgg(
+        GraftSqlBridge.expression(col(valueCol).cast("string")), b)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol).as("g")).agg(agg.as("est_distinct"))
+  }
+
   /** Merge shard register tables (union + per-register max). */
   def hllMerge(regs: DataFrame*): DataFrame =
     regs.reduce(_.unionByName(_))

@@ -242,6 +242,27 @@ class SketchesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hllDistinctNative: native byte-buffer aggregate lands on the " +
+      "register-table estimates EXACTLY, through forced partial merges") {
+    for (b <- Seq(4, 8, 12)) {
+      // many groups + 17-way repartition: every group's buffer is
+      // built from multiple partials, exercising the byte-wise merge
+      val df = spark.range(60000).select(
+        concat(lit("g"), col("id") % 23).as("g"),
+        concat(lit("v"), col("id")).as("v"))
+        .repartition(17)
+      val declarative = Sketches.hllDistinct(df, "g", "v", b)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val native = Sketches.hllDistinctNative(df, "g", "v", b)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(native == declarative, s"b=$b")
+    }
+    assertThrows[IllegalArgumentException](
+      Sketches.hllDistinctNative(
+        spark.range(1).select(lit("g").as("g"), lit("x").as("v")),
+        "g", "v", b = 13))
+  }
+
   test("kmvMerge: shard folds reproduce the full-corpus sketch exactly") {
     val df = spark.range(20000).select(lit("g").as("g"),
       concat(lit("k"), col("id")).as("v"))

@@ -1331,6 +1331,81 @@ object Queries {
       |FROM r WHERE rk = 1 AND NOT del
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incrementally-maintained DISTINCT-COUNT view
+    * ([[graft.io.SketchView]]): per-language distinct n_chars-rendering
+    * estimates from HLL register state maintained across the same four
+    * source commits as q_matview — the init fold is append-only
+    * (register max at delta cost), the upsert and delete/insert
+    * refreshes take the scoped per-group recompute (registers must
+    * SHRINK, which no fold can do). The estimate reads ONLY the view
+    * (<= 256 register rows per language); the exact count rides along
+    * for error exposure. The oracle rebuilds the registers from the
+    * resolved final state — maintained-incrementally ≡ recomputed-from-
+    * scratch, down to the register bits. */
+  def tableDistinctView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{SketchView, Versioned}
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/skvq-src-$tagDir"
+    val view = s"target/tmp/skvq-view-$tagDir"
+    val h = SketchView.Handle(view, src, "doc_id", "lang", "ncs")
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, view)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def ncs(c: org.apache.spark.sql.Column) = c.cast("long").cast("string")
+      Versioned.append(docs.select(col("doc_id"), col("lang"),
+        ncs(col("n_chars")).as("ncs")), src)
+      SketchView.init(spark, src, "doc_id", "lang", "ncs", view)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          ncs(col("n_chars") + 1000).as("ncs")), src)
+      SketchView.refresh(spark, h)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), src)
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("xx").as("lang"), ncs(col("doc_id")).as("ncs")), src)
+      SketchView.refresh(spark, h) // one refresh folds BOTH versions
+      ()
+    })
+    val exact = Versioned.current(spark, src, "doc_id")
+      .filter(col("ncs").isNotNull)
+      .groupBy("lang").agg(countDistinct(col("ncs")).as("n_distinct"))
+    SketchView.estimate(spark, h)
+      .join(exact, "lang")
+      .select("lang", "n_distinct", "est_distinct")
+      .orderBy("lang")
+  }
+
+  val tableDistinctViewSql: String = {
+    val hll = graft.pipeline.Sketches.hllDistinctSql("res", "lang", "ncs")
+    s"""WITH u AS (
+       |  SELECT doc_id, lang, CAST(CAST(n_chars AS BIGINT) AS VARCHAR)
+       |    AS ncs, FALSE AS del, 1 AS v
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, lang, CAST(CAST(n_chars + 1000 AS BIGINT) AS VARCHAR),
+       |    FALSE, 2
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id, NULL, NULL, TRUE, 3
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, 'xx', CAST(doc_id AS VARCHAR), FALSE, 4
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |         ORDER BY v DESC) AS rk
+       |       FROM u),
+       |res AS (SELECT lang, ncs FROM rr
+       |        WHERE rk = 1 AND NOT del AND ncs IS NOT NULL),
+       |$hll,
+       |x AS (SELECT lang, COUNT(DISTINCT ncs) AS n_distinct
+       |      FROM res GROUP BY 1)
+       |SELECT hll.g AS lang, x.n_distinct, hll.est_distinct
+       |FROM hll JOIN x ON hll.g = x.lang ORDER BY 1""".stripMargin
+  }
+
   /** STREAMING lakehouse MV end to end: the documents table arrives as
     * a Structured Streaming file source; ONE `foreachBatch` sink both
     * commits each micro-batch into the Versioned source
@@ -1710,6 +1785,7 @@ object Queries {
     "q_matview" -> tableMatView _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
+    "q_distinct_view" -> tableDistinctView _,
     "q_matview_compact" -> tableMatViewCompact _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
@@ -1760,6 +1836,7 @@ object Queries {
     "q_table_current" -> tableCurrentSql,
     "q_matview" -> tableMatViewSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
+    "q_distinct_view" -> tableDistinctViewSql,
     "q_matview_stream" -> tableMatViewStreamSql,
     "q_matview_compact" -> tableMatViewCompactSql,
     "q_table_asof" -> tableAsOfSql,

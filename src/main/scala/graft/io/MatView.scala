@@ -112,15 +112,8 @@ object MatView {
 
   /** The source version the view reflects (0 = nothing yet): max
     * refresh batch marker across the view's committed versions. */
-  def refreshedVersion(spark: SparkSession, h: Handle): Int = {
-    val f = new Path(h.viewPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Versioned.versions(spark, h.viewPath).flatMap { v =>
-      f.listStatus(new Path(s"${h.viewPath}/v=$v")).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("_BATCH_"))
-        .map(_.stripPrefix("_BATCH_").toInt)
-    }.maxOption.getOrElse(0)
-  }
+  def refreshedVersion(spark: SparkSession, h: Handle): Int =
+    Versioned.batchMarkerMax(spark, h.viewPath)
 
   /** Fold source versions (refreshedVersion, head] into the view.
     * Returns the source version the view now reflects. Idempotent:
@@ -137,40 +130,7 @@ object MatView {
     val from = refreshedVersion(spark, h)
     val to = Versioned.latestVersion(spark, h.srcPath)
     if (to <= from) return (from, false)
-    // in-flight source writers: a claimed-but-unpublished slot <= to
-    // could publish AFTER this refresh folded past it; every future
-    // refresh filters v > from, so the late commit would NEVER be
-    // applied — silent permanent drift. Refuse instead.
-    val pending = Versioned.unpublishedClaims(spark, h.srcPath)
-      .filter(_ <= to)
-    require(pending.isEmpty, s"refresh($from -> $to): source version " +
-      s"slots ${pending.mkString(",")} are claimed but unpublished; an " +
-      "in-flight writer could publish below the refresh head and be " +
-      "silently skipped — wait for it (or let vacuum sweep a crashed " +
-      "writer's stale claim) and retry")
-    require(!Versioned.mergeVersions(spark, h.srcPath)
-        .exists(v => v > from && v <= to),
-      s"refresh($from -> $to): MERGE commits in the delta range have no " +
-        "self-contained row state to diff; compact the source first")
-    val ck = Versioned.checkpoints(spark, h.srcPath).toSet
-    // vacuum guard: reclaimed version dirs would silently vanish from
-    // the delta slice (checkpoints are excluded as duplicates) — the
-    // one failure mode worse than an error
-    val vb = Versioned.vacuumBase(spark, h.srcPath)
-    vb.foreach { b =>
-      require(from == 0 || from >= b, s"refresh($from -> $to): source " +
-        s"versions below $b were vacuumed at ${h.srcPath}; the view is " +
-        "stale beyond the source's retention — rebuild it with init")
-    }
-    val deltaVs = vb match {
-      case Some(b) if from == 0 =>
-        // fresh view on a vacuumed source: the vacuum-base checkpoint
-        // stands in for the reclaimed log prefix (same rule as asOf)
-        b +: Versioned.versions(spark, h.srcPath)
-          .filter(v => v > b && v <= to && !ck.contains(v))
-      case _ => Versioned.versions(spark, h.srcPath)
-        .filter(v => v > from && v <= to && !ck.contains(v))
-    }
+    val deltaVs = Versioned.viewDeltaSlice(spark, h.srcPath, from, to)
     // a range of pure checkpoints carries no log rows (compaction only)
     if (deltaVs.isEmpty) return (from, false)
     // project to the view-relevant columns up front so parquet column

@@ -1026,6 +1026,57 @@ object Versioned {
       .drop(MergeCol, SeqCol, CkptCol)
   }
 
+  /** Max `_BATCH_<n>` idempotency marker across a view table's
+    * committed versions (0 = none) — the "source version this
+    * maintained view reflects" shared by [[MatView]] and
+    * [[SketchView]]. */
+  private[io] def batchMarkerMax(spark: SparkSession, viewPath: String): Int = {
+    val f = fs(spark, viewPath)
+    versions(spark, viewPath).flatMap { v =>
+      f.listStatus(new Path(s"$viewPath/v=$v")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_BATCH_"))
+        .map(_.stripPrefix("_BATCH_").toInt)
+    }.maxOption.getOrElse(0)
+  }
+
+  /** Maintained-view delta slice (from, to] with the shared safety
+    * guards: refuse while a source slot at or below `to` is claimed
+    * but unpublished (a late low-version publish would be filtered by
+    * `v > from` forever — silent permanent drift), refuse MERGE
+    * commits in range (no self-contained row state to diff), refuse a
+    * source vacuumed past the view (the reclaimed deltas are
+    * unrecoverable — rebuild the view); a FRESH view on a vacuumed
+    * source bootstraps from the vacuum-base checkpoint like [[asOf]].
+    * Returns the non-checkpoint version dirs to fold (empty = pure
+    * compaction range, nothing to apply). */
+  private[io] def viewDeltaSlice(spark: SparkSession, srcPath: String,
+      from: Int, to: Int): Seq[Int] = {
+    val pending = unpublishedClaims(spark, srcPath).filter(_ <= to)
+    require(pending.isEmpty, s"refresh($from -> $to): source version " +
+      s"slots ${pending.mkString(",")} are claimed but unpublished; an " +
+      "in-flight writer could publish below the refresh head and be " +
+      "silently skipped — wait for it (or let vacuum sweep a crashed " +
+      "writer's stale claim) and retry")
+    require(!mergeVersions(spark, srcPath)
+        .exists(v => v > from && v <= to),
+      s"refresh($from -> $to): MERGE commits in the delta range have no " +
+        "self-contained row state to diff; compact the source first")
+    val ck = checkpoints(spark, srcPath).toSet
+    val vb = vacuumBase(spark, srcPath)
+    vb.foreach { b =>
+      require(from == 0 || from >= b, s"refresh($from -> $to): source " +
+        s"versions below $b were vacuumed at $srcPath; the view is " +
+        "stale beyond the source's retention — rebuild it with init")
+    }
+    vb match {
+      case Some(b) if from == 0 =>
+        b +: versions(spark, srcPath)
+          .filter(v => v > b && v <= to && !ck.contains(v))
+      case _ => versions(spark, srcPath)
+        .filter(v => v > from && v <= to && !ck.contains(v))
+    }
+  }
+
   /** Destroy the table (test/fixture reset). */
   def drop(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)

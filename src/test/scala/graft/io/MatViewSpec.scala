@@ -295,4 +295,48 @@ class MatViewSpec extends SparkSpec {
     Versioned.merge(Seq((1L, 99L)).toDF("k", "x"), src)
     assertThrows[IllegalArgumentException](MatView.refresh(spark, h))
   }
+
+  test("view CHANGE FEED: the maintained view is itself a streaming " +
+      "source — each refresh's group deltas arrive downstream exactly " +
+      "once, tombstones included") {
+    val (src, view) = fresh("feed")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "grp", "x"), src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    // the view is a Versioned table, so logStream composes unchanged:
+    // downstream consumers get per-refresh aggregate deltas instead of
+    // re-reading the whole view — the MV change-feed at 100 TB
+    val q = Versioned.logStream(spark, view)
+      .writeStream.format("memory").queryName("mvfeed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got = spark.table("mvfeed")
+        .select(col("g"), col("n_rows"), col("sum_x"),
+          coalesce(col(Versioned.DeletedCol), lit(false)).as("del"),
+          col(Versioned.VersionCol))
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+          r.getBoolean(3), r.getInt(4))).toSet
+      assert(got == Set(("a", Some(1L), Some(10L), false, 1),
+        ("b", Some(1L), Some(20L), false, 1)))
+      // refresh 1: group b grows — ONE delta row for b, none for a
+      Versioned.append(Seq((3L, "b", 5L)).toDF("k", "grp", "x"), src)
+      MatView.refresh(spark, h)
+      q.processAllAvailable()
+      assert(got.count(_._1 == "b") == 2)
+      assert(got.count(_._1 == "a") == 1, "untouched group must not re-emit")
+      assert(got(("b", Some(2L), Some(25L), false, 2)))
+      // refresh 2: group a empties — the change feed carries a TOMBSTONE
+      Versioned.delete(Seq(1L).toDF("k"), src)
+      MatView.refresh(spark, h)
+      q.processAllAvailable()
+      assert(got.exists(r => r._1 == "a" && r._4), "emptied group must " +
+        "tombstone in the feed")
+      // feed replays to the view's current state
+      val live = got.groupBy(_._1).map { case (g, rs) => rs.maxBy(_._5) }
+        .filter(!_._4).map(r => r._1 -> ((r._2.get, r._3.get))).toMap
+      assert(live == viewRows(h))
+    } finally q.stop()
+  }
 }

@@ -1472,7 +1472,10 @@ object PipelineQueries {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
     val dt = toks.distinct().localCheckpoint()
-    val sk = Sketches.kmvSketch(toks, "lang", "tok", k).localCheckpoint()
+    // native bounded-state build — row-identical to the declarative
+    // bottom-k (spec-pinned), so the oracle's window form still matches
+    val sk = Sketches.kmvSketchNative(toks, "lang", "tok", k)
+      .localCheckpoint()
     val langs = sk.select(col("g")).distinct()
     val pairs = langs.select(col("g").as("la"))
       .join(langs.select(col("g").as("lb")), col("la") < col("lb"))

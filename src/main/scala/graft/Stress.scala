@@ -22,7 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
       "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
-      "vtable", "search", "sketch", "graph", "mv")
+      "vtable", "search", "sketch", "graph", "mv", "skview")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -46,6 +46,7 @@ object Stress {
     if (mode == "search") { searchStress(spark, nRows, cpus.toInt); return }
     if (mode == "sketch") { sketchStress(spark, nRows, cpus.toInt); return }
     if (mode == "mv") { mvStress(spark, nRows, cpus.toInt); return }
+    if (mode == "skview") { skviewStress(spark, nRows, cpus.toInt); return }
     if (mode == "graph") { graphStress(spark, nRows, cpus.toInt); return }
     if (mode == "bpe") { bpeStress(spark, nRows, cpus.toInt); return }
     if (mode == "semdedup") { semDedupStress(spark, nRows, cpus.toInt); return }
@@ -329,6 +330,67 @@ object Stress {
     * delta commit (upserts incl. group migrations + deletes) and ONE
     * refresh — the refresh must cost O(delta + touched-group scan),
     * not O(source), and its result must equal the full group-by. */
+  /** SketchView stress: maintained distinct-count registers over an
+    * nRows-keyed source (1000 groups). Measures init (full register
+    * build), a 1%-insert APPEND-ONLY refresh (must take the fold path:
+    * delta cost, no source resolve), a delete-triggered SCOPED
+    * recompute, and the from-scratch register rebuild the view
+    * replaces; registers must equal the rebuild bit for bit. */
+  private def skviewStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    import graft.io.{SketchView, Versioned}
+    import graft.pipeline.Sketches
+    val srcPath = "target/tmp/stress-skv-src"
+    val viewPath = "target/tmp/stress-skv-view"
+    Versioned.drop(spark, srcPath)
+    Versioned.drop(spark, viewPath)
+    val base = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("k"),
+        concat(lit("g"), col("id") % 1000).as("grp"),
+        concat(lit("v"), col("id") % 2000000).as("v"))
+    val t0 = System.nanoTime()
+    Versioned.append(base, srcPath)
+    val h = SketchView.init(spark, srcPath, "k", "grp", "v", viewPath)
+    val tInit = (System.nanoTime() - t0) / 1e9
+
+    // 1% fresh inserts past the id range — the append-only fold path
+    Versioned.append(
+      spark.range(nRows, nRows + nRows / 100).repartition(cpus)
+        .select(col("id").as("k"),
+          concat(lit("g"), col("id") % 1000).as("grp"),
+          concat(lit("w"), col("id")).as("v")), srcPath)
+    val t1 = System.nanoTime()
+    val (_, fast) = SketchView.refreshDetailed(spark, h)
+    val tFold = (System.nanoTime() - t1) / 1e9
+    require(fast, "insert-only refresh must take the fold path")
+
+    // 0.5% deletes — the scoped-recompute tier
+    Versioned.delete(
+      spark.range(nRows / 200).select((col("id") * 211 + 3).as("k"))
+        .filter(col("k") < nRows), srcPath)
+    val t2 = System.nanoTime()
+    val (_, fast2) = SketchView.refreshDetailed(spark, h)
+    val tScoped = (System.nanoTime() - t2) / 1e9
+    require(!fast2, "deletes must take the scoped recompute")
+
+    // what the view replaces: from-scratch registers over the resolved
+    // source — and the maintained state must equal it exactly
+    val t3 = System.nanoTime()
+    val full = Sketches.hllRegisters(
+      Versioned.current(spark, srcPath, "k").select("grp", "v"),
+      "grp", "v").localCheckpoint()
+    val nFull = full.count()
+    val tFull = (System.nanoTime() - t3) / 1e9
+    val view = SketchView.registers(spark, h)
+    val drift = view.exceptAll(full).count() + full.exceptAll(view).count()
+    require(drift == 0, s"maintained registers drifted: $drift rows")
+
+    println(s"""{"metric":"stress_skview","rows":$nRows,""" +
+      s""""init_sec":$tInit,"fold_refresh_sec":$tFold,""" +
+      s""""scoped_refresh_sec":$tScoped,"full_rebuild_sec":$tFull,""" +
+      s""""register_rows":$nFull,"register_drift":$drift}""")
+    spark.stop()
+  }
+
   private def mvStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
     import graft.io.{MatView, Versioned}
     val srcPath = "target/tmp/stress-mv-src"
@@ -502,10 +564,30 @@ object Stress {
     require(natDrift == 0, s"native-vs-declarative HLL drift: $natDrift")
     require(nManyDecl == nManyNat)
 
+    // KMV: the declarative build pays distinct()+window over the WHOLE
+    // value space; the native bounded-state aggregate ships O(k) longs
+    // per group per partition — and the bottom-k sets must be identical
+    val t7 = System.nanoTime()
+    val kvDecl = Sketches.kmvSketch(toks, "g", "tok").persist()
+    val nKvDecl = kvDecl.count()
+    val tKvDecl = (System.nanoTime() - t7) / 1e9
+    val t8 = System.nanoTime()
+    val kvNat = Sketches.kmvSketchNative(toks, "g", "tok").persist()
+    val nKvNat = kvNat.count()
+    val tKvNat = (System.nanoTime() - t8) / 1e9
+    val kvDrift = kvNat.exceptAll(kvDecl).count() +
+      kvDecl.exceptAll(kvNat).count()
+    kvDecl.unpersist(blocking = false)
+    kvNat.unpersist(blocking = false)
+    require(kvDrift == 0, s"native-vs-declarative KMV drift: $kvDrift")
+    require(nKvDecl == nKvNat)
+
     println(s"""{"metric":"stress_sketch","docs":$nDocs,""" +
       s""""hll_sec":$tHll,"hll_groups":$nHll,""" +
       s""""hll_many_groups":$nManyNat,"hll_many_decl_sec":$tManyDecl,""" +
       s""""hll_many_native_sec":$tManyNat,"hll_native_drift":$natDrift,""" +
+      s""""kmv_decl_sec":$tKvDecl,"kmv_native_sec":$tKvNat,""" +
+      s""""kmv_rows":$nKvNat,"kmv_native_drift":$kvDrift,""" +
       s""""cm_sec":$tCm,"cm_build_sec":$tCmBuild,"cm_probe_sec":$tCmProbe,""" +
       s""""cm_cells":$nCells,"cm_heavy_confirmed":$nCm,""" +
       s""""merge_check_sec":$tMerge,"register_drift":$drift,""" +

@@ -116,4 +116,103 @@ object HllSketchAgg {
     while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
     acc >>> 4
   }
+
+  /** First 48 bits of md5 (12 hex digits) — the exact value of
+    * `conv(substring(md5(x), 1, 12), 16, 10)`, the shared hash of the
+    * KMV sketch and every token id in the engine. */
+  private[functions] def hash48(s: UTF8String): Long = hash60(s) >>> 12
+}
+
+/**
+ * Native KMV bottom-k aggregate: per group, the k smallest DISTINCT
+ * 48-bit md5 hashes — kept as a bounded sorted-long-set buffer, so the
+ * partial aggregation ships O(k) longs per group per partition. The
+ * declarative build ([[graft.pipeline.Sketches.kmvSketch]]) must first
+ * `distinct()` the whole (group, hash) space — a shuffle of EVERY
+ * distinct value — before its rank window; this aggregate's state
+ * discards everything above its k-th hash as it goes, which is the
+ * build shape a 100 TB profile pass needs. Same hash, same bottom-k
+ * set, so the two builds are row-identical (spec-pinned) and feed the
+ * same [[graft.pipeline.Sketches.kmvSetOps]]/`kmvEstimate` algebra.
+ *
+ * Returns the sorted hash array; explode to (g, h) rows for the
+ * sketch-table form.
+ */
+case class KmvSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"k = $k too small for a KMV sketch")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch_agg expects string, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      // strictly below the current k-th: it displaces the k-th unless
+      // already present (TreeSet add dedups)
+      if (buf.add(h)) { buf.remove(buf.last()); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, HllSketchAgg.hash48(v.asInstanceOf[UTF8String]))
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) { buf.add(bb.getLong); () }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvSketchAgg = copy(child = newChild)
+
+  override def prettyName: String = "graft_kmv_sketch"
 }

@@ -344,6 +344,23 @@ object Sketches {
     bottomK(hashed, k)
   }
 
+  /** [[kmvSketch]] through the NATIVE
+    * [[graft.functions.KmvSketchAgg]] aggregate: bounded k-smallest
+    * state per group per partition (O(k) longs shipped) instead of a
+    * distinct() of the whole value space feeding a rank window — the
+    * build shape for the 100 TB profile pass; row-identical output
+    * (spec-pinned). */
+  def kmvSketchNative(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = GraftSqlBridge.column(
+      graft.functions.KmvSketchAgg(
+        GraftSqlBridge.expression(col(valueCol).cast("string")), k)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol).as("g")).agg(agg.as("__hs"))
+      .select(col("g"), explode(col("__hs")).as("h"))
+  }
+
   /** Merge shard sketches (union + distinct + re-bottom-k — exact). */
   def kmvMerge(k: Int)(sketches: DataFrame*): DataFrame =
     bottomK(sketches.reduce(_.unionByName(_)).distinct(), k)

@@ -276,6 +276,25 @@ class SketchesSpec extends SparkSpec {
     assert(merged.toSeq == full.toSeq)
   }
 
+  test("kmvSketchNative: bounded-state aggregate build is row-identical " +
+      "to the declarative distinct+window bottom-k") {
+    // duplicates + 13-way repartition force dedup inside the buffer
+    // and k-th displacement across partial merges
+    val df = spark.range(30000).select(
+      concat(lit("g"), col("id") % 7).as("g"),
+      concat(lit("n"), col("id") % 9000).as("v"))
+      .repartition(13)
+    val decl = Sketches.kmvSketch(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val native = Sketches.kmvSketchNative(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(native == decl)
+    // small groups (below k): the buffer holds the whole distinct set
+    val tiny = spark.range(10).select(lit("t").as("g"),
+      concat(lit("x"), col("id")).as("v"))
+    assert(Sketches.kmvSketchNative(tiny, "g", "v").count() == 10)
+  }
+
   test("kmvSetOps: identical sets give jaccard 1, disjoint give 0; " +
       "small sets are estimated exactly") {
     val a = spark.range(40).select(lit("g").as("g"),

@@ -579,6 +579,64 @@ object StreamingQueries {
        |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  /** PERSONALIZED PageRank (random walk with restart) over the same
+    * transition graph: teleport mass restarts ONLY at the
+    * lexicographically-smallest event type (a 1-node seed set), so
+    * ranks measure proximity to that seed instead of global
+    * centrality — the topic-sensitive scoring pass. Same fixed
+    * 3-iteration recurrence, oracle-unrolled with the seed-indicator
+    * teleport column; the seed set is derived declaratively (ORDER BY
+    * + LIMIT 1 on the node set), no driver scalar. */
+  def pageRankPersonal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+      .localCheckpoint()
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().orderBy("node").limit(1)
+    graft.pipeline.Graph.pageRank(edges, iters = 3, damping = 0.85,
+        seeds = Some(seeds))
+      .select(col("node"), round(col("r"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  val pageRankPersonalSql: String = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT nodes.node,
+         |    0.15 * (CASE WHEN nodes.node = (SELECT node FROM seed)
+         |            THEN 1.0 ELSE 0.0 END)
+         |      + 0.85 * COALESCE(c.inflow, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT p.dst AS node, SUM(p.p * $prev.r) AS inflow
+         |    FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1) c
+         |  ON nodes.node = c.node)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, COUNT(*) AS w FROM s
+       |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |o AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+       |p AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS p
+       |      FROM e JOIN o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |seed AS (SELECT MIN(node) AS node FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, ROUND(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** Daily volume anomaly detection: each (event_type, day) count
     * z-scored against its own TRAILING 7-day window (prior days only —
     * no leakage of the scored day into its baseline). One event_type
@@ -636,6 +694,7 @@ object StreamingQueries {
     "q_gapfill" -> gapfill _,
     "q_pagerank" -> pageRankEvents _,
     "q_pagerank_dangling" -> pageRankDangling _,
+    "q_pagerank_personal" -> pageRankPersonal _,
     "q_anomaly" -> anomaly _)
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +716,6 @@ object StreamingQueries {
     "q_gapfill" -> gapfillSql,
     "q_pagerank" -> pageRankEventsSql,
     "q_pagerank_dangling" -> pageRankDanglingSql,
+    "q_pagerank_personal" -> pageRankPersonalSql,
     "q_anomaly" -> anomalySql)
 }

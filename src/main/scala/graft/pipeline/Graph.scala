@@ -44,6 +44,18 @@ object Graph {
    *                convergence; `iters` stays the hard cap) — one
    *                scalar agg per round, same driver-traffic shape as
    *                the dangling mass. 0 (default) = fixed iterations.
+   * @param seeds   when set, PERSONALIZED PageRank (random walk with
+   *                restart): teleport mass lands only on the given
+   *                ("node") seed set, 1/|seeds| each — the
+   *                topic-sensitive ranking that scores nodes by
+   *                proximity to the seeds. Dangling mass (when
+   *                enabled) restarts at the seeds likewise. Ranks
+   *                still start uniform at 1/N (iteration count
+   *                governs how far the restart bias has propagated —
+   *                deterministic, oracle-friendly). None (default)
+   *                keeps the uniform teleport with its original
+   *                single-literal arithmetic, bit-identical to the
+   *                existing oracles.
    * @param saltBuckets when > 1, the dst-keyed inflow aggregation runs
    *                TWO-STAGE (groupBy(dst, salt) then groupBy(dst),
    *                salt = hash(src) mod saltBuckets — the repo's
@@ -62,8 +74,9 @@ object Graph {
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
       dangling: Boolean = false, saltBuckets: Int = 1,
-      tol: Double = 0.0): DataFrame =
-    pageRankConverged(edges, iters, damping, dangling, saltBuckets, tol)._1
+      tol: Double = 0.0, seeds: Option[DataFrame] = None): DataFrame =
+    pageRankConverged(edges, iters, damping, dangling, saltBuckets, tol,
+      seeds)._1
 
   /** [[pageRank]] plus the number of iterations actually run — the
     * production convergence mode. When `tol` > 0 the power iteration
@@ -74,7 +87,7 @@ object Graph {
     * same arithmetic. */
   private[graft] def pageRankConverged(edges: DataFrame, iters: Int,
       damping: Double, dangling: Boolean = false, saltBuckets: Int = 1,
-      tol: Double = 0.0): (DataFrame, Int) = {
+      tol: Double = 0.0, seeds: Option[DataFrame] = None): (DataFrame, Int) = {
     val outMass = edges.groupBy("src").agg(sum("weight").as("wout"))
     // materialize the normalized edge list and node set once
     // (localCheckpoint, the same iterative-dataframe pattern as
@@ -90,6 +103,24 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
+    // PERSONALIZED teleport (random walk with restart): mass restarts
+    // only at the seed nodes — tele(node) = 1/|seeds| on the seed set,
+    // 0 elsewhere; dangling mass (when enabled) restarts at the seeds
+    // too. The uniform path below keeps its original single-literal
+    // arithmetic, so seeds = None stays bit-identical to the oracles.
+    val nodesTele = seeds.map { s =>
+      val marked = nodes.join(
+        s.select(col("node")).distinct(), Seq("node"), "left_semi")
+        .localCheckpoint()
+      val nSeeds = marked.count()
+      require(nSeeds > 0, "pageRank seeds must intersect the node set")
+      nodes.join(marked.withColumn("__isSeed", lit(1)),
+          Seq("node"), "left")
+        .select(col("node"),
+          when(col("__isSeed").isNotNull, lit(1.0 / nSeeds))
+            .otherwise(lit(0.0)).as("tele"))
+        .localCheckpoint()
+    }
     // sinks: nodes that never appear as a src (only needed for the
     // dangling-mass scalar; O(|V|) rows, checkpointed once)
     lazy val sinks = nodes.join(
@@ -118,10 +149,19 @@ object Graph {
           .withColumn("__salt", pmod(hash(col("src")), lit(saltBuckets)))
           .groupBy("node", "__salt").agg(sum("c").as("c1"))
           .groupBy("node").agg(sum("c1").as("inflow"))
-      val next = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n + damping * dMass / n)
-            + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      val next = nodesTele match {
+        case None =>
+          nodes.join(inflow, Seq("node"), "left")
+            .select(col("node"),
+              (lit((1.0 - damping) / n + damping * dMass / n)
+                + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+        case Some(nt) =>
+          nt.join(inflow, Seq("node"), "left")
+            .select(col("node"),
+              (col("tele") * lit(1.0 - damping)
+                + lit(damping * dMass) * col("tele")
+                + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      }
       ran = i
       if (tol > 0.0) {
         // convergence test: one scalar agg joining consecutive rank

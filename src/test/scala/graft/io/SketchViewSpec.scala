@@ -103,4 +103,33 @@ class SketchViewSpec extends SparkSpec {
     SketchView.refresh(spark, h)
     assert(viewRegs(h) == fullRegs(src))
   }
+
+  test("streaming cardinality view: per-micro-batch refresh inside the " +
+      "ingest sink tracks the streamed source exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (src, view) = fresh("stream")
+    Versioned.append(Seq((1L, "a", "x1")).toDF("k", "grp", "v"), src)
+    val h = SketchView.init(spark, src, "k", "grp", "v", view)
+    val in = MemoryStream[(Long, String, String)]
+    // ONE foreachBatch: idempotent source commit + idempotent register
+    // refresh — the restart-safe streaming distinct-count profile
+    val ingest = in.toDS().toDF("k", "grp", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.appendBatch(b, src, id)
+        SketchView.refresh(spark, h)
+        ()
+      }.start()
+    try {
+      in.addData((2L, "a", "x2"), (3L, "b", "y1"))
+      ingest.processAllAvailable()
+      assert(viewRegs(h) == fullRegs(src))
+      in.addData((2L, "a", "x9")) // upsert: old value leaves the set
+      ingest.processAllAvailable()
+      assert(viewRegs(h) == fullRegs(src))
+      val est = SketchView.estimate(spark, h)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == Map("a" -> 2L, "b" -> 1L)) // exact at tiny n
+    } finally ingest.stop()
+  }
 }

@@ -149,4 +149,39 @@ class GraphSpec extends SparkSpec {
       damping = 0.85, tol = 0.0)
     assert(ranCap == 3)
   }
+
+  test("personalized PageRank: hand-unrolled restart recurrence; no " +
+      "teleport mass off the seeds; all-node seeds == uniform teleport") {
+    import spark.implicits._
+    // cycle a -> b -> c -> a plus d -> a; seed at a only
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("d", "a", 1.0)).toDF("src", "dst", "weight")
+    val one = Graph.pageRank(edges, iters = 1, damping = 0.85,
+        seeds = Some(Seq("a").toDF("node")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // from uniform r0 = 0.25: inflow(a) = r(c) + r(d) = 0.5,
+    // inflow(b) = inflow(c) = 0.25, d gets neither inflow nor teleport
+    assert(math.abs(one("a") - (0.15 + 0.85 * 0.5)) < 1e-12)
+    assert(math.abs(one("b") - 0.85 * 0.25) < 1e-12)
+    assert(math.abs(one("c") - 0.85 * 0.25) < 1e-12)
+    assert(one("d") == 0.0)
+    assert(math.abs(one.values.sum - 1.0) < 1e-12) // no sinks: mass kept
+    // deep run: the seed dominates (restart bias), d stays at 0
+    val deep = Graph.pageRank(edges, iters = 30, damping = 0.85,
+        seeds = Some(Seq("a").toDF("node")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(deep("a") == deep.values.max && deep("d") == 0.0)
+    // seeding EVERY node is the uniform teleport (up to fp op order)
+    val allSeeds = Seq("a", "b", "c", "d").toDF("node")
+    val uni = Graph.pageRank(edges, iters = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val seededAll = Graph.pageRank(edges, iters = 5, damping = 0.85,
+        seeds = Some(allSeeds))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- uni)
+      assert(math.abs(seededAll(k) - v) < 1e-12, s"node $k")
+    // seeds outside the node set fail loudly
+    assertThrows[IllegalArgumentException](Graph.pageRank(edges, 1, 0.85,
+      seeds = Some(Seq("zz").toDF("node"))))
+  }
 }

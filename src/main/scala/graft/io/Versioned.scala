@@ -127,6 +127,34 @@ object Versioned {
   def delete(keys: DataFrame, path: String): Int =
     commit(keys.withColumn(DeletedCol, lit(true)), path)
 
+  /** [[append]] gated by named CHECK constraints (the Delta/lakehouse
+    * "expectations" shape): the batch is validated in ONE aggregate
+    * pass BEFORE anything is staged or a version slot is claimed — a
+    * violating batch fails loudly with per-constraint violation
+    * counts and the table is untouched (no slot burned, no staging
+    * to vacuum). SQL CHECK semantics: a row violates a constraint
+    * only when it evaluates to FALSE — NULL passes (guard with
+    * `isNotNull` explicitly when null must fail). The input is read
+    * twice (validate, then write); persist upstream if it is
+    * expensive to recompute. */
+  def appendChecked(df: DataFrame, path: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    require(constraints.nonEmpty, "appendChecked needs >= 1 constraint")
+    val aggs = constraints.map { case (name, c) =>
+      sum(when(c === false, 1L).otherwise(0L)).as(name)
+    }
+    val counts = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = constraints.map(_._1).zipWithIndex
+      .map { case (name, i) =>
+        name -> (if (counts.isNullAt(i)) 0L else counts.getLong(i))
+      }
+      .filter(_._2 > 0)
+    require(violated.isEmpty, "appendChecked: constraint violations, " +
+      "nothing committed — " + violated.map { case (n, c) => s"$n: $c row" +
+        (if (c == 1) "" else "s") }.mkString("; "))
+    append(df, path)
+  }
+
   /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` shape):
     * `updates` carries the key plus any subset of columns; at read
     * time each non-null update value overrides the base row's column,

@@ -532,6 +532,35 @@ class VersionedSpec extends SparkSpec {
       d.getName.startsWith("v=") || d.getName.startsWith(".")))
   }
 
+  test("appendChecked: CHECK expectations gate the commit — violations " +
+      "fail loudly with counts, table untouched, no slot burned") {
+    val p = freshPath("check")
+    val good = Seq((1L, 10, "en"), (2L, 20, "de")).toDF("k", "x", "lang")
+    val checks = Seq(
+      "x_positive" -> (col("x") > 0),
+      "lang_known" -> col("lang").isin("en", "de", "fr"))
+    assert(Versioned.appendChecked(good, p, checks) == 1)
+    // violating batch: 2 rows fail x_positive, 1 fails lang_known
+    val bad = Seq((3L, -1, "en"), (4L, 0, "xx"), (5L, 7, "de"))
+      .toDF("k", "x", "lang")
+    val e = intercept[IllegalArgumentException](
+      Versioned.appendChecked(bad, p, checks))
+    assert(e.getMessage.contains("x_positive: 2 rows"))
+    assert(e.getMessage.contains("lang_known: 1 row"))
+    assert(Versioned.latestVersion(spark, p) == 1, "nothing committed")
+    // no claim-slot leak: the next good commit takes version 2
+    assert(Versioned.appendChecked(
+      Seq((6L, 1, "fr")).toDF("k", "x", "lang"), p, checks) == 2)
+    // SQL CHECK null semantics: NULL passes; isNotNull makes it fail
+    val withNull = Seq((7L, 5, null.asInstanceOf[String]))
+      .toDF("k", "x", "lang")
+    assert(Versioned.appendChecked(withNull, p,
+      Seq("lang_known" -> col("lang").isin("en", "de", "fr"))) == 3)
+    assertThrows[IllegalArgumentException](Versioned.appendChecked(
+      Seq((8L, 5, null.asInstanceOf[String])).toDF("k", "x", "lang"), p,
+      Seq("lang_present" -> col("lang").isNotNull)))
+  }
+
   test("bloomIndex + currentAsOfPoint: point lookups skip files zone " +
       "maps can't, same answers, no false negatives") {
     val p = freshPath("bloom")

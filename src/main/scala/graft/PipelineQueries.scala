@@ -1457,6 +1457,53 @@ object PipelineQueries {
        |SELECT g AS lang, p, est_value AS est_n_chars
        |FROM qest ORDER BY 1, 2""".stripMargin
 
+  /** Symmetric per-vector INT8 quantization of the embedding column —
+    * the serving-side compression step between training embeddings and
+    * an ANN index (PQ compresses harder; int8 keeps per-dimension
+    * semantics): scale = max|x| / 127, code = round(x / scale). A pure
+    * narrow projection (HOF arithmetic per element, no shuffle before
+    * the presentation sort); emitted metrics are all
+    * accumulation-free — scale is one division, code_sum is an exact
+    * integer fold, max_err is an elementwise max — so both engines
+    * land on identical values (no float-sum ordering anywhere). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = (c: org.apache.spark.sql.Column) => c.cast("double")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("scale",
+        array_max(transform(col("embedding"), e => abs(x(e)))) / lit(127.0))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale_r"),
+        when(col("scale") === 0, lit(0L))
+          .otherwise(aggregate(
+            transform(col("embedding"),
+              e => round(x(e) / col("scale")).cast("long")),
+            lit(0L), (acc, c) => acc + c)).as("code_sum"),
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(round(array_max(transform(col("embedding"),
+            e => abs(x(e) - round(x(e) / col("scale")) * col("scale")))),
+            9)).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  ROUND(scale, 9) AS scale_r,
+      |  CASE WHEN scale = 0 THEN 0
+      |    ELSE CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS BIGINT)))
+      |      AS BIGINT) END AS code_sum,
+      |  CASE WHEN scale = 0 THEN 0.0
+      |    ELSE ROUND(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)
+      |        - ROUND(CAST(x AS DOUBLE) / scale) * scale))), 9)
+      |  END AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   /** Theta-style KMV set algebra ([[Sketches.kmvSetOps]], k = 64):
     * pairwise distinct-token overlap between languages — estimated
     * |A ∪ B|, |A ∩ B| and Jaccard ppm from the two bottom-k sketches
@@ -2870,6 +2917,7 @@ object PipelineQueries {
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
+    "q_embed_quantize" -> embedQuantize _,
     "q_bloom_join" -> bloomJoin _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_simhash" -> dedupSimhash _,
@@ -2941,6 +2989,7 @@ object PipelineQueries {
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_bloom_join" -> bloomJoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -542,6 +542,26 @@ object Stress {
     qs.unpersist(blocking = false)
     require(qDrift == 0, s"quantile shard-fold drift: $qDrift rows")
 
+    // native bucket-map aggregate vs the declarative bucket rows at the
+    // many-group shape (cells must be identical)
+    val manyV = docs.select((col("id") % math.max(nDocs / 10, 1L))
+        .cast("string").as("g"),
+      (col("id") * col("id") % 9999991L).as("x"))
+    val t4b = System.nanoTime()
+    val qDecl = Sketches.quantileBuckets(manyV, "g", "x").persist()
+    val nQDecl = qDecl.count()
+    val tQDecl = (System.nanoTime() - t4b) / 1e9
+    val t4c = System.nanoTime()
+    val qNat = Sketches.quantileBucketsNative(manyV, "g", "x").persist()
+    val nQNat = qNat.count()
+    val tQNat = (System.nanoTime() - t4c) / 1e9
+    val qNatDrift = qNat.exceptAll(qDecl).count() +
+      qDecl.exceptAll(qNat).count()
+    qDecl.unpersist(blocking = false)
+    qNat.unpersist(blocking = false)
+    require(qNatDrift == 0 && nQDecl == nQNat,
+      s"native-vs-declarative quantile drift: $qNatDrift")
+
     // native byte-buffer HLL aggregate vs the register-table form at a
     // MANY-GROUP profile shape (nDocs/10 groups): the declarative form
     // shuffles up to m register rows per group, the native one a single
@@ -593,7 +613,10 @@ object Stress {
       s""""merge_check_sec":$tMerge,"register_drift":$drift,""" +
       s""""quantile_sec":$tQs,"quantile_buckets":$nQBuckets,""" +
       s""""quantile_rows":$nQ,"quantile_merge_sec":$tQMerge,""" +
-      s""""quantile_drift":$qDrift}""")
+      s""""quantile_drift":$qDrift,""" +
+      s""""quantile_many_decl_sec":$tQDecl,""" +
+      s""""quantile_many_native_sec":$tQNat,""" +
+      s""""quantile_native_drift":$qNatDrift}""")
     spark.stop()
   }
 
@@ -760,12 +783,34 @@ object Stress {
     require(nPostVac == nPreVac,
       s"vacuum changed the resolved state: $nPreVac vs $nPostVac")
 
+    // Bloom point-lookup index over the post-vacuum table (hash-spread
+    // keys — zone maps alone cannot skip): index build, then point
+    // lookups with and without the index, counting files opened
+    val t7 = System.nanoTime()
+    val nIndexed = Versioned.bloomIndex(spark, path, "k")
+    val tIndex = (System.nanoTime() - t7) / 1e9
+    // a base key untouched by the upsert (k%100 in 1..50) and delete
+    // (k%101 == 0) streams
+    val probe = 4299L
+    val t8 = System.nanoTime()
+    val hit = Versioned.currentPoint(spark, path, "k", probe)
+    val nHit = hit.count()
+    val tPoint = (System.nanoTime() - t8) / 1e9
+    val filesOpened = hit.inputFiles.length
+    val filesTotal = Versioned.current(spark, path, "k").inputFiles.length
+    require(nHit == 1L, s"point lookup found $nHit rows for key $probe")
+    require(filesOpened < filesTotal,
+      s"bloom pruned nothing: $filesOpened of $filesTotal")
+
     println(s"""{"metric":"stress_vtable","rows":$nRows,"versions":${cp},""" +
       s""""build_sec":$tBuild,"resolve_pre_compact_sec":$tPre,""" +
       s""""live_rows":$nPre,"compact_sec":$tCompact,""" +
       s""""resolve_post_compact_sec":$tPost,"timetravel_v25_sec":$tTt,""" +
       s""""timetravel_rows":$nTt,"vacuum_sec":$tVacuum,""" +
-      s""""vacuumed_versions":${reclaimed.size},"dirs_after_vacuum":$nDirs}""")
+      s""""vacuumed_versions":${reclaimed.size},"dirs_after_vacuum":$nDirs,""" +
+      s""""bloom_index_sec":$tIndex,"bloom_dirs_indexed":$nIndexed,""" +
+      s""""point_lookup_sec":$tPoint,"point_files_opened":$filesOpened,""" +
+      s""""point_files_total":$filesTotal}""")
     spark.stop()
   }
 

@@ -216,3 +216,114 @@ case class KmvSketchAgg(child: Expression, k: Int,
 
   override def prettyName: String = "graft_kmv_sketch"
 }
+
+/**
+ * Native quantile-sketch aggregate: the HDR-style log2-linear bucket
+ * histogram ([[graft.pipeline.Sketches.quantileBuckets]]) as ONE
+ * open-addressed (bucket → count) map per group — partials ship one
+ * row of ~2k entries per group per partition instead of up to ~2k
+ * (g, idx, cnt) rows. Bit-identical bucket ids: the same
+ * `length(bin(x))` exponent (here `64 - numberOfLeadingZeros`) and
+ * exact power-of-two division. Returns (idx, cnt) struct rows via
+ * explode for the existing merge/estimate algebra.
+ */
+case class QuantileSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1 && k <= 16, s"k = $k out of range")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cnt", LongType,
+          nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantile_sketch_agg expects bigint, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  /** The bucket id — identical to Sketches.qsBucket's Column algebra:
+    * values below 2^(k+1) are exact; above, (e-k)*2^k plus the top k
+    * mantissa bits via floor(x / 2^(e-k)) (an exact shift for x >= 0). */
+  private def bucket(x: Long): Long =
+    if (x < (1L << (k + 1))) x
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val s = e - k
+      s.toLong * (1L << k) + (x >>> s)
+    }
+
+  override def update(buf: java.util.HashMap[Long, Long],
+      input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val idx = bucket(v.asInstanceOf[Long])
+      buf.merge(idx, 1L, (a, b) => a + b)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long],
+      other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.merge(e.getKey, e.getValue, (x, y) => x + y)
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](buf.size)
+    val keys = new Array[Long](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys)
+    i = 0
+    while (i < keys.length) {
+      rows(i) = InternalRow(keys(i), buf.get(keys(i)))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[Long, Long] = {
+    val buf = new java.util.HashMap[Long, Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) { buf.put(bb.getLong, bb.getLong); () }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantileSketchAgg = copy(child = newChild)
+
+  override def prettyName: String = "graft_quantile_sketch"
+}

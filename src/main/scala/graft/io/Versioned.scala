@@ -707,15 +707,18 @@ object Versioned {
    * per-file Bloom is the index that makes `currentAsOfPoint` open
    * ~1 file per version dir regardless of layout (Delta's Bloom
    * index shape). Build cost is one distributed pass per un-indexed
-   * dir (delta-sized at steady state: new commits are deltas); the
-   * driver holds mBits/8 bytes per file. Published atomically via
-   * the session's [[LogStore]] — readers see the whole index or none
-   * (absence just means "no pruning"). Returns the dirs indexed.
+   * dir (delta-sized at steady state: new commits are deltas); each
+   * file's filter is SIZED TO ITS ROW COUNT (bitsPerKey bits/row,
+   * pow2-rounded, 1 KiB–2 MiB) — a fixed width would saturate on a
+   * checkpoint's large files and silently admit everything.
+   * Published atomically via the session's [[LogStore]] — readers
+   * see the whole index or none (absence just means "no pruning").
+   * Returns the dirs indexed.
    */
   def bloomIndex(spark: SparkSession, path: String, keyCol: String,
-      mBits: Int = 1 << 16, kHashes: Int = 5): Int = {
-    require(mBits % 64 == 0 && kHashes >= 1,
-      s"bad bloom params: mBits=$mBits kHashes=$kHashes")
+      bitsPerKey: Int = 10, kHashes: Int = 5): Int = {
+    require(bitsPerKey >= 2 && kHashes >= 1,
+      s"bad bloom params: bitsPerKey=$bitsPerKey kHashes=$kHashes")
     val f = fs(spark, path)
     val store = LogStore.forSession(spark)
     var indexed = 0
@@ -726,19 +729,36 @@ object Versioned {
         val parts = f.listStatus(dir).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
         if (parts.nonEmpty) {
-          val lanes = graft.pipeline.Bloom.buildGrouped(
-            spark.read.option("mergeSchema", "true")
-              .parquet(parts.map(_.toString): _*)
-              .select(input_file_name().as("__file"), col(keyCol)),
-            "__file", keyCol, mBits, kHashes)
-          val lines = lanes.toSeq.sortBy(_._1).map { case (file, arr) =>
-            val name = new Path(file).getName
-            val packed = arr.zipWithIndex.collect {
-              case (bits, i) if bits != 0L =>
-                s"$i:${java.lang.Long.toHexString(bits)}"
-            }.mkString(",")
-            s"$name\t$keyCol\t$mBits\t$kHashes\t$packed"
+          val keys = spark.read.option("mergeSchema", "true")
+            .parquet(parts.map(_.toString): _*)
+            .select(input_file_name().as("__file"), col(keyCol))
+            .localCheckpoint()
+          // SIZE THE FILTER TO THE FILE: a fixed width saturates on a
+          // checkpoint's row-count-sized files (a full filter admits
+          // everything — silently useless, not wrong). One bounded agg
+          // gives rows-per-file; mBits = next pow2 of bitsPerKey×rows,
+          // clamped to [2^13, 2^24] (1 KiB .. 2 MiB per file).
+          val rowsPerFile = keys.groupBy("__file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          def mBitsFor(n: Long): Int = {
+            val want = math.max(1L << 13,
+              math.min(1L << 24, bitsPerKey.toLong * math.max(n, 1L)))
+            java.lang.Long.highestOneBit(want * 2 - 1).toInt
           }
+          val byBits = rowsPerFile.groupBy { case (_, n) => mBitsFor(n) }
+          val lines = byBits.toSeq.flatMap { case (mBits, files) =>
+            val lanes = graft.pipeline.Bloom.buildGrouped(
+              keys.filter(col("__file").isin(files.keys.toSeq: _*)),
+              "__file", keyCol, mBits, kHashes)
+            lanes.toSeq.map { case (file, arr) =>
+              val name = new Path(file).getName
+              val packed = arr.zipWithIndex.collect {
+                case (bits, i) if bits != 0L =>
+                  s"$i:${java.lang.Long.toHexString(bits)}"
+              }.mkString(",")
+              s"$name\t$keyCol\t$mBits\t$kHashes\t$packed"
+            }
+          }.sorted
           store.writeAtomic(f, bp, lines.mkString("", "\n", "\n"))
           indexed += 1
         }

@@ -248,6 +248,30 @@ object Sketches {
         qsBucket(col(valueCol).cast("long"), k).as("idx"))
       .groupBy("g", "idx").agg(count(lit(1)).as("cnt"))
 
+  /** [[quantileBuckets]] through the NATIVE
+    * [[graft.functions.QuantileSketchAgg]] aggregate: one ~2k-entry
+    * bucket map per group as the whole partial state — identical
+    * bucket ids and counts (spec-pinned), feeding the same
+    * merge/estimate algebra. MEASURED NOTE (sketch stress, 100k
+    * groups): the DECLARATIVE bucket build is the faster default here
+    * (1.7 s vs 2.4 s) — its keyspace is already bounded (~2k buckets/
+    * group) so codegen'd HashAggregate partials beat the object-state
+    * aggregate, unlike HLL/KMV whose declarative forms carry
+    * register-table rows or a full distinct shuffle. Prefer
+    * [[quantileBuckets]] unless per-partition group×bucket fan-out is
+    * the proven bottleneck. */
+  def quantileBucketsNative(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = QSubBits): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = GraftSqlBridge.column(
+      graft.functions.QuantileSketchAgg(
+        GraftSqlBridge.expression(col(valueCol).cast("long")), k)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol).as("g")).agg(agg.as("__b"))
+      .select(col("g"), explode(col("__b")).as("b"))
+      .select(col("g"), col("b.idx").as("idx"), col("b.cnt").as("cnt"))
+  }
+
   /** Merge shard bucket states (union + per-bucket sum). */
   def quantileMerge(sketches: DataFrame*): DataFrame =
     sketches.reduce(_.unionByName(_))

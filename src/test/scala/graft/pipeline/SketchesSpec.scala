@@ -263,6 +263,32 @@ class SketchesSpec extends SparkSpec {
         "g", "v", b = 13))
   }
 
+  test("quantileBucketsNative: bucket-map aggregate equals the " +
+      "declarative bucket rows exactly, estimates unchanged") {
+    // full exponent spread incl. sub-2^(k+1) exact values, multiple
+    // groups, forced partial merges
+    val df = spark.range(80000).select(
+      concat(lit("g"), col("id") % 5).as("g"),
+      (col("id") * col("id") % 9999991L).as("x"))
+      .repartition(11)
+    val decl = Sketches.quantileBuckets(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val native = Sketches.quantileBucketsNative(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(native == decl)
+    val eDecl = Sketches.quantileEstimate(
+        Sketches.quantileBuckets(df, "g", "x"), Seq(50, 95, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val eNat = Sketches.quantileEstimate(
+        Sketches.quantileBucketsNative(df, "g", "x"), Seq(50, 95, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(eNat == eDecl)
+  }
+
   test("kmvMerge: shard folds reproduce the full-corpus sketch exactly") {
     val df = spark.range(20000).select(lit("g").as("g"),
       concat(lit("k"), col("id")).as("v"))

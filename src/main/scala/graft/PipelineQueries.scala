@@ -1428,6 +1428,35 @@ object PipelineQueries {
        |FROM probe JOIN cm ON probe.hrow = cm.hrow AND probe.pos = cm.pos
        |GROUP BY 1, 2 ORDER BY n DESC, tok""".stripMargin
 
+  /** EXACT heavy hitters via a one-pass Misra-Gries summary + exact
+    * candidate recount ([[Sketches.heavyHittersExact]], k=64): the
+    * item stream is a deterministic skewed projection of event ids
+    * (floor(sqrt(event_id % 10000)) — value v appears ~2v+1 times per
+    * 10k ids, ~100 distinct items > k so the eviction/merge-decrement
+    * path is exercised, not just exact tracking). The MG survivor
+    * guarantee (every item with count > n/65 is in the <= 64-entry
+    * summary) makes the recounted output EXACTLY the set the oracle
+    * computes with a full group-by — the sketch bounds state, the
+    * recount restores exactness. */
+  def heavyHittersMg(spark: SparkSession, dir: String): DataFrame = {
+    val items = spark.read.parquet(s"$dir/events.parquet")
+      .select(concat(lit("p"),
+        floor(sqrt((col("event_id") % 10000).cast("double")))
+          .cast("long").cast("string")).as("item"))
+    Sketches.heavyHittersExact(items, "item", 64)
+  }
+
+  val heavyHittersMgSql: String =
+    """WITH t0 AS (
+      |  SELECT 'p' || CAST(CAST(FLOOR(SQRT(event_id % 10000)) AS BIGINT)
+      |    AS VARCHAR) AS item
+      |  FROM events),
+      |ex AS (SELECT item, COUNT(*) AS cnt FROM t0 GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM t0)
+      |SELECT ex.item, ex.cnt FROM ex, tot
+      |WHERE ex.cnt * 65 > tot.n
+      |ORDER BY cnt DESC, item""".stripMargin
+
   /** Mergeable quantile sketch ([[Sketches.quantileBuckets]], HDR-style
     * log2-linear buckets, rel. error <= 2^-5): per-language p50/p95/p99
     * of document length, built as TWO SHARD sketches folded through
@@ -2914,6 +2943,7 @@ object PipelineQueries {
     "q_search_near" -> searchNear _,
     "q_search_facets" -> searchFacets _,
     "q_heavy_hitters" -> heavyHitters _,
+    "q_heavy_mg" -> heavyHittersMg _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
@@ -2986,6 +3016,7 @@ object PipelineQueries {
     "q_search_near" -> searchNearSql,
     "q_search_facets" -> searchFacetsSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_heavy_mg" -> heavyHittersMgSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,

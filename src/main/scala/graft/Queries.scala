@@ -1099,7 +1099,7 @@ object Queries {
     * DELETEs of doc_id % 7 == 0. Deterministically rebuilt per call. */
   private def buildVersionedDemo(spark: SparkSession, dir: String,
       tag: String, withInserts: Boolean = false,
-      withCompact: Boolean = false): String = {
+      withCompact: Boolean = false, withRestoreTo: Int = 0): String = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-" + tag + "-" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1123,6 +1123,8 @@ object Queries {
             lit("xx").as("lang"), col("doc_id").cast("long").as("n_chars")),
           path)
       if (withCompact) Versioned.compact(spark, path, "doc_id")
+      if (withRestoreTo > 0)
+        Versioned.restore(spark, path, "doc_id", withRestoreTo)
       ()
     })
     path
@@ -1206,6 +1208,31 @@ object Queries {
        |FROM r WHERE rk = 1 AND NOT del
        |  AND doc_id IN (3, 10, 14, 21, 999999)
        |ORDER BY doc_id""".stripMargin
+
+  /** RESTORE to an old version as a new commit
+    * ([[graft.io.Versioned.restore]], Delta's RESTORE shape): the
+    * fixture takes v1 (bulk) / v2 (upserts + schema evolution) /
+    * v3 (tombstone deletes), then restores to v2 — the deletes are
+    * UNWOUND by a roll-forward checkpoint, no file deleted, v3 still
+    * time-travelable. `current` after the restore must equal the
+    * v<=2 log resolve, which is exactly what the oracle computes. */
+  def tableRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableRestoreSql: String =
+    s"""WITH $versionedLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u WHERE v <= 2)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
@@ -1794,6 +1821,7 @@ object Queries {
     "q_table_history" -> tableHistory _,
     "q_table_snapshot_range" -> tableSnapshotRange _,
     "q_table_point" -> tablePoint _,
+    "q_table_restore" -> tableRestore _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -1846,6 +1874,7 @@ object Queries {
     "q_table_history" -> tableHistorySql,
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
     "q_table_point" -> tablePointSql,
+    "q_table_restore" -> tableRestoreSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

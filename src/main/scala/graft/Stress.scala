@@ -562,6 +562,33 @@ object Stress {
     require(qNatDrift == 0 && nQDecl == nQNat,
       s"native-vs-declarative quantile drift: $qNatDrift")
 
+    // Misra-Gries exact heavy hitters at a LARGE vocabulary: 30% of
+    // rows over 7 genuinely heavy items (~4.3% each > 1/65), 70% over
+    // an ~nDocs/2-distinct tail — the exact group-by must materialize
+    // the whole tail as agg state, MG carries 64 counters per
+    // partition regardless. Sets must be IDENTICAL because the
+    // candidate-restricted recount restores exactness.
+    val mgItems = docs.select(
+      when(col("id") % 10 < 3, concat(lit("h"), col("id") % 7))
+        .otherwise(concat(lit("t"), col("id") % math.max(nDocs / 2, 1000L)))
+        .as("item"))
+    val t4d = System.nanoTime()
+    val mgOut = Sketches.heavyHittersExact(mgItems, "item", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val tMg = (System.nanoTime() - t4d) / 1e9
+    val t4e = System.nanoTime()
+    val mgExactAll = mgItems.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val nMgTotal = mgItems.count()
+    val mgWant = mgExactAll
+      .filter(col("cnt") * 65 > nMgTotal)
+      .orderBy(col("cnt").desc, col("item"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val tMgExact = (System.nanoTime() - t4e) / 1e9
+    mgExactAll.unpersist(blocking = false)
+    require(mgOut == mgWant,
+      s"MG heavy hitters diverge from exact: ${mgOut.size} vs ${mgWant.size}")
+
     // native byte-buffer HLL aggregate vs the register-table form at a
     // MANY-GROUP profile shape (nDocs/10 groups): the declarative form
     // shuffles up to m register rows per group, the native one a single
@@ -616,6 +643,8 @@ object Stress {
       s""""quantile_drift":$qDrift,""" +
       s""""quantile_many_decl_sec":$tQDecl,""" +
       s""""quantile_many_native_sec":$tQNat,""" +
+      s""""mg_heavy_sec":$tMg,"mg_exact_sec":$tMgExact,""" +
+      s""""mg_heavy_rows":${mgOut.size},""" +
       s""""quantile_native_drift":$qNatDrift}""")
     spark.stop()
   }

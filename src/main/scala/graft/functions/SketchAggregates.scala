@@ -327,3 +327,149 @@ case class QuantileSketchAgg(child: Expression, k: Int,
 
   override def prettyName: String = "graft_quantile_sketch"
 }
+
+/**
+ * Native Misra-Gries heavy-hitter summary: k counters per group as ONE
+ * (item -> count) map — the bounded-state ONE-PASS complement to the
+ * count-min table ([[graft.pipeline.Sketches.countMinTable]]): no
+ * fixed hash grid, no candidate list needed up front, state O(k) per
+ * group regardless of vocabulary size. Partials merge by counter
+ * addition followed by a decrement of the (k+1)-st largest count
+ * (Agarwal et al., "Mergeable Summaries", PODS 2012, §3.1), which
+ * preserves the classic deterministic guarantee across any merge
+ * tree: every item with true frequency > n/(k+1) survives, with
+ * estimate >= true - n/(k+1). The EXACT heavy-hitter set is then
+ * recovered by one candidate-restricted recount
+ * ([[graft.pipeline.Sketches.heavyHittersExact]]) — candidates are
+ * <= k rows, so the recount join broadcasts.
+ *
+ * Returns (item, est) struct rows sorted by item (deterministic
+ * output independent of merge order is NOT guaranteed for `est` —
+ * only the survivor guarantee is; callers needing exact counts do
+ * the recount pass).
+ */
+case class MisraGriesAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1 && k <= 100000, s"k = $k out of range")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("est", LongType,
+          nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries_agg expects string, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(s)
+      if (cur != null) buf.put(s, cur + 1L)
+      else if (buf.size < k) buf.put(s, 1L)
+      else {
+        // full: decrement every counter (the arriving item's implicit
+        // counter of 1 cancels against the global decrement), dropping
+        // counters that reach zero
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      other: java.util.HashMap[String, Long])
+      : java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.merge(e.getKey, e.getValue, (x, y) => x + y)
+    }
+    if (a.size > k) {
+      // subtract the (k+1)-st largest count from every counter and
+      // drop the non-positive — the mergeable-summaries reduction
+      // back to <= k counters
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - 1 - k) // (k+1)-st largest
+      val eit = a.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= cut) eit.remove()
+        else e.setValue(e.getValue - cut)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    val kit = buf.keySet().iterator()
+    var i = 0
+    while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](keys.length)
+    i = 0
+    while (i < keys.length) {
+      rows(i) = InternalRow(UTF8String.fromString(keys(i)), buf.get(keys(i)))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesAgg = copy(child = newChild)
+
+  override def prettyName: String = "graft_misra_gries"
+}

@@ -843,6 +843,23 @@ object Versioned {
     commit(resolved, path, checkpoint = true)
   }
 
+  /** RESTORE the table to its state as of `version`, committed as a
+    * NEW checkpoint version (Delta's RESTORE shape — a roll-forward,
+    * not a rewind): pre-restore history stays fully time-travelable
+    * ([[asOf]]/[[currentAsOf]] of any old version are unchanged),
+    * reads at or after the restore resolve from the restored
+    * checkpoint only, so upserts land AFTER `version` are unwound and
+    * keys CREATED after it disappear — without deleting a single
+    * file. Vacuum-guarded like any resolve: restoring below the
+    * vacuum base fails loudly (that state is no longer
+    * reconstructable). Returns the new version. */
+  def restore(spark: SparkSession, path: String, keyCol: String,
+      version: Int): Int = {
+    val resolved = currentAsOf(spark, path, keyCol, version)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
+    commit(resolved, path, checkpoint = true)
+  }
+
   /** [[compact]] carrying a batch-idempotency marker into the
     * checkpoint version — what lets a maintained view's compaction
     * survive vacuum without erasing its refresh lineage (the marker

@@ -449,4 +449,46 @@ object Sketches {
         .otherwise(floor((col("ci") * 1000000L).cast("double")
           / col("cu").cast("double")).cast("long")).as("jacc_ppm"))
   }
+
+  /** One-pass Misra-Gries candidate summary per group
+    * ([[graft.functions.MisraGriesAgg]]): at most k (item, est) rows
+    * per group, bounded O(k) state per group per partition regardless
+    * of vocabulary. Survivor guarantee (preserved across any merge
+    * tree): every item whose true in-group frequency exceeds
+    * n_g/(k+1) is present. Estimates underestimate by at most
+    * n_g/(k+1) — use [[heavyHittersExact]] when exact counts matter.
+    */
+  def mgCandidates(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = GraftSqlBridge.column(
+      graft.functions.MisraGriesAgg(
+        GraftSqlBridge.expression(col(valueCol).cast("string")), k)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol).as("g")).agg(agg.as("__mg"))
+      .select(col("g"), explode(col("__mg")).as("c"))
+      .select(col("g"), col("c.item").as("item"), col("c.est").as("est"))
+  }
+
+  /** EXACT heavy hitters — items with true count strictly above
+    * n/(k+1) — in two bounded passes: a global Misra-Gries summary
+    * (every qualifying item is guaranteed to survive it), then an
+    * exact recount restricted to the <= k candidates (broadcast
+    * semi-join: the second scan aggregates only candidate rows).
+    * Versus the count-min path ([[countMinTable]]) this needs no
+    * up-front candidate list and no fixed hash grid, and the output
+    * is EXACT, not an overestimate — the price is the second scan.
+    * Output: (item, cnt) sorted by cnt desc, item — deterministic
+    * because the recount is exact. */
+  def heavyHittersExact(df: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    val items = df.select(col(valueCol).cast("string").as(valueCol))
+    val n = items.count()
+    val cands = mgCandidates(items.withColumn("__g", lit(1)), "__g",
+      valueCol, k).select(col("item").as(valueCol))
+    items.join(broadcast(cands), valueCol)
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > n)
+      .orderBy(col("cnt").desc, col(valueCol))
+  }
 }

@@ -50,6 +50,37 @@ class VersionedSpec extends SparkSpec {
     assert(cur == Map(1L -> None, 2L -> Some("fresh")))
   }
 
+  test("restore: roll-forward to an old version unwinds later commits, " +
+      "keeps all history time-travelable, and the table stays writable") {
+    val p = freshPath("restore")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 99), (4L, 40)).toDF("k", "x"), p) // upsert+insert
+    Versioned.delete(Seq(Tuple1(1L)).toDF("k"), p)              // delete k=1
+    def cur() = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur() == Map(2L -> 99, 3L -> 30, 4L -> 40))
+    // restore to v1: upsert/insert/delete all unwound
+    val v = Versioned.restore(spark, p, "k", 1)
+    assert(v == 4)
+    assert(cur() == Map(1L -> 10, 2L -> 20, 3L -> 30))
+    // pre-restore history is untouched: every old version still resolves
+    assert(Versioned.currentAsOf(spark, p, "k", 2)
+      .select("k", "x").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == Map(1L -> 10, 2L -> 99, 3L -> 30, 4L -> 40))
+    assert(Versioned.currentAsOf(spark, p, "k", 3)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // and the table keeps accepting commits on top of the restore
+    Versioned.append(Seq((5L, 50)).toDF("k", "x"), p)
+    assert(cur() == Map(1L -> 10, 2L -> 20, 3L -> 30, 5L -> 50))
+    // restoring below the vacuum base fails loudly
+    Versioned.compact(spark, p, "k")
+    Versioned.vacuum(spark, p, 0)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, p, "k", 2)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("compact: checkpointed read equals pre-compact state; time travel intact") {
     val p = freshPath("cp")
     Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)

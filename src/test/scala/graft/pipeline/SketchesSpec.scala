@@ -289,6 +289,94 @@ class SketchesSpec extends SparkSpec {
     assert(eNat == eDecl)
   }
 
+  test("misra-gries: survivor guarantee holds under forced partial " +
+      "merges; exact recount equals the full group-by") {
+    // ~100 distinct items with linearly increasing frequency (value v
+    // appears 2v+1 times per 10k ids) across 13 partitions — well over
+    // k=64 counters, so both the update eviction and the merge
+    // decrement run constantly
+    val df = spark.range(40000).select(
+      concat(lit("p"), floor(sqrt((col("id") % 10000).cast("double")))
+        .cast("long").cast("string")).as("item"))
+      .repartition(13)
+    val n = 40000L
+    val k = 64
+    val exact = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cands = Sketches.mgCandidates(
+        df.withColumn("g", lit(1)), "g", "item", k)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(cands.size <= k)
+    // every item with true count > n/(k+1) survives, with
+    // est in (true - n/(k+1), true]
+    val thresh = n.toDouble / (k + 1)
+    for ((item, cnt) <- exact if cnt > thresh) {
+      assert(cands.contains(item), s"$item (cnt=$cnt) evicted")
+      assert(cands(item) <= cnt && cands(item) > cnt - thresh,
+        s"$item est=${cands(item)} true=$cnt")
+    }
+    // the two-pass exact path IS the full-group-by answer
+    val hh = Sketches.heavyHittersExact(df, "item", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = exact.filter { case (_, c) => c * (k + 1) > n }
+      .toSeq.sortBy { case (i, c) => (-c, i) }
+    assert(hh.toSeq == want)
+  }
+
+  test("misra-gries: per-group summaries track grouped heavy hitters") {
+    // two groups with different vocabularies; k large enough that the
+    // small group is tracked exactly, small enough that the big one
+    // evicts
+    val df = spark.range(30000).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      concat(lit("x"), when(col("id") % 3 === 0, col("id") % 7)
+        .otherwise(floor(sqrt((col("id") % 9000).cast("double")))
+          .cast("long"))).as("item"))
+      .repartition(7)
+    val out = Sketches.mgCandidates(df, "g", "item", 16)
+      .collect().groupBy(_.getString(0))
+    // group a: 7 distinct < k=16 -> tracked exactly
+    val aCands = out("a").map(r => r.getString(1) -> r.getLong(2)).toMap
+    val aExact = df.filter(col("g") === "a").groupBy("item")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aCands == aExact)
+    // group b: ~95 distinct > k -> bounded summary, survivors only
+    assert(out("b").length <= 16)
+  }
+
+  test("misra-gries as a STREAMING aggregate: complete-mode summary " +
+      "after the last micro-batch keeps the survivor guarantee") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // 30% heavy over 5 items, 70% tail over 800 — TypedImperativeAggregate
+    // state is one <= 64-entry map per group in the state store
+    val vals = (0 until 12000).map { i =>
+      ("g", if (i % 10 < 3) "h" + (i % 5) else "t" + (i % 800))
+    }
+    val stream = MemoryStream[(String, String)]
+    val query = Sketches.mgCandidates(
+        stream.toDS().toDF("g", "item"), "g", "item", 64)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      vals.grouped(2345).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("mg_stream").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(streamed.size <= 64)
+      val exact = vals.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val thresh = vals.size.toDouble / 65
+      for ((item, cnt) <- exact if cnt > thresh) {
+        assert(streamed.contains(item), s"$item (cnt=$cnt) evicted")
+        assert(streamed(item) <= cnt && streamed(item) > cnt - thresh)
+      }
+    } finally query.stop()
+  }
+
   test("kmvMerge: shard folds reproduce the full-corpus sketch exactly") {
     val df = spark.range(20000).select(lit("g").as("g"),
       concat(lit("k"), col("id")).as("v"))

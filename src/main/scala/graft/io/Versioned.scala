@@ -843,21 +843,49 @@ object Versioned {
     commit(resolved, path, checkpoint = true)
   }
 
-  /** RESTORE the table to its state as of `version`, committed as a
-    * NEW checkpoint version (Delta's RESTORE shape — a roll-forward,
-    * not a rewind): pre-restore history stays fully time-travelable
-    * ([[asOf]]/[[currentAsOf]] of any old version are unchanged),
-    * reads at or after the restore resolve from the restored
-    * checkpoint only, so upserts land AFTER `version` are unwound and
-    * keys CREATED after it disappear — without deleting a single
-    * file. Vacuum-guarded like any resolve: restoring below the
-    * vacuum base fails loudly (that state is no longer
-    * reconstructable). Returns the new version. */
+  /** RESTORE the table to its state as of `version` — a roll-forward,
+    * not a rewind (Delta's RESTORE shape): ONE new plain-log commit
+    * holding exactly the DIFF between the head state and the target
+    * state — rows whose state at `version` differs from (or is absent
+    * at) the head are re-stated, keys live at the head but absent at
+    * `version` are tombstoned, rows identical in both states are NOT
+    * rewritten (the resolve still finds their older versions). No
+    * file is deleted and pre-restore history stays fully
+    * time-travelable. Because the restore is an ordinary self-
+    * contained commit, every downstream reader is correct WITHOUT
+    * special cases: CDC ([[changes]]) emits exactly the restored
+    * diff, [[history]] closes/reopens the right SCD2 intervals, and
+    * maintained views (MatView/SketchView) fold it like any other
+    * delta — a checkpoint-based restore would be INVISIBLE to all
+    * three (they exclude checkpoint dirs as state-identical
+    * duplicates of the log). Read cost is not re-bounded by a
+    * restore; run [[compact]] after if the log has grown long.
+    * Vacuum-guarded like any resolve: restoring below the vacuum
+    * base fails loudly. Returns the new version. */
   def restore(spark: SparkSession, path: String, keyCol: String,
       version: Int): Int = {
-    val resolved = currentAsOf(spark, path, keyCol, version)
-      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
-    commit(resolved, path, checkpoint = true)
+    val head = latestVersion(spark, path)
+    def dataOf(v: Int) = currentAsOf(spark, path, keyCol, v)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol, DeletedCol)
+    val want = dataOf(version)
+    val have = dataOf(head)
+    // align schemas across evolution (a column added after `version`
+    // is null in the restored rows, closing it back)
+    val fields = have.schema.fields ++
+      want.schema.fields.filterNot(f => have.columns.contains(f.name))
+    def pad(df: DataFrame) = df.select(fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val w = pad(want)
+    val h = pad(have)
+    val changed = w.exceptAll(h)
+    val unwound = h.select(col(keyCol))
+      .join(w.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val batch = changed.withColumn(DeletedCol, lit(false))
+      .unionByName(unwound.withColumn(DeletedCol, lit(true)),
+        allowMissingColumns = true)
+    commit(batch, path)
   }
 
   /** [[compact]] carrying a batch-idempotency marker into the

@@ -69,6 +69,19 @@ class VersionedSpec extends SparkSpec {
       == Map(1L -> 10, 2L -> 99, 3L -> 30, 4L -> 40))
     assert(Versioned.currentAsOf(spark, p, "k", 3)
       .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // the restore is an ORDINARY diff commit, so CDC sees exactly it:
+    // k=1 re-created, k=2 rolled back, k=4 deleted — k=3 (identical in
+    // both states) emits nothing
+    val cdc = Versioned.changes(spark, p, "k", 3, 4)
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc == Map(1L -> "insert", 2L -> "update", 4L -> "delete"))
+    // and the SCD2 history agrees with current (a checkpoint-shaped
+    // restore would be invisible here)
+    val hcur = Versioned.history(spark, p, "k")
+      .filter(col("is_current")).select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hcur == cur())
     // and the table keeps accepting commits on top of the restore
     Versioned.append(Seq((5L, 50)).toDF("k", "x"), p)
     assert(cur() == Map(1L -> 10, 2L -> 20, 3L -> 30, 5L -> 50))

@@ -1457,6 +1457,35 @@ object PipelineQueries {
       |WHERE ex.cnt * 65 > tot.n
       |ORDER BY cnt DESC, item""".stripMargin
 
+  /** Per-group exact heavy hitters
+    * ([[Sketches.heavyHittersExactGrouped]], k=64): one bounded MG
+    * summary PER event type, per-group totals and thresholds — the
+    * "top items per segment" profile a curation pass runs per
+    * language/source at 100 TB, where a global summary would let one
+    * giant segment mask every other's heavy set. Same deterministic
+    * skewed item stream as `q_heavy_mg`; grouped state and the
+    * per-group survivor guarantee are what this row certifies. */
+  def heavyHittersMgGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val items = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type").as("g"),
+        concat(lit("p"),
+          floor(sqrt((col("event_id") % 10000).cast("double")))
+            .cast("long").cast("string")).as("item"))
+    Sketches.heavyHittersExactGrouped(items, "g", "item", 64)
+  }
+
+  val heavyHittersMgGroupedSql: String =
+    """WITH t0 AS (
+      |  SELECT event_type AS g,
+      |    'p' || CAST(CAST(FLOOR(SQRT(event_id % 10000)) AS BIGINT)
+      |      AS VARCHAR) AS item
+      |  FROM events),
+      |ex AS (SELECT g, item, COUNT(*) AS cnt FROM t0 GROUP BY 1, 2),
+      |tot AS (SELECT g, COUNT(*) AS n FROM t0 GROUP BY 1)
+      |SELECT ex.g, ex.item, ex.cnt FROM ex JOIN tot USING (g)
+      |WHERE ex.cnt * 65 > tot.n
+      |ORDER BY g, cnt DESC, item""".stripMargin
+
   /** Mergeable quantile sketch ([[Sketches.quantileBuckets]], HDR-style
     * log2-linear buckets, rel. error <= 2^-5): per-language p50/p95/p99
     * of document length, built as TWO SHARD sketches folded through
@@ -2097,6 +2126,53 @@ object PipelineQueries {
       |    ROUND(dot / (nq.nrm * nc.nrm), 5) AS cos
       |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON nid = nc.vec_id),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM s)
+      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** Binary-quantized ANN ([[Similarity.binaryTopK]]): sign bits
+    * packed into 32-bit words (BBQ-style 1-bit compression), Hamming
+    * prefilter to 20 candidates per query, exact cosine rerank to
+    * top-3. The oracle replays the whole pipeline — packing (exact
+    * power-of-two sums), xor+bit_count Hamming, the (ham, nid)
+    * shortlist rank, and the rounded-cosine rerank — so a single
+    * wrong bit anywhere reorders the shortlist and hash-mismatches. */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.binaryTopK(emb.filter(col("id") < 3), emb, 64, 20, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annBinarySql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |pw AS (
+      |  SELECT vec_id, i // 32 AS w,
+      |    SUM(CASE WHEN v > 0 THEN CAST(POWER(2, i % 32) AS BIGINT)
+      |        ELSE 0 END) AS word
+      |  FROM u GROUP BY 1, 2),
+      |ham AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    SUM(bit_count(xor(q.word, c.word))) AS ham
+      |  FROM pw q JOIN pw c ON q.w = c.w AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 3 GROUP BY 1, 2),
+      |short AS (
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) AS prk
+      |  FROM ham),
+      |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+      |d AS (
+      |  SELECT s.qid, s.nid, SUM(q.v * c.v) AS dot
+      |  FROM short s
+      |  JOIN u q ON q.vec_id = s.qid JOIN u c ON c.vec_id = s.nid
+      |    AND q.i = c.i
+      |  WHERE s.prk <= 20 GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 5) AS cos
+      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON nid = nc.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |      FROM sc)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
   /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
@@ -2944,6 +3020,7 @@ object PipelineQueries {
     "q_search_facets" -> searchFacets _,
     "q_heavy_hitters" -> heavyHitters _,
     "q_heavy_mg" -> heavyHittersMg _,
+    "q_heavy_mg_grouped" -> heavyHittersMgGrouped _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
@@ -2957,6 +3034,7 @@ object PipelineQueries {
     "q_bpe_encode" -> bpeEncode _,
     "q_tfidf" -> tfidf _,
     "q_ann_cosine" -> annCosine _,
+    "q_ann_binary" -> annBinary _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3017,6 +3095,7 @@ object PipelineQueries {
     "q_search_facets" -> searchFacetsSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_heavy_mg" -> heavyHittersMgSql,
+    "q_heavy_mg_grouped" -> heavyHittersMgGroupedSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,
@@ -3030,6 +3109,7 @@ object PipelineQueries {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_tfidf" -> tfidfSql,
     "q_ann_cosine" -> annCosineSql,
+    "q_ann_binary" -> annBinarySql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

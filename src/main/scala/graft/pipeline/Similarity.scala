@@ -562,4 +562,74 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Pack a float vector's SIGN BITS into dim/32 longs of 32 bits
+    * each — 1-bit binary quantization, the Lucene/BBQ-style serving
+    * compression (32× smaller than float32, Hamming distance via
+    * xor + popcount). 32-bit words, not 64: every word is a sum of
+    * distinct powers < 2^32, exact in plain BIGINT arithmetic on
+    * both the engine and a SQL oracle (a 64-bit word's top bit is
+    * the sign bit — summing it overflows). Static per-bit terms, no
+    * interpreted higher-order lambda — the whole projection
+    * codegens. */
+  def binaryQuantize(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 32 == 0,
+      s"dim $dim must be a positive multiple of 32")
+    array((0 until dim / 32).map { w =>
+      (0 until 32).map { b =>
+        when(element_at(vec, w * 32 + b + 1) > 0f, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays — a static
+    * xor + bit_count chain over the words (codegen'd, no lambda). */
+  def hammingDist(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      call_function("bit_count",
+        element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))).cast("long")
+    }.reduce(_ + _)
+
+  /**
+   * Binary-quantized ANN: a Hamming PREFILTER over packed sign bits
+   * narrows each query to `cands` candidates (deterministic:
+   * hamming asc, id asc), then an EXACT cosine rerank of only those
+   * candidates returns the top k. The scale shape: the prefilter
+   * scan touches dim/32 longs per corpus vector instead of dim
+   * floats (32× less memory traffic, xor+popcount per word instead
+   * of multiply-add per float), and the float vectors are read only
+   * for `cands` rows per query — at a billion vectors the packed
+   * index fits where the float corpus cannot. Recall is governed by
+   * `cands` (the usual BBQ/IVF oversampling knob).
+   */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+      cands: Int, k: Int): DataFrame = {
+    require(cands >= k, s"cands $cands must be >= k $k")
+    val nWords = dim / 32
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      binaryQuantize(col("vec"), dim).as("qb"), norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
+      binaryQuantize(col("vec"), dim).as("cb"), norm(col("vec")).as("cn"))
+    // prefilter: packed words only — the float vectors stay unread
+    val pre = c.select(col("nid"), col("cb"))
+      .join(broadcast(q.select(col("qid"), col("qb"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        hammingDist(col("qb"), col("cb"), nWords).as("ham"))
+    val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val shortlist = pre.withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= cands).select("qid", "nid")
+    // exact rerank: float vectors for <= cands rows per query
+    val rer = shortlist
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
+      .join(c.select(col("nid"), col("nvec"), col("cn")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qn") * col("cn")), 5)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
 }

@@ -491,4 +491,25 @@ object Sketches {
       .filter(col("cnt") * (k + 1) > n)
       .orderBy(col("cnt").desc, col(valueCol))
   }
+
+  /** [[heavyHittersExact]] PER GROUP: one bounded MG summary per
+    * group (k counters each), per-group totals, per-group
+    * thresholds — items with in-group count > n_g/(k+1), exact. The
+    * candidate table is <= k rows per group, so the recount join
+    * broadcasts as long as the group count is bounded; the totals
+    * join is |groups| rows. */
+  def heavyHittersExactGrouped(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val items = df.select(col(groupCol).cast("string").as(groupCol),
+      col(valueCol).cast("string").as(valueCol))
+    val totals = items.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val cands = mgCandidates(items, groupCol, valueCol, k)
+      .select(col("g").as(groupCol), col("item").as(valueCol))
+    items.join(broadcast(cands), Seq(groupCol, valueCol))
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col(groupCol), col(valueCol), col("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col(valueCol))
+  }
 }

@@ -191,6 +191,44 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._1 == 2L && top.head._2 == 1.0)
   }
 
+  test("binaryTopK: packing round-trips sign bits exactly; " +
+      "cands = corpus degenerates to brute-force cosine") {
+    // 64-dim vectors with mixed signs, incl. exact zeros (bit = 0)
+    val corpus = (0L until 40L).map { id =>
+      id -> Array.tabulate(64) { i =>
+        val v = ((id * 37 + i * 17) % 19).toFloat - 9f
+        if ((id + i) % 23 == 0) 0f else v / 9f
+      }
+    }.toDF("id", "vec")
+    // packed words reproduce the per-dim sign bits exactly
+    val packed = corpus
+      .select(col("id"), col("vec"),
+        Similarity.binaryQuantize(col("vec"), 64).as("b"))
+      .collect()
+    packed.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val words = r.getSeq[Long](2)
+      assert(words.length == 2)
+      for (i <- 0 until 64) {
+        val bit = (words(i / 32) >> (i % 32)) & 1L
+        assert(bit == (if (vec(i) > 0f) 1L else 0L),
+          s"id=${r.getLong(0)} dim=$i")
+      }
+    }
+    // with the shortlist as wide as the corpus, the rerank IS brute force
+    val qs = corpus.filter(col("id") < 3)
+    val bin = Similarity.binaryTopK(qs, corpus, 64, 40, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.cosineTopK(
+        qs.select(col("id"), col("vec")), corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bin == brute)
+    // a narrow shortlist still returns k rows per query, ham-deterministic
+    val narrow = Similarity.binaryTopK(qs, corpus, 64, 8, 5)
+      .collect().groupBy(_.getLong(0))
+    assert(narrow.values.forall(_.length == 5))
+  }
+
   test("ivfTopK: probed clusters contain the brute-force winner for aligned data") {
     // 2 clean clusters along axes; centroids = one vector from each
     val corpus = Seq(

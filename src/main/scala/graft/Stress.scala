@@ -176,8 +176,31 @@ object Stress {
     val t0 = System.nanoTime()
     val n = Similarity.ivfTopK(queries, emb, centroids, 4, 10).count()
     val tIvf = (System.nanoTime() - t0) / 1e9
+
+    // binary-quantized path vs brute cosine on the SAME queries: the
+    // prefilter reads 2 packed longs per corpus vector (static
+    // xor+popcount), the float vectors only for the 40-row shortlists;
+    // brute reads 64 floats per pair. Rerank must contain the brute
+    // winner set (oversampled shortlist on smooth synthetic data).
+    val q3 = emb.filter(col("id") < 10)
+    val t1 = System.nanoTime()
+    val bin = Similarity.binaryTopK(q3, emb, dim, 40, 10).persist()
+    val nBin = bin.count()
+    val tBin = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val brute = Similarity.cosineTopK(q3, emb, 10).persist()
+    val nBrute = brute.count()
+    val tBrute = (System.nanoTime() - t2) / 1e9
+    val overlap = bin.select("qid", "nid")
+      .intersect(brute.select("qid", "nid")).count()
+    bin.unpersist(blocking = false)
+    brute.unpersist(blocking = false)
+    require(nBin == nBrute, s"binary topk rows $nBin != brute $nBrute")
+
     println(s"""{"metric":"stress_ann","vecs":$nVecs,"dim":$dim,""" +
-      s""""ivf_topk_sec":$tIvf,"result_rows":$n}""")
+      s""""ivf_topk_sec":$tIvf,"result_rows":$n,""" +
+      s""""binary_topk_sec":$tBin,"brute_topk_sec":$tBrute,""" +
+      s""""binary_rows":$nBin,"binary_brute_overlap":$overlap}""")
     spark.stop()
   }
 

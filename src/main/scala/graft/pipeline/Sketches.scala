@@ -459,15 +459,26 @@ object Sketches {
     * n_g/(k+1) — use [[heavyHittersExact]] when exact counts matter.
     */
   def mgCandidates(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    mgCandidatesWithTotals(df, groupCol, valueCol, k)
+      .select("g", "item", "est")
+
+  /** [[mgCandidates]] with the group's TOTAL row count riding in the
+    * same aggregation pass (`n` column) — candidates AND the
+    * n_g/(k+1) threshold inputs from ONE scan, so the exact
+    * heavy-hitter paths need two passes total, not three. */
+  def mgCandidatesWithTotals(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val agg = GraftSqlBridge.column(
       graft.functions.MisraGriesAgg(
         GraftSqlBridge.expression(col(valueCol).cast("string")), k)
         .toAggregateExpression())
-    df.groupBy(col(groupCol).as("g")).agg(agg.as("__mg"))
-      .select(col("g"), explode(col("__mg")).as("c"))
-      .select(col("g"), col("c.item").as("item"), col("c.est").as("est"))
+    df.groupBy(col(groupCol).as("g"))
+      .agg(agg.as("__mg"), count(lit(1)).as("n"))
+      .select(col("g"), col("n"), explode(col("__mg")).as("c"))
+      .select(col("g"), col("n"), col("c.item").as("item"),
+        col("c.est").as("est"))
   }
 
   /** EXACT heavy hitters — items with true count strictly above
@@ -483,12 +494,15 @@ object Sketches {
   def heavyHittersExact(df: DataFrame, valueCol: String,
       k: Int): DataFrame = {
     val items = df.select(col(valueCol).cast("string").as(valueCol))
-    val n = items.count()
-    val cands = mgCandidates(items.withColumn("__g", lit(1)), "__g",
-      valueCol, k).select(col("item").as(valueCol))
-    items.join(broadcast(cands), valueCol)
-      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * (k + 1) > n)
+    // ONE pass for candidates + total (the threshold input), one
+    // candidate-restricted recount — two scans total
+    val withN = mgCandidatesWithTotals(
+      items.withColumn("__g", lit(1)), "__g", valueCol, k)
+      .select(col("item").as(valueCol), col("n"))
+    items.join(broadcast(withN), valueCol)
+      .groupBy(col(valueCol), col("n")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col(valueCol), col("cnt"))
       .orderBy(col("cnt").desc, col(valueCol))
   }
 
@@ -502,13 +516,14 @@ object Sketches {
       valueCol: String, k: Int): DataFrame = {
     val items = df.select(col(groupCol).cast("string").as(groupCol),
       col(valueCol).cast("string").as(valueCol))
-    val totals = items.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val cands = mgCandidates(items, groupCol, valueCol, k)
-      .select(col("g").as(groupCol), col("item").as(valueCol))
-    items.join(broadcast(cands), Seq(groupCol, valueCol))
-      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq(groupCol))
-      .filter(col("cnt") * (k + 1) > col("__n"))
+    // candidates AND per-group totals from ONE pass; the recount join
+    // carries the total alongside each candidate row
+    val withN = mgCandidatesWithTotals(items, groupCol, valueCol, k)
+      .select(col("g").as(groupCol), col("item").as(valueCol), col("n"))
+    items.join(broadcast(withN), Seq(groupCol, valueCol))
+      .groupBy(col(groupCol), col(valueCol), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n"))
       .select(col(groupCol), col(valueCol), col("cnt"))
       .orderBy(col(groupCol), col("cnt").desc, col(valueCol))
   }

@@ -22,12 +22,17 @@ class PlanAuditSpec extends SparkSpec {
    * because the broadcast side is constant-bounded by construction:
    * - q_kmeans / q_ann_ivf_kmeans: the k-means update joins the k x dim
    *   centroid table (k <= ~1024 by the coarse-codebook contract).
+   * - q_heavy_mg / q_heavy_mg_grouped: the recount joins the
+   *   Misra-Gries candidate table — <= k (= 64) rows per group by the
+   *   aggregate's own state bound, x a bounded group count (1 global /
+   *   the event-type enum), riding one (item, n) pair each.
    * Statically-planned broadcasts of non-hinted aggregates only happen
    * when the planner PROVES the side small, so anything else that shows
    * up here is a deliberate `broadcast()` hint that must justify
    * itself.
    */
-  private val broadcastAggAllowlist = Set("q_kmeans", "q_ann_ivf_kmeans")
+  private val broadcastAggAllowlist = Set("q_kmeans", "q_ann_ivf_kmeans",
+    "q_heavy_mg", "q_heavy_mg_grouped")
 
   private def offenders(name: String, plan: SparkPlan): Seq[String] = {
     val cartesian = plan.collect { case c: CartesianProductExec => c }

@@ -439,13 +439,16 @@ case class MisraGriesAgg(child: Expression, k: Int,
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    // length-prefixed UTF-8 bytes, not writeUTF — items over 64 KiB
+    // (a pathological but legal key) must round-trip, not throw
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -458,7 +461,13 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -885,7 +885,17 @@ object Versioned {
     val batch = changed.withColumn(DeletedCol, lit(false))
       .unionByName(unwound.withColumn(DeletedCol, lit(true)),
         allowMissingColumns = true)
-    commit(batch, path)
+    val v = commit(batch, path)
+    // the diff was computed against `head`: if a concurrent writer
+    // slipped a commit in between, the restore overrode only the keys
+    // in ITS diff — a torn mix of the two states. Detect and fail
+    // loudly; re-running restore(version) heals (fresh diff vs the
+    // new head).
+    require(v == head + 1, s"restore($version) at $path committed v=$v " +
+      s"but the head at diff time was $head — a concurrent commit " +
+      "landed mid-restore and the restored state may be torn; re-run " +
+      s"restore($version) to heal (it re-diffs against the new head)")
+    v
   }
 
   /** [[compact]] carrying a batch-idempotency marker into the

@@ -1457,6 +1457,37 @@ object PipelineQueries {
       |WHERE ex.cnt * 65 > tot.n
       |ORDER BY cnt DESC, item""".stripMargin
 
+  /** AT-REST heavy hitters: the corpus split into two SHARDS, a
+    * <= 64-row Misra-Gries summary built per shard (the persisted
+    * at-rest state), the summaries folded via the weighted MG
+    * aggregate ([[Sketches.mgMerge]]), then the exact
+    * candidate-restricted recount — output EXACTLY `q_heavy_mg`'s
+    * oracle set. The survivor guarantee survives the
+    * summaries-of-summaries fold (Agarwal et al.), so the incremental
+    * path (fold yesterday's shard summaries with today's, never
+    * re-scan) returns the same exact heavy set as the single-pass
+    * build. */
+  def heavyHittersMgRest(spark: SparkSession, dir: String): DataFrame = {
+    val items = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        concat(lit("p"),
+          floor(sqrt((col("event_id") % 10000).cast("double")))
+            .cast("long").cast("string")).as("item"))
+    // two shards by event-id parity — each builds its own summary
+    val shards = Sketches.mgCandidatesWithTotals(
+      items.withColumn("g", (col("event_id") % 2).cast("string")),
+      "g", "item", 64)
+    val n = shards.select("g", "n").distinct()
+      .agg(sum("n")).head().getLong(0)
+    val folded = Sketches.mgMerge(
+      shards.withColumn("g", lit("all")), 64)
+      .select(col("item"))
+    items.select("item").join(broadcast(folded), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 65 > n)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** Per-group exact heavy hitters
     * ([[Sketches.heavyHittersExactGrouped]], k=64): one bounded MG
     * summary PER event type, per-group totals and thresholds — the
@@ -3021,6 +3052,7 @@ object PipelineQueries {
     "q_heavy_hitters" -> heavyHitters _,
     "q_heavy_mg" -> heavyHittersMg _,
     "q_heavy_mg_grouped" -> heavyHittersMgGrouped _,
+    "q_heavy_mg_rest" -> heavyHittersMgRest _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
@@ -3096,6 +3128,7 @@ object PipelineQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_heavy_mg" -> heavyHittersMgSql,
     "q_heavy_mg_grouped" -> heavyHittersMgGroupedSql,
+    "q_heavy_mg_rest" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,

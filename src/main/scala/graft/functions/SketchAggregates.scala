@@ -403,23 +403,7 @@ case class MisraGriesAgg(child: Expression, k: Int,
       val e = it.next()
       a.merge(e.getKey, e.getValue, (x, y) => x + y)
     }
-    if (a.size > k) {
-      // subtract the (k+1)-st largest count from every counter and
-      // drop the non-positive — the mergeable-summaries reduction
-      // back to <= k counters
-      val counts = new Array[Long](a.size)
-      var i = 0
-      val vit = a.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - 1 - k) // (k+1)-st largest
-      val eit = a.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        if (e.getValue <= cut) eit.remove()
-        else e.setValue(e.getValue - cut)
-      }
-    }
+    MisraGriesWeightedAgg.reduceToK(a, k)
     a
   }
 
@@ -481,4 +465,151 @@ case class MisraGriesAgg(child: Expression, k: Int,
       newChild: Expression): MisraGriesAgg = copy(child = newChild)
 
   override def prettyName: String = "graft_misra_gries"
+}
+
+/**
+ * Weighted Misra-Gries: each input row carries an (item, weight)
+ * pair — the FOLD form of [[MisraGriesAgg]], consuming persisted
+ * summary rows (item, est) instead of raw occurrences. A weighted
+ * arrival inserts the item at its full weight (buffer briefly k+1
+ * entries), then applies the same (k+1)-st-largest reduction as the
+ * partial merge — Agarwal et al.'s mergeable-summaries argument makes
+ * summaries-of-summaries keep the survivor guarantee: after folding
+ * shards whose TRUE total is n, every item with true count > n/(k+1)
+ * is present. This is what makes per-shard MG summaries an AT-REST
+ * state (<= k rows per shard), foldable at delta cost like the HLL
+ * register tables and KMV bottom-k sketches.
+ */
+case class MisraGriesWeightedAgg(item: Expression, weight: Expression,
+    k: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 100000, s"k = $k out of range")
+
+  override def left: Expression = item
+  override def right: Expression = weight
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("est", LongType,
+          nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (item.dataType, weight.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_weighted expects (string, bigint), got $other")
+    }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val i = item.eval(input)
+    val w = weight.eval(input)
+    if (i != null && w != null && w.asInstanceOf[Long] > 0L) {
+      buf.merge(i.asInstanceOf[UTF8String].toString,
+        w.asInstanceOf[Long], (a, b) => a + b)
+      MisraGriesWeightedAgg.reduceToK(buf, k)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      other: java.util.HashMap[String, Long])
+      : java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.merge(e.getKey, e.getValue, (x, y) => x + y)
+    }
+    MisraGriesWeightedAgg.reduceToK(a, k)
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    val kit = buf.keySet().iterator()
+    var i = 0
+    while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](keys.length)
+    i = 0
+    while (i < keys.length) {
+      rows(i) = InternalRow(UTF8String.fromString(keys(i)), buf.get(keys(i)))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): MisraGriesWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): MisraGriesWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MisraGriesWeightedAgg =
+    copy(item = newLeft, weight = newRight)
+
+  override def prettyName: String = "graft_misra_gries_weighted"
+}
+
+object MisraGriesWeightedAgg {
+  /** Subtract the (k+1)-st largest count from every counter and drop
+    * the non-positive — the mergeable-summaries reduction back to
+    * <= k counters. No-op while the map fits. */
+  private[functions] def reduceToK(
+      buf: java.util.HashMap[String, Long], k: Int): Unit = {
+    if (buf.size <= k) return
+    val counts = new Array[Long](buf.size)
+    var i = 0
+    val vit = buf.values().iterator()
+    while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(counts)
+    val cut = counts(counts.length - 1 - k)
+    val eit = buf.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      if (e.getValue <= cut) eit.remove()
+      else e.setValue(e.getValue - cut)
+    }
+  }
 }

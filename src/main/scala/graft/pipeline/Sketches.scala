@@ -481,6 +481,28 @@ object Sketches {
         col("c.est").as("est"))
   }
 
+  /** Fold persisted per-shard Misra-Gries summaries — (g, item, est)
+    * rows, <= k per (shard-scoped) group — into combined per-group
+    * summaries via the WEIGHTED MG aggregate
+    * ([[graft.functions.MisraGriesWeightedAgg]]): summaries of
+    * summaries keep the survivor guarantee (Agarwal et al.,
+    * PODS'12), so per-shard MG state is an AT-REST format foldable
+    * at delta cost — the same incremental contract as the HLL
+    * register tables, KMV bottom-k rows and quantile buckets. Shard
+    * scoping lives in the caller's `g` values: fold shards of one
+    * logical group by mapping them to the same `g` first. */
+  def mgMerge(summaries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = GraftSqlBridge.column(
+      graft.functions.MisraGriesWeightedAgg(
+        GraftSqlBridge.expression(col("item").cast("string")),
+        GraftSqlBridge.expression(col("est").cast("long")), k)
+        .toAggregateExpression())
+    summaries.groupBy(col("g")).agg(agg.as("__mg"))
+      .select(col("g"), explode(col("__mg")).as("c"))
+      .select(col("g"), col("c.item").as("item"), col("c.est").as("est"))
+  }
+
   /** EXACT heavy hitters — items with true count strictly above
     * n/(k+1) — in two bounded passes: a global Misra-Gries summary
     * (every qualifying item is guaranteed to survive it), then an

@@ -377,6 +377,44 @@ class SketchesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mgMerge: summaries-of-summaries keep the survivor guarantee; " +
+      "sub-k vocabularies fold exactly") {
+    val df = spark.range(60000).select(
+      (col("id") % 5).cast("string").as("shard"),
+      concat(lit("x"), when(col("id") % 10 < 3, col("id") % 6)
+        .otherwise(col("id") % 997 + 100)).as("item"))
+      .repartition(9)
+    val n = 60000L
+    val k = 48
+    // per-shard at-rest summaries (vocab ~1000 > k: every shard evicts)
+    val shards = Sketches.mgCandidates(df, "shard", "item", k)
+    assert(shards.groupBy("g").count().collect().forall(_.getLong(1) <= k))
+    // fold the five shard summaries into one
+    val folded = Sketches.mgMerge(
+        shards.withColumn("g", lit("all")), k)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(folded.size <= k)
+    val exact = df.groupBy("item").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresh = n.toDouble / (k + 1)
+    for ((item, cnt) <- exact if cnt > thresh) {
+      assert(folded.contains(item), s"$item (cnt=$cnt) lost in the fold")
+      assert(folded(item) <= cnt && folded(item) > cnt - thresh,
+        s"$item est=${folded(item)} true=$cnt")
+    }
+    // a vocabulary under k is tracked exactly through the fold
+    val small = spark.range(9000).select(
+      (col("id") % 3).cast("string").as("shard"),
+      concat(lit("y"), col("id") % 7).as("item"))
+    val smallFold = Sketches.mgMerge(
+        Sketches.mgCandidates(small, "shard", "item", k)
+          .withColumn("g", lit("all")), k)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val smallExact = small.groupBy("item").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(smallFold == smallExact)
+  }
+
   test("kmvMerge: shard folds reproduce the full-corpus sketch exactly") {
     val df = spark.range(20000).select(lit("g").as("g"),
       concat(lit("k"), col("id")).as("v"))

@@ -1166,6 +1166,10 @@ object PipelineQueries {
   private val searchFixture =
     TrieMap.empty[(SparkSession, String), Search.Index]
 
+  /** On-disk binary-ANN index fixtures built this JVM — session-hash
+    * in the path, so concurrent sessions never share files. */
+  private val binIdxBuilt = TrieMap.empty[String, Unit]
+
   private def searchIndex(spark: SparkSession, dir: String): Search.Index =
     searchFixture.synchronized {
       searchFixture.getOrElseUpdate((spark, dir), {
@@ -2206,6 +2210,30 @@ object PipelineQueries {
       |      FROM sc)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** Binary ANN served AT REST ([[Similarity.binaryTopKAtRest]]): the
+    * packed sign-bit index persisted next to the float vectors, the
+    * Hamming prefilter reading only the (id, bwords) columns of the
+    * index files (32× less I/O than the float slice — parquet column
+    * pruning, spec-asserted), the rerank reading floats through an
+    * `id IN (bounded shortlist)` pushdown. Output must be IDENTICAL
+    * to the inline `q_ann_binary` — same oracle SQL. */
+  def annBinaryRest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/binidx-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        Similarity.binaryIndexWrite(emb, 64, path); ()
+      })
+    }
+    Similarity.binaryTopKAtRest(spark, emb.filter(col("id") < 3),
+        path, 64, 20, 3)
+      .orderBy("qid", "nid")
+  }
+
   /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -3067,6 +3095,7 @@ object PipelineQueries {
     "q_tfidf" -> tfidf _,
     "q_ann_cosine" -> annCosine _,
     "q_ann_binary" -> annBinary _,
+    "q_ann_binary_rest" -> annBinaryRest _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3143,6 +3172,7 @@ object PipelineQueries {
     "q_tfidf" -> tfidfSql,
     "q_ann_cosine" -> annCosineSql,
     "q_ann_binary" -> annBinarySql,
+    "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

@@ -632,4 +632,59 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("qid", "nid", "cos")
   }
+
+  /** Persist the binary index AT REST: (id, vec, bwords) parquet at
+    * `path`. The packed column rides NEXT TO the float vectors in the
+    * same files — parquet column pruning is what makes the serve
+    * path's prefilter scan read only (id, bwords), never the floats
+    * (spec-asserted via ReadSchema). */
+  def binaryIndexWrite(corpus: DataFrame, dim: Int, path: String): Unit =
+    corpus.select(col("id"), col("vec"),
+        binaryQuantize(col("vec"), dim).as("bwords"))
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Serve [[binaryTopK]] from a persisted [[binaryIndexWrite]] index:
+   * the Hamming prefilter scans ONLY the (id, bwords) columns
+   * (column-pruned parquet read — the 32×-smaller slice of the index
+   * files), and the float vectors are then read through an
+   * `id IN (shortlist)` pushdown — row-group pruning on a BOUNDED id
+   * list (<= cands × |queries|, driver-collected by construction).
+   * Same results as the inline path (spec-pinned).
+   */
+  def binaryTopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexPath: String, dim: Int,
+      cands: Int, k: Int): DataFrame = {
+    require(cands >= k, s"cands $cands must be >= k $k")
+    val nWords = dim / 32
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      binaryQuantize(col("vec"), dim).as("qb"), norm(col("vec")).as("qn"))
+    val packed = spark.read.parquet(indexPath).select("id", "bwords")
+    val pre = packed.select(col("id").as("nid"), col("bwords"))
+      .join(broadcast(q.select(col("qid"), col("qb"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        hammingDist(col("qb"), col("bwords"), nWords).as("ham"))
+    val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val shortlist = pre.withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= cands).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = shortlist.map(_._2).distinct.toSeq
+    val vecs = spark.read.parquet(indexPath)
+      .select(col("id").as("nid"), col("vec").as("nvec"))
+      .filter(col("nid").isin(ids: _*))
+      .withColumn("cn", norm(col("nvec")))
+    val pairs = spark.createDataFrame(shortlist.toSeq)
+      .toDF("qid", "nid")
+    val rer = pairs
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
+      .join(vecs, "nid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qn") * col("cn")), 5)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
 }

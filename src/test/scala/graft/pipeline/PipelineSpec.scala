@@ -229,6 +229,36 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.values.forall(_.length == 5))
   }
 
+  test("binaryTopKAtRest: serve path matches inline; prefilter scan " +
+      "is column-pruned to the packed words; rerank pushes the id list") {
+    val corpus = (0L until 60L).map { id =>
+      id -> Array.tabulate(64) { i =>
+        (((id * 31 + i * 13) % 17).toFloat - 8f) / 8f
+      }
+    }.toDF("id", "vec")
+    val path = "target/tmp/binidx-spec"
+    Similarity.binaryIndexWrite(corpus, 64, path)
+    val qs = corpus.filter(col("id") < 4)
+    val rest = Similarity.binaryTopKAtRest(spark, qs, path, 64, 12, 4)
+    val inline = Similarity.binaryTopK(qs, corpus, 64, 12, 4)
+    assert(rest.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      inline.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // the prefilter reads ONLY (id, bwords) from the index files
+    val packedPlan = spark.read.parquet(path).select("id", "bwords")
+      .queryExecution.executedPlan.toString
+    assert(packedPlan.contains("ReadSchema") && !packedPlan.contains("vec"),
+      s"prefilter scan not pruned:\n$packedPlan")
+    // the rerank read pushes the bounded id list into the scan
+    val ids = Seq(1L, 2L, 3L)
+    val rerPlan = spark.read.parquet(path).select("id", "vec")
+      .filter(col("id").isin(ids: _*))
+      .queryExecution.executedPlan.toString
+    assert(rerPlan.contains("PushedFilters") && rerPlan.contains("In(id"),
+      s"id pushdown missing:\n$rerPlan")
+  }
+
   test("ivfTopK: probed clusters contain the brute-force winner for aligned data") {
     // 2 clean clusters along axes; centroids = one vector from each
     val corpus = Seq(

@@ -1492,6 +1492,56 @@ object PipelineQueries {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  /** STREAMING heavy hitters: the skewed item stream fed one file per
+    * micro-batch (4 batches, AvailableNow) through the COMPLETE-mode
+    * Misra-Gries aggregate — the <= 64-entry summary map is the WHOLE
+    * state-store footprint, the property that makes top-k tracking
+    * streamable where an exact per-item count aggregate's state is
+    * O(vocabulary) — then the exact candidate-restricted recount
+    * batch-side. Output EXACTLY the `q_heavy_mg` oracle set,
+    * independent of the micro-batch cut (the fold guarantee across
+    * batch boundaries is the same merge argument as the at-rest
+    * shard fold). */
+  def heavyHittersMgStream(spark: SparkSession, dir: String): DataFrame = {
+    val tag =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val inDir = s"target/tmp/mgstream-in-$tag"
+    val candDir = s"target/tmp/mgstream-cands-$tag"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(candDir, {
+        spark.read.parquet(s"$dir/events.parquet")
+          .select(concat(lit("p"),
+            floor(sqrt((col("event_id") % 10000).cast("double")))
+              .cast("long").cast("string")).as("item"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(inDir)
+        val schema = spark.read.parquet(inDir).schema
+        val table = "mg_stream_" +
+          java.lang.Integer.toHexString(System.identityHashCode(spark))
+        val q = Sketches.mgCandidates(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(inDir).withColumn("g", lit("all")),
+            "g", "item", 64)
+          .writeStream.format("memory").queryName(table)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(table).select("item")
+          .write.mode("overwrite").parquet(candDir)
+        ()
+      })
+    }
+    val items = spark.read.parquet(inDir)
+    val n = items.count()
+    val cands = spark.read.parquet(candDir)
+    items.join(broadcast(cands), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 65 > n)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** Per-group exact heavy hitters
     * ([[Sketches.heavyHittersExactGrouped]], k=64): one bounded MG
     * summary PER event type, per-group totals and thresholds — the
@@ -3081,6 +3131,7 @@ object PipelineQueries {
     "q_heavy_mg" -> heavyHittersMg _,
     "q_heavy_mg_grouped" -> heavyHittersMgGrouped _,
     "q_heavy_mg_rest" -> heavyHittersMgRest _,
+    "q_stream_heavy" -> heavyHittersMgStream _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
@@ -3158,6 +3209,7 @@ object PipelineQueries {
     "q_heavy_mg" -> heavyHittersMgSql,
     "q_heavy_mg_grouped" -> heavyHittersMgGroupedSql,
     "q_heavy_mg_rest" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
+    "q_stream_heavy" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
     "q_quantile_sketch" -> quantileSketchSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,

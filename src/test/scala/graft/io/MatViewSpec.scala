@@ -52,6 +52,34 @@ class MatViewSpec extends SparkSpec {
     assert(viewRows(h)("a") == ((1L, 7L)))
   }
 
+  test("source RESTORE folds into the maintained view like any delta: " +
+      "refresh after a restore matches the full recompute") {
+    val (src, view) = fresh("restore")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("k", "grp", "x"), src)
+    val h = MatView.init(spark, src, "k", "grp", Seq("x"), view)
+    // later commits: upsert with group migration, an insert, a delete
+    Versioned.append(Seq((2L, "b", 25L), (4L, "c", 40L))
+      .toDF("k", "grp", "x"), src)
+    Versioned.delete(Seq(1L).toDF("k"), src)
+    MatView.refresh(spark, h)
+    assert(viewRows(h) == fullRecompute(src))
+    assert(viewRows(h) == Map("b" -> ((2L, 30L)), "c" -> ((1L, 40L))))
+    // RESTORE to v1: because restore is an ordinary diff commit
+    // (re-stated rows + tombstones), the view folds it with NO special
+    // handling — a checkpoint-shaped restore would be silently skipped
+    // by the delta slice and the view would diverge forever
+    Versioned.restore(spark, src, "k", 1)
+    MatView.refresh(spark, h)
+    assert(viewRows(h) == fullRecompute(src))
+    assert(viewRows(h) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+    assert(!viewRows(h).contains("c")) // restored-away group tombstoned
+    // and the view keeps tracking after the restore
+    Versioned.append(Seq((5L, "c", 50L)).toDF("k", "grp", "x"), src)
+    MatView.refresh(spark, h)
+    assert(viewRows(h) == fullRecompute(src))
+  }
+
   test("one refresh over MANY source versions collapses intermediate " +
       "states, equals the full recompute") {
     val (src, view) = fresh("batch")

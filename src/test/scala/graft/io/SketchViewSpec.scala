@@ -65,6 +65,31 @@ class SketchViewSpec extends SparkSpec {
     assert(est == direct)
   }
 
+  test("source RESTORE folds into the maintained registers: the diff " +
+      "commit takes the scoped recompute, registers match the rebuild") {
+    val (src, view) = fresh("restore")
+    Versioned.append(
+      (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+        .toDF("k", "grp", "v"), src)
+    val h = SketchView.init(spark, src, "k", "grp", "v", view)
+    // later commits change the distinct sets, then RESTORE unwinds them
+    Versioned.append(
+      (1L to 80L).map(i => (i, "a", s"w$i")).toDF("k", "grp", "v"), src)
+    Versioned.delete((101L to 140L).toDF("k"), src)
+    SketchView.refresh(spark, h)
+    assert(viewRegs(h) == fullRegs(src))
+    Versioned.restore(spark, src, "k", 1)
+    SketchView.refresh(spark, h)
+    assert(viewRegs(h) == fullRegs(src))
+    // estimates equal a direct sketch over the restored state
+    val est = SketchView.estimate(spark, h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.hllDistinct(
+      Versioned.current(spark, src, "k").select("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == direct)
+  }
+
   test("emptied group's registers tombstone away; revival folds fresh") {
     val (src, view) = fresh("empty")
     Versioned.append(Seq((1L, "a", "x"), (2L, "b", "y"))

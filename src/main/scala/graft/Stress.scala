@@ -827,6 +827,23 @@ object Stress {
     val nTt = Versioned.currentAsOf(spark, path, "k", 25).count()
     val tTt = (System.nanoTime() - t4) / 1e9
 
+    // RESTORE to v25 at 10M rows: the diff commit re-states only rows
+    // whose state changed after v25 (upsert streams touched ~2% of
+    // keys per version x ~27 versions) — cost is two resolves + the
+    // diff write, NOT a full-state rewrite; current afterwards must
+    // equal the v25 resolve exactly
+    val t4b = System.nanoTime()
+    val rv = Versioned.restore(spark, path, "k", 25)
+    val tRestore = (System.nanoTime() - t4b) / 1e9
+    val nRestored = Versioned.current(spark, path, "k").count()
+    require(nRestored == nTt,
+      s"restore drifted: current $nRestored vs asOf(25) $nTt")
+    val restoredDrift = Versioned.current(spark, path, "k")
+      .select("k", "x")
+      .exceptAll(Versioned.currentAsOf(spark, path, "k", 25).select("k", "x"))
+      .count()
+    require(restoredDrift == 0, s"restore drift rows: $restoredDrift")
+
     // retention: 5 more post-checkpoint appends, then vacuum with a
     // 5-version horizon — base = the checkpoint, the 52 pre-checkpoint
     // dirs are reclaimed, the post-checkpoint tail is retained; the dir
@@ -877,7 +894,9 @@ object Stress {
       s""""vacuumed_versions":${reclaimed.size},"dirs_after_vacuum":$nDirs,""" +
       s""""bloom_index_sec":$tIndex,"bloom_dirs_indexed":$nIndexed,""" +
       s""""point_lookup_sec":$tPoint,"point_files_opened":$filesOpened,""" +
-      s""""point_files_total":$filesTotal}""")
+      s""""point_files_total":$filesTotal,""" +
+      s""""restore_sec":$tRestore,"restore_version":$rv,""" +
+      s""""restored_rows":$nRestored}""")
     spark.stop()
   }
 

@@ -865,8 +865,49 @@ object Versioned {
   def restore(spark: SparkSession, path: String, keyCol: String,
       version: Int): Int = {
     val head = latestVersion(spark, path)
-    def dataOf(v: Int) = currentAsOf(spark, path, keyCol, v)
-      .drop(VersionCol, SeqCol, MergeCol, CkptCol, DeletedCol)
+    require(version >= 1 && version <= head,
+      s"restore($version): table at $path has versions 1..$head")
+    val baseAtV = checkpoints(spark, path).filter(_ <= version).lastOption
+    vacuumBase(spark, path).foreach { vb =>
+      require(baseAtV.exists(_ >= vb), s"restore($version): versions " +
+        s"below $vb were vacuumed at $path; earliest restorable " +
+        s"version is $vb")
+    }
+    // ONLY keys touched in (version, head] can differ between the two
+    // states — everything else resolves identically and stays out of
+    // the diff. The touched set is DELTA-sized (checkpoint dirs are
+    // excluded: they duplicate log rows, and the vacuum guard above
+    // ensures every change in the range still has its log row), and a
+    // key filter commutes with the per-key resolve window, so both
+    // resolves below read O(touched keys' rows) — never the whole
+    // table. A restore at 100 TB costs the touched slice, not two
+    // full-table resolves.
+    val ck = checkpoints(spark, path).toSet
+    val laterVs = versions(spark, path)
+      .filter(v => v > version && v <= head && !ck.contains(v))
+    if (laterVs.isEmpty) {
+      // nothing to unwind: commit an empty diff (the restore is still
+      // a recorded version, like Delta's no-op RESTORE commit)
+      val v = commit(
+        currentAsOf(spark, path, keyCol, version)
+          .drop(VersionCol, SeqCol, MergeCol, CkptCol).limit(0), path)
+      require(v == head + 1, s"restore($version) at $path committed " +
+        s"v=$v but the head at diff time was $head — a concurrent " +
+        "commit landed mid-restore; re-run restore to heal")
+      return v
+    }
+    val touched = readDirs(spark, path, laterVs)
+      .select(keyCol).distinct().localCheckpoint()
+    def dataOf(v: Int) = {
+      val base = checkpoints(spark, path).filter(_ <= v).lastOption
+      val lo = base.map(_ - 1).getOrElse(0)
+      val vs = versions(spark, path).filter(x => x > lo && x <= v)
+      val hasMerges = mergeVersions(spark, path)
+        .exists(x => x > lo && x <= v)
+      resolve(readDirs(spark, path, vs)
+          .join(touched, Seq(keyCol), "left_semi"), keyCol, hasMerges)
+        .drop(VersionCol, SeqCol, MergeCol, CkptCol, DeletedCol)
+    }
     val want = dataOf(version)
     val have = dataOf(head)
     // align schemas across evolution (a column added after `version`

@@ -378,8 +378,12 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(s)
-      if (cur != null) buf.put(s, cur + 1L)
+      // containsKey, NOT a get-against-null check: the Scala view of
+      // java.util.HashMap[String, Long] unboxes an absent key's null
+      // to 0L, and a primitive != null comparison lifts to the box
+      // (always true) — that shape silently turns the eviction branch
+      // into dead code and the bounded summary into an exact counter
+      if (buf.containsKey(s)) buf.put(s, buf.get(s) + 1L)
       else if (buf.size < k) buf.put(s, 1L)
       else {
         // full: decrement every counter (the arriving item's implicit

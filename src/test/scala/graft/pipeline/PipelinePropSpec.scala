@@ -130,4 +130,87 @@ class PipelinePropSpec extends AnyFunSuite {
       got == want && pairEquiv
     })
   }
+
+  test("misra-gries survivor guarantee holds for random streams, " +
+      "random partition splits and random merge orders") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val item: Gen[String] = Gen.frequency(
+      (5, Gen.oneOf("h0", "h1", "h2")),          // heavy candidates
+      (3, Gen.choose(0, 200).map("t" + _)),      // mid tail
+      (1, Gen.choose(0, 5000).map("r" + _)))     // rare tail
+    val gen = for {
+      n <- Gen.choose(0, 2000)
+      toks <- Gen.listOfN(n, item)
+      k <- Gen.choose(2, 24)
+      nParts <- Gen.choose(1, 5)
+      cuts <- Gen.listOfN(n, Gen.choose(0, nParts - 1))
+    } yield (toks, k, nParts, cuts)
+    check(Prop.forAll(gen) { case (toks, k, nParts, cuts) =>
+      val agg = graft.functions.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), k)
+      // per-partition buffers, merged left-to-right over the random cut
+      val bufs = Array.fill(nParts)(agg.createAggregationBuffer())
+      toks.zip(cuts).foreach { case (t, p) =>
+        agg.update(bufs(p), InternalRow(UTF8String.fromString(t)))
+      }
+      val merged = bufs.reduce(agg.merge)
+      val out = {
+        val a = agg.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map { i =>
+          val r = a.getStruct(i, 2)
+          r.getUTF8String(0).toString -> r.getLong(1)
+        }.toMap
+      }
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toDouble
+      val thresh = n / (k + 1)
+      out.size <= k &&
+        exact.forall { case (t, c) =>
+          c <= thresh ||
+            (out.contains(t) && out(t) <= c && out(t) >= c - thresh)
+        }
+    })
+    // and the WEIGHTED fold keeps the guarantee over shard summaries
+    val shardGen = for {
+      n <- Gen.choose(0, 1500)
+      toks <- Gen.listOfN(n, item)
+      k <- Gen.choose(2, 24)
+      nShards <- Gen.choose(1, 4)
+      cuts <- Gen.listOfN(n, Gen.choose(0, nShards - 1))
+    } yield (toks, k, nShards, cuts)
+    check(Prop.forAll(shardGen) { case (toks, k, nShards, cuts) =>
+      val plain = graft.functions.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), k)
+      val weighted = graft.functions.MisraGriesWeightedAgg(
+        BoundReference(0, StringType, nullable = true),
+        BoundReference(1, LongType, nullable = true), k)
+      def summarize(ts: Seq[String]) = {
+        val b = plain.createAggregationBuffer()
+        ts.foreach(t => plain.update(b, InternalRow(UTF8String.fromString(t))))
+        b
+      }
+      val shards = (0 until nShards).map { p =>
+        summarize(toks.zip(cuts).collect { case (t, c) if c == p => t })
+      }
+      val fold = weighted.createAggregationBuffer()
+      shards.foreach { sh =>
+        sh.forEach { (t, c) =>
+          weighted.update(fold,
+            InternalRow(UTF8String.fromString(t), java.lang.Long.valueOf(c)))
+        }
+      }
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toDouble
+      // shard summaries each lose < n_p/(k+1); the fold loses < n/(k+1)
+      // more — total slack strictly under 2n/(k+1)
+      val slack = 2.0 * n / (k + 1)
+      fold.size <= k &&
+        exact.forall { case (t, c) =>
+          c <= slack || (fold.containsKey(t) && fold.get(t) <= c)
+        }
+    })
+  }
 }

@@ -1234,6 +1234,38 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
+  /** Predicate DELETE ([[graft.io.Versioned.deleteWhere]], the
+    * retention/GDPR `DELETE WHERE` shape): on top of the v1-v3
+    * fixture, tombstone every current doc with n_chars >= 1000 in one
+    * commit, then read `current` — the oracle applies the same
+    * predicate to its reconstructed v<=3 resolve. Keys already
+    * tombstoned at v3 must NOT resurface, and rows upserted at v2
+    * are judged on their UPSERTED n_chars (+1000), so the doomed set
+    * is exactly the surviving upserts. */
+  def tableDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "delw")
+    fixtureBuilt.getOrElseUpdate(path + "#delw", {
+      Versioned.deleteWhere(spark, path, "doc_id",
+        col("n_chars").cast("long") >= 1000L)
+      ()
+    })
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableDeleteWhereSql: String =
+    s"""WITH $versionedLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 AND NOT del AND n_chars < 1000
+       |ORDER BY doc_id""".stripMargin
+
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
     * maintained across four source commits (bulk load, upserts,
@@ -1822,6 +1854,7 @@ object Queries {
     "q_table_snapshot_range" -> tableSnapshotRange _,
     "q_table_point" -> tablePoint _,
     "q_table_restore" -> tableRestore _,
+    "q_table_delete_where" -> tableDeleteWhere _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -1875,6 +1908,7 @@ object Queries {
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
     "q_table_point" -> tablePointSql,
     "q_table_restore" -> tableRestoreSql,
+    "q_table_delete_where" -> tableDeleteWhereSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

@@ -1221,6 +1221,42 @@ object Versioned {
     }
   }
 
+  /** Tombstone every CURRENT key matching `cond` — predicate delete
+    * (the retention/GDPR shape: `DELETE WHERE`). One key-scoped
+    * resolve finds the matching live keys; the tombstones land as one
+    * commit. Returns the new version, or 0 when nothing matched (no
+    * empty commit burned). */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+      cond: org.apache.spark.sql.Column): Int = {
+    val doomed = current(spark, path, keyCol).filter(cond)
+      .select(keyCol)
+    if (doomed.isEmpty) 0
+    else delete(doomed, path)
+  }
+
+  /** DESCRIBE-DETAIL observability: one row per committed version —
+    * commit wall-clock, checkpoint/merge/batch-marker flags, parquet
+    * file count and total bytes. Pure metadata (markers + file
+    * listing), no data scan; the ops surface for retention and
+    * compaction decisions. */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val ck = checkpoints(spark, path).toSet
+    val mg = mergeVersions(spark, path).toSet
+    val times = commitTimes(spark, path)
+    val rows = versions(spark, path).map { v =>
+      val dir = new Path(s"$path/v=$v")
+      val parts = f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      val batch = f.listStatus(dir).map(_.getPath.getName)
+        .find(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_"))
+      (v, times.get(v), ck.contains(v), mg.contains(v), batch,
+        parts.length, parts.map(_.getLen).sum)
+    }
+    rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
+      "batch_id", "num_files", "size_bytes")
+  }
+
   /** Destroy the table (test/fixture reset). */
   def drop(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)

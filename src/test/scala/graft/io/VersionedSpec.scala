@@ -94,6 +94,31 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("deleteWhere tombstones exactly the matching current keys; " +
+      "detail reports one metadata row per version") {
+    val p = freshPath("delw")
+    Versioned.append(Seq((1L, 10), (2L, 200), (3L, 300)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 20)).toDF("k", "x"), p) // 2 now BELOW cut
+    val v = Versioned.deleteWhere(spark, p, "k", col("x") >= 100)
+    assert(v == 3)
+    assert(Versioned.current(spark, p, "k")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // predicate judged on RESOLVED state: k=2's upserted x=20 survives
+    // nothing matching -> no commit burned
+    assert(Versioned.deleteWhere(spark, p, "k", col("x") >= 100) == 0)
+    assert(Versioned.latestVersion(spark, p) == 3)
+    // detail: one row per version, metadata only
+    Versioned.compact(spark, p, "k")
+    val d = Versioned.detail(spark, p).collect()
+      .map(r => r.getInt(0) -> ((r.getBoolean(2), r.getInt(5)))).toMap
+    assert(d.keySet == Set(1, 2, 3, 4))
+    assert(d(4)._1 && !d(1)._1) // checkpoint flag
+    assert(d.values.forall(_._2 >= 1)) // every version has files
+    val ts = Versioned.detail(spark, p).select("commit_ts_millis")
+      .collect().map(_.getLong(0))
+    assert(ts.forall(_ > 0L))
+  }
+
   test("compact: checkpointed read equals pre-compact state; time travel intact") {
     val p = freshPath("cp")
     Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)

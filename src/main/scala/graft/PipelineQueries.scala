@@ -1600,6 +1600,42 @@ object PipelineQueries {
        |SELECT g AS lang, p, est_value AS est_n_chars
        |FROM qest ORDER BY 1, 2""".stripMargin
 
+  /** Sketch-driven ROBUST OUTLIER TRIM: the per-language p99 length
+    * cut comes from the mergeable quantile sketch (~2k bucket rows
+    * per group, never a per-group sort of the corpus), broadcasts,
+    * and classifies every document as kept/dropped — the curation
+    * trim a 100 TB pass runs where an exact percentile would shuffle
+    * the whole corpus per group. All-integer output (cut + counts),
+    * and the oracle replays the sketch recurrence cell-for-cell, so
+    * the CUT itself is certified, not just the counts. */
+  def qualityTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("n_chars"))
+    val cut = Sketches.quantileEstimate(
+        Sketches.quantileBuckets(docs, "lang", "n_chars"), Seq(99))
+      .select(col("g").as("lang"), col("est_value").as("cut"))
+    docs.join(broadcast(cut), "lang")
+      .groupBy("lang", "cut")
+      .agg(sum(when(col("n_chars") <= col("cut"), 1L).otherwise(0L))
+          .as("kept"),
+        sum(when(col("n_chars") > col("cut"), 1L).otherwise(0L))
+          .as("dropped"))
+      .select("lang", "cut", "kept", "dropped")
+      .orderBy("lang")
+  }
+
+  val qualityTrimSql: String =
+    s"""WITH ${Sketches.quantileSketchSql(
+         "documents", "lang", "n_chars", Seq(99))},
+       |cut AS (SELECT g AS lang, est_value AS cut FROM qest),
+       |j AS (
+       |  SELECT d.lang, c.cut, d.n_chars
+       |  FROM documents d JOIN cut c ON d.lang = c.lang)
+       |SELECT lang, cut,
+       |  SUM(CASE WHEN n_chars <= cut THEN 1 ELSE 0 END) AS kept,
+       |  SUM(CASE WHEN n_chars > cut THEN 1 ELSE 0 END) AS dropped
+       |FROM j GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
   /** Symmetric per-vector INT8 quantization of the embedding column —
     * the serving-side compression step between training embeddings and
     * an ANN index (PQ compresses harder; int8 keeps per-dimension
@@ -3133,6 +3169,7 @@ object PipelineQueries {
     "q_heavy_mg_rest" -> heavyHittersMgRest _,
     "q_stream_heavy" -> heavyHittersMgStream _,
     "q_quantile_sketch" -> quantileSketch _,
+    "q_quality_trim" -> qualityTrim _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
     "q_embed_quantize" -> embedQuantize _,
@@ -3211,6 +3248,7 @@ object PipelineQueries {
     "q_heavy_mg_rest" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
     "q_stream_heavy" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
     "q_quantile_sketch" -> quantileSketchSql,
+    "q_quality_trim" -> qualityTrimSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,
     "q_embed_quantize" -> embedQuantizeSql,

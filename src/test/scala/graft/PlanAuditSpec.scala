@@ -26,13 +26,16 @@ class PlanAuditSpec extends SparkSpec {
    *   Misra-Gries candidate table — <= k (= 64) rows per group by the
    *   aggregate's own state bound, x a bounded group count (1 global /
    *   the event-type enum), riding one (item, n) pair each.
+   * - q_quality_trim: the broadcast side is the per-language p99 cut —
+   *   ONE row per language (the quantile estimate collapses the ~2k
+   *   bucket rows per group before the join).
    * Statically-planned broadcasts of non-hinted aggregates only happen
    * when the planner PROVES the side small, so anything else that shows
    * up here is a deliberate `broadcast()` hint that must justify
    * itself.
    */
   private val broadcastAggAllowlist = Set("q_kmeans", "q_ann_ivf_kmeans",
-    "q_heavy_mg", "q_heavy_mg_grouped")
+    "q_heavy_mg", "q_heavy_mg_grouped", "q_quality_trim")
 
   private def offenders(name: String, plan: SparkPlan): Seq[String] = {
     val cartesian = plan.collect { case c: CartesianProductExec => c }

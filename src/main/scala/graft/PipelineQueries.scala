@@ -1632,8 +1632,8 @@ object PipelineQueries {
        |  SELECT d.lang, c.cut, d.n_chars
        |  FROM documents d JOIN cut c ON d.lang = c.lang)
        |SELECT lang, cut,
-       |  SUM(CASE WHEN n_chars <= cut THEN 1 ELSE 0 END) AS kept,
-       |  SUM(CASE WHEN n_chars > cut THEN 1 ELSE 0 END) AS dropped
+       |  CAST(SUM(CASE WHEN n_chars <= cut THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       |  CAST(SUM(CASE WHEN n_chars > cut THEN 1 ELSE 0 END) AS BIGINT) AS dropped
        |FROM j GROUP BY 1, 2 ORDER BY lang""".stripMargin
 
   /** Symmetric per-vector INT8 quantization of the embedding column —

@@ -143,13 +143,16 @@ object FrequencyDiscretizer extends DefaultParamsReadable[FrequencyDiscretizer] 
     samples.foreach { v => valueCountMap(v) = valueCountMap.getOrElse(v, 0) + 1 }
     val valueCounts = valueCountMap.toSeq.sortBy(_._1).toArray :+
       ((Double.MaxValue, 1))
-    val possibleSplits = valueCounts.length
+    val possibleSplits = valueCounts.length - 1
     if (possibleSplits <= numSplits) {
       // few distincts -> every value is a split
       // (reference: FrequencyDiscretizer.scala:196-198)
       valueCounts.dropRight(1).map(_._1)
     } else {
-      val stride = samples.length.toDouble / (numSplits + 1)
+      // reference FrequencyDiscretizer.scala:200 rounds the stride UP;
+      // without the ceil the target-count walk crosses boundaries one
+      // distinct value earlier on non-divisible sample sizes
+      val stride = math.ceil(samples.length.toDouble / (numSplits + 1))
       val splitsBuilder = mutable.ArrayBuilder.make[Double]
       var index = 1
       var currentCount = valueCounts(0)._2

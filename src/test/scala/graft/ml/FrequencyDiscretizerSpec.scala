@@ -108,6 +108,26 @@ class FrequencyDiscretizerSpec extends SparkSpec {
     assert(model.selectedFeatures.toSeq == Seq(0))
   }
 
+  test("reference fidelity: stride rounds UP on non-divisible samples") {
+    // Hand-traced against reference FrequencyDiscretizer.scala:200
+    // (stride = ceil(10/3) = 4): 10 samples, 5 distinct values, 2
+    // splits. Walk: target 4 fires at cumcount 4 -> split 2; target 8
+    // fires at cumcount 8 -> split 4. WITHOUT the ceil (stride 3.33)
+    // the walk would yield [2, 3, 5] — the pre-r10 divergence.
+    val samples = Array(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0, 5.0, 5.0)
+    val got = FrequencyDiscretizer.findSplitCandidates(samples, 2)
+    assert(got.toSeq == Seq(2.0, 4.0), s"stride walk diverged: ${got.toSeq}")
+  }
+
+  test("reference fidelity: distinct == numSplits takes the every-value branch") {
+    // Reference counts possibleSplits EXCLUDING the MaxValue sentinel
+    // (valueCounts.length - 1); at distinct == numSplits the reference
+    // returns every distinct value, not a stride walk.
+    val samples = Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0)
+    val got = FrequencyDiscretizer.findSplitCandidates(samples, 3)
+    assert(got.toSeq == Seq(0.0, 1.0, 2.0))
+  }
+
   test("model save/load round-trip") {
     val df = spark.createDataFrame((0 until 200).map { i =>
       Tuple1(Vectors.dense(i.toDouble % 17))

@@ -85,7 +85,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's saved artifact keeps only the stdout TAIL, which
+    // truncates the per-query map mid-alphabet and blinds round-over-
+    // round drift gates for every q_a*–q_n* family. Persist the FULL
+    // map to a file too (cwd = repo root in driver runs), so each
+    // round's complete bench is a committable artifact.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () } // bench output must never fail the run
     Queries.clearCache()
     spark.stop()
   }

@@ -2300,8 +2300,10 @@ object PipelineQueries {
     * packed sign-bit index persisted next to the float vectors, the
     * Hamming prefilter reading only the (id, bwords) columns of the
     * index files (32× less I/O than the float slice — parquet column
-    * pruning, spec-asserted), the rerank reading floats through an
-    * `id IN (bounded shortlist)` pushdown. Output must be IDENTICAL
+    * pruning, spec-asserted), the rerank a DISTRIBUTED semi-join of
+    * the shortlist against the float columns (default path — nothing
+    * through the driver; `idPushdown = true` remains the small-batch
+    * `id IN (…)` row-group-pruning variant). Output must be IDENTICAL
     * to the inline `q_ann_binary` — same oracle SQL. */
   def annBinaryRest(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -20,9 +20,10 @@ import graft.ml.InfoThSelector
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("selector", "wide", "dedup", "ann", "kmeans", "text",
-      "bpe", "semdedup", "pq", "spans", "events", "eventskew", "incdedup",
-      "vtable", "search", "sketch", "graph", "mv", "skview")
+    val modes = Set("selector", "wide", "dedup", "ann", "annserve",
+      "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
+      "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
+      "mv", "skview")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -40,6 +41,11 @@ object Stress {
 
     if (mode == "dedup") { dedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "ann") { annStress(spark, nRows, cpus.toInt); return }
+    if (mode == "annserve") {
+      val nv = numArgs.headOption.map(_.toLong).getOrElse(50000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 10000
+      annServeStress(spark, nv, nq, cpus.toInt); return
+    }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
     if (mode == "text") { textStress(spark, nRows, cpus.toInt); return }
@@ -216,6 +222,49 @@ object Stress {
       s""""binary_topk_sec":$tBin,"brute_topk_sec":$tBrute,""" +
       s""""binary_rows":$nBin,"binary_brute_overlap":$overlap,""" +
       s""""binary_index_write_sec":$tIdx,"binary_rest_sec":$tRest}""")
+    spark.stop()
+  }
+
+  /** At-rest binary-ANN SERVE stress at offline-batch query scale:
+    * `annserve <corpusVecs> [<nQueries>]` (default 50k × 10k). The
+    * claim under test is the r10 rerank shape — the Hamming shortlist
+    * stays a DataFrame and semi-joins the float columns, so a 10k-query
+    * scoring run is a (nQueries × cands)-row DISTRIBUTED join, never a
+    * driver collect + literal `isin` replan (the pre-r10 shape, which
+    * at this scale would round-trip 400k pairs through the driver and
+    * hand the optimizer an unplannable multi-thousand-literal IN). */
+  private def annServeStress(spark: SparkSession, nVecs: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.Similarity
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val idxPath = "target/tmp/stress-binidx-serve"
+    val t0 = System.nanoTime()
+    Similarity.binaryIndexWrite(emb, dim, idxPath)
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    val queries = emb.filter(col("id") < nQueries)
+    val t1 = System.nanoTime()
+    val n = Similarity.binaryTopKAtRest(spark, queries, idxPath, dim, 40, 10)
+      .count()
+    val tServe = (System.nanoTime() - t1) / 1e9
+    require(n == nQueries * 10L,
+      s"at-rest serve returned $n rows, expected ${nQueries * 10L}")
+    // small-batch pushdown variant for comparison (100 queries — the
+    // regime the isin path is FOR)
+    val t2 = System.nanoTime()
+    val nSmall = Similarity.binaryTopKAtRest(spark,
+      emb.filter(col("id") < 100), idxPath, dim, 40, 10,
+      idPushdown = true).count()
+    val tPush = (System.nanoTime() - t2) / 1e9
+    require(nSmall == 1000L, s"pushdown serve returned $nSmall rows")
+    println(s"""{"metric":"stress_annserve","vecs":$nVecs,""" +
+      s""""queries":$nQueries,"index_write_sec":$tIdx,""" +
+      s""""serve_distributed_sec":$tServe,"rows":$n,""" +
+      s""""pushdown_100q_sec":$tPush}""")
     spark.stop()
   }
 

@@ -647,38 +647,55 @@ object Similarity {
    * Serve [[binaryTopK]] from a persisted [[binaryIndexWrite]] index:
    * the Hamming prefilter scans ONLY the (id, bwords) columns
    * (column-pruned parquet read — the 32×-smaller slice of the index
-   * files), and the float vectors are then read through an
-   * `id IN (shortlist)` pushdown — row-group pruning on a BOUNDED id
-   * list (<= cands × |queries|, driver-collected by construction).
-   * Same results as the inline path (spec-pinned).
+   * files); the exact-cosine rerank then reads the float vectors.
+   *
+   * Two rerank shapes, identical results (spec-pinned):
+   *  - DEFAULT (`idPushdown = false`, the scale path): the shortlist
+   *    STAYS a DataFrame and semi-joins the float columns — a plain
+   *    nid-keyed shuffle join, fully planned, nothing through the
+   *    driver. An offline scoring run (10⁵ queries × 10² cands) is a
+   *    50M-row distributed join, not a 50M-row driver round-trip.
+   *  - `idPushdown = true` (small-batch fast path): collect the
+   *    shortlist and replay it as an `id IN (…)` parquet pushdown —
+   *    row-group pruning skips the float row groups with no
+   *    candidate, the win when |queries| × cands is tiny (an online
+   *    serving batch) and the corpus is large. The collect is bounded
+   *    at cands × |queries| rows by construction — the caller opts in
+   *    to that bound being small.
    */
   def binaryTopKAtRest(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, indexPath: String, dim: Int,
-      cands: Int, k: Int): DataFrame = {
+      cands: Int, k: Int, idPushdown: Boolean = false): DataFrame = {
     require(cands >= k, s"cands $cands must be >= k $k")
     val nWords = dim / 32
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
       binaryQuantize(col("vec"), dim).as("qb"), norm(col("vec")).as("qn"))
-    val packed = spark.read.parquet(indexPath).select("id", "bwords")
+    // ONE reader for both slices — schema inference reads footers once;
+    // column pruning still splits the physical scans (packed vs float)
+    val index = spark.read.parquet(indexPath)
+    val packed = index.select("id", "bwords")
     val pre = packed.select(col("id").as("nid"), col("bwords"))
       .join(broadcast(q.select(col("qid"), col("qb"))),
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         hammingDist(col("qb"), col("bwords"), nWords).as("ham"))
     val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
-    val shortlist = pre.withColumn("rk", row_number().over(wPre))
+    val shortlistDf = pre.withColumn("rk", row_number().over(wPre))
       .filter(col("rk") <= cands).select("qid", "nid")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ids = shortlist.map(_._2).distinct.toSeq
-    val vecs = spark.read.parquet(indexPath)
-      .select(col("id").as("nid"), col("vec").as("nvec"))
-      .filter(col("nid").isin(ids: _*))
-      .withColumn("cn", norm(col("nvec")))
-    val pairs = spark.createDataFrame(shortlist.toSeq)
-      .toDF("qid", "nid")
+    val (pairs, vecs) =
+      if (idPushdown) {
+        val shortlist = shortlistDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val ids = shortlist.map(_._2).distinct.toSeq
+        (spark.createDataFrame(shortlist.toSeq).toDF("qid", "nid"),
+          index.select(col("id").as("nid"), col("vec").as("nvec"))
+            .filter(col("nid").isin(ids: _*)))
+      } else
+        (shortlistDf,
+          index.select(col("id").as("nid"), col("vec").as("nvec")))
     val rer = pairs
       .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
-      .join(vecs, "nid")
+      .join(vecs.withColumn("cn", norm(col("nvec"))), "nid")
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qn") * col("cn")), 5)
           .as("cos"))

@@ -239,12 +239,40 @@ class SimilaritySpec extends SparkSpec {
     val path = "target/tmp/binidx-spec"
     Similarity.binaryIndexWrite(corpus, 64, path)
     val qs = corpus.filter(col("id") < 4)
-    val rest = Similarity.binaryTopKAtRest(spark, qs, path, 64, 12, 4)
+    // DEFAULT path is fully distributed: building the frame must run
+    // ZERO Spark jobs (the old shape collected the shortlist through
+    // the driver at call time — a 50M-row round-trip at offline-batch
+    // scale). Count jobs across construction to pin that.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rest =
+      try {
+        val df = Similarity.binaryTopKAtRest(spark, qs, path, 64, 12, 4)
+        Thread.sleep(1000) // listener events post asynchronously
+        // <= 1: the single parquet footer/schema-inference job is
+        // metadata-only; the old collect-based shape ran the whole
+        // prefilter (shuffle + window + collect — several jobs) here
+        assert(jobs.get() <= 1,
+          s"default binaryTopKAtRest ran ${jobs.get()} driver-side jobs " +
+            "during construction — shortlist must stay distributed")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
     val inline = Similarity.binaryTopK(qs, corpus, 64, 12, 4)
+    val inlineSet = inline.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rest.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
-      inline.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == inlineSet)
+    // the opt-in small-batch id-pushdown path returns the same rows
+    val pushed = Similarity.binaryTopKAtRest(spark, qs, path, 64, 12, 4,
+      idPushdown = true)
+    assert(pushed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == inlineSet)
     // the prefilter reads ONLY (id, bwords) from the index files
     val packedPlan = spark.read.parquet(path).select("id", "bwords")
       .queryExecution.executedPlan.toString

@@ -1636,6 +1636,73 @@ object PipelineQueries {
        |  CAST(SUM(CASE WHEN n_chars > cut THEN 1 ELSE 0 END) AS BIGINT) AS dropped
        |FROM j GROUP BY 1, 2 ORDER BY lang""".stripMargin
 
+  /** Robust BOTH-TAILS trim on a FLOAT score column — the r10 signed
+    * fixed-point quantile domain ([[Sketches.quantileBucketsSigned]]):
+    * per-doc unigram LM score (negative log10 floats, the same
+    * certified recurrence as `q_lm_score`), per-language p1/p99 cuts
+    * from the SIGNED sketch (fixed-point 10^6, sign-split log2-linear
+    * buckets — still ~2k integer state rows per group, never a
+    * per-group corpus sort), then every document classified
+    * kept/dropped in fixed-point integer algebra. This is the trim a
+    * curation pass actually runs: quality/LM scores are floats, and
+    * r9's sketch couldn't hold them. At 100 TB the scored frame would
+    * be persisted once and both consumers (sketch + classify) read
+    * the materialization; here the recompute is two narrow aggs. */
+  def qualityTrimFloat(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val post = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = post.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf"))).head().getLong(0)
+    val scored = post.join(freq, "tok")
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(log10(col("tf").cast("double") / total)), 6)
+        .as("score"))
+    val est = Sketches.quantileEstimateSigned(
+      Sketches.quantileBucketsSigned(scored, "lang", "score"), Seq(1, 99))
+    val cuts = est.groupBy(col("g").as("lang")).agg(
+      max(when(col("p") === 1, col("est_fx"))).as("cut1_fx"),
+      max(when(col("p") === 99, col("est_fx"))).as("cut99_fx"))
+    scored
+      .withColumn("fx", round(col("score") * lit(1e6)).cast("long"))
+      .join(broadcast(cuts), "lang")
+      .groupBy("lang", "cut1_fx", "cut99_fx")
+      .agg(
+        sum(when(col("fx") > col("cut1_fx") &&
+          col("fx") <= col("cut99_fx"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("fx") <= col("cut1_fx") ||
+          col("fx") > col("cut99_fx"), 1L).otherwise(0L)).as("dropped"))
+      .select("lang", "cut1_fx", "cut99_fx", "kept", "dropped")
+      .orderBy("lang")
+  }
+
+  val qualityTrimFloatSql: String =
+    s"""WITH pt AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ft AS (SELECT tok, COUNT(*) AS tf FROM pt GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS total FROM pt),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(AVG(LOG10(CAST(tf AS DOUBLE) / total)), 6) AS score
+       |  FROM pt JOIN ft USING (tok) CROSS JOIN nt GROUP BY 1, 2),
+       |${Sketches.quantileSketchSignedSql("s", "lang", "score", Seq(1, 99))},
+       |cuts AS (
+       |  SELECT g AS lang,
+       |    MAX(CASE WHEN p = 1 THEN est_fx END) AS cut1_fx,
+       |    MAX(CASE WHEN p = 99 THEN est_fx END) AS cut99_fx
+       |  FROM sqest GROUP BY 1),
+       |j AS (
+       |  SELECT s.lang, c.cut1_fx, c.cut99_fx,
+       |    CAST(ROUND(s.score * 1e6) AS BIGINT) AS fx
+       |  FROM s JOIN cuts c USING (lang))
+       |SELECT lang, cut1_fx, cut99_fx,
+       |  CAST(SUM(CASE WHEN fx > cut1_fx AND fx <= cut99_fx
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       |  CAST(SUM(CASE WHEN fx <= cut1_fx OR fx > cut99_fx
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+       |FROM j GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin
+
   /** Symmetric per-vector INT8 quantization of the embedding column —
     * the serving-side compression step between training embeddings and
     * an ANN index (PQ compresses harder; int8 keeps per-dimension
@@ -3172,6 +3239,7 @@ object PipelineQueries {
     "q_stream_heavy" -> heavyHittersMgStream _,
     "q_quantile_sketch" -> quantileSketch _,
     "q_quality_trim" -> qualityTrim _,
+    "q_quality_trim_float" -> qualityTrimFloat _,
     "q_distinct_overlap" -> distinctOverlap _,
     "q_distinct_hll_native" -> distinctHllNative _,
     "q_embed_quantize" -> embedQuantize _,
@@ -3251,6 +3319,7 @@ object PipelineQueries {
     "q_stream_heavy" -> heavyHittersMgSql,  // same exact set as q_heavy_mg
     "q_quantile_sketch" -> quantileSketchSql,
     "q_quality_trim" -> qualityTrimSql,
+    "q_quality_trim_float" -> qualityTrimFloatSql,
     "q_distinct_overlap" -> distinctOverlapSql,
     "q_distinct_hll_native" -> distinctHllSql,
     "q_embed_quantize" -> embedQuantizeSql,

@@ -307,6 +307,128 @@ object Sketches {
       .select(col("g"), col("p"), qsUpper(col("idx"), k).as("est_value"))
   }
 
+  // ---- signed / fixed-point quantile domain (r10) ----
+
+  /** Sign-split bucket index for SIGNED longs: negatives bucket by
+    * |x| and negate the index — order-preserving (more negative value
+    * -> smaller index, every negative index < 0 <= every non-negative
+    * one), and the whole mapping stays the same integer/string
+    * algebra as [[qsBucket]], so an oracle replays it cell-for-cell.
+    * x = 0 is its own exact bucket 0. */
+  private def qsBucketSigned(x: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    when(x >= 0, qsBucket(x, k)).otherwise(-qsBucket(-x, k))
+
+  /** Upper bound of a signed bucket. Positive buckets: [[qsUpper]].
+    * A negative bucket -j mirrors positive bucket j, covering
+    * [-hi(j), -lo(j)]; buckets are contiguous so lo(j) =
+    * qsUpper(j-1) + 1 and the signed upper is -(qsUpper(j-1) + 1).
+    * Estimates therefore stay >= the true quantile on BOTH sides of
+    * zero, within relative error 2^-k of |value|. */
+  private def qsUpperSigned(idx: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    when(idx >= 0, qsUpper(idx, k))
+      .otherwise(-(qsUpper(-idx - 1, k) + lit(1L)))
+
+  /**
+   * Quantile-sketch state over a SIGNED, FIXED-POINT view of a double
+   * column: fx = round(value * 10^scaleDigits) cast to BIGINT, then
+   * the sign-split log2-linear bucket. The fixed-point step is
+   * engine-deterministic (one IEEE multiply by an exactly-
+   * representable power of ten, then half-away-from-zero rounding —
+   * identical on Spark and a SQL oracle), which opens the robust-trim
+   * pattern to float quality/LM scores, the columns a curation pass
+   * actually trims on. Same (g, idx, cnt) mergeable state as
+   * [[quantileBuckets]]: shard states union + re-sum exactly.
+   */
+  def quantileBucketsSigned(df: DataFrame, groupCol: String,
+      valueCol: String, scaleDigits: Int = 6,
+      k: Int = QSubBits): DataFrame = {
+    require(scaleDigits >= 0 && scaleDigits <= 15,
+      s"scaleDigits $scaleDigits out of range")
+    val fx = round(col(valueCol).cast("double")
+      * lit(math.pow(10, scaleDigits))).cast("long")
+    df.select(col(groupCol).as("g"), qsBucketSigned(fx, k).as("idx"))
+      .groupBy("g", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[quantileEstimate]] over a SIGNED bucket state: the cumulative
+    * rank algebra is unchanged (signed indices already order the
+    * value line), only the bucket-upper recovery differs. The answer
+    * is the FIXED-POINT integer (`est_fx`); divide by 10^scaleDigits
+    * at presentation — both engines divide identical integers, so
+    * even the float presentation hash-matches. */
+  def quantileEstimateSigned(sketch: DataFrame, percentiles: Seq[Int],
+      k: Int = QSubBits): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100]: $percentiles")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("idx")
+    sketch
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .crossJoin(broadcast(percentiles.toDF("p")))
+      .filter(col("cum") * 100 >= col("n") * col("p") &&
+        (col("cum") - col("cnt")) * 100 < col("n") * col("p"))
+      .select(col("g"), col("p"), qsUpperSigned(col("idx"), k).as("est_fx"))
+  }
+
+  /** The signed fixed-point sketch-and-estimate recurrence as oracle
+    * SQL CTEs (CTE names prefixed `sq`) over rows (g, double expr) —
+    * the identical fixed-point/sign-split/rank integer algebra, so
+    * `sqest(g, p, est_fx)` hash-matches [[quantileEstimateSigned]]
+    * cell-for-cell. */
+  def quantileSketchSignedSql(fromClause: String, gCol: String,
+      vExpr: String, percentiles: Seq[Int], scaleDigits: Int = 6,
+      k: Int = QSubBits): String = {
+    val twoK = 1L << k
+    val exact = 1L << (k + 1)
+    val ps = percentiles.mkString(", ")
+    val scale = s"1e$scaleDigits"
+    def posUpper(j: String): String =
+      s"""CASE WHEN $j < $exact THEN $j
+         |      ELSE ($j - (($j // $twoK) - 1) * $twoK)
+         |        * CAST(POW(2.0, ($j // $twoK) - 1) AS BIGINT)
+         |        + CAST(POW(2.0, ($j // $twoK) - 1) AS BIGINT) - 1
+         |    END""".stripMargin
+    s"""sqraw AS (
+       |  SELECT $gCol AS g,
+       |    CAST(ROUND(CAST($vExpr AS DOUBLE) * $scale) AS BIGINT) AS fx
+       |  FROM $fromClause),
+       |sqabs AS (
+       |  SELECT g, CASE WHEN fx >= 0 THEN 1 ELSE -1 END AS sgn,
+       |    ABS(fx) AS x
+       |  FROM sqraw),
+       |sqidx AS (
+       |  SELECT g, sgn * (
+       |    CASE WHEN x < $exact THEN x
+       |      ELSE (length(bin(x)) - 1 - $k) * $twoK
+       |        + CAST(FLOOR(x / POW(2.0, length(bin(x)) - 1 - $k)) AS BIGINT)
+       |    END) AS idx
+       |  FROM sqabs),
+       |sqbuck AS (SELECT g, idx, COUNT(*) AS cnt FROM sqidx GROUP BY 1, 2),
+       |sqcum AS (
+       |  SELECT g, idx, cnt,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY idx) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM sqbuck),
+       |sqhit AS (
+       |  SELECT g, p, idx FROM sqcum
+       |  CROSS JOIN (SELECT UNNEST([$ps]) AS p)
+       |  WHERE cum * 100 >= n * p
+       |    AND (cum - cnt) * 100 < n * p),
+       |sqest AS (
+       |  SELECT g, p,
+       |    CASE WHEN idx >= 0 THEN ${posUpper("idx")}
+       |      ELSE -((${posUpper("(-idx - 1)")}) + 1)
+       |    END AS est_fx
+       |  FROM sqhit)""".stripMargin
+  }
+
   /** The full sketch-and-estimate recurrence as oracle SQL CTEs over
     * rows (g, val >= 0) — the identical integer bucket/rank algebra,
     * so estimates hash-match across engines. */

@@ -29,13 +29,17 @@ class PlanAuditSpec extends SparkSpec {
    * - q_quality_trim: the broadcast side is the per-language p99 cut —
    *   ONE row per language (the quantile estimate collapses the ~2k
    *   bucket rows per group before the join).
+   * - q_quality_trim_float: same shape over the SIGNED fixed-point
+   *   sketch — the broadcast side is one (cut1_fx, cut99_fx) row per
+   *   language.
    * Statically-planned broadcasts of non-hinted aggregates only happen
    * when the planner PROVES the side small, so anything else that shows
    * up here is a deliberate `broadcast()` hint that must justify
    * itself.
    */
   private val broadcastAggAllowlist = Set("q_kmeans", "q_ann_ivf_kmeans",
-    "q_heavy_mg", "q_heavy_mg_grouped", "q_quality_trim")
+    "q_heavy_mg", "q_heavy_mg_grouped", "q_quality_trim",
+    "q_quality_trim_float")
 
   private def offenders(name: String, plan: SparkPlan): Seq[String] = {
     val cartesian = plan.collect { case c: CartesianProductExec => c }

@@ -172,6 +172,46 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("SIGNED fixed-point quantile sketch: upper bounds within 2^-5 " +
+      "relative error on BOTH sides of zero; shard folds exact") {
+    // signed doubles spanning both tails: values in ~[-450, 450] with
+    // 6 fractional digits — the float-score domain r9 couldn't hold
+    val rows = (1 to 20000).map { i =>
+      val v = ((i.toLong * i) % 900001 - 450000).toDouble / 1000.0
+      (if (i % 2 == 0) "a" else "b", v)
+    }
+    val df = rows.toDF("g", "x")
+    val est = Sketches.quantileEstimateSigned(
+        Sketches.quantileBucketsSigned(df, "g", "x"), Seq(1, 50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq("a", "b"); p <- Seq(1, 50, 99)) {
+      val fx = rows.filter(_._1 == g)
+        .map(t => math.round(t._2 * 1e6)).sorted
+      val rank = (fx.length * p + 99) / 100 // ceil(n*p/100)
+      val exact = fx(rank - 1)
+      val e = est((g, p))
+      assert(e >= exact, s"$g p$p: est $e below exact $exact")
+      assert(e - exact <= math.abs(exact) / 32 + 1,
+        s"$g p$p: est $e breaches the 2^-5 bound vs $exact")
+    }
+    // shard folds stay EXACT in the signed domain
+    val full = Sketches.quantileBucketsSigned(df, "g", "x")
+    val ids = df.withColumn("rid", monotonically_increasing_id())
+    val merged = Sketches.quantileMerge(
+      Sketches.quantileBucketsSigned(
+        ids.filter(col("rid") % 2 === 0), "g", "x"),
+      Sketches.quantileBucketsSigned(
+        ids.filter(col("rid") % 2 =!= 0), "g", "x"))
+    assert(full.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(full).count() == 0)
+    // negative indices order below positives; zero is exact bucket 0
+    val tiny = Seq(("t", -1.0), ("t", 0.0), ("t", 1.0)).toDF("g", "x")
+    val tinyIdx = Sketches.quantileBucketsSigned(tiny, "g", "x", 0)
+      .collect().map(_.getLong(1)).sorted
+    assert(tinyIdx.toSeq == Seq(-1L, 0L, 1L))
+  }
+
   test("quantile sketch as a STREAMING aggregate: bucket state after " +
       "the last micro-batch equals the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

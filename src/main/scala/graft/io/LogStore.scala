@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
  */
 trait LogStore {
 
+  /** One-time configuration hook, called by [[LogStore.forSession]]
+    * right after reflective construction (impls needing external
+    * coordinates — a JDBC URL, a metastore endpoint — read session
+    * conf here). Default no-op. */
+  def init(spark: SparkSession): Unit = ()
+
   /** Atomically create `p` iff absent; true when this caller won the
     * slot. MUST be a true compare-and-swap against every concurrent
     * caller of the same store. */
@@ -105,11 +111,17 @@ object LogStore {
 
   private val instances = TrieMap.empty[String, LogStore]
 
-  /** The session's configured store (instance cached per class name). */
+  /** The session's configured store. Instances are cached PER CLASS
+    * NAME JVM-wide ([[init]] runs once, with the first session that
+    * names the class — sessions sharing an implementation share its
+    * configuration; run distinct backends under distinct classes). */
   def forSession(spark: SparkSession): LogStore = {
     val cls = spark.conf.get(ConfKey, classOf[FsLogStore].getName)
-    instances.getOrElseUpdate(cls,
-      Class.forName(cls).getDeclaredConstructor().newInstance()
-        .asInstanceOf[LogStore])
+    instances.getOrElseUpdate(cls, {
+      val s = Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[LogStore]
+      s.init(spark)
+      s
+    })
   }
 }

@@ -2389,6 +2389,68 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** Binary ANN served from the GENERATIONAL index ([[VecIndex]], r10):
+    * the index is built as a LIFECYCLE — init on half the corpus, the
+    * rest folded in as an append generation, one id tombstoned and
+    * re-appended (the re-embed cycle) — so the live set equals the
+    * full corpus and the serve output must be IDENTICAL to the inline
+    * `q_ann_binary` (same oracle SQL). This is the oracle-gated proof
+    * that corpus growth appends instead of rewriting: the driver gate
+    * replays the Hamming+rerank answer against an index whose commit
+    * log holds base+seg+del+seg generations. */
+  def annBinaryGen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-gen-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path)
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        // re-embed cycle: tombstone one id, fold its vector back in —
+        // the serve path then exercises the gen-aware anti-join while
+        // the live set stays the full corpus
+        import spark.implicits._
+        VecIndex.delete(Seq(5L).toDF("id"), "id", idx)
+        VecIndex.append(emb.filter(col("id") === 5L), idx)
+        ()
+      })
+    }
+    VecIndex.binaryTopK(spark,
+        emb.filter(col("id") < 3), VecIndex.open(spark, path), 20, 3)
+      .orderBy("qid", "nid")
+  }
+
+  /** IVF served from the same generational index machinery: codebook
+    * installed at init, corpus folded in two generations, probed
+    * buckets pruning the generation scan. Output identical to the
+    * inline `q_ann_ivf` — same oracle SQL. */
+  def annIvfGen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-ivfgen-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path,
+          centroids = Some(centroids), cbBuckets = 4)
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    VecIndex.ivfTopK(spark,
+        emb.filter(col("id") < 50), VecIndex.open(spark, path), 2, 3)
+      .orderBy("qid", "nid")
+  }
+
   /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -3254,6 +3316,8 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosine _,
     "q_ann_binary" -> annBinary _,
     "q_ann_binary_rest" -> annBinaryRest _,
+    "q_ann_binary_gen" -> annBinaryGen _,
+    "q_ann_ivf_gen" -> annIvfGen _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3334,6 +3398,8 @@ object PipelineQueries {
     "q_ann_cosine" -> annCosineSql,
     "q_ann_binary" -> annBinarySql,
     "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
+    "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
+    "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

@@ -1,0 +1,176 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The GENERATION LOG — the commit machinery behind every growing
+ * at-rest index here ([[graft.pipeline.Search]] since r8, the vector
+ * indexes since r10): an index directory is a log of generations,
+ * committed the Iceberg way — the marker file IS the commit.
+ *
+ *  - a writer CLAIMS the next generation number with an atomic
+ *    put-if-absent claim file (routed through the session's pluggable
+ *    [[LogStore]], so object-store deployments swap the CAS),
+ *  - writes its data under `<dataDir>/gen=N`,
+ *  - PUBLISHES by atomically writing `commits/N` carrying the
+ *    generation's kind and exact stats delta. A crash at any point
+ *    leaves either an invisible orphan (no marker — swept by
+ *    [[vacuum]]) or a complete generation; there is no torn window;
+ *  - `base` generations are compaction floors: readers see the newest
+ *    base and everything after it ([[liveMetas]]); [[vacuum]]
+ *    reclaims below.
+ *
+ * STRUCTURAL commits (a compaction's new base, a delete's tombstone
+ * snapshot) must call [[requireNoInflightBelow]]: an append that
+ * claimed a lower slot but has not published could otherwise land
+ * below the new base (invisible forever, then vacuumed — silent
+ * loss) or below a tombstone snapshot that would wrongly kill it.
+ *
+ * Marker payload is `kind \t a \t b \t n` — three numeric fields the
+ * owning format interprets (Search: doc count / token-length sum /
+ * bucket count; vector index: vector count / dim / centroid count).
+ * Keeping them in the marker makes corpus constants exact integer
+ * sums over the read set, never a read-modify-write stats file.
+ */
+object GenLog {
+
+  /** One committed generation's marker payload. */
+  final case class Meta(gen: Int, kind: String, a: Long, b: Long, n: Int)
+
+  val KindSeg = "seg"
+  val KindDel = "del"
+  val KindBase = "base"
+
+  def commitsDir(path: String): Path = new Path(path, "commits")
+
+  /** Committed generation metas, ascending by generation. */
+  def metas(spark: SparkSession, f: FileSystem, path: String): Seq[Meta] = {
+    val dir = commitsDir(path)
+    if (!f.exists(dir)) return Nil
+    val store = LogStore.forSession(spark)
+    f.listStatus(dir).toSeq
+      .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val cols = store.readSmall(f, s.getPath).trim.split("\t")
+        Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
+          cols(2).toLong, cols(3).toInt)
+      }
+      .sortBy(_.gen)
+  }
+
+  /** Metas at or above the newest base generation — the read set. */
+  def liveMetas(spark: SparkSession, f: FileSystem,
+      path: String): Seq[Meta] = {
+    val ms = metas(spark, f, path)
+    require(ms.nonEmpty, s"no committed index generations at $path")
+    val base = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(ms.head.gen)
+    ms.filter(_.gen >= base)
+  }
+
+  /** Claim the next free generation slot (atomic put-if-absent through
+    * the session's [[LogStore]]). */
+  def claimGen(spark: SparkSession, f: FileSystem, path: String): Int = {
+    val dir = commitsDir(path)
+    f.mkdirs(dir)
+    val store = LogStore.forSession(spark)
+    var g = (if (f.exists(dir)) f.listStatus(dir).toSeq
+        .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName.toInt) else Nil)
+      .maxOption.getOrElse(0) + 1
+    var probes = 0
+    while (!store.createExclusive(f, new Path(dir, s".claim-$g"))) {
+      g += 1
+      probes += 1
+      require(probes < 10000, s"index at $path probed $probes claimed " +
+        "generation slots; claims and commits diverged — run vacuum")
+    }
+    g
+  }
+
+  /** Generation slots claimed but not (yet) committed — in-flight or
+    * crashed writers that may still publish. Claims below the newest
+    * base are dead slots (compacted away, or serialized out by the
+    * in-flight guard), not writers. */
+  def unpublishedGens(spark: SparkSession, f: FileSystem,
+      path: String): Seq[Int] = {
+    val dir = commitsDir(path)
+    if (!f.exists(dir)) return Nil
+    val ms = metas(spark, f, path)
+    val committed = ms.map(_.gen).toSet
+    val floor = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(0)
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(".claim-"))
+      .map(_.stripPrefix(".claim-").toInt)
+      .filter(g => g >= floor && !committed.contains(g))
+      .sorted
+  }
+
+  /** Fail-loud serialization of a structural commit against in-flight
+    * appends (see class doc). The aborted commit releases its own
+    * claim before surfacing. */
+  def requireNoInflightBelow(spark: SparkSession, f: FileSystem,
+      path: String, g: Int, op: String): Unit = {
+    val pending = unpublishedGens(spark, f, path).filter(_ < g)
+    if (pending.nonEmpty) {
+      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
+      sys.error(s"$op at $path: generation slots ${pending.mkString(",")} " +
+        "are claimed but unpublished; an in-flight append could publish " +
+        s"below the new generation $g and be lost — wait for it (or let " +
+        "vacuum sweep a crashed writer's stale claim) and retry")
+    }
+  }
+
+  /** Publish generation `g`: the marker file is the commit point. */
+  def publish(spark: SparkSession, f: FileSystem, path: String, g: Int,
+      kind: String, a: Long, b: Long, n: Int): Unit =
+    LogStore.forSession(spark).writeAtomic(f,
+      new Path(commitsDir(path), g.toString), s"$kind\t$a\t$b\t$n")
+
+  /**
+   * Retention: reclaim generation dirs (under each of `dataDirs`) +
+   * markers BELOW the newest base, stale claim files, and orphan data
+   * dirs whose generation never committed (age-guarded by
+   * `staleAfterMs` so an in-flight writer's work survives). Returns
+   * reclaimed generation numbers. Single maintainer; must not run
+   * concurrently with readers of pre-base generations.
+   */
+  def vacuum(spark: SparkSession, f: FileSystem, path: String,
+      dataDirs: Seq[String], staleAfterMs: Long = 3600L * 1000): Seq[Int] = {
+    val ms = metas(spark, f, path)
+    if (ms.isEmpty) return Nil
+    val base = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(ms.head.gen)
+    val doomed = ms.map(_.gen).filter(_ < base)
+    doomed.foreach { g =>
+      // marker first: a half-vacuumed generation must be invisible,
+      // never visible-but-missing-data. The claim goes with it — a
+      // lingering claim for a reclaimed gen would read as an in-flight
+      // writer to the compact/delete guards.
+      f.delete(new Path(commitsDir(path), g.toString), false)
+      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
+      dataDirs.foreach(d => f.delete(new Path(s"$path/$d/gen=$g"), true))
+    }
+    val now = System.currentTimeMillis()
+    val committed = metas(spark, f, path).map(_.gen).toSet
+    if (f.exists(commitsDir(path)))
+      f.listStatus(commitsDir(path))
+        .filter(s => s.getPath.getName.startsWith(".claim-"))
+        .filter(s => now - s.getModificationTime > staleAfterMs)
+        .foreach(s => f.delete(s.getPath, false))
+    dataDirs.foreach { d =>
+      val dir = new Path(s"$path/$d")
+      if (f.exists(dir))
+        f.listStatus(dir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+          .filter(s =>
+            !committed(s.getPath.getName.stripPrefix("gen=").toInt))
+          .filter(s => now - s.getModificationTime > staleAfterMs)
+          .foreach(s => f.delete(s.getPath, true))
+    }
+    doomed
+  }
+}

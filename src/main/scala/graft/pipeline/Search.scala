@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.LogStore
 
 /**
  * Inverted-index text search AT REST — the serve path of a corpus
@@ -57,13 +56,13 @@ object Search {
 
   final case class Index(path: String, nBuckets: Int)
 
-  /** One committed generation's marker payload. */
-  private final case class Meta(gen: Int, kind: String, nDocs: Long,
-    sumDlen: Long, nBuckets: Int)
-
-  private val KindSeg = "seg"
-  private val KindDel = "del"
-  private val KindBase = "base"
+  // The generation-log machinery was extracted to [[graft.io.GenLog]]
+  // in r10 (the vector indexes share it); these aliases keep Search's
+  // internals and its concurrent-lifecycle specs reading naturally.
+  // Marker fields here: a = doc-count delta, b = token-length-sum
+  // delta, n = nBuckets.
+  import graft.io.GenLog
+  import graft.io.GenLog.{Meta, KindSeg, KindDel, KindBase}
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,106 +70,30 @@ object Search {
   private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(c), lit(n)).cast("int")
 
-  // ---- generation log ----
+  // ---- generation log (delegates) ----
 
-  private def commitsDir(path: String) = new Path(path, "commits")
+  private def commitsDir(path: String) = GenLog.commitsDir(path)
 
-  /** Committed generation metas, ascending by generation. */
   private def metas(spark: SparkSession, f: FileSystem,
-      path: String): Seq[Meta] = {
-    val dir = commitsDir(path)
-    if (!f.exists(dir)) return Nil
-    val store = LogStore.forSession(spark)
-    f.listStatus(dir).toSeq
-      .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
-      .map { s =>
-        val cols = store.readSmall(f, s.getPath).trim.split("\t")
-        Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
-          cols(2).toLong, cols(3).toInt)
-      }
-      .sortBy(_.gen)
-  }
+      path: String): Seq[Meta] = GenLog.metas(spark, f, path)
 
-  /** Metas at or above the newest base generation — the read set. */
   private def liveMetas(spark: SparkSession, f: FileSystem,
-      path: String): Seq[Meta] = {
-    val ms = metas(spark, f, path)
-    require(ms.nonEmpty, s"no committed index generations at $path")
-    val base = ms.filter(_.kind == KindBase).map(_.gen)
-      .maxOption.getOrElse(ms.head.gen)
-    ms.filter(_.gen >= base)
-  }
+      path: String): Seq[Meta] = GenLog.liveMetas(spark, f, path)
 
-  /** Claim the next free generation slot (atomic put-if-absent through
-    * the session's [[LogStore]]). */
   private[pipeline] def claimGen(spark: SparkSession, f: FileSystem,
-      path: String): Int = {
-    val dir = commitsDir(path)
-    f.mkdirs(dir)
-    val store = LogStore.forSession(spark)
-    var g = (if (f.exists(dir)) f.listStatus(dir).toSeq
-        .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.getName.toInt) else Nil)
-      .maxOption.getOrElse(0) + 1
-    var probes = 0
-    while (!store.createExclusive(f, new Path(dir, s".claim-$g"))) {
-      g += 1
-      probes += 1
-      require(probes < 10000, s"index at $path probed $probes claimed " +
-        "generation slots; claims and commits diverged — run vacuum")
-    }
-    g
-  }
+      path: String): Int = GenLog.claimGen(spark, f, path)
 
-  /** Generation slots claimed but not (yet) committed — in-flight or
-    * crashed writers that may still publish. */
   private[pipeline] def unpublishedGens(spark: SparkSession, f: FileSystem,
-      path: String): Seq[Int] = {
-    val dir = commitsDir(path)
-    if (!f.exists(dir)) return Nil
-    val ms = metas(spark, f, path)
-    val committed = ms.map(_.gen).toSet
-    // claims below the newest base are dead slots (their generations
-    // were compacted away or could never land below a committed base —
-    // the in-flight guard serialized them), not in-flight writers
-    val floor = ms.filter(_.kind == KindBase).map(_.gen)
-      .maxOption.getOrElse(0)
-    f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(".claim-"))
-      .map(_.stripPrefix(".claim-").toInt)
-      .filter(g => g >= floor && !committed.contains(g))
-      .sorted
-  }
+      path: String): Seq[Int] = GenLog.unpublishedGens(spark, f, path)
 
-  /** Fail-loud serialization of a STRUCTURAL commit (compact's new
-    * base, delete's tombstone snapshot) against in-flight appends: a
-    * writer that claimed a LOWER generation but has not published
-    * could still land below the new base (invisible forever, then
-    * vacuumed — silent loss) or below a tombstone that would
-    * wrongly kill it. Such commits refuse to proceed while lower
-    * unpublished claims exist; the caller waits the appender out (a
-    * crashed appender's stale claim is swept by [[vacuum]]'s age
-    * guard). The aborted commit releases its own claim. */
   private def requireNoInflightBelow(spark: SparkSession, f: FileSystem,
-      path: String, g: Int, op: String): Unit = {
-    val pending = unpublishedGens(spark, f, path).filter(_ < g)
-    if (pending.nonEmpty) {
-      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
-      sys.error(s"$op at $path: generation slots ${pending.mkString(",")} " +
-        "are claimed but unpublished; an in-flight append could publish " +
-        s"below the new generation $g and be lost — wait for it (or let " +
-        "vacuum sweep a crashed writer's stale claim) and retry")
-    }
-  }
+      path: String, g: Int, op: String): Unit =
+    GenLog.requireNoInflightBelow(spark, f, path, g, op)
 
-  /** Publish generation `g`: the marker file is the commit point. */
   private[pipeline] def publish(spark: SparkSession, f: FileSystem,
       path: String, g: Int, kind: String, nDocs: Long, sumDlen: Long,
       nBuckets: Int): Unit =
-    LogStore.forSession(spark).writeAtomic(f,
-      new Path(commitsDir(path), g.toString),
-      s"$kind\t$nDocs\t$sumDlen\t$nBuckets")
+    GenLog.publish(spark, f, path, g, kind, nDocs, sumDlen, nBuckets)
 
   /** Tokenized postings for one document shard. */
   private def postingsOf(df: DataFrame, idCol: String,
@@ -232,7 +155,7 @@ object Search {
 
   /** Open an existing committed index (reads nBuckets from the log). */
   def open(spark: SparkSession, path: String): Index =
-    Index(path, liveMetas(spark, fsOf(spark, path), path).last.nBuckets)
+    Index(path, liveMetas(spark, fsOf(spark, path), path).last.n)
 
   /**
    * Incremental index ingest: fold a NEW shard of documents into an
@@ -321,43 +244,9 @@ object Search {
    * generation numbers. Must not run concurrently with readers of
    * pre-base generations (same contract as [[graft.io.Versioned.vacuum]]).
    */
-  def vacuum(spark: SparkSession, idx: Index): Seq[Int] = {
-    val f = fsOf(spark, idx.path)
-    val ms = metas(spark, f, idx.path)
-    if (ms.isEmpty) return Nil
-    val base = ms.filter(_.kind == KindBase).map(_.gen)
-      .maxOption.getOrElse(ms.head.gen)
-    val doomed = ms.map(_.gen).filter(_ < base)
-    doomed.foreach { g =>
-      // marker first: a half-vacuumed generation must be invisible,
-      // never visible-but-missing-data. The claim goes with it — a
-      // lingering claim for a reclaimed gen would read as an in-flight
-      // writer to the compact/delete guards.
-      f.delete(new Path(commitsDir(idx.path), g.toString), false)
-      f.delete(new Path(commitsDir(idx.path), s".claim-$g"), false)
-      Seq("post", "docs", "tombs").foreach(d =>
-        f.delete(new Path(s"${idx.path}/$d/gen=$g"), true))
-    }
-    // stale claims + orphan (never-committed) generation data
-    val now = System.currentTimeMillis()
-    val committed = metas(spark, f, idx.path).map(_.gen).toSet
-    if (f.exists(commitsDir(idx.path)))
-      f.listStatus(commitsDir(idx.path))
-        .filter(s => s.getPath.getName.startsWith(".claim-"))
-        .filter(s => now - s.getModificationTime > 3600L * 1000)
-        .foreach(s => f.delete(s.getPath, false))
-    Seq("post", "docs", "tombs").foreach { d =>
-      val dir = new Path(s"${idx.path}/$d")
-      if (f.exists(dir))
-        f.listStatus(dir)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-          .filter(s =>
-            !committed(s.getPath.getName.stripPrefix("gen=").toInt))
-          .filter(s => now - s.getModificationTime > 3600L * 1000)
-          .foreach(s => f.delete(s.getPath, true))
-    }
-    doomed
-  }
+  def vacuum(spark: SparkSession, idx: Index): Seq[Int] =
+    GenLog.vacuum(spark, fsOf(spark, idx.path), idx.path,
+      Seq("post", "docs", "tombs"))
 
   // ---- read side ----
 
@@ -407,7 +296,7 @@ object Search {
     * driver-side file reads, exact integer sums, zero data scan. */
   private def stats(spark: SparkSession, idx: Index): (Long, Long) = {
     val ms = liveMetas(spark, fsOf(spark, idx.path), idx.path)
-    (ms.map(_.nDocs).sum, ms.map(_.sumDlen).sum)
+    (ms.map(_.a).sum, ms.map(_.b).sum)
   }
 
   /** Conjunctive (AND-of-terms) search: docs containing EVERY query

@@ -102,7 +102,7 @@ object Similarity {
     * (cid, components-as-double, squared-l2norm), cid-sorted. The
     * squared norm is the same left-to-right double fold `l2Norm`
     * squares. */
-  private def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] = {
+  private[pipeline] def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] = {
     val rows = centroids.select(col("cid"), col("cvec")).collect()
     require(rows.nonEmpty, "empty centroid codebook")
     rows.map { r =>
@@ -122,7 +122,7 @@ object Similarity {
     * codebook — one [[graft.functions.NearestCentroids]] expression (the
     * codebook rides as a plan reference object; generated code size is
     * independent of C and dim). */
-  private def nearestCids(vec: Column,
+  private[pipeline] def nearestCids(vec: Column,
       cb: Seq[(Long, Seq[Double], Double)], nProbe: Int): Column =
     graft.functions.VectorFunctions.nearestCentroids(vec,
       cb.map(_._2.toArray).toArray, cb.map(_._3).toArray,

@@ -1,0 +1,298 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.GenLog
+
+/**
+ * The GENERATIONAL VECTOR INDEX — [[Similarity]]'s at-rest ANN
+ * artifacts with the [[graft.io.GenLog]] lifecycle the text index
+ * ([[Search]]) got in r8. One format serves both retrieval paths:
+ * each generation's `vecs/gen=N` parquet carries
+ * `(id, vec, nrm, bwords[, cid])` — the float vectors, their norms,
+ * the packed sign bits for the binary-Hamming prefilter, and (when a
+ * coarse codebook was installed at [[init]]) the IVF cluster
+ * assignment — so the binary serve path column-prunes to
+ * `(id, bwords)` and the IVF path to its probed clusters, over the
+ * SAME files.
+ *
+ * Lifecycle, verbatim from the generation-log contract:
+ *  - [[append]] folds a NEW shard in as its own generation — cost
+ *    O(shard) (encode + write), never a corpus re-encode. Corpus
+ *    growth is an append, not a rewrite: the r9 `binaryIndexWrite` /
+ *    `ivfWriteIndex` write-once artifacts stay for static corpora,
+ *    this is the growing-corpus path.
+ *  - [[delete]] commits an id tombstone generation; every serve path
+ *    anti-joins it (gen-aware, so delete + append is the re-embed /
+ *    reingest cycle — exactly how an embedding refresh rolls through
+ *    a corpus). Skipped at planning time when no tombstones exist.
+ *  - [[compact]] rewrites the live rows as one new BASE generation;
+ *    [[vacuum]] reclaims below it plus stale claims/orphans —
+ *    directory count stays bounded across folds.
+ *  - Markers carry `(nVecs delta, dim, cb-bucket count)`, so
+ *    [[countVecs]] is an exact integer sum over the read set and
+ *    [[open]] needs no data scan. Concurrent appends take distinct
+ *    slots through the LogStore CAS; structural commits refuse while
+ *    a lower slot is claimed-unpublished (same races, same guard as
+ *    Search).
+ *
+ * IVF at rest: generations are directory-partitioned by
+ * `cb = pmod(cid, nBuckets)`, so a query batch's probed clusters
+ * prune to |probed buckets| directories at PLANNING time (the
+ * Search term-bucket trick). The probed-cid collect that builds the
+ * literal bucket list is bounded by the codebook contract
+ * (<= C <= ~1024 distinct cids), the same bound [[Similarity.collectCodebook]]
+ * already rides. The codebook itself is FIXED at init (`centroids/`
+ * sidecar): appends assign against it, so probing stays consistent
+ * across folds — retrain = fresh init (the IVF re-cluster is a new
+ * index by definition).
+ */
+object VecIndex {
+
+  /** Handle: `cb` = IVF bucket-dir count (0 = binary-only index). */
+  final case class Index(path: String, dim: Int, cbBuckets: Int) {
+    def hasIvf: Boolean = cbBuckets > 0
+  }
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val DataDirs = Seq("vecs", "tombs")
+
+  // ---- encode + commit ----
+
+  /** One generation's rows: floats + norm + packed sign bits
+    * (+ cluster id against the installed codebook). */
+  private def encoded(df: DataFrame, idx: Index): DataFrame = {
+    val base = df.select(col("id"), col("vec"),
+      Similarity.norm(col("vec")).as("nrm"),
+      Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords"))
+    if (!idx.hasIvf) base
+    else {
+      val spark = df.sparkSession
+      val cb = Similarity.collectCodebook(
+        spark.read.parquet(s"${idx.path}/centroids"))
+      base.withColumn("cid",
+        element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
+    }
+  }
+
+  private def commitSegment(df: DataFrame, idx: Index,
+      kind: String): Int = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, idx.path)
+    val g = GenLog.claimGen(spark, f, idx.path)
+    writeSegmentAt(df, idx, kind, g)
+  }
+
+  /** Data write + publish for an already-claimed slot (split out for
+    * the concurrent-lifecycle spec, like [[Search.writeSegmentAt]]). */
+  private[pipeline] def writeSegmentAt(df: DataFrame, idx: Index,
+      kind: String, g: Int): Int = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, idx.path)
+    val enc = encoded(df, idx)
+    if (idx.hasIvf)
+      enc.withColumn("cb", pmod(col("cid"), lit(idx.cbBuckets)).cast("int"))
+        .repartition(col("cb")).sortWithinPartitions("cid")
+        .write.mode("overwrite").partitionBy("cb")
+        .parquet(s"${idx.path}/vecs/gen=$g")
+    else
+      enc.write.mode("overwrite").parquet(s"${idx.path}/vecs/gen=$g")
+    val n = df.count()
+    GenLog.publish(spark, f, idx.path, g, kind, n, idx.dim, idx.cbBuckets)
+    g
+  }
+
+  // ---- lifecycle ----
+
+  /** Build a FRESH index at `path` (drops existing state): generation
+    * 1 is a base. Install `centroids` (cid, cvec) to enable the IVF
+    * serve path; `cbBuckets` partitions each generation's lists for
+    * planning-time probe pruning. */
+  def init(corpus: DataFrame, dim: Int, path: String,
+      centroids: Option[DataFrame] = None, cbBuckets: Int = 16): Index = {
+    val spark = corpus.sparkSession
+    val f = fsOf(spark, path)
+    f.delete(new Path(path), true)
+    centroids.foreach(_.write.mode("overwrite")
+      .parquet(s"$path/centroids"))
+    val idx = Index(path, dim, if (centroids.isDefined) cbBuckets else 0)
+    commitSegment(corpus, idx, GenLog.KindBase)
+    idx
+  }
+
+  /** Open an existing committed index (dim + layout from the log). */
+  def open(spark: SparkSession, path: String): Index = {
+    val m = GenLog.liveMetas(spark, fsOf(spark, path), path).last
+    Index(path, m.b.toInt, m.n)
+  }
+
+  /** Fold a NEW shard of vectors in as its own generation — O(shard).
+    * Caller contract (as [[Search.append]]): shard ids must be new or
+    * previously [[delete]]d; reingesting a live id would double it. */
+  def append(df: DataFrame, idx: Index): Index = {
+    commitSegment(df, idx, GenLog.KindSeg)
+    idx
+  }
+
+  /** Tombstone the given ids (one-column frame). Gen-aware kill:
+    * a tombstone in generation G hides rows from generations before G
+    * only, so delete + [[append]] re-embeds a document. */
+  def delete(ids: DataFrame, idCol: String, idx: Index): Index = {
+    val spark = ids.sparkSession
+    val f = fsOf(spark, idx.path)
+    val g = GenLog.claimGen(spark, f, idx.path)
+    GenLog.requireNoInflightBelow(spark, f, idx.path, g, "delete")
+    // count only LIVE victims so the marker delta keeps countVecs exact
+    val victims = liveVecs(spark, idx, Seq("id"))
+      .join(ids.select(col(idCol).as("id")).distinct(), "id")
+      .localCheckpoint() // pin: stats and tombstones must agree exactly
+    victims.select("id").write.mode("overwrite")
+      .parquet(s"${idx.path}/tombs/gen=$g")
+    val n = victims.count()
+    GenLog.publish(spark, f, idx.path, g, GenLog.KindDel, -n, idx.dim,
+      idx.cbBuckets)
+    idx
+  }
+
+  /** Rewrite the live rows (tombstones applied) as ONE new base
+    * generation, bounding read fan-in; [[vacuum]] then reclaims the
+    * folded generations. */
+  def compact(spark: SparkSession, idx: Index): Index = {
+    val f = fsOf(spark, idx.path)
+    val g = GenLog.claimGen(spark, f, idx.path)
+    GenLog.requireNoInflightBelow(spark, f, idx.path, g, "compact")
+    val cols = Seq("id", "vec", "nrm", "bwords") ++
+      (if (idx.hasIvf) Seq("cid") else Nil)
+    val live = liveVecs(spark, idx, cols)
+    if (idx.hasIvf)
+      live.withColumn("cb", pmod(col("cid"), lit(idx.cbBuckets)).cast("int"))
+        .repartition(col("cb")).sortWithinPartitions("cid")
+        .write.mode("overwrite").partitionBy("cb")
+        .parquet(s"${idx.path}/vecs/gen=$g")
+    else
+      live.write.mode("overwrite").parquet(s"${idx.path}/vecs/gen=$g")
+    val n = liveVecs(spark, idx, Seq("id")).count()
+    GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
+      idx.cbBuckets)
+    idx
+  }
+
+  /** Reclaim generations below the newest base + stale claims/orphans
+    * (single maintainer — the [[GenLog.vacuum]] contract). */
+  def vacuum(spark: SparkSession, idx: Index): Seq[Int] =
+    GenLog.vacuum(spark, fsOf(spark, idx.path), idx.path, DataDirs)
+
+  /** Exact live vector count — integer sum of marker deltas, no scan. */
+  def countVecs(spark: SparkSession, idx: Index): Long =
+    GenLog.liveMetas(spark, fsOf(spark, idx.path), idx.path).map(_.a).sum
+
+  // ---- read side ----
+
+  /** The committed, tombstone-resolved rows, pruned to `cols` (plus
+    * the partition columns the read carries). Extra pushable `filter`
+    * applies BELOW the anti-join, on the generation scan itself. */
+  private def liveVecs(spark: SparkSession, idx: Index,
+      cols: Seq[String],
+      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val f = fsOf(spark, idx.path)
+    val ms = GenLog.liveMetas(spark, f, idx.path)
+    val segs = ms.filter(_.kind != GenLog.KindDel)
+    val raw = spark.read.option("basePath", s"${idx.path}/vecs")
+      .parquet(segs.map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
+    val filtered = preFilter.map(raw.filter).getOrElse(raw)
+    val dels = ms.filter(_.kind == GenLog.KindDel)
+    val resolved =
+      if (dels.isEmpty) filtered
+      else {
+        val t = spark.read.option("basePath", s"${idx.path}/tombs")
+          .parquet(dels.map(m => s"${idx.path}/tombs/gen=${m.gen}"): _*)
+          .select(col("id").as("__tid"), col("gen").as("__tgen"))
+        filtered.join(t,
+          filtered("id") === t("__tid") && filtered("gen") < t("__tgen"),
+          "left_anti")
+      }
+    resolved.select(cols.map(col): _*)
+  }
+
+  /**
+   * [[Similarity.binaryTopK]] served from the generational index:
+   * Hamming prefilter over the column-pruned (id, bwords) slice of
+   * the LIVE generations, exact-cosine rerank through the default
+   * distributed semi-join (the r10 serve shape — nothing through the
+   * driver). Results identical to the inline path over the live
+   * vector set (spec-pinned, and certified through `q_ann_binary`'s
+   * oracle when the registered query builds via init + append folds).
+   */
+  def binaryTopK(spark: SparkSession, queries: DataFrame, idx: Index,
+      cands: Int, k: Int): DataFrame = {
+    require(cands >= k, s"cands $cands must be >= k $k")
+    val nWords = idx.dim / 32
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
+      Similarity.norm(col("vec")).as("qn"))
+    val packed = liveVecs(spark, idx, Seq("id", "bwords"))
+    val pre = packed.select(col("id").as("nid"), col("bwords"))
+      .join(broadcast(q.select(col("qid"), col("qb"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.hammingDist(col("qb"), col("bwords"), nWords).as("ham"))
+    val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val shortlist = pre.withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= cands).select("qid", "nid")
+    val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"))
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+        col("nrm").as("cn"))
+    val rer = shortlist
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
+      .join(vecs, "nid")
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qvec"), col("nvec"))
+          / (col("qn") * col("cn")), 5).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
+
+  /**
+   * [[Similarity.ivfTopKAssigned]] served from the generational
+   * index: probes select nProbe clusters per query against the
+   * INSTALLED codebook, the probed cid set (bounded <= C by the
+   * codebook contract) collapses to literal `cb` bucket values, and
+   * the generation scan PRUNES to those bucket directories at
+   * planning time — per-batch read cost is O(probed lists) across
+   * all live generations, never a corpus scan.
+   */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, idx: Index,
+      nProbe: Int, k: Int): DataFrame = {
+    require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook")
+    val cb = Similarity.collectCodebook(
+      spark.read.parquet(s"${idx.path}/centroids"))
+    val probes = queries
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        Similarity.norm(col("vec")).as("qnrm"),
+        explode(Similarity.nearestCids(col("vec"), cb, nProbe)).as("cid"))
+    // bounded collect: distinct probed cids <= C (codebook contract);
+    // their cb values become literal partition filters
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0))
+    val buckets = probedCids
+      .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
+      .distinct.map(_.toInt)
+    val lists = liveVecs(spark, idx, Seq("id", "vec", "nrm", "cid"),
+      preFilter = Some(col("cb").isin(buckets.map(b => b: Any): _*)))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    probes.join(lists, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(Similarity.dot(col("qvec"), col("vec"))
+          / (col("qnrm") * col("nrm")), 5).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
+}

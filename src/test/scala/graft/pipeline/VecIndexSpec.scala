@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.GenLog
+
+class VecIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map { id =>
+      id.toLong -> Array.tabulate(64) { i =>
+        (((id * 31 + i * 13) % 17).toFloat - 8f) / 8f
+      }
+    }.toDF("id", "vec")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def genDirs(path: String): Int = {
+    val d = new java.io.File(s"$path/vecs")
+    if (!d.exists()) 0
+    else d.listFiles().count(f => f.isDirectory && f.getName.startsWith("gen="))
+  }
+
+  test("binary serve: init + two appended folds == fresh-built index " +
+      "== inline binaryTopK; fold cost never re-encodes the corpus") {
+    val all = corpus(0 until 60)
+    val path = "target/tmp/vecidx-bin-folds"
+    // folded: 3 generations
+    val idx = VecIndex.init(corpus(0 until 20), 64, path)
+    VecIndex.append(corpus(20 until 40), idx)
+    VecIndex.append(corpus(40 until 60), idx)
+    assert(VecIndex.countVecs(spark, idx) == 60)
+    val qs = all.filter(col("id") < 4)
+    val folded = rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4))
+    // fresh single-generation build
+    val freshIdx = VecIndex.init(all, 64, "target/tmp/vecidx-bin-fresh")
+    assert(rows(VecIndex.binaryTopK(spark, qs, freshIdx, 12, 4)) == folded)
+    // inline (no index at all)
+    assert(rows(Similarity.binaryTopK(qs, all, 64, 12, 4)) == folded)
+  }
+
+  test("delete tombstones ids from every serve path; delete + append " +
+      "is the re-embed cycle (gen-aware kill)") {
+    val path = "target/tmp/vecidx-bin-del"
+    val idx = VecIndex.init(corpus(0 until 40), 64, path)
+    VecIndex.append(corpus(40 until 60), idx)
+    VecIndex.delete(Seq(7L, 8L, 9L, 50L).toDF("id"), "id", idx)
+    assert(VecIndex.countVecs(spark, idx) == 56)
+    val live = corpus(0 until 60)
+      .filter(!col("id").isin(7L, 8L, 9L, 50L))
+    val qs = corpus(0 until 60).filter(col("id") < 3)
+    val served = rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4))
+    assert(served == rows(Similarity.binaryTopK(qs, live, 64, 12, 4)))
+    assert(!served.exists(r => Set(7L, 8L, 9L, 50L)(r._2)),
+      "tombstoned ids must not surface")
+    // re-embed: append a REPLACEMENT vector for id 7 — live again,
+    // with the new embedding (old gen's row stays dead)
+    val newVec = Seq(7L -> Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0f else -1.0f)).toDF("id", "vec")
+    VecIndex.append(newVec, idx)
+    assert(VecIndex.countVecs(spark, idx) == 57)
+    val live2 = live.unionByName(newVec)
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) ==
+      rows(Similarity.binaryTopK(qs, live2, 64, 12, 4)))
+    // deleting an unknown/dead id is a stats no-op
+    VecIndex.delete(Seq(9L, 999L).toDF("id"), "id", idx)
+    assert(VecIndex.countVecs(spark, idx) == 57)
+  }
+
+  test("IVF serve from the generational index: folds == fresh == " +
+      "inline; probed buckets prune the generation scan") {
+    val cents = corpus(0 until 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val all = corpus(0 until 60)
+    val path = "target/tmp/vecidx-ivf"
+    val idx = VecIndex.init(corpus(0 until 30), 64, path,
+      centroids = Some(cents), cbBuckets = 4)
+    VecIndex.append(corpus(30 until 60), idx)
+    val qs = all.filter(col("id") < 4)
+    val served = VecIndex.ivfTopK(spark, qs, idx, 2, 3)
+    val got = rows(served)
+    assert(got == rows(Similarity.ivfTopK(qs, all, cents, 2, 3)))
+    val fresh = VecIndex.init(all, 64, "target/tmp/vecidx-ivf-fresh",
+      centroids = Some(cents), cbBuckets = 4)
+    assert(rows(VecIndex.ivfTopK(spark, qs, fresh, 2, 3)) == got)
+    // the lists scan carries a partition filter on cb (planning-time
+    // pruning to the probed bucket dirs)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("cb#") || plan.contains("PartitionFilters: [cb"),
+      s"no cb partition pruning visible in plan:\n$plan")
+  }
+
+  test("compact + vacuum bound the directory count and preserve " +
+      "results; structural commits refuse over in-flight appends") {
+    val path = "target/tmp/vecidx-compact"
+    val idx = VecIndex.init(corpus(0 until 20), 64, path)
+    (1 to 4).foreach(i => VecIndex.append(corpus(i * 20 until i * 20 + 20), idx))
+    VecIndex.delete(Seq(3L, 77L).toDF("id"), "id", idx)
+    val qs = corpus(0 until 100).filter(col("id") < 3)
+    val before = rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4))
+    assert(genDirs(path) == 5)
+    VecIndex.compact(spark, idx)
+    val reclaimed = VecIndex.vacuum(spark, idx)
+    assert(reclaimed.nonEmpty)
+    assert(genDirs(path) == 1, "vacuum must fold generation dirs away")
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) == before)
+    assert(VecIndex.countVecs(spark, idx) == 98)
+    // a claimed-unpublished lower slot blocks compact (fail-loud)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = GenLog.claimGen(spark, f, path)
+    val err = intercept[RuntimeException] { VecIndex.compact(spark, idx) }
+    assert(err.getMessage.contains("claimed but unpublished"))
+    // the appender publishes; compact proceeds
+    VecIndex.writeSegmentAt(corpus(200 until 210), idx, GenLog.KindSeg, g)
+    VecIndex.compact(spark, idx)
+    assert(VecIndex.countVecs(spark, idx) == 108)
+  }
+
+  test("binary prefilter over the generational index column-prunes to " +
+      "(id, bwords) — the float slice stays unread until rerank") {
+    val path = "target/tmp/vecidx-prune"
+    val idx = VecIndex.init(corpus(0 until 30), 64, path)
+    val qs = corpus(0 until 30).filter(col("id") < 2)
+    val plan = VecIndex.binaryTopK(spark, qs, idx, 8, 3)
+      .queryExecution.executedPlan.toString
+    // two scans of vecs/: the packed prefilter slice and the float
+    // rerank slice — the prefilter one must not carry `vec`
+    assert(plan.contains("bwords"), s"no packed scan in plan:\n$plan")
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("bwords") && !s.contains("vec:")),
+      s"prefilter scan not pruned to packed words:\n${scans.mkString("\n")}")
+  }
+}

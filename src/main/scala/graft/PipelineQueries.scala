@@ -2451,6 +2451,44 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** Binary ANN served from an index built by STREAMING ingest: the
+    * embedding corpus staged as a 3-file directory, each file one
+    * micro-batch, folded through [[VecIndex.appendBatch]] (exactly-once
+    * via the batch-id marker) on top of an empty base. The serve
+    * output must be IDENTICAL to the inline `q_ann_binary` — the
+    * oracle-gated proof that a continuously-ingesting embedding index
+    * converges to the batch-built one. */
+  def annBinaryStream(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-stream-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val inDir = s"target/tmp/vecidx-stream-in-$tagDir"
+        emb.repartition(3, col("id"))
+          .write.mode("overwrite").parquet(inDir)
+        val idx = VecIndex.init(emb.limit(0), 64, path)
+        val schema = spark.read.parquet(inDir).schema
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            VecIndex.appendBatch(b, idx, id); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ()
+      })
+    }
+    VecIndex.binaryTopK(spark,
+        emb.filter(col("id") < 3), VecIndex.open(spark, path), 20, 3)
+      .orderBy("qid", "nid")
+  }
+
   /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -3318,6 +3356,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinaryRest _,
     "q_ann_binary_gen" -> annBinaryGen _,
     "q_ann_ivf_gen" -> annIvfGen _,
+    "q_ann_binary_stream" -> annBinaryStream _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3400,6 +3439,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
+    "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

@@ -139,6 +139,23 @@ object VecIndex {
     idx
   }
 
+  /** EXACTLY-ONCE streaming fold (use from `foreachBatch`): one
+    * generation per micro-batch, idempotent on replay — the batch id
+    * rides in the marker kind (`seg@<id>`), so a restarted query
+    * re-delivering a batch finds its generation already committed and
+    * skips instead of double-appending. The same batch-marker trick
+    * [[graft.io.Versioned.appendBatch]] and the MatView refresh loop
+    * use; with it, `readStream … .foreachBatch(appendBatch(_, idx, _))`
+    * is an embedding-ingest pipeline whose index is always one marker
+    * away from consistent. */
+  def appendBatch(df: DataFrame, idx: Index, batchId: Long): Index = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, idx.path)
+    val kind = s"${GenLog.KindSeg}@$batchId"
+    if (GenLog.metas(spark, f, idx.path).exists(_.kind == kind)) idx
+    else { commitSegment(df, idx, kind); idx }
+  }
+
   /** Tombstone the given ids (one-column frame). Gen-aware kill:
     * a tombstone in generation G hides rows from generations before G
     * only, so delete + [[append]] re-embeds a document. */

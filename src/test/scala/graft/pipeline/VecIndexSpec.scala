@@ -121,6 +121,42 @@ class VecIndexSpec extends SparkSpec {
     assert(VecIndex.countVecs(spark, idx) == 108)
   }
 
+  test("appendBatch is exactly-once: a replayed micro-batch folds " +
+      "zero new generations; streaming ingest converges to the batch build") {
+    val path = "target/tmp/vecidx-stream-spec"
+    val all = corpus(0 until 60)
+    val idx = VecIndex.init(all.limit(0), 64, path)
+    VecIndex.appendBatch(corpus(0 until 30), idx, batchId = 0L)
+    VecIndex.appendBatch(corpus(30 until 60), idx, batchId = 1L)
+    assert(VecIndex.countVecs(spark, idx) == 60)
+    // replay batch 1 (a restarted stream re-delivering after a crash
+    // between data write and checkpoint commit) — must be a no-op
+    VecIndex.appendBatch(corpus(30 until 60), idx, batchId = 1L)
+    assert(VecIndex.countVecs(spark, idx) == 60,
+      "replayed batch must not double-append")
+    val qs = all.filter(col("id") < 3)
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) ==
+      rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
+    // end-to-end through a real streaming query (file source, one
+    // file per trigger, foreachBatch folding)
+    val inDir = "target/tmp/vecidx-stream-spec-in"
+    all.repartition(3, col("id")).write.mode("overwrite").parquet(inDir)
+    val sIdx = VecIndex.init(all.limit(0), 64,
+      "target/tmp/vecidx-stream-spec2")
+    val q = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        VecIndex.appendBatch(b, sIdx, id); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(VecIndex.countVecs(spark, sIdx) == 60)
+    assert(rows(VecIndex.binaryTopK(spark, qs, sIdx, 12, 4)) ==
+      rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
+  }
+
   test("binary prefilter over the generational index column-prunes to " +
       "(id, bwords) — the float slice stays unread until rerank") {
     val path = "target/tmp/vecidx-prune"

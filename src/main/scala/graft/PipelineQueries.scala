@@ -3312,6 +3312,67 @@ object PipelineQueries {
        |  ROUND(SQRT(AVG(v * v)), 3) AS rms
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** REAL video container decode, oracle-certified like image/audio:
+    * deterministic Y4M clips — luma of pixel (x, y) in frame f of
+    * clip id is (id*23 + f*17 + x*5 + y*3) % 256, dims and frame
+    * counts varying — are written with [[graft.pipeline.Y4m.encode]],
+    * round-tripped through a binary parquet, and re-framed
+    * DISTRIBUTED by [[Multimodal.y4mFrames]] using the container's
+    * own FRAME markers (every 2nd frame sampled). The oracle never
+    * sees the Y4M bytes: it recomputes each sampled frame's exact
+    * integer luma sum from the pixel formula, so any header/marker/
+    * plane-offset parsing error hash-diverges. */
+  private val NVids = 20
+
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = (0 until NVids).map { id =>
+      val w = 8 + 2 * (id % 3)
+      val h = 8
+      val n = 10 + id % 7
+      val planes = (0 until n).map { f =>
+        val y = new Array[Byte](w * h)
+        var yy = 0
+        while (yy < h) {
+          var x = 0
+          while (x < w) {
+            y(yy * w + x) = ((id * 23 + f * 17 + x * 5 + yy * 3) % 256).toByte
+            x += 1
+          }
+          yy += 1
+        }
+        y
+      }
+      Multimodal.MediaRecord(id.toLong, "video",
+        graft.pipeline.Y4m.encode(w, h, planes),
+        Map("w" -> w.toString, "h" -> h.toString, "frames" -> n.toString))
+    }
+    val fix = mediaFixturePath("y4m")
+    spark.createDataset(recs).write.mode("overwrite").parquet(fix)
+    Multimodal.y4mFrames(
+        spark.read.parquet(fix).as[Multimodal.MediaRecord], 2)
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("w"), col("h"), col("lumaSum").as("luma_sum"))
+      .orderBy("id", "frame_idx")
+  }
+
+  val multimodalVideoSql: String =
+    s"""WITH clips AS (
+       |  SELECT CAST(i AS BIGINT) AS id, 8 + 2 * (i % 3) AS w, 8 AS h,
+       |    10 + i % 7 AS n
+       |  FROM range(0, $NVids) t(i)),
+       |fr AS (
+       |  SELECT id, w, h, f FROM clips, range(0, 17) fs(f)
+       |  WHERE f < n AND f % 2 = 0),
+       |px AS (
+       |  SELECT id, w, h, f, (id * 23 + f * 17 + x * 5 + y * 3) % 256 AS g
+       |  FROM fr, range(0, 12) xs(x), range(0, 8) ys(y)
+       |  WHERE x < w AND y < h)
+       |SELECT id, CAST(f AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+       |  CAST(SUM(g) AS BIGINT) AS luma_sum
+       |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
+
   // ---------- registry (extended by the dedup/similarity batch) ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3395,7 +3456,8 @@ object PipelineQueries {
     "q_dedup_winnow" -> dedupWinnow _,
     "q_normalize_nfc" -> normalizeNfcQ _,
     "q_multimodal_image" -> multimodalImage _,
-    "q_multimodal_audio" -> multimodalAudio _)
+    "q_multimodal_audio" -> multimodalAudio _,
+    "q_multimodal_video" -> multimodalVideo _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -3478,5 +3540,6 @@ object PipelineQueries {
     "q_dedup_winnow" -> dedupWinnowSql,
     "q_normalize_nfc" -> normalizeNfcSql,
     "q_multimodal_image" -> multimodalImageSql,
-    "q_multimodal_audio" -> multimodalAudioSql)
+    "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_video" -> multimodalVideoSql)
 }

@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
  * over `mapPartitions`.
  *
  * Images decode for REAL through [[ImageIoDecoder]] (the JVM's
- * built-in `javax.imageio` codecs — PNG/JPEG/GIF/BMP) and audio
- * through [[WavDecoder]] (`javax.sound.sampled` — WAV/AIFF/AU PCM),
- * both with zero external libraries. Compressed video codecs are not
- * available in this container, so [[FakeDecoder]] remains the
- * deterministic stand-in for that modality (and the oracle path over
- * the text-payload testdata); everything around the decoder — schema,
- * batch shape, partitioning, the narrow `mapPartitions` execution —
- * is identical either way, so swapping in a real video codec touches
- * only `MediaDecoder.decode`.
+ * built-in `javax.imageio` codecs — PNG/JPEG/GIF/BMP), audio through
+ * [[WavDecoder]] (`javax.sound.sampled` — WAV/AIFF/AU PCM), and video
+ * through [[y4mFrames]] ([[Y4m]] — YUV4MPEG2 container parsing with
+ * the format's own FRAME-marker framing), all with zero external
+ * libraries. Compressed video codecs (H.264 …) are not available in
+ * this container; a compressed decoder would slot into the per-frame
+ * step of [[y4mFrames]], and [[FakeDecoder]] remains the stand-in for
+ * the text-payload testdata path. Everything around the decoders —
+ * schema, batch shape, partitioning, the narrow `mapPartitions`
+ * execution — is identical either way.
  */
 object Multimodal {
 
@@ -240,5 +241,120 @@ object Multimodal {
         .filter(_._2 % stride == 0)
         .map { case (frame, idx) => (r.id, idx, frame) }
     }.toDF("id", "frameIdx", "frame")
+  }
+
+  /**
+   * REAL video container decode: YUV4MPEG2 (Y4M — the mjpegtools
+   * uncompressed interchange format, the video analog of WAV PCM).
+   * Pure-JVM parsing of the published layout: the `YUV4MPEG2 W.. H..`
+   * stream header, then per frame a `FRAME` marker line followed by
+   * planar 4:2:0 data — so frame boundaries come from the CONTAINER'S
+   * OWN FRAMING (marker walk with per-frame validation, fail-loud on
+   * corrupt streams), not fixed-size chunking. Compressed codecs
+   * (H.264 etc.) still aren't in this container; what this closes is
+   * the container/framing half of the video path — a compressed
+   * decoder would slot into the per-frame step exactly where the luma
+   * fold sits.
+   *
+   * Emits one row per `stride`-th frame: (id, frameIdx, w, h,
+   * lumaSum) — the luma fold is an exact integer sum over the Y
+   * plane, so an oracle can replay it from a pixel formula and any
+   * byte-level parsing error hash-diverges.
+   */
+  def y4mFrames(records: Dataset[MediaRecord], stride: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val (w, h, hdrLen) = Y4m.parseHeader(r.content)
+      Y4m.frameOffsets(r.content, hdrLen, w, h).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (off, i) =>
+          var s = 0L
+          var p = 0
+          val n = w * h
+          while (p < n) { s += (r.content(off + p) & 0xFF); p += 1 }
+          (r.id, i, w, h, s)
+        }
+    }.toDF("id", "frameIdx", "w", "h", "lumaSum")
+  }
+}
+
+/** YUV4MPEG2 container parsing (header + frame-marker walk) and the
+  * matching writer for deterministic fixtures. Layout per the
+  * mjpegtools spec: ASCII stream header `YUV4MPEG2 W<w> H<h> F<n>:<d>
+  * …\n`, then for each frame the ASCII marker line `FRAME[ params]\n`
+  * followed by w*h luma bytes + two (w/2)*(h/2) chroma planes
+  * (C420). */
+object Y4m {
+
+  private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
+  private val FrameMagic = "FRAME".getBytes("US-ASCII")
+
+  private def startsWith(b: Array[Byte], off: Int,
+      prefix: Array[Byte]): Boolean =
+    off + prefix.length <= b.length &&
+      prefix.indices.forall(i => b(off + i) == prefix(i))
+
+  /** Parse the stream header: (width, height, header length incl.
+    * terminating newline). Fail-loud on anything malformed. */
+  def parseHeader(b: Array[Byte]): (Int, Int, Int) = {
+    require(startsWith(b, 0, Magic), "not a YUV4MPEG2 stream")
+    var i = Magic.length
+    while (i < b.length && b(i) != '\n') i += 1
+    require(i < b.length, "unterminated Y4M stream header")
+    val params = new String(b, Magic.length, i - Magic.length, "US-ASCII")
+      .trim.split("\\s+")
+    def tagged(t: Char): Option[String] =
+      params.find(p => p.nonEmpty && p.head == t).map(_.tail)
+    val w = tagged('W').map(_.toInt)
+      .getOrElse(sys.error("Y4M header missing width"))
+    val h = tagged('H').map(_.toInt)
+      .getOrElse(sys.error("Y4M header missing height"))
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"unsupported Y4M geometry ${w}x$h (4:2:0 needs even dims)")
+    tagged('C').foreach(cs => require(cs.startsWith("420"),
+      s"unsupported Y4M chroma subsampling C$cs (only 4:2:0)"))
+    (w, h, i + 1)
+  }
+
+  /** Offsets of each frame's luma plane, from the container's own
+    * FRAME markers — validates every marker and the final frame's
+    * completeness. */
+  def frameOffsets(b: Array[Byte], hdrLen: Int, w: Int,
+      h: Int): Iterator[Int] = {
+    val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
+    new Iterator[Int] {
+      private var pos = hdrLen
+      def hasNext: Boolean = pos < b.length
+      def next(): Int = {
+        require(startsWith(b, pos, FrameMagic),
+          s"corrupt Y4M stream: no FRAME marker at offset $pos")
+        var i = pos + FrameMagic.length
+        while (i < b.length && b(i) != '\n') i += 1
+        require(i < b.length, "unterminated Y4M FRAME marker")
+        val data = i + 1
+        require(data + frameBytes <= b.length,
+          s"truncated Y4M frame at offset $data")
+        pos = data + frameBytes
+        data
+      }
+    }
+  }
+
+  /** Write a Y4M stream from per-frame luma planes (chroma = neutral
+    * 128): the deterministic-fixture encoder for the oracle query and
+    * specs. */
+  def encode(w: Int, h: Int, lumaPlanes: Seq[Array[Byte]]): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, s"even dims required: ${w}x$h")
+    val chroma = (w / 2) * (h / 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    lumaPlanes.foreach { y =>
+      require(y.length == w * h, s"luma plane ${y.length} != ${w * h}")
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(y)
+      var i = 0
+      while (i < 2 * chroma) { bos.write(128); i += 1 }
+    }
+    bos.toByteArray
   }
 }

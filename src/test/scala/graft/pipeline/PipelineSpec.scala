@@ -572,6 +572,46 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("Y4m: encode/parse round-trip uses the container's own framing; " +
+      "corrupt streams fail loudly") {
+    val planes = (0 until 5).map(f =>
+      Array.tabulate(8 * 8)(p => ((f * 40 + p) % 256).toByte))
+    val clip = Y4m.encode(8, 8, planes)
+    val (w, h, hdrLen) = Y4m.parseHeader(clip)
+    assert((w, h) == (8, 8))
+    val offs = Y4m.frameOffsets(clip, hdrLen, w, h).toSeq
+    assert(offs.length == 5)
+    // each recovered luma plane matches what was encoded
+    offs.zipWithIndex.foreach { case (off, f) =>
+      assert(clip.slice(off, off + 64).toSeq == planes(f).toSeq)
+    }
+    // distributed framing: every 2nd frame, exact integer luma sums
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", clip, Map.empty)).toDS()
+    val rows = Multimodal.y4mFrames(recs, 2).collect()
+      .map(r => (r.getInt(1), r.getLong(4))).toMap
+    assert(rows.keySet == Set(0, 2, 4))
+    (0 until 5 by 2).foreach { f =>
+      val expect = (0 until 64).map(p => (f * 40 + p) % 256).sum.toLong
+      assert(rows(f) == expect, s"frame $f luma ${rows(f)} != $expect")
+    }
+    // corrupt cases: bad magic, truncated frame, clobbered marker
+    intercept[IllegalArgumentException] {
+      Y4m.parseHeader("JUNKSTREAM\n".getBytes("US-ASCII"))
+    }
+    val truncated = clip.take(clip.length - 10)
+    intercept[IllegalArgumentException] {
+      Y4m.frameOffsets(truncated, hdrLen, w, h).toSeq
+    }
+    val clobbered = clip.clone()
+    clobbered(offs(1) - 6) = 'X' // overwrite the 2nd FRAME marker
+    intercept[IllegalArgumentException] {
+      Y4m.frameOffsets(clobbered, hdrLen, w, h).toSeq
+    }
+    // odd geometry is rejected (4:2:0 contract)
+    intercept[IllegalArgumentException] { Y4m.encode(7, 8, Seq.empty) }
+  }
+
   test("sampleFrames: stride sampling of fixed-size frames") {
     val recs = Seq(Multimodal.MediaRecord(1L, "video",
       (0 until 10).map(_.toByte).toArray, Map.empty)).toDS()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdjacentPairs, CharPairs, DotProduct, MergePair, NGramShingles, NormalizeNfc, RepetitionStats}
+import graft.functions.{AdjacentPairs, CharPairs, DotProduct, HllSketchAgg, KmvSketchAgg, MergePair, MisraGriesAgg, MisraGriesWeightedAgg, NGramShingles, NormalizeNfc, QuantileSketchAgg, RepetitionStats}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -27,6 +27,16 @@ object GraftExtensions {
       require(exprs.length == n,
         s"$name expects $n arguments, got ${exprs.length}")
       build(exprs)
+  }
+
+  /** Evaluate a foldable int argument (a sketch's b/k parameter). */
+  private def literalInt(name: String, e: Expression): Int = {
+    require(e.foldable && e.dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"$name expects an INT literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$name got a null literal")
+    v.asInstanceOf[Int]
   }
 
   /** Evaluate a foldable string argument (e.g. the merge pair's x/y). */
@@ -60,7 +70,28 @@ object GraftExtensions {
           org.apache.spark.sql.types.IntegerType,
           s"graft_ngram_shingles expects an INT literal n, got ${es(1)}")
         es(1).eval().asInstanceOf[Int]
-      }))))
+      }))),
+    // The native bounded-state sketch AGGREGATES (the analyzer wraps a
+    // resolved AggregateFunction in its AggregateExpression, so plain
+    // `SELECT graft_hll(x, 8) FROM t GROUP BY g` works): the SQL face
+    // of the at-rest sketch family.
+    ("graft_hll", classOf[HllSketchAgg],
+      arity("graft_hll", 2)(es =>
+        HllSketchAgg(es.head, literalInt("graft_hll", es(1))))),
+    ("graft_kmv", classOf[KmvSketchAgg],
+      arity("graft_kmv", 2)(es =>
+        KmvSketchAgg(es.head, literalInt("graft_kmv", es(1))))),
+    ("graft_quantile_sketch", classOf[QuantileSketchAgg],
+      arity("graft_quantile_sketch", 2)(es =>
+        QuantileSketchAgg(es.head,
+          literalInt("graft_quantile_sketch", es(1))))),
+    ("graft_heavy_hitters", classOf[MisraGriesAgg],
+      arity("graft_heavy_hitters", 2)(es =>
+        MisraGriesAgg(es.head, literalInt("graft_heavy_hitters", es(1))))),
+    ("graft_heavy_hitters_weighted", classOf[MisraGriesWeightedAgg],
+      arity("graft_heavy_hitters_weighted", 3)(es =>
+        MisraGriesWeightedAgg(es.head, es(1),
+          literalInt("graft_heavy_hitters_weighted", es(2))))))
 
   private[plans] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -25,6 +25,50 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates are callable from SQL, grouped and map-side " +
+      "combinable") {
+    GraftExtensions.register(spark)
+    // HLL estimate over a known distinct count per group
+    val hll = spark.sql(
+      """SELECT g, graft_hll(x, 8) AS est FROM (
+        |  SELECT id % 2 AS g, CAST(id AS STRING) AS x FROM range(0, 2000))
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hll.foreach { case (g, est) =>
+      assert(math.abs(est - 1000L) < 100, s"group $g HLL est $est far from 1000")
+    }
+    // KMV bottom-k: k sorted distinct hashes
+    val kmv = spark.sql(
+      "SELECT graft_kmv(x, 16) FROM (SELECT CAST(id AS STRING) AS x FROM range(0, 500))")
+      .head.getSeq[Long](0)
+    assert(kmv.length == 16 && kmv == kmv.sorted && kmv.distinct.length == 16)
+    // quantile sketch: bucket structs, counts sum to n
+    val qs = spark.sql(
+      """SELECT graft_quantile_sketch(x, 5) FROM (
+        |  SELECT id * id % 10000 AS x FROM range(0, 1000))""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(qs.map(_.getLong(1)).sum == 1000L)
+    // Misra-Gries: the heavy token survives in the candidate set
+    val mg = spark.sql(
+      """SELECT graft_heavy_hitters(t, 4) FROM (
+        |  SELECT CASE WHEN id % 3 = 0 THEN 'hot' ELSE CAST(id AS STRING)
+        |  END AS t FROM range(0, 300))""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.exists(_.getString(0) == "hot"))
+    // weighted variant
+    val mgw = spark.sql(
+      """SELECT graft_heavy_hitters_weighted(t, w, 4) FROM (VALUES
+        |  ('a', 100L), ('b', 1L), ('c', 2L), ('d', 1L), ('e', 1L),
+        |  ('f', 1L)) AS v(t, w)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(mgw.exists(_.getString(0) == "a"))
+    // non-literal sketch parameter rejected
+    intercept[Exception] {
+      spark.sql("SELECT graft_hll(x, b) FROM (SELECT 'v' AS x, 8 AS b)")
+        .collect()
+    }
+  }
+
   test("text kernels are callable from SQL") {
     GraftExtensions.register(spark)
     val rs = spark.sql(

@@ -2818,6 +2818,40 @@ object PipelineQueries {
       .orderBy("qid", "rk")
   }
 
+  /** PQ ADC search served from the GENERATIONAL index: the same
+    * codebooks installed at [[VecIndex.init]], the corpus folded in as
+    * base + append + a delete/re-append cycle (live set = full
+    * corpus), codes encoded PER GENERATION and the serve scan reading
+    * only (id, code0..code3) across the live generations. Output must
+    * be IDENTICAL to the inline `q_ann_pq` — same oracle SQL. */
+  def annPqGen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val books = Similarity.pqTrainCodebooks(emb, PqM, PqSubDim, PqK, 2)
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-pqgen-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path,
+          pq = Some(books))
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        import spark.implicits._
+        VecIndex.delete(Seq(7L).toDF("id"), "id", idx)
+        VecIndex.append(emb.filter(col("id") === 7L), idx)
+        ()
+      })
+    }
+    val queries = emb.filter(col("id") < PqNQueries).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    VecIndex.pqTopK(spark, queries, VecIndex.open(spark, path), PqTopK)
+      .orderBy("qid", "rk")
+  }
+
   /** Unrolled PQ oracle: per subspace, the same 2-iteration Lloyd CTE
     * chain as q_kmeans (restricted to the subspace's i-range, with the
     * engine's keep-empty-cluster semantics via LEFT JOIN + COALESCE),
@@ -3418,6 +3452,7 @@ object PipelineQueries {
     "q_ann_binary_gen" -> annBinaryGen _,
     "q_ann_ivf_gen" -> annIvfGen _,
     "q_ann_binary_stream" -> annBinaryStream _,
+    "q_ann_pq_gen" -> annPqGen _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3502,6 +3537,7 @@ object PipelineQueries {
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
+    "q_ann_pq_gen" -> annPqSql,            // generational PQ codes, same live set
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

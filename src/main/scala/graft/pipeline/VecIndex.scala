@@ -62,21 +62,50 @@ object VecIndex {
 
   private val DataDirs = Seq("vecs", "tombs")
 
+  /** Load the optional PQ codebook sidecar: (m codebooks of k×subDim),
+    * None when PQ wasn't installed at [[init]]. Driver-side — m·k rows
+    * by the PQ contract (e.g. 4×256), same bound as
+    * [[Similarity.collectCodebook]]. */
+  private def pqBooks(spark: SparkSession,
+      idx: Index): Option[(Seq[Array[Array[Double]]], Int)] = {
+    val f = fsOf(spark, idx.path)
+    if (!f.exists(new Path(s"${idx.path}/pq"))) None
+    else {
+      val rows = spark.read.parquet(s"${idx.path}/pq")
+        .select("s", "cid", "comp").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val m = rows.map(_._1).max + 1
+      val books: Seq[Array[Array[Double]]] = (0 until m).map { s =>
+        rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+      }
+      Some((books, books.head.head.length))
+    }
+  }
+
   // ---- encode + commit ----
 
   /** One generation's rows: floats + norm + packed sign bits
-    * (+ cluster id against the installed codebook). */
+    * (+ cluster id against the installed coarse codebook, + PQ codes
+    * against the installed subspace codebooks). */
   private def encoded(df: DataFrame, idx: Index): DataFrame = {
+    val spark = df.sparkSession
     val base = df.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("nrm"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords"))
-    if (!idx.hasIvf) base
-    else {
-      val spark = df.sparkSession
-      val cb = Similarity.collectCodebook(
-        spark.read.parquet(s"${idx.path}/centroids"))
-      base.withColumn("cid",
-        element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
+    val withIvf =
+      if (!idx.hasIvf) base
+      else {
+        val cb = Similarity.collectCodebook(
+          spark.read.parquet(s"${idx.path}/centroids"))
+        base.withColumn("cid",
+          element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
+      }
+    pqBooks(spark, idx) match {
+      case None => withIvf
+      case Some((books, subDim)) =>
+        val extra = Seq("vec", "nrm", "bwords") ++
+          (if (idx.hasIvf) Seq("cid") else Nil)
+        Similarity.pqEncode(withIvf, books, subDim, extra)
     }
   }
 
@@ -111,15 +140,31 @@ object VecIndex {
 
   /** Build a FRESH index at `path` (drops existing state): generation
     * 1 is a base. Install `centroids` (cid, cvec) to enable the IVF
-    * serve path; `cbBuckets` partitions each generation's lists for
-    * planning-time probe pruning. */
+    * serve path (`cbBuckets` partitions each generation's lists for
+    * planning-time probe pruning), and/or `pq` subspace codebooks to
+    * ride ADC codes next to every vector (the compressed serve path —
+    * [[pqTopK]] never reads the floats). Both codebooks are FIXED at
+    * init; appends encode against them, retrain = fresh init. */
   def init(corpus: DataFrame, dim: Int, path: String,
-      centroids: Option[DataFrame] = None, cbBuckets: Int = 16): Index = {
+      centroids: Option[DataFrame] = None, cbBuckets: Int = 16,
+      pq: Option[Seq[Array[Array[Double]]]] = None): Index = {
     val spark = corpus.sparkSession
     val f = fsOf(spark, path)
     f.delete(new Path(path), true)
     centroids.foreach(_.write.mode("overwrite")
       .parquet(s"$path/centroids"))
+    pq.foreach { books =>
+      import spark.implicits._
+      require(books.nonEmpty && books.forall(_.nonEmpty),
+        "empty PQ codebooks")
+      require(dim % books.length == 0 &&
+        books.forall(_.forall(_.length == dim / books.length)),
+        s"PQ codebooks must tile dim $dim evenly")
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cent, cid) => (s, cid, cent.toSeq) }
+      }.toDF("s", "cid", "comp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    }
     val idx = Index(path, dim, if (centroids.isDefined) cbBuckets else 0)
     commitSegment(corpus, idx, GenLog.KindBase)
     idx
@@ -184,7 +229,10 @@ object VecIndex {
     val g = GenLog.claimGen(spark, f, idx.path)
     GenLog.requireNoInflightBelow(spark, f, idx.path, g, "compact")
     val cols = Seq("id", "vec", "nrm", "bwords") ++
-      (if (idx.hasIvf) Seq("cid") else Nil)
+      (if (idx.hasIvf) Seq("cid") else Nil) ++
+      pqBooks(spark, idx).toSeq.flatMap { case (books, _) =>
+        books.indices.map(s => s"code$s")
+      }
     val live = liveVecs(spark, idx, cols)
     if (idx.hasIvf)
       live.withColumn("cb", pmod(col("cid"), lit(idx.cbBuckets)).cast("int"))
@@ -274,6 +322,25 @@ object VecIndex {
     rer.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "nid", "cos")
+  }
+
+  /**
+   * [[Similarity.pqSearch]] served from the generational index: ADC
+   * distance lookups over the LIVE generations' code columns — the
+   * scan reads only (id, code0..code{m-1}); the float vectors are
+   * NEVER read (the compressed-serve contract: at a billion vectors
+   * the m-byte codes fit in memory where the floats cannot, and the
+   * lifecycle means corpus growth appends code rows instead of
+   * re-encoding). Queries are a bounded driver-side batch, as in the
+   * inline ADC path.
+   */
+  def pqTopK(spark: SparkSession,
+      queries: Seq[(Long, Seq[Double])], idx: Index, k: Int): DataFrame = {
+    val (books, subDim) = pqBooks(spark, idx)
+      .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
+    val cols = Seq("id") ++ books.indices.map(s => s"code$s")
+    Similarity.pqSearch(liveVecs(spark, idx, cols), books, queries,
+      subDim, k)
   }
 
   /**

@@ -121,6 +121,46 @@ class VecIndexSpec extends SparkSpec {
     assert(VecIndex.countVecs(spark, idx) == 108)
   }
 
+  test("PQ codes ride the generations: folds + delete == fresh == " +
+      "direct ADC; the serve scan never reads the floats") {
+    val all = corpus(0 until 60)
+    val books = Similarity.pqTrainCodebooks(all, m = 4, subDim = 16,
+      k = 8, iters = 3)
+    val queries = Seq(0L, 1L).map { qid =>
+      qid -> all.filter(col("id") === qid).head()
+        .getSeq[Float](1).map(_.toDouble).toSeq
+    }
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    // folded lifecycle with a delete + re-embed
+    val idx = VecIndex.init(corpus(0 until 25), 64,
+      "target/tmp/vecidx-pq", pq = Some(books))
+    VecIndex.append(corpus(25 until 60), idx)
+    VecIndex.delete(Seq(9L).toDF("id"), "id", idx)
+    VecIndex.append(corpus(9 until 10), idx)
+    val served = VecIndex.pqTopK(spark, queries, idx, 5)
+    // direct (index-free) ADC over the same live set
+    val direct = Similarity.pqSearch(
+      Similarity.pqEncode(all, books, 16), books, queries, 16, 5)
+    assert(res(served) == res(direct))
+    // fresh single-generation build
+    val fresh = VecIndex.init(all, 64, "target/tmp/vecidx-pq-fresh",
+      pq = Some(books))
+    assert(res(VecIndex.pqTopK(spark, queries, fresh, 5)) == res(direct))
+    // compact preserves the code columns and the answer
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    assert(res(VecIndex.pqTopK(spark, queries, idx, 5)) == res(direct))
+    // the ADC scan is pruned to (id, codes) — no float column read
+    val scans = VecIndex.pqTopK(spark, queries, idx, 5)
+      .queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("code0") && !s.contains("vec:") && !s.contains("bwords")),
+      s"PQ serve scan not pruned to codes:\n${scans.mkString("\n")}")
+  }
+
   test("appendBatch is exactly-once: a replayed micro-batch folds " +
       "zero new generations; streaming ingest converges to the batch build") {
     val path = "target/tmp/vecidx-stream-spec"

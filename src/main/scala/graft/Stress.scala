@@ -23,7 +23,7 @@ object Stress {
     val modes = Set("selector", "wide", "dedup", "ann", "annserve",
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
-      "mv", "skview", "curation")
+      "mv", "skview", "curation", "vecidx")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -44,6 +44,10 @@ object Stress {
     if (mode == "curation") {
       val nd = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
       curationStress(spark, nd, cpus.toInt); return
+    }
+    if (mode == "vecidx") {
+      val nv = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
+      vecIdxStress(spark, nv, cpus.toInt); return
     }
     if (mode == "annserve") {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(50000L)
@@ -226,6 +230,59 @@ object Stress {
       s""""binary_topk_sec":$tBin,"brute_topk_sec":$tBrute,""" +
       s""""binary_rows":$nBin,"binary_brute_overlap":$overlap,""" +
       s""""binary_index_write_sec":$tIdx,"binary_rest_sec":$tRest}""")
+    spark.stop()
+  }
+
+  /** Generational vector-index stress: `vecidx <nVecs>` (default 1M).
+    * The lifecycle claim under test — corpus growth is an APPEND:
+    * init(nVecs) is the paid-once encode+write; folding a 1% delta
+    * costs O(delta), vs the full re-encode a write-once index
+    * (`binaryIndexWrite`) pays on every growth step. Also measures
+    * the binary serve across the multi-generation index (same 10-query
+    * batch as the `ann` mode) and compact+vacuum. */
+  private def vecIdxStress(spark: SparkSession, nVecs: Long,
+      cpus: Int): Unit = {
+    import graft.pipeline.{Similarity, VecIndex}
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    def vecs(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val base = vecs(spark.range(nVecs).toDF().repartition(cpus * 4))
+    val nDelta = math.max(nVecs / 100, 1000L)
+    val delta = vecs(spark.range(nDelta).toDF()
+      .select((col("id") + nVecs).as("id")))
+    val path = "target/tmp/stress-vecidx"
+
+    val t0 = System.nanoTime()
+    val idx = VecIndex.init(base, dim, path)
+    val tInit = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    VecIndex.append(delta, idx)
+    val tFold = (System.nanoTime() - t1) / 1e9
+    // the write-once alternative: full re-encode of base+delta
+    val t2 = System.nanoTime()
+    Similarity.binaryIndexWrite(base.unionByName(delta), dim,
+      "target/tmp/stress-vecidx-rewrite")
+    val tRewrite = (System.nanoTime() - t2) / 1e9
+    require(VecIndex.countVecs(spark, idx) == nVecs + nDelta)
+    // serve across the 2-generation index
+    val q = vecs(spark.range(10).toDF())
+    val t3 = System.nanoTime()
+    val n = VecIndex.binaryTopK(spark, q, idx, 40, 10).count()
+    val tServe = (System.nanoTime() - t3) / 1e9
+    require(n == 100, s"serve rows $n")
+    val t4 = System.nanoTime()
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    val tCompact = (System.nanoTime() - t4) / 1e9
+    require(tFold < tInit / 4,
+      f"fold $tFold%.1fs not << init $tInit%.1fs")
+    println(s"""{"metric":"stress_vecidx","vecs":$nVecs,""" +
+      s""""delta_vecs":$nDelta,"init_sec":$tInit,"fold_sec":$tFold,""" +
+      s""""full_rewrite_sec":$tRewrite,"serve_sec":$tServe,""" +
+      s""""compact_vacuum_sec":$tCompact}""")
     spark.stop()
   }
 

@@ -587,6 +587,66 @@ object StreamingQueries {
     * 3-iteration recurrence, oracle-unrolled with the seed-indicator
     * teleport column; the seed set is derived declaratively (ORDER BY
     * + LIMIT 1 on the node set), no driver scalar. */
+  /** Per-node TRIANGLE COUNTS ([[graft.pipeline.Graph.triangles]])
+    * over the token co-occurrence graph: undirected edges are the
+    * distinct adjacent-token pairs of the corpus, counted with the
+    * degree-ordered wedge join (oriented out-degree bounded by
+    * O(√|E|) — hub-safe by construction, see Graph scaladoc). The
+    * oracle replays the identical orientation + wedge + closure
+    * algebra in SQL; exact integer counts, so any orientation or
+    * closure defect hash-diverges. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val edges = docs
+      .select(explode(graft.functions.TextFunctions
+        .adjacentPairs(col("toks"))).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("src"),
+        substring_index(col("bg"), " ", -1).as("dst"))
+    graft.pipeline.Graph.triangles(edges)
+      .select(col("node"), col("tri").cast("long").as("tri"))
+      .orderBy("node")
+  }
+
+  val triangleCountsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |adj AS (
+      |  SELECT doc_id, tok AS x,
+      |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+      |  FROM p),
+      |e0 AS (
+      |  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+      |  FROM adj WHERE y IS NOT NULL AND x <> y),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN a ELSE b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN b ELSE a END AS v,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN db.d ELSE da.d END AS dv
+      |  FROM e0 JOIN deg da ON e0.a = da.n JOIN deg db ON e0.b = db.n),
+      |w2 AS (
+      |  SELECT e1.u, e1.v AS v1, e2.v AS v2
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |tri AS (
+      |  SELECT w2.u AS a, w2.v1 AS b, w2.v2 AS c
+      |  FROM w2 JOIN o ON o.u = w2.v1 AND o.v = w2.v2),
+      |n3 AS (
+      |  SELECT unnest([a, b, c]) AS node FROM tri)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      |FROM n3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def pageRankPersonal(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -695,6 +755,7 @@ object StreamingQueries {
     "q_pagerank" -> pageRankEvents _,
     "q_pagerank_dangling" -> pageRankDangling _,
     "q_pagerank_personal" -> pageRankPersonal _,
+    "q_triangles" -> triangleCounts _,
     "q_anomaly" -> anomaly _)
 
   val oracles: Map[String, String] = Map(
@@ -717,5 +778,6 @@ object StreamingQueries {
     "q_pagerank" -> pageRankEventsSql,
     "q_pagerank_dangling" -> pageRankDanglingSql,
     "q_pagerank_personal" -> pageRankPersonalSql,
+    "q_triangles" -> triangleCountsSql,
     "q_anomaly" -> anomalySql)
 }

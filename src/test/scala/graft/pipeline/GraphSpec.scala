@@ -184,4 +184,32 @@ class GraphSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Graph.pageRank(edges, 1, 0.85,
       seeds = Some(Seq("zz").toDF("node"))))
   }
+
+  test("triangles: hand-computed counts; duplicates/orientation/self-" +
+      "loops canonicalized; hub wedge work stays degree-bounded") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant
+    // edge d-e (no triangle), fed with duplicates, reversed
+    // orientations, and a self-loop — all must canonicalize away
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq("d" -> "e", "e" -> "e"))
+      .toDF("src", "dst")
+    val got = Graph.triangles(noisy).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // triangle total: sum of per-node counts = 3 * #triangles = 12
+    assert(got.values.sum == 12L)
+    // a star (hub h with 50 spokes, no spoke-spoke edges) has no
+    // triangles, and the degree orientation points every edge INTO
+    // the hub — the hub's oriented out-degree is 0, so the wedge join
+    // generates zero rows instead of 50*49 hub wedges
+    val star = (0 until 50).map(i => (s"s$i", "h")).toDF("src", "dst")
+    assert(Graph.triangles(star).count() == 0)
+    // one closing edge -> exactly one triangle, all three corners
+    val starPlus = star.unionByName(Seq("s0" -> "s1").toDF("src", "dst"))
+    val t = Graph.triangles(starPlus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("h" -> 1L, "s0" -> 1L, "s1" -> 1L))
+  }
 }

@@ -647,6 +647,44 @@ object StreamingQueries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
       |FROM n3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Local clustering coefficient per token over the same
+    * co-occurrence graph ([[graft.pipeline.Graph.clusteringCoefficient]]):
+    * deg and tri stay exact integers, cc = round(2·tri/(deg·(deg−1)), 6)
+    * is the only float and both engines compute it from identical
+    * operands. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val edges = docs
+      .select(explode(graft.functions.TextFunctions
+        .adjacentPairs(col("toks"))).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("src"),
+        substring_index(col("bg"), " ", -1).as("dst"))
+    graft.pipeline.Graph.clusteringCoefficient(edges)
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        col("tri").cast("long").as("tri"), col("cc"))
+      .orderBy("node")
+  }
+
+  val clusteringCoeffSql: String = {
+    // same CTE chain as q_triangles, extended with the degree join
+    val base = triangleCountsSql.stripSuffix(
+      """SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+        |FROM n3 GROUP BY 1 ORDER BY 1""".stripMargin)
+    require(base.length < triangleCountsSql.length,
+      "triangleCountsSql tail changed; update clusteringCoeffSql")
+    s"""${base.trim.stripSuffix(",")},
+       |tcnt AS (SELECT node, COUNT(*) AS tri FROM n3 GROUP BY 1)
+       |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+       |  CAST(COALESCE(tcnt.tri, 0) AS BIGINT) AS tri,
+       |  CASE WHEN deg.d < 2 THEN 0.0
+       |    ELSE ROUND(2.0 * COALESCE(tcnt.tri, 0)
+       |      / (deg.d * (deg.d - 1)), 6) END AS cc
+       |FROM deg LEFT JOIN tcnt ON deg.n = tcnt.node
+       |ORDER BY 1""".stripMargin
+  }
+
   def pageRankPersonal(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -756,6 +794,7 @@ object StreamingQueries {
     "q_pagerank_dangling" -> pageRankDangling _,
     "q_pagerank_personal" -> pageRankPersonal _,
     "q_triangles" -> triangleCounts _,
+    "q_clustering_coeff" -> clusteringCoeff _,
     "q_anomaly" -> anomaly _)
 
   val oracles: Map[String, String] = Map(
@@ -779,5 +818,6 @@ object StreamingQueries {
     "q_pagerank_dangling" -> pageRankDanglingSql,
     "q_pagerank_personal" -> pageRankPersonalSql,
     "q_triangles" -> triangleCountsSql,
+    "q_clustering_coeff" -> clusteringCoeffSql,
     "q_anomaly" -> anomalySql)
 }

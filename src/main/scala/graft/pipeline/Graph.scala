@@ -230,4 +230,28 @@ object Graph {
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
   }
+
+  /** Local CLUSTERING COEFFICIENT per node: 2·tri / (deg·(deg−1)),
+    * zero for degree-1 nodes — [[triangles]] plus one degree aggregate
+    * over the same canonical edge set (shared scan shape; both are
+    * node-keyed partial aggs). Returns (node, deg, tri, cc) with cc
+    * rounded to 6 — tri and deg stay exact integers so the ratio is
+    * the only float and both engines compute it from identical
+    * operands. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * coalesce(col("tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 6)).as("cc"))
+  }
 }

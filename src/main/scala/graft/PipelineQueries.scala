@@ -3407,6 +3407,59 @@ object PipelineQueries {
        |  CAST(SUM(g) AS BIGINT) AS luma_sum
        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
+  /** Data-quality gate over the documents batch
+    * ([[Expectations.run]]): seven declared checks — key completeness
+    * and uniqueness, payload/metadata completeness, the lang enum,
+    * the n_chars range, and a cross-column consistency predicate —
+    * ALL evaluated in one aggregation pass (one corpus scan + the
+    * count_distinct expand). Violations are exact integer row counts,
+    * so the report hash-matches an independent engine and thresholds
+    * are row budgets, not float scores. This is the promote/refuse
+    * gate a pipeline runs on every ingest batch. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    run(docs, Seq(
+      complete("doc_id"),
+      unique("doc_id"),
+      complete("text"),
+      complete("lang"),
+      inSet("lang", Seq("de", "en", "es", "fr", "zh")),
+      inRange("n_chars", 1L, 1000000L),
+      satisfies("text_len_matches", "n_chars",
+        length(col("text")) === col("n_chars"))))
+      .orderBy("check", "column")
+  }
+
+  val expectationsSql: String = {
+    def row(check: String, column: String, viol: String,
+        allowed: Long = 0L): String =
+      s"""SELECT '$check' AS "check", '$column' AS "column",
+         |  $viol AS violations, CAST($allowed AS BIGINT) AS allowed,
+         |  $viol <= $allowed AS passed FROM m""".stripMargin
+    s"""WITH m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null,
+       |    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_id_dup,
+       |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text_null,
+       |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_null,
+       |    CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh')
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS v_lang_set,
+       |    CAST(SUM(CASE WHEN n_chars >= 1 AND n_chars <= 1000000
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS v_range,
+       |    CAST(SUM(CASE WHEN length(text) = n_chars
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS v_len
+       |  FROM documents)
+       |${row("complete", "doc_id", "v_id_null")}
+       |UNION ALL ${row("unique", "doc_id", "v_id_dup")}
+       |UNION ALL ${row("complete", "text", "v_text_null")}
+       |UNION ALL ${row("complete", "lang", "v_lang_null")}
+       |UNION ALL ${row("in_set", "lang", "v_lang_set")}
+       |UNION ALL ${row("in_range", "n_chars", "v_range")}
+       |UNION ALL ${row("text_len_matches", "n_chars", "v_len")}
+       |ORDER BY "check", "column"""".stripMargin
+  }
+
   // ---------- registry (extended by the dedup/similarity batch) ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3492,7 +3545,8 @@ object PipelineQueries {
     "q_normalize_nfc" -> normalizeNfcQ _,
     "q_multimodal_image" -> multimodalImage _,
     "q_multimodal_audio" -> multimodalAudio _,
-    "q_multimodal_video" -> multimodalVideo _)
+    "q_multimodal_video" -> multimodalVideo _,
+    "q_expectations" -> expectations _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -3577,5 +3631,6 @@ object PipelineQueries {
     "q_normalize_nfc" -> normalizeNfcSql,
     "q_multimodal_image" -> multimodalImageSql,
     "q_multimodal_audio" -> multimodalAudioSql,
-    "q_multimodal_video" -> multimodalVideoSql)
+    "q_multimodal_video" -> multimodalVideoSql,
+    "q_expectations" -> expectationsSql)
 }

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality EXPECTATIONS over a frame — the Deequ/Great-Expectations
+ * shape, engine-native: a declared list of checks (completeness,
+ * uniqueness, range, set containment, custom predicates) evaluated in
+ * ONE aggregation pass over the data.
+ *
+ * Design rules, all in service of the 100 TB gate check a pipeline
+ * runs before promoting a batch:
+ *  - every check's observation is an exact integer VIOLATION COUNT
+ *    (null rows, duplicate surplus, out-of-range rows …) — never a
+ *    float score, so the report is engine-reproducible bit-for-bit
+ *    and thresholds are exact row budgets;
+ *  - all violation counts evaluate in a single `agg` over one scan
+ *    (uniqueness adds Spark's count_distinct expand within the same
+ *    pass) — a 40-check suite costs one corpus read, not 40;
+ *  - the report is one row per check: (check, column, violations,
+ *    allowed, passed). `passed` is pure integer comparison. A gate
+ *    caller folds `min(passed)`.
+ */
+object Expectations {
+
+  /** One declared check: a named aggregate producing an exact integer
+    * violation count, and the number of violations tolerated. */
+  final case class Check(name: String, column: String,
+      violations: Column, allowed: Long = 0L)
+
+  /** The row must have a non-null value. */
+  def complete(c: String, allowed: Long = 0L): Check =
+    Check("complete", c,
+      sum(when(col(c).isNull, 1L).otherwise(0L)), allowed)
+
+  /** NON-NULL values must be unique (violations = non-null rows
+    * beyond the first per value; nulls are [[complete]]'s job). */
+  def unique(c: String, allowed: Long = 0L): Check =
+    Check("unique", c, count(col(c)) - count_distinct(col(c)), allowed)
+
+  /** Values must satisfy the predicate (nulls violate — declare
+    * nullable columns with an explicit isNull escape). */
+  def satisfies(name: String, c: String, pred: Column,
+      allowed: Long = 0L): Check =
+    Check(name, c,
+      sum(when(pred.isNull || !pred, 1L).otherwise(0L)), allowed)
+
+  /** Values must lie in [lo, hi]. */
+  def inRange(c: String, lo: Long, hi: Long, allowed: Long = 0L): Check =
+    satisfies("in_range", c, col(c) >= lo && col(c) <= hi, allowed)
+
+  /** Values must belong to the given set. */
+  def inSet(c: String, values: Seq[String], allowed: Long = 0L): Check =
+    satisfies("in_set", c, col(c).isin(values.map(v => v: Any): _*),
+      allowed)
+
+  /**
+   * Evaluate all checks in one aggregation pass. Returns
+   * (check, column, violations, allowed, passed) — one row per check,
+   * in declaration order via the check/column sort the caller applies.
+   */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      coalesce(c.violations, lit(0L)).cast("long").as(s"__c$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), lit(c.column).as("column"),
+        col(s"__c$i").as("violations"), lit(c.allowed).as("allowed"),
+        (col(s"__c$i") <= c.allowed).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+}

@@ -587,6 +587,44 @@ object StreamingQueries {
     * 3-iteration recurrence, oracle-unrolled with the seed-indicator
     * teleport column; the seed set is derived declaratively (ORDER BY
     * + LIMIT 1 on the node set), no driver scalar. */
+  /** Per-user EWMA of event values (α = ¼) — the batch form of
+    * [[graft.streaming.SeriesOps.streamingEwma]]'s decayed metric:
+    * one ts-ordered fold per user, seeded with the first value,
+    * α·x + (1−α)·acc thereafter. The fold runs over the user's
+    * collected (ts, event_id, value) history — bounded per user by
+    * the events-per-user distribution (the same contract as the
+    * rolling fingerprint's per-doc fold); the decayed value is
+    * order-sensitive BY DEFINITION, so both engines fold the
+    * identical sequence with identical IEEE ops (α exactly
+    * representable), rounded 6 only at the end. Streaming == batch
+    * on in-order input is spec-pinned. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id"),
+          col("value")).as("s"))
+    val alpha = graft.streaming.SeriesOps.EwmaAlpha
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), array_sort(collect_list("s")).as("xs"))
+      .select(col("user_id"), col("n"),
+        round(aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("value"),
+          (acc, s) => lit(alpha) * s.getField("value")
+            + lit(1 - alpha) * acc), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val ewmaSql: String =
+    """WITH l AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    list(value ORDER BY epoch_us(ts), event_id) AS xs
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n,
+      |  ROUND(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+      |    AS ewma
+      |FROM l ORDER BY user_id""".stripMargin
+
   /** Per-node TRIANGLE COUNTS ([[graft.pipeline.Graph.triangles]])
     * over the token co-occurrence graph: undirected edges are the
     * distinct adjacent-token pairs of the corpus, counted with the
@@ -794,6 +832,7 @@ object StreamingQueries {
     "q_pagerank_dangling" -> pageRankDangling _,
     "q_pagerank_personal" -> pageRankPersonal _,
     "q_triangles" -> triangleCounts _,
+    "q_ewma" -> ewma _,
     "q_clustering_coeff" -> clusteringCoeff _,
     "q_anomaly" -> anomaly _)
 
@@ -818,6 +857,7 @@ object StreamingQueries {
     "q_pagerank_dangling" -> pageRankDanglingSql,
     "q_pagerank_personal" -> pageRankPersonalSql,
     "q_triangles" -> triangleCountsSql,
+    "q_ewma" -> ewmaSql,
     "q_clustering_coeff" -> clusteringCoeffSql,
     "q_anomaly" -> anomalySql)
 }

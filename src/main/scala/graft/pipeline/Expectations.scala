@@ -55,6 +55,25 @@ object Expectations {
     satisfies("in_set", c, col(c).isin(values.map(v => v: Any): _*),
       allowed)
 
+  /** GATE a batch: evaluate the suite and fail loudly (with the full
+    * per-check report in the message) unless every check passes —
+    * compose in front of any sink. Unlike
+    * [[graft.io.Versioned.appendChecked]]'s per-row CHECK constraints,
+    * this admits AGGREGATE checks (uniqueness, violation budgets) —
+    * the two gates stack: expectations on the batch, CHECKs in the
+    * commit. Costs the one evaluation scan; the returned frame is the
+    * input, untouched. */
+  def gate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val report = run(df, checks).collect()
+    val failed = report.filterNot(_.getBoolean(4))
+    require(failed.isEmpty,
+      "expectations gate refused the batch:\n" + failed.map(r =>
+        s"  ${r.getString(0)}(${r.getString(1)}): " +
+          s"${r.getLong(2)} violations > allowed ${r.getLong(3)}")
+        .mkString("\n"))
+    df
+  }
+
   /**
    * Evaluate all checks in one aggregation pass. Returns
    * (check, column, violations, allowed, passed) — one row per check,

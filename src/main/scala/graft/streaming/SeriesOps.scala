@@ -157,4 +157,51 @@ object SeriesOps {
           out.result().iterator
       }
   }
+
+  // ---- ewma: exponentially-decayed per-key metric ----
+
+  /** Decay factor (¼ — exactly representable, so both engines fold
+    * identical IEEE products in identical order). */
+  val EwmaAlpha: Double = 0.25
+
+  final case class EwmaEvent(user_id: Long, event_id: Long,
+    tsMicros: Long, value: Double)
+  final case class EwmaState(ewma: Double, n: Long, lastKey: (Long, Long),
+    started: Boolean)
+  final case class EwmaOut(user_id: Long, n: Long, ewma: Double)
+
+  /**
+   * Streaming EWMA per user — the time-decayed health metric a
+   * monitoring job keeps warm (decayed error rate, decayed latency):
+   * state is ONE (ewma, n) register per key, each event folds
+   * α·x + (1−α)·acc in (ts, event_id) order, emitting the running
+   * value every batch (Update mode). In-order input contract (ties
+   * broken by event_id), enforced fail-loud — cross-batch disorder
+   * callers use the watermark-buffered pattern above. The batch
+   * equivalent is [[graft.StreamingQueries.ewma]]'s ordered fold;
+   * stream == batch on in-order input is spec-pinned.
+   */
+  def streamingEwma(events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](
+        GroupStateTimeout.NoTimeout()) {
+        (k, it, state: GroupState[EwmaState]) =>
+          var cur = state.getOption
+            .getOrElse(EwmaState(0.0, 0L, (Long.MinValue, Long.MinValue),
+              started = false))
+          it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            val key = (e.tsMicros, e.event_id)
+            require(!cur.started ||
+              Ordering[(Long, Long)].lt(cur.lastKey, key),
+              s"out-of-order event for user $k: $key after ${cur.lastKey}")
+            cur =
+              if (!cur.started) EwmaState(e.value, 1L, key, started = true)
+              else EwmaState(EwmaAlpha * e.value + (1 - EwmaAlpha) * cur.ewma,
+                cur.n + 1, key, started = true)
+          }
+          state.update(cur)
+          EwmaOut(k, cur.n, round6(cur.ewma))
+      }
+  }
 }

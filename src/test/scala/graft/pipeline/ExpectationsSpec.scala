@@ -55,6 +55,16 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans == 1, s"expected one scan, plan:\n$plan")
   }
 
+  test("gate refuses a violating batch with the report; passes clean") {
+    val err = intercept[IllegalArgumentException] {
+      Expectations.gate(frame, Seq(Expectations.complete("id")))
+    }
+    assert(err.getMessage.contains("complete(id): 1 violations"))
+    val clean = frame.filter(col("id").isNotNull && col("name").isNotNull)
+    assert(Expectations.gate(clean,
+      Seq(Expectations.complete("id"))).count() == clean.count())
+  }
+
   test("empty check list and empty frame behave sanely") {
     intercept[IllegalArgumentException] { Expectations.run(frame, Nil) }
     val empty = Expectations.run(frame.limit(0), Seq(Expectations.complete("id"), Expectations.unique("id")))

@@ -131,4 +131,59 @@ class SeriesOpsSpec extends SparkSpec {
       assert(batch.exists(_._3 == 0L), "degenerate fixture: no gaps")
     } finally query.stop()
   }
+
+  test("streaming EWMA equals the batch ordered fold on in-order " +
+      "input across micro-batches; out-of-order fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val alpha = SeriesOps.EwmaAlpha
+    val events = for {
+      u <- 0L until 5L
+      i <- 0 until 40
+    } yield SeriesOps.EwmaEvent(u, u * 1000 + i, i.toLong * 1000000L,
+      math.sin(u * 7.0 + i) * 10 + i)
+    val stream = MemoryStream[SeriesOps.EwmaEvent]
+    val query = SeriesOps.streamingEwma(stream.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // in-order per user, split across 4 micro-batches
+      events.groupBy(_.user_id).values.toSeq
+        .flatMap(_.sortBy(_.tsMicros).grouped(10).zipWithIndex.map(_.swap))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .foreach { case (_, chunks) =>
+          stream.addData(chunks.flatMap(_._2))
+          query.processAllAvailable()
+        }
+      // last Update row per user is the final running value
+      val streamed = spark.table("ewma_stream")
+        .groupBy("user_id").agg(max(struct(col("n"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = events.groupBy(_.user_id).map { case (u, es) =>
+        val xs = es.sortBy(e => (e.tsMicros, e.event_id)).map(_.value)
+        val e = xs.tail.foldLeft(xs.head)((acc, x) =>
+          alpha * x + (1 - alpha) * acc)
+        (u, xs.length.toLong,
+          BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toSet
+      assert(streamed == batch)
+    } finally query.stop()
+    // an out-of-order event (older than the state frontier) surfaces
+    val stream2 = MemoryStream[SeriesOps.EwmaEvent]
+    val q2 = SeriesOps.streamingEwma(stream2.toDS())
+      .writeStream.format("memory").queryName("ewma_stream_ooo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream2.addData(SeriesOps.EwmaEvent(1L, 10L, 5000000L, 1.0))
+      q2.processAllAvailable()
+      stream2.addData(SeriesOps.EwmaEvent(1L, 11L, 1000000L, 2.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("out-of-order") ||
+        Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
+    } finally q2.stop()
+  }
 }

@@ -66,7 +66,22 @@ def main():
             print(f"{name}: VALUE MISMATCH, first diffs: {bad}")
             failures += 1
         else:
-            print(f"{name}: ok ({len(sr)} rows)")
+            # result TYPES must agree too: DuckDB types bare SUM(int)
+            # as HUGEINT (int128) where Spark emits BIGINT — equal
+            # values, but a type-sensitive hash layer (the driver's
+            # arrow/pandas path) sees a mismatch. This was r9's only
+            # red (q_quality_trim); catch it locally.
+            rel = con.sql(oracles[name])  # lazy bind, types only
+            otypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            hazard = {c: t for c, t in otypes.items()
+                      if "INT128" in t or "HUGEINT" in t
+                      or t.startswith("DECIMAL")}
+            if hazard:
+                print(f"{name}: TYPE HAZARD (oracle emits {hazard} — "
+                      "CAST the final projection)")
+                failures += 1
+            else:
+                print(f"{name}: ok ({len(sr)} rows)")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":

@@ -3112,6 +3112,43 @@ object PipelineQueries {
     Similarity.ivfPqSearch(codes, probes, PqM, PqTopK).orderBy("qid", "rk")
   }
 
+  /** IVFADC served from the GENERATIONAL index: the same coarse
+    * codebook + residual-trained PQ books as the inline `q_ann_ivfpq`
+    * installed at [[VecIndex.init]], the corpus folded in two
+    * generations, the serve reading only (ccid, id, code*) of the
+    * probed bucket dirs. Output must be IDENTICAL to the inline row —
+    * same oracle SQL — so the lifecycle (euclidean assign + residual
+    * encode per generation) is certified end to end by the driver
+    * gate. */
+  def annIvfPqGen(spark: SparkSession, dir: String): DataFrame = {
+    val st = ivfPqShared(spark, dir)
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-ivfpqgen-$tagDir"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half),
+          PqM * PqSubDim, path, cbBuckets = 4,
+          ivfPq = Some((st.coarse, st.books)))
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < PqNQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .sortBy(_._1).toSeq
+    VecIndex.ivfPqTopK(spark, queries, VecIndex.open(spark, path),
+        IvfPqNProbe, PqTopK)
+      .orderBy("qid", "rk")
+  }
+
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
@@ -3506,6 +3543,7 @@ object PipelineQueries {
     "q_ann_ivf_gen" -> annIvfGen _,
     "q_ann_binary_stream" -> annBinaryStream _,
     "q_ann_pq_gen" -> annPqGen _,
+    "q_ann_ivfpq_gen" -> annIvfPqGen _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3592,6 +3630,7 @@ object PipelineQueries {
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
     "q_ann_pq_gen" -> annPqSql,            // generational PQ codes, same live set
+    "q_ann_ivfpq_gen" -> ivfPqSql,         // generational IVFADC, same live set
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

@@ -82,30 +82,70 @@ object VecIndex {
     }
   }
 
+  /** Load the optional IVFADC coarse codebook sidecar: euclidean
+    * coarse centroids indexed by ccid (None when the index is not
+    * residual-PQ flavored). Driver-side, C·dim doubles by contract. */
+  private def coarseBook(spark: SparkSession,
+      idx: Index): Option[Seq[Array[Double]]] = {
+    val f = fsOf(spark, idx.path)
+    if (!f.exists(new Path(s"${idx.path}/coarse"))) None
+    else Some(spark.read.parquet(s"${idx.path}/coarse")
+      .select("ccid", "comp").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq)
+  }
+
   // ---- encode + commit ----
 
-  /** One generation's rows: floats + norm + packed sign bits
-    * (+ cluster id against the installed coarse codebook, + PQ codes
-    * against the installed subspace codebooks). */
+  /** One generation's rows: floats + norm + packed sign bits, plus
+    * per-flavor derived columns — cosine `cid` against the installed
+    * IVF codebook, raw-PQ `code*` against the installed subspace
+    * codebooks, or (IVFADC flavor) euclidean `ccid` + RESIDUAL codes
+    * against the coarse + residual codebooks. */
   private def encoded(df: DataFrame, idx: Index): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("nrm"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords"))
-    val withIvf =
-      if (!idx.hasIvf) base
-      else {
-        val cb = Similarity.collectCodebook(
-          spark.read.parquet(s"${idx.path}/centroids"))
-        base.withColumn("cid",
-          element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
-      }
-    pqBooks(spark, idx) match {
-      case None => withIvf
-      case Some((books, subDim)) =>
-        val extra = Seq("vec", "nrm", "bwords") ++
-          (if (idx.hasIvf) Seq("cid") else Nil)
-        Similarity.pqEncode(withIvf, books, subDim, extra)
+    coarseBook(spark, idx) match {
+      case Some(coarse) =>
+        // IVFADC: euclidean coarse assign, then PQ on the residual
+        val (books, subDim) = pqBooks(spark, idx).getOrElse(
+          sys.error(s"index at ${idx.path} has a coarse codebook " +
+            "but no PQ codebooks"))
+        val cn2 = coarse.map(v => v.map(x => x * x).sum).toArray
+        val assigned = base.withColumn("ccid", element_at(
+          graft.functions.VectorFunctions.nearestCentroids(
+            col("vec"), coarse.toArray, cn2,
+            coarse.indices.map(_.toLong).toArray, 1, euclidean = true), 1))
+        val flat = org.apache.spark.sql.functions
+          .typedlit(coarse.flatten.toSeq)
+        val resVec = array((0 until idx.dim).map(i =>
+          col("vec").getItem(i).cast("double") -
+            element_at(flat, col("ccid").cast("int") * idx.dim + i + 1)): _*)
+        val res = assigned.select(col("id"), resVec.as("__res"),
+          col("vec"), col("nrm"), col("bwords"), col("ccid"))
+        Similarity.pqEncode(
+          res.withColumnRenamed("vec", "__ovec")
+            .withColumnRenamed("__res", "vec"),
+          books, subDim, extra = Seq("__ovec", "nrm", "bwords", "ccid"))
+          .withColumnRenamed("__ovec", "vec")
+      case None =>
+        val withIvf =
+          if (!idx.hasIvf) base
+          else {
+            val cb = Similarity.collectCodebook(
+              spark.read.parquet(s"${idx.path}/centroids"))
+            base.withColumn("cid",
+              element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
+          }
+        pqBooks(spark, idx) match {
+          case None => withIvf
+          case Some((books, subDim)) =>
+            val extra = Seq("vec", "nrm", "bwords") ++
+              (if (idx.hasIvf) Seq("cid") else Nil)
+            Similarity.pqEncode(withIvf, books, subDim, extra)
+        }
     }
   }
 
@@ -117,20 +157,34 @@ object VecIndex {
     writeSegmentAt(df, idx, kind, g)
   }
 
+  /** The cluster column a generation's directory layout buckets by:
+    * cosine-IVF `cid` or IVFADC `ccid` (None = flat layout). */
+  private def clusterKey(columns: Seq[String], idx: Index): Option[String] =
+    if (idx.cbBuckets <= 0) None
+    else if (columns.contains("cid")) Some("cid")
+    else if (columns.contains("ccid")) Some("ccid")
+    else None
+
+  /** Write one generation's rows with the index's layout (cluster-
+    * bucketed dirs when a cluster column is present, flat otherwise). */
+  private def writeGen(enc: DataFrame, idx: Index, g: Int): Unit =
+    clusterKey(enc.columns.toSeq, idx) match {
+      case Some(key) =>
+        enc.withColumn("cb", pmod(col(key), lit(idx.cbBuckets)).cast("int"))
+          .repartition(col("cb")).sortWithinPartitions(key)
+          .write.mode("overwrite").partitionBy("cb")
+          .parquet(s"${idx.path}/vecs/gen=$g")
+      case None =>
+        enc.write.mode("overwrite").parquet(s"${idx.path}/vecs/gen=$g")
+    }
+
   /** Data write + publish for an already-claimed slot (split out for
     * the concurrent-lifecycle spec, like [[Search.writeSegmentAt]]). */
   private[pipeline] def writeSegmentAt(df: DataFrame, idx: Index,
       kind: String, g: Int): Int = {
     val spark = df.sparkSession
     val f = fsOf(spark, idx.path)
-    val enc = encoded(df, idx)
-    if (idx.hasIvf)
-      enc.withColumn("cb", pmod(col("cid"), lit(idx.cbBuckets)).cast("int"))
-        .repartition(col("cb")).sortWithinPartitions("cid")
-        .write.mode("overwrite").partitionBy("cb")
-        .parquet(s"${idx.path}/vecs/gen=$g")
-    else
-      enc.write.mode("overwrite").parquet(s"${idx.path}/vecs/gen=$g")
+    writeGen(encoded(df, idx), idx, g)
     val n = df.count()
     GenLog.publish(spark, f, idx.path, g, kind, n, idx.dim, idx.cbBuckets)
     g
@@ -147,14 +201,18 @@ object VecIndex {
     * init; appends encode against them, retrain = fresh init. */
   def init(corpus: DataFrame, dim: Int, path: String,
       centroids: Option[DataFrame] = None, cbBuckets: Int = 16,
-      pq: Option[Seq[Array[Array[Double]]]] = None): Index = {
+      pq: Option[Seq[Array[Array[Double]]]] = None,
+      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])] =
+        None): Index = {
     val spark = corpus.sparkSession
+    import spark.implicits._
+    require(ivfPq.isEmpty || (centroids.isEmpty && pq.isEmpty),
+      "ivfPq is its own flavor — do not combine with centroids/pq")
     val f = fsOf(spark, path)
     f.delete(new Path(path), true)
     centroids.foreach(_.write.mode("overwrite")
       .parquet(s"$path/centroids"))
-    pq.foreach { books =>
-      import spark.implicits._
+    def writePq(books: Seq[Array[Array[Double]]]): Unit = {
       require(books.nonEmpty && books.forall(_.nonEmpty),
         "empty PQ codebooks")
       require(dim % books.length == 0 &&
@@ -165,7 +223,17 @@ object VecIndex {
       }.toDF("s", "cid", "comp")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
     }
-    val idx = Index(path, dim, if (centroids.isDefined) cbBuckets else 0)
+    pq.foreach(writePq)
+    ivfPq.foreach { case (coarse, books) =>
+      require(coarse.nonEmpty && coarse.forall(_.length == dim),
+        s"coarse centroids must be dim $dim")
+      writePq(books)
+      coarse.zipWithIndex.map { case (c, ccid) => (ccid, c.toSeq) }
+        .toDF("ccid", "comp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    }
+    val idx = Index(path, dim,
+      if (centroids.isDefined || ivfPq.isDefined) cbBuckets else 0)
     commitSegment(corpus, idx, GenLog.KindBase)
     idx
   }
@@ -228,19 +296,16 @@ object VecIndex {
     val f = fsOf(spark, idx.path)
     val g = GenLog.claimGen(spark, f, idx.path)
     GenLog.requireNoInflightBelow(spark, f, idx.path, g, "compact")
-    val cols = Seq("id", "vec", "nrm", "bwords") ++
-      (if (idx.hasIvf) Seq("cid") else Nil) ++
-      pqBooks(spark, idx).toSeq.flatMap { case (books, _) =>
-        books.indices.map(s => s"code$s")
-      }
+    // carry every data column of the current layout (cluster ids, PQ
+    // codes — whatever the flavor wrote), dropping only the cb
+    // partition column writeGen re-derives
+    val ms = GenLog.liveMetas(spark, f, idx.path)
+    val cols = spark.read.option("basePath", s"${idx.path}/vecs")
+      .parquet(ms.filter(_.kind != GenLog.KindDel)
+        .map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
+      .schema.fieldNames.toSeq.filterNot(c => c == "cb" || c == "gen")
     val live = liveVecs(spark, idx, cols)
-    if (idx.hasIvf)
-      live.withColumn("cb", pmod(col("cid"), lit(idx.cbBuckets)).cast("int"))
-        .repartition(col("cb")).sortWithinPartitions("cid")
-        .write.mode("overwrite").partitionBy("cb")
-        .parquet(s"${idx.path}/vecs/gen=$g")
-    else
-      live.write.mode("overwrite").parquet(s"${idx.path}/vecs/gen=$g")
+    writeGen(live, idx, g)
     val n = liveVecs(spark, idx, Seq("id")).count()
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
       idx.cbBuckets)
@@ -341,6 +406,75 @@ object VecIndex {
     val cols = Seq("id") ++ books.indices.map(s => s"code$s")
     Similarity.pqSearch(liveVecs(spark, idx, cols), books, queries,
       subDim, k)
+  }
+
+  /**
+   * IVFADC served from the generational index — the canonical
+   * billion-vector composition (IVF prunes WORK, PQ shrinks MEMORY)
+   * with the growth lifecycle: each generation holds euclidean coarse
+   * assignments + RESIDUAL ADC codes, serve scans only
+   * (ccid, id, code*) of the probed `cb` bucket dirs across live
+   * generations, and corpus growth appends code rows. Query-side
+   * tables (per-(query, probe) subspace distances on the residual
+   * codebooks) are driver arithmetic riding the broadcast probes
+   * frame — exactly [[Similarity.ivfPqSearch]]'s contract.
+   */
+  def ivfPqTopK(spark: SparkSession,
+      queries: Seq[(Long, Array[Double])], idx: Index, nProbe: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val coarse = coarseBook(spark, idx)
+      .getOrElse(sys.error(s"index at ${idx.path} has no coarse codebook"))
+    val (books, subDim) = pqBooks(spark, idx)
+      .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
+    val m = books.length
+    val cn2 = coarse.map(v => v.map(x => x * x).sum)
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val ranked = coarse.zipWithIndex.map { case (c, ccid) =>
+        var dot = 0.0
+        var n2 = 0.0
+        var j = 0
+        while (j < idx.dim) { dot += q(j) * c(j); n2 += q(j) * q(j); j += 1 }
+        (graft.functions.NearestCentroids.round5(
+          cn2(ccid) - 2 * dot + n2), ccid.toLong)
+      }.sorted.take(nProbe)
+      ranked.map { case (_, ccid) =>
+        val c = coarse(ccid.toInt)
+        val tables = (0 until m).map { s =>
+          books(s).toSeq.map { cent =>
+            var d = 0.0
+            var j = 0
+            while (j < subDim) {
+              val diff = (q(s * subDim + j) - c(s * subDim + j)) - cent(j)
+              d += diff * diff
+              j += 1
+            }
+            BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          }
+        }
+        (qid, ccid, tables)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ccid",
+          org.apache.spark.sql.types.LongType)) ++
+      (0 until m).map(s => org.apache.spark.sql.types.StructField(
+        s"t$s", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.map { case (qid, ccid, ts) =>
+        org.apache.spark.sql.Row.fromSeq(qid +: ccid +: ts)
+      }: _*), schema)
+    val probedBuckets = probeRows.map(_._2)
+      .map(c => (((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets).toInt)
+      .distinct
+    val codes = liveVecs(spark, idx,
+      Seq("id", "ccid") ++ (0 until m).map(s => s"code$s"),
+      preFilter = Some(col("cb").isin(probedBuckets.map(b => b: Any): _*)))
+    Similarity.ivfPqSearch(codes, probes, m, k)
   }
 
   /**

@@ -161,6 +161,51 @@ class VecIndexSpec extends SparkSpec {
       s"PQ serve scan not pruned to codes:\n${scans.mkString("\n")}")
   }
 
+  test("IVFADC flavor: residual codes ride the generations, folds + " +
+      "delete == fresh, probed buckets prune, compact preserves") {
+    val all = corpus(0 until 60)
+    val coarse = (0 until 8).map { id =>
+      Array.tabulate(64)(i => ((((id * 31 + i * 13) % 17) - 8).toDouble / 8))
+    }
+    // residual books: train on raw corpus slices (any fixed codebook
+    // is "the" codebook — both serve paths must just agree on it)
+    val books = Similarity.pqTrainCodebooks(all, m = 4, subDim = 16,
+      k = 8, iters = 2)
+    val queries = Seq(0L, 1L, 2L).map { qid =>
+      qid -> Array.tabulate(64)(i =>
+        ((((qid * 31 + i * 13) % 17) - 8).toDouble / 8))
+    }
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sorted
+    val idx = VecIndex.init(corpus(0 until 30), 64,
+      "target/tmp/vecidx-ivfpq", cbBuckets = 4,
+      ivfPq = Some((coarse, books)))
+    VecIndex.append(corpus(30 until 60), idx)
+    val folded = res(VecIndex.ivfPqTopK(spark, queries, idx, 2, 5))
+    assert(folded.nonEmpty)
+    val fresh = VecIndex.init(all, 64, "target/tmp/vecidx-ivfpq-fresh",
+      cbBuckets = 4, ivfPq = Some((coarse, books)))
+    assert(res(VecIndex.ivfPqTopK(spark, queries, fresh, 2, 5)) == folded)
+    // the serve plan prunes to the probed cb dirs and reads only codes
+    val plan = VecIndex.ivfPqTopK(spark, queries, idx, 2, 5)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("code0") && !s.contains("vec:") && !s.contains("bwords")),
+      s"IVFADC serve scan not pruned to codes:\n${scans.mkString("\n")}")
+    // delete drops a neighbor; re-open from disk agrees
+    val victim = folded.head._2
+    VecIndex.delete(Seq(victim).toDF("id"), "id", idx)
+    val afterDel = res(VecIndex.ivfPqTopK(spark, queries,
+      VecIndex.open(spark, "target/tmp/vecidx-ivfpq"), 2, 5))
+    assert(!afterDel.exists(_._2 == victim))
+    // compact + vacuum fold the layout, results unchanged
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    assert(res(VecIndex.ivfPqTopK(spark, queries, idx, 2, 5)) == afterDel)
+  }
+
   test("appendBatch is exactly-once: a replayed micro-batch folds " +
       "zero new generations; streaming ingest converges to the batch build") {
     val path = "target/tmp/vecidx-stream-spec"

@@ -3149,6 +3149,53 @@ object PipelineQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Cross-document CONTENT-DEFINED chunk duplicates
+    * ([[Dedup.cdcDuplicates]]): chunk boundaries fall where the
+    * rolling 4-token window hash ≡ 0 mod 8, so an insertion reflows
+    * one chunk and every later fingerprint survives (the FastCDC
+    * boundary idea at token granularity — the shift-robust complement
+    * to the fixed 16-token grid of `q_chunk_dedup`). The oracle
+    * replays the window hash, boundary flags, running chunk ids, and
+    * chunk md5s cell-for-cell; all outputs exact integers + md5
+    * strings. */
+  def dedupCdc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .select(col("fp"), col("occurrences").cast("long").as("occurrences"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy("fp")
+
+  val dedupCdcSql: String = {
+    val winHash = Dedup.tokenIdSql("t3 || ' ' || t2 || ' ' || t1 || ' ' || tok")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, pos, tok,
+       |    LAG(tok, 3) OVER w AS t3, LAG(tok, 2) OVER w AS t2,
+       |    LAG(tok, 1) OVER w AS t1
+       |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN pos >= ${Dedup.CdcWindow - 1}
+       |      AND $winHash % ${Dedup.CdcDivisor} = 0 THEN 1 ELSE 0 END AS bf
+       |  FROM l),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(bf) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+       |  FROM c GROUP BY 1, 2)
+       |SELECT fp, CAST(COUNT(*) AS BIGINT) AS occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY fp""".stripMargin
+  }
+
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
@@ -3544,6 +3591,7 @@ object PipelineQueries {
     "q_ann_binary_stream" -> annBinaryStream _,
     "q_ann_pq_gen" -> annPqGen _,
     "q_ann_ivfpq_gen" -> annIvfPqGen _,
+    "q_dedup_cdc" -> dedupCdc _,
     "q_ann_lsh_buckets" -> annLshBuckets _,
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
@@ -3631,6 +3679,7 @@ object PipelineQueries {
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
     "q_ann_pq_gen" -> annPqSql,            // generational PQ codes, same live set
     "q_ann_ivfpq_gen" -> ivfPqSql,         // generational IVFADC, same live set
+    "q_dedup_cdc" -> dedupCdcSql,
     "q_ann_lsh_buckets" -> annLshBucketsSql,
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,

@@ -1073,4 +1073,58 @@ object Dedup {
         levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  // ---- content-defined chunking (FastCDC-shaped, token granularity) --
+
+  /** CDC boundary window (tokens hashed per test) and divisor
+    * (expected chunk length ≈ divisor tokens). */
+  val CdcWindow: Int = 4
+  val CdcDivisor: Long = 8L
+
+  /**
+   * CONTENT-DEFINED chunk fingerprints — the insertion-robust
+   * alternative to fixed-size chunk dedup ([[chunkDedup]]'s 16-token
+   * grid): a chunk boundary falls AFTER token i exactly when the
+   * rolling [[CdcWindow]]-token window hash ≡ 0 mod [[CdcDivisor]],
+   * so boundaries are functions of CONTENT, not position — an
+   * insertion reflows only the chunk it lands in, and every later
+   * chunk keeps its fingerprint (fixed-size chunking shifts the whole
+   * grid; spec-pinned). This is the FastCDC/rsync boundary idea at
+   * token granularity, the shape substring-level dedup of shifting
+   * boilerplate needs.
+   *
+   * One posexplode + one doc-partitioned window pair + one (doc,
+   * chunk) aggregate — the per-doc window is the same partitioned
+   * shape every sequence operator here uses; nothing global. Returns
+   * (id, chunk, n_toks, fp).
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("pos")
+    val p = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val win = concat_ws(" ", lag("tok", 3).over(w), lag("tok", 2).over(w),
+      lag("tok", 1).over(w), col("tok"))
+    val bf = when(col("pos") >= CdcWindow - 1 &&
+      tokenId(win) % CdcDivisor === 0, 1L).otherwise(0L)
+    p.withColumn("bf", bf)
+      .withColumn("chunk", coalesce(
+        sum(col("bf")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("fp"))
+  }
+
+  /** Cross-document duplicated CDC chunks: fingerprints appearing in
+    * >= 2 documents, with occurrence and document counts — the
+    * blocklist a shift-robust substring dedup pass consumes. */
+  def cdcDuplicates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    cdcChunks(df, idCol, textCol)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
 }

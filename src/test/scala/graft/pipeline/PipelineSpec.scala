@@ -55,6 +55,36 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 >= 0.5)
   }
 
+  test("CDC chunking is insertion-robust: a prefix insertion reflows " +
+      "one chunk; a fixed-size grid loses every chunk") {
+    val base = (0 until 120).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val shifted = "INSERTED " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+    val fpsA = chunks(1L).map(_.getString(3)).toSet
+    val fpsB = chunks(2L).map(_.getString(3)).toSet
+    assert(fpsA.size > 5, s"fixture degenerate: ${fpsA.size} chunks")
+    val shared = (fpsA & fpsB).size.toDouble / fpsA.size
+    assert(shared > 0.6,
+      f"CDC shared only $shared%.2f of chunks after a 1-token insertion")
+    // the fixed grid shifts everything: ~zero shared 8-token windows
+    def grid(text: String): Set[String] =
+      text.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    val gridShared = (grid(base) & grid(shifted)).size
+    assert(gridShared <= 1,
+      s"fixture unexpectedly grid-stable: $gridShared shared")
+    // chunk boundaries are content-defined: every shared fingerprint's
+    // token count matches between the two docs
+    val lenA = chunks(1L).map(r => r.getString(3) -> r.getLong(2)).toMap
+    val lenB = chunks(2L).map(r => r.getString(3) -> r.getLong(2)).toMap
+    (fpsA & fpsB).foreach(fp => assert(lenA(fp) == lenB(fp)))
+    // duplicates view surfaces exactly the shared fingerprints
+    val dups = Dedup.cdcDuplicates(docs, "doc_id", "text")
+      .collect().map(_.getString(0)).toSet
+    assert(dups == (fpsA & fpsB))
+  }
+
   test("connectedComponents on an empty pair set returns empty (no crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
     assert(Dedup.connectedComponents(empty).collect().isEmpty)

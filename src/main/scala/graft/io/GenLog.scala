@@ -70,15 +70,20 @@ object GenLog {
   }
 
   /** Claim the next free generation slot (atomic put-if-absent through
-    * the session's [[LogStore]]). */
+    * the session's [[LogStore]]). The probe seed is the max over BOTH
+    * committed markers and the store's authoritative claim listing, so
+    * a fresh claimer lands past in-flight writers in one probe. */
   def claimGen(spark: SparkSession, f: FileSystem, path: String): Int = {
     val dir = commitsDir(path)
     f.mkdirs(dir)
     val store = LogStore.forSession(spark)
-    var g = (if (f.exists(dir)) f.listStatus(dir).toSeq
+    val markerMax = (if (f.exists(dir)) f.listStatus(dir).toSeq
         .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("."))
         .map(_.getPath.getName.toInt) else Nil)
-      .maxOption.getOrElse(0) + 1
+      .maxOption.getOrElse(0)
+    val claimMax = store.listClaims(f, dir)
+      .map(_.stripPrefix(".claim-").toInt).maxOption.getOrElse(0)
+    var g = math.max(markerMax, claimMax) + 1
     var probes = 0
     while (!store.createExclusive(f, new Path(dir, s".claim-$g"))) {
       g += 1
@@ -92,7 +97,11 @@ object GenLog {
   /** Generation slots claimed but not (yet) committed — in-flight or
     * crashed writers that may still publish. Claims below the newest
     * base are dead slots (compacted away, or serialized out by the
-    * in-flight guard), not writers. */
+    * in-flight guard), not writers. Discovery goes through the
+    * session's [[LogStore]] — AUTHORITATIVE for metastore stores, so a
+    * writer whose CAS committed but whose filesystem mirror has not
+    * landed is still visible to the structural-commit guards (the
+    * silent-loss window a filesystem-only listing would leave open). */
   def unpublishedGens(spark: SparkSession, f: FileSystem,
       path: String): Seq[Int] = {
     val dir = commitsDir(path)
@@ -101,9 +110,7 @@ object GenLog {
     val committed = ms.map(_.gen).toSet
     val floor = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(0)
-    f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(".claim-"))
+    LogStore.forSession(spark).listClaims(f, dir)
       .map(_.stripPrefix(".claim-").toInt)
       .filter(g => g >= floor && !committed.contains(g))
       .sorted
@@ -116,7 +123,8 @@ object GenLog {
       path: String, g: Int, op: String): Unit = {
     val pending = unpublishedGens(spark, f, path).filter(_ < g)
     if (pending.nonEmpty) {
-      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
+      LogStore.forSession(spark)
+        .delete(f, new Path(commitsDir(path), s".claim-$g"))
       sys.error(s"$op at $path: generation slots ${pending.mkString(",")} " +
         "are claimed but unpublished; an in-flight append could publish " +
         s"below the new generation $g and be lost — wait for it (or let " +
@@ -145,13 +153,17 @@ object GenLog {
     val base = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(ms.head.gen)
     val doomed = ms.map(_.gen).filter(_ < base)
+    val store = LogStore.forSession(spark)
     doomed.foreach { g =>
       // marker first: a half-vacuumed generation must be invisible,
       // never visible-but-missing-data. The claim goes with it — a
       // lingering claim for a reclaimed gen would read as an in-flight
-      // writer to the compact/delete guards.
-      f.delete(new Path(commitsDir(path), g.toString), false)
-      f.delete(new Path(commitsDir(path), s".claim-$g"), false)
+      // writer to the compact/delete guards. Both go through the
+      // store's delete hook, so a metastore implementation frees its
+      // authoritative rows (re-opening the slots) instead of growing
+      // forever behind deleted mirror files.
+      store.delete(f, new Path(commitsDir(path), g.toString))
+      store.delete(f, new Path(commitsDir(path), s".claim-$g"))
       dataDirs.foreach(d => f.delete(new Path(s"$path/$d/gen=$g"), true))
     }
     val now = System.currentTimeMillis()
@@ -160,7 +172,7 @@ object GenLog {
       f.listStatus(commitsDir(path))
         .filter(s => s.getPath.getName.startsWith(".claim-"))
         .filter(s => now - s.getModificationTime > staleAfterMs)
-        .foreach(s => f.delete(s.getPath, false))
+        .foreach(s => store.delete(f, s.getPath))
     dataDirs.foreach { d =>
       val dir = new Path(s"$path/$d")
       if (f.exists(dir))

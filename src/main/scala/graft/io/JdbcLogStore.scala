@@ -70,8 +70,64 @@ class JdbcLogStore extends LogStore {
           if Option(e.getSQLState).exists(_.startsWith("23")) => false
       } finally ps.close()
     }
-    if (won) f.create(p, true).close()
+    // The DB row IS the claim (listClaims answers from it immediately),
+    // but the winner still mirrors a slot file for age-based stale-claim
+    // sweeps. Mirror creation must not fail silently: a claim whose
+    // mirror never lands would have no modification time for the sweep
+    // to age out — so on mirror failure the row is rolled back and the
+    // error SURFACES (the caller never held the slot).
+    if (won) {
+      try f.create(p, true).close()
+      catch {
+        case e: Throwable =>
+          delete(f, p)
+          throw new java.io.IOException(
+            s"claimed ${key(f, p)} in the metastore but the filesystem " +
+              "mirror failed; claim rolled back", e)
+      }
+    }
     won
+  }
+
+  /** Claims are discovered from the DATABASE — the same substrate the
+    * CAS wins on — so an in-flight writer is visible to the structural-
+    * commit guards the instant its INSERT commits, with no window where
+    * only the best-effort mirror file would reveal it. Unioned with the
+    * filesystem listing for claims predating the store switch. */
+  override def listClaims(f: FileSystem, dir: Path): Seq[String] = {
+    val prefix = key(f, dir) + "/.claim-"
+    // escape LIKE metacharacters in the path prefix (paths routinely
+    // contain '_', which LIKE would treat as a wildcard)
+    val escaped = prefix.replace("!", "!!").replace("%", "!%")
+      .replace("_", "!_")
+    val fromDb = synchronized {
+      val ps = conn.prepareStatement(
+        "SELECT p FROM graft_log WHERE p LIKE ? ESCAPE '!'")
+      try {
+        ps.setString(1, escaped + "%")
+        val rs = ps.executeQuery()
+        try {
+          val out = Seq.newBuilder[String]
+          while (rs.next()) out += rs.getString(1).stripPrefix(prefix)
+          out.result()
+        } finally rs.close()
+      } finally ps.close()
+    }
+    // names with a '/' are deeper than dir (not this log's claims)
+    (fromDb.filterNot(_.contains("/")).map(".claim-" + _) ++
+      super.listClaims(f, dir)).distinct
+  }
+
+  /** Reclamation frees the AUTHORITATIVE row (re-opening the slot for
+    * `createExclusive`) and the mirror file. */
+  override def delete(f: FileSystem, p: Path): Unit = {
+    synchronized {
+      val ps = conn.prepareStatement("DELETE FROM graft_log WHERE p = ?")
+      try { ps.setString(1, key(f, p)); ps.executeUpdate(); () }
+      finally ps.close()
+    }
+    f.delete(p, false)
+    ()
   }
 
   def writeAtomic(f: FileSystem, p: Path, content: String): Unit = {

@@ -47,6 +47,27 @@ trait LogStore {
 
   /** Read a small metadata file fully (driver-side metadata only). */
   def readSmall(f: FileSystem, p: Path): String
+
+  /** Claim-slot discovery: the names of `.claim-*` entries under
+    * `dir`, served from the store's AUTHORITATIVE copy. The in-flight
+    * guards ([[graft.io.GenLog.unpublishedGens]]) ride this — a
+    * metastore store must answer from the same substrate its
+    * [[createExclusive]] wins on (the DB), so a claim is discoverable
+    * the instant its CAS commits, never only after a best-effort
+    * filesystem mirror lands. Default: filesystem listing (exact for
+    * [[FsLogStore]], whose CAS is the filesystem). */
+  def listClaims(f: FileSystem, dir: Path): Seq[String] =
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".claim-"))
+
+  /** Remove the metadata entry at `p` from the store AND the
+    * filesystem — the reclamation hook every GenLog/Versioned sweep
+    * routes through, so a metastore store frees the authoritative row
+    * (re-opening the slot for [[createExclusive]]) instead of leaving
+    * it burned forever behind a deleted mirror file. Deleting an
+    * absent entry is a no-op. */
+  def delete(f: FileSystem, p: Path): Unit = { f.delete(p, false); () }
 }
 
 /**

@@ -214,7 +214,7 @@ object Versioned {
             require(age > BatchClaimStaleMs, s"batch $batchId at $path is " +
               "claimed by a concurrent writer that has not published; wait " +
               "for it or, if it crashed, retry after the claim goes stale")
-            f.delete(claim, false)
+            LogStore.forSession(spark).delete(f, claim)
           }
           appendBatch(df, path, batchId)
         }
@@ -252,10 +252,12 @@ object Versioned {
     if (!f.exists(root)) return Nil
     val published = versions(spark, path).toSet
     // claims below the vacuum base are dead slots, not in-flight
-    // writers: their versions (published or not) are unreachable
+    // writers: their versions (published or not) are unreachable.
+    // Discovery through the store's authoritative claim listing (not a
+    // bare FS listing), so a metastore writer whose CAS committed but
+    // whose mirror file lags is still visible to the guards.
     val floor = vacuumBase(spark, path).getOrElse(0)
-    f.listStatus(root).toSeq
-      .map(_.getPath.getName)
+    LogStore.forSession(spark).listClaims(f, root)
       .filter(_.startsWith(".claim-v="))
       .map(_.stripPrefix(".claim-v=").toInt)
       .filter(v => v >= floor && !published.contains(v))
@@ -1089,13 +1091,19 @@ object Versioned {
     // safely (the publish-time existence check catches a re-claimed
     // slot and retries at the head).
     val now = System.currentTimeMillis()
+    val store = LogStore.forSession(spark)
     f.listStatus(root)
       .filter { s =>
         (s.isDirectory && s.getPath.getName.startsWith(".staging-")) ||
           (!s.isDirectory && s.getPath.getName.startsWith(".claim-"))
       }
       .filter(s => now - s.getModificationTime > 3600L * 1000)
-      .foreach(s => f.delete(s.getPath, true))
+      .foreach { s =>
+        // claim files free their authoritative store slot; staging dirs
+        // are plain data garbage
+        if (s.isDirectory) f.delete(s.getPath, true)
+        else store.delete(f, s.getPath)
+      }
     val cutoff = latestVersion(spark, path) - horizon
     checkpoints(spark, path).filter(_ <= cutoff).lastOption match {
       case None => Nil
@@ -1107,7 +1115,7 @@ object Versioned {
           // the base are dead (commit probes upward from the head), and
           // a lingering claim would read as an in-flight writer to the
           // unpublished-claim guards
-          f.delete(new Path(path, s".claim-v=$v"), false)
+          store.delete(f, new Path(path, s".claim-v=$v"))
         }
         doomed
     }

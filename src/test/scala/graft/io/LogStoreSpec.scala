@@ -41,6 +41,14 @@ class MemLogStore extends LogStore {
       out.close()
     }
 
+  // reclamation frees the authoritative map slot, not just the mirror
+  // file — the same contract JdbcLogStore honors against its DB rows
+  override def delete(f: FileSystem, p: Path): Unit = {
+    claims.remove(p.toString)
+    f.delete(p, false)
+    ()
+  }
+
   def readSmall(f: FileSystem, p: Path): String = lock.synchronized {
     // reads share the writers' lock: this stand-in publishes with a
     // plain in-place write, so the lock is what makes a concurrent
@@ -141,6 +149,36 @@ trait LogStoreContract { this: SparkSpec =>
     Await.result(writer, 1.minute)
     assert(!sawPartial, "observed a torn publish")
     assert(store.readSmall(f, p) == payload)
+  }
+
+  test(s"$storeName: delete frees a claimed slot — createExclusive " +
+      "wins it again afterwards") {
+    val p = new Path(s"target/tmp/logstore-$storeName-free-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val f = fsFor(p)
+    assert(store.createExclusive(f, p))
+    assert(!store.createExclusive(f, p))
+    store.delete(f, p)
+    assert(!f.exists(p), "delete must remove the mirror file")
+    assert(store.createExclusive(f, p),
+      "a deleted slot must be claimable again (never burned forever)")
+    store.delete(f, p)
+  }
+
+  test(s"$storeName: listClaims surfaces a fresh claim under its dir " +
+      "and delete removes it from the listing") {
+    val dir = new Path(s"target/tmp/logstore-$storeName-ls-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val f = fsFor(dir)
+    f.mkdirs(dir)
+    assert(store.listClaims(f, dir).isEmpty)
+    assert(store.createExclusive(f, new Path(dir, ".claim-7")))
+    assert(store.listClaims(f, dir).contains(".claim-7"))
+    // deeper claims (another log's) must not leak into this dir's list
+    assert(store.createExclusive(f, new Path(dir, "sub/.claim-9")))
+    assert(!store.listClaims(f, dir).contains(".claim-9"))
+    store.delete(f, new Path(dir, ".claim-7"))
+    assert(!store.listClaims(f, dir).contains(".claim-7"))
   }
 
   test(s"$storeName: Versioned concurrent appends take distinct " +
@@ -256,6 +294,47 @@ class JdbcLogStoreContractSpec extends SparkSpec with LogStoreContract {
     store.writeAtomic(f, p, "v1")
     store.writeAtomic(f, p, "v2:replacement")
     assert(store.readSmall(f, p) == "v2:replacement")
+  }
+
+  test("jdbc: claim discovery is AUTHORITATIVE — a claim whose " +
+      "filesystem mirror vanished is still listed, and the in-flight " +
+      "guard (GenLog.unpublishedGens) still sees the writer") {
+    val path = "target/tmp/logstore-jdbc-authclaim-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val dir = GenLog.commitsDir(path)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = LogStore.forSession(s2)
+    val g = GenLog.claimGen(s2, f, path)
+    // simulate the mirror lagging/lost (crash between DB insert and
+    // file create, or an object store eventually-consistent listing):
+    // the DB row must still reveal the in-flight writer
+    f.delete(new Path(dir, s".claim-$g"), false)
+    assert(store.listClaims(f, dir).contains(s".claim-$g"),
+      "claim must be discoverable from the DB without its mirror file")
+    assert(GenLog.unpublishedGens(s2, f, path).contains(g),
+      "structural-commit guard must see the DB-only claim")
+    store.delete(f, new Path(dir, s".claim-$g"))
+    assert(GenLog.unpublishedGens(s2, f, path).isEmpty)
+  }
+
+  test("jdbc: a failed filesystem mirror rolls the DB claim back and " +
+      "surfaces — the slot is not silently burned") {
+    val base = new Path("target/tmp/logstore-jdbc-mirror-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // make the would-be parent a FILE so the mirror create must fail
+    val out = f.create(base, true)
+    out.write("blocker".getBytes("UTF-8"))
+    out.close()
+    val store = LogStore.forSession(s2)
+    val p = new Path(base, ".claim-1")
+    intercept[Exception] { store.createExclusive(f, p) }
+    // unblock: the rolled-back slot must be winnable now
+    f.delete(base, false)
+    f.mkdirs(base)
+    assert(store.createExclusive(f, p),
+      "rolled-back claim must leave the slot free")
+    store.delete(f, p)
   }
 
   test("jdbc: file-only metadata (predating the store switch) still " +

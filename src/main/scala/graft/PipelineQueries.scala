@@ -1235,6 +1235,45 @@ object PipelineQueries {
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** BM25 served from an index built by STREAMING ingest: the
+    * documents table staged as a 3-file directory, each file one
+    * micro-batch folded through [[Search.appendBatch]] (exactly-once
+    * via the batch-id marker, surviving maintenance via the base fold
+    * watermark), on top of an empty base. The serve output must be
+    * IDENTICAL to the inline `q_search_bm25` — same oracle SQL: the
+    * oracle-gated proof that a continuously-ingesting text index
+    * converges to the batch build, postings AND BM25 corpus constants
+    * (which ride the marker stats deltas) both exact. */
+  def searchBm25Stream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/searchidx-stream-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val inDir = s"target/tmp/searchidx-stream-in-$tagDir"
+        docs.repartition(3, col("doc_id"))
+          .write.mode("overwrite").parquet(inDir)
+        val idx = Search.writeIndex(docs.limit(0), "doc_id", "text", path)
+        val schema = spark.read.parquet(inDir).schema
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            Search.appendBatch(b, "doc_id", "text", idx, id); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ()
+      })
+    }
+    Search.searchBm25(spark, Search.open(spark, path), SearchTerms,
+        topK = 20)
+      .orderBy(col("score").desc, col("id"))
+  }
+
   /** Minimum-should-match search ([[Search.searchAny]], 2 of 3 terms):
     * the OR-with-threshold retrieval mode between pure conjunction and
     * pure disjunction, on the same bucket-pruned postings read. */
@@ -3560,6 +3599,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHll _,
     "q_search_conj" -> searchConj _,
     "q_search_bm25" -> searchBm25 _,
+    "q_search_bm25_stream" -> searchBm25Stream _,
     "q_search_phrase" -> searchPhrase _,
     "q_search_any" -> searchAny _,
     "q_search_near" -> searchNear _,
@@ -3648,6 +3688,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHllSql,
     "q_search_conj" -> searchConjSql,
     "q_search_bm25" -> searchBm25Sql,
+    "q_search_bm25_stream" -> searchBm25Sql,  // streaming ingest, same live set
     "q_search_phrase" -> searchPhraseSql,
     "q_search_any" -> searchAnySql,
     "q_search_near" -> searchNearSql,

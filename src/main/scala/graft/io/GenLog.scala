@@ -35,12 +35,44 @@ import org.apache.spark.sql.SparkSession
  */
 object GenLog {
 
-  /** One committed generation's marker payload. */
-  final case class Meta(gen: Int, kind: String, a: Long, b: Long, n: Int)
+  /** One committed generation's marker payload. `fold` (base markers
+    * only) is the max streaming batch id whose `seg@<id>` generation
+    * this base subsumed — the exactly-once guard survives compaction
+    * reclaiming the per-batch markers. `cbv` is the codebook version
+    * the generation was encoded under (vector indexes; 0 = the init
+    * codebook). */
+  final case class Meta(gen: Int, kind: String, a: Long, b: Long, n: Int,
+      fold: Long = -1L, cbv: Int = 0)
 
   val KindSeg = "seg"
   val KindDel = "del"
   val KindBase = "base"
+
+  /** The streaming batch id a `seg@<id>` marker kind carries. */
+  def batchIdOf(kind: String): Option[Long] =
+    if (kind.startsWith(KindSeg + "@"))
+      kind.stripPrefix(KindSeg + "@").toLongOption
+    else None
+
+  /** Max streaming batch id folded into the read set — per-batch
+    * `seg@<id>` markers plus every base's recorded fold watermark.
+    * Batch ids are Structured Streaming's, strictly increasing, so a
+    * single watermark subsumes every reclaimed per-batch marker. */
+  def foldedBatchMax(ms: Seq[Meta]): Long =
+    (ms.flatMap(m => batchIdOf(m.kind)) ++
+      ms.filter(_.kind == KindBase).map(_.fold)).maxOption.getOrElse(-1L)
+
+  /** Whether streaming batch `batchId` is already committed — either
+    * its own `seg@<id>` marker is present, or a base folded it and
+    * carries a covering watermark. This is what makes `appendBatch`
+    * idempotent ACROSS maintenance: a batch re-delivered after
+    * compact+vacuum reclaimed its marker (crash between the foreachBatch
+    * publish and the checkpoint commit, then maintenance before
+    * restart) is still recognized and skipped. */
+  def batchApplied(ms: Seq[Meta], batchId: Long): Boolean =
+    ms.exists(_.kind == s"$KindSeg@$batchId") ||
+      ms.filter(_.kind == KindBase).map(_.fold)
+        .maxOption.getOrElse(-1L) >= batchId
 
   def commitsDir(path: String): Path = new Path(path, "commits")
 
@@ -54,7 +86,9 @@ object GenLog {
       .map { s =>
         val cols = store.readSmall(f, s.getPath).trim.split("\t")
         Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
-          cols(2).toLong, cols(3).toInt)
+          cols(2).toLong, cols(3).toInt,
+          if (cols.length > 4) cols(4).toLong else -1L,
+          if (cols.length > 5) cols(5).toInt else 0)
       }
       .sortBy(_.gen)
   }
@@ -132,11 +166,15 @@ object GenLog {
     }
   }
 
-  /** Publish generation `g`: the marker file is the commit point. */
+  /** Publish generation `g`: the marker file is the commit point.
+    * `fold` = batch-id watermark for base markers (see [[Meta]]);
+    * `cbv` = codebook version the generation encodes under. */
   def publish(spark: SparkSession, f: FileSystem, path: String, g: Int,
-      kind: String, a: Long, b: Long, n: Int): Unit =
+      kind: String, a: Long, b: Long, n: Int, fold: Long = -1L,
+      cbv: Int = 0): Unit =
     LogStore.forSession(spark).writeAtomic(f,
-      new Path(commitsDir(path), g.toString), s"$kind\t$a\t$b\t$n")
+      new Path(commitsDir(path), g.toString),
+      s"$kind\t$a\t$b\t$n\t$fold\t$cbv")
 
   /**
    * Retention: reclaim generation dirs (under each of `dataDirs`) +

@@ -135,8 +135,11 @@ object Search {
     df.select(col(idCol).as("id"),
         size(split(col(textCol), " ")).cast("long").as("dlen"))
       .write.mode("overwrite").parquet(s"$path/docs/gen=$g")
+    // coalesce: an EMPTY base segment is the legitimate streaming
+    // bootstrap (writeIndex(df.limit(0)) then appendBatch per trigger)
     val st = df.select(size(split(col(textCol), " ")).cast("long").as("dlen"))
-      .agg(count(lit(1)).as("n_docs"), sum("dlen").as("sum_dlen")).head()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dlen"), lit(0L)).as("sum_dlen")).head()
     publish(spark, f, path, g, kind, st.getLong(0), st.getLong(1), nBuckets)
     g
   }
@@ -173,6 +176,29 @@ object Search {
       idx: Index): Index = {
     commitSegment(df, idCol, textCol, idx.path, idx.nBuckets, KindSeg)
     idx
+  }
+
+  /** EXACTLY-ONCE streaming ingest (use from `foreachBatch`): one
+    * generation per micro-batch, idempotent on replay — the batch id
+    * rides in the marker kind (`seg@<id>`), and compaction records the
+    * max folded batch id on its base marker, so a batch re-delivered
+    * even AFTER compact+vacuum reclaimed its per-batch marker is
+    * recognized and skipped. The same batch-marker scheme as
+    * [[VecIndex.appendBatch]] / [[graft.io.Versioned.appendBatch]];
+    * with it, `readStream … .foreachBatch(Search.appendBatch(_, "id",
+    * "text", idx, _))` is a continuously-ingesting text index whose
+    * postings and BM25 corpus constants are always one marker away
+    * from consistent. */
+  def appendBatch(df: DataFrame, idCol: String, textCol: String,
+      idx: Index, batchId: Long): Index = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, idx.path)
+    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId)) idx
+    else {
+      commitSegment(df, idCol, textCol, idx.path, idx.nBuckets,
+        s"$KindSeg@$batchId")
+      idx
+    }
   }
 
   /**
@@ -231,8 +257,13 @@ object Search {
     val st = liveDocs(spark, f, idx.path)
       .agg(count(lit(1)).as("n"), coalesce(sum("dlen"), lit(0L)).as("s"))
       .head()
-    publish(spark, f, idx.path, g, KindBase, st.getLong(0), st.getLong(1),
-      idx.nBuckets)
+    // record the max folded streaming batch id on the base, so the
+    // exactly-once appendBatch guard survives vacuum reclaiming the
+    // folded per-batch seg@<id> markers
+    GenLog.publish(spark, f, idx.path, g, KindBase, st.getLong(0),
+      st.getLong(1), idx.nBuckets,
+      fold = GenLog.foldedBatchMax(liveMetas(spark, f, idx.path)
+        .filter(_.gen < g)))
     idx
   }
 

@@ -264,9 +264,11 @@ object VecIndex {
   def appendBatch(df: DataFrame, idx: Index, batchId: Long): Index = {
     val spark = df.sparkSession
     val f = fsOf(spark, idx.path)
-    val kind = s"${GenLog.KindSeg}@$batchId"
-    if (GenLog.metas(spark, f, idx.path).exists(_.kind == kind)) idx
-    else { commitSegment(df, idx, kind); idx }
+    // batchApplied also honors the base markers' fold watermark, so a
+    // batch re-delivered AFTER compact+vacuum reclaimed its seg@<id>
+    // marker is still recognized and skipped (no double-append)
+    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId)) idx
+    else { commitSegment(df, idx, s"${GenLog.KindSeg}@$batchId"); idx }
   }
 
   /** Tombstone the given ids (one-column frame). Gen-aware kill:
@@ -307,8 +309,11 @@ object VecIndex {
     val live = liveVecs(spark, idx, cols)
     writeGen(live, idx, g)
     val n = liveVecs(spark, idx, Seq("id")).count()
+    // the base records the max folded streaming batch id, so the
+    // exactly-once appendBatch guard survives vacuum reclaiming the
+    // folded per-batch seg@<id> markers
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
-      idx.cbBuckets)
+      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms))
     idx
   }
 

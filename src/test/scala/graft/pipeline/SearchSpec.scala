@@ -112,6 +112,62 @@ class SearchSpec extends SparkSpec {
       == rows(Search.searchAny(spark, full, terms, 1)))
   }
 
+  test("appendBatch: exactly-once streaming text ingest — a replayed " +
+      "micro-batch folds nothing, the guard survives compact+vacuum, " +
+      "and BM25 constants stay exact") {
+    val path = "target/tmp/search-stream-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val sidx = Search.writeIndex(docs.limit(0), "doc_id", "text", path,
+      nBuckets = 8)
+    val shardA = docs.filter(col("doc_id") <= 3)
+    val shardB = docs.filter(col("doc_id") > 3)
+    Search.appendBatch(shardA, "doc_id", "text", sidx, batchId = 0L)
+    Search.appendBatch(shardB, "doc_id", "text", sidx, batchId = 1L)
+    // in-flight replay (restart between data write and checkpoint)
+    Search.appendBatch(shardB, "doc_id", "text", sidx, batchId = 1L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-stream-full"))
+    val full = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-stream-full", nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val terms = Seq("alpha", "beta", "gamma")
+    // BM25 is the sensitive probe: doubled postings OR doubled stats
+    // deltas (N, sum dlen) would shift every score
+    assert(rows(Search.searchBm25(spark, sidx, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)))
+    // maintenance reclaims the per-batch markers; the base watermark
+    // must keep the replay guard alive
+    Search.compact(spark, sidx)
+    Search.vacuum(spark, sidx)
+    Search.appendBatch(shardB, "doc_id", "text", sidx, batchId = 1L)
+    assert(rows(Search.searchBm25(spark, sidx, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)),
+      "post-maintenance replay must not double postings or stats")
+    assert(rows(Search.searchAll(spark, sidx, terms))
+      == rows(Search.searchAll(spark, full, terms)))
+    // end-to-end through a real streaming query: file source, one file
+    // per trigger, foreachBatch folding into a second index
+    val inDir = "target/tmp/search-stream-spec-in"
+    docs.repartition(3, col("doc_id")).write.mode("overwrite").parquet(inDir)
+    val path2 = "target/tmp/search-stream-spec2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path2))
+    val sidx2 = Search.writeIndex(docs.limit(0), "doc_id", "text", path2,
+      nBuckets = 8)
+    val q = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Search.appendBatch(b, "doc_id", "text", sidx2, id); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows(Search.searchBm25(spark, sidx2, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)),
+      "stream-built index must converge to the batch build")
+  }
+
   test("searchNear: slop-bounded ordered proximity, slop 0 == phrase") {
     val d = Seq(
       (1L, "a b c a b"),

@@ -242,6 +242,42 @@ class VecIndexSpec extends SparkSpec {
       rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
   }
 
+  test("appendBatch survives maintenance: a batch re-delivered AFTER " +
+      "compact+vacuum reclaimed its seg@<id> marker is still skipped " +
+      "(the base carries the fold watermark)") {
+    val path = "target/tmp/vecidx-stream-maint"
+    val all = corpus(0 until 50)
+    val idx = VecIndex.init(all.limit(0), 64, path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VecIndex.appendBatch(corpus(0 until 20), idx, batchId = 0L)
+    VecIndex.appendBatch(corpus(20 until 40), idx, batchId = 1L)
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    // the per-batch markers are gone — only the base (with watermark)
+    val ms = GenLog.metas(spark, f, path)
+    assert(!ms.exists(_.kind.startsWith("seg@")),
+      "vacuum must have reclaimed the folded per-batch markers")
+    assert(ms.exists(m => m.kind == GenLog.KindBase && m.fold == 1L),
+      s"base must carry the folded batch watermark; got $ms")
+    // crash-shaped replay: batch 1 re-delivered post-maintenance
+    VecIndex.appendBatch(corpus(20 until 40), idx, batchId = 1L)
+    assert(VecIndex.countVecs(spark, idx) == 40,
+      "post-maintenance replay must not double-append")
+    // a genuinely NEW batch still folds
+    VecIndex.appendBatch(corpus(40 until 50), idx, batchId = 2L)
+    assert(VecIndex.countVecs(spark, idx) == 50)
+    // a second maintenance round carries the watermark forward
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    VecIndex.appendBatch(corpus(40 until 50), idx, batchId = 2L)
+    assert(VecIndex.countVecs(spark, idx) == 50)
+    // serve results still match the inline path over the full corpus
+    val qs = all.filter(col("id") < 3)
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) ==
+      rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
+  }
+
   test("binary prefilter over the generational index column-prunes to " +
       "(id, bwords) — the float slice stays unread until rerank") {
     val path = "target/tmp/vecidx-prune"

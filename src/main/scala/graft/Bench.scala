@@ -92,10 +92,20 @@ object Bench {
     // truncates the per-query map mid-alphabet and blinds round-over-
     // round drift gates for every q_a*–q_n* family. Persist the FULL
     // map to a file too (cwd = repo root in driver runs), so each
-    // round's complete bench is a committable artifact.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () } // bench output must never fail the run
+    // round's complete bench is a committable artifact. PER-SF files:
+    // a round runs both sf0.01 and sf0.1, and a single shared file
+    // would keep only whichever ran last — the drift gate
+    // (tools/check.py --bench-drift) needs the sf0.1 map specifically.
+    // BENCH_FULL.json stays as the "last run" pointer for humans.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    Seq(s"BENCH_FULL_$sfBase.json", "BENCH_FULL.json").foreach { f =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), line + "\n")
+      catch { // bench output must never fail the run — but say why it vanished
+        case e: Throwable =>
+          System.err.println(s"WARN: could not persist $f: $e")
+      }
+    }
     Queries.clearCache()
     spark.stop()
   }

@@ -2490,6 +2490,86 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** IVF×binary composed serve ([[VecIndex.binaryTopKProbed]]): probe
+    * 2 of the 8 installed centroids per query, Hamming-prefilter ONLY
+    * the probed lists (pruned to their cb bucket dirs at planning
+    * time), exact-cosine rerank. Rides the SAME generational fixture
+    * as q_ann_ivf_gen — both bwords and cid live in the same rows.
+    * The oracle replays the full composition: cosine probe (rk<=2),
+    * rk=1 assignment, candidate restriction to probed clusters,
+    * xor+bit_count Hamming shortlist, rounded-cosine rerank — the
+    * probed-candidate restriction is the point (a full-corpus Hamming
+    * would surface different candidates and hash-mismatch). */
+  def annBinaryIvfGen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    annIvfGen(spark, dir).count() // ensure the shared fixture is built
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-ivfgen-$tagDir"
+    VecIndex.binaryTopKProbed(spark,
+        emb.filter(col("id") < 3), VecIndex.open(spark, path),
+        nProbe = 2, cands = 20, k = 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annBinaryIvfGenSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM u GROUP BY 1),
+      |cc AS (
+      |  SELECT e.vec_id AS id, c.vec_id AS cid,
+      |    ROUND(SUM(eu.v * cu.v) / (ne.nrm * nc.nrm), 5) AS ccos
+      |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+      |  JOIN u eu ON eu.vec_id = e.vec_id
+      |  JOIN u cu ON cu.vec_id = c.vec_id AND cu.i = eu.i
+      |  JOIN n ne ON ne.vec_id = e.vec_id
+      |  JOIN n nc ON nc.vec_id = c.vec_id
+      |  GROUP BY 1, 2, ne.nrm, nc.nrm),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+      |    FROM cc) WHERE rk = 1),
+      |probes AS (
+      |  SELECT id AS qid, cid FROM (
+      |    SELECT id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rk
+      |    FROM cc WHERE id < 3) WHERE rk <= 2),
+      |pw AS (
+      |  SELECT vec_id, i // 32 AS w,
+      |    SUM(CASE WHEN v > 0 THEN CAST(POWER(2, i % 32) AS BIGINT)
+      |        ELSE 0 END) AS word
+      |  FROM u GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT p.qid, a.id AS nid
+      |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.qid <> a.id),
+      |ham AS (
+      |  SELECT c.qid, c.nid, SUM(bit_count(xor(qw.word, nw.word))) AS ham
+      |  FROM cand c
+      |  JOIN pw qw ON qw.vec_id = c.qid
+      |  JOIN pw nw ON nw.vec_id = c.nid AND nw.w = qw.w
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) AS prk
+      |  FROM ham),
+      |d AS (
+      |  SELECT s.qid, s.nid, SUM(q.v * c.v) AS dot
+      |  FROM short s
+      |  JOIN u q ON q.vec_id = s.qid JOIN u c ON c.vec_id = s.nid
+      |    AND q.i = c.i
+      |  WHERE s.prk <= 20 GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 5) AS cos
+      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON nid = nc.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |      FROM sc)
+      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
   /** Binary ANN served from an index built by STREAMING ingest: the
     * embedding corpus staged as a 3-file directory, each file one
     * micro-batch, folded through [[VecIndex.appendBatch]] (exactly-once
@@ -3583,6 +3663,59 @@ object PipelineQueries {
        |ORDER BY "check", "column"""".stripMargin
   }
 
+  /** The APPROXIMATE-unique expectation ([[Expectations.uniqueApprox]],
+    * r11): uniqueness estimated through the in-house HLL aggregate —
+    * 2^b bytes of state per check and NO distinct-aggregate Expand,
+    * so a wide profiling suite on high-cardinality columns keeps the
+    * one-scan constant-state story. Fully oracle-checkable because
+    * [[graft.functions.HllSketchAgg]] is bit-compatible with the
+    * certified declarative HLL SQL (same md5 bucket/rank split, same
+    * estimate algebra — q_distinct_hll_native's contract): violations
+    * = GREATEST(count - estimate, 0) is the same integer on both
+    * engines. Mixed suite: two approx checks beside two exact ones,
+    * all in the single aggregation pass. */
+  def expectationsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    run(docs, Seq(
+      uniqueApprox("doc_id", allowed = 100000L, b = 8),
+      uniqueApprox("lang", allowed = 100000000L, b = 8),
+      complete("doc_id"),
+      inRange("n_chars", 1L, 1000000L)))
+      .orderBy("check", "column")
+  }
+
+  val expectationsApproxSql: String = {
+    def approxRow(column: String, allowed: Long): String =
+      s"""SELECT 'unique_approx' AS "check", '$column' AS "column",
+         |  CAST(viol AS BIGINT) AS violations,
+         |  CAST($allowed AS BIGINT) AS allowed, viol <= $allowed AS passed
+         |  FROM mv WHERE g = '$column'""".stripMargin
+    s"""WITH t0 AS (
+       |  SELECT 'doc_id' AS g, CAST(doc_id AS VARCHAR) AS v
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'lang', lang FROM documents WHERE lang IS NOT NULL),
+       |${Sketches.hllDistinctSql("t0", "g", "v")},
+       |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM t0 GROUP BY 1),
+       |mv AS (
+       |  SELECT c.g, GREATEST(c.c - h.est_distinct, 0) AS viol
+       |  FROM cnt c JOIN hll h USING (g)),
+       |ex AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_id_null,
+       |    CAST(SUM(CASE WHEN n_chars >= 1 AND n_chars <= 1000000
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS v_range
+       |  FROM documents)
+       |${approxRow("doc_id", 100000L)}
+       |UNION ALL ${approxRow("lang", 100000000L)}
+       |UNION ALL SELECT 'complete', 'doc_id', v_id_null,
+       |  CAST(0 AS BIGINT), v_id_null <= 0 FROM ex
+       |UNION ALL SELECT 'in_range', 'n_chars', v_range,
+       |  CAST(0 AS BIGINT), v_range <= 0 FROM ex
+       |ORDER BY "check", "column"""".stripMargin
+  }
+
   // ---------- registry (extended by the dedup/similarity batch) ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3628,6 +3761,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinaryRest _,
     "q_ann_binary_gen" -> annBinaryGen _,
     "q_ann_ivf_gen" -> annIvfGen _,
+    "q_ann_binary_ivf_gen" -> annBinaryIvfGen _,
     "q_ann_binary_stream" -> annBinaryStream _,
     "q_ann_pq_gen" -> annPqGen _,
     "q_ann_ivfpq_gen" -> annIvfPqGen _,
@@ -3672,7 +3806,8 @@ object PipelineQueries {
     "q_multimodal_image" -> multimodalImage _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_multimodal_video" -> multimodalVideo _,
-    "q_expectations" -> expectations _)
+    "q_expectations" -> expectations _,
+    "q_expectations_approx" -> expectationsApprox _)
 
   val oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
@@ -3717,6 +3852,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
+    "q_ann_binary_ivf_gen" -> annBinaryIvfGenSql,
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
     "q_ann_pq_gen" -> annPqSql,            // generational PQ codes, same live set
     "q_ann_ivfpq_gen" -> ivfPqSql,         // generational IVFADC, same live set
@@ -3761,5 +3897,6 @@ object PipelineQueries {
     "q_multimodal_image" -> multimodalImageSql,
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_video" -> multimodalVideoSql,
-    "q_expectations" -> expectationsSql)
+    "q_expectations" -> expectationsSql,
+    "q_expectations_approx" -> expectationsApproxSql)
 }

@@ -23,7 +23,7 @@ object Stress {
     val modes = Set("selector", "wide", "dedup", "ann", "annserve",
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
-      "mv", "skview", "curation", "vecidx")
+      "mv", "skview", "curation", "vecidx", "annprobed")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -53,6 +53,11 @@ object Stress {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(50000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 10000
       annServeStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "annprobed") {
+      val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
+      annProbedStress(spark, nv, nq, cpus.toInt); return
     }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
@@ -326,6 +331,57 @@ object Stress {
       s""""queries":$nQueries,"index_write_sec":$tIdx,""" +
       s""""serve_distributed_sec":$tServe,"rows":$n,""" +
       s""""pushdown_100q_sec":$tPush}""")
+    spark.stop()
+  }
+
+  /** IVF×binary PROBED serve stress: `annprobed <corpusVecs>
+    * [<nQueries>]` (default 200k × 2k). The claim under test is the
+    * r11 composition — [[graft.pipeline.VecIndex.binaryTopKProbed]]
+    * runs the Hamming prefilter over ONLY the probed lists, so serve
+    * cost tracks PROBED-LIST SIZE (≈ corpus × nProbe / C), not corpus
+    * size: quadrupling nProbe should roughly quadruple prefilter work,
+    * and the probed serve must beat the brute full-corpus Hamming scan
+    * ([[graft.pipeline.VecIndex.binaryTopK]]) on the same index by a
+    * margin that widens with corpus size. Results at equal probes are
+    * exact within the probed candidate set (oracle-certified by
+    * q_ann_binary_ivf_gen); this run measures the scale shape. */
+  private def annProbedStress(spark: SparkSession, nVecs: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.VecIndex
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val nCent = 64
+    val centroids = emb.filter(col("id") < nCent)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val path = "target/tmp/stress-vecidx-probed"
+    val t0 = System.nanoTime()
+    val idx = VecIndex.init(emb, dim, path,
+      centroids = Some(centroids), cbBuckets = 32)
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    val queries = emb.filter(col("id") < nQueries)
+    def timed(f: => Long): (Double, Long) = {
+      val t = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    val (tBrute, nBrute) = timed(
+      VecIndex.binaryTopK(spark, queries, idx, 40, 10).count())
+    val (tP4, nP4) = timed(VecIndex.binaryTopKProbed(spark, queries, idx,
+      nProbe = 4, cands = 40, k = 10).count())
+    val (tP16, nP16) = timed(VecIndex.binaryTopKProbed(spark, queries, idx,
+      nProbe = 16, cands = 40, k = 10).count())
+    require(nBrute == nQueries * 10L && nP4 == nQueries * 10L &&
+      nP16 == nQueries * 10L,
+      s"serve row counts diverged: brute=$nBrute p4=$nP4 p16=$nP16")
+    require(tP4 < tBrute,
+      f"probed serve ($tP4%.1fs) must beat the brute scan ($tBrute%.1fs)")
+    println(s"""{"metric":"stress_annprobed","vecs":$nVecs,""" +
+      s""""queries":$nQueries,"centroids":$nCent,"index_sec":$tIdx,""" +
+      s""""brute_sec":$tBrute,"probed4_sec":$tP4,"probed16_sec":$tP16}""")
     spark.stop()
   }
 

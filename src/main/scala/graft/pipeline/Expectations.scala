@@ -35,9 +35,35 @@ object Expectations {
       sum(when(col(c).isNull, 1L).otherwise(0L)), allowed)
 
   /** NON-NULL values must be unique (violations = non-null rows
-    * beyond the first per value; nulls are [[complete]]'s job). */
+    * beyond the first per value; nulls are [[complete]]'s job).
+    * EXACT: count_distinct adds a distinct-aggregate Expand to the
+    * suite's one scan — the right gate for key columns, but several
+    * of these on high-cardinality columns multiply the scanned rows
+    * by the number of distinct aggs and shuffle the full value space.
+    * For wide profiling suites use [[uniqueApprox]]. */
   def unique(c: String, allowed: Long = 0L): Check =
     Check("unique", c, count(col(c)) - count_distinct(col(c)), allowed)
+
+  /** [[unique]] with the distinct count estimated by the in-house HLL
+    * aggregate ([[graft.functions.HllSketchAgg]] — 2^b bytes of state
+    * per check, no Expand, no distinct-value shuffle): violations
+    * ~= count - estimate, clamped at 0 (the estimate can exceed the
+    * true count by its relative error ~1.04/sqrt(2^b), ~1.6 % at the
+    * default b = 12). `allowed` is REQUIRED, not defaulted: it must
+    * absorb that error band (a fully-unique column can still report
+    * up to ~error*count false violations), so an approximate check
+    * with a zero budget is a declaration mistake. Keep [[unique]] for
+    * gate-critical key columns; this keeps a 40-check profiling suite
+    * at one scan with constant state per check. */
+  def uniqueApprox(c: String, allowed: Long, b: Int = 12): Check = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val est = GraftSqlBridge.column(
+      graft.functions.HllSketchAgg(
+        GraftSqlBridge.expression(col(c).cast("string")), b)
+        .toAggregateExpression())
+    Check("unique_approx", c, greatest(count(col(c)) - est, lit(0L)),
+      allowed)
+  }
 
   /** Values must satisfy the predicate (nulls violate — declare
     * nullable columns with an explicit isNull escape). */

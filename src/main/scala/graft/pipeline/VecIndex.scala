@@ -395,6 +395,71 @@ object VecIndex {
   }
 
   /**
+   * IVF×binary composed serve — the standard IVF+rescoring production
+   * shape: probe `nProbe` clusters per query against the installed
+   * codebook (as [[ivfTopK]]), prune the generation scan to the probed
+   * `cb` bucket directories at PLANNING time, run the cheap
+   * xor+popcount Hamming prefilter over ONLY the probed lists'
+   * `(id, bwords)` slice, then the exact-cosine rerank over the
+   * shortlist (float read pruned to the same probed buckets). This
+   * replaces the one O(corpus × queries) serve shape [[binaryTopK]]
+   * carries — per-batch prefilter cost is O(probed lists × queries),
+   * sub-linear in corpus size once clusters outnumber probes, while
+   * scoring stays the packed binary arithmetic. Recall contract:
+   * candidates come from the probed clusters only (the IVF trade) —
+   * `nProbe` = codebook size degrades to exactly [[binaryTopK]]
+   * (spec-pinned).
+   */
+  def binaryTopKProbed(spark: SparkSession, queries: DataFrame, idx: Index,
+      nProbe: Int, cands: Int, k: Int): DataFrame = {
+    require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook — " +
+      "binaryTopKProbed needs one (use binaryTopK for flat indexes)")
+    require(cands >= k, s"cands $cands must be >= k $k")
+    val nWords = idx.dim / 32
+    val cb = Similarity.collectCodebook(
+      spark.read.parquet(s"${idx.path}/centroids"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
+      Similarity.norm(col("vec")).as("qn"),
+      Similarity.nearestCids(col("vec"), cb, nProbe).as("probes"))
+    val probes = q.select(col("qid"), col("qb"),
+      explode(col("probes")).as("cid"))
+    // bounded collect: distinct probed cids <= C (codebook contract);
+    // their cb values become literal partition filters on BOTH reads
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0))
+    val buckets = probedCids
+      .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
+      .distinct.map(_.toInt)
+    val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
+    val lists = liveVecs(spark, idx, Seq("id", "bwords", "cid"),
+      preFilter = Some(bucketFilter))
+    // per query, Hamming over ITS probed lists only (each vector holds
+    // one cid, so no (qid, nid) pair appears twice)
+    val pre = broadcast(probes).join(lists, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        Similarity.hammingDist(col("qb"), col("bwords"), nWords).as("ham"))
+    val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val shortlist = pre.withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= cands).select("qid", "nid")
+    val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"),
+        preFilter = Some(bucketFilter))
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+        col("nrm").as("cn"))
+    val rer = shortlist
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
+      .join(vecs, "nid")
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qvec"), col("nvec"))
+          / (col("qn") * col("cn")), 5).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "cos")
+  }
+
+  /**
    * [[Similarity.pqSearch]] served from the generational index: ADC
    * distance lookups over the LIVE generations' code columns — the
    * scan reads only (id, code0..code{m-1}); the float vectors are

@@ -278,6 +278,66 @@ class VecIndexSpec extends SparkSpec {
       rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
   }
 
+  test("binaryTopKProbed: nProbe = codebook size degrades to exactly " +
+      "binaryTopK; small nProbe restricts candidates to probed clusters") {
+    val path = "target/tmp/vecidx-probed"
+    val all = corpus(0 until 60)
+    val centroids = all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(all.filter(col("id") < 40), 64, path,
+      centroids = Some(centroids), cbBuckets = 4)
+    VecIndex.append(all.filter(col("id") >= 40), idx)
+    val qs = all.filter(col("id") < 3)
+    // probing EVERY cluster = the full corpus is candidate set — the
+    // composition must reproduce the brute binaryTopK bit-for-bit
+    assert(rows(VecIndex.binaryTopKProbed(spark, qs, idx,
+        nProbe = 8, cands = 12, k = 4)) ==
+      rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)),
+      "nProbe=C must equal the unprobed serve")
+    // with 1 probe, every neighbor must come from the query's top
+    // cluster (the IVF candidate-restriction contract)
+    val cb = spark.read.parquet(s"$path/centroids")
+    val assigned = all
+      .withColumn("cid", element_at(Similarity.nearestCids(col("vec"),
+        Similarity.collectCodebook(cb), 1), 1))
+      .select(col("id").as("nid"), col("cid"))
+    val topProbe = qs
+      .withColumn("pcid", element_at(Similarity.nearestCids(col("vec"),
+        Similarity.collectCodebook(cb), 1), 1))
+      .select(col("id").as("qid"), col("pcid"))
+    val res1 = VecIndex.binaryTopKProbed(spark, qs, idx,
+      nProbe = 1, cands = 12, k = 4)
+    val offCluster = res1.join(assigned, "nid").join(topProbe, "qid")
+      .filter(col("cid") =!= col("pcid")).count()
+    assert(offCluster == 0,
+      "nProbe=1 results must all live in the query's probed cluster")
+  }
+
+  test("binaryTopKProbed: prefilter scan prunes to the probed cb " +
+      "bucket dirs AND to the packed (id, bwords, cid) slice — floats " +
+      "unread until rerank, unprobed buckets unread entirely") {
+    val path = "target/tmp/vecidx-probed-prune"
+    val all = corpus(0 until 60)
+    val centroids = all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(all, 64, path,
+      centroids = Some(centroids), cbBuckets = 4)
+    val qs = all.filter(col("id") < 2)
+    val plan = VecIndex.binaryTopKProbed(spark, qs, idx,
+        nProbe = 1, cands = 8, k = 3)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("bwords") && !s.contains("vec:")),
+      s"prefilter scan not pruned to packed words:\n${scans.mkString("\n")}")
+    // the probed cb literals must land as partition filters on the scan
+    assert(plan.contains("cb#") || plan.contains("cb IN") ||
+      plan.contains("PartitionFilters: [isnotnull(cb"),
+      s"no cb partition filter in plan:\n$plan")
+    val pf = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(pf.nonEmpty && pf.forall(_.contains("cb")),
+      s"probed-bucket pruning missing:\n${pf.mkString("\n")}")
+  }
+
   test("binary prefilter over the generational index column-prunes to " +
       "(id, bwords) — the float slice stays unread until rerank") {
     val path = "target/tmp/vecidx-prune"

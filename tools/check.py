@@ -3,11 +3,65 @@
 parquet against DuckDB oracle SQL over the same testdata parquet tables.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+       python3 tools/check.py --bench-drift <baseline.json> <run.json> [<rerun.json>]
+
+The second form is the round-over-round bench drift gate: compare a
+run's full per-query map (BENCH_FULL_sf0.1.json) against the prior
+round's committed map. A query REGRESSES when run/baseline >= 1.3x AND
+the absolute slowdown is >= 0.15s (sub-noise-band rows churn 1.5x
+run-to-run; r10 adjudicated three such false flags by hand — the floor
+kills them). With only one run file the gate is ADVISORY (prints
+candidates, exit 0): a flag must reproduce in a second consecutive run
+to fail. Pass the rerun as the 4th arg -> only regressions present in
+BOTH runs exit 1.
 """
 import json, math, sys, glob, os
-import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+DRIFT_RATIO = 1.3     # run/baseline ratio that counts as a regression
+DRIFT_FLOOR = 0.15    # ...and at least this many absolute seconds slower
+
+
+def load_bench(path):
+    with open(path) as f:
+        return json.load(f).get("queries", {})
+
+
+def drift_candidates(base, run):
+    out = {}
+    for q, t in run.items():
+        b = base.get(q)
+        if b is None or b <= 0:
+            continue  # new query or degenerate baseline: nothing to gate
+        if t >= b * DRIFT_RATIO and t - b >= DRIFT_FLOOR:
+            out[q] = (b, t)
+    return out
+
+
+def bench_drift(argv):
+    base = load_bench(argv[0])
+    run = load_bench(argv[1])
+    cands = drift_candidates(base, run)
+    if len(argv) > 2:
+        confirm = drift_candidates(base, load_bench(argv[2]))
+        confirmed = {q: (cands[q], confirm[q]) for q in cands if q in confirm}
+        for q, ((b, t1), (_, t2)) in sorted(confirmed.items()):
+            print(f"DRIFT {q}: {b:.3f}s -> {t1:.3f}s / {t2:.3f}s "
+                  f"({t1 / b:.2f}x, reproduced)")
+        dropped = sorted(set(cands) - set(confirmed))
+        if dropped:
+            print(f"noise (flagged once, not reproduced): {dropped}")
+        print(f"bench-drift: {len(confirmed)} confirmed regression(s) "
+              f"over {len(run)} queries")
+        sys.exit(1 if confirmed else 0)
+    for q, (b, t) in sorted(cands.items()):
+        print(f"candidate {q}: {b:.3f}s -> {t:.3f}s ({t / b:.2f}x) — "
+              "rerun bench and pass the second map to confirm")
+    print(f"bench-drift (advisory): {len(cands)} candidate(s) "
+          f"over {len(run)} queries")
+    sys.exit(0)
+
+
+TABLES =["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
@@ -24,6 +78,9 @@ def frame_key(cols, rows):
     return [c for c in sorted(cols)], out
 
 def main():
+    if sys.argv[1] == "--bench-drift":
+        bench_drift(sys.argv[2:])
+    import duckdb
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()

@@ -2570,6 +2570,47 @@ object PipelineQueries {
       |      FROM sc)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** IVF serve AFTER a codebook retrain roll ([[VecIndex.retrain]],
+    * r11): the index is built exactly like q_ann_ivf_gen's fixture
+    * (init on half the corpus with centroids 0-7, append the rest),
+    * then ROLLED onto a new codebook (vectors 8-15) — staged sidecar
+    * install + compact-shaped re-encode whose atomic swap is the new
+    * base generation's marker. The oracle replays plain IVF with the
+    * NEW centroid set: post-roll serve must be indistinguishable from
+    * an index born with that codebook (probing, assignment, and the
+    * probed-bucket pruning all against version 1). */
+  def annIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centA = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centB = emb.filter(col("id") >= 8 && col("id") < 16)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-ivfretrain-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path,
+          centroids = Some(centA), cbBuckets = 4)
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        VecIndex.retrain(spark, idx, centroids = Some(centB))
+        ()
+      })
+    }
+    VecIndex.ivfTopK(spark,
+        emb.filter(col("id") < 50), VecIndex.open(spark, path), 2, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annIvfRetrainSql: String =
+    s"""${ivfScoredCteFor("c.vec_id >= 8 AND c.vec_id < 16")},
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM scored)
+       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
   /** Binary ANN served from an index built by STREAMING ingest: the
     * embedding corpus staged as a 3-file directory, each file one
     * micro-batch, folded through [[VecIndex.appendBatch]] (exactly-once
@@ -2725,8 +2766,10 @@ object PipelineQueries {
     * all-pairs centroid cosines, rk=1 assignment, rk<=2 probes, and
     * the probed-cluster candidate scoring (same shape q_ann_ivf has
     * certified since round 3). */
-  private val ivfScoredCte: String =
-    """WITH u AS (
+  /** The IVF replay CTE chain, parameterized on the centroid-set
+    * predicate so the retrain oracle can swap codebooks. */
+  private def ivfScoredCteFor(centPred: String): String =
+    s"""WITH u AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
@@ -2734,7 +2777,7 @@ object PipelineQueries {
       |cc AS (
       |  SELECT e.vec_id AS id, c.vec_id AS cid,
       |    ROUND(SUM(eu.v * cu.v) / (ne.nrm * nc.nrm), 5) AS ccos
-      |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+      |  FROM embeddings e JOIN embeddings c ON $centPred
       |  JOIN u eu ON eu.vec_id = e.vec_id
       |  JOIN u cu ON cu.vec_id = c.vec_id AND cu.i = eu.i
       |  JOIN n ne ON ne.vec_id = e.vec_id
@@ -2762,6 +2805,8 @@ object PipelineQueries {
       |  JOIN n nq ON nq.vec_id = cand.qid
       |  JOIN n nn ON nn.vec_id = cand.nid
       |  GROUP BY 1, 2, nq.nrm, nn.nrm)""".stripMargin
+
+  private val ivfScoredCte: String = ivfScoredCteFor("c.vec_id < 8")
 
   val annIvfSql: String =
     s"""$ivfScoredCte,
@@ -3762,6 +3807,7 @@ object PipelineQueries {
     "q_ann_binary_gen" -> annBinaryGen _,
     "q_ann_ivf_gen" -> annIvfGen _,
     "q_ann_binary_ivf_gen" -> annBinaryIvfGen _,
+    "q_ann_ivf_retrain" -> annIvfRetrain _,
     "q_ann_binary_stream" -> annBinaryStream _,
     "q_ann_pq_gen" -> annPqGen _,
     "q_ann_ivfpq_gen" -> annIvfPqGen _,
@@ -3853,6 +3899,7 @@ object PipelineQueries {
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
     "q_ann_binary_ivf_gen" -> annBinaryIvfGenSql,
+    "q_ann_ivf_retrain" -> annIvfRetrainSql,
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set
     "q_ann_pq_gen" -> annPqSql,            // generational PQ codes, same live set
     "q_ann_ivfpq_gen" -> ivfPqSql,         // generational IVFADC, same live set

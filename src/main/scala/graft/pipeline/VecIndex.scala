@@ -45,10 +45,12 @@ import graft.io.GenLog
  * Search term-bucket trick). The probed-cid collect that builds the
  * literal bucket list is bounded by the codebook contract
  * (<= C <= ~1024 distinct cids), the same bound [[Similarity.collectCodebook]]
- * already rides. The codebook itself is FIXED at init (`centroids/`
- * sidecar): appends assign against it, so probing stays consistent
- * across folds — retrain = fresh init (the IVF re-cluster is a new
- * index by definition).
+ * already rides. Codebooks are VERSIONED (r11): every generation's
+ * marker records the codebook version (`cbv`) its rows encode under,
+ * appends assign against the current version, and [[retrain]] rolls
+ * the corpus onto a new codebook through a staged install + re-encode
+ * whose atomic swap is the new base generation's marker — embedding
+ * drift no longer forces a fresh init with an unavailability window.
  */
 object VecIndex {
 
@@ -61,17 +63,48 @@ object VecIndex {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val DataDirs = Seq("vecs", "tombs")
+  private val SidecarNames = Seq("centroids", "pq", "coarse")
 
-  /** Load the optional PQ codebook sidecar: (m codebooks of k×subDim),
-    * None when PQ wasn't installed at [[init]]. Driver-side — m·k rows
-    * by the PQ contract (e.g. 4×256), same bound as
+  /** Versioned codebook sidecar path. Version 0 is the [[init]]
+    * codebook at the unsuffixed legacy path (`centroids/`, `pq/`,
+    * `coarse/`); [[retrain]] installs `<name>_v<V>` siblings. */
+  private def sidecar(path: String, name: String, v: Int): String =
+    if (v == 0) s"$path/$name" else s"$path/${name}_v$v"
+
+  /** The CURRENT codebook version: the max `cbv` any committed
+    * generation encodes under (0 before any retrain — markers written
+    * pre-r11 carry no cbv field and read as 0). Derived from markers,
+    * not sidecar files, so installing a new codebook's sidecars is
+    * inert until the re-encoded base generation's marker lands. */
+  def codebookVersion(spark: SparkSession, idx: Index): Int =
+    GenLog.metas(spark, fsOf(spark, idx.path), idx.path)
+      .map(_.cbv).maxOption.getOrElse(0)
+
+  /** Live non-tombstone generations grouped by the codebook version
+    * their rows were encoded under, ascending by version. Normally ONE
+    * group; two only mid-roll, when an append that claimed its slot
+    * during a [[retrain]] published after the new base (its rows are
+    * v-old encodings above the v-new base). Serve paths probe each
+    * group against ITS codebook — "generations read the codebook they
+    * were encoded under". */
+  private def cbvGroups(spark: SparkSession,
+      idx: Index): Seq[(Int, Seq[Int])] =
+    GenLog.liveMetas(spark, fsOf(spark, idx.path), idx.path)
+      .filter(_.kind != GenLog.KindDel)
+      .groupBy(_.cbv).toSeq.sortBy(_._1)
+      .map { case (v, ms) => (v, ms.map(_.gen)) }
+
+  /** Load the optional PQ codebook sidecar of version `v`: (m
+    * codebooks of k×subDim), None when PQ wasn't installed. Driver-
+    * side — m·k rows by the PQ contract (e.g. 4×256), same bound as
     * [[Similarity.collectCodebook]]. */
-  private def pqBooks(spark: SparkSession,
-      idx: Index): Option[(Seq[Array[Array[Double]]], Int)] = {
+  private def pqBooks(spark: SparkSession, idx: Index,
+      v: Int): Option[(Seq[Array[Array[Double]]], Int)] = {
     val f = fsOf(spark, idx.path)
-    if (!f.exists(new Path(s"${idx.path}/pq"))) None
+    val dir = sidecar(idx.path, "pq", v)
+    if (!f.exists(new Path(dir))) None
     else {
-      val rows = spark.read.parquet(s"${idx.path}/pq")
+      val rows = spark.read.parquet(dir)
         .select("s", "cid", "comp").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       val m = rows.map(_._1).max + 1
@@ -82,14 +115,16 @@ object VecIndex {
     }
   }
 
-  /** Load the optional IVFADC coarse codebook sidecar: euclidean
-    * coarse centroids indexed by ccid (None when the index is not
-    * residual-PQ flavored). Driver-side, C·dim doubles by contract. */
-  private def coarseBook(spark: SparkSession,
-      idx: Index): Option[Seq[Array[Double]]] = {
+  /** Load the optional IVFADC coarse codebook sidecar of version `v`:
+    * euclidean coarse centroids indexed by ccid (None when the index
+    * is not residual-PQ flavored). Driver-side, C·dim doubles by
+    * contract. */
+  private def coarseBook(spark: SparkSession, idx: Index,
+      v: Int): Option[Seq[Array[Double]]] = {
     val f = fsOf(spark, idx.path)
-    if (!f.exists(new Path(s"${idx.path}/coarse"))) None
-    else Some(spark.read.parquet(s"${idx.path}/coarse")
+    val dir = sidecar(idx.path, "coarse", v)
+    if (!f.exists(new Path(dir))) None
+    else Some(spark.read.parquet(dir)
       .select("ccid", "comp").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2).toSeq)
@@ -102,15 +137,15 @@ object VecIndex {
     * IVF codebook, raw-PQ `code*` against the installed subspace
     * codebooks, or (IVFADC flavor) euclidean `ccid` + RESIDUAL codes
     * against the coarse + residual codebooks. */
-  private def encoded(df: DataFrame, idx: Index): DataFrame = {
+  private def encoded(df: DataFrame, idx: Index, v: Int): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("nrm"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords"))
-    coarseBook(spark, idx) match {
+    coarseBook(spark, idx, v) match {
       case Some(coarse) =>
         // IVFADC: euclidean coarse assign, then PQ on the residual
-        val (books, subDim) = pqBooks(spark, idx).getOrElse(
+        val (books, subDim) = pqBooks(spark, idx, v).getOrElse(
           sys.error(s"index at ${idx.path} has a coarse codebook " +
             "but no PQ codebooks"))
         val cn2 = coarse.map(v => v.map(x => x * x).sum).toArray
@@ -135,11 +170,11 @@ object VecIndex {
           if (!idx.hasIvf) base
           else {
             val cb = Similarity.collectCodebook(
-              spark.read.parquet(s"${idx.path}/centroids"))
+              spark.read.parquet(sidecar(idx.path, "centroids", v)))
             base.withColumn("cid",
               element_at(Similarity.nearestCids(col("vec"), cb, 1), 1))
           }
-        pqBooks(spark, idx) match {
+        pqBooks(spark, idx, v) match {
           case None => withIvf
           case Some((books, subDim)) =>
             val extra = Seq("vec", "nrm", "bwords") ++
@@ -179,14 +214,20 @@ object VecIndex {
     }
 
   /** Data write + publish for an already-claimed slot (split out for
-    * the concurrent-lifecycle spec, like [[Search.writeSegmentAt]]). */
+    * the concurrent-lifecycle spec, like [[Search.writeSegmentAt]]).
+    * Encodes under — and stamps the marker with — the CURRENT codebook
+    * version unless `cbvOverride` pins one: the spec uses the override
+    * to reproduce the append-raced-a-retrain interleave (claimed under
+    * v, published after the v+1 base) deterministically. */
   private[pipeline] def writeSegmentAt(df: DataFrame, idx: Index,
-      kind: String, g: Int): Int = {
+      kind: String, g: Int, cbvOverride: Option[Int] = None): Int = {
     val spark = df.sparkSession
     val f = fsOf(spark, idx.path)
-    writeGen(encoded(df, idx), idx, g)
+    val v = cbvOverride.getOrElse(codebookVersion(spark, idx))
+    writeGen(encoded(df, idx, v), idx, g)
     val n = df.count()
-    GenLog.publish(spark, f, idx.path, g, kind, n, idx.dim, idx.cbBuckets)
+    GenLog.publish(spark, f, idx.path, g, kind, n, idx.dim, idx.cbBuckets,
+      cbv = v)
     g
   }
 
@@ -197,21 +238,21 @@ object VecIndex {
     * serve path (`cbBuckets` partitions each generation's lists for
     * planning-time probe pruning), and/or `pq` subspace codebooks to
     * ride ADC codes next to every vector (the compressed serve path —
-    * [[pqTopK]] never reads the floats). Both codebooks are FIXED at
-    * init; appends encode against them, retrain = fresh init. */
-  def init(corpus: DataFrame, dim: Int, path: String,
-      centroids: Option[DataFrame] = None, cbBuckets: Int = 16,
-      pq: Option[Seq[Array[Array[Double]]]] = None,
-      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])] =
-        None): Index = {
-    val spark = corpus.sparkSession
+    * [[pqTopK]] never reads the floats). Both codebooks become
+    * VERSION 0; appends encode against the current version, and
+    * [[retrain]] rolls the corpus onto a successor without downtime. */
+  /** Write one codebook set's sidecar files at version `v`'s paths.
+    * Shared by [[init]] (v = 0) and [[installCodebook]] (v >= 1). */
+  private def writeSidecars(spark: SparkSession, path: String, dim: Int,
+      v: Int, centroids: Option[DataFrame],
+      pq: Option[Seq[Array[Array[Double]]]],
+      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])])
+      : Unit = {
     import spark.implicits._
     require(ivfPq.isEmpty || (centroids.isEmpty && pq.isEmpty),
       "ivfPq is its own flavor — do not combine with centroids/pq")
-    val f = fsOf(spark, path)
-    f.delete(new Path(path), true)
     centroids.foreach(_.write.mode("overwrite")
-      .parquet(s"$path/centroids"))
+      .parquet(sidecar(path, "centroids", v)))
     def writePq(books: Seq[Array[Array[Double]]]): Unit = {
       require(books.nonEmpty && books.forall(_.nonEmpty),
         "empty PQ codebooks")
@@ -221,7 +262,8 @@ object VecIndex {
       books.zipWithIndex.flatMap { case (book, s) =>
         book.zipWithIndex.map { case (cent, cid) => (s, cid, cent.toSeq) }
       }.toDF("s", "cid", "comp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(sidecar(path, "pq", v))
     }
     pq.foreach(writePq)
     ivfPq.foreach { case (coarse, books) =>
@@ -230,8 +272,20 @@ object VecIndex {
       writePq(books)
       coarse.zipWithIndex.map { case (c, ccid) => (ccid, c.toSeq) }
         .toDF("ccid", "comp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(sidecar(path, "coarse", v))
     }
+  }
+
+  def init(corpus: DataFrame, dim: Int, path: String,
+      centroids: Option[DataFrame] = None, cbBuckets: Int = 16,
+      pq: Option[Seq[Array[Array[Double]]]] = None,
+      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])] =
+        None): Index = {
+    val spark = corpus.sparkSession
+    val f = fsOf(spark, path)
+    f.delete(new Path(path), true)
+    writeSidecars(spark, path, dim, 0, centroids, pq, ivfPq)
     val idx = Index(path, dim,
       if (centroids.isDefined || ivfPq.isDefined) cbBuckets else 0)
     commitSegment(corpus, idx, GenLog.KindBase)
@@ -271,6 +325,80 @@ object VecIndex {
     else { commitSegment(df, idx, s"${GenLog.KindSeg}@$batchId"); idx }
   }
 
+  /** STAGE 1 of the codebook retrain roll: write the next version's
+    * sidecar files (`centroids_v<V>` …) and return V. INERT by
+    * construction — the current version is derived from committed
+    * MARKERS ([[codebookVersion]]), not sidecar presence, so appends
+    * and serves keep using the old codebook until [[reencode]]
+    * publishes a base generation stamped with V. A crash here leaves
+    * orphan sidecar files a re-run overwrites; nothing ever reads
+    * them. Flavor is fixed at [[init]]: pass the same combination
+    * (centroids / pq / ivfPq) the index was built with. */
+  def installCodebook(spark: SparkSession, idx: Index,
+      centroids: Option[DataFrame] = None,
+      pq: Option[Seq[Array[Array[Double]]]] = None,
+      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])] =
+        None): Int = {
+    val vOld = codebookVersion(spark, idx)
+    val f = fsOf(spark, idx.path)
+    def installed(name: String) =
+      f.exists(new Path(sidecar(idx.path, name, vOld)))
+    require(centroids.isDefined == installed("centroids") &&
+      (pq.isDefined || ivfPq.isDefined) == installed("pq") &&
+      ivfPq.isDefined == installed("coarse"),
+      s"retrain must keep the index flavor fixed: version $vOld has " +
+        s"centroids=${installed("centroids")} pq=${installed("pq")} " +
+        s"coarse=${installed("coarse")}")
+    val v = vOld + 1
+    writeSidecars(spark, idx.path, idx.dim, v, centroids, pq, ivfPq)
+    v
+  }
+
+  /** STAGE 2 of the roll: compact-shaped background rewrite — re-
+    * encode every live vector FROM ITS FLOATS against codebook
+    * version `v` and publish the result as one new base generation
+    * whose marker carries `cbv = v`. The marker IS the atomic swap:
+    * readers see the complete old read set (old codebook) until the
+    * instant it lands, the complete new one after — no unavailability
+    * window, no torn state (a crash pre-publish leaves an invisible
+    * orphan for vacuum). In-flight appends below the claimed slot
+    * fail the rewrite loudly (the structural-commit guard); an append
+    * that claims DURING the rewrite and publishes after the base
+    * lands above it still encoded under the old version — its marker
+    * says so, and every serve path probes it with the codebook it was
+    * encoded under ([[cbvGroups]]) until the next compact folds it. */
+  def reencode(spark: SparkSession, idx: Index, v: Int): Index = {
+    val f = fsOf(spark, idx.path)
+    require(f.exists(new Path(sidecar(idx.path, "centroids", v))) ||
+      f.exists(new Path(sidecar(idx.path, "pq", v))),
+      s"no version-$v codebook installed at ${idx.path} — run " +
+        "installCodebook first")
+    val g = GenLog.claimGen(spark, f, idx.path)
+    GenLog.requireNoInflightBelow(spark, f, idx.path, g, "reencode")
+    val ms = GenLog.liveMetas(spark, f, idx.path)
+    val live = liveVecs(spark, idx, Seq("id", "vec"))
+    writeGen(encoded(live, idx, v), idx, g)
+    val n = liveVecs(spark, idx, Seq("id")).count()
+    GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
+      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms), cbv = v)
+    idx
+  }
+
+  /** The codebook retrain lifecycle in one call: install the new
+    * codebook as version V = current + 1, then roll the corpus onto
+    * it ([[installCodebook]] + [[reencode]] — split them to run the
+    * rewrite as a background job some time after staging the
+    * sidecars). Post-roll serves are indistinguishable from a fresh
+    * [[init]] with the new codebook (spec-pinned); the old version's
+    * sidecars stay until [[vacuum]] observes no live generation
+    * references them. */
+  def retrain(spark: SparkSession, idx: Index,
+      centroids: Option[DataFrame] = None,
+      pq: Option[Seq[Array[Array[Double]]]] = None,
+      ivfPq: Option[(Seq[Array[Double]], Seq[Array[Array[Double]]])] =
+        None): Index =
+    reencode(spark, idx, installCodebook(spark, idx, centroids, pq, ivfPq))
+
   /** Tombstone the given ids (one-column frame). Gen-aware kill:
     * a tombstone in generation G hides rows from generations before G
     * only, so delete + [[append]] re-embeds a document. */
@@ -296,12 +424,23 @@ object VecIndex {
     * folded generations. */
   def compact(spark: SparkSession, idx: Index): Index = {
     val f = fsOf(spark, idx.path)
+    // a compact is a pure rewrite — it carries rows (and their marker
+    // cbv) as-is, so mixed codebook versions in the read set must be
+    // unified by reencode (which re-derives the encodings), not here.
+    // Checked BEFORE claiming a slot so the refusal leaves no stale
+    // claim behind for the in-flight guard to trip on.
+    val preCbvs = GenLog.liveMetas(spark, f, idx.path)
+      .filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
+    require(preCbvs.size == 1, s"compact at ${idx.path}: live " +
+      s"generations span codebook versions ${preCbvs.sorted.mkString(",")} " +
+      "— run reencode (retrain stage 2) to unify them first")
     val g = GenLog.claimGen(spark, f, idx.path)
     GenLog.requireNoInflightBelow(spark, f, idx.path, g, "compact")
     // carry every data column of the current layout (cluster ids, PQ
     // codes — whatever the flavor wrote), dropping only the cb
     // partition column writeGen re-derives
     val ms = GenLog.liveMetas(spark, f, idx.path)
+    val segCbvs = ms.filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
     val cols = spark.read.option("basePath", s"${idx.path}/vecs")
       .parquet(ms.filter(_.kind != GenLog.KindDel)
         .map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
@@ -313,14 +452,28 @@ object VecIndex {
     // exactly-once appendBatch guard survives vacuum reclaiming the
     // folded per-batch seg@<id> markers
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
-      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms))
+      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms), cbv = segCbvs.head)
     idx
   }
 
   /** Reclaim generations below the newest base + stale claims/orphans
-    * (single maintainer — the [[GenLog.vacuum]] contract). */
-  def vacuum(spark: SparkSession, idx: Index): Seq[Int] =
-    GenLog.vacuum(spark, fsOf(spark, idx.path), idx.path, DataDirs)
+    * (single maintainer — the [[GenLog.vacuum]] contract), plus
+    * codebook sidecar versions no remaining generation encodes under
+    * (a completed retrain roll frees the old codebook here, not at
+    * swap time — a reader mid-plan on the old read set must still
+    * find its books). */
+  def vacuum(spark: SparkSession, idx: Index): Seq[Int] = {
+    val f = fsOf(spark, idx.path)
+    val got = GenLog.vacuum(spark, f, idx.path, DataDirs)
+    val minLive = GenLog.metas(spark, f, idx.path)
+      .filter(_.kind != GenLog.KindDel).map(_.cbv)
+      .minOption.getOrElse(0)
+    (0 until minLive).foreach { v =>
+      SidecarNames.foreach(n =>
+        f.delete(new Path(sidecar(idx.path, n, v)), true))
+    }
+    got
+  }
 
   /** Exact live vector count — integer sum of marker deltas, no scan. */
   def countVecs(spark: SparkSession, idx: Index): Long =
@@ -330,13 +483,18 @@ object VecIndex {
 
   /** The committed, tombstone-resolved rows, pruned to `cols` (plus
     * the partition columns the read carries). Extra pushable `filter`
-    * applies BELOW the anti-join, on the generation scan itself. */
+    * applies BELOW the anti-join, on the generation scan itself.
+    * `gens` restricts the SEGMENT read to those generations (one
+    * codebook-version group of [[cbvGroups]]) — tombstones still
+    * apply globally, so a subset read stays tombstone-exact. */
   private def liveVecs(spark: SparkSession, idx: Index,
       cols: Seq[String],
-      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      preFilter: Option[org.apache.spark.sql.Column] = None,
+      gens: Option[Seq[Int]] = None): DataFrame = {
     val f = fsOf(spark, idx.path)
     val ms = GenLog.liveMetas(spark, f, idx.path)
     val segs = ms.filter(_.kind != GenLog.KindDel)
+      .filter(m => gens.forall(_.contains(m.gen)))
     val raw = spark.read.option("basePath", s"${idx.path}/vecs")
       .parquet(segs.map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
     val filtered = preFilter.map(raw.filter).getOrElse(raw)
@@ -416,37 +574,46 @@ object VecIndex {
       "binaryTopKProbed needs one (use binaryTopK for flat indexes)")
     require(cands >= k, s"cands $cands must be >= k $k")
     val nWords = idx.dim / 32
-    val cb = Similarity.collectCodebook(
-      spark.read.parquet(s"${idx.path}/centroids"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
-      Similarity.norm(col("vec")).as("qn"),
-      Similarity.nearestCids(col("vec"), cb, nProbe).as("probes"))
-    val probes = q.select(col("qid"), col("qb"),
-      explode(col("probes")).as("cid"))
-    // bounded collect: distinct probed cids <= C (codebook contract);
-    // their cb values become literal partition filters on BOTH reads
-    val probedCids = probes.select("cid").distinct()
-      .collect().map(_.getLong(0))
-    val buckets = probedCids
-      .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
-      .distinct.map(_.toInt)
-    val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
-    val lists = liveVecs(spark, idx, Seq("id", "bwords", "cid"),
-      preFilter = Some(bucketFilter))
-    // per query, Hamming over ITS probed lists only (each vector holds
-    // one cid, so no (qid, nid) pair appears twice)
-    val pre = broadcast(probes).join(lists, "cid")
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"),
-        Similarity.hammingDist(col("qb"), col("bwords"), nWords).as("ham"))
+      Similarity.norm(col("vec")).as("qn"))
+    // one probe pass PER codebook-version group (one group outside a
+    // retrain roll): each generation is probed with the codebook its
+    // cids were assigned under, never a foreign one
+    val parts = cbvGroups(spark, idx).map { case (v, gens) =>
+      val cb = Similarity.collectCodebook(
+        spark.read.parquet(sidecar(idx.path, "centroids", v)))
+      val probes = q.select(col("qid"), col("qb"),
+        explode(Similarity.nearestCids(col("qvec"), cb, nProbe)).as("cid"))
+      // bounded collect: distinct probed cids <= C (codebook contract);
+      // their cb values become literal partition filters on BOTH reads
+      val probedCids = probes.select("cid").distinct()
+        .collect().map(_.getLong(0))
+      val buckets = probedCids
+        .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
+        .distinct.map(_.toInt)
+      val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
+      val lists = liveVecs(spark, idx, Seq("id", "bwords", "cid"),
+        preFilter = Some(bucketFilter), gens = Some(gens))
+      // per query, Hamming over ITS probed lists only (each vector
+      // holds one cid in ONE generation, so no (qid, nid) pair
+      // appears twice, within or across groups)
+      val pre = broadcast(probes).join(lists, "cid")
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"),
+          Similarity.hammingDist(col("qb"), col("bwords"), nWords)
+            .as("ham"))
+      val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"),
+          preFilter = Some(bucketFilter), gens = Some(gens))
+        .select(col("id").as("nid"), col("vec").as("nvec"),
+          col("nrm").as("cn"))
+      (pre, vecs)
+    }
+    val pre = parts.map(_._1).reduce(_.unionByName(_))
     val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
     val shortlist = pre.withColumn("rk", row_number().over(wPre))
       .filter(col("rk") <= cands).select("qid", "nid")
-    val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"),
-        preFilter = Some(bucketFilter))
-      .select(col("id").as("nid"), col("vec").as("nvec"),
-        col("nrm").as("cn"))
+    val vecs = parts.map(_._2).reduce(_.unionByName(_))
     val rer = shortlist
       .join(broadcast(q.select(col("qid"), col("qvec"), col("qn"))), "qid")
       .join(vecs, "nid")
@@ -471,11 +638,23 @@ object VecIndex {
    */
   def pqTopK(spark: SparkSession,
       queries: Seq[(Long, Seq[Double])], idx: Index, k: Int): DataFrame = {
-    val (books, subDim) = pqBooks(spark, idx)
-      .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
-    val cols = Seq("id") ++ books.indices.map(s => s"code$s")
-    Similarity.pqSearch(liveVecs(spark, idx, cols), books, queries,
-      subDim, k)
+    val groups = cbvGroups(spark, idx)
+    val parts = groups.map { case (v, gens) =>
+      val (books, subDim) = pqBooks(spark, idx, v)
+        .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
+      val cols = Seq("id") ++ books.indices.map(s => s"code$s")
+      Similarity.pqSearch(liveVecs(spark, idx, cols, gens = Some(gens)),
+        books, queries, subDim, k)
+    }
+    if (parts.size == 1) parts.head
+    else {
+      // mid-roll: each group's ADC top-k under ITS books, then one
+      // global per-query re-rank on the (comparably-rounded) distances
+      val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
+      parts.reduce(_.unionByName(_)).drop("rk")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+    }
   }
 
   /**
@@ -492,10 +671,25 @@ object VecIndex {
   def ivfPqTopK(spark: SparkSession,
       queries: Seq[(Long, Array[Double])], idx: Index, nProbe: Int,
       k: Int): DataFrame = {
-    import spark.implicits._
-    val coarse = coarseBook(spark, idx)
+    val parts = cbvGroups(spark, idx).map { case (v, gens) =>
+      ivfPqTopKGroup(spark, queries, idx, nProbe, k, v, gens)
+    }
+    if (parts.size == 1) parts.head
+    else {
+      val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
+      parts.reduce(_.unionByName(_)).drop("rk")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+    }
+  }
+
+  /** One codebook-version group's IVFADC serve (see [[ivfPqTopK]]). */
+  private def ivfPqTopKGroup(spark: SparkSession,
+      queries: Seq[(Long, Array[Double])], idx: Index, nProbe: Int,
+      k: Int, v: Int, gens: Seq[Int]): DataFrame = {
+    val coarse = coarseBook(spark, idx, v)
       .getOrElse(sys.error(s"index at ${idx.path} has no coarse codebook"))
-    val (books, subDim) = pqBooks(spark, idx)
+    val (books, subDim) = pqBooks(spark, idx, v)
       .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
     val m = books.length
     val cn2 = coarse.map(v => v.map(x => x * x).sum)
@@ -543,7 +737,8 @@ object VecIndex {
       .distinct
     val codes = liveVecs(spark, idx,
       Seq("id", "ccid") ++ (0 until m).map(s => s"code$s"),
-      preFilter = Some(col("cb").isin(probedBuckets.map(b => b: Any): _*)))
+      preFilter = Some(col("cb").isin(probedBuckets.map(b => b: Any): _*)),
+      gens = Some(gens))
     Similarity.ivfPqSearch(codes, probes, m, k)
   }
 
@@ -559,27 +754,33 @@ object VecIndex {
   def ivfTopK(spark: SparkSession, queries: DataFrame, idx: Index,
       nProbe: Int, k: Int): DataFrame = {
     require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook")
-    val cb = Similarity.collectCodebook(
-      spark.read.parquet(s"${idx.path}/centroids"))
-    val probes = queries
-      .select(col("id").as("qid"), col("vec").as("qvec"),
-        Similarity.norm(col("vec")).as("qnrm"),
-        explode(Similarity.nearestCids(col("vec"), cb, nProbe)).as("cid"))
-    // bounded collect: distinct probed cids <= C (codebook contract);
-    // their cb values become literal partition filters
-    val probedCids = probes.select("cid").distinct()
-      .collect().map(_.getLong(0))
-    val buckets = probedCids
-      .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
-      .distinct.map(_.toInt)
-    val lists = liveVecs(spark, idx, Seq("id", "vec", "nrm", "cid"),
-      preFilter = Some(col("cb").isin(buckets.map(b => b: Any): _*)))
+    // one probe pass per codebook-version group (see binaryTopKProbed)
+    val scored = cbvGroups(spark, idx).map { case (v, gens) =>
+      val cb = Similarity.collectCodebook(
+        spark.read.parquet(sidecar(idx.path, "centroids", v)))
+      val probes = queries
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          Similarity.norm(col("vec")).as("qnrm"),
+          explode(Similarity.nearestCids(col("vec"), cb, nProbe))
+            .as("cid"))
+      // bounded collect: distinct probed cids <= C (codebook contract);
+      // their cb values become literal partition filters
+      val probedCids = probes.select("cid").distinct()
+        .collect().map(_.getLong(0))
+      val buckets = probedCids
+        .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
+        .distinct.map(_.toInt)
+      val lists = liveVecs(spark, idx, Seq("id", "vec", "nrm", "cid"),
+        preFilter = Some(col("cb").isin(buckets.map(b => b: Any): _*)),
+        gens = Some(gens))
+      probes.join(lists, "cid")
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"),
+          round(Similarity.dot(col("qvec"), col("vec"))
+            / (col("qnrm") * col("nrm")), 5).as("cos"))
+    }.reduce(_.unionByName(_))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
-    probes.join(lists, "cid")
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"),
-        round(Similarity.dot(col("qvec"), col("vec"))
-          / (col("qnrm") * col("nrm")), 5).as("cos"))
+    scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("qid", "nid", "cos")
   }

@@ -338,6 +338,128 @@ class VecIndexSpec extends SparkSpec {
       s"probed-bucket pruning missing:\n${pf.mkString("\n")}")
   }
 
+  test("codebook retrain roll: install is inert, the re-encoded base " +
+      "is the atomic swap, post-roll == fresh init with the new " +
+      "codebook, vacuum reclaims the old version's sidecars") {
+    val path = "target/tmp/vecidx-retrain"
+    val all = corpus(0 until 60)
+    val centA = all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centB = all.filter(col("id") >= 8 && col("id") < 16)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(corpus(0 until 40), 64, path,
+      centroids = Some(centA), cbBuckets = 4)
+    VecIndex.append(corpus(40 until 60), idx)
+    val qs = all.filter(col("id") < 3)
+    def serves() = (rows(VecIndex.ivfTopK(spark, qs, idx, 2, 4)),
+      rows(VecIndex.binaryTopKProbed(spark, qs, idx, 2, 12, 4)),
+      rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)))
+    val pre = serves()
+    assert(VecIndex.codebookVersion(spark, idx) == 0)
+    // STAGE 1 — new codebook installed, nothing committed references
+    // it: every serve (and the current version) is bit-identical
+    val v = VecIndex.installCodebook(spark, idx, centroids = Some(centB))
+    assert(v == 1 && VecIndex.codebookVersion(spark, idx) == 0)
+    assert(serves() == pre, "installCodebook must be inert mid-roll")
+    // STAGE 2 — the re-encoded base lands: post-roll probing uses
+    // centB and must equal a FRESH init with centB over the live set
+    VecIndex.reencode(spark, idx, v)
+    assert(VecIndex.codebookVersion(spark, idx) == 1)
+    assert(VecIndex.countVecs(spark, idx) == 60)
+    val fresh = VecIndex.init(all, 64, "target/tmp/vecidx-retrain-fresh",
+      centroids = Some(centB), cbBuckets = 4)
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 2, 4)) ==
+      rows(VecIndex.ivfTopK(spark, qs, fresh, 2, 4)))
+    assert(rows(VecIndex.binaryTopKProbed(spark, qs, idx, 2, 12, 4)) ==
+      rows(VecIndex.binaryTopKProbed(spark, qs, fresh, 2, 12, 4)))
+    // the binary serve never depended on the codebook — unchanged
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) == pre._3)
+    // retention: once no live generation encodes under v0, vacuum
+    // frees its sidecars; v1's stay
+    VecIndex.vacuum(spark, idx)
+    assert(!new java.io.File(s"$path/centroids").exists(),
+      "v0 sidecar should be reclaimed after the roll")
+    assert(new java.io.File(s"$path/centroids_v1").exists())
+    // appends now encode under v1 and serve consistently
+    VecIndex.append(corpus(60 until 70), idx)
+    val fresh70 = VecIndex.init(corpus(0 until 70), 64,
+      "target/tmp/vecidx-retrain-fresh70",
+      centroids = Some(centB), cbBuckets = 4)
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 2, 4)) ==
+      rows(VecIndex.ivfTopK(spark, qs, fresh70, 2, 4)))
+  }
+
+  test("mixed codebook versions (append raced the roll): each " +
+      "generation is probed with its own codebook; compact refuses " +
+      "until reencode unifies") {
+    val path = "target/tmp/vecidx-retrain-race"
+    val all = corpus(0 until 60)
+    val centA = all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centB = all.filter(col("id") >= 8 && col("id") < 16)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(corpus(0 until 40), 64, path,
+      centroids = Some(centA), cbBuckets = 4)
+    VecIndex.retrain(spark, idx, centroids = Some(centB))
+    // the raced append: claimed while v0 was current, published after
+    // the v1 base — its marker records cbv=0 (emulated via the
+    // spec-only override; the claim/publish interleave is real)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = GenLog.claimGen(spark, f, path)
+    VecIndex.writeSegmentAt(corpus(40 until 60), idx, GenLog.KindSeg, g,
+      cbvOverride = Some(0))
+    assert(VecIndex.countVecs(spark, idx) == 60)
+    // with every cluster probed, the candidate set in EACH group is
+    // its whole slice — the mixed serve must equal the exact cosine
+    // top-k over all live vectors (binaryTopK with cands = corpus)
+    val qs = all.filter(col("id") < 3)
+    val exact = rows(VecIndex.binaryTopK(spark, qs, idx, 60, 4))
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 8, 4)) == exact,
+      "nProbe=C over mixed versions must equal the exact top-k")
+    assert(rows(VecIndex.binaryTopKProbed(spark, qs, idx, 8, 60, 4)) ==
+      exact)
+    // structural guard: compact cannot silently merge rows encoded
+    // under different codebooks
+    val err = intercept[RuntimeException] {
+      VecIndex.compact(spark, idx)
+    }
+    assert(err.getMessage.contains("codebook versions"))
+    // reencode unifies onto the current version; compact then works
+    VecIndex.reencode(spark, idx, VecIndex.codebookVersion(spark, idx))
+    VecIndex.compact(spark, idx)
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 8, 4)) == exact)
+  }
+
+  test("retrain rolls the PQ codebooks too: post-roll ADC serve == " +
+      "fresh init with the new books") {
+    val path = "target/tmp/vecidx-retrain-pq"
+    val all = corpus(0 until 60)
+    def books(seed: Int): Seq[Array[Array[Double]]] =
+      (0 until 4).map { s =>
+        Array.tabulate(8, 16) { (c, j) =>
+          (((seed + s * 7 + c * 13 + j * 3) % 17) - 8) / 8.0
+        }
+      }
+    val idx = VecIndex.init(corpus(0 until 40), 64, path,
+      pq = Some(books(1)))
+    VecIndex.append(corpus(40 until 60), idx)
+    val queries = Seq(0L -> Seq.tabulate(64)(i => (i % 5 - 2) / 2.0))
+    val pre = VecIndex.pqTopK(spark, queries, idx, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    VecIndex.retrain(spark, idx, pq = Some(books(2)))
+    val fresh = VecIndex.init(all, 64, "target/tmp/vecidx-retrain-pq-f",
+      pq = Some(books(2)))
+    val post = VecIndex.pqTopK(spark, queries, idx, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(post == VecIndex.pqTopK(spark, queries, fresh, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // different books => (very likely) different ADC shortlists; the
+    // point is post-roll equivalence, pre is only captured to prove
+    // the call ran against v0 before the roll
+    assert(pre.nonEmpty && post.nonEmpty)
+  }
+
   test("binary prefilter over the generational index column-prunes to " +
       "(id, bwords) — the float slice stays unread until rerank") {
     val path = "target/tmp/vecidx-prune"

@@ -1163,7 +1163,13 @@ object Queries {
   def tableCurrent(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
-    Versioned.current(spark, path, "doc_id")
+    // r11: the scan rides the DataSourceV2 face (format("graft") —
+    // zone-map file pruning + Spark's V2 parquet reader), the resolve
+    // is the same key window the Scala API applies; result (and hash)
+    // identical to Versioned.current. The V2 asOf slice excludes the
+    // compact checkpoint, which the resolve makes observationally
+    // equivalent (current == current-after-compact, spec-pinned).
+    Versioned.currentOf(spark.read.format("graft").load(path), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
         coalesce(col("source"), lit("unknown")).as("source"))
       .orderBy("doc_id")
@@ -1567,7 +1573,12 @@ object Queries {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "asof")
     (1 to 3).map { v =>
-      val cur = Versioned.currentAsOf(spark, path, "doc_id", v)
+      // r11: time travel through the V2 face's versionAsOf option —
+      // the same version-dir selection as Versioned.asOf, read by
+      // Spark's V2 parquet scan; resolve + hash unchanged
+      val cur = Versioned.currentOf(
+          spark.read.format("graft").option("versionAsOf", v).load(path),
+          "doc_id")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("total_chars"))
         .head()

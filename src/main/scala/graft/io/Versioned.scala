@@ -387,7 +387,15 @@ object Versioned {
     * base checkpoint stands in for the reclaimed log prefix (the
     * resolved state at the base), and versions below the base fail
     * loudly. */
-  def asOf(spark: SparkSession, path: String, version: Int): DataFrame = {
+  def asOf(spark: SparkSession, path: String, version: Int): DataFrame =
+    readDirs(spark, path, asOfVersions(spark, path, version))
+
+  /** The version-dir selection behind [[asOf]] (checkpoint exclusion,
+    * vacuum-base substitution) — shared with the DataSourceV2 reader
+    * ([[graft.sources.GraftDataSource]]), which must see exactly the
+    * slice the Scala API sees. */
+  private[graft] def asOfVersions(spark: SparkSession, path: String,
+      version: Int): Seq[Int] = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val ck = checkpoints(spark, path).toSet
@@ -395,13 +403,74 @@ object Versioned {
       case Some(base) =>
         require(version >= base, s"asOf($version): versions below $base were " +
           s"vacuumed at $path; earliest readable version is $base")
-        readDirs(spark, path,
-          base +: vs.filter(v => v > base && v <= version && !ck.contains(v)))
+        base +: vs.filter(v => v > base && v <= version && !ck.contains(v))
       case None =>
-        readDirs(spark, path,
-          vs.filter(v => v <= version && !ck.contains(v)))
+        vs.filter(v => v <= version && !ck.contains(v))
     }
   }
+
+  /** The merged schema of an asOf slice (mergeSchema union — a column
+    * added in a later commit is nullable over earlier rows). V2-reader
+    * hook: the user-specified schema handed to the parquet scan, so
+    * zone-map file pruning can never change the visible schema. */
+  private[graft] def sliceSchema(spark: SparkSession, path: String,
+      vs: Seq[Int]): org.apache.spark.sql.types.StructType =
+    readDirs(spark, path, vs).schema
+
+  /** File-level zone-map pruning for the V2 scan: the files of `vs`
+    * whose per-column footer stats may satisfy EVERY given bound
+    * (`(col, lo, hi)`, either side open; a column may appear in
+    * several constraints). Files without stats are kept — missing
+    * stats mean "maybe", never "skip". */
+  private[graft] def pruneFilesForBounds(spark: SparkSession, path: String,
+      vs: Seq[Int],
+      bounds: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
+    val f = fs(spark, path)
+    vs.flatMap { v =>
+      val dir = new Path(s"$path/v=$v")
+      val stats = readStats(f, dir)
+      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .filter { s =>
+          val st = stats.getOrElse(s.getPath.getName, Map.empty)
+          bounds.forall { case (c, lo, hi) => statsMayMatch(st, c, lo, hi) }
+        }
+        .map(_.getPath.toString)
+    }
+  }
+
+  /** [[mayIntersect]] with either bound open. */
+  private def statsMayMatch(stats: Map[String, (String, String, String)],
+      colName: String, lo: Option[Any], hi: Option[Any]): Boolean =
+    stats.get(colName) match {
+      case Some((t @ ("long" | "double" | "string"), mn, mx)) =>
+        // [mn,mx] ∩ [lo,hi] ≠ ∅ with open sides = check each closed side
+        def cmpLo(b: Any) = t match {
+          case "long"   => mx.toLong >= (b match {
+            case n: Number => n.longValue(); case s => s.toString.toLong })
+          case "double" => mx.toDouble >= (b match {
+            case n: Number => n.doubleValue(); case s => s.toString.toDouble })
+          case _ => java.net.URLDecoder.decode(mx, "UTF-8") >= b.toString
+        }
+        def cmpHi(b: Any) = t match {
+          case "long"   => mn.toLong <= (b match {
+            case n: Number => n.longValue(); case s => s.toString.toLong })
+          case "double" => mn.toDouble <= (b match {
+            case n: Number => n.doubleValue(); case s => s.toString.toDouble })
+          case _ => java.net.URLDecoder.decode(mn, "UTF-8") <= b.toString
+        }
+        lo.forall(cmpLo) && hi.forall(cmpHi)
+      case _ => true
+    }
+
+  /** Key-resolve a LOG SLICE frame (e.g. one read through the V2
+    * source: `spark.read.format("graft").load(path)`) into the
+    * current-state view — the same resolve [[current]]/[[currentAsOf]]
+    * apply, over a caller-assembled slice. `hasMerges` must be true
+    * iff the slice contains MERGE commits (column overlays need the
+    * grouped resolve). */
+  def currentOf(raw: DataFrame, keyCol: String,
+      hasMerges: Boolean = false): DataFrame =
+    resolve(raw, keyCol, hasMerges)
 
   /** Merge-on-read resolve as of `version`: the latest row per key at
     * or below it, tombstones dropped, MERGE commits applied per

@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, Expression, Literal, And => CAnd,
+  EqualTo => CEqualTo, GreaterThan => CGreaterThan,
+  GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn,
+  IsNotNull => CIsNotNull, LessThan => CLessThan,
+  LessThanOrEqual => CLessThanOrEqual}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.Versioned
+
+/**
+ * The SQL-facing DataSourceV2 read path for [[graft.io.Versioned]]
+ * tables:
+ *
+ * {{{
+ *   spark.read.format("graft").load(path)                     // latest
+ *   spark.read.format("graft")
+ *     .option("versionAsOf", 7).load(path)                    // time travel
+ *   spark.read.format("graft")
+ *     .option("timestampAsOf", epochMillis).load(path)
+ * }}}
+ *
+ * Semantics are EXACTLY [[Versioned.asOf]]: the committed log slice at
+ * the requested version — checkpoint dirs excluded, the vacuum base
+ * standing in for a reclaimed prefix — with the commit metadata
+ * columns (`__v`, `__deleted`, …) exposed so
+ * [[Versioned.currentOf]] resolves keys on top exactly like the Scala
+ * API. The scan itself is Spark's own V2 parquet machinery
+ * ([[ParquetTable]]) handed a file list that this provider prunes with
+ * the table's commit-time zone maps (`_STATS.tsv`): pushed filters are
+ * translated to per-column bounds, files whose footer [min,max] cannot
+ * match are never opened, and the same filters are re-pushed into the
+ * parquet scan for row-group pruning — pushdown reaches BOTH
+ * file-skipping layers. Column pruning passes straight through to the
+ * parquet reader (`ReadSchema`). All filters are also reported back as
+ * residual, so a bound the stats cannot evaluate is still applied
+ * row-wise — pruning can drop work, never rows.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = GraftDataSource.pathOf(options)
+    Versioned.sliceSchema(spark, path, Versioned.asOfVersions(spark, path,
+      GraftDataSource.versionOf(spark, options)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object GraftDataSource {
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null,
+      "graft source needs a table path: spark.read.format(\"graft\").load(path)")
+    p
+  }
+
+  /** The version this read travels to: `versionAsOf` wins, then
+    * `timestampAsOf` (epoch millis against the commit `_TS_` stamps),
+    * else the latest committed version. */
+  def versionOf(spark: SparkSession, options: CaseInsensitiveStringMap): Int = {
+    val path = pathOf(options)
+    require(!(options.containsKey("versionAsOf") &&
+        options.containsKey("timestampAsOf")),
+      "set versionAsOf or timestampAsOf, not both")
+    Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(ts => Versioned.versionAt(spark, path, ts.toLong)))
+      .getOrElse(Versioned.latestVersion(spark, path))
+  }
+
+  /** Per-column [lo, hi] bounds implied by pushed V1 filters — the
+    * zone-map language. Conservative: unhandled shapes contribute no
+    * bound (the file is kept; the residual filter still applies). */
+  def boundsOf(filters: Seq[Filter]): Seq[(String, Option[Any], Option[Any])] =
+    filters.flatMap {
+      case EqualTo(c, v)            => Seq((c, Some(v), Some(v)))
+      case EqualNullSafe(c, v) if v != null => Seq((c, Some(v), Some(v)))
+      case GreaterThan(c, v)        => Seq((c, Some(v), None))
+      case GreaterThanOrEqual(c, v) => Seq((c, Some(v), None))
+      case LessThan(c, v)           => Seq((c, None, Some(v)))
+      case LessThanOrEqual(c, v)    => Seq((c, None, Some(v)))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        // [min, max] envelope of the literal set — sound, coarser
+        val cmp = vs.sortBy(_.toString)
+        (vs.headOption.collect { case _: Number =>
+          val ns = vs.map(_.asInstanceOf[Number].doubleValue())
+          Seq((c, Some(vs(ns.indexOf(ns.min)): Any),
+            Some(vs(ns.indexOf(ns.max)): Any)))
+        }).getOrElse(Seq((c, Some(cmp.head: Any), Some(cmp.last: Any))))
+      case And(l, r) => boundsOf(Seq(l)) ++ boundsOf(Seq(r))
+      case _ => Nil
+    }
+
+  /** Translate a pushed V1 filter back into a RESOLVED catalyst
+    * predicate over the table schema, for re-pushing into the inner
+    * parquet scan (row-group pruning). Partial: None = not re-pushed
+    * (still applied as the residual). */
+  def toCatalyst(f: Filter,
+      attrs: Map[String, AttributeReference]): Option[Expression] = {
+    def a(c: String) = attrs.get(c)
+    f match {
+      case EqualTo(c, v)            => a(c).map(CEqualTo(_, Literal(v)))
+      case GreaterThan(c, v)        => a(c).map(CGreaterThan(_, Literal(v)))
+      case GreaterThanOrEqual(c, v) =>
+        a(c).map(CGreaterThanOrEqual(_, Literal(v)))
+      case LessThan(c, v)           => a(c).map(CLessThan(_, Literal(v)))
+      case LessThanOrEqual(c, v)    => a(c).map(CLessThanOrEqual(_, Literal(v)))
+      case IsNotNull(c)             => a(c).map(CIsNotNull(_))
+      case In(c, vs)                =>
+        a(c).map(at => CIn(at, vs.toSeq.map(Literal(_))))
+      case And(l, r) =>
+        for (cl <- toCatalyst(l, attrs); cr <- toCatalyst(r, attrs))
+          yield CAnd(cl, cr)
+      case _ => None
+    }
+  }
+}
+
+private[sources] class GraftTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  private val path = GraftDataSource.pathOf(options)
+
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    // travel options arrive via the TABLE options (DataFrameReader
+    // merges .option(...) into the table properties)
+    new GraftScanBuilder(spark, path,
+      GraftDataSource.versionOf(spark, options), tableSchema)
+  }
+}
+
+private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
+    version: Int, tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // everything stays residual: pruning drops work, never rows
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val vs = Versioned.asOfVersions(spark, path, version)
+    val pruned = Versioned.pruneFilesForBounds(spark, path, vs,
+      GraftDataSource.boundsOf(filters.toSeq))
+    // all files pruned => any of the dirs yields the right (empty)
+    // result under the pinned schema; keep one so the parquet table
+    // has a location to plan over
+    val paths =
+      if (pruned.nonEmpty) pruned
+      else Seq(s"$path/v=${vs.head}")
+    val opts = new CaseInsensitiveStringMap(
+      Map("mergeSchema" -> "true").asJava)
+    // Spark's own V2 parquet stack over the pruned file list; the
+    // table schema is pinned (userSpecifiedSchema) so zone-map
+    // pruning can never change the visible schema, and files missing
+    // an evolved column surface it as null like the Scala read path
+    val pt = ParquetTable(s"graft.`$path`", spark, opts, paths,
+      Some(tableSchema), classOf[ParquetFileFormat])
+    val psb = pt.newScanBuilder(opts)
+    val attrs = tableSchema.fields
+      .map(f => f.name -> AttributeReference(f.name, f.dataType,
+        f.nullable)()).toMap
+    val exprs = filters.toSeq
+      .flatMap(GraftDataSource.toCatalyst(_, attrs))
+    if (exprs.nonEmpty) psb.pushFilters(exprs)
+    psb.pruneColumns(required)
+    psb.build()
+  }
+}

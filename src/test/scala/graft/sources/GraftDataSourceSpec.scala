@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.FileScan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Versioned
+
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val p = s"target/tmp/gds-$tag"
+    Versioned.drop(spark, p)
+    p
+  }
+
+  /** Three key-clustered commits (k in [0,100), [100,200), [200,300))
+    * so the commit-time zone maps are selective per file. */
+  private def clusteredTable(tag: String): String = {
+    val p = freshPath(tag)
+    (0 until 3).foreach { b =>
+      Versioned.append(
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"s$i", i * 2))
+          .toDF("k", "s", "x").coalesce(1), p)
+    }
+    p
+  }
+
+  private def scanOf(df: DataFrame): FileScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no V2 BatchScan in plan:\n" +
+      df.queryExecution.executedPlan)).asInstanceOf[FileScan]
+
+  test("format(\"graft\") resolves by short name; default read == " +
+      "latest asOf; versionAsOf and timestampAsOf time-travel") {
+    val p = clusteredTable("tt")
+    def viaV2(opts: (String, String)*): DataFrame =
+      opts.foldLeft(spark.read.format("graft"))((r, o) =>
+        r.option(o._1, o._2)).load(p)
+    assert(viaV2().count() == 300)
+    assert(viaV2("versionAsOf" -> "2").count() == 200)
+    // row-for-row equal to the Scala asOf slice, meta columns included
+    val api = Versioned.asOf(spark, p, 2)
+    assert(viaV2("versionAsOf" -> "2").columns.sorted.toSeq ==
+      api.columns.sorted.toSeq)
+    assert(viaV2("versionAsOf" -> "2")
+      .select("k", "s", "x", Versioned.VersionCol)
+      .collect().map(_.toSeq).toSet ==
+      api.select("k", "s", "x", Versioned.VersionCol)
+        .collect().map(_.toSeq).toSet)
+    // timestamp travel through the commit _TS_ stamps
+    val t2 = Versioned.commitTimes(spark, p)(2)
+    assert(viaV2("timestampAsOf" -> t2.toString).count() == 200)
+    intercept[IllegalArgumentException] {
+      viaV2("versionAsOf" -> "1", "timestampAsOf" -> "0").count()
+    }
+  }
+
+  test("pushdown reaches the file-skipping layer: an equality bound " +
+      "opens one clustered file, the pushed filter reaches the " +
+      "parquet scan, pruning never drops rows") {
+    val p = clusteredTable("prune")
+    val all = scanOf(spark.read.format("graft").load(p))
+      .fileIndex.inputFiles.length
+    assert(all == 3, s"expected 3 clustered files, got $all")
+    val q = spark.read.format("graft").load(p).filter(col("k") === 150L)
+    val scan = scanOf(q)
+    assert(scan.fileIndex.inputFiles.length == 1,
+      s"zone maps should prune to 1 file, got " +
+        s"${scan.fileIndex.inputFiles.mkString(", ")}")
+    assert(scan.fileIndex.inputFiles.head.contains("v=2"),
+      "the surviving file must be the matching commit's")
+    // the filter is ALSO pushed into the parquet scan (row groups)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(scanOf(q).asInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .pushedFilters.exists(_.references.contains("k")))
+    assert(q.collect().map(r => r.getAs[Long]("k")).toSeq == Seq(150L))
+    // a range bound prunes to the covering commits
+    val r = spark.read.format("graft").load(p)
+      .filter(col("k") >= 50L && col("k") <= 150L)
+    assert(scanOf(r).fileIndex.inputFiles.length == 2)
+    assert(r.count() == 101)
+    // an unpruned-type predicate keeps every file and still filters
+    val s = spark.read.format("graft").load(p)
+      .filter(length(col("s")) === 2)  // no zone-map language for this
+    assert(scanOf(s).fileIndex.inputFiles.length == 3)
+    assert(s.count() == 10)
+  }
+
+  test("column pruning reaches ReadSchema; schema stays pinned when " +
+      "pruning drops a schema-evolution commit's files") {
+    val p = freshPath("evolve")
+    Versioned.append((0 until 100).map(i => (i.toLong, s"s$i"))
+      .toDF("k", "s").coalesce(1), p)
+    Versioned.append((100 until 200).map(i => (i.toLong, s"s$i", i * 1.5))
+      .toDF("k", "s", "extra").coalesce(1), p)
+    val q = spark.read.format("graft").load(p).select("k", "extra")
+    val rs = scanOf(q).readSchema().fieldNames.toSet
+    assert(rs == Set("k", "extra"), s"ReadSchema not pruned: $rs")
+    // prune away the v2 files (the only ones carrying `extra`): the
+    // column must survive as null, not vanish from the schema
+    val old = spark.read.format("graft").load(p)
+      .filter(col("k") < 50L).select("k", "extra")
+    assert(scanOf(old).fileIndex.inputFiles.forall(_.contains("v=1")))
+    assert(old.count() == 50 &&
+      old.filter(col("extra").isNull).count() == 50)
+  }
+
+  test("currentOf over the V2 read == the Scala current resolve " +
+      "(upserts, tombstones, checkpoint exclusion)") {
+    val p = freshPath("resolve")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"), p)
+    Versioned.append(Seq((2L, 99)).toDF("k", "x"), p)
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)
+    Versioned.compact(spark, p, "k") // checkpoint — V2 read must skip it
+    val raw = spark.read.format("graft").load(p)
+    val viaV2 = Versioned.currentOf(raw, "k")
+      .select("k", "x").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaV2 == Map(1L -> 10, 2L -> 99))
+    val api = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaV2 == api)
+  }
+}

@@ -1222,6 +1222,59 @@ object Queries {
     * UNWOUND by a roll-forward checkpoint, no file deleted, v3 still
     * time-travelable. `current` after the restore must equal the
     * v<=2 log resolve, which is exactly what the oracle computes. */
+  /** COLUMN MAPPING (r11 — Delta's rename-without-rewrite shape):
+    * the demo log takes a `renameColumn(n_chars -> len)` metadata
+    * commit mid-history, then an upsert batch written under the NEW
+    * name. The resolved current state must show every pre-rename
+    * value under `len` (the physical column is the identity; no data
+    * was rewritten) with the post-rename upserts landing on the SAME
+    * column — which is exactly what the oracle computes from the
+    * reconstructed log with the final names. */
+  def tableRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-ren-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"), col("source")), path)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), path)
+      Versioned.renameColumn(spark, path, "n_chars", "len") // v4: metadata only
+      Versioned.append(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 5000).as("len")), path)         // v5: new name
+      ()
+    })
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("len").cast("long").as("len"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableRenameSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lang, n_chars AS len, NULL AS source, FALSE AS del, 1 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000, source, FALSE, 2
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, TRUE, 3
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 5000, NULL, FALSE, 5
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+      |      FROM u)
+      |SELECT doc_id, lang, CAST(len AS BIGINT) AS len,
+      |  COALESCE(source, 'unknown') AS source
+      |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
+
   def tableRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
@@ -1865,6 +1918,7 @@ object Queries {
     "q_table_snapshot_range" -> tableSnapshotRange _,
     "q_table_point" -> tablePoint _,
     "q_table_restore" -> tableRestore _,
+    "q_table_rename" -> tableRename _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
@@ -1919,6 +1973,7 @@ object Queries {
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
     "q_table_point" -> tablePointSql,
     "q_table_restore" -> tableRestoreSql,
+    "q_table_rename" -> tableRenameSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,

@@ -81,6 +81,7 @@ object Versioned {
   private val MergeMarker = "_MERGE"
   private val SuccessMarker = "_SUCCESS"
   private val StatsFile = "_STATS.tsv"
+  private val ColmapFile = "_COLMAP.tsv"
   private[io] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -296,8 +297,27 @@ object Versioned {
         s"commit at $path probed $probes claimed slots from the listed " +
           "head; claim files and versions have diverged — run vacuum")
     }
-    val stamped = (if (df.columns.contains(DeletedCol)) df
-      else df.withColumn(DeletedCol, lit(false)))
+    // column-mapped table: writers speak LOGICAL names; translate to
+    // the stable physical ids before staging. A logical column the
+    // mapping has never seen (schema-evolution add) gets a fresh
+    // version-salted physical id so it can never collide with (or
+    // resurrect) a renamed/dropped column's bytes; the updated
+    // snapshot rides in this commit's dir.
+    val curMapping = mappingAt(spark, path, v)
+    val (physDf, snapOut) = curMapping match {
+      case None => (df, None)
+      case Some(ms) =>
+        val known = ms.toMap
+        val extras = df.columns.toSeq
+          .filterNot(MetaCols.contains).filterNot(known.contains)
+        val snap = ms ++ extras.map(l => (l, s"${l}_r$v"))
+        val sm = snap.toMap
+        val pdf = df.select(df.columns.toSeq.map(c =>
+          if (MetaCols.contains(c)) col(c) else col(c).as(sm(c))): _*)
+        (pdf, Some(snap))
+    }
+    val stamped = (if (physDf.columns.contains(DeletedCol)) physDf
+      else physDf.withColumn(DeletedCol, lit(false)))
       .withColumn(MergeCol, lit(merge))
       // rides IN the data (not only the marker file) so the streaming
       // log source can exclude checkpoint duplicates row-wise
@@ -317,6 +337,7 @@ object Versioned {
         .sortWithinPartitions(sortBy: _*)
     laidOut.write.mode("overwrite").parquet(staging.toString)
     writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
+    snapOut.foreach(writeColmap(f, staging, _))
     if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
     if (merge) f.create(new Path(staging, MergeMarker)).close()
     batchMarker.foreach(m => f.create(new Path(staging, m)).close())
@@ -364,13 +385,148 @@ object Versioned {
       tsMillis: Long): DataFrame =
     currentAsOf(spark, path, keyCol, versionAt(spark, path, tsMillis))
 
+  // ---------- column mapping (rename/drop without data loss) ----------
+
+  /** Column-mapping snapshot in effect at `version`: ordered
+    * (logical, physical) pairs from the newest `_COLMAP.tsv` at or
+    * below it. None = the table was never column-mapped (logical ==
+    * physical, zero overhead — the pre-r11 shape). Every commit on a
+    * mapped table re-snapshots the mapping into its own dir, so any
+    * retention policy that keeps a dir keeps a correct snapshot. */
+  private[io] def mappingAt(spark: SparkSession, path: String,
+      version: Int): Option[Seq[(String, String)]] = {
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    versions(spark, path).filter(_ <= version).reverse.iterator
+      .map(v => new Path(s"$path/v=$v", ColmapFile))
+      .find(f.exists)
+      .map { p =>
+        store.readSmall(f, p).split('\n').filter(_.nonEmpty).toSeq
+          .map { line =>
+            val Array(l, ph) = line.split('\t')
+            (l, ph)
+          }
+      }
+  }
+
+  /** Whether the table carries a column mapping (used by the V2
+    * source, which reads physical files directly and must fail loud
+    * rather than surface physical names / null columns). */
+  private[graft] def isColumnMapped(spark: SparkSession,
+      path: String): Boolean =
+    mappingAt(spark, path, latestVersion(spark, path)).isDefined
+
+  /** Rename physical columns to their logical names per the mapping
+    * (identity when None). Physical columns NOT in the mapping are
+    * dropped (that is how [[dropColumn]] hides data without rewriting
+    * files); meta columns always pass through. */
+  private def applyMapping(raw: DataFrame,
+      mapping: Option[Seq[(String, String)]]): DataFrame =
+    mapping match {
+      case None => raw
+      case Some(ms) =>
+        val present = raw.columns.toSet
+        val mapped = ms.filter(m => present(m._2))
+          .map { case (l, ph) => col(ph).as(l) }
+        val metas = raw.columns.filter(MetaCols.contains).map(col)
+        raw.select(mapped ++ metas.toSeq: _*)
+    }
+
+  private def writeColmap(f: FileSystem, dir: Path,
+      snap: Seq[(String, String)]): Unit = {
+    val out = f.create(new Path(dir, ColmapFile))
+    try out.write(snap.map { case (l, ph) => s"$l\t$ph" }
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Metadata-only commit carrying a new column-mapping snapshot (no
+    * data files): claims the next version slot exactly like a data
+    * commit, so renames serialize with concurrent appends and are
+    * time-travel consistent (asOf below the rename shows the old
+    * names, at or above it the new). */
+  private def commitMapping(spark: SparkSession, path: String,
+      change: Seq[(String, String)] => Seq[(String, String)]): Int = {
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed versions at $path to remap")
+    // bootstrap: an unmapped table's identity mapping over its current
+    // logical (== physical) data columns, in schema order
+    val base = mappingAt(spark, path, cur).getOrElse(
+      readDirs(spark, path, asOfVersions(spark, path, cur))
+        .columns.toSeq.filterNot(MetaCols.contains).map(c => (c, c)))
+    val snap = change(base)
+    var v = cur + 1
+    var probes = 0
+    while (!claimSlot(store, f, path, v)) {
+      v += 1
+      probes += 1
+      require(probes < 10000, s"mapping commit at $path probed $probes " +
+        "claimed slots; claims and versions diverged — run vacuum")
+    }
+    val staging = new Path(path,
+      s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    f.mkdirs(staging)
+    writeColmap(f, staging, snap)
+    f.create(new Path(staging, s"_TS_${System.currentTimeMillis()}")).close()
+    f.create(new Path(staging, SuccessMarker)).close()
+    val dst = new Path(path, s"v=$v")
+    require(f.rename(staging, dst), s"mapping commit lost slot $v at $path")
+    v
+  }
+
+  /** RENAME a column without rewriting data (Delta's column-mapping
+    * shape): the logical name changes, the physical parquet column —
+    * the column's IDENTITY — stays, so every earlier commit's data,
+    * CDC ([[changes]]) and SCD2 ([[history]]) survive the rename.
+    * Time travel below the rename commit shows the old name
+    * (historical fidelity). Fail-loud surface notes: the V2 source,
+    * [[bloomIndex]] and zone-map range pruning on a renamed column
+    * are not mapping-aware yet — the first two refuse, pruning
+    * degrades to reading every file (sound, never wrong). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Int =
+    commitMapping(spark, path, { ms =>
+      require(ms.exists(_._1 == from),
+        s"renameColumn: no column '$from' at $path " +
+          s"(have ${ms.map(_._1).mkString(", ")})")
+      require(!ms.exists(_._1 == to),
+        s"renameColumn: column '$to' already exists at $path")
+      require(!MetaCols.contains(to) && to.nonEmpty,
+        s"renameColumn: '$to' is reserved")
+      ms.map { case (l, ph) => (if (l == from) to else l, ph) }
+    })
+
+  /** DROP a column without rewriting data: the mapping entry goes,
+    * the physical bytes stay in old files but are invisible to every
+    * read at or above the drop commit; time travel below it still
+    * shows the column. A later re-add of the same name is a NEW
+    * column (fresh physical id) — dropped data never resurrects. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int =
+    commitMapping(spark, path, { ms =>
+      require(ms.exists(_._1 == name),
+        s"dropColumn: no column '$name' at $path")
+      require(ms.size > 1, s"dropColumn: cannot drop the last column")
+      ms.filterNot(_._1 == name)
+    })
+
   /** Union the given committed version dirs — mergeSchema, so a column
-    * added in a later version reads as NULL in earlier rows. */
+    * added in a later version reads as NULL in earlier rows. Data-less
+    * dirs (mapping-only commits) contribute no rows; the column
+    * mapping as of the SLICE HEAD maps physical file columns to the
+    * logical names of that version. */
   private[io] def readDirs(spark: SparkSession, path: String,
       vs: Seq[Int]): DataFrame = {
     require(vs.nonEmpty, s"no committed versions to read at $path")
-    spark.read.option("mergeSchema", "true")
-      .parquet(vs.map(v => s"$path/v=$v"): _*)
+    val f = fs(spark, path)
+    val dataVs = vs.filter(v => f.listStatus(new Path(s"$path/v=$v"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    require(dataVs.nonEmpty,
+      s"no data-carrying versions among ${vs.mkString(",")} at $path")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(dataVs.map(v => s"$path/v=$v"): _*)
+    applyMapping(raw, mappingAt(spark, path, vs.max))
   }
 
   /** The earliest retained version when it is a vacuum base (history
@@ -735,7 +891,9 @@ object Versioned {
       vs: Seq[Int], files: Seq[String]): DataFrame = {
     val full = readDirs(spark, path, vs).filter(lit(false))
     if (files.isEmpty) full // nothing can match; keep the schema
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else applyMapping(
+        spark.read.option("mergeSchema", "true").parquet(files: _*),
+        mappingAt(spark, path, vs.max))
       .unionByName(full, allowMissingColumns = true)
   }
 
@@ -944,6 +1102,11 @@ object Versioned {
         s"below $vb were vacuumed at $path; earliest restorable " +
         s"version is $vb")
     }
+    require(mappingAt(spark, path, version) == mappingAt(spark, path, head),
+      s"restore($version): the column mapping changed in " +
+        s"($version, $head] — undo the rename/drop (renameColumn back) " +
+        "before restoring across it, or restore to a version at or " +
+        "after the mapping change")
     // ONLY keys touched in (version, head] can differ between the two
     // states — everything else resolves identically and stays out of
     // the diff. The touched set is DELTA-sized (checkpoint dirs are
@@ -1199,8 +1362,32 @@ object Versioned {
   def changes(spark: SparkSession, path: String, keyCol: String,
       fromV: Int, toV: Int): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
-    val a = currentAsOf(spark, path, keyCol, fromV)
-      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+    // column identity is the PHYSICAL id: align the fromV snapshot's
+    // logical names to toV's through the shared physicals, so a
+    // rename inside (fromV, toV] diffs the same column under one name
+    // (keyCol is toV's name throughout) instead of reading it as a
+    // drop+add of unrelated columns
+    val mapA = mappingAt(spark, path, fromV)
+    val mapB = mappingAt(spark, path, toV)
+    val aRaw = currentAsOf(spark, path, keyCol = mapB match {
+        case Some(ms) =>
+          // fromV's logical name of toV's key (same physical)
+          val phys = ms.toMap.getOrElse(keyCol,
+            sys.error(s"changes: no column '$keyCol' at version $toV"))
+          mapA.flatMap(_.find(_._2 == phys).map(_._1)).getOrElse(phys)
+        case None => keyCol
+      }, fromV)
+    val a = (mapB match {
+      case Some(ms) =>
+        ms.foldLeft(aRaw) { case (df, (lb, phys)) =>
+          val la = mapA.flatMap(_.find(_._2 == phys).map(_._1))
+            .getOrElse(phys)
+          if (la != lb && df.columns.contains(la))
+            df.withColumnRenamed(la, lb)
+          else df
+        }
+      case None => aRaw
+    }).drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
     val b = currentAsOf(spark, path, keyCol, toV)
       .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
     val common = a.columns.intersect(b.columns).filterNot(_ == keyCol)
@@ -1240,9 +1427,16 @@ object Versioned {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"logStream: no committed versions at $path " +
       "(the first version fixes the stream schema)")
+    val dataDirs = vs.map(v => s"$path/v=$v").filter(d =>
+      fs(spark, path).listStatus(new Path(d))
+        .exists(_.getPath.getName.endsWith(".parquet")))
     val schema = spark.read.option("mergeSchema", "true")
-      .parquet(vs.map(v => s"$path/v=$v"): _*).schema
-    spark.readStream.schema(schema).parquet(s"$path/v=*")
+      .parquet(dataDirs: _*).schema
+    // column-mapped table: the stream reads physical files; surface
+    // the CURRENT logical names (fixed at stream start, like the
+    // schema itself)
+    applyMapping(spark.readStream.schema(schema).parquet(s"$path/v=*"),
+        mappingAt(spark, path, vs.max))
       .filter(!coalesce(col(CkptCol), lit(false)))
       .drop(MergeCol, SeqCol, CkptCol)
   }

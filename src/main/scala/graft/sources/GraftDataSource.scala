@@ -60,6 +60,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = GraftDataSource.pathOf(options)
+    require(!Versioned.isColumnMapped(spark, path),
+      s"graft V2 source: $path uses column mapping (renameColumn/" +
+        "dropColumn); the V2 scan reads physical files directly and is " +
+        "not mapping-aware yet — read via Versioned.asOf/currentOf")
     Versioned.sliceSchema(spark, path, Versioned.asOfVersions(spark, path,
       GraftDataSource.versionOf(spark, options)))
   }

@@ -667,4 +667,98 @@ class VersionedSpec extends SparkSpec {
       assert(row(k).toSeq == want, s"key $k")
     }
   }
+
+  test("renameColumn mid-history: data preserved, asOf shows each " +
+      "side's names, current/history/writes all speak the new name") {
+    val p = freshPath("rename")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "score"), p)  // v1
+    Versioned.append(Seq((3L, 30)).toDF("k", "score"), p)            // v2
+    val rv = Versioned.renameColumn(spark, p, "score", "quality")    // v3
+    assert(rv == 3)
+    // time travel BELOW the rename: the old name, historical fidelity
+    assert(Versioned.asOf(spark, p, 2).columns.contains("score"))
+    assert(!Versioned.asOf(spark, p, 2).columns.contains("quality"))
+    // at/above: the new name, SAME data (physical identity)
+    val at3 = Versioned.asOf(spark, p, 3)
+    assert(at3.columns.contains("quality") && !at3.columns.contains("score"))
+    assert(at3.select("k", "quality").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 10, 2L -> 20, 3L -> 30))
+    // writes after the rename speak the new name and land on the
+    // SAME physical column (one resolved value per key)
+    Versioned.append(Seq((2L, 99)).toDF("k", "quality"), p)          // v4
+    val cur = Versioned.current(spark, p, "k")
+      .select("k", "quality").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur == Map(1L -> 10, 2L -> 99, 3L -> 30))
+    // SCD2 history crosses the rename under one (new) name
+    val h = Versioned.history(spark, p, "k")
+    assert(h.columns.contains("quality") && !h.columns.contains("score"))
+    assert(h.filter(col("k") === 2L).count() == 2) // 20 then 99
+    // compact + read-after-compact stay consistent
+    Versioned.compact(spark, p, "k")
+    assert(Versioned.current(spark, p, "k")
+      .select("k", "quality").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == cur)
+  }
+
+  test("changes() spanning a rename diffs the SAME physical column " +
+      "under the new name — a rename alone is no change at all") {
+    val p = freshPath("rencdc")
+    Versioned.append(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "score"), p) // v1
+    Versioned.renameColumn(spark, p, "score", "quality")                      // v2
+    Versioned.append(Seq((2L, 99)).toDF("k", "quality"), p)                   // v3
+    Versioned.append(Seq((4L, 40)).toDF("k", "quality"), p)                   // v4
+    Versioned.delete(Seq(Tuple1(3L)).toDF("k"), p)                            // v5
+    val ch = Versioned.changes(spark, p, "k", 1, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // k=1 untouched: the rename itself must NOT read as a change
+    assert(ch == Map(2L -> "update", 3L -> "delete", 4L -> "insert"), s"got $ch")
+    // a pure-rename interval is empty
+    assert(Versioned.changes(spark, p, "k", 1, 2).count() == 0)
+  }
+
+  test("dropColumn hides without rewriting; re-adding the name is a " +
+      "fresh column — dropped bytes never resurrect; key renames work") {
+    val p = freshPath("dropcol")
+    Versioned.append(Seq((1L, 10, "a"), (2L, 20, "b"))
+      .toDF("k", "x", "tag"), p)                      // v1
+    Versioned.dropColumn(spark, p, "x")               // v2
+    assert(!Versioned.asOf(spark, p, 2).columns.contains("x"))
+    assert(Versioned.asOf(spark, p, 1).select("x").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(10, 20))  // still travelable
+    // re-add: new physical id — old 10/20 must NOT come back
+    Versioned.append(Seq((3L, 77, "c")).toDF("k", "x", "tag"), p) // v3
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.filter(col("k") === 3L).select("x").head().getInt(0) == 77)
+    assert(cur.filter(col("k") === 1L).select("x").head().isNullAt(0) ||
+      cur.filter(col("k") === 1L).select("x").head().get(0) == null,
+      "dropped data resurrected through the re-added column")
+    // renaming the RESOLVE KEY itself
+    Versioned.renameColumn(spark, p, "k", "id")
+    assert(Versioned.current(spark, p, "id").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // guards: unknown/duplicate names fail loudly
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, p, "nope", "y")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, p, "tag", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, p, "nope")
+    }
+  }
+
+  test("column-mapped tables refuse the not-yet-mapping-aware V2 " +
+      "source instead of surfacing physical names") {
+    val p = freshPath("renv2")
+    Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)
+    assert(spark.read.format("graft").load(p).count() == 1) // unmapped: fine
+    Versioned.renameColumn(spark, p, "x", "y")
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(p).count()
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
 }

@@ -379,9 +379,24 @@ object Stress {
       s"serve row counts diverged: brute=$nBrute p4=$nP4 p16=$nP16")
     require(tP4 < tBrute,
       f"probed serve ($tP4%.1fs) must beat the brute scan ($tBrute%.1fs)")
+    // r11 retrain roll on the same index: a NEW codebook (shifted ids)
+    // staged + re-encoded in the background while the old index stays
+    // fully servable; the swap is one marker. Cost ≈ the paid-once
+    // init (it IS a corpus re-encode) — the win is zero downtime and
+    // zero extra serve cost after, not a cheaper rewrite.
+    val centroids2 = emb.filter(col("id") >= nCent && col("id") < 2L * nCent)
+      .select((col("id") - nCent).as("cid"), col("vec").as("cvec"))
+    val tR0 = System.nanoTime()
+    VecIndex.retrain(spark, idx, centroids = Some(centroids2))
+    val tRoll = (System.nanoTime() - tR0) / 1e9
+    val (tP4b, nP4b) = timed(VecIndex.binaryTopKProbed(spark, queries, idx,
+      nProbe = 4, cands = 40, k = 10).count())
+    require(nP4b == nQueries * 10L,
+      s"post-roll serve row count diverged: $nP4b")
     println(s"""{"metric":"stress_annprobed","vecs":$nVecs,""" +
       s""""queries":$nQueries,"centroids":$nCent,"index_sec":$tIdx,""" +
-      s""""brute_sec":$tBrute,"probed4_sec":$tP4,"probed16_sec":$tP16}""")
+      s""""brute_sec":$tBrute,"probed4_sec":$tP4,"probed16_sec":$tP16,""" +
+      s""""retrain_sec":$tRoll,"probed4_postroll_sec":$tP4b}""")
     spark.stop()
   }
 

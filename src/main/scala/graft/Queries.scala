@@ -1325,6 +1325,104 @@ object Queries {
        |FROM r WHERE rk = 1 AND NOT del AND n_chars < 1000
        |ORDER BY doc_id""".stripMargin
 
+  /** Versioned demo driven ENTIRELY through SQL against the
+    * [[graft.sources.GraftCatalog]] face: CREATE TABLE (an empty
+    * schema-fixing v1), INSERT INTO twice (bulk load = v2, upserts
+    * with `source` set and n_chars+1000 = v3), DELETE FROM by
+    * predicate (tombstones = v4). Built once per (dir) per JVM like
+    * the Scala-API fixtures; returns the fully-qualified SQL name. */
+  private def buildSqlCatalogDemo(spark: SparkSession, dir: String): String = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    // runtime conf: catalogs resolve lazily by name, so setting these
+    // before first reference is enough — per session, hence outside
+    // the once-per-JVM block
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.sqldemo_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/sqldemo_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_sql_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
+        s"CAST(NULL AS STRING) FROM docs_sql_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars + 1000, " +
+        s"source FROM docs_sql_$tag WHERE doc_id % 5 = 0")
+      spark.sql(s"DELETE FROM $tbl WHERE lang = 'en'")
+      ()
+    })
+    tbl
+  }
+
+  /** The SQL-catalog lifecycle (r11 — [[graft.sources.GraftCatalog]]):
+    * fixture built by CREATE TABLE / INSERT INTO ×2 / DELETE FROM in
+    * plain SQL, then the merge-on-read CURRENT state expressed as a
+    * plain-SQL window over the commit-log METADATA columns
+    * (`__v`/`__seq`/`__deleted` — V2 metadata columns: invisible to
+    * `SELECT *`, selectable by name), exactly the resolve
+    * [[graft.io.Versioned.currentOf]] plans. The oracle replays the
+    * whole log from the documents table, so a mistranslated DELETE
+    * predicate, a double-applied INSERT, or a broken metadata-column
+    * surface all hash-mismatch. */
+  def tableSqlCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = buildSqlCatalogDemo(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Shared oracle CTE for the SQL-catalog fixture: v2 = bulk insert
+    * (source NULL), v3 = upserts (doc_id%5, n_chars+1000, source). */
+  private val sqlCatalogLogSql: String =
+    """u AS (
+      |  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source, 2 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000, source, 3
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  val tableSqlCurrentSql: String =
+    s"""WITH $sqlCatalogLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 AND lang <> 'en' ORDER BY doc_id""".stripMargin
+
+  /** SQL time travel through the catalog: `VERSION AS OF 3` is the
+    * pre-DELETE state (both inserts applied, nothing tombstoned) —
+    * the catalog's loadTable(ident, version) resolving through the
+    * same asOf machinery as the Scala API and the path-based V2 read. */
+  def tableSqlAsof(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = buildSqlCatalogDemo(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl VERSION AS OF 3)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableSqlAsofSql: String =
+    s"""WITH $sqlCatalogLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  COALESCE(source, 'unknown') AS source
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
     * maintained across four source commits (bulk load, upserts,
@@ -1920,6 +2018,8 @@ object Queries {
     "q_table_restore" -> tableRestore _,
     "q_table_rename" -> tableRename _,
     "q_table_delete_where" -> tableDeleteWhere _,
+    "q_table_sql_current" -> tableSqlCurrent _,
+    "q_table_sql_asof" -> tableSqlAsof _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -1975,6 +2075,8 @@ object Queries {
     "q_table_restore" -> tableRestoreSql,
     "q_table_rename" -> tableRenameSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
+    "q_table_sql_current" -> tableSqlCurrentSql,
+    "q_table_sql_asof" -> tableSqlAsofSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

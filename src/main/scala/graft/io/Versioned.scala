@@ -82,7 +82,7 @@ object Versioned {
   private val SuccessMarker = "_SUCCESS"
   private val StatsFile = "_STATS.tsv"
   private val ColmapFile = "_COLMAP.tsv"
-  private[io] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+  private[graft] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -447,7 +447,10 @@ object VecIndex {
       .schema.fieldNames.toSeq.filterNot(c => c == "cb" || c == "gen")
     val live = liveVecs(spark, idx, cols)
     writeGen(live, idx, g)
-    val n = liveVecs(spark, idx, Seq("id")).count()
+    // the marker count IS the new base's row count: read it back from
+    // the just-written generation (footer row-group counts, no column
+    // IO) instead of paying the live-resolve anti-join a second time
+    val n = spark.read.parquet(s"${idx.path}/vecs/gen=$g").count()
     // the base records the max folded streaming batch id, so the
     // exactly-once appendBatch guard survives vacuum reclaiming the
     // folded per-batch seg@<id> markers

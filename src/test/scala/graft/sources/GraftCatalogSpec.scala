@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Versioned
+
+/** The SQL catalog face: DDL/DML through `graft_test.<table>` must hit
+  * the SAME versioned-table files as the Scala API, with the
+  * commit-log columns riding as V2 metadata columns. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "target/tmp/graft-cat-spec"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.conf.set("spark.sql.catalog.graft_test",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", wh)
+  }
+
+  test("CREATE TABLE fixes the schema as an empty v1; INSERT INTO " +
+      "commits one version each; SELECT * hides the commit-log " +
+      "columns but they resolve by name as metadata columns") {
+    spark.sql("CREATE TABLE graft_test.t1 (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/t1"
+    assert(Versioned.versions(spark, path) == Seq(1))
+    assert(spark.sql("SELECT * FROM graft_test.t1").count() == 0)
+    spark.sql("INSERT INTO graft_test.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_test.t1 VALUES (2, 'b2'), (3, 'c')")
+    assert(Versioned.versions(spark, path) == Seq(1, 2, 3))
+    // SELECT * = raw log slice, data columns only
+    val star = spark.sql("SELECT * FROM graft_test.t1")
+    assert(star.columns.toSeq == Seq("k", "s"))
+    assert(star.count() == 4)
+    // metadata columns resolve by name; the MOR resolve is plain SQL
+    val cur = spark.sql(
+      """SELECT k, s FROM (
+        |  SELECT k, s, __deleted, row_number() OVER (
+        |    PARTITION BY k ORDER BY __v DESC, __seq DESC) AS rk
+        |  FROM graft_test.t1)
+        |WHERE rk = 1 AND NOT __deleted ORDER BY k""".stripMargin)
+    assert(cur.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // … and equals the Scala API resolve on the same files
+    assert(Versioned.current(spark, path, "k")
+      .select("k", "s").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time-travel through the " +
+      "catalog; DELETE FROM tombstones current keys by predicate") {
+    spark.sql("CREATE TABLE graft_test.t2 (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.t2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_test.t2 VALUES (3, 'c')")
+    assert(spark.sql(
+      "SELECT * FROM graft_test.t2 VERSION AS OF 2").count() == 2)
+    assert(spark.sql(
+      "SELECT * FROM graft_test.t2 VERSION AS OF 3").count() == 3)
+    val t2 = Versioned.commitTimes(spark, s"$wh/t2")(2)
+    assert(spark.sql("SELECT * FROM graft_test.t2 TIMESTAMP AS OF " +
+      s"timestamp_millis(${t2}L)").count() == 2)
+    spark.sql("DELETE FROM graft_test.t2 WHERE s = 'b'")
+    assert(Versioned.versions(spark, s"$wh/t2") == Seq(1, 2, 3, 4))
+    val cur = Versioned.current(spark, s"$wh/t2", "k")
+    assert(cur.select("k").as[Long].collect().toSet == Set(1L, 3L))
+    // the pre-delete state is still travelable
+    assert(spark.sql(
+      "SELECT * FROM graft_test.t2 VERSION AS OF 3").count() == 3)
+  }
+
+  test("the SQL face and the Scala API interoperate on the same " +
+      "files: Scala appends surface in SQL, SQL inserts in Scala") {
+    val path = s"$wh/t3"
+    Versioned.drop(spark, path)
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), path)
+    assert(spark.sql("SELECT * FROM graft_test.t3").count() == 2)
+    spark.sql("INSERT INTO graft_test.t3 VALUES (3, 30)")
+    assert(Versioned.current(spark, path, "k").count() == 3)
+    assert(spark.sql("SHOW TABLES IN graft_test").collect()
+      .map(_.getString(1)).toSet.contains("t3"))
+    assert(spark.sql("SELECT x FROM graft_test.t3 WHERE k = 3")
+      .as[Int].head() == 30)
+  }
+
+  test("CTAS creates and fills; DROP TABLE removes the files") {
+    spark.sql("CREATE TABLE graft_test.t4 AS " +
+      "SELECT id AS k, id * 2 AS x FROM range(5)")
+    assert(spark.sql("SELECT * FROM graft_test.t4").count() == 5)
+    spark.sql("DROP TABLE graft_test.t4")
+    assert(!new java.io.File(s"$wh/t4").exists())
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graft_test.t4").collect()
+    }
+  }
+
+  test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
+      "DELETE without the key property (until ALTER sets it), " +
+      "column-mapped tables, RENAME") {
+    spark.sql("CREATE TABLE graft_test.t5 (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft_test.t5 VALUES (1, 'a')")
+    // Spark refuses at ANALYSIS time: the table advertises no
+    // truncate/overwrite capability (the V1Write's own guard is the
+    // backstop should a future capability widen the surface)
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft_test.t5 VALUES (9, 'z')")
+    }
+    assert(e1.getMessage.contains("does not support truncate") ||
+      e1.getMessage.contains("append-only"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.t5p (k BIGINT) PARTITIONED BY (k)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("partition"), e2.getMessage)
+    // DELETE before the key property exists → loud, names the fix
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM graft_test.t5 WHERE s = 'a'")
+    }
+    assert(e3.getMessage.contains("key"), e3.getMessage)
+    spark.sql("ALTER TABLE graft_test.t5 SET TBLPROPERTIES ('key' = 'k')")
+    spark.sql("DELETE FROM graft_test.t5 WHERE s = 'a'")
+    assert(spark.sql("SELECT * FROM graft_test.t5").count() == 2) // log rows
+    assert(Versioned.current(spark, s"$wh/t5", "k").count() == 0)
+    // column-mapped tables are refused by the V2 face
+    Versioned.renameColumn(spark, s"$wh/t5", "s", "s2")
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_test.t5").collect()
+    }
+    assert(e4.getMessage.contains("column mapping"), e4.getMessage)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.t2 RENAME TO graft_test.t2b")
+    }
+  }
+}

@@ -1331,7 +1331,9 @@ object Queries {
     * with `source` set and n_chars+1000 = v3), DELETE FROM by
     * predicate (tombstones = v4). Built once per (dir) per JVM like
     * the Scala-API fixtures; returns the fully-qualified SQL name. */
-  private def buildSqlCatalogDemo(spark: SparkSession, dir: String): String = {
+  private def buildSqlCatalogDemo(spark: SparkSession, dir: String,
+      name: String = "sqldemo",
+      maintain: Boolean = false): String = {
     val wh = "target/tmp/graft-sql-warehouse"
     // runtime conf: catalogs resolve lazily by name, so setting these
     // before first reference is enough — per session, hence outside
@@ -1340,8 +1342,8 @@ object Queries {
       "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val tbl = s"graft_sql.sqldemo_$tag"
-    fixtureBuilt.getOrElseUpdate(s"$wh/sqldemo_$tag", {
+    val tbl = s"graft_sql.${name}_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/${name}_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.read.parquet(s"$dir/documents.parquet")
         .createOrReplaceTempView(s"docs_sql_$tag")
@@ -1352,6 +1354,15 @@ object Queries {
       spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars + 1000, " +
         s"source FROM docs_sql_$tag WHERE doc_id % 5 = 0")
       spark.sql(s"DELETE FROM $tbl WHERE lang = 'en'")
+      if (maintain) {
+        // CALL-driven maintenance: checkpoint-compact (v5), then
+        // vacuum the whole pre-checkpoint log away — subsequent reads
+        // run off the CHECKPOINT FILES alone (the vacuum base stands
+        // in for the reclaimed prefix), so the oracle hash-checks the
+        // compacted bytes themselves against the replayed log
+        spark.sql(s"CALL graft_sql.system.compact('${name}_$tag')")
+        spark.sql(s"CALL graft_sql.system.vacuum('${name}_$tag', 0)")
+      }
       ()
     })
     tbl
@@ -1422,6 +1433,33 @@ object Queries {
        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** CALL-driven maintenance certified end-to-end (r11 —
+    * [[graft.sources.GraftProcedures]]): its OWN table takes the same
+    * SQL lifecycle, then `CALL graft_sql.system.compact` (checkpoint
+    * v5) and `CALL …vacuum(…, 0)` reclaim the whole pre-checkpoint
+    * log. The read below therefore runs off the CHECKPOINT FILES
+    * alone (vacuum-base substitution) — the oracle replaying the
+    * original log from the documents table hash-checks the compacted
+    * bytes themselves: a row lost or doubled by compact/vacuum
+    * mismatches. */
+  def tableSqlMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = buildSqlCatalogDemo(spark, dir, name = "sqlmaint",
+      maintain = true)
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Same final state as the un-maintained table: compaction must be
+    * observationally invisible. */
+  val tableSqlMaintainSql: String = tableSqlCurrentSql
 
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
@@ -2020,6 +2058,7 @@ object Queries {
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
+    "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -2077,6 +2116,7 @@ object Queries {
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,
+    "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

@@ -9,9 +9,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, MetadataColumn, NamespaceChange, SupportsDelete,
-  SupportsMetadataColumns, SupportsNamespaces, SupportsRead,
-  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+  Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog,
+  SupportsDelete, SupportsMetadataColumns, SupportsNamespaces,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
@@ -64,7 +66,8 @@ import graft.io.Versioned
  * changes (use [[Versioned.renameColumn]]/[[Versioned.dropColumn]] —
  * the V2 scan refuses column-mapped tables), and RENAME TABLE.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -197,6 +200,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "graft catalog: RENAME TABLE is not supported (readers may hold " +
         "the path); copy via CTAS instead")
+
+  // ---- stored procedures: the maintenance lifecycle under
+  //      `<catalog>.system` (see [[GraftProcedures]]) ----
+
+  /** Procedure-side table resolution: same path mapping as tables,
+    * existence-checked. */
+  private[sources] def resolveTablePath(ident: Identifier): String = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    pathOf(ident)
+  }
+
+  /** The `key` table property, when set. */
+  private[sources] def keyPropertyOf(path: String): Option[String] =
+    GraftCatalog.readProps(fs, path).get(GraftCatalog.KeyProp)
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(GraftProcedures.Namespace),
+      s"graft catalog: procedures live under the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got " +
+        ident.namespace.mkString("."))
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
+    else GraftProcedures.names
+      .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
 
   // ---- namespaces: directories under the warehouse ----
 

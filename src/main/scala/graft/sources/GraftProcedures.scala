@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{
+  IntegerType, StringType, StructField, StructType}
+
+import graft.io.Versioned
+
+/**
+ * SQL stored procedures for the versioned-table maintenance
+ * lifecycle — the operations a table OWNER runs, exposed under the
+ * catalog's `system` namespace (the Iceberg convention):
+ *
+ * {{{
+ *   CALL graft_sql.system.compact('t')            -- MOR checkpoint
+ *   CALL graft_sql.system.zorder('t', 'a,b')      -- clustered compact
+ *   CALL graft_sql.system.zorder_quantile('t', 'a,b')
+ *   CALL graft_sql.system.vacuum('t', 5)          -- reclaim < head-5
+ *   CALL graft_sql.system.restore('t', 3)         -- roll-forward undo
+ *   CALL graft_sql.system.bloom_index('t')        -- point-lookup index
+ *   CALL graft_sql.system.detail('t')             -- per-version stats
+ * }}}
+ *
+ * Each CALL runs the corresponding [[graft.io.Versioned]] operation
+ * and returns its result as rows (the committed version, the
+ * reclaimed versions, the DESCRIBE-DETAIL table). The key column
+ * comes from the table's `key` property (`TBLPROPERTIES
+ * ('key' = '<col>')`) — procedures that resolve keys refuse loudly
+ * without it, same as DELETE.
+ */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val versionOut =
+    StructType(Seq(StructField("version", IntegerType, nullable = false)))
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def str(row: InternalRow, i: Int, param: String): String = {
+    require(!row.isNullAt(i), s"procedure argument '$param' must not be null")
+    row.getUTF8String(i).toString
+  }
+
+  private def oneVersion(v: Int): Array[InternalRow] =
+    Array(InternalRow(v))
+
+  /** One procedure = parameters + an `exec` over (tablePath, keyProp,
+    * args). Binding is trivial (no overloads); `call` wraps the
+    * result rows in a driver-local scan. */
+  private class Proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], out: StructType,
+      exec: (GraftCatalog, InternalRow) => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // commits/IO
+    private var cat: GraftCatalog = _
+    def forCatalog(c: GraftCatalog): Proc = { cat = c; this }
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val result = exec(cat, input)
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft procedure $procName"
+      }).iterator()
+    }
+  }
+
+  /** Resolve the `table` argument (always parameter 0: `'t'` or
+    * `'ns.t'`, relative to this catalog) to its path, requiring the
+    * table to exist. */
+  private def tablePath(cat: GraftCatalog, row: InternalRow): String = {
+    val parts = str(row, 0, "table").split('.')
+    cat.resolveTablePath(Identifier.of(parts.init, parts.last))
+  }
+
+  private def keyOf(cat: GraftCatalog, path: String): String =
+    cat.keyPropertyOf(path).getOrElse(sys.error(
+      s"graft table $path has no 'key' table property; this procedure " +
+        "resolves keys — ALTER TABLE … SET TBLPROPERTIES ('key' = '<col>')"))
+
+  private def procs: Seq[Proc] = Seq(
+    new Proc("compact",
+      "merge-on-read checkpoint: resolve current state into one commit",
+      Seq(in("table", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        oneVersion(Versioned.compact(spark, p, keyOf(cat, p)))
+      }),
+    new Proc("zorder",
+      "checkpoint-compact clustered by a Z-order key over the given " +
+        "columns (linear [min,max] scale per column)",
+      Seq(in("table", StringType), in("columns", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val cols = str(row, 1, "columns").split(',').map(_.trim).toSeq
+        oneVersion(Versioned.compactZOrder(spark, p, keyOf(cat, p), cols))
+      }),
+    new Proc("zorder_quantile",
+      "checkpoint-compact clustered by an equi-depth (quantile-cut) " +
+        "Z-order key — the outlier-proof variant",
+      Seq(in("table", StringType), in("columns", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val cols = str(row, 1, "columns").split(',').map(_.trim).toSeq
+        oneVersion(
+          Versioned.compactZOrderQuantile(spark, p, keyOf(cat, p), cols))
+      }),
+    new Proc("vacuum",
+      "reclaim version dirs superseded by a checkpoint at least " +
+        "<horizon> commits old; returns the reclaimed versions",
+      Seq(in("table", StringType), in("horizon", IntegerType)),
+      StructType(Seq(
+        StructField("reclaimed_version", IntegerType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Versioned.vacuum(spark, p, row.getInt(1))
+          .map(v => InternalRow(v)).toArray
+      }),
+    new Proc("restore",
+      "restore the table to an old version as a NEW roll-forward " +
+        "checkpoint commit (nothing deleted; all versions stay " +
+        "travelable)",
+      Seq(in("table", StringType), in("version", IntegerType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        oneVersion(
+          Versioned.restore(spark, p, keyOf(cat, p), row.getInt(1)))
+      }),
+    new Proc("bloom_index",
+      "build per-file key Bloom filters for point lookups; returns " +
+        "the number of newly indexed version dirs",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("indexed_versions", IntegerType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Array(InternalRow(Versioned.bloomIndex(spark, p, keyOf(cat, p))))
+      }),
+    new Proc("detail",
+      "DESCRIBE-DETAIL observability: one row per committed version " +
+        "(commit time, checkpoint/merge/batch flags, files, bytes)",
+      Seq(in("table", StringType)),
+      // must mirror Versioned.detail's schema — spec-pinned
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("commit_ts_millis", org.apache.spark.sql.types.LongType),
+        StructField("is_checkpoint", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("is_merge", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("batch_id", StringType),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("size_bytes", org.apache.spark.sql.types.LongType,
+          nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Versioned.detail(spark, p).queryExecution.executedPlan
+          .executeCollect()
+      }))
+
+  def load(cat: GraftCatalog, name: String): UnboundProcedure =
+    procs.find(_.name == name).getOrElse(sys.error(
+      s"graft catalog: no procedure 'system.$name' (available: " +
+        procs.map(_.name).mkString(", ") + ")")).forCatalog(cat)
+
+  def names: Seq[String] = procs.map(_.name)
+}

@@ -101,6 +101,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures run the maintenance lifecycle from SQL: " +
+      "compact, detail, restore, vacuum, zorder, bloom_index") {
+    spark.sql("CREATE TABLE graft_test.tp (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/tp"
+    spark.sql("INSERT INTO graft_test.tp SELECT id, id * 2 FROM range(100)")
+    spark.sql("INSERT INTO graft_test.tp SELECT id, id * 3 FROM range(50)")
+    spark.sql("DELETE FROM graft_test.tp WHERE k >= 90")
+    // compact → checkpoint commit, returned as the new version
+    val v = spark.sql("CALL graft_test.system.compact('tp')")
+      .as[Int].head()
+    assert(v == 5)
+    assert(Versioned.current(spark, path, "k").count() == 90)
+    // detail: one row per committed version, checkpoint flagged
+    val det = spark.sql("CALL graft_test.system.detail('tp')")
+    assert(det.columns.toSeq.take(3) ==
+      Seq("version", "commit_ts_millis", "is_checkpoint"))
+    assert(det.count() == 5)
+    assert(det.filter(col("is_checkpoint")).as[
+      (Int, Long, Boolean, Boolean, Option[String], Int, Long)]
+      .head()._1 == 5)
+    // restore to the pre-delete state (v3) as a roll-forward commit
+    spark.sql("CALL graft_test.system.restore('tp', 3)")
+    assert(Versioned.current(spark, path, "k").count() == 100)
+    // zorder compact + bloom index + vacuum
+    spark.sql("CALL graft_test.system.zorder('tp', 'x,k')")
+    assert(spark.sql("CALL graft_test.system.bloom_index('tp')")
+      .as[Int].head() > 0)
+    val reclaimed = spark.sql("CALL graft_test.system.vacuum('tp', 0)")
+      .as[Int].collect()
+    assert(reclaimed.nonEmpty && reclaimed.forall(_ < 7))
+    assert(Versioned.current(spark, path, "k").count() == 100)
+    // unknown procedure and missing-key refusals are loud
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_test.system.nope('tp')").collect()
+    }
+    assert(e.getMessage.contains("no procedure") ||
+      e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
+  }
+
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
       "column-mapped tables, RENAME") {

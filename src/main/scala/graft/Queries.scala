@@ -1461,6 +1461,76 @@ object Queries {
     * observationally invisible. */
   val tableSqlMaintainSql: String = tableSqlCurrentSql
 
+  /** MERGE INTO through the catalog (r11 — the delta-based row-level
+    * operation, [[graft.sources.GraftRowOperation]]): its own table
+    * takes CREATE + INSERT + `CALL system.compact` (the checkpoint the
+    * row-level scan reads), then ONE MERGE statement mixing all three
+    * actions — matched-DELETE (the en rows of the %3 source slice),
+    * matched-UPDATE (n_chars summed, source taken), and
+    * not-matched-INSERT (the %97 slice under shifted ids). The update
+    * rows, tombstones, and inserts land as ONE staged commit written
+    * by distributed DeltaWriters; the oracle replays the merge
+    * arithmetic from the documents table, so a lost tombstone, a
+    * double-applied update, or a mis-keyed insert all hash-mismatch. */
+  def tableSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.sqlmerge_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/sqlmerge_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_sql_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
+        s"CAST(NULL AS STRING) FROM docs_sql_$tag")
+      spark.sql(s"CALL graft_sql.system.compact('sqlmerge_$tag')")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT doc_id, lang, n_chars, source FROM docs_sql_$tag
+           |  WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, lang, n_chars, 'new'
+           |  FROM docs_sql_$tag WHERE doc_id % 97 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.lang = 'en' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  n_chars = t.n_chars + s.n_chars, source = s.source
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, source)
+           |  VALUES (s.doc_id, s.lang, s.n_chars, s.source)
+           |""".stripMargin)
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableSqlMergeSql: String =
+    """WITH cur AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN d.n_chars * 2
+      |         ELSE d.n_chars END AS n_chars,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN d.source
+      |         ELSE NULL END AS source
+      |  FROM documents d
+      |  WHERE NOT (d.doc_id % 3 = 0 AND d.lang = 'en')
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, lang, n_chars, 'new'
+      |  FROM documents WHERE doc_id % 97 = 0)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  COALESCE(source, 'unknown') AS source
+      |FROM cur ORDER BY doc_id""".stripMargin
+
   /** Incrementally-maintained materialized GROUP-BY view
     * ([[graft.io.MatView]]): per-language row counts + n_chars totals
     * maintained across four source commits (bulk load, upserts,
@@ -2059,6 +2129,7 @@ object Queries {
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
     "q_table_sql_maintain" -> tableSqlMaintain _,
+    "q_table_sql_merge" -> tableSqlMerge _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -2117,6 +2188,7 @@ object Queries {
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,
     "q_table_sql_maintain" -> tableSqlMaintainSql,
+    "q_table_sql_merge" -> tableSqlMergeSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

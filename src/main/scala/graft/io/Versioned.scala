@@ -356,6 +356,79 @@ object Versioned {
     } else v
   }
 
+  /** BEGIN a distributed staged commit (the row-level SQL DML write
+    * path, where EXECUTORS write parquet parts directly instead of the
+    * driver committing a DataFrame): claim the next free version slot
+    * and create its hidden staging dir. Finish with [[publishStaged]]
+    * or [[abortStaged]]. Same claim/staging/rename protocol as
+    * [[commit]] — a crashed caller leaves only a stale claim + staging
+    * dir for vacuum's age-guarded sweep. Refuses column-mapped tables
+    * (direct writers speak physical file schemas). */
+  private[graft] def beginStagedCommit(spark: SparkSession,
+      path: String): (Int, String) = {
+    require(mappingAt(spark, path, latestVersion(spark, path) + 1).isEmpty,
+      s"staged commits at $path: table uses column mapping; write " +
+        "through Versioned.append/merge instead")
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    var v = latestVersion(spark, path) + 1
+    var probes = 0
+    while (!claimSlot(store, f, path, v)) {
+      v += 1
+      probes += 1
+      require(probes < 10000,
+        s"staged commit at $path probed $probes claimed slots from the " +
+          "listed head; claim files and versions have diverged — run vacuum")
+    }
+    val staging = new Path(path,
+      s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    f.mkdirs(staging)
+    (v, staging.toString)
+  }
+
+  /** PUBLISH a staged commit: prune parquet parts not in `keep`
+    * (files of aborted or speculative task attempts), stamp footer
+    * stats + the commit-time `_TS_` + the success marker, then the one
+    * atomic rename to `v=N`. */
+  private[graft] def publishStaged(spark: SparkSession, path: String,
+      v: Int, staging: String, keep: Set[String]): Int = {
+    val f = fs(spark, path)
+    val sp = new Path(staging)
+    f.listStatus(sp)
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        !keep(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, false))
+    writeStats(f, sp, spark.sparkContext.hadoopConfiguration)
+    f.create(new Path(sp, s"_TS_${System.currentTimeMillis()}")).close()
+    f.create(new Path(sp, SuccessMarker)).close()
+    val dst = new Path(path, s"v=$v")
+    if (f.exists(dst) && !f.exists(new Path(dst, SuccessMarker)))
+      f.delete(dst, true) // legacy torn dir: reclaim (commit's belt)
+    require(!f.exists(dst) && f.rename(sp, dst),
+      s"publishStaged: claimed slot v=$v at $path was occupied — " +
+        "claims and versions have diverged; run vacuum")
+    v
+  }
+
+  /** ABORT a staged commit: drop the staging dir and release the
+    * claimed slot (store-routed delete, so a metastore-backed claim
+    * row goes too). */
+  private[graft] def abortStaged(spark: SparkSession, path: String,
+      v: Int, staging: String): Unit = {
+    val f = fs(spark, path)
+    f.delete(new Path(staging), true)
+    LogStore.forSession(spark).delete(f, new Path(path, s".claim-v=$v"))
+  }
+
+  /** The head version IF it is a checkpoint — the state row-level SQL
+    * DML scans read directly (each key exactly once, tombstones
+    * resolved away). */
+  private[graft] def headCheckpointVersion(spark: SparkSession,
+      path: String): Option[Int] = {
+    val head = latestVersion(spark, path)
+    if (checkpoints(spark, path).contains(head)) Some(head) else None
+  }
+
   /** Commit wall-clock time (epoch millis) per committed version, from
     * the `_TS_` marker stamped atomically with each commit. */
   def commitTimes(spark: SparkSession, path: String): Map[Int, Long] = {

@@ -15,9 +15,11 @@ import org.apache.spark.sql.connector.catalog.{
   TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo,
+  V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -352,11 +354,22 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     ident: Identifier, path: String, version: Int,
     props: Map[String, String]) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
 
-  private val fullSchema: StructType =
-    Versioned.sliceSchema(spark, path,
+  // parquet-derived slice schema, with the declared key column (when
+  // the `key` property is set) marked NON-nullable: it is the table's
+  // primary key by contract — the MOR resolve is keyed on it, ANSI
+  // inserts null-check it, and Spark's row-level DML requires a
+  // non-nullable rowId attribute
+  private val fullSchema: StructType = {
+    val raw = Versioned.sliceSchema(spark, path,
       Versioned.asOfVersions(spark, path, version))
+    props.get(GraftCatalog.KeyProp) match {
+      case Some(k) => StructType(raw.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f))
+      case None => raw
+    }
+  }
 
   private val (metaFields, dataFields) =
     fullSchema.fields.partition(f => Versioned.MetaCols.contains(f.name))
@@ -380,7 +393,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
       TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, version, fullSchema)
+    new GraftScanBuilder(spark, path,
+      () => Versioned.asOfVersions(spark, path, version), fullSchema)
 
   /** INSERT INTO / CTAS / df.writeTo(...).append — ONE committed
     * version per insert, through [[Versioned.append]] (same contract:
@@ -404,6 +418,23 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
           }
       }
     }
+
+  /** UPDATE / MERGE INTO / non-translatable DELETE — the delta-based
+    * row-level operation ([[GraftRowOperation]]): scan the head
+    * checkpoint, append update rows + tombstones as ONE staged commit.
+    * Needs the `key` table property, like DELETE. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val keyCol = props.getOrElse(GraftCatalog.KeyProp,
+      sys.error(s"graft table $path has no '${GraftCatalog.KeyProp}' " +
+        "table property; row-level DML resolves keys — CREATE TABLE … " +
+        s"TBLPROPERTIES ('${GraftCatalog.KeyProp}' = '<col>') or ALTER " +
+        "TABLE … SET TBLPROPERTIES"))
+    require(dataFields.exists(_.name == keyCol),
+      s"graft table $path: key property '$keyCol' is not a column")
+    () => new GraftRowOperation(spark, path, keyCol,
+      StructType(dataFields), info.command())
+  }
 
   /** DELETE FROM … WHERE — [[Versioned.deleteWhere]]: tombstone every
     * CURRENT key matching the predicate, one commit. Needs the `key`

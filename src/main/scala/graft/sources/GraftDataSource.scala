@@ -159,13 +159,18 @@ private[sources] class GraftTable(tableSchema: StructType,
     val spark = SparkSession.active
     // travel options arrive via the TABLE options (DataFrameReader
     // merges .option(...) into the table properties)
+    val version = GraftDataSource.versionOf(spark, options)
     new GraftScanBuilder(spark, path,
-      GraftDataSource.versionOf(spark, options), tableSchema)
+      () => Versioned.asOfVersions(spark, path, version), tableSchema)
   }
 }
 
+/** V2 scan over an explicit version-dir slice (a thunk, so callers
+  * that may be optimized away — e.g. a row-level DML scan superseded
+  * by a metadata-only delete — never pay or enforce it). */
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
-    version: Int, tableSchema: StructType) extends ScanBuilder
+    versionSlice: () => Seq[Int], tableSchema: StructType)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var filters: Array[Filter] = Array.empty
@@ -182,7 +187,7 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     required = requiredSchema
 
   override def build(): Scan = {
-    val vs = Versioned.asOfVersions(spark, path, version)
+    val vs = versionSlice()
     val pruned = Versioned.pruneFilesForBounds(spark, path, vs,
       GraftDataSource.boundsOf(filters.toSeq))
     // all files pruned => any of the dirs yields the right (empty)

@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter,
+  DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.{
+  ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.types.{
+  BooleanType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.Versioned
+
+/**
+ * Row-level SQL DML (`UPDATE`, `MERGE INTO`, and predicate `DELETE`s
+ * the metadata path can't translate) for [[graft.io.Versioned]]
+ * tables, as a DELTA-based V2 row-level operation — the natural fit
+ * for a merge-on-read log: matched rows become APPENDED deltas
+ * (updates as new-version rows, deletes as tombstones), never file
+ * rewrites.
+ *
+ * The operation's table scan must produce each key's CURRENT row
+ * exactly once (Spark joins it with the MERGE source and raises
+ * MERGE_CARDINALITY_VIOLATION on duplicate matches), so it reads the
+ * head CHECKPOINT directly — a pure file scan of the resolved
+ * snapshot. When the head is not a checkpoint the scan refuses with
+ * the fix spelled out (`CALL <catalog>.system.compact(...)`): the
+ * compact-then-merge rhythm is the same O(table) cost copy-on-write
+ * engines pay inside every MERGE, made explicit and amortizable
+ * across many DMLs here. Translatable `DELETE FROM` never hits this
+ * path — Spark's optimizer swaps it to the metadata delete
+ * ([[GraftCatalogTable.deleteWhere]]), which works at any head.
+ *
+ * The write side is ONE staged commit shared by all tasks: the driver
+ * claims a version slot and a staging dir
+ * ([[Versioned.beginStagedCommit]]), executors write parquet parts
+ * straight into it ([[ParquetOutputWriter]] — Spark's own row
+ * writer), and commit publishes with the standard atomic rename,
+ * keeping only files named in task commit messages (speculative or
+ * retried attempts prune away). An UPDATE that changes the key column
+ * itself writes tombstone(old key) + row(new key); a plain update
+ * writes just the new row (the within-commit `__seq` order resolves
+ * same-key pairs).
+ */
+private[sources] class GraftRowOperation(spark: SparkSession,
+    path: String, keyCol: String, dataSchema: StructType,
+    cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft row-level $cmd on $path (delta append over the head checkpoint)"
+
+  // the rowId attribute must be non-nullable (Spark validates) — true
+  // by construction for a checkpoint scan: the resolve is KEYED on
+  // this column, a null key never survives it
+  private val scanSchema = StructType(dataSchema.fields.map(f =>
+    if (f.name == keyCol) f.copy(nullable = false) else f))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, path, () => Seq(
+      Versioned.headCheckpointVersion(spark, path).getOrElse(sys.error(
+        s"row-level SQL $cmd at $path reads the resolved snapshot: the " +
+          "table head must be a checkpoint — run CALL " +
+          "<catalog>.system.compact('<table>') first (translatable " +
+          "DELETE predicates skip this via the metadata delete)"))),
+      scanSchema)
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(keyCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new GraftDeltaBatchWrite(spark, path, info.schema(),
+            info.rowIdSchema().orElse(StructType(Seq(
+              dataSchema(dataSchema.fieldIndex(keyCol))))))
+      }
+    }
+}
+
+/** One staged commit shared by every task of the DML write. */
+private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
+    path: String, rowSchema: StructType, idSchema: StructType)
+    extends DeltaBatchWrite {
+
+  // claimed when Spark asks for the writer factory (execution start);
+  // read by commit/abort on the driver afterwards
+  @volatile private var claimed: (Int, String) = _
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    claimed = Versioned.beginStagedCommit(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val sqlc = spark.sessionState.conf
+    // what ParquetFileFormat.prepareWrite wires for DataFrame writes
+    // (ParquetWriteSupport.init ASSERTS these are explicitly set):
+    conf.set("parquet.compression",
+      sqlc.getConfString("spark.sql.parquet.compression.codec", "snappy"))
+    conf.set("spark.sql.parquet.writeLegacyFormat",
+      sqlc.writeLegacyParquetFormat.toString)
+    conf.set("spark.sql.parquet.outputTimestampType",
+      sqlc.parquetOutputTimestampType.toString)
+    conf.set("spark.sql.parquet.fieldId.write.enabled",
+      sqlc.parquetFieldIdWriteEnabled.toString)
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      sqlc.getConfString(
+        "spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite",
+      sqlc.getConfString("spark.sql.parquet.datetimeRebaseModeInWrite",
+        "EXCEPTION"))
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite",
+      sqlc.getConfString("spark.sql.parquet.int96RebaseModeInWrite",
+        "EXCEPTION"))
+    GraftDeltaWriterFactory(claimed._2, claimed._1, rowSchema, idSchema,
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val keep = messages.collect {
+      case GraftDeltaCommit(file) if file.nonEmpty => file
+    }.toSet
+    Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+}
+
+private[sources] case class GraftDeltaCommit(file: String)
+    extends WriterCommitMessage
+
+private[sources] case class GraftDeltaWriterFactory(staging: String,
+    version: Int, rowSchema: StructType, idSchema: StructType,
+    conf: SerializableConfiguration) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(staging, version, rowSchema, idSchema,
+      conf, partitionId, taskId)
+}
+
+/**
+ * Per-task delta writer: appends MOR rows — the full new row for
+ * inserts/updates, a key-only tombstone for deletes — into one
+ * parquet part in the shared staging dir, stamping the commit-log
+ * columns ([[Versioned.commit]]'s job on the DataFrame path). The
+ * parquet file is Spark's own [[ParquetOutputWriter]], so types,
+ * timestamps, and compression match DataFrame-written commits.
+ */
+private[sources] class GraftDeltaWriter(staging: String, version: Int,
+    rowSchema: StructType, idSchema: StructType,
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-graftdml.parquet"
+
+  // output layout: row columns, then id columns the row schema lacks
+  // (a DELETE-only write has an empty row schema), then the log
+  // columns. All nullable: tombstones carry nulls outside the key.
+  private val extraIdFields =
+    idSchema.fields.filterNot(f => rowSchema.fieldNames.contains(f.name))
+  private val outSchema = StructType(
+    (rowSchema.fields ++ extraIdFields)
+      .map(f => StructField(f.name, f.dataType, nullable = true)) ++ Seq(
+      StructField(Versioned.DeletedCol, BooleanType, nullable = false),
+      StructField(Versioned.MergeCol, BooleanType, nullable = false),
+      StructField(Versioned.CkptCol, BooleanType, nullable = false),
+      StructField(Versioned.VersionCol, IntegerType, nullable = false),
+      StructField(Versioned.SeqCol, LongType, nullable = false)))
+  private val nData = rowSchema.length + extraIdFields.length
+  private val deletedAt = nData
+  private val mergeAt = nData + 1
+  private val ckptAt = nData + 2
+  private val versionAt = nData + 3
+  private val seqAt = nData + 4
+  // id column positions in the OUT row, and in the ROW schema (for
+  // the update() key-change check), aligned by name
+  private val idOutPos = idSchema.fields.map(f =>
+    outSchema.fieldIndex(f.name))
+  private val idRowPos = idSchema.fields.map(f =>
+    rowSchema.fieldNames.indexOf(f.name))
+  private var seq = 0L
+
+  private lazy val writer: ParquetOutputWriter = {
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    // what ParquetFileFormat.prepareWrite wires for DataFrame writes:
+    // the InternalRow write support + its row schema
+    c.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(outSchema, c)
+    val tid = new TaskAttemptID(
+      new TaskID(new JobID(s"graftdml-v$version", 0), TaskType.MAP,
+        partitionId), taskId.toInt)
+    new ParquetOutputWriter(s"$staging/$fileName",
+      new TaskAttemptContextImpl(c, tid))
+  }
+  private var opened = false
+
+  private def emit(fill: GenericInternalRow => Unit,
+      deleted: Boolean): Unit = {
+    val out = new GenericInternalRow(outSchema.length)
+    fill(out)
+    out.update(deletedAt, deleted)
+    out.update(mergeAt, false)
+    out.update(ckptAt, false)
+    out.update(versionAt, version)
+    // task-unique, monotonic within the task: same-key tombstone+row
+    // pairs resolve to the later write
+    out.update(seqAt, (partitionId.toLong << 40) | seq)
+    seq += 1
+    opened = true
+    writer.write(out)
+  }
+
+  override def insert(row: InternalRow): Unit =
+    emit(out => copyRow(row, out), deleted = false)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    // key changed by SET? then the old key must die for the new row
+    // to be an insert, not a shadow
+    val keyChanged = idRowPos.indices.exists { i =>
+      idRowPos(i) >= 0 && !java.util.Objects.equals(
+        valueAt(id, i, idSchema.fields(i).dataType),
+        valueAt(row, idRowPos(i), idSchema.fields(i).dataType))
+    }
+    if (keyChanged) delete(meta, id)
+    emit(out => copyRow(row, out), deleted = false)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    emit(out => idOutPos.indices.foreach(i => out.update(idOutPos(i),
+      valueAt(id, i, idSchema.fields(i).dataType))), deleted = true)
+
+  private def copyRow(row: InternalRow, out: GenericInternalRow): Unit = {
+    var i = 0
+    while (i < rowSchema.length) {
+      out.update(i, valueAt(row, i, rowSchema.fields(i).dataType))
+      i += 1
+    }
+  }
+
+  private def valueAt(row: InternalRow, i: Int,
+      dt: org.apache.spark.sql.types.DataType): Any =
+    if (row.isNullAt(i)) null else row.get(i, dt)
+
+  override def commit(): WriterCommitMessage = {
+    if (opened) { writer.close(); GraftDeltaCommit(fileName) }
+    else GraftDeltaCommit("") // wrote nothing: no file to keep
+  }
+
+  override def abort(): Unit = {
+    if (opened) writer.close()
+    // best-effort: the driver-side publish prunes uncommitted files
+    // anyway; this just frees space early
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$staging/$fileName")
+      p.getFileSystem(conf.value).delete(p, false)
+      ()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
+}

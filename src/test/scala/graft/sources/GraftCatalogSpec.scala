@@ -141,6 +141,68 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
   }
 
+  test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +
+      "over the head checkpoint (one commit each); key-changing " +
+      "UPDATE retires the old key; refused without a checkpoint") {
+    spark.sql("CREATE TABLE graft_test.t6 (k BIGINT, s STRING, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/t6"
+    spark.sql("INSERT INTO graft_test.t6 " +
+      "SELECT id, concat('s', id), id * 2 FROM range(10)")
+    // UPDATE before any checkpoint → loud refusal naming the fix
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_test.t6 SET x = 0 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    spark.sql("CALL graft_test.system.compact('t6')")
+    spark.sql("UPDATE graft_test.t6 SET x = x + 100 WHERE k < 2")
+    val cur = Versioned.current(spark, path, "k")
+    assert(cur.filter(col("k") < 2).select("x")
+      .as[Long].collect().toSet == Set(100L, 102L))
+    assert(cur.count() == 10)
+    // MERGE: update + delete + insert in ONE statement = ONE commit
+    spark.sql("CALL graft_test.system.compact('t6')")
+    val vBefore = Versioned.latestVersion(spark, path)
+    Seq((0L, "u"), (5L, "d"), (100L, "i")).toDF("k", "tag")
+      .createOrReplaceTempView("t6src")
+    spark.sql(
+      """MERGE INTO graft_test.t6 t USING t6src s ON t.k = s.k
+        |WHEN MATCHED AND s.tag = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET x = t.x + 1000
+        |WHEN NOT MATCHED THEN INSERT (k, s, x) VALUES (s.k, 'new', 42)
+        |""".stripMargin)
+    assert(Versioned.latestVersion(spark, path) == vBefore + 1)
+    val c2 = Versioned.current(spark, path, "k")
+    assert(c2.count() == 10) // 10 − 1 deleted + 1 inserted
+    assert(c2.filter(col("k") === 0).select("x").as[Long].head() == 1100L)
+    assert(c2.filter(col("k") === 5).count() == 0)
+    assert(c2.filter(col("k") === 100).select("s", "x")
+      .as[(String, Long)].head() == ("new", 42L))
+    // the pre-MERGE state is still one VERSION AS OF away (the raw
+    // slice resolved by the metadata-column window, as ever)
+    assert(spark.sql(
+      s"""SELECT count(*) AS c FROM (
+         |  SELECT k, __deleted, row_number() OVER (PARTITION BY k
+         |    ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM graft_test.t6 VERSION AS OF $vBefore)
+         |WHERE rk = 1 AND NOT __deleted""".stripMargin)
+      .as[Long].head() == 10)
+    // a DELETE the metadata path can't translate (modulo) takes the
+    // row-level path
+    spark.sql("CALL graft_test.system.compact('t6')")
+    spark.sql("DELETE FROM graft_test.t6 WHERE k % 2 = 1")
+    val c3 = Versioned.current(spark, path, "k")
+    assert(c3.filter(col("k") % 2 === 1).count() == 0)
+    assert(c3.count() == 6) // of {0,1,2,3,4,6,7,8,9,100}: odd {1,3,7,9} die
+    // key-changing UPDATE: tombstone(old key) + row(new key)
+    spark.sql("CALL graft_test.system.compact('t6')")
+    spark.sql("UPDATE graft_test.t6 SET k = 1000 WHERE k = 2")
+    val c4 = Versioned.current(spark, path, "k")
+    assert(c4.filter(col("k") === 2).count() == 0)
+    assert(c4.filter(col("k") === 1000).select("x").as[Long].head() == 4L)
+    assert(c4.count() == 6)
+  }
+
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
       "column-mapped tables, RENAME") {

@@ -1515,6 +1515,63 @@ object Queries {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Streaming ingest through the V2 SINK face (r11 —
+    * [[graft.sources.GraftStreamingWrite]]): the documents corpus
+    * staged as a 3-file dir, streamed `maxFilesPerTrigger=1` with
+    * `writeStream…toTable` into a catalog table — THREE micro-batches,
+    * each ONE batch-marked commit written by distributed streaming
+    * writers (no foreachBatch, no driver frame). The read resolves
+    * current state through the metadata-column window; the oracle is
+    * the plain documents table, so a dropped batch, a double-applied
+    * replay, or a mis-written row all hash-mismatch. */
+  def tableSqlStream(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.sqlstream_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/sqlstream_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val inDir = s"target/tmp/sqlstream-in-$tag"
+      val ckpt = s"target/tmp/sqlstream-ckpt-$tag"
+      // a stale checkpoint against a freshly dropped table would skip
+      // "already committed" batches — reset both together
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      val fsys = ckptPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fsys.exists(ckptPath)) fsys.delete(ckptPath, true)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(inDir)
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id')")
+      val schema = spark.read.parquet(inDir).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(tbl)
+        .awaitTermination()
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableSqlStreamSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val tableSqlMergeSql: String =
     """WITH cur AS (
       |  SELECT d.doc_id, d.lang,
@@ -2130,6 +2187,7 @@ object Queries {
     "q_table_sql_asof" -> tableSqlAsof _,
     "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_table_sql_merge" -> tableSqlMerge _,
+    "q_table_sql_stream" -> tableSqlStream _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -2189,6 +2247,7 @@ object Queries {
     "q_table_sql_asof" -> tableSqlAsofSql,
     "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_table_sql_merge" -> tableSqlMergeSql,
+    "q_table_sql_stream" -> tableSqlStreamSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

@@ -388,16 +388,19 @@ object Versioned {
 
   /** PUBLISH a staged commit: prune parquet parts not in `keep`
     * (files of aborted or speculative task attempts), stamp footer
-    * stats + the commit-time `_TS_` + the success marker, then the one
-    * atomic rename to `v=N`. */
+    * stats + the commit-time `_TS_` + any extra marker files (e.g. a
+    * `_BATCH_<id>` idempotency marker) + the success marker, then the
+    * one atomic rename to `v=N`. */
   private[graft] def publishStaged(spark: SparkSession, path: String,
-      v: Int, staging: String, keep: Set[String]): Int = {
+      v: Int, staging: String, keep: Set[String],
+      markers: Seq[String] = Nil): Int = {
     val f = fs(spark, path)
     val sp = new Path(staging)
     f.listStatus(sp)
       .filter(s => s.getPath.getName.endsWith(".parquet") &&
         !keep(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, false))
+    markers.foreach(m => f.create(new Path(sp, m)).close())
     writeStats(f, sp, spark.sparkContext.hadoopConfiguration)
     f.create(new Path(sp, s"_TS_${System.currentTimeMillis()}")).close()
     f.create(new Path(sp, SuccessMarker)).close()
@@ -418,6 +421,19 @@ object Versioned {
     val f = fs(spark, path)
     f.delete(new Path(staging), true)
     LogStore.forSession(spark).delete(f, new Path(path, s".claim-v=$v"))
+  }
+
+  /** Whether an idempotency marker file is already committed — the
+    * [[appendBatch]]-style replay guard, shared with the streaming V2
+    * sink (whose markers are `_BATCH_<queryId>_<epoch>`: epoch ids
+    * restart at 0 per checkpoint, so the checkpoint-stable query id
+    * scopes them). Same vacuum caveat as appendBatch: do not vacuum
+    * while an ingestor may still replay an uncheckpointed batch. */
+  private[graft] def markerCommitted(spark: SparkSession, path: String,
+      marker: String): Boolean = {
+    val f = fs(spark, path)
+    versions(spark, path)
+      .exists(v => f.exists(new Path(s"$path/v=$v", marker)))
   }
 
   /** The head version IF it is a checkpoint — the state row-level SQL
@@ -1523,7 +1539,9 @@ object Versioned {
     versions(spark, viewPath).flatMap { v =>
       f.listStatus(new Path(s"$viewPath/v=$v")).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_BATCH_"))
-        .map(_.stripPrefix("_BATCH_").toInt)
+        // streaming-sink markers are `_BATCH_<queryId>_<epoch>` —
+        // not view refresh markers; ignore the non-integer shape
+        .flatMap(_.stripPrefix("_BATCH_").toIntOption)
     }.maxOption.getOrElse(0)
   }
 

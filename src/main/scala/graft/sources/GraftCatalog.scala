@@ -390,7 +390,7 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path,
@@ -401,7 +401,9 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     * at most one row per key per commit for clean MOR resolve). The
     * V1 fallback hands us the whole DataFrame, which is exactly what
     * the commit protocol wants — no per-task writer state to manage,
-    * the atomic-rename publish IS the commit. */
+    * the atomic-rename publish IS the commit. The STREAMING face
+    * (`df.writeStream…toTable(…)`) is [[GraftStreamingWrite]]: one
+    * exactly-once batch-marked commit per micro-batch. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new V1Write {
@@ -416,6 +418,10 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
               ()
             }
           }
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new GraftStreamingWrite(spark, path, info.schema(),
+            info.queryId())
       }
     }
 

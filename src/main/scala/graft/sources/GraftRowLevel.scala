@@ -12,6 +12,8 @@ import org.apache.spark.sql.connector.write.{
   DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter,
   DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{
   ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.types.{
@@ -104,10 +106,32 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     claimed = Versioned.beginStagedCommit(spark, path)
+    GraftDeltaWriterFactory(claimed._2, claimed._1, rowSchema, idSchema,
+      new SerializableConfiguration(GraftWriteConf.prepared(spark)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val keep = messages.collect {
+      case GraftDeltaCommit(file) if file.nonEmpty => file
+    }.toSet
+    Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+}
+
+private[sources] case class GraftDeltaCommit(file: String)
+    extends WriterCommitMessage
+
+/** The hadoop conf a direct [[ParquetOutputWriter]] needs — what
+  * `ParquetFileFormat.prepareWrite` wires for DataFrame writes
+  * ([[ParquetWriteSupport]].init ASSERTS these are explicitly set). */
+private[sources] object GraftWriteConf {
+  def prepared(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
     val conf = spark.sessionState.newHadoopConf()
     val sqlc = spark.sessionState.conf
-    // what ParquetFileFormat.prepareWrite wires for DataFrame writes
-    // (ParquetWriteSupport.init ASSERTS these are explicitly set):
     conf.set("parquet.compression",
       sqlc.getConfString("spark.sql.parquet.compression.codec", "snappy"))
     conf.set("spark.sql.parquet.writeLegacyFormat",
@@ -125,24 +149,68 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     conf.set("spark.sql.parquet.int96RebaseModeInWrite",
       sqlc.getConfString("spark.sql.parquet.int96RebaseModeInWrite",
         "EXCEPTION"))
-    GraftDeltaWriterFactory(claimed._2, claimed._1, rowSchema, idSchema,
-      new SerializableConfiguration(conf))
+    conf
+  }
+}
+
+/**
+ * Structured-Streaming sink for the catalog table
+ * (`df.writeStream…toTable("<catalog>.<t>")`): each micro-batch is
+ * ONE staged commit carrying its `_BATCH_<epoch>` idempotency marker,
+ * published only if no committed version already carries that marker
+ * — so a replayed epoch (crash between sink commit and checkpoint
+ * write) discards its staging instead of double-appending: the same
+ * exactly-once contract as [[Versioned.appendBatch]], through the V2
+ * sink API. Epochs run sequentially per query, so one in-flight
+ * claim at a time.
+ */
+private[sources] class GraftStreamingWrite(spark: SparkSession,
+    path: String, rowSchema: StructType, queryId: String)
+    extends StreamingWrite {
+
+  @volatile private var claimed: (Int, String) = _
+
+  // epoch ids restart at 0 for every NEW checkpoint, so the marker is
+  // scoped by the checkpoint-STABLE query id (survives restarts of
+  // the same query; distinct for a second query into the same table)
+  private def marker(epochId: Long) = s"_BATCH_${queryId}_$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    claimed = Versioned.beginStagedCommit(spark, path)
+    GraftStreamingWriterFactory(claimed._2, claimed._1, rowSchema,
+      new SerializableConfiguration(GraftWriteConf.prepared(spark)))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val keep = messages.collect {
-      case GraftDeltaCommit(file) if file.nonEmpty => file
-    }.toSet
-    Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep)
-    ()
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (Versioned.markerCommitted(spark, path, marker(epochId))) {
+      // replayed epoch: its rows are already at rest — drop the stage
+      Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+    } else {
+      val keep = messages.collect {
+        case GraftDeltaCommit(file) if file.nonEmpty => file
+      }.toSet
+      Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
+        markers = Seq(marker(epochId)))
+      ()
+    }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
     Versioned.abortStaged(spark, path, claimed._1, claimed._2)
 }
 
-private[sources] case class GraftDeltaCommit(file: String)
-    extends WriterCommitMessage
+private[sources] case class GraftStreamingWriterFactory(staging: String,
+    version: Int, rowSchema: StructType,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDeltaWriter(staging, version, rowSchema, StructType(Nil),
+      conf, partitionId, taskId)
+}
 
 private[sources] case class GraftDeltaWriterFactory(staging: String,
     version: Int, rowSchema: StructType, idSchema: StructType,
@@ -230,6 +298,10 @@ private[sources] class GraftDeltaWriter(staging: String, version: Int,
 
   override def insert(row: InternalRow): Unit =
     emit(out => copyRow(row, out), deleted = false)
+
+  /** Plain-append face (the streaming sink's writer): every row is an
+    * insert. */
+  override def write(row: InternalRow): Unit = insert(row)
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {

@@ -203,6 +203,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(c4.count() == 6)
   }
 
+  test("streaming sink: writeStream…toTable commits one batch-marked " +
+      "version per micro-batch; a replayed epoch is discarded " +
+      "(exactly-once); TRUNCATE TABLE tombstones every current key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE graft_test.t7 (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/t7"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L)
+    val q = ms.toDF().select(col("value").as("k"),
+        (col("value") * 10).as("x"))
+      .writeStream
+      .option("checkpointLocation", "target/tmp/graft-cat-spec/ckpt-t7")
+      .toTable("graft_test.t7")
+    try {
+      q.processAllAvailable()
+      ms.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Versioned.current(spark, path, "k").count() == 3)
+    // each micro-batch is one commit carrying its idempotency marker
+    val det = spark.sql("CALL graft_test.system.detail('t7')")
+      .as[(Int, Option[Long], Boolean, Boolean, Option[String], Int, Long)]
+      .collect()
+    assert(det.count(_._5.isDefined) == 2)
+    // sink-API-level replay: re-deliver an ALREADY-COMMITTED epoch of
+    // the same query — staged, then discarded at commit; and a
+    // DIFFERENT query's epoch 0 still lands (markers are query-scoped)
+    val epoch0 = det.filter(_._5.isDefined).map(_._5.get).min
+      .split('_').last.toLong
+    val qid = det.filter(_._5.isDefined).map(_._5.get).min
+      .split('_').dropRight(1).mkString("_")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    def deliver(writeQid: String, epoch: Long, k: Long): Unit = {
+      val sw = new GraftStreamingWrite(spark, path, schema, writeQid)
+      val factory = sw.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val w = factory.createWriter(0, 0L, epoch)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(k, k * 10))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    val vBefore = Versioned.latestVersion(spark, path)
+    deliver(qid, epoch0, 999L) // replay of a committed epoch: no-op
+    assert(Versioned.latestVersion(spark, path) == vBefore)
+    assert(Versioned.current(spark, path, "k").count() == 3)
+    deliver("other-query", epoch0, 4L) // different query: lands
+    assert(Versioned.current(spark, path, "k").count() == 4)
+    // TRUNCATE TABLE = deleteWhere(true): every current key tombstoned
+    spark.sql("TRUNCATE TABLE graft_test.t7")
+    assert(Versioned.current(spark, path, "k").count() == 0)
+    // history is intact: the pre-truncate state is travelable
+    assert(spark.sql(s"SELECT count(*) AS c FROM (SELECT k, __deleted, " +
+      s"row_number() OVER (PARTITION BY k ORDER BY __v DESC, __seq DESC) rk " +
+      s"FROM graft_test.t7 VERSION AS OF ${Versioned.latestVersion(spark, path) - 1}) " +
+      "WHERE rk = 1 AND NOT __deleted").as[Long].head() == 4)
+  }
+
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
       "column-mapped tables, RENAME") {

@@ -619,6 +619,31 @@ object PipelineQueries {
        |ORDER BY es_key, doc_id LIMIT 100""".stripMargin
   }
 
+  /** Deterministic training-export manifest ([[Splits.exportManifest]]
+    * — the "global shuffle then shard" step before a training run):
+    * every document's shard and within-shard order derive from a
+    * salted content-id hash, so any rerun on any cluster layout
+    * produces identical shards; the manifest row per shard (count,
+    * n_chars payload budget, order-insensitive exact-integer content
+    * fingerprint) is what the training job checks before reading. The
+    * oracle recomputes shard assignment AND the md5-sum fingerprint
+    * from scratch, so a row landing in the wrong shard, dropped,
+    * doubled, or with mutated text all hash-mismatch. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    Splits.exportManifest(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "n_chars", nShards = 8)
+      .orderBy("shard")
+
+  val exportManifestSql: String = {
+    val h = Dedup.tokenIdSql("'exp:' || CAST(doc_id AS VARCHAR)")
+    val fp = Dedup.tokenIdSql("CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+    s"""SELECT CAST($h % 8 AS INT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(n_chars) AS BIGINT) AS payload,
+       |  CAST(SUM($fp) AS BIGINT) AS fp
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   /** Edit-distance near-dup pairs over the near-dup corpus
     * ([[Dedup.editNearDup]]): prefix-24 blocking pairs each doc with its
     * truncated copy (suffix edits preserve the block key), full-text
@@ -3830,6 +3855,7 @@ object PipelineQueries {
     "q_quality_filter" -> qualityFilter _,
     "q_sample_stratified" -> sampleStratified _,
     "q_sample_weighted" -> sampleWeighted _,
+    "q_export_manifest" -> exportManifest _,
     "q_dedup_edit" -> dedupEdit _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_semdedup" -> semDedup _,
@@ -3922,6 +3948,7 @@ object PipelineQueries {
     "q_quality_filter" -> qualityFilterSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_export_manifest" -> exportManifestSql,
     "q_dedup_edit" -> dedupEditSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_semdedup" -> semDedupSql,

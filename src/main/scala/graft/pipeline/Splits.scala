@@ -83,4 +83,55 @@ object Splits {
       .orderBy(col("es_key"), col(idCol))
       .limit(k)
   }
+
+  /**
+   * Deterministic training-export sharding — the "global shuffle then
+   * shard" materialization step before a training run. Each row's
+   * `shard` and within-shard order key `pos` derive from a salted
+   * content-id hash ([[Dedup.tokenId]]): source-layout neighbors
+   * scatter across shards, and every rerun — on any cluster size, any
+   * input partitioning — produces the SAME shard membership and the
+   * SAME within-shard order (ties on `pos` broken by id downstream).
+   * Pure projection; the export write is [[exportLayout]].
+   */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "exp"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = Dedup.tokenId(concat(lit(salt + ":"), col(idCol).cast("string")))
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("pos", h)
+  }
+
+  /**
+   * The frame laid out for the export write: every shard's rows
+   * CO-LOCATED in a single output partition (shards may share a
+   * partition — hash placement — but never split), contiguous and in
+   * deterministic `(pos, id)` order — what `write.partitionBy("shard")`
+   * (or a per-shard tar/record writer) consumes to produce byte-stable
+   * training shards. ONE hash shuffle on `shard` + a partition-local
+   * sort; no global sort at any scale.
+   */
+  def exportLayout(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "exp"): DataFrame =
+    exportShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
+
+  /**
+   * Per-shard export MANIFEST — what the training job verifies before
+   * reading: row count, payload total (e.g. token or char budget per
+   * shard), and an order-insensitive content fingerprint (exact
+   * integer sum of per-row `tokenId(id:md5(content))` — a lost,
+   * duplicated, or mutated row changes it; summing keeps it exact in
+   * BIGINT up to ~2^32 rows per shard). One map-side-combined
+   * aggregation over the corpus.
+   */
+  def exportManifest(df: DataFrame, idCol: String, contentCol: String,
+      payloadCol: String, nShards: Int, salt: String = "exp"): DataFrame =
+    exportShards(df, idCol, nShards, salt)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(payloadCol)).cast("long").as("payload"),
+        sum(Dedup.tokenId(concat(col(idCol).cast("string"), lit(":"),
+          md5(col(contentCol))))).cast("long").as("fp"))
 }

@@ -184,6 +184,47 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("exportShards/exportLayout: layout-independent shard membership " +
+      "and within-shard order; manifest fingerprints detect mutation") {
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("text", concat(lit("doc"), col("id")))
+      .withColumn("n", col("id") % 50)
+    val a = Splits.exportLayout(df, "id", nShards = 4)
+    // every shard wholly inside ONE partition, contiguous and
+    // pos-ordered (shards may share a partition; they never split)
+    val perPart = a.select("shard", "pos").rdd
+      .mapPartitions(it => Iterator.single(it.map(r =>
+        (r.getInt(0), r.getLong(1))).toSeq)).collect()
+    val shardHome = perPart.zipWithIndex.flatMap { case (p, i) =>
+      p.map(_._1).distinct.map(_ -> i)
+    }
+    assert(shardHome.map(_._1).distinct.size == shardHome.size,
+      s"a shard spans partitions: ${shardHome.toSeq}")
+    perPart.filter(_.nonEmpty).foreach { p =>
+      assert(p.map(_._1) == p.map(_._1).sorted, "shards not contiguous")
+      p.groupBy(_._1).values.foreach(s =>
+        assert(s.map(_._2).toSeq == s.map(_._2).toSeq.sorted,
+          "pos not sorted within shard"))
+    }
+    // membership and order survive a hostile input layout
+    val b = Splits.exportLayout(
+      df.repartition(13, col("n")).sortWithinPartitions(desc("text")),
+      "id", nShards = 4)
+    assert(a.select("id", "shard", "pos").collect().map(_.toSeq).toSeq ==
+      b.select("id", "shard", "pos").collect().map(_.toSeq).toSeq)
+    // manifest: stable; any mutated row flips its shard's fingerprint
+    val m1 = Splits.exportManifest(df, "id", "text", "n", 4)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(m1.map(_(1).asInstanceOf[Long]).sum == 1000L)
+    val mutated = df.withColumn("text",
+      when(col("id") === 77, lit("tampered")).otherwise(col("text")))
+    val m2 = Splits.exportManifest(mutated, "id", "text", "n", 4)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(m1 != m2)
+    assert(m1.zip(m2).count { case (x, y) => x != y } == 1,
+      "exactly one shard's manifest row should change")
+  }
+
   test("simhash: identical docs have distance 0, disjoint docs differ") {
     val sigs = Dedup.simhash(docs, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1434,6 +1434,44 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  /** The versioned table as a V2 STREAMING SOURCE (r11 —
+    * [[graft.sources.GraftMicroBatchStream]]): the standard demo log
+    * (bulk, upserts, tombstones) is streamed
+    * `readStream.format("graft")` — commit-version offsets, whole
+    * versions per micro-batch — into a parquet sink, and the SINKED
+    * rows are resolved to current state. Equality with the replayed-
+    * log oracle certifies the stream delivered exactly the log: a
+    * dropped version, a re-delivered batch, or a mangled meta column
+    * all break the resolve. */
+  def tableStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "strsrc")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val sink = s"target/tmp/vstream-sink-$tag"
+    val ckpt = s"target/tmp/vstream-ckpt-$tag"
+    fixtureBuilt.getOrElseUpdate(sink, {
+      Seq(sink, ckpt).foreach { d =>
+        val hp = new org.apache.hadoop.fs.Path(d)
+        val hf = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (hf.exists(hp)) hf.delete(hp, true)
+      }
+      spark.readStream.format("graft").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      ()
+    })
+    Versioned.currentOf(spark.read.parquet(sink), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableStreamReadSql: String = tableCurrentSql
+
   /** CALL-driven maintenance certified end-to-end (r11 —
     * [[graft.sources.GraftProcedures]]): its OWN table takes the same
     * SQL lifecycle, then `CALL graft_sql.system.compact` (checkpoint
@@ -2188,6 +2226,7 @@ object Queries {
     "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_table_sql_merge" -> tableSqlMerge _,
     "q_table_sql_stream" -> tableSqlStream _,
+    "q_table_stream_read" -> tableStreamRead _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -2248,6 +2287,7 @@ object Queries {
     "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_table_sql_merge" -> tableSqlMergeSql,
     "q_table_sql_stream" -> tableSqlStreamSql,
+    "q_table_stream_read" -> tableStreamReadSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

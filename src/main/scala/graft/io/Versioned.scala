@@ -436,6 +436,29 @@ object Versioned {
       .exists(v => f.exists(new Path(s"$path/v=$v", marker)))
   }
 
+  /** The version-dir slice a STREAMING read delivers for the offset
+    * range (fromV, toV] — the V2 micro-batch source's planning rule.
+    * A fresh stream (fromV = 0) gets the standard asOf slice (vacuum
+    * base substituted for the reclaimed prefix, checkpoints excluded);
+    * an incremental range gets the plain non-checkpoint versions in
+    * range, refusing loudly when vacuum reclaimed part of it (the
+    * stream fell behind the retention horizon — data would be lost
+    * silently otherwise). */
+  private[graft] def streamSlice(spark: SparkSession, path: String,
+      fromV: Int, toV: Int): Seq[Int] = {
+    if (fromV <= 0) asOfVersions(spark, path, toV)
+    else {
+      vacuumBase(spark, path).foreach(vb => require(vb <= fromV,
+        s"stream at $path fell behind the vacuum horizon: resuming " +
+          s"after version $fromV but versions below $vb were reclaimed " +
+          "— restart the stream from scratch (initial load re-delivers " +
+          "the base checkpoint)"))
+      val ck = checkpoints(spark, path).toSet
+      versions(spark, path)
+        .filter(v => v > fromV && v <= toV && !ck.contains(v))
+    }
+  }
+
   /** The head version IF it is a checkpoint — the state row-level SQL
     * DML scans read directly (each key exactly once, tombstones
     * resolved away). */

@@ -15,8 +15,11 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
-  Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset => SOffset}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources._
@@ -152,7 +155,8 @@ private[sources] class GraftTable(tableSchema: StructType,
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -186,8 +190,13 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val vs = versionSlice()
+  override def build(): Scan =
+    new GraftScan(spark, path, this, innerScan(versionSlice()))
+
+  /** The pruned parquet scan over an explicit version-dir slice —
+    * shared by the batch read and each streaming micro-batch (which
+    * calls it per offset range, same pushed filters and pruning). */
+  private[sources] def innerScan(vs: Seq[Int]): Scan = {
     val pruned = Versioned.pruneFilesForBounds(spark, path, vs,
       GraftDataSource.boundsOf(filters.toSeq))
     // all files pruned => any of the dirs yields the right (empty)
@@ -214,4 +223,85 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     psb.pruneColumns(required)
     psb.build()
   }
+}
+
+/**
+ * The scan handed to Spark: batch reads and statistics delegate to
+ * the inner pruned parquet scan; `toMicroBatchStream` turns the SAME
+ * builder state (pushed filters, pruned columns, zone maps) into the
+ * version-offset STREAMING source ([[GraftMicroBatchStream]]).
+ */
+private[sources] class GraftScan(spark: SparkSession, path: String,
+    builder: GraftScanBuilder, private[sources] val inner: Scan)
+    extends Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def toBatch: Batch = inner.toBatch
+
+  override def description(): String = s"graft ${inner.description()}"
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(spark, path, builder, inner)
+}
+
+/** Commit-version offset: the stream has delivered every version
+  * `<= v`. */
+private[sources] case class GraftOffset(v: Int) extends SOffset {
+  override def json(): String = v.toString
+}
+
+/**
+ * The versioned table as a STREAMING SOURCE with COMMIT-VERSION
+ * offsets (`spark.readStream.format("graft").load(path)`, or
+ * `.table("<cat>.<t>")`): each micro-batch delivers the version dirs
+ * in (start, end] — whole committed versions, exactly once, planned
+ * at dir granularity. Checkpoint versions are EXCLUDED at planning
+ * time (they duplicate rows the stream already delivered — no row-
+ * wise filtering, no wasted IO, unlike the file-glob
+ * [[Versioned.logStream]]); a fresh stream's initial batch is the
+ * standard asOf slice, so a vacuumed table re-delivers its base
+ * checkpoint as the initial load. Resuming past the vacuum horizon
+ * refuses loudly ([[Versioned.streamSlice]]). Rows carry the commit
+ * columns (`__v`, `__deleted`, …) for downstream CDC handling; the
+ * schema is fixed at stream start.
+ */
+private[sources] class GraftMicroBatchStream(spark: SparkSession,
+    path: String, builder: GraftScanBuilder, fullScan: Scan)
+    extends MicroBatchStream {
+
+  override def initialOffset(): SOffset = GraftOffset(0)
+
+  override def latestOffset(): SOffset =
+    GraftOffset(Versioned.latestVersion(spark, path))
+
+  override def deserializeOffset(json: String): SOffset =
+    GraftOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftOffset].v
+    val b = end.asInstanceOf[GraftOffset].v
+    val vs = Versioned.streamSlice(spark, path, a, b)
+    if (vs.isEmpty) Array.empty
+    else builder.innerScan(vs).toBatch.planInputPartitions()
+  }
+
+  // file-agnostic (schema + conf bound): one factory decodes every
+  // micro-batch's FilePartitions
+  override def createReaderFactory(): PartitionReaderFactory =
+    fullScan.toBatch.createReaderFactory()
+
+  override def commit(end: SOffset): Unit = ()
+
+  override def stop(): Unit = ()
 }

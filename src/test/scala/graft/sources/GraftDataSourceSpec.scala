@@ -30,10 +30,13 @@ class GraftDataSourceSpec extends SparkSpec {
   }
 
   private def scanOf(df: DataFrame): FileScan =
-    df.queryExecution.executedPlan.collectFirst {
+    (df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.getOrElse(fail("no V2 BatchScan in plan:\n" +
-      df.queryExecution.executedPlan)).asInstanceOf[FileScan]
+      df.queryExecution.executedPlan)) match {
+      case g: GraftScan => g.inner // batch face of the wrapping scan
+      case s => s
+    }).asInstanceOf[FileScan]
 
   test("format(\"graft\") resolves by short name; default read == " +
       "latest asOf; versionAsOf and timestampAsOf time-travel") {
@@ -125,5 +128,56 @@ class GraftDataSourceSpec extends SparkSpec {
     val api = Versioned.current(spark, p, "k")
       .select("k", "x").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaV2 == api)
+  }
+
+  test("V2 streaming source: commit-version offsets, checkpoint " +
+      "exclusion at planning, exactly-once resume from the sink " +
+      "checkpoint, vacuum-horizon refusal") {
+    import spark.implicits._
+    val p = freshPath("stream-src")
+    val sink = "target/tmp/gds-stream-sink"
+    val ckpt = "target/tmp/gds-stream-ckpt"
+    Seq(sink, ckpt).foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      val hf = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hf.exists(hp)) hf.delete(hp, true)
+    }
+    Versioned.append((0 until 10).map(i => (i.toLong, i)).toDF("k", "x"), p)
+    Versioned.append((10 until 15).map(i => (i.toLong, i)).toDF("k", "x"), p)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(p)
+        .select("k", "x", Versioned.VersionCol)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def sunk() = spark.read.parquet(sink)
+    assert(sunk().count() == 15)
+    // a compact CHECKPOINT must not re-deliver (excluded at planning)
+    Versioned.compact(spark, p, "k")
+    runOnce()
+    assert(sunk().count() == 15)
+    // new commits resume from the recorded version offset, once each
+    Versioned.append(Seq((100L, 100)).toDF("k", "x"), p)
+    runOnce()
+    assert(sunk().count() == 16)
+    assert(sunk().groupBy("k").count().filter(col("count") > 1).count()
+      == 0, "a version was re-delivered")
+    assert(sunk().select(Versioned.VersionCol).distinct().count() == 3,
+      "three non-checkpoint versions should have streamed")
+    // resuming past the vacuum horizon refuses loudly
+    Versioned.vacuum(spark, p, 0)
+    intercept[IllegalArgumentException] {
+      Versioned.streamSlice(spark, p, fromV = 1,
+        toV = Versioned.latestVersion(spark, p))
+    }
+    // a FRESH stream on the vacuumed table re-delivers the base
+    // checkpoint as its initial load (current state, not nothing)
+    val fresh = Versioned.streamSlice(spark, p, fromV = 0,
+      toV = Versioned.latestVersion(spark, p))
+    assert(fresh.nonEmpty)
   }
 }

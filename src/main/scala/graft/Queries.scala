@@ -1610,6 +1610,49 @@ object Queries {
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** UPDATE through the catalog (r11 — `RewriteUpdateTable` over the
+    * same delta-based row-level operation as MERGE): CREATE + INSERT +
+    * `CALL system.compact`, then ONE UPDATE statement re-stating every
+    * German row (n_chars bumped, source set) as appended new-version
+    * rows. The oracle replays the SET arithmetic from documents. */
+  def tableSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.sqlupd_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/sqlupd_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_sql_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
+        s"CAST(NULL AS STRING) FROM docs_sql_$tag")
+      spark.sql(s"CALL graft_sql.system.compact('sqlupd_$tag')")
+      spark.sql(s"UPDATE $tbl SET n_chars = n_chars + 5000, " +
+        "source = 'upd' WHERE lang = 'de'")
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableSqlUpdateSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CASE WHEN lang = 'de' THEN n_chars + 5000
+      |       ELSE n_chars END AS BIGINT) AS n_chars,
+      |  CASE WHEN lang = 'de' THEN 'upd' ELSE 'unknown' END AS source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val tableSqlMergeSql: String =
     """WITH cur AS (
       |  SELECT d.doc_id, d.lang,
@@ -2227,6 +2270,7 @@ object Queries {
     "q_table_sql_merge" -> tableSqlMerge _,
     "q_table_sql_stream" -> tableSqlStream _,
     "q_table_stream_read" -> tableStreamRead _,
+    "q_table_sql_update" -> tableSqlUpdate _,
     "q_salted_agg" -> saltedAgg _,
     "q_grouping_sets" -> groupingSetsAgg _,
     "q_cube" -> cubeQty _,
@@ -2288,6 +2332,7 @@ object Queries {
     "q_table_sql_merge" -> tableSqlMergeSql,
     "q_table_sql_stream" -> tableSqlStreamSql,
     "q_table_stream_read" -> tableStreamReadSql,
+    "q_table_sql_update" -> tableSqlUpdateSql,
     "q_salted_agg" -> saltedAggSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_cube" -> cubeQtySql,

@@ -402,7 +402,13 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     * at most one row per key per commit for clean MOR resolve). The
     * V1 fallback hands us the whole DataFrame, which is exactly what
     * the commit protocol wants — no per-task writer state to manage,
-    * the atomic-rename publish IS the commit. The STREAMING face
+    * the atomic-rename publish IS the commit. CHECK constraints from
+    * `check.<name>` table properties gate the insert
+    * ([[Versioned.appendChecked]]): any violating row refuses the
+    * WHOLE batch, nothing committed. (Constraints gate the INSERT
+    * path; the streaming sink and row-level DML write what their
+    * sources produced — pre-validate those with
+    * [[graft.pipeline.Expectations]].) The STREAMING face
     * (`df.writeStream…toTable(…)`) is [[GraftStreamingWrite]]: one
     * exactly-once batch-marked commit per micro-batch. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -415,7 +421,14 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
                 s"graft table $path is append-only via SQL: INSERT " +
                   "OVERWRITE would rewrite history — use DELETE FROM " +
                   "(tombstones) or Versioned.restore (roll-forward)")
-              Versioned.append(data, path)
+              val checks = props.toSeq.collect {
+                case (k, v) if k.startsWith("check.") =>
+                  (k.stripPrefix("check."),
+                    org.apache.spark.sql.functions.expr(v))
+              }.sortBy(_._1)
+              if (checks.nonEmpty)
+                Versioned.appendChecked(data, path, checks)
+              else Versioned.append(data, path)
               ()
             }
           }

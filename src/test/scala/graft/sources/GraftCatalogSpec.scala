@@ -267,6 +267,30 @@ class GraftCatalogSpec extends SparkSpec {
       "WHERE rk = 1 AND NOT __deleted").as[Long].head() == 4)
   }
 
+  test("CHECK constraints from table properties gate INSERT: a " +
+      "violating batch refuses whole, ALTER adds constraints later") {
+    spark.sql("CREATE TABLE graft_test.t8 (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'check.x_pos' = 'x > 0')")
+    val path = s"$wh/t8"
+    spark.sql("INSERT INTO graft_test.t8 VALUES (1, 10), (2, 20)")
+    val vOk = Versioned.latestVersion(spark, path)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_test.t8 VALUES (3, 30), (4, -1)")
+    }
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    // NOTHING committed — the clean row did not sneak in
+    assert(Versioned.latestVersion(spark, path) == vOk)
+    assert(Versioned.current(spark, path, "k").count() == 2)
+    // constraints are ALTER-able like any property
+    spark.sql("ALTER TABLE graft_test.t8 SET TBLPROPERTIES " +
+      "('check.k_small' = 'k < 100')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_test.t8 VALUES (500, 1)")
+    }
+    spark.sql("INSERT INTO graft_test.t8 VALUES (5, 50)")
+    assert(Versioned.current(spark, path, "k").count() == 3)
+  }
+
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
       "column-mapped tables, RENAME") {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Columnar
@@ -23,7 +23,7 @@ object Stress {
     val modes = Set("selector", "wide", "dedup", "ann", "annserve",
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
-      "mv", "skview", "curation", "vecidx", "annprobed")
+      "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -58,6 +58,10 @@ object Stress {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
       annProbedStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "sinkstream") {
+      val nb = if (numArgs.length > 1) numArgs(1).toInt else 3
+      sinkStreamStress(spark, nRows, nb, cpus.toInt); return
     }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
@@ -331,6 +335,91 @@ object Stress {
       s""""queries":$nQueries,"index_write_sec":$tIdx,""" +
       s""""serve_distributed_sec":$tServe,"rows":$n,""" +
       s""""pushdown_100q_sec":$tPush}""")
+    spark.stop()
+  }
+
+  /** V2 streaming-SINK throughput: `sinkstream <rowsPerBatch>
+    * [<batches>]` (default 1M × 3). Drives a REAL
+    * `writeStream…toTable` query (MemoryStream source → catalog
+    * table — distributed streaming writers, one batch-marked commit
+    * per epoch) and compares against a `foreachBatch` query over the
+    * SAME MemoryStream source whose batch fn calls
+    * [[graft.io.Versioned.appendBatch]]. Both arms pay identical
+    * source + streaming-engine costs, so the delta isolates the sink
+    * commit machinery itself. The claim under test: the sink path's
+    * per-batch cost is the parquet write + one rename, the same
+    * envelope as the foreachBatch idiom it replaces — exactly-once
+    * through the sink does not cost a second write. */
+  private def sinkStreamStress(spark: SparkSession, nRows: Long,
+      nBatches: Int, cpus: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Versioned
+    val wh = "target/tmp/stress-sink-wh"
+    Versioned.drop(spark, s"$wh/sink")
+    val ckpt = "target/tmp/stress-sink-ckpt"
+    Versioned.drop(spark, ckpt) // plain recursive delete
+    spark.conf.set("spark.sql.catalog.graft_stress",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_stress.warehouse", wh)
+    spark.sql("CREATE TABLE graft_stress.sink (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val q = ms.toDF()
+      .select(col("value").as("k"), (col("value") * 7).as("x"))
+      .repartition(cpus)
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft_stress.sink")
+    // untimed warmup epoch (negative keys): JIT + codegen + first-epoch
+    // planning paid before the clock starts, same for both arms
+    val warm = 1024L
+    ms.addData(-warm until 0L)
+    q.processAllAvailable()
+    val t0 = System.nanoTime()
+    var off = 0L
+    (0 until nBatches).foreach { _ =>
+      ms.addData(off until (off + nRows))
+      q.processAllAvailable()
+      off += nRows
+    }
+    q.stop()
+    val tSink = (System.nanoTime() - t0) / 1e9
+    val nSink = Versioned.current(spark, s"$wh/sink", "k").count()
+    require(nSink == nRows * nBatches + warm,
+      s"sink table holds $nSink rows, expected ${nRows * nBatches + warm}")
+    // the foreachBatch-path baseline: SAME MemoryStream source, batch
+    // fn = appendBatch — identical source/engine costs, so the delta
+    // is the commit machinery alone
+    val p2 = "target/tmp/stress-sink-ab"
+    Versioned.drop(spark, p2)
+    val ckpt2 = "target/tmp/stress-sink-ckpt2"
+    Versioned.drop(spark, ckpt2)
+    val ms2 = MemoryStream[Long]
+    val q2 = ms2.toDF()
+      .select(col("value").as("k"), (col("value") * 7).as("x"))
+      .repartition(cpus)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Versioned.appendBatch(df, p2, id); ()
+      }
+      .start()
+    ms2.addData(-warm until 0L)
+    q2.processAllAvailable()
+    val t1 = System.nanoTime()
+    off = 0L
+    (0 until nBatches).foreach { _ =>
+      ms2.addData(off until (off + nRows))
+      q2.processAllAvailable()
+      off += nRows
+    }
+    q2.stop()
+    val tAb = (System.nanoTime() - t1) / 1e9
+    val nAb = Versioned.current(spark, p2, "k").count()
+    require(nAb == nSink, s"appendBatch table diverged: $nAb vs $nSink")
+    println(s"""{"metric":"stress_sinkstream","rows_per_batch":$nRows,""" +
+      s""""batches":$nBatches,"sink_toTable_sec":$tSink,""" +
+      s""""appendBatch_sec":$tAb}""")
     spark.stop()
   }
 

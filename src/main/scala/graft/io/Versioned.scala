@@ -643,7 +643,7 @@ object Versioned {
 
   /** The earliest retained version when it is a vacuum base (history
     * below it was reclaimed), else None (full log present). */
-  private[io] def vacuumBase(spark: SparkSession, path: String): Option[Int] = {
+  private[graft] def vacuumBase(spark: SparkSession, path: String): Option[Int] = {
     val vs = versions(spark, path)
     vs.headOption.filter(e => e > 1 && checkpoints(spark, path).contains(e))
   }

@@ -395,7 +395,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path,
-      () => Versioned.asOfVersions(spark, path, version), fullSchema)
+      () => Versioned.asOfVersions(spark, path, version), fullSchema,
+      GraftDataSource.maxVersionsOf(options))
 
   /** INSERT INTO / CTAS / df.writeTo(...).append — ONE committed
     * version per insert, through [[Versioned.append]] (same contract:

@@ -19,7 +19,8 @@ import org.apache.spark.sql.connector.read.{
   Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset => SOffset}
+  MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow,
+  Offset => SOffset}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources._
@@ -99,6 +100,15 @@ private[sources] object GraftDataSource {
       .getOrElse(Versioned.latestVersion(spark, path))
   }
 
+  /** Streaming admission control: `maxVersionsPerTrigger` caps how
+    * many commit versions one micro-batch may deliver. */
+  def maxVersionsOf(options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+
   /** Per-column [lo, hi] bounds implied by pushed V1 filters — the
     * zone-map language. Conservative: unhandled shapes contribute no
     * bound (the file is kept; the residual filter still applies). */
@@ -165,7 +175,9 @@ private[sources] class GraftTable(tableSchema: StructType,
     // merges .option(...) into the table properties)
     val version = GraftDataSource.versionOf(spark, options)
     new GraftScanBuilder(spark, path,
-      () => Versioned.asOfVersions(spark, path, version), tableSchema)
+      () => Versioned.asOfVersions(spark, path, version), tableSchema,
+      GraftDataSource.maxVersionsOf(scanOptions)
+        .orElse(GraftDataSource.maxVersionsOf(options)))
   }
 }
 
@@ -173,7 +185,8 @@ private[sources] class GraftTable(tableSchema: StructType,
   * that may be optimized away — e.g. a row-level DML scan superseded
   * by a metadata-only delete — never pay or enforce it). */
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
-    versionSlice: () => Seq[Int], tableSchema: StructType)
+    versionSlice: () => Seq[Int], tableSchema: StructType,
+    private[sources] val maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -260,6 +273,12 @@ private[sources] case class GraftOffset(v: Int) extends SOffset {
   override def json(): String = v.toString
 }
 
+/** `maxVersionsPerTrigger` as a [[ReadLimit]]: at most `n` commit
+  * versions admitted per micro-batch. Source-private — the engine
+  * passes limits back opaquely; only [[GraftMicroBatchStream]]
+  * interprets it. */
+private[sources] case class ReadMaxVersions(n: Int) extends ReadLimit
+
 /**
  * The versioned table as a STREAMING SOURCE with COMMIT-VERSION
  * offsets (`spark.readStream.format("graft").load(path)`, or
@@ -274,14 +293,70 @@ private[sources] case class GraftOffset(v: Int) extends SOffset {
  * refuses loudly ([[Versioned.streamSlice]]). Rows carry the commit
  * columns (`__v`, `__deleted`, …) for downstream CDC handling; the
  * schema is fixed at stream start.
+ *
+ * ADMISSION CONTROL (`maxVersionsPerTrigger`): without it, a fresh
+ * stream's initial batch is the ENTIRE asOf slice — one micro-batch
+ * sized like the whole table, which at large scale means hours of
+ * work inside a single epoch (no checkpoint granularity, one retry
+ * domain). With it, each micro-batch admits at most N commit
+ * versions, so backfill proceeds as a sequence of bounded,
+ * individually-checkpointed epochs and a restart loses at most N
+ * versions of work. The one floor: a fresh stream on a VACUUMED
+ * table must admit up to the vacuum base in its first batch — the
+ * base checkpoint is the indivisible stand-in for the reclaimed
+ * prefix (it is one compacted dir; versions below it no longer
+ * exist to deliver separately). Version granularity isn't in
+ * [[ReadLimit]]'s stock vocabulary of rows/files/bytes, so the cap
+ * rides a source-private [[ReadMaxVersions]] returned by
+ * `getDefaultReadLimit` and interpreted only here. The stream also
+ * implements [[SupportsTriggerAvailableNow]] — without it Spark
+ * falls back to running Trigger.AvailableNow as ONE batch of
+ * everything, silently bypassing the cap; with it the head version
+ * is pinned at `prepareForTriggerAvailableNow` and the run drains to
+ * that pinned target in capped epochs (commits racing the drain wait
+ * for the next run, exactly the file-source contract).
  */
 private[sources] class GraftMicroBatchStream(spark: SparkSession,
     path: String, builder: GraftScanBuilder, fullScan: Scan)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // head pinned at AvailableNow start: the run's drain target. None =
+  // continuous trigger, follow the live head.
+  private var pinnedHead: Option[Int] = None
+
+  private def head(): Int = pinnedHead
+    .getOrElse(Versioned.latestVersion(spark, path))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedHead = Some(Versioned.latestVersion(spark, path))
 
   override def initialOffset(): SOffset = GraftOffset(0)
 
-  override def latestOffset(): SOffset =
+  override def latestOffset(): SOffset = GraftOffset(head())
+
+  override def getDefaultReadLimit: ReadLimit =
+    builder.maxVersionsPerTrigger.map(ReadMaxVersions(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val latest = head()
+    val s = start.asInstanceOf[GraftOffset].v
+    val capped = limit match {
+      case ReadMaxVersions(n) =>
+        // fresh stream on a vacuumed table: the initial batch cannot
+        // stop below the base checkpoint (its slice was reclaimed)
+        val floor =
+          if (s <= 0) Versioned.vacuumBase(spark, path).getOrElse(0)
+          else 0
+        math.min(latest, math.max(s + n, floor))
+      case _ => latest
+    }
+    GraftOffset(capped)
+  }
+
+  /** True head for progress reporting — `latestOffset` above may lag
+    * it by design under `maxVersionsPerTrigger`. */
+  override def reportLatestOffset(): SOffset =
     GraftOffset(Versioned.latestVersion(spark, path))
 
   override def deserializeOffset(json: String): SOffset =

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.datasources.v2.FileScan
@@ -179,5 +181,66 @@ class GraftDataSourceSpec extends SparkSpec {
     val fresh = Versioned.streamSlice(spark, p, fromV = 0,
       toV = Versioned.latestVersion(spark, p))
     assert(fresh.nonEmpty)
+  }
+
+  test("maxVersionsPerTrigger: backfill proceeds as bounded epochs " +
+      "(one version per batch), totals unchanged; a vacuumed table's " +
+      "first batch admits up to the base checkpoint (the floor)") {
+    import spark.implicits._
+    val p = freshPath("ratelimit")
+    (0 until 3).foreach { b =>
+      Versioned.append(
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, i)).toDF("k", "x"),
+        p)
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Seq[Int])]
+    def drain(ckptTag: String, opts: (String, String)*): Unit = {
+      batches.clear()
+      val ckpt = freshPath(s"ratelimit-ckpt-$ckptTag")
+      val q = opts.foldLeft(
+          spark.readStream.format("graft"))((r, o) => r.option(o._1, o._2))
+        .load(p)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val vs = df.select(Versioned.VersionCol).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          batches.add((id, df.count(), vs)); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // uncapped: the whole backfill is ONE epoch
+    drain("all")
+    assert(batches.size() == 1 &&
+      batches.peek()._2 == 30 && batches.peek()._3 == Seq(1, 2, 3))
+    // capped at 1 version/trigger: three bounded epochs, same totals,
+    // monotonic non-overlapping version ranges
+    drain("one", "maxVersionsPerTrigger" -> "1")
+    val eps = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(eps.map(_._3) == Seq(Seq(1), Seq(2), Seq(3)),
+      s"expected one version per epoch, got ${eps.map(_._3)}")
+    assert(eps.map(_._2).sum == 30)
+    // capped at 2: ceil(3/2) epochs
+    drain("two", "maxVersionsPerTrigger" -> "2")
+    val eps2 = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(eps2.map(_._3) == Seq(Seq(1, 2), Seq(3)))
+    // vacuum floor: base checkpoint (indivisible) + later commits
+    Versioned.compact(spark, p, "k")       // checkpoint at v=4
+    Versioned.vacuum(spark, p, 0)          // reclaim v=1..3
+    Versioned.append(Seq((100L, 100)).toDF("k", "x"), p) // v=5
+    Versioned.append(Seq((101L, 101)).toDF("k", "x"), p) // v=6
+    drain("vac", "maxVersionsPerTrigger" -> "1")
+    val eps3 = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(eps3.head._3 == Seq(4) && eps3.head._2 == 30,
+      s"first epoch must be the whole vacuum base, got ${eps3.head}")
+    assert(eps3.map(_._3) == Seq(Seq(4), Seq(5), Seq(6)))
+    assert(eps3.map(_._2).sum == 32)
+    intercept[IllegalArgumentException] {
+      GraftDataSource.maxVersionsOf(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("maxVersionsPerTrigger", "0")))
+    }
   }
 }

@@ -1256,6 +1256,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The SAME renamed fixture as [[tableRename]], read through the
+    * r11 mapping-aware V2 face: `spark.read.format("graft")` pins the
+    * PHYSICAL projection of the logical schema on the inner parquet
+    * scan (stable physical ids, logical names only in schema
+    * metadata), so the rename costs zero data movement and the V2
+    * read ≡ the Scala-API read ≡ the DuckDB replay. */
+  def tableRenameV2(spark: SparkSession, dir: String): DataFrame = {
+    tableRename(spark, dir) // builds + memoizes the fixture
+    val path = "target/tmp/vtable-ren-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    import graft.io.Versioned
+    val raw = spark.read.format("graft").load(path)
+    Versioned.currentOf(raw, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("len").cast("long").as("len"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
   val tableRenameSql: String =
     """WITH u AS (
       |  SELECT doc_id, lang, n_chars AS len, NULL AS source, FALSE AS del, 1 AS v
@@ -2263,6 +2282,7 @@ object Queries {
     "q_table_point" -> tablePoint _,
     "q_table_restore" -> tableRestore _,
     "q_table_rename" -> tableRename _,
+    "q_table_rename_v2" -> tableRenameV2 _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
@@ -2325,6 +2345,7 @@ object Queries {
     "q_table_point" -> tablePointSql,
     "q_table_restore" -> tableRestoreSql,
     "q_table_rename" -> tableRenameSql,
+    "q_table_rename_v2" -> tableRenameSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,

@@ -521,12 +521,21 @@ object Versioned {
       }
   }
 
-  /** Whether the table carries a column mapping (used by the V2
-    * source, which reads physical files directly and must fail loud
-    * rather than surface physical names / null columns). */
+  /** Whether the table carries a column mapping (used by write faces
+    * that speak physical file schemas directly — staged commits — and
+    * must fail loud rather than write under stale physical names). */
   private[graft] def isColumnMapped(spark: SparkSession,
       path: String): Boolean =
     mappingAt(spark, path, latestVersion(spark, path)).isDefined
+
+  /** logical→physical column names in effect at `version` (empty =
+    * never mapped, logical == physical). Physical ids are STABLE
+    * across renames, so the snapshot at a slice's head translates
+    * correctly for every version dir in the slice — the V2 read path
+    * pins the physical projection of its logical schema with this. */
+  private[graft] def logicalToPhysical(spark: SparkSession, path: String,
+      version: Int): Map[String, String] =
+    mappingAt(spark, path, version).map(_.toMap).getOrElse(Map.empty)
 
   /** Rename physical columns to their logical names per the mapping
     * (identity when None). Physical columns NOT in the mapping are
@@ -593,10 +602,10 @@ object Versioned {
     * the column's IDENTITY — stays, so every earlier commit's data,
     * CDC ([[changes]]) and SCD2 ([[history]]) survive the rename.
     * Time travel below the rename commit shows the old name
-    * (historical fidelity). Fail-loud surface notes: the V2 source,
-    * [[bloomIndex]] and zone-map range pruning on a renamed column
-    * are not mapping-aware yet — the first two refuse, pruning
-    * degrades to reading every file (sound, never wrong). */
+    * (historical fidelity). The V2 source/catalog read path and its
+    * zone-map pruning are mapping-aware (r11); fail-loud surface
+    * notes: [[bloomIndex]] and the staged-commit write faces (row-
+    * level SQL DML, the streaming sink) refuse mapped tables. */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Int =
     commitMapping(spark, path, { ms =>

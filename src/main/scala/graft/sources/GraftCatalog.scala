@@ -145,10 +145,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadAt(ident: Identifier, version: Option[Int]): Table = {
     val path = pathOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    require(!Versioned.isColumnMapped(spark, path),
-      s"graft catalog: $path uses column mapping (renameColumn/" +
-        "dropColumn); the V2 scan reads physical files directly and is " +
-        "not mapping-aware yet — read via Versioned.asOf/currentOf")
     val v = version.getOrElse(Versioned.latestVersion(spark, path))
     new GraftCatalogTable(spark, ident, path, v,
       GraftCatalog.readProps(fs, path))
@@ -186,9 +182,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case s: TableChange.SetProperty => props(s.property) = s.value
       case r: TableChange.RemoveProperty => props.remove(r.property)
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1, "graft catalog: RENAME " +
+          "COLUMN on nested fields is not supported")
+        val from = rc.fieldNames.head
+        Versioned.renameColumn(spark, path, from, rc.newName)
+        // the declared primary key follows its column's new name
+        if (props.get(GraftCatalog.KeyProp).contains(from))
+          props(GraftCatalog.KeyProp) = rc.newName
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1, "graft catalog: DROP " +
+          "COLUMN on nested fields is not supported")
+        require(!props.get(GraftCatalog.KeyProp).contains(dc.fieldNames.head),
+          s"graft catalog: cannot drop the declared key column " +
+            s"'${dc.fieldNames.head}'")
+        Versioned.dropColumn(spark, path, dc.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER ($other) — column changes " +
-          "go through Versioned.renameColumn/dropColumn")
+        s"graft catalog: unsupported ALTER ($other) — supported: " +
+          "properties, RENAME COLUMN, DROP COLUMN")
     }
     GraftCatalog.writeProps(fs, path, props.toSeq)
     loadTable(ident)
@@ -396,7 +407,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path,
       () => Versioned.asOfVersions(spark, path, version), fullSchema,
-      GraftDataSource.maxVersionsOf(options))
+      GraftDataSource.maxVersionsOf(options),
+      Versioned.logicalToPhysical(spark, path, version))
 
   /** INSERT INTO / CTAS / df.writeTo(...).append — ONE committed
     * version per insert, through [[Versioned.append]] (same contract:

@@ -64,10 +64,6 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = GraftDataSource.pathOf(options)
-    require(!Versioned.isColumnMapped(spark, path),
-      s"graft V2 source: $path uses column mapping (renameColumn/" +
-        "dropColumn); the V2 scan reads physical files directly and is " +
-        "not mapping-aware yet — read via Versioned.asOf/currentOf")
     Versioned.sliceSchema(spark, path, Versioned.asOfVersions(spark, path,
       GraftDataSource.versionOf(spark, options)))
   }
@@ -177,21 +173,43 @@ private[sources] class GraftTable(tableSchema: StructType,
     new GraftScanBuilder(spark, path,
       () => Versioned.asOfVersions(spark, path, version), tableSchema,
       GraftDataSource.maxVersionsOf(scanOptions)
-        .orElse(GraftDataSource.maxVersionsOf(options)))
+        .orElse(GraftDataSource.maxVersionsOf(options)),
+      Versioned.logicalToPhysical(spark, path, version))
   }
 }
 
 /** V2 scan over an explicit version-dir slice (a thunk, so callers
   * that may be optimized away — e.g. a row-level DML scan superseded
-  * by a metadata-only delete — never pay or enforce it). */
+  * by a metadata-only delete — never pay or enforce it).
+  *
+  * COLUMN MAPPING: `mapping` is the logical→physical name snapshot at
+  * the resolved version (empty = unmapped). The inner parquet scan is
+  * pinned to the PHYSICAL projection of the logical schema — same
+  * field order and types, physical names — so the positional
+  * InternalRows it yields ARE the logical rows (names live only in
+  * schema metadata); filters, column pruning, and zone-map bounds are
+  * translated to physical names on the way in, and [[GraftScan]]
+  * renames the read schema back to logical on the way out. Physical
+  * ids are stable across renames, so one head snapshot is correct for
+  * every version dir in the slice, and a DROPPED column (absent from
+  * the mapping and the logical schema) is simply never requested —
+  * its bytes stay invisible. */
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     versionSlice: () => Seq[Int], tableSchema: StructType,
-    private[sources] val maxVersionsPerTrigger: Option[Int] = None)
+    private[sources] val maxVersionsPerTrigger: Option[Int] = None,
+    mapping: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var filters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+
+  private def physName(c: String): String = mapping.getOrElse(c, c)
+  private def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+  /** physical→logical for the outbound schema rename. */
+  private[sources] val logicalName: Map[String, String] =
+    mapping.map(_.swap)
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -211,7 +229,8 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     * calls it per offset range, same pushed filters and pruning). */
   private[sources] def innerScan(vs: Seq[Int]): Scan = {
     val pruned = Versioned.pruneFilesForBounds(spark, path, vs,
-      GraftDataSource.boundsOf(filters.toSeq))
+      GraftDataSource.boundsOf(filters.toSeq)
+        .map { case (c, lo, hi) => (physName(c), lo, hi) })
     // all files pruned => any of the dirs yields the right (empty)
     // result under the pinned schema; keep one so the parquet table
     // has a location to plan over
@@ -221,19 +240,22 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     val opts = new CaseInsensitiveStringMap(
       Map("mergeSchema" -> "true").asJava)
     // Spark's own V2 parquet stack over the pruned file list; the
-    // table schema is pinned (userSpecifiedSchema) so zone-map
-    // pruning can never change the visible schema, and files missing
-    // an evolved column surface it as null like the Scala read path
+    // (physical) table schema is pinned (userSpecifiedSchema) so
+    // zone-map pruning can never change the visible schema, and files
+    // missing an evolved column surface it as null like the Scala
+    // read path
     val pt = ParquetTable(s"graft.`$path`", spark, opts, paths,
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(physSchema(tableSchema)), classOf[ParquetFileFormat])
     val psb = pt.newScanBuilder(opts)
+    // filters reference LOGICAL names; the attrs they resolve to carry
+    // the PHYSICAL name the parquet row groups know
     val attrs = tableSchema.fields
-      .map(f => f.name -> AttributeReference(f.name, f.dataType,
+      .map(f => f.name -> AttributeReference(physName(f.name), f.dataType,
         f.nullable)()).toMap
     val exprs = filters.toSeq
       .flatMap(GraftDataSource.toCatalyst(_, attrs))
     if (exprs.nonEmpty) psb.pushFilters(exprs)
-    psb.pruneColumns(required)
+    psb.pruneColumns(physSchema(required))
     psb.build()
   }
 }
@@ -248,7 +270,11 @@ private[sources] class GraftScan(spark: SparkSession, path: String,
     builder: GraftScanBuilder, private[sources] val inner: Scan)
     extends Scan with SupportsReportStatistics {
 
-  override def readSchema(): StructType = inner.readSchema()
+  // the inner scan reads PHYSICAL names; the visible schema is
+  // logical. Same field order and types, so rows pass through as-is.
+  override def readSchema(): StructType =
+    StructType(inner.readSchema().fields.map(f =>
+      f.copy(name = builder.logicalName.getOrElse(f.name, f.name))))
 
   override def toBatch: Batch = inner.toBatch
 

@@ -293,7 +293,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
-      "column-mapped tables, RENAME") {
+      "staged writes on mapped tables, RENAME TABLE") {
     spark.sql("CREATE TABLE graft_test.t5 (k BIGINT, s STRING)")
     spark.sql("INSERT INTO graft_test.t5 VALUES (1, 'a')")
     // Spark refuses at ANALYSIS time: the table advertises no
@@ -317,14 +317,59 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_test.t5 WHERE s = 'a'")
     assert(spark.sql("SELECT * FROM graft_test.t5").count() == 2) // log rows
     assert(Versioned.current(spark, s"$wh/t5", "k").count() == 0)
-    // column-mapped tables are refused by the V2 face
+    // column-mapped tables READ through the V2 face (r11); the
+    // staged-commit WRITE faces (row-level DML) still refuse loudly
     Versioned.renameColumn(spark, s"$wh/t5", "s", "s2")
+    assert(spark.sql("SELECT * FROM graft_test.t5").columns.toSeq ==
+      Seq("k", "s2"))
+    Versioned.compact(spark, s"$wh/t5", "k") // UPDATE's own precondition
     val e4 = intercept[Exception] {
-      spark.sql("SELECT * FROM graft_test.t5").collect()
+      spark.sql("UPDATE graft_test.t5 SET s2 = 'zz' WHERE k = 2")
     }
     assert(e4.getMessage.contains("column mapping"), e4.getMessage)
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_test.t2 RENAME TO graft_test.t2b")
     }
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are mapping commits: SQL " +
+      "reads speak the new names over unrewritten files, VERSION AS " +
+      "OF below the rename shows the old name, the key property " +
+      "follows a key rename, INSERT and DELETE keep working") {
+    spark.sql("CREATE TABLE graft_test.cm (k BIGINT, a STRING, x INT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/cm"
+    spark.sql("INSERT INTO graft_test.cm VALUES (1, 'one', 10), " +
+      "(2, 'two', 20)")                               // v2 (create = v1)
+    spark.sql("ALTER TABLE graft_test.cm RENAME COLUMN a TO label") // v3
+    // reads speak the NEW name; the files were never rewritten
+    assert(spark.sql("SELECT * FROM graft_test.cm").columns.toSeq ==
+      Seq("k", "label", "x"))
+    assert(spark.sql("SELECT label FROM graft_test.cm WHERE k = 1")
+      .as[String].collect().toSeq == Seq("one"))
+    // time travel below the rename commit shows the OLD name
+    assert(spark.sql("SELECT * FROM graft_test.cm VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "a", "x"))
+    // writes through the mapped face land under the stable physical id
+    spark.sql("INSERT INTO graft_test.cm VALUES (3, 'three', 30)")
+    assert(spark.sql(
+      "SELECT label FROM graft_test.cm WHERE k = 3")
+      .as[String].collect().toSeq == Seq("three"))
+    // renaming the KEY column carries the key property with it
+    spark.sql("ALTER TABLE graft_test.cm RENAME COLUMN k TO id")
+    spark.sql("DELETE FROM graft_test.cm WHERE label = 'two'")
+    assert(Versioned.current(spark, path, "id").count() == 2)
+    // DROP hides the bytes without a rewrite; the key cannot drop
+    spark.sql("ALTER TABLE graft_test.cm DROP COLUMN x")
+    assert(spark.sql("SELECT * FROM graft_test.cm").columns.toSeq ==
+      Seq("id", "label"))
+    val ek = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.cm DROP COLUMN id")
+    }
+    assert(ek.getMessage.contains("key"), ek.getMessage)
+    // time travel below the drop still shows the column and its data
+    assert(spark.sql(
+      "SELECT x FROM graft_test.cm VERSION AS OF 2 ORDER BY x")
+      .as[Int].collect().toSeq == Seq(10, 20))
   }
 }

@@ -1294,6 +1294,34 @@ object Queries {
       |  COALESCE(source, 'unknown') AS source
       |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
+  /** V2 AGGREGATE PUSHDOWN (r11): a no-filter COUNT(*)/MIN/MAX over
+    * the versioned table, answered ENTIRELY from `_STATS.tsv` commit
+    * metadata — the per-file `__nrows` row counts and exact integer
+    * [min,max] stamped at commit from the parquet footers. The query
+    * itself asserts the executed plan carries the metadata-only scan
+    * (no parquet file opened), so the oracle row certifies BOTH the
+    * values and the pushdown. At 100 TB this is `SELECT count(*)`
+    * as a driver-side metadata read instead of a full table scan.
+    * The oracle replays the raw log slice (v1 appends + v2 upserts +
+    * v3 tombstones; the compact checkpoint is excluded from the V2
+    * slice exactly as the Scala API excludes it). */
+  def tableAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
+    val out = spark.read.format("graft").load(path)
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("metadata-only aggregate"),
+      "expected the aggregate answered from _STATS.tsv metadata; plan:\n" +
+        plan)
+    out
+  }
+
+  val tableAggPushdownSql: String =
+    s"""WITH $versionedLogSql
+       |SELECT COUNT(*) AS n_rows, MIN(doc_id) AS min_id,
+       |  MAX(doc_id) AS max_id FROM u""".stripMargin
+
   def tableRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
@@ -2283,6 +2311,7 @@ object Queries {
     "q_table_restore" -> tableRestore _,
     "q_table_rename" -> tableRename _,
     "q_table_rename_v2" -> tableRenameV2 _,
+    "q_table_agg_pushdown" -> tableAggPushdown _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
@@ -2346,6 +2375,7 @@ object Queries {
     "q_table_restore" -> tableRestoreSql,
     "q_table_rename" -> tableRenameSql,
     "q_table_rename_v2" -> tableRenameSql,
+    "q_table_agg_pushdown" -> tableAggPushdownSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,

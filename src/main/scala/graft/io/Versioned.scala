@@ -715,6 +715,86 @@ object Versioned {
     }
   }
 
+  /** Aggregate shapes the zone maps can answer without opening a
+    * file — the V2 scan's [[aggregateFromStats]] vocabulary. */
+  private[graft] sealed trait StatAgg
+  private[graft] case object StatRowCount extends StatAgg
+  private[graft] final case class StatMin(physCol: String) extends StatAgg
+  private[graft] final case class StatMax(physCol: String) extends StatAgg
+
+  /** Answer `specs` over the slice `vs` from `_STATS.tsv` metadata
+    * ALONE — the V2 aggregate-pushdown resolver. Some(values) iff
+    * EVERY parquet file of every slice dir carries the stats every
+    * spec needs: per-file row counts (`__nrows`, stamped at commit
+    * from the parquet footers) for COUNT(*), an exact integer
+    * [min,max] for MIN/MAX. Any gap — a dir predating stats, a file
+    * whose column stat is absent (indistinguishable from an all-null
+    * or evolved-away column) — declines the WHOLE pushdown and the
+    * caller falls back to scanning: pruning may drop work, never
+    * change answers. Returned values are java.lang.Long (count, and
+    * long-typed min/max; integer columns are narrowed by the caller),
+    * or null for min/max over an empty slice. Floating-point and
+    * string min/max are never answered here: float footer stats have
+    * NaN/-0.0 ordering hazards across writers, and string stats may
+    * be truncated BOUNDS (sound for pruning, not necessarily attained
+    * values).
+    *
+    * At 100 TB this is the difference between a metadata read (one
+    * small TSV per live version dir, driver-side) and a full table
+    * scan for `SELECT count(*) FROM t`. */
+  private[graft] def aggregateFromStats(spark: SparkSession, path: String,
+      vs: Seq[Int], specs: Seq[StatAgg]): Option[Seq[Any]] = {
+    val f = fs(spark, path)
+    val fileStats = mutable.ArrayBuffer.empty[Map[String, (String, String, String)]]
+    var complete = true
+    vs.foreach { v =>
+      if (complete) {
+        val dir = new Path(s"$path/v=$v")
+        val stats = readStats(f, dir)
+        f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { s =>
+            stats.get(s.getPath.getName) match {
+              case Some(m) => fileStats += m
+              case None    => complete = false
+            }
+          }
+      }
+    }
+    if (!complete) return None
+
+    // None = this spec cannot be answered exactly -> decline all.
+    // A PROVABLY EMPTY file (__nrows == 0, e.g. a schema-fixing
+    // CREATE commit) contributes nothing to MIN/MAX and is skipped;
+    // a non-empty file missing the column's stat still declines
+    // (all-null is indistinguishable from stats-unavailable).
+    def fold(c: String, isMin: Boolean): Option[Any] = {
+      val nonEmpty = fileStats.filter(_.get("__nrows") match {
+        case Some(("count", n, _)) => n.toLong > 0
+        case _ => true // unknown row count -> the stat must be there
+      })
+      if (nonEmpty.isEmpty) return Some(null)
+      val entries = nonEmpty.map(_.get(c))
+      if (entries.exists(_.isEmpty)) return None
+      val es = entries.map(_.get)
+      if (es.exists(_._1 != "long")) return None
+      val picked = es.map(e => (if (isMin) e._2 else e._3).toLong)
+      Some(java.lang.Long.valueOf(
+        if (isMin) picked.min else picked.max))
+    }
+    val vals: Seq[Option[Any]] = specs.map {
+      case StatRowCount =>
+        if (fileStats.isEmpty) Some(java.lang.Long.valueOf(0L))
+        else {
+          val counts = fileStats.map(_.get("__nrows"))
+          if (counts.exists(_.isEmpty)) None
+          else Some(java.lang.Long.valueOf(counts.map(_.get._2.toLong).sum))
+        }
+      case StatMin(c) => fold(c, isMin = true)
+      case StatMax(c) => fold(c, isMin = false)
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+  }
+
   /** [[mayIntersect]] with either bound open. */
   private def statsMayMatch(stats: Map[String, (String, String, String)],
       colName: String, lo: Option[Any], hi: Option[Any]): Boolean =
@@ -905,6 +985,14 @@ object Versioned {
           for ((name, (lo, hi)) <- acc if !bad(name);
                (t, loS) <- enc(lo); (_, hiS) <- enc(hi))
             lines += s"${part.getPath.getName}\t$name\t$t\t$loS\t$hiS"
+          // per-file row count (footer block sums) — lets COUNT(*)
+          // over a slice resolve from metadata alone (V2 aggregate
+          // pushdown); the `__nrows` pseudo-column can't collide with
+          // data columns (the `__` namespace is reserved for commit
+          // metadata)
+          val rows = reader.getFooter.getBlocks.asScala
+            .map(_.getRowCount).sum
+          lines += s"${part.getPath.getName}\t__nrows\tcount\t$rows\t$rows"
         } finally reader.close()
       }
     val out = f.create(new Path(dir, StatsFile), true)

@@ -13,10 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.{
   LessThanOrEqual => CLessThanOrEqual}
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
-  Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, Statistics, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow,
@@ -24,7 +29,8 @@ import org.apache.spark.sql.connector.read.streaming.{
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{
+  IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.Versioned
@@ -199,10 +205,14 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     private[sources] val maxVersionsPerTrigger: Option[Int] = None,
     mapping: Map[String, String] = Map.empty)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  // COMPLETE aggregate pushdown resolved from commit metadata:
+  // (result schema, the one pre-computed result row's values)
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
 
   private def physName(c: String): String = mapping.getOrElse(c, c)
   private def physSchema(s: StructType): StructType =
@@ -221,8 +231,75 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, path, this, innerScan(versionSlice()))
+  /** AGGREGATE PUSHDOWN, resolved entirely from commit metadata:
+    * a no-filter, no-group-by COUNT(*) / MIN / MAX(integer col) over
+    * the slice is answered by [[Versioned.aggregateFromStats]] — the
+    * per-file `__nrows` row counts and exact integer [min,max] the
+    * commit protocol stamps into `_STATS.tsv` from the parquet
+    * footers. When every file of the slice carries the needed stats
+    * the scan never opens a data file (`SELECT count(*) FROM t` on
+    * 100 TB = one small TSV per live version dir, read driver-side);
+    * any gap, any residual filter, or any unsupported shape declines
+    * COMPLETELY and the ordinary scan runs — pushdown can drop work,
+    * never change answers. Partial pushdown is never claimed. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    pushedAgg = tryAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushedAgg.isEmpty) pushedAgg = tryAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions
+      .Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def tryAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
+    val fieldsByName = tableSchema.fields.map(f => f.name -> f).toMap
+    // only integer-backed min/max: float footer stats have NaN/-0.0
+    // hazards, string stats may be truncated bounds (see
+    // Versioned.aggregateFromStats)
+    def intField(c: String): Option[StructField] = fieldsByName.get(c)
+      .filter(f => f.dataType == IntegerType || f.dataType == LongType)
+    val parsed = agg.aggregateExpressions().foldLeft(
+        Option(Vector.empty[(Versioned.StatAgg, StructField)])) {
+      case (None, _) => None
+      case (Some(acc), f) => f match {
+        case _: CountStar => Some(acc :+ ((Versioned.StatRowCount: Versioned.StatAgg,
+          StructField("count(*)", LongType, nullable = false))))
+        case m: Min => colOf(m.column).flatMap(intField).map(fld =>
+          acc :+ ((Versioned.StatMin(physName(fld.name)): Versioned.StatAgg,
+            StructField(s"min(${fld.name})", fld.dataType, nullable = true))))
+        case m: Max => colOf(m.column).flatMap(intField).map(fld =>
+          acc :+ ((Versioned.StatMax(physName(fld.name)): Versioned.StatAgg,
+            StructField(s"max(${fld.name})", fld.dataType, nullable = true))))
+        case _ => None
+      }
+    }.filter(_.nonEmpty)
+    parsed.flatMap { sf =>
+      Versioned.aggregateFromStats(spark, path, versionSlice(), sf.map(_._1))
+        .map { vals =>
+          val row = vals.zip(sf.map(_._2)).map {
+            case (null, _) => null
+            case (v: java.lang.Long, StructField(_, IntegerType, _, _)) =>
+              java.lang.Integer.valueOf(v.intValue())
+            case (v, _) => v
+          }.toArray
+          (StructType(sf.map(_._2)), row)
+        }
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new GraftAggScan(schema, row)
+    case None => new GraftScan(spark, path, this, innerScan(versionSlice()))
+  }
 
   /** The pruned parquet scan over an explicit version-dir slice —
     * shared by the batch read and each streaming micro-batch (which
@@ -405,4 +482,42 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
   override def commit(end: SOffset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** The scan a COMPLETELY pushed aggregate builds: one pre-computed
+  * row, resolved on the driver from `_STATS.tsv` commit metadata —
+  * no parquet file is ever opened (the plan shows this scan where a
+  * file read would be). */
+private[sources] class GraftAggScan(aggSchema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    "graft metadata-only aggregate (_STATS.tsv resolve; no files opened)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+private[sources] case class GraftAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] class GraftAggReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[GraftAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -750,15 +750,14 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
-  test("column-mapped tables refuse the not-yet-mapping-aware V2 " +
-      "source instead of surfacing physical names") {
+  test("column-mapped tables read through the mapping-aware V2 " +
+      "source: logical names out, physical bytes untouched") {
     val p = freshPath("renv2")
     Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)
     assert(spark.read.format("graft").load(p).count() == 1) // unmapped: fine
     Versioned.renameColumn(spark, p, "x", "y")
-    val e = intercept[Exception] {
-      spark.read.format("graft").load(p).count()
-    }
-    assert(e.getMessage.contains("column mapping"))
+    val v2 = spark.read.format("graft").load(p)
+    assert(v2.columns.contains("y") && !v2.columns.contains("x"))
+    assert(v2.select("y").head().getInt(0) == 10)
   }
 }

@@ -76,6 +76,27 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT * FROM graft_test.t2 VERSION AS OF 3").count() == 3)
   }
 
+  test("SELECT count(*)/min/max through the catalog rides the " +
+      "metadata-only aggregate scan — no file opened; a WHERE " +
+      "clause declines to the ordinary scan") {
+    spark.sql("CREATE TABLE graft_test.tagg (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.tagg VALUES (5, 'a'), (9, 'b')")
+    spark.sql("INSERT INTO graft_test.tagg VALUES (1, 'c')")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx " +
+        "FROM graft_test.tagg")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only aggregate"), plan)
+    assert(!plan.contains("Parquet"), plan)
+    assert(q.as[(Long, Long, Long)].collect().head == ((3L, 1L, 9L)))
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM graft_test.tagg WHERE k > 1")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("metadata-only aggregate"))
+    assert(filtered.as[Long].collect().head == 2L)
+  }
+
   test("the SQL face and the Scala API interoperate on the same " +
       "files: Scala appends surface in SQL, SQL inserts in Scala") {
     val path = s"$wh/t3"

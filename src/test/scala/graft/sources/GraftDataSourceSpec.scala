@@ -97,6 +97,49 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(s.count() == 10)
   }
 
+  test("aggregate pushdown: no-filter count/min/max answered from " +
+      "_STATS metadata with no file scan; filters, strings, " +
+      "unsupported functions, group-bys, and stats gaps decline " +
+      "to the ordinary scan") {
+    val p = clusteredTable("agg")
+    val q = spark.read.format("graft").load(p)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+        min("x").as("xmn"), max("x").as("xmx"))
+    // plan-string assertions survive AQE wrapping (collect() does not
+    // traverse into AdaptiveSparkPlanExec)
+    val qPlan = q.queryExecution.executedPlan.toString
+    assert(qPlan.contains("metadata-only aggregate"), qPlan)
+    assert(!qPlan.contains("Parquet"),
+      "no parquet scan may appear in a completely-pushed plan:\n" + qPlan)
+    val row = q.collect().head
+    assert(row.getAs[Long]("n") == 300L)
+    assert(row.getAs[Long]("mn") == 0L && row.getAs[Long]("mx") == 299L)
+    // IntegerType column narrows back to int
+    assert(row.getAs[Int]("xmn") == 0 && row.getAs[Int]("xmx") == 598)
+
+    def fellBack(df: DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString
+        .contains("metadata-only aggregate")
+    // a residual filter declines (zone maps say "maybe", not "count")
+    val f = spark.read.format("graft").load(p).filter(col("k") > 10L)
+      .agg(count(lit(1)).as("n"))
+    assert(fellBack(f) && f.collect().head.getAs[Long]("n") == 289L)
+    // string min/max declines (footer stats may be truncated bounds)
+    val s = spark.read.format("graft").load(p).agg(min("s").as("m"))
+    assert(fellBack(s) && s.collect().head.getAs[String]("m") == "s0")
+    // unsupported aggregate declines
+    val a = spark.read.format("graft").load(p).agg(avg("k").as("m"))
+    assert(fellBack(a) && a.collect().head.getAs[Double]("m") == 149.5)
+    // group-by declines (per-group counts need the rows)
+    val g = spark.read.format("graft").load(p).groupBy("s").count()
+    assert(fellBack(g) && g.count() == 300L)
+    // a stats gap in ONE dir declines the whole pushdown, answer
+    // unchanged — pruning may drop work, never change answers
+    assert(new java.io.File(s"$p/v=2/_STATS.tsv").delete())
+    val gap = spark.read.format("graft").load(p).agg(count(lit(1)).as("n"))
+    assert(fellBack(gap) && gap.collect().head.getAs[Long]("n") == 300L)
+  }
+
   test("column pruning reaches ReadSchema; schema stays pinned when " +
       "pruning drops a schema-evolution commit's files") {
     val p = freshPath("evolve")

@@ -1322,6 +1322,38 @@ object Queries {
        |SELECT COUNT(*) AS n_rows, MIN(doc_id) AS min_id,
        |  MAX(doc_id) AS max_id FROM u""".stripMargin
 
+  /** RUNTIME FILTERING over the V2 face (r11 — DPP without
+    * partitions): the versioned table joined against a selective
+    * parquet dim plans a dynamic-pruning subquery (reusing the
+    * broadcast exchange); at runtime the dim's join keys arrive at
+    * the graft scan as an `IN` set and prune fact FILES through the
+    * commit-time zone maps — per-value, so only files whose [min,max]
+    * covers some key are opened. The builder asserts the
+    * dynamic-pruning filter is in the plan, so the oracle row
+    * certifies both the values and the planning shape. */
+  def tableDpp(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
+    val fact = spark.read.format("graft").load(path)
+    val dim = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50).select(col("doc_id").as("dk"))
+    val out = fact.join(broadcast(dim), col("doc_id") === col("dk"))
+      .select(col("doc_id"), col("__v").cast("int").as("v"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id", "v")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruning"),
+      "expected a dynamic-pruning runtime filter on the graft scan; " +
+        "plan:\n" + plan)
+    out
+  }
+
+  val tableDppSql: String =
+    s"""WITH $versionedLogSql
+       |SELECT u.doc_id, u.v AS v, CAST(u.n_chars AS BIGINT) AS n_chars
+       |FROM u JOIN (SELECT doc_id FROM documents WHERE doc_id < 50) d
+       |  ON u.doc_id = d.doc_id
+       |ORDER BY u.doc_id, v""".stripMargin
+
   def tableRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
@@ -2312,6 +2344,7 @@ object Queries {
     "q_table_rename" -> tableRename _,
     "q_table_rename_v2" -> tableRenameV2 _,
     "q_table_agg_pushdown" -> tableAggPushdown _,
+    "q_table_dpp" -> tableDpp _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
@@ -2376,6 +2409,7 @@ object Queries {
     "q_table_rename" -> tableRenameSql,
     "q_table_rename_v2" -> tableRenameSql,
     "q_table_agg_pushdown" -> tableAggPushdownSql,
+    "q_table_dpp" -> tableDppSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,

@@ -715,6 +715,29 @@ object Versioned {
     }
   }
 
+  /** File-level pruning for RUNTIME `IN` filters (the V2 scan's
+    * dynamic-pruning hook): keep a file iff, for EVERY (col, values)
+    * set, SOME value may fall within the file's zone-map [min,max].
+    * Per-value exactness (not just the set's [min,max] envelope), so
+    * two join keys landing in two far-apart files keep exactly those
+    * two files. Missing stats keep the file — pruning drops work,
+    * never rows. */
+  private[graft] def pruneFilesForInSets(spark: SparkSession, path: String,
+      vs: Seq[Int], inSets: Seq[(String, Seq[Any])]): Seq[String] = {
+    val f = fs(spark, path)
+    vs.flatMap { v =>
+      val dir = new Path(s"$path/v=$v")
+      val stats = readStats(f, dir)
+      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .filter { s =>
+          val st = stats.getOrElse(s.getPath.getName, Map.empty)
+          inSets.forall { case (c, values) =>
+            values.exists(x => statsMayMatch(st, c, Some(x), Some(x))) }
+        }
+        .map(_.getPath.toString)
+    }
+  }
+
   /** Aggregate shapes the zone maps can answer without opening a
     * file — the V2 scan's [[aggregateFromStats]] vocabulary. */
   private[graft] sealed trait StatAgg

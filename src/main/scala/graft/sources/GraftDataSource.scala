@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, Statistics, SupportsPushDownAggregates,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics}
+  SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow,
   Offset => SOffset}
@@ -301,13 +301,29 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     case None => new GraftScan(spark, path, this, innerScan(versionSlice()))
   }
 
+  /** Rebuild the inner scan with RUNTIME `IN` sets intersected into
+    * the file pruning (logical names in; physical pruning inside). */
+  private[sources] def innerScanRuntime(
+      inSets: Seq[(String, Seq[Any])]): Scan = {
+    val keep = Versioned.pruneFilesForInSets(spark, path, versionSlice(),
+      inSets.map { case (c, v) => (physName(c), v) }).toSet
+    innerScan(versionSlice(), Some(keep))
+  }
+
   /** The pruned parquet scan over an explicit version-dir slice —
     * shared by the batch read and each streaming micro-batch (which
-    * calls it per offset range, same pushed filters and pruning). */
-  private[sources] def innerScan(vs: Seq[Int]): Scan = {
-    val pruned = Versioned.pruneFilesForBounds(spark, path, vs,
+    * calls it per offset range, same pushed filters and pruning).
+    * `runtimeKeep` intersects a runtime-filter file set into the
+    * static zone-map pruning. */
+  private[sources] def innerScan(vs: Seq[Int],
+      runtimeKeep: Option[Set[String]] = None): Scan = {
+    val statPruned = Versioned.pruneFilesForBounds(spark, path, vs,
       GraftDataSource.boundsOf(filters.toSeq)
         .map { case (c, lo, hi) => (physName(c), lo, hi) })
+    val pruned = runtimeKeep match {
+      case Some(keep) => statPruned.filter(keep)
+      case None => statPruned
+    }
     // all files pruned => any of the dirs yields the right (empty)
     // result under the pinned schema; keep one so the parquet table
     // has a location to plan over
@@ -342,10 +358,42 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
  * the inner pruned parquet scan; `toMicroBatchStream` turns the SAME
  * builder state (pushed filters, pruned columns, zone maps) into the
  * version-offset STREAMING source ([[GraftMicroBatchStream]]).
+ *
+ * RUNTIME FILTERING ([[SupportsRuntimeFiltering]], the DPP analog
+ * for an unpartitioned V2 source): when this table is the big side
+ * of a join against a selective dim, Spark plans a dynamic-pruning
+ * subquery over the dim keys (reusing the broadcast exchange) and
+ * hands the resulting `IN` set here at runtime; the inner scan is
+ * rebuilt with the key set intersected into the zone-map file
+ * pruning — fact files whose [min,max] covers none of the join keys
+ * are never opened. On a key-clustered (compacted / Z-ordered)
+ * 100 TB table this turns a dim-join backfill from a full scan into
+ * a per-key file lookup, exactly like partition pruning on a
+ * partitioned table — without the partitioning.
  */
 private[sources] class GraftScan(spark: SparkSession, path: String,
-    builder: GraftScanBuilder, private[sources] val inner: Scan)
-    extends Scan with SupportsReportStatistics {
+    builder: GraftScanBuilder, initialInner: Scan)
+    extends Scan with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  private var currentInner: Scan = initialInner
+  private[sources] def inner: Scan = currentInner
+
+  // runtime filters may arrive on any column this scan OUTPUTS
+  // (Spark resolves these against the pruned relation output — a
+  // column projected away can't carry a join key anyway); the zone
+  // maps decide per file whether a given key set actually prunes
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fields.map(f => org.apache.spark.sql.connector
+      .expressions.Expressions.column(f.name))
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val inSets = runtime.toSeq.collect {
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        (c, vs.toSeq)
+    }
+    if (inSets.nonEmpty) currentInner = builder.innerScanRuntime(inSets)
+  }
 
   // the inner scan reads PHYSICAL names; the visible schema is
   // logical. Same field order and types, so rows pass through as-is.

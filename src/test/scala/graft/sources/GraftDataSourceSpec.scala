@@ -140,6 +140,46 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(fellBack(gap) && gap.collect().head.getAs[Long]("n") == 300L)
   }
 
+  test("runtime filtering: a broadcast dim join prunes fact files " +
+      "at runtime through the zone maps — DPP without partitions") {
+    val p = clusteredTable("dpp")
+    val fact = spark.read.format("graft").load(p)
+    // the DPP planner needs a SELECTIVE predicate that survives
+    // optimization on the dim side — a LocalRelation constant-folds
+    // its filter away, so the dim comes off parquet; keys 42 and 255
+    // land in two of the three clustered files — per-value pruning
+    // must keep exactly those two
+    val dimPath = "target/tmp/gds-dpp-dim"
+    Seq((42L, "a"), (255L, "b"), (999L, "z")).toDF("dk", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") =!= "z")
+    val j = fact.join(broadcast(dim), col("k") === col("dk"))
+      .select("k", "s", "tag")
+    val rows = j.collect()
+    assert(rows.map(_.getAs[Long]("k")).sorted.toSeq == Seq(42L, 255L))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case o => o.children.flatMap(allNodes)
+    })
+    val b = allNodes(j.queryExecution.executedPlan).collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b
+    }.getOrElse(fail("no graft BatchScan in final plan:\n" +
+      j.queryExecution.executedPlan))
+    assert(b.runtimeFilters.nonEmpty,
+      "expected a dynamic-pruning runtime filter on the fact scan")
+    val files = b.scan.asInstanceOf[GraftScan].inner
+      .asInstanceOf[FileScan].fileIndex.inputFiles
+    assert(files.length == 2,
+      s"runtime prune should keep the 2 covering files, got:\n" +
+        files.mkString("\n"))
+    assert(files.exists(_.contains("v=1")) && files.exists(_.contains("v=3")),
+      "the surviving files must be the key-covering commits'")
+  }
+
   test("column pruning reaches ReadSchema; schema stays pinned when " +
       "pruning drops a schema-evolution commit's files") {
     val p = freshPath("evolve")

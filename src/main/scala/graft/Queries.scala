@@ -1354,6 +1354,23 @@ object Queries {
        |  ON u.doc_id = d.doc_id
        |ORDER BY u.doc_id, v""".stripMargin
 
+  /** LIMIT PUSHDOWN over the V2 face (r11): `LIMIT k` keeps only a
+    * file PREFIX whose commit-stamped `__nrows` counts cover k — on
+    * a 100 TB table `SELECT * FROM t LIMIT 100` opens one file. The
+    * oracle counts the limited read: under-delivery (pruning one
+    * file too many) would surface as n_rows < 100 and hash-mismatch;
+    * the file-count pinning lives in the V2 spec. */
+  def tableLimitPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
+    spark.read.format("graft").load(path).limit(100)
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  val tableLimitPushdownSql: String =
+    s"""WITH $versionedLogSql
+       |SELECT COUNT(*) AS n_rows
+       |FROM (SELECT * FROM u LIMIT 100)""".stripMargin
+
   def tableRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
@@ -2345,6 +2362,7 @@ object Queries {
     "q_table_rename_v2" -> tableRenameV2 _,
     "q_table_agg_pushdown" -> tableAggPushdown _,
     "q_table_dpp" -> tableDpp _,
+    "q_table_limit_pushdown" -> tableLimitPushdown _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
@@ -2410,6 +2428,7 @@ object Queries {
     "q_table_rename_v2" -> tableRenameSql,
     "q_table_agg_pushdown" -> tableAggPushdownSql,
     "q_table_dpp" -> tableDppSql,
+    "q_table_limit_pushdown" -> tableLimitPushdownSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,

@@ -738,6 +738,34 @@ object Versioned {
     }
   }
 
+  /** LIMIT-pushdown file prefix: the shortest prefix of `files`
+    * whose stamped `__nrows` counts sum to >= k. A file with no
+    * count contributes nothing to the sum (so unknown counts only
+    * ever KEEP more files — if counts never reach k the whole list
+    * survives); the guarantee is at least min(k, total) rows
+    * survive, which is all a partial limit pushdown may assume. */
+  private[graft] def limitFilePrefix(spark: SparkSession, path: String,
+      files: Seq[String], k: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val statsByDir = mutable.Map.empty[
+      String, Map[String, Map[String, (String, String, String)]]]
+    var acc = 0L
+    val keep = mutable.ArrayBuffer.empty[String]
+    val it = files.iterator
+    while (it.hasNext && acc < k) {
+      val fp = it.next()
+      keep += fp
+      val p = new Path(fp)
+      val st = statsByDir.getOrElseUpdate(p.getParent.toString,
+        readStats(f, p.getParent))
+      st.get(p.getName).flatMap(_.get("__nrows")).foreach {
+        case ("count", n, _) => acc += n.toLong
+        case _ => ()
+      }
+    }
+    keep.toSeq
+  }
+
   /** Aggregate shapes the zone maps can answer without opening a
     * file — the V2 scan's [[aggregateFromStats]] vocabulary. */
   private[graft] sealed trait StatAgg

@@ -21,8 +21,9 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, Statistics, SupportsPushDownAggregates,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics, SupportsRuntimeFiltering}
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics,
+  SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow,
   Offset => SOffset}
@@ -206,13 +207,29 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     mapping: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var filters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   // COMPLETE aggregate pushdown resolved from commit metadata:
   // (result schema, the one pre-computed result row's values)
   private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT PUSHDOWN at FILE granularity: `LIMIT k` keeps only a
+    * prefix of the slice's files whose `__nrows` commit-metadata
+    * counts sum to >= k — on a 100 TB table, `SELECT * FROM t LIMIT
+    * 100` opens one file instead of planning millions. Partial by
+    * contract (Spark keeps its limit operator; we only guarantee AT
+    * LEAST min(k, total) rows survive), and only sound when NO
+    * filter applies below the limit — a filtered prefix could
+    * under-deliver — so it declines whenever filters are pushed, and
+    * [[innerScan]] ignores it when a runtime filter rebuilds the
+    * scan. Files without a row count stay (unknown means "keep"). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (filters.nonEmpty || limit <= 0) false
+    else { pushedLimit = Some(limit); true }
+  }
 
   private def physName(c: String): String = mapping.getOrElse(c, c)
   private def physSchema(s: StructType): StructType =
@@ -320,9 +337,16 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     val statPruned = Versioned.pruneFilesForBounds(spark, path, vs,
       GraftDataSource.boundsOf(filters.toSeq)
         .map { case (c, lo, hi) => (physName(c), lo, hi) })
-    val pruned = runtimeKeep match {
+    val kept = runtimeKeep match {
       case Some(keep) => statPruned.filter(keep)
       case None => statPruned
+    }
+    // limit prefix only on the plain unfiltered read — a filtered
+    // prefix could under-deliver (see pushLimit)
+    val pruned = pushedLimit match {
+      case Some(k) if filters.isEmpty && runtimeKeep.isEmpty =>
+        Versioned.limitFilePrefix(spark, path, kept, k.toLong)
+      case _ => kept
     }
     // all files pruned => any of the dirs yields the right (empty)
     // result under the pinned schema; keep one so the parquet table

@@ -180,6 +180,27 @@ class GraftDataSourceSpec extends SparkSpec {
       "the surviving files must be the key-covering commits'")
   }
 
+  test("limit pushdown: LIMIT k keeps a file prefix covering k rows " +
+      "by __nrows; never under-delivers; filtered limits decline") {
+    val p = clusteredTable("lim") // 3 files x 100 rows
+    val q = spark.read.format("graft").load(p).limit(150)
+    assert(scanOf(q).fileIndex.inputFiles.length == 2,
+      "150 rows need the 2-file prefix (100+100)")
+    assert(q.collect().length == 150)
+    // limit beyond the table keeps everything and delivers everything
+    val over = spark.read.format("graft").load(p).limit(500)
+    assert(scanOf(over).fileIndex.inputFiles.length == 3)
+    assert(over.collect().length == 300)
+    // a filter below the limit declines the prefix (a filtered prefix
+    // could under-deliver); zone maps still prune on the filter
+    val f = spark.read.format("graft").load(p)
+      .filter(col("k") >= 100L).limit(5)
+    assert(scanOf(f).fileIndex.inputFiles.length == 2,
+      "zone maps prune to the 2 matching files; the limit must not " +
+        "shrink them further")
+    assert(f.collect().length == 5)
+  }
+
   test("column pruning reaches ReadSchema; schema stays pinned when " +
       "pruning drops a schema-evolution commit's files") {
     val p = freshPath("evolve")

@@ -23,7 +23,8 @@ object Stress {
     val modes = Set("selector", "wide", "dedup", "ann", "annserve",
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
-      "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream")
+      "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
+      "dppscan")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -62,6 +63,10 @@ object Stress {
     if (mode == "sinkstream") {
       val nb = if (numArgs.length > 1) numArgs(1).toInt else 3
       sinkStreamStress(spark, nRows, nb, cpus.toInt); return
+    }
+    if (mode == "dppscan") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(10000000L)
+      dppScanStress(spark, nr, cpus.toInt); return
     }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
@@ -1199,6 +1204,94 @@ object Stress {
     * resolve BEFORE vs AFTER a compact checkpoint — the claim under
     * test: read cost tracks live data after compaction, not history
     * length, while time travel below the checkpoint stays intact. */
+  /** Runtime-filtering (DPP) + limit-pushdown scan stress on the V2
+    * face: an nRows fact table written as 64 key-clustered commits
+    * (tight zone maps per file), joined against a 16-key broadcast
+    * dim. Reports the same join with dynamic pruning ON vs OFF, plus
+    * the files each plan opened — the ON run must open ~the dim's
+    * key-covering files, not the table; at 100x the table size the
+    * OFF cost grows linearly while the ON cost tracks the dim. Also
+    * times LIMIT 100 (file-prefix pushdown: one file). */
+  private def dppScanStress(spark: SparkSession, nRows: Long,
+      cpus: Int): Unit = {
+    import graft.io.Versioned
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.{
+      BatchScanExec, FileScan}
+
+    val path = "target/tmp/dppscan-stress"
+    val dimPath = "target/tmp/dppscan-dim"
+    Versioned.drop(spark, path)
+    val commits = 64
+    val per = nRows / commits
+    val t0 = System.nanoTime()
+    (0 until commits).foreach { i =>
+      Versioned.append(
+        spark.range(i * per, (i + 1) * per)
+          .select(col("id").as("k"), (col("id") % 97).as("x"))
+          .coalesce(1), path)
+    }
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    // 16 keys spread over 16 distinct commits' ranges
+    spark.range(16).select((col("id") * (nRows / 16) + 7).as("dk"),
+        lit("x").as("tag"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+
+    def graftFiles(pl: SparkPlan): Int = {
+      def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec => all(q.plan)
+        case o => o.children.flatMap(all)
+      })
+      all(pl).collectFirst {
+        case b: BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.GraftScan] =>
+          b.scan.asInstanceOf[graft.sources.GraftScan].inner
+            .asInstanceOf[FileScan].fileIndex.inputFiles.length
+      }.getOrElse(-1)
+    }
+    def joinRun(): (Double, Int, Long) = {
+      val fact = spark.read.format("graft").load(path)
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === "x")
+      val j = fact.join(broadcast(dim), col("k") === col("dk"))
+        .agg(sum("x").as("s"))
+      val t = System.nanoTime()
+      val s = j.collect().head.getLong(0)
+      ((System.nanoTime() - t) / 1e9, graftFiles(j.queryExecution.executedPlan), s)
+    }
+    val (secFull, filesFull, sFull) = {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try joinRun()
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+    val (secDpp, filesDpp, sDpp) = joinRun()
+    require(sFull == sDpp, s"DPP changed the answer: $sFull vs $sDpp")
+    require(filesDpp > 0 && filesDpp <= 16,
+      s"expected <=16 key-covering files under DPP, got $filesDpp")
+
+    val tL = System.nanoTime()
+    val lim = spark.read.format("graft").load(path).limit(100)
+    val nLim = lim.collect().length
+    val secLimit = (System.nanoTime() - tL) / 1e9
+    require(nLim == 100, s"limit under-delivered: $nLim")
+    val filesLimit = lim.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.GraftScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftScan].inner
+          .asInstanceOf[FileScan].fileIndex.inputFiles.length
+    }.getOrElse(-1)
+
+    println(s"""{"metric":"dppscan","rows":$nRows,"files_total":$commits,""" +
+      s""""sec_build":${f"$tBuild%.2f"},"sec_join_full":${f"$secFull%.2f"},""" +
+      s""""files_full":$filesFull,"sec_join_dpp":${f"$secDpp%.2f"},""" +
+      s""""files_dpp":$filesDpp,"sec_limit":${f"$secLimit%.2f"},""" +
+      s""""files_limit":$filesLimit}""")
+  }
+
   private def vtableStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
     import graft.io.Versioned
     val path = "target/tmp/vtable-stress"

@@ -395,13 +395,13 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
  * a per-key file lookup, exactly like partition pruning on a
  * partitioned table — without the partitioning.
  */
-private[sources] class GraftScan(spark: SparkSession, path: String,
+private[graft] class GraftScan(spark: SparkSession, path: String,
     builder: GraftScanBuilder, initialInner: Scan)
     extends Scan with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   private var currentInner: Scan = initialInner
-  private[sources] def inner: Scan = currentInner
+  private[graft] def inner: Scan = currentInner
 
   // runtime filters may arrive on any column this scan OUTPUTS
   // (Spark resolves these against the pruned relation output — a

@@ -766,6 +766,30 @@ object Versioned {
     keep.toSeq
   }
 
+  /** Exact row-count sum of `files` from their stamped `__nrows`
+    * commit metadata — None when any file lacks one. Backs the V2
+    * scan's numRows statistic. */
+  private[graft] def fileRowCountSum(spark: SparkSession, path: String,
+      files: Seq[String]): Option[Long] = {
+    val f = fs(spark, path)
+    val statsByDir = mutable.Map.empty[
+      String, Map[String, Map[String, (String, String, String)]]]
+    var acc = 0L
+    var ok = true
+    files.foreach { fp =>
+      if (ok) {
+        val p = new Path(fp)
+        val st = statsByDir.getOrElseUpdate(p.getParent.toString,
+          readStats(f, p.getParent))
+        st.get(p.getName).flatMap(_.get("__nrows")) match {
+          case Some(("count", n, _)) => acc += n.toLong
+          case _ => ok = false
+        }
+      }
+    }
+    if (ok) Some(acc) else None
+  }
+
   /** Aggregate shapes the zone maps can answer without opening a
     * file — the V2 scan's [[aggregateFromStats]] vocabulary. */
   private[graft] sealed trait StatAgg

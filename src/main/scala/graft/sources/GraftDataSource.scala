@@ -215,6 +215,17 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
   // (result schema, the one pre-computed result row's values)
   private var pushedAgg: Option[(StructType, Array[Any])] = None
   private var pushedLimit: Option[Int] = None
+  // the file list the most recent innerScan planned over — the set
+  // the numRows statistic must describe
+  private var lastFiles: Seq[String] = Nil
+
+  /** Exact planned-file row count from commit metadata, for the
+    * scan's numRows statistic. Only meaningful with no pushed
+    * filters (a filtered scan returns fewer rows than its files
+    * hold). */
+  private[sources] def metadataRowCount(): Option[Long] =
+    if (filters.nonEmpty) None
+    else Versioned.fileRowCountSum(spark, path, lastFiles)
 
   /** LIMIT PUSHDOWN at FILE granularity: `LIMIT k` keeps only a
     * prefix of the slice's files whose `__nrows` commit-metadata
@@ -348,6 +359,7 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
         Versioned.limitFilePrefix(spark, path, kept, k.toLong)
       case _ => kept
     }
+    lastFiles = pruned
     // all files pruned => any of the dirs yields the right (empty)
     // result under the pinned schema; keep one so the parquet table
     // has a location to plan over
@@ -429,11 +441,24 @@ private[graft] class GraftScan(spark: SparkSession, path: String,
 
   override def description(): String = s"graft ${inner.description()}"
 
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+  /** Size from the inner file scan; EXACT row count from the commit
+    * metadata when every slice file stamped one (`__nrows`) — a real
+    * numRows sharpens the optimizer's join-side and AQE estimates,
+    * and it's the same driver-side TSV read the planner already
+    * pays. */
+  override def estimateStatistics(): Statistics = {
+    val innerStats = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    val rows = builder.metadataRowCount()
+    new Statistics {
+      override def sizeInBytes() = innerStats.map(_.sizeInBytes())
+        .getOrElse(java.util.OptionalLong.empty())
+      override def numRows() = rows
+        .map(java.util.OptionalLong.of)
+        .orElse(innerStats.map(_.numRows()))
+        .getOrElse(java.util.OptionalLong.empty())
     }
   }
 

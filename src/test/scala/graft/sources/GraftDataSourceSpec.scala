@@ -201,6 +201,19 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(f.collect().length == 5)
   }
 
+  test("the scan reports an EXACT numRows statistic from commit " +
+      "metadata (sharper optimizer estimates for free)") {
+    val p = clusteredTable("nstat")
+    val df = spark.read.format("graft").load(p)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan }.get
+    val st = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().isPresent && st.numRows().getAsLong == 300L)
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0)
+  }
+
   test("column pruning reaches ReadSchema; schema stays pinned when " +
       "pruning drops a schema-evolution commit's files") {
     val p = freshPath("evolve")

@@ -766,6 +766,17 @@ object Versioned {
     keep.toSeq
   }
 
+  /** Data bytes of one version dir (0 when reclaimed/absent) — the
+    * streaming source's byte-budget admission accounting. */
+  private[graft] def dirBytes(spark: SparkSession, path: String,
+      v: Int): Long = {
+    val f = fs(spark, path)
+    val d = new Path(s"$path/v=$v")
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
   /** Exact row-count sum of `files` from their stamped `__nrows`
     * commit metadata — None when any file lacks one. Backs the V2
     * scan's numRows statistic. */

@@ -408,7 +408,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     new GraftScanBuilder(spark, path,
       () => Versioned.asOfVersions(spark, path, version), fullSchema,
       GraftDataSource.maxVersionsOf(options),
-      Versioned.logicalToPhysical(spark, path, version))
+      Versioned.logicalToPhysical(spark, path, version),
+      GraftDataSource.maxBytesOf(options))
 
   /** INSERT INTO / CTAS / df.writeTo(...).append — ONE committed
     * version per insert, through [[Versioned.append]] (same contract:

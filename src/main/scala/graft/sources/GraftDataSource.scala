@@ -112,6 +112,18 @@ private[sources] object GraftDataSource {
       n
     }
 
+  /** Streaming admission control by BYTE budget: `maxBytesPerTrigger`
+    * caps a micro-batch at the commit dirs whose data bytes fit the
+    * budget (the first version past an empty budget is still
+    * admitted — progress is guaranteed). Composes with the version
+    * cap: whichever binds first stops the batch. */
+  def maxBytesOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
+      n
+    }
+
   /** Per-column [lo, hi] bounds implied by pushed V1 filters — the
     * zone-map language. Conservative: unhandled shapes contribute no
     * bound (the file is kept; the residual filter still applies). */
@@ -181,7 +193,9 @@ private[sources] class GraftTable(tableSchema: StructType,
       () => Versioned.asOfVersions(spark, path, version), tableSchema,
       GraftDataSource.maxVersionsOf(scanOptions)
         .orElse(GraftDataSource.maxVersionsOf(options)),
-      Versioned.logicalToPhysical(spark, path, version))
+      Versioned.logicalToPhysical(spark, path, version),
+      GraftDataSource.maxBytesOf(scanOptions)
+        .orElse(GraftDataSource.maxBytesOf(options)))
   }
 }
 
@@ -204,7 +218,8 @@ private[sources] class GraftTable(tableSchema: StructType,
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     versionSlice: () => Seq[Int], tableSchema: StructType,
     private[sources] val maxVersionsPerTrigger: Option[Int] = None,
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    private[sources] val maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -473,11 +488,13 @@ private[sources] case class GraftOffset(v: Int) extends SOffset {
   override def json(): String = v.toString
 }
 
-/** `maxVersionsPerTrigger` as a [[ReadLimit]]: at most `n` commit
-  * versions admitted per micro-batch. Source-private — the engine
-  * passes limits back opaquely; only [[GraftMicroBatchStream]]
-  * interprets it. */
-private[sources] case class ReadMaxVersions(n: Int) extends ReadLimit
+/** `maxVersionsPerTrigger` / `maxBytesPerTrigger` as a [[ReadLimit]]:
+  * at most `maxVersions` commit versions AND `maxBytes` of commit-dir
+  * data admitted per micro-batch (whichever binds first; at least one
+  * version always admits). Source-private — the engine passes limits
+  * back opaquely; only [[GraftMicroBatchStream]] interprets it. */
+private[sources] case class ReadAdmission(maxVersions: Option[Int],
+    maxBytes: Option[Long]) extends ReadLimit
 
 /**
  * The versioned table as a STREAMING SOURCE with COMMIT-VERSION
@@ -507,7 +524,7 @@ private[sources] case class ReadMaxVersions(n: Int) extends ReadLimit
  * prefix (it is one compacted dir; versions below it no longer
  * exist to deliver separately). Version granularity isn't in
  * [[ReadLimit]]'s stock vocabulary of rows/files/bytes, so the cap
- * rides a source-private [[ReadMaxVersions]] returned by
+ * rides a source-private [[ReadAdmission]] returned by
  * `getDefaultReadLimit` and interpreted only here. The stream also
  * implements [[SupportsTriggerAvailableNow]] — without it Spark
  * falls back to running Trigger.AvailableNow as ONE batch of
@@ -535,20 +552,40 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
   override def latestOffset(): SOffset = GraftOffset(head())
 
   override def getDefaultReadLimit: ReadLimit =
-    builder.maxVersionsPerTrigger.map(ReadMaxVersions(_): ReadLimit)
-      .getOrElse(ReadLimit.allAvailable())
+    if (builder.maxVersionsPerTrigger.isEmpty &&
+        builder.maxBytesPerTrigger.isEmpty) ReadLimit.allAvailable()
+    else ReadAdmission(builder.maxVersionsPerTrigger,
+      builder.maxBytesPerTrigger)
 
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val latest = head()
     val s = start.asInstanceOf[GraftOffset].v
     val capped = limit match {
-      case ReadMaxVersions(n) =>
+      case ReadAdmission(maxV, maxB) =>
         // fresh stream on a vacuumed table: the initial batch cannot
-        // stop below the base checkpoint (its slice was reclaimed)
+        // stop below the base checkpoint (its slice was reclaimed —
+        // versions at or below the floor admit regardless of budget)
         val floor =
           if (s <= 0) Versioned.vacuumBase(spark, path).getOrElse(0)
           else 0
-        math.min(latest, math.max(s + n, floor))
+        // walk versions while under BOTH caps; the first version of
+        // a batch always admits (progress guarantee). Byte accounting
+        // is over raw commit dirs — a checkpoint dir inside the range
+        // counts toward the budget even though planning excludes it:
+        // conservative (smaller batches), never unsound.
+        var end = s
+        var bytes = 0L
+        var n = 0
+        var stop = false
+        while (!stop && end < latest) {
+          val next = end + 1
+          val sz = Versioned.dirBytes(spark, path, next)
+          val overV = maxV.exists(m => n + 1 > m)
+          val overB = maxB.exists(m => n > 0 && bytes + sz > m)
+          if ((overV || overB) && next > floor) stop = true
+          else { end = next; bytes += sz; n += 1 }
+        }
+        end
       case _ => latest
     }
     GraftOffset(capped)

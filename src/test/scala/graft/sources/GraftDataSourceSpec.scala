@@ -359,6 +359,28 @@ class GraftDataSourceSpec extends SparkSpec {
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(
           java.util.Map.of("maxVersionsPerTrigger", "0")))
     }
+
+    // BYTE-budget admission on the same table: a 1-byte budget still
+    // admits one version per epoch (progress guarantee), a huge
+    // budget is one epoch, and composed caps bind at the tighter one
+    drain("b1", "maxBytesPerTrigger" -> "1")
+    val epsB = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(epsB.head._3 == Seq(4),
+      "the vacuum-base floor admits regardless of budget")
+    assert(epsB.map(_._3) == Seq(Seq(4), Seq(5), Seq(6)))
+    assert(epsB.map(_._2).sum == 32)
+    drain("bbig", "maxBytesPerTrigger" -> (1L << 40).toString)
+    assert(batches.size() == 1)
+    drain("combo", "maxVersionsPerTrigger" -> "2",
+      "maxBytesPerTrigger" -> "1")
+    val epsC = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(epsC.map(_._3) == Seq(Seq(4), Seq(5), Seq(6)),
+      s"the tighter (byte) cap must bind, got ${epsC.map(_._3)}")
+    intercept[IllegalArgumentException] {
+      GraftDataSource.maxBytesOf(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("maxBytesPerTrigger", "0")))
+    }
   }
 
   test("column mapping through the V2 face: logical names over " +

@@ -97,8 +97,14 @@ object Bench {
     // would keep only whichever ran last — the drift gate
     // (tools/check.py --bench-drift) needs the sf0.1 map specifically.
     // BENCH_FULL.json stays as the "last run" pointer for humans.
+    // A FILTERED run (SPARK_GRAFT_ONLY) must never clobber the full
+    // maps — a 1-query profiling run would replace the round's
+    // 178-query artifact.
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    Seq(s"BENCH_FULL_$sfBase.json", "BENCH_FULL.json").foreach { f =>
+    val targets =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) Nil
+      else Seq(s"BENCH_FULL_$sfBase.json", "BENCH_FULL.json")
+    targets.foreach { f =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f), line + "\n")
       catch { // bench output must never fail the run — but say why it vanished

@@ -386,9 +386,10 @@ object PipelineQueries {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val post = docs.select(explode(col("toks")).as("tok"))
     val uf = post.groupBy("tok").agg(count(lit(1)).as("uc"))
-    // total postings derived from the vocab-sized aggregate, not a
-    // second corpus scan
-    val total = uf.agg(sum(col("uc"))).head().getLong(0)
+    // total postings as a broadcast 1-row scalar INSIDE the plan —
+    // an eager head() here would build the vocab aggregate twice
+    // (once for the scalar job, once for the joins)
+    val tot = uf.agg(sum(col("uc")).cast("double").as("tot"))
     val bg = docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.adjacentPairs(col("toks")))
@@ -399,10 +400,11 @@ object PipelineQueries {
     bg.join(bf, "bg")
       .join(uf.withColumnRenamed("tok", "w1").withColumnRenamed("uc", "uc1"), "w1")
       .join(uf.withColumnRenamed("tok", "w2").withColumnRenamed("uc", "uc2"), "w2")
+      .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(round(avg(log10(
         lit(0.7) * col("bc").cast("double") / col("uc1")
-          + lit(0.3) * col("uc2").cast("double") / total)), 6)
+          + lit(0.3) * col("uc2").cast("double") / col("tot"))), 6)
         .as("lm_bigram"))
       .orderBy("doc_id")
   }
@@ -1545,14 +1547,17 @@ object PipelineQueries {
     val shards = Sketches.mgCandidatesWithTotals(
       items.withColumn("g", (col("event_id") % 2).cast("string")),
       "g", "item", 64)
-    val n = shards.select("g", "n").distinct()
-      .agg(sum("n")).head().getLong(0)
+    // grand total as a broadcast 1-row scalar inside the plan (an
+    // eager head() would run the shard aggregation as its own job)
+    val tot = shards.select("g", "n").distinct().agg(sum("n").as("tot"))
     val folded = Sketches.mgMerge(
       shards.withColumn("g", lit("all")), 64)
       .select(col("item"))
     items.select("item").join(broadcast(folded), "item")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 65 > n)
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 65 > col("tot"))
+      .select("item", "cnt")
       .orderBy(col("cnt").desc, col("item"))
   }
 

@@ -409,7 +409,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
       () => Versioned.asOfVersions(spark, path, version), fullSchema,
       GraftDataSource.maxVersionsOf(options),
       Versioned.logicalToPhysical(spark, path, version),
-      GraftDataSource.maxBytesOf(options))
+      GraftDataSource.maxBytesOf(options),
+      GraftDataSource.startingVersionOf(spark, path, options))
 
   /** INSERT INTO / CTAS / df.writeTo(...).append — ONE committed
     * version per insert, through [[Versioned.append]] (same contract:

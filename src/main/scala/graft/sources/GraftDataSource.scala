@@ -124,6 +124,24 @@ private[sources] object GraftDataSource {
       n
     }
 
+  /** Where a FRESH stream starts: `startingVersion` = deliver from
+    * that commit version (inclusive) instead of backfilling the
+    * whole table; the string `latest` = only commits AFTER stream
+    * start. Resuming from a checkpoint ignores this (the offset in
+    * the checkpoint wins — Spark never asks for initialOffset
+    * again). Starting below the vacuum horizon refuses loudly at
+    * first planning ([[graft.io.Versioned.streamSlice]]). */
+  def startingVersionOf(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("startingVersion")).map {
+      case s if s.equalsIgnoreCase("latest") =>
+        Versioned.latestVersion(spark, path) + 1
+      case s =>
+        val n = s.toInt
+        require(n >= 1, s"startingVersion must be >= 1 or 'latest', got $n")
+        n
+    }
+
   /** Per-column [lo, hi] bounds implied by pushed V1 filters — the
     * zone-map language. Conservative: unhandled shapes contribute no
     * bound (the file is kept; the residual filter still applies). */
@@ -195,7 +213,9 @@ private[sources] class GraftTable(tableSchema: StructType,
         .orElse(GraftDataSource.maxVersionsOf(options)),
       Versioned.logicalToPhysical(spark, path, version),
       GraftDataSource.maxBytesOf(scanOptions)
-        .orElse(GraftDataSource.maxBytesOf(options)))
+        .orElse(GraftDataSource.maxBytesOf(options)),
+      GraftDataSource.startingVersionOf(spark, path, scanOptions)
+        .orElse(GraftDataSource.startingVersionOf(spark, path, options)))
   }
 }
 
@@ -219,7 +239,8 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     versionSlice: () => Seq[Int], tableSchema: StructType,
     private[sources] val maxVersionsPerTrigger: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
-    private[sources] val maxBytesPerTrigger: Option[Long] = None)
+    private[sources] val maxBytesPerTrigger: Option[Long] = None,
+    private[sources] val startingVersion: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -547,7 +568,10 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedHead = Some(Versioned.latestVersion(spark, path))
 
-  override def initialOffset(): SOffset = GraftOffset(0)
+  // a fresh stream starts at startingVersion (exclusive lower bound =
+  // v-1) or the table's beginning; a checkpointed resume never asks
+  override def initialOffset(): SOffset =
+    GraftOffset(builder.startingVersion.map(_ - 1).getOrElse(0))
 
   override def latestOffset(): SOffset = GraftOffset(head())
 

@@ -381,6 +381,18 @@ class GraftDataSourceSpec extends SparkSpec {
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(
           java.util.Map.of("maxBytesPerTrigger", "0")))
     }
+
+    // startingVersion: a fresh stream skips the backfill below it;
+    // 'latest' delivers nothing until a NEW commit lands
+    drain("sv", "startingVersion" -> "6")
+    val epsS = batches.iterator().asScala.toSeq.sortBy(_._1)
+    assert(epsS.map(_._3) == Seq(Seq(6)) && epsS.map(_._2).sum == 1,
+      s"startingVersion=6 must deliver exactly v6, got $epsS")
+    // 'latest' = only commits AFTER stream start: an AvailableNow
+    // drain (head pinned at start) must deliver nothing that exists
+    drain("svl", "startingVersion" -> "latest")
+    assert(batches.iterator().asScala.toSeq.forall(_._2 == 0),
+      "startingVersion=latest must skip everything already committed")
   }
 
   test("column mapping through the V2 face: logical names over " +

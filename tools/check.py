@@ -27,12 +27,20 @@ def load_bench(path):
 
 
 def drift_candidates(base, run):
+    # normalize by the run's MEDIAN ratio over shared queries: a
+    # loaded host inflates EVERY row (observed: median 1.08-1.3 with
+    # untouched queries at 1.8x), and two-run confirmation does not
+    # defend against both confirm runs landing in a loaded window —
+    # per-query flags are only signal RELATIVE to the run's own shift
+    shared = sorted(t / base[q] for q, t in run.items()
+                    if base.get(q, 0) > 0.05)
+    med = shared[len(shared) // 2] if shared else 1.0
     out = {}
     for q, t in run.items():
         b = base.get(q)
         if b is None or b <= 0:
             continue  # new query or degenerate baseline: nothing to gate
-        if t >= b * DRIFT_RATIO and t - b >= DRIFT_FLOOR:
+        if t >= b * med * DRIFT_RATIO and t - b * med >= DRIFT_FLOOR:
             out[q] = (b, t)
     return out
 

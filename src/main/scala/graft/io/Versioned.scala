@@ -413,6 +413,56 @@ object Versioned {
     v
   }
 
+  /** OPTIMISTIC-CONCURRENCY publish for row-level DML (UPDATE /
+    * MERGE / predicate DELETE): the delta was computed against the
+    * snapshot at `snapshotV` (the head checkpoint the scan read), so
+    * anything that landed — or may still land — BELOW our slot and
+    * above the snapshot makes the publish a lost update: our rows
+    * would outrank (`__v`) a commit we never saw. Conflict rule at
+    * publish time:
+    *
+    *  - a COMMITTED version in (snapshotV, v) conflicts (a writer
+    *    claimed before us and published);
+    *  - a FOREIGN CLAIM in (snapshotV, v) not yet committed
+    *    conflicts (an in-flight writer below us could publish after
+    *    our check — abort rather than race it; this also aborts
+    *    against a concurrent plain INSERT, conservatively);
+    *  - a commit ABOVE our slot is benign: its writer either ran
+    *    this same check and saw OUR claim (checked DML aborts), or
+    *    is a blind append — and "our DML, then their append" is a
+    *    valid serial order.
+    *
+    * On conflict the staged commit aborts (slot released) and a
+    * retryable error names the interloper — Delta's
+    * ConcurrentAppend/ConcurrentDeleteException shape. */
+  private[graft] def publishStagedChecked(spark: SparkSession,
+      path: String, v: Int, staging: String, keep: Set[String],
+      snapshotV: Int): Int = {
+    val committedAll = versions(spark, path).toSet
+    val committedBelow = committedAll.filter(x => x > snapshotV && x < v)
+    val f = fs(spark, path)
+    val claimsBelow = LogStore.forSession(spark)
+      .listClaims(f, new Path(path))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(".claim-v=").toInt).toOption)
+      .filter(c => c > snapshotV && c < v && !committedAll.contains(c))
+    if (committedBelow.nonEmpty || claimsBelow.nonEmpty) {
+      abortStaged(spark, path, v, staging)
+      throw new java.util.ConcurrentModificationException(
+        s"row-level DML at $path planned against snapshot " +
+          s"v=$snapshotV, but " +
+          (if (committedBelow.nonEmpty)
+            s"version(s) ${committedBelow.toSeq.sorted.mkString(",")} " +
+              "committed concurrently below this write's slot"
+          else
+            s"writer(s) at claimed slot(s) " +
+              s"${claimsBelow.sorted.mkString(",")} are still in " +
+              "flight below this write's slot") +
+          " — the staged commit was aborted; retry the statement")
+    }
+    publishStaged(spark, path, v, staging, keep)
+  }
+
   /** ABORT a staged commit: drop the staging dir and release the
     * claimed slot (store-routed delete, so a metastore-backed claim
     * row goes too). */

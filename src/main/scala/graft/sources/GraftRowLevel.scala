@@ -69,14 +69,19 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   private val scanSchema = StructType(dataSchema.fields.map(f =>
     if (f.name == keyCol) f.copy(nullable = false) else f))
 
+  /** The SNAPSHOT this DML reads and the write's conflict guard
+    * checks against. LAZY on purpose: a DELETE the optimizer swaps
+    * for the metadata path never evaluates it (nor its
+    * head-must-be-checkpoint requirement). */
+  private lazy val snapshotV: Int =
+    Versioned.headCheckpointVersion(spark, path).getOrElse(sys.error(
+      s"row-level SQL $cmd at $path reads the resolved snapshot: the " +
+        "table head must be a checkpoint — run CALL " +
+        "<catalog>.system.compact('<table>') first (translatable " +
+        "DELETE predicates skip this via the metadata delete)"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, () => Seq(
-      Versioned.headCheckpointVersion(spark, path).getOrElse(sys.error(
-        s"row-level SQL $cmd at $path reads the resolved snapshot: the " +
-          "table head must be a checkpoint — run CALL " +
-          "<catalog>.system.compact('<table>') first (translatable " +
-          "DELETE predicates skip this via the metadata delete)"))),
-      scanSchema)
+    new GraftScanBuilder(spark, path, () => Seq(snapshotV), scanSchema)
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(keyCol))
@@ -89,14 +94,19 @@ private[sources] class GraftRowOperation(spark: SparkSession,
         override def toBatch: DeltaBatchWrite =
           new GraftDeltaBatchWrite(spark, path, info.schema(),
             info.rowIdSchema().orElse(StructType(Seq(
-              dataSchema(dataSchema.fieldIndex(keyCol))))))
+              dataSchema(dataSchema.fieldIndex(keyCol))))),
+            () => snapshotV)
       }
     }
 }
 
-/** One staged commit shared by every task of the DML write. */
+/** One staged commit shared by every task of the DML write;
+  * `snapshot` is the version the scan read — the publish runs the
+  * optimistic-concurrency check against it
+  * ([[Versioned.publishStagedChecked]]). */
 private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
-    path: String, rowSchema: StructType, idSchema: StructType)
+    path: String, rowSchema: StructType, idSchema: StructType,
+    snapshot: () => Int)
     extends DeltaBatchWrite {
 
   // claimed when Spark asks for the writer factory (execution start);
@@ -114,7 +124,8 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     val keep = messages.collect {
       case GraftDeltaCommit(file) if file.nonEmpty => file
     }.toSet
-    Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep)
+    Versioned.publishStagedChecked(spark, path, claimed._1, claimed._2,
+      keep, snapshot())
     ()
   }
 

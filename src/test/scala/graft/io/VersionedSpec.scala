@@ -750,6 +750,47 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: a staged row-level publish aborts " +
+      "against a commit or an in-flight claim below its slot after " +
+      "its snapshot; commits above the slot are benign") {
+    val p = freshPath("occ")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p)
+    Versioned.compact(spark, p, "k") // head checkpoint v=2
+    val snapshot = Versioned.latestVersion(spark, p)
+    assert(snapshot == 2)
+
+    // CASE 1: an interloper COMMITS below our slot after the snapshot
+    Versioned.append(Seq((3L, 30)).toDF("k", "x"), p) // v=3
+    val (v1, s1) = Versioned.beginStagedCommit(spark, p) // claims v=4
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      Versioned.publishStagedChecked(spark, p, v1, s1, Set.empty, snapshot)
+    }
+    assert(e1.getMessage.contains("committed concurrently"))
+    // the conflict ABORTED the stage: slot released, nothing published
+    assert(Versioned.latestVersion(spark, p) == 3)
+
+    // CASE 2: an IN-FLIGHT claim below our slot (could publish after
+    // our check — abort rather than race it)
+    val (vi, si) = Versioned.beginStagedCommit(spark, p) // claims v=4
+    val (v2, s2) = Versioned.beginStagedCommit(spark, p) // claims v=5
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      Versioned.publishStagedChecked(spark, p, v2, s2, Set.empty, 3)
+    }
+    assert(e2.getMessage.contains("in flight"))
+    // the in-flight writer itself has nothing below it: publishes
+    Versioned.publishStagedChecked(spark, p, vi, si, Set.empty, 3)
+    assert(Versioned.latestVersion(spark, p) == 4)
+
+    // CASE 3: a commit ABOVE our slot is benign ("our DML, then
+    // their append" is a valid serial order)
+    val (v3, s3) = Versioned.beginStagedCommit(spark, p) // reclaims v=5
+    assert(v3 == 5, "the aborted slot must have been released")
+    Versioned.append(Seq((4L, 40)).toDF("k", "x"), p) // commits v=6
+    Versioned.publishStagedChecked(spark, p, v3, s3, Set.empty, 4)
+    assert(Versioned.versions(spark, p).contains(5) &&
+      Versioned.latestVersion(spark, p) == 6)
+  }
+
   test("column-mapped tables read through the mapping-aware V2 " +
       "source: logical names out, physical bytes untouched") {
     val p = freshPath("renv2")

@@ -2385,6 +2385,76 @@ object PipelineQueries {
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM s)
       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** MATRYOSHKA (MRL) truncated-embedding ANN: serve top-k over the
+    * FIRST 16 dimensions of the stored embedding — the
+    * matryoshka-representation property that a prefix of the vector
+    * is itself a valid lower-dimensional embedding, bought here as
+    * 4× less dot-product compute per candidate with zero re-encoding
+    * (cosine self-normalizes over the truncated prefix, so no
+    * renormalization pass is needed). At 100 TB this is the standard
+    * cheap first tier of a cascade: prefix-dim shortlist, full-dim
+    * rerank (the existing binary/IVF machinery composes the same
+    * way). The oracle replays the truncation and the full
+    * rank-by-rounded-cosine arithmetic. */
+  def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        slice(col("embedding"), 1, 16).as("vec"))
+    Similarity.cosineTopK(emb.filter(col("id") < 50), emb, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val annMatryoshkaSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |t AS (SELECT * FROM u WHERE i <= 16),
+      |n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM t GROUP BY 1),
+      |d AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid, SUM(q.v * c.v) AS dot
+      |  FROM t q JOIN t c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 50
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT qid, nid,
+      |    ROUND(dot / (nq.nrm * nc.nrm), 5) AS cos
+      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON nid = nc.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM s)
+      |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** RAG-style OVERLAPPING chunking: fixed-size token windows with a
+    * stride (size 12, stride 6 → 50% overlap), the retrieval-index
+    * preprocessing shape (overlap keeps a fact split across a chunk
+    * boundary retrievable from at least one chunk). One narrow
+    * projection, no shuffle — the window arithmetic is
+    * sequence+slice, codegen'd. Complements the CDC chunker
+    * (insertion-robust boundaries) and the fixed-grid chunk dedup. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val size = 12
+    val stride = 6
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(lit(0),
+          ceil((org.apache.spark.sql.functions.size(col("toks")) - lit(size))
+            .cast("double") / stride).cast("int")))).as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_id"),
+        array_join(slice(col("toks"), col("ci") * stride + 1, lit(size)),
+          " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, GREATEST(0,
+      |          CAST(CEIL((len(toks) - 12) / 6.0) AS INT)))) AS ci
+      |      FROM t)
+      |SELECT doc_id, ci AS chunk_id,
+      |  array_to_string(toks[ci*6+1 : ci*6+12], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Binary-quantized ANN ([[Similarity.binaryTopK]]): sign bits
     * packed into 32-bit words (BBQ-style 1-bit compression), Hamming
     * prefilter to 20 candidates per query, exact cosine rerank to
@@ -3832,6 +3902,8 @@ object PipelineQueries {
     "q_bpe_encode" -> bpeEncode _,
     "q_tfidf" -> tfidf _,
     "q_ann_cosine" -> annCosine _,
+    "q_ann_matryoshka" -> annMatryoshka _,
+    "q_chunk_overlap" -> chunkOverlap _,
     "q_ann_binary" -> annBinary _,
     "q_ann_binary_rest" -> annBinaryRest _,
     "q_ann_binary_gen" -> annBinaryGen _,
@@ -3925,6 +3997,8 @@ object PipelineQueries {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_tfidf" -> tfidfSql,
     "q_ann_cosine" -> annCosineSql,
+    "q_ann_matryoshka" -> annMatryoshkaSql,
+    "q_chunk_overlap" -> chunkOverlapSql,
     "q_ann_binary" -> annBinarySql,
     "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set

@@ -3755,6 +3755,56 @@ object PipelineQueries {
        |  CAST(SUM(g) AS BIGINT) AS luma_sum
        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
+  /** FRAME-LEVEL dedup over DECODED video (multimodal × dedup
+    * composition): sample frames through the real Y4M container
+    * decode, key each by its decoded signature (dims + exact luma
+    * sum), collapse duplicates keeping the first (id, frame) — the
+    * cross-video repeated-frame shape (intros, slates, freeze
+    * frames) a multimodal curation pass removes before training.
+    * The oracle recomputes the signatures from the pixel formula and
+    * replays the keeper choice, so a single wrong decoded byte
+    * changes a sum and hash-mismatches. */
+  def multimodalFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    multimodalVideo(spark, dir) // builds + memoizes the y4m fixture
+    val fix = mediaFixturePath("y4m")
+    val frames = Multimodal.y4mFrames(
+      spark.read.parquet(fix).as[Multimodal.MediaRecord], 2)
+    frames
+      .groupBy(col("w"), col("h"), col("lumaSum").as("luma_sum"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct(col("id"), col("frameIdx"))).as("keeper"))
+      .select(col("w"), col("h"), col("luma_sum"), col("n_frames"),
+        col("keeper.id").as("keeper_id"),
+        col("keeper.frameIdx").as("keeper_frame"))
+      .orderBy("w", "h", "luma_sum")
+  }
+
+  val multimodalFrameDedupSql: String =
+    s"""WITH clips AS (
+       |  SELECT CAST(i AS BIGINT) AS id, 8 + 2 * (i % 3) AS w, 8 AS h,
+       |    10 + i % 7 AS n
+       |  FROM range(0, $NVids) t(i)),
+       |fr AS (
+       |  SELECT id, w, h, f FROM clips, range(0, 17) fs(f)
+       |  WHERE f < n AND f % 2 = 0),
+       |px AS (
+       |  SELECT id, w, h, f, (id * 23 + f * 17 + x * 5 + y * 3) % 256 AS g
+       |  FROM fr, range(0, 12) xs(x), range(0, 8) ys(y)
+       |  WHERE x < w AND y < h),
+       |fsum AS (
+       |  SELECT id, CAST(f AS INTEGER) AS frame_idx, CAST(w AS INTEGER) AS w,
+       |    CAST(h AS INTEGER) AS h, CAST(SUM(g) AS BIGINT) AS luma_sum
+       |  FROM px GROUP BY 1, 2, 3, 4),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w, h, luma_sum
+       |    ORDER BY id, frame_idx) AS rk,
+       |    COUNT(*) OVER (PARTITION BY w, h, luma_sum) AS n_frames
+       |  FROM fsum)
+       |SELECT w, h, luma_sum, n_frames, id AS keeper_id,
+       |  frame_idx AS keeper_frame
+       |FROM r WHERE rk = 1 ORDER BY w, h, luma_sum""".stripMargin
+
   /** Data-quality gate over the documents batch
     * ([[Expectations.run]]): seven declared checks — key completeness
     * and uniqueness, payload/metadata completeness, the lang enum,
@@ -3955,6 +4005,7 @@ object PipelineQueries {
     "q_multimodal_image" -> multimodalImage _,
     "q_multimodal_audio" -> multimodalAudio _,
     "q_multimodal_video" -> multimodalVideo _,
+    "q_multimodal_frame_dedup" -> multimodalFrameDedup _,
     "q_expectations" -> expectations _,
     "q_expectations_approx" -> expectationsApprox _)
 
@@ -4050,6 +4101,7 @@ object PipelineQueries {
     "q_multimodal_image" -> multimodalImageSql,
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_video" -> multimodalVideoSql,
+    "q_multimodal_frame_dedup" -> multimodalFrameDedupSql,
     "q_expectations" -> expectationsSql,
     "q_expectations_approx" -> expectationsApproxSql)
 }

@@ -1411,10 +1411,23 @@ object Versioned {
   /** Materialize the resolved state as a checkpoint version. History
     * is preserved (time travel to older versions still works); reads
     * at or past the checkpoint no longer touch older versions. */
-  def compact(spark: SparkSession, path: String, keyCol: String): Int = {
+  /** `nFiles > 0` sizes and KEY-CLUSTERS the checkpoint: range-
+    * partition by the key into exactly that many files, sorted within
+    * each — the operational knob a 100 TB table needs (a default
+    * shuffle-partition checkpoint would be ~32 table-sized files) and
+    * a double win, since tight disjoint key ranges per file make the
+    * commit zone maps maximally selective for point reads, runtime
+    * filtering, and range pruning. 0 = keep the resolve's layout. */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+      nFiles: Int = 0): Int = {
     val resolved = current(spark, path, keyCol)
       .drop(VersionCol, SeqCol, MergeCol, CkptCol)
-    commit(resolved, path, checkpoint = true)
+    val sized =
+      if (nFiles > 0)
+        resolved.repartitionByRange(nFiles, col(keyCol))
+          .sortWithinPartitions(keyCol)
+      else resolved
+    commit(sized, path, checkpoint = true)
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,

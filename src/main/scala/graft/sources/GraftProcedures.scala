@@ -100,6 +100,16 @@ private[sources] object GraftProcedures {
         val p = tablePath(cat, row)
         oneVersion(Versioned.compact(spark, p, keyOf(cat, p)))
       }),
+    new Proc("compact_sized",
+      "merge-on-read checkpoint sized + key-clustered into n_files " +
+        "range-partitioned files (selective zone maps per file)",
+      Seq(in("table", StringType), in("n_files", IntegerType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val n = row.getInt(1)
+        require(n >= 1, s"n_files must be >= 1, got $n")
+        oneVersion(Versioned.compact(spark, p, keyOf(cat, p), n))
+      }),
     new Proc("zorder",
       "checkpoint-compact clustered by a Z-order key over the given " +
         "columns (linear [min,max] scale per column)",

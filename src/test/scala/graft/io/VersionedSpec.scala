@@ -750,6 +750,30 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("sized compact: nFiles range-partitioned key-clustered " +
+      "checkpoint files; zone maps prune a point bound to one file; " +
+      "resolved state unchanged") {
+    val p = freshPath("szc")
+    Versioned.append(spark.range(400)
+      .select(col("id").as("k"), (col("id") % 7).as("x"))
+      .repartition(8), p)
+    Versioned.delete(Seq(5L).toDF("k"), p)
+    val before = Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(_.toSeq).toSet
+    Versioned.compact(spark, p, "k", nFiles = 4)
+    val ck = Versioned.latestVersion(spark, p)
+    val fs = new java.io.File(s"$p/v=$ck")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(fs.length == 4, s"expected 4 sized files, got ${fs.length}")
+    // range clustering -> a point bound opens exactly one file
+    val pruned = Versioned.pruneFilesForBounds(spark, p, Seq(ck),
+      Seq(("k", Some(7L), Some(7L))))
+    assert(pruned.length == 1, s"zone maps should prune to 1 of 4, " +
+      s"got ${pruned.length}")
+    assert(Versioned.current(spark, p, "k")
+      .select("k", "x").collect().map(_.toSeq).toSet == before)
+  }
+
   test("optimistic concurrency: a staged row-level publish aborts " +
       "against a commit or an in-flight claim below its slot after " +
       "its snapshot; commits above the slot are benign") {

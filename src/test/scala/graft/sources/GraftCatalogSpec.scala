@@ -146,13 +146,19 @@ class GraftCatalogSpec extends SparkSpec {
     // restore to the pre-delete state (v3) as a roll-forward commit
     spark.sql("CALL graft_test.system.restore('tp', 3)")
     assert(Versioned.current(spark, path, "k").count() == 100)
+    // sized compact: the checkpoint lands as exactly 2 files
+    val vs = spark.sql("CALL graft_test.system.compact_sized('tp', 2)")
+      .as[Int].head()
+    assert(new java.io.File(s"$path/v=$vs")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 2)
+    assert(Versioned.current(spark, path, "k").count() == 100)
     // zorder compact + bloom index + vacuum
     spark.sql("CALL graft_test.system.zorder('tp', 'x,k')")
     assert(spark.sql("CALL graft_test.system.bloom_index('tp')")
       .as[Int].head() > 0)
     val reclaimed = spark.sql("CALL graft_test.system.vacuum('tp', 0)")
       .as[Int].collect()
-    assert(reclaimed.nonEmpty && reclaimed.forall(_ < 7))
+    assert(reclaimed.nonEmpty && reclaimed.forall(_ < 8))
     assert(Versioned.current(spark, path, "k").count() == 100)
     // unknown procedure and missing-key refusals are loud
     val e = intercept[Exception] {

@@ -228,6 +228,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(c4.filter(col("k") === 2).count() == 0)
     assert(c4.filter(col("k") === 1000).select("x").as[Long].head() == 4L)
     assert(c4.count() == 6)
+    // MERGE over a SIZED (key-clustered) checkpoint: the target scan
+    // may runtime-prune checkpoint files by the source's join keys
+    // (GraftScan is runtime-filterable) — zone-map soundness keeps
+    // every file that may hold a source key, so matched updates,
+    // not-matched inserts, and untouched rows all stay exact
+    spark.sql("CALL graft_test.system.compact_sized('t6', 4)")
+    Seq((0L, 1L), (1000L, 2L), (7777L, 3L)).toDF("k", "bump")
+      .createOrReplaceTempView("t6src2")
+    spark.sql(
+      """MERGE INTO graft_test.t6 t USING t6src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET x = t.x + s.bump
+        |WHEN NOT MATCHED THEN INSERT (k, s, x) VALUES (s.k, 'rt', s.bump)
+        |""".stripMargin)
+    val c5 = Versioned.current(spark, path, "k")
+    assert(c5.count() == 7)
+    assert(c5.filter(col("k") === 0).select("x").as[Long].head() == 1101L)
+    assert(c5.filter(col("k") === 1000).select("x").as[Long].head() == 6L)
+    assert(c5.filter(col("k") === 7777).select("s", "x")
+      .as[(String, Long)].head() == ("rt", 3L))
   }
 
   test("streaming sink: writeStream…toTable commits one batch-marked " +

@@ -9,9 +9,10 @@ import org.apache.spark.sql.connector.catalog.procedures.{
   BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{
-  IntegerType, StringType, StructField, StructType}
+  DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.io.Versioned
+import graft.pipeline.{Search, VecIndex}
 
 /**
  * SQL stored procedures for the versioned-table maintenance
@@ -99,6 +100,44 @@ private[sources] object GraftProcedures {
       (cat, row) => {
         val p = tablePath(cat, row)
         oneVersion(Versioned.compact(spark, p, keyOf(cat, p)))
+      }),
+    new Proc("bm25",
+      "BM25 top-k over an at-rest text index (path-addressed: the " +
+        "search tier's SQL face; rows are (id, score))",
+      Seq(in("index_path", StringType), in("query", StringType),
+        in("k", IntegerType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val terms = str(row, 1, "query")
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val k = row.getInt(2)
+        require(k >= 1, s"k must be >= 1, got $k")
+        Search.searchBm25(spark, Search.open(spark, p), terms, k)
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("ann_topk",
+      "probed ANN top-k over an at-rest generational vector index " +
+        "(path-addressed; query vector as comma-separated floats; " +
+        "rows are (id, cos))",
+      Seq(in("index_path", StringType), in("vector", StringType),
+        in("n_probe", IntegerType), in("k", IntegerType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val vec = str(row, 1, "vector").split(',').map(_.trim.toFloat)
+        val nProbe = row.getInt(2)
+        val k = row.getInt(3)
+        require(nProbe >= 1 && k >= 1,
+          s"n_probe and k must be >= 1, got $nProbe / $k")
+        val sess = spark
+        import sess.implicits._
+        val q = Seq((0L, vec)).toDF("id", "vec")
+        VecIndex.ivfTopK(spark, q, VecIndex.open(spark, p), nProbe, k)
+          .select("nid", "cos")
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
       }),
     new Proc("compact_sized",
       "merge-on-read checkpoint sized + key-clustered into n_files " +

@@ -168,6 +168,37 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
   }
 
+  test("serving-tier SQL face: CALL bm25 and ann_topk answer from " +
+      "at-rest indexes, matching the Scala API") {
+    import graft.pipeline.{Search, VecIndex}
+    val sp = "target/tmp/cat-proc-search"
+    val docs = Seq((1L, "the quick brown fox"), (2L, "quick quick dog"),
+      (3L, "lazy dog sleeps")).toDF("id", "text")
+    Search.writeIndex(docs, "id", "text", sp, 4)
+    val got = spark.sql(
+      s"CALL graft_test.system.bm25('$sp', 'quick dog', 2)")
+      .as[(Long, Double)].collect().toSeq
+    val want = Search.searchBm25(spark, Search.open(spark, sp),
+      Seq("quick", "dog"), 2).as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    val vp = "target/tmp/cat-proc-vec"
+    def v(id: Int): Array[Float] =
+      Array.tabulate(64)(i => (((id * 31 + i * 13) % 17).toFloat - 8f) / 8f)
+    val corpus = (0 until 40).map(id => id.toLong -> v(id)).toDF("id", "vec")
+    val cents = corpus.filter(col("id") < 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(corpus, 64, vp,
+      centroids = Some(cents), cbBuckets = 4)
+    val vecStr = v(7).mkString(",")
+    val gotA = spark.sql(
+      s"CALL graft_test.system.ann_topk('$vp', '$vecStr', 2, 3)")
+      .as[(Long, Double)].collect().toSet
+    val wantA = VecIndex.ivfTopK(spark, Seq((0L, v(7))).toDF("id", "vec"),
+      idx, 2, 3).select("nid", "cos").as[(Long, Double)].collect().toSet
+    assert(gotA == wantA && gotA.size == 3)
+  }
+
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +
       "over the head checkpoint (one commit each); key-changing " +
       "UPDATE retires the old key; refused without a checkpoint") {

@@ -1371,6 +1371,44 @@ object Queries {
        |SELECT COUNT(*) AS n_rows
        |FROM (SELECT * FROM u LIMIT 100)""".stripMargin
 
+  /** TYPE WIDENING (r11 — Delta's type-widening shape): the demo log
+    * writes `n_chars` as INT, takes a `widenColumn(n_chars -> long)`
+    * metadata commit (no rewrite), then upserts values BEYOND the int
+    * range. The resolve reads old int files upcast per file against
+    * the pinned wide schema; the oracle replays the log with BIGINT
+    * arithmetic, so a truncated or mistyped read hash-mismatches. */
+  def tableWiden(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-wid-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Versioned.append(docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars")), path)     // v1: INT
+      Versioned.widenColumn(spark, path, "n_chars", "long")  // v2: meta
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 4000000000L).as("n_chars")), path) // v3: LONG
+      ()
+    })
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val tableWidenSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, 1 AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(n_chars + 4000000000 AS BIGINT), 3
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+      |      FROM u)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   def tableRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "rst", withRestoreTo = 2)
@@ -2363,6 +2401,7 @@ object Queries {
     "q_table_agg_pushdown" -> tableAggPushdown _,
     "q_table_dpp" -> tableDpp _,
     "q_table_limit_pushdown" -> tableLimitPushdown _,
+    "q_table_widen" -> tableWiden _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
     "q_table_sql_asof" -> tableSqlAsof _,
@@ -2429,6 +2468,7 @@ object Queries {
     "q_table_agg_pushdown" -> tableAggPushdownSql,
     "q_table_dpp" -> tableDppSql,
     "q_table_limit_pushdown" -> tableLimitPushdownSql,
+    "q_table_widen" -> tableWidenSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
     "q_table_sql_asof" -> tableSqlAsofSql,

@@ -82,6 +82,7 @@ object Versioned {
   private val SuccessMarker = "_SUCCESS"
   private val StatsFile = "_STATS.tsv"
   private val ColmapFile = "_COLMAP.tsv"
+  private val WidenFile = "_WIDEN.tsv"
   private[graft] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -338,6 +339,10 @@ object Versioned {
     laidOut.write.mode("overwrite").parquet(staging.toString)
     writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
     snapOut.foreach(writeColmap(f, staging, _))
+    // widened table: re-snapshot the widen map into this commit's dir
+    // (vacuum keeps the newest checkpoint; its snapshot must be there)
+    val curWiden = widenAt(spark, path, v)
+    if (curWiden.nonEmpty) writeWiden(f, staging, curWiden)
     if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
     if (merge) f.create(new Path(staging, MergeMarker)).close()
     batchMarker.foreach(m => f.create(new Path(staging, m)).close())
@@ -647,6 +652,94 @@ object Versioned {
     v
   }
 
+  /** PHYSICAL column → widened type name from the newest
+    * `_WIDEN.tsv` at or below `version` (empty = never widened).
+    * Every data commit re-snapshots the map into its own dir
+    * (vacuum-retention safety, like the column mapping). */
+  private[io] def widenAt(spark: SparkSession, path: String,
+      version: Int): Map[String, String] = {
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    versions(spark, path).filter(_ <= version).reverse.iterator
+      .map(v => new Path(s"$path/v=$v", WidenFile))
+      .find(f.exists)
+      .map(p => store.readSmall(f, p).split('\n').filter(_.nonEmpty)
+        .map { line =>
+          val Array(c, t) = line.split('\t')
+          (c, t)
+        }.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  private def widenType(t: String): org.apache.spark.sql.types.DataType =
+    t match {
+      case "long" => org.apache.spark.sql.types.LongType
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case other => sys.error(s"unknown widen target '$other'")
+    }
+
+  private def writeWiden(f: FileSystem, dir: Path,
+      snap: Map[String, String]): Unit = {
+    val out = f.create(new Path(dir, WidenFile))
+    try out.write(snap.toSeq.sorted.map { case (c, t) => s"$c\t$t" }
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** WIDEN a column's type WITHOUT rewriting data (int → long,
+    * float → double — the two upcasts Spark's parquet reader performs
+    * per file against a pinned wider schema): a metadata-only commit
+    * records the widened type; every read thereafter pins it and old
+    * narrow files upcast on scan. Widening is MONOTONE and
+    * TABLE-GLOBAL: time travel below the widen commit also shows the
+    * widened type (documented divergence from per-slice schema
+    * fidelity — cross-slice operators like CDC, SCD2, and restore
+    * diffs must never mix widths inside one plan, and values upcast
+    * losslessly, so current-type reads are the sound choice). New
+    * appends may write either width; reads stay pinned wide. */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: String): Int = {
+    require(Set("long", "double")(to),
+      s"widenColumn: target must be 'long' or 'double', got '$to'")
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed versions at $path to widen")
+    val schema = readDirs(spark, path, asOfVersions(spark, path, cur)).schema
+    val fld = schema.fields.find(_.name == name).getOrElse(sys.error(
+      s"widenColumn: no column '$name' at $path " +
+        s"(have ${schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    val ok = (fld.dataType, to) match {
+      case (IntegerType, "long")  => true
+      case (FloatType, "double")  => true
+      case _                      => false
+    }
+    require(ok, s"widenColumn: cannot widen " +
+      s"${fld.dataType.simpleString} to $to (supported: int->long, " +
+      "float->double)")
+    val phys = logicalToPhysical(spark, path, cur).getOrElse(name, name)
+    val snap = widenAt(spark, path, cur) + (phys -> to)
+    // metadata-only commit, same slot/staging dance as commitMapping
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    var v = cur + 1
+    var probes = 0
+    while (!claimSlot(store, f, path, v)) {
+      v += 1
+      probes += 1
+      require(probes < 10000, s"widen commit at $path probed $probes " +
+        "claimed slots; claims and versions diverged — run vacuum")
+    }
+    val staging = new Path(path,
+      s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    f.mkdirs(staging)
+    writeWiden(f, staging, snap)
+    f.create(new Path(staging, s"_TS_${System.currentTimeMillis()}")).close()
+    f.create(new Path(staging, SuccessMarker)).close()
+    val dst = new Path(path, s"v=$v")
+    require(f.rename(staging, dst), s"widen commit lost slot $v at $path")
+    v
+  }
+
   /** RENAME a column without rewriting data (Delta's column-mapping
     * shape): the logical name changes, the physical parquet column —
     * the column's IDENTITY — stays, so every earlier commit's data,
@@ -686,7 +779,10 @@ object Versioned {
     * added in a later version reads as NULL in earlier rows. Data-less
     * dirs (mapping-only commits) contribute no rows; the column
     * mapping as of the SLICE HEAD maps physical file columns to the
-    * logical names of that version. */
+    * logical names of that version. On a WIDENED table ([[widenColumn]])
+    * mergeSchema is replaced by a PINNED union-by-name schema with the
+    * widened types: the parquet reader upcasts narrow files per file
+    * (mergeSchema refuses mixed widths outright). */
   private[io] def readDirs(spark: SparkSession, path: String,
       vs: Seq[Int]): DataFrame = {
     require(vs.nonEmpty, s"no committed versions to read at $path")
@@ -695,9 +791,50 @@ object Versioned {
       .exists(_.getPath.getName.endsWith(".parquet")))
     require(dataVs.nonEmpty,
       s"no data-carrying versions among ${vs.mkString(",")} at $path")
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(dataVs.map(v => s"$path/v=$v"): _*)
+    val widen = widenAt(spark, path, latestVersion(spark, path))
+    val raw =
+      if (widen.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(dataVs.map(v => s"$path/v=$v"): _*)
+      else
+        spark.read.schema(physUnionSchema(spark, path, dataVs, widen))
+          .parquet(dataVs.map(v => s"$path/v=$v"): _*)
     applyMapping(raw, mappingAt(spark, path, vs.max))
+  }
+
+  /** Widen-aware PHYSICAL union-by-name schema over version dirs —
+    * the pinned-read replacement for mergeSchema on widened tables
+    * (mergeSchema refuses mixed widths). One footer read per dir,
+    * driver-side; compaction bounds the dir count. */
+  private def physUnionSchema(spark: SparkSession, path: String,
+      dataVs: Seq[Int], widen: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val fields = mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    dataVs.foreach { v =>
+      spark.read.parquet(s"$path/v=$v").schema.fields.foreach { f0 =>
+        val f1 = widen.get(f0.name)
+          .map(t => f0.copy(dataType = widenType(t))).getOrElse(f0)
+        fields.get(f1.name) match {
+          case None => fields(f1.name) = f1.copy(nullable = true)
+          case Some(prev) => require(prev.dataType == f1.dataType,
+            s"column '${f1.name}' has conflicting types " +
+              s"${prev.dataType.simpleString} vs " +
+              s"${f1.dataType.simpleString} at $path — widen it " +
+              "(widenColumn) before mixing widths")
+        }
+      }
+    }
+    org.apache.spark.sql.types.StructType(fields.values.toSeq)
+  }
+
+  /** The data-carrying subset of `vs` (mapping/widen-only commits
+    * contribute no rows). */
+  private def dataVersions(spark: SparkSession, path: String,
+      vs: Seq[Int]): Seq[Int] = {
+    val f = fs(spark, path)
+    vs.filter(v => f.listStatus(new Path(s"$path/v=$v"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
   }
 
   /** The earliest retained version when it is a vacuum base (history
@@ -1236,10 +1373,17 @@ object Versioned {
       vs: Seq[Int], files: Seq[String]): DataFrame = {
     val full = readDirs(spark, path, vs).filter(lit(false))
     if (files.isEmpty) full // nothing can match; keep the schema
-    else applyMapping(
-        spark.read.option("mergeSchema", "true").parquet(files: _*),
-        mappingAt(spark, path, vs.max))
-      .unionByName(full, allowMissingColumns = true)
+    else {
+      val widen = widenAt(spark, path, latestVersion(spark, path))
+      val raw =
+        if (widen.isEmpty)
+          spark.read.option("mergeSchema", "true").parquet(files: _*)
+        else spark.read.schema(physUnionSchema(spark, path,
+            dataVersions(spark, path, vs), widen))
+          .parquet(files: _*)
+      applyMapping(raw, mappingAt(spark, path, vs.max))
+        .unionByName(full, allowMissingColumns = true)
+    }
   }
 
   /** Zone-map-pruned LOG view: `asOf` restricted to rows with `colName`
@@ -1303,8 +1447,15 @@ object Versioned {
         val parts = f.listStatus(dir).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
         if (parts.nonEmpty) {
-          val keys = spark.read.option("mergeSchema", "true")
-            .parquet(parts.map(_.toString): _*)
+          val widen = widenAt(spark, path, latestVersion(spark, path))
+          val partRead =
+            if (widen.isEmpty)
+              spark.read.option("mergeSchema", "true")
+                .parquet(parts.map(_.toString): _*)
+            else spark.read.schema(physUnionSchema(spark, path, Seq(v),
+                widen))
+              .parquet(parts.map(_.toString): _*)
+          val keys = partRead
             .select(input_file_name().as("__file"), col(keyCol))
             .localCheckpoint()
           // SIZE THE FILTER TO THE FILE: a fixed width saturates on a
@@ -1788,8 +1939,13 @@ object Versioned {
     val dataDirs = vs.map(v => s"$path/v=$v").filter(d =>
       fs(spark, path).listStatus(new Path(d))
         .exists(_.getPath.getName.endsWith(".parquet")))
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(dataDirs: _*).schema
+    val widenLs = widenAt(spark, path, vs.max)
+    val schema =
+      if (widenLs.isEmpty)
+        spark.read.option("mergeSchema", "true").parquet(dataDirs: _*)
+          .schema
+      else physUnionSchema(spark, path,
+        dataVersions(spark, path, vs), widenLs)
     // column-mapped table: the stream reads physical files; surface
     // the CURRENT logical names (fixed at stream start, like the
     // schema itself)

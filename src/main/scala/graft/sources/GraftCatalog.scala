@@ -197,9 +197,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: cannot drop the declared key column " +
             s"'${dc.fieldNames.head}'")
         Versioned.dropColumn(spark, path, dc.fieldNames.head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1, "graft catalog: ALTER " +
+          "COLUMN TYPE on nested fields is not supported")
+        val to = ut.newDataType() match {
+          case org.apache.spark.sql.types.LongType => "long"
+          case org.apache.spark.sql.types.DoubleType => "double"
+          case other => sys.error("graft catalog: ALTER COLUMN TYPE " +
+            s"supports widening to BIGINT or DOUBLE, got $other")
+        }
+        Versioned.widenColumn(spark, path, ut.fieldNames.head, to)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ($other) — supported: " +
-          "properties, RENAME COLUMN, DROP COLUMN")
+          "properties, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE " +
+          "(widening)")
     }
     GraftCatalog.writeProps(fs, path, props.toSeq)
     loadTable(ident)

@@ -750,6 +750,51 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("type widening: int->long is a metadata commit; narrow files " +
+      "upcast per file; resolve/time travel/CDC/compact/vacuum/V2 " +
+      "all read wide; non-widening conversions refused") {
+    import org.apache.spark.sql.types.LongType
+    val p = freshPath("widen")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p) // x INT
+    Versioned.widenColumn(spark, p, "x", "long")                // metadata
+    // a value beyond int range proves the read path is genuinely long
+    Versioned.append(Seq((3L, 5000000000L)).toDF("k", "x"), p)
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.schema("x").dataType == LongType)
+    assert(cur.select("k", "x").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 5000000000L)))
+    // widening is table-global: time travel below the widen commit
+    // reads wide too (values upcast losslessly; cross-slice operators
+    // never mix widths in one plan)
+    assert(Versioned.asOf(spark, p, 1).schema("x").dataType == LongType)
+    // a NARROW append after the widen still reads wide
+    Versioned.append(Seq((4L, 40)).toDF("k", "x"), p) // int file again
+    assert(Versioned.current(spark, p, "k")
+      .filter(col("k") === 4).select("x").as[Long].head() == 40L)
+    // CDC spanning the widen boundary diffs both snapshots at ONE
+    // width (a per-slice-typed read would fail the value compare)
+    val ch = Versioned.changes(spark, p, "k", 1,
+        Versioned.latestVersion(spark, p))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch == Map(3L -> "insert", 4L -> "insert"))
+    // compact re-snapshots the widen map into the checkpoint; vacuum
+    // reclaiming the widen commit's dir loses nothing
+    Versioned.compact(spark, p, "k")
+    Versioned.vacuum(spark, p, 0)
+    val afterVac = Versioned.current(spark, p, "k")
+    assert(afterVac.schema("x").dataType == LongType &&
+      afterVac.count() == 4)
+    // V2 face: widened schema, and the metadata aggregate pushdown
+    // folds the (always-"long") stats correctly across widths
+    val v2 = spark.read.format("graft").load(p)
+    assert(v2.schema("x").dataType == LongType)
+    assert(v2.agg(max("x")).head().getLong(0) == 5000000000L)
+    // refusals: long is not widenable, unknown target, unknown column
+    intercept[Exception] { Versioned.widenColumn(spark, p, "x", "double") }
+    intercept[Exception] { Versioned.widenColumn(spark, p, "x", "string") }
+    intercept[Exception] { Versioned.widenColumn(spark, p, "nope", "long") }
+  }
+
   test("sized compact: nFiles range-partitioned key-clustered " +
       "checkpoint files; zone maps prune a point bound to one file; " +
       "resolved state unchanged") {

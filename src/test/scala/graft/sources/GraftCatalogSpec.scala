@@ -168,6 +168,27 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("FAILED_TO_LOAD_ROUTINE"), e.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens int->bigint as a metadata commit; " +
+      "old narrow files upcast; post-widen INSERTs take long values") {
+    spark.sql("CREATE TABLE graft_test.tw (k BIGINT, x INT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.tw VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft_test.tw ALTER COLUMN x TYPE BIGINT")
+    spark.sql("INSERT INTO graft_test.tw VALUES (3, 5000000000)")
+    val df = spark.sql("SELECT * FROM graft_test.tw")
+    assert(df.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.count() == 3)
+    assert(spark.sql("SELECT max(x) AS m FROM graft_test.tw")
+      .as[Long].head() == 5000000000L)
+    // non-widening ALTER refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.tw ALTER COLUMN x TYPE STRING")
+    }
+    assert(e.getMessage.contains("widening") ||
+      e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("serving-tier SQL face: CALL bm25 and ann_topk answer from " +
       "at-rest indexes, matching the Scala API") {
     import graft.pipeline.{Search, VecIndex}

@@ -444,4 +444,28 @@ class GraftDataSourceSpec extends SparkSpec {
     sq.awaitTermination()
     assert(got.get() == 301)
   }
+
+  test("a WIDENED table streams: narrow pre-widen files upcast in " +
+      "every micro-batch, values beyond int range intact") {
+    import spark.implicits._
+    val p = freshPath("widenstream")
+    Versioned.append(Seq((1L, 10), (2L, 20)).toDF("k", "x"), p) // INT
+    Versioned.widenColumn(spark, p, "x", "long")
+    Versioned.append(Seq((3L, 5000000000L)).toDF("k", "x"), p)  // LONG
+    val ckpt = freshPath("widenstream-ckpt")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val sq = spark.readStream.format("graft").load(p)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        assert(bdf.schema("x").dataType ==
+          org.apache.spark.sql.types.LongType)
+        bdf.select("k", "x").as[(Long, Long)].collect()
+          .foreach(seen.add); ()
+      }
+      .start()
+    sq.awaitTermination()
+    assert(seen.asScala.toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 5000000000L)))
+  }
 }

@@ -235,9 +235,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     pathOf(ident)
   }
 
+  /** Identifier → path WITHOUT the existence requirement (procedures
+    * that CREATE at the name — e.g. `create_matview`). */
+  private[sources] def pathForName(ident: Identifier): String =
+    pathOf(ident)
+
+  /** Persist table properties at `path` (procedure-facing). */
+  private[sources] def setProps(path: String,
+      props: Map[String, String]): Unit =
+    GraftCatalog.writeProps(fs, path,
+      (GraftCatalog.readProps(fs, path) ++ props).toSeq)
+
   /** The `key` table property, when set. */
   private[sources] def keyPropertyOf(path: String): Option[String] =
     GraftCatalog.readProps(fs, path).get(GraftCatalog.KeyProp)
+
+  /** All table properties at `path` (procedure-facing). */
+  private[sources] def propsOf(path: String): Map[String, String] =
+    GraftCatalog.readProps(fs, path)
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(GraftProcedures.Namespace),

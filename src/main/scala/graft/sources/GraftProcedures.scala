@@ -101,6 +101,50 @@ private[sources] object GraftProcedures {
         val p = tablePath(cat, row)
         oneVersion(Versioned.compact(spark, p, keyOf(cat, p)))
       }),
+    new Proc("create_matview",
+      "create + fully refresh a maintained per-group aggregate view " +
+        "over a graft table: sums (and optional min/max) per group, " +
+        "delta-cost refreshes thereafter; the view is itself a graft " +
+        "table keyed by the group column (SELECT it like any other)",
+      Seq(in("view", StringType), in("source", StringType),
+        in("group_col", StringType), in("sum_cols", StringType)),
+      versionOut,
+      (cat, row) => {
+        val parts = str(row, 0, "view").split('.')
+        val viewPath = cat.pathForName(Identifier.of(parts.init, parts.last))
+        val srcParts = str(row, 1, "source").split('.')
+        val srcPath = cat.resolveTablePath(
+          Identifier.of(srcParts.init, srcParts.last))
+        val groupCol = str(row, 2, "group_col")
+        val sums = str(row, 3, "sum_cols").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val keyCol = keyOf(cat, srcPath)
+        val h = graft.io.MatView.init(spark, srcPath, keyCol, groupCol,
+          sums, viewPath)
+        // persist the handle as table properties so refresh_matview
+        // (and any later session) can rebuild it; the view's own
+        // resolve key is the group column
+        cat.setProps(viewPath, Map(
+          GraftCatalog.KeyProp -> groupCol,
+          "mv.source" -> srcPath, "mv.key" -> keyCol,
+          "mv.group" -> groupCol, "mv.sums" -> sums.mkString(",")))
+        oneVersion(graft.io.MatView.refreshedVersion(spark, h))
+      }),
+    new Proc("refresh_matview",
+      "fold the source versions committed since the last refresh " +
+        "into a create_matview view (delta-cost, exactly-once); " +
+        "returns the source version the view now reflects",
+      Seq(in("view", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val props = cat.propsOf(p)
+        val h = graft.io.MatView.Handle(p,
+          props.getOrElse("mv.source", sys.error(
+            s"$p is not a create_matview view (no mv.* properties)")),
+          props("mv.key"), props("mv.group"),
+          props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil)
+        oneVersion(graft.io.MatView.refresh(spark, h))
+      }),
     new Proc("bm25",
       "BM25 top-k over an at-rest text index (path-addressed: the " +
         "search tier's SQL face; rows are (id, score))",

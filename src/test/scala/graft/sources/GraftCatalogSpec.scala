@@ -189,6 +189,44 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("BIGINT"), e.getMessage)
   }
 
+  test("materialized views from SQL: CALL create_matview builds a " +
+      "maintained per-group aggregate; refresh_matview folds new " +
+      "source commits at delta cost; the view SELECTs like a table") {
+    spark.sql("CREATE TABLE graft_test.mvsrc (k BIGINT, g STRING, " +
+      "x BIGINT) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.mvsrc " +
+      "SELECT id, concat('g', id % 3), id FROM range(30)")
+    val v1 = spark.sql(
+      "CALL graft_test.system.create_matview('mv1', 'mvsrc', 'g', 'x')")
+      .as[Int].head()
+    assert(v1 == 2) // CREATE (v1) + INSERT (v2) folded
+    def viewState(): Map[String, Long] = spark.sql(
+      """SELECT g, sum_x FROM (
+        |  SELECT g, sum_x, row_number() OVER (PARTITION BY g
+        |    ORDER BY __v DESC, __seq DESC) AS rk, __deleted
+        |  FROM graft_test.mv1)
+        |WHERE rk = 1 AND NOT __deleted""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    def expected(): Map[String, Long] = spark.sql(
+      """SELECT g, sum(x) AS s FROM (
+        |  SELECT g, x, row_number() OVER (PARTITION BY k
+        |    ORDER BY __v DESC, __seq DESC) AS rk, __deleted
+        |  FROM graft_test.mvsrc)
+        |WHERE rk = 1 AND NOT __deleted GROUP BY g""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(viewState() == expected())
+    // new source commits fold at delta cost, exactly once
+    spark.sql("INSERT INTO graft_test.mvsrc VALUES (100, 'g0', 1000)")
+    spark.sql("DELETE FROM graft_test.mvsrc WHERE k = 0")
+    val v2 = spark.sql(
+      "CALL graft_test.system.refresh_matview('mv1')").as[Int].head()
+    assert(v2 == 4)
+    assert(viewState() == expected())
+    // refreshing with nothing new is a no-op at the same version
+    assert(spark.sql("CALL graft_test.system.refresh_matview('mv1')")
+      .as[Int].head() == 4)
+  }
+
   test("serving-tier SQL face: CALL bm25 and ann_topk answer from " +
       "at-rest indexes, matching the Scala API") {
     import graft.pipeline.{Search, VecIndex}

@@ -1271,6 +1271,22 @@ object PipelineQueries {
     * oracle-gated proof that a continuously-ingesting text index
     * converges to the batch build, postings AND BM25 corpus constants
     * (which ride the marker stats deltas) both exact. */
+  /** The CALL face of the BM25 serve (r11): the SAME index fixture,
+    * terms, and k as `q_search_bm25`, driven through
+    * `CALL graft_sql.system.bm25(path, query, k)` — certified by the
+    * SAME oracle, so the SQL face is pinned bit-for-bit to the
+    * at-rest serve it wraps. */
+  def searchBm25Call(spark: SparkSession, dir: String): DataFrame = {
+    val idx = searchIndex(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse",
+      "target/tmp/graft-sql-warehouse")
+    spark.sql(s"CALL graft_sql.system.bm25('${idx.path}', " +
+        s"'${SearchTerms.mkString(" ")}', 20)")
+      .orderBy(col("score").desc, col("id"))
+  }
+
   def searchBm25Stream(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val tagDir =
@@ -3927,6 +3943,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHll _,
     "q_search_conj" -> searchConj _,
     "q_search_bm25" -> searchBm25 _,
+    "q_search_bm25_call" -> searchBm25Call _,
     "q_search_bm25_stream" -> searchBm25Stream _,
     "q_search_phrase" -> searchPhrase _,
     "q_search_any" -> searchAny _,
@@ -4023,6 +4040,7 @@ object PipelineQueries {
     "q_distinct_hll" -> distinctHllSql,
     "q_search_conj" -> searchConjSql,
     "q_search_bm25" -> searchBm25Sql,
+    "q_search_bm25_call" -> searchBm25Sql, // CALL face == inline serve
     "q_search_bm25_stream" -> searchBm25Sql,  // streaming ingest, same live set
     "q_search_phrase" -> searchPhraseSql,
     "q_search_any" -> searchAnySql,

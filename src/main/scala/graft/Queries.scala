@@ -1543,6 +1543,40 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 AND lang <> 'en' ORDER BY doc_id""".stripMargin
 
+  /** MATERIALIZED VIEW from SQL (r11): `CALL create_matview` over the
+    * SQL-catalog fixture, the view's resolved state read back as
+    * plain SQL (the view is itself a graft table keyed by the group
+    * column). The oracle recomputes the per-lang sums from the
+    * replayed log — a missed delta fold, a double-counted refresh, or
+    * a stale tombstone all hash-mismatch. */
+  def matviewSql(spark: SparkSession, dir: String): DataFrame = {
+    buildSqlCatalogDemo(spark, dir) // source fixture + catalog confs
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = s"mvdemo_$tag"
+    fixtureBuilt.getOrElseUpdate(s"target/tmp/graft-sql-warehouse/$view", {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sql.$view")
+      spark.sql(s"CALL graft_sql.system.create_matview('$view', " +
+        s"'sqldemo_$tag', 'lang', 'n_chars')")
+      ()
+    })
+    // the view's storage schema is (g, n_rows, sum_<col>...): `g` is
+    // the group column under its generic name
+    spark.sql(
+      s"""SELECT g AS lang, sum_n_chars FROM (
+         |  SELECT g, sum_n_chars, __deleted, row_number() OVER (
+         |    PARTITION BY g ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM graft_sql.$view)
+         |WHERE rk = 1 AND NOT __deleted ORDER BY g""".stripMargin)
+  }
+
+  val matviewSqlSql: String =
+    s"""WITH $sqlCatalogLogSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |      FROM u)
+       |SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+       |FROM r WHERE rk = 1 AND lang <> 'en'
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SQL time travel through the catalog: `VERSION AS OF 3` is the
     * pre-DELETE state (both inserts applied, nothing tombstoned) —
     * the catalog's loadTable(ident, version) resolving through the
@@ -2404,6 +2438,7 @@ object Queries {
     "q_table_widen" -> tableWiden _,
     "q_table_delete_where" -> tableDeleteWhere _,
     "q_table_sql_current" -> tableSqlCurrent _,
+    "q_matview_sql" -> matviewSql _,
     "q_table_sql_asof" -> tableSqlAsof _,
     "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_table_sql_merge" -> tableSqlMerge _,
@@ -2471,6 +2506,7 @@ object Queries {
     "q_table_widen" -> tableWidenSql,
     "q_table_delete_where" -> tableDeleteWhereSql,
     "q_table_sql_current" -> tableSqlCurrentSql,
+    "q_matview_sql" -> matviewSqlSql,
     "q_table_sql_asof" -> tableSqlAsofSql,
     "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_table_sql_merge" -> tableSqlMergeSql,

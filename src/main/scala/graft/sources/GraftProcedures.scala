@@ -122,10 +122,12 @@ private[sources] object GraftProcedures {
         val h = graft.io.MatView.init(spark, srcPath, keyCol, groupCol,
           sums, viewPath)
         // persist the handle as table properties so refresh_matview
-        // (and any later session) can rebuild it; the view's own
-        // resolve key is the group column
+        // (and any later session) can rebuild it. The view's STORAGE
+        // schema names the group column 'g' (its generic name), so
+        // the view's own resolve key — what CALL compact/vacuum on
+        // the view itself would use — is 'g', not the source name.
         cat.setProps(viewPath, Map(
-          GraftCatalog.KeyProp -> groupCol,
+          GraftCatalog.KeyProp -> "g",
           "mv.source" -> srcPath, "mv.key" -> keyCol,
           "mv.group" -> groupCol, "mv.sums" -> sums.mkString(",")))
         oneVersion(graft.io.MatView.refreshedVersion(spark, h))

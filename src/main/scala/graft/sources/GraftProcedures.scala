@@ -185,6 +185,41 @@ private[sources] object GraftProcedures {
           .select("nid", "cos")
           .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
       }),
+    new Proc("index_compact",
+      "fold an at-rest text or vector index's live generations into " +
+        "one base (path-addressed; kind = 'search' | 'vector'); " +
+        "returns the new base generation count as rows folded",
+      Seq(in("index_path", StringType), in("kind", StringType)),
+      versionOut,
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        str(row, 1, "kind") match {
+          case "search" =>
+            Search.compact(spark, Search.open(spark, p))
+            oneVersion(1)
+          case "vector" =>
+            VecIndex.compact(spark, VecIndex.open(spark, p))
+            oneVersion(1)
+          case other => sys.error(
+            s"index_compact: kind must be 'search' or 'vector', got '$other'")
+        }
+      }),
+    new Proc("index_vacuum",
+      "reclaim an at-rest index's generations below its newest base " +
+        "plus stale claims (path-addressed; kind = 'search' | " +
+        "'vector'); returns the number of reclaimed generations",
+      Seq(in("index_path", StringType), in("kind", StringType)),
+      versionOut,
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val got = str(row, 1, "kind") match {
+          case "search" => Search.vacuum(spark, Search.open(spark, p))
+          case "vector" => VecIndex.vacuum(spark, VecIndex.open(spark, p))
+          case other => sys.error(
+            s"index_vacuum: kind must be 'search' or 'vector', got '$other'")
+        }
+        oneVersion(got.length)
+      }),
     new Proc("compact_sized",
       "merge-on-read checkpoint sized + key-clustered into n_files " +
         "range-partitioned files (selective zone maps per file)",

@@ -256,6 +256,34 @@ class GraftCatalogSpec extends SparkSpec {
     val wantA = VecIndex.ivfTopK(spark, Seq((0L, v(7))).toDF("id", "vec"),
       idx, 2, 3).select("nid", "cos").as[(Long, Double)].collect().toSet
     assert(gotA == wantA && gotA.size == 3)
+
+    // index maintenance from SQL: append a shard, compact + vacuum
+    // via CALL, results unchanged
+    VecIndex.append((40 until 50).map(id => id.toLong -> v(id))
+      .toDF("id", "vec"), idx)
+    spark.sql(s"CALL graft_test.system.index_compact('$vp', 'vector')")
+    val rec = spark.sql(
+      s"CALL graft_test.system.index_vacuum('$vp', 'vector')")
+      .as[Int].head()
+    assert(rec >= 2, s"expected >=2 reclaimed generations, got $rec")
+    val gotB = spark.sql(
+      s"CALL graft_test.system.ann_topk('$vp', '$vecStr', 2, 3)")
+      .as[(Long, Double)].collect().toSet
+    val wantB = VecIndex.ivfTopK(spark, Seq((0L, v(7))).toDF("id", "vec"),
+      VecIndex.open(spark, vp), 2, 3)
+      .select("nid", "cos").as[(Long, Double)].collect().toSet
+    assert(gotB == wantB)
+    // text index maintenance from SQL
+    Search.append(Seq((4L, "another quick fox")).toDF("id", "text"),
+      "id", "text", Search.open(spark, sp))
+    spark.sql(s"CALL graft_test.system.index_compact('$sp', 'search')")
+    spark.sql(s"CALL graft_test.system.index_vacuum('$sp', 'search')")
+    val got2 = spark.sql(
+      s"CALL graft_test.system.bm25('$sp', 'quick dog', 3)")
+      .as[(Long, Double)].collect().toSeq
+    val want2 = Search.searchBm25(spark, Search.open(spark, sp),
+      Seq("quick", "dog"), 3).as[(Long, Double)].collect().toSeq
+    assert(got2 == want2 && got2.size == 3)
   }
 
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +

@@ -88,6 +88,18 @@ private[sources] object GraftProcedures {
     cat.resolveTablePath(Identifier.of(parts.init, parts.last))
   }
 
+  /** Rebuild a create_sketchview handle from the view's persisted
+    * `sv.*` properties. */
+  private def sketchHandle(cat: GraftCatalog,
+      viewPath: String): graft.io.SketchView.Handle = {
+    val props = cat.propsOf(viewPath)
+    graft.io.SketchView.Handle(viewPath,
+      props.getOrElse("sv.source", sys.error(
+        s"$viewPath is not a create_sketchview view (no sv.* properties)")),
+      props("sv.key"), props("sv.group"), props("sv.value"),
+      props("sv.b").toInt)
+  }
+
   private def keyOf(cat: GraftCatalog, path: String): String =
     cat.keyPropertyOf(path).getOrElse(sys.error(
       s"graft table $path has no 'key' table property; this procedure " +
@@ -146,6 +158,58 @@ private[sources] object GraftProcedures {
           props("mv.key"), props("mv.group"),
           props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil)
         oneVersion(graft.io.MatView.refresh(spark, h))
+      }),
+    new Proc("create_sketchview",
+      "create + fully refresh a maintained per-group DISTINCT-estimate " +
+        "view over a graft table (HLL registers, 2^b per group; " +
+        "delta-cost refreshes thereafter)",
+      Seq(in("view", StringType), in("source", StringType),
+        in("group_col", StringType), in("value_col", StringType),
+        in("b", IntegerType)),
+      versionOut,
+      (cat, row) => {
+        val parts = str(row, 0, "view").split('.')
+        val viewPath = cat.pathForName(Identifier.of(parts.init, parts.last))
+        val sp = str(row, 1, "source").split('.')
+        val srcPath = cat.resolveTablePath(Identifier.of(sp.init, sp.last))
+        val g = str(row, 2, "group_col")
+        val vcol = str(row, 3, "value_col")
+        val b = row.getInt(4)
+        val h = graft.io.SketchView.init(spark, srcPath,
+          keyOf(cat, srcPath), g, vcol, viewPath, b)
+        // the view's own resolve key is its composite register key
+        cat.setProps(viewPath, Map(GraftCatalog.KeyProp -> "__sk",
+          "sv.source" -> srcPath, "sv.key" -> keyOf(cat, srcPath),
+          "sv.group" -> g, "sv.value" -> vcol, "sv.b" -> b.toString))
+        oneVersion(graft.io.SketchView.refreshedVersion(spark, h))
+      }),
+    new Proc("refresh_sketchview",
+      "fold source commits since the last refresh into a " +
+        "create_sketchview view (delta-cost, exactly-once)",
+      Seq(in("view", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        oneVersion(graft.io.SketchView.refresh(spark,
+          sketchHandle(cat, p)))
+      }),
+    new Proc("sketchview_estimate",
+      "per-group distinct estimates from the maintained registers — " +
+        "reads ONLY the view (<= 2^b rows per group), never the " +
+        "source; groups returned as strings (rows are (g, estimate))",
+      Seq(in("view", StringType)),
+      StructType(Seq(StructField("g", StringType, nullable = true),
+        StructField("estimate", LongType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val h = sketchHandle(cat, p)
+        graft.io.SketchView.estimate(spark, h)
+          .select(org.apache.spark.sql.functions.col(h.groupCol)
+              .cast("string").as("g"),
+            org.apache.spark.sql.functions.col("est_distinct"))
+          .orderBy("g").collect()
+          .map(r => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(r.getString(0)), r.getLong(1)))
       }),
     new Proc("bm25",
       "BM25 top-k over an at-rest text index (path-addressed: the " +

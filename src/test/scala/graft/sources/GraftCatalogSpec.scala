@@ -227,6 +227,36 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Int].head() == 4)
   }
 
+  test("sketch views from SQL: create_sketchview maintains per-group " +
+      "HLL registers; sketchview_estimate reads only the view and " +
+      "matches the Scala API; refresh folds new commits") {
+    spark.sql("CREATE TABLE graft_test.svsrc (k BIGINT, g STRING, " +
+      "v STRING) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.svsrc " +
+      "SELECT id, concat('g', id % 2), concat('v', id % 40) " +
+      "FROM range(200)")
+    spark.sql("CALL graft_test.system.create_sketchview('sv1', " +
+      "'svsrc', 'g', 'v', 8)")
+    def est(): Map[String, Long] = spark.sql(
+      "CALL graft_test.system.sketchview_estimate('sv1')")
+      .as[(String, Long)].collect().toMap
+    val e1 = est()
+    val h = graft.io.SketchView.Handle(s"$wh/sv1", s"$wh/svsrc",
+      "k", "g", "v", 8)
+    val want = graft.io.SketchView.estimate(spark, h)
+      .as[(String, Long)].collect().toMap
+    assert(e1 == want)
+    // true distinct is 20 per group (id % 40 over an id-parity split
+    // hits 20 values each); estimates within the HLL b=8 error band
+    assert(e1.values.forall(v => v > 12 && v < 30), e1.toString)
+    spark.sql("INSERT INTO graft_test.svsrc " +
+      "SELECT id + 1000, 'g0', concat('v', id % 80) FROM range(200)")
+    spark.sql("CALL graft_test.system.refresh_sketchview('sv1')")
+    val e2 = est()
+    assert(e2("g0") > e1("g0"), s"g0 estimate must grow: $e1 -> $e2")
+    assert(e2("g1") == e1("g1"))
+  }
+
   test("serving-tier SQL face: CALL bm25 and ann_topk answer from " +
       "at-rest indexes, matching the Scala API") {
     import graft.pipeline.{Search, VecIndex}

@@ -298,6 +298,19 @@ object Versioned {
         s"commit at $path probed $probes claimed slots from the listed " +
           "head; claim files and versions have diverged — run vacuum")
     }
+    // optional clustering (compactZOrder): range-partition + sort by the
+    // cluster key so each FILE covers a tight slice of it — that is
+    // what makes the per-file footer stats selective. Applied BEFORE
+    // the column-mapping rename: the sort expressions reference
+    // LOGICAL names, which stop resolving once the frame speaks
+    // physical ids (a rename/select below is a narrow Project, so the
+    // range partitioning and intra-partition order survive it).
+    val laidOutDf =
+      if (sortBy.isEmpty) df
+      else df.repartitionByRange(
+        if (sortFiles > 0) sortFiles
+        else math.max(spark.sparkContext.defaultParallelism, 1), sortBy: _*)
+        .sortWithinPartitions(sortBy: _*)
     // column-mapped table: writers speak LOGICAL names; translate to
     // the stable physical ids before staging. A logical column the
     // mapping has never seen (schema-evolution add) gets a fresh
@@ -306,14 +319,14 @@ object Versioned {
     // snapshot rides in this commit's dir.
     val curMapping = mappingAt(spark, path, v)
     val (physDf, snapOut) = curMapping match {
-      case None => (df, None)
+      case None => (laidOutDf, None)
       case Some(ms) =>
         val known = ms.toMap
-        val extras = df.columns.toSeq
+        val extras = laidOutDf.columns.toSeq
           .filterNot(MetaCols.contains).filterNot(known.contains)
         val snap = ms ++ extras.map(l => (l, s"${l}_r$v"))
         val sm = snap.toMap
-        val pdf = df.select(df.columns.toSeq.map(c =>
+        val pdf = laidOutDf.select(laidOutDf.columns.toSeq.map(c =>
           if (MetaCols.contains(c)) col(c) else col(c).as(sm(c))): _*)
         (pdf, Some(snap))
     }
@@ -327,16 +340,7 @@ object Versioned {
       .withColumn(SeqCol, monotonically_increasing_id())
     val staging = new Path(path,
       s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    // optional clustering (compactZOrder): range-partition + sort by the
-    // cluster key so each FILE covers a tight slice of it — that is
-    // what makes the per-file footer stats selective
-    val laidOut =
-      if (sortBy.isEmpty) stamped
-      else stamped.repartitionByRange(
-        if (sortFiles > 0) sortFiles
-        else math.max(spark.sparkContext.defaultParallelism, 1), sortBy: _*)
-        .sortWithinPartitions(sortBy: _*)
-    laidOut.write.mode("overwrite").parquet(staging.toString)
+    stamped.write.mode("overwrite").parquet(staging.toString)
     writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
     snapOut.foreach(writeColmap(f, staging, _))
     // widened table: re-snapshot the widen map into this commit's dir

@@ -61,12 +61,19 @@ import graft.io.Versioned
  * ORDER BY __v DESC, __seq DESC)`), exactly the window
  * [[Versioned.currentOf]] plans.
  *
+ * Supported ALTERs (r11): table properties, `RENAME COLUMN` /
+ * `DROP COLUMN` (column mapping — no data rewrite; the V2 scan and
+ * its zone-map pruning are mapping-aware), and `ALTER COLUMN TYPE`
+ * widening to BIGINT/DOUBLE ([[Versioned.widenColumn]] — old narrow
+ * files upcast per file on scan). Remaining mapped-table refusals
+ * (fail-loud, before any slot is claimed): the staged-commit write
+ * faces — row-level SQL DML and the streaming V2 sink — and
+ * [[Versioned.bloomIndex]].
+ *
  * Deliberately NOT supported (fail-loud, never silent): INSERT
  * OVERWRITE (the log is append-only — use RESTORE/deleteWhere),
  * partition transforms (files are clustered by
- * [[Versioned.compactZOrder]], not by dir layout), ALTER column
- * changes (use [[Versioned.renameColumn]]/[[Versioned.dropColumn]] —
- * the V2 scan refuses column-mapped tables), and RENAME TABLE.
+ * [[Versioned.compactZOrder]], not by dir layout), and RENAME TABLE.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {

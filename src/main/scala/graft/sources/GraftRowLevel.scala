@@ -72,13 +72,23 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   /** The SNAPSHOT this DML reads and the write's conflict guard
     * checks against. LAZY on purpose: a DELETE the optimizer swaps
     * for the metadata path never evaluates it (nor its
-    * head-must-be-checkpoint requirement). */
-  private lazy val snapshotV: Int =
+    * head-must-be-checkpoint requirement). Column-mapped tables are
+    * refused HERE — before any scan plans files — because the scan
+    * below is mapping-blind (renamed columns would silently read as
+    * null) and the staged write speaks physical file schemas; failing
+    * at beginStagedCommit would be after the scan/join already ran. */
+  private lazy val snapshotV: Int = {
+    require(!Versioned.isColumnMapped(spark, path),
+      s"row-level SQL $cmd at $path: table uses column mapping " +
+        "(renameColumn/dropColumn); write through Versioned.append/" +
+        "merge instead (translatable DELETE predicates still work " +
+        "via the metadata delete)")
     Versioned.headCheckpointVersion(spark, path).getOrElse(sys.error(
       s"row-level SQL $cmd at $path reads the resolved snapshot: the " +
         "table head must be a checkpoint — run CALL " +
         "<catalog>.system.compact('<table>') first (translatable " +
         "DELETE predicates skip this via the metadata delete)"))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path, () => Seq(snapshotV), scanSchema)
@@ -129,8 +139,13 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     ()
   }
 
+  // `claimed` is null when the write aborts before the factory ran
+  // (planning failure, beginStagedCommit refusal) — nothing was staged,
+  // so there is nothing to release; an unguarded dereference would NPE
+  // and mask the original error
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+    if (claimed != null)
+      Versioned.abortStaged(spark, path, claimed._1, claimed._2)
 }
 
 private[sources] case class GraftDeltaCommit(file: String)
@@ -210,7 +225,8 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+    if (claimed != null) // see GraftDeltaBatchWrite.abort
+      Versioned.abortStaged(spark, path, claimed._1, claimed._2)
 }
 
 private[sources] case class GraftStreamingWriterFactory(staging: String,

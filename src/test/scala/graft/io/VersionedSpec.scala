@@ -860,6 +860,62 @@ class VersionedSpec extends SparkSpec {
       Versioned.latestVersion(spark, p) == 6)
   }
 
+  test("compactZOrder on a column-mapped table: the cluster key is a " +
+      "RENAMED column — layout applies under logical names before the " +
+      "physical rename, no stale claim, reads unchanged") {
+    val p = freshPath("zrename")
+    Versioned.append((1L to 400L).map(i => (i, (i * 37) % 400, i % 7))
+      .toDF("k", "score", "grp"), p)                      // v1
+    Versioned.renameColumn(spark, p, "score", "quality")  // v2 (mapped)
+    // the regression: commit() renamed columns to physical ids BEFORE
+    // applying sortBy, so a z-expression over the renamed logical name
+    // threw AnalysisException after the slot was claimed
+    val v = Versioned.compactZOrder(spark, p, "k", Seq("quality", "grp"),
+      nFiles = 4)
+    assert(v == 3)
+    // no stale claim left behind: the very next commit takes v+1
+    assert(Versioned.append(Seq((401L, 1L, 1L))
+      .toDF("k", "quality", "grp"), p) == 4)
+    // clustered checkpoint reads back byte-correct under logical names
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.columns.contains("quality"))
+    assert(cur.count() == 401L)
+    assert(cur.filter(col("k") === 5L).select("quality").head()
+      .getLong(0) == (5L * 37) % 400)
+    // the quantile variant shares the fix
+    val vq = Versioned.compactZOrderQuantile(spark, p, "k",
+      Seq("quality"), nFiles = 2)
+    assert(vq == 5)
+    assert(Versioned.current(spark, p, "k").count() == 401L)
+  }
+
+  test("row-level DML scan refuses column-mapped tables up front " +
+      "(fail-loud before any scan plans, no staging garbage)") {
+    val wh = "target/tmp/graft-sql-warehouse-mapdml"
+    spark.conf.set("spark.sql.catalog.graft_mapdml",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mapdml.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS graft_mapdml.mt")
+    spark.sql("CREATE TABLE graft_mapdml.mt (k BIGINT, x INT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_mapdml.mt VALUES (1, 10), (2, 20)")
+    spark.sql("CALL graft_mapdml.system.compact('mt')")
+    spark.sql("ALTER TABLE graft_mapdml.mt RENAME COLUMN x TO y")
+    val p = s"$wh/mt"
+    val before = Versioned.latestVersion(spark, p)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_mapdml.mt SET y = 99 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("column mapping"),
+      s"unexpected error: ${e.getMessage}")
+    assert(Versioned.latestVersion(spark, p) == before)
+    // a translatable DELETE still works on the mapped table (metadata
+    // path — never builds the row-level scan)
+    spark.sql("DELETE FROM graft_mapdml.mt WHERE k = 2")
+    assert(Versioned.current(spark, p, "k").select("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("column-mapped tables read through the mapping-aware V2 " +
       "source: logical names out, physical bytes untouched") {
     val p = freshPath("renv2")

@@ -36,43 +36,83 @@ import org.apache.spark.sql.SparkSession
 object GenLog {
 
   /** One committed generation's marker payload. `fold` (base markers
-    * only) is the max streaming batch id whose `seg@<id>` generation
-    * this base subsumed — the exactly-once guard survives compaction
-    * reclaiming the per-batch markers. `cbv` is the codebook version
-    * the generation was encoded under (vector indexes; 0 = the init
-    * codebook). */
+    * only) is the max streaming batch id whose UNSCOPED `seg@<id>`
+    * generation this base subsumed — the exactly-once guard survives
+    * compaction reclaiming the per-batch markers. `folds` is the same
+    * watermark PER INGEST ID for scoped `seg@<ingestId>@<id>`
+    * generations (see [[segBatch]]): Structured Streaming batch ids
+    * restart at 0 for every new checkpoint location, so one global
+    * watermark would silently skip a fresh ingest's early batches —
+    * each (checkpoint-stable) ingest id carries its own. `cbv` is the
+    * codebook version the generation was encoded under (vector
+    * indexes; 0 = the init codebook). */
   final case class Meta(gen: Int, kind: String, a: Long, b: Long, n: Int,
-      fold: Long = -1L, cbv: Int = 0)
+      fold: Long = -1L, cbv: Int = 0,
+      folds: Map[String, Long] = Map.empty)
 
   val KindSeg = "seg"
   val KindDel = "del"
   val KindBase = "base"
 
-  /** The streaming batch id a `seg@<id>` marker kind carries. */
+  /** The batch-marker kind for streaming ingest: `seg@<batchId>` when
+    * the caller gave no ingest id (single-ingest legacy shape), else
+    * `seg@<ingestId>@<batchId>`. The ingest id must be stable across
+    * restarts of the same logical ingest (the streaming query id, or
+    * its checkpoint location) and distinct across ingests. */
+  def segKind(batchId: Long, ingestId: String = ""): String = {
+    require(!ingestId.contains('\t') && !ingestId.contains('\n'),
+      "ingestId may not contain tabs/newlines")
+    if (ingestId.isEmpty) s"$KindSeg@$batchId"
+    else s"$KindSeg@$ingestId@$batchId"
+  }
+
+  /** The (ingestId, batchId) a seg marker kind carries; ingestId = ""
+    * for the unscoped legacy shape. Parsed from the RIGHT so ingest
+    * ids containing '@' stay unambiguous. */
+  def segBatch(kind: String): Option[(String, Long)] =
+    if (!kind.startsWith(KindSeg + "@")) None
+    else {
+      val rest = kind.stripPrefix(KindSeg + "@")
+      val cut = rest.lastIndexOf('@')
+      val (id, b) =
+        if (cut < 0) ("", rest) else (rest.take(cut), rest.drop(cut + 1))
+      b.toLongOption.map((id, _))
+    }
+
+  /** The streaming batch id an UNSCOPED `seg@<id>` marker kind
+    * carries (scoped markers return None here — use [[segBatch]]). */
   def batchIdOf(kind: String): Option[Long] =
-    if (kind.startsWith(KindSeg + "@"))
-      kind.stripPrefix(KindSeg + "@").toLongOption
-    else None
+    segBatch(kind).collect { case ("", b) => b }
 
-  /** Max streaming batch id folded into the read set — per-batch
-    * `seg@<id>` markers plus every base's recorded fold watermark.
-    * Batch ids are Structured Streaming's, strictly increasing, so a
-    * single watermark subsumes every reclaimed per-batch marker. */
+  /** Max streaming batch id folded into the read set, PER INGEST ID —
+    * per-batch seg markers plus every base's recorded watermarks.
+    * Within one ingest, batch ids are strictly increasing, so a single
+    * watermark per id subsumes its reclaimed per-batch markers. */
+  def foldedBatchMaxes(ms: Seq[Meta]): Map[String, Long] = {
+    val entries =
+      ms.flatMap(m => segBatch(m.kind)) ++
+        ms.filter(_.kind == KindBase).flatMap(m =>
+          (if (m.fold >= 0) Seq(("", m.fold)) else Nil) ++ m.folds.toSeq)
+    entries.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).max }
+  }
+
+  /** Legacy single-ingest watermark (ingest id ""). */
   def foldedBatchMax(ms: Seq[Meta]): Long =
-    (ms.flatMap(m => batchIdOf(m.kind)) ++
-      ms.filter(_.kind == KindBase).map(_.fold)).maxOption.getOrElse(-1L)
+    foldedBatchMaxes(ms).getOrElse("", -1L)
 
-  /** Whether streaming batch `batchId` is already committed — either
-    * its own `seg@<id>` marker is present, or a base folded it and
-    * carries a covering watermark. This is what makes `appendBatch`
-    * idempotent ACROSS maintenance: a batch re-delivered after
-    * compact+vacuum reclaimed its marker (crash between the foreachBatch
-    * publish and the checkpoint commit, then maintenance before
-    * restart) is still recognized and skipped. */
-  def batchApplied(ms: Seq[Meta], batchId: Long): Boolean =
-    ms.exists(_.kind == s"$KindSeg@$batchId") ||
-      ms.filter(_.kind == KindBase).map(_.fold)
-        .maxOption.getOrElse(-1L) >= batchId
+  /** Whether streaming batch `batchId` OF INGEST `ingestId` is already
+    * committed — either its own seg marker is present, or a base
+    * folded it and carries a covering watermark FOR THAT INGEST. This
+    * is what makes `appendBatch` idempotent ACROSS maintenance: a
+    * batch re-delivered after compact+vacuum reclaimed its marker
+    * (crash between the foreachBatch publish and the checkpoint
+    * commit, then maintenance before restart) is still recognized and
+    * skipped — while a NEW ingest (fresh checkpoint, ids restarting at
+    * 0) under its own ingest id is never mistaken for a replay. */
+  def batchApplied(ms: Seq[Meta], batchId: Long,
+      ingestId: String = ""): Boolean =
+    ms.exists(_.kind == segKind(batchId, ingestId)) ||
+      foldedBatchMaxes(ms).getOrElse(ingestId, -1L) >= batchId
 
   def commitsDir(path: String): Path = new Path(path, "commits")
 
@@ -88,7 +128,8 @@ object GenLog {
         Meta(s.getPath.getName.toInt, cols(0), cols(1).toLong,
           cols(2).toLong, cols(3).toInt,
           if (cols.length > 4) cols(4).toLong else -1L,
-          if (cols.length > 5) cols(5).toInt else 0)
+          if (cols.length > 5) cols(5).toInt else 0,
+          if (cols.length > 6) parseFolds(cols(6)) else Map.empty)
       }
       .sortBy(_.gen)
   }
@@ -166,15 +207,32 @@ object GenLog {
     }
   }
 
+  /** `folds` map ⇄ one TSV column: URL-encoded ingest id `:` max,
+    * comma-joined; `-` when empty (keeps the column count stable). */
+  private def encodeFolds(folds: Map[String, Long]): String =
+    if (folds.isEmpty) "-"
+    else folds.toSeq.sorted.map { case (id, mx) =>
+      java.net.URLEncoder.encode(id, "UTF-8") + ":" + mx
+    }.mkString(",")
+
+  private def parseFolds(s: String): Map[String, Long] =
+    if (s == "-" || s.isEmpty) Map.empty
+    else s.split(',').map { pair =>
+      val cut = pair.lastIndexOf(':')
+      (java.net.URLDecoder.decode(pair.take(cut), "UTF-8"),
+        pair.drop(cut + 1).toLong)
+    }.toMap
+
   /** Publish generation `g`: the marker file is the commit point.
-    * `fold` = batch-id watermark for base markers (see [[Meta]]);
-    * `cbv` = codebook version the generation encodes under. */
+    * `fold` = unscoped batch-id watermark for base markers, `folds` =
+    * the per-ingest-id watermarks (see [[Meta]]); `cbv` = codebook
+    * version the generation encodes under. */
   def publish(spark: SparkSession, f: FileSystem, path: String, g: Int,
       kind: String, a: Long, b: Long, n: Int, fold: Long = -1L,
-      cbv: Int = 0): Unit =
+      cbv: Int = 0, folds: Map[String, Long] = Map.empty): Unit =
     LogStore.forSession(spark).writeAtomic(f,
       new Path(commitsDir(path), g.toString),
-      s"$kind\t$a\t$b\t$n\t$fold\t$cbv")
+      s"$kind\t$a\t$b\t$n\t$fold\t$cbv\t${encodeFolds(folds)}")
 
   /**
    * Retention: reclaim generation dirs (under each of `dataDirs`) +

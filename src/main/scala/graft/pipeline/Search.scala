@@ -188,15 +188,26 @@ object Search {
     * with it, `readStream … .foreachBatch(Search.appendBatch(_, "id",
     * "text", idx, _))` is a continuously-ingesting text index whose
     * postings and BM25 corpus constants are always one marker away
-    * from consistent. */
+    * from consistent.
+    *
+    * `ingestId` scopes the replay guard: Structured Streaming batch
+    * ids RESTART AT 0 for every new checkpoint location, so a fresh
+    * ingest pointed at an existing compacted index would have its
+    * early batches silently skipped by the folded watermark of the
+    * OLD ingest. Pass the streaming query's (checkpoint-stable) id or
+    * the checkpoint path — each ingest id carries its own watermark
+    * ([[graft.io.GenLog.foldedBatchMaxes]]). The empty default keeps
+    * the single-ingest legacy shape: correct only while the SAME
+    * checkpoint feeds this index for its whole life. */
   def appendBatch(df: DataFrame, idCol: String, textCol: String,
-      idx: Index, batchId: Long): Index = {
+      idx: Index, batchId: Long, ingestId: String = ""): Index = {
     val spark = df.sparkSession
     val f = fsOf(spark, idx.path)
-    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId)) idx
+    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId,
+        ingestId)) idx
     else {
       commitSegment(df, idCol, textCol, idx.path, idx.nBuckets,
-        s"$KindSeg@$batchId")
+        GenLog.segKind(batchId, ingestId))
       idx
     }
   }
@@ -257,13 +268,15 @@ object Search {
     val st = liveDocs(spark, f, idx.path)
       .agg(count(lit(1)).as("n"), coalesce(sum("dlen"), lit(0L)).as("s"))
       .head()
-    // record the max folded streaming batch id on the base, so the
-    // exactly-once appendBatch guard survives vacuum reclaiming the
-    // folded per-batch seg@<id> markers
+    // record the max folded streaming batch id PER INGEST on the base,
+    // so the exactly-once appendBatch guard survives vacuum reclaiming
+    // the folded per-batch seg@<id> markers without ever crossing
+    // ingest scopes (fresh checkpoints restart batch ids at 0)
+    val watermarks = GenLog.foldedBatchMaxes(
+      liveMetas(spark, f, idx.path).filter(_.gen < g))
     GenLog.publish(spark, f, idx.path, g, KindBase, st.getLong(0),
       st.getLong(1), idx.nBuckets,
-      fold = GenLog.foldedBatchMax(liveMetas(spark, f, idx.path)
-        .filter(_.gen < g)))
+      fold = watermarks.getOrElse("", -1L), folds = watermarks - "")
     idx
   }
 

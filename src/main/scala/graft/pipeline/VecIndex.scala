@@ -315,14 +315,21 @@ object VecIndex {
     * use; with it, `readStream … .foreachBatch(appendBatch(_, idx, _))`
     * is an embedding-ingest pipeline whose index is always one marker
     * away from consistent. */
-  def appendBatch(df: DataFrame, idx: Index, batchId: Long): Index = {
+  def appendBatch(df: DataFrame, idx: Index, batchId: Long,
+      ingestId: String = ""): Index = {
     val spark = df.sparkSession
     val f = fsOf(spark, idx.path)
     // batchApplied also honors the base markers' fold watermark, so a
     // batch re-delivered AFTER compact+vacuum reclaimed its seg@<id>
-    // marker is still recognized and skipped (no double-append)
-    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId)) idx
-    else { commitSegment(df, idx, s"${GenLog.KindSeg}@$batchId"); idx }
+    // marker is still recognized and skipped (no double-append).
+    // `ingestId` scopes the guard per ingest: streaming batch ids
+    // restart at 0 for a NEW checkpoint location, so a fresh ingest
+    // against an existing compacted index must not be skipped by the
+    // old ingest's watermark — pass the query id or checkpoint path
+    // (see Search.appendBatch for the full contract).
+    if (GenLog.batchApplied(GenLog.metas(spark, f, idx.path), batchId,
+      ingestId)) idx
+    else { commitSegment(df, idx, GenLog.segKind(batchId, ingestId)); idx }
   }
 
   /** STAGE 1 of the codebook retrain roll: write the next version's
@@ -378,9 +385,14 @@ object VecIndex {
     val ms = GenLog.liveMetas(spark, f, idx.path)
     val live = liveVecs(spark, idx, Seq("id", "vec"))
     writeGen(encoded(live, idx, v), idx, g)
-    val n = liveVecs(spark, idx, Seq("id")).count()
+    // the new base's row count IS the marker-delta sum over the read
+    // set (base = absolute, seg = +n, del = -live victims) — the exact
+    // invariant the markers exist to provide; no second resolve scan
+    val n = ms.map(_.a).sum
+    val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
-      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms), cbv = v)
+      idx.cbBuckets, fold = watermarks.getOrElse("", -1L), cbv = v,
+      folds = watermarks - "")
     idx
   }
 
@@ -447,15 +459,18 @@ object VecIndex {
       .schema.fieldNames.toSeq.filterNot(c => c == "cb" || c == "gen")
     val live = liveVecs(spark, idx, cols)
     writeGen(live, idx, g)
-    // the marker count IS the new base's row count: read it back from
-    // the just-written generation (footer row-group counts, no column
-    // IO) instead of paying the live-resolve anti-join a second time
-    val n = spark.read.parquet(s"${idx.path}/vecs/gen=$g").count()
-    // the base records the max folded streaming batch id, so the
-    // exactly-once appendBatch guard survives vacuum reclaiming the
-    // folded per-batch seg@<id> markers
+    // the new base's row count IS the marker-delta sum over the read
+    // set (base = absolute, seg = +n, del = -live victims): the exact
+    // invariant the markers exist to provide — zero extra jobs, where
+    // even a footer re-read of the written generation was one
+    val n = ms.map(_.a).sum
+    // the base records the max folded streaming batch id PER INGEST,
+    // so the exactly-once appendBatch guard survives vacuum reclaiming
+    // the folded per-batch seg@<id> markers without crossing scopes
+    val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
-      idx.cbBuckets, fold = GenLog.foldedBatchMax(ms), cbv = segCbvs.head)
+      idx.cbBuckets, fold = watermarks.getOrElse("", -1L),
+      cbv = segCbvs.head, folds = watermarks - "")
     idx
   }
 

@@ -168,6 +168,45 @@ class SearchSpec extends SparkSpec {
       "stream-built index must converge to the batch build")
   }
 
+  test("appendBatch ingest scoping: a NEW ingest's batch 0 is not " +
+      "swallowed by an OLD ingest's folded watermark, while each " +
+      "ingest's own replays stay idempotent across compact+vacuum") {
+    val path = "target/tmp/search-ingest-scope-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val sidx = Search.writeIndex(docs.limit(0), "doc_id", "text", path,
+      nBuckets = 8)
+    val shardA = docs.filter(col("doc_id") <= 3)
+    val shardB = docs.filter(col("doc_id") > 3)
+    // ingest A (its checkpoint's batch ids 0, 1), then maintenance
+    // reclaims the per-batch markers into the base watermark
+    Search.appendBatch(shardA, "doc_id", "text", sidx, 0L, "ckptA")
+    Search.appendBatch(shardA.limit(0), "doc_id", "text", sidx, 1L, "ckptA")
+    Search.compact(spark, sidx)
+    Search.vacuum(spark, sidx)
+    // THE BUG THIS PINS: a fresh checkpoint restarts batch ids at 0 —
+    // under a global watermark (>= 1 from ingest A) ingest B's batch 0
+    // was silently skipped: data loss. Scoped watermarks admit it.
+    Search.appendBatch(shardB, "doc_id", "text", sidx, 0L, "ckptB")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-ingest-scope-full"))
+    val full = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/search-ingest-scope-full", nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val terms = Seq("alpha", "beta", "gamma")
+    assert(rows(Search.searchBm25(spark, sidx, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)),
+      "ingest B's batch 0 must fold — a cross-scope watermark dropped it")
+    // each scope replay-guards independently, surviving maintenance
+    Search.compact(spark, sidx)
+    Search.vacuum(spark, sidx)
+    Search.appendBatch(shardA, "doc_id", "text", sidx, 0L, "ckptA")
+    Search.appendBatch(shardB, "doc_id", "text", sidx, 0L, "ckptB")
+    assert(rows(Search.searchBm25(spark, sidx, terms, 10))
+      == rows(Search.searchBm25(spark, full, terms, 10)),
+      "post-maintenance replays must not double postings or stats")
+  }
+
   test("searchNear: slop-bounded ordered proximity, slop 0 == phrase") {
     val d = Seq(
       (1L, "a b c a b"),

@@ -242,6 +242,33 @@ class VecIndexSpec extends SparkSpec {
       rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
   }
 
+  test("appendBatch ingest scoping: a fresh ingest's batch 0 folds " +
+      "against an index whose OLD ingest already folded batch ids past " +
+      "it; per-scope watermarks survive compact+vacuum") {
+    val path = "target/tmp/vecidx-ingest-scope"
+    val all = corpus(0 until 60)
+    val idx = VecIndex.init(all.limit(0), 64, path)
+    VecIndex.appendBatch(corpus(0 until 20), idx, 0L, "ckptA")
+    VecIndex.appendBatch(corpus(20 until 40), idx, 1L, "ckptA")
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    // the data-loss shape this pins: new checkpoint => batch ids
+    // restart at 0; a global watermark (1 from ckptA) would skip it
+    VecIndex.appendBatch(corpus(40 until 60), idx, 0L, "ckptB")
+    assert(VecIndex.countVecs(spark, idx) == 60,
+      "new ingest's batch 0 was swallowed by the old ingest's watermark")
+    // per-scope replays stay idempotent, including across maintenance
+    VecIndex.appendBatch(corpus(0 until 20), idx, 0L, "ckptA")
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    VecIndex.appendBatch(corpus(40 until 60), idx, 0L, "ckptB")
+    VecIndex.appendBatch(corpus(20 until 40), idx, 1L, "ckptA")
+    assert(VecIndex.countVecs(spark, idx) == 60)
+    val qs = all.filter(col("id") < 3)
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) ==
+      rows(Similarity.binaryTopK(qs, all, 64, 12, 4)))
+  }
+
   test("appendBatch survives maintenance: a batch re-delivered AFTER " +
       "compact+vacuum reclaimed its seg@<id> marker is still skipped " +
       "(the base carries the fold watermark)") {

@@ -268,6 +268,32 @@ private[sources] object GraftProcedures {
             s"index_compact: kind must be 'search' or 'vector', got '$other'")
         }
       }),
+    new Proc("index_delete",
+      "tombstone documents/vectors out of an at-rest index by id " +
+        "(path-addressed; kind = 'search' | 'vector'; ids as a comma-" +
+        "separated list of longs) — the delete+append reingest cycle's " +
+        "SQL face; BM25 stats / vector counts stay exact (only LIVE " +
+        "victims are counted). Returns the number of ids submitted",
+      Seq(in("index_path", StringType), in("kind", StringType),
+        in("ids", StringType)),
+      StructType(Seq(
+        StructField("ids_submitted", IntegerType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val ids = str(row, 2, "ids").split(',').map(_.trim)
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+        require(ids.nonEmpty, "index_delete: no ids given")
+        val sess = spark
+        import sess.implicits._
+        val df = ids.toDF("id")
+        str(row, 1, "kind") match {
+          case "search" => Search.delete(df, "id", Search.open(spark, p))
+          case "vector" => VecIndex.delete(df, "id", VecIndex.open(spark, p))
+          case other => sys.error(
+            s"index_delete: kind must be 'search' or 'vector', got '$other'")
+        }
+        Array(InternalRow(ids.length))
+      }),
     new Proc("index_vacuum",
       "reclaim an at-rest index's generations below its newest base " +
         "plus stale claims (path-addressed; kind = 'search' | " +

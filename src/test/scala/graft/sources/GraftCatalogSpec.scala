@@ -314,6 +314,41 @@ class GraftCatalogSpec extends SparkSpec {
     val want2 = Search.searchBm25(spark, Search.open(spark, sp),
       Seq("quick", "dog"), 3).as[(Long, Double)].collect().toSeq
     assert(got2 == want2 && got2.size == 3)
+
+    // index DML from SQL: CALL index_delete ≡ Search.delete /
+    // VecIndex.delete — tombstoned ids leave every serve, BM25
+    // constants stay exact (scores must equal a from-scratch build
+    // over the surviving docs), vector counts track live rows
+    assert(spark.sql(
+      s"CALL graft_test.system.index_delete('$sp', 'search', '2, 4')")
+      .as[Int].head() == 2)
+    val afterDel = spark.sql(
+      s"CALL graft_test.system.bm25('$sp', 'quick dog', 3)")
+      .as[(Long, Double)].collect().toSeq
+    assert(!afterDel.exists(r => r._1 == 2L || r._1 == 4L))
+    val refP = "target/tmp/cat-proc-search-ref"
+    Search.writeIndex(
+      docs.filter(col("id") =!= 2L), "id", "text", refP, 4)
+    val refScores = Search.searchBm25(spark, Search.open(spark, refP),
+      Seq("quick", "dog"), 3).as[(Long, Double)].collect().toSeq
+    assert(afterDel == refScores,
+      s"post-delete BM25 must equal a fresh build: $afterDel vs $refScores")
+    val nBefore = graft.pipeline.VecIndex.countVecs(spark,
+      VecIndex.open(spark, vp))
+    assert(spark.sql(
+      s"CALL graft_test.system.index_delete('$vp', 'vector', '7,9')")
+      .as[Int].head() == 2)
+    assert(VecIndex.countVecs(spark, VecIndex.open(spark, vp))
+      == nBefore - 2)
+    val gotC = spark.sql(
+      s"CALL graft_test.system.ann_topk('$vp', '$vecStr', 4, 3)")
+      .as[(Long, Double)].collect().toSet
+    assert(!gotC.exists(r => r._1 == 7L || r._1 == 9L) && gotC.size == 3)
+    // unknown kind / empty ids fail loudly, nothing committed
+    intercept[Exception] { spark.sql(
+      s"CALL graft_test.system.index_delete('$vp', 'nope', '1')") }
+    intercept[Exception] { spark.sql(
+      s"CALL graft_test.system.index_delete('$vp', 'vector', '')") }
   }
 
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +

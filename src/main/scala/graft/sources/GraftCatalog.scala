@@ -331,6 +331,14 @@ private[sources] object GraftCatalog {
     * tombstone needs a key) and by anything key-resolving downstream. */
   val KeyProp = "key"
 
+  /** Named CHECK constraints from `check.<name>` table properties —
+    * the single source every write path (INSERT, row-level DML, the
+    * streaming sink) evaluates. */
+  def checkConstraints(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("check.") => (k.stripPrefix("check."), v)
+    }.sortBy(_._1)
+
   def readProps(fs: FileSystem, path: String): Map[String, String] = {
     val p = new Path(path, PropsFile)
     if (!fs.exists(p)) return Map.empty
@@ -453,10 +461,10 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     * the atomic-rename publish IS the commit. CHECK constraints from
     * `check.<name>` table properties gate the insert
     * ([[Versioned.appendChecked]]): any violating row refuses the
-    * WHOLE batch, nothing committed. (Constraints gate the INSERT
-    * path; the streaming sink and row-level DML write what their
-    * sources produced — pre-validate those with
-    * [[graft.pipeline.Expectations]].) The STREAMING face
+    * WHOLE batch, nothing committed. The same constraints gate the
+    * row-level DML write and the streaming sink at staged-commit time
+    * ([[GraftChecks.validateStaged]]) — every write path enforces a
+    * declared constraint. The STREAMING face
     * (`df.writeStream…toTable(…)`) is [[GraftStreamingWrite]]: one
     * exactly-once batch-marked commit per micro-batch. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -469,11 +477,10 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
                 s"graft table $path is append-only via SQL: INSERT " +
                   "OVERWRITE would rewrite history — use DELETE FROM " +
                   "(tombstones) or Versioned.restore (roll-forward)")
-              val checks = props.toSeq.collect {
-                case (k, v) if k.startsWith("check.") =>
-                  (k.stripPrefix("check."),
-                    org.apache.spark.sql.functions.expr(v))
-              }.sortBy(_._1)
+              val checks = GraftCatalog.checkConstraints(props)
+                .map { case (n, e) =>
+                  (n, org.apache.spark.sql.functions.expr(e))
+                }
               if (checks.nonEmpty)
                 Versioned.appendChecked(data, path, checks)
               else Versioned.append(data, path)
@@ -483,7 +490,7 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite =
           new GraftStreamingWrite(spark, path, info.schema(),
-            info.queryId())
+            info.queryId(), GraftCatalog.checkConstraints(props))
       }
     }
 
@@ -501,7 +508,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     require(dataFields.exists(_.name == keyCol),
       s"graft table $path: key property '$keyCol' is not a column")
     () => new GraftRowOperation(spark, path, keyCol,
-      StructType(dataFields), info.command())
+      StructType(dataFields), info.command(),
+      GraftCatalog.checkConstraints(props))
   }
 
   /** DELETE FROM … WHERE — [[Versioned.deleteWhere]]: tombstone every

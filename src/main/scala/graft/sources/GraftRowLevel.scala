@@ -56,7 +56,8 @@ import graft.io.Versioned
  */
 private[sources] class GraftRowOperation(spark: SparkSession,
     path: String, keyCol: String, dataSchema: StructType,
-    cmd: RowLevelOperation.Command) extends SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    checks: Seq[(String, String)] = Nil) extends SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -105,9 +106,46 @@ private[sources] class GraftRowOperation(spark: SparkSession,
           new GraftDeltaBatchWrite(spark, path, info.schema(),
             info.rowIdSchema().orElse(StructType(Seq(
               dataSchema(dataSchema.fieldIndex(keyCol))))),
-            () => snapshotV)
+            () => snapshotV, checks)
       }
     }
+}
+
+/** Declared CHECK constraints evaluated against a STAGED commit before
+  * publish — the gate every write path shares: the catalog INSERT
+  * validates pre-stage ([[graft.io.Versioned.appendChecked]]); the
+  * row-level DML write and the streaming V2 sink validate here, over
+  * the staged parquet parts, so a declared-but-unenforced constraint
+  * cannot exist. One aggregate pass; tombstone rows are excluded (a
+  * DELETE writes nulls outside the key — SQL CHECKs constrain live
+  * rows). SQL CHECK semantics: a row violates only when the expression
+  * evaluates to FALSE (null passes — guard with `isNotNull` when null
+  * must fail). Throws with per-constraint violation counts; callers
+  * abort the stage, so the table and the version counter are
+  * untouched. */
+private[sources] object GraftChecks {
+  def validateStaged(spark: SparkSession, staging: String,
+      keep: Set[String], checks: Seq[(String, String)]): Unit = {
+    if (checks.isEmpty || keep.isEmpty) return
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
+    val df = spark.read
+      .parquet(keep.toSeq.sorted.map(n => s"$staging/$n"): _*)
+      .filter(!col(Versioned.DeletedCol))
+    val aggs = checks.map { case (name, e) =>
+      sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(name)
+    }
+    val counts = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = checks.map(_._1).zipWithIndex
+      .map { case (name, i) =>
+        name -> (if (counts.isNullAt(i)) 0L else counts.getLong(i))
+      }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      "CHECK constraint violation(s), nothing committed — " +
+        violated.map { case (n, c) =>
+          s"$n: $c row" + (if (c == 1) "" else "s")
+        }.mkString("; "))
+  }
 }
 
 /** One staged commit shared by every task of the DML write;
@@ -116,7 +154,7 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   * ([[Versioned.publishStagedChecked]]). */
 private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     path: String, rowSchema: StructType, idSchema: StructType,
-    snapshot: () => Int)
+    snapshot: () => Int, checks: Seq[(String, String)] = Nil)
     extends DeltaBatchWrite {
 
   // claimed when Spark asks for the writer factory (execution start);
@@ -134,6 +172,15 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     val keep = messages.collect {
       case GraftDeltaCommit(file) if file.nonEmpty => file
     }.toSet
+    // declared CHECK constraints gate THIS write path too (the INSERT
+    // path validates pre-stage): a violating UPDATE/MERGE refuses
+    // whole, the staged commit aborts, the version counter untouched
+    try GraftChecks.validateStaged(spark, claimed._2, keep, checks)
+    catch {
+      case e: Throwable =>
+        Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+        throw e
+    }
     Versioned.publishStagedChecked(spark, path, claimed._1, claimed._2,
       keep, snapshot())
     ()
@@ -191,7 +238,8 @@ private[sources] object GraftWriteConf {
  * claim at a time.
  */
 private[sources] class GraftStreamingWrite(spark: SparkSession,
-    path: String, rowSchema: StructType, queryId: String)
+    path: String, rowSchema: StructType, queryId: String,
+    checks: Seq[(String, String)] = Nil)
     extends StreamingWrite {
 
   @volatile private var claimed: (Int, String) = _
@@ -217,6 +265,14 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
       val keep = messages.collect {
         case GraftDeltaCommit(file) if file.nonEmpty => file
       }.toSet
+      // declared CHECK constraints gate the streaming sink too: a
+      // violating micro-batch fails the query, nothing published
+      try GraftChecks.validateStaged(spark, claimed._2, keep, checks)
+      catch {
+        case e: Throwable =>
+          Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+          throw e
+      }
       Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
         markers = Seq(marker(epochId)))
       ()

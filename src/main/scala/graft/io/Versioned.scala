@@ -430,12 +430,24 @@ object Versioned {
     * would outrank (`__v`) a commit we never saw. Conflict rule at
     * publish time:
     *
-    *  - a COMMITTED version in (snapshotV, v) conflicts (a writer
-    *    claimed before us and published);
+    *  - a COMMITTED version in (snapshotV, v) conflicts — unless
+    *    `keyCol` is given and the CONFLICT DOMAINS are provably
+    *    disjoint: the interloper's per-file key zone maps
+    *    (`_STATS.tsv`) against THIS write's staged key ranges (read
+    *    from the staged parquet footers). A plain INSERT of keys the
+    *    DML never touched commits both ways — steady ingest no longer
+    *    livelocks periodic MERGEs. Any stats gap, either side, keeps
+    *    the conservative abort (narrowing may admit provably-safe
+    *    commits, never unsafe ones). Checkpoint commits below are
+    *    ALWAYS benign: they duplicate state already committed — every
+    *    log version they fold is itself subject to this same check.
+    *    This is Delta's WriteSerializable level: the admitted
+    *    interleave re-orders a blind append with a DML that never
+    *    read or wrote its keys;
     *  - a FOREIGN CLAIM in (snapshotV, v) not yet committed
     *    conflicts (an in-flight writer below us could publish after
-    *    our check — abort rather than race it; this also aborts
-    *    against a concurrent plain INSERT, conservatively);
+    *    our check, and an unpublished stage has no ranges to reason
+    *    about — abort rather than race it);
     *  - a commit ABOVE our slot is benign: its writer either ran
     *    this same check and saw OUR claim (checked DML aborts), or
     *    is a blind append — and "our DML, then their append" is a
@@ -443,13 +455,53 @@ object Versioned {
     *
     * On conflict the staged commit aborts (slot released) and a
     * retryable error names the interloper — Delta's
-    * ConcurrentAppend/ConcurrentDeleteException shape. */
+    * ConcurrentAppend/ConcurrentDeleteException shape. `keyCol` must
+    * be the PHYSICAL column name (the staged-commit faces refuse
+    * column-mapped tables, so logical == physical there). */
   private[graft] def publishStagedChecked(spark: SparkSession,
       path: String, v: Int, staging: String, keep: Set[String],
-      snapshotV: Int): Int = {
+      snapshotV: Int, keyCol: Option[String] = None): Int = {
     val committedAll = versions(spark, path).toSet
-    val committedBelow = committedAll.filter(x => x > snapshotV && x < v)
+    val ck = checkpoints(spark, path).toSet
     val f = fs(spark, path)
+    // this write's key ranges, from the staged footers (its _STATS.tsv
+    // is only written at publish): None = unknown (a non-empty staged
+    // file without a key stat) -> conservative
+    lazy val stagedRanges: Option[Seq[(String, String, String)]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val perFile = keep.toSeq.sorted.map(n =>
+        footerKeyRange(conf, new Path(staging, n), keyCol.get))
+      if (perFile.exists(_.isEmpty)) None
+      else Some(perFile.flatMap(_.get))
+    }
+    def conflicts(x: Int): Boolean =
+      if (ck.contains(x)) false
+      else keyCol match {
+        case None => true
+        case Some(kc) => stagedRanges match {
+          case None => true
+          case Some(ours) =>
+            val dir = new Path(s"$path/v=$x")
+            val stats = readStats(f, dir)
+            val parts = f.listStatus(dir)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+            // a data-less commit (mapping/widen metadata) can't be
+            // range-cleared — conservative conflict
+            parts.isEmpty || parts.exists { s =>
+              val st = stats.getOrElse(s.getPath.getName, Map.empty)
+              val empty = st.get("__nrows")
+                .exists { case (_, n, _) => n.toLong == 0L }
+              if (empty) false
+              else st.get(kc) match {
+                case None => true // unknown keys: conservative
+                case Some(theirs) =>
+                  ours.exists(zoneRangesOverlap(_, theirs))
+              }
+            }
+        }
+      }
+    val committedBelow = committedAll
+      .filter(x => x > snapshotV && x < v).filter(conflicts)
     val claimsBelow = LogStore.forSession(spark)
       .listClaims(f, new Path(path))
       .flatMap(n => scala.util.Try(
@@ -462,7 +514,8 @@ object Versioned {
           s"v=$snapshotV, but " +
           (if (committedBelow.nonEmpty)
             s"version(s) ${committedBelow.toSeq.sorted.mkString(",")} " +
-              "committed concurrently below this write's slot"
+              "committed concurrently below this write's slot with " +
+              "key ranges this write may have read or written"
           else
             s"writer(s) at claimed slot(s) " +
               s"${claimsBelow.sorted.mkString(",")} are still in " +
@@ -470,6 +523,56 @@ object Versioned {
           " — the staged commit was aborted; retry the statement")
     }
     publishStaged(spark, path, v, staging, keep)
+  }
+
+  /** [min,max] of `colName` from ONE parquet file's footer, in the
+    * `_STATS.tsv` (type, lo, hi) encoding — the OCC narrowing's view
+    * of a STAGED file (whose stats TSV does not exist yet). Some(Nil)
+    * for a provably empty file (contributes no range); None when the
+    * stat is absent on a non-empty file (caller stays conservative). */
+  private def footerKeyRange(conf: Configuration, file: Path,
+      colName: String): Option[Seq[(String, String, String)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.map(_.getRowCount).sum == 0L) return Some(Nil)
+      var lo: Any = null
+      var hi: Any = null
+      var ok = true
+      for (block <- blocks; c <- block.getColumns.asScala
+           if c.getPath.toDotString == colName) {
+        val st = c.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+        else {
+          def cmp(a: Any, b: Any) =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          if (lo == null || cmp(st.genericGetMin, lo) < 0)
+            lo = st.genericGetMin
+          if (hi == null || cmp(st.genericGetMax, hi) > 0)
+            hi = st.genericGetMax
+        }
+      }
+      if (!ok || lo == null) None
+      else statsEncode(lo).flatMap { case (t, loS) =>
+        statsEncode(hi).map { case (_, hiS) => Seq((t, loS, hiS)) }
+      }
+    } finally reader.close()
+  }
+
+  /** Do two `_STATS.tsv`-encoded [min,max] ranges intersect? Type
+    * mismatch (schema drift) answers true — conservative. */
+  private def zoneRangesOverlap(a: (String, String, String),
+      b: (String, String, String)): Boolean = (a, b) match {
+    case (("long", alo, ahi), ("long", blo, bhi)) =>
+      !(alo.toLong > bhi.toLong || ahi.toLong < blo.toLong)
+    case (("double", alo, ahi), ("double", blo, bhi)) =>
+      !(alo.toDouble > bhi.toDouble || ahi.toDouble < blo.toDouble)
+    case (("string", alo, ahi), ("string", blo, bhi)) =>
+      def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      !(d(alo) > d(bhi) || d(ahi) < d(blo))
+    case _ => true
   }
 
   /** ABORT a staged commit: drop the staging dir and release the
@@ -1223,19 +1326,22 @@ object Versioned {
     * (no data scan), written as `_STATS.tsv` (hidden from Spark reads).
     * Columns with non-comparable or absent statistics are skipped —
     * pruning treats a missing stat as "cannot prune". */
+  /** One parquet footer statistic value → the `_STATS.tsv`
+    * (type, encoded) pair; None for non-comparable types. */
+  private def statsEncode(v: Any): Option[(String, String)] = v match {
+    case l: java.lang.Long    => Some(("long", l.toString))
+    case i: java.lang.Integer => Some(("long", i.toString))
+    case d: java.lang.Double  => Some(("double", d.toString))
+    case fl: java.lang.Float  => Some(("double", fl.toString))
+    case b: org.apache.parquet.io.api.Binary => Some(("string",
+      java.net.URLEncoder.encode(new String(b.getBytes, UTF_8), "UTF-8")))
+    case _                    => None
+  }
+
   private def writeStats(f: FileSystem, dir: Path, conf: Configuration): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-    def enc(v: Any): Option[(String, String)] = v match {
-      case l: java.lang.Long    => Some(("long", l.toString))
-      case i: java.lang.Integer => Some(("long", i.toString))
-      case d: java.lang.Double  => Some(("double", d.toString))
-      case fl: java.lang.Float  => Some(("double", fl.toString))
-      case b: Binary            => Some(("string",
-        java.net.URLEncoder.encode(new String(b.getBytes, UTF_8), "UTF-8")))
-      case _                    => None
-    }
+    def enc(v: Any): Option[(String, String)] = statsEncode(v)
     val lines = mutable.ArrayBuffer.empty[String]
     f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { part =>

@@ -181,8 +181,12 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
         Versioned.abortStaged(spark, path, claimed._1, claimed._2)
         throw e
     }
+    // the key column narrows the OCC conflict domain: a plain INSERT
+    // that committed below this slot with provably disjoint key
+    // ranges (zone maps both sides) is not a conflict — periodic
+    // MERGEs survive steady disjoint ingest without livelock
     Versioned.publishStagedChecked(spark, path, claimed._1, claimed._2,
-      keep, snapshot())
+      keep, snapshot(), idSchema.fields.headOption.map(_.name))
     ()
   }
 

@@ -860,6 +860,72 @@ class VersionedSpec extends SparkSpec {
       Versioned.latestVersion(spark, p) == 6)
   }
 
+  test("OCC conflict-domain narrowing: a commit below a pending DML " +
+      "with provably DISJOINT key ranges publishes both; overlapping " +
+      "ranges (or no key to narrow on) abort retryable") {
+    val p = freshPath("occnarrow")
+    Versioned.append((1L to 10L).map(i => (i, i * 2)).toDF("k", "x"), p)
+    Versioned.compact(spark, p, "k") // head checkpoint v=2
+    val snapshot = Versioned.latestVersion(spark, p)
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write a one-file parquet of `df` into the staging dir as `name`
+    def stage(df: org.apache.spark.sql.DataFrame, staging: String,
+        name: String): Unit = {
+      val tmp = s"$staging-tmpw"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(f.rename(part, new org.apache.hadoop.fs.Path(staging, name)))
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    def dmlRows(ks: Range) = ks.map(i => (i.toLong, 0L, false, false,
+      false, 99, i.toLong)).toDF("k", "x", Versioned.DeletedCol,
+      Versioned.MergeCol, Versioned.CkptCol, Versioned.VersionCol,
+      Versioned.SeqCol)
+
+    // DISJOINT: interloper inserts keys 100-110 below our slot while
+    // our DML wrote keys 1-5 — both commit (no livelock under steady
+    // disjoint ingest)
+    val (vA, sA) = Versioned.beginStagedCommit(spark, p)     // v=3
+    Versioned.append((100L to 110L).map(i => (i, i)).toDF("k", "x"), p)
+    // the interloper had to publish ABOVE our claimed slot; re-stage
+    // so OUR slot is above ITS commit (the race under test)
+    Versioned.abortStaged(spark, p, vA, sA)
+    val (vB, sB) = Versioned.beginStagedCommit(spark, p)     // v=5
+    stage(dmlRows(1 to 5), sB, "part-00000-dml.parquet")
+    Versioned.publishStagedChecked(spark, p, vB, sB,
+      Set("part-00000-dml.parquet"), snapshot, Some("k"))
+    assert(Versioned.versions(spark, p).contains(vB))
+    // both writes visible in the resolved state
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.count() == 21) // 10 base + 11 interloper (1-5 re-stated)
+    assert(cur.filter(col("k") === 3L).select("x")
+      .as[Long].head() == 0L, "the DML's own rows must have won")
+
+    // OVERLAPPING: interloper re-states key 5 below our slot — abort
+    val snapshot2 = { Versioned.compact(spark, p, "k")
+      Versioned.latestVersion(spark, p) }
+    Versioned.append(Seq((5L, 777L)).toDF("k", "x"), p)
+    val (vE, sE) = Versioned.beginStagedCommit(spark, p)
+    stage(dmlRows(1 to 5), sE, "part-00000-dml.parquet")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Versioned.publishStagedChecked(spark, p, vE, sE,
+        Set("part-00000-dml.parquet"), snapshot2, Some("k"))
+    }
+    assert(e.getMessage.contains("key ranges"), e.getMessage)
+    // and the legacy no-key path still aborts even on disjoint keys
+    val snapshot3 = Versioned.latestVersion(spark, p)
+    Versioned.append(Seq((500L, 1L)).toDF("k", "x"), p)
+    val (vG, sG) = Versioned.beginStagedCommit(spark, p)
+    stage(dmlRows(1 to 2), sG, "part-00000-dml.parquet")
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.publishStagedChecked(spark, p, vG, sG,
+        Set("part-00000-dml.parquet"), snapshot3, None)
+    }
+  }
+
   test("compactZOrder on a column-mapped table: the cluster key is a " +
       "RENAMED column — layout applies under logical names before the " +
       "physical rename, no stale claim, reads unchanged") {

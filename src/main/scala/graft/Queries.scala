@@ -1669,15 +1669,18 @@ object Queries {
 
   /** MERGE INTO through the catalog (r11 — the delta-based row-level
     * operation, [[graft.sources.GraftRowOperation]]): its own table
-    * takes CREATE + INSERT + `CALL system.compact` (the checkpoint the
-    * row-level scan reads), then ONE MERGE statement mixing all three
-    * actions — matched-DELETE (the en rows of the %3 source slice),
-    * matched-UPDATE (n_chars summed, source taken), and
-    * not-matched-INSERT (the %97 slice under shifted ids). The update
-    * rows, tombstones, and inserts land as ONE staged commit written
-    * by distributed DeltaWriters; the oracle replays the merge
-    * arithmetic from the documents table, so a lost tombstone, a
-    * double-applied update, or a mis-keyed insert all hash-mismatch. */
+    * takes CREATE + INSERT, then ONE MERGE statement at the resulting
+    * NON-checkpoint head — r12 removed the compact prerequisite: the
+    * row-level scan auto-maintains the head checkpoint at delta cost
+    * ([[graft.io.Versioned.compactIncremental]]) before reading it.
+    * The MERGE mixes all three actions — matched-DELETE (the en rows
+    * of the %3 source slice), matched-UPDATE (n_chars summed, source
+    * taken), and not-matched-INSERT (the %97 slice under shifted
+    * ids). The update rows, tombstones, and inserts land as ONE
+    * staged commit written by distributed DeltaWriters; the oracle
+    * replays the merge arithmetic from the documents table, so a lost
+    * tombstone, a double-applied update, a mis-keyed insert, or a row
+    * lost by the auto-maintained checkpoint all hash-mismatch. */
   def tableSqlMerge(spark: SparkSession, dir: String): DataFrame = {
     val wh = "target/tmp/graft-sql-warehouse"
     spark.conf.set("spark.sql.catalog.graft_sql",
@@ -1693,7 +1696,8 @@ object Queries {
         "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
       spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
         s"CAST(NULL AS STRING) FROM docs_sql_$tag")
-      spark.sql(s"CALL graft_sql.system.compact('sqlmerge_$tag')")
+      // NO compact here: the MERGE runs at a non-checkpoint head and
+      // must auto-maintain its snapshot (the r12 contract under test)
       spark.sql(
         s"""MERGE INTO $tbl t USING (
            |  SELECT doc_id, lang, n_chars, source FROM docs_sql_$tag
@@ -1779,10 +1783,12 @@ object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** UPDATE through the catalog (r11 — `RewriteUpdateTable` over the
-    * same delta-based row-level operation as MERGE): CREATE + INSERT +
-    * `CALL system.compact`, then ONE UPDATE statement re-stating every
-    * German row (n_chars bumped, source set) as appended new-version
-    * rows. The oracle replays the SET arithmetic from documents. */
+    * same delta-based row-level operation as MERGE): CREATE + INSERT,
+    * then ONE UPDATE statement at the NON-checkpoint head (r12: the
+    * scan auto-maintains its checkpoint at delta cost) re-stating
+    * every German row (n_chars bumped, source set) as appended new-
+    * version rows. The oracle replays the SET arithmetic from
+    * documents. */
   def tableSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
     val wh = "target/tmp/graft-sql-warehouse"
     spark.conf.set("spark.sql.catalog.graft_sql",
@@ -1798,7 +1804,7 @@ object Queries {
         "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
       spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
         s"CAST(NULL AS STRING) FROM docs_sql_$tag")
-      spark.sql(s"CALL graft_sql.system.compact('sqlupd_$tag')")
+      // NO compact: the UPDATE auto-maintains the checkpoint (r12)
       spark.sql(s"UPDATE $tbl SET n_chars = n_chars + 5000, " +
         "source = 'upd' WHERE lang = 'de'")
       ()

@@ -83,10 +83,75 @@ object Versioned {
   private val StatsFile = "_STATS.tsv"
   private val ColmapFile = "_COLMAP.tsv"
   private val WidenFile = "_WIDEN.tsv"
+  private val ManifestFile = "_MANIFEST.tsv"
   private[graft] val MetaCols = Set(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------- manifest-carrying (incremental) checkpoints ----------
+
+  /** Read the small text file at `p` (empty string when absent). */
+  private def readSmallText(f: FileSystem, p: Path): String = {
+    if (!f.exists(p)) return ""
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  /** Files an INCREMENTAL checkpoint carries BY REFERENCE from older
+    * checkpoint dirs — table-root-relative paths (`v=<c>/<name>`),
+    * one per line. Invariant: only files of earlier CHECKPOINTS are
+    * ever carried, so carried rows always stamp `__ckpt = true` and
+    * the log view / streaming faces keep excluding them row-wise. */
+  private def readManifest(f: FileSystem, dir: Path): Seq[String] =
+    readSmallText(f, new Path(dir, ManifestFile))
+      .split('\n').filter(_.nonEmpty).toSeq
+
+  private def writeManifest(f: FileSystem, dir: Path,
+      rels: Seq[String]): Unit = {
+    val out = f.create(new Path(dir, ManifestFile), true)
+    try out.write(rels.mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** ALL data files of version `v`: its own parquet parts plus any
+    * manifest-carried references. Every read path enumerates files
+    * through here, so a carried file is indistinguishable from an
+    * owned one to readers; per-file metadata (stats, blooms) resolves
+    * against each file's PARENT dir (see [[StatsLookup]]). */
+  private[io] def filesOf(f: FileSystem, path: String, v: Int): Seq[Path] = {
+    val dir = new Path(s"$path/v=$v")
+    val own = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    own ++ readManifest(f, dir).map(rel => new Path(path, rel))
+  }
+
+  /** Per-file zone-map lookup across dirs (file → its parent dir's
+    * `_STATS.tsv` row), with a per-instance dir cache — carried files
+    * resolve against their HOME dir's stats, before and after vacuum
+    * materializes them. */
+  private class StatsLookup(f: FileSystem) {
+    private val byDir = mutable.Map.empty[
+      String, Map[String, Map[String, (String, String, String)]]]
+    def apply(file: Path): Map[String, (String, String, String)] =
+      byDir.getOrElseUpdate(file.getParent.toString,
+        readStats(f, file.getParent)).getOrElse(file.getName, Map.empty)
+  }
+
+  /** Per-file Bloom lookup across dirs, mirroring [[StatsLookup]]. */
+  private class BloomLookup(spark: SparkSession, f: FileSystem) {
+    private val byDir = mutable.Map.empty[
+      String, Map[String, (String, Int, Int, Array[Long])]]
+    def apply(file: Path): Option[(String, Int, Int, Array[Long])] =
+      byDir.getOrElseUpdate(file.getParent.toString,
+        readBloom(spark, f, file.getParent)).get(file.getName)
+  }
 
   /** Committed (has _SUCCESS) version numbers, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
@@ -283,7 +348,7 @@ object Versioned {
   private def commit(df: DataFrame, path: String, checkpoint: Boolean = false,
       merge: Boolean = false, batchMarker: Option[String] = None,
       sortBy: Seq[org.apache.spark.sql.Column] = Nil, sortFiles: Int = 0,
-      attempt: Int = 0): Int = {
+      attempt: Int = 0, manifest: Seq[String] = Nil): Int = {
     require(attempt < 5, s"commit at $path lost the version slot $attempt " +
       "times to concurrent writers; coordinate writers or add a metastore CAS")
     val spark = df.sparkSession
@@ -298,6 +363,27 @@ object Versioned {
         s"commit at $path probed $probes claimed slots from the listed " +
           "head; claim files and versions have diverged — run vacuum")
     }
+    commitAt(df, path, v, checkpoint, merge, batchMarker, sortBy,
+      sortFiles, manifest) match {
+      case Some(got) => got
+      case None => // lost the slot to a legacy torn dir: retry fresh
+        commit(df, path, checkpoint, merge, batchMarker, sortBy,
+          sortFiles, attempt + 1, manifest)
+    }
+  }
+
+  /** The post-claim body of [[commit]]: stage, stamp, publish as
+    * version `v` (ALREADY CLAIMED by the caller). None = the rename
+    * lost to an occupied `v=N` (legacy torn dir) — the staging was
+    * dropped and the caller decides whether to re-claim. `manifest`
+    * carries incremental-checkpoint file references into the staged
+    * dir, atomic with the data. */
+  private def commitAt(df: DataFrame, path: String, v: Int,
+      checkpoint: Boolean, merge: Boolean, batchMarker: Option[String],
+      sortBy: Seq[org.apache.spark.sql.Column], sortFiles: Int,
+      manifest: Seq[String]): Option[Int] = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
     // optional clustering (compactZOrder): range-partition + sort by the
     // cluster key so each FILE covers a tight slice of it — that is
     // what makes the per-file footer stats selective. Applied BEFORE
@@ -343,6 +429,7 @@ object Versioned {
     stamped.write.mode("overwrite").parquet(staging.toString)
     writeStats(f, staging, spark.sparkContext.hadoopConfiguration)
     snapOut.foreach(writeColmap(f, staging, _))
+    if (manifest.nonEmpty) writeManifest(f, staging, manifest)
     // widened table: re-snapshot the widen map into this commit's dir
     // (vacuum keeps the newest checkpoint; its snapshot must be there)
     val curWiden = widenAt(spark, path, v)
@@ -360,9 +447,8 @@ object Versioned {
       f.delete(dst, true)
     if (f.exists(dst) || !f.rename(staging, dst)) {
       f.delete(staging, true)
-      commit(df, path, checkpoint, merge, batchMarker, sortBy, sortFiles,
-        attempt + 1)
-    } else v
+      None
+    } else Some(v)
   }
 
   /** BEGIN a distributed staged commit (the row-level SQL DML write
@@ -894,18 +980,19 @@ object Versioned {
       vs: Seq[Int]): DataFrame = {
     require(vs.nonEmpty, s"no committed versions to read at $path")
     val f = fs(spark, path)
-    val dataVs = vs.filter(v => f.listStatus(new Path(s"$path/v=$v"))
-      .exists(_.getPath.getName.endsWith(".parquet")))
-    require(dataVs.nonEmpty,
+    // enumerate FILES, not dirs: an incremental checkpoint's rows are
+    // its own parts PLUS its manifest-carried references
+    val files = vs.flatMap(v => filesOf(f, path, v)).map(_.toString)
+    require(files.nonEmpty,
       s"no data-carrying versions among ${vs.mkString(",")} at $path")
     val widen = widenAt(spark, path, latestVersion(spark, path))
     val raw =
       if (widen.isEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(dataVs.map(v => s"$path/v=$v"): _*)
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
       else
-        spark.read.schema(physUnionSchema(spark, path, dataVs, widen))
-          .parquet(dataVs.map(v => s"$path/v=$v"): _*)
+        spark.read.schema(physUnionSchema(spark, path,
+            dataVersions(spark, path, vs), widen))
+          .parquet(files: _*)
     applyMapping(raw, mappingAt(spark, path, vs.max))
   }
 
@@ -916,10 +1003,12 @@ object Versioned {
   private def physUnionSchema(spark: SparkSession, path: String,
       dataVs: Seq[Int], widen: Map[String, String])
       : org.apache.spark.sql.types.StructType = {
+    val fsys = fs(spark, path)
     val fields = mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.StructField]
     dataVs.foreach { v =>
-      spark.read.parquet(s"$path/v=$v").schema.fields.foreach { f0 =>
+      spark.read.parquet(filesOf(fsys, path, v).map(_.toString): _*)
+        .schema.fields.foreach { f0 =>
         val f1 = widen.get(f0.name)
           .map(t => f0.copy(dataType = widenType(t))).getOrElse(f0)
         fields.get(f1.name) match {
@@ -940,8 +1029,7 @@ object Versioned {
   private def dataVersions(spark: SparkSession, path: String,
       vs: Seq[Int]): Seq[Int] = {
     val f = fs(spark, path)
-    vs.filter(v => f.listStatus(new Path(s"$path/v=$v"))
-      .exists(_.getPath.getName.endsWith(".parquet")))
+    vs.filter(v => filesOf(f, path, v).nonEmpty)
   }
 
   /** The earliest retained version when it is a vacuum base (history
@@ -997,15 +1085,14 @@ object Versioned {
       vs: Seq[Int],
       bounds: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
     val f = fs(spark, path)
+    val lookup = new StatsLookup(f)
     vs.flatMap { v =>
-      val dir = new Path(s"$path/v=$v")
-      val stats = readStats(f, dir)
-      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .filter { s =>
-          val st = stats.getOrElse(s.getPath.getName, Map.empty)
+      filesOf(f, path, v)
+        .filter { fp =>
+          val st = lookup(fp)
           bounds.forall { case (c, lo, hi) => statsMayMatch(st, c, lo, hi) }
         }
-        .map(_.getPath.toString)
+        .map(_.toString)
     }
   }
 
@@ -1019,16 +1106,15 @@ object Versioned {
   private[graft] def pruneFilesForInSets(spark: SparkSession, path: String,
       vs: Seq[Int], inSets: Seq[(String, Seq[Any])]): Seq[String] = {
     val f = fs(spark, path)
+    val lookup = new StatsLookup(f)
     vs.flatMap { v =>
-      val dir = new Path(s"$path/v=$v")
-      val stats = readStats(f, dir)
-      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .filter { s =>
-          val st = stats.getOrElse(s.getPath.getName, Map.empty)
+      filesOf(f, path, v)
+        .filter { fp =>
+          val st = lookup(fp)
           inSets.forall { case (c, values) =>
             values.exists(x => statsMayMatch(st, c, Some(x), Some(x))) }
         }
-        .map(_.getPath.toString)
+        .map(_.toString)
     }
   }
 
@@ -1067,8 +1153,8 @@ object Versioned {
     val f = fs(spark, path)
     val d = new Path(s"$path/v=$v")
     if (!f.exists(d)) 0L
-    else f.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    else filesOf(f, path, v)
+      .map(fp => if (f.exists(fp)) f.getFileStatus(fp).getLen else 0L).sum
   }
 
   /** Exact row-count sum of `files` from their stamped `__nrows`
@@ -1125,19 +1211,15 @@ object Versioned {
   private[graft] def aggregateFromStats(spark: SparkSession, path: String,
       vs: Seq[Int], specs: Seq[StatAgg]): Option[Seq[Any]] = {
     val f = fs(spark, path)
+    val lookup = new StatsLookup(f)
     val fileStats = mutable.ArrayBuffer.empty[Map[String, (String, String, String)]]
     var complete = true
     vs.foreach { v =>
       if (complete) {
-        val dir = new Path(s"$path/v=$v")
-        val stats = readStats(f, dir)
-        f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { s =>
-            stats.get(s.getPath.getName) match {
-              case Some(m) => fileStats += m
-              case None    => complete = false
-            }
-          }
+        filesOf(f, path, v).foreach { fp =>
+          val m = lookup(fp)
+          if (m.nonEmpty) fileStats += m else complete = false
+        }
       }
     }
     if (!complete) return None
@@ -1463,13 +1545,11 @@ object Versioned {
   private def readPruned(spark: SparkSession, path: String, vs: Seq[Int],
       colName: String, lo: Any, hi: Any): DataFrame = {
     val f = fs(spark, path)
+    val lookup = new StatsLookup(f)
     val files = vs.flatMap { v =>
-      val dir = new Path(s"$path/v=$v")
-      val stats = readStats(f, dir)
-      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .filter(s => mayIntersect(
-          stats.getOrElse(s.getPath.getName, Map.empty), colName, lo, hi))
-        .map(_.getPath.toString)
+      filesOf(f, path, v)
+        .filter(fp => mayIntersect(lookup(fp), colName, lo, hi))
+        .map(_.toString)
     }
     readFilesAligned(spark, path, vs, files)
   }
@@ -1644,21 +1724,19 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions in ($from, $version] at $path")
     val keyS = String.valueOf(key)
     val f = fs(spark, path)
+    val statsL = new StatsLookup(f)
+    val bloomL = new BloomLookup(spark, f)
     val files = vs.flatMap { v =>
-      val dir = new Path(s"$path/v=$v")
-      val stats = readStats(f, dir)
-      val blooms = readBloom(spark, f, dir)
-      f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        .filter { s =>
-          val name = s.getPath.getName
-          mayIntersect(stats.getOrElse(name, Map.empty), keyCol, key, key) &&
-            (blooms.get(name) match {
+      filesOf(f, path, v)
+        .filter { fp =>
+          mayIntersect(statsL(fp), keyCol, key, key) &&
+            (bloomL(fp) match {
               case Some((kc, m, kh, lanes)) if kc == keyCol =>
                 graft.pipeline.Bloom.testKey(keyS, lanes, m, kh)
               case _ => true
             })
         }
-        .map(_.getPath.toString)
+        .map(_.toString)
     }
     resolve(readFilesAligned(spark, path, vs, files), keyCol,
       mergeVersions(spark, path).exists(v => v > from && v <= version))
@@ -1689,6 +1767,142 @@ object Versioned {
           .sortWithinPartitions(keyCol)
       else resolved
     commit(sized, path, checkpoint = true)
+  }
+
+  /**
+   * INCREMENTAL checkpoint — Delta OPTIMIZE's file-selection shape
+   * applied to MOR compaction: fold ONLY the delta committed since the
+   * last checkpoint, carrying that checkpoint's untouched files BY
+   * REFERENCE (a `_MANIFEST.tsv` of `v=<c>/<file>` entries, atomic
+   * with the staged commit) instead of rewriting them. Each
+   * maintenance run costs O(touched files + delta), never O(table):
+   *
+   *  1. touched keys = distinct keys of the delta commits (delta-sized
+   *     read);
+   *  2. a checkpoint file CARRIES iff its key zone map provably
+   *     excludes every touched key (one broadcast range-join of the
+   *     bounded per-file range list against the touched keys) AND it
+   *     is at least `minFileBytes` (under-sized files are folded into
+   *     the rewrite — the bin-packing knob); missing key stats force a
+   *     rewrite (carrying may drop work, never rows);
+   *  3. the new checkpoint's OWN files = resolve(touched checkpoint
+   *     files ∪ delta) — correct because a carried file's keys appear
+   *     in no delta commit and in no other checkpoint file (a
+   *     checkpoint holds each key exactly once).
+   *
+   * Carried rows keep their original `__v`/`__ckpt = true` stamps, so
+   * the log view and both streaming faces keep excluding them
+   * row-wise, and the resolve is indifferent (keys never collide
+   * across carried/rewritten parts). [[vacuum]] MATERIALIZES carried
+   * references before reclaiming their home dirs (files move into the
+   * referencing checkpoint, stats/blooms follow), so retention never
+   * strands a reference. `nFiles > 0` sizes/key-clusters the rewritten
+   * part like [[compact]].
+   *
+   * The version slot is claimed BEFORE the fold reads anything, so a
+   * concurrent append lands ABOVE the new checkpoint and stays
+   * visible; in-flight claims below refuse loudly first (the
+   * [[viewDeltaSlice]] guard — a lower-slot publish after our fold
+   * would be hidden by the new base). First-ever checkpoint (no base
+   * to fold from) falls back to a full [[compact]]. A head that is
+   * already a checkpoint returns it unchanged (idempotent no-op).
+   */
+  def compactIncremental(spark: SparkSession, path: String,
+      keyCol: String, minFileBytes: Long = 0L, nFiles: Int = 0): Int = {
+    val f = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val ck = checkpoints(spark, path)
+    val base = ck.filter(_ <= head).lastOption
+    if (base.isEmpty) return compact(spark, path, keyCol, nFiles)
+    val c = base.get
+    if (c == head) return c
+    // serialize against in-flight lower-slot writers, then pin OUR
+    // slot at head+1 so nothing can commit inside the fold range
+    val pending = unpublishedClaims(spark, path).filter(_ <= head)
+    require(pending.isEmpty, s"compactIncremental at $path: version " +
+      s"slot(s) ${pending.mkString(",")} are claimed but unpublished; " +
+      "a lower-slot publish after the fold would be hidden by the new " +
+      "checkpoint — wait for it (or let vacuum sweep a stale claim) " +
+      "and retry")
+    val store = LogStore.forSession(spark)
+    val v = head + 1
+    if (!claimSlot(store, f, path, v))
+      // a writer claimed head+1 between our listing and the CAS —
+      // retry against the new head (bounded by the commit contract)
+      return compactIncremental(spark, path, keyCol, minFileBytes, nFiles)
+    val ckSet = ck.toSet
+    val deltaVs = versions(spark, path)
+      .filter(x => x > c && x <= head && !ckSet.contains(x))
+    val dataDeltas = deltaVs.filter(x => filesOf(f, path, x).nonEmpty)
+    if (dataDeltas.isEmpty) {
+      // metadata-only delta (mapping/widen commits): nothing to fold —
+      // release the slot and report the standing checkpoint
+      store.delete(f, new Path(path, s".claim-v=$v"))
+      return c
+    }
+    val hasMerges = mergeVersions(spark, path)
+      .exists(x => x > c && x <= head)
+    val physKey = logicalToPhysical(spark, path, head)
+      .getOrElse(keyCol, keyCol)
+    val touched = readDirs(spark, path, dataDeltas)
+      .select(col(keyCol)).distinct()
+    val lookup = new StatsLookup(f)
+    val ckFiles = filesOf(f, path, c)
+    // candidate carries: big enough AND a key range to reason with
+    val (candidates, forced) = ckFiles.partition { fp =>
+      lookup(fp).contains(physKey) &&
+        f.getFileStatus(fp).getLen >= minFileBytes
+    }
+    val ranges = candidates.map(fp => (fp, lookup(fp)(physKey)))
+    val types = ranges.map(_._2._1).distinct
+    // files whose range intersects SOME touched key must rewrite; the
+    // per-file range list is bounded (files of one checkpoint), so the
+    // classification is one broadcast join against the touched keys
+    val dirty: Set[String] =
+      if (ranges.isEmpty) Set.empty
+      else if (types.size > 1) ranges.map(_._1.toString).toSet
+      else {
+        import spark.implicits._
+        val (castTo, rdf) = types.head match {
+          case "long" => ("long", ranges.map { case (fp, (_, lo, hi)) =>
+            (fp.toString, lo.toLong, hi.toLong) }.toDF("__file", "__lo", "__hi"))
+          case "double" => ("double", ranges.map { case (fp, (_, lo, hi)) =>
+            (fp.toString, lo.toDouble, hi.toDouble) }
+            .toDF("__file", "__lo", "__hi"))
+          case _ => ("string", ranges.map { case (fp, (_, lo, hi)) =>
+            (fp.toString, java.net.URLDecoder.decode(lo, "UTF-8"),
+              java.net.URLDecoder.decode(hi, "UTF-8")) }
+            .toDF("__file", "__lo", "__hi"))
+        }
+        touched.join(broadcast(rdf),
+            col(keyCol).cast(castTo) >= col("__lo") &&
+              col(keyCol).cast(castTo) <= col("__hi"))
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val carried = candidates.filterNot(fp => dirty(fp.toString))
+    val rewrite = forced ++ candidates.filter(fp => dirty(fp.toString))
+    val foldFiles = rewrite.map(_.toString) ++
+      dataDeltas.flatMap(x => filesOf(f, path, x)).map(_.toString)
+    val sliceVs = c +: dataDeltas
+    val resolved = resolve(
+        readFilesAligned(spark, path, sliceVs, foldFiles), keyCol,
+        hasMerges)
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol)
+    val sized =
+      if (nFiles > 0)
+        resolved.repartitionByRange(nFiles, col(keyCol))
+          .sortWithinPartitions(keyCol)
+      else resolved
+    // carried entries stay addressed at their CURRENT home (a chain of
+    // incremental checkpoints references each file where it lives, so
+    // no transitive manifest walk exists)
+    val rels = carried.map(fp => s"${fp.getParent.getName}/${fp.getName}")
+    commitAt(sized, path, v, checkpoint = true, merge = false,
+      batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = rels)
+      .getOrElse(sys.error(s"compactIncremental at $path lost claimed " +
+        s"slot v=$v to an occupied dir — claims and versions diverged; " +
+        "run vacuum and retry"))
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -1960,6 +2174,18 @@ object Versioned {
       case None => Nil
       case Some(b) =>
         val doomed = versions(spark, path).filter(_ < b)
+        // MATERIALIZE manifest-carried references before reclaiming
+        // their home dirs: every retained version whose manifest
+        // points into a doomed dir gets the file moved in (rename —
+        // cheap metadata op), its stats/bloom lines appended, and the
+        // manifest rewritten. Order is crash-degradable, never
+        // silent: rename first (a crash before the manifest rewrite
+        // leaves a dangling entry that fails loudly and heals on the
+        // next vacuum via the name-already-here check), stats second
+        // (a missing stat only disables pruning for that file).
+        if (doomed.nonEmpty)
+          materializeRefs(spark, f, path, doomed.toSet,
+            versions(spark, path).filter(_ >= b))
         doomed.foreach { v =>
           f.delete(new Path(s"$path/v=$v"), true)
           // the reclaimed version's claim goes with it — slots below
@@ -1969,6 +2195,79 @@ object Versioned {
           store.delete(f, new Path(path, s".claim-v=$v"))
         }
         doomed
+    }
+  }
+
+  /** [[vacuum]]'s reference-materialization pass (see call site). A
+    * file referenced by several retained checkpoints moves into the
+    * LOWEST one; the others' manifest entries re-point there. */
+  private def materializeRefs(spark: SparkSession, f: FileSystem,
+      path: String, doomedDirs: Set[Int], retained: Seq[Int]): Unit = {
+    def dirOfRel(rel: String): String = rel.split('/').head
+    def isDoomed(rel: String): Boolean = {
+      val d = dirOfRel(rel)
+      d.startsWith("v=") && doomedDirs.contains(d.stripPrefix("v=").toInt)
+    }
+    val manifests: Seq[(Int, Seq[String])] = retained.map { v =>
+      v -> readManifest(f, new Path(s"$path/v=$v"))
+    }.filter(_._2.nonEmpty)
+    if (!manifests.exists(_._2.exists(isDoomed))) return
+    // destination of each doomed-referenced file = its lowest referrer
+    val dest: Map[String, Int] = manifests
+      .flatMap { case (v, rels) => rels.filter(isDoomed).map(_ -> v) }
+      .groupBy(_._1).map { case (rel, xs) => rel -> xs.map(_._2).min }
+    // move files + carry their stats/bloom lines
+    dest.toSeq.sortBy(_._2).foreach { case (rel, v) =>
+      val src = new Path(path, rel)
+      val name = src.getName
+      val dstDir = new Path(s"$path/v=$v")
+      val dst = new Path(dstDir, name)
+      if (f.exists(src)) {
+        require(!f.exists(dst), s"vacuum materialization at $path: " +
+          s"carried file name collision $name in v=$v")
+        val srcDir = src.getParent
+        require(f.rename(src, dst),
+          s"vacuum at $path: failed to materialize $rel into v=$v")
+        // stats/bloom lines follow the file (missing lines only cost
+        // pruning, never rows — append best-effort but atomically)
+        def carryLines(metaFile: String): Unit = {
+          val srcLines = readSmallText(f, new Path(srcDir, metaFile))
+            .split('\n').filter(_.nonEmpty)
+            .filter(_.startsWith(name + "\t"))
+          if (srcLines.nonEmpty) {
+            val dstP = new Path(dstDir, metaFile)
+            val cur = readSmallText(f, dstP)
+              .split('\n').filter(_.nonEmpty)
+            // plain overwrite (single-maintainer contract): a torn
+            // stats file only weakens pruning, never correctness
+            val out = f.create(dstP, true)
+            try out.write((cur ++ srcLines)
+              .mkString("", "\n", "\n").getBytes(UTF_8))
+            finally out.close()
+          }
+        }
+        carryLines(StatsFile)
+        carryLines(BloomFile)
+      } else require(f.exists(dst), s"vacuum at $path: carried file " +
+        s"$rel is gone and not materialized in v=$v — manifest and " +
+        "files diverged")
+    }
+    // rewrite every retained manifest: moved-into-own-dir entries
+    // drop (the file is owned now); others re-point to the new home
+    manifests.foreach { case (v, rels) =>
+      if (rels.exists(isDoomed)) {
+        val updated = rels.flatMap { rel =>
+          dest.get(rel) match {
+            case None => Some(rel)
+            case Some(owner) if owner == v => None
+            case Some(owner) =>
+              Some(s"v=$owner/${new Path(path, rel).getName}")
+          }
+        }
+        val dir = new Path(s"$path/v=$v")
+        if (updated.isEmpty) { f.delete(new Path(dir, ManifestFile), false); () }
+        else writeManifest(f, dir, updated)
+      }
     }
   }
 
@@ -2144,11 +2443,11 @@ object Versioned {
     val times = commitTimes(spark, path)
     val rows = versions(spark, path).map { v =>
       val dir = new Path(s"$path/v=$v")
-      val parts = f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      val parts = filesOf(f, path, v) // own + manifest-carried
       val batch = f.listStatus(dir).map(_.getPath.getName)
         .find(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_"))
       (v, times.get(v), ck.contains(v), mg.contains(v), batch,
-        parts.length, parts.map(_.getLen).sum)
+        parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum)
     }
     rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
       "batch_id", "num_files", "size_bytes")

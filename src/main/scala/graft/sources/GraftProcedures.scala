@@ -310,6 +310,21 @@ private[sources] object GraftProcedures {
         }
         oneVersion(got.length)
       }),
+    new Proc("compact_partial",
+      "INCREMENTAL merge-on-read checkpoint: fold only the delta since " +
+        "the last checkpoint, carrying untouched checkpoint files by " +
+        "reference (manifest) — O(touched files + delta), never " +
+        "O(table). min_file_bytes also folds under-sized files in " +
+        "(bin-packing); pass 0 to carry every untouched file",
+      Seq(in("table", StringType), in("min_file_bytes", LongType)),
+      versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val minBytes = row.getLong(1)
+        require(minBytes >= 0, s"min_file_bytes must be >= 0, got $minBytes")
+        oneVersion(Versioned.compactIncremental(spark, p, keyOf(cat, p),
+          minBytes))
+      }),
     new Proc("compact_sized",
       "merge-on-read checkpoint sized + key-clustered into n_files " +
         "range-partitioned files (selective zone maps per file)",

@@ -35,13 +35,19 @@ import graft.io.Versioned
  * exactly once (Spark joins it with the MERGE source and raises
  * MERGE_CARDINALITY_VIOLATION on duplicate matches), so it reads the
  * head CHECKPOINT directly — a pure file scan of the resolved
- * snapshot. When the head is not a checkpoint the scan refuses with
- * the fix spelled out (`CALL <catalog>.system.compact(...)`): the
- * compact-then-merge rhythm is the same O(table) cost copy-on-write
- * engines pay inside every MERGE, made explicit and amortizable
- * across many DMLs here. Translatable `DELETE FROM` never hits this
- * path — Spark's optimizer swaps it to the metadata delete
- * ([[GraftCatalogTable.deleteWhere]]), which works at any head.
+ * snapshot. When the head is NOT a checkpoint, one is auto-maintained
+ * at DELTA cost first ([[graft.io.Versioned.compactIncremental]]):
+ * only the commits since the last checkpoint fold, untouched
+ * checkpoint files carry by reference — so the continuous-ingest +
+ * periodic-MERGE rhythm pays O(delta) per statement, never the
+ * O(table) rewrite a mandatory full `CALL system.compact` would
+ * (the pre-r12 prerequisite). The maintenance commit is planning-time
+ * work (it runs when the DML scan resolves its snapshot) and is
+ * ordinary — time travel, CDC, and maintained views are indifferent
+ * to it, like any compaction. Translatable `DELETE FROM` never hits
+ * this path — Spark's optimizer swaps it to the metadata delete
+ * ([[GraftCatalogTable.deleteWhere]]), which works at any head and
+ * auto-compacts nothing.
  *
  * The write side is ONE staged commit shared by all tasks: the driver
  * claims a version slot and a staging dir
@@ -72,23 +78,23 @@ private[sources] class GraftRowOperation(spark: SparkSession,
 
   /** The SNAPSHOT this DML reads and the write's conflict guard
     * checks against. LAZY on purpose: a DELETE the optimizer swaps
-    * for the metadata path never evaluates it (nor its
-    * head-must-be-checkpoint requirement). Column-mapped tables are
-    * refused HERE — before any scan plans files — because the scan
-    * below is mapping-blind (renamed columns would silently read as
-    * null) and the staged write speaks physical file schemas; failing
-    * at beginStagedCommit would be after the scan/join already ran. */
+    * for the metadata path never evaluates it (nor the checkpoint
+    * maintenance). Column-mapped tables are refused HERE — before any
+    * scan plans files — because the scan below is mapping-blind
+    * (renamed columns would silently read as null) and the staged
+    * write speaks physical file schemas; failing at beginStagedCommit
+    * would be after the scan/join already ran. A non-checkpoint head
+    * gets its checkpoint maintained incrementally (delta cost) right
+    * here, so DML works at ANY head; the OCC guard then checks
+    * against exactly the version the scan read. */
   private lazy val snapshotV: Int = {
     require(!Versioned.isColumnMapped(spark, path),
       s"row-level SQL $cmd at $path: table uses column mapping " +
         "(renameColumn/dropColumn); write through Versioned.append/" +
         "merge instead (translatable DELETE predicates still work " +
         "via the metadata delete)")
-    Versioned.headCheckpointVersion(spark, path).getOrElse(sys.error(
-      s"row-level SQL $cmd at $path reads the resolved snapshot: the " +
-        "table head must be a checkpoint — run CALL " +
-        "<catalog>.system.compact('<table>') first (translatable " +
-        "DELETE predicates skip this via the metadata delete)"))
+    Versioned.headCheckpointVersion(spark, path).getOrElse(
+      Versioned.compactIncremental(spark, path, keyCol))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

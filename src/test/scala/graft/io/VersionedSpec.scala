@@ -860,6 +860,90 @@ class VersionedSpec extends SparkSpec {
       Versioned.latestVersion(spark, p) == 6)
   }
 
+  test("compactIncremental: untouched checkpoint files carry BY " +
+      "REFERENCE (manifest), only dirty/undersized files rewrite, " +
+      "every read path agrees with a full compact, vacuum " +
+      "materializes references before reclaiming") {
+    val p = freshPath("inccompact")
+    val pFull = freshPath("inccompact-full")
+    def fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ownParquet(v: Int): Seq[String] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$p/v=$v"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+    def manifest(v: Int): Seq[String] = {
+      val mp = new org.apache.hadoop.fs.Path(s"$p/v=$v/_MANIFEST.tsv")
+      if (!fsys.exists(mp)) Nil
+      else scala.io.Source.fromInputStream(fsys.open(mp), "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+    }
+    val base = (1L to 400L).map(i => (i, i * 3)).toDF("k", "x")
+    Seq(p, pFull).foreach { t =>
+      Versioned.append(base, t)                         // v1
+      Versioned.compact(spark, t, "k", nFiles = 8)      // v2: 8 files
+      // delta: upsert a narrow key range, delete one key, insert new
+      Versioned.append((1L to 50L).map(i => (i, -i)).toDF("k", "x"), t)
+      Versioned.delete(Seq(Tuple1(60L)).toDF("k"), t)
+      Versioned.append((401L to 410L).map(i => (i, i)).toDF("k", "x"), t)
+    }
+    val vi = Versioned.compactIncremental(spark, p, "k")
+    val vf = Versioned.compact(spark, pFull, "k")
+    assert(vi == 6 && vf == 6)
+    // the 8-file checkpoint covers keys 1..400 in tight ranges; the
+    // delta touched 1..50, 60, and NEW keys — at most 2 of 8 files
+    // can be dirty, the rest must carry by reference
+    val m = manifest(vi)
+    assert(m.size >= 6, s"expected >= 6 carried refs, got ${m.size}: $m")
+    assert(m.forall(_.startsWith("v=2/")), m.toString)
+    // carried files were NOT rewritten: the refs point at v=2's bytes
+    assert(m.map(_.stripPrefix("v=2/")).forall(ownParquet(2).contains))
+    def curMap(t: String) = Versioned.current(spark, t, "k")
+      .select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = curMap(pFull)
+    assert(curMap(p) == want, "incremental resolve != full resolve")
+    assert(want(5L) == -5L && want(300L) == 900L && !want.contains(60L))
+    // point lookups through zone maps hit carried AND rewritten files
+    assert(Versioned.currentPoint(spark, p, "k", 300L)
+      .select("x").as[Long].head() == 900L)
+    assert(Versioned.currentPoint(spark, p, "k", 5L)
+      .select("x").as[Long].head() == -5L)
+    // range read spanning both
+    assert(Versioned.currentRange(spark, p, "k", 40L, 80L).count()
+      == Versioned.currentRange(spark, pFull, "k", 40L, 80L).count())
+    // the log view is invariant under compaction (checkpoints excluded)
+    assert(Versioned.asOf(spark, p, vi).count()
+      == Versioned.asOf(spark, pFull, vf).count())
+    // V2 scan + metadata COUNT(*) see the carried files
+    assert(spark.read.format("graft").load(p).count()
+      == spark.read.format("graft").load(pFull).count())
+    // CHAINED incremental: another delta, another incremental fold —
+    // references stay addressed at their live home (v=2)
+    Versioned.append(Seq((100L, 0L)).toDF("k", "x"), p)
+    val vi2 = Versioned.compactIncremental(spark, p, "k")
+    val m2 = manifest(vi2)
+    assert(m2.nonEmpty && m2.forall(_.startsWith("v=2/")), m2.toString)
+    val want2 = want + (100L -> 0L)
+    assert(curMap(p) == want2)
+    // vacuum reclaims everything below the newest checkpoint and
+    // MATERIALIZES the carried references first — reads unchanged
+    val reclaimed = Versioned.vacuum(spark, p, 0)
+    assert(reclaimed.nonEmpty && reclaimed.contains(2))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$p/v=2")))
+    assert(curMap(p) == want2, "vacuum materialization lost rows")
+    assert(Versioned.currentPoint(spark, p, "k", 300L)
+      .select("x").as[Long].head() == 900L)
+    // a huge min-file-bytes floor forces a full rewrite (bin-packing):
+    // no manifest on the resulting checkpoint
+    Versioned.append(Seq((7L, 7L)).toDF("k", "x"), p)
+    val vAll = Versioned.compactIncremental(spark, p, "k",
+      minFileBytes = Long.MaxValue)
+    assert(manifest(vAll).isEmpty)
+    assert(curMap(p) == want2 + (7L -> 7L))
+    // idempotent no-op: head already a checkpoint returns it
+    assert(Versioned.compactIncremental(spark, p, "k") == vAll)
+  }
+
   test("OCC conflict-domain narrowing: a commit below a pending DML " +
       "with provably DISJOINT key ranges publishes both; overlapping " +
       "ranges (or no key to narrow on) abort retryable") {

@@ -160,6 +160,17 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Int].collect()
     assert(reclaimed.nonEmpty && reclaimed.forall(_ < 8))
     assert(Versioned.current(spark, path, "k").count() == 100)
+    // incremental compaction from SQL: fold only the delta, carry the
+    // rest of the checkpoint by reference
+    spark.sql("CALL graft_test.system.compact_sized('tp', 4)")
+    spark.sql("INSERT INTO graft_test.tp VALUES (3, 999)")
+    val vp = spark.sql("CALL graft_test.system.compact_partial('tp', 0)")
+      .as[Int].head()
+    assert(new java.io.File(s"$path/v=$vp/_MANIFEST.tsv").exists(),
+      "compact_partial must carry untouched files by reference")
+    assert(Versioned.current(spark, path, "k").count() == 100)
+    assert(Versioned.currentPoint(spark, path, "k", 3L)
+      .select("x").as[Long].head() == 999L)
     // unknown procedure and missing-key refusals are loud
     val e = intercept[Exception] {
       spark.sql("CALL graft_test.system.nope('tp')").collect()
@@ -353,26 +364,41 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +
       "over the head checkpoint (one commit each); key-changing " +
-      "UPDATE retires the old key; refused without a checkpoint") {
+      "UPDATE retires the old key; a non-checkpoint head is auto-" +
+      "maintained at delta cost") {
     spark.sql("CREATE TABLE graft_test.t6 (k BIGINT, s STRING, x BIGINT) " +
       "TBLPROPERTIES ('key' = 'k')")
     val path = s"$wh/t6"
     spark.sql("INSERT INTO graft_test.t6 " +
       "SELECT id, concat('s', id), id * 2 FROM range(10)")
-    // UPDATE before any checkpoint → loud refusal naming the fix
-    val e = intercept[Exception] {
-      spark.sql("UPDATE graft_test.t6 SET x = 0 WHERE k = 1")
-    }
-    assert(e.getMessage.contains("compact"), e.getMessage)
-    spark.sql("CALL graft_test.system.compact('t6')")
+    // UPDATE at a NON-checkpoint head: the checkpoint is auto-
+    // maintained (first ever → full fold), then the DML lands as the
+    // next commit — exactly checkpoint + delta, no manual CALL
+    val vRaw = Versioned.latestVersion(spark, path)
     spark.sql("UPDATE graft_test.t6 SET x = x + 100 WHERE k < 2")
+    assert(Versioned.latestVersion(spark, path) == vRaw + 2,
+      "expected auto-checkpoint + DML delta")
+    assert(Versioned.versions(spark, path).contains(vRaw + 1))
     val cur = Versioned.current(spark, path, "k")
     assert(cur.filter(col("k") < 2).select("x")
       .as[Long].collect().toSet == Set(100L, 102L))
     assert(cur.count() == 10)
+    // DML at a dirty head over a MULTI-FILE clustered checkpoint: the
+    // auto-maintenance folds ONLY the delta — untouched checkpoint
+    // files carry by reference (manifest), never rewrite
+    spark.sql("CALL graft_test.system.compact_sized('t6', 4)")
+    spark.sql("INSERT INTO graft_test.t6 VALUES (9, 's9b', 1)") // dirty
+    spark.sql("UPDATE graft_test.t6 SET x = 0 WHERE k = 9")
+    val vAuto = Versioned.latestVersion(spark, path) - 1
+    assert(new java.io.File(s"$path/v=$vAuto/_MANIFEST.tsv").exists(),
+      "the dirty-head DML's auto-checkpoint must fold incrementally " +
+        "(carry untouched files by reference)")
+    assert(Versioned.current(spark, path, "k")
+      .filter(col("k") === 9).select("x").as[Long].head() == 0L)
+    assert(Versioned.current(spark, path, "k").count() == 10)
     // MERGE: update + delete + insert in ONE statement = ONE commit
-    spark.sql("CALL graft_test.system.compact('t6')")
-    val vBefore = Versioned.latestVersion(spark, path)
+    // (head is already a checkpoint+delta; let MERGE auto-fold it)
+    val vBefore = Versioned.latestVersion(spark, path) + 1 // auto ckpt
     Seq((0L, "u"), (5L, "d"), (100L, "i")).toDF("k", "tag")
       .createOrReplaceTempView("t6src")
     spark.sql(
@@ -398,14 +424,12 @@ class GraftCatalogSpec extends SparkSpec {
          |WHERE rk = 1 AND NOT __deleted""".stripMargin)
       .as[Long].head() == 10)
     // a DELETE the metadata path can't translate (modulo) takes the
-    // row-level path
-    spark.sql("CALL graft_test.system.compact('t6')")
+    // row-level path — at a dirty head, auto-folding like any DML
     spark.sql("DELETE FROM graft_test.t6 WHERE k % 2 = 1")
     val c3 = Versioned.current(spark, path, "k")
     assert(c3.filter(col("k") % 2 === 1).count() == 0)
     assert(c3.count() == 6) // of {0,1,2,3,4,6,7,8,9,100}: odd {1,3,7,9} die
     // key-changing UPDATE: tombstone(old key) + row(new key)
-    spark.sql("CALL graft_test.system.compact('t6')")
     spark.sql("UPDATE graft_test.t6 SET k = 1000 WHERE k = 2")
     val c4 = Versioned.current(spark, path, "k")
     assert(c4.filter(col("k") === 2).count() == 0)
@@ -575,6 +599,10 @@ class GraftCatalogSpec extends SparkSpec {
     // publishes nothing
     val vPre = Versioned.latestVersion(spark, path)
     val inDir = "target/tmp/cat-check-stream-in"
+    // a stale checkpoint from a previous run would replay its epochs
+    // against the freshly recreated table — reset them together
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/cat-check-stream-ckpt"))
     Seq((100L, -3L)).toDF("k", "x")
       .write.mode("overwrite").parquet(inDir)
     val q = spark.readStream.schema(spark.read.parquet(inDir).schema)

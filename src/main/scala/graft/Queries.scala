@@ -2319,6 +2319,60 @@ object Queries {
       |SELECT doc_id, lang, n_chars FROM r
       |WHERE n_chars BETWEEN 500 AND 1500 ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL compaction certified byte-for-byte (r12 —
+    * [[graft.io.Versioned.compactIncremental]]): the demo log takes an
+    * 8-file key-clustered checkpoint, then two NARROW-BAND deltas
+    * (upsert doc_id <= 60, delete 61..70), then the incremental fold —
+    * which must CARRY the untouched files by manifest reference
+    * (required in-fixture) and rewrite only the dirty band. The read
+    * resolves off the incremental checkpoint alone (it is the newest
+    * base), so the DuckDB oracle replaying the whole log hash-checks
+    * BOTH halves of the fold: a row lost from a carried reference or
+    * doubled into the rewritten part mismatches. */
+  def tableCompactPartial(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = "target/tmp/vtable-incc-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(path, {
+      Versioned.drop(spark, path)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(null).cast("string").as("source"))
+      Versioned.append(docs, path)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000), path)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), path)
+      Versioned.compact(spark, path, "doc_id", nFiles = 8)
+      Versioned.append(docs.filter(col("doc_id") <= 60)
+        .withColumn("n_chars", col("n_chars") + 77)
+        .withColumn("source", lit("p")), path)
+      Versioned.delete(docs.filter(col("doc_id").between(61, 70))
+        .select("doc_id"), path)
+      val v = Versioned.compactIncremental(spark, path, "doc_id")
+      require(new java.io.File(s"$path/v=$v/_MANIFEST.tsv").exists(),
+        "incremental checkpoint must carry untouched files by reference")
+      ()
+    })
+    Versioned.current(spark, path, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableCompactPartialSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CASE WHEN doc_id <= 60 THEN n_chars + 77
+      |            WHEN doc_id % 5 = 0 THEN n_chars + 1000
+      |            ELSE n_chars END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id <= 60 THEN 'p' ELSE 'unknown' END AS source
+      |FROM documents
+      |WHERE (doc_id % 7 <> 0 OR doc_id <= 60)
+      |  AND doc_id NOT BETWEEN 61 AND 70
+      |ORDER BY doc_id""".stripMargin
+
   /** SCD Type-2 history of the versioned table ([[graft.io.Versioned
     * .history]]): every state each doc took across the demo log
     * (append, upsert, delete), with its validity interval. Shares the
@@ -2434,6 +2488,7 @@ object Queries {
     "q_table_prune" -> tablePrune _,
     "q_table_history" -> tableHistory _,
     "q_table_snapshot_range" -> tableSnapshotRange _,
+    "q_table_compact_partial" -> tableCompactPartial _,
     "q_table_point" -> tablePoint _,
     "q_table_restore" -> tableRestore _,
     "q_table_rename" -> tableRename _,
@@ -2502,6 +2557,7 @@ object Queries {
     "q_table_prune" -> tablePruneSql,
     "q_table_history" -> tableHistorySql,
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
+    "q_table_compact_partial" -> tableCompactPartialSql,
     "q_table_point" -> tablePointSql,
     "q_table_restore" -> tableRestoreSql,
     "q_table_rename" -> tableRenameSql,

@@ -265,17 +265,17 @@ object Search {
       .partitionBy("tb").parquet(s"${idx.path}/post/gen=$g")
     liveDocs(spark, f, idx.path)
       .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
-    val st = liveDocs(spark, f, idx.path)
-      .agg(count(lit(1)).as("n"), coalesce(sum("dlen"), lit(0L)).as("s"))
-      .head()
+    // the new base's stats ARE the marker-delta sums over the read set
+    // (base absolute, seg +, del − with only LIVE victims counted) —
+    // the invariant the markers exist to provide; no third docs scan
+    val ms = liveMetas(spark, f, idx.path).filter(_.gen < g)
+    val (n, s) = (ms.map(_.a).sum, ms.map(_.b).sum)
     // record the max folded streaming batch id PER INGEST on the base,
     // so the exactly-once appendBatch guard survives vacuum reclaiming
     // the folded per-batch seg@<id> markers without ever crossing
     // ingest scopes (fresh checkpoints restart batch ids at 0)
-    val watermarks = GenLog.foldedBatchMaxes(
-      liveMetas(spark, f, idx.path).filter(_.gen < g))
-    GenLog.publish(spark, f, idx.path, g, KindBase, st.getLong(0),
-      st.getLong(1), idx.nBuckets,
+    val watermarks = GenLog.foldedBatchMaxes(ms)
+    GenLog.publish(spark, f, idx.path, g, KindBase, n, s, idx.nBuckets,
       fold = watermarks.getOrElse("", -1L), folds = watermarks - "")
     idx
   }

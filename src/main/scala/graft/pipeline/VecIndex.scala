@@ -604,7 +604,11 @@ object VecIndex {
       val probes = q.select(col("qid"), col("qb"),
         explode(Similarity.nearestCids(col("qvec"), cb, nProbe)).as("cid"))
       // bounded collect: distinct probed cids <= C (codebook contract);
-      // their cb values become literal partition filters on BOTH reads
+      // their cb values become literal partition filters on BOTH reads.
+      // This runs ONE Spark job PER CODEBOOK-VERSION GROUP — exactly 1
+      // outside a retrain roll, 2 mid-roll (old + new cbv coexist
+      // until the next compact folds them), never more: reencode
+      // unifies versions and compact refuses mixed ones.
       val probedCids = probes.select("cid").distinct()
         .collect().map(_.getLong(0))
       val buckets = probedCids

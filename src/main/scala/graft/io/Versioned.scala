@@ -1889,11 +1889,14 @@ object Versioned {
         readFilesAligned(spark, path, sliceVs, foldFiles), keyCol,
         hasMerges)
       .drop(VersionCol, SeqCol, MergeCol, CkptCol)
-    val sized =
-      if (nFiles > 0)
-        resolved.repartitionByRange(nFiles, col(keyCol))
-          .sortWithinPartitions(keyCol)
-      else resolved
+    // the rewritten part is key-clustered BY DEFAULT, sized like the
+    // files it replaces: repeated incremental folds must keep each
+    // file's key zone tight (that selectivity is what lets the NEXT
+    // fold carry most files, and what point/range/DPP pruning feed
+    // on) — an unclustered rewrite would decay the layout per fold
+    val outFiles = if (nFiles > 0) nFiles else math.max(rewrite.size, 1)
+    val sized = resolved.repartitionByRange(outFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
     // carried entries stay addressed at their CURRENT home (a chain of
     // incremental checkpoints references each file where it lives, so
     // no transitive manifest walk exists)

@@ -918,11 +918,16 @@ class VersionedSpec extends SparkSpec {
     assert(spark.read.format("graft").load(p).count()
       == spark.read.format("graft").load(pFull).count())
     // CHAINED incremental: another delta, another incremental fold —
-    // references stay addressed at their live home (v=2)
+    // v=2's clean files stay addressed at their live home, and the
+    // FIRST fold's rewritten files (key-clustered with tight zones by
+    // default) are themselves carriable when the new delta misses them
     Versioned.append(Seq((100L, 0L)).toDF("k", "x"), p)
     val vi2 = Versioned.compactIncremental(spark, p, "k")
     val m2 = manifest(vi2)
-    assert(m2.nonEmpty && m2.forall(_.startsWith("v=2/")), m2.toString)
+    assert(m2.count(_.startsWith("v=2/")) >= 6, m2.toString)
+    assert(m2.exists(_.startsWith(s"v=$vi/")),
+      "the prior fold's clustered rewrite should carry when untouched: " +
+        m2.toString)
     val want2 = want + (100L -> 0L)
     assert(curMap(p) == want2)
     // vacuum reclaims everything below the newest checkpoint and
@@ -1037,6 +1042,23 @@ class VersionedSpec extends SparkSpec {
       Seq("quality"), nFiles = 2)
     assert(vq == 5)
     assert(Versioned.current(spark, p, "k").count() == 401L)
+    // incremental compaction on the MAPPED table: logical key for the
+    // resolve, PHYSICAL name against the zone maps, carries intact
+    Versioned.compact(spark, p, "k", nFiles = 4)          // v6
+    Versioned.append(Seq((3L, 999L, 0L))
+      .toDF("k", "quality", "grp"), p)                    // v7 (band)
+    val vInc = Versioned.compactIncremental(spark, p, "k")
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$p/v=$vInc/_MANIFEST.tsv")),
+      "mapped-table incremental fold must still carry by reference")
+    val cur2 = Versioned.current(spark, p, "k")
+    assert(cur2.count() == 401L)
+    assert(cur2.filter(col("k") === 3L).select("quality")
+      .as[Long].head() == 999L)
+    assert(cur2.filter(col("k") === 300L).select("quality")
+      .as[Long].head() == (300L * 37) % 400)
   }
 
   test("row-level DML scan refuses column-mapped tables up front " +

@@ -137,11 +137,24 @@ private[sources] object GraftChecks {
     val df = spark.read
       .parquet(keep.toSeq.sorted.map(n => s"$staging/$n"): _*)
       .filter(!col(Versioned.DeletedCol))
-    val aggs = checks.map { case (name, e) =>
+    // a DELETE-only staged commit carries the key + tombstone columns
+    // ONLY — a constraint referencing absent columns can face nothing
+    // but (exempt) tombstones there, because live rows always carry
+    // the operation's full row schema. Skip those instead of failing
+    // the statement on an unresolvable column.
+    val present = df.columns.map(_.toLowerCase).toSet
+    val applicable = checks.filter { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase
+      }.forall(present.contains(_))
+    }
+    if (applicable.isEmpty) return
+    val aggs = applicable.map { case (name, e) =>
       sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(name)
     }
     val counts = df.agg(aggs.head, aggs.tail: _*).head()
-    val violated = checks.map(_._1).zipWithIndex
+    val violated = applicable.map(_._1).zipWithIndex
       .map { case (name, i) =>
         name -> (if (counts.isNullAt(i)) 0L else counts.getLong(i))
       }

@@ -616,6 +616,14 @@ class GraftCatalogSpec extends SparkSpec {
       Option(e3.getCause).exists(_.getMessage.contains("nonneg")),
       s"streaming violation must surface the constraint: $e3")
     assert(Versioned.latestVersion(spark, path) == vPre && stagingDirs() == 0)
+    // a ROW-LEVEL delete (non-translatable predicate) stages ONLY
+    // tombstones — whose files may lack the constraint's columns
+    // entirely; the check must not wrongly refuse the DELETE
+    val nBefore = Versioned.current(spark, path, "k").count()
+    spark.sql("DELETE FROM graft_test.t9 WHERE k % 2 = 1")
+    val after = Versioned.current(spark, path, "k")
+    assert(after.filter(col("k") % 2 === 1).count() == 0)
+    assert(after.count() < nBefore)
   }
 
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +

@@ -1808,7 +1808,17 @@ object Versioned {
    * already a checkpoint returns it unchanged (idempotent no-op).
    */
   def compactIncremental(spark: SparkSession, path: String,
-      keyCol: String, minFileBytes: Long = 0L, nFiles: Int = 0): Int = {
+      keyCol: String, minFileBytes: Long = 0L, nFiles: Int = 0): Int =
+    compactIncrementalAttempt(spark, path, keyCol, minFileBytes, nFiles,
+      attempt = 0)
+
+  private def compactIncrementalAttempt(spark: SparkSession, path: String,
+      keyCol: String, minFileBytes: Long, nFiles: Int,
+      attempt: Int): Int = {
+    require(attempt < 50, s"compactIncremental at $path lost the " +
+      "head+1 slot to a writer that has not published after " +
+      s"$attempt waits; wait for it (or let vacuum sweep a crashed " +
+      "writer's stale claim) and retry")
     val f = fs(spark, path)
     val head = latestVersion(spark, path)
     val ck = checkpoints(spark, path)
@@ -1826,10 +1836,13 @@ object Versioned {
       "and retry")
     val store = LogStore.forSession(spark)
     val v = head + 1
-    if (!claimSlot(store, f, path, v))
+    if (!claimSlot(store, f, path, v)) {
       // a writer claimed head+1 between our listing and the CAS —
-      // retry against the new head (bounded by the commit contract)
-      return compactIncremental(spark, path, keyCol, minFileBytes, nFiles)
+      // wait for its publish (bounded), then fold against the new head
+      Thread.sleep(200)
+      return compactIncrementalAttempt(spark, path, keyCol, minFileBytes,
+        nFiles, attempt + 1)
+    }
     val ckSet = ck.toSet
     val deltaVs = versions(spark, path)
       .filter(x => x > c && x <= head && !ckSet.contains(x))

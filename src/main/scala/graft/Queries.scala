@@ -2373,6 +2373,57 @@ object Queries {
       |  AND doc_id NOT BETWEEN 61 AND 70
       |ORDER BY doc_id""".stripMargin
 
+  /** SHALLOW CLONE certified byte-for-byte (r12 —
+    * [[graft.io.Versioned.cloneShallow]]): the demo log (append,
+    * upsert %5, delete %7) is cloned ZERO-COPY at its resolved head
+    * (auto-folded incrementally — the head is dirty at clone time),
+    * then the CLONE alone takes a further upsert (doc_id %11, +50,
+    * source 'c'). The read resolves the clone: its base rows come
+    * entirely from manifest-referenced SOURCE files, its delta from
+    * its own commit — the DuckDB oracle replaying both layers
+    * hash-checks that the reference layer lost nothing and the
+    * clone's writes never leaked into (or from) the source. */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"target/tmp/vtable-clonesrc-$tag"
+    val dst = s"target/tmp/vtable-clonedst-$tag"
+    fixtureBuilt.getOrElseUpdate(dst, {
+      Versioned.drop(spark, src)
+      Versioned.drop(spark, dst)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(null).cast("string").as("source"))
+      Versioned.append(docs, src)
+      Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000), src)
+      Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id"), src)
+      Versioned.cloneShallow(spark, src, dst, "doc_id")
+      // the clone's own delta; the source must never see it
+      Versioned.append(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("n_chars", col("n_chars") + 50)
+        .withColumn("source", lit("c")), dst)
+      ()
+    })
+    Versioned.current(spark, dst, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
+  val tableCloneSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN n_chars + 50
+      |            WHEN doc_id % 5 = 0 THEN n_chars + 1000
+      |            ELSE n_chars END AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'c' ELSE 'unknown' END AS source
+      |FROM documents
+      |WHERE doc_id % 7 <> 0 OR doc_id % 11 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** SCD Type-2 history of the versioned table ([[graft.io.Versioned
     * .history]]): every state each doc took across the demo log
     * (append, upsert, delete), with its validity interval. Shares the
@@ -2489,6 +2540,7 @@ object Queries {
     "q_table_history" -> tableHistory _,
     "q_table_snapshot_range" -> tableSnapshotRange _,
     "q_table_compact_partial" -> tableCompactPartial _,
+    "q_table_clone" -> tableClone _,
     "q_table_point" -> tablePoint _,
     "q_table_restore" -> tableRestore _,
     "q_table_rename" -> tableRename _,
@@ -2558,6 +2610,7 @@ object Queries {
     "q_table_history" -> tableHistorySql,
     "q_table_snapshot_range" -> tableSnapshotRangeSql,
     "q_table_compact_partial" -> tableCompactPartialSql,
+    "q_table_clone" -> tableCloneSql,
     "q_table_point" -> tablePointSql,
     "q_table_restore" -> tableRestoreSql,
     "q_table_rename" -> tableRenameSql,

@@ -106,12 +106,20 @@ object Versioned {
 
   /** Files an INCREMENTAL checkpoint carries BY REFERENCE from older
     * checkpoint dirs — table-root-relative paths (`v=<c>/<name>`),
-    * one per line. Invariant: only files of earlier CHECKPOINTS are
-    * ever carried, so carried rows always stamp `__ckpt = true` and
-    * the log view / streaming faces keep excluding them row-wise. */
+    * one per line; a SHALLOW CLONE's base checkpoint instead stores
+    * ABSOLUTE paths into its source table ([[cloneShallow]]).
+    * Invariant: only files of CHECKPOINTS are ever carried, so
+    * carried rows always stamp `__ckpt = true` and the log view /
+    * streaming faces keep excluding them row-wise. */
   private def readManifest(f: FileSystem, dir: Path): Seq[String] =
     readSmallText(f, new Path(dir, ManifestFile))
       .split('\n').filter(_.nonEmpty).toSeq
+
+  /** Resolve one manifest entry against the table root (absolute
+    * entries — cross-table clone references — pass through). */
+  private def refPath(path: String, rel: String): Path =
+    if (rel.startsWith("/") || rel.contains("://")) new Path(rel)
+    else new Path(path, rel)
 
   private def writeManifest(f: FileSystem, dir: Path,
       rels: Seq[String]): Unit = {
@@ -129,7 +137,7 @@ object Versioned {
     val dir = new Path(s"$path/v=$v")
     val own = f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    own ++ readManifest(f, dir).map(rel => new Path(path, rel))
+    own ++ readManifest(f, dir).map(refPath(path, _))
   }
 
   /** Per-file zone-map lookup across dirs (file → its parent dir's
@@ -1912,13 +1920,79 @@ object Versioned {
       .sortWithinPartitions(keyCol)
     // carried entries stay addressed at their CURRENT home (a chain of
     // incremental checkpoints references each file where it lives, so
-    // no transitive manifest walk exists)
-    val rels = carried.map(fp => s"${fp.getParent.getName}/${fp.getName}")
+    // no transitive manifest walk exists). A file outside this table's
+    // root — a shallow clone's source reference — stays ABSOLUTE.
+    val root = f.makeQualified(new Path(path))
+    val rels = carried.map(f.makeQualified).map { fp =>
+      if (fp.getParent != null && fp.getParent.getParent == root)
+        s"${fp.getParent.getName}/${fp.getName}"
+      else fp.toString
+    }
     commitAt(sized, path, v, checkpoint = true, merge = false,
       batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = rels)
       .getOrElse(sys.error(s"compactIncremental at $path lost claimed " +
         s"slot v=$v to an occupied dir — claims and versions diverged; " +
         "run vacuum and retry"))
+  }
+
+  /**
+   * SHALLOW CLONE (Delta `CLONE`'s zero-copy shape): create `dst` as a
+   * new table whose base checkpoint carries EVERY file of `src`'s
+   * resolved head BY REFERENCE (absolute manifest entries) — no data
+   * copied, constant-time regardless of table size. The clone is
+   * fully independent for WRITES: appends/DML/compaction land in
+   * `dst` only and never touch `src`; a full [[compact]] of the clone
+   * materializes its own bytes and cuts the dependency entirely.
+   * Mechanically it reuses the incremental-checkpoint manifest: the
+   * clone's base commit is numbered `v=<srcSnapshot>`, so carried
+   * rows' original `__v` stamps order correctly below every later
+   * clone commit, and the base reads as the clone's vacuum floor
+   * (history below it never existed here).
+   *
+   * The source snapshot is the head checkpoint, auto-maintained
+   * incrementally when the head is dirty — so cloning a hot table
+   * costs one delta fold, not a rewrite.
+   *
+   * CAVEAT (same contract as Delta's shallow clone): the clone
+   * references the source's files — vacuuming `src` past the
+   * clone-time checkpoint (or dropping it) strands the references;
+   * reads then fail loudly (missing files), never silently. Retain
+   * the source, or `compact` the clone first. Column-mapped and
+   * type-widened sources are refused (the clone would need the
+   * source's sidecar metadata to read them — copy those tables with
+   * CTAS instead).
+   */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      keyCol: String): Int = {
+    require(latestVersion(spark, dst) == 0,
+      s"cloneShallow: destination $dst already has committed versions")
+    require(mappingAt(spark, src, latestVersion(spark, src)).isEmpty,
+      s"cloneShallow: $src uses column mapping; clone via CTAS instead")
+    require(widenAt(spark, src, latestVersion(spark, src)).isEmpty,
+      s"cloneShallow: $src has widened columns; clone via CTAS instead")
+    val f = fs(spark, dst)
+    // the snapshot to reference must be self-contained: the head
+    // checkpoint (folded incrementally if the head is dirty)
+    val snapV = headCheckpointVersion(spark, src).getOrElse(
+      compactIncremental(spark, src, keyCol))
+    require(snapV > 1, s"cloneShallow: source snapshot v=$snapV is " +
+      "degenerate (first commit cannot be a checkpoint)")
+    val srcFs = fs(spark, src)
+    val refs = filesOf(srcFs, src, snapV)
+      .map(srcFs.makeQualified).map(_.toString)
+    // schema-fixing empty frame (commit stamps fresh meta columns);
+    // the base version NUMBER is the source snapshot's, so carried
+    // __v values sit at-or-below it and later clone commits outrank
+    val empty = readDirs(spark, src, Seq(snapV))
+      .filter(lit(false))
+      .drop(VersionCol, SeqCol, MergeCol, CkptCol, DeletedCol)
+    val store = LogStore.forSession(spark)
+    require(claimSlot(store, f, dst, snapV),
+      s"cloneShallow: destination slot v=$snapV at $dst is claimed")
+    commitAt(empty, dst, snapV, checkpoint = true, merge = false,
+      batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = refs)
+      .getOrElse(sys.error(s"cloneShallow at $dst lost claimed slot " +
+        s"v=$snapV to an occupied dir"))
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -2234,7 +2308,7 @@ object Versioned {
       .groupBy(_._1).map { case (rel, xs) => rel -> xs.map(_._2).min }
     // move files + carry their stats/bloom lines
     dest.toSeq.sortBy(_._2).foreach { case (rel, v) =>
-      val src = new Path(path, rel)
+      val src = refPath(path, rel)
       val name = src.getName
       val dstDir = new Path(s"$path/v=$v")
       val dst = new Path(dstDir, name)
@@ -2277,7 +2351,7 @@ object Versioned {
             case None => Some(rel)
             case Some(owner) if owner == v => None
             case Some(owner) =>
-              Some(s"v=$owner/${new Path(path, rel).getName}")
+              Some(s"v=$owner/${refPath(path, rel).getName}")
           }
         }
         val dir = new Path(s"$path/v=$v")

@@ -310,6 +310,26 @@ private[sources] object GraftProcedures {
         }
         oneVersion(got.length)
       }),
+    new Proc("clone",
+      "SHALLOW CLONE (zero-copy): create <table> as a new table whose " +
+        "base checkpoint references every file of <source>'s resolved " +
+        "head (auto-folded incrementally if dirty) — no data copied; " +
+        "table properties (key, checks) copy over. Writes to the clone " +
+        "never touch the source; CALL compact on the clone materializes " +
+        "its own bytes. Caveat (Delta's shallow-clone contract): " +
+        "vacuuming/dropping the source past the clone-time checkpoint " +
+        "strands the references (reads fail loudly)",
+      Seq(in("table", StringType), in("source", StringType)), versionOut,
+      (cat, row) => {
+        val parts = str(row, 0, "table").split('.')
+        val dstPath = cat.pathForName(Identifier.of(parts.init, parts.last))
+        val sp = str(row, 1, "source").split('.')
+        val srcPath = cat.resolveTablePath(Identifier.of(sp.init, sp.last))
+        val v = Versioned.cloneShallow(spark, srcPath, dstPath,
+          keyOf(cat, srcPath))
+        cat.setProps(dstPath, cat.propsOf(srcPath))
+        oneVersion(v)
+      }),
     new Proc("compact_partial",
       "INCREMENTAL merge-on-read checkpoint: fold only the delta since " +
         "the last checkpoint, carrying untouched checkpoint files by " +

@@ -949,6 +949,49 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.compactIncremental(spark, p, "k") == vAll)
   }
 
+  test("cloneShallow: zero-copy clone references the source's resolved " +
+      "head; writes are independent both ways; compact cuts the " +
+      "dependency; a vacuumed-away source fails the clone loudly") {
+    val src = freshPath("clone-src")
+    val c1 = freshPath("clone-dst1")
+    val c2 = freshPath("clone-dst2")
+    Versioned.append((1L to 200L).map(i => (i, i * 2)).toDF("k", "x"), src)
+    Versioned.append(Seq((5L, 999L)).toDF("k", "x"), src) // upsert
+    Versioned.delete(Seq(Tuple1(7L)).toDF("k"), src)
+    Versioned.compact(spark, src, "k", nFiles = 4)        // v4
+    Versioned.append(Seq((9L, 0L)).toDF("k", "x"), src)   // dirty head
+    val v = Versioned.cloneShallow(spark, src, c1, "k")
+    // the clone's base = the source's auto-folded head checkpoint
+    assert(v == 6 && Versioned.versions(spark, c1) == Seq(6))
+    def cur(t: String) = Versioned.current(spark, t, "k")
+      .select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cur(src)
+    assert(cur(c1) == want && want(9L) == 0L && !want.contains(7L))
+    // zero-copy: the clone's own dir holds no data bytes (one empty
+    // schema-fixing part), everything rides the manifest
+    val ownBytes = new java.io.File(s"$c1/v=6").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(ownBytes < 10000, s"clone copied data: $ownBytes bytes")
+    assert(new java.io.File(s"$c1/v=6/_MANIFEST.tsv").exists())
+    // write independence, both directions
+    Versioned.append(Seq((1L, -1L)).toDF("k", "x"), c1)
+    assert(cur(c1)(1L) == -1L && cur(src)(1L) == 2L)
+    Versioned.append(Seq((2L, -2L)).toDF("k", "x"), src)
+    assert(cur(src)(2L) == -2L && cur(c1)(2L) == 4L)
+    // a second clone, then make it SELF-CONTAINED via compact
+    Versioned.cloneShallow(spark, src, c2, "k")
+    Versioned.compact(spark, c2, "k")
+    Versioned.vacuum(spark, c2, 0)
+    val wantC2 = cur(c2)
+    // now strand clone1: the source compacts and vacuums its old
+    // checkpoint away — clone1 must fail LOUDLY, clone2 is unaffected
+    Versioned.compact(spark, src, "k")
+    Versioned.vacuum(spark, src, 0)
+    intercept[Exception] { cur(c1) }
+    assert(cur(c2) == wantC2)
+  }
+
   test("OCC conflict-domain narrowing: a commit below a pending DML " +
       "with provably DISJOINT key ranges publishes both; overlapping " +
       "ranges (or no key to narrow on) abort retryable") {

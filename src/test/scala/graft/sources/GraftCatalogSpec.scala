@@ -171,6 +171,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.current(spark, path, "k").count() == 100)
     assert(Versioned.currentPoint(spark, path, "k", 3L)
       .select("x").as[Long].head() == 999L)
+    // shallow clone from SQL: zero-copy, properties copy over, writes
+    // independent, the clone is immediately DML-capable
+    spark.sql("CALL graft_test.system.clone('tpc', 'tp')")
+    def resolve(t: String) = spark.sql(
+      s"""SELECT k, x FROM (
+         |  SELECT k, x, __deleted, row_number() OVER (PARTITION BY k
+         |    ORDER BY __v DESC, __seq DESC) AS rk FROM graft_test.$t)
+         |WHERE rk = 1 AND NOT __deleted""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    assert(resolve("tpc") == resolve("tp"))
+    spark.sql("INSERT INTO graft_test.tpc VALUES (3, -3)")
+    assert(resolve("tpc")(3L) == -3L && resolve("tp")(3L) == 999L)
+    spark.sql("DELETE FROM graft_test.tpc WHERE k = 4") // key prop copied
+    assert(!resolve("tpc").contains(4L) && resolve("tp").contains(4L))
     // unknown procedure and missing-key refusals are loud
     val e = intercept[Exception] {
       spark.sql("CALL graft_test.system.nope('tp')").collect()

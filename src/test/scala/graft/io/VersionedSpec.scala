@@ -949,6 +949,53 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.compactIncremental(spark, p, "k") == vAll)
   }
 
+  test("vacuum materialization, multi-referrer: two RETAINED " +
+      "incremental checkpoints referencing the same doomed file — the " +
+      "file moves into the lowest referrer, the higher one re-points, " +
+      "reads exact at every retained version") {
+    val p = freshPath("incvacmulti")
+    Versioned.append((1L to 400L).map(i => (i, i)).toDF("k", "x"), p) // v1
+    Versioned.compact(spark, p, "k", nFiles = 8)                     // v2
+    // two rounds of narrow-band deltas + incremental folds: ckpt v4
+    // and ckpt v6 BOTH carry v=2's untouched files
+    Versioned.append(Seq((5L, -5L)).toDF("k", "x"), p)               // v3
+    val ck1 = Versioned.compactIncremental(spark, p, "k")            // v4
+    Versioned.append(Seq((355L, -355L)).toDF("k", "x"), p)           // v5
+    val ck2 = Versioned.compactIncremental(spark, p, "k")            // v6
+    def manifest(v: Int): Seq[String] = {
+      val f = new java.io.File(s"$p/v=$v/_MANIFEST.tsv")
+      if (!f.exists()) Nil
+      else { val s = scala.io.Source.fromFile(f)
+        try s.getLines().filter(_.nonEmpty).toList finally s.close() }
+    }
+    val shared = manifest(ck1).toSet.intersect(manifest(ck2).toSet)
+      .filter(_.startsWith("v=2/"))
+    assert(shared.nonEmpty, s"fixture must create a shared v=2 " +
+      s"reference: ${manifest(ck1)} vs ${manifest(ck2)}")
+    def cur() = Versioned.current(spark, p, "k").select("k", "x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cur()
+    // horizon keeps BOTH checkpoints retained while v1..v3 (and v5)
+    // below the base are reclaimed: base = ck1 (v4), doomed = {1,2,3}
+    val reclaimed = Versioned.vacuum(spark, p, 2)
+    assert(reclaimed == Seq(1, 2, 3), s"got $reclaimed")
+    // the shared files moved into ck1 (lowest referrer) and ck2's
+    // manifest re-points there — no dangling entries anywhere
+    assert(manifest(ck1).forall(!_.startsWith("v=2/")))
+    assert(manifest(ck2).forall(!_.startsWith("v=2/")))
+    assert(manifest(ck2).exists(_.startsWith(s"v=$ck1/")),
+      s"higher referrer must re-point at the moved home: ${manifest(ck2)}")
+    // reads exact at the head AND at the intermediate retained slice
+    // (v5 resolves off base ck1 + the v5 delta — same state as head)
+    assert(cur() == want)
+    assert(Versioned.currentAsOf(spark, p, "k", 5)
+      .select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // point lookup through a materialized (moved) file's carried stats
+    assert(Versioned.currentPoint(spark, p, "k", 200L)
+      .select("x").as[Long].head() == 200L)
+  }
+
   test("cloneShallow: zero-copy clone references the source's resolved " +
       "head; writes are independent both ways; compact cuts the " +
       "dependency; a vacuumed-away source fails the clone loudly") {

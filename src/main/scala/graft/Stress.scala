@@ -24,7 +24,7 @@ object Stress {
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
-      "dppscan", "inccompact")
+      "dppscan", "inccompact", "lakeloop")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -72,6 +72,11 @@ object Stress {
       val nr = numArgs.headOption.map(_.toLong).getOrElse(10000000L)
       val nd = if (numArgs.length > 1) numArgs(1).toInt else 8
       incCompactStress(spark, nr, nd, cpus.toInt); return
+    }
+    if (mode == "lakeloop") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
+      val nc = if (numArgs.length > 1) numArgs(1).toInt else 8
+      lakeLoopStress(spark, nr, nc, cpus.toInt); return
     }
     if (mode == "kmeans") { kmeansStress(spark, nRows, cpus.toInt); return }
     if (mode == "pq") { pqStress(spark, nRows, cpus.toInt); return }
@@ -582,6 +587,92 @@ object Stress {
       s""""incremental_sec":$tInc,"full_sec":$tFull,""" +
       s""""carried_files":$man,"rewritten_files":$rewrote,""" +
       s""""resolve_check_sec":$tResInc}""")
+    spark.stop()
+  }
+
+  /** The LAKEHOUSE RHYTHM end-to-end: `lakeloop <baseRows> [<cycles>]`
+    * (default 5M × 8) — the continuous-ingest + periodic-MERGE loop
+    * the r11 verdict named as the day-one scale killer under the old
+    * checkpoint-head prerequisite. Each cycle: (1) a plain INSERT of
+    * new keys lands through the SQL catalog (dirty head), then (2) a
+    * MERGE INTO (matched-update + not-matched-insert over a disjoint
+    * key band) runs AT THAT DIRTY HEAD — auto-folding its snapshot
+    * incrementally; every third cycle vacuums. The claims under test:
+    * per-cycle MERGE wall-clock stays ~FLAT as the table grows (cost
+    * tracks the delta + dirty files, not table size — pre-r12 each
+    * cycle would pay a full-table compact), and the final resolved
+    * state matches the closed form exactly (disjoint bands → x = k +
+    * 1000 for merged keys, x = k elsewhere, inserted keys x = -k). */
+  private def lakeLoopStress(spark: SparkSession, baseRows: Long,
+      cycles: Int, cpus: Int): Unit = {
+    val wh = "target/tmp/stress-lake-wh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
+    spark.sql("CREATE TABLE graft_lake.t (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val t0 = System.nanoTime()
+    spark.range(baseRows).selectExpr("id AS k", "id AS x")
+      .repartition(cpus).createOrReplaceTempView("lake_base")
+    spark.sql("INSERT INTO graft_lake.t SELECT k, x FROM lake_base")
+    spark.sql("CALL graft_lake.system.compact_sized('t', 64)")
+    val tLoad = (System.nanoTime() - t0) / 1e9
+    val insertW = 100000L // new keys per cycle
+    val bandW = 100000L   // merged band per cycle (disjoint across)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val mergeSecs = (0 until cycles).map { c =>
+      val newLo = baseRows + c * insertW
+      val tIns = timed {
+        spark.sql(s"INSERT INTO graft_lake.t SELECT id, id FROM " +
+          s"range($newLo, ${newLo + insertW})")
+      }
+      val bandLo = c * bandW
+      // matched bands update base keys; half the not-matched side
+      // inserts brand-new far keys
+      val tMrg = timed {
+        spark.sql(
+          s"""MERGE INTO graft_lake.t t USING (
+             |  SELECT id AS k FROM range($bandLo, ${bandLo + bandW})
+             |  UNION ALL
+             |  SELECT id FROM range(${900000000L + c * insertW},
+             |    ${900000000L + c * insertW + insertW / 2})) s
+             |ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET x = t.x + 1000
+             |WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, -s.k)
+             |""".stripMargin)
+      }
+      val tVac = if (c % 3 == 2) timed {
+        spark.sql("CALL graft_lake.system.vacuum('t', 4)"); ()
+      } else 0.0
+      println(f"[lakeloop] cycle $c insert $tIns%.1fs merge $tMrg%.1fs" +
+        (if (tVac > 0) f" vacuum $tVac%.1fs" else ""))
+      tMrg
+    }
+    // closed-form final state: every cycle's band is disjoint
+    val r = graft.io.Versioned.current(spark, s"$wh/t", "k")
+      .agg(count(lit(1)).as("n"), sum("x").as("s")).head()
+    val nNew = cycles * insertW
+    val nIns = cycles * (insertW / 2)
+    val wantN = baseRows + nNew + nIns
+    def sumRange(lo: Long, hi: Long) = (lo + hi - 1) * (hi - lo) / 2
+    val wantS = sumRange(0, baseRows + nNew) +
+      1000L * cycles * bandW +
+      (0 until cycles).map(c => -sumRange(900000000L + c * insertW,
+        900000000L + c * insertW + insertW / 2)).sum
+    require(r.getLong(0) == wantN && r.getLong(1) == wantS,
+      s"lakeloop state diverged: n=${r.getLong(0)} (want $wantN) " +
+        s"s=${r.getLong(1)} (want $wantS)")
+    // the scale claim: MERGE cost must not grow with table size
+    require(mergeSecs.last < mergeSecs.head * 3,
+      f"MERGE cost grew with the table: first ${mergeSecs.head}%.1fs " +
+        f"-> last ${mergeSecs.last}%.1fs")
+    println(s"""{"metric":"stress_lakeloop","base_rows":$baseRows,""" +
+      s""""cycles":$cycles,"load_sec":$tLoad,""" +
+      s""""merge_secs":[${mergeSecs.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""final_rows":$wantN}""")
     spark.stop()
   }
 

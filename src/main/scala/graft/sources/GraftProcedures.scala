@@ -294,6 +294,29 @@ private[sources] object GraftProcedures {
         }
         Array(InternalRow(ids.length))
       }),
+    new Proc("index_detail",
+      "DESCRIBE-DETAIL for an at-rest generation-log index (text or " +
+        "vector — the log format is shared): one row per committed " +
+        "generation with its kind (base/seg/del, streaming batch tag " +
+        "included), stats deltas, layout constant, and codebook " +
+        "version. Pure marker metadata, no data scan",
+      Seq(in("index_path", StringType)),
+      StructType(Seq(
+        StructField("gen", IntegerType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false),
+        StructField("n", IntegerType, nullable = false),
+        StructField("cbv", IntegerType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val f = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.io.GenLog.metas(spark, f, p).map(m =>
+          InternalRow(m.gen,
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.kind),
+            m.a, m.b, m.n, m.cbv)).toArray
+      }),
     new Proc("index_vacuum",
       "reclaim an at-rest index's generations below its newest base " +
         "plus stale claims (path-addressed; kind = 'search' | " +

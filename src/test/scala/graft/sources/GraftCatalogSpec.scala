@@ -374,6 +374,18 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL graft_test.system.index_delete('$vp', 'nope', '1')") }
     intercept[Exception] { spark.sql(
       s"CALL graft_test.system.index_delete('$vp', 'vector', '')") }
+    // index_detail: pure-metadata observability over the gen log —
+    // matches GenLog.metas exactly (the delete above is the last gen)
+    val det = spark.sql(
+      s"CALL graft_test.system.index_detail('$vp')")
+      .as[(Int, String, Long, Long, Int, Int)].collect().toSeq
+    val fsys = new org.apache.hadoop.fs.Path(vp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wantDet = graft.io.GenLog.metas(spark, fsys, vp)
+      .map(m => (m.gen, m.kind, m.a, m.b, m.n, m.cbv))
+    assert(det == wantDet && det.nonEmpty)
+    assert(det.last._2 == "del" && det.last._3 == -2L,
+      s"last gen should be the 2-id tombstone: ${det.last}")
   }
 
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +

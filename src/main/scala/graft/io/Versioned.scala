@@ -1615,9 +1615,12 @@ object Versioned {
 
   /**
    * Maintenance op: write a per-FILE Bloom filter over `keyCol` into
-   * every committed version dir that lacks one (idempotent — dirs
-   * already indexed are skipped; a post-compact run picks up the new
-   * checkpoint dir). Zone maps prune point lookups only when ingest
+   * every committed version dir that lacks one (idempotent at FILE
+   * granularity: a dir re-indexes only the files its `_BLOOM.tsv`
+   * does not cover — so a post-compact run picks up the new
+   * checkpoint dir, and a post-vacuum run heals files materialized
+   * into an already-indexed dir from an unindexed home). Zone maps
+   * prune point lookups only when ingest
    * is key-clustered; on an UNCLUSTERED high-cardinality key every
    * file's [min,max] spans the lookup and nothing is skipped — the
    * per-file Bloom is the index that makes `currentAsOfPoint` open
@@ -1641,10 +1644,13 @@ object Versioned {
     versions(spark, path).foreach { v =>
       val dir = new Path(s"$path/v=$v")
       val bp = new Path(dir, BloomFile)
-      if (!f.exists(bp)) {
-        val parts = f.listStatus(dir).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-        if (parts.nonEmpty) {
+      val existingLines = readSmallText(f, bp)
+        .split('\n').filter(_.nonEmpty).toSeq
+      val covered = existingLines.map(_.takeWhile(_ != '\t')).toSet
+      val parts0 = f.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val parts = parts0.filterNot(p => covered(p.getName))
+      if (parts.nonEmpty) {
           val widen = widenAt(spark, path, latestVersion(spark, path))
           val partRead =
             if (widen.isEmpty)
@@ -1682,9 +1688,13 @@ object Versioned {
               s"$name\t$keyCol\t$mBits\t$kHashes\t$packed"
             }
           }.sorted
-          store.writeAtomic(f, bp, lines.mkString("", "\n", "\n"))
+          // merge with lines already covering other files; a re-publish
+          // drops the old file first — the torn window shows NO index
+          // (no pruning), never a half-written one
+          val merged = (existingLines ++ lines).mkString("", "\n", "\n")
+          if (existingLines.nonEmpty) store.delete(f, bp)
+          store.writeAtomic(f, bp, merged)
           indexed += 1
-        }
       }
     }
     indexed

@@ -996,6 +996,46 @@ class VersionedSpec extends SparkSpec {
       .select("x").as[Long].head() == 200L)
   }
 
+  test("bloomIndex is file-granular: files materialized into an " +
+      "already-indexed dir from an unindexed home get their filters " +
+      "on the next run; existing lines survive the merge") {
+    val p = freshPath("bloomheal")
+    Versioned.append((1L to 400L).map(i => (i, i)).toDF("k", "x"), p) // v1
+    Versioned.compact(spark, p, "k", nFiles = 4)                     // v2
+    Versioned.append(Seq((5L, -5L)).toDF("k", "x"), p)               // v3
+    val ck = Versioned.compactIncremental(spark, p, "k")             // v4
+    assert(Versioned.bloomIndex(spark, p, "k") > 0)
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an unindexed home: drop v2's bloom, then vacuum —
+    // carried files materialize into v4 WITHOUT bloom lines
+    f.delete(new org.apache.hadoop.fs.Path(s"$p/v=2/_BLOOM.tsv"), false)
+    Versioned.vacuum(spark, p, 0)
+    def bloomNames(v: Int): Set[String] = {
+      val bp = new java.io.File(s"$p/v=$v/_BLOOM.tsv")
+      if (!bp.exists()) Set.empty
+      else { val s = scala.io.Source.fromFile(bp)
+        try s.getLines().filter(_.nonEmpty)
+          .map(_.takeWhile(_ != '\t')).toSet finally s.close() }
+    }
+    def ownNames(v: Int): Set[String] =
+      new java.io.File(s"$p/v=$v").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(bloomNames(ck) != ownNames(ck),
+      "fixture must leave materialized files uncovered")
+    // pre-r12b a dir with ANY _BLOOM.tsv was skipped forever; the
+    // file-granular pass heals exactly the uncovered files
+    assert(Versioned.bloomIndex(spark, p, "k") > 0)
+    assert(bloomNames(ck) == ownNames(ck),
+      s"heal must cover every own file: ${bloomNames(ck)} vs ${ownNames(ck)}")
+    // lookups stay exact through the healed filters
+    assert(Versioned.currentPoint(spark, p, "k", 5L)
+      .select("x").as[Long].head() == -5L)
+    assert(Versioned.currentPoint(spark, p, "k", 300L)
+      .select("x").as[Long].head() == 300L)
+    assert(Versioned.currentPoint(spark, p, "k", 9999L).count() == 0)
+  }
+
   test("cloneShallow: zero-copy clone references the source's resolved " +
       "head; writes are independent both ways; compact cuts the " +
       "dependency; a vacuumed-away source fails the clone loudly") {

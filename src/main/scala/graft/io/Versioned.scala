@@ -252,6 +252,17 @@ object Versioned {
     * commits again — no duplicate, nothing was visible) or a complete
     * version whose marker makes re-delivery a no-op.
     *
+    * `ingestId` scopes the replay guard, exactly like the V2 streaming
+    * sink's `_BATCH_<queryId>_<epoch>` markers: Structured Streaming
+    * batch ids RESTART AT 0 for every new checkpoint location, so a
+    * fresh ingest into a table an OLD ingest once fed would have its
+    * early batches read as replays and silently dropped. Pass the
+    * streaming query's (checkpoint-stable) id or the checkpoint path;
+    * the empty default keeps the single-ingest legacy shape — correct
+    * only while ONE checkpoint feeds the table for its whole life
+    * (maintained views use it this way: their "batch id" is the
+    * monotone source version, never a restarting stream epoch).
+    *
     * CONCURRENT writers of the same batch id (two racing MV
     * maintainers folding the same source range) are serialized by an
     * atomic `.claim-batch-<id>` put-if-absent: exactly one commits,
@@ -261,14 +272,22 @@ object Versioned {
     * stale after [[BatchClaimStaleMs]] (taken over by the next
     * caller); a commit genuinely slower than that horizon is the one
     * documented caveat. */
-  def appendBatch(df: DataFrame, path: String, batchId: Long): Int = {
+  def appendBatch(df: DataFrame, path: String, batchId: Long,
+      ingestId: String = ""): Int = {
     val spark = df.sparkSession
-    val marker = s"_BATCH_$batchId"
+    require(!ingestId.contains('\t') && !ingestId.contains('\n') &&
+      !ingestId.contains('/'),
+      "ingestId may not contain tabs/newlines/slashes")
+    val marker =
+      if (ingestId.isEmpty) s"_BATCH_$batchId"
+      else s"_BATCH_${ingestId}_$batchId"
     val f = fs(spark, path)
     def committed: Option[Int] = versions(spark, path)
       .find(v => f.exists(new Path(s"$path/v=$v", marker)))
     committed.getOrElse {
-      val claim = new Path(path, s".claim-batch-$batchId")
+      val claim = new Path(path,
+        if (ingestId.isEmpty) s".claim-batch-$batchId"
+        else s".claim-batch-$ingestId-$batchId")
       if (LogStore.forSession(spark).createExclusive(f, claim))
         commit(df, path, batchMarker = Some(marker))
       else {
@@ -291,7 +310,7 @@ object Versioned {
               "for it or, if it crashed, retry after the claim goes stale")
             LogStore.forSession(spark).delete(f, claim)
           }
-          appendBatch(df, path, batchId)
+          appendBatch(df, path, batchId, ingestId)
         }
       }
     }

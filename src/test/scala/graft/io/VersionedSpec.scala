@@ -167,6 +167,29 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.current(spark, p, "k").count() == 2L)
   }
 
+  test("appendBatch ingest scoping: a NEW ingest's batch 0 commits " +
+      "against a table an old ingest fed (fresh checkpoints restart " +
+      "batch ids at 0); per-scope replays stay idempotent") {
+    val p = freshPath("batchscope")
+    Versioned.appendBatch(Seq((1L, 10)).toDF("k", "x"), p, 0L, "ckptA")
+    Versioned.appendBatch(Seq((2L, 20)).toDF("k", "x"), p, 1L, "ckptA")
+    // the data-loss shape: a new checkpoint's batch 0 against the same
+    // table — a global marker would read it as ckptA's replay and drop
+    val v = Versioned.appendBatch(Seq((3L, 30)).toDF("k", "x"), p,
+      0L, "ckptB")
+    assert(v == 3, "new ingest's batch 0 was swallowed")
+    assert(Versioned.current(spark, p, "k").count() == 3L)
+    // each scope replay-guards independently
+    assert(Versioned.appendBatch(Seq((1L, 10)).toDF("k", "x"), p,
+      0L, "ckptA") == 1)
+    assert(Versioned.appendBatch(Seq((3L, 30)).toDF("k", "x"), p,
+      0L, "ckptB") == 3)
+    assert(Versioned.latestVersion(spark, p) == 3)
+    // scoped markers never pollute the maintained-view lineage parse
+    // (integer-only _BATCH_<n>): no unscoped batch exists here
+    assert(Versioned.batchMarkerMax(spark, p) == 0)
+  }
+
   test("streaming ingest via foreachBatch lands every row exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

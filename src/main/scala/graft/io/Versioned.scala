@@ -484,13 +484,13 @@ object Versioned {
     * and create its hidden staging dir. Finish with [[publishStaged]]
     * or [[abortStaged]]. Same claim/staging/rename protocol as
     * [[commit]] — a crashed caller leaves only a stale claim + staging
-    * dir for vacuum's age-guarded sweep. Refuses column-mapped tables
-    * (direct writers speak physical file schemas). */
+    * dir for vacuum's age-guarded sweep. On a COLUMN-MAPPED table the
+    * caller must write PHYSICAL column names into the staged parts
+    * (translate with [[stagedMapping]]) and pass the snapshot to
+    * [[publishStaged]], mirroring what [[commitAt]] does for
+    * DataFrame commits. */
   private[graft] def beginStagedCommit(spark: SparkSession,
       path: String): (Int, String) = {
-    require(mappingAt(spark, path, latestVersion(spark, path) + 1).isEmpty,
-      s"staged commits at $path: table uses column mapping; write " +
-        "through Versioned.append/merge instead")
     val f = fs(spark, path)
     val store = LogStore.forSession(spark)
     var v = latestVersion(spark, path) + 1
@@ -512,10 +512,15 @@ object Versioned {
     * (files of aborted or speculative task attempts), stamp footer
     * stats + the commit-time `_TS_` + any extra marker files (e.g. a
     * `_BATCH_<id>` idempotency marker) + the success marker, then the
-    * one atomic rename to `v=N`. */
+    * one atomic rename to `v=N`. `colmap` is the column-mapping
+    * snapshot to persist with the commit (from [[stagedMapping]]) —
+    * mapped tables re-snapshot into EVERY commit dir so any retention
+    * policy that keeps a dir keeps a correct snapshot, exactly like
+    * [[commitAt]]; the widen snapshot follows the same rule. */
   private[graft] def publishStaged(spark: SparkSession, path: String,
       v: Int, staging: String, keep: Set[String],
-      markers: Seq[String] = Nil): Int = {
+      markers: Seq[String] = Nil,
+      colmap: Option[Seq[(String, String)]] = None): Int = {
     val f = fs(spark, path)
     val sp = new Path(staging)
     f.listStatus(sp)
@@ -524,6 +529,9 @@ object Versioned {
       .foreach(s => f.delete(s.getPath, false))
     markers.foreach(m => f.create(new Path(sp, m)).close())
     writeStats(f, sp, spark.sparkContext.hadoopConfiguration)
+    colmap.foreach(writeColmap(f, sp, _))
+    val curWiden = widenAt(spark, path, v)
+    if (curWiden.nonEmpty) writeWiden(f, sp, curWiden)
     f.create(new Path(sp, s"_TS_${System.currentTimeMillis()}")).close()
     f.create(new Path(sp, SuccessMarker)).close()
     val dst = new Path(path, s"v=$v")
@@ -569,11 +577,15 @@ object Versioned {
     * On conflict the staged commit aborts (slot released) and a
     * retryable error names the interloper — Delta's
     * ConcurrentAppend/ConcurrentDeleteException shape. `keyCol` must
-    * be the PHYSICAL column name (the staged-commit faces refuse
-    * column-mapped tables, so logical == physical there). */
+    * be the PHYSICAL column name — that is what both the staged
+    * parquet footers and the interlopers' `_STATS.tsv` zone maps are
+    * keyed by (on an unmapped table logical == physical; mapped
+    * callers translate through [[stagedMapping]]). `colmap` rides to
+    * [[publishStaged]]. */
   private[graft] def publishStagedChecked(spark: SparkSession,
       path: String, v: Int, staging: String, keep: Set[String],
-      snapshotV: Int, keyCol: Option[String] = None): Int = {
+      snapshotV: Int, keyCol: Option[String] = None,
+      colmap: Option[Seq[(String, String)]] = None): Int = {
     val committedAll = versions(spark, path).toSet
     val ck = checkpoints(spark, path).toSet
     val f = fs(spark, path)
@@ -635,7 +647,7 @@ object Versioned {
               "flight below this write's slot") +
           " — the staged commit was aborted; retry the statement")
     }
-    publishStaged(spark, path, v, staging, keep)
+    publishStaged(spark, path, v, staging, keep, colmap = colmap)
   }
 
   /** [min,max] of `colName` from ONE parquet file's footer, in the
@@ -675,7 +687,13 @@ object Versioned {
   }
 
   /** Do two `_STATS.tsv`-encoded [min,max] ranges intersect? Type
-    * mismatch (schema drift) answers true — conservative. */
+    * mismatch (schema drift) answers true — conservative. String
+    * bounds compare in UNSIGNED UTF-8 BYTE order — the order the
+    * parquet footers computed them in — not Java's UTF-16 code-unit
+    * order: the two diverge for keys mixing U+E000–U+FFFF with
+    * supplementary-plane characters, and this comparison feeds the
+    * OCC narrowing ([[publishStagedChecked]]), where a wrong
+    * "disjoint" admits a conflicting commit silently. */
   private def zoneRangesOverlap(a: (String, String, String),
       b: (String, String, String)): Boolean = (a, b) match {
     case (("long", alo, ahi), ("long", blo, bhi)) =>
@@ -684,7 +702,18 @@ object Versioned {
       !(alo.toDouble > bhi.toDouble || ahi.toDouble < blo.toDouble)
     case (("string", alo, ahi), ("string", blo, bhi)) =>
       def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-      !(d(alo) > d(bhi) || d(ahi) < d(blo))
+        .getBytes(UTF_8)
+      def gt(x: Array[Byte], y: Array[Byte]): Boolean = {
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c > 0
+          i += 1
+        }
+        x.length > y.length
+      }
+      !(gt(d(alo), d(bhi)) || gt(d(blo), d(ahi)))
     case _ => true
   }
 
@@ -811,6 +840,27 @@ object Versioned {
   private[graft] def logicalToPhysical(spark: SparkSession, path: String,
       version: Int): Map[String, String] =
     mappingAt(spark, path, version).map(_.toMap).getOrElse(Map.empty)
+
+  /** Staged-write translation for a commit at slot `v`: the
+    * logical→physical snapshot extended with fresh version-salted
+    * physical ids for logical columns the mapping has never seen —
+    * the SAME schema-evolution rule [[commitAt]] applies to DataFrame
+    * commits, so a staged DML write and a plain append evolve the
+    * mapping identically. Returns (l2p lookup for translating the
+    * write, updated snapshot to hand [[publishStaged]]); (empty, None)
+    * when the table is unmapped. */
+  private[graft] def stagedMapping(spark: SparkSession, path: String,
+      v: Int, logicalCols: Seq[String])
+      : (Map[String, String], Option[Seq[(String, String)]]) =
+    mappingAt(spark, path, v) match {
+      case None => (Map.empty, None)
+      case Some(ms) =>
+        val known = ms.toMap
+        val extras = logicalCols.distinct
+          .filterNot(MetaCols.contains).filterNot(known.contains)
+        val snap = ms ++ extras.map(l => (l, s"${l}_r$v"))
+        (snap.toMap, Some(snap))
+    }
 
   /** Rename physical columns to their logical names per the mapping
     * (identity when None). Physical columns NOT in the mapping are
@@ -1849,13 +1899,26 @@ object Versioned {
     compactIncrementalAttempt(spark, path, keyCol, minFileBytes, nFiles,
       attempt = 0)
 
+  /** How long [[compactIncremental]] will wait out concurrent writers
+    * racing the head+1 slot before failing loudly (overridable via
+    * `spark.graft.compact.claimWaitMs` — row-level DML auto-invokes
+    * the fold at planning time, so a table under sustained ingest may
+    * want a larger budget rather than spurious statement failures). */
+  private def claimWaitBudgetMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.compact.claimWaitMs")
+      .map(_.toLong).getOrElse(30000L)
+
   private def compactIncrementalAttempt(spark: SparkSession, path: String,
       keyCol: String, minFileBytes: Long, nFiles: Int,
-      attempt: Int): Int = {
-    require(attempt < 50, s"compactIncremental at $path lost the " +
-      "head+1 slot to a writer that has not published after " +
-      s"$attempt waits; wait for it (or let vacuum sweep a crashed " +
-      "writer's stale claim) and retry")
+      attempt: Int, deadline: Long = 0L): Int = {
+    val dl = if (deadline > 0L) deadline
+      else System.currentTimeMillis() + claimWaitBudgetMs(spark)
+    require(attempt == 0 || System.currentTimeMillis() < dl,
+      s"compactIncremental at $path lost the head+1 slot to " +
+        "concurrent writers for the whole " +
+        s"${claimWaitBudgetMs(spark)} ms wait budget " +
+        "(spark.graft.compact.claimWaitMs); wait for them (or let " +
+        "vacuum sweep a crashed writer's stale claim) and retry")
     val f = fs(spark, path)
     val head = latestVersion(spark, path)
     val ck = checkpoints(spark, path)
@@ -1864,21 +1927,39 @@ object Versioned {
     val c = base.get
     if (c == head) return c
     // serialize against in-flight lower-slot writers, then pin OUR
-    // slot at head+1 so nothing can commit inside the fold range
+    // slot at head+1 so nothing can commit inside the fold range. A
+    // pending lower-slot claim gets the same bounded backoff as a
+    // lost head+1 race — it is the same condition (a writer mid-
+    // commit), and failing a DML statement instantly on a hot table
+    // would make steady ingest + periodic MERGE spuriously flaky.
     val pending = unpublishedClaims(spark, path).filter(_ <= head)
-    require(pending.isEmpty, s"compactIncremental at $path: version " +
-      s"slot(s) ${pending.mkString(",")} are claimed but unpublished; " +
-      "a lower-slot publish after the fold would be hidden by the new " +
-      "checkpoint — wait for it (or let vacuum sweep a stale claim) " +
-      "and retry")
+    if (pending.nonEmpty) {
+      require(System.currentTimeMillis() < dl,
+        s"compactIncremental at $path: version slot(s) " +
+          s"${pending.mkString(",")} stayed claimed but unpublished " +
+          s"for the whole ${claimWaitBudgetMs(spark)} ms wait budget " +
+          "(spark.graft.compact.claimWaitMs); a lower-slot publish " +
+          "after the fold would be hidden by the new checkpoint — " +
+          "wait for the writer (or let vacuum sweep a crashed " +
+          "writer's stale claim) and retry")
+      val b = math.min(100L << math.min(attempt, 6), 3200L)
+      Thread.sleep(b / 2 +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(b / 2 + 1))
+      return compactIncrementalAttempt(spark, path, keyCol, minFileBytes,
+        nFiles, attempt + 1, dl)
+    }
     val store = LogStore.forSession(spark)
     val v = head + 1
     if (!claimSlot(store, f, path, v)) {
       // a writer claimed head+1 between our listing and the CAS —
-      // wait for its publish (bounded), then fold against the new head
-      Thread.sleep(200)
+      // back off exponentially with jitter (thundering-herd safe when
+      // several DMLs race one hot table), then fold against whatever
+      // head that writer published
+      val b = math.min(100L << math.min(attempt, 6), 3200L)
+      Thread.sleep(b / 2 +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(b / 2 + 1))
       return compactIncrementalAttempt(spark, path, keyCol, minFileBytes,
-        nFiles, attempt + 1)
+        nFiles, attempt + 1, dl)
     }
     val ckSet = ck.toSet
     val deltaVs = versions(spark, path)

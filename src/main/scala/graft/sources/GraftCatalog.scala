@@ -333,10 +333,19 @@ private[sources] object GraftCatalog {
 
   /** Named CHECK constraints from `check.<name>` table properties —
     * the single source every write path (INSERT, row-level DML, the
-    * streaming sink) evaluates. */
+    * streaming sink) evaluates. Names become aggregate aliases in the
+    * validation pass, so shapes the parser would mangle (dots,
+    * backticks, whitespace) refuse cleanly here instead of surfacing
+    * as a confusing analysis error mid-write. */
   def checkConstraints(props: Map[String, String]): Seq[(String, String)] =
     props.toSeq.collect {
-      case (k, v) if k.startsWith("check.") => (k.stripPrefix("check."), v)
+      case (k, v) if k.startsWith("check.") =>
+        val name = k.stripPrefix("check.")
+        require(name.matches("[A-Za-z0-9_-]+"),
+          s"graft CHECK constraint name '$name' is invalid — use " +
+            "[A-Za-z0-9_-]+ (it becomes a column alias in the " +
+            "validation pass)")
+        (name, v)
     }.sortBy(_._1)
 
   def readProps(fs: FileSystem, path: String): Map[String, String] = {
@@ -449,7 +458,7 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
     new GraftScanBuilder(spark, path,
       () => Versioned.asOfVersions(spark, path, version), fullSchema,
       GraftDataSource.maxVersionsOf(options),
-      Versioned.logicalToPhysical(spark, path, version),
+      () => Versioned.logicalToPhysical(spark, path, version),
       GraftDataSource.maxBytesOf(options),
       GraftDataSource.startingVersionOf(spark, path, options))
 

@@ -211,7 +211,7 @@ private[sources] class GraftTable(tableSchema: StructType,
       () => Versioned.asOfVersions(spark, path, version), tableSchema,
       GraftDataSource.maxVersionsOf(scanOptions)
         .orElse(GraftDataSource.maxVersionsOf(options)),
-      Versioned.logicalToPhysical(spark, path, version),
+      () => Versioned.logicalToPhysical(spark, path, version),
       GraftDataSource.maxBytesOf(scanOptions)
         .orElse(GraftDataSource.maxBytesOf(options)),
       GraftDataSource.startingVersionOf(spark, path, scanOptions)
@@ -238,7 +238,7 @@ private[sources] class GraftTable(tableSchema: StructType,
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     versionSlice: () => Seq[Int], tableSchema: StructType,
     private[sources] val maxVersionsPerTrigger: Option[Int] = None,
-    mapping: Map[String, String] = Map.empty,
+    mappingThunk: () => Map[String, String] = () => Map.empty,
     private[sources] val maxBytesPerTrigger: Option[Long] = None,
     private[sources] val startingVersion: Option[Int] = None)
     extends ScanBuilder
@@ -278,11 +278,16 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
     else { pushedLimit = Some(limit); true }
   }
 
+  // LAZY on purpose (like versionSlice): the row-level DML path
+  // resolves its mapping at the snapshot it auto-maintains, which
+  // must not run for a scan the optimizer supersedes
+  private lazy val mapping: Map[String, String] = mappingThunk()
+
   private def physName(c: String): String = mapping.getOrElse(c, c)
   private def physSchema(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = physName(f.name))))
   /** physical→logical for the outbound schema rename. */
-  private[sources] val logicalName: Map[String, String] =
+  private[sources] lazy val logicalName: Map[String, String] =
     mapping.map(_.swap)
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {

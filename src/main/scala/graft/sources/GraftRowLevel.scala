@@ -79,26 +79,22 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   /** The SNAPSHOT this DML reads and the write's conflict guard
     * checks against. LAZY on purpose: a DELETE the optimizer swaps
     * for the metadata path never evaluates it (nor the checkpoint
-    * maintenance). Column-mapped tables are refused HERE — before any
-    * scan plans files — because the scan below is mapping-blind
-    * (renamed columns would silently read as null) and the staged
-    * write speaks physical file schemas; failing at beginStagedCommit
-    * would be after the scan/join already ran. A non-checkpoint head
-    * gets its checkpoint maintained incrementally (delta cost) right
-    * here, so DML works at ANY head; the OCC guard then checks
-    * against exactly the version the scan read. */
-  private lazy val snapshotV: Int = {
-    require(!Versioned.isColumnMapped(spark, path),
-      s"row-level SQL $cmd at $path: table uses column mapping " +
-        "(renameColumn/dropColumn); write through Versioned.append/" +
-        "merge instead (translatable DELETE predicates still work " +
-        "via the metadata delete)")
+    * maintenance). A non-checkpoint head gets its checkpoint
+    * maintained incrementally (delta cost) right here, so DML works
+    * at ANY head; the OCC guard then checks against exactly the
+    * version the scan read. Column-mapped tables work through the
+    * same logical→physical translation as every other face: the scan
+    * below pins the physical projection of the logical schema (the
+    * mapping thunk resolves at this snapshot), and the write side
+    * translates its staged parts in [[GraftDeltaBatchWrite]]. */
+  private lazy val snapshotV: Int =
     Versioned.headCheckpointVersion(spark, path).getOrElse(
       Versioned.compactIncremental(spark, path, keyCol))
-  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, () => Seq(snapshotV), scanSchema)
+    new GraftScanBuilder(spark, path, () => Seq(snapshotV), scanSchema,
+      mappingThunk =
+        () => Versioned.logicalToPhysical(spark, path, snapshotV))
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(keyCol))
@@ -130,12 +126,18 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   * abort the stage, so the table and the version counter are
   * untouched. */
 private[sources] object GraftChecks {
+  /** `physToLogical` renames a column-mapped table's staged PHYSICAL
+    * columns back to the logical names the declared constraint
+    * expressions speak (empty = unmapped, no rename). */
   def validateStaged(spark: SparkSession, staging: String,
-      keep: Set[String], checks: Seq[(String, String)]): Unit = {
+      keep: Set[String], checks: Seq[(String, String)],
+      physToLogical: Map[String, String] = Map.empty): Unit = {
     if (checks.isEmpty || keep.isEmpty) return
     import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
-    val df = spark.read
+    val raw = spark.read
       .parquet(keep.toSeq.sorted.map(n => s"$staging/$n"): _*)
+    val df = raw.select(raw.columns.toSeq.map(c =>
+        col(c).as(physToLogical.getOrElse(c, c))): _*)
       .filter(!col(Versioned.DeletedCol))
     // a DELETE-only staged commit carries the key + tombstone columns
     // ONLY — a constraint referencing absent columns can face nothing
@@ -170,7 +172,16 @@ private[sources] object GraftChecks {
 /** One staged commit shared by every task of the DML write;
   * `snapshot` is the version the scan read — the publish runs the
   * optimistic-concurrency check against it
-  * ([[Versioned.publishStagedChecked]]). */
+  * ([[Versioned.publishStagedChecked]]).
+  *
+  * COLUMN-MAPPED tables: Spark hands LOGICAL row/rowId schemas; the
+  * staged parquet parts must carry the stable PHYSICAL names every
+  * other commit writes. The factory translates both schemas through
+  * the snapshot's mapping (rows are positional — only schema METADATA
+  * changes), a logical column the mapping has never seen gets a fresh
+  * version-salted physical id (MERGE schema evolution, the same rule
+  * as [[graft.io.Versioned]]'s commitAt), and the publish persists
+  * the updated snapshot atomically with the data. */
 private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     path: String, rowSchema: StructType, idSchema: StructType,
     snapshot: () => Int, checks: Seq[(String, String)] = Nil)
@@ -179,11 +190,21 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
   // claimed when Spark asks for the writer factory (execution start);
   // read by commit/abort on the driver afterwards
   @volatile private var claimed: (Int, String) = _
+  // the claimed slot's mapping state (empty/None on unmapped tables)
+  @volatile private var l2p: Map[String, String] = Map.empty
+  @volatile private var colmapOut: Option[Seq[(String, String)]] = None
+
+  private def phys(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     claimed = Versioned.beginStagedCommit(spark, path)
-    GraftDeltaWriterFactory(claimed._2, claimed._1, rowSchema, idSchema,
+    val (m, snap) = Versioned.stagedMapping(spark, path, claimed._1,
+      (rowSchema.fields ++ idSchema.fields).map(_.name).toSeq)
+    l2p = m; colmapOut = snap
+    GraftDeltaWriterFactory(claimed._2, claimed._1, phys(rowSchema),
+      phys(idSchema),
       new SerializableConfiguration(GraftWriteConf.prepared(spark)))
   }
 
@@ -194,7 +215,8 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     // declared CHECK constraints gate THIS write path too (the INSERT
     // path validates pre-stage): a violating UPDATE/MERGE refuses
     // whole, the staged commit aborts, the version counter untouched
-    try GraftChecks.validateStaged(spark, claimed._2, keep, checks)
+    try GraftChecks.validateStaged(spark, claimed._2, keep, checks,
+      l2p.map(_.swap))
     catch {
       case e: Throwable =>
         Versioned.abortStaged(spark, path, claimed._1, claimed._2)
@@ -203,9 +225,12 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     // the key column narrows the OCC conflict domain: a plain INSERT
     // that committed below this slot with provably disjoint key
     // ranges (zone maps both sides) is not a conflict — periodic
-    // MERGEs survive steady disjoint ingest without livelock
+    // MERGEs survive steady disjoint ingest without livelock. The
+    // zone maps both sides speak PHYSICAL names.
     Versioned.publishStagedChecked(spark, path, claimed._1, claimed._2,
-      keep, snapshot(), idSchema.fields.headOption.map(_.name))
+      keep, snapshot(),
+      idSchema.fields.headOption.map(f => l2p.getOrElse(f.name, f.name)),
+      colmap = colmapOut)
     ()
   }
 
@@ -266,6 +291,11 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
     extends StreamingWrite {
 
   @volatile private var claimed: (Int, String) = _
+  // column-mapped table: staged parts carry PHYSICAL names (same
+  // translation as the DML write; rows are positional, only schema
+  // metadata changes) and the publish re-snapshots the mapping
+  @volatile private var l2p: Map[String, String] = Map.empty
+  @volatile private var colmapOut: Option[Seq[(String, String)]] = None
 
   // epoch ids restart at 0 for every NEW checkpoint, so the marker is
   // scoped by the checkpoint-STABLE query id (survives restarts of
@@ -275,7 +305,12 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     claimed = Versioned.beginStagedCommit(spark, path)
-    GraftStreamingWriterFactory(claimed._2, claimed._1, rowSchema,
+    val (m, snap) = Versioned.stagedMapping(spark, path, claimed._1,
+      rowSchema.fields.map(_.name).toSeq)
+    l2p = m; colmapOut = snap
+    GraftStreamingWriterFactory(claimed._2, claimed._1,
+      StructType(rowSchema.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name)))),
       new SerializableConfiguration(GraftWriteConf.prepared(spark)))
   }
 
@@ -290,14 +325,15 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
       }.toSet
       // declared CHECK constraints gate the streaming sink too: a
       // violating micro-batch fails the query, nothing published
-      try GraftChecks.validateStaged(spark, claimed._2, keep, checks)
+      try GraftChecks.validateStaged(spark, claimed._2, keep, checks,
+        l2p.map(_.swap))
       catch {
         case e: Throwable =>
           Versioned.abortStaged(spark, path, claimed._1, claimed._2)
           throw e
       }
       Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
-        markers = Seq(marker(epochId)))
+        markers = Seq(marker(epochId)), colmap = colmapOut)
       ()
     }
   }

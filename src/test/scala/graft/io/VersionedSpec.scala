@@ -1168,6 +1168,58 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("OCC narrowing on a COLUMN-MAPPED table: staged parts and the " +
+      "narrowing key speak the PHYSICAL name — disjoint commits land, " +
+      "overlapping ranges abort (the r13 mapped-DML write path)") {
+    val p = freshPath("occmapped")
+    Versioned.append((1L to 10L).map(i => (i, i * 2)).toDF("k", "x"), p)
+    Versioned.renameColumn(spark, p, "k", "kid")    // physical stays 'k'
+    Versioned.compact(spark, p, "kid")              // head checkpoint
+    val snapshot = Versioned.latestVersion(spark, p)
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stage(df: org.apache.spark.sql.DataFrame, staging: String,
+        name: String): Unit = {
+      val tmp = s"$staging-tmpw"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(f.rename(part, new org.apache.hadoop.fs.Path(staging, name)))
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    // staged DML parts carry the PHYSICAL column name 'k'
+    def dmlRows(ks: Range) = ks.map(i => (i.toLong, 0L, false, false,
+      false, 99, i.toLong)).toDF("k", "x", Versioned.DeletedCol,
+      Versioned.MergeCol, Versioned.CkptCol, Versioned.VersionCol,
+      Versioned.SeqCol)
+    val snapOut = Versioned.stagedMapping(spark, p, snapshot + 2,
+      Seq("kid", "x"))._2
+    // DISJOINT: interloper (logical 'kid', physical 'k') below; both land
+    Versioned.append((100L to 110L).map(i => (i, i)).toDF("kid", "x"), p)
+    val (vB, sB) = Versioned.beginStagedCommit(spark, p)
+    stage(dmlRows(1 to 5), sB, "part-00000-dml.parquet")
+    Versioned.publishStagedChecked(spark, p, vB, sB,
+      Set("part-00000-dml.parquet"), snapshot, Some("k"),
+      colmap = snapOut)
+    val cur = Versioned.current(spark, p, "kid")
+    assert(cur.count() == 21 && cur.columns.contains("kid"))
+    assert(cur.filter(col("kid") === 3L).select("x").as[Long].head() == 0L)
+    // the staged commit re-snapshotted the mapping into its own dir
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$p/v=$vB/_COLMAP.tsv")))
+    // OVERLAPPING: interloper re-states key 5 below our slot — abort
+    val snapshot2 = { Versioned.compact(spark, p, "kid")
+      Versioned.latestVersion(spark, p) }
+    Versioned.append(Seq((5L, 777L)).toDF("kid", "x"), p)
+    val (vE, sE) = Versioned.beginStagedCommit(spark, p)
+    stage(dmlRows(1 to 5), sE, "part-00000-dml.parquet")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Versioned.publishStagedChecked(spark, p, vE, sE,
+        Set("part-00000-dml.parquet"), snapshot2, Some("k"))
+    }
+    assert(e.getMessage.contains("key ranges"), e.getMessage)
+  }
+
   test("compactZOrder on a column-mapped table: the cluster key is a " +
       "RENAMED column — layout applies under logical names before the " +
       "physical rename, no stale claim, reads unchanged") {

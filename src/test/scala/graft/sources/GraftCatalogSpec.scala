@@ -654,7 +654,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("refusals are loud: INSERT OVERWRITE, partitioned CREATE, " +
       "DELETE without the key property (until ALTER sets it), " +
-      "staged writes on mapped tables, RENAME TABLE") {
+      "RENAME TABLE; mapped-table row-level DML works (r13)") {
     spark.sql("CREATE TABLE graft_test.t5 (k BIGINT, s STRING)")
     spark.sql("INSERT INTO graft_test.t5 VALUES (1, 'a')")
     // Spark refuses at ANALYSIS time: the table advertises no
@@ -678,16 +678,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_test.t5 WHERE s = 'a'")
     assert(spark.sql("SELECT * FROM graft_test.t5").count() == 2) // log rows
     assert(Versioned.current(spark, s"$wh/t5", "k").count() == 0)
-    // column-mapped tables READ through the V2 face (r11); the
-    // staged-commit WRITE faces (row-level DML) still refuse loudly
+    // column-mapped tables READ through the V2 face (r11) and, since
+    // r13, the staged-commit WRITE faces translate logical→physical
+    // like every DataFrame commit — UPDATE after RENAME COLUMN works
     Versioned.renameColumn(spark, s"$wh/t5", "s", "s2")
     assert(spark.sql("SELECT * FROM graft_test.t5").columns.toSeq ==
       Seq("k", "s2"))
-    Versioned.compact(spark, s"$wh/t5", "k") // UPDATE's own precondition
-    val e4 = intercept[Exception] {
-      spark.sql("UPDATE graft_test.t5 SET s2 = 'zz' WHERE k = 2")
-    }
-    assert(e4.getMessage.contains("column mapping"), e4.getMessage)
+    spark.sql("INSERT INTO graft_test.t5 VALUES (2, 'b')")
+    spark.sql("UPDATE graft_test.t5 SET s2 = 'zz' WHERE k = 2")
+    assert(Versioned.current(spark, s"$wh/t5", "k")
+      .select("s2").as[String].collect().toSeq == Seq("zz"))
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_test.t2 RENAME TO graft_test.t2b")
     }
@@ -716,10 +716,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT label FROM graft_test.cm WHERE k = 3")
       .as[String].collect().toSeq == Seq("three"))
-    // renaming the KEY column carries the key property with it
+    // r13: row-level UPDATE and MERGE INTO work on the MAPPED table —
+    // the staged parts carry the stable PHYSICAL names (here the
+    // original 'a'), the commit re-snapshots the mapping, and the OCC
+    // guard narrows on the physical key
+    spark.sql("UPDATE graft_test.cm SET label = 'ONE' WHERE k = 1")
+    assert(Versioned.current(spark, path, "k").filter(col("k") === 1)
+      .select("label").as[String].head() == "ONE")
+    val vDml = Versioned.latestVersion(spark, path)
+    val dmlRaw = spark.read.parquet(s"$path/v=$vDml")
+    assert(dmlRaw.columns.contains("a") && !dmlRaw.columns.contains("label"),
+      s"staged DML parts must speak physical names: ${dmlRaw.columns.toSeq}")
+    assert(new java.io.File(s"$path/v=$vDml/_COLMAP.tsv").exists(),
+      "a mapped table's staged commit must re-snapshot the mapping")
+    spark.sql(
+      """MERGE INTO graft_test.cm t
+        |USING (SELECT 2 AS k, 'TWO' AS label UNION ALL
+        |       SELECT 9, 'nine') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET label = s.label
+        |WHEN NOT MATCHED THEN INSERT (k, label, x) VALUES (s.k, s.label, 0)
+        |""".stripMargin)
+    assert(Versioned.current(spark, path, "k").orderBy("k")
+      .select("label")
+      .as[String].collect().toSeq == Seq("ONE", "TWO", "three", "nine"))
+    // time travel below the rename STILL shows the old name and the
+    // pre-DML values (the rename-row history is untouched by DML)
+    assert(spark.sql("SELECT * FROM graft_test.cm VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "a", "x"))
+    assert(spark.sql(
+      "SELECT a FROM graft_test.cm VERSION AS OF 2 WHERE k = 1")
+      .as[String].head() == "one")
+    // renaming the KEY column carries the key property with it —
+    // and row-level DML keeps working with the RENAMED key (the OCC
+    // narrowing and the rowId both translate through the mapping)
     spark.sql("ALTER TABLE graft_test.cm RENAME COLUMN k TO id")
-    spark.sql("DELETE FROM graft_test.cm WHERE label = 'two'")
-    assert(Versioned.current(spark, path, "id").count() == 2)
+    spark.sql("DELETE FROM graft_test.cm WHERE label = 'TWO'")
+    assert(Versioned.current(spark, path, "id").count() == 3)
+    spark.sql("UPDATE graft_test.cm SET id = 10 WHERE id = 9")
+    val afterKeyDml = Versioned.current(spark, path, "id")
+    assert(afterKeyDml.filter(col("id") === 9).count() == 0)
+    assert(afterKeyDml.filter(col("id") === 10).select("label")
+      .as[String].head() == "nine")
     // DROP hides the bytes without a rewrite; the key cannot drop
     spark.sql("ALTER TABLE graft_test.cm DROP COLUMN x")
     assert(spark.sql("SELECT * FROM graft_test.cm").columns.toSeq ==
@@ -732,5 +770,57 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT x FROM graft_test.cm VERSION AS OF 2 ORDER BY x")
       .as[Int].collect().toSeq == Seq(10, 20))
+  }
+
+  test("streaming V2 sink on a COLUMN-MAPPED table: micro-batches " +
+      "land under the stable physical ids with the mapping " +
+      "re-snapshotted; declared CHECK constraints (logical names) " +
+      "still gate the mapped sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE graft_test.cmstream (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/cmstream"
+    spark.sql("INSERT INTO graft_test.cmstream VALUES (1, 10)")
+    // rename BEFORE the stream starts: the sink must translate; the
+    // constraint is declared in the POST-rename logical vocabulary
+    spark.sql("ALTER TABLE graft_test.cmstream RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graft_test.cmstream SET TBLPROPERTIES " +
+      "('check.v_pos' = 'val > 0')")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/ckpt-cmstream"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(2L, 3L)
+    val q = ms.toDF().select(col("value").as("k"),
+        (col("value") * 10).as("val"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt-cmstream")
+      .toTable("graft_test.cmstream")
+    try q.processAllAvailable() finally q.stop()
+    val cur = Versioned.current(spark, path, "k")
+    assert(cur.count() == 3)
+    assert(cur.filter(col("k") === 2).select("val").as[Long].head() == 20L)
+    // the micro-batch commit speaks PHYSICAL names + carries the snapshot
+    val vS = Versioned.latestVersion(spark, path)
+    val raw = spark.read.parquet(s"$path/v=$vS")
+    assert(raw.columns.contains("v") && !raw.columns.contains("val"),
+      s"mapped streaming commit must write physical names: ${raw.columns.toSeq}")
+    assert(new java.io.File(s"$path/v=$vS/_COLMAP.tsv").exists())
+    // a violating micro-batch still refuses through the mapping (the
+    // constraint speaks the LOGICAL name over physical staged parts)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/ckpt-cmstream2"))
+    val ms2 = MemoryStream[Long]
+    ms2.addData(4L)
+    val q2 = ms2.toDF().select(col("value").as("k"),
+        lit(-1L).as("val"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt-cmstream2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_test.cmstream")
+    val e = intercept[Exception] { q2.awaitTermination() }
+    assert(e.getMessage.contains("v_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_pos")), s"$e")
+    assert(Versioned.current(spark, path, "k").count() == 3)
   }
 }

@@ -1623,9 +1623,12 @@ object Versioned {
       colName: String, lo: Any, hi: Any): DataFrame = {
     val f = fs(spark, path)
     val lookup = new StatsLookup(f)
+    // zone maps speak the stable PHYSICAL name; `colName` is logical
+    val phys = logicalToPhysical(spark, path, vs.max)
+      .getOrElse(colName, colName)
     val files = vs.flatMap { v =>
       filesOf(f, path, v)
-        .filter(fp => mayIntersect(lookup(fp), colName, lo, hi))
+        .filter(fp => mayIntersect(lookup(fp), phys, lo, hi))
         .map(_.toString)
     }
     readFilesAligned(spark, path, vs, files)
@@ -1709,6 +1712,12 @@ object Versioned {
       s"bad bloom params: bitsPerKey=$bitsPerKey kHashes=$kHashes")
     val f = fs(spark, path)
     val store = LogStore.forSession(spark)
+    // column-mapped table: the files speak PHYSICAL names — build and
+    // store the index under the stable physical id (one head snapshot
+    // is correct for every dir: physical ids never change), and the
+    // point-lookup face translates its key the same way
+    val physKey = logicalToPhysical(spark, path,
+      latestVersion(spark, path)).getOrElse(keyCol, keyCol)
     var indexed = 0
     versions(spark, path).foreach { v =>
       val dir = new Path(s"$path/v=$v")
@@ -1729,7 +1738,7 @@ object Versioned {
                 widen))
               .parquet(parts.map(_.toString): _*)
           val keys = partRead
-            .select(input_file_name().as("__file"), col(keyCol))
+            .select(input_file_name().as("__file"), col(physKey))
             .localCheckpoint()
           // SIZE THE FILTER TO THE FILE: a fixed width saturates on a
           // checkpoint's row-count-sized files (a full filter admits
@@ -1747,14 +1756,14 @@ object Versioned {
           val lines = byBits.toSeq.flatMap { case (mBits, files) =>
             val lanes = graft.pipeline.Bloom.buildGrouped(
               keys.filter(col("__file").isin(files.keys.toSeq: _*)),
-              "__file", keyCol, mBits, kHashes)
+              "__file", physKey, mBits, kHashes)
             lanes.toSeq.map { case (file, arr) =>
               val name = new Path(file).getName
               val packed = arr.zipWithIndex.collect {
                 case (bits, i) if bits != 0L =>
                   s"$i:${java.lang.Long.toHexString(bits)}"
               }.mkString(",")
-              s"$name\t$keyCol\t$mBits\t$kHashes\t$packed"
+              s"$name\t$physKey\t$mBits\t$kHashes\t$packed"
             }
           }.sorted
           // merge with lines already covering other files; a re-publish
@@ -1813,12 +1822,15 @@ object Versioned {
     val f = fs(spark, path)
     val statsL = new StatsLookup(f)
     val bloomL = new BloomLookup(spark, f)
+    // zone maps and blooms are keyed by the stable PHYSICAL name
+    val physKey = logicalToPhysical(spark, path, version)
+      .getOrElse(keyCol, keyCol)
     val files = vs.flatMap { v =>
       filesOf(f, path, v)
         .filter { fp =>
-          mayIntersect(statsL(fp), keyCol, key, key) &&
+          mayIntersect(statsL(fp), physKey, key, key) &&
             (bloomL(fp) match {
-              case Some((kc, m, kh, lanes)) if kc == keyCol =>
+              case Some((kc, m, kh, lanes)) if kc == physKey =>
                 graft.pipeline.Bloom.testKey(keyS, lanes, m, kh)
               case _ => true
             })

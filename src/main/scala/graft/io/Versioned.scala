@@ -601,28 +601,38 @@ object Versioned {
     }
     def conflicts(x: Int): Boolean =
       if (ck.contains(x)) false
-      else keyCol match {
-        case None => true
-        case Some(kc) => stagedRanges match {
+      else {
+        val dir = new Path(s"$path/v=$x")
+        val parts = f.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        // a data-less commit (mapping/widen metadata, or an empty
+        // insert) touches NO key ranges — never a row conflict. Its
+        // mapping/widen state is not lost either: the publish below
+        // re-resolves the column-mapping snapshot at publish time
+        // ([[refreshColmap]]) and [[publishStaged]] already resolves
+        // the widen snapshot at publish time, so a rename/drop/widen
+        // that committed under this write serializes as "their DDL,
+        // then our rows" (physical ids are stable across renames, so
+        // the staged parts stay valid).
+        if (parts.isEmpty) false
+        else keyCol match {
           case None => true
-          case Some(ours) =>
-            val dir = new Path(s"$path/v=$x")
-            val stats = readStats(f, dir)
-            val parts = f.listStatus(dir)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-            // a data-less commit (mapping/widen metadata) can't be
-            // range-cleared — conservative conflict
-            parts.isEmpty || parts.exists { s =>
-              val st = stats.getOrElse(s.getPath.getName, Map.empty)
-              val empty = st.get("__nrows")
-                .exists { case (_, n, _) => n.toLong == 0L }
-              if (empty) false
-              else st.get(kc) match {
-                case None => true // unknown keys: conservative
-                case Some(theirs) =>
-                  ours.exists(zoneRangesOverlap(_, theirs))
+          case Some(kc) => stagedRanges match {
+            case None => true
+            case Some(ours) =>
+              val stats = readStats(f, dir)
+              parts.exists { s =>
+                val st = stats.getOrElse(s.getPath.getName, Map.empty)
+                val empty = st.get("__nrows")
+                  .exists { case (_, n, _) => n.toLong == 0L }
+                if (empty) false
+                else st.get(kc) match {
+                  case None => true // unknown keys: conservative
+                  case Some(theirs) =>
+                    ours.exists(zoneRangesOverlap(_, theirs))
+                }
               }
-            }
+          }
         }
       }
     val committedBelow = committedAll
@@ -647,8 +657,37 @@ object Versioned {
               "flight below this write's slot") +
           " — the staged commit was aborted; retry the statement")
     }
-    publishStaged(spark, path, v, staging, keep, colmap = colmap)
+    publishStaged(spark, path, v, staging, keep,
+      colmap = refreshColmap(spark, path, v, colmap))
   }
+
+  /** Re-resolve a staged write's column-mapping snapshot AT PUBLISH
+    * TIME: the claim-time snapshot goes stale when a metadata-only
+    * DDL (rename/drop/widen) commits below our slot while the write
+    * executes — publishing the stale snapshot would silently roll the
+    * DDL back for every later reader. The fresh base is the newest
+    * committed mapping below our slot; the write's OWN schema-
+    * evolution extras (physical ids salted `_r$v` with OUR slot, so
+    * no other commit can have minted them) are re-applied on top
+    * unless the concurrent DDL claimed the logical name itself.
+    * Identity when the claim-time snapshot is None (unmapped table —
+    * a table cannot BECOME mapped underneath a running write: the
+    * first rename/drop is itself a commit this publish's conflict
+    * check or the streaming extras guard faces). */
+  private[graft] def refreshColmap(spark: SparkSession, path: String,
+      v: Int, claimSnap: Option[Seq[(String, String)]])
+      : Option[Seq[(String, String)]] =
+    claimSnap.map { snap =>
+      mappingAt(spark, path, v) match {
+        case None => snap
+        case Some(fresh) =>
+          val freshLog = fresh.map(_._1).toSet
+          val freshPhys = fresh.map(_._2).toSet
+          fresh ++ snap.filter { case (l, ph) =>
+            ph.endsWith(s"_r$v") && !freshLog(l) && !freshPhys(ph)
+          }
+      }
+    }
 
   /** [min,max] of `colName` from ONE parquet file's footer, in the
     * `_STATS.tsv` (type, lo, hi) encoding — the OCC narrowing's view
@@ -703,18 +742,27 @@ object Versioned {
     case (("string", alo, ahi), ("string", blo, bhi)) =>
       def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
         .getBytes(UTF_8)
-      def gt(x: Array[Byte], y: Array[Byte]): Boolean = {
-        var i = 0
-        val n = math.min(x.length, y.length)
-        while (i < n) {
-          val c = (x(i) & 0xff) - (y(i) & 0xff)
-          if (c != 0) return c > 0
-          i += 1
-        }
-        x.length > y.length
-      }
-      !(gt(d(alo), d(bhi)) || gt(d(blo), d(ahi)))
+      !(utf8Gt(d(alo), d(bhi)) || utf8Gt(d(blo), d(ahi)))
     case _ => true
+  }
+
+  /** Unsigned byte-wise "x > y" — the order parquet footers compute
+    * string min/max in (unsigned UTF-8 bytes), which diverges from
+    * Java's UTF-16 code-unit order for keys mixing U+E000–U+FFFF
+    * with supplementary-plane characters. EVERY comparison against a
+    * footer-derived string bound must go through this (zone-map
+    * pruning and the OCC narrowing both do): comparing in the wrong
+    * order prunes a file that actually matches — silent missing
+    * rows. */
+  private def utf8Gt(x: Array[Byte], y: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length > y.length
   }
 
   /** ABORT a staged commit: drop the staging dir and release the
@@ -847,20 +895,47 @@ object Versioned {
     * the SAME schema-evolution rule [[commitAt]] applies to DataFrame
     * commits, so a staged DML write and a plain append evolve the
     * mapping identically. Returns (l2p lookup for translating the
-    * write, updated snapshot to hand [[publishStaged]]); (empty, None)
-    * when the table is unmapped. */
+    * write, updated snapshot to hand [[publishStaged]], the EXTRA
+    * logical columns that got fresh ids — a caller whose schema was
+    * fixed against the table up front, like the streaming sink, can
+    * fail loud on non-empty extras: they can only mean concurrent
+    * rename/drop DDL); (empty, None, Nil) when the table is
+    * unmapped. */
   private[graft] def stagedMapping(spark: SparkSession, path: String,
       v: Int, logicalCols: Seq[String])
-      : (Map[String, String], Option[Seq[(String, String)]]) =
+      : (Map[String, String], Option[Seq[(String, String)]], Seq[String]) =
     mappingAt(spark, path, v) match {
-      case None => (Map.empty, None)
+      case None => (Map.empty, None, Nil)
       case Some(ms) =>
         val known = ms.toMap
         val extras = logicalCols.distinct
           .filterNot(MetaCols.contains).filterNot(known.contains)
         val snap = ms ++ extras.map(l => (l, s"${l}_r$v"))
-        (snap.toMap, Some(snap))
+        (snap.toMap, Some(snap), extras)
     }
+
+  /** The highest version reachable from `from` through a CONTIGUOUS
+    * suffix of data-less commits (mapping/widen metadata — no parquet
+    * parts). Row-level DML planning uses this to pin its snapshot AT
+    * HEAD when everything above the standing checkpoint is pure
+    * metadata: the scan still reads the checkpoint's files (a
+    * metadata commit carries no rows), but the mapping resolves
+    * post-DDL and the OCC baseline covers the DDL — without this, a
+    * "compact, RENAME, first UPDATE" sequence would deterministically
+    * abort on its own committed history. Stops at the first commit
+    * WITH data (a concurrent ingest this caller never read must stay
+    * above the snapshot so the conflict check sees it). */
+  private[graft] def metadataOnlySuffixHead(spark: SparkSession,
+      path: String, from: Int): Int = {
+    val f = fs(spark, path)
+    var cur = from
+    versions(spark, path).filter(_ > from).sorted.foreach { x =>
+      if (x == cur + 1 && filesOf(f, path, x).isEmpty) cur = x
+      else if (x > cur + 1) return cur
+      else if (filesOf(f, path, x).nonEmpty) return cur
+    }
+    cur
+  }
 
   /** Rename physical columns to their logical names per the mapping
     * (identity when None). Physical columns NOT in the mapping are
@@ -1053,8 +1128,14 @@ object Versioned {
     * mergeSchema is replaced by a PINNED union-by-name schema with the
     * widened types: the parquet reader upcasts narrow files per file
     * (mergeSchema refuses mixed widths outright). */
+  /** `mapV` pins the column-mapping snapshot the LOGICAL names come
+    * from (default: the slice's own head). A reader that folds a
+    * slice but COMMITS above a later metadata-only rename/drop must
+    * pin the COMMIT-time version — resolving logical names below the
+    * rename would make the committing write mint phantom
+    * schema-evolution ids and split one column's data in two. */
   private[io] def readDirs(spark: SparkSession, path: String,
-      vs: Seq[Int]): DataFrame = {
+      vs: Seq[Int], mapV: Option[Int] = None): DataFrame = {
     require(vs.nonEmpty, s"no committed versions to read at $path")
     val f = fs(spark, path)
     // enumerate FILES, not dirs: an incremental checkpoint's rows are
@@ -1070,7 +1151,7 @@ object Versioned {
         spark.read.schema(physUnionSchema(spark, path,
             dataVersions(spark, path, vs), widen))
           .parquet(files: _*)
-    applyMapping(raw, mappingAt(spark, path, vs.max))
+    applyMapping(raw, mappingAt(spark, path, mapV.getOrElse(vs.max)))
   }
 
   /** Widen-aware PHYSICAL union-by-name schema over version dirs —
@@ -1583,9 +1664,15 @@ object Versioned {
         }
         !(mn.toDouble > asD(hi) || mx.toDouble < asD(lo))
       case Some(("string", mn, mx)) =>
-        val (lS, hS) = (lo.toString, hi.toString)
-        !(java.net.URLDecoder.decode(mn, "UTF-8") > hS ||
-          java.net.URLDecoder.decode(mx, "UTF-8") < lS)
+        // footer bounds were computed in unsigned UTF-8 byte order —
+        // compare the query bounds the same way (see [[utf8Gt]]); a
+        // UTF-16 compare here silently prunes files whose keys mix
+        // U+E000–U+FFFF with supplementary-plane characters
+        def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          .getBytes(UTF_8)
+        val (lB, hB) = (lo.toString.getBytes(UTF_8),
+          hi.toString.getBytes(UTF_8))
+        !(utf8Gt(d(mn), hB) || utf8Gt(lB, d(mx)))
       case _ => true
     }
 
@@ -1640,8 +1727,9 @@ object Versioned {
     * against the (empty) unpruned slice so the schema never depends
     * on which files were skipped. */
   private def readFilesAligned(spark: SparkSession, path: String,
-      vs: Seq[Int], files: Seq[String]): DataFrame = {
-    val full = readDirs(spark, path, vs).filter(lit(false))
+      vs: Seq[Int], files: Seq[String],
+      mapV: Option[Int] = None): DataFrame = {
+    val full = readDirs(spark, path, vs, mapV).filter(lit(false))
     if (files.isEmpty) full // nothing can match; keep the schema
     else {
       val widen = widenAt(spark, path, latestVersion(spark, path))
@@ -1651,7 +1739,7 @@ object Versioned {
         else spark.read.schema(physUnionSchema(spark, path,
             dataVersions(spark, path, vs), widen))
           .parquet(files: _*)
-      applyMapping(raw, mappingAt(spark, path, vs.max))
+      applyMapping(raw, mappingAt(spark, path, mapV.getOrElse(vs.max)))
         .unionByName(full, allowMissingColumns = true)
     }
   }
@@ -1987,7 +2075,10 @@ object Versioned {
       .exists(x => x > c && x <= head)
     val physKey = logicalToPhysical(spark, path, head)
       .getOrElse(keyCol, keyCol)
-    val touched = readDirs(spark, path, dataDeltas)
+    // mapping pinned at HEAD: the fold commits ABOVE any metadata-only
+    // rename between the newest data delta and head, so logical names
+    // must be head's — else commitAt would mint phantom extras
+    val touched = readDirs(spark, path, dataDeltas, mapV = Some(head))
       .select(col(keyCol)).distinct()
     val lookup = new StatsLookup(f)
     val ckFiles = filesOf(f, path, c)
@@ -2029,7 +2120,8 @@ object Versioned {
       dataDeltas.flatMap(x => filesOf(f, path, x)).map(_.toString)
     val sliceVs = c +: dataDeltas
     val resolved = resolve(
-        readFilesAligned(spark, path, sliceVs, foldFiles), keyCol,
+        readFilesAligned(spark, path, sliceVs, foldFiles,
+          mapV = Some(head)), keyCol,
         hasMerges)
       .drop(VersionCol, SeqCol, MergeCol, CkptCol)
     // the rewritten part is key-clustered BY DEFAULT, sized like the

@@ -170,6 +170,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = pathOf(ident)
     // v1 = an empty commit that fixes the schema (the parquet writer
     // emits one zero-row file, so the footer carries the schema)
+    properties.asScala.keys.foreach(GraftCatalog.requireValidCheckName)
     val empty = spark.createDataFrame(
       Collections.emptyList[Row](), schema)
     Versioned.append(empty, path)
@@ -187,7 +188,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = scala.collection.mutable.LinkedHashMap(
       GraftCatalog.readProps(fs, path).toSeq: _*)
     changes.foreach {
-      case s: TableChange.SetProperty => props(s.property) = s.value
+      case s: TableChange.SetProperty =>
+        GraftCatalog.requireValidCheckName(s.property)
+        props(s.property) = s.value
       case r: TableChange.RemoveProperty => props.remove(r.property)
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames.length == 1, "graft catalog: RENAME " +
@@ -333,20 +336,31 @@ private[sources] object GraftCatalog {
 
   /** Named CHECK constraints from `check.<name>` table properties —
     * the single source every write path (INSERT, row-level DML, the
-    * streaming sink) evaluates. Names become aggregate aliases in the
-    * validation pass, so shapes the parser would mangle (dots,
-    * backticks, whitespace) refuse cleanly here instead of surfacing
-    * as a confusing analysis error mid-write. */
+    * streaming sink) evaluates. Name shape is enforced where the
+    * property is SET ([[validCheckName]] in createTable/alterTable,
+    * so the DDL itself refuses), NOT here: the validation pass reads
+    * its counts positionally and `.as(name)` is literal, so a
+    * pre-existing odd name still evaluates — throwing here would make
+    * an already-written table retroactively unwritable. */
   def checkConstraints(props: Map[String, String]): Seq[(String, String)] =
     props.toSeq.collect {
       case (k, v) if k.startsWith("check.") =>
-        val name = k.stripPrefix("check.")
-        require(name.matches("[A-Za-z0-9_-]+"),
-          s"graft CHECK constraint name '$name' is invalid — use " +
-            "[A-Za-z0-9_-]+ (it becomes a column alias in the " +
-            "validation pass)")
-        (name, v)
+        (k.stripPrefix("check."), v)
     }.sortBy(_._1)
+
+  /** Constraint-name shape gate, applied at DDL time (CREATE TABLE
+    * and ALTER ... SET TBLPROPERTIES) — the ALTER refuses instead of
+    * every subsequent write failing. Enforced only on NEWLY SET
+    * properties: a table written before this gate existed keeps
+    * working (grandfathered — see [[checkConstraints]]). */
+  def requireValidCheckName(prop: String): Unit =
+    if (prop.startsWith("check.")) {
+      val name = prop.stripPrefix("check.")
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"graft CHECK constraint name '$name' is invalid — use " +
+          "[A-Za-z0-9_-]+ (it names the constraint in violation " +
+          "reports)")
+    }
 
   def readProps(fs: FileSystem, path: String): Map[String, String] = {
     val p = new Path(path, PropsFile)

@@ -76,23 +76,35 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   private val scanSchema = StructType(dataSchema.fields.map(f =>
     if (f.name == keyCol) f.copy(nullable = false) else f))
 
-  /** The SNAPSHOT this DML reads and the write's conflict guard
-    * checks against. LAZY on purpose: a DELETE the optimizer swaps
-    * for the metadata path never evaluates it (nor the checkpoint
-    * maintenance). A non-checkpoint head gets its checkpoint
-    * maintained incrementally (delta cost) right here, so DML works
-    * at ANY head; the OCC guard then checks against exactly the
-    * version the scan read. Column-mapped tables work through the
-    * same logical→physical translation as every other face: the scan
-    * below pins the physical projection of the logical schema (the
-    * mapping thunk resolves at this snapshot), and the write side
-    * translates its staged parts in [[GraftDeltaBatchWrite]]. */
-  private lazy val snapshotV: Int =
-    Versioned.headCheckpointVersion(spark, path).getOrElse(
+  /** (scanV, snapshotV): the CHECKPOINT this DML's scan reads, and
+    * the SNAPSHOT the mapping resolves at / the write's conflict
+    * guard checks against. LAZY on purpose: a DELETE the optimizer
+    * swaps for the metadata path never evaluates it (nor the
+    * checkpoint maintenance). A non-checkpoint head gets its
+    * checkpoint maintained incrementally (delta cost) right here, so
+    * DML works at ANY head. The two versions differ exactly when the
+    * commits above the checkpoint are ALL metadata-only (rename/
+    * drop/widen — no parquet parts): those carry no rows, so the
+    * scan reads the checkpoint's files either way, but the snapshot
+    * MUST advance to head — planning below a committed rename would
+    * (a) resolve the WRONG (pre-rename) mapping for the scan's
+    * physical projection and (b) spuriously abort the publish on the
+    * rename commit as a phantom interloper ("compact → RENAME →
+    * first UPDATE" failed every time). Column-mapped tables work
+    * through the same logical→physical translation as every other
+    * face: the scan below pins the physical projection of the
+    * logical schema (the mapping thunk resolves at snapshotV), and
+    * the write side translates its staged parts in
+    * [[GraftDeltaBatchWrite]]. */
+  private lazy val resolvedV: (Int, Int) = {
+    val scanV = Versioned.headCheckpointVersion(spark, path).getOrElse(
       Versioned.compactIncremental(spark, path, keyCol))
+    (scanV, Versioned.metadataOnlySuffixHead(spark, path, scanV))
+  }
+  private def snapshotV: Int = resolvedV._2
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, () => Seq(snapshotV), scanSchema,
+    new GraftScanBuilder(spark, path, () => Seq(resolvedV._1), scanSchema,
       mappingThunk =
         () => Versioned.logicalToPhysical(spark, path, snapshotV))
 
@@ -200,7 +212,9 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     claimed = Versioned.beginStagedCommit(spark, path)
-    val (m, snap) = Versioned.stagedMapping(spark, path, claimed._1,
+    // extras (logical columns the mapping has never seen) are LEGAL
+    // here — MERGE schema evolution mints them fresh physical ids
+    val (m, snap, _) = Versioned.stagedMapping(spark, path, claimed._1,
       (rowSchema.fields ++ idSchema.fields).map(_.name).toSeq)
     l2p = m; colmapOut = snap
     GraftDeltaWriterFactory(claimed._2, claimed._1, phys(rowSchema),
@@ -305,8 +319,24 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     claimed = Versioned.beginStagedCommit(spark, path)
-    val (m, snap) = Versioned.stagedMapping(spark, path, claimed._1,
-      rowSchema.fields.map(_.name).toSeq)
+    val (m, snap, extras) = Versioned.stagedMapping(spark, path,
+      claimed._1, rowSchema.fields.map(_.name).toSeq)
+    // the sink schema was validated against the table at query start,
+    // so a logical column the mapping no longer knows can only mean
+    // concurrent rename/drop DDL — minting it a fresh physical id
+    // would silently resurrect a dropped column or split one logical
+    // column's data across two physical ids. Fail the epoch instead
+    // (Delta's fail-on-schema-change for running streams); the user
+    // restarts the query against the new schema.
+    if (extras.nonEmpty) {
+      Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+      throw new IllegalStateException(
+        s"streaming write to $path: column(s) ${extras.mkString(", ")} " +
+          "are no longer in the table's column mapping — a RENAME or " +
+          "DROP COLUMN committed while this query ran. Restart the " +
+          "stream against the current schema (epoch aborted, nothing " +
+          "published).")
+    }
     l2p = m; colmapOut = snap
     GraftStreamingWriterFactory(claimed._2, claimed._1,
       StructType(rowSchema.fields.map(f =>
@@ -332,8 +362,13 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
           Versioned.abortStaged(spark, path, claimed._1, claimed._2)
           throw e
       }
+      // colmap re-resolved at publish: a rename that committed DURING
+      // this epoch (after the factory snapshotted the mapping) must
+      // not be rolled back by publishing the stale snapshot
       Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
-        markers = Seq(marker(epochId)), colmap = colmapOut)
+        markers = Seq(marker(epochId)),
+        colmap = Versioned.refreshColmap(spark, path, claimed._1,
+          colmapOut))
       ()
     }
   }

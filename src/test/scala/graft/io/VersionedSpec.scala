@@ -1266,8 +1266,9 @@ class VersionedSpec extends SparkSpec {
       .as[Long].head() == (300L * 37) % 400)
   }
 
-  test("row-level DML scan refuses column-mapped tables up front " +
-      "(fail-loud before any scan plans, no staging garbage)") {
+  test("row-level DML works when the head is a metadata-only RENAME " +
+      "above the checkpoint (snapshot advances to head: post-rename " +
+      "mapping, no phantom OCC conflict)") {
     val wh = "target/tmp/graft-sql-warehouse-mapdml"
     spark.conf.set("spark.sql.catalog.graft_mapdml",
       "graft.sources.GraftCatalog")
@@ -1279,18 +1280,94 @@ class VersionedSpec extends SparkSpec {
     spark.sql("CALL graft_mapdml.system.compact('mt')")
     spark.sql("ALTER TABLE graft_mapdml.mt RENAME COLUMN x TO y")
     val p = s"$wh/mt"
-    val before = Versioned.latestVersion(spark, p)
-    val e = intercept[Exception] {
-      spark.sql("UPDATE graft_mapdml.mt SET y = 99 WHERE k = 1")
-    }
-    assert(e.getMessage.contains("column mapping"),
-      s"unexpected error: ${e.getMessage}")
-    assert(Versioned.latestVersion(spark, p) == before)
-    // a translatable DELETE still works on the mapped table (metadata
-    // path — never builds the row-level scan)
+    // the head is now the rename commit (data-less) above the
+    // checkpoint — the exact shape that used to abort with a
+    // spurious "committed concurrently" OCC conflict and resolve
+    // the PRE-rename (empty) mapping for the scan
+    spark.sql("UPDATE graft_mapdml.mt SET y = 99 WHERE k = 1")
+    val cur = Versioned.current(spark, p, "k")
+    assert(Set("k", "y").subsetOf(cur.columns.toSet) &&
+      !cur.columns.contains("x"))
+    assert(cur.filter(col("k") === 1L).select("y").as[Int].head() == 99)
+    assert(cur.filter(col("k") === 2L).select("y").as[Int].head() == 20)
+    // the update's commit re-snapshotted the POST-rename mapping —
+    // a later reader at head must not see the rename rolled back
+    assert(Versioned.logicalToPhysical(spark, p,
+      Versioned.latestVersion(spark, p)).get("y").contains("x"))
+    // physical bytes untouched: the stored column is still 'x'
+    // consecutive DML with no interleaving data commit: the second
+    // statement plans above the first's delta (fresh incremental
+    // checkpoint), still through the mapping
+    spark.sql("UPDATE graft_mapdml.mt SET y = y + 1 WHERE k = 2")
+    assert(Versioned.current(spark, p, "k")
+      .filter(col("k") === 2L).select("y").as[Int].head() == 21)
+    // a second rename directly on top (metadata-only again), then a
+    // DELETE through the metadata path and a MERGE-free UPDATE
+    spark.sql("ALTER TABLE graft_mapdml.mt RENAME COLUMN y TO z")
+    spark.sql("UPDATE graft_mapdml.mt SET z = 0 WHERE k = 1")
     spark.sql("DELETE FROM graft_mapdml.mt WHERE k = 2")
-    assert(Versioned.current(spark, p, "k").select("k").collect()
-      .map(_.getLong(0)).toSeq == Seq(1L))
+    // every commit's colmap stayed coherent: the incremental fold
+    // under UPDATE-after-rename must NOT mint a phantom extra for the
+    // old logical name (it reads the slice with HEAD's mapping)
+    Versioned.versions(spark, p).foreach { v =>
+      val m = Versioned.logicalToPhysical(spark, p, v)
+      assert(!m.values.exists(_.startsWith("y_r")),
+        s"v=$v minted a phantom physical id for a renamed column: $m")
+    }
+    val fin = Versioned.current(spark, p, "k")
+    assert(Set("k", "z").subsetOf(fin.columns.toSet) &&
+      !fin.columns.contains("y"))
+    assert(fin.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(fin.select("z").as[Int].head() == 0)
+  }
+
+  test("mapped tables: zone-range, snapshotRange, and bloom point " +
+      "lookup all prune on a RENAMED key column, same answers") {
+    val p = freshPath("mapprune")
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 97).as("x"))
+    // range-clustered ingest: each file covers a disjoint key slice
+    Versioned.append(base.repartitionByRange(8, col("k")), p)    // v1
+    Versioned.renameColumn(spark, p, "k", "kid")                 // v2
+    Versioned.renameColumn(spark, p, "x", "score")               // v3
+    Versioned.append(Seq((17L, 999L)).toDF("kid", "score"), p)   // v4
+    // zone-range pruning translates the logical key to physical 'k'
+    val full = Versioned.current(spark, p, "kid")
+    val ranged = Versioned.currentRange(spark, p, "kid", 10L, 40L)
+    val expect = full.filter(col("kid").between(10, 40))
+      .select("kid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ranged.select("kid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(expect((17L, 999L)))
+    assert(ranged.inputFiles.length < full.inputFiles.length,
+      s"zone maps pruned nothing on the renamed key: " +
+        s"${ranged.inputFiles.length} of ${full.inputFiles.length}")
+    // snapshotRange on the mapped checkpoint, via the renamed NON-key
+    // column too (stats are keyed by the stable physical ids)
+    val cp = Versioned.compact(spark, p, "kid")
+    val sr = Versioned.snapshotRange(spark, p, cp, "kid", 10L, 40L)
+    assert(sr.select("kid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(sr.inputFiles.nonEmpty)
+    // bloom index + point lookup under the mapping: hash-spread delta
+    // so zone maps alone can't prune it, then index and look up
+    Versioned.append(spark.range(4000, 8000)
+      .select(col("id").as("kid"), (col("id") % 97).as("score"))
+      .repartition(8, col("kid")), p)
+    Versioned.delete(Seq(Tuple1(4100L)).toDF("kid"), p)
+    assert(Versioned.bloomIndex(spark, p, "kid") > 0)
+    def row(k: Long) = Versioned.currentPoint(spark, p, "kid", k)
+      .select("kid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(row(17L) == Seq((17L, 999L)))
+    assert(row(4567L) == Seq((4567L, 4567L % 97)))
+    assert(row(4100L).isEmpty)   // tombstone not skipped
+    assert(row(999999L).isEmpty) // absent
+    val lookedUp = Versioned.currentPoint(spark, p, "kid", 4567L)
+    assert(lookedUp.inputFiles.length <
+      Versioned.current(spark, p, "kid").inputFiles.length,
+      "bloom + zone pruning opened every file on the mapped table")
   }
 
   test("column-mapped tables read through the mapping-aware V2 " +

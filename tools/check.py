@@ -29,7 +29,13 @@ DRIFT_FLOOR = 0.15    # ...and at least this many absolute seconds slower
 #   Expand), so a real plan regression cannot hide here — the scatter
 #   is the two-shuffle distinct-aggregate's sensitivity to host load
 #   at sub-second absolute cost.
+# The exemption is BOUNDED (r13 verdict #3): a bimodal row still flags
+# when it blows past BIMODAL_RATIO x its adjudicated scatter or the
+# absolute ceiling — bimodality excuses 1.5-2x churn, not a gross
+# regression hiding behind the label forever.
 KNOWN_BIMODAL = {"q_profile"}
+BIMODAL_RATIO = 3.0    # > 3x the (median-normalized) baseline: flag anyway
+BIMODAL_CEIL = 3.0     # ...or > this many absolute seconds: flag anyway
 
 
 def load_bench(path):
@@ -52,7 +58,10 @@ def drift_candidates(base, run):
         if b is None or b <= 0:
             continue  # new query or degenerate baseline: nothing to gate
         if q in KNOWN_BIMODAL:
-            continue  # adjudicated noisy row (plan spec-pinned elsewhere)
+            # adjudicated noisy row (plan spec-pinned elsewhere) — but
+            # only within its adjudicated band; a gross blowout flags
+            if t < b * med * BIMODAL_RATIO and t < BIMODAL_CEIL:
+                continue
         if t >= b * med * DRIFT_RATIO and t - b * med >= DRIFT_FLOOR:
             out[q] = (b, t)
     return out

@@ -1317,6 +1317,65 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("id"))
   }
 
+  /** BM25 served from an index maintained INCREMENTALLY: base build of
+    * two thirds of the corpus, the last third appended as a delta
+    * generation, ~9% of docs deleted, then [[Search.compactIncremental]]
+    * (bucket-granular fold: only dirty token buckets rewritten, clean
+    * bucket dirs carried by reference, tombstones consolidated into
+    * the base's snapshot) + [[Search.vacuum]] (which must keep every
+    * carried dir). The serve must equal the BM25 oracle over exactly
+    * the LIVE documents — certifying postings, the carried buckets,
+    * the consolidated tombstones AND the corpus constants (which ride
+    * the marker stats deltas through the fold) in one row. */
+  def searchBm25Inc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/searchidx-inc-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val idx = Search.writeIndex(
+          docs.filter(col("doc_id") % 3 =!= lit(2)),
+          "doc_id", "text", path)
+        Search.append(docs.filter(col("doc_id") % 3 === lit(2)),
+          "doc_id", "text", idx)
+        Search.delete(docs.filter(col("doc_id") % 11 === lit(0))
+          .select("doc_id"), "doc_id", idx)
+        Search.compactIncremental(spark, idx)
+        Search.vacuum(spark, idx)
+        ()
+      })
+    }
+    Search.searchBm25(spark, Search.open(spark, path), SearchTerms,
+        topK = 20)
+      .orderBy(col("score").desc, col("id"))
+  }
+
+  val searchBm25IncSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+       |t AS (SELECT doc_id,
+       |             unnest(string_split(text, ' ')) AS tok,
+       |             len(string_split(text, ' ')) AS dlen
+       |           FROM live),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM live),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Minimum-should-match search ([[Search.searchAny]], 2 of 3 terms):
     * the OR-with-threshold retrieval mode between pure conjunction and
     * pure disjunction, on the same bucket-pruned postings read. */
@@ -2598,6 +2657,44 @@ object PipelineQueries {
         val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path,
           centroids = Some(centroids), cbBuckets = 4)
         VecIndex.append(emb.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    VecIndex.ivfTopK(spark,
+        emb.filter(col("id") < 50), VecIndex.open(spark, path), 2, 3)
+      .orderBy("qid", "nid")
+  }
+
+  /** IVF serve from an INCREMENTALLY-maintained generational index:
+    * same lifecycle as q_ann_ivf_gen plus a re-embed cycle (delete +
+    * re-append of one id), then [[VecIndex.compactIncremental]] — the
+    * cluster-granular fold that rewrites only the cb buckets the
+    * delta generations touched and CARRIES the clean cluster dirs by
+    * reference — and [[VecIndex.vacuum]] (which must keep every
+    * carried dir). The live set equals the full corpus, so the serve
+    * must be IDENTICAL to the inline `q_ann_ivf` (same oracle SQL):
+    * a lost carried cluster surfaces as missing neighbors, a broken
+    * tombstone consolidation as a duplicated nid. */
+  def annIvfInc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-ivfinc-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = emb.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(emb.filter(col("id") <= half), 64, path,
+          centroids = Some(centroids), cbBuckets = 8)
+        VecIndex.append(emb.filter(col("id") > half), idx)
+        import spark.implicits._
+        VecIndex.delete(Seq(5L).toDF("id"), "id", idx)
+        VecIndex.append(emb.filter(col("id") === 5L), idx)
+        VecIndex.compactIncremental(spark, idx)
+        VecIndex.vacuum(spark, idx)
         ()
       })
     }
@@ -3945,6 +4042,7 @@ object PipelineQueries {
     "q_search_bm25" -> searchBm25 _,
     "q_search_bm25_call" -> searchBm25Call _,
     "q_search_bm25_stream" -> searchBm25Stream _,
+    "q_search_inc_maintain" -> searchBm25Inc _,
     "q_search_phrase" -> searchPhrase _,
     "q_search_any" -> searchAny _,
     "q_search_near" -> searchNear _,
@@ -3975,6 +4073,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinaryRest _,
     "q_ann_binary_gen" -> annBinaryGen _,
     "q_ann_ivf_gen" -> annIvfGen _,
+    "q_ann_ivf_inc" -> annIvfInc _,
     "q_ann_binary_ivf_gen" -> annBinaryIvfGen _,
     "q_ann_ivf_retrain" -> annIvfRetrain _,
     "q_ann_binary_stream" -> annBinaryStream _,
@@ -4042,6 +4141,7 @@ object PipelineQueries {
     "q_search_bm25" -> searchBm25Sql,
     "q_search_bm25_call" -> searchBm25Sql, // CALL face == inline serve
     "q_search_bm25_stream" -> searchBm25Sql,  // streaming ingest, same live set
+    "q_search_inc_maintain" -> searchBm25IncSql,
     "q_search_phrase" -> searchPhraseSql,
     "q_search_any" -> searchAnySql,
     "q_search_near" -> searchNearSql,
@@ -4072,6 +4172,7 @@ object PipelineQueries {
     "q_ann_binary_rest" -> annBinarySql,  // identical output to the inline path
     "q_ann_binary_gen" -> annBinarySql,   // generational lifecycle, same live set
     "q_ann_ivf_gen" -> annIvfSql,         // generational lifecycle, same live set
+    "q_ann_ivf_inc" -> annIvfSql,         // incremental fold + vacuum, same live set
     "q_ann_binary_ivf_gen" -> annBinaryIvfGenSql,
     "q_ann_ivf_retrain" -> annIvfRetrainSql,
     "q_ann_binary_stream" -> annBinarySql, // streaming-ingested index, same live set

@@ -116,6 +116,79 @@ object GenLog {
 
   def commitsDir(path: String): Path = new Path(path, "commits")
 
+  // ---------- carry manifests (incremental compaction) ----------
+
+  /** An INCREMENTAL base generation rewrites only the partition dirs
+    * its deltas touched and CARRIES the clean ones by reference: a
+    * `_CARRY.tsv` manifest inside the base's data dir lists
+    * `<partDirName>\t<absolute dir path>` lines. Carried entries stay
+    * addressed at their CURRENT home (a chain of incremental bases
+    * copies the address forward — no transitive manifest walk), the
+    * same contract as [[Versioned]]'s manifest-carrying checkpoints.
+    * Readers resolve a generation through [[genPaths]]; [[vacuum]]
+    * keeps any dir the newest base still references. */
+  val CarryFile = "_CARRY.tsv"
+
+  private def carryPath(path: String, dataDir: String, g: Int): Path =
+    new Path(s"$path/$dataDir/gen=$g", CarryFile)
+
+  /** The base's own `k=v` partition subdirs (manifest/marker files
+    * excluded). */
+  private def ownParts(f: FileSystem, dir: Path): Seq[Path] =
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains('='))
+      .map(_.getPath)
+
+  /** Carry-manifest entries of generation `g` (empty = none/absent):
+    * partDirName → absolute dir path. */
+  def carryEntries(spark: SparkSession, f: FileSystem, path: String,
+      dataDir: String, g: Int): Map[String, String] = {
+    val p = carryPath(path, dataDir, g)
+    if (!f.exists(p)) Map.empty
+    else LogStore.forSession(spark).readSmall(f, p)
+      .split('\n').filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }.toMap
+  }
+
+  /** Publish the carry manifest for an incremental base (atomic; must
+    * land BEFORE the generation's commit marker — the marker is the
+    * commit point, so a crash in between leaves an invisible orphan). */
+  def writeCarry(spark: SparkSession, f: FileSystem, path: String,
+      dataDir: String, g: Int, entries: Map[String, String]): Unit = {
+    f.mkdirs(new Path(s"$path/$dataDir/gen=$g"))
+    LogStore.forSession(spark).writeAtomic(f, carryPath(path, dataDir, g),
+      entries.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+        .mkString("", "\n", "\n"))
+  }
+
+  /** The EFFECTIVE partition-dir map of generation `g`: its own part
+    * dirs plus manifest-carried references (own dirs win — a rewrite
+    * supersedes the reference). What the next incremental base folds
+    * from and copies forward. */
+  def effectiveParts(spark: SparkSession, f: FileSystem, path: String,
+      dataDir: String, g: Int): Map[String, String] =
+    carryEntries(spark, f, path, dataDir, g) ++
+      ownParts(f, new Path(s"$path/$dataDir/gen=$g"))
+        .map(p => p.getName -> f.makeQualified(p).toString)
+
+  /** Carry-aware read paths for generation `g` under `dataDir`: the
+    * gen dir itself when no manifest exists (every non-incremental
+    * generation — one path, zero extra listings), else its own part
+    * dirs plus the carried refs. All paths stay under the same
+    * `<path>/<dataDir>` basePath root, so partition-column parsing
+    * (gen, and the bucket column) keeps working — carried rows keep
+    * their ORIGINAL gen value, which is exactly what the gen-aware
+    * tombstone anti-join needs. */
+  def genPaths(spark: SparkSession, f: FileSystem, path: String,
+      dataDir: String, g: Int): Seq[String] = {
+    val dir = new Path(s"$path/$dataDir/gen=$g")
+    if (!f.exists(carryPath(path, dataDir, g))) Seq(dir.toString)
+    else effectiveParts(spark, f, path, dataDir, g).values.toSeq.sorted
+  }
+
   /** Committed generation metas, ascending by generation. */
   def metas(spark: SparkSession, f: FileSystem, path: String): Seq[Meta] = {
     val dir = commitsDir(path)
@@ -249,6 +322,18 @@ object GenLog {
     val base = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(ms.head.gen)
     val doomed = ms.map(_.gen).filter(_ < base)
+    // dirs the newest base still CARRIES BY REFERENCE (incremental
+    // compaction) must survive any sweep — they ARE the base's data
+    val refs: Map[String, Set[String]] = dataDirs.map(d =>
+      d -> carryEntries(spark, f, path, d, base).values
+        .map(p => f.makeQualified(new Path(p)).toString).toSet).toMap
+    def sweep(dir: Path, live: Set[String]): Unit = {
+      if (!f.exists(dir)) return
+      val q = f.makeQualified(dir).toString
+      if (live.contains(q)) return
+      if (!live.exists(_.startsWith(q + "/"))) { f.delete(dir, true); () }
+      else f.listStatus(dir).foreach(s => sweep(s.getPath, live))
+    }
     val store = LogStore.forSession(spark)
     doomed.foreach { g =>
       // marker first: a half-vacuumed generation must be invisible,
@@ -260,7 +345,8 @@ object GenLog {
       // forever behind deleted mirror files.
       store.delete(f, new Path(commitsDir(path), g.toString))
       store.delete(f, new Path(commitsDir(path), s".claim-$g"))
-      dataDirs.foreach(d => f.delete(new Path(s"$path/$d/gen=$g"), true))
+      dataDirs.foreach(d =>
+        sweep(new Path(s"$path/$d/gen=$g"), refs(d)))
     }
     val now = System.currentTimeMillis()
     val committed = metas(spark, f, path).map(_.gen).toSet
@@ -276,8 +362,18 @@ object GenLog {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
           .filter(s =>
             !committed(s.getPath.getName.stripPrefix("gen=").toInt))
-          .filter(s => now - s.getModificationTime > staleAfterMs)
-          .foreach(s => f.delete(s.getPath, true))
+          .filter { s =>
+            // a markerless dir BELOW the newest base is provably dead
+            // (structural commits refuse while a lower slot is claimed
+            // unpublished, so no in-flight writer can exist down
+            // there) — typically an incremental base's carried-from
+            // remnant whose references just lapsed. Dirs at or above
+            // the base keep the age guard: they may be an in-flight
+            // appender's work.
+            s.getPath.getName.stripPrefix("gen=").toInt < base ||
+              now - s.getModificationTime > staleAfterMs
+          }
+          .foreach(s => sweep(s.getPath, refs(d)))
     }
     doomed
   }

@@ -281,8 +281,93 @@ object Search {
   }
 
   /**
+   * INCREMENTAL compact: fold the delta generations into a new base at
+   * DELTA COST — rewrite only the token buckets the deltas touched,
+   * CARRY every clean bucket dir of the previous base by reference
+   * (`_CARRY.tsv` manifest, the same contract as
+   * [[graft.io.Versioned]]'s manifest-carrying incremental
+   * checkpoints). At 100 TB this is the maintenance path: steady
+   * ingest touches the buckets of ITS tokens only, so a maintenance
+   * run costs O(delta + dirty buckets), never O(index) — the full
+   * [[compact]] rewrite becomes the rare defrag.
+   *
+   * Tombstones are applied to the buckets being rewritten; the live
+   * tombstone set is consolidated into the new base's own
+   * `tombs/gen=<base>` snapshot because CARRIED buckets still hold
+   * dead docs' postings — the read-side anti-join keeps them hidden
+   * (gen-aware: the snapshot rides at the base's gen, so rewritten
+   * rows outrank it and carried rows don't). Only a full [[compact]]
+   * purges dead postings physically and drops the snapshot.
+   *
+   * The docs sidecar (one row per live doc — orders of magnitude
+   * smaller than postings with their position arrays) is rewritten
+   * consolidated each fold, keeping [[delete]]'s stats lookups
+   * single-generation-bounded.
+   *
+   * Falls back to [[compact]] when no base exists yet. No-op (returns
+   * the index, no new generation) when nothing committed above the
+   * base. Same structural-commit guard as [[compact]].
+   */
+  def compactIncremental(spark: SparkSession, idx: Index): Index = {
+    val f = fsOf(spark, idx.path)
+    val ms = liveMetas(spark, f, idx.path)
+    val baseGen = ms.filter(_.kind == KindBase).map(_.gen).maxOption
+      .getOrElse(return compact(spark, idx))
+    if (ms.forall(_.gen == baseGen)) return idx // nothing to fold
+    val g = claimGen(spark, f, idx.path)
+    requireNoInflightBelow(spark, f, idx.path, g, "compactIncremental")
+    val segs = ms.filter(m => m.kind != KindDel && m.gen != baseGen)
+    val dels = ms.filter(_.kind == KindDel)
+    // dirty buckets: every tb=K dir some delta segment wrote (a
+    // driver-side listing per segment, <= nBuckets entries each)
+    val dirty: Set[String] = segs.flatMap { m =>
+      val dir = new Path(s"${idx.path}/post/gen=${m.gen}")
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+        .map(_.getPath.getName)
+    }.toSet
+    val eff = GenLog.effectiveParts(spark, f, idx.path, "post", baseGen)
+    val carried = eff -- dirty
+    if (dirty.nonEmpty) {
+      // fold ONLY the dirty buckets: previous base's dirty dirs + the
+      // delta segments, tombstones applied gen-aware while we're here
+      val srcPaths = dirty.toSeq.sorted.flatMap(eff.get) ++
+        segs.flatMap(m =>
+          GenLog.genPaths(spark, f, idx.path, "post", m.gen))
+      val src = spark.read.option("basePath", s"${idx.path}/post")
+        .parquet(srcPaths: _*)
+      antiTombs(spark, f, idx.path, ms, src)
+        .select("id", "tok", "tf", "dlen", "positions")
+        .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
+        .repartition(col("tb")).sortWithinPartitions("tok")
+        .write.mode("overwrite").option("parquet.block.size", 1 << 20)
+        .partitionBy("tb").parquet(s"${idx.path}/post/gen=$g")
+    } else f.mkdirs(new Path(s"${idx.path}/post/gen=$g"))
+    GenLog.writeCarry(spark, f, idx.path, "post", g, carried)
+    // consolidated docs sidecar (live docs only — small)
+    liveDocs(spark, f, idx.path)
+      .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
+    // consolidated tombstone snapshot for the carried buckets' dead
+    // rows (distinct ids; gen partition value becomes g via the read)
+    val tombDirs = (dels.map(_.gen) :+ baseGen)
+      .map(x => new Path(s"${idx.path}/tombs/gen=$x"))
+      .filter(f.exists).map(_.toString)
+    if (tombDirs.nonEmpty) {
+      spark.read.parquet(tombDirs: _*).select("id").distinct()
+        .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
+    }
+    val (n, s) = (ms.map(_.a).sum, ms.map(_.b).sum)
+    val watermarks = GenLog.foldedBatchMaxes(ms)
+    GenLog.publish(spark, f, idx.path, g, KindBase, n, s, idx.nBuckets,
+      fold = watermarks.getOrElse("", -1L), folds = watermarks - "")
+    idx
+  }
+
+  /**
    * Retention: reclaim generation dirs + markers BELOW the newest base
-   * (their content is subsumed by the base rewrite), stale claim files,
+   * (their content is subsumed by the base rewrite — an INCREMENTAL
+   * base's manifest-carried dirs are kept in place), stale claim files,
    * and orphan data dirs whose generation never committed (age-guarded
    * so an in-flight writer's work survives). Returns reclaimed
    * generation numbers. Must not run concurrently with readers of
@@ -311,9 +396,14 @@ object Search {
   private def postings(spark: SparkSession, idx: Index): DataFrame = {
     val f = fsOf(spark, idx.path)
     val ms = liveMetas(spark, f, idx.path)
+    // carry-aware: an incremental base contributes its own rewritten
+    // bucket dirs PLUS its manifest-carried refs (which keep their
+    // original gen partition value — exactly what the gen-aware
+    // tombstone anti-join needs)
     val post = spark.read.option("basePath", s"${idx.path}/post")
       .parquet(ms.filter(_.kind != KindDel)
-        .map(m => s"${idx.path}/post/gen=${m.gen}"): _*)
+        .flatMap(m =>
+          GenLog.genPaths(spark, f, idx.path, "post", m.gen)): _*)
     antiTombs(spark, f, idx.path, ms, post)
   }
 
@@ -325,7 +415,15 @@ object Search {
     * delete+append composes as the update cycle. */
   private def antiTombs(spark: SparkSession, f: FileSystem, path: String,
       ms: Seq[Meta], df: DataFrame): DataFrame = {
-    val dels = ms.filter(_.kind == KindDel)
+    // delete generations, PLUS an incremental base's consolidated
+    // tombstone snapshot (its carried postings still hold the dead
+    // docs' rows — only a FULL compact purges them physically). The
+    // snapshot rides at the base's own gen, so rows the base rewrote
+    // (gen = base) are never killed by it while carried rows
+    // (gen < base) are.
+    val dels = ms.filter(_.kind == KindDel) ++
+      ms.filter(m => m.kind == KindBase &&
+        f.exists(new Path(s"$path/tombs/gen=${m.gen}")))
     if (dels.isEmpty) df
     else {
       val t = spark.read.option("basePath", s"$path/tombs")

@@ -455,7 +455,8 @@ object VecIndex {
     val segCbvs = ms.filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
     val cols = spark.read.option("basePath", s"${idx.path}/vecs")
       .parquet(ms.filter(_.kind != GenLog.KindDel)
-        .map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
+        .flatMap(m =>
+          GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
       .schema.fieldNames.toSeq.filterNot(c => c == "cb" || c == "gen")
     val live = liveVecs(spark, idx, cols)
     writeGen(live, idx, g)
@@ -471,6 +472,102 @@ object VecIndex {
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
       idx.cbBuckets, fold = watermarks.getOrElse("", -1L),
       cbv = segCbvs.head, folds = watermarks - "")
+    idx
+  }
+
+  /** INCREMENTAL compact: fold the delta generations into a new base
+    * at DELTA COST — rewrite only the `cb` cluster buckets the deltas
+    * touched, CARRY every clean bucket dir of the previous base by
+    * reference (`_CARRY.tsv`, the same manifest contract as
+    * [[Search.compactIncremental]] and [[graft.io.Versioned]]'s
+    * incremental checkpoints). Maintenance on a 100 TB vector corpus
+    * costs O(delta + dirty clusters), never O(index); the full
+    * [[compact]] rewrite becomes the rare defrag that also purges
+    * dead rows physically. Tombstones are applied to rewritten
+    * clusters and consolidated into the base's own snapshot for the
+    * carried ones (gen-aware read keeps them hidden). Same codebook-
+    * version unify requirement and structural-commit guard as
+    * [[compact]]; FLAT layouts (no cluster dirs) delegate to the full
+    * rewrite — there is no partition unit to carry. Falls back to
+    * [[compact]] when no base exists; no-op when nothing committed
+    * above it. */
+  def compactIncremental(spark: SparkSession, idx: Index): Index = {
+    val f = fsOf(spark, idx.path)
+    if (idx.cbBuckets <= 0) return compact(spark, idx)
+    val preCbvs = GenLog.liveMetas(spark, f, idx.path)
+      .filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
+    require(preCbvs.size == 1, s"compactIncremental at ${idx.path}: " +
+      s"live generations span codebook versions " +
+      s"${preCbvs.sorted.mkString(",")} — run reencode (retrain " +
+      "stage 2) to unify them first")
+    val ms = GenLog.liveMetas(spark, f, idx.path)
+    val baseGen = ms.filter(_.kind == GenLog.KindBase).map(_.gen)
+      .maxOption.getOrElse(return compact(spark, idx))
+    if (ms.forall(_.gen == baseGen)) return idx // nothing to fold
+    val segs = ms.filter(m => m.kind != GenLog.KindDel && m.gen != baseGen)
+    val dels = ms.filter(_.kind == GenLog.KindDel)
+    // a FLAT-LAYOUT generation (parquet parts directly in the gen dir
+    // — binary-only indexes with no cluster column) has no partition
+    // unit to fold or carry: delegate to the full rewrite, which
+    // handles any layout. Checked on base AND segments, BEFORE
+    // claiming a slot (the refusal path must leave no stale claim).
+    def isFlat(gen: Int): Boolean = {
+      val dir = new Path(s"${idx.path}/vecs/gen=$gen")
+      f.exists(dir) && f.listStatus(dir).exists(s =>
+        !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+    }
+    if (isFlat(baseGen) || segs.exists(m => isFlat(m.gen)))
+      return compact(spark, idx)
+    val g = GenLog.claimGen(spark, f, idx.path)
+    GenLog.requireNoInflightBelow(spark, f, idx.path, g,
+      "compactIncremental")
+    val dirty: Set[String] = segs.flatMap { m =>
+      val dir = new Path(s"${idx.path}/vecs/gen=${m.gen}")
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cb="))
+        .map(_.getPath.getName)
+    }.toSet
+    val eff = GenLog.effectiveParts(spark, f, idx.path, "vecs", baseGen)
+    val carried = eff -- dirty
+    if (dirty.nonEmpty) {
+      val srcPaths = dirty.toSeq.sorted.flatMap(eff.get) ++
+        segs.flatMap(m =>
+          GenLog.genPaths(spark, f, idx.path, "vecs", m.gen))
+      val raw = spark.read.option("basePath", s"${idx.path}/vecs")
+        .parquet(srcPaths: _*)
+      // gen-aware tombstone resolve (same rule as liveVecs)
+      val t =
+        if (dels.isEmpty &&
+            !f.exists(new Path(s"${idx.path}/tombs/gen=$baseGen"))) raw
+        else {
+          val tDirs = (dels.map(_.gen) :+ baseGen)
+            .map(x => s"${idx.path}/tombs/gen=$x")
+            .filter(d => f.exists(new Path(d)))
+          val tt = spark.read.option("basePath", s"${idx.path}/tombs")
+            .parquet(tDirs: _*)
+            .select(col("id").as("__tid"), col("gen").as("__tgen"))
+          raw.join(tt,
+            raw("id") === tt("__tid") && raw("gen") < tt("__tgen"),
+            "left_anti")
+        }
+      val cols = raw.schema.fieldNames.toSeq
+        .filterNot(c => c == "cb" || c == "gen")
+      writeGen(t.select(cols.map(col): _*), idx, g)
+    } else f.mkdirs(new Path(s"${idx.path}/vecs/gen=$g"))
+    GenLog.writeCarry(spark, f, idx.path, "vecs", g, carried)
+    val tombDirs = (dels.map(_.gen) :+ baseGen)
+      .map(x => new Path(s"${idx.path}/tombs/gen=$x"))
+      .filter(f.exists).map(_.toString)
+    if (tombDirs.nonEmpty) {
+      spark.read.parquet(tombDirs: _*).select("id").distinct()
+        .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
+    }
+    val n = ms.map(_.a).sum
+    val watermarks = GenLog.foldedBatchMaxes(ms)
+    GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
+      idx.cbBuckets, fold = watermarks.getOrElse("", -1L),
+      cbv = preCbvs.head, folds = watermarks - "")
     idx
   }
 
@@ -513,10 +610,19 @@ object VecIndex {
     val ms = GenLog.liveMetas(spark, f, idx.path)
     val segs = ms.filter(_.kind != GenLog.KindDel)
       .filter(m => gens.forall(_.contains(m.gen)))
+    // carry-aware: an incremental base contributes its own rewritten
+    // cluster dirs plus its manifest-carried refs (original gen
+    // partition values — what the gen-aware anti-join needs)
     val raw = spark.read.option("basePath", s"${idx.path}/vecs")
-      .parquet(segs.map(m => s"${idx.path}/vecs/gen=${m.gen}"): _*)
+      .parquet(segs.flatMap(m =>
+        GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
     val filtered = preFilter.map(raw.filter).getOrElse(raw)
-    val dels = ms.filter(_.kind == GenLog.KindDel)
+    // delete generations, plus an incremental base's consolidated
+    // tombstone snapshot (carried lists still hold dead rows; the
+    // snapshot rides at the base's gen so rewritten rows outrank it)
+    val dels = ms.filter(_.kind == GenLog.KindDel) ++
+      ms.filter(m => m.kind == GenLog.KindBase &&
+        f.exists(new Path(s"${idx.path}/tombs/gen=${m.gen}")))
     val resolved =
       if (dels.isEmpty) filtered
       else {

@@ -268,6 +268,29 @@ private[sources] object GraftProcedures {
             s"index_compact: kind must be 'search' or 'vector', got '$other'")
         }
       }),
+    new Proc("index_compact_incremental",
+      "fold an at-rest text or vector index's delta generations into " +
+        "a new base at DELTA COST: only the token buckets / cluster " +
+        "dirs the deltas touched are rewritten, clean ones are " +
+        "carried by reference (path-addressed; kind = 'search' | " +
+        "'vector'); the 100 TB maintenance path — run the full " +
+        "index_compact occasionally to purge tombstoned rows physically",
+      Seq(in("index_path", StringType), in("kind", StringType)),
+      versionOut,
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        str(row, 1, "kind") match {
+          case "search" =>
+            Search.compactIncremental(spark, Search.open(spark, p))
+            oneVersion(1)
+          case "vector" =>
+            VecIndex.compactIncremental(spark, VecIndex.open(spark, p))
+            oneVersion(1)
+          case other => sys.error(
+            "index_compact_incremental: kind must be 'search' or " +
+              s"'vector', got '$other'")
+        }
+      }),
     new Proc("index_delete",
       "tombstone documents/vectors out of an at-rest index by id " +
         "(path-addressed; kind = 'search' | 'vector'; ids as a comma-" +

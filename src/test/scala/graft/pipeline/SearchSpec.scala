@@ -363,6 +363,100 @@ class SearchSpec extends SparkSpec {
     assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
   }
 
+  test("compactIncremental: rewrites only dirty buckets, carries clean " +
+      "bucket dirs by reference; answers, tombstones, exactly-once and " +
+      "vacuum hold across chained folds; full compact purges") {
+    val root = "target/tmp/search-inc-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ownParts(g: Int): Set[String] =
+      Option(new java.io.File(s"$root/post/gen=$g").list())
+        .map(_.filter(_.startsWith("tb=")).toSet).getOrElse(Set.empty)
+    def baseGen(): Int = graft.io.GenLog
+      .liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).map(_.gen).max
+    // base: docs 1-4 (tokens alpha/beta/gamma/delta)
+    val vidx = Search.writeIndex(docs.filter(col("doc_id") <= 4),
+      "doc_id", "text", root)
+    val g1 = baseGen()
+    val g1Parts = ownParts(g1)
+    assert(g1Parts.nonEmpty)
+    // deltas: a streaming batch adds doc 5 (epsilon/zeta — new tokens,
+    // so only THEIR buckets go dirty), and doc 2 is deleted
+    Search.appendBatch(docs.filter(col("doc_id") === 5),
+      "doc_id", "text", vidx, 0L, "ingA")
+    Search.delete(Seq(2L).toDF("doc_id"), "doc_id", vidx)
+    val terms = Seq("alpha", "beta", "gamma")
+    val before = Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet
+    val bm25Before = Search.searchBm25(spark, vidx, terms, 10)
+      .collect().map(_.toSeq).toSet
+    Search.compactIncremental(spark, vidx)
+    val g2 = baseGen()
+    assert(g2 != g1)
+    // the fold rewrote at most the two dirty buckets (epsilon, zeta)
+    // and carried the rest of the old base by reference
+    assert(ownParts(g2).size <= 2,
+      s"fold rewrote ${ownParts(g2)} — not bucket-granular")
+    val carry1 = graft.io.GenLog.carryEntries(spark, f, root, "post", g2)
+    assert(carry1.nonEmpty, "no clean buckets carried by reference")
+    assert(carry1.values.forall(_.contains(s"gen=$g1")),
+      s"carry should reference the old base's dirs: $carry1")
+    // answers identical through the fold (delete still applied via the
+    // consolidated tombstone snapshot over carried buckets)
+    assert(Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet == before)
+    assert(Search.searchBm25(spark, vidx, terms, 10)
+      .collect().map(_.toSeq).toSet == bm25Before)
+    assert(Search.searchAll(spark, vidx, Seq("epsilon"))
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(Search.searchAll(spark, vidx, Seq("beta"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // vacuum keeps the carried dirs, reclaims the dirty ones + markers
+    Search.vacuum(spark, vidx)
+    carry1.values.foreach(p => assert(f.exists(
+      new org.apache.hadoop.fs.Path(p)), s"vacuum reclaimed carried $p"))
+    assert(new java.io.File(s"$root/commits").list()
+      .count(!_.startsWith(".")) == 1)
+    assert(Search.searchAny(spark, vidx, terms, 1)
+      .collect().map(_.toSeq).toSet == before)
+    // exactly-once survives the fold: batch 0 of ingA replays as a
+    // no-op even though its per-batch marker was vacuumed
+    val gensBefore = graft.io.GenLog.metas(spark, f, root).size
+    Search.appendBatch(docs.filter(col("doc_id") === 5),
+      "doc_id", "text", vidx, 0L, "ingA")
+    assert(graft.io.GenLog.metas(spark, f, root).size == gensBefore,
+      "replayed batch was not skipped after fold+vacuum")
+    // reingest cycle across a CHAINED fold: doc 2 comes back corrected
+    Search.append(Seq((2L, "alpha corrected")).toDF("doc_id", "text"),
+      "doc_id", "text", vidx)
+    Search.compactIncremental(spark, vidx)
+    val g3 = baseGen()
+    // the chain copies gen-1 addresses forward (no transitive walk)
+    val carry2 = graft.io.GenLog.carryEntries(spark, f, root, "post", g3)
+    assert(carry2.values.exists(_.contains(s"gen=$g1")),
+      s"chained fold lost the original carried addresses: $carry2")
+    Search.vacuum(spark, vidx)
+    assert(Search.searchAll(spark, vidx, Seq("corrected"))
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Search.searchAll(spark, vidx, Seq("beta"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L),
+      "old postings of the reingested doc resurfaced")
+    // stats stayed exact through the folds (BM25 corpus constants)
+    assert(Search.searchBm25(spark, vidx, Seq("epsilon"), 10).count() == 1)
+    // a FULL compact purges: one real gen dir, tombstones gone
+    Search.compact(spark, vidx)
+    Search.vacuum(spark, vidx)
+    def gens(d: String) = Option(new java.io.File(s"$root/$d").list())
+      .map(_.count(_.startsWith("gen="))).getOrElse(0)
+    assert(gens("post") == 1, s"full compact left ${gens("post")} dirs")
+    assert(gens("tombs") == 0)
+    assert(Search.searchAll(spark, vidx, Seq("corrected"))
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
+  }
+
   test("compact refuses while an append is in flight; the late-published " +
       "append survives the next compact and vacuum reclaims only dead gens") {
     org.apache.commons.io.FileUtils.deleteQuietly(

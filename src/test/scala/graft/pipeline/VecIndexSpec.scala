@@ -121,6 +121,74 @@ class VecIndexSpec extends SparkSpec {
     assert(VecIndex.countVecs(spark, idx) == 108)
   }
 
+  test("compactIncremental: folds only the dirty cb clusters, carries " +
+      "clean ones by reference; serve answers, tombstones, exactly-once " +
+      "and vacuum hold; full compact purges") {
+    val path = "target/tmp/vecidx-inc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ownParts(g: Int): Set[String] =
+      Option(new java.io.File(s"$path/vecs/gen=$g").list())
+        .map(_.filter(_.startsWith("cb=")).toSet).getOrElse(Set.empty)
+    def baseGen(): Int = GenLog.liveMetas(spark, f, path)
+      .filter(_.kind == GenLog.KindBase).map(_.gen).max
+    // 8 centroids, cbBuckets = 8 -> cb == cid: cluster-granular dirs
+    val cents = corpus(0 until 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(corpus(0 until 40), 64, path,
+      centroids = Some(cents), cbBuckets = 8)
+    val g1 = baseGen()
+    assert(ownParts(g1).size > 1, "fixture needs several populated clusters")
+    // delta: vectors EXACTLY at centroid 2 -> assigned cid = 2, so the
+    // fold's dirty set is that single cluster; plus one tombstone
+    val c2 = Array.tabulate(64)(i => (((2 * 31 + i * 13) % 17).toFloat - 8f) / 8f)
+    VecIndex.appendBatch((100 until 105).map(id => (id.toLong, c2))
+      .toDF("id", "vec"), idx, batchId = 0L)
+    VecIndex.delete(Seq(5L).toDF("id"), "id", idx)
+    val qs = corpus(0 until 40).filter(col("id") < 3)
+    val before = rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4))
+    VecIndex.compactIncremental(spark, idx)
+    val g2 = baseGen()
+    assert(g2 != g1)
+    assert(ownParts(g2) == Set("cb=2"),
+      s"fold rewrote ${ownParts(g2)} — not cluster-granular")
+    val carry = GenLog.carryEntries(spark, f, path, "vecs", g2)
+    assert(carry.nonEmpty && carry.values.forall(_.contains(s"gen=$g1")))
+    assert(!carry.contains("cb=2"), "the dirty cluster must not be carried")
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4)) == before)
+    assert(VecIndex.countVecs(spark, idx) == 44)
+    // vacuum keeps carried cluster dirs; serve still identical
+    VecIndex.vacuum(spark, idx)
+    carry.values.foreach(p => assert(
+      f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"vacuum reclaimed carried $p"))
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4)) == before)
+    // exactly-once watermark survived the fold: batch 0 replays as noop
+    VecIndex.appendBatch((100 until 105).map(id => (id.toLong, c2))
+      .toDF("id", "vec"), idx, batchId = 0L)
+    assert(VecIndex.countVecs(spark, idx) == 44,
+      "replayed batch must be skipped after fold+vacuum")
+    // reingest the tombstoned id across a chained fold
+    VecIndex.append(Seq((5L, c2)).toDF("id", "vec"), idx)
+    VecIndex.compactIncremental(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    assert(VecIndex.countVecs(spark, idx) == 45)
+    // the reingested vector serves from its new cluster (cid 2)
+    val q5 = Seq((999L, c2)).toDF("id", "vec")
+    assert(rows(VecIndex.ivfTopK(spark, q5, idx, 1, 20))
+      .exists(_._2 == 5L), "reingested id must serve again")
+    // full compact + vacuum purge carried remnants and tombstones;
+    // the serve is unchanged by the physical purge (reingested corpus)
+    val preCompact = rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4))
+    VecIndex.compact(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    assert(genDirs(path) == 1, s"full compact left ${genDirs(path)} dirs")
+    assert(Option(new java.io.File(s"$path/tombs").list())
+      .forall(_.count(_.startsWith("gen=")) == 0))
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4)) == preCompact)
+  }
+
   test("PQ codes ride the generations: folds + delete == fresh == " +
       "direct ADC; the serve scan never reads the floats") {
     val all = corpus(0 until 60)

@@ -340,6 +340,37 @@ class GraftCatalogSpec extends SparkSpec {
       Seq("quick", "dog"), 3).as[(Long, Double)].collect().toSeq
     assert(got2 == want2 && got2.size == 3)
 
+    // INCREMENTAL maintenance from SQL: a delta shard folded at delta
+    // cost via CALL index_compact_incremental, serve unchanged
+    VecIndex.append((50 until 55).map(id => id.toLong -> v(7))
+      .toDF("id", "vec"), idx)
+    spark.sql(
+      s"CALL graft_test.system.index_compact_incremental('$vp', 'vector')")
+    spark.sql(s"CALL graft_test.system.index_vacuum('$vp', 'vector')")
+    val gotInc = spark.sql(
+      s"CALL graft_test.system.ann_topk('$vp', '$vecStr', 2, 3)")
+      .as[(Long, Double)].collect().toSet
+    val wantInc = VecIndex.ivfTopK(spark, Seq((0L, v(7))).toDF("id", "vec"),
+      VecIndex.open(spark, vp), 2, 3)
+      .select("nid", "cos").as[(Long, Double)].collect().toSet
+    assert(gotInc == wantInc && gotInc.size == 3)
+    val sp2 = "target/tmp/cat-proc-search-inc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sp2))
+    val sidx2 = Search.writeIndex(
+      Seq((1L, "quick brown fox"), (2L, "lazy dog"),
+        (3L, "quick dog runs")).toDF("id", "text"), "id", "text", sp2)
+    Search.append(Seq((5L, "dog dog quick")).toDF("id", "text"),
+      "id", "text", sidx2)
+    spark.sql(
+      s"CALL graft_test.system.index_compact_incremental('$sp2', 'search')")
+    spark.sql(s"CALL graft_test.system.index_vacuum('$sp2', 'search')")
+    val got3 = spark.sql(
+      s"CALL graft_test.system.bm25('$sp2', 'quick dog', 3)")
+      .as[(Long, Double)].collect().toSeq
+    val want3 = Search.searchBm25(spark, Search.open(spark, sp2),
+      Seq("quick", "dog"), 3).as[(Long, Double)].collect().toSeq
+    assert(got3 == want3 && got3.size == 3)
+
     // index DML from SQL: CALL index_delete ≡ Search.delete /
     // VecIndex.delete — tombstoned ids leave every serve, BM25
     // constants stay exact (scores must equal a from-scratch build

@@ -141,38 +141,44 @@ object GenLog {
       .map(_.getPath)
 
   /** Carry-manifest entries of generation `g` (empty = none/absent):
-    * partDirName → absolute dir path. */
+    * (partDirName, absolute dir path) pairs — a bucket may carry
+    * SEVERAL paths (LSM-style seg-merge folds leave the previous
+    * base's dir next to the merged delta dir; readers union them). */
   def carryEntries(spark: SparkSession, f: FileSystem, path: String,
-      dataDir: String, g: Int): Map[String, String] = {
+      dataDir: String, g: Int): Seq[(String, String)] = {
     val p = carryPath(path, dataDir, g)
-    if (!f.exists(p)) Map.empty
+    if (!f.exists(p)) Nil
     else LogStore.forSession(spark).readSmall(f, p)
-      .split('\n').filter(_.nonEmpty).map { line =>
+      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
         val i = line.indexOf('\t')
         (line.substring(0, i), line.substring(i + 1))
-      }.toMap
+      }
   }
 
   /** Publish the carry manifest for an incremental base (atomic; must
     * land BEFORE the generation's commit marker — the marker is the
     * commit point, so a crash in between leaves an invisible orphan). */
   def writeCarry(spark: SparkSession, f: FileSystem, path: String,
-      dataDir: String, g: Int, entries: Map[String, String]): Unit = {
+      dataDir: String, g: Int, entries: Seq[(String, String)]): Unit = {
     f.mkdirs(new Path(s"$path/$dataDir/gen=$g"))
     LogStore.forSession(spark).writeAtomic(f, carryPath(path, dataDir, g),
-      entries.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+      entries.distinct.sorted.map { case (k, v) => s"$k\t$v" }
         .mkString("", "\n", "\n"))
   }
 
-  /** The EFFECTIVE partition-dir map of generation `g`: its own part
-    * dirs plus manifest-carried references (own dirs win — a rewrite
-    * supersedes the reference). What the next incremental base folds
-    * from and copies forward. */
+  /** The EFFECTIVE partition-dir map of generation `g`: every live
+    * path per partition name — its own part dirs PLUS manifest-
+    * carried references (they COMPLEMENT each other: a base-merge
+    * fold simply does not carry the paths its rewrite subsumed, a
+    * seg-merge fold carries the previous base's dir next to its own
+    * merged-delta dir). What the next incremental base folds from and
+    * copies forward. */
   def effectiveParts(spark: SparkSession, f: FileSystem, path: String,
-      dataDir: String, g: Int): Map[String, String] =
-    carryEntries(spark, f, path, dataDir, g) ++
+      dataDir: String, g: Int): Map[String, Seq[String]] =
+    (carryEntries(spark, f, path, dataDir, g) ++
       ownParts(f, new Path(s"$path/$dataDir/gen=$g"))
-        .map(p => p.getName -> f.makeQualified(p).toString)
+        .map(p => p.getName -> f.makeQualified(p).toString))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct }
 
   /** Carry-aware read paths for generation `g` under `dataDir`: the
     * gen dir itself when no manifest exists (every non-incremental
@@ -186,7 +192,8 @@ object GenLog {
       dataDir: String, g: Int): Seq[String] = {
     val dir = new Path(s"$path/$dataDir/gen=$g")
     if (!f.exists(carryPath(path, dataDir, g))) Seq(dir.toString)
-    else effectiveParts(spark, f, path, dataDir, g).values.toSeq.sorted
+    else effectiveParts(spark, f, path, dataDir, g)
+      .values.flatten.toSeq.distinct.sorted
   }
 
   /** Committed generation metas, ascending by generation. */
@@ -325,7 +332,7 @@ object GenLog {
     // dirs the newest base still CARRIES BY REFERENCE (incremental
     // compaction) must survive any sweep — they ARE the base's data
     val refs: Map[String, Set[String]] = dataDirs.map(d =>
-      d -> carryEntries(spark, f, path, d, base).values
+      d -> carryEntries(spark, f, path, d, base).map(_._2)
         .map(p => f.makeQualified(new Path(p)).toString).toSet).toMap
     def sweep(dir: Path, live: Set[String]): Unit = {
       if (!f.exists(dir)) return

@@ -405,10 +405,16 @@ object Versioned {
     * dropped and the caller decides whether to re-claim. `manifest`
     * carries incremental-checkpoint file references into the staged
     * dir, atomic with the data. */
+  /** `colmapSeed`/`widenSeed` seed a FRESH table's first commit with
+    * another table's snapshots (shallow clone of a mapped/widened
+    * source); the df must then already speak PHYSICAL column names.
+    * Ignored once the table has its own history. */
   private def commitAt(df: DataFrame, path: String, v: Int,
       checkpoint: Boolean, merge: Boolean, batchMarker: Option[String],
       sortBy: Seq[org.apache.spark.sql.Column], sortFiles: Int,
-      manifest: Seq[String]): Option[Int] = {
+      manifest: Seq[String],
+      colmapSeed: Option[Seq[(String, String)]] = None,
+      widenSeed: Map[String, String] = Map.empty): Option[Int] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     // optional clustering (compactZOrder): range-partition + sort by the
@@ -432,7 +438,7 @@ object Versioned {
     // snapshot rides in this commit's dir.
     val curMapping = mappingAt(spark, path, v)
     val (physDf, snapOut) = curMapping match {
-      case None => (laidOutDf, None)
+      case None => (laidOutDf, colmapSeed)
       case Some(ms) =>
         val known = ms.toMap
         val extras = laidOutDf.columns.toSeq
@@ -461,6 +467,7 @@ object Versioned {
     // (vacuum keeps the newest checkpoint; its snapshot must be there)
     val curWiden = widenAt(spark, path, v)
     if (curWiden.nonEmpty) writeWiden(f, staging, curWiden)
+    else if (widenSeed.nonEmpty) writeWiden(f, staging, widenSeed)
     if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
     if (merge) f.create(new Path(staging, MergeMarker)).close()
     batchMarker.foreach(m => f.create(new Path(staging, m)).close())
@@ -2156,34 +2163,43 @@ object Versioned {
    * copied, constant-time regardless of table size. The clone is
    * fully independent for WRITES: appends/DML/compaction land in
    * `dst` only and never touch `src`; a full [[compact]] of the clone
-   * materializes its own bytes and cuts the dependency entirely.
-   * Mechanically it reuses the incremental-checkpoint manifest: the
-   * clone's base commit is numbered `v=<srcSnapshot>`, so carried
-   * rows' original `__v` stamps order correctly below every later
-   * clone commit, and the base reads as the clone's vacuum floor
-   * (history below it never existed here).
+   * materializes its own bytes and cuts the dependency entirely (then
+   * [[releaseClone]] on the source frees its retention). Mechanically
+   * it reuses the incremental-checkpoint manifest: the clone's base
+   * commit is numbered `v=<srcSnapshot>`, so carried rows' original
+   * `__v` stamps order correctly below every later clone commit, and
+   * the base reads as the clone's vacuum floor (history below it
+   * never existed here).
    *
    * The source snapshot is the head checkpoint, auto-maintained
    * incrementally when the head is dirty — so cloning a hot table
    * costs one delta fold, not a rewrite.
    *
-   * CAVEAT (same contract as Delta's shallow clone): the clone
-   * references the source's files — vacuuming `src` past the
-   * clone-time checkpoint (or dropping it) strands the references;
-   * reads then fail loudly (missing files), never silently. Retain
-   * the source, or `compact` the clone first. Column-mapped and
-   * type-widened sources are refused (the clone would need the
-   * source's sidecar metadata to read them — copy those tables with
-   * CTAS instead).
+   * A COLUMN-MAPPED or TYPE-WIDENED source clones too: its mapping
+   * and widen snapshots are SEEDED into the clone's base commit dir,
+   * so the clone reads logical names / widened types exactly like the
+   * source did — and evolves them independently afterwards (a rename
+   * on the clone never touches the source; physical ids minted on the
+   * clone are salted with clone-side version numbers, all above the
+   * snapshot, so they can never collide with ids riding in the
+   * referenced files).
+   *
+   * DURABILITY vs the source's vacuum: the clone's references are
+   * registered in the source's `_EXPORTS.tsv`. The source's
+   * [[vacuum]] then (a) never MOVES an exported file when it
+   * materializes manifest refs and (b) sweeps a reclaimed version dir
+   * around exported files instead of deleting it whole — so routine
+   * source maintenance can never strand a clone (this replaces the
+   * old Delta-style caveat, under which a source vacuum that merely
+   * materialized carried refs silently relocated files out from under
+   * the clone). DROPPING the source still strands the clone (reads
+   * fail loudly, never silently) — `compact` the clone first, then
+   * [[releaseClone]].
    */
   def cloneShallow(spark: SparkSession, src: String, dst: String,
       keyCol: String): Int = {
     require(latestVersion(spark, dst) == 0,
       s"cloneShallow: destination $dst already has committed versions")
-    require(mappingAt(spark, src, latestVersion(spark, src)).isEmpty,
-      s"cloneShallow: $src uses column mapping; clone via CTAS instead")
-    require(widenAt(spark, src, latestVersion(spark, src)).isEmpty,
-      s"cloneShallow: $src has widened columns; clone via CTAS instead")
     val f = fs(spark, dst)
     // the snapshot to reference must be self-contained: the head
     // checkpoint (folded incrementally if the head is dirty)
@@ -2194,19 +2210,86 @@ object Versioned {
     val srcFs = fs(spark, src)
     val refs = filesOf(srcFs, src, snapV)
       .map(srcFs.makeQualified).map(_.toString)
-    // schema-fixing empty frame (commit stamps fresh meta columns);
-    // the base version NUMBER is the source snapshot's, so carried
-    // __v values sit at-or-below it and later clone commits outrank
-    val empty = readDirs(spark, src, Seq(snapV))
+    // mapped/widened source: seed its snapshots into the clone's base
+    val cloneMapping = mappingAt(spark, src, snapV)
+    val cloneWiden = widenAt(spark, src, snapV)
+    // schema-fixing empty frame (commit stamps fresh meta columns) in
+    // PHYSICAL column names — the referenced files' bytes speak them,
+    // and the seeded mapping translates them back to logical for
+    // every reader; the base version NUMBER is the source snapshot's,
+    // so carried __v values sit at-or-below it and later clone
+    // commits outrank
+    val logical = readDirs(spark, src, Seq(snapV))
       .filter(lit(false))
       .drop(VersionCol, SeqCol, MergeCol, CkptCol, DeletedCol)
+    val l2p = cloneMapping.map(_.toMap).getOrElse(Map.empty)
+    val empty = logical.select(logical.columns.toSeq.map(c =>
+      col(c).as(l2p.getOrElse(c, c))): _*)
+    // register the references BEFORE the clone commits: a crash in
+    // between leaves only harmless extra retention ([[releaseClone]]
+    // or a re-run clears it), never an unprotected clone
+    registerExports(spark, srcFs, src, dst, refs)
     val store = LogStore.forSession(spark)
     require(claimSlot(store, f, dst, snapV),
       s"cloneShallow: destination slot v=$snapV at $dst is claimed")
     commitAt(empty, dst, snapV, checkpoint = true, merge = false,
-      batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = refs)
+      batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = refs,
+      colmapSeed = cloneMapping, widenSeed = cloneWiden)
       .getOrElse(sys.error(s"cloneShallow at $dst lost claimed slot " +
         s"v=$snapV to an occupied dir"))
+  }
+
+  // ---------- clone export registry ----------
+
+  private val ExportsFile = "_EXPORTS.tsv"
+
+  /** (cloneDst, qualified file path) lines from the source's export
+    * registry — files of THIS table that shallow clones reference. */
+  private[io] def exports(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = new Path(path, ExportsFile)
+    if (!f.exists(p)) Nil
+    else LogStore.forSession(spark).readSmall(f, p)
+      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }
+  }
+
+  /** Qualified paths of this table's files referenced by any clone. */
+  private[graft] def exportedFiles(spark: SparkSession,
+      path: String): Set[String] = exports(spark, path).map(_._2).toSet
+
+  private def registerExports(spark: SparkSession, f: FileSystem,
+      src: String, dst: String, refs: Seq[String]): Unit = {
+    val merged = (exports(spark, src).filterNot(_._1 == dst) ++
+      refs.map(dst -> _)).distinct
+    val p = new Path(src, ExportsFile)
+    val store = LogStore.forSession(spark)
+    if (f.exists(p)) store.delete(f, p)
+    store.writeAtomic(f, p,
+      merged.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
+  }
+
+  /** RELEASE a clone's export registrations on its source — call after
+    * the clone was dropped, or after a full `compact` of the clone
+    * materialized its own bytes (its manifest no longer references the
+    * source). The source's next [[vacuum]] can then reclaim the files.
+    * Returns the number of released references. Same single-maintainer
+    * contract as vacuum (do not race it with a concurrent clone). */
+  def releaseClone(spark: SparkSession, src: String, dst: String): Int = {
+    val f = fs(spark, src)
+    val all = exports(spark, src)
+    val (dead, kept) = all.partition(_._1 == dst)
+    if (dead.isEmpty) return 0
+    val p = new Path(src, ExportsFile)
+    val store = LogStore.forSession(spark)
+    store.delete(f, p)
+    if (kept.nonEmpty)
+      store.writeAtomic(f, p,
+        kept.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
+    dead.size
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -2478,6 +2561,12 @@ object Versioned {
       case None => Nil
       case Some(b) =>
         val doomed = versions(spark, path).filter(_ < b)
+        // files a shallow CLONE references (export registry) are
+        // immovable and undeletable until released: materialization
+        // must not relocate them (the clone's absolute refs would
+        // dangle — the old Delta-style caveat this registry replaces),
+        // and the dir sweep works around them
+        val exported = exportedFiles(spark, path)
         // MATERIALIZE manifest-carried references before reclaiming
         // their home dirs: every retained version whose manifest
         // points into a doomed dir gets the file moved in (rename —
@@ -2489,28 +2578,80 @@ object Versioned {
         // (a missing stat only disables pruning for that file).
         if (doomed.nonEmpty)
           materializeRefs(spark, f, path, doomed.toSet,
-            versions(spark, path).filter(_ >= b))
+            versions(spark, path).filter(_ >= b), exported)
         doomed.foreach { v =>
-          f.delete(new Path(s"$path/v=$v"), true)
+          val dir = new Path(s"$path/v=$v")
+          val dirQ = f.makeQualified(dir).toString
+          val keep = exported.filter(_.startsWith(dirQ + "/"))
+            .map(p => new Path(p).getName)
+          if (keep.isEmpty) { f.delete(dir, true); () }
+          else {
+            // exported files stay in place (their stats/bloom lines
+            // with them — a clone's pruning keeps working); everything
+            // else, including _SUCCESS, goes: the dir stops being a
+            // committed version but its exported bytes remain
+            // addressable by the clones' absolute refs
+            def shrink(metaFile: String): Unit = {
+              val p = new Path(dir, metaFile)
+              val kept = readSmallText(f, p).split('\n')
+                .filter(_.nonEmpty)
+                .filter(l => keep.contains(l.takeWhile(_ != '\t')))
+              if (kept.nonEmpty) {
+                val out = f.create(p, true)
+                try out.write(kept.mkString("", "\n", "\n").getBytes(UTF_8))
+                finally out.close()
+              }
+            }
+            shrink(StatsFile)
+            shrink(BloomFile)
+            f.listStatus(dir).foreach { s =>
+              val n = s.getPath.getName
+              if (!keep.contains(n) && n != StatsFile && n != BloomFile)
+                f.delete(s.getPath, true)
+            }
+          }
           // the reclaimed version's claim goes with it — slots below
           // the base are dead (commit probes upward from the head), and
           // a lingering claim would read as an in-flight writer to the
           // unpublished-claim guards
           store.delete(f, new Path(path, s".claim-v=$v"))
         }
+        // remnant sweep: a MARKERLESS v-dir below the base is a prior
+        // sweep's export-protected leftover (or a legacy torn dir) —
+        // once its exports are released ([[releaseClone]]) nothing
+        // holds it. Safe without an age guard: a visible v-dir always
+        // carries _SUCCESS (it is created inside staging, before the
+        // atomic publish rename), so no in-flight writer looks like
+        // this.
+        f.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .filter(s => scala.util.Try(
+            s.getPath.getName.stripPrefix("v=").toInt).toOption
+            .exists(_ < b))
+          .filterNot(s => f.exists(new Path(s.getPath, SuccessMarker)))
+          .foreach { s =>
+            val dirQ = f.makeQualified(s.getPath).toString
+            if (!exported.exists(_.startsWith(dirQ + "/")))
+              f.delete(s.getPath, true)
+          }
         doomed
     }
   }
 
   /** [[vacuum]]'s reference-materialization pass (see call site). A
     * file referenced by several retained checkpoints moves into the
-    * LOWEST one; the others' manifest entries re-point there. */
+    * LOWEST one; the others' manifest entries re-point there. Files in
+    * `exported` (clone-referenced, qualified paths) are NEVER moved —
+    * the dir sweep leaves them in place, so the manifest entries that
+    * point at them stay valid as-is. */
   private def materializeRefs(spark: SparkSession, f: FileSystem,
-      path: String, doomedDirs: Set[Int], retained: Seq[Int]): Unit = {
+      path: String, doomedDirs: Set[Int], retained: Seq[Int],
+      exported: Set[String] = Set.empty): Unit = {
     def dirOfRel(rel: String): String = rel.split('/').head
     def isDoomed(rel: String): Boolean = {
       val d = dirOfRel(rel)
-      d.startsWith("v=") && doomedDirs.contains(d.stripPrefix("v=").toInt)
+      d.startsWith("v=") && doomedDirs.contains(d.stripPrefix("v=").toInt) &&
+        !exported.contains(f.makeQualified(refPath(path, rel)).toString)
     }
     val manifests: Seq[(Int, Seq[String])] = retained.map { v =>
       v -> readManifest(f, new Path(s"$path/v=$v"))

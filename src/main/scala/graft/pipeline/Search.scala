@@ -281,23 +281,24 @@ object Search {
   }
 
   /**
-   * INCREMENTAL compact: fold the delta generations into a new base at
-   * DELTA COST — rewrite only the token buckets the deltas touched,
-   * CARRY every clean bucket dir of the previous base by reference
-   * (`_CARRY.tsv` manifest, the same contract as
-   * [[graft.io.Versioned]]'s manifest-carrying incremental
-   * checkpoints). At 100 TB this is the maintenance path: steady
-   * ingest touches the buckets of ITS tokens only, so a maintenance
-   * run costs O(delta + dirty buckets), never O(index) — the full
-   * [[compact]] rewrite becomes the rare defrag.
+   * INCREMENTAL compact — the LSM-style SEG-MERGE: fold the delta
+   * generations' postings into ONE merged set of bucket dirs under
+   * the new base (tombstones applied to the merged rows), and CARRY
+   * every path of the previous base by reference (`_CARRY.tsv`
+   * manifest; a bucket may then have the base's dir AND the merged
+   * delta dir — readers union them). Fold cost is O(delta), NEVER
+   * O(base): this is the only shape that survives 100 TB text, where
+   * any realistic document delta contains tokens from essentially
+   * every hash bucket — a dirty-bucket base rewrite would degenerate
+   * to the full compact. Each fold adds at most one file set per
+   * bucket; the full [[compact]] is the re-leveling defrag that
+   * collapses them and purges tombstoned postings physically.
    *
-   * Tombstones are applied to the buckets being rewritten; the live
-   * tombstone set is consolidated into the new base's own
-   * `tombs/gen=<base>` snapshot because CARRIED buckets still hold
-   * dead docs' postings — the read-side anti-join keeps them hidden
-   * (gen-aware: the snapshot rides at the base's gen, so rewritten
-   * rows outrank it and carried rows don't). Only a full [[compact]]
-   * purges dead postings physically and drops the snapshot.
+   * The live tombstone set is consolidated into the new base's own
+   * `tombs/gen=<base>` snapshot because carried postings still hold
+   * dead docs' rows — the read-side anti-join keeps them hidden
+   * (gen-aware: the snapshot rides at the base's gen, so fold-merged
+   * rows outrank it and carried rows don't).
    *
    * The docs sidecar (one row per live doc — orders of magnitude
    * smaller than postings with their position arrays) is rewritten
@@ -317,26 +318,21 @@ object Search {
     val g = claimGen(spark, f, idx.path)
     requireNoInflightBelow(spark, f, idx.path, g, "compactIncremental")
     val segs = ms.filter(m => m.kind != KindDel && m.gen != baseGen)
-    val dels = ms.filter(_.kind == KindDel)
-    // dirty buckets: every tb=K dir some delta segment wrote (a
-    // driver-side listing per segment, <= nBuckets entries each)
-    val dirty: Set[String] = segs.flatMap { m =>
+    // per-segment bucket dirs (segments never carry; an empty segment
+    // — zero-row streaming batch — contributes no dirs)
+    val segPaths = segs.flatMap { m =>
       val dir = new Path(s"${idx.path}/post/gen=${m.gen}")
       if (!f.exists(dir)) Nil
       else f.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
-        .map(_.getPath.getName)
-    }.toSet
-    val eff = GenLog.effectiveParts(spark, f, idx.path, "post", baseGen)
-    val carried = eff -- dirty
-    if (dirty.nonEmpty) {
-      // fold ONLY the dirty buckets: previous base's dirty dirs + the
-      // delta segments, tombstones applied gen-aware while we're here
-      val srcPaths = dirty.toSeq.sorted.flatMap(eff.get) ++
-        segs.flatMap(m =>
-          GenLog.genPaths(spark, f, idx.path, "post", m.gen))
+        .map(_.getPath.toString)
+    }
+    val dels = ms.filter(_.kind == KindDel)
+    if (segPaths.nonEmpty) {
+      // merge the delta segments ONLY (never the base), tombstones
+      // applied gen-aware while we're here
       val src = spark.read.option("basePath", s"${idx.path}/post")
-        .parquet(srcPaths: _*)
+        .parquet(segPaths: _*)
       antiTombs(spark, f, idx.path, ms, src)
         .select("id", "tok", "tf", "dlen", "positions")
         .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
@@ -344,6 +340,10 @@ object Search {
         .write.mode("overwrite").option("parquet.block.size", 1 << 20)
         .partitionBy("tb").parquet(s"${idx.path}/post/gen=$g")
     } else f.mkdirs(new Path(s"${idx.path}/post/gen=$g"))
+    // carry EVERY path of the previous base (its own dirs + whatever
+    // it carried — addresses copy forward, no transitive walk)
+    val carried = GenLog.effectiveParts(spark, f, idx.path, "post",
+      baseGen).toSeq.flatMap { case (k, ps) => ps.map(k -> _) }
     GenLog.writeCarry(spark, f, idx.path, "post", g, carried)
     // consolidated docs sidecar (live docs only — small)
     liveDocs(spark, f, idx.path)

@@ -528,10 +528,17 @@ object VecIndex {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cb="))
         .map(_.getPath.getName)
     }.toSet
+    // BASE-MERGE (unlike Search's seg-merge): vector deltas are
+    // cluster-narrow (fresh content lands in few cb buckets), so
+    // rewriting the dirty clusters keeps exactly one file set per
+    // cluster — best probed-serve locality — while the clean ones
+    // carry by reference
     val eff = GenLog.effectiveParts(spark, f, idx.path, "vecs", baseGen)
-    val carried = eff -- dirty
+    val carried = (eff -- dirty).toSeq
+      .flatMap { case (k, ps) => ps.map(k -> _) }
     if (dirty.nonEmpty) {
-      val srcPaths = dirty.toSeq.sorted.flatMap(eff.get) ++
+      val srcPaths = dirty.toSeq.sorted
+        .flatMap(k => eff.getOrElse(k, Nil)) ++
         segs.flatMap(m =>
           GenLog.genPaths(spark, f, idx.path, "vecs", m.gen))
       val raw = spark.read.option("basePath", s"${idx.path}/vecs")

@@ -1089,17 +1089,70 @@ class VersionedSpec extends SparkSpec {
     assert(cur(c1)(1L) == -1L && cur(src)(1L) == 2L)
     Versioned.append(Seq((2L, -2L)).toDF("k", "x"), src)
     assert(cur(src)(2L) == -2L && cur(c1)(2L) == 4L)
-    // a second clone, then make it SELF-CONTAINED via compact
+    // a second clone, then make it SELF-CONTAINED via compact; its
+    // export registrations release (source can reclaim its files)
     Versioned.cloneShallow(spark, src, c2, "k")
     Versioned.compact(spark, c2, "k")
     Versioned.vacuum(spark, c2, 0)
+    assert(Versioned.releaseClone(spark, src, c2) > 0)
+    assert(Versioned.releaseClone(spark, src, c2) == 0) // idempotent
     val wantC2 = cur(c2)
-    // now strand clone1: the source compacts and vacuums its old
-    // checkpoint away — clone1 must fail LOUDLY, clone2 is unaffected
+    val want1 = cur(c1)
+    // ROUTINE source maintenance must NOT strand clone1: compact +
+    // vacuum reclaim everything except the files the export registry
+    // pins — the exact hazard where materialization used to relocate
+    // carried files out from under a clone whose base was an
+    // incremental checkpoint (c1's base v6 carries v4's files)
     Versioned.compact(spark, src, "k")
+    Versioned.vacuum(spark, src, 0)
+    assert(cur(c1) == want1, "source vacuum stranded a registered clone")
+    assert(cur(c2) == wantC2)
+    // the source still reads correctly over its post-vacuum layout
+    assert(cur(src)(2L) == -2L)
+    // release clone1 too: the next vacuum reclaims the pinned files
+    // (remnant sweep) and only THEN does the clone fail — loudly
+    assert(Versioned.releaseClone(spark, src, c1) > 0)
     Versioned.vacuum(spark, src, 0)
     intercept[Exception] { cur(c1) }
     assert(cur(c2) == wantC2)
+    // nothing markerless left behind on the source
+    assert(new java.io.File(src).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .forall(d => new java.io.File(d, "_SUCCESS").exists()))
+  }
+
+  test("cloneShallow of a column-mapped + widened source: the clone " +
+      "reads logical names and widened types, then evolves its " +
+      "mapping independently of the source") {
+    val src = freshPath("clonemap-src")
+    val dst = freshPath("clonemap-dst")
+    Versioned.append((1L to 50L).map(i => (i, i.toInt)).toDF("k", "x"),
+      src)
+    Versioned.renameColumn(spark, src, "x", "score")      // mapped
+    Versioned.widenColumn(spark, src, "score", "long")    // widened
+    Versioned.append(Seq((51L, 510L)).toDF("k", "score"), src)
+    Versioned.compact(spark, src, "k")
+    Versioned.append(Seq((52L, 520L)).toDF("k", "score"), src) // dirty
+    Versioned.cloneShallow(spark, src, dst, "k")
+    def cur(t: String) = Versioned.current(spark, t, "k")
+      .select("k", "score").as[(Long, Long)].collect().toMap
+    val want = cur(src)
+    assert(cur(dst) == want && want(51L) == 510L && want(1L) == 1L)
+    // independent evolution: rename on the CLONE only
+    Versioned.renameColumn(spark, dst, "score", "quality")
+    assert(Versioned.current(spark, dst, "k").columns.contains("quality"))
+    assert(Versioned.current(spark, src, "k").columns.contains("score"))
+    // writes through the clone's new logical name land correctly
+    Versioned.append(Seq((1L, 111L)).toDF("k", "quality"), dst)
+    assert(Versioned.current(spark, dst, "k")
+      .filter(col("k") === 1L).select("quality").as[Long].head() == 111L)
+    assert(cur(src)(1L) == 1L)
+    // and the clone survives routine source maintenance
+    Versioned.append(Seq((53L, 530L)).toDF("k", "score"), src)
+    Versioned.compact(spark, src, "k")
+    Versioned.vacuum(spark, src, 0)
+    assert(Versioned.current(spark, dst, "k")
+      .filter(col("k") === 2L).select("quality").as[Long].head() == 2L)
   }
 
   test("OCC conflict-domain narrowing: a commit below a pending DML " +

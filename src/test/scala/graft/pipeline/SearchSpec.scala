@@ -363,10 +363,10 @@ class SearchSpec extends SparkSpec {
     assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
   }
 
-  test("compactIncremental: rewrites only dirty buckets, carries clean " +
-      "bucket dirs by reference; answers, tombstones, exactly-once and " +
+  test("compactIncremental: seg-merge folds the deltas only, carries " +
+      "the base by reference; answers, tombstones, exactly-once and " +
       "vacuum hold across chained folds; full compact purges") {
-    val root = "target/tmp/search-inc-spec"
+    val root = "target/tmp/search-incfold-spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -400,8 +400,8 @@ class SearchSpec extends SparkSpec {
     assert(ownParts(g2).size <= 2,
       s"fold rewrote ${ownParts(g2)} — not bucket-granular")
     val carry1 = graft.io.GenLog.carryEntries(spark, f, root, "post", g2)
-    assert(carry1.nonEmpty, "no clean buckets carried by reference")
-    assert(carry1.values.forall(_.contains(s"gen=$g1")),
+    assert(carry1.nonEmpty, "no base paths carried by reference")
+    assert(carry1.map(_._2).forall(_.contains(s"gen=$g1")),
       s"carry should reference the old base's dirs: $carry1")
     // answers identical through the fold (delete still applied via the
     // consolidated tombstone snapshot over carried buckets)
@@ -415,7 +415,7 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
     // vacuum keeps the carried dirs, reclaims the dirty ones + markers
     Search.vacuum(spark, vidx)
-    carry1.values.foreach(p => assert(f.exists(
+    carry1.map(_._2).foreach(p => assert(f.exists(
       new org.apache.hadoop.fs.Path(p)), s"vacuum reclaimed carried $p"))
     assert(new java.io.File(s"$root/commits").list()
       .count(!_.startsWith(".")) == 1)
@@ -435,7 +435,7 @@ class SearchSpec extends SparkSpec {
     val g3 = baseGen()
     // the chain copies gen-1 addresses forward (no transitive walk)
     val carry2 = graft.io.GenLog.carryEntries(spark, f, root, "post", g3)
-    assert(carry2.values.exists(_.contains(s"gen=$g1")),
+    assert(carry2.map(_._2).exists(_.contains(s"gen=$g1")),
       s"chained fold lost the original carried addresses: $carry2")
     Search.vacuum(spark, vidx)
     assert(Search.searchAll(spark, vidx, Seq("corrected"))

@@ -154,13 +154,14 @@ class VecIndexSpec extends SparkSpec {
     assert(ownParts(g2) == Set("cb=2"),
       s"fold rewrote ${ownParts(g2)} — not cluster-granular")
     val carry = GenLog.carryEntries(spark, f, path, "vecs", g2)
-    assert(carry.nonEmpty && carry.values.forall(_.contains(s"gen=$g1")))
-    assert(!carry.contains("cb=2"), "the dirty cluster must not be carried")
+    assert(carry.nonEmpty && carry.map(_._2).forall(_.contains(s"gen=$g1")))
+    assert(!carry.exists(_._1 == "cb=2"),
+      "the dirty cluster must not be carried (base-merge)")
     assert(rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4)) == before)
     assert(VecIndex.countVecs(spark, idx) == 44)
     // vacuum keeps carried cluster dirs; serve still identical
     VecIndex.vacuum(spark, idx)
-    carry.values.foreach(p => assert(
+    carry.map(_._2).foreach(p => assert(
       f.exists(new org.apache.hadoop.fs.Path(p)),
       s"vacuum reclaimed carried $p"))
     assert(rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4)) == before)

@@ -24,7 +24,7 @@ object Stress {
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
-      "dppscan", "inccompact", "lakeloop")
+      "dppscan", "inccompact", "lakeloop", "annpq", "searchfold")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -59,6 +59,15 @@ object Stress {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
       annProbedStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "annpq") {
+      val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 500
+      annPqStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "searchfold") {
+      val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
+      searchFoldStress(spark, nd, cpus.toInt); return
     }
     if (mode == "sinkstream") {
       val nb = if (numArgs.length > 1) numArgs(1).toInt else 3
@@ -519,6 +528,174 @@ object Stress {
       f""""recall1":${recall(p1)}%.4f,"recall4":${recall(p4)}%.4f,""" +
       f""""recall16":${recall(p16)}%.4f,""" +
       s""""retrain_sec":$tRoll,"probed4_postroll_sec":$tP4b}""")
+    spark.stop()
+  }
+
+  /** Text-index maintenance stress: `searchfold <nDocs>` (default 1M).
+    * The claim under test is the LSM seg-merge contract of
+    * [[graft.pipeline.Search.compactIncremental]]: fold cost tracks
+    * the DELTA (merging the delta segments' postings and carrying the
+    * whole base by reference), never the base — where the full
+    * [[compact]] pays O(index). Builds a base of nDocs, appends a 1%
+    * delta (same broad vocabulary — every token bucket is touched, the
+    * worst case for any dirty-bucket scheme and exactly why the fold
+    * merges segments instead), folds incrementally, verifies a serve,
+    * then pays the full compact on the same index for the ratio. */
+  private def searchFoldStress(spark: SparkSession, nDocs: Long,
+      cpus: Int): Unit = {
+    import graft.pipeline.Search
+    val tokMod = 100000007L
+    def gen(ids: org.apache.spark.sql.DataFrame) = {
+      val opening = (0 until 8).map(j =>
+        concat(lit("b"), ((col("id") % 1000) * (17 + j) + j) % 1000))
+      val body = (0 until 32).map(j =>
+        concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+      ids.select(col("id").as("doc_id"),
+        concat_ws(" ", opening ++ body: _*).as("text"))
+    }
+    val path = "target/tmp/stress-searchfold"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val t0 = System.nanoTime()
+    val idx = Search.writeIndex(
+      gen(spark.range(nDocs).repartition(cpus * 4).toDF()),
+      "doc_id", "text", path)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val shard = gen(spark.range(nDocs, nDocs + nDocs / 100)
+      .repartition(cpus).toDF()).localCheckpoint()
+    Search.append(shard, "doc_id", "text", idx)
+    Search.delete(spark.range(0, nDocs / 1000)
+      .select(col("id").as("doc_id")), "doc_id", idx)
+    val t1 = System.nanoTime()
+    Search.compactIncremental(spark, idx)
+    val tFold = (System.nanoTime() - t1) / 1e9
+    val terms = Seq("b0", "b1", "b2")
+    val nConj = Search.searchAll(spark, idx, terms).count()
+    require(nConj > 0, "post-fold serve returned nothing")
+    val t2 = System.nanoTime()
+    Search.compact(spark, idx)
+    val tFull = (System.nanoTime() - t2) / 1e9
+    require(Search.searchAll(spark, idx, terms).count() == nConj,
+      "full compact changed answers")
+    println(s"""{"metric":"stress_searchfold","docs":$nDocs,""" +
+      s""""build_sec":$tBuild,"fold1pct_sec":$tFold,""" +
+      s""""full_compact_sec":$tFull,"conj_docs":$nConj,""" +
+      f""""fold_vs_full":${tFold / tFull}%.3f}""")
+    spark.stop()
+  }
+
+  /** PQ/ADC recall-frontier stress: `annpq <corpusVecs> [<nQueries>]`
+    * (default 200k × 500). Measures what the q_ann_pq_gen /
+    * q_ann_ivfpq_gen ORACLES cannot (they pin the serve to its own
+    * algorithm, bit-for-bit): how close the compressed serves get to
+    * the EXACT euclidean top-10, and what that costs. Ground truth is
+    * a brute L2 rank over the full corpus (native dot/norm kernels —
+    * |na|^2+|nq|^2-2·dot, no interpreted HOFs); against it we score
+    * (a) flat PQ-ADC ([[graft.pipeline.VecIndex.pqTopK]] — reads only
+    * the m-byte codes) and (b) IVFADC
+    * ([[graft.pipeline.VecIndex.ivfPqTopK]]) at nProbe = 1/4/16 — the
+    * memory-compression recall trade next to annprobed's binary one.
+    * The numbers land in SCALING.md's serve-frontier table. */
+  private def annPqStress(spark: SparkSession, nVecs: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.{Similarity, VecIndex}
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    def comp(seed: Long)(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L + seed) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp(0L)): _*).as("vec"))
+      .localCheckpoint()
+    // queries are NOT corpus members (distinct seed): no self-hit slot
+    val qdf = spark.range(nQueries)
+      .select(col("id").as("qid"),
+        array((0 until dim).map(comp(77777L)): _*).as("qvec"))
+      .localCheckpoint()
+    val queriesSeq = qdf.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble)).toSeq
+    // exact euclidean top-10 (ground truth): corpus x broadcast(queries)
+    val t0 = System.nanoTime()
+    val scored = emb
+      .select(col("id").as("nid"), col("vec"),
+        Similarity.norm(col("vec")).as("cn"))
+      .crossJoin(broadcast(qdf
+        .select(col("qid"), col("qvec"),
+          Similarity.norm(col("qvec")).as("qn"))))
+      .select(col("qid"), col("nid"),
+        (col("cn") * col("cn") + col("qn") * col("qn") -
+          lit(2.0) * Similarity.dot(col("vec"), col("qvec"))).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(asc("d2"), asc("nid"))
+    val exact = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10).select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val tExact = (System.nanoTime() - t0) / 1e9
+    require(exact.size == nQueries, "ground truth lost queries")
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    def timedSets(df: org.apache.spark.sql.DataFrame)
+        : (Double, Map[Long, Set[Long]]) = {
+      val t = System.nanoTime()
+      val rows = df.select("qid", "vec_id").collect()
+      ((System.nanoTime() - t) / 1e9, rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    }
+    // PQ books trained on a corpus sample (m=8 subspaces x 8 dims,
+    // 256 codes: 8 bytes/vector — the 32x compression point)
+    val tT0 = System.nanoTime()
+    val books = Similarity.pqTrainCodebooks(
+      emb.filter(col("id") < 25000L), m = 8, subDim = 8, k = 256,
+      iters = 2)
+    val tTrain = (System.nanoTime() - tT0) / 1e9
+    // flat ADC serve
+    val pqPath = "target/tmp/stress-annpq-flat"
+    val tI0 = System.nanoTime()
+    val idxPq = VecIndex.init(emb, dim, pqPath, pq = Some(books))
+    val tIdxPq = (System.nanoTime() - tI0) / 1e9
+    val (tPq, pqSets) = timedSets(VecIndex.pqTopK(spark, queriesSeq,
+      idxPq, 10))
+    val rPq = recall(pqSets)
+    // IVFADC: 64 coarse centroids from corpus rows; the PQ books are
+    // trained on RESIDUALS (vector minus its coarse centroid) — the
+    // codes encode residuals, so raw-trained books would waste their
+    // centroids on variance the coarse layer already removed
+    val coarse = emb.filter(col("id") < 64).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val cn2 = coarse.map(v => v.map(x => x * x).sum).toArray
+    val flatC = typedlit(coarse.flatten)
+    val resDf = emb.filter(col("id") < 25000L)
+      .withColumn("ccid", element_at(
+        graft.functions.VectorFunctions.nearestCentroids(
+          col("vec"), coarse.toArray, cn2,
+          coarse.indices.map(_.toLong).toArray, 1, euclidean = true), 1))
+      .select(col("id"), array((0 until dim).map(i =>
+        col("vec").getItem(i).cast("double") -
+          element_at(flatC, col("ccid").cast("int") * dim + i + 1)): _*)
+        .as("vec"))
+    val resBooks = Similarity.pqTrainCodebooks(resDf, m = 8, subDim = 8,
+      k = 256, iters = 2, initFrom = 64L)
+    val ivfPath = "target/tmp/stress-annpq-ivf"
+    val tI1 = System.nanoTime()
+    val idxIvf = VecIndex.init(emb, dim, ivfPath, cbBuckets = 32,
+      ivfPq = Some((coarse, resBooks)))
+    val tIdxIvf = (System.nanoTime() - tI1) / 1e9
+    val qArr = queriesSeq.map { case (q, v) => q -> v.toArray }
+    val (tP1, p1) = timedSets(VecIndex.ivfPqTopK(spark, qArr, idxIvf, 1, 10))
+    val (tP4, p4) = timedSets(VecIndex.ivfPqTopK(spark, qArr, idxIvf, 4, 10))
+    val (tP16, p16) = timedSets(VecIndex.ivfPqTopK(spark, qArr, idxIvf,
+      16, 10))
+    println(s"""{"metric":"stress_annpq","vecs":$nVecs,""" +
+      s""""queries":$nQueries,"exact_sec":$tExact,""" +
+      s""""train_sec":$tTrain,"pq_index_sec":$tIdxPq,""" +
+      f""""pq_sec":$tPq,"pq_recall10":$rPq%.4f,""" +
+      s""""ivfpq_index_sec":$tIdxIvf,""" +
+      f""""ivfpq1_sec":$tP1,"ivfpq1_recall10":${recall(p1)}%.4f,""" +
+      f""""ivfpq4_sec":$tP4,"ivfpq4_recall10":${recall(p4)}%.4f,""" +
+      f""""ivfpq16_sec":$tP16,"ivfpq16_recall10":${recall(p16)}%.4f}""")
     spark.stop()
   }
 

@@ -248,6 +248,96 @@ object NearestCentroids {
 }
 
 /**
+ * Per-query ADC (asymmetric-distance) totals for one corpus row's PQ
+ * codes — the compressed-serve scoring kernel as ONE expression.
+ *
+ * The per-query subspace distance tables ride as a plan REFERENCE
+ * OBJECT (`tables(q)` is the query's m×k table flattened as
+ * `s * k + code`), not as per-query literal arrays: the literal
+ * formulation inlines Q × m × k doubles into generated code and blows
+ * Janino's method limit at realistic codebooks (Q=500, m=8, k=256 is
+ * a million literal tokens — the exact failure NearestCentroids'
+ * reference-object design exists for). Generated code here is one
+ * constant-size call into [[AdcDistances.compute]].
+ *
+ * Determinism contract (shared with the DuckDB oracle and the literal
+ * formulation it replaces): table entries are pre-rounded to 6 by the
+ * builder; the total sums subspaces in ascending order and rounds
+ * HALF_UP to 6 — bit-identical to
+ * `round(element_at(t0,...) + element_at(t1,...) + ..., 6)`.
+ * Input: the row's codes as `array<long>`; output `array<double>`,
+ * one distance per query, aligned with the builder's query order.
+ */
+case class AdcDistances(child: Expression,
+    tables: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_distances expects array<bigint> codes, got $other")
+    }
+
+  override protected def nullSafeEval(codes: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      AdcDistances.compute(codes.asInstanceOf[ArrayData], tables, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tb = ctx.addReferenceObj("adcTables", tables, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.AdcDistances.compute($c, $tb, $k));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcDistances =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_adc_distances"
+}
+
+object AdcDistances {
+
+  /** Spark `round(x, 6)` semantics for doubles (HALF_UP via the
+    * shortest-decimal BigDecimal; NaN/Inf pass through). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One corpus row's per-query ADC totals; static forwarder shared by
+    * interpreted eval and generated code. */
+  def compute(codes: ArrayData, tables: Array[Array[Double]],
+      k: Int): Array[Double] = {
+    val m = codes.numElements()
+    val cs = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val c = codes.getLong(s).toInt
+      require(c >= 0 && c < k, s"PQ code $c out of range [0, $k)")
+      cs(s) = c
+      s += 1
+    }
+    val out = new Array[Double](tables.length)
+    var q = 0
+    while (q < tables.length) {
+      val tab = tables(q)
+      var d = 0.0
+      s = 0
+      while (s < m) { d += tab(s * k + cs(s)); s += 1 }
+      out(q) = round6(d)
+      q += 1
+    }
+    out
+  }
+}
+
+/**
  * Packed sign bits of a vector against a family of deterministic
  * pseudo-hyperplanes — the sign-LSH bucket key as ONE codegen'd
  * expression.
@@ -454,6 +544,13 @@ object VectorFunctions {
     GraftSqlBridge.column(NearestCentroids(
       GraftSqlBridge.expression(vec), codebook, norms2, cids, nProbe,
       euclidean))
+
+  /** Per-query ADC distances for one corpus row's PQ codes — the
+    * tables ride as ONE plan reference object (see [[AdcDistances]]). */
+  def adcDistances(codes: Column, tables: Array[Array[Double]],
+      k: Int): Column =
+    GraftSqlBridge.column(AdcDistances(
+      GraftSqlBridge.expression(codes), tables, k))
 
   /** Packed sign-LSH bucket key over the given plane family (one
     * codegen'd pass over the vector for all planes). */

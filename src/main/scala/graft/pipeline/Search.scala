@@ -345,9 +345,39 @@ object Search {
     val carried = GenLog.effectiveParts(spark, f, idx.path, "post",
       baseGen).toSeq.flatMap { case (k, ps) => ps.map(k -> _) }
     GenLog.writeCarry(spark, f, idx.path, "post", g, carried)
-    // consolidated docs sidecar (live docs only — small)
-    liveDocs(spark, f, idx.path)
-      .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
+    // docs sidecar: same seg-merge — fold the delta segments' rows
+    // (tombstones applied gen-aware, so a reingested doc keeps exactly
+    // its newest dlen row) and carry the base's docs by reference;
+    // without this the sidecar rewrite would be the fold's O(corpus)
+    // floor. The docs unit is the whole gen dir (no partition
+    // subdirs), carried under a synthetic `g=<gen>` label.
+    val segDocDirs = segs
+      .map(m => new Path(s"${idx.path}/docs/gen=${m.gen}"))
+      .filter(d => f.exists(d) && f.listStatus(d)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.toString)
+    if (segDocDirs.nonEmpty) {
+      val segDocs = spark.read.option("basePath", s"${idx.path}/docs")
+        .parquet(segDocDirs: _*)
+      antiTombs(spark, f, idx.path, ms, segDocs)
+        .select("id", "dlen")
+        .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
+    } else f.mkdirs(new Path(s"${idx.path}/docs/gen=$g"))
+    def docsDirIfData(x: Int): Seq[(String, String)] = {
+      val d = f.makeQualified(new Path(s"${idx.path}/docs/gen=$x"))
+      if (f.exists(d) && f.listStatus(d)
+          .exists(_.getPath.getName.endsWith(".parquet")))
+        Seq(s"g=$x" -> d.toString)
+      else Nil
+    }
+    // the manifest lists the base's docs (and ITS carries) plus this
+    // fold's own merged-docs dir — docs files sit directly in the gen
+    // dir (no partition subdirs), so the self-entry is what makes
+    // genPaths see them; Spark ignores the underscore-prefixed
+    // _CARRY.tsv inside the same dir
+    GenLog.writeCarry(spark, f, idx.path, "docs", g,
+      GenLog.carryEntries(spark, f, idx.path, "docs", baseGen) ++
+        docsDirIfData(baseGen) ++ docsDirIfData(g))
     // consolidated tombstone snapshot for the carried buckets' dead
     // rows (distinct ids; gen partition value becomes g via the read)
     val tombDirs = (dels.map(_.gen) :+ baseGen)
@@ -383,9 +413,12 @@ object Search {
   private def liveDocs(spark: SparkSession, f: FileSystem,
       path: String): DataFrame = {
     val ms = liveMetas(spark, f, path)
+    // carry-aware (an incremental base carries the previous base's
+    // docs dir by reference; see compactIncremental)
     val docs = spark.read.option("basePath", s"$path/docs")
       .parquet(ms.filter(_.kind != KindDel)
-        .map(m => s"$path/docs/gen=${m.gen}"): _*)
+        .flatMap(m =>
+          GenLog.genPaths(spark, f, path, "docs", m.gen)): _*)
       .select("id", "dlen", "gen")
     antiTombs(spark, f, path, ms, docs).select("id", "dlen")
   }

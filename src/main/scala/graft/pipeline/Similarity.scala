@@ -379,11 +379,21 @@ object Similarity {
   def pqSearch(codes: DataFrame, books: Seq[Array[Array[Double]]],
       queries: Seq[(Long, Seq[Double])], subDim: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    // one (qid, distance) struct per query, all evaluated in a SINGLE
-    // corpus scan (struct-array explode) — never one scan per query
-    val qd = queries.map { case (qid, qvec) =>
-      val adc: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
-        book.toSeq.map { cent =>
+    // ALL queries' distances in a single corpus scan: each query's
+    // m×k subspace-distance table (entries pre-rounded to 6, the
+    // oracle contract) rides as ONE plan reference object inside the
+    // native [[graft.functions.AdcDistances]] kernel — per-query
+    // literal arrays would inline Q×m×k doubles into generated code
+    // and blow Janino's method limit at realistic codebooks (Q=500,
+    // m=8, k=256 did). Distances are m table lookups per (row, query);
+    // the floats are never read.
+    val m = books.length
+    val kCodes = books.head.length
+    val tables: Array[Array[Double]] = queries.map { case (_, qvec) =>
+      val flat = new Array[Double](m * kCodes)
+      books.indices.foreach { s =>
+        books(s).indices.foreach { c =>
+          val cent = books(s)(c)
           var d = 0.0
           var i = 0
           while (i < subDim) {
@@ -391,17 +401,20 @@ object Similarity {
             d += diff * diff
             i += 1
           }
-          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          flat(s * kCodes + c) = BigDecimal(d)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }
-      val dist = round(adc.zipWithIndex.map { case (tab, s) =>
-        element_at(typedlit(tab), col(s"code$s").cast("int") + 1)
-      }.reduce(_ + _), 6)
-      struct(lit(qid).as("qid"), dist.as("d"))
-    }
+      flat
+    }.toArray
+    val qids = queries.map(_._1)
     val scored = codes
-      .select(col("id").as("vec_id"), explode(array(qd: _*)).as("qd"))
-      .select(col("qd.qid").as("qid"), col("vec_id"), col("qd.d").as("d"))
+      .select(col("id").as("vec_id"),
+        posexplode(graft.functions.VectorFunctions.adcDistances(
+          array((0 until m).map(s => col(s"code$s").cast("long")): _*),
+          tables, kCodes)).as(Seq("qi", "d")))
+      .select(element_at(typedlit(qids), col("qi") + 1).as("qid"),
+        col("vec_id"), col("d"))
     val w = Window.partitionBy("qid").orderBy(asc("d"), asc("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -1827,6 +1827,69 @@ object Queries {
       |  CASE WHEN lang = 'de' THEN 'upd' ELSE 'unknown' END AS source
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** MERGE ... WITH SCHEMA EVOLUTION on a COLUMN-MAPPED table: the
+    * table is created narrow (doc_id, lang), its lang column RENAMED
+    * to `language` (column mapping engages), then one evolving MERGE
+    * whose source carries `n_chars` — absent from the target — lands
+    * it mid-statement (Spark turns the extra column into an AddColumn
+    * TableChange, the catalog commits a zero-row schema extension, and
+    * the rewritten rows carry values under a fresh salted physical
+    * id). The oracle recomputes the final state straight from the
+    * documents table: untouched rows read the evolved column as NULL,
+    * matched rows carry their source value, and the renamed column's
+    * data must surface under the NEW logical name. */
+  def tableSqlEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.sqlevolve_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/sqlevolve_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_sqlev_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING) " +
+        "TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang " +
+        s"FROM docs_sqlev_$tag")
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN lang TO language")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING (
+           |  SELECT doc_id, lang AS language, n_chars
+           |  FROM docs_sqlev_$tag WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, lang, n_chars
+           |  FROM docs_sqlev_$tag WHERE doc_id % 97 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, language, n_chars)
+           |  VALUES (s.doc_id, s.language, s.n_chars)
+           |""".stripMargin)
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, language, n_chars FROM (
+         |  SELECT doc_id, language, n_chars, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableSqlEvolveSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id, lang AS language,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars
+      |         ELSE CAST(NULL AS BIGINT) END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 97 = 0)
+      |SELECT doc_id, language, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM cur ORDER BY doc_id""".stripMargin
+
   val tableSqlMergeSql: String =
     """WITH cur AS (
       |  SELECT d.doc_id, d.lang,
@@ -2555,6 +2618,7 @@ object Queries {
     "q_table_sql_asof" -> tableSqlAsof _,
     "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_table_sql_merge" -> tableSqlMerge _,
+    "q_table_sql_evolve" -> tableSqlEvolve _,
     "q_table_sql_stream" -> tableSqlStream _,
     "q_table_stream_read" -> tableStreamRead _,
     "q_table_sql_update" -> tableSqlUpdate _,
@@ -2625,6 +2689,7 @@ object Queries {
     "q_table_sql_asof" -> tableSqlAsofSql,
     "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_table_sql_merge" -> tableSqlMergeSql,
+    "q_table_sql_evolve" -> tableSqlEvolveSql,
     "q_table_sql_stream" -> tableSqlStreamSql,
     "q_table_stream_read" -> tableStreamReadSql,
     "q_table_sql_update" -> tableSqlUpdateSql,

@@ -2135,10 +2135,33 @@ object Versioned {
     // files it replaces: repeated incremental folds must keep each
     // file's key zone tight (that selectivity is what lets the NEXT
     // fold carry most files, and what point/range/DPP pruning feed
-    // on) — an unclustered rewrite would decay the layout per fold
+    // on) — an unclustered rewrite would decay the layout per fold.
+    // A Z-ORDERED standing checkpoint (its `_ZCOLS_` marker) gets the
+    // SAME interleaved sort re-applied to the rewritten slice (Morton
+    // key scaled over the slice's own min/max — zone tightness is
+    // per-file, so local scaling preserves per-file selectivity on
+    // every clustered column), and the marker carries forward; folds
+    // would otherwise silently decay non-key selectivity until the
+    // next explicit compactZOrder. Clustered columns a rename removed
+    // from the logical schema drop out of the re-applied key.
+    val zCols = zcolsAt(spark, path, c)
+      .filter(resolved.columns.contains(_))
     val outFiles = if (nFiles > 0) nFiles else math.max(rewrite.size, 1)
-    val sized = resolved.repartitionByRange(outFiles, col(keyCol))
-      .sortWithinPartitions(keyCol)
+    val sortKey: Seq[org.apache.spark.sql.Column] =
+      if (zCols.isEmpty) Seq(col(keyCol))
+      else {
+        val aggs = zCols.flatMap(cn =>
+          Seq(min(col(cn)).cast("double"), max(col(cn)).cast("double")))
+        val mm = resolved.agg(aggs.head, aggs.tail: _*).head()
+        Seq(zorderKey(zCols.zipWithIndex.map { case (cn, i) =>
+          val lo = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
+          val hi = if (mm.isNullAt(2 * i + 1)) 1.0
+            else mm.getDouble(2 * i + 1)
+          (col(cn), lo, hi)
+        }))
+      }
+    val sized = resolved.repartitionByRange(outFiles, sortKey: _*)
+      .sortWithinPartitions(sortKey: _*)
     // carried entries stay addressed at their CURRENT home (a chain of
     // incremental checkpoints references each file where it lives, so
     // no transitive manifest walk exists). A file outside this table's
@@ -2150,7 +2173,8 @@ object Versioned {
       else fp.toString
     }
     commitAt(sized, path, v, checkpoint = true, merge = false,
-      batchMarker = None, sortBy = Nil, sortFiles = 0, manifest = rels)
+      batchMarker = if (zCols.isEmpty) None else Some(zcolsMarker(zCols)),
+      sortBy = Nil, sortFiles = 0, manifest = rels)
       .getOrElse(sys.error(s"compactIncremental at $path lost claimed " +
         s"slot v=$v to an occupied dir — claims and versions diverged; " +
         "run vacuum and retry"))
@@ -2448,12 +2472,35 @@ object Versioned {
     if (cuts.isEmpty) lit(0) else tree(0, cuts.length)
   }
 
+  /** `_ZCOLS_<cols>` marker naming a checkpoint's Z-order clustering
+    * columns (URL-encoded, comma-joined) — what lets INCREMENTAL folds
+    * re-apply the same interleaved sort to the files they rewrite
+    * instead of silently decaying the layout to key-only clustering
+    * (each fold would otherwise erode non-key zone selectivity until
+    * the next explicit compactZOrder). */
+  private def zcolsMarker(zCols: Seq[String]): String =
+    "_ZCOLS_" + zCols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+      .mkString(",")
+
+  /** The Z-order clustering columns version `v` was written with
+    * (empty = key-clustered / pre-marker checkpoint). */
+  private[io] def zcolsAt(spark: SparkSession, path: String,
+      v: Int): Seq[String] = {
+    val f = fs(spark, path)
+    f.listStatus(new Path(s"$path/v=$v")).toSeq
+      .map(_.getPath.getName).find(_.startsWith("_ZCOLS_"))
+      .map(_.stripPrefix("_ZCOLS_").split(',').toSeq
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
+  }
+
   /** Checkpoint-compact with Z-ORDER clustering (Delta's `OPTIMIZE
     * ZORDER BY` shape): the resolved state is written range-partitioned
     * and sorted by the Morton key of `zCols` (min/max from one agg), so
     * [[snapshotRange]] skips files on ANY clustered column, not just a
     * single sort prefix. `nFiles` > 0 fixes the checkpoint's file count
-    * (finer files → finer skipping). */
+    * (finer files → finer skipping). The clustering columns ride as a
+    * `_ZCOLS_` marker so incremental folds preserve the layout. */
   def compactZOrder(spark: SparkSession, path: String, keyCol: String,
       zCols: Seq[String], nFiles: Int = 0): Int = {
     val resolved = current(spark, path, keyCol)
@@ -2466,7 +2513,8 @@ object Versioned {
       val hi = if (mm.isNullAt(2 * i + 1)) 1.0 else mm.getDouble(2 * i + 1)
       (col(c), lo, hi)
     })
-    commit(resolved, path, checkpoint = true, sortBy = Seq(z),
+    commit(resolved, path, checkpoint = true,
+      batchMarker = Some(zcolsMarker(zCols)), sortBy = Seq(z),
       sortFiles = nFiles)
   }
 
@@ -2497,7 +2545,8 @@ object Versioned {
         val cuts = raw.distinct.sorted
         least(equiDepthBucket(col(c), cuts), lit(255))
       })
-      commit(resolved, path, checkpoint = true, sortBy = Seq(z),
+      commit(resolved, path, checkpoint = true,
+        batchMarker = Some(zcolsMarker(zCols)), sortBy = Seq(z),
         sortFiles = nFiles)
     } finally resolved.unpersist(blocking = false)
   }

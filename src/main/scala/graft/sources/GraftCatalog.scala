@@ -200,6 +200,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the declared primary key follows its column's new name
         if (props.get(GraftCatalog.KeyProp).contains(from))
           props(GraftCatalog.KeyProp) = rc.newName
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1, "graft catalog: ADD COLUMN " +
+          "on nested fields is not supported")
+        val name = ac.fieldNames.head
+        require(!Versioned.MetaCols.contains(name),
+          s"graft catalog: column name '$name' collides with a " +
+            "commit-log metadata column")
+        // schema extension = one zero-row commit whose parquet footer
+        // carries the FULL extended schema (existing columns + the new
+        // one): the slice's union-by-name schema picks the column up
+        // (existing rows read it as null), and the V2 slice read stays
+        // sound — a footer carrying only the new column would make the
+        // vectorized reader refuse the file for missing key columns.
+        // On a column-mapped table commitAt mints the new column a
+        // fresh salted physical id. This is what MERGE ... WITH SCHEMA
+        // EVOLUTION drives (Spark applies the AddColumn TableChange
+        // here before rewriting rows).
+        val curSchema = Versioned.sliceSchema(spark, path,
+          Versioned.asOfVersions(spark, path,
+            Versioned.latestVersion(spark, path)))
+        require(!curSchema.fieldNames.map(_.toLowerCase)
+          .contains(name.toLowerCase),
+          s"graft catalog: column '$name' already exists")
+        val extended = spark.createDataFrame(
+          Collections.emptyList[Row](),
+          org.apache.spark.sql.types.StructType(
+            curSchema.fields.filterNot(f =>
+              Versioned.MetaCols.contains(f.name)).toSeq :+
+              org.apache.spark.sql.types.StructField(
+                name, ac.dataType(), true)))
+        Versioned.append(extended, path)
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames.length == 1, "graft catalog: DROP " +
           "COLUMN on nested fields is not supported")
@@ -466,7 +497,11 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // MERGE ... WITH SCHEMA EVOLUTION: Spark turns the source's
+      // extra columns into AddColumn TableChanges and applies them
+      // through alterTable before rewriting rows
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path,

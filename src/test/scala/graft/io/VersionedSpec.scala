@@ -456,6 +456,79 @@ class VersionedSpec extends SparkSpec {
     assert(zk.filter(col("k") === 17L).select("x").head().getLong(0) == 4000L)
   }
 
+  test("incremental folds preserve Z-order clustering: the _ZCOLS " +
+      "marker re-applies the interleaved sort to rewritten files, so " +
+      "non-key skipping survives repeated folds") {
+    val p = freshPath("zorderinc")
+    val n = 4096L
+    val df = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 2654435761L) % n).as("x"))
+    Versioned.append(df.repartitionByRange(8, col("k")), p)
+    val cp = Versioned.compactZOrder(spark, p, "k", Seq("k", "x"),
+      nFiles = 32)
+    assert(Versioned.zcolsAt(spark, p, cp) == Seq("k", "x"))
+    // three fold cycles, each a narrow-key-band delta (the continuous
+    // ingest shape) — every fold rewrites some clustered files
+    (0 until 3).foreach { i =>
+      val lo = i * 500L
+      Versioned.append(
+        spark.range(lo, lo + 200).select(col("id").as("k"),
+          ((col("id") * 2654435761L) % n).as("x")),
+        p)
+      Versioned.compactIncremental(spark, p, "k")
+    }
+    val head = Versioned.latestVersion(spark, p)
+    assert(Versioned.checkpoints(spark, p).contains(head))
+    // the clustering marker carried through every fold
+    assert(Versioned.zcolsAt(spark, p, head) == Seq("k", "x"))
+    val all = Versioned.current(spark, p, "k")
+    val expect = all.filter(col("x").between(0, 255))
+      .select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty)
+    // non-key x-skipping still bites on the POST-FOLD checkpoint —
+    // a key-only rewrite would have decayed x selectivity in every
+    // rewritten file
+    val zx = Versioned.snapshotRange(spark, p, head, "x", 0L, 255L)
+    assert(zx.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(zx.inputFiles.length < all.inputFiles.length / 2,
+      s"x-scan read ${zx.inputFiles.length} of " +
+        s"${all.inputFiles.length} files after folds")
+    // key skipping holds too
+    val zk = Versioned.snapshotRange(spark, p, head, "k", 0L, 255L)
+    assert(zk.inputFiles.length < all.inputFiles.length / 2)
+    assert(zk.select("k").collect().map(_.getLong(0)).toSet ==
+      all.filter(col("k") <= 255).select("k").collect()
+        .map(_.getLong(0)).toSet)
+  }
+
+  test("string zone pruning compares in unsigned UTF-8 byte order: a " +
+      "key between U+E000 and a supplementary-plane max is never " +
+      "silently pruned (UTF-16 order would skip its file)") {
+    val p = freshPath("utf8zone")
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    // one file whose footer min/max (UTF-8 order) bracket the probe:
+    // min = a (EE 80 80 ...), max = U+10000b (F0 90 80 80 ...).
+    // In Java UTF-16 order the max starts with a SURROGATE (D800) <
+    // , so a UTF-16 compare concludes lo > max and prunes the
+    // file — losing the row.
+    Versioned.append(Seq(("a", 1L), ("", 2L),
+      (supp + "b", 3L)).toDF("k", "x").coalesce(1), p)
+    val ranged = Versioned.currentRange(spark, p, "k",
+      "", "")
+    assert(ranged.select("x").as[Long].collect().toSeq == Seq(2L),
+      "range read lost the row to UTF-16-order pruning")
+    val pt = Versioned.currentPoint(spark, p, "k", "")
+    assert(pt.select("x").as[Long].collect().toSeq == Seq(2L),
+      "point lookup lost the row to UTF-16-order pruning")
+    // and pruning still prunes: a probe ABOVE the supplementary max
+    // (UTF-8: F4 ... > F0 ...) reads nothing
+    assert(Versioned.currentRange(spark, p, "k",
+      new String(Character.toChars(0x10FFFF)),
+      new String(Character.toChars(0x10FFFF))).count() == 0)
+  }
+
   test("compactZOrderQuantile: skipping survives the outlier that " +
       "collapses linear bucketing") {
     val p = freshPath("zorderq")

@@ -419,6 +419,69 @@ class GraftCatalogSpec extends SparkSpec {
       s"last gen should be the 2-id tombstone: ${det.last}")
   }
 
+  test("ALTER TABLE ADD COLUMN and MERGE ... WITH SCHEMA EVOLUTION: " +
+      "a source column absent from the target lands without a manual " +
+      "widen, on plain AND column-mapped tables") {
+    spark.sql("DROP TABLE IF EXISTS graft_test.tse")
+    spark.sql("CREATE TABLE graft_test.tse (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/tse"
+    spark.sql("INSERT INTO graft_test.tse VALUES (1, 10), (2, 20)")
+    // explicit ADD COLUMN: zero-row schema-extension commit; existing
+    // rows read the new column as null
+    spark.sql("ALTER TABLE graft_test.tse ADD COLUMN note STRING")
+    assert(spark.table("graft_test.tse").columns.toSeq ==
+      Seq("k", "x", "note"))
+    spark.sql("INSERT INTO graft_test.tse VALUES (3, 30, 'hi')")
+    val cur = Versioned.current(spark, path, "k")
+    assert(cur.filter(col("k") === 1L).select("note").head().isNullAt(0))
+    assert(cur.filter(col("k") === 3L).select("note")
+      .as[String].head() == "hi")
+    // MERGE schema evolution: the source carries 'score', the target
+    // doesn't — WITH SCHEMA EVOLUTION adds it mid-statement
+    Seq((2L, 222L, 0.9), (9L, 90L, 0.5))
+      .toDF("k", "x", "score").createOrReplaceTempView("tsesrc")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_test.tse t
+        |USING tsesrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET x = s.x, score = s.score
+        |WHEN NOT MATCHED THEN INSERT (k, x, score)
+        |VALUES (s.k, s.x, s.score)
+        |""".stripMargin)
+    val c2 = Versioned.current(spark, path, "k")
+    assert(c2.columns.contains("score"))
+    assert(c2.filter(col("k") === 2L).select("x", "score")
+      .as[(Long, Double)].head() == ((222L, 0.9)))
+    assert(c2.filter(col("k") === 9L).select("score")
+      .as[Double].head() == 0.5)
+    assert(c2.filter(col("k") === 1L).select("score").head().isNullAt(0))
+    // same on a COLUMN-MAPPED target (renamed key): the evolved
+    // column gets a fresh salted physical id via the mapping
+    spark.sql("ALTER TABLE graft_test.tse RENAME COLUMN x TO amount")
+    Seq((1L, 111L, "up"))
+      .toDF("k", "amount", "flag").createOrReplaceTempView("tsesrc2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_test.tse t
+        |USING tsesrc2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount, flag = s.flag
+        |WHEN NOT MATCHED THEN INSERT (k, amount, flag)
+        |VALUES (s.k, s.amount, s.flag)
+        |""".stripMargin)
+    val c3 = Versioned.current(spark, path, "k")
+    assert(c3.filter(col("k") === 1L).select("amount", "flag")
+      .as[(Long, String)].head() == ((111L, "up")))
+    assert(c3.filter(col("k") === 2L).select("flag").head().isNullAt(0))
+    // a column the target does NOT know still refuses WITHOUT the
+    // schema-evolution clause
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_test.tse t USING tsesrc2 s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, amount, nosuch)
+          |VALUES (s.k, s.amount, s.flag)
+          |""".stripMargin)
+    }
+  }
+
   test("row-level SQL DML: UPDATE and MERGE INTO append MOR deltas " +
       "over the head checkpoint (one commit each); key-changing " +
       "UPDATE retires the old key; a non-checkpoint head is auto-" +
@@ -853,5 +916,93 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("v_pos") ||
       Option(e.getCause).exists(_.getMessage.contains("v_pos")), s"$e")
     assert(Versioned.current(spark, path, "k").count() == 3)
+  }
+
+  test("streaming sink fails the epoch on CONCURRENT mapping DDL: a " +
+      "rename committed while the query runs must not mint the stale " +
+      "column a fresh physical id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS graft_test.ddlrace")
+    spark.sql("CREATE TABLE graft_test.ddlrace (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/ddlrace"
+    // map the table (any rename engages column mapping)
+    spark.sql("ALTER TABLE graft_test.ddlrace RENAME COLUMN v TO val")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/ckpt-ddlrace"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L)
+    val q = ms.toDF().select(col("value").as("k"),
+        (col("value") * 10).as("val"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt-ddlrace")
+      .toTable("graft_test.ddlrace")
+    try {
+      q.processAllAvailable() // epoch 0 lands under the current mapping
+      assert(Versioned.current(spark, path, "k").count() == 1)
+      // CONCURRENT DDL: the running stream's 'val' column vanishes
+      spark.sql("ALTER TABLE graft_test.ddlrace RENAME COLUMN val TO score")
+      ms.addData(2L)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null &&
+        m.contains("no longer in the table's column mapping")),
+        s"unexpected failure: ${msgs(e)}")
+    } finally q.stop()
+    // nothing from the failed epoch landed; a RESTARTED query against
+    // the current schema writes fine
+    assert(Versioned.current(spark, path, "k").count() == 1)
+    val ms2 = MemoryStream[Long]
+    ms2.addData(3L)
+    val q2 = ms2.toDF().select(col("value").as("k"),
+        (col("value") * 10).as("score"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt-ddlrace2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_test.ddlrace")
+    q2.awaitTermination()
+    val cur = Versioned.current(spark, path, "k")
+    assert(cur.count() == 2)
+    assert(cur.filter(col("k") === 3L).select("score")
+      .as[Long].head() == 30L)
+  }
+
+  test("CHECK constraint names validate where SET (CREATE/ALTER " +
+      "refuse); a pre-existing odd name is grandfathered at write time") {
+    // ALTER refuses up front — the write paths never see the bad name
+    spark.sql("DROP TABLE IF EXISTS graft_test.chknames")
+    spark.sql("CREATE TABLE graft_test.chknames (k BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val eAlter = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.chknames SET TBLPROPERTIES " +
+        "('check.a.b' = 'k > 0')")
+    }
+    assert(eAlter.getMessage.contains("invalid"), s"$eAlter")
+    // CREATE refuses too, before any table state exists
+    spark.sql("DROP TABLE IF EXISTS graft_test.chknames2")
+    val eCreate = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.chknames2 (k BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'check.bad name' = 'k > 0')")
+    }
+    assert(eCreate.getMessage.contains("invalid"), s"$eCreate")
+    // a pre-gate table with an odd name (written before validation
+    // existed) keeps working: validation reads counts positionally
+    val path = s"$wh/chknames"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = GraftCatalog.readProps(fs, path).toSeq :+
+      ("check.legacy.name" -> "k >= 0")
+    GraftCatalog.writeProps(fs, path, props)
+    spark.sql("INSERT INTO graft_test.chknames VALUES (5)") // not blocked
+    assert(Versioned.current(spark, path, "k").count() == 1)
+    // ...and the odd-named constraint still ENFORCES
+    val eIns = intercept[Exception] {
+      spark.sql("INSERT INTO graft_test.chknames VALUES (-1)")
+    }
+    assert(eIns.getMessage.contains("legacy.name") ||
+      Option(eIns.getCause).exists(c => c != null &&
+        c.getMessage.contains("legacy.name")), s"$eIns")
   }
 }

@@ -1915,6 +1915,77 @@ object Queries {
     * the gate certifies incremental == full: upsert deltas shifted
     * totals without rescans, deletes decremented, and the 'xx' group
     * was born from an insert delta. */
+  /** Incrementally-maintained JOIN view ([[graft.io.JoinView]]):
+    * orders ⋈ customer grouped by nation, maintained at the JOIN-KEY
+    * grain (a MatView over orders grouped by o_custkey) and served by
+    * joining that dimension-sized state to the customer dim at read
+    * time. The lifecycle exercises BOTH sides: fact upserts + deletes
+    * + inserts fold through one refresh; then a DIM change (customers
+    * moving to nation 99) must be visible at the very next read with
+    * ZERO refresh — the property the fk-grain materialization exists
+    * for. Prices are floored to exact integers (the MatView integral
+    * contract); the oracle replays the whole thing from orders ×
+    * customer. */
+  def tableJoinView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{JoinView, Versioned}
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val factSrc = s"target/tmp/jvq-fact-$tagDir"
+    val dimSrc = s"target/tmp/jvq-dim-$tagDir"
+    val view = s"target/tmp/jvq-view-$tagDir"
+    val h = JoinView.handle(factSrc, "o_orderkey", "o_custkey",
+      Seq("p"), dimSrc, "c_custkey", "c_nationkey", view)
+    fixtureBuilt.getOrElseUpdate(view, {
+      Versioned.drop(spark, factSrc)
+      Versioned.drop(spark, dimSrc)
+      Versioned.drop(spark, view)
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long").as("p"))
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      Versioned.append(orders, factSrc)
+      Versioned.append(cust, dimSrc)
+      JoinView.init(spark, factSrc, "o_orderkey", "o_custkey",
+        Seq("p"), dimSrc, "c_custkey", "c_nationkey", view)
+      // fact deltas: upsert, delete, insert — then ONE refresh
+      Versioned.append(orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("p") + 1000L).as("p")), factSrc)
+      Versioned.delete(orders.filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey"), factSrc)
+      Versioned.append(orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"), (col("p") + 7L).as("p")), factSrc)
+      JoinView.refresh(spark, h)
+      // DIM change, NO refresh: read-time correctness is the contract
+      Versioned.append(cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          lit(99).cast("int").as("c_nationkey")), dimSrc)
+      ()
+    })
+    JoinView.read(spark, h).orderBy("c_nationkey")
+  }
+
+  val tableJoinViewSql: String =
+    """WITH fact AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(o_totalprice) AS BIGINT) +
+      |      CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS p
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, CAST(FLOOR(o_totalprice) AS BIGINT) + 7
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |dim AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 99
+      |         ELSE c_nationkey END AS c_nationkey
+      |  FROM customer)
+      |SELECT d.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(f.p) AS BIGINT) AS sum_p
+      |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def tableMatView(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{MatView, Versioned}
     // the path carries the session's identity hash (like the at-rest
@@ -2592,6 +2663,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolution _,
     "q_table_current" -> tableCurrent _,
     "q_matview" -> tableMatView _,
+    "q_joinview" -> tableJoinView _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
     "q_distinct_view" -> tableDistinctView _,
@@ -2663,6 +2735,7 @@ object Queries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_table_current" -> tableCurrentSql,
     "q_matview" -> tableMatViewSql,
+    "q_joinview" -> tableJoinViewSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_distinct_view" -> tableDistinctViewSql,
     "q_matview_stream" -> tableMatViewStreamSql,

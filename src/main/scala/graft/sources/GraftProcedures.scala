@@ -105,6 +105,22 @@ private[sources] object GraftProcedures {
       s"graft table $path has no 'key' table property; this procedure " +
         "resolves keys — ALTER TABLE … SET TBLPROPERTIES ('key' = '<col>')"))
 
+  /** Rebuild a create_joinview handle from the view's persisted
+    * `mv.*`/`jv.*` properties. */
+  private def joinHandleOf(cat: GraftCatalog,
+      viewPath: String): graft.io.JoinView.Handle = {
+    val props = cat.propsOf(viewPath)
+    graft.io.JoinView.Handle(
+      graft.io.MatView.Handle(viewPath,
+        props.getOrElse("mv.source", sys.error(
+          s"$viewPath is not a create_joinview view (no mv.* properties)")),
+        props("mv.key"), props("mv.group"),
+        props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil),
+      props.getOrElse("jv.dim", sys.error(
+        s"$viewPath is not a create_joinview view (no jv.* properties)")),
+      props("jv.dimkey"), props("jv.dimattr"))
+  }
+
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
       "merge-on-read checkpoint: resolve current state into one commit",
@@ -158,6 +174,52 @@ private[sources] object GraftProcedures {
           props("mv.key"), props("mv.group"),
           props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil)
         oneVersion(graft.io.MatView.refresh(spark, h))
+      }),
+    new Proc("create_joinview",
+      "create + fully refresh a maintained JOIN view: fact JOIN dim " +
+        "grouped by a dim attribute, materialized at the JOIN-KEY " +
+        "grain (fact deltas fold at delta cost via refresh_joinview; " +
+        "dim changes are visible at the next joinview_read with ZERO " +
+        "refresh)",
+      Seq(in("view", StringType), in("fact", StringType),
+        in("fk_col", StringType), in("sum_cols", StringType),
+        in("dim", StringType), in("dim_key", StringType),
+        in("dim_attr", StringType)),
+      versionOut,
+      (cat, row) => {
+        val parts = str(row, 0, "view").split('.')
+        val viewPath = cat.pathForName(Identifier.of(parts.init, parts.last))
+        def resolve(i: Int, what: String): String = {
+          val ps = str(row, i, what).split('.')
+          cat.resolveTablePath(Identifier.of(ps.init, ps.last))
+        }
+        val factPath = resolve(1, "fact")
+        val dimPath = resolve(4, "dim")
+        val fkCol = str(row, 2, "fk_col")
+        val sums = str(row, 3, "sum_cols").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val dimKey = str(row, 5, "dim_key")
+        val dimAttr = str(row, 6, "dim_attr")
+        val keyCol = keyOf(cat, factPath)
+        val h = graft.io.JoinView.init(spark, factPath, keyCol, fkCol,
+          sums, dimPath, dimKey, dimAttr, viewPath)
+        cat.setProps(viewPath, Map(
+          GraftCatalog.KeyProp -> "g",
+          "mv.source" -> factPath, "mv.key" -> keyCol,
+          "mv.group" -> fkCol, "mv.sums" -> sums.mkString(","),
+          "jv.dim" -> dimPath, "jv.dimkey" -> dimKey,
+          "jv.dimattr" -> dimAttr))
+        oneVersion(graft.io.JoinView.refreshedVersion(spark, h))
+      }),
+    new Proc("refresh_joinview",
+      "fold the fact versions committed since the last refresh into a " +
+        "create_joinview view (delta-cost, exactly-once); dim changes " +
+        "never need a refresh",
+      Seq(in("view", StringType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val h = joinHandleOf(cat, p)
+        oneVersion(graft.io.JoinView.refresh(spark, h))
       }),
     new Proc("create_sketchview",
       "create + fully refresh a maintained per-group DISTINCT-estimate " +

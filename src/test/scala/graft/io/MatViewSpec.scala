@@ -368,3 +368,63 @@ class MatViewSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Maintained JOIN view: fk-grain materialization, dim joined at read. */
+class JoinViewSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("JoinView: fact deltas fold at delta cost; dim changes are " +
+      "visible at the next read with ZERO refresh; inner-join drop " +
+      "and reingest semantics hold") {
+    val fact = "target/tmp/jv-fact"
+    val dim = "target/tmp/jv-dim"
+    val view = "target/tmp/jv-view"
+    Seq(fact, dim, view).foreach(Versioned.drop(spark, _))
+    // fact: (id, fk, x); dim: (dk, region)
+    Versioned.append((1L to 100L).map(i =>
+      (i, i % 10, i)).toDF("id", "fk", "x"), fact)
+    Versioned.append((0L until 10L).map(d =>
+      (d, if (d < 5) "east" else "west")).toDF("dk", "region"), dim)
+    val h = JoinView.init(spark, fact, "id", "fk", Seq("x"),
+      dim, "dk", "region", view)
+    def served(): Map[String, (Long, Long)] =
+      JoinView.read(spark, h).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def expect(): Map[String, (Long, Long)] =
+      Versioned.current(spark, fact, "id")
+        .join(Versioned.current(spark, dim, "dk"),
+          col("fk") === col("dk"))
+        .groupBy("region").agg(count(lit(1)), sum("x"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(served() == expect() && served().keySet == Set("east", "west"))
+    // fact deltas: upsert (fk migration 3 -> 7 crosses regions),
+    // delete, insert — one refresh folds all three
+    Versioned.append(Seq((3L, 7L, 300L)).toDF("id", "fk", "x"), fact)
+    Versioned.delete(Seq(Tuple1(10L)).toDF("id"), fact)
+    Versioned.append(Seq((200L, 2L, 1000L)).toDF("id", "fk", "x"), fact)
+    JoinView.refresh(spark, h)
+    assert(served() == expect())
+    // DIM attribute change: fk 2 moves east -> west. NO refresh — the
+    // read must reflect it immediately (fk-grain state untouched)
+    val vBefore = Versioned.latestVersion(spark, view)
+    Versioned.append(Seq((2L, "west")).toDF("dk", "region"), dim)
+    assert(served() == expect())
+    assert(served()("west")._2 >= 1000L) // the new fact mass moved too
+    assert(Versioned.latestVersion(spark, view) == vBefore,
+      "dim change must not touch the materialized state")
+    // inner-join drop: deleting a dim row hides its fk's mass...
+    Versioned.delete(Seq(Tuple1(9L)).toDF("dk"), dim)
+    assert(served() == expect())
+    // ...and reingesting the dim row brings it back — nothing was lost
+    Versioned.append(Seq((9L, "east")).toDF("dk", "region"), dim)
+    assert(served() == expect())
+    // the fk-grain state is directly addressable
+    val byKey = JoinView.readByKey(spark, h).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byKey(7L) == (7L to 97L by 10L).sum + 300L)
+    // refresh is idempotent
+    val v2 = JoinView.refresh(spark, h)
+    assert(JoinView.refresh(spark, h) == v2)
+  }
+}

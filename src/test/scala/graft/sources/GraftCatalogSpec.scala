@@ -214,6 +214,46 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("BIGINT"), e.getMessage)
   }
 
+  test("maintained JOIN views from SQL: CALL create_joinview " +
+      "materializes at the fk grain; refresh_joinview folds fact " +
+      "deltas; the dim-attr serve is plain SQL over view JOIN dim " +
+      "and reflects dim changes with zero refresh") {
+    spark.sql("CREATE TABLE graft_test.jvfact (id BIGINT, fk BIGINT, " +
+      "x BIGINT) TBLPROPERTIES ('key' = 'id')")
+    spark.sql("CREATE TABLE graft_test.jvdim (dk BIGINT, region STRING) " +
+      "TBLPROPERTIES ('key' = 'dk')")
+    spark.sql("INSERT INTO graft_test.jvfact " +
+      "SELECT id, id % 10, id FROM range(100)")
+    spark.sql("INSERT INTO graft_test.jvdim SELECT id, " +
+      "CASE WHEN id < 5 THEN 'east' ELSE 'west' END FROM range(10)")
+    spark.sql("CALL graft_test.system.create_joinview(" +
+      "'jv1', 'jvfact', 'fk', 'x', 'jvdim', 'dk', 'region')")
+    def served(): Map[String, Long] = spark.sql(
+      """SELECT d.region, CAST(SUM(v.sum_x) AS BIGINT) AS s
+        |FROM (SELECT g, sum_x FROM (
+        |        SELECT g, sum_x, __deleted, row_number() OVER (
+        |          PARTITION BY g ORDER BY __v DESC, __seq DESC) AS rk
+        |        FROM graft_test.jv1) WHERE rk = 1 AND NOT __deleted) v
+        |JOIN (SELECT dk, region FROM (
+        |        SELECT dk, region, __deleted, row_number() OVER (
+        |          PARTITION BY dk ORDER BY __v DESC, __seq DESC) AS rk
+        |        FROM graft_test.jvdim) WHERE rk = 1 AND NOT __deleted) d
+        |ON v.g = d.dk GROUP BY 1""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val east0 = (0L until 100L).filter(_ % 10 < 5).sum
+    val west0 = (0L until 100L).filter(_ % 10 >= 5).sum
+    assert(served() == Map("east" -> east0, "west" -> west0))
+    // fact delta folds through CALL refresh_joinview
+    spark.sql("INSERT INTO graft_test.jvfact VALUES (200, 2, 1000)")
+    spark.sql("CALL graft_test.system.refresh_joinview('jv1')")
+    assert(served() == Map("east" -> (east0 + 1000L), "west" -> west0))
+    // dim change: fk 2 moves east -> west, ZERO refresh needed
+    spark.sql("INSERT INTO graft_test.jvdim VALUES (2, 'west')")
+    val mass2 = (2L until 100L by 10L).sum + 1000L
+    assert(served() == Map("east" -> (east0 + 1000L - mass2),
+      "west" -> (west0 + mass2)))
+  }
+
   test("materialized views from SQL: CALL create_matview builds a " +
       "maintained per-group aggregate; refresh_matview folds new " +
       "source commits at delta cost; the view SELECTs like a table") {

@@ -309,7 +309,10 @@ object Search {
    * the index, no new generation) when nothing committed above the
    * base. Same structural-commit guard as [[compact]].
    */
-  def compactIncremental(spark: SparkSession, idx: Index): Index = {
+  def compactIncremental(spark: SparkSession, idx: Index,
+      maxSetsPerBucket: Int = 4): Index = {
+    require(maxSetsPerBucket >= 2,
+      s"maxSetsPerBucket must be >= 2, got $maxSetsPerBucket")
     val f = fsOf(spark, idx.path)
     val ms = liveMetas(spark, f, idx.path)
     val baseGen = ms.filter(_.kind == KindBase).map(_.gen).maxOption
@@ -328,11 +331,22 @@ object Search {
         .map(_.getPath.toString)
     }
     val dels = ms.filter(_.kind == KindDel)
-    if (segPaths.nonEmpty) {
-      // merge the delta segments ONLY (never the base), tombstones
-      // applied gen-aware while we're here
+    // LEVELING: each fold normally adds one merged file set per bucket
+    // (the LSM trade); a bucket whose carried sets reached
+    // `maxSetsPerBucket` joins THIS merge — all its paths fold into
+    // the new generation and drop from the carry, so no bucket's live
+    // path count ever exceeds the cap, at the amortized cost of
+    // re-merging one overgrown bucket's data (never the whole base)
+    val eff = GenLog.effectiveParts(spark, f, idx.path, "post", baseGen)
+    val (leveled, kept) = eff.partition {
+      case (_, ps) => ps.size >= maxSetsPerBucket
+    }
+    val srcPaths = segPaths ++ leveled.values.flatten
+    if (srcPaths.nonEmpty) {
+      // merge the delta segments (and any leveled buckets) — never the
+      // whole base; tombstones applied gen-aware while we're here
       val src = spark.read.option("basePath", s"${idx.path}/post")
-        .parquet(segPaths: _*)
+        .parquet(srcPaths: _*)
       antiTombs(spark, f, idx.path, ms, src)
         .select("id", "tok", "tf", "dlen", "positions")
         .withColumn("tb", bucketOf(col("tok"), idx.nBuckets))
@@ -340,10 +354,10 @@ object Search {
         .write.mode("overwrite").option("parquet.block.size", 1 << 20)
         .partitionBy("tb").parquet(s"${idx.path}/post/gen=$g")
     } else f.mkdirs(new Path(s"${idx.path}/post/gen=$g"))
-    // carry EVERY path of the previous base (its own dirs + whatever
-    // it carried — addresses copy forward, no transitive walk)
-    val carried = GenLog.effectiveParts(spark, f, idx.path, "post",
-      baseGen).toSeq.flatMap { case (k, ps) => ps.map(k -> _) }
+    // carry every KEPT path of the previous base (its own dirs +
+    // whatever it carried — addresses copy forward, no transitive
+    // walk); leveled buckets live in this generation's own dirs now
+    val carried = kept.toSeq.flatMap { case (k, ps) => ps.map(k -> _) }
     GenLog.writeCarry(spark, f, idx.path, "post", g, carried)
     // docs sidecar: same seg-merge — fold the delta segments' rows
     // (tombstones applied gen-aware, so a reingested doc keeps exactly
@@ -356,13 +370,6 @@ object Search {
       .filter(d => f.exists(d) && f.listStatus(d)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .map(_.toString)
-    if (segDocDirs.nonEmpty) {
-      val segDocs = spark.read.option("basePath", s"${idx.path}/docs")
-        .parquet(segDocDirs: _*)
-      antiTombs(spark, f, idx.path, ms, segDocs)
-        .select("id", "dlen")
-        .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
-    } else f.mkdirs(new Path(s"${idx.path}/docs/gen=$g"))
     def docsDirIfData(x: Int): Seq[(String, String)] = {
       val d = f.makeQualified(new Path(s"${idx.path}/docs/gen=$x"))
       if (f.exists(d) && f.listStatus(d)
@@ -370,14 +377,29 @@ object Search {
         Seq(s"g=$x" -> d.toString)
       else Nil
     }
-    // the manifest lists the base's docs (and ITS carries) plus this
-    // fold's own merged-docs dir — docs files sit directly in the gen
-    // dir (no partition subdirs), so the self-entry is what makes
-    // genPaths see them; Spark ignores the underscore-prefixed
-    // _CARRY.tsv inside the same dir
-    GenLog.writeCarry(spark, f, idx.path, "docs", g,
+    // docs sets level under the same cap: once the carried dirs reach
+    // it, fold them all (plus the seg docs) into this generation's
+    // consolidated sidecar and carry nothing older
+    val prevDocs =
       GenLog.carryEntries(spark, f, idx.path, "docs", baseGen) ++
-        docsDirIfData(baseGen) ++ docsDirIfData(g))
+        docsDirIfData(baseGen)
+    val levelDocs = prevDocs.size >= maxSetsPerBucket
+    val docSrc = segDocDirs ++
+      (if (levelDocs) prevDocs.map(_._2) else Nil)
+    if (docSrc.nonEmpty) {
+      val d = spark.read.option("basePath", s"${idx.path}/docs")
+        .parquet(docSrc: _*)
+      antiTombs(spark, f, idx.path, ms, d)
+        .select("id", "dlen")
+        .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
+    } else f.mkdirs(new Path(s"${idx.path}/docs/gen=$g"))
+    // the manifest lists the kept docs dirs plus this fold's own
+    // merged-docs dir — docs files sit directly in the gen dir (no
+    // partition subdirs), so the self-entry is what makes genPaths see
+    // them; Spark ignores the underscore-prefixed _CARRY.tsv inside
+    // the same dir
+    GenLog.writeCarry(spark, f, idx.path, "docs", g,
+      (if (levelDocs) Nil else prevDocs) ++ docsDirIfData(g))
     // consolidated tombstone snapshot for the carried buckets' dead
     // rows (distinct ids; gen partition value becomes g via the read)
     val tombDirs = (dels.map(_.gen) :+ baseGen)

@@ -457,6 +457,43 @@ class SearchSpec extends SparkSpec {
     assert(Search.open(spark, root).nBuckets == vidx.nBuckets)
   }
 
+  test("seg-merge leveling: a bucket never holds more than " +
+      "maxSetsPerBucket live file sets across chained folds; answers " +
+      "stay exact while overgrown buckets re-merge") {
+    val root = "target/tmp/search-level-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vidx = Search.writeIndex(docs.filter(col("doc_id") <= 4),
+      "doc_id", "text", root)
+    def baseGen(): Int = graft.io.GenLog.liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).map(_.gen).max
+    // five fold cycles, each appending a doc whose tokens hit the SAME
+    // buckets (alpha/beta) — without leveling those buckets would
+    // accumulate one set per fold
+    (1 to 5).foreach { i =>
+      Search.append(Seq((100L + i, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text", vidx)
+      Search.compactIncremental(spark, vidx, maxSetsPerBucket = 2)
+      val eff = graft.io.GenLog.effectiveParts(spark, f, root,
+        "post", baseGen())
+      val worst = eff.values.map(_.size).max
+      assert(worst <= 2, s"fold $i left a bucket with $worst sets")
+      // docs sets bounded by the same cap (carried + the fold's own)
+      val docsSets = graft.io.GenLog.carryEntries(spark, f, root,
+        "docs", baseGen()).size
+      assert(docsSets <= 2, s"fold $i left $docsSets docs sets")
+      Search.vacuum(spark, vidx)
+    }
+    assert(Search.searchAll(spark, vidx, Seq("alpha"))
+      .collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L) ++ (1 to 5).map(i => 100L + i),
+      "leveled folds lost or duplicated postings")
+    // BM25 stats stayed exact through five folds + levelings
+    val bm = Search.searchBm25(spark, vidx, Seq("alpha"), 20).count()
+    assert(bm == 8)
+  }
+
   test("compact refuses while an append is in flight; the late-published " +
       "append survives the next compact and vacuum reclaims only dead gens") {
     org.apache.commons.io.FileUtils.deleteQuietly(

@@ -418,6 +418,14 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scanOf(q).asInstanceOf[
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
       .pushedFilters.exists(_.references.contains("k")))
+    // metadata aggregate pushdown translates the RENAMED column to its
+    // physical stats key: count/min/max answered with no file opened
+    val ag = spark.read.format("graft").load(p)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val agPlan = ag.queryExecution.executedPlan.toString
+    assert(agPlan.contains("metadata-only aggregate"), agPlan)
+    assert(ag.as[(Long, Long, Long)].head() == ((300L, 0L, 299L)))
     // drop then re-add the same logical name: fresh physical id, the
     // dropped bytes stay dead (old rows read null, new rows read data)
     Versioned.dropColumn(spark, p, "score")

@@ -24,7 +24,8 @@ object Stress {
       "kmeans", "text", "bpe", "semdedup", "pq", "spans", "events",
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
-      "dppscan", "inccompact", "lakeloop", "annpq", "searchfold")
+      "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
+      "dmlrace")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -68,6 +69,11 @@ object Stress {
     if (mode == "searchfold") {
       val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
       searchFoldStress(spark, nd, cpus.toInt); return
+    }
+    if (mode == "dmlrace") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(200000L)
+      val nt = if (numArgs.length > 1) numArgs(1).toInt else 4
+      dmlRaceStress(spark, nr, nt, cpus.toInt); return
     }
     if (mode == "sinkstream") {
       val nb = if (numArgs.length > 1) numArgs(1).toInt else 3
@@ -780,6 +786,91 @@ object Stress {
     * cycle would pay a full-table compact), and the final resolved
     * state matches the closed form exactly (disjoint bands → x = k +
     * 1000 for merged keys, x = k elsewhere, inserted keys x = -k). */
+  /** TRUE-CONCURRENCY DML race: `dmlrace <rows> [<threads>]` (default
+    * 200k × 4). The OCC machinery's specs build their interleavings by
+    * hand; this hammers it with REAL racing threads — each thread
+    * UPDATEs its own disjoint key band for several rounds, all against
+    * one shared table. What must hold, and is asserted:
+    *
+    *  - disjoint-band publishes ADMIT each other (the zone-range OCC
+    *    narrowing — without it every concurrent round would livelock);
+    *  - claim-slot races serialize through the CAS + backoff (a thread
+    *    hitting a genuine conflict or a claimed slot retries);
+    *  - planning-time incremental checkpoint maintenance (each UPDATE
+    *    at a dirty head folds first) races safely across threads;
+    *  - EXACTLY-ONCE effects: after T threads × R rounds of "+1 to my
+    *    band", every row's value is exactly base + R — a lost update
+    *    or a double-applied staged commit both fail the invariant.
+    */
+  private def dmlRaceStress(spark: SparkSession, nRows: Long,
+      nThreads: Int, cpus: Int): Unit = {
+    val wh = "target/tmp/stress-dmlrace-wh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.graft_race",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_race.warehouse", wh)
+    spark.sql("CREATE TABLE graft_race.t (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.range(nRows).selectExpr("id AS k", "0L AS x")
+      .repartition(cpus).createOrReplaceTempView("race_base")
+    spark.sql("INSERT INTO graft_race.t SELECT k, x FROM race_base")
+    spark.sql("CALL graft_race.system.compact_sized('t', 32)")
+    val rounds = 5
+    val band = nRows / nThreads
+    val retries = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t0 = System.nanoTime()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          val lo = t * band
+          val hi = if (t == nThreads - 1) nRows else lo + band
+          (1 to rounds).foreach { _ =>
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try {
+                spark.sql(s"UPDATE graft_race.t SET x = x + 1 " +
+                  s"WHERE k >= $lo AND k < $hi")
+                done = true
+              } catch {
+                case e: Throwable
+                    if attempts < 50 && Option(e.getMessage).exists(m =>
+                      m.contains("concurrently") ||
+                      m.contains("in flight") ||
+                      m.contains("retry") || m.contains("claimed")) ||
+                    Option(e.getCause).exists(c =>
+                      c != null && Option(c.getMessage).exists(m =>
+                        m.contains("concurrently") ||
+                        m.contains("retry"))) =>
+                  attempts += 1
+                  retries.incrementAndGet()
+                  Thread.sleep(50L + scala.util.Random.nextInt(100))
+              }
+            }
+          }
+        } catch {
+          case e: Throwable => failures.compareAndSet(null, e); ()
+        }
+      }, s"dml-race-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    require(failures.get() == null,
+      s"a racing thread failed terminally: ${failures.get()}")
+    // exactly-once invariant: every row saw exactly `rounds` +1s
+    val bad = graft.io.Versioned.current(spark, s"$wh/t", "k")
+      .filter(col("x") =!= rounds.toLong).count()
+    require(bad == 0, s"$bad rows lost or double-applied an update")
+    val nVersions = graft.io.Versioned.versions(spark, s"$wh/t").size
+    println(s"""{"metric":"stress_dmlrace","rows":$nRows,""" +
+      s""""threads":$nThreads,"rounds":$rounds,"wall_sec":$wall,""" +
+      s""""retries":${retries.get()},"versions":$nVersions,""" +
+      s""""rows_wrong":$bad}""")
+    spark.stop()
+  }
+
   private def lakeLoopStress(spark: SparkSession, baseRows: Long,
       cycles: Int, cpus: Int): Unit = {
     val wh = "target/tmp/stress-lake-wh"

@@ -1447,6 +1447,41 @@ class VersionedSpec extends SparkSpec {
     assert(fin.select("z").as[Int].head() == 0)
   }
 
+  test("metadataOnlySuffixHead and refreshColmap: the DML snapshot " +
+      "advances through pure-metadata suffixes only, and a publish " +
+      "re-resolves the mapping without losing slot-salted extras") {
+    val p = freshPath("metasuffix")
+    Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)      // v1
+    Versioned.compact(spark, p, "k")                       // v2 ckpt
+    Versioned.renameColumn(spark, p, "x", "y")             // v3 meta
+    Versioned.renameColumn(spark, p, "y", "z")             // v4 meta
+    // contiguous metadata suffix above the checkpoint -> head
+    assert(Versioned.metadataOnlySuffixHead(spark, p, 2) == 4)
+    // a DATA commit ends the walk (concurrent ingest must stay above
+    // the snapshot so the OCC check faces it)
+    Versioned.append(Seq((2L, 20L)).toDF("k", "z"), p)     // v5 data
+    assert(Versioned.metadataOnlySuffixHead(spark, p, 2) == 4)
+    assert(Versioned.metadataOnlySuffixHead(spark, p, 5) == 5)
+    // refreshColmap: a rename committed BELOW the claimed slot wins
+    // over the stale claim-time snapshot; the write's own slot-salted
+    // extras survive; an extra whose logical name the fresh mapping
+    // claimed is dropped (cannot split one column across two ids)
+    val stale = Some(Seq(("k", "k"), ("y", "x"), ("fresh", "fresh_r9")))
+    val got = Versioned.refreshColmap(spark, p, 9, stale)
+    assert(got.contains(Seq(("k", "k"), ("z", "x"),
+      ("fresh", "fresh_r9"))), s"got $got")
+    // extras not salted with OUR slot are never re-applied
+    val woSalt = Versioned.refreshColmap(spark, p, 9,
+      Some(Seq(("k", "k"), ("other", "other_r7"))))
+    assert(woSalt.contains(Seq(("k", "k"), ("z", "x"))), s"got $woSalt")
+    // a fresh mapping claiming the extra's logical name wins
+    val clash = Versioned.refreshColmap(spark, p, 9,
+      Some(Seq(("k", "k"), ("z", "z_r9"))))
+    assert(clash.contains(Seq(("k", "k"), ("z", "x"))), s"got $clash")
+    // unmapped table: identity
+    assert(Versioned.refreshColmap(spark, p, 9, None).isEmpty)
+  }
+
   test("mapped tables: zone-range, snapshotRange, and bloom point " +
       "lookup all prune on a RENAMED key column, same answers") {
     val p = freshPath("mapprune")

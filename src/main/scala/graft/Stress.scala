@@ -835,14 +835,15 @@ object Stress {
                 done = true
               } catch {
                 case e: Throwable
-                    if attempts < 50 && Option(e.getMessage).exists(m =>
-                      m.contains("concurrently") ||
-                      m.contains("in flight") ||
-                      m.contains("retry") || m.contains("claimed")) ||
-                    Option(e.getCause).exists(c =>
-                      c != null && Option(c.getMessage).exists(m =>
+                    if attempts < 50 &&
+                      (Option(e.getMessage).exists(m =>
                         m.contains("concurrently") ||
-                        m.contains("retry"))) =>
+                        m.contains("in flight") ||
+                        m.contains("retry") || m.contains("claimed")) ||
+                      Option(e.getCause).exists(c =>
+                        c != null && Option(c.getMessage).exists(m =>
+                          m.contains("concurrently") ||
+                          m.contains("retry")))) =>
                   attempts += 1
                   retries.incrementAndGet()
                   Thread.sleep(50L + scala.util.Random.nextInt(100))

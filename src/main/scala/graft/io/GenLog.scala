@@ -1,7 +1,8 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, max}
 
 /**
  * The GENERATION LOG — the commit machinery behind every growing
@@ -222,6 +223,38 @@ object GenLog {
     val base = ms.filter(_.kind == KindBase).map(_.gen)
       .maxOption.getOrElse(ms.head.gen)
     ms.filter(_.gen >= base)
+  }
+
+  /** Tombstone view over the given `tombs/gen=*` dirs: (id, tgen),
+    * where `tgen` is the ORIGINAL kill generation — the explicit
+    * `tgen` column when present (consolidated snapshots written by
+    * incremental folds), else the dir's own gen partition value
+    * (plain delete generations). Every gen-aware anti-join must
+    * compare against THIS, not the raw partition gen: a consolidated
+    * snapshot re-stamped at its base's gen would kill a deleted-then-
+    * REINGESTED row whose live copy was merged at an earlier fold. */
+  def tombstones(spark: SparkSession, path: String,
+      dirs: Seq[String]): DataFrame = {
+    val raw = spark.read.option("basePath", s"$path/tombs")
+      .option("mergeSchema", "true").parquet(dirs: _*)
+    val tg = if (raw.columns.contains("tgen"))
+      coalesce(col("tgen"), col("gen")) else col("gen")
+    raw.select(col("id"), tg.cast("int").as("tgen"))
+  }
+
+  /** Write the consolidated tombstone snapshot for a new incremental
+    * base at gen `g`, PRESERVING each id's original (newest) kill
+    * generation in the `tgen` column. No-op when none of `gens` has a
+    * tombs dir. */
+  def consolidateTombs(spark: SparkSession, f: FileSystem, path: String,
+      gens: Seq[Int], g: Int): Unit = {
+    val dirs = gens.distinct
+      .map(x => new Path(s"$path/tombs/gen=$x"))
+      .filter(f.exists).map(_.toString)
+    if (dirs.isEmpty) return
+    tombstones(spark, path, dirs)
+      .groupBy("id").agg(max("tgen").as("tgen"))
+      .write.mode("overwrite").parquet(s"$path/tombs/gen=$g")
   }
 
   /** Claim the next free generation slot (atomic put-if-absent through

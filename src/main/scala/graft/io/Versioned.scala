@@ -993,6 +993,30 @@ object Versioned {
       require(probes < 10000, s"mapping commit at $path probed $probes " +
         "claimed slots; claims and versions diverged — run vacuum")
     }
+    // STRUCTURAL-COMMIT GUARD (checked AFTER claiming, against our
+    // actual slot): this DDL's snapshot derives from the committed
+    // head, so an IN-FLIGHT staged writer BELOW our slot (a schema-
+    // evolving MERGE holding a claimed slot, about to publish a
+    // snapshot with a freshly minted column) would have its snapshot
+    // superseded by ours — the evolved column silently unmapped, its
+    // data orphaned. Refuse (releasing our claim) while any lower
+    // slot is claimed-but-unpublished — the same fail-loud rule as
+    // GenLog.requireNoInflightBelow; writers ABOVE us are safe (their
+    // publish re-resolves the mapping — refreshColmap). Wait the
+    // writer out (or let vacuum sweep a crashed claim) and retry.
+    val committed = versions(spark, path).toSet
+    val inflight = store.listClaims(f, new Path(path))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(".claim-v=").toInt).toOption)
+      .filter(c => c < v && !committed.contains(c))
+    if (inflight.nonEmpty) {
+      store.delete(f, new Path(path, s".claim-v=$v"))
+      sys.error(s"mapping DDL at $path: version slot(s) " +
+        s"${inflight.sorted.mkString(",")} are claimed but unpublished " +
+        "below this DDL's slot — an in-flight write's schema-evolution " +
+        "snapshot would be silently superseded; wait it out (or run " +
+        "vacuum for a crashed writer's stale claim) and retry")
+    }
     val staging = new Path(path,
       s".staging-v=$v-${java.util.UUID.randomUUID().toString.take(8)}")
     f.mkdirs(staging)
@@ -2267,53 +2291,90 @@ object Versioned {
 
   private val ExportsFile = "_EXPORTS.tsv"
 
-  /** (cloneDst, qualified file path) lines from the source's export
-    * registry — files of THIS table that shallow clones reference. */
-  private[io] def exports(spark: SparkSession,
-      path: String): Seq[(String, String)] = {
-    val f = fs(spark, path)
-    val p = new Path(path, ExportsFile)
-    if (!f.exists(p)) Nil
-    else LogStore.forSession(spark).readSmall(f, p)
+  /** The registry is a chain of VERSIONED files (`_EXPORTS.tsv`, then
+    * `_EXPORTS.tsv.1`, `.2`, …): every update WRITES the next suffix
+    * (writeAtomic refuses an occupied name — the CAS two concurrent
+    * clones race on) and only then deletes the superseded files, so a
+    * crash at any point leaves the newest complete file authoritative
+    * — never a window where every clone's registrations are gone (the
+    * old delete-then-rewrite shape erased ALL retention if the writer
+    * died between the two). Returns (newest suffix, its entries, all
+    * registry file paths). */
+  private def exportsState(spark: SparkSession, f: FileSystem,
+      path: String): (Int, Seq[(String, String)], Seq[Path]) = {
+    val root = new Path(path)
+    if (!f.exists(root)) return (-1, Nil, Nil)
+    val files = f.listStatus(root).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n == ExportsFile) Some(0 -> p)
+        else if (n.startsWith(ExportsFile + "."))
+          n.stripPrefix(ExportsFile + ".").toIntOption.map(_ -> p)
+        else None
+      }
+    if (files.isEmpty) return (-1, Nil, Nil)
+    val (n, newest) = files.maxBy(_._1)
+    val entries = LogStore.forSession(spark).readSmall(f, newest)
       .split('\n').filter(_.nonEmpty).toSeq.map { line =>
         val i = line.indexOf('\t')
         (line.substring(0, i), line.substring(i + 1))
       }
+    (n, entries, files.map(_._2))
   }
+
+  /** (cloneDst, qualified file path) lines from the source's export
+    * registry — files of THIS table that shallow clones reference. */
+  private[io] def exports(spark: SparkSession,
+      path: String): Seq[(String, String)] =
+    exportsState(spark, fs(spark, path), path)._2
 
   /** Qualified paths of this table's files referenced by any clone. */
   private[graft] def exportedFiles(spark: SparkSession,
       path: String): Set[String] = exports(spark, path).map(_._2).toSet
 
+  /** Read-modify-write of the registry through the versioned-file CAS:
+    * re-reads and re-applies `xform` on every lost race. */
+  private def updateExports(spark: SparkSession, f: FileSystem,
+      path: String)(
+      xform: Seq[(String, String)] => Seq[(String, String)]): Int = {
+    val store = LogStore.forSession(spark)
+    var attempt = 0
+    while (true) {
+      val (n, cur, old) = exportsState(spark, f, path)
+      val next = xform(cur).distinct
+      val target = new Path(path, s"$ExportsFile.${n + 1}")
+      try {
+        store.writeAtomic(f, target,
+          next.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
+        old.foreach(store.delete(f, _)) // superseded; newest-wins anyway
+        return next.size - cur.size
+      } catch {
+        case e: RuntimeException =>
+          attempt += 1
+          require(attempt < 20, s"export registry at $path: lost the " +
+            s"versioned-file CAS $attempt times — $e")
+          Thread.sleep(20L + scala.util.Random.nextInt(80))
+      }
+    }
+    0 // unreachable
+  }
+
   private def registerExports(spark: SparkSession, f: FileSystem,
       src: String, dst: String, refs: Seq[String]): Unit = {
-    val merged = (exports(spark, src).filterNot(_._1 == dst) ++
-      refs.map(dst -> _)).distinct
-    val p = new Path(src, ExportsFile)
-    val store = LogStore.forSession(spark)
-    if (f.exists(p)) store.delete(f, p)
-    store.writeAtomic(f, p,
-      merged.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
+    updateExports(spark, f, src)(cur =>
+      cur.filterNot(_._1 == dst) ++ refs.map(dst -> _))
+    ()
   }
 
   /** RELEASE a clone's export registrations on its source — call after
     * the clone was dropped, or after a full `compact` of the clone
     * materialized its own bytes (its manifest no longer references the
     * source). The source's next [[vacuum]] can then reclaim the files.
-    * Returns the number of released references. Same single-maintainer
-    * contract as vacuum (do not race it with a concurrent clone). */
+    * Returns the number of released references. */
   def releaseClone(spark: SparkSession, src: String, dst: String): Int = {
     val f = fs(spark, src)
-    val all = exports(spark, src)
-    val (dead, kept) = all.partition(_._1 == dst)
-    if (dead.isEmpty) return 0
-    val p = new Path(src, ExportsFile)
-    val store = LogStore.forSession(spark)
-    store.delete(f, p)
-    if (kept.nonEmpty)
-      store.writeAtomic(f, p,
-        kept.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
-    dead.size
+    if (!exports(spark, src).exists(_._1 == dst)) return 0
+    -updateExports(spark, f, src)(_.filterNot(_._1 == dst))
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -2616,6 +2677,19 @@ object Versioned {
         // dangle — the old Delta-style caveat this registry replaces),
         // and the dir sweep works around them
         val exported = exportedFiles(spark, path)
+        // markerless below-base REMNANTS (a prior sweep's export-
+        // protected leftovers) count as doomed for materialization
+        // too: once their exports are released, any retained
+        // manifest still pointing into them must get its files moved
+        // out BEFORE the remnant sweep deletes the dir — otherwise
+        // releasing a clone would dangle the source's own refs
+        val remnants = f.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .flatMap(s => scala.util.Try(
+            s.getPath.getName.stripPrefix("v=").toInt).toOption)
+          .filter(x => x < b && !f.exists(
+            new Path(s"$path/v=$x", SuccessMarker)))
+          .toSet
         // MATERIALIZE manifest-carried references before reclaiming
         // their home dirs: every retained version whose manifest
         // points into a doomed dir gets the file moved in (rename —
@@ -2625,8 +2699,8 @@ object Versioned {
         // leaves a dangling entry that fails loudly and heals on the
         // next vacuum via the name-already-here check), stats second
         // (a missing stat only disables pruning for that file).
-        if (doomed.nonEmpty)
-          materializeRefs(spark, f, path, doomed.toSet,
+        if (doomed.nonEmpty || remnants.nonEmpty)
+          materializeRefs(spark, f, path, doomed.toSet ++ remnants,
             versions(spark, path).filter(_ >= b), exported)
         doomed.foreach { v =>
           val dir = new Path(s"$path/v=$v")
@@ -2642,14 +2716,19 @@ object Versioned {
             // addressable by the clones' absolute refs
             def shrink(metaFile: String): Unit = {
               val p = new Path(dir, metaFile)
+              if (!f.exists(p)) return
               val kept = readSmallText(f, p).split('\n')
                 .filter(_.nonEmpty)
                 .filter(l => keep.contains(l.takeWhile(_ != '\t')))
-              if (kept.nonEmpty) {
-                val out = f.create(p, true)
-                try out.write(kept.mkString("", "\n", "\n").getBytes(UTF_8))
-                finally out.close()
-              }
+              // atomic replace (temp + rename), never an in-place
+              // truncating write: a torn stats/bloom line could throw
+              // at parse time on the clones' reads; and a dir whose
+              // kept set is empty drops the file entirely instead of
+              // keeping stale lines for reclaimed files
+              f.delete(p, false)
+              if (kept.nonEmpty)
+                LogStore.forSession(spark).writeAtomic(f, p,
+                  kept.mkString("", "\n", "\n"))
             }
             shrink(StatsFile)
             shrink(BloomFile)

@@ -401,14 +401,14 @@ object Search {
     GenLog.writeCarry(spark, f, idx.path, "docs", g,
       (if (levelDocs) Nil else prevDocs) ++ docsDirIfData(g))
     // consolidated tombstone snapshot for the carried buckets' dead
-    // rows (distinct ids; gen partition value becomes g via the read)
-    val tombDirs = (dels.map(_.gen) :+ baseGen)
-      .map(x => new Path(s"${idx.path}/tombs/gen=$x"))
-      .filter(f.exists).map(_.toString)
-    if (tombDirs.nonEmpty) {
-      spark.read.parquet(tombDirs: _*).select("id").distinct()
-        .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
-    }
+    // rows. The ORIGINAL kill generation rides as an explicit `tgen`
+    // column — re-stamping everything at the new base's gen would make
+    // the gen-aware anti-join kill a deleted-then-REINGESTED doc's
+    // live rows (merged at a previous fold, carried at an older gen)
+    // one fold later: silent missing documents. Multiple kills of one
+    // id keep the newest gen (the only one that can outrank re-adds).
+    GenLog.consolidateTombs(spark, f, idx.path,
+      (dels.map(_.gen) :+ baseGen), g)
     val (n, s) = (ms.map(_.a).sum, ms.map(_.b).sum)
     val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, KindBase, n, s, idx.nBuckets,
@@ -481,9 +481,11 @@ object Search {
         f.exists(new Path(s"$path/tombs/gen=${m.gen}")))
     if (dels.isEmpty) df
     else {
-      val t = spark.read.option("basePath", s"$path/tombs")
-        .parquet(dels.map(m => s"$path/tombs/gen=${m.gen}"): _*)
-        .select(col("id").as("__tid"), col("gen").as("__tgen"))
+      // ORIGINAL kill gens (explicit tgen in consolidated snapshots,
+      // partition gen for plain deletes) — see GenLog.tombstones
+      val t = GenLog.tombstones(spark, path,
+          dels.map(m => s"$path/tombs/gen=${m.gen}"))
+        .select(col("id").as("__tid"), col("tgen").as("__tgen"))
       df.join(t, df("id") === t("__tid") && df("gen") < t("__tgen"),
         "left_anti")
     }

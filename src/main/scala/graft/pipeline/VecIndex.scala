@@ -543,17 +543,16 @@ object VecIndex {
           GenLog.genPaths(spark, f, idx.path, "vecs", m.gen))
       val raw = spark.read.option("basePath", s"${idx.path}/vecs")
         .parquet(srcPaths: _*)
-      // gen-aware tombstone resolve (same rule as liveVecs)
+      // gen-aware tombstone resolve (same ORIGINAL-kill-gen rule as
+      // liveVecs — see GenLog.tombstones)
+      val tDirs = (dels.map(_.gen) :+ baseGen)
+        .map(x => s"${idx.path}/tombs/gen=$x")
+        .filter(d => f.exists(new Path(d)))
       val t =
-        if (dels.isEmpty &&
-            !f.exists(new Path(s"${idx.path}/tombs/gen=$baseGen"))) raw
+        if (tDirs.isEmpty) raw
         else {
-          val tDirs = (dels.map(_.gen) :+ baseGen)
-            .map(x => s"${idx.path}/tombs/gen=$x")
-            .filter(d => f.exists(new Path(d)))
-          val tt = spark.read.option("basePath", s"${idx.path}/tombs")
-            .parquet(tDirs: _*)
-            .select(col("id").as("__tid"), col("gen").as("__tgen"))
+          val tt = GenLog.tombstones(spark, idx.path, tDirs)
+            .select(col("id").as("__tid"), col("tgen").as("__tgen"))
           raw.join(tt,
             raw("id") === tt("__tid") && raw("gen") < tt("__tgen"),
             "left_anti")
@@ -563,13 +562,11 @@ object VecIndex {
       writeGen(t.select(cols.map(col): _*), idx, g)
     } else f.mkdirs(new Path(s"${idx.path}/vecs/gen=$g"))
     GenLog.writeCarry(spark, f, idx.path, "vecs", g, carried)
-    val tombDirs = (dels.map(_.gen) :+ baseGen)
-      .map(x => new Path(s"${idx.path}/tombs/gen=$x"))
-      .filter(f.exists).map(_.toString)
-    if (tombDirs.nonEmpty) {
-      spark.read.parquet(tombDirs: _*).select("id").distinct()
-        .write.mode("overwrite").parquet(s"${idx.path}/tombs/gen=$g")
-    }
+    // consolidated snapshot preserves ORIGINAL kill gens (tgen) — a
+    // re-stamped gen would kill a re-embedded id's carried live rows
+    // one fold later (see GenLog.consolidateTombs)
+    GenLog.consolidateTombs(spark, f, idx.path,
+      (dels.map(_.gen) :+ baseGen), g)
     val n = ms.map(_.a).sum
     val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
@@ -633,9 +630,11 @@ object VecIndex {
     val resolved =
       if (dels.isEmpty) filtered
       else {
-        val t = spark.read.option("basePath", s"${idx.path}/tombs")
-          .parquet(dels.map(m => s"${idx.path}/tombs/gen=${m.gen}"): _*)
-          .select(col("id").as("__tid"), col("gen").as("__tgen"))
+        // ORIGINAL kill gens (explicit tgen in consolidated
+        // snapshots, partition gen for plain deletes)
+        val t = GenLog.tombstones(spark, idx.path,
+            dels.map(m => s"${idx.path}/tombs/gen=${m.gen}"))
+          .select(col("id").as("__tid"), col("tgen").as("__tgen"))
         filtered.join(t,
           filtered("id") === t("__tid") && filtered("gen") < t("__tgen"),
           "left_anti")

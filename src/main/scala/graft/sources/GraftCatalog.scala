@@ -207,6 +207,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!Versioned.MetaCols.contains(name),
           s"graft catalog: column name '$name' collides with a " +
             "commit-log metadata column")
+        // refuse what the zero-row schema-extension commit cannot
+        // honor rather than silently dropping the user's declaration:
+        // existing rows necessarily read the new column as NULL, and
+        // column order is the slice union's, not a requested position
+        require(ac.isNullable, s"graft catalog: ADD COLUMN '$name' " +
+          "NOT NULL is not supported — existing rows read the new " +
+          "column as NULL by construction")
+        require(ac.position() == null, s"graft catalog: ADD COLUMN " +
+          s"'$name' with a position (FIRST/AFTER) is not supported")
         // schema extension = one zero-row commit whose parquet footer
         // carries the FULL extended schema (existing columns + the new
         // one): the slice's union-by-name schema picks the column up

@@ -1194,6 +1194,48 @@ class VersionedSpec extends SparkSpec {
       .forall(d => new java.io.File(d, "_SUCCESS").exists()))
   }
 
+  test("export-protected remnants re-materialize before the sweep: " +
+      "releasing a clone never dangles the SOURCE's own incremental-" +
+      "checkpoint refs into the remnant dirs") {
+    val src = freshPath("clone-rem-src")
+    val dst = freshPath("clone-rem-dst")
+    Versioned.append((1L to 200L).map(i => (i, i * 2)).toDF("k", "x"),
+      src)                                                // v1
+    Versioned.compact(spark, src, "k", nFiles = 4)        // v2 ckpt
+    Versioned.append(Seq((5L, 999L)).toDF("k", "x"), src) // v3 delta
+    // clone at a dirty head: auto-folds to an INCREMENTAL checkpoint
+    // v4 whose manifest carries v2's clean files — the clone's
+    // absolute refs point into v2 and v4
+    Versioned.cloneShallow(spark, src, dst, "k")
+    // more source life: another delta + incremental fold — the head
+    // checkpoint keeps carrying v2's files by (copied) address
+    Versioned.append(Seq((7L, 777L)).toDF("k", "x"), src) // v5
+    Versioned.compactIncremental(spark, src, "k")         // v6 ckpt
+    def cur(t: String) = Versioned.current(spark, t, "k")
+      .select("k", "x").as[(Long, Long)].collect().toMap
+    val want = cur(src)
+    val wantClone = cur(dst)
+    Versioned.vacuum(spark, src, 0)
+    // exports pinned the carried files through the sweep: both the
+    // source's head (whose manifest references them) and the clone
+    // still read exactly
+    assert(cur(src) == want)
+    assert(cur(dst) == wantClone)
+    // release the clone, vacuum again: the REMNANT dirs' files that
+    // the retained head checkpoint still references must materialize
+    // into it before the sweep deletes the remnants
+    assert(Versioned.releaseClone(spark, src, dst) > 0)
+    Versioned.vacuum(spark, src, 0)
+    assert(cur(src) == want,
+      "source lost its own carried files after releasing the clone")
+    // nothing markerless survives, and the head still reads
+    assert(new java.io.File(src).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v="))
+      .forall(d => new java.io.File(d, "_SUCCESS").exists()),
+      "remnant dirs must be fully reclaimed once released")
+    intercept[Exception] { cur(dst) } // the clone is gone, loudly
+  }
+
   test("cloneShallow of a column-mapped + widened source: the clone " +
       "reads logical names and widened types, then evolves its " +
       "mapping independently of the source") {

@@ -443,6 +443,18 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchAll(spark, vidx, Seq("beta"))
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L),
       "old postings of the reingested doc resurfaced")
+    // ONE MORE fold that does NOT touch the reingested doc's buckets:
+    // the consolidated tombstone snapshot must keep its ORIGINAL kill
+    // gen (explicit tgen) — re-stamping it at the new base's gen would
+    // kill doc 2's carried live rows exactly here
+    Search.append(Seq((9L, "unrelatedtoken")).toDF("doc_id", "text"),
+      "doc_id", "text", vidx)
+    Search.compactIncremental(spark, vidx)
+    Search.vacuum(spark, vidx)
+    assert(Search.searchAll(spark, vidx, Seq("corrected"))
+      .collect().map(_.getLong(0)).toSet == Set(2L),
+      "reingested doc vanished one fold later — tombstone snapshot " +
+        "lost its original kill generation")
     // stats stayed exact through the folds (BM25 corpus constants)
     assert(Search.searchBm25(spark, vidx, Seq("epsilon"), 10).count() == 1)
     // a FULL compact purges: one real gen dir, tombstones gone

@@ -179,6 +179,19 @@ class VecIndexSpec extends SparkSpec {
     val q5 = Seq((999L, c2)).toDF("id", "vec")
     assert(rows(VecIndex.ivfTopK(spark, q5, idx, 1, 20))
       .exists(_._2 == 5L), "reingested id must serve again")
+    // one more fold that does NOT touch id 5's cluster: the
+    // consolidated tombstone must keep its ORIGINAL kill gen, or the
+    // re-embedded id's carried rows die exactly here
+    val c6 = Array.tabulate(64)(i =>
+      (((6 * 31 + i * 13) % 17).toFloat - 8f) / 8f)
+    VecIndex.append(Seq((300L, c6)).toDF("id", "vec"), idx)
+    VecIndex.compactIncremental(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    assert(rows(VecIndex.ivfTopK(spark, q5, idx, 1, 20))
+      .exists(_._2 == 5L),
+      "re-embedded id vanished one fold later — tombstone snapshot " +
+        "lost its original kill generation")
+    assert(VecIndex.countVecs(spark, idx) == 46)
     // full compact + vacuum purge carried remnants and tombstones;
     // the serve is unchanged by the physical purge (reingested corpus)
     val preCompact = rows(VecIndex.ivfTopK(spark, qs, idx, 3, 4))

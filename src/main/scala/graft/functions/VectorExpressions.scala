@@ -258,7 +258,7 @@ object NearestCentroids {
  * Janino's method limit at realistic codebooks (Q=500, m=8, k=256 is
  * a million literal tokens — the exact failure NearestCentroids'
  * reference-object design exists for). Generated code here is one
- * constant-size call into [[AdcDistances.compute]].
+ * constant-size call into [[AdcDistances.computeOrNull]].
  *
  * Determinism contract (shared with the DuckDB oracle and the literal
  * formulation it replaces): table entries are pre-rounded to 6 by the
@@ -274,6 +274,13 @@ case class AdcDistances(child: Expression,
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // a null CODE ELEMENT or out-of-range code nulls the whole row's
+  // distance array (aligned with the per-query literal formulation
+  // this kernel replaced: `element_at` yields null there, and the
+  // null total sorts last under the ascending top-k) — so the result
+  // is nullable even over a non-null codes column
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) =>
@@ -283,15 +290,23 @@ case class AdcDistances(child: Expression,
           s"adc_distances expects array<bigint> codes, got $other")
     }
 
-  override protected def nullSafeEval(codes: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      AdcDistances.compute(codes.asInstanceOf[ArrayData], tables, k))
+  override protected def nullSafeEval(codes: Any): Any = {
+    val out = AdcDistances.computeOrNull(
+      codes.asInstanceOf[ArrayData], tables, k)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tb = ctx.addReferenceObj("adcTables", tables, "double[][]")
+    val tmp = ctx.freshName("adcOut")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.AdcDistances.compute($c, $tb, $k));
+      s"""double[] $tmp = graft.functions.AdcDistances.computeOrNull($c, $tb, $k);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+         |}
        """.stripMargin)
   }
 
@@ -311,15 +326,20 @@ object AdcDistances {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** One corpus row's per-query ADC totals; static forwarder shared by
-    * interpreted eval and generated code. */
-  def compute(codes: ArrayData, tables: Array[Array[Double]],
+    * interpreted eval and generated code. Null when any code element
+    * is null or outside [0, k) — the same rows the literal
+    * `element_at` formulation nulled (a null code would otherwise
+    * silently read as 0 through `ArrayData.getLong` and score with
+    * centroid 0's distance). */
+  def computeOrNull(codes: ArrayData, tables: Array[Array[Double]],
       k: Int): Array[Double] = {
     val m = codes.numElements()
     val cs = new Array[Int](m)
     var s = 0
     while (s < m) {
+      if (codes.isNullAt(s)) return null
       val c = codes.getLong(s).toInt
-      require(c >= 0 && c < k, s"PQ code $c out of range [0, $k)")
+      if (c < 0 || c >= k) return null
       cs(s) = c
       s += 1
     }

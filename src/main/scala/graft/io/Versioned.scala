@@ -390,8 +390,21 @@ object Versioned {
         s"commit at $path probed $probes claimed slots from the listed " +
           "head; claim files and versions have diverged — run vacuum")
     }
-    commitAt(df, path, v, checkpoint, merge, batchMarker, sortBy,
-      sortFiles, manifest) match {
+    val committed =
+      try commitAt(df, path, v, checkpoint, merge, batchMarker, sortBy,
+        sortFiles, manifest)
+      catch {
+        // a mapped-table snapshot race refusal (in-flight lower writer
+        // between claim and pending-colmap declaration) released our
+        // claim already; the window is milliseconds — back off and
+        // retry, surfacing only persistent contention (in-flight DDL,
+        // crashed claim awaiting vacuum)
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 4) throw e
+          Thread.sleep(50L << attempt)
+          None
+      }
+    committed match {
       case Some(got) => got
       case None => // lost the slot to a legacy torn dir: retry fresh
         commit(df, path, checkpoint, merge, batchMarker, sortBy,
@@ -430,21 +443,35 @@ object Versioned {
         if (sortFiles > 0) sortFiles
         else math.max(spark.sparkContext.defaultParallelism, 1), sortBy: _*)
         .sortWithinPartitions(sortBy: _*)
+    // claims listed BEFORE the mapping resolve: a staged writer that
+    // publishes in between is covered either way (its snapshot becomes
+    // visible to mappingAt, or its claim is in this list and its
+    // pending extras merge below)
+    val inflightBelow = unpublishedClaims(spark, path).filter(_ < v)
     // column-mapped table: writers speak LOGICAL names; translate to
     // the stable physical ids before staging. A logical column the
     // mapping has never seen (schema-evolution add) gets a fresh
     // version-salted physical id so it can never collide with (or
     // resurrect) a renamed/dropped column's bytes; the updated
-    // snapshot rides in this commit's dir.
-    val curMapping = mappingAt(spark, path, v)
-    val (physDf, snapOut) = curMapping match {
+    // snapshot rides in this commit's dir. The snapshot ALSO carries
+    // any in-flight lower staged writer's pending extras — this commit
+    // re-snapshots the mapping at a HIGHER slot, and publishing first
+    // would otherwise supersede the slower writer's schema-evolution
+    // columns (mappingAt: newest at-or-below wins), silently orphaning
+    // their data.
+    val (physDf, snapOut) = mappingAt(spark, path, v) match {
       case None => (laidOutDf, colmapSeed)
       case Some(ms) =>
         val known = ms.toMap
         val extras = laidOutDf.columns.toSeq
           .filterNot(MetaCols.contains).filterNot(known.contains)
-        val snap = ms ++ extras.map(l => (l, s"${l}_r$v"))
-        val sm = snap.toMap
+        val snap0 = ms ++ extras.map(l => (l, s"${l}_r$v"))
+        val snap = snap0 ++
+          pendingStagedExtras(spark, path, v, inflightBelow, snap0)
+        // declare OUR intended snapshot before the (slow) data write,
+        // so a faster committer above us merges THESE extras too
+        writePendingColmap(spark, path, v, Some(snap))
+        val sm = snap0.toMap
         val pdf = laidOutDf.select(laidOutDf.columns.toSeq.map(c =>
           if (MetaCols.contains(c)) col(c) else col(c).as(sm(c))): _*)
         (pdf, Some(snap))
@@ -481,8 +508,12 @@ object Versioned {
       f.delete(dst, true)
     if (f.exists(dst) || !f.rename(staging, dst)) {
       f.delete(staging, true)
+      deletePendingColmap(spark, path, v)
       None
-    } else Some(v)
+    } else {
+      deletePendingColmap(spark, path, v)
+      Some(v)
+    }
   }
 
   /** BEGIN a distributed staged commit (the row-level SQL DML write
@@ -547,6 +578,7 @@ object Versioned {
     require(!f.exists(dst) && f.rename(sp, dst),
       s"publishStaged: claimed slot v=$v at $path was occupied — " +
         "claims and versions have diverged; run vacuum")
+    deletePendingColmap(spark, path, v)
     v
   }
 
@@ -592,7 +624,8 @@ object Versioned {
   private[graft] def publishStagedChecked(spark: SparkSession,
       path: String, v: Int, staging: String, keep: Set[String],
       snapshotV: Int, keyCol: Option[String] = None,
-      colmap: Option[Seq[(String, String)]] = None): Int = {
+      colmap: Option[Seq[(String, String)]] = None,
+      colmapExtras: Seq[String] = Nil): Int = {
     val committedAll = versions(spark, path).toSet
     val ck = checkpoints(spark, path).toSet
     val f = fs(spark, path)
@@ -664,8 +697,11 @@ object Versioned {
               "flight below this write's slot") +
           " — the staged commit was aborted; retry the statement")
     }
-    publishStaged(spark, path, v, staging, keep,
-      colmap = refreshColmap(spark, path, v, colmap))
+    val refreshed =
+      try refreshColmap(spark, path, v, colmap, colmapExtras)
+      catch { case e: Throwable =>
+        abortStaged(spark, path, v, staging); throw e }
+    publishStaged(spark, path, v, staging, keep, colmap = refreshed)
   }
 
   /** Re-resolve a staged write's column-mapping snapshot AT PUBLISH
@@ -674,25 +710,41 @@ object Versioned {
     * executes — publishing the stale snapshot would silently roll the
     * DDL back for every later reader. The fresh base is the newest
     * committed mapping below our slot; the write's OWN schema-
-    * evolution extras (physical ids salted `_r$v` with OUR slot, so
-    * no other commit can have minted them) are re-applied on top
-    * unless the concurrent DDL claimed the logical name itself.
+    * evolution extras — the EXPLICIT logical-name list
+    * [[stagedMapping]] returned, not a physical-id suffix inference
+    * (a pre-existing column literally named `x_r<v>` must never be
+    * resurrected by pattern-match) — are re-applied on top. A fresh
+    * snapshot that already claims one of our extras' LOGICAL names
+    * (a concurrent commit evolved the same column) fails loud: our
+    * staged data was written under OUR minted physical id, and
+    * publishing without its mapping entry would silently orphan it.
     * Identity when the claim-time snapshot is None (unmapped table —
     * a table cannot BECOME mapped underneath a running write: the
     * first rename/drop is itself a commit this publish's conflict
     * check or the streaming extras guard faces). */
   private[graft] def refreshColmap(spark: SparkSession, path: String,
-      v: Int, claimSnap: Option[Seq[(String, String)]])
-      : Option[Seq[(String, String)]] =
+      v: Int, claimSnap: Option[Seq[(String, String)]],
+      extras: Seq[String] = Nil): Option[Seq[(String, String)]] =
     claimSnap.map { snap =>
       mappingAt(spark, path, v) match {
         case None => snap
         case Some(fresh) =>
+          val ex = extras.toSet
           val freshLog = fresh.map(_._1).toSet
+          val mine = snap.filter { case (l, _) => ex(l) }
+          val clashes = mine.collect {
+            case (l, ph) if freshLog(l) && !fresh.contains((l, ph)) => l }
+          if (clashes.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"schema evolution at $path: column(s) " +
+                s"${clashes.mkString(", ")} were concurrently added by " +
+                "another commit under a different physical id while " +
+                "this write ran — publishing would orphan this write's " +
+                "data for them; the write aborts, retry the statement " +
+                "(the retry resolves the committed mapping)")
           val freshPhys = fresh.map(_._2).toSet
-          fresh ++ snap.filter { case (l, ph) =>
-            ph.endsWith(s"_r$v") && !freshLog(l) && !freshPhys(ph)
-          }
+          fresh ++ mine.filter { case (l, ph) =>
+            !freshLog(l) && !freshPhys(ph) }
       }
     }
 
@@ -779,6 +831,7 @@ object Versioned {
       v: Int, staging: String): Unit = {
     val f = fs(spark, path)
     f.delete(new Path(staging), true)
+    deletePendingColmap(spark, path, v)
     LogStore.forSession(spark).delete(f, new Path(path, s".claim-v=$v"))
   }
 
@@ -966,6 +1019,86 @@ object Versioned {
     try out.write(snap.map { case (l, ph) => s"$l\t$ph" }
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
+  }
+
+  private def pendingColmapPath(path: String, v: Int): Path =
+    new Path(path, s".pending-colmap-v=$v")
+
+  /** Persist a staged write's INTENDED column-mapping snapshot as a
+    * root-level `.pending-colmap-v=N` marker at stage BEGIN (not
+    * publish): a concurrent commit claiming a HIGHER slot re-snapshots
+    * the mapping and, publishing first, would supersede this write's
+    * schema-evolution extras (`mappingAt`: newest at-or-below wins) —
+    * it merges the pending extras from this marker instead
+    * ([[pendingStagedExtras]]). Removed at publish/abort (the real
+    * snapshot rides as `_COLMAP.tsv` in the commit dir); a crashed
+    * writer's orphan is swept by vacuum's age guard like its claim.
+    * No-op on unmapped tables (None). */
+  private[graft] def writePendingColmap(spark: SparkSession,
+      path: String, v: Int, snap: Option[Seq[(String, String)]]): Unit =
+    snap.foreach { s =>
+      val f = fs(spark, path)
+      val out = f.create(pendingColmapPath(path, v))
+      try out.write(s.map { case (l, ph) => s"$l\t$ph" }
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+      finally out.close()
+    }
+
+  private[graft] def deletePendingColmap(spark: SparkSession,
+      path: String, v: Int): Unit = {
+    fs(spark, path).delete(pendingColmapPath(path, v), false)
+    ()
+  }
+
+  /** Schema-evolution extras pending in IN-FLIGHT staged writers below
+    * slot `v`, to merge into a higher commit's mapping snapshot —
+    * without this, "evolving MERGE stages at slot c, plain append
+    * claims v > c and publishes first" resolves the append's snapshot
+    * at head and the MERGE's freshly minted columns are silently
+    * unmapped (their data orphaned). Per claimed-unpublished slot
+    * c < v:
+    *  - c committed meanwhile: its `_COLMAP.tsv` entries unknown to
+    *    `snap` merge (covers the list-then-resolve race);
+    *  - a `.pending-colmap-v=c` marker (every mapped-table writer
+    *    declares one right after claiming): entries whose LOGICAL
+    *    name `snap` does not know are that writer's extras — merged.
+    *    An aborted writer's merged extra is a harmless ghost: no file
+    *    carries its physical id, so reads never surface it, and a
+    *    later add of the same logical column just reuses the id;
+    *  - neither (an in-flight mapping DDL — whose rename/drop
+    *    REPLACES entries, union is unsound — a writer between claim
+    *    and marker, or a crashed claim): unknown intent — refuse;
+    *    vacuum sweeps crashed claims, [[commit]] retries the window.
+    * Refusal releases THIS commit's claim and throws retryable. */
+  private def pendingStagedExtras(spark: SparkSession, path: String,
+      v: Int, claims: Seq[Int],
+      snap: Seq[(String, String)]): Seq[(String, String)] = {
+    if (claims.isEmpty) return Nil
+    val f = fs(spark, path)
+    val store = LogStore.forSession(spark)
+    def parse(p: Path): Seq[(String, String)] =
+      store.readSmall(f, p).split('\n').filter(_.nonEmpty).toSeq
+        .map { line => val Array(l, ph) = line.split('\t'); (l, ph) }
+    val knownLog = scala.collection.mutable.Set(snap.map(_._1): _*)
+    claims.sorted.flatMap { c =>
+      val committed = new Path(s"$path/v=$c", ColmapFile)
+      val pending = pendingColmapPath(path, c)
+      val entries =
+        if (f.exists(committed)) parse(committed)
+        else if (f.exists(pending)) parse(pending)
+        else {
+          store.delete(f, new Path(path, s".claim-v=$v"))
+          throw new java.util.ConcurrentModificationException(
+            s"commit at $path (slot $v): in-flight writer at claimed " +
+              s"slot $c declared no pending column mapping (a mapping " +
+              "DDL mid-flight, a writer between claim and declaration, " +
+              "or a crashed claim) — publishing this commit's snapshot " +
+              "above it could orphan that writer's schema changes; " +
+              "retried automatically, or run vacuum for a stale claim")
+        }
+      entries.filter { case (l, _) =>
+        val fresh = !knownLog(l); if (fresh) knownLog += l; fresh }
+    }
   }
 
   /** Metadata-only commit carrying a new column-mapping snapshot (no
@@ -1446,25 +1579,34 @@ object Versioned {
     if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
   }
 
-  /** [[mayIntersect]] with either bound open. */
+  /** [[mayIntersect]] with either bound open. String bounds compare
+    * in unsigned UTF-8 byte order via [[utf8Gt]] — the order the
+    * parquet footers computed them in — NOT Java's UTF-16 code-unit
+    * order (the two diverge for keys mixing U+E000–U+FFFF with
+    * supplementary-plane characters). This backs the V2 scan's
+    * pushed-string-predicate file pruning ([[pruneFilesForBounds]])
+    * and the DPP runtime IN-set pruning ([[pruneFilesForInSets]]);
+    * a wrong "disjoint" here is silent row loss. */
   private def statsMayMatch(stats: Map[String, (String, String, String)],
       colName: String, lo: Option[Any], hi: Option[Any]): Boolean =
     stats.get(colName) match {
       case Some((t @ ("long" | "double" | "string"), mn, mx)) =>
+        def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          .getBytes(UTF_8)
         // [mn,mx] ∩ [lo,hi] ≠ ∅ with open sides = check each closed side
         def cmpLo(b: Any) = t match {
           case "long"   => mx.toLong >= (b match {
             case n: Number => n.longValue(); case s => s.toString.toLong })
           case "double" => mx.toDouble >= (b match {
             case n: Number => n.doubleValue(); case s => s.toString.toDouble })
-          case _ => java.net.URLDecoder.decode(mx, "UTF-8") >= b.toString
+          case _ => !utf8Gt(b.toString.getBytes(UTF_8), d(mx)) // mx >= b
         }
         def cmpHi(b: Any) = t match {
           case "long"   => mn.toLong <= (b match {
             case n: Number => n.longValue(); case s => s.toString.toLong })
           case "double" => mn.toDouble <= (b match {
             case n: Number => n.doubleValue(); case s => s.toString.toDouble })
-          case _ => java.net.URLDecoder.decode(mn, "UTF-8") <= b.toString
+          case _ => !utf8Gt(d(mn), b.toString.getBytes(UTF_8)) // mn <= b
         }
         lo.forall(cmpLo) && hi.forall(cmpHi)
       case _ => true
@@ -2657,13 +2799,16 @@ object Versioned {
     f.listStatus(root)
       .filter { s =>
         (s.isDirectory && s.getPath.getName.startsWith(".staging-")) ||
-          (!s.isDirectory && s.getPath.getName.startsWith(".claim-"))
+          (!s.isDirectory && (s.getPath.getName.startsWith(".claim-") ||
+            s.getPath.getName.startsWith(".pending-colmap-")))
       }
       .filter(s => now - s.getModificationTime > 3600L * 1000)
       .foreach { s =>
         // claim files free their authoritative store slot; staging dirs
-        // are plain data garbage
+        // and pending-colmap declarations are plain data garbage
         if (s.isDirectory) f.delete(s.getPath, true)
+        else if (s.getPath.getName.startsWith(".pending-colmap-"))
+          f.delete(s.getPath, false)
         else store.delete(f, s.getPath)
       }
     val cutoff = latestVersion(spark, path) - horizon

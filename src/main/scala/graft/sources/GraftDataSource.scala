@@ -154,13 +154,21 @@ private[sources] object GraftDataSource {
       case LessThan(c, v)           => Seq((c, None, Some(v)))
       case LessThanOrEqual(c, v)    => Seq((c, None, Some(v)))
       case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        // [min, max] envelope of the literal set — sound, coarser
-        val cmp = vs.sortBy(_.toString)
+        // [min, max] envelope of the literal set — sound, coarser.
+        // Strings order in unsigned UTF-8 byte order (UTF8String's
+        // binary compare) — the SAME order the zone-map consumer
+        // compares in. A UTF-16 sort here inverts the envelope for
+        // sets mixing U+E000–U+FFFF with supplementary-plane values
+        // (lo > hi in byte order), wrongly pruning every file.
         (vs.headOption.collect { case _: Number =>
           val ns = vs.map(_.asInstanceOf[Number].doubleValue())
           Seq((c, Some(vs(ns.indexOf(ns.min)): Any),
             Some(vs(ns.indexOf(ns.max)): Any)))
-        }).getOrElse(Seq((c, Some(cmp.head: Any), Some(cmp.last: Any))))
+        }).getOrElse {
+          val cmp = vs.sortBy(v =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+          Seq((c, Some(cmp.head: Any), Some(cmp.last: Any)))
+        }
       case And(l, r) => boundsOf(Seq(l)) ++ boundsOf(Seq(r))
       case _ => Nil
     }

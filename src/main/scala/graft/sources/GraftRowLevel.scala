@@ -205,6 +205,7 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
   // the claimed slot's mapping state (empty/None on unmapped tables)
   @volatile private var l2p: Map[String, String] = Map.empty
   @volatile private var colmapOut: Option[Seq[(String, String)]] = None
+  @volatile private var extrasOut: Seq[String] = Nil
 
   private def phys(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
@@ -214,9 +215,13 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     claimed = Versioned.beginStagedCommit(spark, path)
     // extras (logical columns the mapping has never seen) are LEGAL
     // here — MERGE schema evolution mints them fresh physical ids
-    val (m, snap, _) = Versioned.stagedMapping(spark, path, claimed._1,
+    val (m, snap, extras) = Versioned.stagedMapping(spark, path, claimed._1,
       (rowSchema.fields ++ idSchema.fields).map(_.name).toSeq)
-    l2p = m; colmapOut = snap
+    l2p = m; colmapOut = snap; extrasOut = extras
+    // declare the intended snapshot BEFORE executors write: a
+    // concurrent commit claiming a higher slot merges these extras
+    // into its own re-snapshot instead of superseding them
+    Versioned.writePendingColmap(spark, path, claimed._1, snap)
     GraftDeltaWriterFactory(claimed._2, claimed._1, phys(rowSchema),
       phys(idSchema),
       new SerializableConfiguration(GraftWriteConf.prepared(spark)))
@@ -244,7 +249,7 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
     Versioned.publishStagedChecked(spark, path, claimed._1, claimed._2,
       keep, snapshot(),
       idSchema.fields.headOption.map(f => l2p.getOrElse(f.name, f.name)),
-      colmap = colmapOut)
+      colmap = colmapOut, colmapExtras = extrasOut)
     ()
   }
 
@@ -338,6 +343,9 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
           "published).")
     }
     l2p = m; colmapOut = snap
+    // declare the (extras-free) snapshot for the epoch's in-flight
+    // window: concurrent commits above must not refuse on this claim
+    Versioned.writePendingColmap(spark, path, claimed._1, snap)
     GraftStreamingWriterFactory(claimed._2, claimed._1,
       StructType(rowSchema.fields.map(f =>
         f.copy(name = l2p.getOrElse(f.name, f.name)))),

@@ -113,4 +113,39 @@ class VectorExpressionsSpec extends SparkSpec {
       Dedup.MinhashA.take(8), Dedup.MinhashB.take(8))).head
     assert(!b.isNullAt(0) && b.getLong(0) == 0L)
   }
+
+  test("AdcDistances: valid codes sum table entries; a null or " +
+      "out-of-range code nulls the row's distances (element_at " +
+      "parity — never centroid 0's score)") {
+    // m=2 subspaces, k=2 codes, 2 queries; tables(q)(s*k + code)
+    val tables = Array(
+      Array(0.1, 0.2, 0.3, 0.4),   // q0: codes (0,1) -> 0.1 + 0.4
+      Array(1.0, 2.0, 3.0, 4.0))   // q1: codes (0,1) -> 1.0 + 4.0
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, array(0L, 1L)),
+        |  (2, array(CAST(NULL AS BIGINT), 1L)),
+        |  (3, array(5L, 1L)),
+        |  (4, CAST(NULL AS ARRAY<BIGINT>))
+        |AS t(id, codes)""".stripMargin)
+    val got = df.select(col("id"),
+      VectorFunctions.adcDistances(col("codes"), tables, 2).as("d"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(1) == Seq(0.5, 5.0), s"got ${got(1)}")
+    assert(got(2) == null, "a null code element must null the row " +
+      "(it previously read as code 0 through ArrayData.getLong)")
+    assert(got(3) == null, "an out-of-range code must null the row")
+    assert(got(4) == null)
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val ok = AdcDistances(Literal.create(Seq(0L, 1L),
+      ArrayType(LongType, true)), tables, 2).eval(InternalRow.empty)
+    assert(ok.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq == Seq(0.5, 5.0))
+    assert(AdcDistances(Literal.create(Seq[Any](null, 1L),
+      ArrayType(LongType, true)), tables, 2).eval(InternalRow.empty) == null)
+  }
 }

@@ -1505,23 +1505,118 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.metadataOnlySuffixHead(spark, p, 2) == 4)
     assert(Versioned.metadataOnlySuffixHead(spark, p, 5) == 5)
     // refreshColmap: a rename committed BELOW the claimed slot wins
-    // over the stale claim-time snapshot; the write's own slot-salted
-    // extras survive; an extra whose logical name the fresh mapping
-    // claimed is dropped (cannot split one column across two ids)
+    // over the stale claim-time snapshot; the write's own extras —
+    // the EXPLICIT list stagedMapping returned, not a suffix match —
+    // survive
     val stale = Some(Seq(("k", "k"), ("y", "x"), ("fresh", "fresh_r9")))
-    val got = Versioned.refreshColmap(spark, p, 9, stale)
+    val got = Versioned.refreshColmap(spark, p, 9, stale, Seq("fresh"))
     assert(got.contains(Seq(("k", "k"), ("z", "x"),
       ("fresh", "fresh_r9"))), s"got $got")
-    // extras not salted with OUR slot are never re-applied
-    val woSalt = Versioned.refreshColmap(spark, p, 9,
-      Some(Seq(("k", "k"), ("other", "other_r7"))))
-    assert(woSalt.contains(Seq(("k", "k"), ("z", "x"))), s"got $woSalt")
-    // a fresh mapping claiming the extra's logical name wins
-    val clash = Versioned.refreshColmap(spark, p, 9,
-      Some(Seq(("k", "k"), ("z", "z_r9"))))
-    assert(clash.contains(Seq(("k", "k"), ("z", "x"))), s"got $clash")
+    // a snapshot entry NOT in the declared extras list is never
+    // re-applied — even when its physical name LOOKS slot-salted
+    // (a pre-existing column literally named x_r9 must not be
+    // resurrected after a concurrent DROP by pattern-match)
+    val woDecl = Versioned.refreshColmap(spark, p, 9,
+      Some(Seq(("k", "k"), ("other", "other_r9"))), Nil)
+    assert(woDecl.contains(Seq(("k", "k"), ("z", "x"))), s"got $woDecl")
+    // a fresh mapping claiming a declared extra's logical name under a
+    // DIFFERENT physical id fails loud (publishing would orphan this
+    // write's staged bytes for that column)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.refreshColmap(spark, p, 9,
+        Some(Seq(("k", "k"), ("z", "z_r9"))), Seq("z"))
+    }
+    // ...but the SAME (logical, physical) pair in both is benign
+    // (another commit already merged this write's pending extras)
+    val dup = Versioned.refreshColmap(spark, p, 9,
+      Some(Seq(("k", "k"), ("z", "x"))), Seq("z"))
+    assert(dup.contains(Seq(("k", "k"), ("z", "x"))), s"got $dup")
     // unmapped table: identity
     assert(Versioned.refreshColmap(spark, p, 9, None).isEmpty)
+  }
+
+  test("snapshot race: a plain append publishing ABOVE an in-flight " +
+      "schema-evolving staged write merges the write's pending extras " +
+      "into its own mapping snapshot (no orphaned evolved column); an " +
+      "undeclared in-flight claim refuses the append") {
+    val p = freshPath("snaprace")
+    Versioned.append(Seq((1L, 10L)).toDF("k", "x"), p)   // v1
+    Versioned.renameColumn(spark, p, "x", "amount")      // v2 — mapped
+    // an evolving staged write (a MERGE minting 'score') claims v3
+    // and declares its intended snapshot
+    val (v3, staging) = Versioned.beginStagedCommit(spark, p)
+    val (l2p, snap, extras) = Versioned.stagedMapping(spark, p, v3,
+      Seq("k", "amount", "score"))
+    assert(extras == Seq("score") &&
+      l2p("score") == s"score_r$v3" && l2p("amount") == "x")
+    Versioned.writePendingColmap(spark, p, v3, snap)
+    // a plain append claims v4 and publishes FIRST: mappingAt resolves
+    // newest-at-or-below, so ITS snapshot is the one head readers see
+    // — it must carry the pending extra instead of superseding it
+    val v4 = Versioned.append(Seq((2L, 20L)).toDF("k", "amount"), p)
+    assert(v4 == v3 + 1)
+    assert(Versioned.logicalToPhysical(spark, p, v4)
+      .get("score").contains(s"score_r$v3"),
+      "the append's re-snapshot dropped the in-flight write's evolved " +
+        "column — its data would be orphaned at head")
+    // the slow writer now publishes at its LOWER slot (staged parts
+    // speak physical names + meta cols, like the DML writer's)
+    val part = Seq((7L, 70L, 77L)).toDF("k", "x", s"score_r$v3")
+      .withColumn(Versioned.DeletedCol, lit(false))
+      .withColumn(Versioned.MergeCol, lit(false))
+      .withColumn(Versioned.CkptCol, lit(false))
+      .withColumn(Versioned.VersionCol, lit(v3))
+      .withColumn(Versioned.SeqCol, monotonically_increasing_id())
+    part.coalesce(1).write.mode("append").parquet(staging)
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    Versioned.publishStagedChecked(spark, p, v3, staging, keep,
+      snapshotV = 2, keyCol = Some("k"), colmap = snap,
+      colmapExtras = extras)
+    // pending declarations are cleaned up with their commits
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      p, s".pending-colmap-v=$v3")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      p, s".pending-colmap-v=$v4")))
+    // head readers resolve v4's snapshot — which knows the column
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.columns.contains("score"))
+    assert(cur.filter(col("k") === 7L).select("amount", "score")
+      .as[(Long, Long)].head() == ((70L, 77L)))
+    assert(cur.filter(col("k") === 2L).select("score").head().isNullAt(0))
+    // an in-flight claim that declared NOTHING (crashed writer, or a
+    // writer between claim and declaration) refuses the append —
+    // unknown intent must not be published over
+    val (v6, staging6) = Versioned.beginStagedCommit(spark, p)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.append(Seq((3L, 30L)).toDF("k", "amount"), p)
+    }
+    Versioned.abortStaged(spark, p, v6, staging6)
+    // after the abort the append goes straight through
+    val v7 = Versioned.append(Seq((3L, 30L)).toDF("k", "amount"), p)
+    assert(Versioned.current(spark, p, "k").count() == 4)
+    // ...and an ABORTED evolving write's merged extra is a harmless
+    // ghost: reads never surface it (no file carries its physical id)
+    // and a later add of the same logical column REUSES the id
+    val (v8, staging8) = Versioned.beginStagedCommit(spark, p)
+    val (_, snap8, _) = Versioned.stagedMapping(spark, p, v8,
+      Seq("k", "amount", "ghost"))
+    Versioned.writePendingColmap(spark, p, v8, snap8)
+    val v9 = Versioned.append(Seq((4L, 40L)).toDF("k", "amount"), p)
+    assert(Versioned.logicalToPhysical(spark, p, v9)
+      .get("ghost").contains(s"ghost_r$v8"))
+    Versioned.abortStaged(spark, p, v8, staging8)
+    assert(!Versioned.current(spark, p, "k").columns.contains("ghost"),
+      "a ghost mapping entry with no data must not surface as a column")
+    Versioned.append(Seq((5L, 50L, 99L)).toDF("k", "amount", "ghost"), p)
+    val head = Versioned.latestVersion(spark, p)
+    assert(Versioned.logicalToPhysical(spark, p, head)
+      .get("ghost").contains(s"ghost_r$v8"),
+      "re-adding the logical column must reuse the ghost physical id")
+    assert(Versioned.current(spark, p, "k").filter(col("k") === 5L)
+      .select("ghost").as[Long].head() == 99L)
   }
 
   test("mapped tables: zone-range, snapshotRange, and bloom point " +

@@ -201,6 +201,49 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(f.collect().length == 5)
   }
 
+  test("V2 string zone pruning compares in unsigned UTF-8 byte order: " +
+      "pushed predicates, IN envelopes, and runtime IN-sets never prune " +
+      "a file holding a key between U+E000 and a supplementary-plane " +
+      "bound (UTF-16 order would)") {
+    val p = freshPath("utf8v2")
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    // three single-key clustered files: EE.., EF.., F0.. in UTF-8 byte
+    // order — but the supplementary key LEADS in UTF-16 order (its
+    // surrogate 0xD800 sorts below everything here)
+    val k1 = "a"; val k2 = ""; val k3 = supp + "b"
+    Seq(k1, k2, k3).zipWithIndex.foreach { case (k, i) =>
+      Versioned.append(Seq((k, i.toLong)).toDF("k", "x").coalesce(1), p)
+    }
+    def read = spark.read.format("graft").load(p)
+    // pushed equality: k2 sits between min EE.. and max F0.. in UTF-8
+    // order but ABOVE the surrogate-led k3 in UTF-16 order — a UTF-16
+    // statsMayMatch concludes lo > max and silently drops the row
+    val eq = read.filter(col("k") === k2)
+    assert(scanOf(eq).fileIndex.inputFiles.length == 1,
+      "equality must keep exactly the covering file")
+    assert(eq.select("x").as[Long].collect().toSeq == Seq(1L),
+      "pushed string equality lost the row to UTF-16-order pruning")
+    // pushed range with a supplementary-plane upper bound
+    val rg = read.filter(col("k") >= k2 && col("k") <= k3)
+    assert(rg.select("x").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // static IN with a mixed-plane literal set: the [min,max] envelope
+    // must be built in byte order — a UTF-16 sort inverts it (lo > hi
+    // in byte terms) and prunes every file
+    val in = read.filter(col("k").isin(k1, k2, k3))
+    assert(in.select("x").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L), "IN envelope inverted by UTF-16 sort")
+    // the DPP runtime IN-set consumer (per-value exact)
+    val vs = Versioned.versions(spark, p)
+    val kept = Versioned.pruneFilesForInSets(spark, p, vs,
+      Seq(("k", Seq(k2: Any))))
+    assert(kept.length == 1 && kept.head.contains("v=2"),
+      s"runtime IN-set must keep exactly k2's file, got $kept")
+    // and pruning still prunes: a bound above every max keeps nothing
+    assert(Versioned.pruneFilesForBounds(spark, p, vs,
+      Seq(("k", Some(new String(Character.toChars(0x10FFFF)): Any),
+        None))).isEmpty)
+  }
+
   test("the scan reports an EXACT numRows statistic from commit " +
       "metadata (sharper optimizer estimates for free)") {
     val p = clusteredTable("nstat")

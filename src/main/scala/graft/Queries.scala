@@ -1890,6 +1890,78 @@ object Queries {
       |SELECT doc_id, language, CAST(n_chars AS BIGINT) AS n_chars
       |FROM cur ORDER BY doc_id""".stripMargin
 
+  /** Row-level DML driven ENTIRELY at metadata-only heads of a
+    * column-mapped table: INSERT → compact → RENAME COLUMN (data-less
+    * head #1) → UPDATE through the mapping → RENAME COLUMN again
+    * (data-less head #2) → MERGE through the mapping. This is the
+    * lifecycle the r14 `metadataOnlySuffixHead` fix enables (DML
+    * planning pins its snapshot at the metadata head instead of
+    * aborting on its own committed history, and every commit
+    * re-snapshots the post-rename mapping); the oracle replays the
+    * logical arithmetic straight off `documents`, so the hash gate
+    * certifies both renames stayed in force through both DML
+    * statements and neither rolled back the other. */
+  def tableRenameDml(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.renamedml_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/renamedml_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_rdml_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars " +
+        s"FROM docs_rdml_$tag")
+      spark.sql(s"CALL graft_sql.system.compact('renamedml_$tag')")
+      // head is now a data-less mapping commit; the UPDATE must plan
+      // its snapshot AT the rename (post-rename mapping, no phantom
+      // OCC conflict with its own history)
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN n_chars TO chars")
+      spark.sql(s"UPDATE $tbl SET chars = chars + 1000 " +
+        "WHERE lang = 'de'")
+      // a second metadata-only head, then a MERGE through BOTH renames
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN lang TO language")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT doc_id, lang AS language, n_chars + 7 AS chars
+           |  FROM docs_rdml_$tag WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, lang, n_chars
+           |  FROM docs_rdml_$tag WHERE doc_id % 101 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET chars = s.chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, language, chars)
+           |  VALUES (s.doc_id, s.language, s.chars)
+           |""".stripMargin)
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, language, chars FROM (
+         |  SELECT doc_id, language, chars, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val tableRenameDmlSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id, lang AS language,
+      |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+      |         WHEN lang = 'de' THEN n_chars + 1000
+      |         ELSE n_chars END AS chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 101 = 0)
+      |SELECT doc_id, language, CAST(chars AS BIGINT) AS chars
+      |FROM cur ORDER BY doc_id""".stripMargin
+
   val tableSqlMergeSql: String =
     """WITH cur AS (
       |  SELECT d.doc_id, d.lang,
@@ -1985,6 +2057,84 @@ object Queries {
       |  CAST(SUM(f.p) AS BIGINT) AS sum_p
       |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SNOWFLAKE JoinView with min/max: orders ⋈ customer ⋈ nation,
+    * grouped by TWO attributes from TWO hops (c_nationkey,
+    * n_regionkey), with min_p/max_p maintained alongside the sums.
+    * The lifecycle forces the interesting tiers: the upsert+delete
+    * round removes group EXTREMES (every o_orderkey % 7 row,
+    * including per-group maxima), so the min/max refresh must take
+    * MatView's scoped-recompute tier — a stale folded max would hash-
+    * mismatch; then a customer nation-migration lands WITHOUT any
+    * refresh, and the read resolves region through the CURRENT dim
+    * chain (both serve-side joins stay dimension-sized). The oracle
+    * replays everything from orders × customer × nation. */
+  def tableJoinViewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{JoinView, Versioned}
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val factSrc = s"target/tmp/jvm-fact-$tagDir"
+    val custSrc = s"target/tmp/jvm-cust-$tagDir"
+    val natSrc = s"target/tmp/jvm-nat-$tagDir"
+    val view = s"target/tmp/jvm-view-$tagDir"
+    val dims = Seq(
+      JoinView.DimLink(custSrc, "c_custkey", "o_custkey",
+        Seq("c_nationkey")),
+      JoinView.DimLink(natSrc, "n_nationkey", "c_nationkey",
+        Seq("n_regionkey")))
+    val attrs = Seq("c_nationkey", "n_regionkey")
+    val h = JoinView.handle(factSrc, "o_orderkey", "o_custkey",
+      Seq("p"), dims, attrs, view, minMaxCols = Seq("p"))
+    fixtureBuilt.getOrElseUpdate(view, {
+      Seq(factSrc, custSrc, natSrc, view)
+        .foreach(Versioned.drop(spark, _))
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long").as("p"))
+      Versioned.append(orders, factSrc)
+      Versioned.append(spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey")), custSrc)
+      Versioned.append(spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_regionkey")), natSrc)
+      JoinView.init(spark, factSrc, "o_orderkey", "o_custkey",
+        Seq("p"), dims, attrs, view, minMaxCols = Seq("p"))
+      // upsert + extreme-removing delete, then ONE refresh (the
+      // delete forces the scoped-recompute min/max tier)
+      Versioned.append(orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("p") + 1000L).as("p")), factSrc)
+      Versioned.delete(orders.filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey"), factSrc)
+      JoinView.refresh(spark, h)
+      // dim migration with ZERO refresh: read-time snowflake resolve
+      Versioned.append(spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          lit(3).cast("int").as("c_nationkey")), custSrc)
+      ()
+    })
+    JoinView.read(spark, h).orderBy("c_nationkey", "n_regionkey")
+  }
+
+  val tableJoinViewMinMaxSql: String =
+    """WITH fact AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(o_totalprice) AS BIGINT) +
+      |      CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS p
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |cust AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 3
+      |         ELSE c_nationkey END AS c_nationkey
+      |  FROM customer)
+      |SELECT c.c_nationkey, n.n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(f.p) AS BIGINT) AS sum_p,
+      |  CAST(MIN(f.p) AS BIGINT) AS min_p,
+      |  CAST(MAX(f.p) AS BIGINT) AS max_p
+      |FROM fact f JOIN cust c ON f.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def tableMatView(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{MatView, Versioned}
@@ -2664,6 +2814,7 @@ object Queries {
     "q_table_current" -> tableCurrent _,
     "q_matview" -> tableMatView _,
     "q_joinview" -> tableJoinView _,
+    "q_joinview_minmax" -> tableJoinViewMinMax _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
     "q_distinct_view" -> tableDistinctView _,
@@ -2691,6 +2842,7 @@ object Queries {
     "q_table_sql_maintain" -> tableSqlMaintain _,
     "q_table_sql_merge" -> tableSqlMerge _,
     "q_table_sql_evolve" -> tableSqlEvolve _,
+    "q_table_rename_dml" -> tableRenameDml _,
     "q_table_sql_stream" -> tableSqlStream _,
     "q_table_stream_read" -> tableStreamRead _,
     "q_table_sql_update" -> tableSqlUpdate _,
@@ -2736,6 +2888,7 @@ object Queries {
     "q_table_current" -> tableCurrentSql,
     "q_matview" -> tableMatViewSql,
     "q_joinview" -> tableJoinViewSql,
+    "q_joinview_minmax" -> tableJoinViewMinMaxSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_distinct_view" -> tableDistinctViewSql,
     "q_matview_stream" -> tableMatViewStreamSql,
@@ -2763,6 +2916,7 @@ object Queries {
     "q_table_sql_maintain" -> tableSqlMaintainSql,
     "q_table_sql_merge" -> tableSqlMergeSql,
     "q_table_sql_evolve" -> tableSqlEvolveSql,
+    "q_table_rename_dml" -> tableRenameDmlSql,
     "q_table_sql_stream" -> tableSqlStreamSql,
     "q_table_stream_read" -> tableStreamReadSql,
     "q_table_sql_update" -> tableSqlUpdateSql,

@@ -110,15 +110,19 @@ private[sources] object GraftProcedures {
   private def joinHandleOf(cat: GraftCatalog,
       viewPath: String): graft.io.JoinView.Handle = {
     val props = cat.propsOf(viewPath)
+    val fkCol = props("mv.group")
+    val dimAttr = props("jv.dimattr")
     graft.io.JoinView.Handle(
       graft.io.MatView.Handle(viewPath,
         props.getOrElse("mv.source", sys.error(
           s"$viewPath is not a create_joinview view (no mv.* properties)")),
-        props("mv.key"), props("mv.group"),
+        props("mv.key"), fkCol,
         props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil),
-      props.getOrElse("jv.dim", sys.error(
-        s"$viewPath is not a create_joinview view (no jv.* properties)")),
-      props("jv.dimkey"), props("jv.dimattr"))
+      Seq(graft.io.JoinView.DimLink(
+        props.getOrElse("jv.dim", sys.error(
+          s"$viewPath is not a create_joinview view (no jv.* properties)")),
+        props("jv.dimkey"), fkCol, Seq(dimAttr))),
+      Seq(dimAttr))
   }
 
   private def procs: Seq[Proc] = Seq(

@@ -427,4 +427,62 @@ class JoinViewSpec extends graft.SparkSpec {
     val v2 = JoinView.refresh(spark, h)
     assert(JoinView.refresh(spark, h) == v2)
   }
+
+  test("JoinView snowflake + min/max: two grouping attributes from " +
+      "two dim hops; a delete removing a group extreme refreshes " +
+      "correctly; second-hop dim changes cost zero refresh") {
+    val fact = "target/tmp/jvs-fact"
+    val dim1 = "target/tmp/jvs-dim1"
+    val dim2 = "target/tmp/jvs-dim2"
+    val view = "target/tmp/jvs-view"
+    Seq(fact, dim1, dim2, view).foreach(Versioned.drop(spark, _))
+    // fact (id, fk, x); dim1 (dk, tag, snow) — snow is the second
+    // hop's fk; dim2 (sk, region)
+    Versioned.append((1L to 60L).map(i =>
+      (i, i % 6, i)).toDF("id", "fk", "x"), fact)
+    Versioned.append((0L until 6L).map(d =>
+      (d, s"t$d", d % 2)).toDF("dk", "tag", "snow"), dim1)
+    Versioned.append(Seq((0L, "east"), (1L, "west"))
+      .toDF("sk", "region"), dim2)
+    val dims = Seq(
+      JoinView.DimLink(dim1, "dk", "fk", Seq("tag", "snow")),
+      JoinView.DimLink(dim2, "sk", "snow", Seq("region")))
+    val h = JoinView.init(spark, fact, "id", "fk", Seq("x"), dims,
+      Seq("tag", "region"), view, minMaxCols = Seq("x"))
+    def served(): Map[(String, String), (Long, Long, Long, Long)] =
+      JoinView.read(spark, h).collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    def expect(): Map[(String, String), (Long, Long, Long, Long)] =
+      Versioned.current(spark, fact, "id")
+        .join(Versioned.current(spark, dim1, "dk"), col("fk") === col("dk"))
+        .join(Versioned.current(spark, dim2, "sk"), col("snow") === col("sk"))
+        .groupBy("tag", "region")
+        .agg(count(lit(1)), sum("x"), min("x"), max("x"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    assert(served() == expect())
+    // odd fks (1,3,5) snow to dim2 key 1 = "west"; fk 5's max x is 59
+    assert(served()(("t5", "west")) == ((10L, (5L to 59L by 6L).sum,
+      5L, 59L)))
+    // DELETE the group extreme (id 59 — t5's max): the min/max
+    // refresh must re-derive the group's true max (53), not keep the
+    // stale folded 59
+    Versioned.delete(Seq(Tuple1(59L)).toDF("id"), fact)
+    JoinView.refresh(spark, h)
+    assert(served() == expect())
+    assert(served()(("t5", "west"))._4 == 53L,
+      "stale group max survived the extreme-removing delete")
+    // SECOND-hop dim change with ZERO refresh: renaming the west
+    // region re-labels every odd-fk group at the very next read
+    val vBefore = Versioned.latestVersion(spark, view)
+    Versioned.append(Seq((1L, "far-west")).toDF("sk", "region"), dim2)
+    assert(served() == expect())
+    assert(served().keySet.exists(_._2 == "far-west") &&
+      !served().keySet.exists(_._2 == "west"))
+    assert(Versioned.latestVersion(spark, view) == vBefore,
+      "a snowflake dim change must not touch the materialized state")
+  }
 }

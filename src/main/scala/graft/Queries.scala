@@ -2058,6 +2058,57 @@ object Queries {
       |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Dead-letter ingest ([[graft.io.Versioned.appendCheckedQuarantine]]):
+    * one checked batch splits into the main table (clean slice) and a
+    * quarantine table (violating rows, enriched with the names of the
+    * constraints they failed), then the SAME batch replays — the
+    * per-table `_BATCH_` idempotency markers must make the replay a
+    * complete no-op on both sides. The served frame unions both
+    * tables' current state with a provenance tag; the oracle replays
+    * the split straight off `documents`, so the hash gate certifies
+    * main ≡ clean slice, quarantine ≡ violating slice, and zero
+    * duplicates under replay. */
+  def tableQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val tagDir = sessionTag(spark) + "-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val main = s"target/tmp/quar-main-$tagDir"
+    val dead = s"target/tmp/quar-dead-$tagDir"
+    fixtureBuilt.getOrElseUpdate(main, {
+      Seq(main, dead).foreach(Versioned.drop(spark, _))
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val checks = Seq(
+        "id_ok" -> (col("doc_id") % 10 =!= 3),
+        "len_ok" -> (col("n_chars") % 7 =!= 0))
+      Versioned.appendCheckedQuarantine(docs, main, checks, dead,
+        batchId = 1L, ingestId = "quarq")
+      // replay the SAME batch: exactly-once on BOTH tables
+      Versioned.appendCheckedQuarantine(docs, main, checks, dead,
+        batchId = 1L, ingestId = "quarq")
+      ()
+    })
+    Versioned.current(spark, main, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        lit("main").as("src"), lit("").as("q_violated"))
+      .unionByName(Versioned.current(spark, dead, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit("quar").as("src"), col("q_violated")))
+      .orderBy("doc_id")
+  }
+
+  val tableQuarantineSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 10 = 3 OR n_chars % 7 = 0
+      |       THEN 'quar' ELSE 'main' END AS src,
+      |  CASE WHEN doc_id % 10 = 3 OR n_chars % 7 = 0
+      |       THEN concat_ws(',',
+      |         CASE WHEN doc_id % 10 = 3 THEN 'id_ok' END,
+      |         CASE WHEN n_chars % 7 = 0 THEN 'len_ok' END)
+      |       ELSE '' END AS q_violated
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** SNOWFLAKE JoinView with min/max: orders ⋈ customer ⋈ nation,
     * grouped by TWO attributes from TWO hops (c_nationkey,
     * n_regionkey), with min_p/max_p maintained alongside the sums.
@@ -2815,6 +2866,7 @@ object Queries {
     "q_matview" -> tableMatView _,
     "q_joinview" -> tableJoinView _,
     "q_joinview_minmax" -> tableJoinViewMinMax _,
+    "q_table_quarantine" -> tableQuarantine _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
     "q_distinct_view" -> tableDistinctView _,
@@ -2889,6 +2941,7 @@ object Queries {
     "q_matview" -> tableMatViewSql,
     "q_joinview" -> tableJoinViewSql,
     "q_joinview_minmax" -> tableJoinViewMinMaxSql,
+    "q_table_quarantine" -> tableQuarantineSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_distinct_view" -> tableDistinctViewSql,
     "q_matview_stream" -> tableMatViewStreamSql,

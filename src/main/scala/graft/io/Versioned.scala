@@ -230,6 +230,59 @@ object Versioned {
     append(df, path)
   }
 
+  /** [[appendChecked]]'s DEAD-LETTER mode: instead of refusing the
+    * whole batch, violating rows DIVERT to `quarantinePath` (a
+    * Versioned table of their own — rows enriched with `q_violated`,
+    * the comma-joined names of the constraints they failed, and
+    * `q_batch`) while the clean slice lands in the main table —
+    * production ingest's divert-don't-refuse shape.
+    *
+    * Exactly-once under replay: both commits carry the same
+    * `_BATCH_[<ingestId>_]<batchId>` idempotency marker
+    * ([[appendBatch]] semantics, PER TABLE) plus a
+    * `_CHECKS_clean=N_bad=M` stats marker, so a crash between the two
+    * commits replays into "skip the committed side, land the missing
+    * one". The QUARANTINE commits FIRST — dead letters are durable
+    * before any clean row becomes visible. A side with zero rows
+    * commits nothing (deterministic input re-splits identically on
+    * replay). NULL constraint results pass, exactly like
+    * [[appendChecked]].
+    *
+    * Returns (main version, quarantine version); None = that side had
+    * no rows. One aggregate pass computes the split counts, then each
+    * slice is one filtered write — the input is read up to three
+    * times, persist upstream if it is expensive to recompute. */
+  def appendCheckedQuarantine(df: DataFrame, path: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      quarantinePath: String, batchId: Long, ingestId: String = "")
+      : (Option[Int], Option[Int]) = {
+    require(constraints.nonEmpty,
+      "appendCheckedQuarantine needs >= 1 constraint")
+    require(quarantinePath != path,
+      "the quarantine table must differ from the main table")
+    val anyViol = coalesce(
+      constraints.map(_._2 === false).reduce(_ || _), lit(false))
+    val counts = df.agg(count(lit(1)).as("__n"),
+      sum(when(anyViol, 1L).otherwise(0L)).as("__bad")).head()
+    val total = counts.getLong(0)
+    val bad = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val clean = total - bad
+    val stats = s"_CHECKS_clean=${clean}_bad=$bad"
+    val qv = if (bad > 0) {
+      val reasons = concat_ws(",", constraints.map { case (n, c) =>
+        when(c === false, lit(n)) }: _*)
+      Some(appendBatch(
+        df.filter(anyViol).withColumn("q_violated", reasons)
+          .withColumn("q_batch", lit(batchId)),
+        quarantinePath, batchId, ingestId, extraMarkers = Seq(stats)))
+    } else None
+    val mv = if (clean > 0)
+      Some(appendBatch(df.filter(!anyViol), path, batchId, ingestId,
+        extraMarkers = Seq(stats)))
+    else None
+    (mv, qv)
+  }
+
   /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` shape):
     * `updates` carries the key plus any subset of columns; at read
     * time each non-null update value overrides the base row's column,
@@ -273,7 +326,7 @@ object Versioned {
     * caller); a commit genuinely slower than that horizon is the one
     * documented caveat. */
   def appendBatch(df: DataFrame, path: String, batchId: Long,
-      ingestId: String = ""): Int = {
+      ingestId: String = "", extraMarkers: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(!ingestId.contains('\t') && !ingestId.contains('\n') &&
       !ingestId.contains('/'),
@@ -289,7 +342,8 @@ object Versioned {
         if (ingestId.isEmpty) s".claim-batch-$batchId"
         else s".claim-batch-$ingestId-$batchId")
       if (LogStore.forSession(spark).createExclusive(f, claim))
-        commit(df, path, batchMarker = Some(marker))
+        commit(df, path, batchMarker = Some(marker),
+          extraMarkers = extraMarkers)
       else {
         // another writer owns this batch: wait for its publish
         val deadline = System.currentTimeMillis() + 60000
@@ -310,7 +364,7 @@ object Versioned {
               "for it or, if it crashed, retry after the claim goes stale")
             LogStore.forSession(spark).delete(f, claim)
           }
-          appendBatch(df, path, batchId, ingestId)
+          appendBatch(df, path, batchId, ingestId, extraMarkers)
         }
       }
     }
@@ -375,7 +429,8 @@ object Versioned {
   private def commit(df: DataFrame, path: String, checkpoint: Boolean = false,
       merge: Boolean = false, batchMarker: Option[String] = None,
       sortBy: Seq[org.apache.spark.sql.Column] = Nil, sortFiles: Int = 0,
-      attempt: Int = 0, manifest: Seq[String] = Nil): Int = {
+      attempt: Int = 0, manifest: Seq[String] = Nil,
+      extraMarkers: Seq[String] = Nil): Int = {
     require(attempt < 5, s"commit at $path lost the version slot $attempt " +
       "times to concurrent writers; coordinate writers or add a metastore CAS")
     val spark = df.sparkSession
@@ -392,7 +447,7 @@ object Versioned {
     }
     val committed =
       try commitAt(df, path, v, checkpoint, merge, batchMarker, sortBy,
-        sortFiles, manifest)
+        sortFiles, manifest, extraMarkers = extraMarkers)
       catch {
         // a mapped-table snapshot race refusal (in-flight lower writer
         // between claim and pending-colmap declaration) released our
@@ -408,7 +463,7 @@ object Versioned {
       case Some(got) => got
       case None => // lost the slot to a legacy torn dir: retry fresh
         commit(df, path, checkpoint, merge, batchMarker, sortBy,
-          sortFiles, attempt + 1, manifest)
+          sortFiles, attempt + 1, manifest, extraMarkers)
     }
   }
 
@@ -427,7 +482,8 @@ object Versioned {
       sortBy: Seq[org.apache.spark.sql.Column], sortFiles: Int,
       manifest: Seq[String],
       colmapSeed: Option[Seq[(String, String)]] = None,
-      widenSeed: Map[String, String] = Map.empty): Option[Int] = {
+      widenSeed: Map[String, String] = Map.empty,
+      extraMarkers: Seq[String] = Nil): Option[Int] = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     // optional clustering (compactZOrder): range-partition + sort by the
@@ -498,6 +554,7 @@ object Versioned {
     if (checkpoint) f.create(new Path(staging, CheckpointMarker)).close()
     if (merge) f.create(new Path(staging, MergeMarker)).close()
     batchMarker.foreach(m => f.create(new Path(staging, m)).close())
+    extraMarkers.foreach(m => f.create(new Path(staging, m)).close())
     // commit wall-clock stamp (timestamp time travel); inside staging,
     // atomic with everything else
     f.create(new Path(staging, s"_TS_${System.currentTimeMillis()}")).close()

@@ -726,6 +726,68 @@ class VersionedSpec extends SparkSpec {
       Seq("lang_present" -> col("lang").isNotNull)))
   }
 
+  test("appendCheckedQuarantine: violating rows divert to the dead-" +
+      "letter table with reasons, clean rows land, replay is exactly-" +
+      "once on BOTH sides, a partial crash heals") {
+    val p = freshPath("quar-main")
+    val q = freshPath("quar-dead")
+    val checks = Seq(
+      "x_positive" -> (col("x") > 0),
+      "lang_known" -> col("lang").isin("en", "de", "fr"))
+    // 2 clean rows; k=3 fails one check, k=4 fails BOTH
+    val batch = Seq((1L, 10, "en"), (2L, 20, "de"),
+      (3L, -1, "en"), (4L, 0, "xx")).toDF("k", "x", "lang")
+    val (mv, qv) = Versioned.appendCheckedQuarantine(
+      batch, p, checks, q, batchId = 7L, ingestId = "ing")
+    assert(mv.contains(1) && qv.contains(1))
+    assert(Versioned.current(spark, p, "k").select("k")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val deadRows = Versioned.current(spark, q, "k")
+      .select("k", "q_violated").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(deadRows == Map(3L -> "x_positive",
+      4L -> "x_positive,lang_known"))
+    // counts ride as a stats marker in BOTH commits
+    val fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(p, q).foreach { t =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$t/v=1/_CHECKS_clean=2_bad=2")), s"stats marker missing at $t")
+    }
+    // REPLAY: both sides must be a no-op (same versions returned)
+    assert(Versioned.appendCheckedQuarantine(batch, p, checks, q,
+      7L, "ing") == ((Some(1), Some(1))))
+    assert(Versioned.latestVersion(spark, p) == 1 &&
+      Versioned.latestVersion(spark, q) == 1)
+    // PARTIAL-CRASH replay: batch 8's quarantine side "already
+    // committed" (the crash point is between the two commits) — the
+    // retry must skip it and land only the clean slice
+    val b8 = Seq((5L, 5, "fr"), (6L, -6, "de")).toDF("k", "x", "lang")
+    Versioned.appendBatch(b8.filter(col("x") <= 0)
+      .withColumn("q_violated", lit("x_positive"))
+      .withColumn("q_batch", lit(8L)), q, 8L, "ing")
+    val (mv8, qv8) = Versioned.appendCheckedQuarantine(
+      b8, p, checks, q, 8L, "ing")
+    assert(mv8.contains(2) && qv8.contains(2))
+    assert(Versioned.current(spark, q, "k").count() == 3,
+      "the partially-committed quarantine slice must not duplicate")
+    // an all-clean batch commits nothing on the quarantine side
+    val (mv9, qv9) = Versioned.appendCheckedQuarantine(
+      Seq((9L, 9, "en")).toDF("k", "x", "lang"), p, checks, q, 9L, "ing")
+    assert(mv9.contains(3) && qv9.isEmpty)
+    assert(Versioned.latestVersion(spark, q) == 2)
+    // NULL constraint results pass (SQL CHECK semantics), same as
+    // appendChecked
+    val (mvN, qvN) = Versioned.appendCheckedQuarantine(
+      Seq((10L, 1, null.asInstanceOf[String])).toDF("k", "x", "lang"),
+      p, checks, q, 10L, "ing")
+    assert(mvN.contains(4) && qvN.isEmpty)
+    // the quarantine table must differ from the main table
+    intercept[IllegalArgumentException] {
+      Versioned.appendCheckedQuarantine(b8, p, checks, p, 11L, "ing")
+    }
+  }
+
   test("bloomIndex + currentAsOfPoint: point lookups skip files zone " +
       "maps can't, same answers, no false negatives") {
     val p = freshPath("bloom")

@@ -25,7 +25,7 @@ object Stress {
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
-      "dmlrace")
+      "dmlrace", "maintain")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -87,6 +87,11 @@ object Stress {
       val nr = numArgs.headOption.map(_.toLong).getOrElse(10000000L)
       val nd = if (numArgs.length > 1) numArgs(1).toInt else 8
       incCompactStress(spark, nr, nd, cpus.toInt); return
+    }
+    if (mode == "maintain") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
+      val nc = if (numArgs.length > 1) numArgs(1).toInt else 10
+      maintainStress(spark, nr, nc, cpus.toInt); return
     }
     if (mode == "lakeloop") {
       val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
@@ -770,6 +775,92 @@ object Stress {
       s""""incremental_sec":$tInc,"full_sec":$tFull,""" +
       s""""carried_files":$man,"rewritten_files":$rewrote,""" +
       s""""resolve_check_sec":$tResInc}""")
+    spark.stop()
+  }
+
+  /** AUTO-MAINTENANCE policy vs always-full-compact:
+    * `maintain <baseRows> [<cycles>]` (default 5M × 10). Both tables
+    * see the SAME mixed commit stream per cycle (an upsert band, a
+    * fresh-key insert, a tombstone band); table A runs ONLY
+    * [[graft.io.Versioned.maintain]] — the policy picks fold / full
+    * re-cluster / vacuum from the table's shape — while table B pays
+    * a full compact every cycle (the naive ops loop). Asserted: equal
+    * resolved answers, A's read fan-in stays bounded (the folds carry
+    * untouched checkpoint files by reference), and A's CUMULATIVE
+    * maintenance cost beats B's — the policy's folds are O(delta +
+    * touched files) where B re-writes O(table) per cycle. */
+  private def maintainStress(spark: SparkSession, nRows: Long,
+      cycles: Int, cpus: Int): Unit = {
+    import graft.io.Versioned
+    val pA = "target/tmp/stress-maintain-auto"
+    val pB = "target/tmp/stress-maintain-full"
+    Seq(pA, pB).foreach(Versioned.drop(spark, _))
+    val nFiles = 64
+    val base = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("k"), (col("id") % 1000).as("x"))
+    val tLoad = {
+      val t = System.nanoTime()
+      Seq(pA, pB).foreach { p =>
+        Versioned.append(base, p)
+        Versioned.compact(spark, p, "k", nFiles)
+      }
+      (System.nanoTime() - t) / 1e9
+    }
+    // thresholds sized to the actual checkpoint so the policy keeps
+    // ~nFiles-sized files (what an operator would set as table props)
+    val fsys = new org.apache.hadoop.fs.Path(pA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckBytes = fsys.listStatus(new org.apache.hadoop.fs.Path(
+      s"$pA/v=${Versioned.latestVersion(spark, pA)}"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // deltaCommits = 4 with 3 commits/cycle → the policy folds every
+    // OTHER cycle and no-ops between (each cycle's delta bytes sit far
+    // under deltaBytesFrac): deciding when work is needed is half the
+    // policy's win over the compact-every-cycle loop
+    val cfg = Versioned.MaintainConfig(deltaCommits = 4,
+      deltaBytesFrac = 0.05, fullRewriteFrac = 0.5,
+      targetFileBytes = math.max(1L << 20, ckBytes / nFiles),
+      vacuumHorizon = 6)
+    var tAuto = 0.0; var tFull = 0.0; var maxFanIn = 0
+    (0 until cycles).foreach { d =>
+      val lo = d.toLong * (nRows / nFiles)
+      def mutate(p: String): Unit = {
+        Versioned.append(spark.range(lo, lo + nRows / nFiles / 4)
+          .select(col("id").as("k"), lit(-1L).as("x")).coalesce(2), p)
+        Versioned.append(spark.range(nRows + d * 1000L,
+          nRows + d * 1000L + 1000L)
+          .select(col("id").as("k"), lit(7L).as("x")).coalesce(1), p)
+        Versioned.delete(spark.range(lo + 100L, lo + 200L)
+          .select(col("id").as("k")).coalesce(1), p)
+      }
+      mutate(pA); mutate(pB)
+      val t0 = System.nanoTime()
+      Versioned.maintain(spark, pA, "k", cfg)
+      tAuto += (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      Versioned.compact(spark, pB, "k", nFiles)
+      // the naive loop retains history on the same horizon — vacuum
+      // rides on both sides so the comparison is maintenance-for-
+      // maintenance, not maintenance-vs-unbounded-history
+      Versioned.vacuum(spark, pB, cfg.vacuumHorizon)
+      tFull += (System.nanoTime() - t1) / 1e9
+      maxFanIn = math.max(maxFanIn,
+        Versioned.current(spark, pA, "k").inputFiles.length)
+    }
+    val a = Versioned.current(spark, pA, "k")
+      .agg(count(lit(1)), sum("x")).head()
+    val b = Versioned.current(spark, pB, "k")
+      .agg(count(lit(1)), sum("x")).head()
+    require(a == b, s"auto-maintained resolve diverged: $a vs $b")
+    require(maxFanIn <= nFiles * 3,
+      s"read fan-in grew to $maxFanIn files under the policy")
+    require(tAuto < tFull,
+      f"auto-maintenance ($tAuto%.1fs cumulative) must beat " +
+        f"always-full-compact ($tFull%.1fs) over $cycles cycles")
+    println(s"""{"metric":"stress_maintain","rows":$nRows,""" +
+      s""""cycles":$cycles,"load_sec":$tLoad,""" +
+      s""""auto_cumulative_sec":$tAuto,"full_cumulative_sec":$tFull,""" +
+      s""""max_fan_in_files":$maxFanIn}""")
     spark.stop()
   }
 

@@ -3228,6 +3228,123 @@ object Versioned {
       "batch_id", "num_files", "size_bytes")
   }
 
+  /** Thresholds for [[maintain]]'s auto-policy. Every knob has a
+    * 100 TB-sane default; the SQL face reads overrides from
+    * `maintain.*` table properties. */
+  final case class MaintainConfig(
+      /** Fold once this many DATA commits sit above the checkpoint. */
+      deltaCommits: Int = 8,
+      /** …or once the delta's bytes reach this fraction of the
+        * checkpoint's. */
+      deltaBytesFrac: Double = 0.10,
+      /** Full re-cluster instead of a fold once the delta's bytes
+        * reach this fraction of the checkpoint's (the fold would
+        * rewrite most files anyway — pay once, restore clustering). */
+      fullRewriteFrac: Double = 0.5,
+      /** Target checkpoint file size; also the fold's bin-packing
+        * floor (files under half this get folded into the rewrite)
+        * and the sizing unit for nFiles. */
+      targetFileBytes: Long = 128L << 20,
+      /** Full re-cluster when more than this fraction of the head
+        * checkpoint's files are under targetFileBytes/2 AND
+        * re-clustering would actually shrink the file count. */
+      smallFileFrac: Double = 0.5,
+      /** Reclaim history below head−horizon after maintenance
+        * (0 = never vacuum). */
+      vacuumHorizon: Int = 0)
+
+  /** ONE-CALL AUTO-MAINTENANCE: read the table's shape (checkpoint
+    * base, delta commits/bytes above it, file-size histogram) and run
+    * whatever [[compactIncremental]] / [[compact]] /
+    * [[compactZOrder]] / [[vacuum]] combination the thresholds call
+    * for — the ops loop a 100 TB table needs on a cron, without an
+    * operator choosing fold-vs-recluster per table per day. Policy,
+    * in order:
+    *
+    *  1. delta above the checkpoint ≥ `fullRewriteFrac` of the
+    *     checkpoint → FULL compact (re-clusters; Z-order columns from
+    *     the `_ZCOLS_` marker are preserved), sized to
+    *     `targetFileBytes`;
+    *  2. else delta ≥ `deltaCommits` commits or ≥ `deltaBytesFrac`
+    *     of the checkpoint → INCREMENTAL fold (O(touched + delta),
+    *     rewritten part sized, under-half-target files bin-packed in);
+    *  3. head checkpoint fragmented (> `smallFileFrac` of files under
+    *     half target, and re-clustering would shrink the count) →
+    *     FULL compact;
+    *  4. `vacuumHorizon` > 0 → vacuum.
+    *
+    * Returns the (action, detail) list actually taken — `noop` when
+    * the table is below every threshold. Idempotent at a quiet head:
+    * a second call right after does nothing. */
+  def maintain(spark: SparkSession, path: String, keyCol: String,
+      cfg: MaintainConfig = MaintainConfig()): Seq[(String, String)] = {
+    val actions = mutable.ArrayBuffer.empty[(String, String)]
+    val f = fs(spark, path)
+    def bytesOf(v: Int): Long =
+      filesOf(f, path, v).map(fp => f.getFileStatus(fp).getLen).sum
+    def nf(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
+    val head0 = latestVersion(spark, path)
+    if (head0 == 0) return Seq(("noop", "empty table"))
+    val cks = checkpoints(spark, path)
+    val base = cks.filter(_ <= head0).lastOption
+    val deltaVs = versions(spark, path)
+      .filter(v => base.forall(_ < v) && !cks.contains(v))
+      .filter(v => filesOf(f, path, v).nonEmpty)
+    val deltaBytes = deltaVs.map(bytesOf).sum
+    val ckptBytes = base.map(bytesOf).getOrElse(0L)
+    val zc = base.map(zcolsAt(spark, path, _)).getOrElse(Nil)
+    def fullCompact(estBytes: Long, why: String): Unit = {
+      val files = nf(estBytes)
+      val v =
+        if (zc.nonEmpty) compactZOrder(spark, path, keyCol, zc, files)
+        else compact(spark, path, keyCol, files)
+      actions += (("compact",
+        s"v=$v, $files file(s)${if (zc.nonEmpty)
+          s", zorder=${zc.mkString(",")}" else ""} — $why"))
+    }
+    if (deltaVs.nonEmpty) {
+      if (base.isEmpty) {
+        if (deltaVs.size >= cfg.deltaCommits ||
+          deltaBytes >= cfg.targetFileBytes)
+          fullCompact(deltaBytes, "first checkpoint")
+      } else if (deltaBytes >= cfg.fullRewriteFrac * ckptBytes)
+        fullCompact(ckptBytes + deltaBytes,
+          s"delta $deltaBytes B >= ${cfg.fullRewriteFrac} x " +
+            s"checkpoint $ckptBytes B")
+      else if (deltaVs.size >= cfg.deltaCommits ||
+        deltaBytes >= cfg.deltaBytesFrac * math.max(ckptBytes, 1L)) {
+        val v = compactIncremental(spark, path, keyCol,
+          minFileBytes = cfg.targetFileBytes / 2,
+          nFiles = nf(deltaBytes * 2))
+        actions += (("fold",
+          s"v=$v, ${deltaVs.size} delta commit(s), $deltaBytes B"))
+      }
+    }
+    // fragmentation sweep over the (possibly just-written) head
+    // checkpoint — only when re-clustering actually shrinks the count
+    val head1 = latestVersion(spark, path)
+    checkpoints(spark, path).filter(_ <= head1).lastOption.foreach { c =>
+      val sizes = filesOf(f, path, c).map(fp => f.getFileStatus(fp).getLen)
+      val small = sizes.count(_ < cfg.targetFileBytes / 2)
+      val want = nf(sizes.sum)
+      if (sizes.length > 1 &&
+        small.toDouble / sizes.length > cfg.smallFileFrac &&
+        want < sizes.length)
+        fullCompact(sizes.sum,
+          s"$small/${sizes.length} files under " +
+            s"${cfg.targetFileBytes / 2} B")
+    }
+    if (cfg.vacuumHorizon > 0) {
+      val got = vacuum(spark, path, cfg.vacuumHorizon)
+      if (got.nonEmpty)
+        actions += (("vacuum", s"reclaimed ${got.size} version(s) " +
+          s"below ${got.max + 1}"))
+    }
+    if (actions.isEmpty) Seq(("noop", "below every threshold"))
+    else actions.toSeq
+  }
+
   /** Destroy the table (test/fixture reset). */
   def drop(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)

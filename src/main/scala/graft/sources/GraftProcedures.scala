@@ -133,6 +133,40 @@ private[sources] object GraftProcedures {
         val p = tablePath(cat, row)
         oneVersion(Versioned.compact(spark, p, keyOf(cat, p)))
       }),
+    new Proc("maintain",
+      "one-call auto-maintenance: read the table's shape (checkpoint " +
+        "base, delta commits/bytes, file-size histogram) and run the " +
+        "fold / full-compact / vacuum combination the thresholds call " +
+        "for; thresholds override via maintain.* table properties " +
+        "(delta_commits, delta_bytes_frac, full_rewrite_frac, " +
+        "target_file_bytes, small_file_frac, vacuum_horizon); returns " +
+        "the actions taken",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("action", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val props = cat.propsOf(p)
+        val d = Versioned.MaintainConfig()
+        val cfg = Versioned.MaintainConfig(
+          deltaCommits = props.get("maintain.delta_commits")
+            .map(_.toInt).getOrElse(d.deltaCommits),
+          deltaBytesFrac = props.get("maintain.delta_bytes_frac")
+            .map(_.toDouble).getOrElse(d.deltaBytesFrac),
+          fullRewriteFrac = props.get("maintain.full_rewrite_frac")
+            .map(_.toDouble).getOrElse(d.fullRewriteFrac),
+          targetFileBytes = props.get("maintain.target_file_bytes")
+            .map(_.toLong).getOrElse(d.targetFileBytes),
+          smallFileFrac = props.get("maintain.small_file_frac")
+            .map(_.toDouble).getOrElse(d.smallFileFrac),
+          vacuumHorizon = props.get("maintain.vacuum_horizon")
+            .map(_.toInt).getOrElse(d.vacuumHorizon))
+        Versioned.maintain(spark, p, keyOf(cat, p), cfg).map {
+          case (a, det) => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(a),
+            org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        }.toArray
+      }),
     new Proc("create_matview",
       "create + fully refresh a maintained per-group aggregate view " +
         "over a graft table: sums (and optional min/max) per group, " +

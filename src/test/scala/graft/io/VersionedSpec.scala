@@ -788,6 +788,60 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("maintain: mixed commit cycles under ONLY the auto-policy keep " +
+      "read fan-in and history bounded with answers unchanged; the " +
+      "policy picks fold, full compact, and vacuum on its own") {
+    val p = freshPath("maintain")
+    val cfg = Versioned.MaintainConfig(deltaCommits = 3,
+      deltaBytesFrac = 0.05, fullRewriteFrac = 0.6,
+      targetFileBytes = 1L << 20, smallFileFrac = 0.9, vacuumHorizon = 4)
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    val taken = scala.collection.mutable.ArrayBuffer.empty[String]
+    var maxFiles = 0
+    (1 to 12).foreach { i =>
+      // mixed cycle: append new keys, upsert an older slice, delete a
+      // few — three data commits, never a manual compaction choice
+      val fresh = (i * 1000L until i * 1000L + 200L).map(k => k -> (k + i))
+      Versioned.append(fresh.toDF("k", "x"), p)
+      fresh.foreach { case (k, x) => expected(k) = x }
+      if (i > 1) {
+        val ups = ((i - 1) * 1000L until (i - 1) * 1000L + 50L)
+          .map(k => k -> 999L)
+        Versioned.append(ups.toDF("k", "x"), p)
+        ups.foreach { case (k, x) => expected(k) = x }
+        val dels = ((i - 1) * 1000L + 100L until (i - 1) * 1000L + 110L)
+        Versioned.delete(dels.map(Tuple1(_)).toDF("k"), p)
+        dels.foreach(expected.remove)
+      }
+      if (i == 6) {
+        // one whale batch pushes the delta past fullRewriteFrac — the
+        // policy must choose the full re-cluster here
+        val whale = (900000L until 906000L).map(k => k -> k)
+        Versioned.append(whale.toDF("k", "x"), p)
+        whale.foreach { case (k, x) => expected(k) = x }
+      }
+      taken ++= Versioned.maintain(spark, p, "k", cfg).map(_._1)
+      val cur = Versioned.current(spark, p, "k")
+      assert(cur.select("k", "x").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == expected.toMap,
+        s"cycle $i answers drifted under auto-maintenance")
+      maxFiles = math.max(maxFiles, cur.inputFiles.length)
+    }
+    assert(taken.contains("fold"), s"policy never folded: $taken")
+    assert(taken.contains("compact"),
+      s"policy never full-compacted (whale cycle): $taken")
+    assert(taken.contains("vacuum"), s"policy never vacuumed: $taken")
+    // fan-in stayed bounded across 12 cycles (head checkpoint + at
+    // most the unfolded delta commits) — not O(history)
+    assert(maxFiles < 40, s"read fan-in grew to $maxFiles files")
+    // history stayed bounded under the vacuum horizon
+    assert(Versioned.versions(spark, p).size < 15,
+      s"history grew to ${Versioned.versions(spark, p).size} versions")
+    // idempotent at a quiet head
+    assert(Versioned.maintain(spark, p, "k", cfg).map(_._1) ==
+      Seq("noop"))
+  }
+
   test("bloomIndex + currentAsOfPoint: point lookups skip files zone " +
       "maps can't, same answers, no false negatives") {
     val p = freshPath("bloom")

@@ -122,6 +122,52 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.maintain: the auto-policy picks first-checkpoint " +
+      "compact, then fold, then noop, honoring maintain.* table " +
+      "properties; answers never change") {
+    // byte-fraction thresholds disabled (parquet's per-file byte floor
+    // dominates at toy scale) — the commit-count knob drives, which is
+    // what the test pins
+    spark.sql("CREATE TABLE graft_test.mnt (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'maintain.delta_commits' = '2', " +
+      "'maintain.delta_bytes_frac' = '1000', " +
+      "'maintain.full_rewrite_frac' = '5000', " +
+      "'maintain.vacuum_horizon' = '3', " +
+      "'maintain.target_file_bytes' = '1048576')")
+    def acts(): Seq[(String, String)] =
+      spark.sql("CALL graft_test.system.maintain('mnt')")
+        .as[(String, String)].collect().toSeq
+    spark.sql("INSERT INTO graft_test.mnt SELECT id, id FROM range(100)")
+    spark.sql("INSERT INTO graft_test.mnt " +
+      "SELECT id, id * 2 FROM range(100, 200)")
+    // 2 data commits, no checkpoint yet -> first-checkpoint compact
+    val a1 = acts()
+    assert(a1.map(_._1) == Seq("compact") &&
+      a1.head._2.contains("first checkpoint"), s"got $a1")
+    assert(spark.sql("CALL graft_test.system.detail('mnt')")
+      .filter(col("is_checkpoint")).count() == 1)
+    // one delta commit: below the threshold -> noop
+    spark.sql("INSERT INTO graft_test.mnt SELECT id, 0 FROM range(200, 210)")
+    assert(acts().map(_._1) == Seq("noop"))
+    // two delta commits: at the threshold -> incremental fold
+    spark.sql("INSERT INTO graft_test.mnt SELECT id, 1 FROM range(210, 220)")
+    val a2 = acts()
+    assert(a2.map(_._1).contains("fold"), s"got $a2")
+    // keep committing under only maintain: the horizon vacuum kicks in
+    spark.sql("INSERT INTO graft_test.mnt SELECT id, 2 FROM range(220, 230)")
+    spark.sql("INSERT INTO graft_test.mnt SELECT id, 3 FROM range(230, 240)")
+    val a3 = acts()
+    assert(a3.map(_._1).contains("fold") &&
+      a3.map(_._1).contains("vacuum"), s"got $a3")
+    // quiet head -> noop; answers never changed under the policy
+    assert(acts().map(_._1) == Seq("noop"))
+    assert(spark.table("graft_test.mnt").count() == 240)
+    assert(spark.table("graft_test.mnt")
+      .filter(col("k") === 150L).select("x").as[Long].head() == 300L)
+    assert(spark.table("graft_test.mnt")
+      .filter(col("k") === 235L).select("x").as[Long].head() == 3L)
+  }
+
   test("CALL procedures run the maintenance lifecycle from SQL: " +
       "compact, detail, restore, vacuum, zorder, bloom_index") {
     spark.sql("CREATE TABLE graft_test.tp (k BIGINT, x BIGINT) " +

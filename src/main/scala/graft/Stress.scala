@@ -699,6 +699,19 @@ object Stress {
     val (tP4, p4) = timedSets(VecIndex.ivfPqTopK(spark, qArr, idxIvf, 4, 10))
     val (tP16, p16) = timedSets(VecIndex.ivfPqTopK(spark, qArr, idxIvf,
       16, 10))
+    // the COMPRESSION-recall axis: m=16 x 4-dim subspaces (16 bytes/
+    // vector, 16x compression) against the m=8 point above — the
+    // recall ceiling is the quantizer's, so doubling the code budget
+    // at the same nProbe must buy recall
+    val resBooks16 = Similarity.pqTrainCodebooks(resDf, m = 16,
+      subDim = 4, k = 256, iters = 2, initFrom = 64L)
+    val ivf16Path = "target/tmp/stress-annpq-ivf16"
+    val tI2 = System.nanoTime()
+    val idxIvf16 = VecIndex.init(emb, dim, ivf16Path, cbBuckets = 32,
+      ivfPq = Some((coarse, resBooks16)))
+    val tIdxIvf16 = (System.nanoTime() - tI2) / 1e9
+    val (tM16, m16) = timedSets(VecIndex.ivfPqTopK(spark, qArr,
+      idxIvf16, 4, 10))
     println(s"""{"metric":"stress_annpq","vecs":$nVecs,""" +
       s""""queries":$nQueries,"exact_sec":$tExact,""" +
       s""""train_sec":$tTrain,"pq_index_sec":$tIdxPq,""" +
@@ -706,7 +719,10 @@ object Stress {
       s""""ivfpq_index_sec":$tIdxIvf,""" +
       f""""ivfpq1_sec":$tP1,"ivfpq1_recall10":${recall(p1)}%.4f,""" +
       f""""ivfpq4_sec":$tP4,"ivfpq4_recall10":${recall(p4)}%.4f,""" +
-      f""""ivfpq16_sec":$tP16,"ivfpq16_recall10":${recall(p16)}%.4f}""")
+      f""""ivfpq16_sec":$tP16,"ivfpq16_recall10":${recall(p16)}%.4f,""" +
+      s""""ivfpq_m16_index_sec":$tIdxIvf16,""" +
+      f""""ivfpq4_m16_sec":$tM16,""" +
+      f""""ivfpq4_m16_recall10":${recall(m16)}%.4f}""")
     spark.stop()
   }
 

@@ -72,6 +72,9 @@ import org.apache.spark.sql.functions._
  */
 object Versioned {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.io.Versioned")
+
   val VersionCol = "__v"
   val DeletedCol = "__deleted"
   val MergeCol = "__merge"
@@ -2490,6 +2493,12 @@ object Versioned {
 
   private val ExportsFile = "_EXPORTS.tsv"
 
+  /** One clone pin: `file` (qualified path in THIS table) is
+    * referenced by shallow clone `clone` since `sinceMillis` (0 =
+    * registered before timestamps existed). */
+  final case class ExportPin(cloneDst: String, file: String,
+      sinceMillis: Long)
+
   /** The registry is a chain of VERSIONED files (`_EXPORTS.tsv`, then
     * `_EXPORTS.tsv.1`, `.2`, …): every update WRITES the next suffix
     * (writeAtomic refuses an occupied name — the CAS two concurrent
@@ -2500,7 +2509,7 @@ object Versioned {
     * died between the two). Returns (newest suffix, its entries, all
     * registry file paths). */
   private def exportsState(spark: SparkSession, f: FileSystem,
-      path: String): (Int, Seq[(String, String)], Seq[Path]) = {
+      path: String): (Int, Seq[ExportPin], Seq[Path]) = {
     val root = new Path(path)
     if (!f.exists(root)) return (-1, Nil, Nil)
     val files = f.listStatus(root).toSeq.map(_.getPath)
@@ -2515,27 +2524,53 @@ object Versioned {
     val (n, newest) = files.maxBy(_._1)
     val entries = LogStore.forSession(spark).readSmall(f, newest)
       .split('\n').filter(_.nonEmpty).toSeq.map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
+        // dst \t ref [\t sinceMillis] — the stamp arrived in r15, so
+        // a pre-existing registry's 2-field lines parse as since = 0
+        line.split('\t') match {
+          case Array(d, r) => ExportPin(d, r, 0L)
+          case Array(d, r, ts) => ExportPin(d, r, ts.toLong)
+          case other => sys.error(
+            s"export registry at $path: malformed line '$line' " +
+              s"(${other.length} fields)")
+        }
       }
     (n, entries, files.map(_._2))
   }
 
-  /** (cloneDst, qualified file path) lines from the source's export
-    * registry — files of THIS table that shallow clones reference. */
+  /** The pins from this table's export registry — files of THIS table
+    * that shallow clones reference, with the registration time. */
   private[io] def exports(spark: SparkSession,
-      path: String): Seq[(String, String)] =
+      path: String): Seq[ExportPin] =
     exportsState(spark, fs(spark, path), path)._2
+
+  /** Per-pin observability (which file, which clone, since when) —
+    * DESCRIBE-DETAIL's companion for the clone-retention story: these
+    * are the files [[vacuum]] will NOT reclaim until [[releaseClone]]
+    * frees them. */
+  def clonePins(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    exports(spark, path)
+      .map(p => (p.cloneDst, p.file, p.sinceMillis))
+      .toDF("clone", "file", "since_ts_millis")
+  }
+
+  /** Pins older than `leaseMs` (0 since-stamps — pre-stamp legacy —
+    * count as expired: their age is unknown and unbounded). */
+  private[graft] def expiredExports(spark: SparkSession, path: String,
+      leaseMs: Long): Seq[ExportPin] = {
+    val now = System.currentTimeMillis()
+    exports(spark, path).filter(p => now - p.sinceMillis > leaseMs)
+  }
 
   /** Qualified paths of this table's files referenced by any clone. */
   private[graft] def exportedFiles(spark: SparkSession,
-      path: String): Set[String] = exports(spark, path).map(_._2).toSet
+      path: String): Set[String] = exports(spark, path).map(_.file).toSet
 
   /** Read-modify-write of the registry through the versioned-file CAS:
     * re-reads and re-applies `xform` on every lost race. */
   private def updateExports(spark: SparkSession, f: FileSystem,
       path: String)(
-      xform: Seq[(String, String)] => Seq[(String, String)]): Int = {
+      xform: Seq[ExportPin] => Seq[ExportPin]): Int = {
     val store = LogStore.forSession(spark)
     var attempt = 0
     while (true) {
@@ -2544,7 +2579,8 @@ object Versioned {
       val target = new Path(path, s"$ExportsFile.${n + 1}")
       try {
         store.writeAtomic(f, target,
-          next.map { case (d, r) => s"$d\t$r" }.mkString("", "\n", "\n"))
+          next.map(p => s"${p.cloneDst}\t${p.file}\t${p.sinceMillis}")
+            .mkString("", "\n", "\n"))
         old.foreach(store.delete(f, _)) // superseded; newest-wins anyway
         return next.size - cur.size
       } catch {
@@ -2560,8 +2596,10 @@ object Versioned {
 
   private def registerExports(spark: SparkSession, f: FileSystem,
       src: String, dst: String, refs: Seq[String]): Unit = {
+    val now = System.currentTimeMillis()
     updateExports(spark, f, src)(cur =>
-      cur.filterNot(_._1 == dst) ++ refs.map(dst -> _))
+      cur.filterNot(_.cloneDst == dst) ++
+        refs.map(ExportPin(dst, _, now)))
     ()
   }
 
@@ -2572,8 +2610,8 @@ object Versioned {
     * Returns the number of released references. */
   def releaseClone(spark: SparkSession, src: String, dst: String): Int = {
     val f = fs(spark, src)
-    if (!exports(spark, src).exists(_._1 == dst)) return 0
-    -updateExports(spark, f, src)(_.filterNot(_._1 == dst))
+    if (!exports(spark, src).exists(_.cloneDst == dst)) return 0
+    -updateExports(spark, f, src)(_.filterNot(_.cloneDst == dst))
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -2839,10 +2877,28 @@ object Versioned {
    * Must not run concurrently with writers (same single-writer caveat
    * as the version counter).
    */
-  def vacuum(spark: SparkSession, path: String, horizon: Int): Seq[Int] = {
+  def vacuum(spark: SparkSession, path: String, horizon: Int,
+      exportLeaseMs: Long = 0L): Seq[Int] = {
     val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return Nil
+    // LEASE check (warn, never delete): an export pin blocks file
+    // reclaim indefinitely by design — a forgotten clone should at
+    // least surface in the maintenance logs once it outlives the
+    // lease the operator expected
+    if (exportLeaseMs > 0) {
+      val expired = expiredExports(spark, path, exportLeaseMs)
+      if (expired.nonEmpty) {
+        val byClone = expired.groupBy(_.cloneDst)
+        log.warn(s"vacuum at $path: ${expired.size} export pin(s) " +
+          s"from ${byClone.size} clone(s) exceed the $exportLeaseMs ms " +
+          "lease and still block file reclaim — releaseClone(src, dst) " +
+          "once a clone is dropped or fully compacted: " +
+          byClone.map { case (c, ps) =>
+            s"$c (${ps.size} file(s), oldest since " +
+              s"${ps.map(_.sinceMillis).min})" }.mkString("; "))
+      }
+    }
     // crashed staging dirs are invisible garbage; sweep the stale ones
     // (age guard so an in-flight commit's staging survives). Stale
     // version-slot claim files get the same treatment: a claim for a
@@ -3216,16 +3272,21 @@ object Versioned {
     val ck = checkpoints(spark, path).toSet
     val mg = mergeVersions(spark, path).toSet
     val times = commitTimes(spark, path)
+    val pinned = exportedFiles(spark, path)
     val rows = versions(spark, path).map { v =>
       val dir = new Path(s"$path/v=$v")
       val parts = filesOf(f, path, v) // own + manifest-carried
       val batch = f.listStatus(dir).map(_.getPath.getName)
         .find(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_"))
+      // clone-pinned files of THIS dir — vacuum cannot reclaim them
+      // until releaseClone ([[clonePins]] lists file/clone/since)
+      val dirQ = f.makeQualified(dir).toString
       (v, times.get(v), ck.contains(v), mg.contains(v), batch,
-        parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum)
+        parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum,
+        pinned.count(_.startsWith(dirQ + "/")))
     }
     rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
-      "batch_id", "num_files", "size_bytes")
+      "batch_id", "num_files", "size_bytes", "exported_files")
   }
 
   /** Thresholds for [[maintain]]'s auto-policy. Every knob has a

@@ -522,14 +522,34 @@ private[sources] object GraftProcedures {
       }),
     new Proc("vacuum",
       "reclaim version dirs superseded by a checkpoint at least " +
-        "<horizon> commits old; returns the reclaimed versions",
+        "<horizon> commits old; returns the reclaimed versions. " +
+        "Clone-pinned files are kept; set the export.lease_ms table " +
+        "property to get a warning when a pin outlives its lease",
       Seq(in("table", StringType), in("horizon", IntegerType)),
       StructType(Seq(
         StructField("reclaimed_version", IntegerType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
-        Versioned.vacuum(spark, p, row.getInt(1))
+        val lease = cat.propsOf(p).get("export.lease_ms")
+          .map(_.toLong).getOrElse(0L)
+        Versioned.vacuum(spark, p, row.getInt(1), lease)
           .map(v => InternalRow(v)).toArray
+      }),
+    new Proc("clone_pins",
+      "per-pin clone-retention observability: which files of this " +
+        "table are referenced by which shallow clone since when — " +
+        "these files block vacuum reclaim until release_clone",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("clone", StringType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("since_ts_millis", LongType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Versioned.clonePins(spark, p).collect().map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          r.getLong(2)))
       }),
     new Proc("restore",
       "restore the table to an old version as a NEW roll-forward " +
@@ -566,7 +586,8 @@ private[sources] object GraftProcedures {
         StructField("batch_id", StringType),
         StructField("num_files", IntegerType, nullable = false),
         StructField("size_bytes", org.apache.spark.sql.types.LongType,
-          nullable = false))),
+          nullable = false),
+        StructField("exported_files", IntegerType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
         Versioned.detail(spark, p).queryExecution.executedPlan

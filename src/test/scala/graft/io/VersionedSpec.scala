@@ -1310,6 +1310,52 @@ class VersionedSpec extends SparkSpec {
       .forall(d => new java.io.File(d, "_SUCCESS").exists()))
   }
 
+  test("clone pins are observable (clonePins + detail.exported_files) " +
+      "and the leased vacuum warns without ever deleting a pinned file") {
+    val src = freshPath("pin-src")
+    val c1 = freshPath("pin-c1")
+    Versioned.append((1L to 100L).map(i => (i, i * 2)).toDF("k", "x"),
+      src)                                                // v1
+    Versioned.compact(spark, src, "k", nFiles = 2)        // v2 ckpt
+    val t0 = System.currentTimeMillis()
+    Versioned.cloneShallow(spark, src, c1, "k")
+    // per-pin observability: which files, which clone, since when
+    val pins = Versioned.clonePins(spark, src).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pins.nonEmpty && pins.forall(_._1 == c1))
+    assert(pins.forall(p => p._3 >= t0 &&
+      p._3 <= System.currentTimeMillis()),
+      "pins must carry their registration time")
+    assert(pins.forall(_._2.contains("/v=")), s"pins: ${pins.toSeq}")
+    // the per-version view: detail counts this dir's pinned files
+    val det = Versioned.detail(spark, src).collect()
+      .map(r => r.getInt(0) -> r.getInt(7)).toMap
+    assert(det.values.sum == pins.length,
+      s"detail.exported_files ($det) must sum to the pin count")
+    assert(det(2) > 0, "the cloned checkpoint's files are the pins")
+    // lease: everything expires under a 1 ms lease, nothing under an
+    // hour
+    Thread.sleep(5)
+    assert(Versioned.expiredExports(spark, src, 1L).size == pins.length)
+    assert(Versioned.expiredExports(spark, src, 3600000L).isEmpty)
+    // leased vacuum WARNS and keeps: the pinned files survive a
+    // reclaim pass and both tables keep reading exactly
+    Versioned.append(Seq((5L, 999L)).toDF("k", "x"), src) // v3
+    Versioned.compact(spark, src, "k")                    // v4 ckpt
+    def cur(t: String) = Versioned.current(spark, t, "k")
+      .select("k", "x").as[(Long, Long)].collect().toMap
+    val want = cur(src); val wantClone = cur(c1)
+    Versioned.vacuum(spark, src, 0, exportLeaseMs = 1L)
+    assert(cur(src) == want && cur(c1) == wantClone,
+      "an expired lease must WARN, never delete")
+    assert(Versioned.clonePins(spark, src).count() == pins.length)
+    // release frees the pins; observability drains to zero
+    assert(Versioned.releaseClone(spark, src, c1) == pins.length)
+    assert(Versioned.clonePins(spark, src).count() == 0)
+    assert(Versioned.detail(spark, src).collect()
+      .forall(_.getInt(7) == 0))
+  }
+
   test("export-protected remnants re-materialize before the sweep: " +
       "releasing a clone never dangles the SOURCE's own incremental-" +
       "checkpoint refs into the remnant dirs") {

@@ -187,7 +187,7 @@ class GraftCatalogSpec extends SparkSpec {
       Seq("version", "commit_ts_millis", "is_checkpoint"))
     assert(det.count() == 5)
     assert(det.filter(col("is_checkpoint")).as[
-      (Int, Long, Boolean, Boolean, Option[String], Int, Long)]
+      (Int, Long, Boolean, Boolean, Option[String], Int, Long, Int)]
       .head()._1 == 5)
     // restore to the pre-delete state (v3) as a roll-forward commit
     spark.sql("CALL graft_test.system.restore('tp', 3)")
@@ -685,7 +685,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.current(spark, path, "k").count() == 3)
     // each micro-batch is one commit carrying its idempotency marker
     val det = spark.sql("CALL graft_test.system.detail('t7')")
-      .as[(Int, Option[Long], Boolean, Boolean, Option[String], Int, Long)]
+      .as[(Int, Option[Long], Boolean, Boolean, Option[String], Int,
+        Long, Int)]
       .collect()
     assert(det.count(_._5.isDefined) == 2)
     // sink-API-level replay: re-deliver an ALREADY-COMMITTED epoch of

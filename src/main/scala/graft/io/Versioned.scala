@@ -2294,6 +2294,13 @@ object Versioned {
       return compactIncrementalAttempt(spark, path, keyCol, minFileBytes,
         nFiles, attempt + 1, dl)
     }
+    // declare the head mapping for the fold's PRE-COMMIT window (the
+    // touched-key classification below is a real Spark job): without
+    // this, concurrent mapped-table commits refuse on the fold's
+    // still-undeclared claim for the classification's whole duration;
+    // commitAt re-declares (with any merged extras) before the write
+    mappingAt(spark, path, head).foreach(snap =>
+      writePendingColmap(spark, path, v, Some(snap)))
     val ckSet = ck.toSet
     val deltaVs = versions(spark, path)
       .filter(x => x > c && x <= head && !ckSet.contains(x))
@@ -2301,6 +2308,7 @@ object Versioned {
     if (dataDeltas.isEmpty) {
       // metadata-only delta (mapping/widen commits): nothing to fold —
       // release the slot and report the standing checkpoint
+      deletePendingColmap(spark, path, v)
       store.delete(f, new Path(path, s".claim-v=$v"))
       return c
     }

@@ -1140,22 +1140,33 @@ object Versioned {
       store.readSmall(f, p).split('\n').filter(_.nonEmpty).toSeq
         .map { line => val Array(l, ph) = line.split('\t'); (l, ph) }
     val knownLog = scala.collection.mutable.Set(snap.map(_._1): _*)
+    def refuse(c: Int): Nothing = {
+      store.delete(f, new Path(path, s".claim-v=$v"))
+      throw new java.util.ConcurrentModificationException(
+        s"commit at $path (slot $v): in-flight writer at claimed " +
+          s"slot $c declared no pending column mapping (a mapping " +
+          "DDL mid-flight, a writer between claim and declaration, " +
+          "or a crashed claim) — publishing this commit's snapshot " +
+          "above it could orphan that writer's schema changes; " +
+          "retried automatically, or run vacuum for a stale claim")
+    }
     claims.sorted.flatMap { c =>
       val committed = new Path(s"$path/v=$c", ColmapFile)
       val pending = pendingColmapPath(path, c)
       val entries =
         if (f.exists(committed)) parse(committed)
-        else if (f.exists(pending)) parse(pending)
-        else {
-          store.delete(f, new Path(path, s".claim-v=$v"))
-          throw new java.util.ConcurrentModificationException(
-            s"commit at $path (slot $v): in-flight writer at claimed " +
-              s"slot $c declared no pending column mapping (a mapping " +
-              "DDL mid-flight, a writer between claim and declaration, " +
-              "or a crashed claim) — publishing this commit's snapshot " +
-              "above it could orphan that writer's schema changes; " +
-              "retried automatically, or run vacuum for a stale claim")
+        else if (f.exists(pending)) {
+          // the owner may PUBLISH between our exists-check and the
+          // read (pending markers delete AFTER the publish rename) —
+          // a vanished file means its committed snapshot is
+          // authoritative now; anything else retryable-refuses
+          try parse(pending)
+          catch { case _: java.io.FileNotFoundException =>
+            if (f.exists(committed)) parse(committed) else refuse(c)
+          }
         }
+        else if (f.exists(committed)) parse(committed)
+        else refuse(c)
       entries.filter { case (l, _) =>
         val fresh = !knownLog(l); if (fresh) knownLog += l; fresh }
     }

@@ -1781,6 +1781,66 @@ class VersionedSpec extends SparkSpec {
       .select("ghost").as[Long].head() == 99L)
   }
 
+  test("mapped-table commit races, true threads: concurrent appends " +
+      "racing each other AND an in-flight evolving staged write all " +
+      "land (retry loop, no livelock), every snapshot keeps the " +
+      "pending extra mapped, the slow writer publishes below them") {
+    val p = freshPath("mapped-threads")
+    Versioned.append(Seq((0L, 0L)).toDF("k", "x"), p)     // v1
+    Versioned.renameColumn(spark, p, "x", "amount")       // v2 — mapped
+    // the evolving staged write claims v3 and declares its intent,
+    // then stays in flight while the appends hammer the table
+    val (v3, staging) = Versioned.beginStagedCommit(spark, p)
+    val (l2p, snap, extras) = Versioned.stagedMapping(spark, p, v3,
+      Seq("k", "amount", "score"))
+    Versioned.writePendingColmap(spark, p, v3, snap)
+    // 4 real threads × 3 appends: they race each other through the
+    // claim→declare window (transient refusals must retry through)
+    // and every one re-snapshots the mapping above the staged write
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 4).map { t =>
+      new Thread(() => {
+        try (0 until 3).foreach { r =>
+          Versioned.append(
+            Seq((100L + t * 10 + r, 1L)).toDF("k", "amount"), p)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty,
+      s"concurrent mapped appends failed: ${errs.toArray.toSeq}")
+    val committed = Versioned.versions(spark, p).filter(_ > v3)
+    assert(committed.size == 12, s"expected 12 append commits, got " +
+      s"${committed.size}")
+    committed.foreach { x =>
+      assert(Versioned.logicalToPhysical(spark, p, x).get("score")
+        .contains(s"score_r$v3"),
+        s"v=$x's re-snapshot dropped the in-flight write's extra")
+    }
+    // the slow writer publishes at its LOWER slot
+    val part = Seq((7L, 70L, 77L)).toDF("k", "x", s"score_r$v3")
+      .withColumn(Versioned.DeletedCol, lit(false))
+      .withColumn(Versioned.MergeCol, lit(false))
+      .withColumn(Versioned.CkptCol, lit(false))
+      .withColumn(Versioned.VersionCol, lit(v3))
+      .withColumn(Versioned.SeqCol, monotonically_increasing_id())
+    part.coalesce(1).write.mode("append").parquet(staging)
+    val fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = fsys.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    Versioned.publishStagedChecked(spark, p, v3, staging, keep,
+      snapshotV = 2, keyCol = Some("k"), colmap = snap,
+      colmapExtras = extras)
+    val cur = Versioned.current(spark, p, "k")
+    assert(cur.count() == 14) // 1 base + 12 threaded + 1 staged
+    assert(cur.filter(col("k") === 7L).select("score")
+      .as[Long].head() == 77L)
+    assert(cur.filter(col("k") === 111L).select("score")
+      .head().isNullAt(0))
+    assert(l2p("amount") == "x")
+  }
+
   test("mapped tables: zone-range, snapshotRange, and bloom point " +
       "lookup all prune on a RENAMED key column, same answers") {
     val p = freshPath("mapprune")

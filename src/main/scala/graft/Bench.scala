@@ -51,8 +51,8 @@ object Bench {
     // sampled at run start and end.)
     def procLoad(): (String, String) =
       try {
-        val p = scala.io.Source.fromFile("/proc/loadavg")
-          .mkString.trim.split(" ")
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        val p = try src.mkString.trim.split(" ") finally src.close()
         (s"[${p(0)},${p(1)},${p(2)}]", "\"" + p(3) + "\"")
       } catch { case _: Throwable => ("[]", "\"?\"") }
     val (loadStart, runqStart) = procLoad()

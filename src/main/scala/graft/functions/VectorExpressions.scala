@@ -276,9 +276,11 @@ case class AdcDistances(child: Expression,
 
   // a null CODE ELEMENT or out-of-range code nulls the whole row's
   // distance array (aligned with the per-query literal formulation
-  // this kernel replaced: `element_at` yields null there, and the
-  // null total sorts last under the ascending top-k) — so the result
-  // is nullable even over a non-null codes column
+  // this kernel replaced: `element_at` yields null there). The
+  // consumers posexplode the array, so a nulled row simply drops out
+  // of every query's candidate set — do NOT rank raw distances with
+  // asc() expecting nulls last (Spark's asc is NULLS FIRST). The
+  // result is nullable even over a non-null codes column.
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -502,35 +502,60 @@ object Versioned {
         if (sortFiles > 0) sortFiles
         else math.max(spark.sparkContext.defaultParallelism, 1), sortBy: _*)
         .sortWithinPartitions(sortBy: _*)
-    // claims listed BEFORE the mapping resolve: a staged writer that
-    // publishes in between is covered either way (its snapshot becomes
-    // visible to mappingAt, or its claim is in this list and its
-    // pending extras merge below)
-    val inflightBelow = unpublishedClaims(spark, path).filter(_ < v)
     // column-mapped table: writers speak LOGICAL names; translate to
     // the stable physical ids before staging. A logical column the
     // mapping has never seen (schema-evolution add) gets a fresh
     // version-salted physical id so it can never collide with (or
     // resurrect) a renamed/dropped column's bytes; the updated
-    // snapshot rides in this commit's dir. The snapshot ALSO carries
+    // snapshot rides in this commit's dir. The snapshot ALSO ADOPTS
     // any in-flight lower staged writer's pending extras — this commit
     // re-snapshots the mapping at a HIGHER slot, and publishing first
     // would otherwise supersede the slower writer's schema-evolution
     // columns (mappingAt: newest at-or-below wins), silently orphaning
-    // their data.
+    // their data. Adoption means adopting their PHYSICAL ids too: a
+    // column this commit shares with an in-flight evolving writer
+    // writes under the writer's pending id instead of minting a
+    // second one (dual minting would orphan whichever snapshot loses
+    // the head resolve). Unmapped tables skip all of this — a table
+    // cannot BECOME mapped underneath a running write (the first
+    // rename claims a slot ABOVE ours, and its snapshot wins at head).
     val (physDf, snapOut) = mappingAt(spark, path, v) match {
       case None => (laidOutDf, colmapSeed)
-      case Some(ms) =>
-        val known = ms.toMap
+      case Some(_) =>
+        // claims listed BEFORE the (re-)resolve below: a staged writer
+        // that publishes in between is covered either way — its
+        // snapshot becomes visible to the re-resolved mappingAt, or
+        // its claim is in this list and handled per state
+        val inflightBelow = unpublishedClaims(spark, path).filter(_ < v)
+        val (pend, sawCommitted) =
+          pendingStagedExtras(spark, path, v, inflightBelow)
+        // base re-resolved AFTER the listing (and again after the scan
+        // when a listed claim published meanwhile): a snapshot that
+        // committed below us — a data commit's extras or a mapping
+        // DDL's rename/drop — is taken WHOLE, never unioned entry-wise
+        val ms = mappingAt(spark, path, v).get
+        val msMap = ms.toMap
+        pend.collectFirst { case (l, ph)
+          if msMap.get(l).exists(_ != ph) => (l, ph) }.foreach {
+          case (l, ph) =>
+            LogStore.forSession(spark)
+              .delete(f, new Path(path, s".claim-v=$v"))
+            throw new java.util.ConcurrentModificationException(
+              s"commit at $path (slot $v): an in-flight writer's " +
+                s"pending mapping binds column '$l' to '$ph' but the " +
+                s"committed mapping binds '${msMap(l)}' — bases " +
+                "diverged; retried automatically")
+        }
+        val adopted = pend.filterNot { case (l, _) => msMap.contains(l) }
+        val known = (ms ++ adopted).toMap
         val extras = laidOutDf.columns.toSeq
           .filterNot(MetaCols.contains).filterNot(known.contains)
-        val snap0 = ms ++ extras.map(l => (l, s"${l}_r$v"))
-        val snap = snap0 ++
-          pendingStagedExtras(spark, path, v, inflightBelow, snap0)
+        val snap = ms ++ adopted ++ extras.map(l => (l, s"${l}_r$v"))
+        val _ = sawCommitted // base already re-resolved above
         // declare OUR intended snapshot before the (slow) data write,
-        // so a faster committer above us merges THESE extras too
+        // so a faster committer above us adopts THESE extras too
         writePendingColmap(spark, path, v, Some(snap))
-        val sm = snap0.toMap
+        val sm = snap.toMap
         val pdf = laidOutDf.select(laidOutDf.columns.toSeq.map(c =>
           if (MetaCols.contains(c)) col(c) else col(c).as(sm(c))): _*)
         (pdf, Some(snap))
@@ -792,8 +817,16 @@ object Versioned {
           val ex = extras.toSet
           val freshLog = fresh.map(_._1).toSet
           val mine = snap.filter { case (l, _) => ex(l) }
+          // clash surface is BOTH directions: a commit below our slot
+          // (fresh) AND a commit that published ABOVE us while we ran
+          // (headMap — e.g. an append that adopted a DIFFERENT
+          // in-flight writer's pending binding for the same column).
+          // Publishing our binding under either would orphan bytes.
+          val headMap = mappingAt(spark, path,
+            latestVersion(spark, path)).getOrElse(Nil).toMap
           val clashes = mine.collect {
-            case (l, ph) if freshLog(l) && !fresh.contains((l, ph)) => l }
+            case (l, ph) if (freshLog(l) && !fresh.contains((l, ph))) ||
+              headMap.get(l).exists(_ != ph) => l }
           if (clashes.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"schema evolution at $path: column(s) " +
@@ -986,10 +1019,7 @@ object Versioned {
       .find(f.exists)
       .map { p =>
         store.readSmall(f, p).split('\n').filter(_.nonEmpty).toSeq
-          .map { line =>
-            val Array(l, ph) = line.split('\t')
-            (l, ph)
-          }
+          .map(parseColmapLine)
       }
   }
 
@@ -1073,11 +1103,14 @@ object Versioned {
         raw.select(mapped ++ metas.toSeq: _*)
     }
 
+  private def colmapBytes(snap: Seq[(String, String)]): Array[Byte] =
+    snap.map { case (l, ph) => s"$l\t$ph" }
+      .mkString("", "\n", "\n").getBytes(UTF_8)
+
   private def writeColmap(f: FileSystem, dir: Path,
       snap: Seq[(String, String)]): Unit = {
     val out = f.create(new Path(dir, ColmapFile))
-    try out.write(snap.map { case (l, ph) => s"$l\t$ph" }
-      .mkString("", "\n", "\n").getBytes(UTF_8))
+    try out.write(colmapBytes(snap))
     finally out.close()
   }
 
@@ -1099,8 +1132,7 @@ object Versioned {
     snap.foreach { s =>
       val f = fs(spark, path)
       val out = f.create(pendingColmapPath(path, v))
-      try out.write(s.map { case (l, ph) => s"$l\t$ph" }
-        .mkString("", "\n", "\n").getBytes(UTF_8))
+      try out.write(colmapBytes(s))
       finally out.close()
     }
 
@@ -1111,36 +1143,41 @@ object Versioned {
   }
 
   /** Schema-evolution extras pending in IN-FLIGHT staged writers below
-    * slot `v`, to merge into a higher commit's mapping snapshot —
+    * slot `v`, for a higher commit's mapping snapshot to ADOPT —
     * without this, "evolving MERGE stages at slot c, plain append
     * claims v > c and publishes first" resolves the append's snapshot
     * at head and the MERGE's freshly minted columns are silently
     * unmapped (their data orphaned). Per claimed-unpublished slot
     * c < v:
-    *  - c committed meanwhile: its `_COLMAP.tsv` entries unknown to
-    *    `snap` merge (covers the list-then-resolve race);
     *  - a `.pending-colmap-v=c` marker (every mapped-table writer
-    *    declares one right after claiming): entries whose LOGICAL
-    *    name `snap` does not know are that writer's extras — merged.
-    *    An aborted writer's merged extra is a harmless ghost: no file
-    *    carries its physical id, so reads never surface it, and a
-    *    later add of the same logical column just reuses the id;
-    *  - neither (an in-flight mapping DDL — whose rename/drop
-    *    REPLACES entries, union is unsound — a writer between claim
-    *    and marker, or a crashed claim): unknown intent — refuse;
-    *    vacuum sweeps crashed claims, [[commit]] retries the window.
-    * Refusal releases THIS commit's claim and throws retryable. */
+    *    declares one right after claiming): its entries return raw,
+    *    first claim wins per logical name — the CALLER adopts the
+    *    ones its committed base does not know (an aborted writer's
+    *    adopted extra is a harmless ghost: no file carries its
+    *    physical id, so reads never surface it, and a later add of
+    *    the same logical column just reuses the id);
+    *  - c committed meanwhile (publish between listing and scan):
+    *    SKIPPED — the caller re-resolves its base mapping AFTER this
+    *    scan, which takes the committed snapshot WHOLE (a rename/drop
+    *    replaces entries; entry-wise union would resurrect them);
+    *  - neither (an in-flight mapping DDL, a writer between claim and
+    *    marker, or a crashed claim): unknown intent — refuse; vacuum
+    *    sweeps crashed claims, [[commit]] and the fold retry the
+    *    window.
+    * Refusal releases THIS commit's claim (and its own pending
+    * marker, for the fold's early declaration) and throws retryable.
+    * Returns (logical, physical) pending entries, deduped by logical
+    * name. */
   private def pendingStagedExtras(spark: SparkSession, path: String,
-      v: Int, claims: Seq[Int],
-      snap: Seq[(String, String)]): Seq[(String, String)] = {
-    if (claims.isEmpty) return Nil
+      v: Int, claims: Seq[Int]): (Seq[(String, String)], Boolean) = {
+    if (claims.isEmpty) return (Nil, false)
     val f = fs(spark, path)
     val store = LogStore.forSession(spark)
     def parse(p: Path): Seq[(String, String)] =
       store.readSmall(f, p).split('\n').filter(_.nonEmpty).toSeq
-        .map { line => val Array(l, ph) = line.split('\t'); (l, ph) }
-    val knownLog = scala.collection.mutable.Set(snap.map(_._1): _*)
+        .map(parseColmapLine)
     def refuse(c: Int): Nothing = {
+      deletePendingColmap(spark, path, v)
       store.delete(f, new Path(path, s".claim-v=$v"))
       throw new java.util.ConcurrentModificationException(
         s"commit at $path (slot $v): in-flight writer at claimed " +
@@ -1150,26 +1187,45 @@ object Versioned {
           "above it could orphan that writer's schema changes; " +
           "retried automatically, or run vacuum for a stale claim")
     }
-    claims.sorted.flatMap { c =>
+    var sawCommitted = false
+    val seen = scala.collection.mutable.Map.empty[String, String]
+    val out = claims.sorted.flatMap { c =>
       val committed = new Path(s"$path/v=$c", ColmapFile)
       val pending = pendingColmapPath(path, c)
-      val entries =
-        if (f.exists(committed)) parse(committed)
+      val entries: Seq[(String, String)] =
+        if (f.exists(committed)) { sawCommitted = true; Nil }
         else if (f.exists(pending)) {
           // the owner may PUBLISH between our exists-check and the
           // read (pending markers delete AFTER the publish rename) —
           // a vanished file means its committed snapshot is
-          // authoritative now; anything else retryable-refuses
+          // authoritative; anything else retryable-refuses
           try parse(pending)
           catch { case _: java.io.FileNotFoundException =>
-            if (f.exists(committed)) parse(committed) else refuse(c)
+            if (f.exists(committed)) { sawCommitted = true; Nil }
+            else refuse(c)
           }
         }
-        else if (f.exists(committed)) parse(committed)
+        else if (f.exists(committed)) { sawCommitted = true; Nil }
         else refuse(c)
-      entries.filter { case (l, _) =>
-        val fresh = !knownLog(l); if (fresh) knownLog += l; fresh }
+      entries.flatMap { case (l, ph) =>
+        seen.get(l) match {
+          case None => seen(l) = ph; Some((l, ph))
+          case Some(ph0) if ph0 == ph => None // duplicate binding
+          case Some(_) =>
+            // TWO in-flight writers bind the same logical name to
+            // DIFFERENT physical ids: adopting either would orphan
+            // the other's bytes — wait the conflict out (one of them
+            // aborts at its own publish-time clash check)
+            refuse(c)
+        }
+      }
     }
+    (out, sawCommitted)
+  }
+
+  private def parseColmapLine(line: String): (String, String) = {
+    val i = line.indexOf('\t')
+    (line.substring(0, i), line.substring(i + 1))
   }
 
   /** Metadata-only commit carrying a new column-mapping snapshot (no
@@ -2417,12 +2473,26 @@ object Versioned {
         s"${fp.getParent.getName}/${fp.getName}"
       else fp.toString
     }
-    commitAt(sized, path, v, checkpoint = true, merge = false,
+    try commitAt(sized, path, v, checkpoint = true, merge = false,
       batchMarker = if (zCols.isEmpty) None else Some(zcolsMarker(zCols)),
       sortBy = Nil, sortFiles = 0, manifest = rels)
       .getOrElse(sys.error(s"compactIncremental at $path lost claimed " +
         s"slot v=$v to an occupied dir — claims and versions diverged; " +
         "run vacuum and retry"))
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        // a lower writer sat in its claim→declare window during the
+        // fold's commit — the refusal released our claim AND our
+        // pending marker; back off and retry the whole fold within
+        // the same deadline budget (the message's "retried
+        // automatically" must hold on this path too, not only for
+        // plain commits)
+        val b = math.min(100L << math.min(attempt, 6), 3200L)
+        Thread.sleep(b / 2 + java.util.concurrent.ThreadLocalRandom
+          .current().nextLong(b / 2 + 1))
+        compactIncrementalAttempt(spark, path, keyCol, minFileBytes,
+          nFiles, attempt + 1, dl)
+    }
   }
 
   /**

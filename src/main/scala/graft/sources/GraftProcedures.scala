@@ -110,18 +110,17 @@ private[sources] object GraftProcedures {
   private def joinHandleOf(cat: GraftCatalog,
       viewPath: String): graft.io.JoinView.Handle = {
     val props = cat.propsOf(viewPath)
-    val fkCol = props("mv.group")
-    val dimAttr = props("jv.dimattr")
+    def need(k: String, what: String): String = props.getOrElse(k,
+      sys.error(s"$viewPath is not a create_joinview view " +
+        s"(no $what properties)"))
+    val fkCol = need("mv.group", "mv.*")
+    val dimAttr = need("jv.dimattr", "jv.*")
     graft.io.JoinView.Handle(
-      graft.io.MatView.Handle(viewPath,
-        props.getOrElse("mv.source", sys.error(
-          s"$viewPath is not a create_joinview view (no mv.* properties)")),
-        props("mv.key"), fkCol,
-        props("mv.sums").split(',').filter(_.nonEmpty).toSeq, Nil),
-      Seq(graft.io.JoinView.DimLink(
-        props.getOrElse("jv.dim", sys.error(
-          s"$viewPath is not a create_joinview view (no jv.* properties)")),
-        props("jv.dimkey"), fkCol, Seq(dimAttr))),
+      graft.io.MatView.Handle(viewPath, need("mv.source", "mv.*"),
+        need("mv.key", "mv.*"), fkCol,
+        need("mv.sums", "mv.*").split(',').filter(_.nonEmpty).toSeq, Nil),
+      Seq(graft.io.JoinView.DimLink(need("jv.dim", "jv.*"),
+        need("jv.dimkey", "jv.*"), fkCol, Seq(dimAttr))),
       Seq(dimAttr))
   }
 

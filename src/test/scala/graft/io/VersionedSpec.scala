@@ -1781,6 +1781,66 @@ class VersionedSpec extends SparkSpec {
       .select("ghost").as[Long].head() == 99L)
   }
 
+  test("dual same-column evolution: a commit sharing a NEW column " +
+      "with an in-flight evolving writer ADOPTS the pending physical " +
+      "id (no dual mint — either snapshot winning at head reads both " +
+      "writers' data); a pending id CONFLICTING with the committed " +
+      "mapping refuses") {
+    val p = freshPath("adopt")
+    Versioned.append(Seq((1L, 10L)).toDF("k", "x"), p)    // v1
+    Versioned.renameColumn(spark, p, "x", "amount")       // v2 — mapped
+    val (v3, staging) = Versioned.beginStagedCommit(spark, p)
+    val (_, snap, extras) = Versioned.stagedMapping(spark, p, v3,
+      Seq("k", "amount", "score"))
+    Versioned.writePendingColmap(spark, p, v3, snap)
+    // a plain append ALSO carrying brand-new 'score': it must write
+    // under the pending id score_r3, not mint score_r4 — whichever
+    // snapshot wins the head resolve, both writers' bytes stay mapped
+    val v4 = Versioned.append(
+      Seq((2L, 20L, 42L)).toDF("k", "amount", "score"), p)
+    assert(Versioned.logicalToPhysical(spark, p, v4)
+      .get("score").contains(s"score_r$v3"),
+      "the append minted a second physical id for the shared column")
+    // the slow writer publishes below; BOTH rows' score reads at head
+    val part = Seq((7L, 70L, 77L)).toDF("k", "x", s"score_r$v3")
+      .withColumn(Versioned.DeletedCol, lit(false))
+      .withColumn(Versioned.MergeCol, lit(false))
+      .withColumn(Versioned.CkptCol, lit(false))
+      .withColumn(Versioned.VersionCol, lit(v3))
+      .withColumn(Versioned.SeqCol, monotonically_increasing_id())
+    part.coalesce(1).write.mode("append").parquet(staging)
+    val fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = fsys.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    Versioned.publishStagedChecked(spark, p, v3, staging, keep,
+      snapshotV = 2, keyCol = Some("k"), colmap = snap,
+      colmapExtras = extras)
+    val byK = Versioned.current(spark, p, "k")
+      .select("k", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byK == Map(1L -> None, 2L -> Some(42L), 7L -> Some(77L)),
+      s"got $byK")
+    // a pending entry CONFLICTING with the committed mapping (same
+    // logical, different physical — diverged bases) refuses loudly
+    // instead of publishing either binding
+    val store = graft.io.LogStore.forSession(spark)
+    val cBad = Versioned.latestVersion(spark, p) + 1
+    assert(store.createExclusive(fsys,
+      new org.apache.hadoop.fs.Path(p, s".claim-v=$cBad")))
+    Versioned.writePendingColmap(spark, p, cBad,
+      Some(Seq(("k", "k"), ("amount", "amount_r99"))))
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.append(Seq((3L, 30L)).toDF("k", "amount"), p)
+    }
+    // cleanup unblocks the table
+    store.delete(fsys, new org.apache.hadoop.fs.Path(p, s".claim-v=$cBad"))
+    Versioned.deletePendingColmap(spark, p, cBad)
+    Versioned.append(Seq((3L, 30L)).toDF("k", "amount"), p)
+    assert(Versioned.current(spark, p, "k").count() == 4)
+  }
+
   test("mapped-table commit races, true threads: concurrent appends " +
       "racing each other AND an in-flight evolving staged write all " +
       "land (retry loop, no livelock), every snapshot keeps the " +

@@ -225,6 +225,41 @@ object GenLog {
     ms.filter(_.gen >= base)
   }
 
+  /** Thresholds for the index auto-maintenance policy
+    * ([[maintainPlan]]). */
+  final case class MaintainConfig(
+      /** Fold once this many data-carrying generations sit above the
+        * newest base. */
+      deltaGens: Int = 8,
+      /** FULL compact instead once the tombstoned-doc mass above the
+        * base reaches this fraction of the live docs — incremental
+        * folds hide dead rows behind the consolidated tombstone
+        * snapshot but never purge their bytes; a delete-heavy window
+        * is when the purge pays. (Steady low-delete indexes should
+        * still schedule an occasional full compact — the dead mass
+        * folded into earlier bases is not visible in the metas.) */
+      purgeFrac: Double = 0.2)
+
+  /** The auto-maintenance DECISION for a generation-log index, from
+    * its committed metas alone (no data scan): `"full"` (compact),
+    * `"fold"` (compactIncremental), or `"noop"`. Shared by the text
+    * and vector faces — the log format is the same; the EXECUTION
+    * lives with each kind ([[graft.pipeline.Search.maintain]],
+    * [[graft.pipeline.VecIndex.maintain]]). */
+  def maintainPlan(spark: SparkSession, f: FileSystem, path: String,
+      cfg: MaintainConfig = MaintainConfig()): String = {
+    val ms = metas(spark, f, path)
+    if (ms.isEmpty) return "noop"
+    val baseGen = ms.filter(_.kind == KindBase).map(_.gen)
+      .maxOption.getOrElse(ms.head.gen)
+    val above = ms.filter(_.gen > baseGen)
+    val liveDocs = math.max(ms.filter(_.gen >= baseGen).map(_.a).sum, 1L)
+    val tombed = -above.filter(_.kind == KindDel).map(_.a).sum
+    if (tombed.toDouble / liveDocs >= cfg.purgeFrac) "full"
+    else if (above.size >= cfg.deltaGens) "fold"
+    else "noop"
+  }
+
   /** Tombstone view over the given `tombs/gen=*` dirs: (id, tgen),
     * where `tgen` is the ORIGINAL kill generation — the explicit
     * `tgen` column when present (consolidated snapshots written by

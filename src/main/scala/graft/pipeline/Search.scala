@@ -250,6 +250,35 @@ object Search {
    * in-flight readers until [[vacuum]] reclaims them. Single
    * maintainer, like every compaction here.
    */
+  /** ONE-CALL auto-maintenance for the text index: run whatever the
+    * metas-only policy ([[graft.io.GenLog.maintainPlan]]) calls for —
+    * full compact (physical tombstone purge + bucket re-level) past
+    * `purgeFrac`, LSM seg-merge fold past `deltaGens`, nothing
+    * otherwise — then vacuum reclaimable generations. Returns the
+    * (action, detail) list taken; the indexes' ops loop, mirroring
+    * [[graft.io.Versioned.maintain]] for tables. */
+  def maintain(spark: SparkSession, idx: Index,
+      cfg: GenLog.MaintainConfig = GenLog.MaintainConfig())
+      : Seq[(String, String)] = {
+    val f = fsOf(spark, idx.path)
+    val actions = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    GenLog.maintainPlan(spark, f, idx.path, cfg) match {
+      case "full" =>
+        compact(spark, idx)
+        actions += (("compact", "tombstone purge + bucket re-level"))
+      case "fold" =>
+        compactIncremental(spark, idx)
+        actions += (("fold", "LSM seg-merge, O(delta)"))
+      case _ => ()
+    }
+    val got = vacuum(spark, idx)
+    if (got.nonEmpty)
+      actions += (("vacuum", s"reclaimed ${got.size} generation(s)"))
+    if (actions.isEmpty) Seq(("noop", "below every threshold"))
+    else actions.toSeq
+  }
+
   def compact(spark: SparkSession, idx: Index): Index = {
     val f = fsOf(spark, idx.path)
     val g = claimGen(spark, f, idx.path)

@@ -431,6 +431,50 @@ object VecIndex {
     idx
   }
 
+  /** ONE-CALL auto-maintenance for the vector index: the metas-only
+    * policy ([[graft.io.GenLog.maintainPlan]]) picks full compact
+    * (physical tombstone purge) past `purgeFrac` or a dirty-cluster
+    * fold past `deltaGens`, then vacuums — mirroring
+    * [[graft.pipeline.Search.maintain]] and
+    * [[graft.io.Versioned.maintain]]. A purge-worthy index whose live
+    * generations span CODEBOOK VERSIONS downgrades to the fold (the
+    * full compact requires a reencode first — run retrain stage 2,
+    * then the next maintain purges). */
+  def maintain(spark: SparkSession, idx: Index,
+      cfg: GenLog.MaintainConfig = GenLog.MaintainConfig())
+      : Seq[(String, String)] = {
+    val f = fsOf(spark, idx.path)
+    val actions = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    val plan = GenLog.maintainPlan(spark, f, idx.path, cfg) match {
+      case "full" =>
+        val cbvs = GenLog.liveMetas(spark, f, idx.path)
+          .filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
+        if (cbvs.size == 1) "full"
+        else {
+          actions += (("defer-purge", "live generations span codebook " +
+            s"versions ${cbvs.sorted.mkString(",")} — reencode first; " +
+            "folding instead"))
+          "fold"
+        }
+      case p => p
+    }
+    plan match {
+      case "full" =>
+        compact(spark, idx)
+        actions += (("compact", "tombstone purge"))
+      case "fold" =>
+        compactIncremental(spark, idx)
+        actions += (("fold", "dirty-cluster rewrite, O(delta)"))
+      case _ => ()
+    }
+    val got = vacuum(spark, idx)
+    if (got.nonEmpty)
+      actions += (("vacuum", s"reclaimed ${got.size} generation(s)"))
+    if (actions.isEmpty) Seq(("noop", "below every threshold"))
+    else actions.toSeq
+  }
+
   /** Rewrite the live rows (tombstones applied) as ONE new base
     * generation, bounding read fan-in; [[vacuum]] then reclaims the
     * folded generations. */

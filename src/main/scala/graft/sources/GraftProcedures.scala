@@ -390,6 +390,30 @@ private[sources] object GraftProcedures {
               s"'vector', got '$other'")
         }
       }),
+    new Proc("index_maintain",
+      "one-call auto-maintenance for an at-rest text or vector index " +
+        "(path-addressed; kind = 'search' | 'vector'): the metas-only " +
+        "policy picks full compact (tombstone purge) past the purge " +
+        "fraction, an incremental fold past the delta-generation " +
+        "threshold, or nothing — then vacuums; returns the actions " +
+        "taken. The index twin of CALL system.maintain",
+      Seq(in("index_path", StringType), in("kind", StringType)),
+      StructType(Seq(StructField("action", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val acts = str(row, 1, "kind") match {
+          case "search" => Search.maintain(spark, Search.open(spark, p))
+          case "vector" => VecIndex.maintain(spark, VecIndex.open(spark, p))
+          case other => sys.error(
+            s"index_maintain: kind must be 'search' or 'vector', " +
+              s"got '$other'")
+        }
+        acts.map { case (a, det) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        }.toArray
+      }),
     new Proc("index_delete",
       "tombstone documents/vectors out of an at-rest index by id " +
         "(path-addressed; kind = 'search' | 'vector'; ids as a comma-" +

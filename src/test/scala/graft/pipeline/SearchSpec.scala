@@ -550,6 +550,61 @@ class SearchSpec extends SparkSpec {
     assert(gens("post") == 1)
   }
 
+  test("maintain: the metas-only policy noops when quiet, folds past " +
+      "deltaGens, full-compacts past purgeFrac (physical purge), and " +
+      "vacuums — answers never change under only maintain") {
+    val root = "target/tmp/search-maintain-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cfg = graft.io.GenLog.MaintainConfig(deltaGens = 2,
+      purgeFrac = 0.4)
+    val midx = Search.writeIndex(docs.filter(col("doc_id") <= 4),
+      "doc_id", "text", root)
+    def live(): Set[Long] = Search.searchAny(spark, midx,
+      Seq("alpha", "beta", "gamma", "epsilon", "zeta", "eta"), 1)
+      .collect().map(_.getLong(0)).toSet
+    // quiet head: nothing to do
+    assert(Search.maintain(spark, midx, cfg).map(_._1) == Seq("noop"))
+    // two delta generations: the policy folds, then vacuums them
+    Search.append(docs.filter(col("doc_id") === 5),
+      "doc_id", "text", midx)
+    Search.append(Seq((6L, "eta beta")).toDF("doc_id", "text"),
+      "doc_id", "text", midx)
+    val a1 = Search.maintain(spark, midx, cfg)
+    assert(a1.map(_._1) == Seq("fold", "vacuum"), s"got $a1")
+    assert(live() == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Search.maintain(spark, midx, cfg).map(_._1) == Seq("noop"))
+    // delete-heavy window: 3 of 6 live docs tombstoned (50% >= 40%)
+    // -> the policy promotes to the FULL compact (physical purge),
+    // even though only ONE delta generation sits above the base
+    Search.delete(Seq(2L, 3L, 5L).toDF("doc_id"), "doc_id", midx)
+    val a2 = Search.maintain(spark, midx, cfg)
+    assert(a2.map(_._1) == Seq("compact", "vacuum"), s"got $a2")
+    assert(live() == Set(1L, 4L, 6L))
+    // the purge was physical: the new base's postings hold no dead
+    // doc rows (read them raw, bypassing the tombstone anti-join)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseGen = graft.io.GenLog.liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).map(_.gen).max
+    val rawIds = spark.read.parquet(s"$root/post/gen=$baseGen")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(rawIds == Set(1L, 4L, 6L),
+      s"dead rows survived the purge: $rawIds")
+    assert(Search.maintain(spark, midx, cfg).map(_._1) == Seq("noop"))
+    // BM25 answers equal a from-scratch rebuild over the live docs
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root-rebuild"))
+    val rebuilt = Search.writeIndex(
+      docs.filter(col("doc_id").isin(1L, 4L)).unionByName(
+        Seq((6L, "eta beta")).toDF("doc_id", "text")),
+      "doc_id", "text", s"$root-rebuild")
+    val terms = Seq("alpha", "beta", "gamma")
+    assert(Search.searchBm25(spark, midx, terms, 10)
+      .collect().map(_.toSeq).toSet ==
+      Search.searchBm25(spark, rebuilt, terms, 10)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

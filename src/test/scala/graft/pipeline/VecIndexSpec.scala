@@ -121,6 +121,33 @@ class VecIndexSpec extends SparkSpec {
     assert(VecIndex.countVecs(spark, idx) == 108)
   }
 
+  test("maintain: the metas-only policy noops, folds, full-compacts " +
+      "past the purge fraction, and vacuums; serve answers unchanged") {
+    val path = "target/tmp/vecidx-maintain"
+    val cfg = GenLog.MaintainConfig(deltaGens = 2, purgeFrac = 0.4)
+    val idx = VecIndex.init(corpus(0 until 20), 64, path)
+    val qs = corpus(0 until 100).filter(col("id") < 3)
+    assert(VecIndex.maintain(spark, idx, cfg).map(_._1) == Seq("noop"))
+    // two delta generations -> fold + vacuum
+    VecIndex.append(corpus(20 until 30), idx)
+    VecIndex.append(corpus(30 until 40), idx)
+    val before = rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4))
+    val a1 = VecIndex.maintain(spark, idx, cfg)
+    assert(a1.map(_._1) == Seq("fold", "vacuum"), s"got $a1")
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) == before)
+    assert(VecIndex.maintain(spark, idx, cfg).map(_._1) == Seq("noop"))
+    // delete-heavy window (20 of 40 live = 50% >= 40%) -> full purge
+    VecIndex.delete((20L until 40L).toDF("id"), "id", idx)
+    val a2 = VecIndex.maintain(spark, idx, cfg)
+    assert(a2.map(_._1) == Seq("compact", "vacuum"), s"got $a2")
+    assert(VecIndex.countVecs(spark, idx) == 20)
+    assert(rows(VecIndex.binaryTopK(spark, qs, idx, 12, 4)) ==
+      rows(VecIndex.binaryTopK(spark, qs,
+        VecIndex.init(corpus(0 until 20), 64,
+          "target/tmp/vecidx-maintain-fresh"), 12, 4)))
+    assert(VecIndex.maintain(spark, idx, cfg).map(_._1) == Seq("noop"))
+  }
+
   test("compactIncremental: folds only the dirty cb clusters, carries " +
       "clean ones by reference; serve answers, tombstones, exactly-once " +
       "and vacuum hold; full compact purges") {

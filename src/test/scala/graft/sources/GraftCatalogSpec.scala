@@ -433,6 +433,13 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(
       s"CALL graft_test.system.index_compact_incremental('$vp', 'vector')")
     spark.sql(s"CALL graft_test.system.index_vacuum('$vp', 'vector')")
+    // auto-policy from SQL: a quiet head noops; the actions report
+    assert(spark.sql(
+      s"CALL graft_test.system.index_maintain('$vp', 'vector')")
+      .as[(String, String)].collect().map(_._1).toSeq == Seq("noop"))
+    assert(spark.sql(
+      s"CALL graft_test.system.index_maintain('$sp', 'search')")
+      .as[(String, String)].collect().map(_._1).toSeq == Seq("noop"))
     val gotInc = spark.sql(
       s"CALL graft_test.system.ann_topk('$vp', '$vecStr', 2, 3)")
       .as[(Long, Double)].collect().toSet

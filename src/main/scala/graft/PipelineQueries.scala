@@ -1352,6 +1352,50 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("id"))
   }
 
+  /** The SAME append→delete→maintain lifecycle as
+    * [[searchBm25Inc]], but every maintenance decision made by the
+    * AUTO-POLICY ([[graft.pipeline.Search.maintain]]) instead of an
+    * operator: two delta shards trip `deltaGens` (fold + vacuum), the
+    * ~9% tombstone wave trips `purgeFrac` (full compact — physical
+    * purge — + vacuum), and a third call no-ops. The oracle is the
+    * identical BM25 replay over the live docs — if the policy ever
+    * picked a wrong action or an action changed answers, the hash
+    * gate catches it. */
+  def searchBm25Auto(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/searchidx-auto-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val cfg = graft.io.GenLog.MaintainConfig(deltaGens = 2,
+          purgeFrac = 0.05)
+        val idx = Search.writeIndex(
+          docs.filter(col("doc_id") % 3 =!= lit(2)),
+          "doc_id", "text", path)
+        Search.append(docs.filter(col("doc_id") % 3 === lit(2) &&
+          col("doc_id") % 2 === lit(0)), "doc_id", "text", idx)
+        Search.append(docs.filter(col("doc_id") % 3 === lit(2) &&
+          col("doc_id") % 2 =!= lit(0)), "doc_id", "text", idx)
+        val a1 = Search.maintain(spark, idx, cfg)
+        require(a1.map(_._1) == Seq("fold", "vacuum"),
+          s"auto-policy should fold two deltas, took $a1")
+        Search.delete(docs.filter(col("doc_id") % 11 === lit(0))
+          .select("doc_id"), "doc_id", idx)
+        val a2 = Search.maintain(spark, idx, cfg)
+        require(a2.map(_._1) == Seq("compact", "vacuum"),
+          s"auto-policy should purge the tombstone wave, took $a2")
+        require(Search.maintain(spark, idx, cfg).map(_._1) == Seq("noop"),
+          "auto-policy must no-op at a quiet head")
+        ()
+      })
+    }
+    Search.searchBm25(spark, Search.open(spark, path), SearchTerms,
+        topK = 20)
+      .orderBy(col("score").desc, col("id"))
+  }
+
   val searchBm25IncSql: String = {
     val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
@@ -4043,6 +4087,7 @@ object PipelineQueries {
     "q_search_bm25_call" -> searchBm25Call _,
     "q_search_bm25_stream" -> searchBm25Stream _,
     "q_search_inc_maintain" -> searchBm25Inc _,
+    "q_search_auto_maintain" -> searchBm25Auto _,
     "q_search_phrase" -> searchPhrase _,
     "q_search_any" -> searchAny _,
     "q_search_near" -> searchNear _,
@@ -4142,6 +4187,7 @@ object PipelineQueries {
     "q_search_bm25_call" -> searchBm25Sql, // CALL face == inline serve
     "q_search_bm25_stream" -> searchBm25Sql,  // streaming ingest, same live set
     "q_search_inc_maintain" -> searchBm25IncSql,
+    "q_search_auto_maintain" -> searchBm25IncSql,
     "q_search_phrase" -> searchPhraseSql,
     "q_search_any" -> searchAnySql,
     "q_search_near" -> searchNearSql,

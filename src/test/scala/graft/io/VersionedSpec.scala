@@ -842,6 +842,42 @@ class VersionedSpec extends SparkSpec {
       Seq("noop"))
   }
 
+  test("maintain preserves Z-ORDER clustering: the policy's full " +
+      "re-cluster re-applies the _ZCOLS_ marker's interleaved sort, " +
+      "so non-key skipping survives policy-driven maintenance") {
+    val p = freshPath("maintain-z")
+    val n = 4096L
+    Versioned.append(spark.range(n).select(col("id").as("k"),
+      ((col("id") * 2654435761L) % n).as("x"))
+      .repartitionByRange(8, col("k")), p)
+    Versioned.compactZOrder(spark, p, "k", Seq("k", "x"), nFiles = 16)
+    // a whale delta (> fullRewriteFrac of the checkpoint) forces the
+    // FULL branch — the one that must re-apply the Z-order, not decay
+    // to key-only clustering
+    Versioned.append(spark.range(n, 2 * n).select(col("id").as("k"),
+      ((col("id") * 2654435761L) % n).as("x")), p)
+    val cfg = Versioned.MaintainConfig(deltaCommits = 1,
+      deltaBytesFrac = 0.01, fullRewriteFrac = 0.3,
+      targetFileBytes = 4096L, vacuumHorizon = 2)
+    val acts = Versioned.maintain(spark, p, "k", cfg)
+    assert(acts.exists { case (a, d) =>
+      a == "compact" && d.contains("zorder=k,x") }, s"got $acts")
+    val head = Versioned.latestVersion(spark, p)
+    assert(Versioned.zcolsAt(spark, p, head) == Seq("k", "x"),
+      "the policy's re-cluster dropped the _ZCOLS_ marker")
+    // non-key x-skipping still bites on the policy-written checkpoint
+    val all = Versioned.current(spark, p, "k")
+    val expect = all.filter(col("x").between(0, 255))
+      .select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zx = Versioned.snapshotRange(spark, p, head, "x", 0L, 255L)
+    assert(zx.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(zx.inputFiles.length < all.inputFiles.length / 2,
+      s"x-scan read ${zx.inputFiles.length} of " +
+        s"${all.inputFiles.length} files after policy maintenance")
+  }
+
   test("bloomIndex + currentAsOfPoint: point lookups skip files zone " +
       "maps can't, same answers, no false negatives") {
     val p = freshPath("bloom")

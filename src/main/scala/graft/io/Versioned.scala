@@ -259,6 +259,48 @@ object Versioned {
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       quarantinePath: String, batchId: Long, ingestId: String = "")
       : (Option[Int], Option[Int]) = {
+    val (anyViol, reasons, clean, bad) =
+      quarantineSplit(df, path, constraints, quarantinePath)
+    val stats = s"_CHECKS_clean=${clean}_bad=$bad"
+    val qv = if (bad > 0)
+      Some(appendBatch(
+        df.filter(anyViol).withColumn("q_violated", reasons)
+          .withColumn("q_batch", lit(batchId)),
+        quarantinePath, batchId, ingestId, extraMarkers = Seq(stats)))
+    else None
+    val mv = if (clean > 0)
+      Some(appendBatch(df.filter(!anyViol), path, batchId, ingestId,
+        extraMarkers = Seq(stats)))
+    else None
+    (mv, qv)
+  }
+
+  /** [[appendCheckedQuarantine]] WITHOUT idempotency markers — the
+    * SQL INSERT face (plain INSERT semantics: running the statement
+    * twice appends twice; replayed ingest wants the `batchId`
+    * variant). Same split, same enrichment, `q_batch` = -1 (no batch
+    * identity to record); the quarantine side still commits FIRST. */
+  def appendCheckedQuarantine(df: DataFrame, path: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      quarantinePath: String): (Option[Int], Option[Int]) = {
+    val (anyViol, reasons, clean, bad) =
+      quarantineSplit(df, path, constraints, quarantinePath)
+    val qv = if (bad > 0)
+      Some(append(df.filter(anyViol).withColumn("q_violated", reasons)
+        .withColumn("q_batch", lit(-1L)), quarantinePath))
+    else None
+    val mv = if (clean > 0) Some(append(df.filter(!anyViol), path))
+    else None
+    (mv, qv)
+  }
+
+  /** Shared dead-letter split: (violation predicate, reason column,
+    * clean count, bad count) — one aggregate pass. NULL constraint
+    * results pass, exactly like [[appendChecked]]. */
+  private def quarantineSplit(df: DataFrame, path: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      quarantinePath: String): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, Long, Long) = {
     require(constraints.nonEmpty,
       "appendCheckedQuarantine needs >= 1 constraint")
     require(quarantinePath != path,
@@ -269,21 +311,9 @@ object Versioned {
       sum(when(anyViol, 1L).otherwise(0L)).as("__bad")).head()
     val total = counts.getLong(0)
     val bad = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-    val clean = total - bad
-    val stats = s"_CHECKS_clean=${clean}_bad=$bad"
-    val qv = if (bad > 0) {
-      val reasons = concat_ws(",", constraints.map { case (n, c) =>
-        when(c === false, lit(n)) }: _*)
-      Some(appendBatch(
-        df.filter(anyViol).withColumn("q_violated", reasons)
-          .withColumn("q_batch", lit(batchId)),
-        quarantinePath, batchId, ingestId, extraMarkers = Seq(stats)))
-    } else None
-    val mv = if (clean > 0)
-      Some(appendBatch(df.filter(!anyViol), path, batchId, ingestId,
-        extraMarkers = Seq(stats)))
-    else None
-    (mv, qv)
+    val reasons = concat_ws(",", constraints.map { case (n, c) =>
+      when(c === false, lit(n)) }: _*)
+    (anyViol, reasons, total - bad, bad)
   }
 
   /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` shape):
@@ -538,6 +568,13 @@ object Versioned {
         pend.collectFirst { case (l, ph)
           if msMap.get(l).exists(_ != ph) => (l, ph) }.foreach {
           case (l, ph) =>
+            // the fold declares its pending marker BEFORE this call —
+            // delete it with the claim, or the freed slot's next
+            // claimant inherits a stale marker that a concurrent
+            // scanner could read in the claimant's claim→declare
+            // window (believing the claimant has no extras, exactly
+            // the orphan race the refusal protocol exists to prevent)
+            deletePendingColmap(spark, path, v)
             LogStore.forSession(spark)
               .delete(f, new Path(path, s".claim-v=$v"))
             throw new java.util.ConcurrentModificationException(

@@ -2109,6 +2109,59 @@ object Queries {
       |       ELSE '' END AS q_violated
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The SQL-face twin of [[tableQuarantine]]: the `quarantine.path`
+    * TABLE PROPERTY switches the catalog INSERT from refuse-whole to
+    * dead-letter mode — violating rows divert to the named sibling
+    * quarantine table (enriched with `q_violated`), the clean slice
+    * lands, one plain `INSERT INTO … SELECT`. The oracle replays the
+    * split straight off `documents`, so the hash gate certifies the
+    * property-driven divert produced exactly the declared split. */
+  def tableQuarantineViaSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_sql.quarsql_$tag"
+    fixtureBuilt.getOrElseUpdate(s"$wh/quarsql_$tag", {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_dead")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_qsql_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id', " +
+        "'check.id_ok' = 'doc_id % 7 != 2', " +
+        "'check.len_ok' = 'n_chars % 5 != 0', " +
+        s"'quarantine.path' = 'quarsql_${tag}_dead')")
+      spark.sql(s"CREATE TABLE ${tbl}_dead (doc_id BIGINT, " +
+        "lang STRING, n_chars BIGINT, q_violated STRING, " +
+        "q_batch BIGINT) TBLPROPERTIES ('key' = 'doc_id')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, " +
+        s"CAST(n_chars AS BIGINT) FROM docs_qsql_$tag")
+      ()
+    })
+    Versioned.current(spark, s"$wh/quarsql_$tag", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        lit("main").as("src"), lit("").as("q_violated"))
+      .unionByName(
+        Versioned.current(spark, s"$wh/quarsql_${tag}_dead", "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit("quar").as("src"), col("q_violated")))
+      .orderBy("doc_id")
+  }
+
+  val tableQuarantineViaSqlSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 7 = 2 OR n_chars % 5 = 0
+      |       THEN 'quar' ELSE 'main' END AS src,
+      |  CASE WHEN doc_id % 7 = 2 OR n_chars % 5 = 0
+      |       THEN concat_ws(',',
+      |         CASE WHEN doc_id % 7 = 2 THEN 'id_ok' END,
+      |         CASE WHEN n_chars % 5 = 0 THEN 'len_ok' END)
+      |       ELSE '' END AS q_violated
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** SNOWFLAKE JoinView with min/max: orders ⋈ customer ⋈ nation,
     * grouped by TWO attributes from TWO hops (c_nationkey,
     * n_regionkey), with min_p/max_p maintained alongside the sums.
@@ -2867,6 +2920,7 @@ object Queries {
     "q_joinview" -> tableJoinView _,
     "q_joinview_minmax" -> tableJoinViewMinMax _,
     "q_table_quarantine" -> tableQuarantine _,
+    "q_table_quarantine_sql" -> tableQuarantineViaSql _,
     "q_matview_minmax" -> tableMatViewMinMax _,
     "q_matview_stream" -> tableMatViewStream _,
     "q_distinct_view" -> tableDistinctView _,
@@ -2942,6 +2996,7 @@ object Queries {
     "q_joinview" -> tableJoinViewSql,
     "q_joinview_minmax" -> tableJoinViewMinMaxSql,
     "q_table_quarantine" -> tableQuarantineSql,
+    "q_table_quarantine_sql" -> tableQuarantineViaSqlSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,
     "q_distinct_view" -> tableDistinctViewSql,
     "q_matview_stream" -> tableMatViewStreamSql,

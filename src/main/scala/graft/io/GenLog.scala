@@ -46,10 +46,16 @@ object GenLog {
     * watermark would silently skip a fresh ingest's early batches —
     * each (checkpoint-stable) ingest id carries its own. `cbv` is the
     * codebook version the generation was encoded under (vector
-    * indexes; 0 = the init codebook). */
+    * indexes; 0 = the init codebook). `dead` (base markers only) is
+    * the row count of the base's consolidated tombstone snapshot —
+    * an UPPER BOUND on the dead rows its carried data still hides
+    * (the vector fold's dirty-cluster rewrite purges some of them
+    * physically, but tombstones are id-addressed, so the snapshot
+    * cannot tell which cluster a purge covered). Pre-r15 markers
+    * parse as 0 — today's behavior. */
   final case class Meta(gen: Int, kind: String, a: Long, b: Long, n: Int,
       fold: Long = -1L, cbv: Int = 0,
-      folds: Map[String, Long] = Map.empty)
+      folds: Map[String, Long] = Map.empty, dead: Long = 0L)
 
   val KindSeg = "seg"
   val KindDel = "del"
@@ -210,7 +216,8 @@ object GenLog {
           cols(2).toLong, cols(3).toInt,
           if (cols.length > 4) cols(4).toLong else -1L,
           if (cols.length > 5) cols(5).toInt else 0,
-          if (cols.length > 6) parseFolds(cols(6)) else Map.empty)
+          if (cols.length > 6) parseFolds(cols(6)) else Map.empty,
+          if (cols.length > 7) cols(7).toLong else 0L)
       }
       .sortBy(_.gen)
   }
@@ -231,13 +238,15 @@ object GenLog {
       /** Fold once this many data-carrying generations sit above the
         * newest base. */
       deltaGens: Int = 8,
-      /** FULL compact instead once the tombstoned-doc mass above the
-        * base reaches this fraction of the live docs — incremental
-        * folds hide dead rows behind the consolidated tombstone
-        * snapshot but never purge their bytes; a delete-heavy window
-        * is when the purge pays. (Steady low-delete indexes should
-        * still schedule an occasional full compact — the dead mass
-        * folded into earlier bases is not visible in the metas.) */
+      /** FULL compact instead once the tombstoned-doc mass reaches
+        * this fraction of the live docs — incremental folds hide dead
+        * rows behind the consolidated tombstone snapshot but never
+        * purge all their bytes; a delete-heavy window is when the
+        * purge pays. The mass counted is the raw deletes ABOVE the
+        * base PLUS the base marker's `dead` stamp (the consolidated
+        * snapshot's row count, recorded at fold time since r15) — so
+        * dead mass accumulated across MANY low-delete folds still
+        * trips the purge eventually, without any data scan. */
       purgeFrac: Double = 0.2)
 
   /** The auto-maintenance DECISION for a generation-log index, from
@@ -254,7 +263,9 @@ object GenLog {
       .maxOption.getOrElse(ms.head.gen)
     val above = ms.filter(_.gen > baseGen)
     val liveDocs = math.max(ms.filter(_.gen >= baseGen).map(_.a).sum, 1L)
-    val tombed = -above.filter(_.kind == KindDel).map(_.a).sum
+    val baseDead = ms.find(m => m.gen == baseGen && m.kind == KindBase)
+      .map(_.dead).getOrElse(0L)
+    val tombed = baseDead - above.filter(_.kind == KindDel).map(_.a).sum
     if (tombed.toDouble / liveDocs >= cfg.purgeFrac) "full"
     else if (above.size >= cfg.deltaGens) "fold"
     else "noop"
@@ -282,14 +293,18 @@ object GenLog {
     * generation in the `tgen` column. No-op when none of `gens` has a
     * tombs dir. */
   def consolidateTombs(spark: SparkSession, f: FileSystem, path: String,
-      gens: Seq[Int], g: Int): Unit = {
+      gens: Seq[Int], g: Int): Long = {
     val dirs = gens.distinct
       .map(x => new Path(s"$path/tombs/gen=$x"))
       .filter(f.exists).map(_.toString)
-    if (dirs.isEmpty) return
+    if (dirs.isEmpty) return 0L
     tombstones(spark, path, dirs)
       .groupBy("id").agg(max("tgen").as("tgen"))
       .write.mode("overwrite").parquet(s"$path/tombs/gen=$g")
+    // footer-metadata count of the snapshot just written — stamped as
+    // the base marker's `dead` field so the maintenance policy can see
+    // the dead mass earlier folds hid (no data scan, ever)
+    spark.read.parquet(s"$path/tombs/gen=$g").count()
   }
 
   /** Claim the next free generation slot (atomic put-if-absent through
@@ -377,10 +392,11 @@ object GenLog {
     * version the generation encodes under. */
   def publish(spark: SparkSession, f: FileSystem, path: String, g: Int,
       kind: String, a: Long, b: Long, n: Int, fold: Long = -1L,
-      cbv: Int = 0, folds: Map[String, Long] = Map.empty): Unit =
+      cbv: Int = 0, folds: Map[String, Long] = Map.empty,
+      dead: Long = 0L): Unit =
     LogStore.forSession(spark).writeAtomic(f,
       new Path(commitsDir(path), g.toString),
-      s"$kind\t$a\t$b\t$n\t$fold\t$cbv\t${encodeFolds(folds)}")
+      s"$kind\t$a\t$b\t$n\t$fold\t$cbv\t${encodeFolds(folds)}\t$dead")
 
   /**
    * Retention: reclaim generation dirs (under each of `dataDirs`) +

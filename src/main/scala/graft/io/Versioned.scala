@@ -243,7 +243,7 @@ object Versioned {
     * Exactly-once under replay: both commits carry the same
     * `_BATCH_[<ingestId>_]<batchId>` idempotency marker
     * ([[appendBatch]] semantics, PER TABLE) plus a
-    * `_CHECKS_clean=N_bad=M` stats marker, so a crash between the two
+    * `_CHECKS_clean-N_bad-M` stats marker, so a crash between the two
     * commits replays into "skip the committed side, land the missing
     * one". The QUARANTINE commits FIRST — dead letters are durable
     * before any clean row becomes visible. A side with zero rows
@@ -261,7 +261,7 @@ object Versioned {
       : (Option[Int], Option[Int]) = {
     val (anyViol, reasons, clean, bad) =
       quarantineSplit(df, path, constraints, quarantinePath)
-    val stats = s"_CHECKS_clean=${clean}_bad=$bad"
+    val stats = s"_CHECKS_clean-${clean}_bad-$bad"
     val qv = if (bad > 0)
       Some(appendBatch(
         df.filter(anyViol).withColumn("q_violated", reasons)

@@ -436,12 +436,13 @@ object Search {
     // live rows (merged at a previous fold, carried at an older gen)
     // one fold later: silent missing documents. Multiple kills of one
     // id keep the newest gen (the only one that can outrank re-adds).
-    GenLog.consolidateTombs(spark, f, idx.path,
+    val dead = GenLog.consolidateTombs(spark, f, idx.path,
       (dels.map(_.gen) :+ baseGen), g)
     val (n, s) = (ms.map(_.a).sum, ms.map(_.b).sum)
     val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, KindBase, n, s, idx.nBuckets,
-      fold = watermarks.getOrElse("", -1L), folds = watermarks - "")
+      fold = watermarks.getOrElse("", -1L), folds = watermarks - "",
+      dead = dead)
     idx
   }
 

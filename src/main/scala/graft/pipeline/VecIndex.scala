@@ -609,13 +609,13 @@ object VecIndex {
     // consolidated snapshot preserves ORIGINAL kill gens (tgen) — a
     // re-stamped gen would kill a re-embedded id's carried live rows
     // one fold later (see GenLog.consolidateTombs)
-    GenLog.consolidateTombs(spark, f, idx.path,
+    val dead = GenLog.consolidateTombs(spark, f, idx.path,
       (dels.map(_.gen) :+ baseGen), g)
     val n = ms.map(_.a).sum
     val watermarks = GenLog.foldedBatchMaxes(ms)
     GenLog.publish(spark, f, idx.path, g, GenLog.KindBase, n, idx.dim,
       idx.cbBuckets, fold = watermarks.getOrElse("", -1L),
-      cbv = preCbvs.head, folds = watermarks - "")
+      cbv = preCbvs.head, folds = watermarks - "", dead = dead)
     idx
   }
 

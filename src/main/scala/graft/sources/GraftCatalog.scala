@@ -374,6 +374,23 @@ private[sources] object GraftCatalog {
     * tombstone needs a key) and by anything key-resolving downstream. */
   val KeyProp = "key"
 
+  /** Table property switching declared CHECK constraints from
+    * refuse-whole to DEAD-LETTER mode on the INGEST faces (INSERT and
+    * the streaming sink): violating rows divert to the named
+    * quarantine table, the clean slice lands. Value with a '/' = a
+    * table PATH; otherwise a SIBLING table name in the same namespace
+    * directory. Row-level DML (UPDATE/MERGE) always refuses whole — a
+    * statement that partially applies is not a dead-letter shape. */
+  val QuarantineProp = "quarantine.path"
+
+  /** Resolve [[QuarantineProp]] against the table's own path. */
+  def quarantinePathOf(props: Map[String, String],
+      tablePath: String): Option[String] =
+    props.get(QuarantineProp).map { q =>
+      if (q.contains('/')) q
+      else new Path(new Path(tablePath).getParent, q).toString
+    }
+
   /** Named CHECK constraints from `check.<name>` table properties —
     * the single source every write path (INSERT, row-level DML, the
     * streaming sink) evaluates. Name shape is enforced where the
@@ -548,8 +565,13 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
                 .map { case (n, e) =>
                   (n, org.apache.spark.sql.functions.expr(e))
                 }
-              if (checks.nonEmpty)
-                Versioned.appendChecked(data, path, checks)
+              val quar = GraftCatalog.quarantinePathOf(props, path)
+              if (checks.nonEmpty) quar match {
+                // dead-letter mode: violating rows divert, clean land
+                case Some(qp) =>
+                  Versioned.appendCheckedQuarantine(data, path, checks, qp)
+                case None => Versioned.appendChecked(data, path, checks)
+              }
               else Versioned.append(data, path)
               ()
             }
@@ -557,7 +579,8 @@ private[sources] class GraftCatalogTable(spark: SparkSession,
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite =
           new GraftStreamingWrite(spark, path, info.schema(),
-            info.queryId(), GraftCatalog.checkConstraints(props))
+            info.queryId(), GraftCatalog.checkConstraints(props),
+            GraftCatalog.quarantinePathOf(props, path))
       }
     }
 

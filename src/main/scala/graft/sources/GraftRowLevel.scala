@@ -306,7 +306,8 @@ private[sources] object GraftWriteConf {
  */
 private[sources] class GraftStreamingWrite(spark: SparkSession,
     path: String, rowSchema: StructType, queryId: String,
-    checks: Seq[(String, String)] = Nil)
+    checks: Seq[(String, String)] = Nil,
+    quarantinePath: Option[String] = None)
     extends StreamingWrite {
 
   @volatile private var claimed: (Int, String) = _
@@ -361,24 +362,118 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
       val keep = messages.collect {
         case GraftDeltaCommit(file) if file.nonEmpty => file
       }.toSet
-      // declared CHECK constraints gate the streaming sink too: a
-      // violating micro-batch fails the query, nothing published
-      try GraftChecks.validateStaged(spark, claimed._2, keep, checks,
-        l2p.map(_.swap))
-      catch {
-        case e: Throwable =>
-          Versioned.abortStaged(spark, path, claimed._1, claimed._2)
-          throw e
+      quarantinePath match {
+        case Some(qp) if checks.nonEmpty && keep.nonEmpty =>
+          try commitQuarantined(epochId, keep, qp)
+          catch {
+            case e: Throwable =>
+              Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+              throw e
+          }
+        case _ =>
+          // declared CHECK constraints gate the streaming sink too: a
+          // violating micro-batch fails the query, nothing published
+          try GraftChecks.validateStaged(spark, claimed._2, keep, checks,
+            l2p.map(_.swap))
+          catch {
+            case e: Throwable =>
+              Versioned.abortStaged(spark, path, claimed._1, claimed._2)
+              throw e
+          }
+          publishClean(epochId, keep)
       }
-      // colmap re-resolved at publish: a rename that committed DURING
-      // this epoch (after the factory snapshotted the mapping) must
-      // not be rolled back by publishing the stale snapshot
-      Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
-        markers = Seq(marker(epochId)),
-        colmap = Versioned.refreshColmap(spark, path, claimed._1,
-          colmapOut))
-      ()
     }
+  }
+
+  /** The non-quarantine publish: colmap re-resolved at publish — a
+    * rename that committed DURING this epoch (after the factory
+    * snapshotted the mapping) must not be rolled back by publishing
+    * the stale snapshot. */
+  private def publishClean(epochId: Long, keep: Set[String],
+      extraMarkers: Seq[String] = Nil): Unit = {
+    Versioned.publishStaged(spark, path, claimed._1, claimed._2, keep,
+      markers = marker(epochId) +: extraMarkers,
+      colmap = Versioned.refreshColmap(spark, path, claimed._1,
+        colmapOut))
+    ()
+  }
+
+  /** DEAD-LETTER epoch commit (the streaming face of
+    * [[Versioned.appendCheckedQuarantine]], selected by the
+    * `quarantine.path` table property): instead of failing the query
+    * on a violating micro-batch, split the staged parts — violating
+    * rows (enriched with `q_violated`, the comma-joined names of the
+    * constraints they failed, and `q_batch` = the epoch id) divert to
+    * the quarantine table via [[Versioned.appendBatch]] under the
+    * SAME `_BATCH_<queryId>_<epoch>` marker family as this sink, so a
+    * replayed epoch is exactly-once on BOTH tables; the clean slice
+    * is rewritten into the staging dir and published through the
+    * standard path. The quarantine commits FIRST — dead letters are
+    * durable before any clean row becomes visible; a crash between
+    * the two commits replays into "skip the committed quarantine,
+    * land the clean slice" (epoch replay re-delivers the same source
+    * offsets, so the split is deterministic). A violation-free epoch
+    * publishes its staged parts untouched — the common case pays one
+    * validation aggregate, no rewrite. Tombstone-flagged rows are
+    * exempt, like [[GraftChecks.validateStaged]]. */
+  private def commitQuarantined(epochId: Long, keep: Set[String],
+      qp: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val staging = claimed._2
+    val raw = spark.read
+      .parquet(keep.toSeq.sorted.map(n => s"$staging/$n"): _*)
+    val p2l = l2p.map(_.swap)
+    val logical = raw.select(raw.columns.toSeq.map(c =>
+      col(c).as(p2l.getOrElse(c, c))): _*)
+    // same applicability rule as validateStaged (live sink rows carry
+    // the full row schema, but stay consistent about absent columns)
+    val present = logical.columns.map(_.toLowerCase).toSet
+    val applicable = checks.filter { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase
+      }.forall(present.contains(_))
+    }
+    if (applicable.isEmpty) { publishClean(epochId, keep); return }
+    val anyViol = coalesce(applicable.map { case (_, e) =>
+      expr(e) === lit(false) }.reduce(_ || _), lit(false)) &&
+      !col(Versioned.DeletedCol)
+    val counts = logical.agg(count(lit(1)).as("__n"),
+      sum(when(anyViol, 1L).otherwise(0L)).as("__bad")).head()
+    val bad = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    if (bad == 0) { publishClean(epochId, keep); return }
+    val stats = s"_CHECKS_clean-${counts.getLong(0) - bad}_bad-$bad"
+    // dead letters FIRST, exactly-once via the quarantine table's own
+    // _BATCH_<queryId>_<epoch> marker
+    val reasons = concat_ws(",", applicable.map { case (n, e) =>
+      when(expr(e) === lit(false), lit(n)) }: _*)
+    Versioned.appendBatch(
+      logical.filter(anyViol)
+        .drop(Versioned.MetaCols.toSeq: _*)
+        .withColumn("q_violated", reasons)
+        .withColumn("q_batch", lit(epochId)),
+      qp, epochId, queryId, extraMarkers = Seq(stats))
+    // clean slice: rewrite into the SAME staging dir as fresh parts
+    // (meta columns — __v, __seq, tombstone flags — ride through the
+    // physical-name projection untouched), publish ONLY those; the
+    // original full parts prune away in publishStaged
+    val cleanLogical = logical.filter(!anyViol)
+    val cleanPhys = cleanLogical.select(cleanLogical.columns.toSeq
+      .map(c => col(c).as(l2p.getOrElse(c, c))): _*)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(staging, ".cleanq")
+    cleanPhys.write.mode("overwrite").parquet(tmp.toString)
+    val newNames = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .map { case (p, i) =>
+        val n = s"part-cleanq-$i-${p.getName.stripPrefix("part-")}"
+        require(f.rename(p, new org.apache.hadoop.fs.Path(staging, n)),
+          s"quarantine epoch $epochId: failed to move clean part $p")
+        n
+      }.toSet
+    f.delete(tmp, true)
+    publishClean(epochId, newNames, extraMarkers = Seq(stats))
   }
 
   override def abort(epochId: Long,

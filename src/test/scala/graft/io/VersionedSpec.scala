@@ -752,7 +752,7 @@ class VersionedSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(p, q).foreach { t =>
       assert(fsys.exists(new org.apache.hadoop.fs.Path(
-        s"$t/v=1/_CHECKS_clean=2_bad=2")), s"stats marker missing at $t")
+        s"$t/v=1/_CHECKS_clean-2_bad-2")), s"stats marker missing at $t")
     }
     // REPLAY: both sides must be a no-op (same versions returned)
     assert(Versioned.appendCheckedQuarantine(batch, p, checks, q,

@@ -605,6 +605,54 @@ class SearchSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("maintain: dead mass folded into the base (the `dead` marker " +
+      "stamp) still counts toward the purge threshold — low-delete " +
+      "folds accumulate until the full compact trips, with no data " +
+      "scan in the decision") {
+    val root = "target/tmp/search-deadmass-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cfg = graft.io.GenLog.MaintainConfig(deltaGens = 2,
+      purgeFrac = 0.4)
+    val midx = Search.writeIndex(docs.filter(col("doc_id") <= 4),
+      "doc_id", "text", root)
+    // one small delete (25% < 40%) + one append: the policy FOLDS —
+    // the dead row hides behind the consolidated tombstone snapshot,
+    // and the fold stamps its count on the base marker
+    Search.delete(Seq(2L).toDF("doc_id"), "doc_id", midx)
+    Search.append(Seq((7L, "eta beta")).toDF("doc_id", "text"),
+      "doc_id", "text", midx)
+    val a1 = Search.maintain(spark, midx, cfg)
+    assert(a1.map(_._1) == Seq("fold", "vacuum"), s"got $a1")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = graft.io.GenLog.liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).maxBy(_.gen)
+    assert(base.dead == 1L,
+      s"the fold must stamp the consolidated tombstone count: $base")
+    // a SECOND small delete: raw deletes above the base are only 1/3
+    // of live docs (< 40%, and one delta gen < deltaGens — the old
+    // policy would NOOP here), but base.dead + 1 = 2 of 3 live ≥ 40%
+    // → the accumulated dead mass promotes straight to the purge
+    Search.delete(Seq(3L).toDF("doc_id"), "doc_id", midx)
+    val a2 = Search.maintain(spark, midx, cfg)
+    assert(a2.map(_._1) == Seq("compact", "vacuum"), s"got $a2")
+    // purge was physical AND answers are right
+    val liveIds = Search.searchAny(spark, midx,
+      Seq("alpha", "beta", "gamma", "eta"), 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds == Set(1L, 4L, 7L))
+    val baseGen2 = graft.io.GenLog.liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).map(_.gen).max
+    val rawIds = spark.read.parquet(s"$root/post/gen=$baseGen2")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(rawIds == Set(1L, 4L, 7L),
+      s"dead rows survived the purge: $rawIds")
+    // post-purge the dead stamp resets: quiet head noops
+    assert(graft.io.GenLog.liveMetas(spark, f, root)
+      .filter(_.kind == graft.io.GenLog.KindBase).maxBy(_.gen).dead == 0L)
+    assert(Search.maintain(spark, midx, cfg).map(_._1) == Seq("noop"))
+  }
+
   test("searchAll: scan is partition-pruned to the term buckets") {
     val q = Search.searchAll(spark, idx, Seq("alpha"))
     q.collect()

@@ -1099,4 +1099,94 @@ class GraftCatalogSpec extends SparkSpec {
       Option(eIns.getCause).exists(c => c != null &&
         c.getMessage.contains("legacy.name")), s"$eIns")
   }
+
+  test("dead-letter quarantine ingest ('quarantine.path' property): " +
+      "INSERT diverts violating rows to the quarantine table with " +
+      "q_violated reasons and lands the clean slice; the streaming " +
+      "sink does the same per epoch on a COLUMN-MAPPED table, " +
+      "exactly-once markers on both sides") {
+    // ---- batch INSERT face (quarantine table pre-created) ----
+    spark.sql("CREATE TABLE graft_test.dlq (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'check.v_pos' = 'v > 0', " +
+      "'check.k_even' = 'k % 2 = 0', 'quarantine.path' = 'dlq_quar')")
+    spark.sql("CREATE TABLE graft_test.dlq_quar (k BIGINT, v BIGINT, " +
+      "q_violated STRING, q_batch BIGINT) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.dlq VALUES " +
+      "(2, 10), (4, -1), (5, 8), (7, -3)")
+    val mainRows = Versioned.current(spark, s"$wh/dlq", "k")
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(mainRows == Set((2L, 10L)), s"clean slice wrong: $mainRows")
+    val quarRows = spark.sql(
+      "SELECT k, v, q_violated, q_batch FROM graft_test.dlq_quar " +
+        "ORDER BY k")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(quarRows == Seq(
+      (4L, -1L, "v_pos", -1L),
+      (5L, 8L, "k_even", -1L),
+      (7L, -3L, "k_even,v_pos", -1L)), s"dead letters wrong: $quarRows")
+
+    // ---- streaming sink face, through a column mapping (implicit
+    // quarantine table, created by the first diverted epoch) ----
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE graft_test.dlqs (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.dlqs VALUES (1, 10)")
+    spark.sql("ALTER TABLE graft_test.dlqs RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graft_test.dlqs SET TBLPROPERTIES " +
+      "('check.v_pos' = 'val > 0', 'quarantine.path' = 'dlqs_quar')")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$wh/ckpt-dlqs"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(2L, -3L) // k=2 clean; k=-3 violates v_pos — diverts
+    val q = ms.toDF().select(col("value").as("k"),
+        (col("value") * 10).as("val"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt-dlqs")
+      .toTable("graft_test.dlqs")
+    try {
+      q.processAllAvailable()
+      ms.addData(4L) // violation-free epoch: publishes staged untouched
+      q.processAllAvailable()
+    } finally q.stop()
+    val mainPath = s"$wh/dlqs"
+    val cur = Versioned.current(spark, mainPath, "k")
+    val got = cur.select("k", "val").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (4L, 40L)),
+      s"streamed clean slices wrong: $got")
+    // dead letter: logical names, q_batch = the epoch id, exactly-once
+    // _BATCH_<queryId>_<epoch> marker on the quarantine table
+    val quarPath = s"$wh/dlqs_quar"
+    val dead = Versioned.current(spark, quarPath, "k")
+      .select("k", "val", "q_violated", "q_batch")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(dead == Seq((-3L, -30L, "v_pos", 0L)), s"dead: $dead")
+    val fs = new org.apache.hadoop.fs.Path(quarPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qv = Versioned.latestVersion(spark, quarPath)
+    val qMarkers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$quarPath/v=$qv"))
+      .map(_.getPath.getName).filter(_.startsWith("_BATCH_"))
+    assert(qMarkers.exists(_.endsWith("_0")),
+      s"quarantine commit must carry the epoch marker: ${qMarkers.toSeq}")
+    // the clean-slice REWRITE commit speaks physical names (the
+    // mapping survived the quarantine split) and carries its snapshot
+    val epochCommits = Versioned.versions(spark, mainPath).filter { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$mainPath/v=$v"))
+        .map(_.getPath.getName).exists(_.startsWith("_BATCH_"))
+    }
+    assert(epochCommits.size == 2, s"epoch commits: $epochCommits")
+    epochCommits.foreach { v =>
+      val raw = spark.read.parquet(s"$mainPath/v=$v")
+      assert(raw.columns.contains("v") && !raw.columns.contains("val"),
+        s"epoch commit v=$v must write physical names: ${raw.columns.toSeq}")
+      assert(new java.io.File(s"$mainPath/v=$v/_COLMAP.tsv").exists())
+    }
+    // the diverted epoch's commit records the split in its marker
+    val split = epochCommits.flatMap { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$mainPath/v=$v"))
+        .map(_.getPath.getName).filter(_.startsWith("_CHECKS_"))
+    }
+    assert(split.contains("_CHECKS_clean-1_bad-1"), s"split: $split")
+  }
 }

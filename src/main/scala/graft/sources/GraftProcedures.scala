@@ -444,8 +444,10 @@ private[sources] object GraftProcedures {
       "DESCRIBE-DETAIL for an at-rest generation-log index (text or " +
         "vector — the log format is shared): one row per committed " +
         "generation with its kind (base/seg/del, streaming batch tag " +
-        "included), stats deltas, layout constant, and codebook " +
-        "version. Pure marker metadata, no data scan",
+        "included), stats deltas, layout constant, codebook version, " +
+        "and the base's hidden dead mass (the consolidated tombstone " +
+        "snapshot's row count — what drives the purge decision in " +
+        "index_maintain). Pure marker metadata, no data scan",
       Seq(in("index_path", StringType)),
       StructType(Seq(
         StructField("gen", IntegerType, nullable = false),
@@ -453,7 +455,8 @@ private[sources] object GraftProcedures {
         StructField("a", LongType, nullable = false),
         StructField("b", LongType, nullable = false),
         StructField("n", IntegerType, nullable = false),
-        StructField("cbv", IntegerType, nullable = false))),
+        StructField("cbv", IntegerType, nullable = false),
+        StructField("dead", LongType, nullable = false))),
       (_, row) => {
         val p = str(row, 0, "index_path")
         val f = new org.apache.hadoop.fs.Path(p)
@@ -461,7 +464,7 @@ private[sources] object GraftProcedures {
         graft.io.GenLog.metas(spark, f, p).map(m =>
           InternalRow(m.gen,
             org.apache.spark.unsafe.types.UTF8String.fromString(m.kind),
-            m.a, m.b, m.n, m.cbv)).toArray
+            m.a, m.b, m.n, m.cbv, m.dead)).toArray
       }),
     new Proc("index_vacuum",
       "reclaim an at-rest index's generations below its newest base " +

@@ -502,11 +502,11 @@ class GraftCatalogSpec extends SparkSpec {
     // matches GenLog.metas exactly (the delete above is the last gen)
     val det = spark.sql(
       s"CALL graft_test.system.index_detail('$vp')")
-      .as[(Int, String, Long, Long, Int, Int)].collect().toSeq
+      .as[(Int, String, Long, Long, Int, Int, Long)].collect().toSeq
     val fsys = new org.apache.hadoop.fs.Path(vp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wantDet = graft.io.GenLog.metas(spark, fsys, vp)
-      .map(m => (m.gen, m.kind, m.a, m.b, m.n, m.cbv))
+      .map(m => (m.gen, m.kind, m.a, m.b, m.n, m.cbv, m.dead))
     assert(det == wantDet && det.nonEmpty)
     assert(det.last._2 == "del" && det.last._3 == -2L,
       s"last gen should be the 2-id tombstone: ${det.last}")

@@ -419,6 +419,12 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
   private def commitQuarantined(epochId: Long, keep: Set[String],
       qp: String): Unit = {
     import org.apache.spark.sql.functions._
+    // same guard as the batch API: a quarantine.path resolving to the
+    // table itself would commit the dead letters as ordinary MAIN rows
+    require(new org.apache.hadoop.fs.Path(qp) !=
+      new org.apache.hadoop.fs.Path(path),
+      s"quarantine.path resolves to the table itself ($path) — point " +
+        "it at a separate table")
     val staging = claimed._2
     val raw = spark.read
       .parquet(keep.toSeq.sorted.map(n => s"$staging/$n"): _*)

@@ -298,6 +298,26 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.current(spark, p, "k").count() == 2L)
   }
 
+  test("vacuum sweeps AGED pending-colmap orphans (crashed writers) " +
+      "like stale claims; a fresh declaration survives the sweep") {
+    val p = freshPath("pcolsweep")
+    Versioned.append(Seq((1L, 10)).toDF("k", "x"), p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's orphan: marker declared, writer gone, aged
+    // past the 1h guard
+    Versioned.writePendingColmap(spark, p, 9, Some(Seq(("k", "k"))))
+    val orphan = new org.apache.hadoop.fs.Path(p, ".pending-colmap-v=9")
+    fs.setTimes(orphan, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    // an in-flight writer's FRESH declaration must survive
+    Versioned.writePendingColmap(spark, p, 10, Some(Seq(("k", "k"))))
+    Versioned.vacuum(spark, p, 1000) // horizon huge: no version reclaim
+    assert(!fs.exists(orphan), "aged pending-colmap orphan not swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      p, ".pending-colmap-v=10")), "fresh declaration must survive")
+    Versioned.deletePendingColmap(spark, p, 10)
+  }
+
   test("duplicate key within one commit resolves deterministically across reads") {
     val p = freshPath("dupkey")
     // contract violation (two rows, same key, same commit): the resolve

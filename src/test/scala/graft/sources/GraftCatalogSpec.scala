@@ -1188,5 +1188,47 @@ class GraftCatalogSpec extends SparkSpec {
         .map(_.getPath.getName).filter(_.startsWith("_CHECKS_"))
     }
     assert(split.contains("_CHECKS_clean-1_bad-1"), s"split: $split")
+
+    // ---- sink-API replay + the crash window between the two commits
+    val qid = qMarkers.find(_.endsWith("_0")).get
+      .stripPrefix("_BATCH_").split('_').dropRight(1).mkString("_")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType)))
+    def deliver(epoch: Long, rows: Seq[(Long, Long)]): Unit = {
+      val sw = new GraftStreamingWrite(spark, mainPath, schema, qid,
+        Seq(("v_pos", "val > 0")), Some(quarPath))
+      val factory = sw.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val w = factory.createWriter(0, 0L, epoch)
+      rows.foreach { case (k, v) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(k, v)) }
+      sw.commit(epoch, Array(w.commit()))
+    }
+    // FULL replay of the committed violating epoch 0: no-op BOTH sides
+    val (mv0, qv0) = (Versioned.latestVersion(spark, mainPath),
+      Versioned.latestVersion(spark, quarPath))
+    deliver(0L, Seq((-3L, -30L), (2L, 20L)))
+    assert(Versioned.latestVersion(spark, mainPath) == mv0 &&
+      Versioned.latestVersion(spark, quarPath) == qv0,
+      "replayed epoch must commit nothing on either table")
+    // CRASH WINDOW: quarantine committed, main publish lost — the
+    // replay must SKIP the quarantine side and land the clean slice
+    Versioned.appendBatch(
+      Seq((-5L, -50L, "v_pos", 7L)).toDF("k", "val", "q_violated",
+        "q_batch"), quarPath, 7L, qid)
+    val qv1 = Versioned.latestVersion(spark, quarPath)
+    deliver(7L, Seq((-5L, -50L), (6L, 60L)))
+    assert(Versioned.latestVersion(spark, quarPath) == qv1,
+      "healing replay must not double-commit the quarantine side")
+    val healed = Versioned.current(spark, mainPath, "k")
+      .select("k", "val").as[(Long, Long)].collect().toSet
+    assert(healed == Set((1L, 10L), (2L, 20L), (4L, 40L), (6L, 60L)),
+      s"clean slice must land on the healing replay: $healed")
+    assert(Versioned.current(spark, quarPath, "k").count() == 2)
   }
 }

@@ -105,8 +105,11 @@ private[sources] object GraftProcedures {
       s"graft table $path has no 'key' table property; this procedure " +
         "resolves keys — ALTER TABLE … SET TBLPROPERTIES ('key' = '<col>')"))
 
-  /** Rebuild a create_joinview handle from the view's persisted
-    * `mv.*`/`jv.*` properties. */
+  /** Rebuild a create_joinview / create_joinview_chain handle from
+    * the view's persisted `mv.*`/`jv.*` properties. Chain views carry
+    * `jv.dims` (URL-encoded hop chain — [[encodeDims]]) + `jv.attrs`
+    * (+ optional `mv.minmax`); legacy single-dim views carry
+    * `jv.dim`/`jv.dimkey`/`jv.dimattr`. */
   private def joinHandleOf(cat: GraftCatalog,
       viewPath: String): graft.io.JoinView.Handle = {
     val props = cat.propsOf(viewPath)
@@ -114,15 +117,46 @@ private[sources] object GraftProcedures {
       sys.error(s"$viewPath is not a create_joinview view " +
         s"(no $what properties)"))
     val fkCol = need("mv.group", "mv.*")
-    val dimAttr = need("jv.dimattr", "jv.*")
-    graft.io.JoinView.Handle(
-      graft.io.MatView.Handle(viewPath, need("mv.source", "mv.*"),
-        need("mv.key", "mv.*"), fkCol,
-        need("mv.sums", "mv.*").split(',').filter(_.nonEmpty).toSeq, Nil),
-      Seq(graft.io.JoinView.DimLink(need("jv.dim", "jv.*"),
-        need("jv.dimkey", "jv.*"), fkCol, Seq(dimAttr))),
-      Seq(dimAttr))
+    val minMax = props.getOrElse("mv.minmax", "")
+      .split(',').filter(_.nonEmpty).toSeq
+    val inner = graft.io.MatView.Handle(viewPath,
+      need("mv.source", "mv.*"), need("mv.key", "mv.*"), fkCol,
+      need("mv.sums", "mv.*").split(',').filter(_.nonEmpty).toSeq,
+      minMax)
+    props.get("jv.dims") match {
+      case Some(enc) =>
+        graft.io.JoinView.Handle(inner, decodeDims(enc),
+          need("jv.attrs", "jv.*").split(',').filter(_.nonEmpty).toSeq)
+      case None =>
+        val dimAttr = need("jv.dimattr", "jv.*")
+        graft.io.JoinView.Handle(inner,
+          Seq(graft.io.JoinView.DimLink(need("jv.dim", "jv.*"),
+            need("jv.dimkey", "jv.*"), fkCol, Seq(dimAttr))),
+          Seq(dimAttr))
+    }
   }
+
+  /** The `jv.dims` property codec: hops joined by ';', fields within
+    * a hop by ':', carry columns by '|'; every field URL-encoded so
+    * paths with ':' (URIs) or user strings never break the framing. */
+  private def encodeDims(dims: Seq[graft.io.JoinView.DimLink]): String =
+    dims.map { d =>
+      def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      Seq(e(d.dimPath), e(d.dimKeyCol), e(d.joinCol),
+        d.carryCols.map(e).mkString("|")).mkString(":")
+    }.mkString(";")
+
+  private def decodeDims(enc: String): Seq[graft.io.JoinView.DimLink] =
+    enc.split(';').filter(_.nonEmpty).toSeq.map { hop =>
+      def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      hop.split(':') match {
+        case Array(p, k, j, cs) => graft.io.JoinView.DimLink(
+          d(p), d(k), d(j),
+          cs.split('|').filter(_.nonEmpty).toSeq.map(d))
+        case other => sys.error(
+          s"malformed jv.dims hop '$hop' (${other.length} fields)")
+      }
+    }
 
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
@@ -216,8 +250,9 @@ private[sources] object GraftProcedures {
       "create + fully refresh a maintained JOIN view: fact JOIN dim " +
         "grouped by a dim attribute, materialized at the JOIN-KEY " +
         "grain (fact deltas fold at delta cost via refresh_joinview; " +
-        "dim changes are visible at the next joinview_read with ZERO " +
-        "refresh)",
+        "dim changes are visible at the next serve-side read with " +
+        "ZERO refresh — the state is an ordinary graft table, SELECT " +
+        "it joined to the dims and re-group)",
       Seq(in("view", StringType), in("fact", StringType),
         in("fk_col", StringType), in("sum_cols", StringType),
         in("dim", StringType), in("dim_key", StringType),
@@ -248,10 +283,57 @@ private[sources] object GraftProcedures {
           "jv.dimattr" -> dimAttr))
         oneVersion(graft.io.JoinView.refreshedVersion(spark, h))
       }),
+    new Proc("create_joinview_chain",
+      "the SNOWFLAKE shape of create_joinview: fact JOIN dim [JOIN " +
+        "dim2 ...] grouped by attributes drawn from any hop, with " +
+        "optional min/max columns maintained alongside the sums. " +
+        "dims = ';'-joined hops, each 'dim:dim_key:join_col:" +
+        "carryA|carryB' (join_col = a column of the level below; " +
+        "fields URL-encoded if they contain ':;|'); attrs = comma " +
+        "list (the read's GROUP BY); minmax_cols = comma list (may " +
+        "be empty). Same fk-grain materialization and delta-cost " +
+        "refresh_joinview as the single-dim shape",
+      Seq(in("view", StringType), in("fact", StringType),
+        in("fk_col", StringType), in("sum_cols", StringType),
+        in("dims", StringType), in("attrs", StringType),
+        in("minmax_cols", StringType)),
+      versionOut,
+      (cat, row) => {
+        val parts = str(row, 0, "view").split('.')
+        val viewPath = cat.pathForName(Identifier.of(parts.init, parts.last))
+        def resolve(name: String): String = {
+          val ps = name.split('.')
+          cat.resolveTablePath(Identifier.of(ps.init, ps.last))
+        }
+        val factPath = resolve(str(row, 1, "fact"))
+        val fkCol = str(row, 2, "fk_col")
+        val sums = str(row, 3, "sum_cols").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        // hops arrive with TABLE NAMES; resolve each to its path
+        val dims = decodeDims(str(row, 4, "dims")).map(dl =>
+          dl.copy(dimPath = resolve(dl.dimPath)))
+        require(dims.nonEmpty, "create_joinview_chain needs >= 1 hop")
+        val attrs = str(row, 5, "attrs").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(attrs.nonEmpty, "create_joinview_chain needs >= 1 attr")
+        val minMax = str(row, 6, "minmax_cols").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val keyCol = keyOf(cat, factPath)
+        val h = graft.io.JoinView.init(spark, factPath, keyCol, fkCol,
+          sums, dims, attrs, viewPath, minMax)
+        cat.setProps(viewPath, Map(
+          GraftCatalog.KeyProp -> "g",
+          "mv.source" -> factPath, "mv.key" -> keyCol,
+          "mv.group" -> fkCol, "mv.sums" -> sums.mkString(","),
+          "mv.minmax" -> minMax.mkString(","),
+          "jv.dims" -> encodeDims(dims),
+          "jv.attrs" -> attrs.mkString(",")))
+        oneVersion(graft.io.JoinView.refreshedVersion(spark, h))
+      }),
     new Proc("refresh_joinview",
       "fold the fact versions committed since the last refresh into a " +
-        "create_joinview view (delta-cost, exactly-once); dim changes " +
-        "never need a refresh",
+        "create_joinview / create_joinview_chain view (delta-cost, " +
+        "exactly-once); dim changes never need a refresh",
       Seq(in("view", StringType)), versionOut,
       (cat, row) => {
         val p = tablePath(cat, row)

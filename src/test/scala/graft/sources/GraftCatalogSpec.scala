@@ -1100,6 +1100,64 @@ class GraftCatalogSpec extends SparkSpec {
         c.getMessage.contains("legacy.name")), s"$eIns")
   }
 
+  test("create_joinview_chain + refresh_joinview: the snowflake SQL " +
+      "face — min/max and the hop chain survive the props round-trip, " +
+      "the refresh folds deletes through the scoped-recompute tier, " +
+      "and a dim migration is visible with zero refresh") {
+    spark.sql("CREATE TABLE graft_test.jvcf (o BIGINT, cust BIGINT, " +
+      "p BIGINT) TBLPROPERTIES ('key' = 'o')")
+    spark.sql("CREATE TABLE graft_test.jvcc (c_custkey BIGINT, " +
+      "c_nationkey BIGINT) TBLPROPERTIES ('key' = 'c_custkey')")
+    spark.sql("CREATE TABLE graft_test.jvcn (n_nationkey BIGINT, " +
+      "n_regionkey BIGINT) TBLPROPERTIES ('key' = 'n_nationkey')")
+    spark.sql("INSERT INTO graft_test.jvcf SELECT id, id % 4 + 1, " +
+      "id * 10 FROM range(1, 13)")
+    spark.sql("INSERT INTO graft_test.jvcc SELECT id, id % 2 " +
+      "FROM range(1, 5)")
+    spark.sql("INSERT INTO graft_test.jvcn VALUES (0, 10), (1, 20)")
+    val created = spark.sql(
+      "CALL graft_test.system.create_joinview_chain('jvcv', 'jvcf', " +
+        "'cust', 'p', " +
+        "'jvcc:c_custkey:cust:c_nationkey;" +
+        "jvcn:n_nationkey:c_nationkey:n_regionkey', " +
+        "'c_nationkey,n_regionkey', 'p')")
+    assert(created.count() == 1)
+    // upsert a band, delete every o%3 row (removes per-group extremes
+    // — the min/max refresh must take the scoped-recompute tier),
+    // then ONE delta-cost refresh through the persisted chain props
+    spark.sql("INSERT INTO graft_test.jvcf SELECT id, id % 4 + 1, " +
+      "id * 10 + 1000 FROM range(1, 13) WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graft_test.jvcf WHERE o % 3 = 0")
+    spark.sql("CALL graft_test.system.refresh_joinview('jvcv')")
+    // dim migration with ZERO refresh: serve resolves the CURRENT dims
+    spark.sql("UPDATE graft_test.jvcc SET c_nationkey = 1 " +
+      "WHERE c_custkey = 2")
+    val h = graft.io.JoinView.handle(s"$wh/jvcf", "o", "cust",
+      Seq("p"),
+      Seq(graft.io.JoinView.DimLink(s"$wh/jvcc", "c_custkey", "cust",
+          Seq("c_nationkey")),
+        graft.io.JoinView.DimLink(s"$wh/jvcn", "n_nationkey",
+          "c_nationkey", Seq("n_regionkey"))),
+      Seq("c_nationkey", "n_regionkey"), s"$wh/jvcv",
+      minMaxCols = Seq("p"))
+    val got = graft.io.JoinView.read(spark, h)
+      .orderBy("c_nationkey", "n_regionkey")
+      .collect().map(_.toSeq).toSeq
+    // expectation straight off the base tables' CURRENT state
+    val want = Versioned.current(spark, s"$wh/jvcf", "o").as("f")
+      .join(Versioned.current(spark, s"$wh/jvcc", "c_custkey").as("c"),
+        col("f.cust") === col("c.c_custkey"))
+      .join(Versioned.current(spark, s"$wh/jvcn", "n_nationkey").as("n"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .groupBy("c.c_nationkey", "n.n_regionkey")
+      .agg(count(lit(1)).as("n_rows"), sum("f.p").as("sum_p"),
+        min("f.p").as("min_p"), max("f.p").as("max_p"))
+      .orderBy("c_nationkey", "n_regionkey")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"served:\n$got\nwant:\n$want")
+    assert(got.nonEmpty && want.nonEmpty)
+  }
+
   test("dead-letter quarantine ingest ('quarantine.path' property): " +
       "INSERT diverts violating rows to the quarantine table with " +
       "q_violated reasons and lands the clean slice; the streaming " +

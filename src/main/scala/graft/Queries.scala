@@ -2240,6 +2240,94 @@ object Queries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The snowflake JoinView driven ENTIRELY through the SQL face:
+    * catalog tables, `CALL create_joinview_chain` (the hop chain and
+    * min/max columns round-trip through the `jv.dims`/`mv.minmax`
+    * property codec), SQL INSERT upserts + a DELETE that removes
+    * per-group extremes, ONE `CALL refresh_joinview` (the min/max
+    * fold must run through the props-rebuilt handle — a dropped
+    * minmax list would serve stale extremes and hash-mismatch), then
+    * a dim UPDATE visible with ZERO refresh. The oracle replays the
+    * whole lifecycle from orders × customer × nation. */
+  def tableJoinViewChainSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.JoinView
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (fact, cust, nat, view) = (s"jvchain_fact_$tag",
+      s"jvchain_cust_$tag", s"jvchain_nat_$tag", s"jvchain_view_$tag")
+    fixtureBuilt.getOrElseUpdate(s"$wh/$view", {
+      Seq(view, fact, cust, nat).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_sql.$t"))
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView(s"ord_jvc_$tag")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView(s"cus_jvc_$tag")
+      spark.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView(s"nat_jvc_$tag")
+      spark.sql(s"CREATE TABLE graft_sql.$fact (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, p BIGINT) TBLPROPERTIES ('key' = 'o_orderkey')")
+      spark.sql(s"INSERT INTO graft_sql.$fact SELECT o_orderkey, " +
+        "o_custkey, CAST(FLOOR(o_totalprice) AS BIGINT) " +
+        s"FROM ord_jvc_$tag")
+      spark.sql(s"CREATE TABLE graft_sql.$cust (c_custkey BIGINT, " +
+        "c_nationkey BIGINT) TBLPROPERTIES ('key' = 'c_custkey')")
+      spark.sql(s"INSERT INTO graft_sql.$cust SELECT c_custkey, " +
+        s"CAST(c_nationkey AS BIGINT) FROM cus_jvc_$tag")
+      spark.sql(s"CREATE TABLE graft_sql.$nat (n_nationkey BIGINT, " +
+        "n_regionkey BIGINT) TBLPROPERTIES ('key' = 'n_nationkey')")
+      spark.sql(s"INSERT INTO graft_sql.$nat SELECT " +
+        "CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) " +
+        s"FROM nat_jvc_$tag")
+      spark.sql(s"CALL graft_sql.system.create_joinview_chain(" +
+        s"'$view', '$fact', 'o_custkey', 'p', " +
+        s"'$cust:c_custkey:o_custkey:c_nationkey;" +
+        s"$nat:n_nationkey:c_nationkey:n_regionkey', " +
+        "'c_nationkey,n_regionkey', 'p')")
+      // upsert band + extreme-removing delete, ONE delta refresh
+      spark.sql(s"INSERT INTO graft_sql.$fact SELECT o_orderkey, " +
+        "o_custkey, CAST(FLOOR(o_totalprice) AS BIGINT) + 2000 " +
+        s"FROM ord_jvc_$tag WHERE o_orderkey % 4 = 0")
+      spark.sql(s"DELETE FROM graft_sql.$fact WHERE o_orderkey % 9 = 0")
+      spark.sql(s"CALL graft_sql.system.refresh_joinview('$view')")
+      // dim migration: zero refresh, resolved at serve time
+      spark.sql(s"UPDATE graft_sql.$cust SET c_nationkey = 1 " +
+        "WHERE c_custkey % 8 = 0")
+      ()
+    })
+    val h = JoinView.handle(s"$wh/$fact", "o_orderkey", "o_custkey",
+      Seq("p"),
+      Seq(JoinView.DimLink(s"$wh/$cust", "c_custkey", "o_custkey",
+          Seq("c_nationkey")),
+        JoinView.DimLink(s"$wh/$nat", "n_nationkey", "c_nationkey",
+          Seq("n_regionkey"))),
+      Seq("c_nationkey", "n_regionkey"), s"$wh/$view",
+      minMaxCols = Seq("p"))
+    JoinView.read(spark, h).orderBy("c_nationkey", "n_regionkey")
+  }
+
+  val tableJoinViewChainSqlSql: String =
+    """WITH fact AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(o_totalprice) AS BIGINT) +
+      |      CASE WHEN o_orderkey % 4 = 0 THEN 2000 ELSE 0 END AS p
+      |  FROM orders WHERE o_orderkey % 9 <> 0),
+      |cust AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 8 = 0 THEN 1
+      |         ELSE CAST(c_nationkey AS BIGINT) END AS c_nationkey
+      |  FROM customer)
+      |SELECT c.c_nationkey, CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(f.p) AS BIGINT) AS sum_p,
+      |  CAST(MIN(f.p) AS BIGINT) AS min_p,
+      |  CAST(MAX(f.p) AS BIGINT) AS max_p
+      |FROM fact f JOIN cust c ON f.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def tableMatView(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{MatView, Versioned}
     // the path carries the session's identity hash (like the at-rest
@@ -2919,6 +3007,7 @@ object Queries {
     "q_matview" -> tableMatView _,
     "q_joinview" -> tableJoinView _,
     "q_joinview_minmax" -> tableJoinViewMinMax _,
+    "q_joinview_chain_sql" -> tableJoinViewChainSql _,
     "q_table_quarantine" -> tableQuarantine _,
     "q_table_quarantine_sql" -> tableQuarantineViaSql _,
     "q_matview_minmax" -> tableMatViewMinMax _,
@@ -2995,6 +3084,7 @@ object Queries {
     "q_matview" -> tableMatViewSql,
     "q_joinview" -> tableJoinViewSql,
     "q_joinview_minmax" -> tableJoinViewMinMaxSql,
+    "q_joinview_chain_sql" -> tableJoinViewChainSqlSql,
     "q_table_quarantine" -> tableQuarantineSql,
     "q_table_quarantine_sql" -> tableQuarantineViaSqlSql,
     "q_matview_minmax" -> tableMatViewMinMaxSql,

@@ -452,9 +452,56 @@ object Stress {
     val tAb = (System.nanoTime() - t1) / 1e9
     val nAb = Versioned.current(spark, p2, "k").count()
     require(nAb == nSink, s"appendBatch table diverged: $nAb vs $nSink")
+    // DEAD-LETTER arms: same source through the V2 sink with a CHECK
+    // declared and quarantine.path set. The violation-free arm prices
+    // the claimed overhead (ONE extra validation aggregate per epoch,
+    // staged parts published untouched); the ~1% arm prices the
+    // divert path (quarantine commit + clean-slice rewrite per epoch).
+    def quarArm(name: String, viol: Boolean): Double = {
+      val tbl = s"sinkq_$name"
+      Seq(s"$wh/$tbl", s"$wh/${tbl}_dead").foreach(Versioned.drop(spark, _))
+      val ck = s"target/tmp/stress-sink-ckpt-$name"
+      Versioned.drop(spark, ck)
+      spark.sql(s"CREATE TABLE graft_stress.$tbl (k BIGINT, x BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'check.x_pos' = 'x >= 0', " +
+        s"'quarantine.path' = '${tbl}_dead')")
+      val m = MemoryStream[Long]
+      val xBase = abs(col("value")) * 7
+      val xExpr = if (viol)
+        when(col("value") % 101 === 0 && col("value") >= 0, lit(-1L))
+          .otherwise(xBase)
+      else xBase
+      val qq = m.toDF().select(col("value").as("k"), xExpr.as("x"))
+        .repartition(cpus)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable(s"graft_stress.$tbl")
+      m.addData(-warm until 0L)
+      qq.processAllAvailable()
+      val t = System.nanoTime()
+      var o = 0L
+      (0 until nBatches).foreach { _ =>
+        m.addData(o until (o + nRows))
+        qq.processAllAvailable()
+        o += nRows
+      }
+      qq.stop()
+      val el = (System.nanoTime() - t) / 1e9
+      val nMain = Versioned.current(spark, s"$wh/$tbl", "k").count()
+      val nDead = if (viol)
+        Versioned.current(spark, s"$wh/${tbl}_dead", "k").count() else 0L
+      require(nMain + nDead == nRows * nBatches + warm,
+        s"$tbl split diverged: main=$nMain dead=$nDead")
+      require(viol || nMain == nRows * nBatches + warm,
+        s"violation-free arm must divert nothing, main=$nMain")
+      el
+    }
+    val tQ0 = quarArm("clean", viol = false)
+    val tQ1 = quarArm("viol", viol = true)
     println(s"""{"metric":"stress_sinkstream","rows_per_batch":$nRows,""" +
       s""""batches":$nBatches,"sink_toTable_sec":$tSink,""" +
-      s""""appendBatch_sec":$tAb}""")
+      s""""appendBatch_sec":$tAb,""" +
+      s""""sink_quarantine_clean_sec":$tQ0,""" +
+      s""""sink_quarantine_viol1pct_sec":$tQ1}""")
     spark.stop()
   }
 

@@ -650,7 +650,7 @@ object VecIndex {
     * `gens` restricts the SEGMENT read to those generations (one
     * codebook-version group of [[cbvGroups]]) — tombstones still
     * apply globally, so a subset read stays tombstone-exact. */
-  private def liveVecs(spark: SparkSession, idx: Index,
+  private[pipeline] def liveVecs(spark: SparkSession, idx: Index,
       cols: Seq[String],
       preFilter: Option[org.apache.spark.sql.Column] = None,
       gens: Option[Seq[Int]] = None): DataFrame = {

@@ -1667,6 +1667,60 @@ object Queries {
     * observationally invisible. */
   val tableSqlMaintainSql: String = tableSqlCurrentSql
 
+  /** The r15 one-call ops story certified end-to-end: a dedicated
+    * NAMESPACE holds the table, `CALL graft_sql.system.maintain_all`
+    * sweeps it (the table's own `maintain.delta_commits = 2` property
+    * makes the auto-policy take the first-checkpoint compact over the
+    * 3-commit log), then `CALL …vacuum_retain(…, 0)` reclaims the
+    * pre-checkpoint history by commit AGE (the time-based face of
+    * vacuum). The read below runs off the checkpoint files alone; the
+    * oracle replays the original lifecycle from the documents table,
+    * so a row lost or doubled by the policy-driven compact, a wrong
+    * age cut, or a sweep that touched the wrong table all
+    * hash-mismatch. */
+  def tableSqlMaintainAll(spark: SparkSession, dir: String): DataFrame = {
+    val wh = "target/tmp/graft-sql-warehouse"
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ns = s"mntns_$tag"
+    val tbl = s"graft_sql.$ns.t"
+    fixtureBuilt.getOrElseUpdate(s"$wh/$ns/t", {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_sql.$ns")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_mnt_$tag")
+      spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, source STRING) TBLPROPERTIES " +
+        "('key' = 'doc_id', 'maintain.delta_commits' = '2', " +
+        "'maintain.delta_bytes_frac' = '1000', " +
+        "'maintain.full_rewrite_frac' = '5000', " +
+        "'maintain.target_file_bytes' = '134217728')")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars, " +
+        s"CAST(NULL AS STRING) FROM docs_mnt_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars + 1000, " +
+        s"source FROM docs_mnt_$tag WHERE doc_id % 5 = 0")
+      spark.sql(s"DELETE FROM $tbl WHERE lang = 'en'")
+      spark.sql(s"CALL graft_sql.system.maintain_all('$ns')")
+      spark.sql(s"CALL graft_sql.system.vacuum_retain('$ns.t', 0)")
+      ()
+    })
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars,
+         |  coalesce(source, 'unknown') AS source FROM (
+         |  SELECT doc_id, lang, n_chars, source, __deleted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY __v DESC, __seq DESC) AS rk
+         |  FROM $tbl)
+         |WHERE rk = 1 AND NOT __deleted
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Same final state again: the policy sweep and the age-based
+    * retention must both be observationally invisible. */
+  val tableSqlMaintainAllSql: String = tableSqlCurrentSql
+
   /** MERGE INTO through the catalog (r11 — the delta-based row-level
     * operation, [[graft.sources.GraftRowOperation]]): its own table
     * takes CREATE + INSERT, then ONE MERGE statement at the resulting
@@ -3035,6 +3089,7 @@ object Queries {
     "q_matview_sql" -> matviewSql _,
     "q_table_sql_asof" -> tableSqlAsof _,
     "q_table_sql_maintain" -> tableSqlMaintain _,
+    "q_table_maintain_all" -> tableSqlMaintainAll _,
     "q_table_sql_merge" -> tableSqlMerge _,
     "q_table_sql_evolve" -> tableSqlEvolve _,
     "q_table_rename_dml" -> tableRenameDml _,
@@ -3112,6 +3167,7 @@ object Queries {
     "q_matview_sql" -> matviewSqlSql,
     "q_table_sql_asof" -> tableSqlAsofSql,
     "q_table_sql_maintain" -> tableSqlMaintainSql,
+    "q_table_maintain_all" -> tableSqlMaintainAllSql,
     "q_table_sql_merge" -> tableSqlMergeSql,
     "q_table_sql_evolve" -> tableSqlEvolveSql,
     "q_table_rename_dml" -> tableRenameDmlSql,

@@ -3150,6 +3150,32 @@ object Versioned {
     }
   }
 
+  /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS` shape):
+    * resolve the newest version whose commit timestamp is at least
+    * `retainMs` old and delegate to [[vacuum]] with the equivalent
+    * version horizon. Every commit younger than the window survives,
+    * and `TIMESTAMP AS OF` keeps working for any instant inside it
+    * (the cut falls exactly where [[versionAt]] would resolve the
+    * window's far edge). Versions without a `_TS_` marker (pre-stamp
+    * tables) count as infinitely old, same as [[versionAt]]. No-op
+    * when every commit is younger than the window, or when no
+    * checkpoint is old enough (vacuum's own base rule). Same
+    * single-writer caveat as [[vacuum]]. */
+  def vacuumOlderThan(spark: SparkSession, path: String, retainMs: Long,
+      exportLeaseMs: Long = 0L): Seq[Int] = {
+    require(retainMs >= 0, s"vacuumOlderThan: retainMs must be >= 0, " +
+      s"got $retainMs")
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) return Nil
+    val cutoffTs = System.currentTimeMillis() - retainMs
+    val times = commitTimes(spark, path)
+    val old = versions(spark, path)
+      .filter(v => times.get(v).forall(_ <= cutoffTs))
+    if (old.isEmpty) Nil
+    else vacuum(spark, path, latestVersion(spark, path) - old.max,
+      exportLeaseMs)
+  }
+
   /** [[vacuum]]'s reference-materialization pass (see call site). A
     * file referenced by several retained checkpoints moves into the
     * LOWEST one; the others' manifest entries re-point there. Files in

@@ -149,7 +149,11 @@ private[sources] object GraftProcedures {
   private def decodeDims(enc: String): Seq[graft.io.JoinView.DimLink] =
     enc.split(';').filter(_.nonEmpty).toSeq.map { hop =>
       def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-      hop.split(':') match {
+      // split with limit -1: a carry-less hop ("p:k:j:" — a pure
+      // semi-join-filter dim) keeps its trailing empty field instead
+      // of collapsing to 3 and failing the re-open of a view that
+      // CREATEd fine
+      hop.split(":", -1) match {
         case Array(p, k, j, cs) => graft.io.JoinView.DimLink(
           d(p), d(k), d(j),
           cs.split('|').filter(_.nonEmpty).toSeq.map(d))
@@ -157,6 +161,29 @@ private[sources] object GraftProcedures {
           s"malformed jv.dims hop '$hop' (${other.length} fields)")
       }
     }
+
+  /** One table's auto-maintenance pass: [[Versioned.maintain]] under
+    * the table's `maintain.*` property overrides. Shared by the
+    * `maintain` and `maintain_all` procedures. */
+  private def maintainOne(cat: GraftCatalog,
+      path: String): Seq[(String, String)] = {
+    val props = cat.propsOf(path)
+    val d = Versioned.MaintainConfig()
+    val cfg = Versioned.MaintainConfig(
+      deltaCommits = props.get("maintain.delta_commits")
+        .map(_.toInt).getOrElse(d.deltaCommits),
+      deltaBytesFrac = props.get("maintain.delta_bytes_frac")
+        .map(_.toDouble).getOrElse(d.deltaBytesFrac),
+      fullRewriteFrac = props.get("maintain.full_rewrite_frac")
+        .map(_.toDouble).getOrElse(d.fullRewriteFrac),
+      targetFileBytes = props.get("maintain.target_file_bytes")
+        .map(_.toLong).getOrElse(d.targetFileBytes),
+      smallFileFrac = props.get("maintain.small_file_frac")
+        .map(_.toDouble).getOrElse(d.smallFileFrac),
+      vacuumHorizon = props.get("maintain.vacuum_horizon")
+        .map(_.toInt).getOrElse(d.vacuumHorizon))
+    Versioned.maintain(spark, path, keyOf(cat, path), cfg)
+  }
 
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
@@ -179,25 +206,39 @@ private[sources] object GraftProcedures {
         StructField("detail", StringType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
-        val props = cat.propsOf(p)
-        val d = Versioned.MaintainConfig()
-        val cfg = Versioned.MaintainConfig(
-          deltaCommits = props.get("maintain.delta_commits")
-            .map(_.toInt).getOrElse(d.deltaCommits),
-          deltaBytesFrac = props.get("maintain.delta_bytes_frac")
-            .map(_.toDouble).getOrElse(d.deltaBytesFrac),
-          fullRewriteFrac = props.get("maintain.full_rewrite_frac")
-            .map(_.toDouble).getOrElse(d.fullRewriteFrac),
-          targetFileBytes = props.get("maintain.target_file_bytes")
-            .map(_.toLong).getOrElse(d.targetFileBytes),
-          smallFileFrac = props.get("maintain.small_file_frac")
-            .map(_.toDouble).getOrElse(d.smallFileFrac),
-          vacuumHorizon = props.get("maintain.vacuum_horizon")
-            .map(_.toInt).getOrElse(d.vacuumHorizon))
-        Versioned.maintain(spark, p, keyOf(cat, p), cfg).map {
-          case (a, det) => InternalRow(
-            org.apache.spark.unsafe.types.UTF8String.fromString(a),
-            org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        maintainOne(cat, p).map { case (a, det) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        }.toArray
+      }),
+    new Proc("maintain_all",
+      "the namespace-wide sweep of maintain: run the same auto-policy " +
+        "(per-table maintain.* property overrides included) over " +
+        "EVERY table in the namespace ('' = the root) — maintained " +
+        "views included, they are ordinary graft tables. Tables " +
+        "without a 'key' property report action='skip' (the resolve " +
+        "needs a key); 'noop' rows are included so the sweep's " +
+        "coverage is auditable. Generation-log INDEXES are not " +
+        "catalog tables — sweep those with index_maintain",
+      Seq(in("namespace", StringType)),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))),
+      (cat, row) => {
+        val ns = str(row, 0, "namespace")
+        val nsArr = if (ns.isEmpty) Array.empty[String]
+          else ns.split('.')
+        def u(s: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        cat.listTables(nsArr).toSeq.flatMap { ident =>
+          val p = cat.resolveTablePath(ident)
+          val acts = cat.keyPropertyOf(p) match {
+            case None => Seq(("skip", "no 'key' table property"))
+            case Some(_) => maintainOne(cat, p)
+          }
+          acts.map { case (a, det) =>
+            InternalRow(u(ident.name), u(a), u(det)) }
         }.toArray
       }),
     new Proc("create_matview",
@@ -641,6 +682,23 @@ private[sources] object GraftProcedures {
         val lease = cat.propsOf(p).get("export.lease_ms")
           .map(_.toLong).getOrElse(0L)
         Versioned.vacuum(spark, p, row.getInt(1), lease)
+          .map(v => InternalRow(v)).toArray
+      }),
+    new Proc("vacuum_retain",
+      "time-based retention (the RETAIN n HOURS shape): reclaim " +
+        "version dirs superseded by a checkpoint whose commit " +
+        "timestamp is at least <retain_ms> old; every commit younger " +
+        "than the window survives, TIMESTAMP AS OF keeps working " +
+        "inside it. Same clone-pin and export-lease semantics as " +
+        "vacuum",
+      Seq(in("table", StringType), in("retain_ms", LongType)),
+      StructType(Seq(
+        StructField("reclaimed_version", IntegerType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val lease = cat.propsOf(p).get("export.lease_ms")
+          .map(_.toLong).getOrElse(0L)
+        Versioned.vacuumOlderThan(spark, p, row.getLong(1), lease)
           .map(v => InternalRow(v)).toArray
       }),
     new Proc("clone_pins",

@@ -1289,4 +1289,130 @@ class GraftCatalogSpec extends SparkSpec {
       s"clean slice must land on the healing replay: $healed")
     assert(Versioned.current(spark, quarPath, "k").count() == 2)
   }
+
+  test("CALL system.maintain_all sweeps a namespace: one row per " +
+      "action per table under each table's own maintain.* overrides, " +
+      "keyless tables report skip, answers never change") {
+    spark.sql("CREATE NAMESPACE graft_test.masw")
+    spark.sql("CREATE TABLE graft_test.masw.a (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'maintain.delta_commits' = '2', " +
+      "'maintain.delta_bytes_frac' = '1000', " +
+      "'maintain.full_rewrite_frac' = '5000', " +
+      "'maintain.target_file_bytes' = '1048576')")
+    spark.sql("CREATE TABLE graft_test.masw.b (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("CREATE TABLE graft_test.masw.c (k BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO graft_test.masw.a SELECT id, id FROM range(50)")
+    spark.sql("INSERT INTO graft_test.masw.a " +
+      "SELECT id, id * 2 FROM range(50, 100)")
+    spark.sql("INSERT INTO graft_test.masw.b SELECT id, id FROM range(10)")
+    spark.sql("INSERT INTO graft_test.masw.c SELECT id, id FROM range(10)")
+    val acts = spark.sql("CALL graft_test.system.maintain_all('masw')")
+      .as[(String, String, String)].collect().toSeq
+    val byTable = acts.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2) }
+    // a: 2 delta commits at its own delta_commits=2 -> first checkpoint
+    assert(byTable("a") == Seq("compact"), s"got $acts")
+    // b: 1 commit, default thresholds -> below every one
+    assert(byTable("b") == Seq("noop"), s"got $acts")
+    // c: no key property -> resolve impossible, skip (never throw)
+    assert(byTable("c") == Seq("skip"), s"got $acts")
+    assert(spark.sql("CALL graft_test.system.detail('masw.a')")
+      .filter(col("is_checkpoint")).count() == 1)
+    // answers unchanged by the sweep
+    assert(spark.table("graft_test.masw.a").count() == 100)
+    assert(spark.sql("SELECT x FROM graft_test.masw.a WHERE k = 75")
+      .as[Long].head() == 150L)
+    // idempotent second sweep: quiet tables stay quiet
+    val again = spark.sql("CALL graft_test.system.maintain_all('masw')")
+      .as[(String, String, String)].collect().toSeq
+    assert(again.filter(_._1 == "a").map(_._2) == Seq("noop"), s"$again")
+  }
+
+  test("CALL system.vacuum_retain reclaims by commit AGE: a young " +
+      "window is a no-op, an old-commits-young-checkpoint table " +
+      "respects vacuum's base rule, retain 0 reclaims the " +
+      "pre-checkpoint log") {
+    spark.sql("CREATE TABLE graft_test.vret (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/vret"
+    spark.sql("INSERT INTO graft_test.vret SELECT id, id FROM range(20)")
+    spark.sql("INSERT INTO graft_test.vret " +
+      "SELECT id, id * 2 FROM range(20, 40)")
+    Thread.sleep(150) // age the early commits past the split point
+    spark.sql("INSERT INTO graft_test.vret " +
+      "SELECT id, id * 3 FROM range(40, 60)")
+    spark.sql("CALL graft_test.system.compact('vret')")
+    assert(Versioned.versions(spark, path) == Seq(1, 2, 3, 4, 5))
+    // everything younger than a huge window -> no-op
+    assert(spark.sql(
+      "CALL graft_test.system.vacuum_retain('vret', 86400000)")
+      .count() == 0)
+    // a window splitting old commits from a YOUNG checkpoint: commits
+    // 1-3 age out but the only checkpoint is inside the window, so
+    // vacuum's base rule holds everything (reads at the window's far
+    // edge must keep resolving)
+    val t4 = Versioned.commitTimes(spark, path)(4)
+    val splitMs = System.currentTimeMillis() - t4 + 50
+    assert(spark.sql(
+      s"CALL graft_test.system.vacuum_retain('vret', $splitMs)")
+      .count() == 0)
+    assert(Versioned.versions(spark, path) == Seq(1, 2, 3, 4, 5))
+    // retain 0: everything is old, the checkpoint becomes the base
+    val got = spark.sql(
+      "CALL graft_test.system.vacuum_retain('vret', 0)")
+      .as[Int].collect().toSet
+    assert(got == Set(1, 2, 3, 4), s"got $got")
+    assert(Versioned.current(spark, path, "k").count() == 60)
+    assert(spark.sql("SELECT x FROM graft_test.vret WHERE k = 50")
+      .as[Long].head() == 150L)
+  }
+
+  test("create_joinview_chain with a CARRY-LESS filter hop: a dim " +
+      "contributing no columns acts as a semi-join allow-list, and " +
+      "the trailing-empty hop survives the jv.dims props round-trip " +
+      "(refresh_joinview re-opens the persisted chain)") {
+    spark.sql("CREATE TABLE graft_test.jvff (o BIGINT, cust BIGINT, " +
+      "p BIGINT) TBLPROPERTIES ('key' = 'o')")
+    spark.sql("CREATE TABLE graft_test.jvfc (c_custkey BIGINT, " +
+      "c_nationkey BIGINT) TBLPROPERTIES ('key' = 'c_custkey')")
+    // the allow-list dim: nation 1 only, NO carried columns
+    spark.sql("CREATE TABLE graft_test.jvfn (n_nationkey BIGINT) " +
+      "TBLPROPERTIES ('key' = 'n_nationkey')")
+    spark.sql("INSERT INTO graft_test.jvff SELECT id, id % 4 + 1, " +
+      "id * 10 FROM range(1, 13)")
+    spark.sql("INSERT INTO graft_test.jvfc SELECT id, id % 2 " +
+      "FROM range(1, 5)")
+    spark.sql("INSERT INTO graft_test.jvfn VALUES (1)")
+    spark.sql("CALL graft_test.system.create_joinview_chain('jvfv', " +
+      "'jvff', 'cust', 'p', " +
+      "'jvfc:c_custkey:cust:c_nationkey;" +
+      "jvfn:n_nationkey:c_nationkey:', 'c_nationkey', '')")
+    // a delta + the refresh that must RE-OPEN the carry-less chain
+    // from the persisted props (the regression: the trailing empty
+    // carry field collapsed under split(':') and failed the re-open)
+    spark.sql("INSERT INTO graft_test.jvff VALUES (100, 1, 7777)")
+    spark.sql("CALL graft_test.system.refresh_joinview('jvfv')")
+    val h = graft.io.JoinView.handle(s"$wh/jvff", "o", "cust",
+      Seq("p"),
+      Seq(graft.io.JoinView.DimLink(s"$wh/jvfc", "c_custkey", "cust",
+          Seq("c_nationkey")),
+        graft.io.JoinView.DimLink(s"$wh/jvfn", "n_nationkey",
+          "c_nationkey", Nil)),
+      Seq("c_nationkey"), s"$wh/jvfv")
+    val got = graft.io.JoinView.read(spark, h)
+      .select("c_nationkey", "n_rows", "sum_p")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Versioned.current(spark, s"$wh/jvff", "o").as("f")
+      .join(Versioned.current(spark, s"$wh/jvfc", "c_custkey").as("c"),
+        col("f.cust") === col("c.c_custkey"))
+      .join(Versioned.current(spark, s"$wh/jvfn", "n_nationkey").as("n"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .groupBy("c.c_nationkey")
+      .agg(count(lit(1)).as("n_rows"), sum("f.p").as("sum_p"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty, s"served $got want $want")
+    // only nation-1 customers survive the allow-list
+    assert(got.map(_._1) == Set(1L))
+  }
 }

@@ -185,6 +185,28 @@ private[sources] object GraftProcedures {
     Versioned.maintain(spark, path, keyOf(cat, path), cfg)
   }
 
+  /** Indexes DECLARED on a table via `index.<name>` table properties
+    * (value = `search:<path>` or `vector:<path>`): the table's own
+    * at-rest generation-log indexes, swept by `maintain` /
+    * `maintain_all` right after the table itself so ONE call keeps
+    * the whole serving surface healthy. A malformed value fails
+    * loudly — a silently skipped index would rot unseen. */
+  private def maintainIndexes(cat: GraftCatalog,
+      path: String): Seq[(String, String)] =
+    cat.propsOf(path).toSeq.filter(_._1.startsWith("index."))
+      .sortBy(_._1).flatMap { case (k, v) =>
+        val name = k.stripPrefix("index.")
+        val acts = v.split(":", 2) match {
+          case Array("search", ip) =>
+            Search.maintain(spark, Search.open(spark, ip))
+          case Array("vector", ip) =>
+            VecIndex.maintain(spark, VecIndex.open(spark, ip))
+          case _ => sys.error(s"table property $k must be " +
+            s"'search:<path>' or 'vector:<path>', got '$v'")
+        }
+        acts.map { case (a, det) => (a, s"index $name: $det") }
+      }
+
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
       "merge-on-read checkpoint: resolve current state into one commit",
@@ -199,16 +221,19 @@ private[sources] object GraftProcedures {
         "fold / full-compact / vacuum combination the thresholds call " +
         "for; thresholds override via maintain.* table properties " +
         "(delta_commits, delta_bytes_frac, full_rewrite_frac, " +
-        "target_file_bytes, small_file_frac, vacuum_horizon); returns " +
-        "the actions taken",
+        "target_file_bytes, small_file_frac, vacuum_horizon); then " +
+        "sweeps indexes DECLARED on the table via index.<name> = " +
+        "'search:<path>' | 'vector:<path>' properties through the " +
+        "index_maintain policy; returns the actions taken",
       Seq(in("table", StringType)),
       StructType(Seq(StructField("action", StringType, nullable = false),
         StructField("detail", StringType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
-        maintainOne(cat, p).map { case (a, det) => InternalRow(
-          org.apache.spark.unsafe.types.UTF8String.fromString(a),
-          org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        (maintainOne(cat, p) ++ maintainIndexes(cat, p)).map {
+          case (a, det) => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(a),
+            org.apache.spark.unsafe.types.UTF8String.fromString(det))
         }.toArray
       }),
     new Proc("maintain_all",
@@ -218,8 +243,9 @@ private[sources] object GraftProcedures {
         "views included, they are ordinary graft tables. Tables " +
         "without a 'key' property report action='skip' (the resolve " +
         "needs a key); 'noop' rows are included so the sweep's " +
-        "coverage is auditable. Generation-log INDEXES are not " +
-        "catalog tables — sweep those with index_maintain",
+        "coverage is auditable. Indexes DECLARED via index.<name> " +
+        "table properties sweep with their table; generation-log " +
+        "indexes nothing declares need index_maintain directly",
       Seq(in("namespace", StringType)),
       StructType(Seq(
         StructField("table_name", StringType, nullable = false),
@@ -233,10 +259,12 @@ private[sources] object GraftProcedures {
           org.apache.spark.unsafe.types.UTF8String.fromString(s)
         cat.listTables(nsArr).toSeq.flatMap { ident =>
           val p = cat.resolveTablePath(ident)
-          val acts = cat.keyPropertyOf(p) match {
+          // declared index.<name> properties sweep even on keyless
+          // tables (index maintenance never resolves the table's key)
+          val acts = (cat.keyPropertyOf(p) match {
             case None => Seq(("skip", "no 'key' table property"))
             case Some(_) => maintainOne(cat, p)
-          }
+          }) ++ maintainIndexes(cat, p)
           acts.map { case (a, det) =>
             InternalRow(u(ident.name), u(a), u(det)) }
         }.toArray
@@ -726,6 +754,16 @@ private[sources] object GraftProcedures {
         val p = tablePath(cat, row)
         oneVersion(
           Versioned.restore(spark, p, keyOf(cat, p), row.getInt(1)))
+      }),
+    new Proc("restore_at",
+      "restore to the newest version committed at or before the given " +
+        "epoch-millis timestamp (the TIMESTAMP AS OF twin of restore) " +
+        "— a roll-forward checkpoint commit, nothing deleted",
+      Seq(in("table", StringType), in("ts_millis", LongType)), versionOut,
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        oneVersion(Versioned.restore(spark, p, keyOf(cat, p),
+          Versioned.versionAt(spark, p, row.getLong(1))))
       }),
     new Proc("bloom_index",
       "build per-file key Bloom filters for point lookups; returns " +

@@ -1415,4 +1415,73 @@ class GraftCatalogSpec extends SparkSpec {
     // only nation-1 customers survive the allow-list
     assert(got.map(_._1) == Set(1L))
   }
+
+  test("maintain sweeps indexes DECLARED via index.<name> table " +
+      "properties: the index policy runs in the same call with its " +
+      "rows labeled, maintain_all includes them even on keyless " +
+      "tables, and a malformed declaration fails loudly") {
+    import graft.pipeline.Search
+    val sess = spark
+    import sess.implicits._
+    val iroot = s"$wh/masw2/t.bm25.idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(iroot))
+    spark.sql("CREATE NAMESPACE graft_test.masw2")
+    // keyless on purpose: index sweep must not need the table's key
+    spark.sql("CREATE TABLE graft_test.masw2.t (doc_id BIGINT, " +
+      s"text STRING) TBLPROPERTIES ('index.bm25' = 'search:$iroot')")
+    spark.sql("INSERT INTO graft_test.masw2.t VALUES " +
+      "(1, 'alpha beta'), (2, 'beta gamma')")
+    val idx = Search.writeIndex(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", iroot)
+    Search.append(Seq((3L, "gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val acts = spark.sql("CALL graft_test.system.maintain_all('masw2')")
+      .as[(String, String, String)].collect().toSeq
+    // the table row (keyless -> skip) AND the declared index's row
+    assert(acts.map(_._2).contains("skip"), s"got $acts")
+    val idxRows = acts.filter(_._3.startsWith("index bm25:"))
+    assert(idxRows.nonEmpty, s"declared index must sweep: $acts")
+    // the index stays healthy and answers unchanged after the sweep
+    assert(Search.searchAny(spark, Search.open(spark, iroot),
+      Seq("alpha", "gamma"), 1).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // a keyed table's single-table maintain carries the index rows too
+    spark.sql("ALTER TABLE graft_test.masw2.t " +
+      "SET TBLPROPERTIES ('key' = 'doc_id')")
+    val one = spark.sql("CALL graft_test.system.maintain('masw2.t')")
+      .as[(String, String)].collect().toSeq
+    assert(one.exists(_._2.startsWith("index bm25:")), s"got $one")
+    // malformed declaration: loud, never a silent skip
+    spark.sql("ALTER TABLE graft_test.masw2.t " +
+      "SET TBLPROPERTIES ('index.bad' = 'notakind:/x')")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_test.system.maintain('masw2.t')").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("CALL system.restore_at rolls the table forward to the state " +
+      "at a TIMESTAMP, like restore does for a version") {
+    spark.sql("CREATE TABLE graft_test.rsat (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/rsat"
+    spark.sql("INSERT INTO graft_test.rsat SELECT id, id FROM range(10)")
+    Thread.sleep(60)
+    val t2 = Versioned.commitTimes(spark, path)(2)
+    spark.sql("INSERT INTO graft_test.rsat " +
+      "SELECT id, id * 9 FROM range(10)") // upsert everything
+    spark.sql("DELETE FROM graft_test.rsat WHERE k < 3")
+    val v = spark.sql(
+      s"CALL graft_test.system.restore_at('rsat', $t2)")
+      .as[Int].head()
+    assert(v > 4)
+    // current state == the v2 snapshot; the interim states stay
+    // travelable (roll-forward, nothing deleted)
+    assert(Versioned.current(spark, path, "k")
+      .select("k", "x").as[(Long, Long)].collect().toSet ==
+      (0L until 10L).map(i => (i, i)).toSet)
+    assert(spark.sql(
+      "SELECT * FROM graft_test.rsat VERSION AS OF 4").count() > 0)
+  }
 }

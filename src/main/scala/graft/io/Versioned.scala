@@ -303,7 +303,9 @@ object Versioned {
       org.apache.spark.sql.Column, Long, Long) = {
     require(constraints.nonEmpty,
       "appendCheckedQuarantine needs >= 1 constraint")
-    require(quarantinePath != path,
+    // Path-normalized compare (trailing slash / '.' segments must not
+    // sneak the dead letters into the main table as ordinary rows)
+    require(new Path(quarantinePath) != new Path(path),
       "the quarantine table must differ from the main table")
     val anyViol = coalesce(
       constraints.map(_._2 === false).reduce(_ || _), lit(false))
@@ -3433,12 +3435,24 @@ object Versioned {
       // clone-pinned files of THIS dir — vacuum cannot reclaim them
       // until releaseClone ([[clonePins]] lists file/clone/since)
       val dirQ = f.makeQualified(dir).toString
-      (v, times.get(v), ck.contains(v), mg.contains(v), batch,
+      // operation class, derived from the commit's OWN markers (no
+      // data scan): checkpoint = materialized state (compact /
+      // restore / clone base), merge = column overlay, metadata =
+      // data-less mapping/widen DDL, ingest = batch/epoch-marked
+      // write, write = plain append/upsert/delete/DML
+      val op =
+        if (ck.contains(v)) "checkpoint"
+        else if (mg.contains(v)) "merge"
+        else if (parts.isEmpty) "metadata"
+        else if (batch.isDefined) "ingest"
+        else "write"
+      (v, times.get(v), ck.contains(v), mg.contains(v), batch, op,
         parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum,
         pinned.count(_.startsWith(dirQ + "/")))
     }
     rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
-      "batch_id", "num_files", "size_bytes", "exported_files")
+      "batch_id", "operation", "num_files", "size_bytes",
+      "exported_files")
   }
 
   /** Thresholds for [[maintain]]'s auto-policy. Every knob has a

@@ -192,20 +192,30 @@ private[sources] object GraftProcedures {
     * the whole serving surface healthy. A malformed value fails
     * loudly — a silently skipped index would rot unseen. */
   private def maintainIndexes(cat: GraftCatalog,
-      path: String): Seq[(String, String)] =
-    cat.propsOf(path).toSeq.filter(_._1.startsWith("index."))
+      path: String): Seq[(String, String)] = {
+    val props = cat.propsOf(path)
+    // the index policy's knobs override from the TABLE's properties
+    // (one pair for all its declared indexes — the maintain.* pattern)
+    val d = graft.io.GenLog.MaintainConfig()
+    val cfg = graft.io.GenLog.MaintainConfig(
+      deltaGens = props.get("maintain.index.delta_gens")
+        .map(_.toInt).getOrElse(d.deltaGens),
+      purgeFrac = props.get("maintain.index.purge_frac")
+        .map(_.toDouble).getOrElse(d.purgeFrac))
+    props.toSeq.filter(_._1.startsWith("index."))
       .sortBy(_._1).flatMap { case (k, v) =>
         val name = k.stripPrefix("index.")
         val acts = v.split(":", 2) match {
           case Array("search", ip) =>
-            Search.maintain(spark, Search.open(spark, ip))
+            Search.maintain(spark, Search.open(spark, ip), cfg)
           case Array("vector", ip) =>
-            VecIndex.maintain(spark, VecIndex.open(spark, ip))
+            VecIndex.maintain(spark, VecIndex.open(spark, ip), cfg)
           case _ => sys.error(s"table property $k must be " +
             s"'search:<path>' or 'vector:<path>', got '$v'")
         }
         acts.map { case (a, det) => (a, s"index $name: $det") }
       }
+  }
 
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
@@ -777,7 +787,8 @@ private[sources] object GraftProcedures {
       }),
     new Proc("detail",
       "DESCRIBE-DETAIL observability: one row per committed version " +
-        "(commit time, checkpoint/merge/batch flags, files, bytes)",
+        "(commit time, checkpoint/merge/batch flags, operation class " +
+        "derived from the commit's own markers, files, bytes)",
       Seq(in("table", StringType)),
       // must mirror Versioned.detail's schema — spec-pinned
       StructType(Seq(
@@ -788,6 +799,7 @@ private[sources] object GraftProcedures {
         StructField("is_merge", org.apache.spark.sql.types.BooleanType,
           nullable = false),
         StructField("batch_id", StringType),
+        StructField("operation", StringType, nullable = false),
         StructField("num_files", IntegerType, nullable = false),
         StructField("size_bytes", org.apache.spark.sql.types.LongType,
           nullable = false),

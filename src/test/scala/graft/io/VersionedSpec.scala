@@ -110,7 +110,7 @@ class VersionedSpec extends SparkSpec {
     // detail: one row per version, metadata only
     Versioned.compact(spark, p, "k")
     val d = Versioned.detail(spark, p).collect()
-      .map(r => r.getInt(0) -> ((r.getBoolean(2), r.getInt(5)))).toMap
+      .map(r => r.getInt(0) -> ((r.getBoolean(2), r.getInt(6)))).toMap
     assert(d.keySet == Set(1, 2, 3, 4))
     assert(d(4)._1 && !d(1)._1) // checkpoint flag
     assert(d.values.forall(_._2 >= 1)) // every version has files
@@ -1385,7 +1385,7 @@ class VersionedSpec extends SparkSpec {
     assert(pins.forall(_._2.contains("/v=")), s"pins: ${pins.toSeq}")
     // the per-version view: detail counts this dir's pinned files
     val det = Versioned.detail(spark, src).collect()
-      .map(r => r.getInt(0) -> r.getInt(7)).toMap
+      .map(r => r.getInt(0) -> r.getInt(8)).toMap
     assert(det.values.sum == pins.length,
       s"detail.exported_files ($det) must sum to the pin count")
     assert(det(2) > 0, "the cloned checkpoint's files are the pins")
@@ -1409,7 +1409,7 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.releaseClone(spark, src, c1) == pins.length)
     assert(Versioned.clonePins(spark, src).count() == 0)
     assert(Versioned.detail(spark, src).collect()
-      .forall(_.getInt(7) == 0))
+      .forall(_.getInt(8) == 0))
   }
 
   test("export-protected remnants re-materialize before the sweep: " +

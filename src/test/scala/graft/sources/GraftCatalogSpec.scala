@@ -187,7 +187,8 @@ class GraftCatalogSpec extends SparkSpec {
       Seq("version", "commit_ts_millis", "is_checkpoint"))
     assert(det.count() == 5)
     assert(det.filter(col("is_checkpoint")).as[
-      (Int, Long, Boolean, Boolean, Option[String], Int, Long, Int)]
+      (Int, Long, Boolean, Boolean, Option[String], String, Int, Long,
+        Int)]
       .head()._1 == 5)
     // restore to the pre-delete state (v3) as a roll-forward commit
     spark.sql("CALL graft_test.system.restore('tp', 3)")
@@ -692,8 +693,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.current(spark, path, "k").count() == 3)
     // each micro-batch is one commit carrying its idempotency marker
     val det = spark.sql("CALL graft_test.system.detail('t7')")
-      .as[(Int, Option[Long], Boolean, Boolean, Option[String], Int,
-        Long, Int)]
+      .as[(Int, Option[Long], Boolean, Boolean, Option[String], String,
+        Int, Long, Int)]
       .collect()
     assert(det.count(_._5.isDefined) == 2)
     // sink-API-level replay: re-deliver an ALREADY-COMMITTED epoch of
@@ -1344,6 +1345,12 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT id, id * 3 FROM range(40, 60)")
     spark.sql("CALL graft_test.system.compact('vret')")
     assert(Versioned.versions(spark, path) == Seq(1, 2, 3, 4, 5))
+    // detail's derived operation class: the CREATE's schema-fixing
+    // zero-row part and the plain INSERTs = write, compact = checkpoint
+    val ops = spark.sql("CALL graft_test.system.detail('vret')")
+      .select("version", "operation").as[(Int, String)].collect().toMap
+    assert(ops == Map(1 -> "write", 2 -> "write", 3 -> "write",
+      4 -> "write", 5 -> "checkpoint"), s"got $ops")
     // everything younger than a huge window -> no-op
     assert(spark.sql(
       "CALL graft_test.system.vacuum_retain('vret', 86400000)")

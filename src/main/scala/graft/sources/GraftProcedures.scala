@@ -202,10 +202,18 @@ private[sources] object GraftProcedures {
         .map(_.toInt).getOrElse(d.deltaGens),
       purgeFrac = props.get("maintain.index.purge_frac")
         .map(_.toDouble).getOrElse(d.purgeFrac))
+    def exists(ip: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(ip)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     props.toSeq.filter(_._1.startsWith("index."))
       .sortBy(_._1).flatMap { case (k, v) =>
         val name = k.stripPrefix("index.")
         val acts = v.split(":", 2) match {
+          // declared-before-built: a skip row, not a sweep-wide
+          // failure (the declaration is forward-looking by design)
+          case Array("search" | "vector", ip) if !exists(ip) =>
+            Seq(("skip", "not built yet"))
           case Array("search", ip) =>
             Search.maintain(spark, Search.open(spark, ip), cfg)
           case Array("vector", ip) =>

@@ -1459,6 +1459,14 @@ class GraftCatalogSpec extends SparkSpec {
     val one = spark.sql("CALL graft_test.system.maintain('masw2.t')")
       .as[(String, String)].collect().toSeq
     assert(one.exists(_._2.startsWith("index bm25:")), s"got $one")
+    // declared-before-built: a labeled skip row, not a sweep failure
+    spark.sql("ALTER TABLE graft_test.masw2.t SET TBLPROPERTIES " +
+      s"('index.vec' = 'vector:$wh/masw2/t.vec.notbuilt')")
+    val withMissing = spark.sql(
+      "CALL graft_test.system.maintain('masw2.t')")
+      .as[(String, String)].collect().toSeq
+    assert(withMissing.contains(("skip", "index vec: not built yet")),
+      s"got $withMissing")
     // malformed declaration: loud, never a silent skip
     spark.sql("ALTER TABLE graft_test.masw2.t " +
       "SET TBLPROPERTIES ('index.bad' = 'notakind:/x')")

@@ -3171,10 +3171,16 @@ object Versioned {
     if (!f.exists(new Path(path))) return Nil
     val cutoffTs = System.currentTimeMillis() - retainMs
     val times = commitTimes(spark, path)
-    val old = versions(spark, path)
-      .filter(v => times.get(v).forall(_ <= cutoffTs))
-    if (old.isEmpty) Nil
-    else vacuum(spark, path, latestVersion(spark, path) - old.max,
+    val vs = versions(spark, path)
+    // the cut is the highest version BELOW every young commit — not
+    // just the highest old one: with skewed writer clocks an old
+    // timestamp can sit ABOVE a young one, and cutting at old.max
+    // would reclaim the young commit's history ("every commit younger
+    // than the window survives" is the contract, so be conservative)
+    val young = vs.filter(v => times.get(v).exists(_ > cutoffTs))
+    val eligible = if (young.isEmpty) vs else vs.filter(_ < young.min)
+    if (eligible.isEmpty) Nil
+    else vacuum(spark, path, latestVersion(spark, path) - eligible.max,
       exportLeaseMs)
   }
 
@@ -3443,8 +3449,10 @@ object Versioned {
       val op =
         if (ck.contains(v)) "checkpoint"
         else if (mg.contains(v)) "merge"
-        else if (parts.isEmpty) "metadata"
+        // batch marker BEFORE the data-less test: an empty micro-batch
+        // (or an all-divert quarantine epoch) is still an ingest
         else if (batch.isDefined) "ingest"
+        else if (parts.isEmpty) "metadata"
         else "write"
       (v, times.get(v), ck.contains(v), mg.contains(v), batch, op,
         parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum,

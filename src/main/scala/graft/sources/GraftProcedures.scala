@@ -137,18 +137,25 @@ private[sources] object GraftProcedures {
   }
 
   /** The `jv.dims` property codec: hops joined by ';', fields within
-    * a hop by ':', carry columns by '|'; every field URL-encoded so
-    * paths with ':' (URIs) or user strings never break the framing. */
+    * a hop by ':', carry columns by '|'; every field %XX-encoded so
+    * paths with ':' (URIs) or user strings never break the framing.
+    * Spaces encode as %20 (NOT '+') and the decoder preserves literal
+    * '+': raw user input like 'dim+2024' must survive the decode the
+    * create procedure applies — only ':;|%' genuinely need escaping. */
   private def encodeDims(dims: Seq[graft.io.JoinView.DimLink]): String =
     dims.map { d =>
       def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        .replace("+", "%20")
       Seq(e(d.dimPath), e(d.dimKeyCol), e(d.joinCol),
         d.carryCols.map(e).mkString("|")).mkString(":")
     }.mkString(";")
 
   private def decodeDims(enc: String): Seq[graft.io.JoinView.DimLink] =
     enc.split(';').filter(_.nonEmpty).toSeq.map { hop =>
-      def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      // '+' re-escaped before the decode: URLDecoder's form-encoding
+      // quirk would turn a literal '+' in raw user input into a space
+      def d(s: String) = java.net.URLDecoder.decode(
+        s.replace("+", "%2B"), "UTF-8")
       // split with limit -1: a carry-less hop ("p:k:j:" — a pure
       // semi-join-filter dim) keeps its trailing empty field instead
       // of collapsing to 3 and failing the re-open of a view that
@@ -164,10 +171,10 @@ private[sources] object GraftProcedures {
 
   /** One table's auto-maintenance pass: [[Versioned.maintain]] under
     * the table's `maintain.*` property overrides. Shared by the
-    * `maintain` and `maintain_all` procedures. */
-  private def maintainOne(cat: GraftCatalog,
-      path: String): Seq[(String, String)] = {
-    val props = cat.propsOf(path)
+    * `maintain` and `maintain_all` procedures; `props` is the
+    * caller's single read of the property store. */
+  private def maintainOne(path: String, props: Map[String, String],
+      keyCol: String): Seq[(String, String)] = {
     val d = Versioned.MaintainConfig()
     val cfg = Versioned.MaintainConfig(
       deltaCommits = props.get("maintain.delta_commits")
@@ -182,8 +189,18 @@ private[sources] object GraftProcedures {
         .map(_.toDouble).getOrElse(d.smallFileFrac),
       vacuumHorizon = props.get("maintain.vacuum_horizon")
         .map(_.toInt).getOrElse(d.vacuumHorizon))
-    Versioned.maintain(spark, path, keyOf(cat, path), cfg)
+    Versioned.maintain(spark, path, keyCol, cfg)
   }
+
+  /** The table half of a maintenance pass — keyless tables report a
+    * `skip` row (the resolve needs a key) instead of failing, so the
+    * declared-index sweep that follows still runs. */
+  private def maintainTable(path: String,
+      props: Map[String, String]): Seq[(String, String)] =
+    props.get(GraftCatalog.KeyProp) match {
+      case None => Seq(("skip", "no 'key' table property"))
+      case Some(k) => maintainOne(path, props, k)
+    }
 
   /** Indexes DECLARED on a table via `index.<name>` table properties
     * (value = `search:<path>` or `vector:<path>`): the table's own
@@ -191,9 +208,8 @@ private[sources] object GraftProcedures {
     * `maintain_all` right after the table itself so ONE call keeps
     * the whole serving surface healthy. A malformed value fails
     * loudly — a silently skipped index would rot unseen. */
-  private def maintainIndexes(cat: GraftCatalog,
-      path: String): Seq[(String, String)] = {
-    val props = cat.propsOf(path)
+  private def maintainIndexes(path: String,
+      props: Map[String, String]): Seq[(String, String)] = {
     // the index policy's knobs override from the TABLE's properties
     // (one pair for all its declared indexes — the maintain.* pattern)
     val d = graft.io.GenLog.MaintainConfig()
@@ -242,13 +258,16 @@ private[sources] object GraftProcedures {
         "target_file_bytes, small_file_frac, vacuum_horizon); then " +
         "sweeps indexes DECLARED on the table via index.<name> = " +
         "'search:<path>' | 'vector:<path>' properties through the " +
-        "index_maintain policy; returns the actions taken",
+        "index_maintain policy; returns the actions taken. A keyless " +
+        "table reports skip for the table half and still sweeps its " +
+        "declared indexes",
       Seq(in("table", StringType)),
       StructType(Seq(StructField("action", StringType, nullable = false),
         StructField("detail", StringType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
-        (maintainOne(cat, p) ++ maintainIndexes(cat, p)).map {
+        val props = cat.propsOf(p)
+        (maintainTable(p, props) ++ maintainIndexes(p, props)).map {
           case (a, det) => InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(a),
             org.apache.spark.unsafe.types.UTF8String.fromString(det))
@@ -277,12 +296,10 @@ private[sources] object GraftProcedures {
           org.apache.spark.unsafe.types.UTF8String.fromString(s)
         cat.listTables(nsArr).toSeq.flatMap { ident =>
           val p = cat.resolveTablePath(ident)
+          val props = cat.propsOf(p)
           // declared index.<name> properties sweep even on keyless
           // tables (index maintenance never resolves the table's key)
-          val acts = (cat.keyPropertyOf(p) match {
-            case None => Seq(("skip", "no 'key' table property"))
-            case Some(_) => maintainOne(cat, p)
-          }) ++ maintainIndexes(cat, p)
+          val acts = maintainTable(p, props) ++ maintainIndexes(p, props)
           acts.map { case (a, det) =>
             InternalRow(u(ident.name), u(a), u(det)) }
         }.toArray

@@ -138,6 +138,26 @@ private[sources] class GraftRowOperation(spark: SparkSession,
   * abort the stage, so the table and the version counter are
   * untouched. */
 private[sources] object GraftChecks {
+  /** The constraints whose referenced columns are ALL present — a
+    * DELETE-only staged commit carries the key + tombstone columns
+    * ONLY, and a constraint referencing absent columns can face
+    * nothing but (exempt) tombstones there, because live rows always
+    * carry the operation's full row schema. Skip those instead of
+    * failing the statement on an unresolvable column. ONE rule shared
+    * by the refuse-whole and dead-letter faces — they must never
+    * diverge on which checks apply. */
+  def applicableChecks(spark: SparkSession,
+      checks: Seq[(String, String)],
+      cols: Seq[String]): Seq[(String, String)] = {
+    val present = cols.map(_.toLowerCase).toSet
+    checks.filter { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase
+      }.forall(present.contains(_))
+    }
+  }
+
   /** `physToLogical` renames a column-mapped table's staged PHYSICAL
     * columns back to the logical names the declared constraint
     * expressions speak (empty = unmapped, no rename). */
@@ -151,18 +171,7 @@ private[sources] object GraftChecks {
     val df = raw.select(raw.columns.toSeq.map(c =>
         col(c).as(physToLogical.getOrElse(c, c))): _*)
       .filter(!col(Versioned.DeletedCol))
-    // a DELETE-only staged commit carries the key + tombstone columns
-    // ONLY — a constraint referencing absent columns can face nothing
-    // but (exempt) tombstones there, because live rows always carry
-    // the operation's full row schema. Skip those instead of failing
-    // the statement on an unresolvable column.
-    val present = df.columns.map(_.toLowerCase).toSet
-    val applicable = checks.filter { case (_, e) =>
-      spark.sessionState.sqlParser.parseExpression(e).collect {
-        case u: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => u.nameParts.last.toLowerCase
-      }.forall(present.contains(_))
-    }
+    val applicable = applicableChecks(spark, checks, df.columns)
     if (applicable.isEmpty) return
     val aggs = applicable.map { case (name, e) =>
       sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(name)
@@ -431,15 +440,10 @@ private[sources] class GraftStreamingWrite(spark: SparkSession,
     val p2l = l2p.map(_.swap)
     val logical = raw.select(raw.columns.toSeq.map(c =>
       col(c).as(p2l.getOrElse(c, c))): _*)
-    // same applicability rule as validateStaged (live sink rows carry
-    // the full row schema, but stay consistent about absent columns)
-    val present = logical.columns.map(_.toLowerCase).toSet
-    val applicable = checks.filter { case (_, e) =>
-      spark.sessionState.sqlParser.parseExpression(e).collect {
-        case u: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => u.nameParts.last.toLowerCase
-      }.forall(present.contains(_))
-    }
+    // same applicability rule as validateStaged — ONE shared helper,
+    // the faces must never diverge on which checks apply
+    val applicable =
+      GraftChecks.applicableChecks(spark, checks, logical.columns)
     if (applicable.isEmpty) { publishClean(epochId, keep); return }
     val anyViol = coalesce(applicable.map { case (_, e) =>
       expr(e) === lit(false) }.reduce(_ || _), lit(false)) &&

@@ -1375,6 +1375,35 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 150L)
   }
 
+  test("vacuum_retain under writer clock SKEW: an old timestamp " +
+      "ABOVE a young one must not drag the young commit's history " +
+      "out — the cut stays below every young commit") {
+    spark.sql("CREATE TABLE graft_test.vskew (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val path = s"$wh/vskew"
+    spark.sql("INSERT INTO graft_test.vskew SELECT id, id FROM range(10)")
+    spark.sql("INSERT INTO graft_test.vskew SELECT id, id FROM range(10, 20)")
+    spark.sql("INSERT INTO graft_test.vskew SELECT id, id FROM range(20, 30)")
+    spark.sql("CALL graft_test.system.compact('vskew')")
+    // forge clock skew: v3's writer clock runs an hour AHEAD, so the
+    // version order is 1,2,3,4,5 but the timestamp order puts v3 last
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/v=3")
+    val old = f.listStatus(dir).map(_.getPath.getName)
+      .find(_.startsWith("_TS_")).get
+    val future = System.currentTimeMillis() + 3600000L
+    assert(f.rename(new org.apache.hadoop.fs.Path(dir, old),
+      new org.apache.hadoop.fs.Path(dir, s"_TS_$future")))
+    // retain 0: v3 is YOUNG by timestamp, so the cut caps below it —
+    // nothing reclaims (the only checkpoint sits above the cut) even
+    // though v1/v2/v4/v5 are all old
+    assert(spark.sql(
+      "CALL graft_test.system.vacuum_retain('vskew', 0)").count() == 0)
+    assert(Versioned.versions(spark, path) == Seq(1, 2, 3, 4, 5))
+    assert(Versioned.current(spark, path, "k").count() == 30)
+  }
+
   test("create_joinview_chain with a CARRY-LESS filter hop: a dim " +
       "contributing no columns acts as a semi-join allow-list, and " +
       "the trailing-empty hop survives the jv.dims props round-trip " +
@@ -1453,6 +1482,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Search.searchAny(spark, Search.open(spark, iroot),
       Seq("alpha", "gamma"), 1).collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
+    // single-table maintain on the KEYLESS table: the table half is a
+    // skip row, the declared index STILL sweeps (parity with the
+    // namespace sweep — an index on a keyless table must not rot)
+    val keyless = spark.sql("CALL graft_test.system.maintain('masw2.t')")
+      .as[(String, String)].collect().toSeq
+    assert(keyless.contains(("skip", "no 'key' table property")) &&
+      keyless.exists(_._2.startsWith("index bm25:")), s"got $keyless")
     // a keyed table's single-table maintain carries the index rows too
     spark.sql("ALTER TABLE graft_test.masw2.t " +
       "SET TBLPROPERTIES ('key' = 'doc_id')")

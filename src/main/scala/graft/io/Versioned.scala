@@ -3090,6 +3090,18 @@ object Versioned {
             versions(spark, path).filter(_ >= b), exported)
         doomed.foreach { v =>
           val dir = new Path(s"$path/v=$v")
+          // batch idempotency markers OUTLIVE their dir: migrate them
+          // into the base checkpoint before the delete, or a replayed
+          // ingest whose marker dir was reclaimed would stall on the
+          // surviving .claim-batch file and, past the stale window,
+          // RE-COMMIT the batch (duplicate delivery to log readers).
+          // The base subsumes the reclaimed rows, so it is exactly
+          // the version the replay should resolve as "committed".
+          f.listStatus(dir).map(_.getPath.getName)
+            .filter(_.startsWith("_BATCH_")).foreach { m =>
+              val dst = new Path(s"$path/v=$b", m)
+              if (!f.exists(dst)) f.create(dst, false).close()
+            }
           val dirQ = f.makeQualified(dir).toString
           val keep = exported.filter(_.startsWith(dirQ + "/"))
             .map(p => new Path(p).getName)
@@ -3486,7 +3498,13 @@ object Versioned {
       smallFileFrac: Double = 0.5,
       /** Reclaim history below head−horizon after maintenance
         * (0 = never vacuum). */
-      vacuumHorizon: Int = 0)
+      vacuumHorizon: Int = 0,
+      /** Reclaim history older than this many millis after
+        * maintenance (0 = off) — the TIME-based retention production
+        * crons want ([[vacuumOlderThan]] semantics: the cut stays
+        * below every young commit). Takes precedence over
+        * `vacuumHorizon` when both are set. */
+      vacuumRetainMs: Long = 0L)
 
   /** ONE-CALL AUTO-MAINTENANCE: read the table's shape (checkpoint
     * base, delta commits/bytes above it, file-size histogram) and run
@@ -3570,7 +3588,12 @@ object Versioned {
           s"$small/${sizes.length} files under " +
             s"${cfg.targetFileBytes / 2} B")
     }
-    if (cfg.vacuumHorizon > 0) {
+    if (cfg.vacuumRetainMs > 0) {
+      val got = vacuumOlderThan(spark, path, cfg.vacuumRetainMs)
+      if (got.nonEmpty)
+        actions += (("vacuum", s"reclaimed ${got.size} version(s) " +
+          s"below ${got.max + 1} (older than ${cfg.vacuumRetainMs} ms)"))
+    } else if (cfg.vacuumHorizon > 0) {
       val got = vacuum(spark, path, cfg.vacuumHorizon)
       if (got.nonEmpty)
         actions += (("vacuum", s"reclaimed ${got.size} version(s) " +

@@ -188,7 +188,9 @@ private[sources] object GraftProcedures {
       smallFileFrac = props.get("maintain.small_file_frac")
         .map(_.toDouble).getOrElse(d.smallFileFrac),
       vacuumHorizon = props.get("maintain.vacuum_horizon")
-        .map(_.toInt).getOrElse(d.vacuumHorizon))
+        .map(_.toInt).getOrElse(d.vacuumHorizon),
+      vacuumRetainMs = props.get("maintain.vacuum_retain_ms")
+        .map(_.toLong).getOrElse(d.vacuumRetainMs))
     Versioned.maintain(spark, path, keyCol, cfg)
   }
 
@@ -255,7 +257,9 @@ private[sources] object GraftProcedures {
         "fold / full-compact / vacuum combination the thresholds call " +
         "for; thresholds override via maintain.* table properties " +
         "(delta_commits, delta_bytes_frac, full_rewrite_frac, " +
-        "target_file_bytes, small_file_frac, vacuum_horizon); then " +
+        "target_file_bytes, small_file_frac, vacuum_horizon, " +
+        "vacuum_retain_ms — the time-based retention, taking " +
+        "precedence over the horizon); then " +
         "sweeps indexes DECLARED on the table via index.<name> = " +
         "'search:<path>' | 'vector:<path>' properties through the " +
         "index_maintain policy; returns the actions taken. A keyless " +
@@ -282,7 +286,10 @@ private[sources] object GraftProcedures {
         "needs a key); 'noop' rows are included so the sweep's " +
         "coverage is auditable. Indexes DECLARED via index.<name> " +
         "table properties sweep with their table; generation-log " +
-        "indexes nothing declares need index_maintain directly",
+        "indexes nothing declares need index_maintain directly. " +
+        "Tables sweep sequentially on purpose: each table's " +
+        "maintenance is itself a distributed job, and vacuum's " +
+        "single-writer caveat is per-table",
       Seq(in("namespace", StringType)),
       StructType(Seq(
         StructField("table_name", StringType, nullable = false),

@@ -1,0 +1,127 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Seeded randomized MODEL CHECK of the dead-letter ingest lifecycle:
+ * a fixed-seed sequence of checked-quarantine batch appends (fresh
+ * batch ids, EXACT REPLAYS of earlier batches, all-clean and all-bad
+ * batches), key deletes, and maintenance (compact / vacuum on either
+ * table) runs against both the real pair of tables and a trivial
+ * in-memory model; after EVERY op the resolved `current()` of the
+ * MAIN table and of the QUARANTINE table must equal the model
+ * exactly. Replays must change nothing on either side (the
+ * `_BATCH_<ingest>_<id>` marker is per TABLE, and a batch whose rows
+ * all diverted commits on only one side — the replay must still skip
+ * BOTH), and maintenance must never change answers. A split bug, a
+ * double-applied replay, or a marker lost by compact/vacuum shows up
+ * as a concrete op trace.
+ */
+class QuarantineModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("randomized dead-letter ingest model check: 30 seeded ops, " +
+      "main and quarantine currents equal the model after every op, " +
+      "replays and maintenance change nothing") {
+    val root = "target/tmp/quar-model-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val main = s"$root/main"
+    val quar = s"$root/quar"
+    val rnd = new scala.util.Random(20260816L)
+    val keys = 40
+    // the declared checks: x must be positive, k must stay below 900
+    val checks = Seq(
+      ("x_pos", col("x") > 0L),
+      ("k_small", col("k") < 900L))
+    def violated(k: Long, x: Long): Seq[String] =
+      (if (x <= 0) Seq("x_pos") else Nil) ++
+        (if (k >= 900) Seq("k_small") else Nil)
+
+    // models: key -> latest value (main), key -> (x, reasons, batch)
+    val mModel = scala.collection.mutable.Map.empty[Long, Long]
+    val qModel = scala.collection.mutable.Map.empty[Long, (Long, String, Long)]
+    // batches already ingested, for exact replays: id -> rows
+    val batches = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def check(op: String): Unit = {
+      trace += op
+      val gotM =
+        if (Versioned.latestVersion(spark, main) == 0) Map.empty
+        else Versioned.current(spark, main, "k").select("k", "x")
+          .as[(Long, Long)].collect().toMap
+      assert(gotM == mModel.toMap,
+        s"MAIN diverged after [${trace.mkString(" -> ")}]:\n" +
+          s"got $gotM\nwant $mModel")
+      val gotQ =
+        if (Versioned.latestVersion(spark, quar) == 0) Map.empty
+        else Versioned.current(spark, quar, "k")
+          .select("k", "x", "q_violated", "q_batch")
+          .as[(Long, Long, String, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotQ == qModel.toMap,
+        s"QUARANTINE diverged after [${trace.mkString(" -> ")}]:\n" +
+          s"got $gotQ\nwant $qModel")
+    }
+
+    def ingest(rows: Seq[(Long, Long)], id: Long, replay: Boolean): Unit = {
+      Versioned.appendCheckedQuarantine(rows.toDF("k", "x"), main,
+        checks, quar, batchId = id, ingestId = "model")
+      if (!replay) rows.foreach { case (k, x) =>
+        val v = violated(k, x)
+        if (v.isEmpty) mModel(k) = x
+        else qModel(k) = ((x, v.mkString(","), id))
+      }
+    }
+
+    var nextId = 0L
+    (1 to 30).foreach { i =>
+      rnd.nextInt(10) match {
+        case n if n <= 4 => // fresh batch, mixed rows (maybe all-one-kind)
+          val mode = rnd.nextInt(3) // 0 mixed, 1 all-clean, 2 all-bad
+          val rows = Seq.fill(1 + rnd.nextInt(12)) {
+            val k = mode match {
+              case 1 => rnd.nextInt(800).toLong
+              case 2 => 900L + rnd.nextInt(keys)
+              case _ => rnd.nextInt(1000).toLong
+            }
+            val x = if (mode == 2) -rnd.nextInt(5).toLong
+              else rnd.nextInt(50).toLong - (if (mode == 1) 0 else 5)
+          (k, x)
+          }.groupBy(_._1).map(_._2.last).toSeq // one row per key per batch
+          val id = nextId; nextId += 1
+          batches(id) = rows
+          ingest(rows, id, replay = false)
+          check(s"ingest#$id(${rows.size})")
+        case 5 | 6 if batches.nonEmpty => // exact replay: must skip BOTH
+          val id = batches.keys.toSeq(rnd.nextInt(batches.size))
+          ingest(batches(id), id, replay = true)
+          check(s"replay#$id")
+        case 7 if mModel.nonEmpty => // delete on the main table
+          val ks = mModel.keys.toSeq.sorted
+            .take(1 + rnd.nextInt(3)).toSeq
+          Versioned.delete(ks.toDF("k"), main)
+          ks.foreach(mModel.remove)
+          check(s"delete(${ks.size})")
+        case 8 => // maintenance on main: compact then vacuum
+          if (Versioned.latestVersion(spark, main) > 0) {
+            Versioned.compact(spark, main, "k")
+            Versioned.vacuum(spark, main, 0)
+          }
+          check("compact+vacuum(main)")
+        case _ => // maintenance on the quarantine table
+          if (Versioned.latestVersion(spark, quar) > 0) {
+            Versioned.compact(spark, quar, "k")
+            Versioned.vacuum(spark, quar, 0)
+          }
+          check("compact+vacuum(quar)")
+      }
+    }
+    // the run must have exercised every op kind
+    assert(trace.exists(_.startsWith("ingest")) &&
+      trace.exists(_.startsWith("replay")) &&
+      trace.exists(_.startsWith("compact")), s"trace: $trace")
+  }
+}

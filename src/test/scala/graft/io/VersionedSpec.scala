@@ -2016,4 +2016,28 @@ class VersionedSpec extends SparkSpec {
     assert(v2.columns.contains("y") && !v2.columns.contains("x"))
     assert(v2.select("y").head().getInt(0) == 10)
   }
+
+  test("appendBatch replay guard SURVIVES compact+vacuum: reclaiming " +
+      "a batch's marker dir migrates its _BATCH_ markers to the base " +
+      "checkpoint, so the replay skips fast instead of stalling on " +
+      "the surviving claim and re-committing past the stale window") {
+    val p = freshPath("batchvac")
+    assert(Versioned.appendBatch(
+      Seq((1L, 10L)).toDF("k", "x"), p, 7L, "ing") == 1)
+    assert(Versioned.appendBatch(
+      Seq((2L, 20L)).toDF("k", "x"), p, 8L, "ing") == 2)
+    Versioned.compact(spark, p, "k")
+    assert(Versioned.vacuum(spark, p, 0) == Seq(1, 2))
+    val before = Versioned.versions(spark, p)
+    val t0 = System.currentTimeMillis()
+    // the replay: its marker dir (v=1) is gone — the migrated marker
+    // on the base must answer "committed" immediately
+    assert(Versioned.appendBatch(
+      Seq((1L, 10L)).toDF("k", "x"), p, 7L, "ing") == 3)
+    assert(System.currentTimeMillis() - t0 < 5000,
+      "replay must not stall on the surviving .claim-batch file")
+    assert(Versioned.versions(spark, p) == before,
+      "replay must commit nothing")
+    assert(Versioned.current(spark, p, "k").count() == 2)
+  }
 }

@@ -1375,6 +1375,35 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 150L)
   }
 
+  test("maintain.vacuum_retain_ms: the auto-policy's vacuum goes " +
+      "time-based and takes precedence over a horizon that would " +
+      "hold everything") {
+    spark.sql("CREATE TABLE graft_test.mrt (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'maintain.delta_commits' = '2', " +
+      "'maintain.delta_bytes_frac' = '1000', " +
+      "'maintain.full_rewrite_frac' = '5000', " +
+      "'maintain.target_file_bytes' = '1048576', " +
+      "'maintain.vacuum_horizon' = '100', " + // would retain forever
+      "'maintain.vacuum_retain_ms' = '1')")
+    spark.sql("INSERT INTO graft_test.mrt SELECT id, id FROM range(30)")
+    spark.sql("INSERT INTO graft_test.mrt " +
+      "SELECT id, id * 2 FROM range(30, 60)")
+    // first pass: the 2-commit threshold takes the first checkpoint;
+    // whether its vacuum already fires depends on how much the
+    // checkpoint aged during its own write, so a second pass after
+    // the window must leave ONLY the checkpoint either way
+    val a1 = spark.sql("CALL graft_test.system.maintain('mrt')")
+      .as[(String, String)].collect().toSeq
+    assert(a1.map(_._1).contains("compact"), s"got $a1")
+    Thread.sleep(80) // age everything past the 1 ms window
+    val a2 = spark.sql("CALL graft_test.system.maintain('mrt')")
+      .as[(String, String)].collect().toSeq
+    assert((a1 ++ a2).exists(t => t._1 == "vacuum" &&
+      t._2.contains("older than 1 ms")), s"got $a1 / $a2")
+    assert(Versioned.versions(spark, s"$wh/mrt") == Seq(4))
+    assert(spark.table("graft_test.mrt").count() == 60)
+  }
+
   test("vacuum_retain under writer clock SKEW: an old timestamp " +
       "ABOVE a young one must not drag the young commit's history " +
       "out — the cut stays below every young commit") {

@@ -2712,6 +2712,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The SAME CDC relation through the SQL TABLE FUNCTION face
+    * ([[graft.plans.GraftExtensions]] `graft_changes`): the TVF
+    * splices [[graft.io.Versioned.changes]]'s logical plan into a
+    * plain `SELECT … FROM graft_changes(path, key, from, to)` at
+    * resolution time — dynamic schema, fully distributed, no
+    * fixed-schema CALL procedure could express it. Same oracle as
+    * [[tableChanges]]: a drift between the Scala and SQL faces
+    * hash-mismatches. */
+  def tableChangesSqlFace(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val path = buildVersionedDemo(spark, dir, "cdc", withInserts = true)
+    spark.sql(s"SELECT doc_id, change_type " +
+      s"FROM graft_changes('$path', 'doc_id', 1, 4) ORDER BY doc_id")
+  }
+
   val tableChangesSql: String =
     s"""WITH $versionedLogSql,
        |u2 AS (
@@ -3070,6 +3085,7 @@ object Queries {
     "q_matview_compact" -> tableMatViewCompact _,
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
+    "q_table_changes_sql" -> tableChangesSqlFace _,
     "q_table_merge" -> tableMerge _,
     "q_table_prune" -> tablePrune _,
     "q_table_history" -> tableHistory _,
@@ -3148,6 +3164,7 @@ object Queries {
     "q_matview_compact" -> tableMatViewCompactSql,
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
+    "q_table_changes_sql" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,
     "q_table_prune" -> tablePruneSql,
     "q_table_history" -> tableHistorySql,

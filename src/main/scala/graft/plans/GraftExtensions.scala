@@ -15,8 +15,10 @@ import graft.functions.{AdjacentPairs, CharPairs, DotProduct, HllSketchAgg, KmvS
  * installs the same functions directly into the session's registry.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    GraftExtensions.tableDescriptors.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -99,10 +101,76 @@ object GraftExtensions {
       (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
     }
 
+  // ---------- TABLE functions (CDC / SCD2 / resolve from plain SQL) --
+  //
+  // The versioned table's computed READ SHAPES as SQL table-valued
+  // functions: each builder splices the corresponding Scala API's
+  // LOGICAL PLAN into the calling query at resolution time — fully
+  // distributed (windows/joins plan like any other subquery), nothing
+  // ever collects to the driver, and the dynamic schema (these return
+  // the table's own columns, which no fixed-schema CALL procedure can
+  // express) comes along for free:
+  //
+  //   SELECT * FROM graft_current('path', 'k')        -- MOR resolve
+  //   SELECT * FROM graft_changes('path', 'k', 1, 4)  -- CDC between versions
+  //   SELECT * FROM graft_history('path', 'k')        -- SCD2 intervals
+  //
+  // Paths address the table directly (catalog tables resolve through
+  // SELECT on the table name already; these serve path-addressed
+  // tables and version-pair CDC, which the catalog face cannot).
+  private def tableArity(name: String, n: Int)(
+      build: Seq[Expression]
+        => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Expression]
+        => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == n,
+        s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
+  }
+
+  private val tableBuilders: Seq[(String,
+      Seq[Expression]
+        => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_current", tableArity("graft_current", 2) { es =>
+      graft.io.Versioned.current(SparkSession.active,
+          literalString("graft_current", es.head),
+          literalString("graft_current", es(1)))
+        .queryExecution.logical
+    }),
+    ("graft_changes", tableArity("graft_changes", 4) { es =>
+      graft.io.Versioned.changes(SparkSession.active,
+          literalString("graft_changes", es.head),
+          literalString("graft_changes", es(1)),
+          literalInt("graft_changes", es(2)),
+          literalInt("graft_changes", es(3)))
+        .queryExecution.logical
+    }),
+    ("graft_history", tableArity("graft_history", 2) { es =>
+      graft.io.Versioned.history(SparkSession.active,
+          literalString("graft_history", es.head),
+          literalString("graft_history", es(1)))
+        .queryExecution.logical
+    }))
+
+  private[plans] val tableDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression]
+        => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    tableBuilders.map { case (name, b) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.io.Versioned.type].getName, name),
+        b)
+    }
+
   /** Install the functions into a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    tableBuilders.foreach { case (name, b) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
 }

@@ -2712,6 +2712,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The SAME CDC relation at O(delta) cost
+    * ([[graft.io.Versioned.changesIncremental]]): the delta slice's
+    * newest-row window plus a broadcast-pruned point-lookup of the
+    * old state for touched keys only — the V2 scan's runtime IN-set
+    * file pruning must appear in the plan (asserted), because at
+    * 100 TB the whole point is that the fromV side reads the touched
+    * keys' files, not the table. Same oracle as [[tableChanges]]: the
+    * incremental and full faces must never disagree. */
+  def tableChangesInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "cdc", withInserts = true)
+    val out = Versioned.changesIncremental(spark, path, "doc_id", 1, 4)
+      .orderBy("doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruning"),
+      "expected the old-state lookup to carry a dynamic-pruning " +
+        "runtime filter on the graft scan; plan:\n" + plan)
+    out
+  }
+
   /** The SAME CDC relation through the SQL TABLE FUNCTION face
     * ([[graft.plans.GraftExtensions]] `graft_changes`): the TVF
     * splices [[graft.io.Versioned.changes]]'s logical plan into a
@@ -3086,6 +3106,7 @@ object Queries {
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_changes_sql" -> tableChangesSqlFace _,
+    "q_table_changes_inc" -> tableChangesInc _,
     "q_table_merge" -> tableMerge _,
     "q_table_prune" -> tablePrune _,
     "q_table_history" -> tableHistory _,
@@ -3165,6 +3186,7 @@ object Queries {
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_changes_sql" -> tableChangesSql,
+    "q_table_changes_inc" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,
     "q_table_prune" -> tablePruneSql,
     "q_table_history" -> tableHistorySql,

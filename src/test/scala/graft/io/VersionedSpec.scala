@@ -2017,6 +2017,51 @@ class VersionedSpec extends SparkSpec {
     assert(v2.select("y").head().getInt(0) == 10)
   }
 
+  test("changesIncremental equals changes() through upserts, deletes, " +
+      "an in-range compact and a RESTORE; refuses merges and mapping " +
+      "changes in range; empty range and fallback are exact") {
+    val p = freshPath("cdcinc")
+    Versioned.append(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "x"), p)                                   // v1
+    Versioned.append(Seq((2L, 99L), (5L, 50L)).toDF("k", "x"), p) // v2
+    Versioned.compact(spark, p, "k")                        // v3 ckpt
+    Versioned.delete(Seq(3L).toDF("k"), p)                  // v4
+    Versioned.append(Seq((4L, 40L)).toDF("k", "x"), p)      // v5: no-op upsert
+    Versioned.restore(spark, p, "k", 1)                     // v6: diff commit
+    def both(from: Int, to: Int): (Set[(Long, String)], Set[(Long, String)]) = (
+      Versioned.changesIncremental(spark, p, "k", from, to)
+        .as[(Long, String)].collect().toSet,
+      Versioned.changes(spark, p, "k", from, to)
+        .as[(Long, String)].collect().toSet)
+    for ((f, t) <- Seq((1, 2), (1, 4), (2, 5), (1, 6), (4, 6), (2, 6))) {
+      val (inc, full) = both(f, t)
+      assert(inc == full, s"($f,$t): incremental $inc != full $full")
+    }
+    // the restore window unwinds everything back to v1's state
+    assert(both(1, 6)._1 == Set.empty[(Long, String)])
+    // a pure-compaction range is empty at metadata cost
+    assert(Versioned.changesIncremental(spark, p, "k", 2, 3).count() == 0)
+    // the fallback threshold routes to changes() and stays exact
+    assert(Versioned.changesIncremental(spark, p, "k", 1, 4,
+      maxBroadcastKeys = 1L).as[(Long, String)].collect().toSet ==
+      both(1, 4)._2)
+    // MERGE in range: fail-loud, directed to changes()
+    Versioned.merge(Seq((2L, 77L)).toDF("k", "x"), p)       // v7 merge
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, p, "k", 5, 7)
+    }
+    assert(e.getMessage.contains("MERGE"))
+    // the full face stays the truth across the merge
+    assert(Versioned.changes(spark, p, "k", 6, 7)
+      .as[(Long, String)].collect().toSet == Set((2L, "update")))
+    // mapping change in range: fail-loud
+    Versioned.renameColumn(spark, p, "x", "y")              // v8
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, p, "k", 7, 8)
+    }
+    assert(e2.getMessage.contains("mapping"))
+  }
+
   test("appendBatch replay guard SURVIVES compact+vacuum: reclaiming " +
       "a batch's marker dir migrates its _BATCH_ markers to the base " +
       "checkpoint, so the replay skips fast instead of stalling on " +

@@ -25,7 +25,7 @@ object Stress {
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
-      "dmlrace", "maintain")
+      "dmlrace", "maintain", "cdc")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -111,6 +111,10 @@ object Stress {
     if (mode == "spans") { spansStress(spark, nRows, cpus.toInt); return }
     if (mode == "incdedup") { incDedupStress(spark, nRows, cpus.toInt); return }
     if (mode == "vtable") { vtableStress(spark, nRows, cpus.toInt); return }
+    if (mode == "cdc") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(10000000L)
+      cdcStress(spark, nr, cpus.toInt); return
+    }
     if (mode == "events") { eventsStress(spark, nRows, cpus.toInt); return }
     if (mode == "eventskew") {
       eventsStress(spark, nRows, cpus.toInt, skewed = true); return
@@ -1895,6 +1899,66 @@ object Stress {
       s""""files_full":$filesFull,"sec_join_dpp":${f"$secDpp%.2f"},""" +
       s""""files_dpp":$filesDpp,"sec_limit":${f"$secLimit%.2f"},""" +
       s""""files_limit":$filesLimit}""")
+  }
+
+  /** O(delta) CDC vs the full two-resolve diff, at the shape the
+    * incremental face exists for: a BIG compacted base (sized,
+    * key-clustered checkpoint files — tight zone maps) and a SMALL
+    * delta. Two delta flavors: key-CLUSTERED (a narrow band — the
+    * runtime IN-set pruning skips most checkpoint files: the
+    * point-lookup story) and key-SCATTERED (pruning can't skip files,
+    * but the resolve window and diff still run over the joined
+    * touched-key subset instead of the whole table). Both must equal
+    * the full changes() exactly. */
+  private def cdcStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {
+    import graft.io.Versioned
+    val path = "target/tmp/cdc-stress"
+    Versioned.drop(spark, path)
+    val base = spark.range(nRows).repartition(cpus * 4)
+      .select(col("id").as("k"), (col("id") % 1000).as("x"))
+    Versioned.append(base, path)
+    Versioned.compact(spark, path, "k", nFiles = 64)
+    val fromV = Versioned.latestVersion(spark, path)
+    val dn = math.max(nRows / 1000, 1000L)
+    // clustered delta: one narrow key band (+ some deletes)
+    Versioned.append(spark.range(dn)
+      .select(col("id").as("k"), lit(-1L).as("x")), path)
+    Versioned.delete(spark.range(dn / 10)
+      .select((col("id") + dn).as("k")), path)
+    val midV = Versioned.latestVersion(spark, path)
+    // scattered delta: keys spread across the whole range
+    Versioned.append(spark.range(dn)
+      .select(((col("id") * 997L) % nRows).as("k"), lit(-2L).as("x")),
+      path)
+    val toV = Versioned.latestVersion(spark, path)
+
+    def timed[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[cdc] $what%-28s $s%8.2f s"); (r, s)
+    }
+    def run(from: Int, to: Int, tag: String): Unit = {
+      val (inc, tInc) = timed(s"incremental $tag") {
+        Versioned.changesIncremental(spark, path, "k", from, to)
+          .groupBy("change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val (full, tFull) = timed(s"full $tag") {
+        Versioned.changes(spark, path, "k", from, to)
+          .groupBy("change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      require(inc == full, s"cdc $tag: incremental $inc != full $full")
+      println(f"[cdc] $tag: ${full.values.sum} changes, " +
+        f"speedup ${tFull / tInc}%.1fx (full $tFull%.2f s / inc $tInc%.2f s)")
+    }
+    // untimed warmup: both faces once, so the timed pairs compare
+    // plan shapes rather than who pays the OS page-cache cold read
+    Versioned.changesIncremental(spark, path, "k", fromV, midV).count()
+    Versioned.changes(spark, path, "k", fromV, midV).count()
+    run(fromV, midV, s"clustered ($dn upserts, ${dn / 10} deletes)")
+    run(midV, toV, s"scattered ($dn upserts)")
+    run(fromV, toV, "both deltas")
   }
 
   private def vtableStress(spark: SparkSession, nRows: Long, cpus: Int): Unit = {

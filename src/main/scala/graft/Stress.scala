@@ -1926,9 +1926,13 @@ object Stress {
     Versioned.delete(spark.range(dn / 10)
       .select((col("id") + dn).as("k")), path)
     val midV = Versioned.latestVersion(spark, path)
-    // scattered delta: keys spread across the whole range
+    // scattered delta: keys spread across the whole range (deduped —
+    // (id*997)%nRows can collide for nRows sharing a factor with the
+    // id range, and two rows for one key in one commit would make the
+    // within-version tie nondeterministic between the two faces)
     Versioned.append(spark.range(dn)
-      .select(((col("id") * 997L) % nRows).as("k"), lit(-2L).as("x")),
+      .select(((col("id") * 997L) % nRows).as("k"), lit(-2L).as("x"))
+      .dropDuplicates("k"),
       path)
     val toV = Versioned.latestVersion(spark, path)
 

@@ -1797,15 +1797,27 @@ object Versioned {
     * same-key groupBy sharing the same Exchange. */
   def currentAsOf(spark: SparkSession, path: String, keyCol: String,
       version: Int): DataFrame = {
+    val vs = currentAsOfVersions(spark, path, version)
+    val from = vs.head - 1
+    resolve(readDirs(spark, path, vs), keyCol,
+      mergeVersions(spark, path).exists(v => v > from && v <= version))
+  }
+
+  /** The BOUNDED version set a resolve at `version` needs: the newest
+    * checkpoint at or below it (whose key-clustered files carry the
+    * tight zone maps) plus the log commits above — [[currentAsOf]]'s
+    * read set, also the V2 scan's `fromCheckpointBase` slice (the
+    * plain `versionAsOf` slice is the LOG view: checkpoints excluded,
+    * O(history) dirs). */
+  private[graft] def currentAsOfVersions(spark: SparkSession,
+      path: String, version: Int): Seq[Int] = {
     val base = checkpoints(spark, path).filter(_ <= version).lastOption
     vacuumBase(spark, path).foreach { vb =>
       require(base.exists(_ >= vb), s"currentAsOf($version): versions below " +
         s"$vb were vacuumed at $path; earliest readable version is $vb")
     }
     val from = base.map(_ - 1).getOrElse(0)
-    val vs = versions(spark, path).filter(v => v > from && v <= version)
-    resolve(readDirs(spark, path, vs), keyCol,
-      mergeVersions(spark, path).exists(v => v > from && v <= version))
+    versions(spark, path).filter(v => v > from && v <= version)
   }
 
   /** The resolve over an already-assembled log slice. */
@@ -3340,11 +3352,14 @@ object Versioned {
     *     state change in range has a log row);
     *  2. the old state FOR THE TOUCHED KEYS ONLY — a broadcast join
     *     of the touched-key set against the V2 scan at
-    *     `versionAsOf = fromV`, whose runtime IN-set file pruning
-    *     ([[pruneFilesForInSets]]) skips every file whose key zones
-    *     miss the set: a per-key file lookup, not a scan (join
-    *     BEFORE the resolve window — a key filter commutes with the
-    *     per-key resolve, and the dynamic filter must reach the scan);
+    *     `versionAsOf = fromV` with `fromCheckpointBase` (the newest
+    *     checkpoint plus the log above it — bounded dirs, and the
+    *     checkpoint's key-clustered files carry tight zone maps), so
+    *     the runtime IN-set file pruning ([[pruneFilesForInSets]])
+    *     skips every file whose key zones miss the set: a per-key
+    *     file lookup, not a scan (join BEFORE the resolve window — a
+    *     key filter commutes with the per-key resolve, and the
+    *     dynamic filter must reach the scan);
     *  3. a left join classifying insert / update (any common column
     *     differs, null-safe) / delete — old rows exist only for
     *     touched keys, so no full-outer needed.
@@ -3383,12 +3398,36 @@ object Versioned {
           org.apache.spark.sql.types.StructField("change_type",
             org.apache.spark.sql.types.StringType, nullable = false))))
     }
-    // 1) newest slice row per touched key
+    // 1) newest slice row per touched key. The old side's schema (the
+    // V2 slice at fromV) is the table's schema there — pad slice
+    // columns a narrower delta frame omitted (a live row written
+    // without column c resolves to c = NULL; the comparison must see
+    // that as a change, exactly like the full face's resolved diff)
+    val rawOld = spark.read.format("graft")
+      .option("versionAsOf", fromV)
+      // the BOUNDED resolve slice: newest checkpoint + the log above
+      // it — the plain log view would read O(history) dirs, and the
+      // checkpoint's key-clustered files are where zone maps are
+      // tight enough for the IN-set pruning to mean anything
+      .option("fromCheckpointBase", "true")
+      .load(path)
     val slice0 = readDirs(spark, path, deltaVs, mapV = Some(toV))
-    val slice = if (slice0.columns.contains(SeqCol)) slice0
+    val slice1 = if (slice0.columns.contains(SeqCol)) slice0
       else slice0.withColumn(SeqCol, lit(null).cast("long"))
-    val nKeys = slice.select(keyCol).distinct().count()
-    if (nKeys > maxBroadcastKeys)
+    val slice = rawOld.schema.fields
+      .filterNot(f => slice1.columns.contains(f.name))
+      .filterNot(f => MetaCols.contains(f.name))
+      .foldLeft(slice1)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // touched keys, materialized ONCE (the threshold count, the
+    // broadcast build, and nothing else re-reads the delta for it)
+    val touched = slice.select(col(keyCol).as("__ck")).distinct()
+      .localCheckpoint()
+    require(touched.filter(col("__ck").isNull).isEmpty,
+      s"changesIncremental: NULL keys in ($fromV, $toV] at $path — " +
+        "null never equi-joins, so the incremental lookup cannot " +
+        "classify it; use changes()")
+    if (touched.count() > maxBroadcastKeys)
       return changes(spark, path, keyCol, fromV, toV)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(VersionCol).desc, col(SeqCol).desc_nulls_last)
@@ -3399,12 +3438,12 @@ object Versioned {
       .select(Seq(col(keyCol), col(DeletedCol).as("__ndel")) ++
         dataCols.map(c => col(c).as(s"__n_$c")): _*)
     // 2) old state for the touched keys, through the pruned V2 scan
-    val rawOld = spark.read.format("graft")
-      .option("versionAsOf", fromV).load(path)
-    val touched = slice.select(col(keyCol).as("__ck")).distinct()
     val oldRaw = rawOld.join(broadcast(touched),
       rawOld(keyCol) === col("__ck")).drop("__ck")
-    val old = resolve(oldRaw, keyCol, mv.exists(_ <= fromV))
+    val base0 = checkpoints(spark, path).filter(_ <= fromV)
+      .lastOption.getOrElse(0)
+    val old = resolve(oldRaw, keyCol,
+        mv.exists(v => v > base0 && v <= fromV))
       .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
     val common = dataCols.filter(old.columns.contains)
     val oldSel = old.select(Seq(col(keyCol), lit(true).as("__ino")) ++

@@ -71,8 +71,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = GraftDataSource.pathOf(options)
-    Versioned.sliceSchema(spark, path, Versioned.asOfVersions(spark, path,
-      GraftDataSource.versionOf(spark, options)))
+    Versioned.sliceSchema(spark, path, GraftDataSource.sliceOf(
+      spark, path, GraftDataSource.versionOf(spark, options), options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -81,6 +81,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object GraftDataSource {
+
+  /** The version-dir slice a read covers. Default = the LOG view
+    * ([[Versioned.asOfVersions]]: every non-checkpoint commit — raw
+    * history, O(commits) dirs). `fromCheckpointBase=true` = the
+    * BOUNDED resolve set ([[Versioned.currentAsOfVersions]]: the
+    * newest checkpoint at or below the version plus the log above
+    * it) — same resolved state once key-resolved, but the scan reads
+    * the checkpoint's key-clustered files, whose tight zone maps are
+    * what runtime IN-set pruning needs for per-key lookups. */
+  def sliceOf(spark: SparkSession, path: String, version: Int,
+      options: CaseInsensitiveStringMap): Seq[Int] =
+    if (options.getBoolean("fromCheckpointBase", false))
+      Versioned.currentAsOfVersions(spark, path, version)
+    else Versioned.asOfVersions(spark, path, version)
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -216,7 +230,8 @@ private[sources] class GraftTable(tableSchema: StructType,
     // merges .option(...) into the table properties)
     val version = GraftDataSource.versionOf(spark, options)
     new GraftScanBuilder(spark, path,
-      () => Versioned.asOfVersions(spark, path, version), tableSchema,
+      () => GraftDataSource.sliceOf(spark, path, version, options),
+      tableSchema,
       GraftDataSource.maxVersionsOf(scanOptions)
         .orElse(GraftDataSource.maxVersionsOf(options)),
       () => Versioned.logicalToPhysical(spark, path, version),

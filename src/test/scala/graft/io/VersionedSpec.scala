@@ -2045,21 +2045,37 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.changesIncremental(spark, p, "k", 1, 4,
       maxBroadcastKeys = 1L).as[(Long, String)].collect().toSet ==
       both(1, 4)._2)
+    // a NARROWER live frame (no x column): the resolved state's x
+    // goes null — both faces must call that an update
+    Versioned.append(Seq(Tuple1(4L)).toDF("k"), p)          // v7: k only
+    val (iN, fN) = both(6, 7)
+    assert(iN == fN && iN == Set((4L, "update")),
+      s"narrow-frame upsert: inc $iN full $fN")
     // MERGE in range: fail-loud, directed to changes()
-    Versioned.merge(Seq((2L, 77L)).toDF("k", "x"), p)       // v7 merge
+    Versioned.merge(Seq((2L, 77L)).toDF("k", "x"), p)       // v8 merge
     val e = intercept[IllegalArgumentException] {
-      Versioned.changesIncremental(spark, p, "k", 5, 7)
+      Versioned.changesIncremental(spark, p, "k", 7, 8)
     }
     assert(e.getMessage.contains("MERGE"))
     // the full face stays the truth across the merge
-    assert(Versioned.changes(spark, p, "k", 6, 7)
+    assert(Versioned.changes(spark, p, "k", 7, 8)
       .as[(Long, String)].collect().toSet == Set((2L, "update")))
     // mapping change in range: fail-loud
-    Versioned.renameColumn(spark, p, "x", "y")              // v8
+    Versioned.renameColumn(spark, p, "x", "y")              // v9
     val e2 = intercept[IllegalArgumentException] {
-      Versioned.changesIncremental(spark, p, "k", 7, 8)
+      Versioned.changesIncremental(spark, p, "k", 8, 9)
     }
     assert(e2.getMessage.contains("mapping"))
+    // NULL keys in the delta: refused loudly (separate fixture — null
+    // never equi-joins, the incremental lookup cannot classify it)
+    val pn = freshPath("cdcnull")
+    Versioned.append(Seq((1L, 1L)).toDF("k", "x"), pn)
+    Versioned.append(
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 5L AS x"), pn)
+    val eN = intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, pn, "k", 1, 2)
+    }
+    assert(eN.getMessage.contains("NULL keys"))
   }
 
   test("appendBatch replay guard SURVIVES compact+vacuum: reclaiming " +

@@ -151,6 +151,17 @@ object GraftExtensions {
           literalString("graft_history", es.head),
           literalString("graft_history", es(1)))
         .queryExecution.logical
+    }),
+    // the O(delta) CDC face: delta-slice window + zone-pruned
+    // point-lookup of the old state — same relation as graft_changes,
+    // the cost shape for "what changed in the last N commits"
+    ("graft_changes_inc", tableArity("graft_changes_inc", 4) { es =>
+      graft.io.Versioned.changesIncremental(SparkSession.active,
+          literalString("graft_changes_inc", es.head),
+          literalString("graft_changes_inc", es(1)),
+          literalInt("graft_changes_inc", es(2)),
+          literalInt("graft_changes_inc", es(3)))
+        .queryExecution.logical
     }))
 
   private[plans] val tableDescriptors

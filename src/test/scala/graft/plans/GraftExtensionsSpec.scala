@@ -130,6 +130,11 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[(Long, String, Int, Option[Int], Boolean)].collect().toSeq
     assert(h == Seq((2L, "b", 1, Some(1), false),
       (2L, "b2", 2, None, true)))
+    // the O(delta) face answers identically from SQL
+    val chInc = spark.sql(
+      s"SELECT * FROM graft_changes_inc('$p', 'k', 1, 3) ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(chInc == ch, s"incremental TVF $chInc != full TVF $ch")
     // composable: a table function joined to an ordinary relation
     val joined = spark.sql(
       s"""SELECT c.k, c.s FROM graft_current('$p', 'k') c

@@ -143,6 +143,31 @@ object Versioned {
     own ++ readManifest(f, dir).map(refPath(path, _))
   }
 
+  /** Data-file LENGTHS of version `v` — same file set as [[filesOf]],
+    * but from ONE `listStatus` per directory (the statuses already
+    * carry lengths) instead of a per-file `getFileStatus` RPC. At
+    * 10⁴–10⁵ files/table this is what keeps [[maintain]]'s metadata
+    * sweep off the driver's critical path: carried manifest refs
+    * resolve against one listing of each HOME dir they live in. */
+  private[io] def fileLensOf(f: FileSystem, path: String, v: Int)
+      : Seq[Long] = {
+    val dir = new Path(s"$path/v=$v")
+    val own = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    val refs = readManifest(f, dir).map(refPath(path, _))
+    val refLens = refs.groupBy(_.getParent).toSeq.flatMap {
+      case (home, ps) =>
+        val names = ps.map(_.getName).toSet
+        // a manifest ref whose home file was vacuumed away simply
+        // doesn't appear in the listing — same semantics as the old
+        // exists-else-0 probe, without the per-file RPC
+        if (!f.exists(home)) Nil
+        else f.listStatus(home).toSeq
+          .filter(s => names(s.getPath.getName)).map(_.getLen)
+    }
+    own ++ refLens
+  }
+
   /** Per-file zone-map lookup across dirs (file → its parent dir's
     * `_STATS.tsv` row), with a per-instance dir cache — carried files
     * resolve against their HOME dir's stats, before and after vacuum
@@ -303,9 +328,17 @@ object Versioned {
       org.apache.spark.sql.Column, Long, Long) = {
     require(constraints.nonEmpty,
       "appendCheckedQuarantine needs >= 1 constraint")
-    // Path-normalized compare (trailing slash / '.' segments must not
-    // sneak the dead letters into the main table as ordinary rows)
-    require(new Path(quarantinePath) != new Path(path),
+    // Fully-qualified compare: Path equality alone normalizes only
+    // trailing/duplicate slashes — makeQualified also resolves
+    // relative-vs-absolute aliases of the same directory (and stamps
+    // the scheme), so 'tbl' vs '/abs/wd/tbl' can't sneak the dead
+    // letters into the main table as ordinary rows
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    def qualified(p: String): Path = {
+      val hp = new Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(quarantinePath) != qualified(path),
       "the quarantine table must differ from the main table")
     val anyViol = coalesce(
       constraints.map(_._2 === false).reduce(_ || _), lit(false))
@@ -1641,8 +1674,7 @@ object Versioned {
     val f = fs(spark, path)
     val d = new Path(s"$path/v=$v")
     if (!f.exists(d)) 0L
-    else filesOf(f, path, v)
-      .map(fp => if (f.exists(fp)) f.getFileStatus(fp).getLen else 0L).sum
+    else fileLensOf(f, path, v).sum
   }
 
   /** Exact row-count sum of `files` from their stamped `__nrows`
@@ -1798,6 +1830,8 @@ object Versioned {
   def currentAsOf(spark: SparkSession, path: String, keyCol: String,
       version: Int): DataFrame = {
     val vs = currentAsOfVersions(spark, path, version)
+    require(vs.nonEmpty,
+      s"no committed versions at or below $version at $path")
     val from = vs.head - 1
     resolve(readDirs(spark, path, vs), keyCol,
       mergeVersions(spark, path).exists(v => v > from && v <= version))
@@ -3600,7 +3634,7 @@ object Versioned {
         else if (parts.isEmpty) "metadata"
         else "write"
       (v, times.get(v), ck.contains(v), mg.contains(v), batch, op,
-        parts.length, parts.map(fp => f.getFileStatus(fp).getLen).sum,
+        parts.length, fileLensOf(f, path, v).sum,
         pinned.count(_.startsWith(dirQ + "/")))
     }
     rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
@@ -3666,8 +3700,7 @@ object Versioned {
       cfg: MaintainConfig = MaintainConfig()): Seq[(String, String)] = {
     val actions = mutable.ArrayBuffer.empty[(String, String)]
     val f = fs(spark, path)
-    def bytesOf(v: Int): Long =
-      filesOf(f, path, v).map(fp => f.getFileStatus(fp).getLen).sum
+    def bytesOf(v: Int): Long = fileLensOf(f, path, v).sum
     def nf(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
     val head0 = latestVersion(spark, path)
@@ -3711,7 +3744,7 @@ object Versioned {
     // checkpoint — only when re-clustering actually shrinks the count
     val head1 = latestVersion(spark, path)
     checkpoints(spark, path).filter(_ <= head1).lastOption.foreach { c =>
-      val sizes = filesOf(f, path, c).map(fp => f.getFileStatus(fp).getLen)
+      val sizes = fileLensOf(f, path, c)
       val small = sizes.count(_ < cfg.targetFileBytes / 2)
       val want = nf(sizes.sum)
       if (sizes.length > 1 &&

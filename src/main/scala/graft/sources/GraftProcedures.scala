@@ -142,20 +142,31 @@ private[sources] object GraftProcedures {
     * Spaces encode as %20 (NOT '+') and the decoder preserves literal
     * '+': raw user input like 'dim+2024' must survive the decode the
     * create procedure applies — only ':;|%' genuinely need escaping. */
+  /** Format VERSION marker for the space-safe codec. A `jv.dims`
+    * value persisted by the pre-r16 codec encoded spaces as '+'
+    * (plain form-encoding) and carries no marker; the current codec
+    * prefixes its output so [[decodeDims]] can keep decoding BOTH —
+    * an existing view's dim paths never silently re-point. */
+  private val DimsV2 = "2!"
+
   private def encodeDims(dims: Seq[graft.io.JoinView.DimLink]): String =
-    dims.map { d =>
+    DimsV2 + dims.map { d =>
       def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
         .replace("+", "%20")
       Seq(e(d.dimPath), e(d.dimKeyCol), e(d.joinCol),
         d.carryCols.map(e).mkString("|")).mkString(":")
     }.mkString(";")
 
-  private def decodeDims(enc: String): Seq[graft.io.JoinView.DimLink] =
+  private def decodeDims(raw: String): Seq[graft.io.JoinView.DimLink] = {
+    val v2 = raw.startsWith(DimsV2)
+    val enc = if (v2) raw.substring(DimsV2.length) else raw
     enc.split(';').filter(_.nonEmpty).toSeq.map { hop =>
-      // '+' re-escaped before the decode: URLDecoder's form-encoding
-      // quirk would turn a literal '+' in raw user input into a space
+      // v2: '+' re-escaped before the decode — URLDecoder's form-
+      // encoding quirk would turn a literal '+' in raw user input
+      // into a space. Legacy (unmarked) values WERE form-encoded
+      // ('+' means space), so they decode plain.
       def d(s: String) = java.net.URLDecoder.decode(
-        s.replace("+", "%2B"), "UTF-8")
+        if (v2) s.replace("+", "%2B") else s, "UTF-8")
       // split with limit -1: a carry-less hop ("p:k:j:" — a pure
       // semi-join-filter dim) keeps its trailing empty field instead
       // of collapsing to 3 and failing the re-open of a view that
@@ -168,6 +179,7 @@ private[sources] object GraftProcedures {
           s"malformed jv.dims hop '$hop' (${other.length} fields)")
       }
     }
+  }
 
   /** One table's auto-maintenance pass: [[Versioned.maintain]] under
     * the table's `maintain.*` property overrides. Shared by the

@@ -3025,7 +3025,8 @@ object PipelineQueries {
     * certified since round 3). */
   /** The IVF replay CTE chain, parameterized on the centroid-set
     * predicate so the retrain oracle can swap codebooks. */
-  private def ivfScoredCteFor(centPred: String): String =
+  private def ivfScoredCteFor(centPred: String,
+      candPred: String = "TRUE"): String =
     s"""WITH u AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS v
@@ -3052,7 +3053,8 @@ object PipelineQueries {
       |    FROM cc WHERE id < 50) WHERE rk <= 2),
       |cand AS (
       |  SELECT p.qid, a.id AS nid
-      |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.qid <> a.id),
+      |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.qid <> a.id
+      |    AND ($candPred)),
       |scored AS (
       |  SELECT cand.qid, cand.nid,
       |    ROUND(SUM(qu.v * nu.v) / (nq.nrm * nn.nrm), 5) AS cos
@@ -3067,6 +3069,47 @@ object PipelineQueries {
 
   val annIvfSql: String =
     s"""$ivfScoredCte,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM scored)
+       |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
+
+  /** FILTERED (hybrid) ANN serve: metadata predicate + cosine top-k
+    * over the generational IVF index — the `WHERE lang = 'en' ORDER BY
+    * cos DESC LIMIT 3` shape every production vector search runs. The
+    * `lang` column is ingested as index METADATA at init/append (any
+    * non-(id, vec) column is), and [[VecIndex.ivfTopK]]'s `filter`
+    * applies it on the probed lists scan BEFORE ranking — k stays full
+    * among matching rows, where post-filtering an unfiltered top-k
+    * silently under-fills (spec-pinned in VecIndexSpec). The oracle
+    * replays plain IVF with candidates restricted to matching ids. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tagged = emb.withColumn("lang",
+      when(pmod(col("id"), lit(3)) === 0, "en").otherwise("xx"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-filtered-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = tagged.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(tagged.filter(col("id") <= half), 64, path,
+          centroids = Some(centroids), cbBuckets = 4)
+        VecIndex.append(tagged.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    VecIndex.ivfTopK(spark, emb.filter(col("id") < 50),
+        VecIndex.open(spark, path), 2, 3,
+        filter = Some(col("lang") === "en"))
+      .orderBy("qid", "nid")
+  }
+
+  val annFilteredSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8", "a.id % 3 = 0")},
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
        |      FROM scored)
        |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
@@ -4129,6 +4172,7 @@ object PipelineQueries {
     "q_ann_neardup" -> annNearDup _,
     "q_ann_neardup_multi" -> annNearDupMulti _,
     "q_ann_ivf" -> annIvf _,
+    "q_ann_filtered" -> annFiltered _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4229,6 +4273,7 @@ object PipelineQueries {
     "q_ann_neardup" -> annNearDupSql,
     "q_ann_neardup_multi" -> annNearDupMultiSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_filtered" -> annFilteredSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

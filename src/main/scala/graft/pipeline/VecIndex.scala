@@ -65,6 +65,31 @@ object VecIndex {
   private val DataDirs = Seq("vecs", "tombs")
   private val SidecarNames = Seq("centroids", "pq", "coarse")
 
+  /** Column names the encoder derives or the layout owns. Everything
+    * ELSE in an [[init]]/[[append]] frame beyond (id, vec) is a
+    * METADATA column, stored verbatim next to the vectors in every
+    * generation — the substrate of the FILTERED serve: a predicate
+    * over these columns pushes into the probed generation scan, BELOW
+    * the Hamming/ADC/cosine shortlist, so top-k stays full among
+    * matching rows (post-filtering an unfiltered top-k silently
+    * under-fills k — the shape every serve path here refuses). */
+  private val Derived = Set("nrm", "bwords", "cid", "ccid", "cb", "gen",
+    "__res", "__ovec")
+  private def isDerived(c: String): Boolean =
+    Derived(c) || c.matches("code\\d+")
+
+  /** Stored column names of the live generations (footer reads only —
+    * no data scan). */
+  private def liveCols(spark: SparkSession, idx: Index): Seq[String] = {
+    val f = fsOf(spark, idx.path)
+    val ms = GenLog.liveMetas(spark, f, idx.path)
+      .filter(_.kind != GenLog.KindDel)
+    spark.read.option("basePath", s"${idx.path}/vecs")
+      .parquet(ms.flatMap(m =>
+        GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
+      .schema.fieldNames.toSeq
+  }
+
   /** Versioned codebook sidecar path. Version 0 is the [[init]]
     * codebook at the unsuffixed legacy path (`centroids/`, `pq/`,
     * `coarse/`); [[retrain]] installs `<name>_v<V>` siblings. */
@@ -139,9 +164,17 @@ object VecIndex {
     * against the coarse + residual codebooks. */
   private def encoded(df: DataFrame, idx: Index, v: Int): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select(col("id"), col("vec"),
+    // every non-(id, vec) column is metadata, carried verbatim into
+    // the generation rows (the filtered-serve substrate)
+    val meta = df.columns.toSeq.filterNot(c => c == "id" || c == "vec")
+    val clash = meta.filter(isDerived)
+    require(clash.isEmpty, s"metadata column(s) ${clash.mkString(", ")} " +
+      "collide with index-derived columns " +
+      "(nrm/bwords/cid/ccid/cb/gen/code*)")
+    val base = df.select(Seq(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("nrm"),
-      Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords"))
+      Similarity.binaryQuantize(col("vec"), idx.dim).as("bwords")) ++
+      meta.map(col): _*)
     coarseBook(spark, idx, v) match {
       case Some(coarse) =>
         // IVFADC: euclidean coarse assign, then PQ on the residual
@@ -158,12 +191,14 @@ object VecIndex {
         val resVec = array((0 until idx.dim).map(i =>
           col("vec").getItem(i).cast("double") -
             element_at(flat, col("ccid").cast("int") * idx.dim + i + 1)): _*)
-        val res = assigned.select(col("id"), resVec.as("__res"),
-          col("vec"), col("nrm"), col("bwords"), col("ccid"))
+        val res = assigned.select(Seq(col("id"), resVec.as("__res"),
+          col("vec"), col("nrm"), col("bwords"), col("ccid")) ++
+          meta.map(col): _*)
         Similarity.pqEncode(
           res.withColumnRenamed("vec", "__ovec")
             .withColumnRenamed("__res", "vec"),
-          books, subDim, extra = Seq("__ovec", "nrm", "bwords", "ccid"))
+          books, subDim,
+          extra = Seq("__ovec", "nrm", "bwords", "ccid") ++ meta)
           .withColumnRenamed("__ovec", "vec")
       case None =>
         val withIvf =
@@ -178,7 +213,7 @@ object VecIndex {
           case None => withIvf
           case Some((books, subDim)) =>
             val extra = Seq("vec", "nrm", "bwords") ++
-              (if (idx.hasIvf) Seq("cid") else Nil)
+              (if (idx.hasIvf) Seq("cid") else Nil) ++ meta
             Similarity.pqEncode(withIvf, books, subDim, extra)
         }
     }
@@ -383,7 +418,10 @@ object VecIndex {
     val g = GenLog.claimGen(spark, f, idx.path)
     GenLog.requireNoInflightBelow(spark, f, idx.path, g, "reencode")
     val ms = GenLog.liveMetas(spark, f, idx.path)
-    val live = liveVecs(spark, idx, Seq("id", "vec"))
+    // carry metadata columns through the roll — only the derived
+    // encodings are re-computed against the new codebook
+    val carry = liveCols(spark, idx).filterNot(isDerived)
+    val live = liveVecs(spark, idx, carry)
     writeGen(encoded(live, idx, v), idx, g)
     // the new base's row count IS the marker-delta sum over the read
     // set (base = absolute, seg = +n, del = -live victims) — the exact
@@ -497,11 +535,7 @@ object VecIndex {
     // partition column writeGen re-derives
     val ms = GenLog.liveMetas(spark, f, idx.path)
     val segCbvs = ms.filter(_.kind != GenLog.KindDel).map(_.cbv).distinct
-    val cols = spark.read.option("basePath", s"${idx.path}/vecs")
-      .parquet(ms.filter(_.kind != GenLog.KindDel)
-        .flatMap(m =>
-          GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
-      .schema.fieldNames.toSeq.filterNot(c => c == "cb" || c == "gen")
+    val cols = liveCols(spark, idx).filterNot(c => c == "cb" || c == "gen")
     val live = liveVecs(spark, idx, cols)
     writeGen(live, idx, g)
     // the new base's row count IS the marker-delta sum over the read
@@ -664,7 +698,18 @@ object VecIndex {
     val raw = spark.read.option("basePath", s"${idx.path}/vecs")
       .parquet(segs.flatMap(m =>
         GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
-    val filtered = preFilter.map(raw.filter).getOrElse(raw)
+    val filtered = preFilter.map { p =>
+      try raw.filter(p)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"serve filter does not resolve against the index at " +
+              s"${idx.path} — stored columns: " +
+              s"${raw.columns.mkString(", ")}. Ingest filter columns " +
+              "as metadata next to (id, vec) at init/append; a serve " +
+              "never post-filters (that silently under-fills k).", e)
+      }
+    }.getOrElse(raw)
     // delete generations, plus an incremental base's consolidated
     // tombstone snapshot (carried lists still hold dead rows; the
     // snapshot rides at the base's gen so rewritten rows outrank it)
@@ -694,15 +739,24 @@ object VecIndex {
    * driver). Results identical to the inline path over the live
    * vector set (spec-pinned, and certified through `q_ann_binary`'s
    * oracle when the registered query builds via init + append folds).
+   *
+   * `filter` (optional) is a METADATA predicate over columns ingested
+   * next to (id, vec): it applies on the generation scan itself,
+   * BEFORE the Hamming shortlist, so top-k stays full among matching
+   * rows — the filtered-serve contract (never post-filter an
+   * unfiltered top-k; that silently under-fills k). A predicate
+   * referencing a column the index doesn't store fails loudly.
    */
   def binaryTopK(spark: SparkSession, queries: DataFrame, idx: Index,
-      cands: Int, k: Int): DataFrame = {
+      cands: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(cands >= k, s"cands $cands must be >= k $k")
     val nWords = idx.dim / 32
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
       Similarity.norm(col("vec")).as("qn"))
-    val packed = liveVecs(spark, idx, Seq("id", "bwords"))
+    val packed = liveVecs(spark, idx, Seq("id", "bwords"),
+      preFilter = filter)
     val pre = packed.select(col("id").as("nid"), col("bwords"))
       .join(broadcast(q.select(col("qid"), col("qb"))),
         col("qid") =!= col("nid"))
@@ -711,7 +765,8 @@ object VecIndex {
     val wPre = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
     val shortlist = pre.withColumn("rk", row_number().over(wPre))
       .filter(col("rk") <= cands).select("qid", "nid")
-    val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"))
+    val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"),
+        preFilter = filter)
       .select(col("id").as("nid"), col("vec").as("nvec"),
         col("nrm").as("cn"))
     val rer = shortlist
@@ -741,9 +796,16 @@ object VecIndex {
    * candidates come from the probed clusters only (the IVF trade) —
    * `nProbe` = codebook size degrades to exactly [[binaryTopK]]
    * (spec-pinned).
+   *
+   * `filter` (optional): metadata predicate, applied on the probed
+   * generation scan BEFORE the Hamming shortlist — within the probed
+   * clusters, top-k stays full among matching rows (the filtered-
+   * serve contract; see [[binaryTopK]]). Bucket pruning is unchanged:
+   * the predicate rides the already-pruned probed-bucket read.
    */
   def binaryTopKProbed(spark: SparkSession, queries: DataFrame, idx: Index,
-      nProbe: Int, cands: Int, k: Int): DataFrame = {
+      nProbe: Int, cands: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook — " +
       "binaryTopKProbed needs one (use binaryTopK for flat indexes)")
     require(cands >= k, s"cands $cands must be >= k $k")
@@ -771,8 +833,9 @@ object VecIndex {
         .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
         .distinct.map(_.toInt)
       val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
+      val scanFilter = Some(filter.foldLeft(bucketFilter)(_ && _))
       val lists = liveVecs(spark, idx, Seq("id", "bwords", "cid"),
-        preFilter = Some(bucketFilter), gens = Some(gens))
+        preFilter = scanFilter, gens = Some(gens))
       // per query, Hamming over ITS probed lists only (each vector
       // holds one cid in ONE generation, so no (qid, nid) pair
       // appears twice, within or across groups)
@@ -782,7 +845,7 @@ object VecIndex {
           Similarity.hammingDist(col("qb"), col("bwords"), nWords)
             .as("ham"))
       val vecs = liveVecs(spark, idx, Seq("id", "vec", "nrm"),
-          preFilter = Some(bucketFilter), gens = Some(gens))
+          preFilter = scanFilter, gens = Some(gens))
         .select(col("id").as("nid"), col("vec").as("nvec"),
           col("nrm").as("cn"))
       (pre, vecs)
@@ -815,13 +878,17 @@ object VecIndex {
    * inline ADC path.
    */
   def pqTopK(spark: SparkSession,
-      queries: Seq[(Long, Seq[Double])], idx: Index, k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[Double])], idx: Index, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val groups = cbvGroups(spark, idx)
     val parts = groups.map { case (v, gens) =>
       val (books, subDim) = pqBooks(spark, idx, v)
         .getOrElse(sys.error(s"index at ${idx.path} has no PQ codebooks"))
       val cols = Seq("id") ++ books.indices.map(s => s"code$s")
-      Similarity.pqSearch(liveVecs(spark, idx, cols, gens = Some(gens)),
+      // metadata predicate BELOW the ADC shortlist (filtered-serve
+      // contract — see binaryTopK)
+      Similarity.pqSearch(liveVecs(spark, idx, cols, preFilter = filter,
+          gens = Some(gens)),
         books, queries, subDim, k)
     }
     if (parts.size == 1) parts.head
@@ -848,9 +915,10 @@ object VecIndex {
    */
   def ivfPqTopK(spark: SparkSession,
       queries: Seq[(Long, Array[Double])], idx: Index, nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val parts = cbvGroups(spark, idx).map { case (v, gens) =>
-      ivfPqTopKGroup(spark, queries, idx, nProbe, k, v, gens)
+      ivfPqTopKGroup(spark, queries, idx, nProbe, k, v, gens, filter)
     }
     if (parts.size == 1) parts.head
     else {
@@ -864,7 +932,8 @@ object VecIndex {
   /** One codebook-version group's IVFADC serve (see [[ivfPqTopK]]). */
   private def ivfPqTopKGroup(spark: SparkSession,
       queries: Seq[(Long, Array[Double])], idx: Index, nProbe: Int,
-      k: Int, v: Int, gens: Seq[Int]): DataFrame = {
+      k: Int, v: Int, gens: Seq[Int],
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val coarse = coarseBook(spark, idx, v)
       .getOrElse(sys.error(s"index at ${idx.path} has no coarse codebook"))
     val (books, subDim) = pqBooks(spark, idx, v)
@@ -913,9 +982,10 @@ object VecIndex {
     val probedBuckets = probeRows.map(_._2)
       .map(c => (((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets).toInt)
       .distinct
+    val bucketFilter = col("cb").isin(probedBuckets.map(b => b: Any): _*)
     val codes = liveVecs(spark, idx,
       Seq("id", "ccid") ++ (0 until m).map(s => s"code$s"),
-      preFilter = Some(col("cb").isin(probedBuckets.map(b => b: Any): _*)),
+      preFilter = Some(filter.foldLeft(bucketFilter)(_ && _)),
       gens = Some(gens))
     Similarity.ivfPqSearch(codes, probes, m, k)
   }
@@ -928,9 +998,16 @@ object VecIndex {
    * the generation scan PRUNES to those bucket directories at
    * planning time — per-batch read cost is O(probed lists) across
    * all live generations, never a corpus scan.
+   *
+   * `filter` (optional): metadata predicate over columns ingested
+   * next to (id, vec), applied on the probed lists scan BEFORE
+   * scoring and ranking — the hybrid `WHERE meta AND ORDER BY cos
+   * LIMIT k` shape with k full among matching rows (within the
+   * probed clusters — the usual IVF recall trade, unchanged).
    */
   def ivfTopK(spark: SparkSession, queries: DataFrame, idx: Index,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook")
     // one probe pass per codebook-version group (see binaryTopKProbed)
     val scored = cbvGroups(spark, idx).map { case (v, gens) =>
@@ -948,8 +1025,9 @@ object VecIndex {
       val buckets = probedCids
         .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
         .distinct.map(_.toInt)
+      val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
       val lists = liveVecs(spark, idx, Seq("id", "vec", "nrm", "cid"),
-        preFilter = Some(col("cb").isin(buckets.map(b => b: Any): _*)),
+        preFilter = Some(filter.foldLeft(bucketFilter)(_ && _)),
         gens = Some(gens))
       probes.join(lists, "cid")
         .filter(col("qid") =!= col("id"))

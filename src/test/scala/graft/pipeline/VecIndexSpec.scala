@@ -596,6 +596,98 @@ class VecIndexSpec extends SparkSpec {
     assert(pre.nonEmpty && post.nonEmpty)
   }
 
+  // ---- filtered (hybrid) serve: metadata predicate + top-k ----
+
+  private def withLang(df: DataFrame): DataFrame =
+    df.withColumn("lang",
+      when(pmod(col("id"), lit(3)) === 0, "en").otherwise("xx"))
+
+  test("filtered IVF serve == unfiltered serve over an index built " +
+      "from only the matching rows; k stays FULL where post-filtering " +
+      "an unfiltered top-k under-fills") {
+    val cents = corpus(0 until 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val all = withLang(corpus(0 until 60))
+    val idx = VecIndex.init(all.filter(col("id") <= 30), 64,
+      "target/tmp/vecidx-filtered", centroids = Some(cents), cbBuckets = 4)
+    VecIndex.append(all.filter(col("id") > 30), idx)
+    val qs = corpus(0 until 60).filter(col("id") < 6)
+    val flt = Some(col("lang") === "en")
+    val served = VecIndex.ivfTopK(spark, qs, idx, 2, 3, filter = flt)
+    val got = rows(served)
+    // ground truth: the same serve over an index holding ONLY the
+    // matching rows (probe selection depends only on query+centroids;
+    // candidate assignment only on the candidate's own vector)
+    val fIdx = VecIndex.init(all.filter(col("lang") === "en"), 64,
+      "target/tmp/vecidx-filtered-only", centroids = Some(cents),
+      cbBuckets = 4)
+    assert(got == rows(VecIndex.ivfTopK(spark, qs, fIdx, 2, 3)))
+    assert(got.nonEmpty && got.forall(_._2 % 3 == 0),
+      "every filtered neighbor must satisfy the predicate")
+    // the contract the filtered serve exists for: post-filtering the
+    // unfiltered top-k under-fills k for at least one query (2/3 of
+    // rows are 'xx'), while the filtered serve keeps k full wherever
+    // >= k matching candidates live in the probed clusters
+    val post = rows(VecIndex.ivfTopK(spark, qs, idx, 2, 3))
+      .filter(_._2 % 3 == 0)
+    val fullPerQ = got.groupBy(_._1).map(_._2.size)
+    assert(post.size < got.size,
+      s"post-filter should under-fill: post=${post.size} got=${got.size}")
+    assert(fullPerQ.exists(_ == 3), "some query should fill all of k=3")
+    // bucket pruning unchanged: probed cb literals still land as
+    // partition filters; the metadata predicate pushes to the scan
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(pf.nonEmpty && pf.forall(_.contains("cb")),
+      s"probed-bucket pruning lost under filter:\n${pf.mkString("\n")}")
+    assert(plan.contains("lang"),
+      s"metadata predicate not visible on the scan:\n$plan")
+  }
+
+  test("filtered probed-binary serve: predicate applies BEFORE the " +
+      "Hamming shortlist; metadata survives fold + compact + delete") {
+    val cents = corpus(0 until 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val all = withLang(corpus(0 until 60))
+    val idx = VecIndex.init(all.filter(col("id") <= 30), 64,
+      "target/tmp/vecidx-filtered-bin", centroids = Some(cents),
+      cbBuckets = 4)
+    VecIndex.append(all.filter(col("id") > 30), idx)
+    VecIndex.delete(Seq(0L, 3L).toDF("id"), "id", idx)
+    VecIndex.compactIncremental(spark, idx)
+    VecIndex.vacuum(spark, idx)
+    val qs = corpus(0 until 60).filter(col("id") < 6)
+    val flt = Some(col("lang") === "en")
+    val got = rows(VecIndex.binaryTopKProbed(spark, qs, idx,
+      nProbe = 8, cands = 10, k = 3, filter = flt))
+    // nProbe = |codebook| probes everything => ground truth is the
+    // flat filtered binary serve over the matching live rows
+    val fIdx = VecIndex.init(
+      all.filter(col("lang") === "en" && !col("id").isin(0L, 3L)), 64,
+      "target/tmp/vecidx-filtered-bin-only")
+    assert(got == rows(VecIndex.binaryTopK(spark, qs, fIdx, 10, 3)))
+    assert(got.forall(r => r._2 % 3 == 0 && r._2 != 0L && r._2 != 3L))
+  }
+
+  test("filtered serve fails loudly on a column the index does not " +
+      "store; reserved metadata names are refused at ingest") {
+    val idx = VecIndex.init(withLang(corpus(0 until 20)), 64,
+      "target/tmp/vecidx-filtered-badcol")
+    val qs = corpus(0 until 20).filter(col("id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.binaryTopK(spark, qs, idx, 8, 3,
+        filter = Some(col("tongue") === "en")).collect()
+    }
+    assert(e.getMessage.contains("stored columns") &&
+      e.getMessage.contains("lang"),
+      s"error should list the stored columns: ${e.getMessage}")
+    val clash = intercept[IllegalArgumentException] {
+      VecIndex.init(corpus(0 until 5).withColumn("cid", lit(1)), 64,
+        "target/tmp/vecidx-filtered-clash")
+    }
+    assert(clash.getMessage.contains("collide"))
+  }
+
   test("binary prefilter over the generational index column-prunes to " +
       "(id, bwords) — the float slice stays unread until rerank") {
     val path = "target/tmp/vecidx-prune"

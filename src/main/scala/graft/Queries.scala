@@ -2771,6 +2771,106 @@ object Queries {
        |SELECT doc_id, change_type FROM j
        |WHERE change_type <> 'none' ORDER BY doc_id""".stripMargin
 
+  /** STREAMING CDC end to end ([[graft.io.Versioned.changesStreamTo]]):
+    * the 4-version demo table streamed through [[graft.io.Versioned
+    * .logStream]] → per-version classification (the O(delta) kernel
+    * via [[graft.io.Versioned.changesAuto]]) → exactly-once fold into
+    * a Versioned change-feed sink. The result is the FEED itself:
+    * one `(doc_id, change_type, change_version)` row per key-state
+    * transition per commit — inserts@1, updates@2 (the %5 upsert),
+    * deletes@3 (the %7 tombstones), inserts@4 (the brand-new keys) —
+    * which the oracle replays generically (per-version resolve pairs
+    * classified and unioned). Intermediate states are preserved, not
+    * collapsed: insert@1 + delete@3 is two rows where one
+    * `changes(0, 4)` would show neither. */
+  def tableChangesStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "cdc", withInserts = true)
+    val sink = "target/tmp/vtable-cdcfeed-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(sink, {
+      Versioned.drop(spark, sink)
+      val ckpt = sink + "-ckpt"
+      val f = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      Versioned.changesStreamTo(spark, path, "doc_id", sink, ckpt)
+        .awaitTermination()
+      ()
+    })
+    // the feed is the sink's LOG (every appended change row), read as
+    // explicit committed-version dirs — not a glob, which analyzes
+    // eagerly and races the fixture's first build in fresh sessions
+    val vs = Versioned.versions(spark, sink)
+    spark.read.parquet(vs.map(v => s"$sink/v=$v"): _*)
+      .select("doc_id", "change_type", "change_version")
+      .orderBy("doc_id", "change_version")
+  }
+
+  val tableChangesStreamSql: String =
+    s"""WITH $versionedLogSql,
+       |u2 AS (
+       |  SELECT * FROM u
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, 'xx', doc_id, NULL, FALSE, 4
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |vs AS (SELECT vv FROM generate_series(1, 4) t(vv)),
+       |ra AS (SELECT vv, doc_id, lang, n_chars, del,
+       |         ROW_NUMBER() OVER (PARTITION BY vv, doc_id ORDER BY v DESC) AS rk
+       |       FROM vs JOIN u2 ON u2.v <= vv - 1),
+       |rb AS (SELECT vv, doc_id, lang, n_chars, del,
+       |         ROW_NUMBER() OVER (PARTITION BY vv, doc_id ORDER BY v DESC) AS rk
+       |       FROM vs JOIN u2 ON u2.v <= vv),
+       |a AS (SELECT vv, doc_id, lang, n_chars FROM ra WHERE rk = 1 AND NOT del),
+       |b AS (SELECT vv, doc_id, lang, n_chars FROM rb WHERE rk = 1 AND NOT del),
+       |j AS (
+       |  SELECT COALESCE(a.vv, b.vv) AS change_version,
+       |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+       |         WHEN b.doc_id IS NULL THEN 'delete'
+       |         WHEN (a.lang IS DISTINCT FROM b.lang)
+       |           OR (a.n_chars IS DISTINCT FROM b.n_chars) THEN 'update'
+       |         ELSE 'none' END AS change_type
+       |  FROM a FULL OUTER JOIN b ON a.vv = b.vv AND a.doc_id = b.doc_id)
+       |SELECT doc_id, change_type, CAST(change_version AS INT) AS change_version
+       |FROM j WHERE change_type <> 'none'
+       |ORDER BY doc_id, change_version""".stripMargin
+
+  /** AUTO-DISPATCHING CDC through SQL ([[graft.plans.GraftExtensions]]
+    * `graft_changes_auto`): the range (1, 4] on the MERGE demo table
+    * contains column-overlay commits, so the strict O(delta) face
+    * refuses it — the auto face answers through the full kernel
+    * instead of throwing at a cron'd consumer (the dispatch itself is
+    * spec-pinned in ChangesStreamSpec for all three refusal paths).
+    * Oracle: classify v1's resolved state against v4's merge-resolved
+    * state. */
+  def tableChangesAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    tableMerge(spark, dir).count() // ensure the shared fixture exists
+    val path = "target/tmp/vtable-merge-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    spark.sql(s"SELECT doc_id, change_type " +
+      s"FROM graft_changes_auto('$path', 'doc_id', 1, 4) ORDER BY doc_id")
+  }
+
+  val tableChangesAutoSql: String =
+    """WITH a AS (SELECT doc_id, lang, n_chars FROM documents),
+      |b AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 14 = 0 THEN 'zz' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 14 = 0 THEN NULL
+      |         WHEN doc_id % 3 = 0 THEN n_chars + 5000
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 14 = 0 OR doc_id % 7 <> 0),
+      |j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+      |         WHEN b.doc_id IS NULL THEN 'delete'
+      |         WHEN (a.lang IS DISTINCT FROM b.lang)
+      |           OR (a.n_chars IS DISTINCT FROM b.n_chars) THEN 'update'
+      |         ELSE 'none' END AS change_type
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, change_type FROM j
+      |WHERE change_type <> 'none' ORDER BY doc_id""".stripMargin
+
   /** Column-level MERGE (`WHEN MATCHED THEN UPDATE SET` / `WHEN NOT
     * MATCHED THEN INSERT`): v1 = all documents; v2 = a MERGE bumping
     * `n_chars` by 5000 for doc_id % 3 == 0 (the update frame carries NO
@@ -3106,6 +3206,8 @@ object Queries {
     "q_table_asof" -> tableAsOf _,
     "q_table_changes" -> tableChanges _,
     "q_table_changes_sql" -> tableChangesSqlFace _,
+    "q_table_changes_stream" -> tableChangesStream _,
+    "q_table_changes_auto" -> tableChangesAuto _,
     "q_table_changes_inc" -> tableChangesInc _,
     "q_table_merge" -> tableMerge _,
     "q_table_prune" -> tablePrune _,
@@ -3186,6 +3288,8 @@ object Queries {
     "q_table_asof" -> tableAsOfSql,
     "q_table_changes" -> tableChangesSql,
     "q_table_changes_sql" -> tableChangesSql,
+    "q_table_changes_stream" -> tableChangesStreamSql,
+    "q_table_changes_auto" -> tableChangesAutoSql,
     "q_table_changes_inc" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,
     "q_table_prune" -> tablePruneSql,

@@ -3329,6 +3329,13 @@ object Versioned {
   def changes(spark: SparkSession, path: String, keyCol: String,
       fromV: Int, toV: Int): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
+    val b = currentAsOf(spark, path, keyCol, toV)
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+    // no committed version at or below fromV (fromV = 0 is the
+    // whole-history CDC anchor): the old state is EMPTY — every
+    // current key classifies as insert
+    val a = if (!versions(spark, path).exists(_ <= fromV)) b.limit(0)
+    else {
     // column identity is the PHYSICAL id: align the fromV snapshot's
     // logical names to toV's through the shared physicals, so a
     // rename inside (fromV, toV] diffs the same column under one name
@@ -3344,7 +3351,7 @@ object Versioned {
           mapA.flatMap(_.find(_._2 == phys).map(_._1)).getOrElse(phys)
         case None => keyCol
       }, fromV)
-    val a = (mapB match {
+    (mapB match {
       case Some(ms) =>
         ms.foldLeft(aRaw) { case (df, (lb, phys)) =>
           val la = mapA.flatMap(_.find(_._2 == phys).map(_._1))
@@ -3355,8 +3362,7 @@ object Versioned {
         }
       case None => aRaw
     }).drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
-    val b = currentAsOf(spark, path, keyCol, toV)
-      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+    }
     val common = a.columns.intersect(b.columns).filterNot(_ == keyCol)
     val af = a.select(Seq(col(keyCol), lit(true).as("__ina")) ++
       common.map(c => col(c).as(s"__a_$c")): _*)
@@ -3436,19 +3442,24 @@ object Versioned {
     // V2 slice at fromV) is the table's schema there — pad slice
     // columns a narrower delta frame omitted (a live row written
     // without column c resolves to c = NULL; the comparison must see
-    // that as a change, exactly like the full face's resolved diff)
-    val rawOld = spark.read.format("graft")
-      .option("versionAsOf", fromV)
-      // the BOUNDED resolve slice: newest checkpoint + the log above
-      // it — the plain log view would read O(history) dirs, and the
-      // checkpoint's key-clustered files are where zone maps are
-      // tight enough for the IN-set pruning to mean anything
-      .option("fromCheckpointBase", "true")
-      .load(path)
+    // that as a change, exactly like the full face's resolved diff).
+    // No committed version at or below fromV (fromV = 0, the
+    // whole-history anchor) => the old side is EMPTY — every
+    // surviving key in range classifies as insert.
+    val rawOldOpt =
+      if (!versions(spark, path).exists(_ <= fromV)) None
+      else Some(spark.read.format("graft")
+        .option("versionAsOf", fromV)
+        // the BOUNDED resolve slice: newest checkpoint + the log above
+        // it — the plain log view would read O(history) dirs, and the
+        // checkpoint's key-clustered files are where zone maps are
+        // tight enough for the IN-set pruning to mean anything
+        .option("fromCheckpointBase", "true")
+        .load(path))
     val slice0 = readDirs(spark, path, deltaVs, mapV = Some(toV))
     val slice1 = if (slice0.columns.contains(SeqCol)) slice0
       else slice0.withColumn(SeqCol, lit(null).cast("long"))
-    val slice = rawOld.schema.fields
+    val slice = rawOldOpt.map(_.schema.fields.toSeq).getOrElse(Nil)
       .filterNot(f => slice1.columns.contains(f.name))
       .filterNot(f => MetaCols.contains(f.name))
       .foldLeft(slice1)((df, f) =>
@@ -3472,16 +3483,25 @@ object Versioned {
       .select(Seq(col(keyCol), col(DeletedCol).as("__ndel")) ++
         dataCols.map(c => col(c).as(s"__n_$c")): _*)
     // 2) old state for the touched keys, through the pruned V2 scan
-    val oldRaw = rawOld.join(broadcast(touched),
-      rawOld(keyCol) === col("__ck")).drop("__ck")
-    val base0 = checkpoints(spark, path).filter(_ <= fromV)
-      .lastOption.getOrElse(0)
-    val old = resolve(oldRaw, keyCol,
-        mv.exists(v => v > base0 && v <= fromV))
-      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
-    val common = dataCols.filter(old.columns.contains)
-    val oldSel = old.select(Seq(col(keyCol), lit(true).as("__ino")) ++
-      common.map(c => col(c).as(s"__o_$c")): _*)
+    // (empty when nothing was committed at or below fromV)
+    val (common, oldSel) = rawOldOpt match {
+      case None =>
+        (dataCols,
+          newest.select(Seq(col(keyCol), lit(true).as("__ino")) ++
+            dataCols.map(c => col(s"__n_$c").as(s"__o_$c")): _*)
+            .limit(0))
+      case Some(rawOld) =>
+        val oldRaw = rawOld.join(broadcast(touched),
+          rawOld(keyCol) === col("__ck")).drop("__ck")
+        val base0 = checkpoints(spark, path).filter(_ <= fromV)
+          .lastOption.getOrElse(0)
+        val old = resolve(oldRaw, keyCol,
+            mv.exists(v => v > base0 && v <= fromV))
+          .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+        val cs = dataCols.filter(old.columns.contains)
+        (cs, old.select(Seq(col(keyCol), lit(true).as("__ino")) ++
+          cs.map(c => col(c).as(s"__o_$c")): _*))
+    }
     // 3) classify — every old row is a touched key, LEFT join suffices
     val differs =
       if (common.isEmpty) lit(false)
@@ -3494,6 +3514,37 @@ object Versioned {
           .when(col("__ino").isNotNull && differs, lit("update"))
           .otherwise(lit("none")).as("change_type"))
       .filter(col("change_type") =!= "none")
+  }
+
+  /** CDC with AUTOMATIC kernel dispatch: [[changesIncremental]] when
+    * its preconditions hold, [[changes]] otherwise — the face a
+    * cron'd consumer points at (SQL: `graft_changes_auto`). Same
+    * answer either way; O(delta) whenever the range allows it. The
+    * two metadata-decidable refusals (MERGE commits in range, column
+    * mapping changed in range) dispatch up front; NULL keys in the
+    * delta — only discoverable from the delta probe itself — fall
+    * back when the kernel refuses; the `maxBroadcastKeys` overflow
+    * already falls back inside the kernel. */
+  def changesAuto(spark: SparkSession, path: String, keyCol: String,
+      fromV: Int, toV: Int,
+      maxBroadcastKeys: Long = 5000000L): DataFrame = {
+    require(fromV < toV, s"changesAuto: fromV $fromV must be < toV $toV")
+    val mv = mergeVersions(spark, path)
+    if (mv.exists(v => v > fromV && v <= toV) ||
+        mappingAt(spark, path, fromV) != mappingAt(spark, path, toV))
+      changes(spark, path, keyCol, fromV, toV)
+    else
+      try changesIncremental(spark, path, keyCol, fromV, toV,
+        maxBroadcastKeys)
+      catch {
+        // the kernel's refusals surface eagerly (the delta probe runs
+        // at call time) and are prefixed with its name — anything
+        // else propagates
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("changesIncremental:") =>
+          changes(spark, path, keyCol, fromV, toV)
+      }
   }
 
   /**
@@ -3533,6 +3584,75 @@ object Versioned {
       .filter(!coalesce(col(CkptCol), lit(false)))
       .drop(MergeCol, SeqCol, CkptCol)
   }
+
+  /** STREAMING CDC, step 2 of 2 (Delta CDF shape): classify ONE
+    * [[logStream]] micro-batch into `(key, change_type,
+    * change_version)` rows —
+    * one classification per committed version the batch delivered,
+    * each the per-version diff [[changesAuto]]`(v-1, v)` so
+    * intermediate states are preserved (insert@v1 then delete@v3 is
+    * two change rows), not collapsed the way one `changes(v1, v3)`
+    * would. The batch payload only NAMES the versions (a bounded
+    * distinct over `__v` — versions per trigger, not rows); each
+    * version's delta re-reads through the bounded V2 face, so
+    * per-commit cost stays touched-keys-sized, and MERGE / mapping /
+    * NULL-key commits classify through the full kernel automatically.
+    *
+    * Exactly-once: the file source delivers each version's files in
+    * ONE batch (publication is an atomic directory rename, so a
+    * version is never listed half-written — but do NOT set
+    * `maxFilesPerTrigger`, which could split a multi-file version
+    * across batches and double-classify it), and `foreachBatch`
+    * replays a failed batch under the same id — pair with an
+    * idempotent sink ([[appendBatch]]) for end-to-end exactly-once
+    * across restarts. [[changesStreamTo]] wires exactly this. */
+  def classifyChanges(batch: DataFrame, path: String,
+      keyCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val vs = batch.select(col(VersionCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (vs.isEmpty) {
+      val keyType = currentAsOf(spark, path, keyCol,
+        latestVersion(spark, path)).schema(keyCol).dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol, keyType),
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("change_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    } else vs.map { v =>
+      // NOT named __v: a Versioned sink stamps its own __v on append,
+      // and the source-version tag must survive the fold
+      changesAuto(spark, path, keyCol, v - 1, v)
+        .withColumn("change_version", lit(v))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The STREAMING CDC pipe in one call: [[logStream]] over the
+    * source table → per-version classification ([[classifyChanges]])
+    * → exactly-once fold into a Versioned SINK table
+    * ([[appendBatch]] keyed by the micro-batch id, so a replayed
+    * batch is recognized and skipped). Restart-safe end to end: the
+    * file source's checkpointed offsets resume at the first
+    * undelivered version, and the sink's batch markers absorb
+    * re-delivery. The sink accumulates `(key, change_type,
+    * change_version)` rows — the downstream-consumable change FEED
+    * (read its log view), not a resolved state. */
+  def changesStreamTo(spark: SparkSession, path: String, keyCol: String,
+      sinkPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    logStream(spark, path).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(classifyChanges(b, path, keyCol), sinkPath, id)
+        ()
+      }
+      .start()
 
   /** Max `_BATCH_<n>` idempotency marker across a view table's
     * committed versions (0 = none) — the "source version this

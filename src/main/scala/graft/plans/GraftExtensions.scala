@@ -162,6 +162,19 @@ object GraftExtensions {
           literalInt("graft_changes_inc", es(2)),
           literalInt("graft_changes_inc", es(3)))
         .queryExecution.logical
+    }),
+    // AUTO-DISPATCHING CDC: the O(delta) kernel when the range allows
+    // it (no MERGE, unchanged mapping, no NULL keys), the full diff
+    // otherwise — the face a cron'd SQL consumer points at; never
+    // throws where a correct answer exists (graft_changes_inc stays
+    // the strict face for callers who want the refusal)
+    ("graft_changes_auto", tableArity("graft_changes_auto", 4) { es =>
+      graft.io.Versioned.changesAuto(SparkSession.active,
+          literalString("graft_changes_auto", es.head),
+          literalString("graft_changes_auto", es(1)),
+          literalInt("graft_changes_auto", es(2)),
+          literalInt("graft_changes_auto", es(3)))
+        .queryExecution.logical
     }))
 
   private[plans] val tableDescriptors

@@ -1,0 +1,190 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The streaming CDC face ([[Versioned.changesStreamTo]] /
+  * [[Versioned.classifyChanges]]) and the auto-dispatching CDC kernel
+  * ([[Versioned.changesAuto]] / SQL `graft_changes_auto`). */
+class ChangesStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rmDir(p: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(p), true)
+    ()
+  }
+
+  private def feed(sink: String): Set[(Long, String, Int)] =
+    spark.read.parquet(s"$sink/v=*")
+      .select("k", "change_type", "change_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  private def perVersionExpected(src: String): Set[(Long, String, Int)] =
+    (1 to Versioned.latestVersion(spark, src)).flatMap { v =>
+      Versioned.changesAuto(spark, src, "k", v - 1, v).collect()
+        .map(r => (r.getLong(0), r.getString(1), v))
+    }.toSet
+
+  test("streaming CDC: per-version change rows land exactly once " +
+      "across restarts; a re-run with no new commits adds nothing; " +
+      "folding the feed reproduces the current key set") {
+    val src = "target/tmp/cdcstream-src"
+    val sink = "target/tmp/cdcstream-sink"
+    val ckpt = "target/tmp/cdcstream-ckpt"
+    Seq(src, sink, ckpt).foreach(rmDir)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "n"), src)                            // v1
+    Versioned.append(Seq((2L, "b", 25L)).toDF("k", "s", "n"), src) // v2
+    Versioned.delete(Seq(3L).toDF("k"), src)                  // v3
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt)
+      .awaitTermination()
+    val run1 = feed(sink)
+    assert(run1 == Set(
+      (1L, "insert", 1), (2L, "insert", 1), (3L, "insert", 1),
+      (2L, "update", 2),
+      (3L, "delete", 3)))
+    // RESTART with more commits — same checkpoint resumes at v4; the
+    // already-delivered versions are not re-classified
+    Versioned.append(Seq((4L, "d", 40L)).toDF("k", "s", "n"), src) // v4
+    Versioned.delete(Seq(1L).toDF("k"), src)                  // v5
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt)
+      .awaitTermination()
+    val run2 = feed(sink)
+    assert(run2 == run1 ++ Set((4L, "insert", 4), (1L, "delete", 5)))
+    assert(run2 == perVersionExpected(src),
+      "streamed feed must equal the per-version batch kernel's union")
+    // idle re-run: exactly-once means NOTHING new
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt)
+      .awaitTermination()
+    assert(feed(sink) == run2)
+    // duplicates would survive the Set compare — check raw counts too
+    val raw = spark.read.parquet(s"$sink/v=*")
+      .select("k", "change_type", "change_version")
+    assert(raw.count() == run2.size, "no duplicate change rows")
+    // fold the feed: latest change per key, drop deletes == current
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("change_version").desc)
+    val folded = raw.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("change_type") =!= "delete")
+      .select("k").as[Long].collect().toSet
+    val current = Versioned.current(spark, src, "k")
+      .select("k").as[Long].collect().toSet
+    assert(folded == current)
+    // the whole-history anchor now works: changes(0, head) == all
+    // current keys as inserts
+    val fromZero = Versioned.changes(spark, src, "k", 0,
+      Versioned.latestVersion(spark, src)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromZero == current.map(k => (k, "insert")))
+  }
+
+  test("streaming CDC classifies MERGE and NULL-key commits through " +
+      "the full-kernel fallback, in-stream") {
+    val src = "target/tmp/cdcstream-fb-src"
+    val sink = "target/tmp/cdcstream-fb-sink"
+    val ckpt = "target/tmp/cdcstream-fb-ckpt"
+    Seq(src, sink, ckpt).foreach(rmDir)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), src) // v1
+    Versioned.merge(Seq((1L, 99L)).toDF("k", "n"), src)             // v2
+    // v3 carries a NULL key next to a real update — the incremental
+    // kernel refuses; the stream must still classify the version
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "x", 7L), Row(2L, "b", 21L)),
+      StructType(Seq(StructField("k", LongType),
+        StructField("s", StringType), StructField("n", LongType))))
+    Versioned.append(nullRow, src)                                  // v3
+    intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, src, "k", 2, 3)
+    }
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$sink/v=*")
+      .select("k", "change_type", "change_version")
+      .filter(col("k").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, "insert", 1), (2L, "insert", 1),
+      (1L, "update", 2),
+      (2L, "update", 3)))
+  }
+
+  test("graft_changes_auto answers through the full kernel on all " +
+      "three strict-face refusals: MERGE in range, mapping change, " +
+      "NULL keys; dispatches to the O(delta) kernel otherwise") {
+    graft.plans.GraftExtensions.register(spark)
+    def sql2(q: String): Set[(Long, String)] =
+      spark.sql(q).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // 1) MERGE in range
+    val t1 = "target/tmp/cdcauto-merge"
+    rmDir(t1)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t1)
+    Versioned.merge(Seq((1L, 99L)).toDF("k", "n"), t1)
+    intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, t1, "k", 1, 2)
+    }
+    val a1 = sql2(s"SELECT k, change_type " +
+      s"FROM graft_changes_auto('$t1', 'k', 1, 2)")
+    assert(a1 == Set((1L, "update")))
+    assert(a1 == sql2(s"SELECT k, change_type " +
+      s"FROM graft_changes('$t1', 'k', 1, 2)"))
+    // 2) column mapping change in range
+    val t2 = "target/tmp/cdcauto-rename"
+    rmDir(t2)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t2)
+    Versioned.renameColumn(spark, t2, "s", "s2")
+    Versioned.append(Seq((1L, "z", 10L)).toDF("k", "s2", "n"), t2)
+    intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, t2, "k", 1,
+        Versioned.latestVersion(spark, t2))
+    }
+    val to2 = Versioned.latestVersion(spark, t2)
+    val a2 = sql2(s"SELECT k, change_type " +
+      s"FROM graft_changes_auto('$t2', 'k', 1, $to2)")
+    assert(a2 == Set((1L, "update")))
+    assert(a2 == sql2(s"SELECT k, change_type " +
+      s"FROM graft_changes('$t2', 'k', 1, $to2)"))
+    // 3) NULL keys in the delta (only discoverable from the probe)
+    val t3 = "target/tmp/cdcauto-null"
+    rmDir(t3)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t3)
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "x", 7L), Row(2L, "b", 21L)),
+      StructType(Seq(StructField("k", LongType),
+        StructField("s", StringType), StructField("n", LongType))))
+    Versioned.append(nullRow, t3)
+    intercept[IllegalArgumentException] {
+      Versioned.changesIncremental(spark, t3, "k", 1, 2)
+    }
+    val a3 = spark.sql(s"SELECT k, change_type " +
+        s"FROM graft_changes_auto('$t3', 'k', 1, 2)")
+      .filter(col("k").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a3 == Set((2L, "update")))
+    // clean range: auto must take the O(delta) kernel (the plan
+    // carries the incremental face's dynamic-pruning runtime filter)
+    val t4 = "target/tmp/cdcauto-clean"
+    rmDir(t4)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t4)
+    Versioned.compact(spark, t4, "k")
+    Versioned.append(Seq((1L, "a", 11L)).toDF("k", "s", "n"), t4)
+    val to4 = Versioned.latestVersion(spark, t4)
+    val auto = Versioned.changesAuto(spark, t4, "k", to4 - 1, to4)
+    assert(auto.queryExecution.executedPlan.toString
+        .contains("dynamicpruning"),
+      "clean range must dispatch to the incremental kernel")
+    assert(auto.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "update")))
+  }
+}

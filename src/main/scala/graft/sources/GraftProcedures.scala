@@ -255,6 +255,42 @@ private[sources] object GraftProcedures {
       }
   }
 
+  /** The VIEW-FRESHNESS half of a maintenance pass: when the table's
+    * persisted properties identify it as a MAINTAINED VIEW
+    * (`create_matview` / `create_joinview[_chain]` /
+    * `create_sketchview` record the view→source binding as
+    * `mv.*`/`jv.*`/`sv.*`), run the idempotent delta-cost refresh
+    * BEFORE file-shape maintenance — one cron'd `CALL
+    * system.maintain[_all]` keeps the serving surface FRESH and
+    * folded, not just compacted. A quiet source reports nothing (the
+    * refresh returns without committing); a stale view reports the
+    * source-version range it folded. Plain tables return no rows. */
+  private def maintainViewFreshness(cat: GraftCatalog, path: String,
+      props: Map[String, String]): Seq[(String, String)] = {
+    def report(kind: String, before: Int, after: Int) =
+      if (after > before)
+        Seq(("refresh",
+          s"$kind view folded source versions ($before, $after]"))
+      else Seq.empty[(String, String)]
+    if (props.contains("jv.dims") || props.contains("jv.dim")) {
+      val h = joinHandleOf(cat, path)
+      report("join", graft.io.JoinView.refreshedVersion(spark, h),
+        graft.io.JoinView.refresh(spark, h))
+    } else if (props.contains("mv.source")) {
+      val h = graft.io.MatView.Handle(path, props("mv.source"),
+        props("mv.key"), props("mv.group"),
+        props("mv.sums").split(',').filter(_.nonEmpty).toSeq,
+        props.getOrElse("mv.minmax", "").split(',')
+          .filter(_.nonEmpty).toSeq)
+      report("mat", graft.io.MatView.refreshedVersion(spark, h),
+        graft.io.MatView.refresh(spark, h))
+    } else if (props.contains("sv.source")) {
+      val h = sketchHandle(cat, path)
+      report("sketch", graft.io.SketchView.refreshedVersion(spark, h),
+        graft.io.SketchView.refresh(spark, h))
+    } else Seq.empty
+  }
+
   private def procs: Seq[Proc] = Seq(
     new Proc("compact",
       "merge-on-read checkpoint: resolve current state into one commit",
@@ -271,7 +307,10 @@ private[sources] object GraftProcedures {
         "(delta_commits, delta_bytes_frac, full_rewrite_frac, " +
         "target_file_bytes, small_file_frac, vacuum_horizon, " +
         "vacuum_retain_ms — the time-based retention, taking " +
-        "precedence over the horizon); then " +
+        "precedence over the horizon). A MAINTAINED VIEW " +
+        "(create_matview/joinview/sketchview) refreshes FIRST — the " +
+        "idempotent delta fold against its recorded source — so the " +
+        "call keeps it fresh, not just compacted; then " +
         "sweeps indexes DECLARED on the table via index.<name> = " +
         "'search:<path>' | 'vector:<path>' properties through the " +
         "index_maintain policy; returns the actions taken. A keyless " +
@@ -283,7 +322,8 @@ private[sources] object GraftProcedures {
       (cat, row) => {
         val p = tablePath(cat, row)
         val props = cat.propsOf(p)
-        (maintainTable(p, props) ++ maintainIndexes(p, props)).map {
+        (maintainViewFreshness(cat, p, props) ++
+          maintainTable(p, props) ++ maintainIndexes(p, props)).map {
           case (a, det) => InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(a),
             org.apache.spark.unsafe.types.UTF8String.fromString(det))
@@ -293,7 +333,8 @@ private[sources] object GraftProcedures {
       "the namespace-wide sweep of maintain: run the same auto-policy " +
         "(per-table maintain.* property overrides included) over " +
         "EVERY table in the namespace ('' = the root) — maintained " +
-        "views included, they are ordinary graft tables. Tables " +
+        "views refresh against their recorded source FIRST, then " +
+        "fold like any other graft table. Tables " +
         "without a 'key' property report action='skip' (the resolve " +
         "needs a key); 'noop' rows are included so the sweep's " +
         "coverage is auditable. Indexes DECLARED via index.<name> " +
@@ -316,9 +357,12 @@ private[sources] object GraftProcedures {
         cat.listTables(nsArr).toSeq.flatMap { ident =>
           val p = cat.resolveTablePath(ident)
           val props = cat.propsOf(p)
-          // declared index.<name> properties sweep even on keyless
-          // tables (index maintenance never resolves the table's key)
-          val acts = maintainTable(p, props) ++ maintainIndexes(p, props)
+          // view freshness first (a stale maintained view refreshes
+          // before its files fold); declared index.<name> properties
+          // sweep even on keyless tables (index maintenance never
+          // resolves the table's key)
+          val acts = maintainViewFreshness(cat, p, props) ++
+            maintainTable(p, props) ++ maintainIndexes(p, props)
           acts.map { case (a, det) =>
             InternalRow(u(ident.name), u(a), u(det)) }
         }.toArray

@@ -1330,6 +1330,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(again.filter(_._1 == "a").map(_._2) == Seq("noop"), s"$again")
   }
 
+  test("maintain / maintain_all refresh a STALE maintained view " +
+      "against its recorded source before file-shape maintenance; a " +
+      "fresh view reports nothing; one cron call keeps the surface " +
+      "fresh AND folded") {
+    spark.sql("CREATE NAMESPACE graft_test.mvfr")
+    spark.sql("CREATE TABLE graft_test.mvfr.src (k BIGINT, g STRING, " +
+      "x BIGINT) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.mvfr.src " +
+      "SELECT id, concat('g', id % 3), id FROM range(30)")
+    spark.sql("CALL graft_test.system.create_matview(" +
+      "'mvfr.v', 'mvfr.src', 'g', 'x')")
+    def viewState(): Map[String, Long] = spark.sql(
+      """SELECT g, sum_x FROM (
+        |  SELECT g, sum_x, row_number() OVER (PARTITION BY g
+        |    ORDER BY __v DESC, __seq DESC) AS rk, __deleted
+        |  FROM graft_test.mvfr.v)
+        |WHERE rk = 1 AND NOT __deleted""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    def expected(): Map[String, Long] = spark.sql(
+      """SELECT g, sum(x) AS s FROM (
+        |  SELECT g, x, row_number() OVER (PARTITION BY k
+        |    ORDER BY __v DESC, __seq DESC) AS rk, __deleted
+        |  FROM graft_test.mvfr.src)
+        |WHERE rk = 1 AND NOT __deleted GROUP BY g""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    // go STALE: two more source commits, no refresh call anywhere
+    spark.sql("INSERT INTO graft_test.mvfr.src VALUES (100, 'g0', 1000)")
+    spark.sql("DELETE FROM graft_test.mvfr.src WHERE k = 0")
+    assert(viewState() != expected(), "fixture must actually be stale")
+    // ONE namespace sweep: the view refreshes (freshness first), then
+    // folds like any table
+    val acts = spark.sql("CALL graft_test.system.maintain_all('mvfr')")
+      .as[(String, String, String)].collect().toSeq
+    assert(acts.exists(a => a._1 == "v" && a._2 == "refresh"),
+      s"expected a refresh row for the stale view: $acts")
+    assert(viewState() == expected())
+    // quiet second sweep: no refresh row anywhere
+    val again = spark.sql("CALL graft_test.system.maintain_all('mvfr')")
+      .as[(String, String, String)].collect().toSeq
+    assert(!again.exists(_._2 == "refresh"), s"$again")
+    // targeted CALL maintain on the view alone also refreshes
+    spark.sql("INSERT INTO graft_test.mvfr.src VALUES (101, 'g1', 500)")
+    val one = spark.sql("CALL graft_test.system.maintain('mvfr.v')")
+      .as[(String, String)].collect().toSeq
+    assert(one.exists(_._1 == "refresh"), s"$one")
+    assert(viewState() == expected())
+  }
+
   test("CALL system.vacuum_retain reclaims by commit AGE: a young " +
       "window is a no-op, an old-commits-young-checkpoint table " +
       "respects vacuum's base rule, retain 0 reclaims the " +

@@ -2667,11 +2667,16 @@ object Versioned {
 
   private val ExportsFile = "_EXPORTS.tsv"
 
-  /** One clone pin: `file` (qualified path in THIS table) is
-    * referenced by shallow clone `clone` since `sinceMillis` (0 =
-    * registered before timestamps existed). */
+  /** One export pin: `file` (qualified path in THIS table) is
+    * referenced by `cloneDst` since `sinceMillis` (0 = registered
+    * before timestamps existed). Two kinds share the registry:
+    * shallow-clone pins (`leaseMs` = 0 — block reclaim until
+    * [[releaseClone]]) and READER snapshot pins
+    * (`cloneDst` = `pin:<name>`, `leaseMs` > 0 — [[vacuum]]
+    * auto-releases them once the lease expires, so a crashed reader
+    * can never block reclaim forever). */
   final case class ExportPin(cloneDst: String, file: String,
-      sinceMillis: Long)
+      sinceMillis: Long, leaseMs: Long = 0L)
 
   /** The registry is a chain of VERSIONED files (`_EXPORTS.tsv`, then
     * `_EXPORTS.tsv.1`, `.2`, …): every update WRITES the next suffix
@@ -2703,6 +2708,8 @@ object Versioned {
         line.split('\t') match {
           case Array(d, r) => ExportPin(d, r, 0L)
           case Array(d, r, ts) => ExportPin(d, r, ts.toLong)
+          case Array(d, r, ts, lease) =>
+            ExportPin(d, r, ts.toLong, lease.toLong)
           case other => sys.error(
             s"export registry at $path: malformed line '$line' " +
               s"(${other.length} fields)")
@@ -2724,8 +2731,8 @@ object Versioned {
   def clonePins(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     exports(spark, path)
-      .map(p => (p.cloneDst, p.file, p.sinceMillis))
-      .toDF("clone", "file", "since_ts_millis")
+      .map(p => (p.cloneDst, p.file, p.sinceMillis, p.leaseMs))
+      .toDF("clone", "file", "since_ts_millis", "lease_ms")
   }
 
   /** Pins older than `leaseMs` (0 since-stamps — pre-stamp legacy —
@@ -2753,7 +2760,8 @@ object Versioned {
       val target = new Path(path, s"$ExportsFile.${n + 1}")
       try {
         store.writeAtomic(f, target,
-          next.map(p => s"${p.cloneDst}\t${p.file}\t${p.sinceMillis}")
+          next.map(p =>
+              s"${p.cloneDst}\t${p.file}\t${p.sinceMillis}\t${p.leaseMs}")
             .mkString("", "\n", "\n"))
         old.foreach(store.delete(f, _)) // superseded; newest-wins anyway
         return next.size - cur.size
@@ -2786,6 +2794,50 @@ object Versioned {
     val f = fs(spark, src)
     if (!exports(spark, src).exists(_.cloneDst == dst)) return 0
     -updateExports(spark, f, src)(_.filterNot(_.cloneDst == dst))
+  }
+
+  /** PIN a reader snapshot: register every file a resolve at
+    * `version` reads (the newest checkpoint at or below it plus the
+    * log commits above — the [[currentAsOf]] read set) in the export
+    * registry under `pin:<name>`, so a [[vacuum]] that reclaims the
+    * version from the log still leaves those BYTES in place — a
+    * multi-hour query that planned against `version` keeps reading
+    * mid-flight instead of dying on deleted files. Unlike clone pins
+    * (held until [[releaseClone]]), a reader pin carries a LEASE:
+    * vacuum auto-releases pins past their lease, so a crashed reader
+    * can never block reclaim forever; release early with
+    * [[releasePin]] when the read completes. Scope: the pin protects
+    * the in-flight plan's FILES — a NEW read at `version` after the
+    * vacuum still fails loudly (the vacuum-base contract is
+    * unchanged). Observable per-file in [[clonePins]] and per-dir in
+    * [[detail]]'s `exported_files`. Re-pinning the same name replaces
+    * the previous pin (lease renewal). */
+  def pinSnapshot(spark: SparkSession, path: String, version: Int,
+      name: String, leaseMs: Long): Int = {
+    require(leaseMs > 0, s"pinSnapshot: leaseMs must be > 0 (a " +
+      "lease-less hold is a clone pin); got " + leaseMs)
+    require(!name.contains('\t') && !name.contains('\n'),
+      "pin name may not contain tabs/newlines")
+    val f = fs(spark, path)
+    val vs = currentAsOfVersions(spark, path, version)
+    require(vs.nonEmpty,
+      s"pinSnapshot: no committed versions at or below $version at $path")
+    val refs = vs.flatMap(v => filesOf(f, path, v))
+      .map(f.makeQualified).map(_.toString).distinct
+    val now = System.currentTimeMillis()
+    updateExports(spark, f, path)(cur =>
+      cur.filterNot(_.cloneDst == s"pin:$name") ++
+        refs.map(ExportPin(s"pin:$name", _, now, leaseMs)))
+    refs.size
+  }
+
+  /** Release a reader snapshot pin registered by [[pinSnapshot]].
+    * Returns the number of released file references (0 = no such
+    * pin — already expired or never taken). */
+  def releasePin(spark: SparkSession, path: String, name: String): Int = {
+    val f = fs(spark, path)
+    if (!exports(spark, path).exists(_.cloneDst == s"pin:$name")) return 0
+    -updateExports(spark, f, path)(_.filterNot(_.cloneDst == s"pin:$name"))
   }
 
   /** RESTORE the table to its state as of `version` — a roll-forward,
@@ -3056,6 +3108,21 @@ object Versioned {
     val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return Nil
+    // READER pins are lease-bounded: auto-release the expired ones
+    // before computing the protected file set — a crashed long reader
+    // must not block reclaim forever (clone pins, lease-less, only
+    // warn below)
+    val nowPin = System.currentTimeMillis()
+    val expiredPins = exports(spark, path)
+      .filter(p => p.leaseMs > 0 && nowPin - p.sinceMillis > p.leaseMs)
+    if (expiredPins.nonEmpty) {
+      val names = expiredPins.map(_.cloneDst).distinct
+      log.warn(s"vacuum at $path: releasing ${expiredPins.size} expired " +
+        s"reader-pin reference(s) from ${names.mkString(", ")}")
+      updateExports(spark, f, path)(_.filterNot(p =>
+        p.leaseMs > 0 && nowPin - p.sinceMillis > p.leaseMs))
+      ()
+    }
     // LEASE check (warn, never delete): an export pin blocks file
     // reclaim indefinitely by design — a forgotten clone should at
     // least surface in the maintenance logs once it outlives the

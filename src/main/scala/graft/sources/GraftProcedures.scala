@@ -828,20 +828,48 @@ private[sources] object GraftProcedures {
           .map(v => InternalRow(v)).toArray
       }),
     new Proc("clone_pins",
-      "per-pin clone-retention observability: which files of this " +
-        "table are referenced by which shallow clone since when — " +
-        "these files block vacuum reclaim until release_clone",
+      "per-pin retention observability: which files of this table " +
+        "are referenced by which shallow clone (lease_ms = 0, held " +
+        "until release_clone) or reader snapshot pin (pin:<name>, " +
+        "lease-bounded) since when — these files block vacuum reclaim",
       Seq(in("table", StringType)),
       StructType(Seq(
         StructField("clone", StringType, nullable = false),
         StructField("file", StringType, nullable = false),
-        StructField("since_ts_millis", LongType, nullable = false))),
+        StructField("since_ts_millis", LongType, nullable = false),
+        StructField("lease_ms", LongType, nullable = false))),
       (cat, row) => {
         val p = tablePath(cat, row)
         Versioned.clonePins(spark, p).collect().map(r => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
           org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
-          r.getLong(2)))
+          r.getLong(2), r.getLong(3)))
+      }),
+    new Proc("pin_snapshot",
+      "pin a reader snapshot: register the files a resolve at the " +
+        "given version reads so vacuum keeps those bytes while a " +
+        "long-running query is in flight; lease-bounded (vacuum " +
+        "auto-releases expired pins) — release early with " +
+        "release_pin; returns the pinned file count",
+      Seq(in("table", StringType), in("version", IntegerType),
+        in("name", StringType), in("lease_ms", LongType)),
+      StructType(Seq(StructField("files", IntegerType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Array(InternalRow(Versioned.pinSnapshot(spark, p,
+          row.getInt(1), str(row, 2, "name"), row.getLong(3))))
+      }),
+    new Proc("release_pin",
+      "release a reader snapshot pin taken by pin_snapshot; returns " +
+        "the released file-reference count (0 = expired or never " +
+        "taken)",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("released", IntegerType,
+        nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Array(InternalRow(
+          Versioned.releasePin(spark, p, str(row, 1, "name"))))
       }),
     new Proc("restore",
       "restore the table to an old version as a NEW roll-forward " +

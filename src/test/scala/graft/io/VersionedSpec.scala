@@ -1412,6 +1412,68 @@ class VersionedSpec extends SparkSpec {
       .forall(_.getInt(8) == 0))
   }
 
+  test("reader snapshot pins: a pinned in-flight read survives a " +
+      "vacuum that reclaims everything else; an expired lease " +
+      "auto-releases; releasePin frees the remnants; new reads below " +
+      "the base still fail loudly") {
+    val path = freshPath("readerpin")
+    Versioned.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), path) // v1
+    Versioned.append(Seq((1L, 11L)).toDF("k", "x"), path)            // v2
+    Versioned.compact(spark, path, "k")                              // v3
+    Versioned.append(Seq((2L, 22L)).toDF("k", "x"), path)            // v4
+    // the long reader plans against v4 and pins its snapshot
+    val nPinned = Versioned.pinSnapshot(spark, path, 4, "longq",
+      leaseMs = 3600000L)
+    assert(nPinned > 0)
+    val pins = Versioned.clonePins(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(pins.nonEmpty && pins.forall(_ == ("pin:longq", 3600000L)))
+    val inFlight = Versioned.currentAsOf(spark, path, "k", 4)
+      .select("k", "x")
+    // table moves on; vacuum reclaims everything below the new head
+    // checkpoint — EXCEPT the pinned bytes
+    Versioned.append(Seq((1L, 13L)).toDF("k", "x"), path)            // v5
+    Versioned.compact(spark, path, "k")                              // v6
+    Versioned.vacuum(spark, path, 0)
+    assert(inFlight.as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (2L, 22L)),
+      "the pinned in-flight plan must keep reading mid-vacuum")
+    // a NEW read below the base fails loudly — pins protect bytes,
+    // not the vacuum-base contract
+    intercept[Exception] {
+      Versioned.currentAsOf(spark, path, "k", 4).collect()
+    }
+    // release + next vacuum: the markerless remnants drain
+    assert(Versioned.releasePin(spark, path, "longq") == nPinned)
+    assert(Versioned.releasePin(spark, path, "longq") == 0)
+    Versioned.vacuum(spark, path, 0)
+    assert(new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .forall(d => new java.io.File(d, "_SUCCESS").exists()),
+      "released pin remnants must be reclaimed by the next vacuum")
+    assert(Versioned.current(spark, path, "k").select("k", "x")
+      .as[(Long, Long)].collect().toSet == Set((1L, 13L), (2L, 22L)))
+    // EXPIRED lease: vacuum auto-releases (never blocks reclaim
+    // forever on a crashed reader) — the pin is gone afterwards
+    Versioned.append(Seq((3L, 30L)).toDF("k", "x"), path)
+    Versioned.pinSnapshot(spark, path,
+      Versioned.latestVersion(spark, path), "crashed", leaseMs = 1L)
+    Thread.sleep(10)
+    Versioned.compact(spark, path, "k")
+    Versioned.vacuum(spark, path, 0)
+    assert(Versioned.clonePins(spark, path)
+      .filter(col("clone") === "pin:crashed").count() == 0,
+      "expired reader pins must auto-release")
+    // re-pinning the same name renews (replaces) the previous pin
+    val head = Versioned.latestVersion(spark, path)
+    Versioned.pinSnapshot(spark, path, head, "renew", leaseMs = 1L)
+    Versioned.pinSnapshot(spark, path, head, "renew", leaseMs = 3600000L)
+    assert(Versioned.clonePins(spark, path)
+      .filter(col("clone") === "pin:renew")
+      .collect().forall(_.getLong(3) == 3600000L))
+    Versioned.releasePin(spark, path, "renew")
+  }
+
   test("export-protected remnants re-materialize before the sweep: " +
       "releasing a clone never dangles the SOURCE's own incremental-" +
       "checkpoint refs into the remnant dirs") {

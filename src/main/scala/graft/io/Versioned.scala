@@ -3802,8 +3802,20 @@ object Versioned {
     val rows = versions(spark, path).map { v =>
       val dir = new Path(s"$path/v=$v")
       val parts = filesOf(f, path, v) // own + manifest-carried
-      val batch = f.listStatus(dir).map(_.getPath.getName)
+      val markerNames = f.listStatus(dir).map(_.getPath.getName)
+      val batch = markerNames
         .find(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_"))
+      // dead-letter split stats stamped by appendCheckedQuarantine:
+      // _CHECKS_clean-N_bad-M rides BOTH sides of the marker family
+      val checks = markerNames.find(_.startsWith("_CHECKS_clean-"))
+        .flatMap { m =>
+          m.stripPrefix("_CHECKS_clean-").split("_bad-") match {
+            case Array(c, b) =>
+              for (cl <- c.toLongOption; bd <- b.toLongOption)
+                yield (cl, bd)
+            case _ => None
+          }
+        }
       // clone-pinned files of THIS dir — vacuum cannot reclaim them
       // until releaseClone ([[clonePins]] lists file/clone/since)
       val dirQ = f.makeQualified(dir).toString
@@ -3822,12 +3834,28 @@ object Versioned {
         else "write"
       (v, times.get(v), ck.contains(v), mg.contains(v), batch, op,
         parts.length, fileLensOf(f, path, v).sum,
-        pinned.count(_.startsWith(dirQ + "/")))
+        pinned.count(_.startsWith(dirQ + "/")),
+        checks.map(_._1), checks.map(_._2))
     }
     rows.toDF("version", "commit_ts_millis", "is_checkpoint", "is_merge",
       "batch_id", "operation", "num_files", "size_bytes",
-      "exported_files")
+      "exported_files", "checks_clean", "checks_bad")
   }
+
+  /** DEAD-LETTER rate observability WITHOUT reading the quarantine
+    * table: one row per ingest version that carried a
+    * `_CHECKS_clean-N_bad-M` stats marker
+    * ([[appendCheckedQuarantine]]) — the per-batch clean/diverted
+    * split. Run against the MAIN table or the quarantine table (both
+    * sides of the marker family carry the same stats); `bad_rows > 0`
+    * rows are the epochs that diverted. Pure metadata (marker names),
+    * no data scan. */
+  def quarantineStats(spark: SparkSession, path: String): DataFrame =
+    detail(spark, path)
+      .filter(col("checks_clean").isNotNull)
+      .select(col("version"), col("batch_id"),
+        col("checks_clean").as("clean_rows"),
+        col("checks_bad").as("bad_rows"))
 
   /** Thresholds for [[maintain]]'s auto-policy. Every knob has a
     * 100 TB-sane default; the SQL face reads overrides from

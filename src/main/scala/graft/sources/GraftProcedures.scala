@@ -904,7 +904,9 @@ private[sources] object GraftProcedures {
     new Proc("detail",
       "DESCRIBE-DETAIL observability: one row per committed version " +
         "(commit time, checkpoint/merge/batch flags, operation class " +
-        "derived from the commit's own markers, files, bytes)",
+        "derived from the commit's own markers, files, bytes, and the " +
+        "dead-letter split stats when the commit carried a _CHECKS_ " +
+        "marker)",
       Seq(in("table", StringType)),
       // must mirror Versioned.detail's schema — spec-pinned
       StructType(Seq(
@@ -919,10 +921,29 @@ private[sources] object GraftProcedures {
         StructField("num_files", IntegerType, nullable = false),
         StructField("size_bytes", org.apache.spark.sql.types.LongType,
           nullable = false),
-        StructField("exported_files", IntegerType, nullable = false))),
+        StructField("exported_files", IntegerType, nullable = false),
+        StructField("checks_clean", org.apache.spark.sql.types.LongType),
+        StructField("checks_bad", org.apache.spark.sql.types.LongType))),
       (cat, row) => {
         val p = tablePath(cat, row)
         Versioned.detail(spark, p).queryExecution.executedPlan
+          .executeCollect()
+      }),
+    new Proc("quarantine_stats",
+      "dead-letter rate observability without reading the quarantine " +
+        "table: one row per ingest version that carried a _CHECKS_ " +
+        "stats marker (the quarantine INSERT face / streaming epoch " +
+        "validation) — version, batch_id, clean_rows, bad_rows. Works " +
+        "against the main OR the quarantine table; pure metadata",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("batch_id", StringType),
+        StructField("clean_rows", org.apache.spark.sql.types.LongType),
+        StructField("bad_rows", org.apache.spark.sql.types.LongType))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        Versioned.quarantineStats(spark, p).queryExecution.executedPlan
           .executeCollect()
       }))
 

@@ -1412,6 +1412,37 @@ class VersionedSpec extends SparkSpec {
       .forall(_.getInt(8) == 0))
   }
 
+  test("quarantine observability: detail surfaces the _CHECKS_ split " +
+      "per commit; quarantineStats reports the dead-letter rate from " +
+      "markers alone, on either side of the family") {
+    val main = freshPath("qstats-main")
+    val quar = freshPath("qstats-quar")
+    val cons = Seq(("x_pos", col("x") > 0))
+    // batch 1: all clean; batch 2: one diverted; batch 3: all diverted
+    Versioned.appendCheckedQuarantine(
+      Seq((1L, 5L), (2L, 6L)).toDF("k", "x"), main, cons, quar, 1L)
+    Versioned.appendCheckedQuarantine(
+      Seq((3L, 7L), (4L, -1L)).toDF("k", "x"), main, cons, quar, 2L)
+    Versioned.appendCheckedQuarantine(
+      Seq((5L, -2L)).toDF("k", "x"), main, cons, quar, 3L)
+    Versioned.append(Seq((9L, 9L)).toDF("k", "x"), main) // unchecked
+    val det = Versioned.detail(spark, main).collect()
+    val splits = det.filter(!_.isNullAt(9))
+      .map(r => (r.getString(4), r.getLong(9), r.getLong(10))).toSet
+    assert(splits == Set(("1", 2L, 0L), ("2", 1L, 1L)),
+      s"main-side detail splits: $splits") // batch 3 had no clean rows
+    // unchecked commits report NULL split columns
+    assert(det.exists(r => r.isNullAt(9) && r.isNullAt(10)))
+    val stats = Versioned.quarantineStats(spark, main).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set(("1", 2L, 0L), ("2", 1L, 1L)))
+    // the QUARANTINE side carries the same family markers for its
+    // diverted epochs — monitorable from either table
+    val qstats = Versioned.quarantineStats(spark, quar).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(qstats == Set(("2", 1L, 1L), ("3", 0L, 1L)))
+  }
+
   test("reader snapshot pins: a pinned in-flight read survives a " +
       "vacuum that reclaims everything else; an expired lease " +
       "auto-releases; releasePin frees the remnants; new reads below " +

@@ -1378,6 +1378,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viewState() == expected())
   }
 
+  test("CALL system.quarantine_stats + detail checks columns: the " +
+      "dead-letter split is monitorable from SQL without reading the " +
+      "quarantine table") {
+    spark.sql("CREATE TABLE graft_test.qst (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.qst VALUES (1, 1)")
+    Versioned.appendCheckedQuarantine(
+      Seq((2L, 2L), (3L, -3L)).toDF("k", "x"), s"$wh/qst",
+      Seq(("x_pos", col("x") > 0)), s"$wh/qst_q", 5L)
+    val st = spark.sql("CALL graft_test.system.quarantine_stats('qst')")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(st.toSeq == Seq(("5", 1L, 1L)), s"got ${st.toSeq}")
+    val det = spark.sql("CALL graft_test.system.detail('qst')").collect()
+    assert(det.exists(r => !r.isNullAt(9) && r.getLong(9) == 1L &&
+      r.getLong(10) == 1L), "detail must carry the checks split")
+    assert(det.exists(r => r.isNullAt(9)),
+      "unchecked commits report null checks columns")
+  }
+
   test("CALL system.vacuum_retain reclaims by commit AGE: a young " +
       "window is a no-op, an old-commits-young-checkpoint table " +
       "respects vacuum's base rule, retain 0 reclaims the " +

@@ -25,7 +25,7 @@ object Stress {
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
-      "dmlrace", "maintain", "cdc")
+      "dmlrace", "maintain", "cdc", "retrainpolicy")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -60,6 +60,11 @@ object Stress {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
       annProbedStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "retrainpolicy") {
+      val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
+      retrainPolicyStress(spark, nv, nq, cpus.toInt); return
     }
     if (mode == "annpq") {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
@@ -590,6 +595,128 @@ object Stress {
       f""""recall1":${recall(p1)}%.4f,"recall4":${recall(p4)}%.4f,""" +
       f""""recall16":${recall(p16)}%.4f,""" +
       s""""retrain_sec":$tRoll,"probed4_postroll_sec":$tP4b}""")
+    spark.stop()
+  }
+
+  /** Codebook-retrain POLICY stress: `retrainpolicy <corpusVecs>
+    * [<nQueries>]` (default 200k × 2k). The claim under test is the
+    * r16 drift trigger — an embedding/distribution shift the
+    * installed codebook never saw degrades probed-serve recall;
+    * [[graft.pipeline.VecIndex.maintain]] measures
+    * [[graft.pipeline.VecIndex.assignmentDrift]] against a supplied
+    * candidate and rolls the index when it crosses the threshold, and
+    * the post-roll probed recall must RECOVER toward the exhaustive
+    * serve. Also pins the no-spurious-roll control: re-sweeping with
+    * the now-installed candidate measures ~0 drift and does nothing. */
+  private def retrainPolicyStress(spark: SparkSession, nVecs: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.VecIndex
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val half = nVecs / 2
+    val d0 = spark.range(half).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    // the DRIFTED arrivals: 32 tight topic clusters the old codebook
+    // never saw — topic prototype + small per-id noise
+    // noise wide enough (±0.5 on unit-ish prototypes) that a topic's
+    // members SCATTER across the stale random centroids — the shape
+    // that actually degrades probed recall — while still co-assigning
+    // under a codebook that knows the prototypes
+    def tcomp(j: Int) =
+      (((((col("id") % 32) * 31 + j * 13) % 17).cast("double") - 8.0)
+        / 8.0
+        + (((col("id") * 7 + j * 3) % 21).cast("double") - 10.0) / 20.0)
+        .cast("float")
+    val d1 = spark.range(half, nVecs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(tcomp): _*).as("vec"))
+    val staleCents = d0.filter(col("id") < 64)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val path = "target/tmp/stress-vecidx-retrainpolicy"
+    val t0 = System.nanoTime()
+    val idx = VecIndex.init(d0, dim, path,
+      centroids = Some(staleCents), cbBuckets = 32)
+    VecIndex.append(d1, idx)
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    // OUT-OF-CORPUS queries between two topic prototypes (60/40 mix):
+    // their true neighbors are the dominant topic's members, but a
+    // codebook that never saw the topics assigns the query and its
+    // neighbors independently — the decoupling that actually costs
+    // probed recall. A codebook built on the prototypes puts the
+    // probe boundary between topics, re-coupling them.
+    def qcomp(j: Int) = {
+      def proto(tOff: Int) =
+        (((((col("id") + tOff) % 32) * 31 + j * 13) % 17).cast("double")
+          - 8.0) / 8.0
+      (proto(0) * 0.6 + proto(1) * 0.4
+        + ((col("id") * 11 + j * 5) % 5).cast("double") / 50.0 - 0.04)
+        .cast("float")
+    }
+    val queries = spark.range(nVecs, nVecs + nQueries)
+      .select(col("id"), array((0 until dim).map(qcomp): _*).as("vec"))
+    def timedSets(df: DataFrame): (Double, Map[Long, Set[Long]]) = {
+      val t = System.nanoTime()
+      val rows = df.select("qid", "nid").collect()
+      val sec = (System.nanoTime() - t) / 1e9
+      (sec, rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    }
+    val (tBrute, brute) = timedSets(
+      VecIndex.binaryTopK(spark, queries, idx, 40, 10))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / brute.size
+    val (tB1, b1) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 1, cands = 40, k = 10))
+    val (tB2, b2) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 2, cands = 40, k = 10))
+    val (tB4, b4) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 4, cands = 40, k = 10))
+    // the candidate a nightly trainer would hand the sweep: the 32
+    // topic prototypes + a 32-vector slice of the old distribution
+    val cand = d1.filter(col("id") < half + 32)
+      .select((col("id") - half).as("cid"), col("vec").as("cvec"))
+      .unionByName(d0.filter(col("id") < 32)
+        .select((col("id") + 32).as("cid"), col("vec").as("cvec")))
+    val drift = VecIndex.assignmentDrift(spark, idx, cand)
+    val tR0 = System.nanoTime()
+    val acts = VecIndex.maintain(spark, idx,
+      candidateCentroids = Some(cand), retrainFrac = 0.2)
+    val tRoll = (System.nanoTime() - tR0) / 1e9
+    require(acts.exists(_._1 == "retrain"),
+      s"policy did not roll under drift $drift: $acts")
+    val (tA1, a1) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 1, cands = 40, k = 10))
+    val (tA2, a2) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 2, cands = 40, k = 10))
+    val (tA4, a4) = timedSets(VecIndex.binaryTopKProbed(spark, queries,
+      idx, nProbe = 4, cands = 40, k = 10))
+    // the RECOVERY point: at nProbe=4 the rolled codebook must buy
+    // back real recall (nProbe=1 is structurally capped here — the
+    // between-topic queries' neighbors span two clusters, which one
+    // probe cannot cover under ANY codebook)
+    require(recall(a4) >= recall(b4) + 0.1,
+      f"post-roll recall@10 nProbe=4 did not recover: " +
+        f"${recall(b4)}%.4f -> ${recall(a4)}%.4f")
+    // control: the installed candidate measures ~0 drift — no re-roll
+    val again = VecIndex.maintain(spark, idx,
+      candidateCentroids = Some(cand), retrainFrac = 0.2)
+    require(!again.exists(_._1 == "retrain"), s"spurious re-roll: $again")
+    println(f"""{"metric":"stress_retrainpolicy","vecs":$nVecs,""" +
+      s""""queries":$nQueries,"index_sec":$tIdx,"brute_sec":$tBrute,""" +
+      f""""drift":$drift%.4f,"retrain_sec":$tRoll,""" +
+      f""""recall1_before":${recall(b1)}%.4f,""" +
+      f""""recall1_after":${recall(a1)}%.4f,""" +
+      f""""recall2_before":${recall(b2)}%.4f,""" +
+      f""""recall2_after":${recall(a2)}%.4f,""" +
+      f""""recall4_before":${recall(b4)}%.4f,""" +
+      f""""recall4_after":${recall(a4)}%.4f,""" +
+      s""""probed1_before_sec":$tB1,"probed1_after_sec":$tA1,""" +
+      s""""probed2_before_sec":$tB2,"probed2_after_sec":$tA2,""" +
+      s""""probed4_before_sec":$tB4,"probed4_after_sec":$tA4}""")
     spark.stop()
   }
 

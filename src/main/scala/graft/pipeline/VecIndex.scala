@@ -469,6 +469,45 @@ object VecIndex {
     idx
   }
 
+  /** Drift proxy for the codebook-retrain decision: over a bounded
+    * sample of live vectors, the fraction whose best cosine against
+    * the CANDIDATE centroids strictly beats their best cosine against
+    * the CURRENT ones — i.e. how much of the corpus the candidate
+    * assigns better. An identical candidate measures 0.0; a candidate
+    * trained on drifted data measures the drifted mass. Cost is one
+    * sample × (C_cur + C_cand) broadcast score (both codebooks are
+    * driver-bounded by the codebook contract) — cheap enough to run
+    * inside every [[maintain]] sweep that supplies a candidate.
+    * Cosine-IVF (centroids) flavor only: that coarse assignment is
+    * what probed-serve recall hinges on; PQ/IVFADC books roll through
+    * [[retrain]] directly. */
+  def assignmentDrift(spark: SparkSession, idx: Index,
+      candidate: DataFrame, sample: Int = 10000): Double = {
+    require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook — " +
+      "assignmentDrift compares coarse assignments")
+    val v = codebookVersion(spark, idx)
+    val f = fsOf(spark, idx.path)
+    require(f.exists(new Path(sidecar(idx.path, "centroids", v))),
+      s"index at ${idx.path} is not the cosine-IVF flavor (no " +
+        "centroids sidecar) — roll PQ/IVFADC books via retrain directly")
+    val cur = Similarity.collectCodebook(
+      spark.read.parquet(sidecar(idx.path, "centroids", v)))
+    val cand = Similarity.collectCodebook(candidate)
+    // ONE nearest-centroid pass over the UNION codebook, current ids
+    // below the offset and candidate ids above it: the argmax lands on
+    // a candidate centroid exactly when it beats every current one
+    // (the kernel breaks score ties toward the SMALLER cid, so an
+    // identical candidate measures 0.0 — never a spurious roll)
+    val offset = cur.map(_._1).max + 1
+    val union = cur ++ cand.map { case (cid, cv, n2) =>
+      (offset + cid, cv, n2) }
+    val s = liveVecs(spark, idx, Seq("vec")).limit(sample)
+    val row = s.select(avg(
+      (element_at(Similarity.nearestCids(col("vec"), union, 1), 1)
+        >= lit(offset)).cast("int")).as("d")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   /** ONE-CALL auto-maintenance for the vector index: the metas-only
     * policy ([[graft.io.GenLog.maintainPlan]]) picks full compact
     * (physical tombstone purge) past `purgeFrac` or a dirty-cluster
@@ -477,13 +516,36 @@ object VecIndex {
     * [[graft.io.Versioned.maintain]]. A purge-worthy index whose live
     * generations span CODEBOOK VERSIONS downgrades to the fold (the
     * full compact requires a reencode first — run retrain stage 2,
-    * then the next maintain purges). */
+    * then the next maintain purges).
+    *
+    * CODEBOOK RETRAIN is a policy input too (r16): supply
+    * `candidateCentroids` (e.g. the nightly kmeans job's output) and
+    * the sweep measures [[assignmentDrift]] against the live corpus —
+    * at or past `retrainFrac` it runs the full [[retrain]] roll
+    * (staged install + re-encode, atomic marker swap) BEFORE the
+    * file-shape plan; below it the candidate is discarded and only
+    * the drift is reported. An embedding refresh that degraded
+    * probed-serve recall heals on the next sweep instead of waiting
+    * for a human to notice. */
   def maintain(spark: SparkSession, idx: Index,
-      cfg: GenLog.MaintainConfig = GenLog.MaintainConfig())
+      cfg: GenLog.MaintainConfig = GenLog.MaintainConfig(),
+      candidateCentroids: Option[DataFrame] = None,
+      retrainFrac: Double = 0.2, driftSample: Int = 10000)
       : Seq[(String, String)] = {
     val f = fsOf(spark, idx.path)
     val actions = scala.collection.mutable.ArrayBuffer
       .empty[(String, String)]
+    candidateCentroids.foreach { cand =>
+      val drift = assignmentDrift(spark, idx, cand, driftSample)
+      if (drift >= retrainFrac) {
+        retrain(spark, idx, centroids = Some(cand))
+        actions += (("retrain",
+          f"assignment drift $drift%.3f >= $retrainFrac%.3f — rolled " +
+            s"to codebook v${codebookVersion(spark, idx)}"))
+      } else actions += (("drift-ok",
+        f"assignment drift $drift%.3f < $retrainFrac%.3f — candidate " +
+          "discarded"))
+    }
     val plan = GenLog.maintainPlan(spark, f, idx.path, cfg) match {
       case "full" =>
         val cbvs = GenLog.liveMetas(spark, f, idx.path)

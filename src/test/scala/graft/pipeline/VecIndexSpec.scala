@@ -596,6 +596,54 @@ class VecIndexSpec extends SparkSpec {
     assert(pre.nonEmpty && post.nonEmpty)
   }
 
+  test("maintain's retrain trigger: a candidate codebook that fits " +
+      "the drifted corpus better rolls the index at the threshold; an " +
+      "identical candidate measures zero drift and is discarded") {
+    // initial distribution + centroids drawn from it
+    val a = corpus(0 until 30)
+    val cents = a.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val path = "target/tmp/vecidx-retrain-policy"
+    val idx = VecIndex.init(a, 64, path,
+      centroids = Some(cents), cbBuckets = 4)
+    // DRIFTED fold: a far-away distribution (near-constant positive
+    // vectors, orthogonal-ish to the corpus generator's range)
+    val drifted = (100 until 160).map { id =>
+      id.toLong -> Array.tabulate(64)(i =>
+        5f + ((id * 7 + i * 3) % 5).toFloat / 10f)
+    }.toDF("id", "vec")
+    VecIndex.append(drifted, idx)
+    // candidate trained on the drifted region (8 of its vectors)
+    val cand = drifted.filter(col("id") < 108)
+      .select((col("id") - 100).as("cid"), col("vec").as("cvec"))
+    val drift = VecIndex.assignmentDrift(spark, idx, cand)
+    assert(drift >= 0.3 && drift <= 1.0, s"drift $drift")
+    // below threshold: candidate discarded, codebook version unchanged
+    val kept = VecIndex.maintain(spark, idx,
+      candidateCentroids = Some(cand), retrainFrac = 0.99)
+    assert(kept.exists(_._1 == "drift-ok"), s"$kept")
+    assert(VecIndex.codebookVersion(spark, idx) == 0)
+    // at threshold: the sweep runs the full retrain roll
+    val acts = VecIndex.maintain(spark, idx,
+      candidateCentroids = Some(cand), retrainFrac = 0.3)
+    assert(acts.exists(_._1 == "retrain"), s"$acts")
+    assert(VecIndex.codebookVersion(spark, idx) == 1)
+    // post-roll serve == fresh init with the candidate codebook
+    val qs = drifted.filter(col("id") < 103)
+    val fresh = VecIndex.init(a.unionByName(drifted), 64,
+      "target/tmp/vecidx-retrain-policy-fresh",
+      centroids = Some(cand), cbBuckets = 4)
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 2, 3)) ==
+      rows(VecIndex.ivfTopK(spark, qs, fresh, 2, 3)))
+    // an identical candidate measures ZERO drift (tie goes to the
+    // installed codebook) — no spurious roll, ever
+    assert(VecIndex.assignmentDrift(spark, idx, cand) == 0.0)
+    val again = VecIndex.maintain(spark, idx,
+      candidateCentroids = Some(cand), retrainFrac = 0.01)
+    assert(!again.exists(_._1 == "retrain"), s"$again")
+    assert(VecIndex.codebookVersion(spark, idx) == 1)
+  }
+
   // ---- filtered (hybrid) serve: metadata predicate + top-k ----
 
   private def withLang(df: DataFrame): DataFrame =
@@ -634,6 +682,15 @@ class VecIndexSpec extends SparkSpec {
     assert(post.size < got.size,
       s"post-filter should under-fill: post=${post.size} got=${got.size}")
     assert(fullPerQ.exists(_ == 3), "some query should fill all of k=3")
+    // equality + RANGE combined predicate: same ground-truth
+    // equivalence (the filter is an arbitrary Column over stored cols)
+    val flt2 = Some(col("lang") === "en" && col("id") < 40)
+    val got2 = rows(VecIndex.ivfTopK(spark, qs, idx, 2, 3, filter = flt2))
+    val fIdx2 = VecIndex.init(
+      all.filter(col("lang") === "en" && col("id") < 40), 64,
+      "target/tmp/vecidx-filtered-only2", centroids = Some(cents),
+      cbBuckets = 4)
+    assert(got2 == rows(VecIndex.ivfTopK(spark, qs, fIdx2, 2, 3)))
     // bucket pruning unchanged: probed cb literals still land as
     // partition filters; the metadata predicate pushes to the scan
     val plan = served.queryExecution.executedPlan.toString

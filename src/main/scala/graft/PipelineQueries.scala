@@ -3114,6 +3114,70 @@ object PipelineQueries {
        |      FROM scored)
        |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** HYBRID retrieval ([[Hybrid.hybridTopK]]): BM25 top-20 for the
+    * standard term set from the at-rest inverted index + cosine
+    * top-20 for embedding 0 from the generational IVF index (probed,
+    * nProbe=2), fused by reciprocal rank fusion (k0=60) to a top-10.
+    * Both candidate reads stay pruned (|terms| buckets; probed cb
+    * dirs) and the fusion touches only the 40 candidate rows. The
+    * oracle replays BOTH retrieval formulas (the q_search_bm25 and
+    * q_ann_ivf CTEs) and the RRF arithmetic end to end. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Hybrid.hybridTopK(spark, sIdx, vIdx, SearchTerms,
+        emb.filter(col("id") === 0), nProbe = 2, nLex = 20, nSem = 20,
+        k0 = 60, topK = 10)
+      .orderBy("id")
+  }
+
+  val hybridSearchSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |sem AS (
+       |  SELECT nid AS id, rk AS r FROM (
+       |    SELECT nid, ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rk
+       |    FROM scored WHERE qid = 0) WHERE rk <= 20),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1),
+       |lex AS (
+       |  SELECT id, rk AS r FROM (
+       |    SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+       |    FROM bsc) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem ON l.id = sem.id),
+       |topf AS (
+       |  SELECT id, rrf, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rk
+       |  FROM fused)
+       |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
+  }
+
   /** IVF radius search: everything with cosine >= 0.3 inside the
     * probed clusters — [[Similarity.ivfRange]], the threshold-driven
     * retrieval shape next to top-k. */
@@ -4173,6 +4237,7 @@ object PipelineQueries {
     "q_ann_neardup_multi" -> annNearDupMulti _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_filtered" -> annFiltered _,
+    "q_hybrid_search" -> hybridSearch _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4274,6 +4339,7 @@ object PipelineQueries {
     "q_ann_neardup_multi" -> annNearDupMultiSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_filtered" -> annFilteredSql,
+    "q_hybrid_search" -> hybridSearchSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

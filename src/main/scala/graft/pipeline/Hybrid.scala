@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * HYBRID retrieval: lexical (BM25 over the [[Search]] inverted index)
+ * and semantic (cosine over the [[VecIndex]] generational ANN index)
+ * candidates fused by RECIPROCAL RANK FUSION — the production serving
+ * shape for RAG/search stacks, where neither signal alone ranks well
+ * (BM25 misses paraphrase, embeddings miss rare exact terms; RRF
+ * rewards documents BOTH retrievers surface without having to
+ * calibrate their incomparable score scales).
+ *
+ * RRF (Cormack, Clarke & Buettcher, SIGIR'09):
+ * `score(d) = Σ_lists 1 / (k0 + rank_d)` with the conventional
+ * k0 = 60; absent-from-a-list contributes 0. Ranks are dense
+ * positions under each list's own (score desc, id asc) order, so a
+ * deterministic pair of retriever outputs fuses deterministically
+ * (the fused score is rounded to 8 before the id-tie-broken final
+ * rank — an independent engine reproduces it exactly).
+ *
+ * Scale shape: fusion touches only the CANDIDATE lists (nLex + nSem
+ * rows per query — hundreds, not corpus-sized), so the serve cost is
+ * the two pruned index reads it composes: the |terms|-bucket BM25
+ * read and the probed-cluster IVF read. Nothing here ever scans the
+ * corpus.
+ */
+object Hybrid {
+
+  /** Fuse ranked candidate lists by RRF. Each list is an `(idCol,
+    * scoreCol)` frame already bounded to its top-N (the retriever's
+    * job); ranks are assigned per list by (score desc, id asc).
+    * Returns (id, rrf) — fused score rounded to 8 — limited to
+    * `topK` by (rrf desc, id asc). */
+  def rrf(lists: Seq[(DataFrame, String, String)], k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(k0 > 0 && topK > 0, s"k0 $k0 and topK $topK must be > 0")
+    val contribs = lists.map { case (df, idCol, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(k0) + row_number().over(w))).as("__c"))
+    }
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy("id").agg(round(sum("__c"), 8).as("rrf"))
+    val w = Window.orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK).drop("__rk")
+  }
+
+  /** One-call hybrid serve for a single query: BM25 top-`nLex` for
+    * `terms` from the text index + cosine top-`nSem` for `queryVec`
+    * from the vector index (probed IVF — both reads stay pruned),
+    * RRF-fused to `topK`. `queryVec` is a one-row (id, vec) frame;
+    * its id is excluded from the semantic candidates (the usual
+    * self-match rule), so pass a non-corpus id for an external query.
+    * An optional metadata `filter` applies to BOTH sides: it pushes
+    * into the semantic read below the shortlist (the [[VecIndex]]
+    * filtered-serve contract — top-nSem stays full among matching
+    * rows) and the lexical candidates semi-join the vector index's
+    * stored metadata, so a violating id NEVER surfaces. Caveat: the
+    * text index stores no metadata, so the lexical side filters its
+    * top-`nLex` pool after retrieval (ranks re-densify over the
+    * survivors) — a very selective filter thins the lexical signal
+    * rather than deepening it. */
+  def hybridTopK(spark: SparkSession, textIdx: Search.Index,
+      vecIdx: VecIndex.Index, terms: Seq[String], queryVec: DataFrame,
+      nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
+      topK: Int = 10,
+      filter: Option[Column] = None): DataFrame = {
+    val lexAll = Search.searchBm25(spark, textIdx, terms, topK = nLex)
+    val lex = filter match {
+      case None => lexAll
+      case Some(flt) =>
+        val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
+          preFilter = Some(flt))
+        lexAll.join(ok.select("id"), Seq("id"), "left_semi")
+    }
+    val sem = VecIndex.ivfTopK(spark, queryVec, vecIdx, nProbe, nSem,
+      filter = filter)
+    rrf(Seq((lex, "id", "score"), (sem, "nid", "cos")), k0, topK)
+  }
+}

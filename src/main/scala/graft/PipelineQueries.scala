@@ -3178,6 +3178,73 @@ object PipelineQueries {
        |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
   }
 
+  /** FILTERED hybrid retrieval: [[hybridSearch]] with the `lang='en'`
+    * metadata predicate bound to BOTH sides — the semantic read takes
+    * it below the shortlist (top-20 stays full among matching rows,
+    * candidates restricted like q_ann_filtered) and the lexical
+    * top-20 semi-joins the vector index's stored metadata with ranks
+    * re-densified over the survivors. The oracle replays the whole
+    * composition: candidate-restricted IVF, BM25 top-20 → predicate →
+    * re-rank, RRF. Uses the q_ann_filtered fixture (metadata ingested
+    * at init/append). */
+  def hybridFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annFiltered(spark, dir).count() // ensure the tagged IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-filtered-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Hybrid.hybridTopK(spark, sIdx, vIdx, SearchTerms,
+        emb.filter(col("id") === 0), nProbe = 2, nLex = 20, nSem = 20,
+        k0 = 60, topK = 10, filter = Some(col("lang") === "en"))
+      .orderBy("id")
+  }
+
+  val hybridFilteredSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""${ivfScoredCteFor("c.vec_id < 8", "a.id % 3 = 0")},
+       |sem AS (
+       |  SELECT nid AS id, rk AS r FROM (
+       |    SELECT nid, ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rk
+       |    FROM scored WHERE qid = 0) WHERE rk <= 20),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1),
+       |lex AS (
+       |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+       |  FROM (
+       |    SELECT id, score,
+       |      ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+       |    FROM bsc) WHERE rk <= 20 AND id % 3 = 0),
+       |fused AS (
+       |  SELECT COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem ON l.id = sem.id),
+       |topf AS (
+       |  SELECT id, rrf, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rk
+       |  FROM fused)
+       |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
+  }
+
   /** IVF radius search: everything with cosine >= 0.3 inside the
     * probed clusters — [[Similarity.ivfRange]], the threshold-driven
     * retrieval shape next to top-k. */
@@ -4238,6 +4305,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvf _,
     "q_ann_filtered" -> annFiltered _,
     "q_hybrid_search" -> hybridSearch _,
+    "q_hybrid_filtered" -> hybridFiltered _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4340,6 +4408,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_hybrid_search" -> hybridSearchSql,
+    "q_hybrid_filtered" -> hybridFilteredSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

@@ -1262,6 +1262,47 @@ object PipelineQueries {
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** FILTERED BM25 ([[Search.searchBm25]] with a metadata predicate,
+    * r16): the documents table's own columns (lang/source/n_chars)
+    * store in the index's docs sidecar at writeIndex, and the
+    * predicate semi-joins the candidates BELOW the top-k — Lucene
+    * filtered-query semantics: corpus constants and per-term df stay
+    * UNFILTERED (a doc's score never changes under a filter), and the
+    * top-20 stays full among matching docs where post-filtering an
+    * unfiltered top-20 would under-fill. The oracle recomputes the
+    * same BM25 formula and restricts candidates by the predicate
+    * after scoring. */
+  def searchFiltered(spark: SparkSession, dir: String): DataFrame =
+    Search.searchBm25(spark, searchIndex(spark, dir), SearchTerms,
+        topK = 20, filter = Some(col("lang") === "en"))
+      .orderBy(col("score").desc, col("id"))
+
+  val searchFilteredSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |             unnest(string_split(text, ' ')) AS tok,
+       |             len(string_split(text, ' ')) AS dlen
+       |           FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT sc.id, sc.score FROM sc
+       |JOIN documents doc ON sc.id = doc.doc_id
+       |WHERE doc.lang = 'en'
+       |ORDER BY score DESC, id LIMIT 20""".stripMargin
+  }
+
   /** BM25 served from an index built by STREAMING ingest: the
     * documents table staged as a 3-file directory, each file one
     * micro-batch folded through [[Search.appendBatch]] (exactly-once
@@ -3179,32 +3220,48 @@ object PipelineQueries {
   }
 
   /** FILTERED hybrid retrieval: [[hybridSearch]] with the `lang='en'`
-    * metadata predicate bound to BOTH sides — the semantic read takes
-    * it below the shortlist (top-20 stays full among matching rows,
-    * candidates restricted like q_ann_filtered) and the lexical
-    * top-20 semi-joins the vector index's stored metadata with ranks
-    * re-densified over the survivors. The oracle replays the whole
-    * composition: candidate-restricted IVF, BM25 top-20 → predicate →
-    * re-rank, RRF. Uses the q_ann_filtered fixture (metadata ingested
-    * at init/append). */
+    * metadata predicate bound to BOTH sides, below each retriever's
+    * top-k — the semantic read takes it on the probed scan (candidates
+    * restricted like q_ann_filtered) and the lexical side runs
+    * [[Search.searchBm25]]'s own filtered serve (the text index stores
+    * `lang` as doc metadata), so BOTH top-20 lists stay full among
+    * matching docs. The oracle replays the whole composition:
+    * candidate-restricted IVF, candidate-restricted BM25 (corpus
+    * constants unfiltered — Lucene filtered-query semantics), RRF. */
   def hybridFiltered(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annFiltered(spark, dir).count() // ensure the tagged IVF fixture
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // the vector index stores the REAL documents.lang as metadata, so
+    // the one predicate means the same thing on both sides
+    val tagged = emb.join(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("lang")), "id")
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-filtered-$tagDir")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Hybrid.hybridTopK(spark, sIdx, vIdx, SearchTerms,
-        emb.filter(col("id") === 0), nProbe = 2, nLex = 20, nSem = 20,
-        k0 = 60, topK = 10, filter = Some(col("lang") === "en"))
+    val path = s"target/tmp/vecidx-hybridflt-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = tagged.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(tagged.filter(col("id") <= half), 64, path,
+          centroids = Some(centroids), cbBuckets = 4)
+        VecIndex.append(tagged.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    Hybrid.hybridTopK(spark, sIdx, VecIndex.open(spark, path),
+        SearchTerms, emb.filter(col("id") === 0), nProbe = 2, nLex = 20,
+        nSem = 20, k0 = 60, topK = 10,
+        filter = Some(col("lang") === "en"))
       .orderBy("id")
   }
 
   val hybridFilteredSql: String = {
     val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
-    s"""${ivfScoredCteFor("c.vec_id < 8", "a.id % 3 = 0")},
+    s"""${ivfScoredCteFor("c.vec_id < 8",
+        "a.id IN (SELECT doc_id FROM documents WHERE lang = 'en')")},
        |sem AS (
        |  SELECT nid AS id, rk AS r FROM (
        |    SELECT nid, ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rk
@@ -3228,11 +3285,11 @@ object PipelineQueries {
        |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
        |  FROM f JOIN d USING (tok), stats GROUP BY 1),
        |lex AS (
-       |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
-       |  FROM (
-       |    SELECT id, score,
-       |      ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
-       |    FROM bsc) WHERE rk <= 20 AND id % 3 = 0),
+       |  SELECT id, rk AS r FROM (
+       |    SELECT bsc.id,
+       |      ROW_NUMBER() OVER (ORDER BY score DESC, bsc.id) AS rk
+       |    FROM bsc JOIN documents doc ON bsc.id = doc.doc_id
+       |    WHERE doc.lang = 'en') WHERE rk <= 20),
        |fused AS (
        |  SELECT COALESCE(l.id, sem.id) AS id,
        |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
@@ -4306,6 +4363,7 @@ object PipelineQueries {
     "q_ann_filtered" -> annFiltered _,
     "q_hybrid_search" -> hybridSearch _,
     "q_hybrid_filtered" -> hybridFiltered _,
+    "q_search_filtered" -> searchFiltered _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4409,6 +4467,7 @@ object PipelineQueries {
     "q_ann_filtered" -> annFilteredSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_filtered" -> hybridFilteredSql,
+    "q_search_filtered" -> searchFilteredSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

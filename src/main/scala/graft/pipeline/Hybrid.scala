@@ -56,27 +56,34 @@ object Hybrid {
     * RRF-fused to `topK`. `queryVec` is a one-row (id, vec) frame;
     * its id is excluded from the semantic candidates (the usual
     * self-match rule), so pass a non-corpus id for an external query.
-    * An optional metadata `filter` applies to BOTH sides: it pushes
-    * into the semantic read below the shortlist (the [[VecIndex]]
-    * filtered-serve contract — top-nSem stays full among matching
-    * rows) and the lexical candidates semi-join the vector index's
-    * stored metadata, so a violating id NEVER surfaces. Caveat: the
-    * text index stores no metadata, so the lexical side filters its
-    * top-`nLex` pool after retrieval (ranks re-densify over the
-    * survivors) — a very selective filter thins the lexical signal
-    * rather than deepening it. */
+    * An optional metadata `filter` applies to BOTH sides, below each
+    * retriever's top-k: the semantic read takes it on the probed scan
+    * (the [[VecIndex]] filtered-serve contract) and the lexical side
+    * takes it through [[Search.searchBm25]]'s own filtered serve when
+    * the TEXT index stores the referenced columns — both candidate
+    * lists stay FULL among matching docs. When the text index lacks
+    * the column(s), the lexical side falls back to filtering its
+    * top-`nLex` pool against the VECTOR index's stored metadata
+    * (ranks re-densify over the survivors — thins rather than deepens
+    * the lexical signal; ingest the metadata at `writeIndex` to get
+    * the full-k path). Either way a violating id NEVER surfaces. */
   def hybridTopK(spark: SparkSession, textIdx: Search.Index,
       vecIdx: VecIndex.Index, terms: Seq[String], queryVec: DataFrame,
       nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
       topK: Int = 10,
       filter: Option[Column] = None): DataFrame = {
-    val lexAll = Search.searchBm25(spark, textIdx, terms, topK = nLex)
     val lex = filter match {
-      case None => lexAll
+      case None => Search.searchBm25(spark, textIdx, terms, topK = nLex)
       case Some(flt) =>
-        val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
-          preFilter = Some(flt))
-        lexAll.join(ok.select("id"), Seq("id"), "left_semi")
+        try Search.searchBm25(spark, textIdx, terms, topK = nLex,
+          filter = Some(flt))
+        catch {
+          case _: IllegalArgumentException =>
+            val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
+              preFilter = Some(flt))
+            Search.searchBm25(spark, textIdx, terms, topK = nLex)
+              .join(ok.select("id"), Seq("id"), "left_semi")
+        }
     }
     val sem = VecIndex.ivfTopK(spark, queryVec, vecIdx, nProbe, nSem,
       filter = filter)

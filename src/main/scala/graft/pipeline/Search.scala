@@ -131,9 +131,19 @@ object Search {
       .write.mode("overwrite").option("parquet.block.size", 1 << 20)
       .partitionBy("tb").parquet(s"$path/post/gen=$g")
     // per-doc token lengths: one row per doc — what a later delete of
-    // bare ids needs to subtract exact stats without scanning postings
-    df.select(col(idCol).as("id"),
-        size(split(col(textCol), " ")).cast("long").as("dlen"))
+    // bare ids needs to subtract exact stats without scanning
+    // postings. Every OTHER ingest column is doc METADATA, stored
+    // verbatim next to dlen — the substrate of the FILTERED serve
+    // (searchBm25/searchAll's `filter` semi-joins this sidecar, so
+    // top-k stays full among matching docs).
+    val meta = df.columns.toSeq.filterNot(c => c == idCol || c == textCol)
+    val clash = meta.filter(DocDerived)
+    require(clash.isEmpty, s"metadata column(s) ${clash.mkString(", ")} " +
+      "collide with index-derived doc-sidecar columns " +
+      "(id/dlen/gen/g/tok/tb/tf/pos/positions)")
+    df.select(Seq(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("dlen")) ++
+        meta.map(col): _*)
       .write.mode("overwrite").parquet(s"$path/docs/gen=$g")
     // coalesce: an EMPTY base segment is the legitimate streaming
     // bootstrap (writeIndex(df.limit(0)) then appendBatch per trigger)
@@ -417,9 +427,13 @@ object Search {
       (if (levelDocs) prevDocs.map(_._2) else Nil)
     if (docSrc.nonEmpty) {
       val d = spark.read.option("basePath", s"${idx.path}/docs")
+        .option("mergeSchema", "true") // metadata added mid-life: null
         .parquet(docSrc: _*)
-      antiTombs(spark, f, idx.path, ms, d)
-        .select("id", "dlen")
+      val resolved = antiTombs(spark, f, idx.path, ms, d)
+      // carry metadata columns through the fold (drop only the gen
+      // partition column and the synthetic carry label)
+      resolved.select(resolved.columns
+          .filterNot(c => c == "gen" || c == "g").map(col).toSeq: _*)
         .write.mode("overwrite").parquet(s"${idx.path}/docs/gen=$g")
     } else f.mkdirs(new Path(s"${idx.path}/docs/gen=$g"))
     // the manifest lists the kept docs dirs plus this fold's own
@@ -462,17 +476,51 @@ object Search {
   // ---- read side ----
 
   /** Live doc-length table: committed docs sidecars minus tombstones. */
+  /** Doc-sidecar column names the index derives or the layout owns —
+    * ingest metadata must not collide (`g` is the synthetic carry
+    * label, `gen` the partition column). */
+  private val DocDerived = Set("id", "dlen", "gen", "g", "tok", "tb",
+    "tf", "positions", "pos")
+
+  /** The committed, tombstone-resolved per-doc sidecar: (id, dlen)
+    * plus every stored METADATA column. mergeSchema because
+    * generations ingested before a metadata column existed simply
+    * read it as null. */
   private def liveDocs(spark: SparkSession, f: FileSystem,
       path: String): DataFrame = {
     val ms = liveMetas(spark, f, path)
     // carry-aware (an incremental base carries the previous base's
     // docs dir by reference; see compactIncremental)
     val docs = spark.read.option("basePath", s"$path/docs")
+      .option("mergeSchema", "true")
       .parquet(ms.filter(_.kind != KindDel)
         .flatMap(m =>
           GenLog.genPaths(spark, f, path, "docs", m.gen)): _*)
-      .select("id", "dlen", "gen")
-    antiTombs(spark, f, path, ms, docs).select("id", "dlen")
+    val resolved = antiTombs(spark, f, path, ms, docs)
+    resolved.select(resolved.columns
+      .filterNot(c => c == "gen" || c == "g").map(col).toSeq: _*)
+  }
+
+  /** Matching doc ids for a metadata predicate over the docs sidecar
+    * — the FILTERED-serve substrate (semi-joined below the top-k, so
+    * k stays full among matching docs). A predicate referencing a
+    * column the index doesn't store fails loudly listing the stored
+    * ones. */
+  private def filteredDocIds(spark: SparkSession, idx: Index,
+      flt: org.apache.spark.sql.Column): DataFrame = {
+    val docs = liveDocs(spark, fsOf(spark, idx.path), idx.path)
+    val matched =
+      try docs.filter(flt)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"search filter does not resolve against the index at " +
+              s"${idx.path} — stored doc columns: " +
+              s"${docs.columns.mkString(", ")}. Ingest filter columns " +
+              "next to (id, text) at writeIndex/append; a serve never " +
+              "post-filters (that silently under-fills k).", e)
+      }
+    matched.select("id")
   }
 
   /** The committed, tombstone-resolved postings view. Filters applied
@@ -534,14 +582,17 @@ object Search {
     * never re-implemented driver-side — then pushed as literal
     * partition filters so planning-time pruning keeps the scan to
     * |terms| buckets. */
-  def searchAll(spark: SparkSession, idx: Index, terms: Seq[String]): DataFrame = {
+  def searchAll(spark: SparkSession, idx: Index, terms: Seq[String],
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     import spark.implicits._
     val buckets = terms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    postings(spark, idx)
+    val post = postings(spark, idx)
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+    filter.map(flt => post.join(filteredDocIds(spark, idx, flt),
+        Seq("id"), "left_semi")).getOrElse(post)
       .groupBy("id")
       .agg(count_distinct(col("tok")).as("nhit"), sum("tf").as("score"))
       .filter(col("nhit") === terms.length)
@@ -653,7 +704,8 @@ object Search {
    * the exact top-k is reproducible across engines.
    */
   def searchBm25(spark: SparkSession, idx: Index, terms: Seq[String],
-      topK: Int): DataFrame = {
+      topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     import spark.implicits._
     val (nDocs, sumDlen) = stats(spark, idx)
@@ -661,9 +713,20 @@ object Search {
     val buckets = terms.toDF("tok")
       .select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
-    val post = postings(spark, idx)
+    val postAll = postings(spark, idx)
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
-    val dfPerTerm = post.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    // Lucene's filtered-query semantics: the predicate restricts
+    // CANDIDATES only — corpus constants (N, avgdl) and per-term df
+    // stay unfiltered, so a doc's score never changes under a filter
+    // and top-k stays FULL among matching docs (never post-filter an
+    // unfiltered top-k; that silently under-fills)
+    val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val post = filter match {
+      case None => postAll
+      case Some(flt) =>
+        postAll.join(filteredDocIds(spark, idx, flt), Seq("id"),
+          "left_semi")
+    }
     post.join(dfPerTerm, "tok")
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("dfc") + 0.5) / (col("dfc") + 0.5)

@@ -670,4 +670,60 @@ class SearchSpec extends SparkSpec {
         _.references.exists(_.name == "tb"))),
       scans.map(_.partitionFilters.mkString(",")).mkString("\n"))
   }
+
+  test("filtered BM25/conjunction: doc metadata stores in the sidecar, " +
+      "the predicate binds below the top-k (full k among matching, " +
+      "scores unchanged), survives delete/reingest + fold, and an " +
+      "unknown column fails loudly") {
+    val tagged = (1 to 30).map { i =>
+      val text = if (i % 2 == 0) "alpha beta gamma" else s"alpha beta x$i"
+      (i.toLong, text, if (i % 3 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-filtered"))
+    val fidx = Search.writeIndex(tagged.filter(col("doc_id") <= 20),
+      "doc_id", "text", "target/tmp/search-filtered", nBuckets = 8)
+    Search.append(tagged.filter(col("doc_id") > 20), "doc_id", "text",
+      fidx)
+    val terms = Seq("alpha", "gamma")
+    // ground truth: the FULL ranking (topK >= all hits), post-filtered
+    val all = Search.searchBm25(spark, fidx, terms, topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val wantTop5 = all.filter(_._1 % 3 == 0).take(5).toSeq
+    val got = Search.searchBm25(spark, fidx, terms, topK = 5,
+        filter = Some(col("lang") === "en"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == wantTop5,
+      s"filtered top-5 must be the first 5 matching of the full " +
+        s"ranking with UNCHANGED scores: got $got want $wantTop5")
+    assert(got.size == 5)
+    // the under-fill this exists to prevent: post-filtering the
+    // unfiltered top-5 yields fewer
+    val postFiltered = Search.searchBm25(spark, fidx, terms, topK = 5)
+      .collect().map(_.getLong(0)).count(_ % 3 == 0)
+    assert(postFiltered < 5, s"fixture too easy: $postFiltered")
+    // conjunction face honors the same predicate
+    val conj = Search.searchAll(spark, fidx, Seq("alpha", "beta"),
+        filter = Some(col("lang") === "en"))
+      .collect().map(_.getLong(0)).toSet
+    assert(conj.nonEmpty && conj.forall(_ % 3 == 0))
+    // metadata survives the reingest cycle + incremental fold + vacuum
+    import spark.implicits._
+    Search.delete(Seq(6L).toDF("id"), "id", fidx)
+    Search.append(Seq((6L, "alpha gamma gamma", "en"))
+      .toDF("doc_id", "text", "lang"), "doc_id", "text", fidx)
+    Search.compactIncremental(spark, fidx)
+    Search.vacuum(spark, fidx)
+    val after = Search.searchBm25(spark, fidx, terms, topK = 1000,
+        filter = Some(col("lang") === "en"))
+      .collect().map(_.getLong(0)).toSet
+    assert(after.contains(6L) && after.forall(_ % 3 == 0))
+    // unknown column: loud, lists the stored doc columns
+    val e = intercept[IllegalArgumentException] {
+      Search.searchBm25(spark, fidx, terms, topK = 5,
+        filter = Some(col("tongue") === "en")).collect()
+    }
+    assert(e.getMessage.contains("stored doc columns") &&
+      e.getMessage.contains("lang"))
+  }
 }

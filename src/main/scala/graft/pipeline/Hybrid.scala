@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -39,15 +38,28 @@ object Hybrid {
     require(lists.nonEmpty, "rrf needs at least one ranked list")
     require(k0 > 0 && topK > 0, s"k0 $k0 and topK $topK must be > 0")
     val contribs = lists.map { case (df, idCol, scoreCol) =>
-      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-      df.select(col(idCol).as("id"),
-        (lit(1.0) / (lit(k0) + row_number().over(w))).as("__c"))
+      val a = df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+      val b = a.select(col("id").as("__bid"), col("__s").as("__bs"))
+      // rank = 1 + |rows strictly better| under (score desc, id asc).
+      // A deliberate bounded N² self-join instead of a global window:
+      // lists are top-N retriever outputs (hundreds of rows), so the
+      // pairing is tiny, broadcast-nested-loop planned, and avoids
+      // the unpartitioned WindowExec a single-partition rank would
+      // plan (the scale-killer shape PlanAuditSpec bans — here it
+      // would be bounded, but the plan can't prove that).
+      a.join(b,
+          col("__bs") > col("__s") ||
+            (col("__bs") === col("__s") && col("__bid") < col("id")),
+          "left_outer")
+        .groupBy("id", "__s")
+        .agg((count(col("__bid")) + 1).cast("int").as("__rank"))
+        .select(col("id"),
+          (lit(1.0) / (lit(k0) + col("__rank"))).as("__c"))
     }
-    val fused = contribs.reduce(_.unionByName(_))
+    contribs.reduce(_.unionByName(_))
       .groupBy("id").agg(round(sum("__c"), 8).as("rrf"))
-    val w = Window.orderBy(col("rrf").desc, col("id").asc)
-    fused.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= topK).drop("__rk")
+      // global top-k as sort+limit (TakeOrdered), never a window
+      .orderBy(col("rrf").desc, col("id").asc).limit(topK)
   }
 
   /** One-call hybrid serve for a single query: BM25 top-`nLex` for

@@ -498,6 +498,9 @@ object VecIndex {
     // a candidate centroid exactly when it beats every current one
     // (the kernel breaks score ties toward the SMALLER cid, so an
     // identical candidate measures 0.0 — never a spurious roll)
+    require(cand.forall(_._1 >= 0), "assignmentDrift: candidate " +
+      "centroid ids must be >= 0 (the union-codebook offset relies " +
+      "on it)")
     val offset = cur.map(_._1).max + 1
     val union = cur ++ cand.map { case (cid, cv, n2) =>
       (offset + cid, cv, n2) }

@@ -154,8 +154,14 @@ object Versioned {
     val dir = new Path(s"$path/v=$v")
     val own = f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
-    val refs = readManifest(f, dir).map(refPath(path, _))
-    val refLens = refs.groupBy(_.getParent).toSeq.flatMap {
+    own ++ refLens(f, readManifest(f, dir).map(refPath(path, _)))
+  }
+
+  /** Lengths of manifest-carried refs — one `listStatus` per HOME
+    * dir, never a per-file stat RPC (shared by [[fileLensOf]] and
+    * [[detail]]). */
+  private def refLens(f: FileSystem, refs: Seq[Path]): Seq[Long] =
+    refs.groupBy(_.getParent).toSeq.flatMap {
       case (home, ps) =>
         val names = ps.map(_.getName).toSet
         // a manifest ref whose home file was vacuumed away simply
@@ -165,8 +171,15 @@ object Versioned {
         else f.listStatus(home).toSeq
           .filter(s => names(s.getPath.getName)).map(_.getLen)
     }
-    own ++ refLens
-  }
+
+  /** Parse a `_CHECKS_clean-N_bad-M` marker name (None = not one). */
+  private def parseChecks(name: String): Option[(Long, Long)] =
+    if (!name.startsWith("_CHECKS_clean-")) None
+    else name.stripPrefix("_CHECKS_clean-").split("_bad-") match {
+      case Array(c, b) =>
+        for (cl <- c.toLongOption; bd <- b.toLongOption) yield (cl, bd)
+      case _ => None
+    }
 
   /** Per-file zone-map lookup across dirs (file → its parent dir's
     * `_STATS.tsv` row), with a per-instance dir cache — carried files
@@ -2735,12 +2748,16 @@ object Versioned {
       .toDF("clone", "file", "since_ts_millis", "lease_ms")
   }
 
-  /** Pins older than `leaseMs` (0 since-stamps — pre-stamp legacy —
-    * count as expired: their age is unknown and unbounded). */
+  /** CLONE pins older than `leaseMs` (0 since-stamps — pre-stamp
+    * legacy — count as expired: their age is unknown and unbounded).
+    * Reader snapshot pins (own `leaseMs` > 0) are excluded: they
+    * self-expire under their OWN lease and must not trip the
+    * forgotten-clone warning with `releaseClone` advice. */
   private[graft] def expiredExports(spark: SparkSession, path: String,
       leaseMs: Long): Seq[ExportPin] = {
     val now = System.currentTimeMillis()
-    exports(spark, path).filter(p => now - p.sinceMillis > leaseMs)
+    exports(spark, path).filter(p =>
+      p.leaseMs == 0 && now - p.sinceMillis > leaseMs)
   }
 
   /** Qualified paths of this table's files referenced by any clone. */
@@ -3398,10 +3415,13 @@ object Versioned {
     require(fromV < toV, s"changes: fromV $fromV must be < toV $toV")
     val b = currentAsOf(spark, path, keyCol, toV)
       .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
-    // no committed version at or below fromV (fromV = 0 is the
-    // whole-history CDC anchor): the old state is EMPTY — every
-    // current key classifies as insert
-    val a = if (!versions(spark, path).exists(_ <= fromV)) b.limit(0)
+    // fromV = 0 is the whole-history CDC anchor: the state BEFORE the
+    // table existed is empty by definition (vacuum cannot change it),
+    // so every current key classifies as insert. ONLY v=0 gets this —
+    // a positive fromV whose versions were vacuumed away must keep
+    // failing loudly (currentAsOf's vacuum-base guard), never silently
+    // re-report the whole table as inserts.
+    val a = if (fromV == 0) b.limit(0)
     else {
     // column identity is the PHYSICAL id: align the fromV snapshot's
     // logical names to toV's through the shared physicals, so a
@@ -3490,6 +3510,18 @@ object Versioned {
     require(mappingAt(spark, path, fromV) == mappingAt(spark, path, toV),
       s"changesIncremental: the column mapping changed in " +
         s"($fromV, $toV] — use changes(), which aligns names")
+    // a positive fromV must be READABLE (some committed version at or
+    // below it): after a vacuum reclaimed the range, the delta slice
+    // is empty and the early return below would silently report "no
+    // changes" for a range that DID change. (If fromV survives the
+    // vacuum base, everything above it survives too — so this one
+    // check covers the whole range.) fromV = 0 stays the legitimate
+    // empty anchor: the state before the table existed is empty by
+    // definition.
+    require(fromV == 0 || versions(spark, path).exists(_ <= fromV),
+      s"changesIncremental: no committed versions at or below $fromV " +
+        s"at $path (vacuumed?) — pick a readable fromV, or 0 for the " +
+        "whole-history anchor")
     val f = fs(spark, path)
     val ck = checkpoints(spark, path).toSet
     val deltaVs = versions(spark, path)
@@ -3510,11 +3542,12 @@ object Versioned {
     // columns a narrower delta frame omitted (a live row written
     // without column c resolves to c = NULL; the comparison must see
     // that as a change, exactly like the full face's resolved diff).
-    // No committed version at or below fromV (fromV = 0, the
-    // whole-history anchor) => the old side is EMPTY — every
-    // surviving key in range classifies as insert.
+    // fromV = 0 (the whole-history anchor) => the old side is EMPTY
+    // by definition — every surviving key classifies as insert. ONLY
+    // v=0: a positive vacuumed-away fromV fails loudly downstream
+    // (the vacuum-base contract), never silently re-anchors.
     val rawOldOpt =
-      if (!versions(spark, path).exists(_ <= fromV)) None
+      if (fromV == 0) None
       else Some(spark.read.format("graft")
         .option("versionAsOf", fromV)
         // the BOUNDED resolve slice: newest checkpoint + the log above
@@ -3801,21 +3834,20 @@ object Versioned {
     val pinned = exportedFiles(spark, path)
     val rows = versions(spark, path).map { v =>
       val dir = new Path(s"$path/v=$v")
-      val parts = filesOf(f, path, v) // own + manifest-carried
-      val markerNames = f.listStatus(dir).map(_.getPath.getName)
+      // ONE listing + ONE manifest read per version dir: markers,
+      // own-file count/bytes, and carried-ref count/bytes all derive
+      // from it (a 10^4-version table must not pay 3x the RPCs)
+      val statuses = f.listStatus(dir).toSeq
+      val markerNames = statuses.map(_.getPath.getName)
+      val ownParquet = statuses
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val carriedRefs = readManifest(f, dir).map(refPath(path, _))
+      val carriedLens = refLens(f, carriedRefs)
       val batch = markerNames
         .find(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_"))
       // dead-letter split stats stamped by appendCheckedQuarantine:
       // _CHECKS_clean-N_bad-M rides BOTH sides of the marker family
-      val checks = markerNames.find(_.startsWith("_CHECKS_clean-"))
-        .flatMap { m =>
-          m.stripPrefix("_CHECKS_clean-").split("_bad-") match {
-            case Array(c, b) =>
-              for (cl <- c.toLongOption; bd <- b.toLongOption)
-                yield (cl, bd)
-            case _ => None
-          }
-        }
+      val checks = markerNames.flatMap(parseChecks).headOption
       // clone-pinned files of THIS dir — vacuum cannot reclaim them
       // until releaseClone ([[clonePins]] lists file/clone/since)
       val dirQ = f.makeQualified(dir).toString
@@ -3830,10 +3862,11 @@ object Versioned {
         // batch marker BEFORE the data-less test: an empty micro-batch
         // (or an all-divert quarantine epoch) is still an ingest
         else if (batch.isDefined) "ingest"
-        else if (parts.isEmpty) "metadata"
+        else if ((ownParquet.isEmpty && carriedRefs.isEmpty)) "metadata"
         else "write"
       (v, times.get(v), ck.contains(v), mg.contains(v), batch, op,
-        parts.length, fileLensOf(f, path, v).sum,
+        ownParquet.length + carriedRefs.length,
+        ownParquet.map(_.getLen).sum + carriedLens.sum,
         pinned.count(_.startsWith(dirQ + "/")),
         checks.map(_._1), checks.map(_._2))
     }
@@ -3850,12 +3883,21 @@ object Versioned {
     * sides of the marker family carry the same stats); `bad_rows > 0`
     * rows are the epochs that diverted. Pure metadata (marker names),
     * no data scan. */
-  def quarantineStats(spark: SparkSession, path: String): DataFrame =
-    detail(spark, path)
-      .filter(col("checks_clean").isNotNull)
-      .select(col("version"), col("batch_id"),
-        col("checks_clean").as("clean_rows"),
-        col("checks_bad").as("bad_rows"))
+  def quarantineStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    // marker names only — no manifest reads, no byte sizing (this is
+    // the cheap observability call; detail() is the full one)
+    val rows = versions(spark, path).flatMap { v =>
+      val names = f.listStatus(new Path(s"$path/v=$v")).toSeq
+        .map(_.getPath.getName)
+      names.flatMap(parseChecks).headOption.map { case (c, b) =>
+        (v, names.find(_.startsWith("_BATCH_"))
+          .map(_.stripPrefix("_BATCH_")), c, b)
+      }
+    }
+    rows.toDF("version", "batch_id", "clean_rows", "bad_rows")
+  }
 
   /** Thresholds for [[maintain]]'s auto-policy. Every knob has a
     * 100 TB-sane default; the SQL face reads overrides from

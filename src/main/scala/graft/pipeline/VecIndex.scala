@@ -79,12 +79,15 @@ object VecIndex {
     Derived(c) || c.matches("code\\d+")
 
   /** Stored column names of the live generations (footer reads only —
-    * no data scan). */
+    * no data scan). mergeSchema: a metadata column added mid-life
+    * (append after init) must be visible no matter which generation's
+    * footer gets inferred first. */
   private def liveCols(spark: SparkSession, idx: Index): Seq[String] = {
     val f = fsOf(spark, idx.path)
     val ms = GenLog.liveMetas(spark, f, idx.path)
       .filter(_.kind != GenLog.KindDel)
     spark.read.option("basePath", s"${idx.path}/vecs")
+      .option("mergeSchema", "true")
       .parquet(ms.flatMap(m =>
         GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
       .schema.fieldNames.toSeq
@@ -504,7 +507,16 @@ object VecIndex {
     val offset = cur.map(_._1).max + 1
     val union = cur ++ cand.map { case (cid, cv, n2) =>
       (offset + cid, cv, n2) }
-    val s = liveVecs(spark, idx, Seq("vec")).limit(sample)
+    // SPREAD sample, not a limit() prefix: limit would take the first
+    // partitions in file order — typically the oldest base generation
+    // — leaving freshly-appended (i.e. exactly the DRIFTED) mass
+    // unrepresented and the policy blind. Deterministic hash-mod on
+    // id touches every generation proportionally; the modulus comes
+    // from the exact marker-derived count (no scan).
+    val n = countVecs(spark, idx)
+    val m = math.max(1L, n / math.max(1, sample))
+    val s = liveVecs(spark, idx, Seq("id", "vec"))
+      .filter(pmod(hash(col("id")), lit(m)) === 0)
     val row = s.select(avg(
       (element_at(Similarity.nearestCids(col("vec"), union, 1), 1)
         >= lit(offset)).cast("int")).as("d")).head()
@@ -685,6 +697,7 @@ object VecIndex {
         segs.flatMap(m =>
           GenLog.genPaths(spark, f, idx.path, "vecs", m.gen))
       val raw = spark.read.option("basePath", s"${idx.path}/vecs")
+        .option("mergeSchema", "true") // mid-life metadata: null
         .parquet(srcPaths: _*)
       // gen-aware tombstone resolve (same ORIGINAL-kill-gen rule as
       // liveVecs — see GenLog.tombstones)
@@ -759,8 +772,13 @@ object VecIndex {
       .filter(m => gens.forall(_.contains(m.gen)))
     // carry-aware: an incremental base contributes its own rewritten
     // cluster dirs plus its manifest-carried refs (original gen
-    // partition values — what the gen-aware anti-join needs)
+    // partition values — what the gen-aware anti-join needs).
+    // mergeSchema: generations ingested before a metadata column
+    // existed read it as null instead of hiding it (which would both
+    // fail filtered serves spuriously and let reencode/compact DROP
+    // the column)
     val raw = spark.read.option("basePath", s"${idx.path}/vecs")
+      .option("mergeSchema", "true")
       .parquet(segs.flatMap(m =>
         GenLog.genPaths(spark, f, idx.path, "vecs", m.gen)): _*)
     val filtered = preFilter.map { p =>

@@ -142,11 +142,14 @@ private[sources] object GraftProcedures {
     * Spaces encode as %20 (NOT '+') and the decoder preserves literal
     * '+': raw user input like 'dim+2024' must survive the decode the
     * create procedure applies — only ':;|%' genuinely need escaping. */
-  /** Format VERSION marker for the space-safe codec. A `jv.dims`
-    * value persisted by the pre-r16 codec encoded spaces as '+'
-    * (plain form-encoding) and carries no marker; the current codec
-    * prefixes its output so [[decodeDims]] can keep decoding BOTH —
-    * an existing view's dim paths never silently re-point. */
+  /** Format VERSION marker. An UNMARKED `jv.dims` value was persisted
+    * by the r15 codec, which already wrote spaces as %20 and left a
+    * literal '+' raw — so the legacy decode must use the SAME
+    * pre-escape rule as v2 ('+' stays literal), or an r15 view whose
+    * dim path contains '+' would silently re-point to a spaced name.
+    * (The short-lived earlier form-encoded writer never survived to a
+    * round boundary; no persisted value carries '+'-means-space.)
+    * The marker exists so future codec changes stay decodable. */
   private val DimsV2 = "2!"
 
   private def encodeDims(dims: Seq[graft.io.JoinView.DimLink]): String =
@@ -158,15 +161,14 @@ private[sources] object GraftProcedures {
     }.mkString(";")
 
   private def decodeDims(raw: String): Seq[graft.io.JoinView.DimLink] = {
-    val v2 = raw.startsWith(DimsV2)
-    val enc = if (v2) raw.substring(DimsV2.length) else raw
+    val enc = if (raw.startsWith(DimsV2)) raw.substring(DimsV2.length)
+      else raw
     enc.split(';').filter(_.nonEmpty).toSeq.map { hop =>
-      // v2: '+' re-escaped before the decode — URLDecoder's form-
-      // encoding quirk would turn a literal '+' in raw user input
-      // into a space. Legacy (unmarked) values WERE form-encoded
-      // ('+' means space), so they decode plain.
+      // '+' re-escaped before the decode in BOTH formats — URLDecoder's
+      // form-encoding quirk would otherwise turn a literal '+' (which
+      // every writer since r15 stores raw) into a space
       def d(s: String) = java.net.URLDecoder.decode(
-        if (v2) s.replace("+", "%2B") else s, "UTF-8")
+        s.replace("+", "%2B"), "UTF-8")
       // split with limit -1: a carry-less hop ("p:k:j:" — a pure
       // semi-join-filter dim) keeps its trailing empty field instead
       // of collapsing to 3 and failing the re-open of a view that
@@ -264,31 +266,47 @@ private[sources] object GraftProcedures {
     * system.maintain[_all]` keeps the serving surface FRESH and
     * folded, not just compacted. A quiet source reports nothing (the
     * refresh returns without committing); a stale view reports the
-    * source-version range it folded. Plain tables return no rows. */
+    * source-version range it folded. Plain tables return no rows.
+    * `isolate` (the namespace sweep): a failing refresh — dropped
+    * source, vacuumed-past binding — reports a `refresh-error` row
+    * and lets the table's own file-shape maintenance (and the REST of
+    * the sweep) continue, instead of one broken view killing every
+    * other table's cron'd pass; the targeted `maintain` call keeps
+    * the loud failure. */
   private def maintainViewFreshness(cat: GraftCatalog, path: String,
-      props: Map[String, String]): Seq[(String, String)] = {
+      props: Map[String, String],
+      isolate: Boolean = false): Seq[(String, String)] = {
     def report(kind: String, before: Int, after: Int) =
       if (after > before)
         Seq(("refresh",
           s"$kind view folded source versions ($before, $after]"))
       else Seq.empty[(String, String)]
-    if (props.contains("jv.dims") || props.contains("jv.dim")) {
-      val h = joinHandleOf(cat, path)
-      report("join", graft.io.JoinView.refreshedVersion(spark, h),
-        graft.io.JoinView.refresh(spark, h))
-    } else if (props.contains("mv.source")) {
-      val h = graft.io.MatView.Handle(path, props("mv.source"),
-        props("mv.key"), props("mv.group"),
-        props("mv.sums").split(',').filter(_.nonEmpty).toSeq,
-        props.getOrElse("mv.minmax", "").split(',')
-          .filter(_.nonEmpty).toSeq)
-      report("mat", graft.io.MatView.refreshedVersion(spark, h),
-        graft.io.MatView.refresh(spark, h))
-    } else if (props.contains("sv.source")) {
-      val h = sketchHandle(cat, path)
-      report("sketch", graft.io.SketchView.refreshedVersion(spark, h),
-        graft.io.SketchView.refresh(spark, h))
-    } else Seq.empty
+    def run(): Seq[(String, String)] =
+      if (props.contains("jv.dims") || props.contains("jv.dim")) {
+        val h = joinHandleOf(cat, path)
+        report("join", graft.io.JoinView.refreshedVersion(spark, h),
+          graft.io.JoinView.refresh(spark, h))
+      } else if (props.contains("mv.source")) {
+        val h = graft.io.MatView.Handle(path, props("mv.source"),
+          props("mv.key"), props("mv.group"),
+          props("mv.sums").split(',').filter(_.nonEmpty).toSeq,
+          props.getOrElse("mv.minmax", "").split(',')
+            .filter(_.nonEmpty).toSeq)
+        report("mat", graft.io.MatView.refreshedVersion(spark, h),
+          graft.io.MatView.refresh(spark, h))
+      } else if (props.contains("sv.source")) {
+        val h = sketchHandle(cat, path)
+        report("sketch", graft.io.SketchView.refreshedVersion(spark, h),
+          graft.io.SketchView.refresh(spark, h))
+      } else Seq.empty
+    if (!isolate) run()
+    else
+      try run()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(("refresh-error", s"view refresh failed — file-shape " +
+            s"maintenance continues: ${e.getMessage}"))
+      }
   }
 
   private def procs: Seq[Proc] = Seq(
@@ -358,10 +376,12 @@ private[sources] object GraftProcedures {
           val p = cat.resolveTablePath(ident)
           val props = cat.propsOf(p)
           // view freshness first (a stale maintained view refreshes
-          // before its files fold); declared index.<name> properties
-          // sweep even on keyless tables (index maintenance never
-          // resolves the table's key)
-          val acts = maintainViewFreshness(cat, p, props) ++
+          // before its files fold; a broken binding reports an error
+          // row instead of killing the sweep); declared index.<name>
+          // properties sweep even on keyless tables (index
+          // maintenance never resolves the table's key)
+          val acts = maintainViewFreshness(cat, p, props,
+            isolate = true) ++
             maintainTable(p, props) ++ maintainIndexes(p, props)
           acts.map { case (a, det) =>
             InternalRow(u(ident.name), u(a), u(det)) }

@@ -84,6 +84,37 @@ class ChangesStreamSpec extends SparkSpec {
     assert(fromZero == current.map(k => (k, "insert")))
   }
 
+  test("CDC vacuum contract: fromV = 0 is the empty anchor even after " +
+      "a vacuum, but a positive vacuumed-away fromV fails LOUDLY on " +
+      "every face — never a silent all-inserts re-anchor") {
+    val src = "target/tmp/cdc-vacuum-anchor"
+    rmDir(src)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), src) // v1
+    Versioned.append(Seq((1L, "a", 11L)).toDF("k", "s", "n"), src)  // v2
+    Versioned.compact(spark, src, "k")                              // v3
+    Versioned.append(Seq((3L, "c", 30L)).toDF("k", "s", "n"), src)  // v4
+    Versioned.compact(spark, src, "k")                              // v5
+    Versioned.vacuum(spark, src, 0) // reclaims v < 5
+    // fromV = 0: state before the table existed is empty BY
+    // DEFINITION — vacuum can't change it; every live key is insert
+    val head = Versioned.latestVersion(spark, src)
+    val anchor = Versioned.changes(spark, src, "k", 0, head).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(anchor == Set((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    // a positive fromV whose versions were reclaimed: LOUD, both
+    // kernels and the auto face
+    intercept[Exception] {
+      Versioned.changes(spark, src, "k", 2, head).collect()
+    }
+    intercept[Exception] {
+      Versioned.changesIncremental(spark, src, "k", 2, head).collect()
+    }
+    intercept[Exception] {
+      Versioned.changesAuto(spark, src, "k", 2, head).collect()
+    }
+  }
+
   test("streaming CDC classifies MERGE and NULL-key commits through " +
       "the full-kernel fallback, in-stream") {
     val src = "target/tmp/cdcstream-fb-src"

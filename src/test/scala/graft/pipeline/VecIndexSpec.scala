@@ -726,6 +726,28 @@ class VecIndexSpec extends SparkSpec {
     assert(got.forall(r => r._2 % 3 == 0 && r._2 != 0L && r._2 != 3L))
   }
 
+  test("metadata added MID-LIFE (append after a plain init) is " +
+      "visible to filtered serves and survives reencode/compact — " +
+      "pre-metadata generations read it as null") {
+    val cents = corpus(0 until 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val idx = VecIndex.init(corpus(0 until 20), 64, // NO metadata
+      "target/tmp/vecidx-midlife", centroids = Some(cents),
+      cbBuckets = 4)
+    VecIndex.append(withLang(corpus(20 until 40)), idx) // adds 'lang'
+    val qs = corpus(0 until 40).filter(col("id") < 4)
+    val got = rows(VecIndex.ivfTopK(spark, qs, idx, 8, 3,
+      filter = Some(col("lang") === "en")))
+    // pre-metadata rows have lang = null => filtered out; matching =
+    // appended en rows only
+    assert(got.nonEmpty && got.forall(r => r._2 >= 20 && r._2 % 3 == 0),
+      s"mid-life filter must see only the tagged matching rows: $got")
+    // a full compact must not DROP the mid-life column
+    VecIndex.compact(spark, idx)
+    assert(rows(VecIndex.ivfTopK(spark, qs, idx, 8, 3,
+      filter = Some(col("lang") === "en"))) == got)
+  }
+
   test("filtered serve fails loudly on a column the index does not " +
       "store; reserved metadata names are refused at ingest") {
     val idx = VecIndex.init(withLang(corpus(0 until 20)), 64,

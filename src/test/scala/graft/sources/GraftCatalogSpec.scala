@@ -1371,6 +1371,25 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(String, String)].collect().toSeq
     assert(one.exists(_._1 == "refresh"), s"$one")
     assert(viewState() == expected())
+    // a BROKEN view binding must not kill the namespace sweep:
+    // corrupt the recorded group column, make the view stale — the
+    // sweep reports a refresh-error row for it and every other table
+    // still maintains
+    spark.sql("INSERT INTO graft_test.mvfr.src VALUES (102, 'g2', 7)")
+    spark.sql("ALTER TABLE graft_test.mvfr.v SET TBLPROPERTIES " +
+      "('mv.group' = 'no_such_column')")
+    val broken = spark.sql("CALL graft_test.system.maintain_all('mvfr')")
+      .as[(String, String, String)].collect().toSeq
+    assert(broken.exists(a => a._1 == "v" && a._2 == "refresh-error"),
+      s"expected an isolated refresh-error row: $broken")
+    assert(broken.exists(a => a._1 == "src"),
+      "the rest of the sweep must still run")
+    // the targeted call keeps the loud failure
+    intercept[Exception] {
+      spark.sql("CALL graft_test.system.maintain('mvfr.v')").collect()
+    }
+    spark.sql("ALTER TABLE graft_test.mvfr.v SET TBLPROPERTIES " +
+      "('mv.group' = 'g')") // heal for any later sweep
   }
 
   test("CALL system.quarantine_stats + detail checks columns: the " +

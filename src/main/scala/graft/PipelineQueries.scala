@@ -3302,6 +3302,89 @@ object PipelineQueries {
        |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
   }
 
+  /** BATCHED hybrid retrieval ([[Hybrid.hybridTopKBatch]]): three
+    * queries with DIFFERENT term sets and query vectors served in one
+    * pass — the lexical side evaluates all term sets in a single
+    * bucket-pruned postings read (shared per-term df), the semantic
+    * side is the already-batched probed IVF read, fusion is
+    * qid-partitioned RRF. No per-query job fan-out (spec-pinned in
+    * HybridSpec); the oracle replays BM25 + IVF + per-qid RRF for all
+    * three queries end to end. */
+  def hybridBatch(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    import spark.implicits._
+    val termSets = Seq(
+      (0L, Seq("window", "merge", "vector")),
+      (1L, Seq("window", "merge")),
+      (2L, Seq("merge", "vector"))).toDF("qid", "terms")
+    val queries = termSets.join(emb.withColumnRenamed("id", "qid"), "qid")
+    Hybrid.hybridTopKBatch(spark, sIdx, vIdx, queries, nProbe = 2,
+        nLex = 20, nSem = 20, k0 = 60, topK = 10)
+      .orderBy("qid", "id")
+  }
+
+  val hybridBatchSql: String = {
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |qt AS (
+       |  SELECT CAST(q AS BIGINT) AS qid, tok FROM (VALUES
+       |    (0, 'window'), (0, 'merge'), (0, 'vector'),
+       |    (1, 'window'), (1, 'merge'),
+       |    (2, 'merge'), (2, 'vector')) v(q, tok)),
+       |sem AS (
+       |  SELECT qid, nid AS id, rk AS r FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |        AS rk
+       |    FROM scored WHERE qid IN (0, 1, 2)) WHERE rk <= 20),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT qt.qid, f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok) JOIN qt USING (tok), stats
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, id, rk AS r FROM (
+       |    SELECT qid, id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id)
+       |        AS rk
+       |    FROM bsc) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, sem.qid) AS qid,
+       |    COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem
+       |    ON l.qid = sem.qid AND l.id = sem.id),
+       |topf AS (
+       |  SELECT qid, id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+       |      AS rk
+       |  FROM fused)
+       |SELECT qid, id, rrf FROM topf WHERE rk <= 10
+       |ORDER BY qid, id""".stripMargin
+  }
+
   /** IVF radius search: everything with cosine >= 0.3 inside the
     * probed clusters — [[Similarity.ivfRange]], the threshold-driven
     * retrieval shape next to top-k. */
@@ -4363,6 +4446,7 @@ object PipelineQueries {
     "q_ann_filtered" -> annFiltered _,
     "q_hybrid_search" -> hybridSearch _,
     "q_hybrid_filtered" -> hybridFiltered _,
+    "q_hybrid_batch" -> hybridBatch _,
     "q_search_filtered" -> searchFiltered _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
@@ -4467,6 +4551,7 @@ object PipelineQueries {
     "q_ann_filtered" -> annFilteredSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_filtered" -> hybridFilteredSql,
+    "q_hybrid_batch" -> hybridBatchSql,
     "q_search_filtered" -> searchFilteredSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,

@@ -2828,7 +2828,15 @@ object Versioned {
     * vacuum still fails loudly (the vacuum-base contract is
     * unchanged). Observable per-file in [[clonePins]] and per-dir in
     * [[detail]]'s `exported_files`. Re-pinning the same name replaces
-    * the previous pin (lease renewal). */
+    * the previous pin (lease renewal).
+    *
+    * A successful return GUARANTEES the snapshot's files existed
+    * after the registration landed (the racing-vacuum window is
+    * re-checked; a torn pin is released and raises). Lease expiry is
+    * judged by the VACUUMING process's clock against this call's
+    * stamp, with a fixed [[pinLeaseSlackMs]] skew allowance — leases
+    * assume loosely synchronized clocks; size `leaseMs` to the read's
+    * duration, not to the slack. */
   def pinSnapshot(spark: SparkSession, path: String, version: Int,
       name: String, leaseMs: Long): Int = {
     require(leaseMs > 0, s"pinSnapshot: leaseMs must be > 0 (a " +
@@ -2845,6 +2853,29 @@ object Versioned {
     updateExports(spark, f, path)(cur =>
       cur.filterNot(_.cloneDst == s"pin:$name") ++
         refs.map(ExportPin(s"pin:$name", _, now, leaseMs)))
+    // TOCTOU close: a vacuum racing this call may have reclaimed some
+    // of the listed files BEFORE the registration landed — the pin
+    // would then silently protect nothing. Re-list the pinned version
+    // dirs after the CAS; if any file is gone, release the pin and
+    // fail loudly so a successful return GUARANTEES protection.
+    // (After the registration is visible, vacuum honors it — only the
+    // pre-registration window needs the re-check.)
+    val still =
+      try vs.flatMap(v => filesOf(f, path, v))
+        .map(f.makeQualified).map(_.toString).toSet
+      catch {   // a whole version dir reclaimed mid-race
+        case _: java.io.FileNotFoundException => Set.empty[String]
+      }
+    val gone = refs.filterNot(still.contains)
+    if (gone.nonEmpty) {
+      releasePin(spark, path, name)
+      throw new IllegalStateException(
+        s"pinSnapshot($name): a concurrent vacuum reclaimed " +
+          s"${gone.size} of ${refs.size} file(s) at version $version " +
+          s"of $path before the pin registered — pin released; " +
+          "re-plan the read at a retained version " +
+          s"(e.g. ${gone.head})")
+    }
     refs.size
   }
 
@@ -3129,15 +3160,22 @@ object Versioned {
     // before computing the protected file set — a crashed long reader
     // must not block reclaim forever (clone pins, lease-less, only
     // warn below)
+    // the pin's `since` stamp came from the PINNING driver's clock;
+    // this comparison runs on the vacuuming process's — the slack
+    // absorbs cross-host skew so a pin is never reclaimed early under
+    // a still-running read (the exact failure pins exist to prevent)
     val nowPin = System.currentTimeMillis()
+    val slack = pinLeaseSlackMs(spark)
     val expiredPins = exports(spark, path)
-      .filter(p => p.leaseMs > 0 && nowPin - p.sinceMillis > p.leaseMs)
+      .filter(p => p.leaseMs > 0 &&
+        nowPin - p.sinceMillis > p.leaseMs + slack)
     if (expiredPins.nonEmpty) {
       val names = expiredPins.map(_.cloneDst).distinct
       log.warn(s"vacuum at $path: releasing ${expiredPins.size} expired " +
         s"reader-pin reference(s) from ${names.mkString(", ")}")
       updateExports(spark, f, path)(_.filterNot(p =>
-        p.leaseMs > 0 && nowPin - p.sinceMillis > p.leaseMs))
+        p.leaseMs > 0 &&
+          nowPin - p.sinceMillis > p.leaseMs + slack))
       ()
     }
     // LEASE check (warn, never delete): an export pin blocks file
@@ -3468,6 +3506,30 @@ object Versioned {
       .filter(col("change_type") =!= "none")
   }
 
+  /** Typed refusal from [[changesIncremental]]'s preconditions: the
+    * O(delta) kernel is INAPPLICABLE to this range (MERGE commits,
+    * mapping change, vacuumed anchor, NULL keys) and the caller
+    * should use [[changes]]. An `IllegalArgumentException` subclass
+    * so existing callers' handling is unchanged; [[changesAuto]]
+    * dispatches on THIS CLASS, never on message text. */
+  final class IncrementalRefusal(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Cross-host clock-skew allowance (ms) added on top of a reader
+    * pin's lease before [[vacuum]] auto-releases it — the pin's
+    * `since` stamp and the vacuum's `now` come from DIFFERENT hosts'
+    * clocks, and reclaiming early under a still-running read is the
+    * exact failure pins exist to prevent. Default 5 min; tunable
+    * (`spark.graft.pinLeaseSlackMs`, chiefly for tests) — size
+    * `leaseMs` to the read, not to the slack. */
+  private[io] def pinLeaseSlackMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.pinLeaseSlackMs")
+      .map(_.toLong).getOrElse(300000L)
+
+  @inline private def refuseIncremental(cond: Boolean,
+      msg: => String): Unit =
+    if (!cond) throw new IncrementalRefusal(msg)
+
   /** O(delta) CDC: the SAME relation as [[changes]] computed from the
     * DELTA alone — at 100 TB, "what changed between v1000 and v1008"
     * must cost the eight commits, not two full-table resolves. Three
@@ -3497,17 +3559,23 @@ object Versioned {
     * self-contained new state, and a column mapping change in range
     * would splice misaligned names — both direct to [[changes]].
     * Columns added by schema evolution after `fromV` can't be
-    * compared and don't count, exactly like [[changes]]. */
+    * compared and don't count, exactly like [[changes]].
+    *
+    * Refusals are TYPED ([[IncrementalRefusal]], an
+    * `IllegalArgumentException` subclass): [[changesAuto]] dispatches
+    * to [[changes]] by catching the class, never by matching message
+    * text — a reworded message can't silently change dispatch. */
   def changesIncremental(spark: SparkSession, path: String,
       keyCol: String, fromV: Int, toV: Int,
       maxBroadcastKeys: Long = 5000000L): DataFrame = {
     require(fromV < toV,
       s"changesIncremental: fromV $fromV must be < toV $toV")
     val mv = mergeVersions(spark, path)
-    require(!mv.exists(v => v > fromV && v <= toV),
+    refuseIncremental(!mv.exists(v => v > fromV && v <= toV),
       s"changesIncremental: MERGE commits in ($fromV, $toV] carry " +
         "column overlays with no self-contained row state — use changes()")
-    require(mappingAt(spark, path, fromV) == mappingAt(spark, path, toV),
+    refuseIncremental(
+      mappingAt(spark, path, fromV) == mappingAt(spark, path, toV),
       s"changesIncremental: the column mapping changed in " +
         s"($fromV, $toV] — use changes(), which aligns names")
     // a positive fromV must be READABLE (some committed version at or
@@ -3518,7 +3586,7 @@ object Versioned {
     // check covers the whole range.) fromV = 0 stays the legitimate
     // empty anchor: the state before the table existed is empty by
     // definition.
-    require(fromV == 0 || versions(spark, path).exists(_ <= fromV),
+    refuseIncremental(fromV == 0 || versions(spark, path).exists(_ <= fromV),
       s"changesIncremental: no committed versions at or below $fromV " +
         s"at $path (vacuumed?) — pick a readable fromV, or 0 for the " +
         "whole-history anchor")
@@ -3568,7 +3636,7 @@ object Versioned {
     // broadcast build, and nothing else re-reads the delta for it)
     val touched = slice.select(col(keyCol).as("__ck")).distinct()
       .localCheckpoint()
-    require(touched.filter(col("__ck").isNull).isEmpty,
+    refuseIncremental(touched.filter(col("__ck").isNull).isEmpty,
       s"changesIncremental: NULL keys in ($fromV, $toV] at $path — " +
         "null never equi-joins, so the incremental lookup cannot " +
         "classify it; use changes()")
@@ -3638,11 +3706,9 @@ object Versioned {
         maxBroadcastKeys)
       catch {
         // the kernel's refusals surface eagerly (the delta probe runs
-        // at call time) and are prefixed with its name — anything
+        // at call time) as the TYPED IncrementalRefusal — anything
         // else propagates
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("changesIncremental:") =>
+        case _: IncrementalRefusal =>
           changes(spark, path, keyCol, fromV, toV)
       }
   }
@@ -3686,7 +3752,9 @@ object Versioned {
   }
 
   /** STREAMING CDC, step 2 of 2 (Delta CDF shape): classify ONE
-    * [[logStream]] micro-batch into `(key, change_type,
+    * micro-batch of version-stamped rows — from the V2 streaming
+    * source (`format("graft")`, what [[changesStreamTo]] wires) or
+    * from [[logStream]] — into `(key, change_type,
     * change_version)` rows —
     * one classification per committed version the batch delivered,
     * each the per-version diff [[changesAuto]]`(v-1, v)` so
@@ -3709,7 +3777,17 @@ object Versioned {
   def classifyChanges(batch: DataFrame, path: String,
       keyCol: String): DataFrame = {
     val spark = batch.sparkSession
-    val vs = batch.select(col(VersionCol).cast("int")).distinct()
+    // checkpoint rows (ckpt-stamped) are re-materializations of
+    // already-delivered versions, never new changes: the file-glob
+    // source filters them upstream, but the V2 source's INITIAL batch
+    // on a vacuumed table delivers the base checkpoint (the stand-in
+    // for the reclaimed prefix, whose per-version history is gone) —
+    // exclude it from version naming here so both feeds agree
+    val named =
+      if (batch.columns.contains(CkptCol))
+        batch.filter(!coalesce(col(CkptCol), lit(false)))
+      else batch
+    val vs = named.select(col(VersionCol).cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (vs.isEmpty) {
       val keyType = currentAsOf(spark, path, keyCol,
@@ -3730,22 +3808,44 @@ object Versioned {
     }.reduce(_.unionByName(_))
   }
 
-  /** The STREAMING CDC pipe in one call: [[logStream]] over the
-    * source table → per-version classification ([[classifyChanges]])
-    * → exactly-once fold into a Versioned SINK table
-    * ([[appendBatch]] keyed by the micro-batch id, so a replayed
-    * batch is recognized and skipped). Restart-safe end to end: the
-    * file source's checkpointed offsets resume at the first
-    * undelivered version, and the sink's batch markers absorb
-    * re-delivery. The sink accumulates `(key, change_type,
+  /** The STREAMING CDC pipe in one call: the admission-controlled V2
+    * streaming source over the source table
+    * (`readStream.format("graft")`,
+    * [[graft.sources.GraftDataSource]]) → per-version classification
+    * ([[classifyChanges]]) → exactly-once fold into a Versioned SINK
+    * table ([[appendBatch]] keyed by the micro-batch id, so a
+    * replayed batch is recognized and skipped). Restart-safe end to
+    * end: the source's checkpointed COMMIT-VERSION offsets resume at
+    * the first undelivered version, and the sink's batch markers
+    * absorb re-delivery. The sink accumulates `(key, change_type,
     * change_version)` rows — the downstream-consumable change FEED
-    * (read its log view), not a resolved state. */
+    * (read its log view), not a resolved state.
+    *
+    * BACKFILL is bounded: `maxVersionsPerTrigger` (and optionally
+    * `maxBytesPerTrigger`) cap each micro-batch, so a fresh stream on
+    * a table with a long history drains as a sequence of
+    * individually-checkpointed epochs — each epoch classifies at most
+    * N versions (a union of N bounded `changesAuto(v-1, v)` plans)
+    * and a mid-backfill restart loses at most one epoch of work,
+    * where the previous file-glob pipe delivered EVERY version in one
+    * unbounded batch 0 (one retry domain, a thousands-wide union plan
+    * on a 100 TB table's history). The fold is admission-invariant:
+    * versions are classified one at a time regardless of how they
+    * were batched, so the accumulated feed is identical for any cap. */
   def changesStreamTo(spark: SparkSession, path: String, keyCol: String,
       sinkPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    logStream(spark, path).writeStream
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Int = 16,
+      maxBytesPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    val rd = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    maxBytesPerTrigger.fold(rd)(b =>
+        rd.option("maxBytesPerTrigger", b.toString))
+      .load(path).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -3753,6 +3853,7 @@ object Versioned {
         ()
       }
       .start()
+  }
 
   /** Max `_BATCH_<n>` idempotency marker across a view table's
     * committed versions (0 = none) — the "source version this

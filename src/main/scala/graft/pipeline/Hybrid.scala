@@ -90,7 +90,9 @@ object Hybrid {
         try Search.searchBm25(spark, textIdx, terms, topK = nLex,
           filter = Some(flt))
         catch {
-          case _: IllegalArgumentException =>
+          // ONLY the typed filter-column-not-stored refusal switches
+          // to the thinned fallback; other argument errors propagate
+          case _: FilterUnresolved =>
             val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
               preFilter = Some(flt))
             Search.searchBm25(spark, textIdx, terms, topK = nLex)
@@ -100,5 +102,80 @@ object Hybrid {
     val sem = VecIndex.ivfTopK(spark, queryVec, vecIdx, nProbe, nSem,
       filter = filter)
     rrf(Seq((lex, "id", "score"), (sem, "nid", "cos")), k0, topK)
+  }
+
+  /** BATCHED RRF: fuse per-query ranked lists for a whole batch.
+    * Each list is a `(df, qidCol, idCol, scoreCol)` frame holding
+    * top-N candidates for MANY queries; ranks densify within
+    * `(qid, list)` by (score desc, id asc) and fusion sums within
+    * qid — per-query results identical to [[rrf]] on that query's
+    * slices. Ranking is a qid-PARTITIONED window (each query's
+    * candidate list is top-N-bounded, so partitions are tiny and the
+    * shuffle is by qid — the scale-safe shape; the single-query
+    * [[rrf]]'s bounded self-join exists precisely because it has no
+    * partitioning key). Returns (qid, id, rrf) with at most `topK`
+    * rows per qid. */
+  def rrfBatch(lists: Seq[(DataFrame, String, String, String)],
+      k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfBatch needs at least one ranked list")
+    require(k0 > 0 && topK > 0, s"k0 $k0 and topK $topK must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = lists.map { case (df, qidCol, idCol, scoreCol) =>
+      val a = df.select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(scoreCol).as("__s"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("__s").desc, col("id").asc)
+      a.withColumn("__rank", row_number().over(w))
+        .select(col("qid"), col("id"),
+          (lit(1.0) / (lit(k0) + col("__rank"))).as("__c"))
+    }
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("id").asc)
+    contribs.reduce(_.unionByName(_))
+      .groupBy("qid", "id").agg(round(sum("__c"), 8).as("rrf"))
+      .withColumn("__rk", row_number().over(wf))
+      .filter(col("__rk") <= topK)
+      .select("qid", "id", "rrf")
+  }
+
+  /** BATCHED hybrid serve: [[hybridTopK]] for a whole frame of
+    * queries — `queries` is `(qid, terms: array<string>, vec)` — with
+    * NO per-query job fan-out: the lexical side evaluates every term
+    * set in one bucket-pruned postings pass
+    * ([[Search.searchBm25Batch]]), the semantic side is the
+    * already-batched probed read ([[VecIndex.ivfTopK]], one probe
+    * pass per codebook-version group regardless of query count), and
+    * fusion is [[rrfBatch]] (qid-partitioned windows over the bounded
+    * candidate lists). Per-query results identical to [[hybridTopK]]
+    * on that query alone. A query's own qid is excluded from its
+    * semantic candidates (the usual self-match rule — pass non-corpus
+    * qids for external queries). `filter` binds to both sides below
+    * each retriever's top-k, with the same lexical fallback contract
+    * as [[hybridTopK]] when the text index lacks the column(s). */
+  def hybridTopKBatch(spark: SparkSession, textIdx: Search.Index,
+      vecIdx: VecIndex.Index, queries: DataFrame,
+      nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
+      topK: Int = 10,
+      filter: Option[Column] = None): DataFrame = {
+    val qterms = queries.select("qid", "terms")
+    val lex = filter match {
+      case None =>
+        Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex)
+      case Some(flt) =>
+        try Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex,
+          filter = Some(flt))
+        catch {
+          case _: FilterUnresolved =>
+            val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
+              preFilter = Some(flt))
+            Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex)
+              .join(ok.select("id"), Seq("id"), "left_semi")
+        }
+    }
+    val sem = VecIndex.ivfTopK(spark,
+      queries.select(col("qid").as("id"), col("vec")), vecIdx,
+      nProbe, nSem, filter = filter)
+    rrfBatch(Seq((lex, "qid", "id", "score"), (sem, "qid", "nid", "cos")),
+      k0, topK)
   }
 }

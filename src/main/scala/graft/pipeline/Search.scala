@@ -4,6 +4,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Typed refusal from a FILTERED index serve ([[Search]] or
+  * [[VecIndex]]): the metadata predicate references a column the
+  * index does not store — ingest the column next to the payload, a
+  * serve never post-filters. An `IllegalArgumentException` subclass
+  * (existing callers unchanged); [[Hybrid.hybridTopK]]'s lexical
+  * fallback catches exactly THIS CLASS, so any other argument error
+  * propagates instead of silently switching retrieval semantics. */
+final class FilterUnresolved(msg: String, cause: Throwable)
+    extends IllegalArgumentException(msg, cause)
+
 
 /**
  * Inverted-index text search AT REST — the serve path of a corpus
@@ -513,7 +523,7 @@ object Search {
       try docs.filter(flt)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
+          throw new FilterUnresolved(
             s"search filter does not resolve against the index at " +
               s"${idx.path} — stored doc columns: " +
               s"${docs.columns.mkString(", ")}. Ingest filter columns " +
@@ -738,5 +748,69 @@ object Search {
       .groupBy("id").agg(round(sum("s"), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
+  }
+
+  /**
+   * BATCHED [[searchBm25]]: per-query BM25 top-k for a whole frame of
+   * queries — `queries` is `(qid, terms: array<string>)` — in ONE
+   * bucket-pruned postings pass, the offline-evaluation /
+   * multi-tenant serve shape where looping the driver one query at a
+   * time would fan out |queries| Spark jobs.
+   *
+   * Scale shape: the postings scan is pruned to the UNION of the
+   * batch's term buckets (a driver collect bounded by the index's
+   * `nBuckets` constant — never by query count), restricted to the
+   * batch vocabulary by a distributed semi-join (query terms are
+   * never collected), per-term df/idf is computed ONCE and shared
+   * across queries, and the per-(qid, doc) scores fan out through one
+   * broadcast join against the exploded (qid, tok) frame. Ranking is
+   * a per-qid window — partitioned by query, never a global sort.
+   * Scores and per-query ranking replicate [[searchBm25]] exactly
+   * (same df, same rounding, same id tie-break); `filter` is the same
+   * Lucene filtered-query contract (candidates restricted BELOW the
+   * top-k, corpus constants unfiltered).
+   */
+  def searchBm25Batch(spark: SparkSession, idx: Index,
+      queries: DataFrame, topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(topK > 0, s"topK $topK must be > 0")
+    import spark.implicits._
+    val (nDocs, sumDlen) = stats(spark, idx)
+    val avgdl = sumDlen.toDouble / nDocs
+    // duplicate terms inside one query contribute once (the Seq face
+    // dedups via its isin filter — same rule here)
+    val qt = queries
+      .select(col("qid"), explode(col("terms")).as("tok")).distinct()
+      .localCheckpoint()
+    // bounded collect: distinct buckets <= idx.nBuckets (an index
+    // constant), regardless of how many queries the batch carries
+    val buckets = qt.select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val vocab = qt.select("tok").distinct()
+    val postAll = postings(spark, idx)
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(vocab), Seq("tok"), "left_semi")
+    val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val post = filter match {
+      case None => postAll
+      case Some(flt) =>
+        postAll.join(filteredDocIds(spark, idx, flt), Seq("id"),
+          "left_semi")
+    }
+    val perTok = post.join(dfPerTerm, "tok")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("dfc") + 0.5) / (col("dfc") + 0.5)
+          + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    perTok.join(broadcast(qt), "tok")
+      .groupBy("qid", "id").agg(round(sum("s"), 6).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select("qid", "id", "score")
   }
 }

@@ -785,7 +785,7 @@ object VecIndex {
       try raw.filter(p)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
+          throw new FilterUnresolved(
             s"serve filter does not resolve against the index at " +
               s"${idx.path} — stored columns: " +
               s"${raw.columns.mkString(", ")}. Ingest filter columns " +

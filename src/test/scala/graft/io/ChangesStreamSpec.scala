@@ -84,6 +84,62 @@ class ChangesStreamSpec extends SparkSpec {
     assert(fromZero == current.map(k => (k, "insert")))
   }
 
+  test("bounded streaming-CDC backfill: a 5-commit history at " +
+      "maxVersionsPerTrigger=2 drains as 3 individually-checkpointed " +
+      "epochs whose folded feed equals the per-version kernel union; " +
+      "a mid-backfill kill replays its epoch exactly once") {
+    val src = "target/tmp/cdcstream-bf-src"
+    val sink = "target/tmp/cdcstream-bf-sink"
+    val sink2 = "target/tmp/cdcstream-bf-sink2"
+    val ckpt = "target/tmp/cdcstream-bf-ckpt"
+    val ckpt2 = "target/tmp/cdcstream-bf-ckpt2"
+    Seq(src, sink, sink2, ckpt, ckpt2).foreach(rmDir)
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), src) // v1
+    Versioned.append(Seq((3L, "c", 30L)).toDF("k", "s", "n"), src)  // v2
+    Versioned.append(Seq((2L, "b", 25L)).toDF("k", "s", "n"), src)  // v3
+    Versioned.delete(Seq(1L).toDF("k"), src)                        // v4
+    Versioned.append(Seq((4L, "d", 40L)).toDF("k", "s", "n"), src)  // v5
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    // admission: each epoch is its own sink commit, classifying at
+    // most 2 source versions — never one unbounded batch 0
+    val sinkVs = Versioned.versions(spark, sink)
+    assert(sinkVs.size == 3, s"expected 3 epochs, got versions $sinkVs")
+    val perEpoch = sinkVs.map(v =>
+      spark.read.parquet(s"$sink/v=$v").select("change_version")
+        .distinct().as[Int].collect().toSet)
+    assert(perEpoch == Seq(Set(1, 2), Set(3, 4), Set(5)),
+      s"epoch boundaries must follow the cap, got $perEpoch")
+    // admission-invariant fold: the capped drain accumulates exactly
+    // the single-epoch feed
+    assert(feed(sink) == perVersionExpected(src))
+    // mid-backfill KILL: the same pipe, dying AFTER epoch 0's append
+    // landed but BEFORE the engine committed the epoch — the restart
+    // re-delivers batch 0 and the sink's _BATCH_ marker absorbs it
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(src)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Versioned.appendBatch(
+          Versioned.classifyChanges(b, src, "k"), sink2, id)
+        if (id == 0) throw new RuntimeException("killed mid-backfill")
+        ()
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(Versioned.versions(spark, sink2).size == 1,
+      "epoch 0 must have landed before the kill")
+    Versioned.changesStreamTo(spark, src, "k", sink2, ckpt2,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(feed(sink2) == feed(sink),
+      "post-restart feed must equal the unkilled run's")
+    assert(spark.read.parquet(s"$sink2/v=*").count() == feed(sink).size,
+      "the replayed epoch must not duplicate rows")
+  }
+
   test("CDC vacuum contract: fromV = 0 is the empty anchor even after " +
       "a vacuum, but a positive vacuumed-away fromV fails LOUDLY on " +
       "every face — never a silent all-inserts re-anchor") {

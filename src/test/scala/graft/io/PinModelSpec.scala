@@ -27,6 +27,8 @@ class PinModelSpec extends SparkSpec {
   test("randomized pin lifecycle: 30 seeded ops, pinned in-flight " +
       "reads survive every vacuum, expired pins release, remnants " +
       "drain") {
+    // zero the lease clock-skew slack so 1 ms leases expire in-test
+    spark.conf.set("spark.graft.pinLeaseSlackMs", "0")
     val path = "target/tmp/pin-model"
     Versioned.drop(spark, path)
     val rnd = new Random(20260816)

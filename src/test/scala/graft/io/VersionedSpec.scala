@@ -1447,6 +1447,9 @@ class VersionedSpec extends SparkSpec {
       "vacuum that reclaims everything else; an expired lease " +
       "auto-releases; releasePin frees the remnants; new reads below " +
       "the base still fail loudly") {
+    // expiry is judged with a clock-skew slack on top of the lease
+    // (default 5 min); zero it so 1 ms leases expire in-test
+    spark.conf.set("spark.graft.pinLeaseSlackMs", "0")
     val path = freshPath("readerpin")
     Versioned.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), path) // v1
     Versioned.append(Seq((1L, 11L)).toDF("k", "x"), path)            // v2

@@ -75,4 +75,63 @@ class HybridSpec extends SparkSpec {
     assert(filtered.nonEmpty && filtered.forall(_ % 3 == 0),
       s"violating ids surfaced: ${filtered.toSeq}")
   }
+
+  test("batched hybrid serve: per-query results identical to the " +
+      "single-query pipe (unfiltered AND filtered-with-fallback); " +
+      "plan shape independent of batch size — no per-query fan-out") {
+    val docs = (0 until 40).map { id =>
+      val toks = if (id % 2 == 0) "alpha beta gamma" else "alpha delta"
+      (id.toLong, s"$toks doc$id")
+    }.toDF("doc_id", "text")
+    val sIdx = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/hybridb-text")
+    val cents = corpus(0 until 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagged = corpus(0 until 40).withColumn("lang",
+      when(pmod(col("id"), lit(3)) === 0, "en").otherwise("xx"))
+    val vIdx = VecIndex.init(tagged, 64, "target/tmp/hybridb-vec",
+      centroids = Some(cents), cbBuckets = 2)
+    val termSets = Seq(
+      (100L, Seq("alpha", "beta")),
+      (101L, Seq("alpha", "delta")),
+      (102L, Seq("beta", "gamma")))
+    val qvecs = corpus(100 until 103)
+    val queries = termSets.toDF("qid", "terms")
+      .join(qvecs.withColumnRenamed("id", "qid"), "qid")
+    def byQid(df: DataFrame): Map[Long, Set[(Long, Double)]] =
+      df.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val batch = byQid(Hybrid.hybridTopKBatch(spark, sIdx, vIdx, queries,
+      nProbe = 4, nLex = 10, nSem = 10, topK = 8))
+    termSets.foreach { case (qid, terms) =>
+      val single = Hybrid.hybridTopK(spark, sIdx, vIdx, terms,
+          qvecs.filter(col("id") === qid), nProbe = 4, nLex = 10,
+          nSem = 10, topK = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"qid $qid diverges from " +
+        s"the single-query pipe: ${batch(qid)} vs $single")
+    }
+    // filtered: the text index lacks `lang`, so the batch rides the
+    // vector-metadata fallback — still per-query identical
+    val fbatch = byQid(Hybrid.hybridTopKBatch(spark, sIdx, vIdx,
+      queries, nProbe = 4, nLex = 10, nSem = 10, topK = 8,
+      filter = Some(col("lang") === "en")))
+    termSets.foreach { case (qid, terms) =>
+      val single = Hybrid.hybridTopK(spark, sIdx, vIdx, terms,
+          qvecs.filter(col("id") === qid), nProbe = 4, nLex = 10,
+          nSem = 10, topK = 8, filter = Some(col("lang") === "en"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(fbatch.getOrElse(qid, Set.empty) == single)
+      single.foreach { case (id, _) => assert(id % 3 == 0) }
+    }
+    // no per-query fan-out: the physical plan has the SAME leaf count
+    // for a 1-query and a 3-query batch — the batch is one declarative
+    // plan, not |queries| composed single-query plans
+    def leaves(n: Int) = Hybrid.hybridTopKBatch(spark, sIdx, vIdx,
+        queries.limit(n), nProbe = 4, nLex = 10, nSem = 10, topK = 8)
+      .queryExecution.sparkPlan.collectLeaves().size
+    assert(leaves(1) == leaves(3),
+      "plan leaf count must not scale with the query count")
+  }
 }

@@ -1303,6 +1303,51 @@ object PipelineQueries {
        |ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** TYPO-TOLERANT BM25 ([[Search.searchFuzzy]]): each query term
+    * expands against the index VOCABULARY within edit distance 1,
+    * sharing the first character (Lucene FuzzyQuery's prefix_length,
+    * what keeps the dictionary probe pruned), and the variant union
+    * serves through the ordinary BM25 path — each variant with its
+    * own idf. "windoq"→window and "mergs"→merge are the typo shapes;
+    * "ag" fans to BOTH `a` and `agg` (a multi-variant expansion with
+    * very different dfs). The oracle replays the expansion with
+    * DuckDB's own levenshtein over the same vocabulary, then the
+    * full BM25 formula. */
+  def searchFuzzy(spark: SparkSession, dir: String): DataFrame =
+    Search.searchFuzzy(spark, searchIndex(spark, dir),
+        Seq("windoq", "mergs", "ag"), maxDist = 1, topK = 20)
+      .orderBy(col("score").desc, col("id"))
+
+  val searchFuzzySql: String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)),
+       |qe AS (
+       |  SELECT DISTINCT v.tok
+       |  FROM vocab v, (VALUES ('windoq'), ('mergs'), ('ag')) q(term)
+       |  WHERE substr(v.tok, 1, 1) = substr(q.term, 1, 1)
+       |    AND levenshtein(v.tok, q.term) <= 1),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   /** BM25 served from an index built by STREAMING ingest: the
     * documents table staged as a 3-file directory, each file one
     * micro-batch folded through [[Search.appendBatch]] (exactly-once
@@ -4448,6 +4493,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFiltered _,
     "q_hybrid_batch" -> hybridBatch _,
     "q_search_filtered" -> searchFiltered _,
+    "q_search_fuzzy" -> searchFuzzy _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4553,6 +4599,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFilteredSql,
     "q_hybrid_batch" -> hybridBatchSql,
     "q_search_filtered" -> searchFilteredSql,
+    "q_search_fuzzy" -> searchFuzzySql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

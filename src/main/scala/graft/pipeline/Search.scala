@@ -751,6 +751,70 @@ object Search {
   }
 
   /**
+   * FUZZY term expansion against the index VOCABULARY: every stored
+   * token within banded edit distance `maxDist` of a query term,
+   * constrained to share the term's first `prefixLen` characters —
+   * Lucene `FuzzyQuery` semantics (its `prefix_length`, here floored
+   * at 1): the prefix constraint is what keeps the dictionary probe
+   * PRUNED instead of a full-vocabulary distance scan. Returns
+   * `(term, tok)` expansion pairs (distance 0 — the exact term, when
+   * indexed — included).
+   *
+   * Scale shape: the probe reads ONE column (`tok`) of the postings
+   * with the terms' prefix disjunction PUSHED to the parquet scan —
+   * postings are written tok-sorted, so `StringStartsWith` row-group
+   * stats skip every block outside the prefix ranges; the banded
+   * `levenshtein(_, _, maxDist)` (gives up after O(len·maxDist) work)
+   * runs only on the surviving prefix-blocked candidates, exactly
+   * [[Dedup.editNearDup]]'s blocking idea pointed at a dictionary.
+   */
+  def fuzzyExpand(spark: SparkSession, idx: Index, terms: Seq[String],
+      maxDist: Int, prefixLen: Int = 1): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    require(maxDist >= 0 && maxDist <= 2,
+      s"maxDist $maxDist out of the useful fuzzy band [0, 2]")
+    require(prefixLen >= 1,
+      "prefixLen must be >= 1: the shared prefix is what keeps the " +
+        "vocabulary probe pruned (Lucene FuzzyQuery prefix_length)")
+    val ts = terms.distinct
+    require(ts.forall(_.length >= prefixLen),
+      s"every term needs at least prefixLen=$prefixLen characters")
+    val preFilter = ts
+      .map(t => col("tok").startsWith(lit(t.take(prefixLen))))
+      .reduce(_ || _)
+    val vocab = postings(spark, idx).filter(preFilter)
+      .select("tok").distinct()
+    val tf = spark.createDataFrame(ts.map(Tuple1(_))).toDF("term")
+    vocab.join(broadcast(tf),
+      col("tok").startsWith(substring(col("term"), 1, prefixLen)) &&
+        abs(length(col("tok")) - length(col("term"))) <= maxDist &&
+        levenshtein(col("tok"), col("term"), maxDist) >= 0)
+      .select("term", "tok")
+  }
+
+  /** Typo-tolerant BM25 search: expand each query term against the
+    * vocabulary ([[fuzzyExpand]]) and serve the UNION of expansion
+    * variants through the ordinary [[searchBm25]] path — each variant
+    * scores with its own df/idf (rare corrections outweigh common
+    * ones, the property fuzzy retrieval wants) and the postings read
+    * stays bucket-pruned to the expanded terms. The variant collect
+    * is bounded by the prefix-blocked vocabulary slice (per term: the
+    * tokens sharing its `prefixLen`-prefix within `maxDist` edits) —
+    * dictionary-sized, never corpus-sized. A term with no expansion
+    * contributes nothing; if NOTHING expands, the result is empty. */
+  def searchFuzzy(spark: SparkSession, idx: Index, terms: Seq[String],
+      maxDist: Int, topK: Int, prefixLen: Int = 1): DataFrame = {
+    require(topK > 0, s"topK $topK must be > 0")
+    import spark.implicits._
+    val variants = fuzzyExpand(spark, idx, terms, maxDist, prefixLen)
+      .select("tok").distinct().as[String].collect().toSeq.sorted
+    if (variants.isEmpty)
+      postings(spark, idx).select("id").limit(0)
+        .withColumn("score", lit(0.0))
+    else searchBm25(spark, idx, variants, topK)
+  }
+
+  /**
    * BATCHED [[searchBm25]]: per-query BM25 top-k for a whole frame of
    * queries — `queries` is `(qid, terms: array<string>)` — in ONE
    * bucket-pruned postings pass, the offline-evaluation /

@@ -671,6 +671,73 @@ class SearchSpec extends SparkSpec {
       scans.map(_.partitionFilters.mkString(",")).mkString("\n"))
   }
 
+  test("searchFuzzy: expansion equals the brute vocabulary reference; " +
+      "the variant union serves through BM25 verbatim; no-expansion " +
+      "terms contribute nothing; the vocabulary probe pushes the " +
+      "prefix to the scan and reads only tok") {
+    val fdocs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpine beta"),
+      (3L, "beta gamma delta"),
+      (4L, "alpha beta gamma gamma gamma"),
+      (5L, "epsilon zeta alphas")).toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-fuzzy"))
+    val fidx = Search.writeIndex(fdocs, "doc_id", "text",
+      "target/tmp/search-fuzzy")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocabAll = fdocs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().as[String].collect().toSet
+    val terms = Seq("alphq", "gammq", "alphas")
+    for (maxDist <- 1 to 2) {
+      val want = (for {
+        t <- terms; v <- vocabAll
+        if v.startsWith(t.take(1)) && lev(v, t) <= maxDist
+      } yield (t, v)).toSet
+      val got = Search.fuzzyExpand(spark, fidx, terms, maxDist)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == want, s"maxDist=$maxDist: $got != $want")
+      assert(want.nonEmpty)
+      // the serve is exactly BM25 over the distinct variant union
+      val variants = want.map(_._2).toSeq.distinct.sorted
+      val fz = Search.searchFuzzy(spark, fidx, terms, maxDist, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val bm = Search.searchBm25(spark, fidx, variants, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fz == bm)
+    }
+    // dist-2 widens: alphas picks up alpha's whole family
+    assert(Search.fuzzyExpand(spark, fidx, Seq("alphas"), 2)
+      .collect().map(_.getString(1)).toSet == Set("alphas", "alpha"))
+    // nothing within reach: empty result, stable (id, score) schema
+    val none = Search.searchFuzzy(spark, fidx, Seq("qqqqq"), 1, 10)
+    assert(none.columns.toSeq == Seq("id", "score") && none.count() == 0)
+    // probe plan: prefix pushed to the parquet scan, tok-only read
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec => flatten(s.plan)
+      case o => o.children.flatMap(flatten)
+    })
+    val exp = Search.fuzzyExpand(spark, fidx, Seq("alphq"), 1)
+    exp.collect()
+    val scans = flatten(exp.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet == Set("tok")),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";"))
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("StringStartsWith"))),
+      scans.flatMap(_.metadata.get("PushedFilters")).mkString(";"))
+  }
+
   test("filtered BM25/conjunction: doc metadata stores in the sidecar, " +
       "the predicate binds below the top-k (full k among matching, " +
       "scores unchanged), survives delete/reingest + fold, and an " +

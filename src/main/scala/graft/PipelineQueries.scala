@@ -3200,6 +3200,58 @@ object PipelineQueries {
        |      FROM scored)
        |SELECT qid, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin
 
+  /** MULTI-VECTOR (max-sim) document ranking
+    * ([[VecIndex.maxSimTopK]]): the index holds chunk-level
+    * embeddings with the parent doc id as metadata (synthetic
+    * chunk→doc map: `doc = vec_id div 4`, four chunks per doc), a
+    * query retrieves its top-8 chunk candidates through the probed
+    * IVF serve, and docs rank by the MAX of their retrieved chunks'
+    * cosines to a top-3 — the ColBERT-lite serve shape for RAG over
+    * passage embeddings. The oracle replays probe → chunk top-8 →
+    * per-doc max → per-qid rank end to end. */
+  def annMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val chunks = emb.withColumn("doc", expr("id div 4"))
+    val centroids = emb.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vecidx-maxsim-$tagDir"
+    binIdxBuilt.synchronized {
+      binIdxBuilt.getOrElseUpdate(path, {
+        val half = chunks.agg(max("id")).head().getLong(0) / 2
+        val idx = VecIndex.init(chunks.filter(col("id") <= half), 64, path,
+          centroids = Some(centroids), cbBuckets = 4)
+        VecIndex.append(chunks.filter(col("id") > half), idx)
+        ()
+      })
+    }
+    VecIndex.maxSimTopK(spark, emb.filter(col("id") < 20),
+        VecIndex.open(spark, path), "doc", nProbe = 2, nChunks = 8,
+        k = 3)
+      .orderBy("qid", "doc")
+  }
+
+  val annMaxsimSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |chnk AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS rk
+       |  FROM scored WHERE qid < 20),
+       |agg AS (
+       |  SELECT qid, CAST(nid // 4 AS BIGINT) AS doc, MAX(cos) AS score
+       |  FROM chnk WHERE rk <= 8 GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, doc, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc)
+       |      AS rk
+       |  FROM agg)
+       |SELECT qid, doc, score FROM r WHERE rk <= 3
+       |ORDER BY qid, doc""".stripMargin
+
   /** HYBRID retrieval ([[Hybrid.hybridTopK]]): BM25 top-20 for the
     * standard term set from the at-rest inverted index + cosine
     * top-20 for embedding 0 from the generational IVF index (probed,
@@ -4492,6 +4544,7 @@ object PipelineQueries {
     "q_hybrid_search" -> hybridSearch _,
     "q_hybrid_filtered" -> hybridFiltered _,
     "q_hybrid_batch" -> hybridBatch _,
+    "q_ann_maxsim" -> annMaxsim _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
@@ -4598,6 +4651,7 @@ object PipelineQueries {
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_filtered" -> hybridFilteredSql,
     "q_hybrid_batch" -> hybridBatchSql,
+    "q_ann_maxsim" -> annMaxsimSql,
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,

@@ -263,6 +263,21 @@ object Search {
     idx
   }
 
+  /** PREDICATE tombstones — the GDPR/retention shape
+    * (`DELETE FROM idx WHERE source = 'bad-crawl'`): resolve every
+    * LIVE doc whose stored metadata (the docs sidecar ingested next
+    * to `(id, text)`) matches `predicate`, then commit through the
+    * ordinary gen-aware [[delete]] — identical lifecycle (tombstone
+    * generation, stats delta, fold/vacuum behavior) and spec-pinned
+    * equivalent to delete-by-ids on the same predicate. A predicate
+    * referencing an un-stored column fails loudly
+    * ([[FilterUnresolved]]); a predicate matching nothing commits an
+    * empty tombstone generation (harmless, like deleting unknown
+    * ids). */
+  def deleteWhere(spark: SparkSession, idx: Index,
+      predicate: org.apache.spark.sql.Column): Index =
+    delete(filteredDocIds(spark, idx, predicate), "id", idx)
+
   /**
    * Compact: rewrite the live postings (tombstones applied) as ONE new
    * BASE generation with absolute stats, bounding the read fan-in the

@@ -472,6 +472,19 @@ object VecIndex {
     idx
   }
 
+  /** PREDICATE tombstones — the GDPR/retention shape
+    * (`DELETE FROM idx WHERE lang = 'xx'`): resolve every LIVE vector
+    * whose stored metadata (columns ingested next to `(id, vec)`)
+    * matches `predicate`, then commit through the ordinary gen-aware
+    * [[delete]] — identical lifecycle and spec-pinned equivalent to
+    * delete-by-ids on the same predicate. Un-stored columns fail
+    * loudly ([[FilterUnresolved]]); an empty match commits an empty
+    * tombstone generation, like deleting unknown ids. */
+  def deleteWhere(spark: SparkSession, idx: Index,
+      predicate: org.apache.spark.sql.Column): Index =
+    delete(liveVecs(spark, idx, Seq("id"),
+      preFilter = Some(predicate)), "id", idx)
+
   /** Drift proxy for the codebook-retrain decision: over a bounded
     * sample of live vectors, the fraction whose best cosine against
     * the CANDIDATE centroids strictly beats their best cosine against
@@ -1090,8 +1103,11 @@ object VecIndex {
    */
   def ivfTopK(spark: SparkSession, queries: DataFrame, idx: Index,
       nProbe: Int, k: Int,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      carry: Seq[String] = Nil): DataFrame = {
     require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook")
+    require(!carry.exists(Set("qid", "nid", "cos")),
+      s"carry columns collide with the serve output: $carry")
     // one probe pass per codebook-version group (see binaryTopKProbed)
     val scored = cbvGroups(spark, idx).map { case (v, gens) =>
       val cb = Similarity.collectCodebook(
@@ -1109,18 +1125,58 @@ object VecIndex {
         .map(c => ((c % idx.cbBuckets) + idx.cbBuckets) % idx.cbBuckets)
         .distinct.map(_.toInt)
       val bucketFilter = col("cb").isin(buckets.map(b => b: Any): _*)
-      val lists = liveVecs(spark, idx, Seq("id", "vec", "nrm", "cid"),
+      val lists = liveVecs(spark, idx,
+        Seq("id", "vec", "nrm", "cid") ++ carry,
         preFilter = Some(filter.foldLeft(bucketFilter)(_ && _)),
         gens = Some(gens))
       probes.join(lists, "cid")
         .filter(col("qid") =!= col("id"))
-        .select(col("qid"), col("id").as("nid"),
+        .select(Seq(col("qid"), col("id").as("nid"),
           round(Similarity.dot(col("qvec"), col("vec"))
-            / (col("qnrm") * col("nrm")), 5).as("cos"))
+            / (col("qnrm") * col("nrm")), 5).as("cos")) ++
+          carry.map(col): _*)
     }.reduce(_.unionByName(_))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("qid", "nid", "cos")
+      .select(Seq(col("qid"), col("nid"), col("cos")) ++
+        carry.map(col): _*)
+  }
+
+  /** MULTI-VECTOR document ranking (the ColBERT-lite max-sim serve):
+    * the index holds PASSAGE/CHUNK embeddings with the parent doc id
+    * stored as metadata (`docCol` — any column ingested next to
+    * `(id, vec)`); a query retrieves its chunk candidates through the
+    * probed [[ivfTopK]] (top-`nChunks`, optional metadata `filter`)
+    * and DOCS rank by an aggregate of their retrieved chunks' cosines
+    * — `max` (the max-sim rule) or `mean` — to per-query top-`k`.
+    * Returns `(qid, <docCol>, score)`.
+    *
+    * Scale shape: the doc id rides the probed lists scan (`carry` —
+    * the rows are being read anyway, no second corpus pass), and the
+    * aggregation + rank touch only the ≤ |queries|·nChunks candidate
+    * rows in qid-partitioned form. Recall caveat, documented: a doc
+    * ranks by the chunks the probe retrieved — a doc whose best chunk
+    * missed the probed clusters (or the top-`nChunks` pool) is
+    * invisible; deepen `nProbe`/`nChunks` for recall, exactly the IVF
+    * trade. */
+  def maxSimTopK(spark: SparkSession, queries: DataFrame, idx: Index,
+      docCol: String, nProbe: Int, nChunks: Int, k: Int,
+      agg: String = "max",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(agg == "max" || agg == "mean",
+      s"agg must be 'max' or 'mean', got '$agg'")
+    require(nChunks > 0 && k > 0,
+      s"nChunks $nChunks and k $k must be > 0")
+    val cand = ivfTopK(spark, queries, idx, nProbe, nChunks, filter,
+      carry = Seq(docCol))
+    val score =
+      if (agg == "max") max(col("cos")) else round(avg(col("cos")), 5)
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score"), asc(docCol))
+    cand.groupBy(col("qid"), col(docCol)).agg(score.as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col(docCol), col("score"))
   }
 }

@@ -671,6 +671,43 @@ class SearchSpec extends SparkSpec {
       scans.map(_.partitionFilters.mkString(",")).mkString("\n"))
   }
 
+  test("deleteWhere: predicate tombstones == delete-by-ids on the " +
+      "same predicate (every serve mode agrees); the reingest cycle " +
+      "stays intact; an un-stored column fails loudly") {
+    val tagged = (1 to 30).map { i =>
+      val text = if (i % 2 == 0) "alpha beta gamma" else s"alpha beta y$i"
+      (i.toLong, text, if (i % 3 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    def build(path: String): Search.Index = {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+      Search.writeIndex(tagged, "doc_id", "text", path, nBuckets = 8)
+    }
+    val a = build("target/tmp/search-delwhere-a")
+    val b = build("target/tmp/search-delwhere-b")
+    Search.deleteWhere(spark, a, col("lang") === "xx")
+    Search.delete(tagged.filter(col("lang") === "xx")
+      .select(col("doc_id")), "doc_id", b)
+    def serve(idx: Search.Index): Seq[(Long, Double)] =
+      Search.searchBm25(spark, idx, Seq("alpha", "beta"), topK = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serve(a) == serve(b) && serve(a).nonEmpty)
+    assert(serve(a).forall(_._1 % 3 == 0),
+      "every xx doc must be gone")
+    // reingest cycle: a corrected doc re-enters and serves
+    Search.append(Seq((7L, "alpha beta corrected", "en"))
+      .toDF("doc_id", "text", "lang"), "doc_id", "text", a)
+    assert(serve(a).map(_._1).contains(7L))
+    // matching nothing is a harmless no-op on the live set
+    val before = serve(a)
+    Search.deleteWhere(spark, a, col("lang") === "zz-nope")
+    assert(serve(a) == before)
+    // un-stored column: loud, typed
+    intercept[FilterUnresolved] {
+      Search.deleteWhere(spark, a, col("tongue") === "xx")
+    }
+  }
+
   test("searchFuzzy: expansion equals the brute vocabulary reference; " +
       "the variant union serves through BM25 verbatim; no-expansion " +
       "terms contribute nothing; the vocabulary probe pushes the " +

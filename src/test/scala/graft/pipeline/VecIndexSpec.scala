@@ -43,6 +43,82 @@ class VecIndexSpec extends SparkSpec {
     assert(rows(Similarity.binaryTopK(qs, all, 64, 12, 4)) == folded)
   }
 
+  test("deleteWhere: predicate tombstones == delete-by-ids on the " +
+      "same predicate; stats agree; the reingest cycle stays intact; " +
+      "an un-stored column fails loudly") {
+    val cents = corpus(0 until 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val tagged = corpus(0 until 40).withColumn("lang",
+      when(pmod(col("id"), lit(3)) === 0, "en").otherwise("xx"))
+    def build(path: String): VecIndex.Index = {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+      val idx = VecIndex.init(tagged.filter(col("id") < 20), 64, path,
+        centroids = Some(cents), cbBuckets = 2)
+      VecIndex.append(tagged.filter(col("id") >= 20), idx)
+      idx
+    }
+    val a = build("target/tmp/vecidx-delwhere-a")
+    val b = build("target/tmp/vecidx-delwhere-b")
+    VecIndex.deleteWhere(spark, a, col("lang") === "xx")
+    VecIndex.delete(tagged.filter(col("lang") === "xx").select("id"),
+      "id", b)
+    assert(VecIndex.countVecs(spark, a) == VecIndex.countVecs(spark, b))
+    val qs = corpus(100 until 102)
+    def serve(idx: VecIndex.Index) =
+      rows(VecIndex.ivfTopK(spark, qs, idx, 2, 5))
+    assert(serve(a) == serve(b) && serve(a).nonEmpty)
+    assert(serve(a).forall(_._2 % 3 == 0), "every xx vector must be gone")
+    // reingest: a corrected vector re-enters and can serve
+    VecIndex.append(tagged.filter(col("id") === 7L)
+      .withColumn("lang", lit("en")), a)
+    assert(VecIndex.countVecs(spark, a) ==
+      VecIndex.countVecs(spark, b) + 1)
+    // matching nothing: harmless no-op on the live set
+    val before = serve(a)
+    VecIndex.deleteWhere(spark, a, col("lang") === "zz-nope")
+    assert(serve(a) == before)
+    // un-stored column: loud, typed
+    intercept[FilterUnresolved] {
+      VecIndex.deleteWhere(spark, a, col("tongue") === "xx")
+    }
+  }
+
+  test("maxSimTopK: docs rank by max/mean over their retrieved " +
+      "chunks' cosines — equals the manual aggregation of the probed " +
+      "serve; a metadata filter binds below the candidate pool") {
+    val cents = corpus(0 until 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val chunks = corpus(0 until 40).withColumn("doc", expr("id div 4"))
+    val path = "target/tmp/vecidx-maxsim"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val idx = VecIndex.init(chunks, 64, path,
+      centroids = Some(cents), cbBuckets = 2)
+    val qs = corpus(100 until 102)
+    val cand = VecIndex.ivfTopK(spark, qs, idx, 2, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def manual(aggMax: Boolean) = cand
+      .groupBy { case (q, nid, _) => (q, nid / 4) }
+      .map { case ((q, doc), rs) =>
+        val cs = rs.map(_._3)
+        (q, doc, if (aggMax) cs.max
+          else BigDecimal(cs.sum / cs.size)
+            .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      .groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(3)
+      }.toSet
+    assert(rows(VecIndex.maxSimTopK(spark, qs, idx, "doc", 2, 8, 3))
+      == manual(aggMax = true))
+    assert(rows(VecIndex.maxSimTopK(spark, qs, idx, "doc", 2, 8, 3,
+      agg = "mean")) == manual(aggMax = false))
+    // filter binds below the pool: only matching docs' chunks compete
+    val evens = VecIndex.maxSimTopK(spark, qs, idx, "doc", 2, 8, 3,
+        filter = Some(pmod(col("doc"), lit(2)) === 0))
+      .collect().map(_.getLong(1))
+    assert(evens.nonEmpty && evens.forall(_ % 2 == 0))
+  }
+
   test("delete tombstones ids from every serve path; delete + append " +
       "is the re-embed cycle (gen-aware kill)") {
     val path = "target/tmp/vecidx-bin-del"

@@ -332,6 +332,103 @@ object Versioned {
     (mv, qv)
   }
 
+  /** Max committed `_BATCH_<ingestId>_<n>` marker at `path` (0 =
+    * none) — the replay handshake's "what did the previous attempt
+    * land" probe. */
+  private def committedBatchMax(spark: SparkSession, path: String,
+      ingestId: String): Int = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) return 0
+    versions(spark, path).flatMap { v =>
+      f.listStatus(new Path(s"$path/v=$v")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"_BATCH_${ingestId}_"))
+        .flatMap(_.stripPrefix(s"_BATCH_${ingestId}_").toIntOption)
+    }.maxOption.getOrElse(0)
+  }
+
+  /** REPLAY the dead-letter queue — the operational loop
+    * [[quarantineStats]] makes visible: take the LIVE quarantine rows
+    * (diverted by [[appendCheckedQuarantine]]), run the caller's
+    * `fix`, RE-VALIDATE against the same constraints
+    * ([[appendChecked]] semantics: any still-violating row fails the
+    * whole replay loudly, nothing committed), land the corrected rows
+    * in the main table, and TOMBSTONE them from the quarantine — so
+    * main has each dead letter exactly once and the quarantine reads
+    * empty afterwards.
+    *
+    * Exactly-once, marker-paired: both commits carry the same
+    * `_BATCH_<ingest>_<qv>` idempotency marker (`qv` = the quarantine
+    * head version the replay consumed; `ingest` derives from the
+    * quarantine path). The MAIN commit lands first — corrected rows
+    * are durable before the quarantine forgets them — and a crash
+    * between the two heals on the next call: a main marker above the
+    * quarantine's own marker means a torn replay, and the missing
+    * drain (for exactly the rows live at that version) is completed
+    * BEFORE any new dead letters are considered, so late arrivals can
+    * never double-land. Replaying a drained quarantine no-ops
+    * (returns None). Single-maintainer like [[compact]], and stronger:
+    * do NOT run concurrently with divert writers to the SAME
+    * quarantine — a same-key dead letter landing between the live
+    * read and the drain tombstone would be swallowed unreplayed;
+    * schedule replay between ingest batches. `fix` must be
+    * deterministic (a replayed crash recomputes it). NULL-keyed dead
+    * letters refuse loudly — a tombstone cannot name them; quarantine
+    * such rows under a surrogate key upstream.
+    *
+    * Returns (main version, quarantine drain version), or None when
+    * there was nothing to replay. */
+  def replayQuarantine(spark: SparkSession, qPath: String,
+      mainPath: String, keyCol: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      fix: DataFrame => DataFrame): Option[(Int, Int)] = {
+    require(constraints.nonEmpty, "replayQuarantine needs the ingest's " +
+      "constraints (>= 1) to re-validate corrected rows")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): Path = {
+      val hp = new Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(qPath) != qualified(mainPath),
+      "the quarantine table must differ from the main table")
+    val ingest = "rq" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qualified(qPath).toString.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    def landAndDrain(qv: Int): (Int, Int) = {
+      val live = currentAsOf(spark, qPath, keyCol, qv)
+      require(live.filter(col(keyCol).isNull).isEmpty,
+        s"replayQuarantine: NULL-keyed dead letters at $qPath — a " +
+          "tombstone cannot name them; assign a surrogate key upstream")
+      val fixed = fix(live.drop("q_violated", "q_batch"))
+      val aggs = constraints.map { case (name, c) =>
+        sum(when(c === false, 1L).otherwise(0L)).as(name)
+      }
+      val counts = fixed.agg(aggs.head, aggs.tail: _*).head()
+      val violated = constraints.map(_._1).zipWithIndex
+        .map { case (name, i) =>
+          name -> (if (counts.isNullAt(i)) 0L else counts.getLong(i))
+        }.filter(_._2 > 0)
+      require(violated.isEmpty, "replayQuarantine: the fix left " +
+        "violations, nothing committed — " + violated.map { case (n, c) =>
+          s"$n: $c row" + (if (c == 1) "" else "s") }.mkString("; "))
+      val mv = appendBatch(fixed, mainPath, qv, ingest)
+      val dv = appendBatch(live.select(keyCol)
+        .withColumn(DeletedCol, lit(true)), qPath, qv, ingest)
+      (mv, dv)
+    }
+    // heal a torn previous replay first: main landed, drain didn't
+    val mMax = committedBatchMax(spark, mainPath, ingest)
+    if (mMax > committedBatchMax(spark, qPath, ingest)) {
+      val healed = landAndDrain(mMax)
+      // anything newer is the NEXT window; recurse once to take it
+      return replayQuarantine(spark, qPath, mainPath, keyCol,
+        constraints, fix).orElse(Some(healed))
+    }
+    val qv = latestVersion(spark, qPath)
+    if (currentAsOf(spark, qPath, keyCol, qv).isEmpty) None
+    else Some(landAndDrain(qv))
+  }
+
   /** Shared dead-letter split: (violation predicate, reason column,
     * clean count, bad count) — one aggregate pass. NULL constraint
     * results pass, exactly like [[appendChecked]]. */

@@ -124,4 +124,74 @@ class QuarantineModelSpec extends SparkSpec {
       trace.exists(_.startsWith("replay")) &&
       trace.exists(_.startsWith("compact")), s"trace: $trace")
   }
+
+  test("replayQuarantine: divert -> fix -> replay lands each dead " +
+      "letter in main exactly once and drains the quarantine; replay " +
+      "of the replay no-ops; a torn replay heals without doubling; a " +
+      "fix that leaves violations refuses with nothing committed") {
+    import org.apache.spark.sql.DataFrame
+    val root = "target/tmp/quar-replay-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val main = s"$root/main"
+    val quar = s"$root/quar"
+    val checks = Seq(("x_pos", col("x") > 0L))
+    def fix(df: DataFrame): DataFrame = df.withColumn("x", abs(col("x")))
+    def curM: Map[Long, Long] =
+      Versioned.current(spark, main, "k").select("k", "x")
+        .as[(Long, Long)].collect().toMap
+    def liveQ: Long = Versioned.current(spark, quar, "k").count()
+    def logCountPerKey: Map[Long, Long] = Versioned
+      .asOf(spark, main, Versioned.latestVersion(spark, main))
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    // divert: evens fail x_pos
+    val rows = (1L to 6L).map(k => (k, if (k % 2 == 0) -k else k))
+      .toDF("k", "x")
+    Versioned.appendCheckedQuarantine(rows, main, checks, quar,
+      batchId = 1L)
+    assert(curM == Map(1L -> 1L, 3L -> 3L, 5L -> 5L) && liveQ == 3)
+    // replay: corrected rows land once, quarantine drains
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).nonEmpty)
+    assert(curM == (1L to 6L).map(k => k -> k).toMap && liveQ == 0)
+    assert(logCountPerKey.values.forall(_ == 1L),
+      s"each key must land exactly once: $logCountPerKey")
+    // replay of the replay: no-op
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).isEmpty)
+    assert(curM.size == 6 && logCountPerKey.values.forall(_ == 1L))
+    // a later divert opens a new window
+    Versioned.appendCheckedQuarantine(Seq((7L, -7L)).toDF("k", "x"),
+      main, checks, quar, batchId = 2L)
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).nonEmpty)
+    assert(curM(7L) == 7L && liveQ == 0)
+    // TORN replay: land ONLY the main side under the pair marker (the
+    // crash window between the two commits), then heal
+    Versioned.appendCheckedQuarantine(Seq((9L, -9L)).toDF("k", "x"),
+      main, checks, quar, batchId = 3L)
+    val qv = Versioned.latestVersion(spark, quar)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val qp = new org.apache.hadoop.fs.Path(quar)
+    val ingest = "rq" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qp.getFileSystem(hconf).makeQualified(qp).toString
+        .getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    Versioned.appendBatch(
+      fix(Versioned.current(spark, quar, "k")
+        .drop("q_violated", "q_batch")), main, qv, ingest)
+    assert(curM(9L) == 9L && liveQ == 1, "torn: main landed, drain did not")
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).nonEmpty, "heal must complete the drain")
+    assert(liveQ == 0 && logCountPerKey(9L) == 1L,
+      "heal must not double-land the torn window")
+    // a fix that leaves violations: loud, nothing committed
+    Versioned.appendCheckedQuarantine(Seq((10L, -10L)).toDF("k", "x"),
+      main, checks, quar, batchId = 4L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.replayQuarantine(spark, quar, main, "k", checks,
+        df => df) // identity: still violating
+    }
+    assert(e.getMessage.contains("x_pos"))
+    assert(!curM.contains(10L) && liveQ == 1,
+      "refused replay must leave both tables untouched")
+  }
 }

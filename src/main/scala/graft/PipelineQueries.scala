@@ -1348,6 +1348,45 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** PREFIX search ([[Search.searchPrefix]], Lucene PrefixQuery
+    * semantics): `s*` fans to the whole s-family of the vocabulary
+    * (scan/small/slow/sort/stream/spark/…) and `win*` to window — the
+    * autocomplete retrieval shape — served as one BM25 disjunction
+    * over the expanded variants. Oracle replays expansion with LIKE
+    * over the same vocabulary, then the BM25 formula. */
+  def searchPrefix(spark: SparkSession, dir: String): DataFrame =
+    Search.searchPrefix(spark, searchIndex(spark, dir),
+        Seq("s", "win"), topK = 20)
+      .orderBy(col("score").desc, col("id"))
+
+  val searchPrefixSql: String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)),
+       |qe AS (
+       |  SELECT DISTINCT tok FROM vocab
+       |  WHERE tok LIKE 's%' OR tok LIKE 'win%'),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   /** BM25 served from an index built by STREAMING ingest: the
     * documents table staged as a 3-file directory, each file one
     * micro-batch folded through [[Search.appendBatch]] (exactly-once
@@ -4547,6 +4586,7 @@ object PipelineQueries {
     "q_ann_maxsim" -> annMaxsim _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
+    "q_search_prefix" -> searchPrefix _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4654,6 +4694,7 @@ object PipelineQueries {
     "q_ann_maxsim" -> annMaxsimSql,
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
+    "q_search_prefix" -> searchPrefixSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

@@ -25,7 +25,7 @@ object Stress {
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
-      "dmlrace", "maintain", "cdc", "retrainpolicy")
+      "dmlrace", "maintain", "cdc", "retrainpolicy", "hybrid")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -60,6 +60,11 @@ object Stress {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 2000
       annProbedStress(spark, nv, nq, cpus.toInt); return
+    }
+    if (mode == "hybrid") {
+      val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 1000
+      hybridStress(spark, nd, nq, cpus.toInt); return
     }
     if (mode == "retrainpolicy") {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
@@ -595,6 +600,107 @@ object Stress {
       f""""recall1":${recall(p1)}%.4f,"recall4":${recall(p4)}%.4f,""" +
       f""""recall16":${recall(p16)}%.4f,""" +
       s""""retrain_sec":$tRoll,"probed4_postroll_sec":$tP4b}""")
+    spark.stop()
+  }
+
+  /** HYBRID fused-serve stress: `hybrid <nDocs> [<nQueries>]`
+    * (default 1M × 1k). One synthetic corpus gets BOTH at-rest
+    * indexes — text (per-doc opening-token family, the searchStress
+    * shape) and 64-dim embeddings (IVF, 64 centroids, 32 cb buckets)
+    * — then the same nQueries batch serves three ways: lexical-only
+    * ([[graft.pipeline.Search.searchBm25Batch]]), semantic-only
+    * ([[graft.pipeline.VecIndex.ivfTopK]]), and fused
+    * ([[graft.pipeline.Hybrid.hybridTopKBatch]]). The claims under
+    * test, asserted IN-RUN: (1) every parquet scan in the fused plan
+    * is bucket-pruned (`tb`/`cb` partition filters — no corpus-shaped
+    * scan in any stage); (2) the fused serve fills k for every query;
+    * (3) fused wall-clock stays within 2× of the two standalone
+    * serves combined (fusion touches only candidate lists). */
+  private def hybridStress(spark: SparkSession, nDocs: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.{Hybrid, Search, VecIndex}
+    val tokMod = 100000007L
+    val dim = 64
+    def gen(ids: DataFrame) = {
+      val opening = (0 until 8).map(j =>
+        concat(lit("b"), ((col("id") % 1000) * (17 + j) + j) % 1000))
+      val body = (0 until 32).map(j =>
+        concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+      ids.select(col("id").as("doc_id"),
+        concat_ws(" ", opening ++ body: _*).as("text"))
+    }
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val docs = gen(spark.range(nDocs).repartition(cpus * 4).toDF())
+    val emb = spark.range(nDocs).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val tPath = "target/tmp/stress-hybrid-text"
+    val vPath = "target/tmp/stress-hybrid-vec"
+    Seq(tPath, vPath).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val t0 = System.nanoTime()
+    val sIdx = Search.writeIndex(docs, "doc_id", "text", tPath)
+    val tText = (System.nanoTime() - t0) / 1e9
+    val nCent = 64
+    val centroids = emb.filter(col("id") < nCent)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val t1 = System.nanoTime()
+    val vIdx = VecIndex.init(emb, dim, vPath,
+      centroids = Some(centroids), cbBuckets = 32)
+    val tVec = (System.nanoTime() - t1) / 1e9
+    // per-query: 3 opening-family terms (all in-vocabulary) + an
+    // external query vector; qids above the corpus (no self-match)
+    val qFrame = spark.range(nQueries).repartition(cpus).select(
+        (col("id") + nDocs).as("qid"),
+        array(
+          concat(lit("b"), pmod(col("id"), lit(1000))),
+          concat(lit("b"), pmod(col("id") * 7 + 1, lit(1000))),
+          concat(lit("b"), pmod(col("id") * 13 + 2, lit(1000))))
+          .as("terms"),
+        array((0 until dim).map(comp): _*).as("vec"))
+      .localCheckpoint()
+    def timed[T](f: => T): (Double, T) = {
+      val s = System.nanoTime(); val r = f
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    val (tLex, nLex) = timed(Search.searchBm25Batch(spark, sIdx,
+      qFrame.select("qid", "terms"), topK = 20).count())
+    val (tSem, nSem) = timed(VecIndex.ivfTopK(spark,
+      qFrame.select(col("qid").as("id"), col("vec")), vIdx,
+      nProbe = 4, k = 20).count())
+    val hyb = Hybrid.hybridTopKBatch(spark, sIdx, vIdx, qFrame,
+      nProbe = 4, nLex = 20, nSem = 20, topK = 10)
+    val (tHyb, nHyb) = timed(hyb.count())
+    require(nLex == nQueries * 20 && nSem == nQueries * 20,
+      s"standalone serves under-filled: lex $nLex sem $nSem")
+    require(nHyb == nQueries * 10,
+      s"fused serve must fill top-10 for every query, got $nHyb")
+    // index-bounded: every parquet scan in the fused plan carries a
+    // bucket partition filter (tb for postings, cb for IVF lists)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec => flatten(s.plan)
+      case o => o.children.flatMap(flatten)
+    })
+    val scans = flatten(hyb.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    require(scans.nonEmpty, "expected parquet scans in the fused plan")
+    scans.foreach { s =>
+      require(s.partitionFilters.exists(_.references.exists(r =>
+          r.name == "tb" || r.name == "cb")),
+        s"corpus-shaped scan in the fused serve: ${s.nodeName} " +
+          s"partitionFilters=${s.partitionFilters.mkString(",")}")
+    }
+    require(tHyb <= 2.0 * (tLex + tSem),
+      f"fused serve $tHyb%.1fs blew past 2x the standalone serves " +
+        f"(${tLex + tSem}%.1fs combined)")
+    println(s"""{"metric":"stress_hybrid","docs":$nDocs,""" +
+      s""""queries":$nQueries,"text_index_sec":$tText,""" +
+      s""""vec_index_sec":$tVec,"lex_sec":$tLex,"sem_sec":$tSem,""" +
+      s""""hybrid_sec":$tHyb,"fused_rows":$nHyb}""")
     spark.stop()
   }
 

@@ -807,6 +807,32 @@ object Search {
       .select("term", "tok")
   }
 
+  /** PREFIX search (Lucene `PrefixQuery` / `term*` semantics): every
+    * vocabulary token starting with a query prefix, served through
+    * the ordinary [[searchBm25]] path — the
+    * autocomplete/search-as-you-type retrieval shape. The vocabulary
+    * probe is the same pruned dictionary read as [[fuzzyExpand]]
+    * (tok-only column read, `StringStartsWith` pushed to the
+    * tok-sorted postings scan); the expansion collect is bounded by
+    * the matching vocabulary slice. Nothing matching → empty result. */
+  def searchPrefix(spark: SparkSession, idx: Index,
+      prefixes: Seq[String], topK: Int): DataFrame = {
+    require(prefixes.nonEmpty, "empty prefix list")
+    require(prefixes.forall(_.nonEmpty), "empty-string prefix " +
+      "matches the whole vocabulary — give at least one character")
+    require(topK > 0, s"topK $topK must be > 0")
+    import spark.implicits._
+    val ps = prefixes.distinct
+    val preFilter = ps.map(p => col("tok").startsWith(lit(p)))
+      .reduce(_ || _)
+    val variants = postings(spark, idx).filter(preFilter)
+      .select("tok").distinct().as[String].collect().toSeq.sorted
+    if (variants.isEmpty)
+      postings(spark, idx).select("id").limit(0)
+        .withColumn("score", lit(0.0))
+    else searchBm25(spark, idx, variants, topK)
+  }
+
   /** Typo-tolerant BM25 search: expand each query term against the
     * vocabulary ([[fuzzyExpand]]) and serve the UNION of expansion
     * variants through the ordinary [[searchBm25]] path — each variant

@@ -757,6 +757,19 @@ class SearchSpec extends SparkSpec {
     // nothing within reach: empty result, stable (id, score) schema
     val none = Search.searchFuzzy(spark, fidx, Seq("qqqqq"), 1, 10)
     assert(none.columns.toSeq == Seq("id", "score") && none.count() == 0)
+    // PREFIX search: same dictionary machinery, PrefixQuery semantics
+    val pWant = vocabAll.filter(_.startsWith("alp")).toSeq.sorted
+    assert(pWant.size == 3) // alpha, alphas, alpine
+    val pGot = Search.searchPrefix(spark, fidx, Seq("alp"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pGot == Search.searchBm25(spark, fidx, pWant, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(pGot.nonEmpty)
+    val pNone = Search.searchPrefix(spark, fidx, Seq("zz"), 10)
+    assert(pNone.columns.toSeq == Seq("id", "score") && pNone.count() == 0)
+    intercept[IllegalArgumentException] {
+      Search.searchPrefix(spark, fidx, Seq(""), 10)
+    }
     // probe plan: prefix pushed to the parquet scan, tok-only read
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)

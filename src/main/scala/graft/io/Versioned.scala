@@ -412,7 +412,17 @@ object Versioned {
         "violations, nothing committed — " + violated.map { case (n, c) =>
           s"$n: $c row" + (if (c == 1) "" else "s") }.mkString("; "))
       val mv = appendBatch(fixed, mainPath, qv, ingest)
+      // drain EXCLUDES keys re-diverted ABOVE qv (possible only on the
+      // heal path): a tombstone kills every version below it, so
+      // draining such a key would swallow its NEWER dead letter
+      // unreplayed — leave it live; the next window replays the newer
+      // payload and its own drain kills both versions. (The torn
+      // attempt landed the OLD payload in main; the next window's
+      // newer append supersedes it.)
+      val newer = asOf(spark, qPath, latestVersion(spark, qPath))
+        .filter(col(VersionCol) > qv).select(col(keyCol)).distinct()
       val dv = appendBatch(live.select(keyCol)
+        .join(newer, Seq(keyCol), "left_anti")
         .withColumn(DeletedCol, lit(true)), qPath, qv, ingest)
       (mv, dv)
     }

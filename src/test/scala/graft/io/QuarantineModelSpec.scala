@@ -193,5 +193,121 @@ class QuarantineModelSpec extends SparkSpec {
     assert(e.getMessage.contains("x_pos"))
     assert(!curM.contains(10L) && liveQ == 1,
       "refused replay must leave both tables untouched")
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).nonEmpty) // clear k=10 so the next scenario starts drained
+    // TORN replay + SAME-KEY RE-DIVERT before the heal: the heal's
+    // drain must NOT swallow the newer dead letter — it stays live,
+    // the next window replays it, and its payload supersedes the torn
+    // landing
+    Versioned.appendCheckedQuarantine(Seq((11L, -11L)).toDF("k", "x"),
+      main, checks, quar, batchId = 5L)
+    val qv2 = Versioned.latestVersion(spark, quar)
+    Versioned.appendBatch(
+      fix(Versioned.current(spark, quar, "k")
+        .drop("q_violated", "q_batch")), main, qv2, ingest)
+    assert(curM(11L) == 11L, "torn: old payload landed")
+    Versioned.appendCheckedQuarantine(Seq((11L, -111L)).toDF("k", "x"),
+      main, checks, quar, batchId = 6L)
+    assert(Versioned.replayQuarantine(spark, quar, main, "k", checks,
+      fix).nonEmpty)
+    assert(curM(11L) == 111L,
+      "the re-diverted newer payload must supersede the torn landing")
+    assert(liveQ == 0, "both dead-letter versions drained in the end")
+  }
+
+  test("seeded replay-lifecycle model check: random diverts, replays, " +
+      "torn replays, and maintenance — main and quarantine currents " +
+      "equal the model after every op") {
+    import org.apache.spark.sql.DataFrame
+    val root = "target/tmp/quar-replay-model"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val main = s"$root/main"
+    val quar = s"$root/quar"
+    val checks = Seq(("x_pos", col("x") > 0L))
+    def fix(df: DataFrame): DataFrame = df.withColumn("x", abs(col("x")))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val qp = new org.apache.hadoop.fs.Path(quar)
+    lazy val ingest = "rq" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qp.getFileSystem(hconf).makeQualified(qp).toString
+        .getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val rnd = new scala.util.Random(20260817L)
+    val mModel = scala.collection.mutable.Map.empty[Long, Long]
+    val qModel = scala.collection.mutable.Map.empty[Long, Long]
+    var tornPending = false
+    // what the torn attempt landed (its marker makes the heal SKIP
+    // re-landing these — a clean same-key write after the torn landing
+    // must survive the heal)
+    var tornSnap = Map.empty[Long, Long]
+    var batchId = 0L
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    def check(op: String): Unit = {
+      trace += op
+      def cur(p: String): Map[Long, Long] =
+        if (Versioned.latestVersion(spark, p) == 0) Map.empty
+        else Versioned.current(spark, p, "k").select("k", "x")
+          .as[(Long, Long)].collect().toMap
+      assert(cur(main) == mModel.toMap,
+        s"MAIN diverged after [${trace.mkString(" -> ")}]")
+      assert(cur(quar) == qModel.toMap,
+        s"QUAR diverged after [${trace.mkString(" -> ")}]")
+    }
+    for (i <- 1 to 24) rnd.nextInt(7) match {
+      case 0 | 1 | 2 => // divert a mixed batch
+        val rows = (1 to 1 + rnd.nextInt(3)).map { _ =>
+          val k = 1L + rnd.nextInt(12)
+          val x = (1L + rnd.nextInt(50)) * (if (rnd.nextBoolean()) 1 else -1)
+          (k, x)
+        }.distinct.groupBy(_._1).map(_._2.head).toSeq // one row per key
+        batchId += 1
+        Versioned.appendCheckedQuarantine(rows.toDF("k", "x"), main,
+          checks, quar, batchId)
+        rows.foreach { case (k, x) =>
+          if (x > 0) mModel(k) = x else qModel(k) = x
+        }
+        check(s"divert($rows)")
+      case 3 => // replay (heals a torn window too): dead letters the
+        // torn attempt already landed (same key, same payload) are
+        // marker-skipped — only re-diverted/new ones land now
+        val r = Versioned.replayQuarantine(spark, quar, main, "k",
+          checks, fix)
+        if (qModel.isEmpty && !tornPending) assert(r.isEmpty)
+        qModel.foreach { case (k, x) =>
+          if (!(tornPending && tornSnap.get(k).contains(x)))
+            mModel(k) = math.abs(x)
+        }
+        qModel.clear(); tornPending = false; tornSnap = Map.empty
+        check("replay")
+      case 4 => // TORN replay: main lands, drain doesn't
+        if (qModel.nonEmpty && !tornPending) {
+          val qv = Versioned.latestVersion(spark, quar)
+          Versioned.appendBatch(
+            fix(Versioned.current(spark, quar, "k")
+              .drop("q_violated", "q_batch")), main, qv, ingest)
+          qModel.foreach { case (k, x) => mModel(k) = math.abs(x) }
+          tornPending = true; tornSnap = qModel.toMap
+          check("torn")
+        }
+      case 5 => // maintenance on main
+        if (Versioned.latestVersion(spark, main) > 0) {
+          Versioned.compact(spark, main, "k")
+          Versioned.vacuum(spark, main, 0)
+          check("compact+vacuum(main)")
+        }
+      case _ => // maintenance on the quarantine: compact always; a
+        // vacuum would reclaim a pending torn window's resolve point
+        // (replay-before-vacuum is the documented contract)
+        if (Versioned.latestVersion(spark, quar) > 0) {
+          Versioned.compact(spark, quar, "k")
+          if (!tornPending) Versioned.vacuum(spark, quar, 0)
+          check("compact(quar)")
+        }
+    }
+    // drain whatever is left and confirm the final fold
+    Versioned.replayQuarantine(spark, quar, main, "k", checks, fix)
+    qModel.foreach { case (k, x) => mModel(k) = math.abs(x) }
+    qModel.clear()
+    check("final-replay")
+    assert(trace.exists(_.startsWith("divert")) &&
+      trace.contains("replay") && trace.contains("torn"), s"$trace")
   }
 }

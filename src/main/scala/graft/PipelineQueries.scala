@@ -3291,6 +3291,57 @@ object PipelineQueries {
        |SELECT qid, doc, score FROM r WHERE rk <= 3
        |ORDER BY qid, doc""".stripMargin
 
+  /** FULL ColBERT late-interaction serve
+    * ([[VecIndex.maxSimTopKMulti]]): each query is TWO token
+    * embeddings, docs are 4-chunk groups (`doc = vec_id div 4`), and
+    * a doc scores the SUM over query tokens of the MAX cosine over
+    * its retrieved chunks (top-8 per token through the probed IVF
+    * read). The oracle replays probe → per-token chunk top-8 →
+    * per-(token, doc) max → per-doc sum → per-qid rank end to end. */
+  def annColbert(spark: SparkSession, dir: String): DataFrame = {
+    annMaxsim(spark, dir).count() // ensure the shared maxsim fixture
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val idx = VecIndex.open(spark, s"target/tmp/vecidx-maxsim-$tagDir")
+    import spark.implicits._
+    val qmap = Seq((0L, 20L), (0L, 21L), (1L, 22L), (1L, 23L),
+      (2L, 24L), (2L, 25L)).toDF("qid", "qtok")
+    val queries = qmap.join(emb.withColumnRenamed("id", "qtok"), "qtok")
+    VecIndex.maxSimTopKMulti(spark, queries, idx, "doc", nProbe = 2,
+        nChunks = 8, k = 3)
+      .orderBy("qid", "doc")
+  }
+
+  val annColbertSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |chnk AS (
+       |  SELECT qid AS qtok, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS rk
+       |  FROM scored WHERE qid >= 20 AND qid < 26),
+       |qt AS (
+       |  SELECT CAST(q AS BIGINT) AS qid, CAST(t AS BIGINT) AS qtok
+       |  FROM (VALUES (0, 20), (0, 21), (1, 22), (1, 23),
+       |    (2, 24), (2, 25)) v(q, t)),
+       |permax AS (
+       |  SELECT qt.qid, CAST(nid // 4 AS BIGINT) AS doc, chnk.qtok,
+       |    MAX(cos) AS mx
+       |  FROM chnk JOIN qt ON chnk.qtok = qt.qtok
+       |  WHERE rk <= 8 GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT qid, doc, ROUND(SUM(mx), 5) AS score
+       |  FROM permax GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, doc, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc)
+       |      AS rk
+       |  FROM agg)
+       |SELECT qid, doc, score FROM r WHERE rk <= 3
+       |ORDER BY qid, doc""".stripMargin
+
   /** HYBRID retrieval ([[Hybrid.hybridTopK]]): BM25 top-20 for the
     * standard term set from the at-rest inverted index + cosine
     * top-20 for embedding 0 from the generational IVF index (probed,
@@ -4584,6 +4635,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFiltered _,
     "q_hybrid_batch" -> hybridBatch _,
     "q_ann_maxsim" -> annMaxsim _,
+    "q_ann_colbert" -> annColbert _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_search_prefix" -> searchPrefix _,
@@ -4692,6 +4744,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFilteredSql,
     "q_hybrid_batch" -> hybridBatchSql,
     "q_ann_maxsim" -> annMaxsimSql,
+    "q_ann_colbert" -> annColbertSql,
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_search_prefix" -> searchPrefixSql,

@@ -485,6 +485,41 @@ object VecIndex {
     delete(liveVecs(spark, idx, Seq("id"),
       preFilter = Some(predicate)), "id", idx)
 
+  /** MULTI-VECTOR QUERIES over multi-vector documents — the full
+    * ColBERT late-interaction serve: a query is a SET of token
+    * embeddings (`queries` = `(qid, qtok, vec)`, `qtok` globally
+    * unique across the batch and non-corpus for external queries),
+    * the index holds chunk embeddings with the parent doc id as
+    * metadata, and a doc scores
+    * `Σ_qtok max_chunk cos(qtok, chunk)` over the candidates each
+    * token's probed read retrieved (top-`nChunks` per token) — the
+    * MaxSim sum of Khattab & Zaharia (SIGIR'20), candidate-bounded:
+    * a (qtok, doc) pair outside the token's probed pool contributes
+    * 0, the usual IVF recall trade. Returns `(qid, <docCol>, score)`
+    * top-`k` per qid; one probed read for the WHOLE batch of tokens,
+    * aggregation qid-partitioned over ≤ |tokens|·nChunks rows. */
+  def maxSimTopKMulti(spark: SparkSession, queries: DataFrame,
+      idx: Index, docCol: String, nProbe: Int, nChunks: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(nChunks > 0 && k > 0,
+      s"nChunks $nChunks and k $k must be > 0")
+    val qmap = queries.select("qid", "qtok")
+    val cand = ivfTopK(spark,
+        queries.select(col("qtok").as("id"), col("vec")), idx,
+        nProbe, nChunks, filter, carry = Seq(docCol))
+      .withColumnRenamed("qid", "qtok")
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score"), asc(docCol))
+    cand.join(broadcast(qmap), "qtok")
+      .groupBy(col("qid"), col(docCol), col("qtok"))
+      .agg(max(col("cos")).as("__mx"))
+      .groupBy(col("qid"), col(docCol))
+      .agg(round(sum("__mx"), 5).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col(docCol), col("score"))
+  }
+
   /** Drift proxy for the codebook-retrain decision: over a bounded
     * sample of live vectors, the fraction whose best cosine against
     * the CANDIDATE centroids strictly beats their best cosine against

@@ -119,6 +119,54 @@ class VecIndexSpec extends SparkSpec {
     assert(evens.nonEmpty && evens.forall(_ % 2 == 0))
   }
 
+  test("maxSimTopKMulti: docs rank by the ColBERT sum-of-max over " +
+      "per-token retrieved chunks — equals the manual aggregation; a " +
+      "single-token query degenerates to maxSimTopK") {
+    val cents = corpus(0 until 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val chunks = corpus(0 until 40).withColumn("doc", expr("id div 4"))
+    val path = "target/tmp/vecidx-maxsim-multi"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val idx = VecIndex.init(chunks, 64, path,
+      centroids = Some(cents), cbBuckets = 2)
+    // 2 queries × 2 token embeddings each, non-corpus qtok ids
+    val queries = Seq((900L, 100L), (900L, 101L), (901L, 102L),
+        (901L, 103L)).toDF("qid", "qtok")
+      .join(corpus(100 until 104).withColumnRenamed("id", "qtok"),
+        "qtok")
+    val cand = VecIndex.ivfTopK(spark,
+        queries.select(col("qtok").as("id"), col("vec")), idx, 2, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q2t = Map(100L -> 900L, 101L -> 900L, 102L -> 901L,
+      103L -> 901L)
+    val manual = cand
+      .groupBy { case (t, nid, _) => (q2t(t), nid / 4, t) }
+      .map { case ((q, doc, _), rs) => (q, doc, rs.map(_._3).max) }
+      .groupBy { case (q, doc, _) => (q, doc) }
+      .map { case ((q, doc), rs) =>
+        (q, doc, BigDecimal(rs.map(_._3).sum)
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      .groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(3)
+      }.toSet
+    assert(rows(VecIndex.maxSimTopKMulti(spark, queries, idx, "doc",
+      2, 8, 3)) == manual)
+    // one token per query == maxSimTopK on those tokens as queries
+    val single = queries.filter(col("qtok").isin(100L, 102L))
+    val gotS = rows(VecIndex.maxSimTopKMulti(spark, single, idx,
+      "doc", 2, 8, 3))
+    val wantS = rows(VecIndex.maxSimTopK(spark,
+        corpus(100 until 101).unionByName(corpus(102 until 103)),
+        idx, "doc", 2, 8, 3))
+      .map { case (t, doc, s) =>
+        (q2t(t), doc,
+          BigDecimal(s).setScale(5,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(gotS == wantS)
+  }
+
   test("delete tombstones ids from every serve path; delete + append " +
       "is the re-embed cycle (gen-aware kill)") {
     val path = "target/tmp/vecidx-bin-del"

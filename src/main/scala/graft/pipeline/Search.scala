@@ -273,10 +273,13 @@ object Search {
     * referencing an un-stored column fails loudly
     * ([[FilterUnresolved]]); a predicate matching nothing commits an
     * empty tombstone generation (harmless, like deleting unknown
-    * ids). */
+    * ids). Returns the number of matched live docs. */
   def deleteWhere(spark: SparkSession, idx: Index,
-      predicate: org.apache.spark.sql.Column): Index =
-    delete(filteredDocIds(spark, idx, predicate), "id", idx)
+      predicate: org.apache.spark.sql.Column): Long = {
+    val ids = filteredDocIds(spark, idx, predicate).localCheckpoint()
+    delete(ids, "id", idx)
+    ids.count()
+  }
 
   /**
    * Compact: rewrite the live postings (tombstones applied) as ONE new

@@ -479,11 +479,15 @@ object VecIndex {
     * [[delete]] — identical lifecycle and spec-pinned equivalent to
     * delete-by-ids on the same predicate. Un-stored columns fail
     * loudly ([[FilterUnresolved]]); an empty match commits an empty
-    * tombstone generation, like deleting unknown ids. */
+    * tombstone generation, like deleting unknown ids. Returns the
+    * number of matched live vectors. */
   def deleteWhere(spark: SparkSession, idx: Index,
-      predicate: org.apache.spark.sql.Column): Index =
-    delete(liveVecs(spark, idx, Seq("id"),
-      preFilter = Some(predicate)), "id", idx)
+      predicate: org.apache.spark.sql.Column): Long = {
+    val ids = liveVecs(spark, idx, Seq("id"),
+      preFilter = Some(predicate)).localCheckpoint()
+    delete(ids, "id", idx)
+    ids.count()
+  }
 
   /** MULTI-VECTOR QUERIES over multi-vector documents — the full
     * ColBERT late-interaction serve: a query is a SET of token

@@ -709,6 +709,76 @@ private[sources] object GraftProcedures {
         }
         Array(InternalRow(ids.length))
       }),
+    new Proc("index_delete_where",
+      "PREDICATE tombstones for an at-rest index (path-addressed; " +
+        "kind = 'search' | 'vector'): delete every LIVE doc/vector " +
+        "whose stored metadata matches the SQL predicate — the " +
+        "GDPR/retention shape (DELETE FROM idx WHERE source = '…'). " +
+        "A predicate over an un-stored column fails loudly listing " +
+        "the stored ones. Returns the number of matched live rows",
+      Seq(in("index_path", StringType), in("kind", StringType),
+        in("predicate", StringType)),
+      StructType(Seq(
+        StructField("rows_deleted", org.apache.spark.sql.types.LongType,
+          nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val pred = org.apache.spark.sql.functions.expr(
+          str(row, 2, "predicate"))
+        val n = str(row, 1, "kind") match {
+          case "search" =>
+            Search.deleteWhere(spark, Search.open(spark, p), pred)
+          case "vector" =>
+            VecIndex.deleteWhere(spark, VecIndex.open(spark, p), pred)
+          case other => sys.error("index_delete_where: kind must be " +
+            s"'search' or 'vector', got '$other'")
+        }
+        Array(InternalRow(n))
+      }),
+    new Proc("replay_quarantine",
+      "dead-letter REPLAY: take the live rows of <table>'s quarantine " +
+        "sibling (the 'quarantine.path' property), apply the SQL " +
+        "select-list <fix> (e.g. 'k, abs(x) AS x'), re-validate " +
+        "against the table's own check.* constraints (any surviving " +
+        "violation refuses loudly, nothing committed), land the " +
+        "corrected rows in <table> and drain them from the quarantine " +
+        "— marker-paired exactly-once, torn replays heal on the next " +
+        "call. Returns (main_version, drain_version), nulls when " +
+        "there was nothing to replay",
+      Seq(in("table", StringType), in("fix", StringType)),
+      StructType(Seq(
+        StructField("main_version", IntegerType),
+        StructField("drain_version", IntegerType))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        val props = GraftCatalog.readProps(
+          new org.apache.hadoop.fs.Path(p).getFileSystem(
+            spark.sparkContext.hadoopConfiguration), p)
+        val qAbs = GraftCatalog.quarantinePathOf(props, p)
+          .getOrElse(sys.error(
+            "replay_quarantine: the table has no 'quarantine.path' " +
+              "property — dead letters were never diverted for it"))
+        val keyCol = props.getOrElse(GraftCatalog.KeyProp, sys.error(
+          "replay_quarantine: the table declares no key " +
+            "('key' = '<col>') — the drain tombstones by key"))
+        val checks = GraftCatalog.checkConstraints(props).map {
+          case (n, sql) => (n, org.apache.spark.sql.functions.expr(sql))
+        }
+        require(checks.nonEmpty, "replay_quarantine: the table " +
+          "declares no check.* constraints to re-validate against")
+        val fixSelect = str(row, 1, "fix")
+        val view = "graft_replay_fix_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val fix = (df: org.apache.spark.sql.DataFrame) => {
+          df.createOrReplaceTempView(view)
+          spark.sql(s"SELECT $fixSelect FROM $view")
+        }
+        val r = try Versioned.replayQuarantine(spark, qAbs, p, keyCol,
+          checks, fix)
+        finally spark.catalog.dropTempView(view)
+        Array(r.map { case (mv, dv) => InternalRow(mv, dv) }
+          .getOrElse(InternalRow(null, null)))
+      }),
     new Proc("index_detail",
       "DESCRIBE-DETAIL for an at-rest generation-log index (text or " +
         "vector — the log format is shared): one row per committed " +

@@ -1645,4 +1645,67 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT * FROM graft_test.rsat VERSION AS OF 4").count() > 0)
   }
+
+  test("CALL system.replay_quarantine: the dead-letter loop from SQL " +
+      "— fix select-list, re-validate against the table's own " +
+      "check.* props, land + drain exactly once; second call no-ops; " +
+      "an insufficient fix refuses") {
+    spark.sql("CREATE TABLE graft_test.rq (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'check.v_pos' = 'v > 0', " +
+      "'quarantine.path' = 'rq_quar')")
+    spark.sql("CREATE TABLE graft_test.rq_quar (k BIGINT, v BIGINT, " +
+      "q_violated STRING, q_batch BIGINT) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO graft_test.rq VALUES (1, 5), (2, -7), (3, -9)")
+    assert(Versioned.current(spark, s"$wh/rq", "k").count() == 1)
+    val r = spark.sql(
+      "CALL graft_test.system.replay_quarantine('rq', 'k, abs(v) AS v')")
+      .as[(Option[Int], Option[Int])].head()
+    assert(r._1.nonEmpty && r._2.nonEmpty)
+    assert(Versioned.current(spark, s"$wh/rq", "k")
+      .select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L), (2L, 7L), (3L, 9L)))
+    assert(Versioned.current(spark, s"$wh/rq_quar", "k").count() == 0)
+    // drained: the second call reports nothing to replay
+    val r2 = spark.sql(
+      "CALL graft_test.system.replay_quarantine('rq', 'k, abs(v) AS v')")
+      .as[(Option[Int], Option[Int])].head()
+    assert(r2._1.isEmpty && r2._2.isEmpty)
+    // a fix that does not fix: loud, nothing moves
+    spark.sql("INSERT INTO graft_test.rq VALUES (4, -4)")
+    intercept[Exception] { spark.sql(
+      "CALL graft_test.system.replay_quarantine('rq', 'k, v')") }
+    assert(Versioned.current(spark, s"$wh/rq_quar", "k").count() == 1)
+  }
+
+  test("CALL system.index_delete_where: predicate tombstones over " +
+      "index metadata from SQL; un-stored columns fail loudly") {
+    import graft.pipeline.{Search, VecIndex}
+    val sp = "target/tmp/cat-proc-delwhere-s"
+    val vp = "target/tmp/cat-proc-delwhere-v"
+    Seq(sp, vp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Search.writeIndex((1 to 20).map(i =>
+        (i.toLong, s"alpha beta doc$i", if (i % 3 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang"), "doc_id", "text", sp, 4)
+    def v(seed: Int) = Array.tabulate(32)(j =>
+      (((seed * 31 + j * 13) % 17).toFloat - 8f) / 8f)
+    VecIndex.init((0 until 20).map(i =>
+        (i.toLong, v(i), if (i % 3 == 0) "en" else "xx"))
+      .toDF("id", "vec", "lang"), 32, vp,
+      centroids = Some((0 until 2).map(i =>
+        (i.toLong, v(i))).toDF("cid", "cvec")), cbBuckets = 2)
+    assert(spark.sql("CALL graft_test.system.index_delete_where(" +
+        s"'$sp', 'search', 'lang = \\'xx\\'')")
+      .as[Long].head() == 14) // 20 docs, 6 are en
+    val left = Search.searchBm25(spark, Search.open(spark, sp),
+      Seq("alpha"), 100).as[(Long, Double)].collect().map(_._1)
+    assert(left.nonEmpty && left.forall(_ % 3 == 0))
+    assert(spark.sql("CALL graft_test.system.index_delete_where(" +
+        s"'$vp', 'vector', 'lang = \\'xx\\'')")
+      .as[Long].head() == 13) // ids 0..19, 7 are en (incl. 0)
+    assert(VecIndex.countVecs(spark, VecIndex.open(spark, vp)) == 7)
+    intercept[Exception] { spark.sql(
+      "CALL graft_test.system.index_delete_where(" +
+        s"'$vp', 'vector', 'tongue = \\'xx\\'')") }
+  }
 }

@@ -595,6 +595,91 @@ private[sources] object GraftProcedures {
         Search.searchBm25(spark, Search.open(spark, p), terms, k)
           .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
       }),
+    new Proc("search_fuzzy",
+      "typo-tolerant BM25 top-k over an at-rest text index: each " +
+        "query term expands against the index vocabulary within " +
+        "max_dist edits (first character shared — Lucene FuzzyQuery " +
+        "prefix_length=1), the variant union serves through BM25; " +
+        "rows are (id, score)",
+      Seq(in("index_path", StringType), in("query", StringType),
+        in("max_dist", IntegerType), in("k", IntegerType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val terms = str(row, 1, "query")
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        Search.searchFuzzy(spark, Search.open(spark, p), terms,
+            row.getInt(2), row.getInt(3))
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("search_prefix",
+      "prefix (term*) BM25 top-k over an at-rest text index — the " +
+        "autocomplete shape: vocabulary tokens starting with any " +
+        "given prefix serve as one BM25 disjunction; rows are " +
+        "(id, score)",
+      Seq(in("index_path", StringType), in("prefixes", StringType),
+        in("k", IntegerType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val prefixes = str(row, 1, "prefixes")
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        Search.searchPrefix(spark, Search.open(spark, p), prefixes,
+            row.getInt(2))
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("ann_maxsim",
+      "multi-vector (max-sim) DOC ranking over a chunk-embedding " +
+        "index: the query vector retrieves its top-n_chunks chunk " +
+        "candidates through the probed IVF read and docs rank by the " +
+        "max of their retrieved chunks' cosines (doc_col = the " +
+        "metadata column holding the parent doc id); rows are " +
+        "(doc, score)",
+      Seq(in("index_path", StringType), in("vector", StringType),
+        in("doc_col", StringType), in("n_probe", IntegerType),
+        in("n_chunks", IntegerType), in("k", IntegerType)),
+      StructType(Seq(StructField("doc", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      (_, row) => {
+        val p = str(row, 0, "index_path")
+        val vec = str(row, 1, "vector").split(',').map(_.trim.toFloat)
+        val sess = spark
+        import sess.implicits._
+        val q = Seq((-1L, vec)).toDF("id", "vec")
+        VecIndex.maxSimTopK(spark, q, VecIndex.open(spark, p),
+            str(row, 2, "doc_col"), row.getInt(3), row.getInt(4),
+            row.getInt(5))
+          .select(org.apache.spark.sql.functions
+            .col(str(row, 2, "doc_col")).cast("long"),
+            org.apache.spark.sql.functions.col("score"))
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("hybrid_topk",
+      "hybrid retrieval from SQL: BM25 top-n_lex for the query terms " +
+        "from the text index + cosine top-n_sem for the query vector " +
+        "from the vector index (probed IVF), fused by reciprocal " +
+        "rank fusion (k0=60) to top-k; rows are (id, rrf)",
+      Seq(in("text_index_path", StringType),
+        in("vector_index_path", StringType), in("query", StringType),
+        in("vector", StringType), in("n_probe", IntegerType),
+        in("k", IntegerType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("rrf", DoubleType, nullable = false))),
+      (_, row) => {
+        val terms = str(row, 2, "query")
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val vec = str(row, 3, "vector").split(',').map(_.trim.toFloat)
+        val sess = spark
+        import sess.implicits._
+        val q = Seq((-1L, vec)).toDF("id", "vec")
+        graft.pipeline.Hybrid.hybridTopK(spark,
+            Search.open(spark, str(row, 0, "text_index_path")),
+            VecIndex.open(spark, str(row, 1, "vector_index_path")),
+            terms, q, nProbe = row.getInt(4), topK = row.getInt(5))
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
     new Proc("ann_topk",
       "probed ANN top-k over an at-rest generational vector index " +
         "(path-addressed; query vector as comma-separated floats; " +

@@ -1677,6 +1677,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.current(spark, s"$wh/rq_quar", "k").count() == 1)
   }
 
+  test("serving procedures: search_fuzzy / search_prefix / " +
+      "ann_maxsim / hybrid_topk match their Scala faces") {
+    import graft.pipeline.{Hybrid, Search, VecIndex}
+    val sp = "target/tmp/cat-proc-serve-s"
+    val vp = "target/tmp/cat-proc-serve-v"
+    Seq(sp, vp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val sidx = Search.writeIndex((1 to 20).map(i =>
+        (i.toLong, if (i % 2 == 0) "quick brown fox" else "quack dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", sp, 4)
+    def v(seed: Int) = Array.tabulate(32)(j =>
+      (((seed * 31 + j * 13) % 17).toFloat - 8f) / 8f)
+    val vidx = VecIndex.init((0 until 20).map(i =>
+        (i.toLong, v(i), i.toLong / 4)).toDF("id", "vec", "doc"),
+      32, vp, centroids = Some((0 until 2).map(i =>
+        (i.toLong, v(i))).toDF("cid", "cvec")), cbBuckets = 2)
+    val vecStr = v(100).mkString(",")
+    val qv = Seq((-1L, v(100))).toDF("id", "vec")
+    // fuzzy: 'quock' is 1 edit from both quick and quack
+    val fzGot = spark.sql("CALL graft_test.system.search_fuzzy(" +
+        s"'$sp', 'quock', 1, 5)")
+      .as[(Long, Double)].collect().toSeq
+    val fzWant = Search.searchFuzzy(spark, sidx, Seq("quock"), 1, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(fzGot == fzWant && fzGot.nonEmpty)
+    // prefix: 'qu*' spans the whole qu-family
+    val pfGot = spark.sql("CALL graft_test.system.search_prefix(" +
+        s"'$sp', 'qu', 5)")
+      .as[(Long, Double)].collect().toSeq
+    assert(pfGot == Search.searchPrefix(spark, sidx, Seq("qu"), 5)
+      .as[(Long, Double)].collect().toSeq)
+    // max-sim doc ranking
+    val msGot = spark.sql("CALL graft_test.system.ann_maxsim(" +
+        s"'$vp', '$vecStr', 'doc', 2, 8, 3)")
+      .as[(Long, Double)].collect().toSeq
+    val msWant = VecIndex.maxSimTopK(spark, qv, vidx, "doc", 2, 8, 3)
+      .select(col("doc"), col("score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(msGot == msWant && msGot.nonEmpty)
+    // hybrid fusion
+    val hyGot = spark.sql("CALL graft_test.system.hybrid_topk(" +
+        s"'$sp', '$vp', 'quick dog', '$vecStr', 2, 5)")
+      .as[(Long, Double)].collect().toSeq
+    val hyWant = Hybrid.hybridTopK(spark, sidx, vidx,
+        Seq("quick", "dog"), qv, nProbe = 2, topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(hyGot == hyWant && hyGot.nonEmpty)
+  }
+
   test("CALL system.index_delete_where: predicate tombstones over " +
       "index metadata from SQL; un-stored columns fail loudly") {
     import graft.pipeline.{Search, VecIndex}

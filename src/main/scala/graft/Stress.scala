@@ -697,10 +697,21 @@ object Stress {
     require(tHyb <= 2.0 * (tLex + tSem),
       f"fused serve $tHyb%.1fs blew past 2x the standalone serves " +
         f"(${tLex + tSem}%.1fs combined)")
+    // dictionary-probe serves at the same corpus: the fuzzy/prefix
+    // expansion reads ONLY the tok column with the prefix pushed to
+    // the tok-sorted postings scan — this times that probe + the BM25
+    // serve over the expansion at nDocs scale
+    val (tFz, nFz) = timed(Search.searchFuzzy(spark, sIdx,
+      Seq("b123x"), maxDist = 1, topK = 10).count())
+    val (tPf, nPf) = timed(Search.searchPrefix(spark, sIdx,
+      Seq("b12"), topK = 10).count())
+    require(nFz == 10 && nPf == 10,
+      s"dictionary serves under-filled: fuzzy $nFz prefix $nPf")
     println(s"""{"metric":"stress_hybrid","docs":$nDocs,""" +
       s""""queries":$nQueries,"text_index_sec":$tText,""" +
       s""""vec_index_sec":$tVec,"lex_sec":$tLex,"sem_sec":$tSem,""" +
-      s""""hybrid_sec":$tHyb,"fused_rows":$nHyb}""")
+      s""""hybrid_sec":$tHyb,"fused_rows":$nHyb,""" +
+      s""""fuzzy_sec":$tFz,"prefix_sec":$tPf}""")
     spark.stop()
   }
 

@@ -514,7 +514,12 @@ object VecIndex {
       .withColumnRenamed("qid", "qtok")
     val w = Window.partitionBy("qid")
       .orderBy(desc("score"), asc(docCol))
-    cand.join(broadcast(qmap), "qtok")
+    // broadcast only while the token batch is small; a huge offline
+    // batch legitimately shuffles instead of capping at driver memory
+    val qmapSmall =
+      if (qmap.limit(1000001).count() <= 1000000L) broadcast(qmap)
+      else qmap
+    cand.join(qmapSmall, "qtok")
       .groupBy(col("qid"), col(docCol), col("qtok"))
       .agg(max(col("cos")).as("__mx"))
       .groupBy(col("qid"), col(docCol))

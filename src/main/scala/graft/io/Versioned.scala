@@ -413,16 +413,21 @@ object Versioned {
           s"$n: $c row" + (if (c == 1) "" else "s") }.mkString("; "))
       val mv = appendBatch(fixed, mainPath, qv, ingest)
       // drain EXCLUDES keys re-diverted ABOVE qv (possible only on the
-      // heal path): a tombstone kills every version below it, so
-      // draining such a key would swallow its NEWER dead letter
-      // unreplayed — leave it live; the next window replays the newer
-      // payload and its own drain kills both versions. (The torn
+      // heal path, where qv < head): a tombstone kills every version
+      // below it, so draining such a key would swallow its NEWER dead
+      // letter unreplayed — leave it live; the next window replays the
+      // newer payload and its own drain kills both versions. (The torn
       // attempt landed the OLD payload in main; the next window's
-      // newer append supersedes it.)
-      val newer = asOf(spark, qPath, latestVersion(spark, qPath))
-        .filter(col(VersionCol) > qv).select(col(keyCol)).distinct()
-      val dv = appendBatch(live.select(keyCol)
-        .join(newer, Seq(keyCol), "left_anti")
+      // newer append supersedes it.) The normal path (qv == head) has
+      // nothing above qv by construction — skip the log read.
+      val drainKeys =
+        if (qv >= latestVersion(spark, qPath)) live.select(keyCol)
+        else {
+          val newer = asOf(spark, qPath, latestVersion(spark, qPath))
+            .filter(col(VersionCol) > qv).select(col(keyCol)).distinct()
+          live.select(keyCol).join(newer, Seq(keyCol), "left_anti")
+        }
+      val dv = appendBatch(drainKeys
         .withColumn(DeletedCol, lit(true)), qPath, qv, ingest)
       (mv, dv)
     }
@@ -497,9 +502,12 @@ object Versioned {
     * sink's `_BATCH_<queryId>_<epoch>` markers: Structured Streaming
     * batch ids RESTART AT 0 for every new checkpoint location, so a
     * fresh ingest into a table an OLD ingest once fed would have its
-    * early batches read as replays and silently dropped. Pass the
-    * streaming query's (checkpoint-stable) id or the checkpoint path;
-    * the empty default keeps the single-ingest legacy shape — correct
+    * early batches read as replays and silently dropped. Pass a
+    * checkpoint-stable identifier — the streaming query's id, or a
+    * digest of the checkpoint path (the id rides in marker FILENAMES,
+    * so no slashes: hash the path, don't pass it raw — see
+    * [[ingestIdFor]]); the empty default keeps the single-ingest
+    * legacy shape — correct
     * only while ONE checkpoint feeds the table for its whole life
     * (maintained views use it this way: their "batch id" is the
     * monotone source version, never a restarting stream epoch).
@@ -513,6 +521,16 @@ object Versioned {
     * stale after [[BatchClaimStaleMs]] (taken over by the next
     * caller); a commit genuinely slower than that horizon is the one
     * documented caveat. */
+  /** A marker-safe, checkpoint-stable ingest id from an arbitrary
+    * path/identifier: `<prefix><md5-8>` — what callers should pass as
+    * [[appendBatch]]'s `ingestId` when the natural identity is a
+    * checkpoint PATH (markers are filenames; a raw path's slashes are
+    * rejected). */
+  def ingestIdFor(prefix: String, identity: String): String =
+    prefix + java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   def appendBatch(df: DataFrame, path: String, batchId: Long,
       ingestId: String = "", extraMarkers: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
@@ -2967,21 +2985,23 @@ object Versioned {
     // fail loudly so a successful return GUARANTEES protection.
     // (After the registration is visible, vacuum honors it — only the
     // pre-registration window needs the re-check.)
-    val still =
-      try vs.flatMap(v => filesOf(f, path, v))
-        .map(f.makeQualified).map(_.toString).toSet
-      catch {   // a whole version dir reclaimed mid-race
-        case _: java.io.FileNotFoundException => Set.empty[String]
+    // re-list PER VERSION: one reclaimed dir must not blank the whole
+    // set (the diagnostic would then claim everything was reclaimed)
+    val still = vs.flatMap { v =>
+      try filesOf(f, path, v).map(f.makeQualified).map(_.toString)
+      catch {   // this version dir reclaimed mid-race
+        case _: java.io.FileNotFoundException => Nil
       }
+    }.toSet
     val gone = refs.filterNot(still.contains)
     if (gone.nonEmpty) {
       releasePin(spark, path, name)
       throw new IllegalStateException(
         s"pinSnapshot($name): a concurrent vacuum reclaimed " +
           s"${gone.size} of ${refs.size} file(s) at version $version " +
-          s"of $path before the pin registered — pin released; " +
-          "re-plan the read at a retained version " +
-          s"(e.g. ${gone.head})")
+          s"of $path before the pin registered (missing: " +
+          s"${gone.head}) — pin released; re-plan the read at or " +
+          "above the new vacuum base")
     }
     refs.size
   }
@@ -3920,11 +3940,14 @@ object Versioned {
     * (`readStream.format("graft")`,
     * [[graft.sources.GraftDataSource]]) → per-version classification
     * ([[classifyChanges]]) → exactly-once fold into a Versioned SINK
-    * table ([[appendBatch]] keyed by the micro-batch id, so a
-    * replayed batch is recognized and skipped). Restart-safe end to
-    * end: the source's checkpointed COMMIT-VERSION offsets resume at
-    * the first undelivered version, and the sink's batch markers
-    * absorb re-delivery. The sink accumulates `(key, change_type,
+    * table ([[appendBatch]] keyed by the micro-batch id UNDER a
+    * checkpoint-stable ingest scope, so a replayed batch is
+    * recognized and skipped while a REBUILT stream — fresh checkpoint
+    * location, epoch ids restarting at 0 — feeds the same sink
+    * without its first batches being mistaken for the old stream's).
+    * Restart-safe end to end: the source's checkpointed
+    * COMMIT-VERSION offsets resume at the first undelivered version,
+    * and the sink's batch markers absorb re-delivery. The sink accumulates `(key, change_type,
     * change_version)` rows — the downstream-consumable change FEED
     * (read its log view), not a resolved state.
     *
@@ -3948,6 +3971,15 @@ object Versioned {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(maxVersionsPerTrigger >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    // sink markers scoped by a CHECKPOINT-STABLE ingest id: epoch ids
+    // restart at 0 for every new checkpoint location, so without the
+    // scope a stream recreated under a fresh checkpoint (same sink)
+    // would read its early batches as replays of the OLD stream's
+    // markers and silently drop new source versions
+    val ckptPath = new Path(checkpointDir)
+    val ingest = ingestIdFor("cdc",
+      ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(ckptPath).toString)
     val rd = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     maxBytesPerTrigger.fold(rd)(b =>
@@ -3956,7 +3988,8 @@ object Versioned {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(classifyChanges(b, path, keyCol), sinkPath, id)
+        appendBatch(classifyChanges(b, path, keyCol), sinkPath, id,
+          ingest)
         ()
       }
       .start()

@@ -736,6 +736,8 @@ object Search {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     import spark.implicits._
+    // unresolvable filter fails at analysis time, before any job runs
+    val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
     val (nDocs, sumDlen) = stats(spark, idx)
     val avgdl = sumDlen.toDouble / nDocs
     val buckets = terms.toDF("tok")
@@ -749,11 +751,9 @@ object Search {
     // and top-k stays FULL among matching docs (never post-filter an
     // unfiltered top-k; that silently under-fills)
     val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val post = filter match {
+    val post = fdocs match {
       case None => postAll
-      case Some(flt) =>
-        postAll.join(filteredDocIds(spark, idx, flt), Seq("id"),
-          "left_semi")
+      case Some(ids) => postAll.join(ids, Seq("id"), "left_semi")
     }
     post.join(dfPerTerm, "tok")
       .withColumn("idf",
@@ -883,8 +883,21 @@ object Search {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(topK > 0, s"topK $topK must be > 0")
     import spark.implicits._
+    // a filter that can't resolve fails HERE, at analysis time,
+    // before any of the batch's eager work below runs (the fallback
+    // path in hybridTopKBatch relies on the refusal being cheap)
+    val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
     val (nDocs, sumDlen) = stats(spark, idx)
     val avgdl = sumDlen.toDouble / nDocs
+    // the single-query face refuses an empty term list loudly; the
+    // batch face must not silently DROP such a query instead (explode
+    // would) — same contract, batch-wide
+    require(queries
+        .filter(col("terms").isNull || size(col("terms")) === 0)
+        .isEmpty,
+      "searchBm25Batch: a query has a null/empty term list — the " +
+        "single-query contract refuses empty term lists, and a batch " +
+        "must not silently drop the query")
     // duplicate terms inside one query contribute once (the Seq face
     // dedups via its isin filter — same rule here)
     val qt = queries
@@ -908,11 +921,9 @@ object Search {
       .filter(col("tb").isin(buckets: _*))
       .join(small(vocab), Seq("tok"), "left_semi")
     val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val post = filter match {
+    val post = fdocs match {
       case None => postAll
-      case Some(flt) =>
-        postAll.join(filteredDocIds(spark, idx, flt), Seq("id"),
-          "left_semi")
+      case Some(ids) => postAll.join(ids, Seq("id"), "left_semi")
     }
     val perTok = post.join(dfPerTerm, "tok")
       .withColumn("idf",

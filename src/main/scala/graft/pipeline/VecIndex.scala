@@ -507,9 +507,12 @@ object VecIndex {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nChunks > 0 && k > 0,
       s"nChunks $nChunks and k $k must be > 0")
-    val qmap = queries.select("qid", "qtok")
+    // pin the (possibly expensive) query lineage ONCE: the probe
+    // input, the size gate, and the qid fan-out all read it
+    val q = queries.localCheckpoint()
+    val qmap = q.select("qid", "qtok")
     val cand = ivfTopK(spark,
-        queries.select(col("qtok").as("id"), col("vec")), idx,
+        q.select(col("qtok").as("id"), col("vec")), idx,
         nProbe, nChunks, filter, carry = Seq(docCol))
       .withColumnRenamed("qid", "qtok")
     val w = Window.partitionBy("qid")
@@ -517,7 +520,7 @@ object VecIndex {
     // broadcast only while the token batch is small; a huge offline
     // batch legitimately shuffles instead of capping at driver memory
     val qmapSmall =
-      if (qmap.limit(1000001).count() <= 1000000L) broadcast(qmap)
+      if (qmap.count() <= 1000000L) broadcast(qmap)
       else qmap
     cand.join(qmapSmall, "qtok")
       .groupBy(col("qid"), col(docCol), col("qtok"))
@@ -1150,8 +1153,10 @@ object VecIndex {
       filter: Option[org.apache.spark.sql.Column] = None,
       carry: Seq[String] = Nil): DataFrame = {
     require(idx.hasIvf, s"index at ${idx.path} has no IVF codebook")
-    require(!carry.exists(Set("qid", "nid", "cos")),
-      s"carry columns collide with the serve output: $carry")
+    require(!carry.exists(Set("qid", "nid", "cos", "rk", "id", "cid",
+        "vec", "nrm", "cb", "qvec", "qnrm", "gen")),
+      s"carry columns collide with the serve's output/working " +
+        s"columns: $carry")
     // one probe pass per codebook-version group (see binaryTopKProbed)
     val scored = cbvGroups(spark, idx).map { case (v, gens) =>
       val cb = Similarity.collectCodebook(

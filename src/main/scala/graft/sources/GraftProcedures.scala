@@ -654,7 +654,14 @@ private[sources] object GraftProcedures {
           .select(org.apache.spark.sql.functions
             .col(str(row, 2, "doc_col")).cast("long"),
             org.apache.spark.sql.functions.col("score"))
-          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+          .collect().map { r =>
+            require(!r.isNullAt(0), "ann_maxsim: doc_col '" +
+              str(row, 2, "doc_col") + "' is not an integral column " +
+              "(its values do not cast to BIGINT) — this SQL face " +
+              "returns (doc BIGINT, score); use the Scala face for " +
+              "non-numeric doc ids")
+            InternalRow(r.getLong(0), r.getDouble(1))
+          }
       }),
     new Proc("hybrid_topk",
       "hybrid retrieval from SQL: BM25 top-n_lex for the query terms " +

@@ -117,13 +117,20 @@ class ChangesStreamSpec extends SparkSpec {
     // mid-backfill KILL: the same pipe, dying AFTER epoch 0's append
     // landed but BEFORE the engine committed the epoch — the restart
     // re-delivers batch 0 and the sink's _BATCH_ marker absorbs it
+    // the manual pipe must commit under the SAME checkpoint-scoped
+    // ingest id changesStreamTo derives, or the resumed pipe would
+    // not recognize the killed epoch's marker
+    val ckptP = new org.apache.hadoop.fs.Path(ckpt2)
+    val ingest = Versioned.ingestIdFor("cdc",
+      ckptP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(ckptP).toString)
     val q = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", "2").load(src)
       .writeStream.option("checkpointLocation", ckpt2)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
         Versioned.appendBatch(
-          Versioned.classifyChanges(b, src, "k"), sink2, id)
+          Versioned.classifyChanges(b, src, "k"), sink2, id, ingest)
         if (id == 0) throw new RuntimeException("killed mid-backfill")
         ()
       }.start()
@@ -138,6 +145,19 @@ class ChangesStreamSpec extends SparkSpec {
       "post-restart feed must equal the unkilled run's")
     assert(spark.read.parquet(s"$sink2/v=*").count() == feed(sink).size,
       "the replayed epoch must not duplicate rows")
+    // REBUILT stream (checkpoint lost, fresh location): epoch ids
+    // restart at 0, but the fresh checkpoint carries a fresh ingest
+    // scope — new source versions are never mistaken for the OLD
+    // stream's replays and swallowed (the standard fresh-checkpoint
+    // contract: everything re-delivers instead)
+    Versioned.append(Seq((9L, "z", 90L)).toDF("k", "s", "n"), src) // v6
+    val ckpt3 = "target/tmp/cdcstream-bf-ckpt3"
+    rmDir(ckpt3)
+    Versioned.changesStreamTo(spark, src, "k", sink, ckpt3,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(feed(sink).contains((9L, "insert", 6)),
+      "a rebuilt stream must deliver new source versions, not " +
+        "swallow them as the old stream's replays")
   }
 
   test("CDC vacuum contract: fromV = 0 is the empty anchor even after " +

@@ -3291,6 +3291,129 @@ object PipelineQueries {
        |SELECT qid, doc, score FROM r WHERE rk <= 3
        |ORDER BY qid, doc""".stripMargin
 
+  /** OFFLINE RETRIEVAL EVAL ([[Eval.rankMetrics]]): the probed IVF
+    * serve (nProbe=2, top-10) graded per query against EXACT-cosine
+    * top-3 qrels (graded rel 3/2/1 by true rank) — recall@10,
+    * reciprocal rank, nDCG@10 per qid, the measurement loop a serving
+    * stack runs per index generation. The oracle replays BOTH sides
+    * (probed candidates, exact truth) and every metric formula. */
+  def evalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("id") < 20)
+    val results = VecIndex.ivfTopK(spark, qs, vIdx, 2, 10)
+      .select(col("qid"), col("nid").as("id"), col("cos").as("score"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    val qrels = Similarity.cosineTopK(qs, emb, 3)
+      .withColumn("rel", lit(4) - row_number().over(wt))
+      .select(col("qid"), col("nid").as("id"), col("rel"))
+    Eval.rankMetrics(results, qrels, 10).orderBy("qid")
+  }
+
+  private val evalTruthCte: String =
+    """tu AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |tn AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM tu GROUP BY 1),
+      |td AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id, SUM(q.v * c.v) AS dot
+      |  FROM tu q JOIN tu c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20
+      |  GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT qid, id, ROUND(dot / (nq.nrm * nc.nrm), 5) AS tcos
+      |  FROM td JOIN tn nq ON qid = nq.vec_id
+      |    JOIN tn nc ON id = nc.vec_id),
+      |truth AS (
+      |  SELECT qid, id, 4 - rk AS rel FROM (
+      |    SELECT qid, id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY tcos DESC, id)
+      |        AS rk
+      |    FROM ts) WHERE rk <= 3),
+      |ranked AS (
+      |  SELECT qid, nid AS id, rk AS rank FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+      |        AS rk
+      |    FROM scored WHERE qid < 20) WHERE rk <= 10)""".stripMargin
+
+  val evalRetrievalSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |$evalTruthCte,
+       |hits AS (
+       |  SELECT ranked.qid, ranked.rank,
+       |    COALESCE(truth.rel, 0) AS rel
+       |  FROM ranked LEFT JOIN truth
+       |    ON ranked.qid = truth.qid AND ranked.id = truth.id),
+       |perq AS (
+       |  SELECT qid,
+       |    SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+       |    COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0) AS frst,
+       |    SUM(rel / (LN(rank + 1.0) / LN(2.0))) AS dcg
+       |  FROM hits GROUP BY 1),
+       |ideal AS (
+       |  SELECT qid, COUNT(*) AS nrel,
+       |    SUM(CASE WHEN irk <= 10
+       |      THEN rel / (LN(irk + 1.0) / LN(2.0)) ELSE 0 END) AS idcg
+       |  FROM (
+       |    SELECT qid, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id)
+       |        AS irk
+       |    FROM truth) GROUP BY 1)
+       |SELECT perq.qid,
+       |  ROUND(CAST(hits AS DOUBLE) / nrel, 6) AS recall_k,
+       |  ROUND(CASE WHEN frst > 0 THEN 1.0 / frst ELSE 0 END, 6) AS rr,
+       |  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+       |    AS ndcg_k
+       |FROM perq JOIN ideal ON perq.qid = ideal.qid
+       |ORDER BY perq.qid""".stripMargin
+
+  /** HARD-NEGATIVE mining ([[Eval.hardNegatives]]): per query, the 5
+    * best-ranked probed-serve candidates that are NOT among the
+    * exact-cosine top-3 truth — the contrastive pairs a dense
+    * retriever mines from its own index. */
+  def evalNegatives(spark: SparkSession, dir: String): DataFrame = {
+    annIvfGen(spark, dir).count()
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("id") < 20)
+    val results = VecIndex.ivfTopK(spark, qs, vIdx, 2, 10)
+      .select(col("qid"), col("nid").as("id"), col("cos").as("score"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    val qrels = Similarity.cosineTopK(qs, emb, 3)
+      .withColumn("rel", lit(4) - row_number().over(wt))
+      .select(col("qid"), col("nid").as("id"), col("rel"))
+    Eval.hardNegatives(results, qrels, 5).orderBy("qid", "neg_rank")
+  }
+
+  val evalNegativesSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |$evalTruthCte,
+       |negs AS (
+       |  SELECT s2.qid, s2.nid AS id, s2.cos
+       |  FROM scored s2 LEFT JOIN truth
+       |    ON s2.qid = truth.qid AND s2.nid = truth.id
+       |  WHERE s2.qid < 20 AND truth.id IS NULL),
+       |rankedneg AS (
+       |  SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+       |      AS neg_rank
+       |  FROM negs)
+       |SELECT qid, id, neg_rank FROM rankedneg WHERE neg_rank <= 5
+       |ORDER BY qid, neg_rank""".stripMargin
+
   /** FULL ColBERT late-interaction serve
     * ([[VecIndex.maxSimTopKMulti]]): each query is TWO token
     * embeddings, docs are 4-chunk groups (`doc = vec_id div 4`), and
@@ -4636,6 +4759,8 @@ object PipelineQueries {
     "q_hybrid_batch" -> hybridBatch _,
     "q_ann_maxsim" -> annMaxsim _,
     "q_ann_colbert" -> annColbert _,
+    "q_eval_retrieval" -> evalRetrieval _,
+    "q_eval_negatives" -> evalNegatives _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_search_prefix" -> searchPrefix _,
@@ -4745,6 +4870,8 @@ object PipelineQueries {
     "q_hybrid_batch" -> hybridBatchSql,
     "q_ann_maxsim" -> annMaxsimSql,
     "q_ann_colbert" -> annColbertSql,
+    "q_eval_retrieval" -> evalRetrievalSql,
+    "q_eval_negatives" -> evalNegativesSql,
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_search_prefix" -> searchPrefixSql,

@@ -3695,6 +3695,92 @@ object PipelineQueries {
        |ORDER BY qid, id""".stripMargin
   }
 
+  /** FILTERED batched hybrid ([[Hybrid.hybridTopKBatch]] with a
+    * metadata predicate): the three-query batch with `lang='en'`
+    * bound to BOTH sides below each retriever's top-k — the lexical
+    * side takes the full-k filtered postings path (the text index
+    * stores `lang` in its docs sidecar) and the semantic side the
+    * probed filtered scan. The oracle replays candidate-restricted
+    * BM25 (corpus constants unfiltered — Lucene filtered-query
+    * semantics), candidate-restricted IVF, and per-qid RRF. */
+  def hybridBatchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    hybridFiltered(spark, dir).count() // ensure the lang-tagged index
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-hybridflt-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    import spark.implicits._
+    val termSets = Seq(
+      (0L, Seq("window", "merge", "vector")),
+      (1L, Seq("window", "merge")),
+      (2L, Seq("merge", "vector"))).toDF("qid", "terms")
+    val queries = termSets.join(emb.withColumnRenamed("id", "qid"), "qid")
+    Hybrid.hybridTopKBatch(spark, sIdx, vIdx, queries, nProbe = 2,
+        nLex = 20, nSem = 20, k0 = 60, topK = 10,
+        filter = Some(col("lang") === "en"))
+      .orderBy("qid", "id")
+  }
+
+  val hybridBatchFilteredSql: String = {
+    s"""${ivfScoredCteFor("c.vec_id < 8",
+        "a.id IN (SELECT doc_id FROM documents WHERE lang = 'en')")},
+       |qt AS (
+       |  SELECT CAST(q AS BIGINT) AS qid, tok FROM (VALUES
+       |    (0, 'window'), (0, 'merge'), (0, 'vector'),
+       |    (1, 'window'), (1, 'merge'),
+       |    (2, 'merge'), (2, 'vector')) v(q, tok)),
+       |sem AS (
+       |  SELECT qid, nid AS id, rk AS r FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |        AS rk
+       |    FROM scored WHERE qid IN (0, 1, 2)) WHERE rk <= 20),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT qt.qid, f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok) JOIN qt USING (tok), stats
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, id, rk AS r FROM (
+       |    SELECT bsc.qid, bsc.id,
+       |      ROW_NUMBER() OVER (PARTITION BY bsc.qid
+       |        ORDER BY score DESC, bsc.id) AS rk
+       |    FROM bsc JOIN documents doc ON bsc.id = doc.doc_id
+       |    WHERE doc.lang = 'en') WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, sem.qid) AS qid,
+       |    COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem
+       |    ON l.qid = sem.qid AND l.id = sem.id),
+       |topf AS (
+       |  SELECT qid, id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+       |      AS rk
+       |  FROM fused)
+       |SELECT qid, id, rrf FROM topf WHERE rk <= 10
+       |ORDER BY qid, id""".stripMargin
+  }
+
   /** IVF radius search: everything with cosine >= 0.3 inside the
     * probed clusters — [[Similarity.ivfRange]], the threshold-driven
     * retrieval shape next to top-k. */
@@ -4757,6 +4843,7 @@ object PipelineQueries {
     "q_hybrid_search" -> hybridSearch _,
     "q_hybrid_filtered" -> hybridFiltered _,
     "q_hybrid_batch" -> hybridBatch _,
+    "q_hybrid_batch_filtered" -> hybridBatchFiltered _,
     "q_ann_maxsim" -> annMaxsim _,
     "q_ann_colbert" -> annColbert _,
     "q_eval_retrieval" -> evalRetrieval _,
@@ -4868,6 +4955,7 @@ object PipelineQueries {
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_filtered" -> hybridFilteredSql,
     "q_hybrid_batch" -> hybridBatchSql,
+    "q_hybrid_batch_filtered" -> hybridBatchFilteredSql,
     "q_ann_maxsim" -> annMaxsimSql,
     "q_ann_colbert" -> annColbertSql,
     "q_eval_retrieval" -> evalRetrievalSql,

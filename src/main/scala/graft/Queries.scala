@@ -1183,6 +1183,35 @@ object Queries {
        |  COALESCE(source, 'unknown') AS source
        |FROM r WHERE rk = 1 AND NOT del ORDER BY doc_id""".stripMargin
 
+  /** STREAMING REPLICATION ([[graft.io.Versioned.replicateStreamTo]]):
+    * the demo table streamed into a REPLICA through the
+    * admission-controlled V2 source (2 versions per epoch), each
+    * epoch folded to one latest-per-key commit — the replica's
+    * CURRENT must equal the source's resolve exactly (the oracle
+    * re-derives it from the log script, so a fold bug or a dropped
+    * epoch hash-mismatches). */
+  def tableReplicate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val path = buildVersionedDemo(spark, dir, "repl")
+    val dst = "target/tmp/vtable-replica-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fixtureBuilt.getOrElseUpdate(dst, {
+      Versioned.drop(spark, dst)
+      val ckpt = dst + "-ckpt"
+      val f = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      Versioned.replicateStreamTo(spark, path, "doc_id", dst, ckpt,
+        maxVersionsPerTrigger = 2).awaitTermination()
+      ()
+    })
+    Versioned.current(spark, dst, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-indexed POINT lookups over the versioned table
     * ([[graft.io.Versioned.bloomIndex]] + `currentPoint`): five keys —
     * plain, upserted, two deleted (resolve to nothing), one absent —
@@ -3207,6 +3236,7 @@ object Queries {
     "q_table_changes" -> tableChanges _,
     "q_table_changes_sql" -> tableChangesSqlFace _,
     "q_table_changes_stream" -> tableChangesStream _,
+    "q_table_replicate" -> tableReplicate _,
     "q_table_changes_auto" -> tableChangesAuto _,
     "q_table_changes_inc" -> tableChangesInc _,
     "q_table_merge" -> tableMerge _,
@@ -3289,6 +3319,7 @@ object Queries {
     "q_table_changes" -> tableChangesSql,
     "q_table_changes_sql" -> tableChangesSql,
     "q_table_changes_stream" -> tableChangesStreamSql,
+    "q_table_replicate" -> tableCurrentSql,
     "q_table_changes_auto" -> tableChangesAutoSql,
     "q_table_changes_inc" -> tableChangesSql,
     "q_table_merge" -> tableMergeSql,

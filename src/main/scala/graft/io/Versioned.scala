@@ -3962,6 +3962,64 @@ object Versioned {
     * on a 100 TB table's history). The fold is admission-invariant:
     * versions are classified one at a time regardless of how they
     * were batched, so the accumulated feed is identical for any cap. */
+  /** STREAMING TABLE REPLICATION — the cross-region replica pipe:
+    * stream the source's committed versions through the
+    * admission-controlled V2 source and FOLD each micro-batch into a
+    * destination Versioned table, so `current(dst)` tracks
+    * `current(src)` version by version. The fold is the source's own
+    * resolve rule applied within the batch (latest `(__v, __seq)` per
+    * key wins; tombstones replicate as tombstones), so one bounded
+    * replica commit per epoch carries at most one row per touched
+    * key — batch-size-invariant state, exactly-once under the same
+    * checkpoint-scoped markers as [[changesStreamTo]].
+    *
+    * A VACUUMED source bootstraps correctly: the fresh stream's
+    * initial batch delivers the base checkpoint (the only copy of the
+    * reclaimed prefix) and the fold treats its rows like any others.
+    * MERGE commits refuse loudly mid-stream (a column overlay has no
+    * self-contained row state to replicate — compact the source past
+    * the merge first); the schema is fixed at stream start (restart
+    * after schema-evolving commits, the stream contract). The replica
+    * is an ordinary Versioned table: key-resolved reads, its own
+    * compaction/vacuum cadence, further downstream CDC — everything
+    * composes. */
+  def replicateStreamTo(spark: SparkSession, path: String,
+      keyCol: String, dstPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Int = 16,
+      maxBytesPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    val ckptPath = new Path(checkpointDir)
+    val ingest = ingestIdFor("repl",
+      ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(ckptPath).toString)
+    val rd = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    maxBytesPerTrigger.fold(rd)(b =>
+        rd.option("maxBytesPerTrigger", b.toString))
+      .load(path).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        require(!b.columns.contains(MergeCol) ||
+          b.filter(coalesce(col(MergeCol), lit(false))).isEmpty,
+          s"replicateStreamTo: MERGE commits in the stream from $path " +
+            "carry column overlays with no self-contained row state — " +
+            "compact the source past the merge, then restart")
+        val w = Window.partitionBy(keyCol).orderBy(
+          col(VersionCol).desc, col(SeqCol).desc_nulls_last)
+        val folded = b.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .drop("__rk", VersionCol, SeqCol, MergeCol, CkptCol)
+        appendBatch(folded, dstPath, id, ingest)
+        ()
+      }
+      .start()
+  }
+
   def changesStreamTo(spark: SparkSession, path: String, keyCol: String,
       sinkPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

@@ -160,6 +160,76 @@ class ChangesStreamSpec extends SparkSpec {
         "swallow them as the old stream's replays")
   }
 
+  test("streaming replication: current(dst) tracks current(src) " +
+      "across capped epochs and restarts; a vacuumed source " +
+      "bootstraps from its base checkpoint; MERGE refuses mid-stream") {
+    val src = "target/tmp/repl-src"
+    val dst = "target/tmp/repl-dst"
+    val dst2 = "target/tmp/repl-dst2"
+    val ckpt = "target/tmp/repl-ckpt"
+    val ckpt2 = "target/tmp/repl-ckpt2"
+    Seq(src, dst, dst2, ckpt, ckpt2).foreach(rmDir)
+    def cur(p: String): Set[(Long, String, Long)] =
+      Versioned.current(spark, p, "k").select("k", "s", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).toSet
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "n"), src)                            // v1
+    Versioned.append(Seq((2L, "b", 25L)).toDF("k", "s", "n"), src) // v2
+    Versioned.delete(Seq(3L).toDF("k"), src)                  // v3
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(cur(dst) == cur(src) &&
+      cur(dst) == Set((1L, "a", 10L), (2L, "b", 25L)))
+    // capped epochs: one replica commit per epoch, each folded to at
+    // most one row per key (v1+v2 fold key 2 to its newest state)
+    val vs = Versioned.versions(spark, dst)
+    assert(vs.size == 2, s"expected 2 epochs, got $vs")
+    assert(spark.read.parquet(s"$dst/v=${vs.head}")
+      .groupBy("k").count().filter(col("count") > 1).isEmpty,
+      "an epoch's fold must carry at most one row per key")
+    // restart: resumes at the first undelivered version
+    Versioned.append(Seq((4L, "d", 40L)).toDF("k", "s", "n"), src) // v4
+    Versioned.delete(Seq(1L).toDF("k"), src)                  // v5
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(cur(dst) == cur(src))
+    // idle re-run: nothing new lands
+    val nV = Versioned.versions(spark, dst).size
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(Versioned.versions(spark, dst).size == nV)
+    // VACUUMED source: a fresh replica bootstraps from the base
+    // checkpoint (the only copy of the reclaimed prefix)
+    Versioned.compact(spark, src, "k")
+    Versioned.vacuum(spark, src, 0)
+    Versioned.replicateStreamTo(spark, src, "k", dst2, ckpt2,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(cur(dst2) == cur(src))
+    // the PRE-vacuum replica's checkpoint fell behind the horizon:
+    // the resume refuses loudly (the stream contract), never a
+    // silent re-anchor
+    val ev = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+        maxVersionsPerTrigger = 2).awaitTermination()
+    }
+    assert(String.valueOf(ev.getMessage).contains("vacuum horizon") ||
+      ev.getCause != null && String.valueOf(ev.getCause.getMessage)
+        .contains("vacuum horizon"))
+    // MERGE refuses loudly mid-stream (on the up-to-date replica)
+    Versioned.merge(Seq((2L, 99L)).toDF("k", "n"), src)
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      Versioned.replicateStreamTo(spark, src, "k", dst2, ckpt2,
+        maxVersionsPerTrigger = 2).awaitTermination()
+    }
+    assert(e.getMessage.contains("MERGE") ||
+      e.getCause != null && String.valueOf(e.getCause.getMessage)
+        .contains("MERGE"))
+  }
+
   test("CDC vacuum contract: fromV = 0 is the empty anchor even after " +
       "a vacuum, but a positive vacuumed-away fromV fails LOUDLY on " +
       "every face — never a silent all-inserts re-anchor") {

@@ -25,7 +25,8 @@ object Stress {
       "eventskew", "incdedup", "vtable", "search", "sketch", "graph",
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
-      "dmlrace", "maintain", "cdc", "retrainpolicy", "hybrid")
+      "dmlrace", "maintain", "cdc", "retrainpolicy", "hybrid",
+      "replicate")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -65,6 +66,11 @@ object Stress {
       val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 1000
       hybridStress(spark, nd, nq, cpus.toInt); return
+    }
+    if (mode == "replicate") {
+      val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
+      val nd = if (numArgs.length > 1) numArgs(1).toInt else 8
+      replicateStress(spark, nr, nd, cpus.toInt); return
     }
     if (mode == "retrainpolicy") {
       val nv = numArgs.headOption.map(_.toLong).getOrElse(200000L)
@@ -600,6 +606,61 @@ object Stress {
       f""""recall1":${recall(p1)}%.4f,"recall4":${recall(p4)}%.4f,""" +
       f""""recall16":${recall(p16)}%.4f,""" +
       s""""retrain_sec":$tRoll,"probed4_postroll_sec":$tP4b}""")
+    spark.stop()
+  }
+
+  /** STREAMING-REPLICATION stress: `replicate <rows> [<deltas>]`
+    * (default 5M × 8). Bulk-load a source table, bootstrap a replica
+    * through [[graft.io.Versioned.replicateStreamTo]], commit
+    * `deltas` 1%-sized upsert commits plus one delete commit, then
+    * drain them incrementally — the claim under test is that the
+    * incremental drain costs the DELTAS (each epoch folds ≤ cap
+    * versions of ~1% rows), not the table: it must beat rebuilding
+    * the replica from `current(src)` (the naive full copy, timed as
+    * the reference) while `current(replica)` stays exactly equal to
+    * `current(src)` end to end. */
+  private def replicateStress(spark: SparkSession, nRows: Long,
+      nDeltas: Int, cpus: Int): Unit = {
+    import graft.io.Versioned
+    val src = "target/tmp/stress-repl-src"
+    val dst = "target/tmp/stress-repl-dst"
+    val full = "target/tmp/stress-repl-full"
+    val ckpt = "target/tmp/stress-repl-ckpt"
+    Seq(src, dst, full, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Versioned.append(spark.range(nRows).repartition(cpus * 2)
+      .select(col("id").as("k"), (col("id") * 2).as("x")), src)
+    val t0 = System.nanoTime()
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+      maxVersionsPerTrigger = 4).awaitTermination()
+    val tBoot = (System.nanoTime() - t0) / 1e9
+    val deltaN = math.max(1L, nRows / 100)
+    for (i <- 1 to nDeltas)
+      Versioned.append(spark.range(deltaN).repartition(cpus)
+        .select(((col("id") * 101 + i * 7919) % nRows).as("k"),
+          (col("id") + i * 1000000L).as("x"))
+        .groupBy("k").agg(max("x").as("x")), src)
+    Versioned.delete(spark.range(deltaN / 2)
+      .select(((col("id") * 7) % nRows).as("k")).distinct(), src)
+    val t1 = System.nanoTime()
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt)
+      .awaitTermination() // default cap 16: the 9 commits drain as 1 epoch
+    val tInc = (System.nanoTime() - t1) / 1e9
+    // reference: rebuild the replica from the source's resolved head
+    val t2 = System.nanoTime()
+    Versioned.append(Versioned.current(spark, src, "k"), full)
+    val tFull = (System.nanoTime() - t2) / 1e9
+    val nSrc = Versioned.current(spark, src, "k").count()
+    val nDst = Versioned.current(spark, dst, "k").count()
+    require(nSrc == nDst,
+      s"replica diverged: src $nSrc rows, replica $nDst")
+    require(tInc < tFull,
+      f"incremental drain ($tInc%.1fs) must beat the full copy " +
+        f"($tFull%.1fs)")
+    println(s"""{"metric":"stress_replicate","rows":$nRows,""" +
+      s""""deltas":$nDeltas,"bootstrap_sec":$tBoot,""" +
+      s""""incremental_sec":$tInc,"fullcopy_sec":$tFull,""" +
+      s""""current_rows":$nSrc}""")
     spark.stop()
   }
 

@@ -3297,7 +3297,11 @@ object PipelineQueries {
     * reciprocal rank, nDCG@10 per qid, the measurement loop a serving
     * stack runs per index generation. The oracle replays BOTH sides
     * (probed candidates, exact truth) and every metric formula. */
-  def evalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared eval fixture: (probed-serve results, exact-cosine graded
+    * qrels) — used by BOTH eval oracle rows so the two can never
+    * silently grade different setups. */
+  private def evalServe(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     annIvfGen(spark, dir).count() // ensure the shared IVF fixture
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
@@ -3313,6 +3317,11 @@ object PipelineQueries {
     val qrels = Similarity.cosineTopK(qs, emb, 3)
       .withColumn("rel", lit(4) - row_number().over(wt))
       .select(col("qid"), col("nid").as("id"), col("rel"))
+    (results, qrels)
+  }
+
+  def evalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val (results, qrels) = evalServe(spark, dir)
     Eval.rankMetrics(results, qrels, 10).orderBy("qid")
   }
 
@@ -3367,34 +3376,21 @@ object PipelineQueries {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id)
        |        AS irk
        |    FROM truth) GROUP BY 1)
-       |SELECT perq.qid,
-       |  ROUND(CAST(hits AS DOUBLE) / nrel, 6) AS recall_k,
-       |  ROUND(CASE WHEN frst > 0 THEN 1.0 / frst ELSE 0 END, 6) AS rr,
-       |  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
-       |    AS ndcg_k
-       |FROM perq JOIN ideal ON perq.qid = ideal.qid
-       |ORDER BY perq.qid""".stripMargin
+       |SELECT COALESCE(perq.qid, ideal.qid) AS qid,
+       |  ROUND(COALESCE(CAST(hits AS DOUBLE) / nrel, 0), 6) AS recall_k,
+       |  ROUND(CASE WHEN COALESCE(frst, 0) > 0 THEN 1.0 / frst
+       |    ELSE 0 END, 6) AS rr,
+       |  ROUND(CASE WHEN COALESCE(idcg, 0) > 0
+       |    THEN COALESCE(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg_k
+       |FROM perq FULL OUTER JOIN ideal ON perq.qid = ideal.qid
+       |ORDER BY COALESCE(perq.qid, ideal.qid)""".stripMargin
 
   /** HARD-NEGATIVE mining ([[Eval.hardNegatives]]): per query, the 5
     * best-ranked probed-serve candidates that are NOT among the
     * exact-cosine top-3 truth — the contrastive pairs a dense
     * retriever mines from its own index. */
   def evalNegatives(spark: SparkSession, dir: String): DataFrame = {
-    annIvfGen(spark, dir).count()
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val qs = emb.filter(col("id") < 20)
-    val results = VecIndex.ivfTopK(spark, qs, vIdx, 2, 10)
-      .select(col("qid"), col("nid").as("id"), col("cos").as("score"))
-    val wt = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    val qrels = Similarity.cosineTopK(qs, emb, 3)
-      .withColumn("rel", lit(4) - row_number().over(wt))
-      .select(col("qid"), col("nid").as("id"), col("rel"))
+    val (results, qrels) = evalServe(spark, dir)
     Eval.hardNegatives(results, qrels, 5).orderBy("qid", "neg_rank")
   }
 

@@ -650,10 +650,13 @@ object Stress {
     val t2 = System.nanoTime()
     Versioned.append(Versioned.current(spark, src, "k"), full)
     val tFull = (System.nanoTime() - t2) / 1e9
-    val nSrc = Versioned.current(spark, src, "k").count()
-    val nDst = Versioned.current(spark, dst, "k").count()
-    require(nSrc == nDst,
-      s"replica diverged: src $nSrc rows, replica $nDst")
+    val curSrc = Versioned.current(spark, src, "k").select("k", "x")
+    val curDst = Versioned.current(spark, dst, "k").select("k", "x")
+    val nSrc = curSrc.count()
+    require(nSrc == curDst.count() &&
+        curSrc.exceptAll(curDst).isEmpty &&
+        curDst.exceptAll(curSrc).isEmpty,
+      "replica CONTENT diverged from the source")
     require(tInc < tFull,
       f"incremental drain ($tInc%.1fs) must beat the full copy " +
         f"($tFull%.1fs)")

@@ -3977,8 +3977,11 @@ object Versioned {
     * initial batch delivers the base checkpoint (the only copy of the
     * reclaimed prefix) and the fold treats its rows like any others.
     * MERGE commits refuse loudly mid-stream (a column overlay has no
-    * self-contained row state to replicate — compact the source past
-    * the merge first); the schema is fixed at stream start (restart
+    * self-contained row state to replicate — compact AND vacuum the
+    * source past the merge, then bootstrap a fresh replica from the
+    * base checkpoint; compact alone still leaves the raw merge
+    * version in the stream's plan); the schema is fixed at stream
+    * start (restart
     * after schema-evolving commits, the stream contract). The replica
     * is an ordinary Versioned table: key-resolved reads, its own
     * compaction/vacuum cadence, further downstream CDC — everything
@@ -4004,14 +4007,27 @@ object Versioned {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        require(!b.columns.contains(MergeCol) ||
-          b.filter(coalesce(col(MergeCol), lit(false))).isEmpty,
-          s"replicateStreamTo: MERGE commits in the stream from $path " +
-            "carry column overlays with no self-contained row state — " +
-            "compact the source past the merge, then restart")
+        // MERGE guard from METADATA first (free when the source has
+        // no merge commits — the common case); only a merge-bearing
+        // source pays a column-pruned distinct over the batch
+        val mv = mergeVersions(spark, path).toSet
+        if (mv.nonEmpty) {
+          val hit = b.select(col(VersionCol).cast("int")).distinct()
+            .collect().map(_.getInt(0)).exists(mv.contains)
+          require(!hit,
+            s"replicateStreamTo: a MERGE commit in the stream from " +
+              s"$path carries a column overlay with no self-contained " +
+              "row state — compact AND vacuum the source past the " +
+              "merge (the base checkpoint then bootstraps a fresh " +
+              "replica; compact alone still re-delivers the raw " +
+              "merge version), then restart from a fresh checkpoint")
+        }
+        // legacy dirs may predate __seq — normalize like resolve()
+        val bs = if (b.columns.contains(SeqCol)) b
+          else b.withColumn(SeqCol, lit(null).cast("long"))
         val w = Window.partitionBy(keyCol).orderBy(
           col(VersionCol).desc, col(SeqCol).desc_nulls_last)
-        val folded = b.withColumn("__rk", row_number().over(w))
+        val folded = bs.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .drop("__rk", VersionCol, SeqCol, MergeCol, CkptCol)
         appendBatch(folded, dstPath, id, ingest)

@@ -1387,6 +1387,85 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** CAPPED prefix search ([[Search.searchPrefix]] with
+    * `maxExpansions` below the fixture's expansion count): `s*` fans
+    * to 6 vocabulary tokens but the Lucene-parity rewrite cap keeps
+    * only the 3 highest-df variants (df desc, tok asc tie-break) —
+    * the knob that bounds a short prefix over a web-scale vocabulary.
+    * The oracle replays the df ranking (df = docs containing the
+    * token) and the BM25 serve over exactly the capped set. */
+  def searchPrefixCapped(spark: SparkSession, dir: String): DataFrame =
+    Search.searchPrefix(spark, searchIndex(spark, dir),
+        Seq("s"), topK = 20, maxExpansions = 3)
+      .orderBy(col("score").desc, col("id"))
+
+  val searchPrefixCappedSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |vd AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfv
+       |       FROM t WHERE tok LIKE 's%' GROUP BY 1),
+       |qe AS (SELECT tok FROM vd ORDER BY dfv DESC, tok LIMIT 3),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+
+  /** CAPPED fuzzy search: "ag" expands (dist 1, shared first char)
+    * to BOTH `a` and `agg`, and `maxExpansions = 1` keeps only the
+    * higher-df variant — the per-TERM rewrite cap (a multi-variant
+    * expansion where the capped result genuinely differs from the
+    * uncapped `q_search_fuzzy`). Oracle replays the per-term
+    * df-ranked selection with a window, then the BM25 formula. */
+  def searchFuzzyCapped(spark: SparkSession, dir: String): DataFrame =
+    Search.searchFuzzy(spark, searchIndex(spark, dir),
+        Seq("ag"), maxDist = 1, topK = 20, maxExpansions = 1)
+      .orderBy(col("score").desc, col("id"))
+
+  val searchFuzzyCappedSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |vd AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfv
+       |       FROM t WHERE tok LIKE 'a%' GROUP BY 1),
+       |qe AS (SELECT tok FROM (
+       |  SELECT v.tok,
+       |    ROW_NUMBER() OVER (PARTITION BY q.term
+       |      ORDER BY v.dfv DESC, v.tok) AS rk
+       |  FROM vd v JOIN (VALUES ('ag')) q(term)
+       |    ON substr(v.tok, 1, 1) = substr(q.term, 1, 1)
+       |      AND abs(len(v.tok) - len(q.term)) <= 1
+       |      AND levenshtein(v.tok, q.term) <= 1)
+       |  WHERE rk <= 1),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   /** BM25 served from an index built by STREAMING ingest: the
     * documents table staged as a 3-file directory, each file one
     * micro-batch folded through [[Search.appendBatch]] (exactly-once
@@ -4847,6 +4926,8 @@ object PipelineQueries {
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_search_prefix" -> searchPrefix _,
+    "q_search_fuzzy_capped" -> searchFuzzyCapped _,
+    "q_search_prefix_capped" -> searchPrefixCapped _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -4959,6 +5040,8 @@ object PipelineQueries {
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_search_prefix" -> searchPrefixSql,
+    "q_search_fuzzy_capped" -> searchFuzzyCappedSql,
+    "q_search_prefix_capped" -> searchPrefixCappedSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

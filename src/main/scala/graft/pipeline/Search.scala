@@ -769,6 +769,62 @@ object Search {
   }
 
   /**
+   * [[searchBm25]] with the term set held in a DATAFRAME instead of a
+   * driver-side Seq — the serve face for vocabulary EXPANSIONS
+   * ([[searchFuzzy]]/[[searchPrefix]]), whose variant sets are
+   * dictionary-derived and must never round-trip through the driver:
+   * a short prefix over a corpus-scale (heavy-tailed, hundreds of
+   * millions of tokens) vocabulary would otherwise collect millions
+   * of variants and compile a multi-million-entry `In` literal —
+   * driver OOM plus a codegen blow-up. `variants` is a one-column
+   * (`tok`) frame; it is deduped, materialized once
+   * (`localCheckpoint` — the expansion plan must not recompute for
+   * the bucket probe AND the postings join), and semi-joined into
+   * the postings read: the [[searchBm25Batch]] vocabulary-join shape.
+   * The only driver collect is the distinct bucket list, bounded by
+   * the index's `nBuckets` constant regardless of variant count.
+   * Scores, rounding, and the (score desc, id) top-k tie-break
+   * replicate [[searchBm25]] exactly; an empty variant frame yields
+   * an empty (id, score) result.
+   */
+  def searchBm25Vocab(spark: SparkSession, idx: Index,
+      variants: DataFrame, topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(topK > 0, s"topK $topK must be > 0")
+    import spark.implicits._
+    val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
+    val (nDocs, sumDlen) = stats(spark, idx)
+    val avgdl = sumDlen.toDouble / nDocs
+    val v = variants.select(col("tok")).distinct().localCheckpoint()
+    val buckets = v.select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    if (buckets.isEmpty)
+      return postings(spark, idx).select("id").limit(0)
+        .withColumn("score", lit(0.0))
+    // the variant frame is expansion-capped upstream (per-term
+    // maxExpansions), so the broadcast is bounded by |terms|·cap
+    val postAll = postings(spark, idx)
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(v), Seq("tok"), "left_semi")
+    val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val post = fdocs match {
+      case None => postAll
+      case Some(ids) => postAll.join(ids, Seq("id"), "left_semi")
+    }
+    post.join(dfPerTerm, "tok")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("dfc") + 0.5) / (col("dfc") + 0.5)
+          + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / avgdl)))
+      .groupBy("id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /**
    * FUZZY term expansion against the index VOCABULARY: every stored
    * token within banded edit distance `maxDist` of a query term,
    * constrained to share the term's first `prefixLen` characters —
@@ -776,86 +832,115 @@ object Search {
    * at 1): the prefix constraint is what keeps the dictionary probe
    * PRUNED instead of a full-vocabulary distance scan. Returns
    * `(term, tok)` expansion pairs (distance 0 — the exact term, when
-   * indexed — included).
+   * indexed — included), CAPPED per term at the `maxExpansions`
+   * highest-df variants (df desc, tok asc tie-break) — Lucene's
+   * `maxExpansions` rewrite cap (default 50), for the same reason:
+   * a 1-char-prefix term over a heavy-tailed vocabulary expands
+   * unboundedly, and the highest-df variants are the ones that can
+   * actually rank.
    *
    * Scale shape: the probe reads ONE column (`tok`) of the postings
    * with the terms' prefix disjunction PUSHED to the parquet scan —
    * postings are written tok-sorted, so `StringStartsWith` row-group
-   * stats skip every block outside the prefix ranges; the banded
-   * `levenshtein(_, _, maxDist)` (gives up after O(len·maxDist) work)
-   * runs only on the surviving prefix-blocked candidates, exactly
-   * [[Dedup.editNearDup]]'s blocking idea pointed at a dictionary.
+   * stats skip every block outside the prefix ranges; the per-token
+   * df (the cap's ranking key) is one aggregate over that same
+   * pruned read; the banded `levenshtein(_, _, maxDist)` (gives up
+   * after O(len·maxDist) work) runs only on the surviving
+   * prefix-blocked candidates, exactly [[Dedup.editNearDup]]'s
+   * blocking idea pointed at a dictionary. The cap is a
+   * term-PARTITIONED window — no global sort, no driver collect.
    */
   def fuzzyExpand(spark: SparkSession, idx: Index, terms: Seq[String],
-      maxDist: Int, prefixLen: Int = 1): DataFrame = {
+      maxDist: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     require(maxDist >= 0 && maxDist <= 2,
       s"maxDist $maxDist out of the useful fuzzy band [0, 2]")
     require(prefixLen >= 1,
       "prefixLen must be >= 1: the shared prefix is what keeps the " +
         "vocabulary probe pruned (Lucene FuzzyQuery prefix_length)")
+    require(maxExpansions >= 1,
+      s"maxExpansions $maxExpansions must be >= 1 (Lucene FuzzyQuery " +
+        "maxExpansions — the rewrite cap that bounds the variant set)")
     val ts = terms.distinct
     require(ts.forall(_.length >= prefixLen),
       s"every term needs at least prefixLen=$prefixLen characters")
     val preFilter = ts
       .map(t => col("tok").startsWith(lit(t.take(prefixLen))))
       .reduce(_ || _)
+    // vocabulary slice WITH per-token df (postings rows per tok = docs
+    // containing it): one aggregate over the pruned tok-only read —
+    // df is exact because the prefix filter prunes whole tokens
     val vocab = postings(spark, idx).filter(preFilter)
-      .select("tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
     val tf = spark.createDataFrame(ts.map(Tuple1(_))).toDF("term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("__df").desc, col("tok").asc)
     vocab.join(broadcast(tf),
-      col("tok").startsWith(substring(col("term"), 1, prefixLen)) &&
-        abs(length(col("tok")) - length(col("term"))) <= maxDist &&
-        levenshtein(col("tok"), col("term"), maxDist) >= 0)
+        col("tok").startsWith(substring(col("term"), 1, prefixLen)) &&
+          abs(length(col("tok")) - length(col("term"))) <= maxDist &&
+          levenshtein(col("tok"), col("term"), maxDist) >= 0)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxExpansions)
       .select("term", "tok")
   }
 
   /** PREFIX search (Lucene `PrefixQuery` / `term*` semantics): every
-    * vocabulary token starting with a query prefix, served through
-    * the ordinary [[searchBm25]] path — the
+    * vocabulary token starting with a query prefix — capped per
+    * prefix at the `maxExpansions` highest-df variants (Lucene's
+    * rewrite cap, default 50; df desc, tok asc tie-break) — served
+    * through the [[searchBm25Vocab]] path: the
     * autocomplete/search-as-you-type retrieval shape. The vocabulary
     * probe is the same pruned dictionary read as [[fuzzyExpand]]
     * (tok-only column read, `StringStartsWith` pushed to the
-    * tok-sorted postings scan); the expansion collect is bounded by
-    * the matching vocabulary slice. Nothing matching → empty result. */
+    * tok-sorted postings scan, per-token df from one aggregate over
+    * it); the variant set stays a DATAFRAME end-to-end — never a
+    * driver collect, so `searchPrefix(Seq("s"), …)` over a web-scale
+    * vocabulary is a capped window + semi-join, not a driver OOM.
+    * Nothing matching → empty result. */
   def searchPrefix(spark: SparkSession, idx: Index,
-      prefixes: Seq[String], topK: Int): DataFrame = {
+      prefixes: Seq[String], topK: Int,
+      maxExpansions: Int = 50): DataFrame = {
     require(prefixes.nonEmpty, "empty prefix list")
     require(prefixes.forall(_.nonEmpty), "empty-string prefix " +
       "matches the whole vocabulary — give at least one character")
-    require(topK > 0, s"topK $topK must be > 0")
-    import spark.implicits._
+    require(maxExpansions >= 1,
+      s"maxExpansions $maxExpansions must be >= 1 (Lucene PrefixQuery " +
+        "rewrite cap — what bounds a 1-char prefix over a web-scale " +
+        "vocabulary)")
     val ps = prefixes.distinct
     val preFilter = ps.map(p => col("tok").startsWith(lit(p)))
       .reduce(_ || _)
-    val variants = postings(spark, idx).filter(preFilter)
-      .select("tok").distinct().as[String].collect().toSeq.sorted
-    if (variants.isEmpty)
-      postings(spark, idx).select("id").limit(0)
-        .withColumn("score", lit(0.0))
-    else searchBm25(spark, idx, variants, topK)
+    val vocab = postings(spark, idx).filter(preFilter)
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    val pf = spark.createDataFrame(ps.map(Tuple1(_))).toDF("prefix")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prefix").orderBy(col("__df").desc, col("tok").asc)
+    val variants = vocab.join(broadcast(pf),
+        col("tok").startsWith(col("prefix")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxExpansions)
+      .select("tok")
+    searchBm25Vocab(spark, idx, variants, topK)
   }
 
   /** Typo-tolerant BM25 search: expand each query term against the
-    * vocabulary ([[fuzzyExpand]]) and serve the UNION of expansion
-    * variants through the ordinary [[searchBm25]] path — each variant
+    * vocabulary ([[fuzzyExpand]] — per-term df-ranked cap at
+    * `maxExpansions`, Lucene parity) and serve the UNION of expansion
+    * variants through the [[searchBm25Vocab]] path — each variant
     * scores with its own df/idf (rare corrections outweigh common
     * ones, the property fuzzy retrieval wants) and the postings read
-    * stays bucket-pruned to the expanded terms. The variant collect
-    * is bounded by the prefix-blocked vocabulary slice (per term: the
-    * tokens sharing its `prefixLen`-prefix within `maxDist` edits) —
-    * dictionary-sized, never corpus-sized. A term with no expansion
-    * contributes nothing; if NOTHING expands, the result is empty. */
+    * stays bucket-pruned to the expanded terms. The variant set stays
+    * a DATAFRAME from expansion through serve (capped window →
+    * semi-join — no driver collect, no literal in-list). A term with
+    * no expansion contributes nothing; if NOTHING expands, the result
+    * is empty. */
   def searchFuzzy(spark: SparkSession, idx: Index, terms: Seq[String],
-      maxDist: Int, topK: Int, prefixLen: Int = 1): DataFrame = {
-    require(topK > 0, s"topK $topK must be > 0")
-    import spark.implicits._
-    val variants = fuzzyExpand(spark, idx, terms, maxDist, prefixLen)
-      .select("tok").distinct().as[String].collect().toSeq.sorted
-    if (variants.isEmpty)
-      postings(spark, idx).select("id").limit(0)
-        .withColumn("score", lit(0.0))
-    else searchBm25(spark, idx, variants, topK)
+      maxDist: Int, topK: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50): DataFrame = {
+    val variants = fuzzyExpand(spark, idx, terms, maxDist, prefixLen,
+      maxExpansions).select("tok")
+    searchBm25Vocab(spark, idx, variants, topK)
   }
 
   /**

@@ -788,6 +788,66 @@ class SearchSpec extends SparkSpec {
       scans.flatMap(_.metadata.get("PushedFilters")).mkString(";"))
   }
 
+  test("fuzzy/prefix maxExpansions: the Lucene rewrite cap keeps the " +
+      "df-ranked top variants per term/prefix, a cap above the " +
+      "expansion count is a no-op, and the served variant set never " +
+      "round-trips through the driver (semi-join, no In literal)") {
+    // df: alpha=4 docs, alpaca=2, alphas=1, alpine=1 (tok tie-break)
+    val fdocs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpine beta alpha"),
+      (3L, "beta gamma alpha"),
+      (4L, "alpha beta alpaca"),
+      (5L, "epsilon alphas alpaca")).toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-fuzzy-cap"))
+    val fidx = Search.writeIndex(fdocs, "doc_id", "text",
+      "target/tmp/search-fuzzy-cap")
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // prefix cap 2: df-ranked top-2 of the alp-family = alpha, alpaca
+    assert(got(Search.searchPrefix(spark, fidx, Seq("alp"), topK = 10,
+        maxExpansions = 2)) ==
+      got(Search.searchBm25(spark, fidx, Seq("alpha", "alpaca"), 10)))
+    // cap 3: the df tie between alphas/alpine breaks tok-asc → alphas
+    assert(got(Search.searchPrefix(spark, fidx, Seq("alp"), topK = 10,
+        maxExpansions = 3)) ==
+      got(Search.searchBm25(spark, fidx,
+        Seq("alpha", "alpaca", "alphas"), 10)))
+    // cap at/above the expansion count: identical to the full family
+    assert(got(Search.searchPrefix(spark, fidx, Seq("alp"), topK = 10,
+        maxExpansions = 4)) ==
+      got(Search.searchPrefix(spark, fidx, Seq("alp"), topK = 10,
+        maxExpansions = 50)))
+    // per-TERM fuzzy cap: alphas@dist2 expands {alphas, alpha}; cap 1
+    // keeps the higher-df alpha only
+    assert(Search.fuzzyExpand(spark, fidx, Seq("alphas"), 2,
+        maxExpansions = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("alphas", "alpha")))
+    assert(got(Search.searchFuzzy(spark, fidx, Seq("alphas"), 2,
+        topK = 10, maxExpansions = 1)) ==
+      got(Search.searchBm25(spark, fidx, Seq("alpha"), 10)))
+    // the cap refuses nonsense loudly
+    intercept[IllegalArgumentException] {
+      Search.searchPrefix(spark, fidx, Seq("alp"), 10, maxExpansions = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Search.fuzzyExpand(spark, fidx, Seq("alphas"), 1, maxExpansions = 0)
+    }
+    // SERVED PATH NEVER COLLECTS THE VARIANTS: the expansion variant
+    // ("alpha") must not appear anywhere in the serve plan — under
+    // the old collect()+isin shape it surfaced as a literal In-list
+    // entry; the semi-join shape carries it only as DATA
+    val fz = Search.searchFuzzy(spark, fidx, Seq("alphq"), 1, topK = 10)
+    val plan = fz.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("alpha"),
+      s"expansion variant leaked into the plan as a literal:\n$plan")
+    // ... and the serve still works
+    assert(got(fz) ==
+      got(Search.searchBm25(spark, fidx, Seq("alpha"), 10)))
+  }
+
   test("filtered BM25/conjunction: doc metadata stores in the sidecar, " +
       "the predicate binds below the top-k (full k among matching, " +
       "scores unchanged), survives delete/reingest + fold, and an " +

@@ -3687,6 +3687,143 @@ object PipelineQueries {
        |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
   }
 
+  /** WEIGHTED hybrid fusion ([[Hybrid.rrf]] with per-list weights):
+    * the same two candidate lists as [[hybridSearch]] fused
+    * lexical-heavy — `0.75/(k0+r_lex) + 0.25/(k0+r_sem)` — the
+    * first knob every hybrid deployment tunes. Oracle replays the
+    * weighted RRF arithmetic end to end. */
+  def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
+    val sem = VecIndex.ivfTopK(spark, emb.filter(col("id") === 0),
+      vIdx, 2, 20)
+    Hybrid.rrf(Seq((lex, "id", "score"), (sem, "nid", "cos")),
+        k0 = 60, topK = 10, weights = Seq(0.75, 0.25))
+      .orderBy("id")
+  }
+
+  val hybridWeightedSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |sem AS (
+       |  SELECT nid AS id, rk AS r FROM (
+       |    SELECT nid, ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rk
+       |    FROM scored WHERE qid = 0) WHERE rk <= 20),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1),
+       |lex AS (
+       |  SELECT id, rk AS r FROM (
+       |    SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+       |    FROM bsc) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(0.75 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(0.25 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem ON l.id = sem.id),
+       |topf AS (
+       |  SELECT id, rrf, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rk
+       |  FROM fused)
+       |SELECT id, rrf FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
+  }
+
+  /** MIN-MAX score fusion ([[Hybrid.minMaxFuse]]): the same two
+    * candidate lists, each normalized to [0, 1] over its own top-20
+    * (`(s - min) / (max - min)`), weighted 0.75/0.25 and summed —
+    * the rank-free fusion that keeps score magnitude. Oracle replays
+    * both normalizations and the weighted sum. */
+  def hybridMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
+    val sem = VecIndex.ivfTopK(spark, emb.filter(col("id") === 0),
+      vIdx, 2, 20)
+    Hybrid.minMaxFuse(Seq((lex, "id", "score"), (sem, "nid", "cos")),
+        weights = Seq(0.75, 0.25), topK = 10)
+      .orderBy("id")
+  }
+
+  val hybridMinmaxSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |sem AS (
+       |  SELECT nid AS id, cos FROM (
+       |    SELECT nid, cos,
+       |      ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rk
+       |    FROM scored WHERE qid = 0) WHERE rk <= 20),
+       |smm AS (SELECT MIN(cos) AS mn, MAX(cos) AS mx FROM sem),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1),
+       |lex AS (
+       |  SELECT id, score FROM (
+       |    SELECT id, score,
+       |      ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+       |    FROM bsc) WHERE rk <= 20),
+       |lmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM lex),
+       |lnorm AS (
+       |  SELECT id, CAST(0.75 AS DOUBLE) * (CASE WHEN lmm.mx = lmm.mn
+       |    THEN 1.0 ELSE (score - lmm.mn) / (lmm.mx - lmm.mn) END) AS c
+       |  FROM lex, lmm),
+       |snorm AS (
+       |  SELECT id, CAST(0.25 AS DOUBLE) * (CASE WHEN smm.mx = smm.mn
+       |    THEN 1.0 ELSE (cos - smm.mn) / (smm.mx - smm.mn) END) AS c
+       |  FROM sem, smm),
+       |fusedt AS (
+       |  SELECT COALESCE(l.id, s.id) AS id,
+       |    ROUND(COALESCE(l.c, 0) + COALESCE(s.c, 0), 8) AS fused
+       |  FROM lnorm l FULL OUTER JOIN snorm s ON l.id = s.id),
+       |topf AS (
+       |  SELECT id, fused,
+       |    ROW_NUMBER() OVER (ORDER BY fused DESC, id) AS rk
+       |  FROM fusedt)
+       |SELECT id, fused FROM topf WHERE rk <= 10 ORDER BY id""".stripMargin
+  }
+
   /** BATCHED hybrid retrieval ([[Hybrid.hybridTopKBatch]]): three
     * queries with DIFFERENT term sets and query vectors served in one
     * pass — the lexical side evaluates all term sets in a single
@@ -4917,6 +5054,8 @@ object PipelineQueries {
     "q_ann_filtered" -> annFiltered _,
     "q_hybrid_search" -> hybridSearch _,
     "q_hybrid_filtered" -> hybridFiltered _,
+    "q_hybrid_weighted" -> hybridWeighted _,
+    "q_hybrid_minmax" -> hybridMinmax _,
     "q_hybrid_batch" -> hybridBatch _,
     "q_hybrid_batch_filtered" -> hybridBatchFiltered _,
     "q_ann_maxsim" -> annMaxsim _,
@@ -5031,6 +5170,8 @@ object PipelineQueries {
     "q_ann_filtered" -> annFilteredSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_filtered" -> hybridFilteredSql,
+    "q_hybrid_weighted" -> hybridWeightedSql,
+    "q_hybrid_minmax" -> hybridMinmaxSql,
     "q_hybrid_batch" -> hybridBatchSql,
     "q_hybrid_batch_filtered" -> hybridBatchFilteredSql,
     "q_ann_maxsim" -> annMaxsimSql,

@@ -28,16 +28,45 @@ import org.apache.spark.sql.functions._
  */
 object Hybrid {
 
+  /** Deepening factor for the lexical fallback when the text index
+    * lacks a filter column: fetch `nLex · FallbackDeepen` candidates,
+    * semi-join the vector index's metadata, keep the top `nLex`
+    * survivors. 4 covers any filter keeping >= 1/4 of the pool with
+    * exact filtered-serve semantics; the pool stays candidate-sized
+    * (never corpus-sized), so deepening is cheap. */
+  val FallbackDeepen: Int = 4
+
+  /** Per-list fusion weights: empty = unweighted (all 1.0 — the
+    * historical behavior); otherwise one strictly-positive weight per
+    * list, in list order. */
+  private def resolvedWeights(n: Int, weights: Seq[Double],
+      face: String): Seq[Double] = {
+    if (weights.isEmpty) Seq.fill(n)(1.0)
+    else {
+      require(weights.length == n,
+        s"$face: ${weights.length} weights for $n lists — pass one " +
+          "per list (or none for unweighted)")
+      require(weights.forall(w => w > 0.0 && !w.isNaN && !w.isInfinite),
+        s"$face: weights must be finite and > 0 (drop a list instead " +
+          s"of zero-weighting it), got $weights")
+      weights
+    }
+  }
+
   /** Fuse ranked candidate lists by RRF. Each list is an `(idCol,
     * scoreCol)` frame already bounded to its top-N (the retriever's
     * job); ranks are assigned per list by (score desc, id asc).
+    * `weights` (empty = all 1.0) scales each list's contribution —
+    * `score(d) = Σ_i w_i / (k0 + rank_i(d))`, the per-list knob every
+    * hybrid deployment tunes first (lexical-heavy vs semantic-heavy).
     * Returns (id, rrf) — fused score rounded to 8 — limited to
     * `topK` by (rrf desc, id asc). */
   def rrf(lists: Seq[(DataFrame, String, String)], k0: Int = 60,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, weights: Seq[Double] = Nil): DataFrame = {
     require(lists.nonEmpty, "rrf needs at least one ranked list")
     require(k0 > 0 && topK > 0, s"k0 $k0 and topK $topK must be > 0")
-    val contribs = lists.map { case (df, idCol, scoreCol) =>
+    val ws = resolvedWeights(lists.length, weights, "rrf")
+    val contribs = lists.zip(ws).map { case ((df, idCol, scoreCol), w) =>
       val a = df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
       val b = a.select(col("id").as("__bid"), col("__s").as("__bs"))
       // rank = 1 + |rows strictly better| under (score desc, id asc).
@@ -54,12 +83,79 @@ object Hybrid {
         .groupBy("id", "__s")
         .agg((count(col("__bid")) + 1).cast("int").as("__rank"))
         .select(col("id"),
-          (lit(1.0) / (lit(k0) + col("__rank"))).as("__c"))
+          (lit(w) / (lit(k0) + col("__rank"))).as("__c"))
     }
     contribs.reduce(_.unionByName(_))
       .groupBy("id").agg(round(sum("__c"), 8).as("rrf"))
       // global top-k as sort+limit (TakeOrdered), never a window
       .orderBy(col("rrf").desc, col("id").asc).limit(topK)
+  }
+
+  /** MIN-MAX score fusion — the rank-free alternative to [[rrf]]:
+    * each list's scores normalize to [0, 1] over ITS OWN candidate
+    * list (`(s - min) / (max - min)`; a constant-score list
+    * normalizes to 1.0 — every candidate equally best), then
+    * `fused(d) = Σ_i w_i · norm_i(d)` with absent-from-a-list
+    * contributing 0. Keeps score MAGNITUDE information RRF discards
+    * (a runaway BM25 top hit stays runaway) at the cost of being
+    * sensitive to each list's score distribution — the second fusion
+    * knob real deployments tune. Normalization constants come from a
+    * 1-row aggregate broadcast-joined back (lists are bounded top-N
+    * frames; no unpartitioned window). Returns (id, fused) rounded
+    * to 8, limited to `topK` by (fused desc, id asc). */
+  def minMaxFuse(lists: Seq[(DataFrame, String, String)],
+      weights: Seq[Double] = Nil, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "minMaxFuse needs at least one ranked list")
+    require(topK > 0, s"topK $topK must be > 0")
+    val ws = resolvedWeights(lists.length, weights, "minMaxFuse")
+    val contribs = lists.zip(ws).map { case ((df, idCol, scoreCol), w) =>
+      val a = df.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("__s"))
+      val mm = a.agg(min("__s").as("__mn"), max("__s").as("__mx"))
+      a.crossJoin(broadcast(mm))
+        .select(col("id"),
+          (lit(w) * when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("__s") - col("__mn"))
+              / (col("__mx") - col("__mn")))).as("__c"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy("id").agg(round(sum("__c"), 8).as("fused"))
+      .orderBy(col("fused").desc, col("id").asc).limit(topK)
+  }
+
+  /** BATCHED [[minMaxFuse]]: normalization constants are per
+    * `(qid, list)` — each query's candidate slice normalizes over
+    * itself (one groupBy over the bounded candidate frame, joined
+    * back on qid), fusion sums within qid, ranking is a
+    * qid-partitioned window. Per-query results identical to
+    * [[minMaxFuse]] on that query's slices. Returns (qid, id, fused)
+    * with at most `topK` rows per qid. */
+  def minMaxFuseBatch(lists: Seq[(DataFrame, String, String, String)],
+      weights: Seq[Double] = Nil, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty,
+      "minMaxFuseBatch needs at least one ranked list")
+    require(topK > 0, s"topK $topK must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val ws = resolvedWeights(lists.length, weights, "minMaxFuseBatch")
+    val contribs = lists.zip(ws).map {
+      case ((df, qidCol, idCol, scoreCol), w) =>
+        val a = df.select(col(qidCol).as("qid"), col(idCol).as("id"),
+          col(scoreCol).cast("double").as("__s"))
+        val mm = a.groupBy("qid")
+          .agg(min("__s").as("__mn"), max("__s").as("__mx"))
+        a.join(mm, "qid")
+          .select(col("qid"), col("id"),
+            (lit(w) * when(col("__mx") === col("__mn"), lit(1.0))
+              .otherwise((col("__s") - col("__mn"))
+                / (col("__mx") - col("__mn")))).as("__c"))
+    }
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("fused").desc, col("id").asc)
+    contribs.reduce(_.unionByName(_))
+      .groupBy("qid", "id").agg(round(sum("__c"), 8).as("fused"))
+      .withColumn("__rk", row_number().over(wf))
+      .filter(col("__rk") <= topK)
+      .select("qid", "id", "fused")
   }
 
   /** One-call hybrid serve for a single query: BM25 top-`nLex` for
@@ -74,11 +170,15 @@ object Hybrid {
     * takes it through [[Search.searchBm25]]'s own filtered serve when
     * the TEXT index stores the referenced columns — both candidate
     * lists stay FULL among matching docs. When the text index lacks
-    * the column(s), the lexical side falls back to filtering its
-    * top-`nLex` pool against the VECTOR index's stored metadata
-    * (ranks re-densify over the survivors — thins rather than deepens
-    * the lexical signal; ingest the metadata at `writeIndex` to get
-    * the full-k path). Either way a violating id NEVER surfaces. */
+    * the column(s), the lexical side DEEPENS-then-filters: it fetches
+    * `nLex · FallbackDeepen` candidates, semi-joins the VECTOR
+    * index's stored metadata, and keeps the top `nLex` survivors —
+    * full-k semantics whenever the top-`nLex` matching docs sit
+    * inside the deepened pool (exact-equal to the metadata-ingested
+    * filtered serve there; a filter selective beyond 1/FallbackDeepen
+    * can still under-fill — ingest the metadata at `writeIndex` for
+    * the unconditional path). Either way a violating id NEVER
+    * surfaces. */
   def hybridTopK(spark: SparkSession, textIdx: Search.Index,
       vecIdx: VecIndex.Index, terms: Seq[String], queryVec: DataFrame,
       nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
@@ -91,12 +191,15 @@ object Hybrid {
           filter = Some(flt))
         catch {
           // ONLY the typed filter-column-not-stored refusal switches
-          // to the thinned fallback; other argument errors propagate
+          // to the deepened fallback; other argument errors propagate
           case _: FilterUnresolved =>
             val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
               preFilter = Some(flt))
-            Search.searchBm25(spark, textIdx, terms, topK = nLex)
+            Search.searchBm25(spark, textIdx, terms,
+                topK = nLex * FallbackDeepen)
               .join(ok.select("id"), Seq("id"), "left_semi")
+              .orderBy(col("score").desc, col("id").asc)
+              .limit(nLex)
         }
     }
     val sem = VecIndex.ivfTopK(spark, queryVec, vecIdx, nProbe, nSem,
@@ -116,18 +219,21 @@ object Hybrid {
     * partitioning key). Returns (qid, id, rrf) with at most `topK`
     * rows per qid. */
   def rrfBatch(lists: Seq[(DataFrame, String, String, String)],
-      k0: Int = 60, topK: Int = 10): DataFrame = {
+      k0: Int = 60, topK: Int = 10,
+      weights: Seq[Double] = Nil): DataFrame = {
     require(lists.nonEmpty, "rrfBatch needs at least one ranked list")
     require(k0 > 0 && topK > 0, s"k0 $k0 and topK $topK must be > 0")
     import org.apache.spark.sql.expressions.Window
-    val contribs = lists.map { case (df, qidCol, idCol, scoreCol) =>
-      val a = df.select(col(qidCol).as("qid"), col(idCol).as("id"),
-        col(scoreCol).as("__s"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("__s").desc, col("id").asc)
-      a.withColumn("__rank", row_number().over(w))
-        .select(col("qid"), col("id"),
-          (lit(1.0) / (lit(k0) + col("__rank"))).as("__c"))
+    val ws = resolvedWeights(lists.length, weights, "rrfBatch")
+    val contribs = lists.zip(ws).map {
+      case ((df, qidCol, idCol, scoreCol), wt) =>
+        val a = df.select(col(qidCol).as("qid"), col(idCol).as("id"),
+          col(scoreCol).as("__s"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("__s").desc, col("id").asc)
+        a.withColumn("__rank", row_number().over(w))
+          .select(col("qid"), col("id"),
+            (lit(wt) / (lit(k0) + col("__rank"))).as("__c"))
     }
     val wf = Window.partitionBy("qid")
       .orderBy(col("rrf").desc, col("id").asc)
@@ -168,8 +274,15 @@ object Hybrid {
           case _: FilterUnresolved =>
             val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
               preFilter = Some(flt))
-            Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid")
+              .orderBy(col("score").desc, col("id").asc)
+            Search.searchBm25Batch(spark, textIdx, qterms,
+                topK = nLex * FallbackDeepen)
               .join(ok.select("id"), Seq("id"), "left_semi")
+              .withColumn("__rk", row_number().over(w))
+              .filter(col("__rk") <= nLex)
+              .select("qid", "id", "score")
         }
     }
     val sem = VecIndex.ivfTopK(spark,

@@ -3464,6 +3464,26 @@ object PipelineQueries {
        |FROM perq FULL OUTER JOIN ideal ON perq.qid = ideal.qid
        |ORDER BY COALESCE(perq.qid, ideal.qid)""".stripMargin
 
+  /** The CALL face of the eval loop
+    * (`CALL graft_sql.system.eval_retrieval(results, qrels, k)`): the
+    * SAME fixture frames as `q_eval_retrieval` registered as views and
+    * graded through the SQL procedure — certified by the SAME oracle,
+    * pinning the SQL face bit-for-bit to [[Eval.rankMetrics]]. The
+    * serving tier is thereby fully SQL-drivable end to end: serve
+    * (`bm25`/`ann_topk`/`hybrid_topk`) AND measurement. */
+  def evalSql(spark: SparkSession, dir: String): DataFrame = {
+    val (results, qrels) = evalServe(spark, dir)
+    results.createOrReplaceTempView("graft_eval_results")
+    qrels.createOrReplaceTempView("graft_eval_qrels")
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse",
+      "target/tmp/graft-sql-warehouse")
+    spark.sql("CALL graft_sql.system.eval_retrieval(" +
+        "'graft_eval_results', 'graft_eval_qrels', 10)")
+      .orderBy("qid")
+  }
+
   /** HARD-NEGATIVE mining ([[Eval.hardNegatives]]): per query, the 5
     * best-ranked probed-serve candidates that are NOT among the
     * exact-cosine top-3 truth — the contrastive pairs a dense
@@ -5062,6 +5082,7 @@ object PipelineQueries {
     "q_ann_colbert" -> annColbert _,
     "q_eval_retrieval" -> evalRetrieval _,
     "q_eval_negatives" -> evalNegatives _,
+    "q_eval_sql" -> evalSql _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_search_prefix" -> searchPrefix _,
@@ -5178,6 +5199,7 @@ object PipelineQueries {
     "q_ann_colbert" -> annColbertSql,
     "q_eval_retrieval" -> evalRetrievalSql,
     "q_eval_negatives" -> evalNegativesSql,
+    "q_eval_sql" -> evalRetrievalSql, // CALL face == Eval.rankMetrics
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_search_prefix" -> searchPrefixSql,

@@ -100,6 +100,16 @@ private[sources] object GraftProcedures {
       props("sv.b").toInt)
   }
 
+  /** Resolve an eval-procedure frame argument: a string containing
+    * '/' reads as a parquet path; anything else resolves through
+    * `spark.table` (temp views, or catalog tables by qualified name —
+    * `graft_sql.t` serves the table's current snapshot). The eval
+    * outputs are query-set-sized (one row per qid, or n per qid), so
+    * the driver-local procedure result stays bounded by the QUERY
+    * set, never the corpus. */
+  private def evalFrame(s: String): org.apache.spark.sql.DataFrame =
+    if (s.contains("/")) spark.read.parquet(s) else spark.table(s)
+
   private def keyOf(cat: GraftCatalog, path: String): String =
     cat.keyPropertyOf(path).getOrElse(sys.error(
       s"graft table $path has no 'key' table property; this procedure " +
@@ -629,6 +639,48 @@ private[sources] object GraftProcedures {
         Search.searchPrefix(spark, Search.open(spark, p), prefixes,
             row.getInt(2))
           .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("eval_retrieval",
+      "offline retrieval evaluation: per-query recall@k, reciprocal " +
+        "rank, and nDCG@k from a (qid, id, score) results table and a " +
+        "(qid, id, rel) graded-qrels table — each argument a parquet " +
+        "path (contains '/') or a table/view name (temp view or " +
+        "catalog table); rows are (qid, recall_k, rr, ndcg_k), one " +
+        "per judged-or-retrieved query",
+      Seq(in("results", StringType), in("qrels", StringType),
+        in("k", IntegerType)),
+      StructType(Seq(StructField("qid", LongType, nullable = false),
+        StructField("recall_k", DoubleType, nullable = false),
+        StructField("rr", DoubleType, nullable = false),
+        StructField("ndcg_k", DoubleType, nullable = false))),
+      (_, row) => {
+        val res = evalFrame(str(row, 0, "results"))
+        val rel = evalFrame(str(row, 1, "qrels"))
+        graft.pipeline.Eval.rankMetrics(res, rel, row.getInt(2))
+          .selectExpr("CAST(qid AS BIGINT) AS qid", "recall_k", "rr",
+            "ndcg_k")
+          .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1),
+            r.getDouble(2), r.getDouble(3)))
+      }),
+    new Proc("eval_negatives",
+      "hard-negative mining: per query, the n best-ranked results " +
+        "NOT relevant in the qrels (the contrastive training pairs a " +
+        "dense retriever mines from its own serve) — same argument " +
+        "resolution as eval_retrieval; rows are (qid, id, neg_rank), " +
+        "neg_rank 1 = hardest",
+      Seq(in("results", StringType), in("qrels", StringType),
+        in("n", IntegerType)),
+      StructType(Seq(StructField("qid", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("neg_rank", IntegerType, nullable = false))),
+      (_, row) => {
+        val res = evalFrame(str(row, 0, "results"))
+        val rel = evalFrame(str(row, 1, "qrels"))
+        graft.pipeline.Eval.hardNegatives(res, rel, row.getInt(2))
+          .selectExpr("CAST(qid AS BIGINT) AS qid",
+            "CAST(id AS BIGINT) AS id", "neg_rank")
+          .collect().map(r => InternalRow(r.getLong(0), r.getLong(1),
+            r.getInt(2)))
       }),
     new Proc("ann_maxsim",
       "multi-vector (max-sim) DOC ranking over a chunk-embedding " +

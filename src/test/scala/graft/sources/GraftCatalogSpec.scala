@@ -511,6 +511,42 @@ class GraftCatalogSpec extends SparkSpec {
       s"last gen should be the 2-id tombstone: ${det.last}")
   }
 
+  test("eval SQL face: CALL eval_retrieval / eval_negatives match the " +
+      "Scala Eval API bit-for-bit, resolving BOTH view names and " +
+      "parquet paths") {
+    val results = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (2L, 10L, 0.95), (2L, 13L, 0.5)).toDF("qid", "id", "score")
+    val qrels = Seq((1L, 11L, 2), (1L, 14L, 1), (2L, 13L, 1),
+      (3L, 10L, 1)).toDF("qid", "id", "rel")
+    results.createOrReplaceTempView("eval_res_v")
+    qrels.createOrReplaceTempView("eval_rel_v")
+    val got = spark.sql("CALL graft_test.system.eval_retrieval(" +
+        "'eval_res_v', 'eval_rel_v', 2)")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val want = graft.pipeline.Eval.rankMetrics(results, qrels, 2)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    // qid 3 judged-but-unretrieved must surface (zeros), qid 2's only
+    // hit ranks 2nd -> rr = 0.5
+    assert(got == want && got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.find(_._1 == 2L).get._3 == 0.5)
+    assert(got.find(_._1 == 3L).get == ((3L, 0.0, 0.0, 0.0)))
+    val gotN = spark.sql("CALL graft_test.system.eval_negatives(" +
+        "'eval_res_v', 'eval_rel_v', 2)")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val wantN = graft.pipeline.Eval.hardNegatives(results, qrels, 2)
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(gotN == wantN && gotN.nonEmpty)
+    // parquet-path resolution serves the same grades
+    val rp = "target/tmp/cat-eval-res"
+    val qp = "target/tmp/cat-eval-rel"
+    results.write.mode("overwrite").parquet(rp)
+    qrels.write.mode("overwrite").parquet(qp)
+    assert(spark.sql(
+        s"CALL graft_test.system.eval_retrieval('$rp', '$qp', 2)")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      == want)
+  }
+
   test("ALTER TABLE ADD COLUMN and MERGE ... WITH SCHEMA EVOLUTION: " +
       "a source column absent from the target lands without a manual " +
       "widen, on plain AND column-mapped tables") {

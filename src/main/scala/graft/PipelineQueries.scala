@@ -1466,6 +1466,62 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** BATCHED typo-tolerant BM25 ([[Search.searchFuzzyBatch]]): two
+    * queries with different typo'd term sets served in ONE pass —
+    * the expansion is computed once over the batch vocabulary and
+    * shared, then the ordinary batched BM25 pipe (shared df/idf,
+    * qid-partitioned ranking) serves the variant unions. Per-query
+    * results identical to [[Search.searchFuzzy]]; the oracle replays
+    * per-qid expansion and the full batch BM25 arithmetic. */
+  def searchFuzzyBatchQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Seq("windoq", "mergs")),
+      (1L, Seq("ag"))).toDF("qid", "terms")
+    Search.searchFuzzyBatch(spark, searchIndex(spark, dir), queries,
+        maxDist = 1, topK = 20)
+      .orderBy("qid", "id")
+  }
+
+  val searchFuzzyBatchSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |vocab AS (SELECT DISTINCT tok FROM t),
+       |qt AS (SELECT CAST(q AS BIGINT) AS qid, term FROM (VALUES
+       |  (0, 'windoq'), (0, 'mergs'), (1, 'ag')) v(q, term)),
+       |qe AS (
+       |  SELECT DISTINCT qt.qid, v.tok
+       |  FROM vocab v JOIN qt
+       |    ON substr(v.tok, 1, 1) = substr(qt.term, 1, 1)
+       |      AND abs(len(v.tok) - len(qt.term)) <= 1
+       |      AND levenshtein(v.tok, qt.term) <= 1),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |ptok AS (
+       |  SELECT f.doc_id, f.tok,
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n))) AS s
+       |  FROM f JOIN d USING (tok), stats),
+       |sc AS (
+       |  SELECT qe.qid, ptok.doc_id AS id, ROUND(SUM(s), 6) AS score
+       |  FROM ptok JOIN qe ON ptok.tok = qe.tok GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id)
+       |      AS rk
+       |  FROM sc)
+       |SELECT qid, id, score FROM r WHERE rk <= 20
+       |ORDER BY qid, id""".stripMargin
+
   /** BM25 served from an index built by STREAMING ingest: the
     * documents table staged as a 3-file directory, each file one
     * micro-batch folded through [[Search.appendBatch]] (exactly-once
@@ -5088,6 +5144,7 @@ object PipelineQueries {
     "q_search_prefix" -> searchPrefix _,
     "q_search_fuzzy_capped" -> searchFuzzyCapped _,
     "q_search_prefix_capped" -> searchPrefixCapped _,
+    "q_search_fuzzy_batch" -> searchFuzzyBatchQ _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -5205,6 +5262,7 @@ object PipelineQueries {
     "q_search_prefix" -> searchPrefixSql,
     "q_search_fuzzy_capped" -> searchFuzzyCappedSql,
     "q_search_prefix_capped" -> searchPrefixCappedSql,
+    "q_search_fuzzy_batch" -> searchFuzzyBatchSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

@@ -771,11 +771,24 @@ object Stress {
       Seq("b12"), topK = 10).count())
     require(nFz == 10 && nPf == 10,
       s"dictionary serves under-filled: fuzzy $nFz prefix $nPf")
+    // BATCHED fuzzy: every query a distinct typo'd term ("b<k>x",
+    // dist 1 from the in-vocabulary opening family) — the expansion
+    // computes ONCE over the batch vocabulary (<=1000 distinct typos)
+    // and the serve is the shared batched BM25 pass; per-query cost
+    // must stay far below nQueries x the single fuzzy serve
+    val fq = qFrame.select(col("qid"),
+      array(concat(lit("b"), pmod(col("qid") - nDocs, lit(1000)),
+        lit("x"))).as("terms"))
+    val (tFzB, nFzB) = timed(Search.searchFuzzyBatch(spark, sIdx, fq,
+      maxDist = 1, topK = 10).count())
+    require(nFzB == nQueries.toLong * 10,
+      s"batched fuzzy serve under-filled: $nFzB of ${nQueries * 10}")
     println(s"""{"metric":"stress_hybrid","docs":$nDocs,""" +
       s""""queries":$nQueries,"text_index_sec":$tText,""" +
       s""""vec_index_sec":$tVec,"lex_sec":$tLex,"sem_sec":$tSem,""" +
       s""""hybrid_sec":$tHyb,"fused_rows":$nHyb,""" +
-      s""""fuzzy_sec":$tFz,"prefix_sec":$tPf}""")
+      s""""fuzzy_sec":$tFz,"prefix_sec":$tPf,""" +
+      s""""fuzzy_batch_sec":$tFzB,"fuzzy_batch_rows":$nFzB}""")
     spark.stop()
   }
 

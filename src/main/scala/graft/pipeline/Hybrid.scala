@@ -257,13 +257,27 @@ object Hybrid {
     * semantic candidates (the usual self-match rule — pass non-corpus
     * qids for external queries). `filter` binds to both sides below
     * each retriever's top-k, with the same lexical fallback contract
-    * as [[hybridTopK]] when the text index lacks the column(s). */
+    * as [[hybridTopK]] when the text index lacks the column(s).
+    * `fuzzyDist` > 0 makes the LEXICAL side typo-tolerant: each
+    * query's terms rewrite to their vocabulary expansions
+    * ([[Search.expandQueriesFuzzy]] — expansion computed once over
+    * the batch vocabulary, per-term df-ranked cap at
+    * `fuzzyMaxExpansions`) before the shared BM25 pass; a query
+    * whose terms all fail to expand contributes no lexical
+    * candidates (its semantic side still serves). */
   def hybridTopKBatch(spark: SparkSession, textIdx: Search.Index,
       vecIdx: VecIndex.Index, queries: DataFrame,
       nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
       topK: Int = 10,
-      filter: Option[Column] = None): DataFrame = {
-    val qterms = queries.select("qid", "terms")
+      filter: Option[Column] = None,
+      fuzzyDist: Int = 0, fuzzyPrefixLen: Int = 1,
+      fuzzyMaxExpansions: Int = 50): DataFrame = {
+    val qterms0 = queries.select("qid", "terms")
+    val qterms =
+      if (fuzzyDist > 0)
+        Search.expandQueriesFuzzy(spark, textIdx, qterms0, fuzzyDist,
+          fuzzyPrefixLen, fuzzyMaxExpansions)
+      else qterms0
     val lex = filter match {
       case None =>
         Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex)

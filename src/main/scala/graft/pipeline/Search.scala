@@ -943,6 +943,98 @@ object Search {
     searchBm25Vocab(spark, idx, variants, topK)
   }
 
+  /** Prefix-pushdown cap for the BATCH fuzzy expansion: the batch's
+    * distinct term prefixes are collected only to build the
+    * `StringStartsWith` scan filter; past this many the disjunction
+    * stops paying (and the filter tree stops being codegen-friendly),
+    * so the probe falls back to the full tok-only dictionary column
+    * read — still one narrow column, never the corpus. */
+  private val MaxPrefixPushdown = 64
+
+  /** BATCHED [[fuzzyExpand]]: expansion pairs for a whole FRAME of
+    * terms (col `term`) — the expansion is computed ONCE over the
+    * batch's distinct vocabulary and shared by every query that uses
+    * a term. Same per-term df-ranked `maxExpansions` cap; the term
+    * frame is never collected (the only driver read is the distinct
+    * PREFIX set for the scan pushdown, capped at
+    * [[MaxPrefixPushdown]] — past that the probe reads the full
+    * tok-only dictionary column instead). */
+  def fuzzyExpandBatch(spark: SparkSession, idx: Index,
+      terms: DataFrame, maxDist: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"maxDist $maxDist out of the useful fuzzy band [0, 2]")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    require(maxExpansions >= 1,
+      s"maxExpansions $maxExpansions must be >= 1")
+    import spark.implicits._
+    val ts = terms.select(col("term")).distinct().localCheckpoint()
+    require(ts.filter(col("term").isNull
+        || length(col("term")) < prefixLen).isEmpty,
+      s"every term needs at least prefixLen=$prefixLen characters " +
+        "(null/short terms cannot anchor the vocabulary probe)")
+    val prefs = ts.select(substring(col("term"), 1, prefixLen).as("p"))
+      .distinct().limit(MaxPrefixPushdown + 1).as[String].collect()
+    val dict = postings(spark, idx)
+    val pruned =
+      if (prefs.length <= MaxPrefixPushdown)
+        dict.filter(prefs.map(p => col("tok").startsWith(lit(p)))
+          .reduce(_ || _))
+      else dict
+    val vocab = pruned.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("__df").desc, col("tok").asc)
+    vocab.join(broadcast(ts),
+        col("tok").startsWith(substring(col("term"), 1, prefixLen)) &&
+          abs(length(col("tok")) - length(col("term"))) <= maxDist &&
+          levenshtein(col("tok"), col("term"), maxDist) >= 0)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxExpansions)
+      .select("term", "tok")
+  }
+
+  /** Rewrite a `(qid, terms)` query batch to its FUZZY-EXPANDED form:
+    * each query's terms are replaced by the union of their
+    * [[fuzzyExpandBatch]] variants (shared expansion across the
+    * batch's vocabulary, per-term capped). A query whose terms ALL
+    * fail to expand drops from the frame — the batch analogue of the
+    * single-query "nothing expands → empty result". The result plugs
+    * straight into [[searchBm25Batch]] / the batched hybrid serve. */
+  def expandQueriesFuzzy(spark: SparkSession, idx: Index,
+      queries: DataFrame, maxDist: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50): DataFrame = {
+    require(queries
+        .filter(col("terms").isNull || size(col("terms")) === 0)
+        .isEmpty,
+      "expandQueriesFuzzy: a query has a null/empty term list — the " +
+        "single-query contract refuses empty term lists, and a batch " +
+        "must not silently drop the query")
+    val qt = queries
+      .select(col("qid"), explode(col("terms")).as("term")).distinct()
+    val exp = fuzzyExpandBatch(spark, idx, qt.select("term"), maxDist,
+      prefixLen, maxExpansions)
+    qt.join(exp, "term")
+      .select("qid", "tok").distinct()
+      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+  }
+
+  /** BATCHED typo-tolerant BM25: [[searchFuzzy]] for a whole
+    * `(qid, terms)` frame in one pass — the expansion is shared
+    * across the batch vocabulary ([[expandQueriesFuzzy]]) and the
+    * serve is the ordinary [[searchBm25Batch]] pipe (one
+    * bucket-pruned postings read, shared df/idf, qid-partitioned
+    * ranking). Per-query results identical to [[searchFuzzy]] on
+    * that query alone; `filter` carries the same Lucene
+    * filtered-query contract. */
+  def searchFuzzyBatch(spark: SparkSession, idx: Index,
+      queries: DataFrame, maxDist: Int, topK: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val expanded = expandQueriesFuzzy(spark, idx, queries, maxDist,
+      prefixLen, maxExpansions)
+    searchBm25Batch(spark, idx, expanded, topK, filter)
+  }
+
   /**
    * BATCHED [[searchBm25]]: per-query BM25 top-k for a whole frame of
    * queries — `queries` is `(qid, terms: array<string>)` — in ONE

@@ -848,6 +848,72 @@ class SearchSpec extends SparkSpec {
       got(Search.searchBm25(spark, fidx, Seq("alpha"), 10)))
   }
 
+  test("searchFuzzyBatch: per-query results identical to the " +
+      "single-query fuzzy pipe (capped AND uncapped); a query whose " +
+      "terms all fail to expand drops; empty term lists refuse; the " +
+      "hybrid batch serve takes the same expansion") {
+    val fdocs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpine beta"),
+      (3L, "beta gamma delta"),
+      (4L, "alpha beta gamma gamma gamma"),
+      (5L, "epsilon zeta alphas")).toDF("doc_id", "text")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-fuzzy-batch"))
+    val fidx = Search.writeIndex(fdocs, "doc_id", "text",
+      "target/tmp/search-fuzzy-batch")
+    val queries = Seq(
+      (10L, Seq("alphq")),
+      (11L, Seq("gammq", "alphas")),
+      (12L, Seq("qqqqq"))).toDF("qid", "terms")
+    def byQid(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (cap <- Seq(50, 1)) {
+      val batch = byQid(Search.searchFuzzyBatch(spark, fidx, queries,
+        maxDist = 1, topK = 10, maxExpansions = cap))
+      Seq((10L, Seq("alphq")), (11L, Seq("gammq", "alphas"))).foreach {
+        case (qid, terms) =>
+          val single = Search.searchFuzzy(spark, fidx, terms, 1,
+              topK = 10, maxExpansions = cap)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          assert(batch.getOrElse(qid, Set.empty) == single,
+            s"cap=$cap qid=$qid: ${batch.get(qid)} vs $single")
+      }
+      // nothing expands for qid 12 -> absent (single face: empty)
+      assert(!batch.contains(12L))
+    }
+    intercept[IllegalArgumentException] {
+      Search.searchFuzzyBatch(spark, fidx,
+        Seq((1L, Seq.empty[String])).toDF("qid", "terms"), 1, 10)
+    }
+    // the BATCHED HYBRID serve rides the same expansion: fuzzyDist>0
+    // == pre-expanding the query frame by hand
+    val cents = (0 until 2).map { id =>
+      (id.toLong, Array.tabulate(32)(i =>
+        (((id * 31 + i * 13) % 17).toFloat - 8f) / 8f))
+    }.toDF("cid", "cvec")
+    val vecs = (1 to 5).map { id =>
+      (id.toLong, Array.tabulate(32)(i =>
+        (((id * 31 + i * 13) % 17).toFloat - 8f) / 8f))
+    }.toDF("id", "vec")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/tmp/search-fuzzy-batch-vec"))
+    val vIdx = VecIndex.init(vecs, 32, "target/tmp/search-fuzzy-batch-vec",
+      centroids = Some(cents), cbBuckets = 1)
+    val qv = Seq((10L, Array.tabulate(32)(i => i.toFloat / 16f)),
+      (11L, Array.tabulate(32)(i => 1f - i.toFloat / 16f)))
+      .toDF("qid", "vec")
+    val hq = queries.filter(col("qid") < 12L).join(qv, "qid")
+    val gotH = byQid(Hybrid.hybridTopKBatch(spark, fidx, vIdx, hq,
+      nProbe = 2, nLex = 5, nSem = 5, topK = 5, fuzzyDist = 1))
+    val preExp = Search.expandQueriesFuzzy(spark, fidx,
+      queries.filter(col("qid") < 12L), 1)
+    val wantH = byQid(Hybrid.hybridTopKBatch(spark, fidx, vIdx,
+      preExp.join(qv, "qid"), nProbe = 2, nLex = 5, nSem = 5, topK = 5))
+    assert(gotH == wantH && gotH.nonEmpty)
+  }
+
   test("filtered BM25/conjunction: doc metadata stores in the sidecar, " +
       "the predicate binds below the top-k (full k among matching, " +
       "scores unchanged), survives delete/reingest + fold, and an " +

@@ -3976,11 +3976,20 @@ object Versioned {
     * A VACUUMED source bootstraps correctly: the fresh stream's
     * initial batch delivers the base checkpoint (the only copy of the
     * reclaimed prefix) and the fold treats its rows like any others.
-    * MERGE commits refuse loudly mid-stream (a column overlay has no
-    * self-contained row state to replicate — compact AND vacuum the
-    * source past the merge, then bootstrap a fresh replica from the
-    * base checkpoint; compact alone still leaves the raw merge
-    * version in the stream's plan); the schema is fixed at stream
+    * MERGE commits RESTATE instead of refusing: a column overlay has
+    * no self-contained row state, so a merge-bearing epoch folds by
+    * resolving its TOUCHED KEYS against the source at the epoch's
+    * end version — the O(delta) CDC old-state probe shape
+    * ([[changesIncremental]] step 2: bounded `fromCheckpointBase` V2
+    * read, IN-set file pruning, broadcast under `maxBroadcastKeys`) —
+    * with tombstones synthesized for touched keys dead at that
+    * version. Keys the epoch never touched are untouched in the
+    * replica, so the commit stays touched-keys-sized; merge-free
+    * epochs (the common case) keep the pure within-batch fold and
+    * never pay the probe. NULL keys under a merge-bearing epoch
+    * refuse loudly (null never equi-joins — the restatement cannot
+    * address the key; delete the null-key rows or avoid MERGE on
+    * that table). The schema is fixed at stream
     * start (restart
     * after schema-evolving commits, the stream contract). The replica
     * is an ordinary Versioned table: key-resolved reads, its own
@@ -4007,29 +4016,67 @@ object Versioned {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        // MERGE guard from METADATA first (free when the source has
-        // no merge commits — the common case); only a merge-bearing
-        // source pays a column-pruned distinct over the batch
+        // MERGE detection from METADATA first (free when the source
+        // has no merge commits — the common case); only a
+        // merge-bearing source pays a column-pruned distinct over the
+        // batch
         val mv = mergeVersions(spark, path).toSet
-        if (mv.nonEmpty) {
-          val hit = b.select(col(VersionCol).cast("int")).distinct()
-            .collect().map(_.getInt(0)).exists(mv.contains)
-          require(!hit,
-            s"replicateStreamTo: a MERGE commit in the stream from " +
-              s"$path carries a column overlay with no self-contained " +
-              "row state — compact AND vacuum the source past the " +
-              "merge (the base checkpoint then bootstraps a fresh " +
-              "replica; compact alone still re-delivers the raw " +
-              "merge version), then restart from a fresh checkpoint")
-        }
-        // legacy dirs may predate __seq — normalize like resolve()
-        val bs = if (b.columns.contains(SeqCol)) b
-          else b.withColumn(SeqCol, lit(null).cast("long"))
-        val w = Window.partitionBy(keyCol).orderBy(
-          col(VersionCol).desc, col(SeqCol).desc_nulls_last)
-        val folded = bs.withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .drop("__rk", VersionCol, SeqCol, MergeCol, CkptCol)
+        val bvs =
+          if (mv.isEmpty) Array.empty[Int]
+          else b.select(col(VersionCol).cast("int")).distinct()
+            .collect().map(_.getInt(0))
+        val folded =
+          if (!bvs.exists(mv.contains)) {
+            // merge-free epoch: pure within-batch fold (latest
+            // (__v, __seq) per key wins — every row self-contained).
+            // Legacy dirs may predate __seq — normalize like resolve()
+            val bs = if (b.columns.contains(SeqCol)) b
+              else b.withColumn(SeqCol, lit(null).cast("long"))
+            val w = Window.partitionBy(keyCol).orderBy(
+              col(VersionCol).desc, col(SeqCol).desc_nulls_last)
+            bs.withColumn("__rk", row_number().over(w))
+              .filter(col("__rk") === 1)
+              .drop("__rk", VersionCol, SeqCol, MergeCol, CkptCol)
+          } else {
+            // merge-bearing epoch: overlay rows are not
+            // self-contained, so RESTATE the epoch's touched keys
+            // from the source resolved at the epoch's end version —
+            // the changesIncremental old-state probe shape (bounded
+            // checkpoint-base read, IN-set pruning, broadcast-gated)
+            val vHi = bvs.max
+            val touched = b.select(col(keyCol).as("__ck")).distinct()
+              .localCheckpoint()
+            require(touched.filter(col("__ck").isNull).isEmpty,
+              s"replicateStreamTo: NULL keys in a MERGE-bearing epoch " +
+                s"from $path — null never equi-joins, so the " +
+                "restatement cannot resolve the key's state; delete " +
+                "the null-key rows (or avoid MERGE on this table)")
+            val probe =
+              if (touched.count() <= 5000000L) broadcast(touched)
+              else touched
+            val raw = spark.read.format("graft")
+              .option("versionAsOf", vHi.toString)
+              .option("fromCheckpointBase", "true")
+              .load(path)
+            val base0 = checkpoints(spark, path).filter(_ <= vHi)
+              .lastOption.getOrElse(0)
+            val live = resolve(
+                raw.join(probe, raw(keyCol) === col("__ck")).drop("__ck"),
+                keyCol, mv.exists(v => v > base0 && v <= vHi))
+              .drop(VersionCol, MergeCol, SeqCol, CkptCol)
+            // touched keys with no live row at vHi are dead there —
+            // synthesize tombstones so the replica's resolve agrees
+            val dataCols = live.columns
+              .filterNot(c => c == keyCol || c == DeletedCol)
+            val dead = touched
+              .join(live.select(col(keyCol).as("__lk")),
+                col("__ck") === col("__lk"), "left_anti")
+              .select(Seq(col("__ck").as(keyCol)) ++
+                dataCols.map(c => lit(null).cast(live.schema(c).dataType)
+                  .as(c)) ++
+                Seq(lit(true).as(DeletedCol)): _*)
+            live.unionByName(dead)
+          }
         appendBatch(folded, dstPath, id, ingest)
         ()
       }

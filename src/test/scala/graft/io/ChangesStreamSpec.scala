@@ -218,16 +218,87 @@ class ChangesStreamSpec extends SparkSpec {
     assert(String.valueOf(ev.getMessage).contains("vacuum horizon") ||
       ev.getCause != null && String.valueOf(ev.getCause.getMessage)
         .contains("vacuum horizon"))
-    // MERGE refuses loudly mid-stream (on the up-to-date replica)
+    // MERGE mid-stream RESTATES instead of refusing: the overlay
+    // epoch resolves its touched keys against the source at the
+    // epoch's end version — no restart, replica == source resolve
     Versioned.merge(Seq((2L, 99L)).toDF("k", "n"), src)
+    Versioned.replicateStreamTo(spark, src, "k", dst2, ckpt2,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(cur(dst2) == cur(src),
+      s"merge epoch must restate: ${cur(dst2)} vs ${cur(src)}")
+    assert(cur(dst2).exists(r => r._1 == 2L && r._3 == 99L &&
+      r._2 == "b"), // the overlay kept the untouched column
+      s"overlay semantics lost in restatement: ${cur(dst2)}")
+  }
+
+  test("merge-tolerant replication: an epoch mixing MERGE with " +
+      "deletes/inserts restates touched keys only (tombstones " +
+      "synthesized, untouched keys not rewritten); NULL keys under a " +
+      "merge epoch refuse loudly") {
+    val src = "target/tmp/repl-merge-src"
+    val dst = "target/tmp/repl-merge-dst"
+    val ckpt = "target/tmp/repl-merge-ckpt"
+    Seq(src, dst, ckpt).foreach(rmDir)
+    def cur(p: String): Set[(Long, String, Long)] =
+      Versioned.current(spark, p, "k").select("k", "s", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).toSet
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+        (4L, "d", 40L)).toDF("k", "s", "n"), src)            // v1
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt)
+      .awaitTermination()
+    assert(cur(dst) == cur(src))
+    // one epoch carrying: overlay on 2, overlay on 3 THEN delete 3,
+    // delete-then-reinsert 1, fresh insert 5 — the restatement must
+    // agree with the source resolve on every touched key
+    Versioned.merge(Seq((2L, 99L)).toDF("k", "n"), src)       // v2
+    Versioned.merge(Seq((3L, 77L)).toDF("k", "n"), src)       // v3
+    Versioned.delete(Seq(3L).toDF("k"), src)                  // v4
+    Versioned.delete(Seq(1L).toDF("k"), src)                  // v5
+    Versioned.append(Seq((1L, "a2", 11L), (5L, "e", 50L))
+      .toDF("k", "s", "n"), src)                              // v6
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt,
+      maxVersionsPerTrigger = 16).awaitTermination()
+    assert(cur(dst) == cur(src) && cur(dst) == Set(
+      (1L, "a2", 11L), (2L, "b", 99L), (4L, "d", 40L), (5L, "e", 50L)),
+      s"restated replica diverges: ${cur(dst)} vs ${cur(src)}")
+    // the restated epoch carries ONLY the touched keys (4 was never
+    // touched — a restatement that rewrote the whole table would be
+    // a full-copy, not a delta)
+    val lastV = Versioned.versions(spark, dst).max
+    val epochKeys = spark.read.parquet(s"$dst/v=$lastV")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(epochKeys == Set(1L, 2L, 3L, 5L),
+      s"epoch must carry exactly the touched keys, got $epochKeys")
+    assert(spark.read.parquet(s"$dst/v=$lastV")
+      .groupBy("k").count().filter(col("count") > 1).isEmpty,
+      "the restated fold must carry at most one row per key")
+    // downstream composition: the replica's own resolve serves the
+    // tombstone (3 stays dead) and a further merge replicates too
+    Versioned.merge(Seq((5L, 55L)).toDF("k", "n"), src)       // v7
+    Versioned.replicateStreamTo(spark, src, "k", dst, ckpt)
+      .awaitTermination()
+    assert(cur(dst) == cur(src) &&
+      cur(dst).exists(r => r._1 == 5L && r._3 == 55L))
+    // NULL key + merge in one epoch: loud, typed-message refusal
+    val srcN = "target/tmp/repl-merge-null-src"
+    val dstN = "target/tmp/repl-merge-null-dst"
+    val ckptN = "target/tmp/repl-merge-null-ckpt"
+    Seq(srcN, dstN, ckptN).foreach(rmDir)
+    Versioned.append(Seq((Some(1L), "a", 10L))
+      .toDF("k", "s", "n"), srcN)
+    Versioned.append(Seq((Option.empty[Long], "z", 0L))
+      .toDF("k", "s", "n"), srcN)
+    Versioned.merge(Seq((1L, 99L)).toDF("k", "n"), srcN)
     val e = intercept[
         org.apache.spark.sql.streaming.StreamingQueryException] {
-      Versioned.replicateStreamTo(spark, src, "k", dst2, ckpt2,
-        maxVersionsPerTrigger = 2).awaitTermination()
+      Versioned.replicateStreamTo(spark, srcN, "k", dstN, ckptN)
+        .awaitTermination()
     }
-    assert(e.getMessage.contains("MERGE") ||
+    assert(String.valueOf(e.getMessage).contains("NULL") ||
       e.getCause != null && String.valueOf(e.getCause.getMessage)
-        .contains("MERGE"))
+        .contains("NULL"))
   }
 
   test("CDC vacuum contract: fromV = 0 is the empty anchor even after " +

@@ -55,7 +55,7 @@ class ReplicateModelSpec extends SparkSpec {
     Versioned.append(Seq((1L, 10L)).toDF("k", "x"), src)
     model(1L) = 10L
     drain("seed")
-    for (i <- 1 to 18) rnd.nextInt(6) match {
+    for (i <- 1 to 18) rnd.nextInt(7) match {
       case 0 | 1 => // append/upsert a small batch
         val rows = (1 to 1 + rnd.nextInt(3)).map { _ =>
           (1L + rnd.nextInt(9), rnd.nextInt(100).toLong)
@@ -78,7 +78,7 @@ class ReplicateModelSpec extends SparkSpec {
           Versioned.compact(spark, src, "k")
           trace += "compact(src)"
         }
-      case _ => // replica-side maintenance between drains
+      case 5 => // replica-side maintenance between drains
         if (Versioned.latestVersion(spark, dst) > 0) {
           Versioned.compact(spark, dst, "k")
           Versioned.vacuum(spark, dst, 0)
@@ -87,10 +87,17 @@ class ReplicateModelSpec extends SparkSpec {
             s"replica maintenance changed answers after " +
               s"[${trace.mkString(" -> ")}]")
         }
+      case _ => // MERGE overlay (insert-on-absent semantics): the
+        // merge-bearing epoch must restate through the source resolve
+        val k = 1L + rnd.nextInt(9)
+        val x = rnd.nextInt(100).toLong
+        Versioned.merge(Seq((k, x)).toDF("k", "x"), src)
+        model(k) = x
+        trace += s"merge($k -> $x)"
     }
     drain("final")
     assert(drains >= 3 && trace.exists(_.startsWith("append")) &&
-      trace.exists(_.startsWith("maintain")), s"trace: $trace")
+      trace.exists(_.startsWith("merge")), s"trace: $trace")
     // every replica epoch folded to at most one row per key
     Versioned.versions(spark, dst).foreach { v =>
       val dup = spark.read.parquet(s"$dst/v=$v")

@@ -1466,6 +1466,86 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** TABLE → INDEX CDC SYNC ([[IndexSync.syncSearch]]): a Versioned
+    * table mutates through upsert (every 5th doc's text gains a
+    * token), delete (every 7th doc), and restore (undoing the
+    * delete), drained into an at-rest text index across TWO
+    * incremental syncs (bootstrap fold + the restore diff) — then
+    * BM25 serves from the synced index. The oracle replays the
+    * table's RESOLVED current state (upsert wins, delete+restore
+    * cancel) and the full BM25 formula over it: any missed delete,
+    * double-ingested doc, or drifted corpus constant (N, avgdl ride
+    * the marker deltas) hash-mismatches. */
+  def tableIndexSync(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vtable-idxsync-$tag"
+    val sp = s"$path-sidx"
+    idxSyncBuilt.synchronized {
+      idxSyncBuilt.getOrElseUpdate(path, {
+        Versioned.drop(spark, path)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(sp))
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        Versioned.append(docs.select("doc_id", "text", "lang"), path) // v1
+        Versioned.append(docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" refreshed")).as("text"),
+            col("lang")), path)                                      // v2
+        Versioned.delete(docs.filter(col("doc_id") % 7 === 0)
+          .select("doc_id"), path)                                   // v3
+        // first drain: bootstrap fold (0, 3] into an EMPTY index
+        Search.writeIndex(docs.select("doc_id", "text", "lang").limit(0),
+          "doc_id", "text", sp)
+        IndexSync.syncSearch(spark, path, "doc_id", "text",
+          Search.open(spark, sp))
+        Versioned.restore(spark, path, "doc_id", 2)                  // v4
+        // second drain: the restore diff re-ingests the 7th docs
+        IndexSync.syncSearch(spark, path, "doc_id", "text",
+          Search.open(spark, sp))
+        ()
+      })
+    }
+    Search.searchBm25(spark, Search.open(spark, sp),
+        Seq("window", "merge", "refreshed"), topK = 20)
+      .orderBy(col("score").desc, col("id"))
+  }
+
+  private val idxSyncBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  val tableIndexSyncSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text, 1 AS v FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text || ' refreshed', 2 FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |cur AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rk
+       |    FROM u) WHERE rk = 1),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM cur),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN ('window', 'merge', 'refreshed')
+       |      GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM cur),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |sc AS (
+       |  SELECT f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n)))), 6) AS score
+       |  FROM f JOIN d USING (tok), stats GROUP BY 1)
+       |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   /** BATCHED typo-tolerant BM25 ([[Search.searchFuzzyBatch]]): two
     * queries with different typo'd term sets served in ONE pass —
     * the expansion is computed once over the batch vocabulary and
@@ -5145,6 +5225,7 @@ object PipelineQueries {
     "q_search_fuzzy_capped" -> searchFuzzyCapped _,
     "q_search_prefix_capped" -> searchPrefixCapped _,
     "q_search_fuzzy_batch" -> searchFuzzyBatchQ _,
+    "q_table_index_sync" -> tableIndexSync _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -5263,6 +5344,7 @@ object PipelineQueries {
     "q_search_fuzzy_capped" -> searchFuzzyCappedSql,
     "q_search_prefix_capped" -> searchPrefixCappedSql,
     "q_search_fuzzy_batch" -> searchFuzzyBatchSql,
+    "q_table_index_sync" -> tableIndexSyncSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

@@ -2045,6 +2045,38 @@ object Versioned {
   def current(spark: SparkSession, path: String, keyCol: String): DataFrame =
     currentAsOf(spark, path, keyCol, latestVersion(spark, path))
 
+  /** Bounded POINT-LOOKUP resolve: the current rows AT version `v`
+    * for exactly the given key set — the [[changesIncremental]]
+    * old-state probe as a public face. The read is the V2 scan at
+    * `versionAsOf = v` with `fromCheckpointBase` (newest checkpoint +
+    * the log above it — bounded dirs, key-clustered zone maps), the
+    * key set joins BEFORE the resolve (broadcast under
+    * `maxBroadcastKeys`, plain join above) so the runtime IN-set file
+    * pruning makes it a per-key file lookup, never a table scan. Keys
+    * dead or absent at `v` yield NO row; meta columns are dropped.
+    * `keys` may use any column name — its FIRST column is the key.
+    * This is what [[replicateStreamTo]]'s merge restatement and the
+    * table→index CDC sync ([[graft.pipeline.IndexSync]]) read. */
+  def currentForKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, v: Int = -1,
+      maxBroadcastKeys: Long = 5000000L): DataFrame = {
+    val toV = if (v < 0) latestVersion(spark, path) else v
+    require(toV > 0, s"currentForKeys: no committed versions at $path")
+    val k = keys.select(col(keys.columns.head).as("__ck")).distinct()
+      .localCheckpoint()
+    val probe = if (k.count() <= maxBroadcastKeys) broadcast(k) else k
+    val raw = spark.read.format("graft")
+      .option("versionAsOf", toV.toString)
+      .option("fromCheckpointBase", "true")
+      .load(path)
+    val base0 = checkpoints(spark, path).filter(_ <= toV)
+      .lastOption.getOrElse(0)
+    resolve(raw.join(probe, raw(keyCol) === col("__ck")).drop("__ck"),
+        keyCol,
+        mergeVersions(spark, path).exists(mv => mv > base0 && mv <= toV))
+      .drop(VersionCol, DeletedCol, MergeCol, SeqCol, CkptCol)
+  }
+
   /**
    * SCD Type-2 history view: every state each key has taken, with the
    * version interval it was valid for — `valid_from` (the commit that
@@ -4051,19 +4083,8 @@ object Versioned {
                 s"from $path — null never equi-joins, so the " +
                 "restatement cannot resolve the key's state; delete " +
                 "the null-key rows (or avoid MERGE on this table)")
-            val probe =
-              if (touched.count() <= 5000000L) broadcast(touched)
-              else touched
-            val raw = spark.read.format("graft")
-              .option("versionAsOf", vHi.toString)
-              .option("fromCheckpointBase", "true")
-              .load(path)
-            val base0 = checkpoints(spark, path).filter(_ <= vHi)
-              .lastOption.getOrElse(0)
-            val live = resolve(
-                raw.join(probe, raw(keyCol) === col("__ck")).drop("__ck"),
-                keyCol, mv.exists(v => v > base0 && v <= vHi))
-              .drop(VersionCol, MergeCol, SeqCol, CkptCol)
+            val live = currentForKeys(spark, path, keyCol, touched, vHi)
+              .withColumn(DeletedCol, lit(false))
             // touched keys with no live row at vHi are dead there —
             // synthesize tombstones so the replica's resolve agrees
             val dataCols = live.columns

@@ -597,9 +597,11 @@ object Search {
     }
   }
 
-  /** Corpus constants (N, avgdl) from the read set's marker deltas —
-    * driver-side file reads, exact integer sums, zero data scan. */
-  private def stats(spark: SparkSession, idx: Index): (Long, Long) = {
+  /** Corpus constants (N, sum dlen) from the read set's marker
+    * deltas — driver-side file reads, exact integer sums, zero data
+    * scan. Public face: live doc count for emptiness/health checks
+    * (the [[IndexSync]] bootstrap gate). */
+  private[pipeline] def stats(spark: SparkSession, idx: Index): (Long, Long) = {
     val ms = liveMetas(spark, fsOf(spark, idx.path), idx.path)
     (ms.map(_.a).sum, ms.map(_.b).sum)
   }

@@ -248,8 +248,7 @@ private[sources] object GraftProcedures {
       val p = new org.apache.hadoop.fs.Path(ip)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    props.toSeq.filter(_._1.startsWith("index."))
-      .sortBy(_._1).flatMap { case (k, v) =>
+    declaredIndexes(props).flatMap { case (k, v) =>
         val name = k.stripPrefix("index.")
         val acts = v.split(":", 2) match {
           // declared-before-built: a skip row, not a sweep-wide
@@ -265,6 +264,73 @@ private[sources] object GraftProcedures {
         }
         acts.map { case (a, det) => (a, s"index $name: $det") }
       }
+  }
+
+  /** The `index.<name>` DECLARATIONS among a table's properties —
+    * sub-properties (`index.<name>.text` / `.vec` / `.sync`, the
+    * sync-binding knobs) are not declarations. Sorted for
+    * deterministic sweep order. */
+  private def declaredIndexes(
+      props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.filter { case (k, _) =>
+      k.startsWith("index.") && !k.stripPrefix("index.").contains(".")
+    }.sortBy(_._1)
+
+  /** TABLE → INDEX CDC SYNC over the table's declared indexes
+    * ([[graft.pipeline.IndexSync]]): drain the table's change feed
+    * `(watermark, head]` into each — inserts/updates re-ingest the
+    * keys' current rows, deletes tombstone, exactly once per source
+    * version. Bindings: key from the table's `key` property, text
+    * column from `index.<name>.text` (default `text`), vector column
+    * from `index.<name>.vec` (default `vec`). `onlyOptIn` restricts
+    * to indexes declaring `index.<name>.sync = 'true'` — the
+    * maintain sweep's gate, so a hand-maintained declared index is
+    * never surprise-synced; the explicit `sync_indexes` CALL syncs
+    * every declaration. `isolate` turns a failing sync into a
+    * `sync-error` row instead of killing a namespace sweep. */
+  private def syncDeclaredIndexes(path: String,
+      props: Map[String, String], onlyOptIn: Boolean,
+      isolate: Boolean = false): Seq[(String, String)] = {
+    def exists(ip: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(ip)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    declaredIndexes(props).flatMap { case (k, v) =>
+      val name = k.stripPrefix("index.")
+      def run(): Seq[(String, String)] = v.split(":", 2) match {
+        case Array("search" | "vector", ip) if !exists(ip) =>
+          Seq(("skip", s"index $name: not built yet"))
+        case Array(kind @ ("search" | "vector"), ip) =>
+          val key = props.getOrElse(GraftCatalog.KeyProp, sys.error(
+            s"table $path has no 'key' property; the index sync " +
+              "resolves keys — ALTER TABLE … SET TBLPROPERTIES " +
+              "('key' = '<col>')"))
+          val (f, t) =
+            if (kind == "search")
+              graft.pipeline.IndexSync.syncSearch(spark, path, key,
+                props.getOrElse(s"index.$name.text", "text"),
+                Search.open(spark, ip))
+            else
+              graft.pipeline.IndexSync.syncVector(spark, path, key,
+                props.getOrElse(s"index.$name.vec", "vec"),
+                VecIndex.open(spark, ip))
+          if (t > f)
+            Seq(("sync", s"index $name: folded source versions ($f, $t]"))
+          else Seq(("noop", s"index $name: up to date at $t"))
+        case _ => sys.error(s"table property $k must be " +
+          s"'search:<path>' or 'vector:<path>', got '$v'")
+      }
+      if (onlyOptIn && !props.get(s"index.$name.sync").contains("true"))
+        Nil
+      else if (!isolate) run()
+      else
+        try run()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(("sync-error", s"index $name: sync failed — the " +
+              s"sweep continues: ${e.getMessage}"))
+        }
+    }
   }
 
   /** The VIEW-FRESHNESS half of a maintenance pass: when the table's
@@ -351,7 +417,9 @@ private[sources] object GraftProcedures {
         val p = tablePath(cat, row)
         val props = cat.propsOf(p)
         (maintainViewFreshness(cat, p, props) ++
-          maintainTable(p, props) ++ maintainIndexes(p, props)).map {
+          maintainTable(p, props) ++
+          syncDeclaredIndexes(p, props, onlyOptIn = true) ++
+          maintainIndexes(p, props)).map {
           case (a, det) => InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(a),
             org.apache.spark.unsafe.types.UTF8String.fromString(det))
@@ -392,7 +460,10 @@ private[sources] object GraftProcedures {
           // maintenance never resolves the table's key)
           val acts = maintainViewFreshness(cat, p, props,
             isolate = true) ++
-            maintainTable(p, props) ++ maintainIndexes(p, props)
+            maintainTable(p, props) ++
+            syncDeclaredIndexes(p, props, onlyOptIn = true,
+              isolate = true) ++
+            maintainIndexes(p, props)
           acts.map { case (a, det) =>
             InternalRow(u(ident.name), u(a), u(det)) }
         }.toArray
@@ -639,6 +710,30 @@ private[sources] object GraftProcedures {
         Search.searchPrefix(spark, Search.open(spark, p), prefixes,
             row.getInt(2))
           .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
+    new Proc("sync_indexes",
+      "table -> index CDC sync: drain the table's change feed " +
+        "(watermark, head] into EVERY index declared via " +
+        "index.<name> = 'search:<path>' | 'vector:<path>' table " +
+        "properties — inserts/updates re-ingest the keys' current " +
+        "rows (bounded point-lookup read), deletes tombstone, " +
+        "exactly once per source version (the append carries the " +
+        "head-version marker); bindings: key from the table's 'key' " +
+        "property, text column from index.<name>.text (default " +
+        "'text'), vector column from index.<name>.vec (default " +
+        "'vec'). Set index.<name>.sync = 'true' to run this sync " +
+        "automatically inside maintain / maintain_all. Returns " +
+        "(action, detail) rows",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("action", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false))),
+      (cat, row) => {
+        val p = tablePath(cat, row)
+        syncDeclaredIndexes(p, cat.propsOf(p), onlyOptIn = false).map {
+          case (a, det) => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(a),
+            org.apache.spark.unsafe.types.UTF8String.fromString(det))
+        }.toArray
       }),
     new Proc("eval_retrieval",
       "offline retrieval evaluation: per-query recall@k, reciprocal " +

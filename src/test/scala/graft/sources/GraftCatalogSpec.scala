@@ -547,6 +547,80 @@ class GraftCatalogSpec extends SparkSpec {
       == want)
   }
 
+  test("CALL sync_indexes drains table DML into declared indexes; " +
+      "maintain auto-syncs only with index.<name>.sync = 'true'; a " +
+      "keyless table refuses; re-CALL is a noop") {
+    import graft.pipeline.Search
+    spark.sql("DROP TABLE IF EXISTS graft_test.syncidx")
+    val sp = "target/tmp/cat-syncidx-search"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sp))
+    spark.sql("CREATE TABLE graft_test.syncidx " +
+      "(id BIGINT, text STRING, lang STRING) TBLPROPERTIES " +
+      s"('key' = 'id', 'index.docs' = 'search:$sp')")
+    spark.sql("INSERT INTO graft_test.syncidx VALUES " +
+      "(1, 'quick brown fox', 'en'), (2, 'lazy dog', 'en'), " +
+      "(3, 'quick dog runs', 'xx')")
+    // declared-before-built: a skip row, not a failure
+    assert(spark.sql("CALL graft_test.system.sync_indexes('syncidx')")
+      .as[(String, String)].collect().toSeq
+      .exists(r => r._1 == "skip" && r._2.contains("not built yet")))
+    // sync-managed index bootstraps EMPTY; the CALL drains the table
+    Search.writeIndex(Seq.empty[(Long, String, String)]
+      .toDF("id", "text", "lang"), "id", "text", sp)
+    val acts = spark.sql("CALL graft_test.system.sync_indexes('syncidx')")
+      .as[(String, String)].collect().toSeq
+    assert(acts.exists(r => r._1 == "sync" &&
+      r._2.contains("index docs")), s"got $acts")
+    def served(): Seq[(Long, Double)] = spark.sql(
+        s"CALL graft_test.system.bm25('$sp', 'quick dog', 10)")
+      .as[(Long, Double)].collect().toSeq
+    def fresh(): Seq[(Long, Double)] = {
+      val rp = "target/tmp/cat-syncidx-ref"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rp))
+      val cur = graft.io.Versioned.current(spark, s"$wh/syncidx", "id")
+      Search.searchBm25(spark, Search.writeIndex(cur, "id", "text", rp),
+          Seq("quick", "dog"), 10)
+        .as[(Long, Double)].collect().toSeq
+    }
+    assert(served() == fresh() && served().nonEmpty)
+    // DML through SQL, re-CALL: converges again; then a noop re-CALL
+    spark.sql("DELETE FROM graft_test.syncidx WHERE id = 2")
+    spark.sql("INSERT INTO graft_test.syncidx VALUES " +
+      "(4, 'another quick fox', 'en')")
+    spark.sql("CALL graft_test.system.sync_indexes('syncidx')")
+    assert(served() == fresh())
+    assert(!served().exists(_._1 == 2L))
+    assert(spark.sql("CALL graft_test.system.sync_indexes('syncidx')")
+      .as[(String, String)].collect().toSeq
+      .forall(_._1 == "noop"))
+    // maintain does NOT sync without the opt-in property...
+    spark.sql("INSERT INTO graft_test.syncidx VALUES " +
+      "(5, 'dog dog dog', 'en')")
+    assert(!spark.sql("CALL graft_test.system.maintain('syncidx')")
+      .as[(String, String)].collect().exists(_._1 == "sync"))
+    // ...and DOES with it (one cron'd maintain keeps serve fresh)
+    spark.sql("ALTER TABLE graft_test.syncidx SET TBLPROPERTIES " +
+      "('index.docs.sync' = 'true')")
+    assert(spark.sql("CALL graft_test.system.maintain('syncidx')")
+      .as[(String, String)].collect().exists(_._1 == "sync"))
+    assert(served() == fresh())
+    assert(served().exists(_._1 == 5L))
+    // keyless table with a declared index: the sync resolves keys,
+    // so the CALL refuses loudly
+    spark.sql("DROP TABLE IF EXISTS graft_test.syncidx_nokey")
+    spark.sql("CREATE TABLE graft_test.syncidx_nokey " +
+      "(id BIGINT, text STRING) TBLPROPERTIES " +
+      s"('index.docs' = 'search:$sp')")
+    spark.sql("INSERT INTO graft_test.syncidx_nokey VALUES (1, 'x')")
+    val ek = intercept[Exception] {
+      spark.sql("CALL graft_test.system.sync_indexes('syncidx_nokey')")
+        .collect()
+    }
+    assert(String.valueOf(ek.getMessage).contains("key") ||
+      ek.getCause != null &&
+        String.valueOf(ek.getCause.getMessage).contains("key"))
+  }
+
   test("ALTER TABLE ADD COLUMN and MERGE ... WITH SCHEMA EVOLUTION: " +
       "a source column absent from the target lands without a manual " +
       "widen, on plain AND column-mapped tables") {

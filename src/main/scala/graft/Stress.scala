@@ -26,7 +26,7 @@ object Stress {
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
       "dmlrace", "maintain", "cdc", "retrainpolicy", "hybrid",
-      "replicate")
+      "replicate", "colbert")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -66,6 +66,11 @@ object Stress {
       val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 1000
       hybridStress(spark, nd, nq, cpus.toInt); return
+    }
+    if (mode == "colbert") {
+      val nc = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
+      val nq = if (numArgs.length > 1) numArgs(1).toInt else 1000
+      colbertStress(spark, nc, nq, cpus.toInt); return
     }
     if (mode == "replicate") {
       val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
@@ -789,6 +794,85 @@ object Stress {
       s""""hybrid_sec":$tHyb,"fused_rows":$nHyb,""" +
       s""""fuzzy_sec":$tFz,"prefix_sec":$tPf,""" +
       s""""fuzzy_batch_sec":$tFzB,"fuzzy_batch_rows":$nFzB}""")
+    spark.stop()
+  }
+
+  /** ColBERT late-interaction serve stress: `colbert <chunks>
+    * [<nQueries>]` (default 1M × 1k). The claim under test is the
+    * TOKEN-BATCH scaling of [[graft.pipeline.VecIndex.maxSimTopKMulti]]:
+    * all of a batch's query tokens ride ONE probed read whose probed
+    * cids are deduped ACROSS tokens before the scan (the bounded <= C
+    * collect in ivfTopK), so 8x the tokens per query must cost far
+    * less than 8x the wall clock — the per-token marginal cost is the
+    * candidate scoring, not a repeated scan. In-run assertions: the
+    * serve plan's parquet scans all carry `cb` partition filters
+    * (bucket-pruned, never corpus-shaped), and every query fills its
+    * top-k. */
+  private def colbertStress(spark: SparkSession, nChunks: Long,
+      nQueries: Int, cpus: Int): Unit = {
+    import graft.pipeline.VecIndex
+    val dim = 64
+    def comp(j: Int) =
+      (((col("id") * (1103515245L + j) + j * 12345L) % 100003L)
+        .cast("double") / 100003.0 - 0.5).cast("float")
+    val emb = spark.range(nChunks).repartition(cpus * 4)
+      .select(col("id"), array((0 until dim).map(comp): _*).as("vec"))
+    val chunks = emb.withColumn("doc", expr("id div 16"))
+    val vPath = "target/tmp/stress-colbert-vec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vPath))
+    val nCent = 256
+    val centroids = emb.filter(col("id") < nCent)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val t0 = System.nanoTime()
+    val vIdx = VecIndex.init(chunks, dim, vPath,
+      centroids = Some(centroids), cbBuckets = 32)
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    // nQueries queries × T tokens each: qids above the corpus, qtoks
+    // globally unique and non-corpus (the multi-vector contract)
+    def queryFrame(t: Int) = spark.range(nQueries.toLong * t)
+      .repartition(cpus)
+      .select((expr(s"id div $t") + nChunks).as("qid"),
+        (col("id") + 2L * nChunks).as("qtok"),
+        array((0 until dim).map(comp): _*).as("vec"))
+      .localCheckpoint()
+    def timed[T](f: => T): (Double, T) = {
+      val s = System.nanoTime(); val r = f
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    val perTok = Seq(4, 16, 32).map { t =>
+      val serve = VecIndex.maxSimTopKMulti(spark, queryFrame(t), vIdx,
+        "doc", nProbe = 4, nChunks = 16, k = 10)
+      val (sec, n) = timed(serve.count())
+      require(n == nQueries.toLong * 10,
+        s"t=$t: serve under-filled, $n of ${nQueries * 10}")
+      // bucket-pruned, never corpus-shaped: every parquet scan in the
+      // served plan carries a cb partition filter
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec => flatten(s.plan)
+        case o => o.children.flatMap(flatten)
+      })
+      val scans = flatten(serve.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+      require(scans.nonEmpty, s"t=$t: expected parquet scans")
+      scans.foreach { s =>
+        require(s.partitionFilters.exists(
+            _.references.exists(_.name == "cb")),
+          s"t=$t: corpus-shaped scan in the maxsim serve: ${s.nodeName}")
+      }
+      (t, sec)
+    }
+    val byT = perTok.map { case (t, s) => s""""t$t":$s""" }.mkString(",")
+    val (t4, t32) = (perTok.head._2, perTok.last._2)
+    require(t32 <= 6.0 * t4,
+      f"8x tokens cost ${t32 / t4}%.1fx — the shared probed read " +
+        "is not amortizing across tokens")
+    println(s"""{"metric":"stress_colbert","chunks":$nChunks,""" +
+      s""""queries":$nQueries,"index_sec":$tIdx,$byT,""" +
+      f""""tok_scaling_32_over_4":${t32 / t4}%.2f}""")
     spark.stop()
   }
 

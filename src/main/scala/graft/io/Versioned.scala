@@ -2987,9 +2987,18 @@ object Versioned {
     * [[detail]]'s `exported_files`. Re-pinning the same name replaces
     * the previous pin (lease renewal).
     *
-    * A successful return GUARANTEES the snapshot's files existed
-    * after the registration landed (the racing-vacuum window is
-    * re-checked; a torn pin is released and raises). Lease expiry is
+    * A successful return means the snapshot's files existed after
+    * the registration landed (the racing-vacuum window is re-checked;
+    * a torn pin is released and raises), and [[vacuum]] re-reads the
+    * registry immediately before each version-dir delete, so a
+    * visible pin is honored from then on. The guarantee is NOT
+    * airtight against a vacuum mid-delete: a registration that lands
+    * after the racing vacuum's final per-dir registry read, whose own
+    * re-list also beats that dir's delete, can return success and
+    * lose the files an instant later — the window is the sub-second
+    * gap between one registry read and one dir delete, but it exists;
+    * treat an early FileNotFound under a fresh pin as "re-plan the
+    * read at or above the new vacuum base". Lease expiry is
     * judged by the VACUUMING process's clock against this call's
     * stamp, with a fixed [[pinLeaseSlackMs]] skew allowance — leases
     * assume loosely synchronized clocks; size `leaseMs` to the read's
@@ -3430,7 +3439,16 @@ object Versioned {
               if (!f.exists(dst)) f.create(dst, false).close()
             }
           val dirQ = f.makeQualified(dir).toString
-          val keep = exported.filter(_.startsWith(dirQ + "/"))
+          // a pin registered AFTER this vacuum's planning read must
+          // still be honored: re-read the export registry immediately
+          // before THIS dir's delete (one store read per doomed dir —
+          // bounded by the horizon). The only window left is a
+          // registration landing inside the instant between this read
+          // and the delete below; pinSnapshot's post-CAS re-list
+          // catches that unless the re-list ALSO beats the delete —
+          // the documented residual in pinSnapshot's contract.
+          val keep = exportedFiles(spark, path)
+            .filter(_.startsWith(dirQ + "/"))
             .map(p => new Path(p).getName)
           if (keep.isEmpty) { f.delete(dir, true); () }
           else {
@@ -4104,6 +4122,24 @@ object Versioned {
       .start()
   }
 
+  /** MIGRATION note (r17 pipe swap): this pipe once read the
+    * file-glob [[logStream]] and marked sink epochs with BARE
+    * `_BATCH_<epoch>` ids; it now reads the admission-controlled V2
+    * source and scopes markers per checkpoint (`cdc<hash>-…`).
+    * Checkpoints from the old pipe are INCOMPATIBLE on resume (source
+    * offsets and marker scopes both changed): drain the old stream to
+    * idle, then restart from a FRESH checkpoint location — the new
+    * stream re-delivers from the source's start (or its base
+    * checkpoint) into the same sink exactly once under its own scope.
+    * One residual from a TORN old-pipe epoch (sink append landed, the
+    * engine's checkpoint commit lost): that epoch's rows re-deliver
+    * under the new scope as duplicate feed rows — dedup the feed once
+    * on `(key, change_type, change_version)` after migrating. Legacy
+    * bare markers are deliberately NOT honored by the new scope: a
+    * fresh stream's epoch ids restart at 0, and treating the old
+    * stream's bare `_BATCH_0..n` as "already applied" would silently
+    * swallow the new stream's first epochs — the exact bug the scope
+    * exists to prevent. */
   def changesStreamTo(spark: SparkSession, path: String, keyCol: String,
       sinkPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

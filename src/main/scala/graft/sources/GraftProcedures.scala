@@ -834,6 +834,44 @@ private[sources] object GraftProcedures {
             terms, q, nProbe = row.getInt(4), topK = row.getInt(5))
           .collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
       }),
+    new Proc("hybrid_topk_weighted",
+      "hybrid retrieval with TUNED fusion: BM25 top-20 + probed " +
+        "cosine top-20 fused by fusion = 'rrf' (score = " +
+        "w_i/(60+rank_i), per-list weights) or 'minmax' (each list " +
+        "min-max normalized to [0,1] over its own candidates, " +
+        "weighted sum) to top-k; rows are (id, score)",
+      Seq(in("text_index_path", StringType),
+        in("vector_index_path", StringType), in("query", StringType),
+        in("vector", StringType), in("n_probe", IntegerType),
+        in("k", IntegerType), in("w_lex", DoubleType),
+        in("w_sem", DoubleType), in("fusion", StringType)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      (_, row) => {
+        val terms = str(row, 2, "query")
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val vec = str(row, 3, "vector").split(',').map(_.trim.toFloat)
+        val sess = spark
+        import sess.implicits._
+        val q = Seq((-1L, vec)).toDF("id", "vec")
+        val lex = Search.searchBm25(spark,
+          Search.open(spark, str(row, 0, "text_index_path")), terms,
+          topK = 20)
+        val sem = VecIndex.ivfTopK(spark, q,
+          VecIndex.open(spark, str(row, 1, "vector_index_path")),
+          row.getInt(4), 20)
+        val lists = Seq((lex, "id", "score"), (sem, "nid", "cos"))
+        val ws = Seq(row.getDouble(6), row.getDouble(7))
+        val fused = str(row, 8, "fusion") match {
+          case "rrf" => graft.pipeline.Hybrid
+            .rrf(lists, 60, row.getInt(5), weights = ws)
+          case "minmax" => graft.pipeline.Hybrid
+            .minMaxFuse(lists, ws, row.getInt(5))
+          case other => sys.error(
+            s"fusion must be 'rrf' or 'minmax', got '$other'")
+        }
+        fused.collect().map(r => InternalRow(r.getLong(0), r.getDouble(1)))
+      }),
     new Proc("ann_topk",
       "probed ANN top-k over an at-rest generational vector index " +
         "(path-addressed; query vector as comma-separated floats; " +

@@ -1834,6 +1834,25 @@ class GraftCatalogSpec extends SparkSpec {
         Seq("quick", "dog"), qv, nProbe = 2, topK = 5)
       .as[(Long, Double)].collect().toSeq
     assert(hyGot == hyWant && hyGot.nonEmpty)
+    // TUNED fusion: weighted RRF and min-max both match the manual
+    // composition; weight (1,1) rrf == the unweighted hybrid face
+    val lex = Search.searchBm25(spark, sidx, Seq("quick", "dog"), 20)
+    val sem = VecIndex.ivfTopK(spark, qv, vidx, 2, 20)
+    val lists = Seq((lex, "id", "score"), (sem, "nid", "cos"))
+    def callW(wl: Double, ws: Double, fusion: String) = spark.sql(
+        "CALL graft_test.system.hybrid_topk_weighted(" +
+          s"'$sp', '$vp', 'quick dog', '$vecStr', 2, 5, $wl, $ws, " +
+          s"'$fusion')")
+      .as[(Long, Double)].collect().toSeq
+    assert(callW(0.75, 0.25, "rrf") ==
+      Hybrid.rrf(lists, 60, 5, weights = Seq(0.75, 0.25))
+        .as[(Long, Double)].collect().toSeq)
+    assert(callW(1.0, 1.0, "rrf") == hyGot.take(5) ||
+      callW(1.0, 1.0, "rrf") == hyWant)
+    assert(callW(0.6, 0.4, "minmax") ==
+      Hybrid.minMaxFuse(lists, Seq(0.6, 0.4), 5)
+        .as[(Long, Double)].collect().toSeq)
+    intercept[Exception] { callW(0.5, 0.5, "zscore") }
   }
 
   test("CALL system.index_delete_where: predicate tombstones over " +

@@ -26,7 +26,7 @@ object Stress {
       "mv", "skview", "curation", "vecidx", "annprobed", "sinkstream",
       "dppscan", "inccompact", "lakeloop", "annpq", "searchfold",
       "dmlrace", "maintain", "cdc", "retrainpolicy", "hybrid",
-      "replicate", "colbert")
+      "replicate", "colbert", "idxsync")
     val mode = args.headOption.filter(modes).getOrElse("selector")
     val numArgs = args.dropWhile(modes)
     val nRows = numArgs.headOption.map(_.toLong)
@@ -71,6 +71,11 @@ object Stress {
       val nc = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
       val nq = if (numArgs.length > 1) numArgs(1).toInt else 1000
       colbertStress(spark, nc, nq, cpus.toInt); return
+    }
+    if (mode == "idxsync") {
+      val nd = numArgs.headOption.map(_.toLong).getOrElse(1000000L)
+      val dl = if (numArgs.length > 1) numArgs(1).toInt else 8
+      idxSyncStress(spark, nd, dl, cpus.toInt); return
     }
     if (mode == "replicate") {
       val nr = numArgs.headOption.map(_.toLong).getOrElse(5000000L)
@@ -624,6 +629,77 @@ object Stress {
     * the replica from `current(src)` (the naive full copy, timed as
     * the reference) while `current(replica)` stays exactly equal to
     * `current(src)` end to end. */
+  /** Table→index CDC-sync stress: `idxsync <docs> [<deltas>]`
+    * (default 1M × 8). The claim under test is the incremental-drain
+    * cost shape of [[graft.pipeline.IndexSync.syncSearch]]: after a
+    * bootstrap fold, each sync of `deltas` 1%-sized upsert commits
+    * (plus one delete commit) must cost the DELTAS — one changesAuto,
+    * one tombstone gen, one bounded point-lookup read of the touched
+    * keys, one append gen — while the naive alternative rebuilds the
+    * whole index from `current()`. Asserted in-run: the synced index
+    * serves BM25 identically to the fresh rebuild (ids AND scores),
+    * and the incremental drain beats the rebuild. */
+  private def idxSyncStress(spark: SparkSession, nDocs: Long,
+      nDeltas: Int, cpus: Int): Unit = {
+    import graft.io.Versioned
+    import graft.pipeline.{IndexSync, Search}
+    val tbl = "target/tmp/stress-idxsync-tbl"
+    val sp = "target/tmp/stress-idxsync-idx"
+    val full = "target/tmp/stress-idxsync-full"
+    Seq(tbl, sp, full).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val tokMod = 100000007L
+    def gen(ids: DataFrame) = {
+      val body = (0 until 24).map(j =>
+        concat(lit("t"), (col("id") * (31 + j) + j * 7) % tokMod))
+      ids.select(col("id").as("k"),
+        concat_ws(" ", (lit("alpha") +: body): _*).as("text"))
+    }
+    Versioned.append(gen(spark.range(nDocs).repartition(cpus * 2)
+      .toDF()), tbl)                                            // v1
+    val sIdx = Search.writeIndex(
+      gen(spark.range(0).toDF()).limit(0), "k", "text", sp)
+    val t0 = System.nanoTime()
+    IndexSync.syncSearch(spark, tbl, "k", "text", sIdx)
+    val tBoot = (System.nanoTime() - t0) / 1e9
+    // deltas: 1%-sized upsert commits + one delete commit
+    val deltaN = math.max(1L, nDocs / 100)
+    (1 to nDeltas).foreach { d =>
+      Versioned.append(gen(spark.range(deltaN).repartition(cpus)
+        .select((col("id") * nDeltas + d) % nDocs).toDF("id")), tbl)
+    }
+    Versioned.delete(spark.range(deltaN)
+      .select((col("id") * 37) % nDocs).distinct().toDF("k"), tbl)
+    val t1 = System.nanoTime()
+    val (fromV, toV) = IndexSync.syncSearch(spark, tbl, "k", "text",
+      sIdx)
+    val tInc = (System.nanoTime() - t1) / 1e9
+    require(toV > fromV, s"drain folded nothing ($fromV, $toV]")
+    // the naive alternative: rebuild the index from current()
+    val t2 = System.nanoTime()
+    val fIdx = Search.writeIndex(Versioned.current(spark, tbl, "k"),
+      "k", "text", full)
+    val tFull = (System.nanoTime() - t2) / 1e9
+    // served state identical — ids AND BM25 scores (corpus constants
+    // ride the sync's marker deltas; any drift shows here)
+    val qs = Seq("alpha", "t12345", "t777")
+    val a = Search.searchBm25(spark, sIdx, qs, 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Search.searchBm25(spark, fIdx, qs, 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    require(a == b && a.nonEmpty,
+      s"synced serve diverges from the fresh rebuild (${a.take(3)} " +
+        s"vs ${b.take(3)})")
+    require(tInc < tFull,
+      f"incremental sync $tInc%.1fs lost to the full rebuild " +
+        f"$tFull%.1fs — the drain is not delta-shaped")
+    println(s"""{"metric":"stress_idxsync","docs":$nDocs,""" +
+      s""""deltas":$nDeltas,"bootstrap_sec":$tBoot,""" +
+      s""""incremental_sec":$tInc,"full_rebuild_sec":$tFull,""" +
+      s""""range":[$fromV,$toV]}""")
+    spark.stop()
+  }
+
   private def replicateStress(spark: SparkSession, nRows: Long,
       nDeltas: Int, cpus: Int): Unit = {
     import graft.io.Versioned

@@ -1466,6 +1466,66 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** BATCHED prefix search ([[Search.searchPrefixBatch]]): two
+    * queries with different prefix sets served in one pass — shared
+    * per-prefix df-ranked capped expansion + the batched BM25 pipe.
+    * One query uses a cap BELOW its expansion count is not possible
+    * per-query (the cap is batch-wide), so the batch runs capped at 3
+    * and the oracle replays the same per-prefix df-ranked selection
+    * for both queries. */
+  def searchPrefixBatchQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Seq("s")),
+      (1L, Seq("win", "me"))).toDF("qid", "prefixes")
+    Search.searchPrefixBatch(spark, searchIndex(spark, dir), queries,
+        topK = 20, maxExpansions = 3)
+      .orderBy("qid", "id")
+  }
+
+  val searchPrefixBatchSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |vd AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfv
+       |       FROM t GROUP BY 1),
+       |qp AS (SELECT CAST(q AS BIGINT) AS qid, p FROM (VALUES
+       |  (0, 's'), (1, 'win'), (1, 'me')) v(q, p)),
+       |pe AS (
+       |  SELECT p, tok FROM (
+       |    SELECT qpd.p, v.tok,
+       |      ROW_NUMBER() OVER (PARTITION BY qpd.p
+       |        ORDER BY v.dfv DESC, v.tok) AS rk
+       |    FROM (SELECT DISTINCT p FROM qp) qpd
+       |    JOIN vd v ON v.tok LIKE qpd.p || '%')
+       |  WHERE rk <= 3),
+       |qe AS (SELECT DISTINCT qid, tok FROM qp JOIN pe USING (p)),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qe) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS n,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |ptok AS (
+       |  SELECT f.doc_id, f.tok,
+       |    LN((stats.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.n))) AS s
+       |  FROM f JOIN d USING (tok), stats),
+       |sc AS (
+       |  SELECT qe.qid, ptok.doc_id AS id, ROUND(SUM(s), 6) AS score
+       |  FROM ptok JOIN qe ON ptok.tok = qe.tok GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id)
+       |      AS rk
+       |  FROM sc)
+       |SELECT qid, id, score FROM r WHERE rk <= 20
+       |ORDER BY qid, id""".stripMargin
+
   /** TABLE → INDEX CDC SYNC ([[IndexSync.syncSearch]]): a Versioned
     * table mutates through upsert (every 5th doc's text gains a
     * token), delete (every 7th doc), and restore (undoing the
@@ -3600,6 +3660,29 @@ object PipelineQueries {
        |FROM perq FULL OUTER JOIN ideal ON perq.qid = ideal.qid
        |ORDER BY COALESCE(perq.qid, ideal.qid)""".stripMargin
 
+  /** CORPUS-LEVEL EVAL SUMMARY ([[Eval.summary]]): the per-query
+    * metrics of `q_eval_retrieval` collapsed to the one dashboard row
+    * — (n_queries, mean recall@10, MRR, mean nDCG@10). Means are
+    * exact-decimal sums divided once (bit-reproducible across
+    * engines); the oracle replays the whole per-query grading and the
+    * same aggregation. */
+  def evalSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (results, qrels) = evalServe(spark, dir)
+    Eval.summary(results, qrels, 10)
+  }
+
+  val evalSummarySql: String =
+    s"""SELECT COUNT(*) AS n_queries,
+       |  ROUND(CAST(SUM(CAST(recall_k AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_recall_k,
+       |  ROUND(CAST(SUM(CAST(rr AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mrr,
+       |  ROUND(CAST(SUM(CAST(ndcg_k AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_ndcg_k
+       |FROM (
+       |$evalRetrievalSql
+       |) t""".stripMargin
+
   /** The CALL face of the eval loop
     * (`CALL graft_sql.system.eval_retrieval(results, qrels, k)`): the
     * SAME fixture frames as `q_eval_retrieval` registered as views and
@@ -5219,12 +5302,14 @@ object PipelineQueries {
     "q_eval_retrieval" -> evalRetrieval _,
     "q_eval_negatives" -> evalNegatives _,
     "q_eval_sql" -> evalSql _,
+    "q_eval_summary" -> evalSummary _,
     "q_search_filtered" -> searchFiltered _,
     "q_search_fuzzy" -> searchFuzzy _,
     "q_search_prefix" -> searchPrefix _,
     "q_search_fuzzy_capped" -> searchFuzzyCapped _,
     "q_search_prefix_capped" -> searchPrefixCapped _,
     "q_search_fuzzy_batch" -> searchFuzzyBatchQ _,
+    "q_search_prefix_batch" -> searchPrefixBatchQ _,
     "q_table_index_sync" -> tableIndexSync _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
@@ -5338,12 +5423,14 @@ object PipelineQueries {
     "q_eval_retrieval" -> evalRetrievalSql,
     "q_eval_negatives" -> evalNegativesSql,
     "q_eval_sql" -> evalRetrievalSql, // CALL face == Eval.rankMetrics
+    "q_eval_summary" -> evalSummarySql,
     "q_search_filtered" -> searchFilteredSql,
     "q_search_fuzzy" -> searchFuzzySql,
     "q_search_prefix" -> searchPrefixSql,
     "q_search_fuzzy_capped" -> searchFuzzyCappedSql,
     "q_search_prefix_capped" -> searchPrefixCappedSql,
     "q_search_fuzzy_batch" -> searchFuzzyBatchSql,
+    "q_search_prefix_batch" -> searchPrefixBatchSql,
     "q_table_index_sync" -> tableIndexSyncSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,

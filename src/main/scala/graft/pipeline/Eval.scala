@@ -88,6 +88,27 @@ object Eval {
             .otherwise(lit(0.0)), 6).as("ndcg_k"))
   }
 
+  /** CORPUS SUMMARY: one row aggregating [[rankMetrics]] over every
+    * query — `(n_queries, mean_recall_k, mrr, mean_ndcg_k)` — the
+    * number a retrieval dashboard tracks per index generation. Means
+    * are computed as EXACT decimal sums of the (already-rounded-to-6)
+    * per-query metrics divided once in double and rounded to 6:
+    * double summation order differs between engines (Spark partial
+    * aggregates vs a single-threaded replay), and a last-ulp
+    * difference under a plain `avg` could shift the 6th decimal —
+    * the decimal sum makes the mean bit-reproducible anywhere. */
+  def summary(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    val per = rankMetrics(results, qrels, k)
+    def mean(c: String, as: String) =
+      round(sum(col(c).cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as(as)
+    per.agg(count(lit(1)).as("n_queries"),
+      mean("recall_k", "mean_recall_k"),
+      mean("rr", "mrr"),
+      mean("ndcg_k", "mean_ndcg_k"))
+  }
+
   /** HARD NEGATIVES: per query, the `n` best-ranked results that are
     * NOT relevant (rel absent or 0 in the qrels) — the contrastive
     * training pairs a dense retriever mines from its own index.

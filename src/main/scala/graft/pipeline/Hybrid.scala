@@ -179,11 +179,21 @@ object Hybrid {
     * can still under-fill — ingest the metadata at `writeIndex` for
     * the unconditional path). Either way a violating id NEVER
     * surfaces. */
+  /** Fusion-mode dispatch shared by the single and batch faces:
+    * `"rrf"` (rank-only, optional per-list weights) or `"minmax"`
+    * (per-list [0, 1] score normalization, weighted sum). */
+  private def requireFusion(fusion: String): Unit =
+    require(fusion == "rrf" || fusion == "minmax",
+      s"fusion must be 'rrf' or 'minmax', got '$fusion'")
+
   def hybridTopK(spark: SparkSession, textIdx: Search.Index,
       vecIdx: VecIndex.Index, terms: Seq[String], queryVec: DataFrame,
       nProbe: Int = 2, nLex: Int = 20, nSem: Int = 20, k0: Int = 60,
       topK: Int = 10,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      weights: Seq[Double] = Nil,
+      fusion: String = "rrf"): DataFrame = {
+    requireFusion(fusion)
     val lex = filter match {
       case None => Search.searchBm25(spark, textIdx, terms, topK = nLex)
       case Some(flt) =>
@@ -204,7 +214,9 @@ object Hybrid {
     }
     val sem = VecIndex.ivfTopK(spark, queryVec, vecIdx, nProbe, nSem,
       filter = filter)
-    rrf(Seq((lex, "id", "score"), (sem, "nid", "cos")), k0, topK)
+    val lists = Seq((lex, "id", "score"), (sem, "nid", "cos"))
+    if (fusion == "rrf") rrf(lists, k0, topK, weights)
+    else minMaxFuse(lists, weights, topK)
   }
 
   /** BATCHED RRF: fuse per-query ranked lists for a whole batch.
@@ -271,7 +283,10 @@ object Hybrid {
       topK: Int = 10,
       filter: Option[Column] = None,
       fuzzyDist: Int = 0, fuzzyPrefixLen: Int = 1,
-      fuzzyMaxExpansions: Int = 50): DataFrame = {
+      fuzzyMaxExpansions: Int = 50,
+      weights: Seq[Double] = Nil,
+      fusion: String = "rrf"): DataFrame = {
+    requireFusion(fusion)
     val qterms0 = queries.select("qid", "terms")
     val qterms =
       if (fuzzyDist > 0)
@@ -302,7 +317,9 @@ object Hybrid {
     val sem = VecIndex.ivfTopK(spark,
       queries.select(col("qid").as("id"), col("vec")), vecIdx,
       nProbe, nSem, filter = filter)
-    rrfBatch(Seq((lex, "qid", "id", "score"), (sem, "qid", "nid", "cos")),
-      k0, topK)
+    val lists =
+      Seq((lex, "qid", "id", "score"), (sem, "qid", "nid", "cos"))
+    if (fusion == "rrf") rrfBatch(lists, k0, topK, weights)
+    else minMaxFuseBatch(lists, weights, topK)
   }
 }

@@ -1020,6 +1020,66 @@ object Search {
       .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
   }
 
+  /** Rewrite a `(qid, prefixes)` query batch to its PREFIX-EXPANDED
+    * form: each query's prefixes replace themselves with the
+    * per-prefix df-ranked top-`maxExpansions` vocabulary tokens
+    * (expansion computed once over the batch's distinct prefixes,
+    * shared across queries; same driver-bounded pushdown contract as
+    * [[fuzzyExpandBatch]]). A query none of whose prefixes match
+    * drops from the frame — the batch analogue of the single-query
+    * empty result. Plugs into [[searchBm25Batch]] / the batched
+    * hybrid serve. */
+  def expandQueriesPrefix(spark: SparkSession, idx: Index,
+      queries: DataFrame, maxExpansions: Int = 50): DataFrame = {
+    require(maxExpansions >= 1,
+      s"maxExpansions $maxExpansions must be >= 1")
+    import spark.implicits._
+    require(queries
+        .filter(col("prefixes").isNull || size(col("prefixes")) === 0)
+        .isEmpty,
+      "expandQueriesPrefix: a query has a null/empty prefix list — " +
+        "the single-query contract refuses empty lists, and a batch " +
+        "must not silently drop the query")
+    val qp = queries
+      .select(col("qid"), explode(col("prefixes")).as("prefix"))
+      .distinct().localCheckpoint()
+    require(qp.filter(col("prefix").isNull
+        || length(col("prefix")) === 0).isEmpty,
+      "empty-string prefix matches the whole vocabulary — give at " +
+        "least one character")
+    val ps = qp.select("prefix").distinct()
+    val prefs = ps.limit(MaxPrefixPushdown + 1).as[String].collect()
+    val dict = postings(spark, idx)
+    val pruned =
+      if (prefs.length <= MaxPrefixPushdown)
+        dict.filter(prefs.map(p => col("tok").startsWith(lit(p)))
+          .reduce(_ || _))
+      else dict
+    val vocab = pruned.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prefix").orderBy(col("__df").desc, col("tok").asc)
+    val exp = vocab.join(broadcast(ps),
+        col("tok").startsWith(col("prefix")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxExpansions)
+      .select("prefix", "tok")
+    qp.join(exp, "prefix")
+      .select("qid", "tok").distinct()
+      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+  }
+
+  /** BATCHED prefix (autocomplete) search: [[searchPrefix]] for a
+    * whole `(qid, prefixes)` frame in one pass — shared capped
+    * expansion ([[expandQueriesPrefix]]) + the one-pass batched BM25
+    * pipe. Per-query results identical to [[searchPrefix]]. */
+  def searchPrefixBatch(spark: SparkSession, idx: Index,
+      queries: DataFrame, topK: Int, maxExpansions: Int = 50,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val expanded = expandQueriesPrefix(spark, idx, queries,
+      maxExpansions)
+    searchBm25Batch(spark, idx, expanded, topK, filter)
+  }
+
   /** BATCHED typo-tolerant BM25: [[searchFuzzy]] for a whole
     * `(qid, terms)` frame in one pass — the expansion is shared
     * across the batch vocabulary ([[expandQueriesFuzzy]]) and the

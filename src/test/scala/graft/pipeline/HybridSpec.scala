@@ -221,6 +221,56 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("fusion knobs on the serve faces: hybridTopK/hybridTopKBatch " +
+      "with weights/fusion equal the manual composition; defaults " +
+      "are bit-identical to the historical output") {
+    val docs = (0 until 40).map { id =>
+      val toks = if (id % 2 == 0) "alpha beta gamma" else "alpha delta"
+      (id.toLong, s"$toks doc$id")
+    }.toDF("doc_id", "text")
+    val sIdx = Search.writeIndex(docs, "doc_id", "text",
+      "target/tmp/hybrid-fuse-text")
+    val cents = corpus(0 until 4)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val vIdx = VecIndex.init(corpus(0 until 40), 64,
+      "target/tmp/hybrid-fuse-vec", centroids = Some(cents),
+      cbBuckets = 2)
+    val qv = corpus(100 until 101)
+    val terms = Seq("alpha", "beta")
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lex = Search.searchBm25(spark, sIdx, terms, topK = 10)
+    val sem = VecIndex.ivfTopK(spark, qv, vIdx, 4, 10)
+    val lists = Seq((lex, "id", "score"), (sem, "nid", "cos"))
+    assert(rows(Hybrid.hybridTopK(spark, sIdx, vIdx, terms, qv,
+        nProbe = 4, nLex = 10, nSem = 10, topK = 8,
+        weights = Seq(0.75, 0.25))) ==
+      rows(Hybrid.rrf(lists, 60, 8, weights = Seq(0.75, 0.25))))
+    assert(rows(Hybrid.hybridTopK(spark, sIdx, vIdx, terms, qv,
+        nProbe = 4, nLex = 10, nSem = 10, topK = 8,
+        weights = Seq(0.6, 0.4), fusion = "minmax")) ==
+      rows(Hybrid.minMaxFuse(lists, Seq(0.6, 0.4), 8)))
+    intercept[IllegalArgumentException] {
+      Hybrid.hybridTopK(spark, sIdx, vIdx, terms, qv,
+        fusion = "zscore")
+    }
+    // batch face
+    val queries = Seq((100L, terms)).toDF("qid", "terms")
+      .join(qv.withColumnRenamed("id", "qid"), "qid")
+    def brows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blex = Search.searchBm25Batch(spark, sIdx,
+      queries.select("qid", "terms"), topK = 10)
+    val bsem = VecIndex.ivfTopK(spark,
+      queries.select(col("qid").as("id"), col("vec")), vIdx, 4, 10)
+    val blists =
+      Seq((blex, "qid", "id", "score"), (bsem, "qid", "nid", "cos"))
+    assert(brows(Hybrid.hybridTopKBatch(spark, sIdx, vIdx, queries,
+        nProbe = 4, nLex = 10, nSem = 10, topK = 8,
+        weights = Seq(0.75, 0.25), fusion = "minmax")) ==
+      brows(Hybrid.minMaxFuseBatch(blists, Seq(0.75, 0.25), 8)))
+  }
+
   test("deepen-then-filter fallback: when the text index lacks the " +
       "filter column and post-filtering the top-nLex would under-fill, " +
       "the fallback serves IDENTICALLY to a metadata-ingested index's " +

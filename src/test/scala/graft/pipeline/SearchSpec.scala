@@ -912,6 +912,27 @@ class SearchSpec extends SparkSpec {
     val wantH = byQid(Hybrid.hybridTopKBatch(spark, fidx, vIdx,
       preExp.join(qv, "qid"), nProbe = 2, nLex = 5, nSem = 5, topK = 5))
     assert(gotH == wantH && gotH.nonEmpty)
+    // PREFIX batch: per-query identical to the single-query face,
+    // capped and uncapped; no-match prefixes drop their query
+    val pq = Seq((20L, Seq("alp")), (21L, Seq("gam", "del")),
+      (22L, Seq("zz"))).toDF("qid", "prefixes")
+    for (cap <- Seq(50, 2)) {
+      val pb = byQid(Search.searchPrefixBatch(spark, fidx, pq,
+        topK = 10, maxExpansions = cap))
+      Seq((20L, Seq("alp")), (21L, Seq("gam", "del"))).foreach {
+        case (qid, prefixes) =>
+          val single = Search.searchPrefix(spark, fidx, prefixes,
+              topK = 10, maxExpansions = cap)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          assert(pb.getOrElse(qid, Set.empty) == single,
+            s"cap=$cap qid=$qid: ${pb.get(qid)} vs $single")
+      }
+      assert(!pb.contains(22L))
+    }
+    intercept[IllegalArgumentException] {
+      Search.searchPrefixBatch(spark, fidx,
+        Seq((1L, Seq(""))).toDF("qid", "prefixes"), 10)
+    }
   }
 
   test("filtered BM25/conjunction: doc metadata stores in the sidecar, " +

@@ -1606,6 +1606,61 @@ object PipelineQueries {
        |  FROM f JOIN d USING (tok), stats GROUP BY 1)
        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** VECTOR side of the table→index CDC sync
+    * ([[IndexSync.syncVector]]): a Versioned table of embeddings
+    * mutates through delete, restore (undoing it), and a second
+    * delete, drained into a generational IVF index across TWO
+    * incremental syncs — the probed serve over the synced index must
+    * equal plain IVF over the table's resolved current state (the
+    * oracle restricts candidates to the surviving ids; any missed
+    * tombstone or double-ingested vector hash-mismatches). Queries
+    * are the raw first-50 embeddings (external frames — the query
+    * set does not depend on table state). */
+  def tableIndexSyncVec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Versioned
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/tmp/vtable-idxsyncvec-$tag"
+    val vp = s"$path-vidx"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("k"), col("embedding").as("vec"))
+    idxSyncBuilt.synchronized {
+      idxSyncBuilt.getOrElseUpdate(path, {
+        Versioned.drop(spark, path)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(vp))
+        Versioned.append(emb, path)                              // v1
+        Versioned.delete(emb.filter(col("k") % 9 === 0)
+          .select("k"), path)                                    // v2
+        // first drain: bootstrap fold (0, 2] into an EMPTY index
+        val centroids = emb.filter(col("k") < 8)
+          .select(col("k").as("cid"), col("vec").as("cvec"))
+        val vIdx = VecIndex.init(
+          emb.limit(0).select(col("k").as("id"), col("vec")), 64, vp,
+          centroids = Some(centroids), cbBuckets = 4)
+        IndexSync.syncVector(spark, path, "k", "vec", vIdx)
+        Versioned.restore(spark, path, "k", 1)                   // v3
+        Versioned.delete(emb.filter(col("k") % 7 === 0)
+          .select("k"), path)                                    // v4
+        // second drain: the restore re-ingests, the delete tombstones
+        IndexSync.syncVector(spark, path, "k", "vec",
+          VecIndex.open(spark, vp))
+        ()
+      })
+    }
+    VecIndex.ivfTopK(spark,
+        emb.filter(col("k") < 50).withColumnRenamed("k", "id"),
+        VecIndex.open(spark, vp), 2, 3)
+      .orderBy("qid", "nid")
+  }
+
+  val tableIndexSyncVecSql: String =
+    s"""${ivfScoredCteFor("c.vec_id < 8", "a.id % 7 <> 0")},
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, nid) AS rk
+       |      FROM scored)
+       |SELECT qid, nid, cos FROM r WHERE rk <= 3
+       |ORDER BY qid, nid""".stripMargin
+
   /** BATCHED typo-tolerant BM25 ([[Search.searchFuzzyBatch]]): two
     * queries with different typo'd term sets served in ONE pass —
     * the expansion is computed once over the batch vocabulary and
@@ -5311,6 +5366,7 @@ object PipelineQueries {
     "q_search_fuzzy_batch" -> searchFuzzyBatchQ _,
     "q_search_prefix_batch" -> searchPrefixBatchQ _,
     "q_table_index_sync" -> tableIndexSync _,
+    "q_table_index_sync_vec" -> tableIndexSyncVec _,
     "q_fingerprint_rolling" -> fingerprintRolling _,
     "q_multimodal_stats" -> multimodalStats _,
     "q_multimodal_frames" -> multimodalFrames _,
@@ -5432,6 +5488,7 @@ object PipelineQueries {
     "q_search_fuzzy_batch" -> searchFuzzyBatchSql,
     "q_search_prefix_batch" -> searchPrefixBatchSql,
     "q_table_index_sync" -> tableIndexSyncSql,
+    "q_table_index_sync_vec" -> tableIndexSyncVecSql,
     "q_fingerprint_rolling" -> fingerprintRollingSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_multimodal_frames" -> multimodalFramesSql,

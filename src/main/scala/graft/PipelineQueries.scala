@@ -4201,6 +4201,92 @@ object PipelineQueries {
        |ORDER BY qid, id""".stripMargin
   }
 
+  /** TYPO-TOLERANT batched hybrid
+    * ([[Hybrid.hybridTopKBatch]]`(fuzzyDist = 1)`): two queries with
+    * typo'd term sets — the lexical side rewrites each query's terms
+    * to their shared capped vocabulary expansions before the one-pass
+    * batched BM25, the semantic side serves unchanged, fusion is
+    * per-qid RRF. The oracle replays expansion (per-qid levenshtein
+    * against the vocabulary), batch BM25, probed IVF, and RRF end to
+    * end. */
+  def hybridFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
+    val tagDir =
+      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    import spark.implicits._
+    val queries = Seq(
+        (0L, Seq("windoq", "mergs")),
+        (1L, Seq("ag"))).toDF("qid", "terms")
+      .join(emb.withColumnRenamed("id", "qid"), "qid")
+    Hybrid.hybridTopKBatch(spark, sIdx, vIdx, queries, nProbe = 2,
+        nLex = 20, nSem = 20, k0 = 60, topK = 10, fuzzyDist = 1)
+      .orderBy("qid", "id")
+  }
+
+  val hybridFuzzySql: String = {
+    s"""${ivfScoredCteFor("c.vec_id < 8")},
+       |t AS (SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS tok,
+       |        len(string_split(text, ' ')) AS dlen
+       |      FROM documents),
+       |vocab AS (SELECT DISTINCT tok FROM t),
+       |qraw AS (SELECT CAST(q AS BIGINT) AS qid, term FROM (VALUES
+       |  (0, 'windoq'), (0, 'mergs'), (1, 'ag')) v(q, term)),
+       |qt AS (
+       |  SELECT DISTINCT qraw.qid, v.tok
+       |  FROM vocab v JOIN qraw
+       |    ON substr(v.tok, 1, 1) = substr(qraw.term, 1, 1)
+       |      AND abs(len(v.tok) - len(qraw.term)) <= 1
+       |      AND levenshtein(v.tok, qraw.term) <= 1),
+       |sem AS (
+       |  SELECT qid, nid AS id, rk AS r FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |        AS rk
+       |    FROM scored WHERE qid IN (0, 1)) WHERE rk <= 20),
+       |f AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dlen) AS dlen
+       |      FROM t WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |stats AS (SELECT COUNT(*) AS nn,
+       |            SUM(len(string_split(text, ' '))) AS sl
+       |          FROM documents),
+       |d AS (SELECT tok, COUNT(*) AS dfc FROM f GROUP BY 1),
+       |bsc AS (
+       |  SELECT qt.qid, f.doc_id AS id, ROUND(SUM(
+       |    LN((stats.nn - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (f.tf * ${Search.Bm25K1 + 1.0})
+       |      / (f.tf + ${Search.Bm25K1} * (1.0 - ${Search.Bm25B}
+       |          + ${Search.Bm25B} * f.dlen
+       |            / (CAST(stats.sl AS DOUBLE) / stats.nn)))), 6) AS score
+       |  FROM f JOIN d USING (tok) JOIN qt USING (tok), stats
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, id, rk AS r FROM (
+       |    SELECT qid, id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id)
+       |        AS rk
+       |    FROM bsc) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, sem.qid) AS qid,
+       |    COALESCE(l.id, sem.id) AS id,
+       |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.r), 0), 8)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem
+       |    ON l.qid = sem.qid AND l.id = sem.id),
+       |topf AS (
+       |  SELECT qid, id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+       |      AS rk
+       |  FROM fused)
+       |SELECT qid, id, rrf FROM topf WHERE rk <= 10
+       |ORDER BY qid, id""".stripMargin
+  }
+
   /** FILTERED batched hybrid ([[Hybrid.hybridTopKBatch]] with a
     * metadata predicate): the three-query batch with `lang='en'`
     * bound to BOTH sides below each retriever's top-k — the lexical
@@ -5350,6 +5436,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFiltered _,
     "q_hybrid_weighted" -> hybridWeighted _,
     "q_hybrid_minmax" -> hybridMinmax _,
+    "q_hybrid_fuzzy" -> hybridFuzzy _,
     "q_hybrid_batch" -> hybridBatch _,
     "q_hybrid_batch_filtered" -> hybridBatchFiltered _,
     "q_ann_maxsim" -> annMaxsim _,
@@ -5472,6 +5559,7 @@ object PipelineQueries {
     "q_hybrid_filtered" -> hybridFilteredSql,
     "q_hybrid_weighted" -> hybridWeightedSql,
     "q_hybrid_minmax" -> hybridMinmaxSql,
+    "q_hybrid_fuzzy" -> hybridFuzzySql,
     "q_hybrid_batch" -> hybridBatchSql,
     "q_hybrid_batch_filtered" -> hybridBatchFilteredSql,
     "q_ann_maxsim" -> annMaxsimSql,

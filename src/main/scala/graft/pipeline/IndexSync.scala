@@ -120,6 +120,72 @@ object IndexSync {
         (fromV, toV)
     }
 
+  /** STREAMING sync: the [[syncSearch]] loop as a Structured
+    * Streaming pipe — the admission-controlled V2 source
+    * (`readStream.format("graft")`, capped epochs) feeds
+    * `foreachBatch`, and each epoch folds its TOUCHED keys into the
+    * text index: tombstone the touched set (dead-id deletes are
+    * no-ops), then re-ingest the keys' current rows resolved at the
+    * epoch's end version through the bounded
+    * [[Versioned.currentForKeys]] point-lookup. Exactly-once rides
+    * the gen-log batch markers keyed by the EPOCH id under a
+    * checkpoint-derived ingest scope (a replayed epoch is recognized
+    * even after index compaction folded its marker; a rebuilt stream
+    * under a fresh checkpoint re-delivers under its own scope); a
+    * crash between the tombstone and the append replays the epoch
+    * and converges, exactly the batch-sync contract. The index stays
+    * continuously one marker away from a fresh-build-equivalent
+    * serve — `Trigger.AvailableNow` (the default) drains and stops,
+    * a processing-time trigger keeps following the table. The
+    * BATCH-face watermark ([[ingestScope]], version-keyed) and this
+    * stream's epoch-keyed markers are independent scopes — pick ONE
+    * pipe per index and stay with it (mixing them double-ingests,
+    * the same rule as feeding one index from two tables). */
+  def syncSearchStream(spark: SparkSession, tablePath: String,
+      keyCol: String, textCol: String, idx: Search.Index,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ingest = Versioned.ingestIdFor("idxsyncstream",
+      ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(ckptPath).toString)
+    spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load(tablePath).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val metas = GenLog.metas(spark,
+          fsOf(spark, idx.path), idx.path)
+        if (!GenLog.batchApplied(metas, id, ingest) && !b.isEmpty) {
+          val touched = b.select(col(keyCol)).distinct()
+            .localCheckpoint()
+          require(touched.filter(col(keyCol).isNull).isEmpty,
+            s"syncSearchStream: NULL keys in the epoch from " +
+              s"$tablePath — an index cannot address a null doc id; " +
+              "delete the null-key rows")
+          val vHi = b.select(max(col("__v")).cast("int")).head().getInt(0)
+          // tombstone-then-reingest the touched set: dead-id deletes
+          // are no-ops, so a replayed epoch converges; a still-empty
+          // index (bootstrap epoch) skips the pointless tombstone gen
+          if (Search.stats(spark, idx)._1 > 0L)
+            Search.delete(touched, keyCol, idx)
+          val rows = Versioned
+            .currentForKeys(spark, tablePath, keyCol, touched, vHi)
+            .filter(col(textCol).isNotNull)
+          Search.appendBatch(rows, keyCol, textCol, idx,
+            batchId = id, ingestId = ingest)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Drain the table's CDC feed into a VECTOR index. The key column
     * ingests as `id`, `vecCol` as `vec`; remaining data columns ride
     * along as metadata (the filtered-serve columns). Returns the

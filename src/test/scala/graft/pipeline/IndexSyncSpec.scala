@@ -142,6 +142,60 @@ class IndexSyncSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("streaming sync: capped epochs drain a mutating table into a " +
+      "continuously-fresh text index (serve == fresh build after " +
+      "every drain); a re-run drains nothing; epochs replay " +
+      "idempotently across index maintenance") {
+    val tbl = "target/tmp/idxsyncstream-tbl"
+    val sp = "target/tmp/idxsyncstream-idx"
+    val ckpt = "target/tmp/idxsyncstream-ckpt"
+    Seq(tbl, sp, ckpt).foreach(rmDir)
+    Versioned.append(rows(1L to 8L).drop("vec", "lang"), tbl)  // v1
+    Versioned.append(rows(Seq(3L, 4L), tag = "b")
+      .drop("vec", "lang"), tbl)                               // v2
+    Versioned.delete(Seq(7L).toDF("k"), tbl)                   // v3
+    Search.writeIndex(rows(Nil).drop("vec", "lang").limit(0),
+      "k", "text", sp, nBuckets = 8)
+    val sIdx = Search.open(spark, sp)
+    // capped drain: 3 source versions at cap 2 -> 2 epochs, each
+    // folding its touched keys
+    IndexSync.syncSearchStream(spark, tbl, "k", "text", sIdx, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    def converged(tag: String): Unit =
+      assert(bm25(sIdx) == bm25(freshSearch(tbl, s"$sp-ref")),
+        s"$tag: streamed index diverges from the fresh build")
+    converged("initial drain")
+    assert(!bm25(sIdx).exists(_._1 == 7L))
+    // idle re-run: no new generations
+    val f = new org.apache.hadoop.fs.Path(sp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = graft.io.GenLog.metas(spark, f, sp).size
+    IndexSync.syncSearchStream(spark, tbl, "k", "text", sIdx, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(graft.io.GenLog.metas(spark, f, sp).size == gens,
+      "an idle re-run must not commit generations")
+    // more DML + index maintenance between drains; the resumed
+    // stream folds only the new versions and the marker survives
+    Versioned.append(rows(Seq(9L), tag = "c").drop("vec", "lang"),
+      tbl)                                                     // v4
+    Versioned.delete(Seq(2L).toDF("k"), tbl)                   // v5
+    Search.compact(spark, sIdx)
+    Search.vacuum(spark, sIdx)
+    IndexSync.syncSearchStream(spark, tbl, "k", "text", sIdx, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    converged("post-maintenance resume")
+    assert(bm25(sIdx).exists(_._1 == 9L) &&
+      !bm25(sIdx).exists(_._1 == 2L))
+    // crash-shaped replay: tombstone half of the NEXT epoch lands
+    // out of band, then the stream drains — still converges
+    Versioned.append(rows(Seq(5L), tag = "d").drop("vec", "lang"),
+      tbl)                                                     // v6
+    Search.delete(Seq(5L).toDF("k"), "k", sIdx)
+    IndexSync.syncSearchStream(spark, tbl, "k", "text", sIdx, ckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    converged("torn-epoch replay")
+  }
+
   test("out-of-band indexes refuse; null payloads are absent; a row " +
       "losing its payload on update is tombstoned without re-ingest") {
     val tbl = "target/tmp/idxsync-edge-tbl"

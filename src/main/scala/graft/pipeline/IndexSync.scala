@@ -147,6 +147,56 @@ object IndexSync {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maxVersionsPerTrigger: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    syncStream(spark, tablePath, keyCol, idx.path, checkpointDir,
+        trigger, maxVersionsPerTrigger, "syncSearchStream") {
+      (rows, touched, id, ingest) =>
+        // a still-empty index (bootstrap epoch) skips the pointless
+        // tombstone gen
+        if (Search.stats(spark, idx)._1 > 0L)
+          Search.delete(touched, keyCol, idx)
+        Search.appendBatch(rows.filter(col(textCol).isNotNull),
+          keyCol, textCol, idx, batchId = id, ingestId = ingest)
+        ()
+    }
+
+  /** STREAMING sync into a VECTOR index — [[syncSearchStream]]'s
+    * contract with [[VecIndex]] as the target (key → `id`, `vecCol` →
+    * `vec`, remaining columns as metadata; rows with a NULL vector
+    * stay absent). */
+  def syncVectorStream(spark: SparkSession, tablePath: String,
+      keyCol: String, vecCol: String, idx: VecIndex.Index,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    syncStream(spark, tablePath, keyCol, idx.path, checkpointDir,
+        trigger, maxVersionsPerTrigger, "syncVectorStream") {
+      (rows, touched, id, ingest) =>
+        if (VecIndex.countVecs(spark, idx) > 0L)
+          VecIndex.delete(touched, keyCol, idx)
+        val cur = rows.filter(col(vecCol).isNotNull)
+        val meta = cur.columns
+          .filterNot(c => c == keyCol || c == vecCol)
+        VecIndex.appendBatch(
+          cur.select(Seq(col(keyCol).as("id"),
+            col(vecCol).as("vec")) ++ meta.map(col): _*),
+          idx, batchId = id, ingestId = ingest)
+        ()
+    }
+
+  /** Shared streaming-sync scaffold: V2 source → per-epoch fold of
+    * the touched keys' rows resolved at the epoch's end version.
+    * `foldEpoch(rows, touched, epochId, ingest)` runs only for
+    * unapplied, non-empty epochs (the gen-log marker guard is read
+    * from the INDEX path) and must end with a batch-marked append so
+    * the epoch commits atomically. */
+  private def syncStream(spark: SparkSession, tablePath: String,
+      keyCol: String, idxPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      maxVersionsPerTrigger: Int, face: String)(
+      foldEpoch: (DataFrame, DataFrame, Long, String) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(maxVersionsPerTrigger >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
@@ -160,26 +210,18 @@ object IndexSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val metas = GenLog.metas(spark,
-          fsOf(spark, idx.path), idx.path)
+        val metas = GenLog.metas(spark, fsOf(spark, idxPath), idxPath)
         if (!GenLog.batchApplied(metas, id, ingest) && !b.isEmpty) {
           val touched = b.select(col(keyCol)).distinct()
             .localCheckpoint()
           require(touched.filter(col(keyCol).isNull).isEmpty,
-            s"syncSearchStream: NULL keys in the epoch from " +
-              s"$tablePath — an index cannot address a null doc id; " +
-              "delete the null-key rows")
-          val vHi = b.select(max(col("__v")).cast("int")).head().getInt(0)
-          // tombstone-then-reingest the touched set: dead-id deletes
-          // are no-ops, so a replayed epoch converges; a still-empty
-          // index (bootstrap epoch) skips the pointless tombstone gen
-          if (Search.stats(spark, idx)._1 > 0L)
-            Search.delete(touched, keyCol, idx)
-          val rows = Versioned
-            .currentForKeys(spark, tablePath, keyCol, touched, vHi)
-            .filter(col(textCol).isNotNull)
-          Search.appendBatch(rows, keyCol, textCol, idx,
-            batchId = id, ingestId = ingest)
+            s"$face: NULL keys in the epoch from $tablePath — an " +
+              "index cannot address a null doc id; delete the " +
+              "null-key rows")
+          val vHi = b.select(max(col("__v")).cast("int")).head()
+            .getInt(0)
+          foldEpoch(Versioned.currentForKeys(spark, tablePath, keyCol,
+            touched, vHi), touched, id, ingest)
         }
         ()
       }

@@ -41,9 +41,11 @@ class IndexSyncSpec extends SparkSpec {
 
   private def freshVec(tbl: String, path: String): VecIndex.Index = {
     rmDir(path)
-    val cur = Versioned.current(spark, tbl, "k")
+    val cur0 = Versioned.current(spark, tbl, "k")
       .filter(col("vec").isNotNull)
-      .select(col("k").as("id"), col("vec"), col("text"), col("lang"))
+    val meta = cur0.columns.filterNot(c => c == "k" || c == "vec")
+    val cur = cur0.select(Seq(col("k").as("id"), col("vec")) ++
+      meta.map(col): _*)
     VecIndex.init(cur, 32, path, centroids = Some(cents), cbBuckets = 2)
   }
 
@@ -194,6 +196,24 @@ class IndexSyncSpec extends SparkSpec {
     IndexSync.syncSearchStream(spark, tbl, "k", "text", sIdx, ckpt,
       maxVersionsPerTrigger = 2).awaitTermination()
     converged("torn-epoch replay")
+    // VECTOR streaming sync: same contract, VecIndex target
+    val vtbl = "target/tmp/idxsyncstream-vtbl"
+    val vp = "target/tmp/idxsyncstream-vidx"
+    val vckpt = "target/tmp/idxsyncstream-vckpt"
+    Seq(vtbl, vp, vckpt).foreach(rmDir)
+    Versioned.append(rows(1L to 8L).select("k", "vec", "lang"), vtbl)
+    Versioned.append(rows(Seq(3L), tag = "b")
+      .select("k", "vec", "lang"), vtbl)
+    Versioned.delete(Seq(6L).toDF("k"), vtbl)
+    val vIdx = VecIndex.init(
+      rows(Nil).limit(0).select(col("k").as("id"), col("vec"),
+        col("lang")),
+      32, vp, centroids = Some(cents), cbBuckets = 2)
+    IndexSync.syncVectorStream(spark, vtbl, "k", "vec", vIdx, vckpt,
+      maxVersionsPerTrigger = 2).awaitTermination()
+    assert(ann(vIdx) == ann(freshVec(vtbl, s"$vp-ref")),
+      "streamed vector index diverges from the fresh build")
+    assert(!ann(vIdx).exists(_._1 == 6L))
   }
 
   test("out-of-band indexes refuse; null payloads are absent; a row " +

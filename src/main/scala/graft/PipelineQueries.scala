@@ -3137,11 +3137,15 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
-  /** IVF served from the same generational index machinery: codebook
-    * installed at init, corpus folded in two generations, probed
-    * buckets pruning the generation scan. Output identical to the
-    * inline `q_ann_ivf` — same oracle SQL. */
-  def annIvfGen(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-or-reuse the shared generational IVF fixture and return
+    * the opened index WITHOUT serving from it. Every composed query
+    * riding this fixture (hybrid family, eval family, probed-binary)
+    * previously "ensured" it via `annIvfGen(..).count()` — a full
+    * probed ivfTopK serve (~0.7 s at sf0.1) whose result was thrown
+    * away, paid on EVERY timed pass because only the build block is
+    * memoized. Factoring the build out makes ensuring the fixture
+    * O(TrieMap hit) after the first call. */
+  private def ivfGenIdx(spark: SparkSession, dir: String): VecIndex.Index = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("id") < 8)
@@ -3159,8 +3163,18 @@ object PipelineQueries {
         ()
       })
     }
+    VecIndex.open(spark, path)
+  }
+
+  /** IVF served from the same generational index machinery: codebook
+    * installed at init, corpus folded in two generations, probed
+    * buckets pruning the generation scan. Output identical to the
+    * inline `q_ann_ivf` — same oracle SQL. */
+  def annIvfGen(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
     VecIndex.ivfTopK(spark,
-        emb.filter(col("id") < 50), VecIndex.open(spark, path), 2, 3)
+        emb.filter(col("id") < 50), ivfGenIdx(spark, dir), 2, 3)
       .orderBy("qid", "nid")
   }
 
@@ -3215,13 +3229,8 @@ object PipelineQueries {
   def annBinaryIvfGen(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    annIvfGen(spark, dir).count() // ensure the shared fixture is built
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"target/tmp/vecidx-ivfgen-$tagDir"
     VecIndex.binaryTopKProbed(spark,
-        emb.filter(col("id") < 3), VecIndex.open(spark, path),
+        emb.filter(col("id") < 3), ivfGenIdx(spark, dir),
         nProbe = 2, cands = 20, k = 3)
       .orderBy("qid", "nid")
   }
@@ -3578,7 +3587,10 @@ object PipelineQueries {
     * cosines to a top-3 — the ColBERT-lite serve shape for RAG over
     * passage embeddings. The oracle replays probe → chunk top-8 →
     * per-doc max → per-qid rank end to end. */
-  def annMaxsim(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-or-reuse the shared chunk-level (max-sim) fixture WITHOUT
+    * serving — same rationale as [[ivfGenIdx]]: q_ann_colbert used to
+    * pay a discarded maxSimTopK serve per pass just to ensure it. */
+  private def maxsimIdx(spark: SparkSession, dir: String): VecIndex.Index = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val chunks = emb.withColumn("doc", expr("id div 4"))
@@ -3597,8 +3609,14 @@ object PipelineQueries {
         ()
       })
     }
+    VecIndex.open(spark, path)
+  }
+
+  def annMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
     VecIndex.maxSimTopK(spark, emb.filter(col("id") < 20),
-        VecIndex.open(spark, path), "doc", nProbe = 2, nChunks = 8,
+        maxsimIdx(spark, dir), "doc", nProbe = 2, nChunks = 8,
         k = 3)
       .orderBy("qid", "doc")
   }
@@ -3632,11 +3650,7 @@ object PipelineQueries {
     * silently grade different setups. */
   private def evalServe(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val qs = emb.filter(col("id") < 20)
@@ -3791,13 +3805,9 @@ object PipelineQueries {
     * read). The oracle replays probe → per-token chunk top-8 →
     * per-(token, doc) max → per-doc sum → per-qid rank end to end. */
   def annColbert(spark: SparkSession, dir: String): DataFrame = {
-    annMaxsim(spark, dir).count() // ensure the shared maxsim fixture
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val idx = VecIndex.open(spark, s"target/tmp/vecidx-maxsim-$tagDir")
+    val idx = maxsimIdx(spark, dir)
     import spark.implicits._
     val qmap = Seq((0L, 20L), (0L, 21L), (1L, 22L), (1L, 23L),
       (2L, 24L), (2L, 25L)).toDF("qid", "qtok")
@@ -3844,11 +3854,7 @@ object PipelineQueries {
     * q_ann_ivf CTEs) and the RRF arithmetic end to end. */
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Hybrid.hybridTopK(spark, sIdx, vIdx, SearchTerms,
@@ -3907,8 +3913,11 @@ object PipelineQueries {
     * matching docs. The oracle replays the whole composition:
     * candidate-restricted IVF, candidate-restricted BM25 (corpus
     * constants unfiltered — Lucene filtered-query semantics), RRF. */
-  def hybridFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val sIdx = searchIndex(spark, dir)
+  /** Build-or-reuse the lang-tagged vector fixture WITHOUT serving —
+    * same rationale as [[ivfGenIdx]]: q_hybrid_batch_filtered used to
+    * "ensure" it by running the ENTIRE single-query hybridFiltered
+    * serve (~1.2 s at sf0.1) and discarding the result. */
+  private def hybridFltIdx(spark: SparkSession, dir: String): VecIndex.Index = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     // the vector index stores the REAL documents.lang as metadata, so
@@ -3930,7 +3939,14 @@ object PipelineQueries {
         ()
       })
     }
-    Hybrid.hybridTopK(spark, sIdx, VecIndex.open(spark, path),
+    VecIndex.open(spark, path)
+  }
+
+  def hybridFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val sIdx = searchIndex(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Hybrid.hybridTopK(spark, sIdx, hybridFltIdx(spark, dir),
         SearchTerms, emb.filter(col("id") === 0), nProbe = 2, nLex = 20,
         nSem = 20, k0 = 60, topK = 10,
         filter = Some(col("lang") === "en"))
@@ -3988,11 +4004,7 @@ object PipelineQueries {
     * weighted RRF arithmetic end to end. */
   def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
@@ -4051,11 +4063,7 @@ object PipelineQueries {
     * both normalizations and the weighted sum. */
   def hybridMinmax(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
@@ -4128,11 +4136,7 @@ object PipelineQueries {
     * three queries end to end. */
   def hybridBatch(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._
@@ -4211,11 +4215,7 @@ object PipelineQueries {
     * end. */
   def hybridFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    annIvfGen(spark, dir).count() // ensure the shared IVF fixture
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-ivfgen-$tagDir")
+    val vIdx = ivfGenIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._
@@ -4297,11 +4297,7 @@ object PipelineQueries {
     * semantics), candidate-restricted IVF, and per-qid RRF. */
   def hybridBatchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    hybridFiltered(spark, dir).count() // ensure the lang-tagged index
-    val tagDir =
-      java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val vIdx = VecIndex.open(spark, s"target/tmp/vecidx-hybridflt-$tagDir")
+    val vIdx = hybridFltIdx(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._

@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc profiling hook (e.g. event logs for per-stage attribution):
+  // SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true ..."
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -20,7 +20,7 @@ object PipelineQueries {
 
   /** Token count per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
@@ -40,7 +40,7 @@ object PipelineQueries {
 
   /** Quality metrics + composite score per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.meanTokenLength(col("text")).as("mean_len"),
@@ -69,7 +69,7 @@ object PipelineQueries {
   /** BPE-ish subword count per document (words + extra units per 4 chars
     * beyond the first). */
   def subwordCount(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
@@ -99,7 +99,7 @@ object PipelineQueries {
     * count aggregate. At 100 TB this is the tokenize-and-count pass of
     * a training-data pipeline. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val words = spark.read.parquet(s"$dir/documents.parquet")
+    val words = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val encoded = bpeMerges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) {
@@ -146,7 +146,7 @@ object PipelineQueries {
     * parquet row-group metadata (no data scan). */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val n = docs.count() // parquet footer count, no column scan
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -181,7 +181,7 @@ object PipelineQueries {
   /** Language-ID heuristic: argmax marker-hit ratio, declaration-order
     * tie-break. */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
@@ -217,7 +217,7 @@ object PipelineQueries {
     * `count_distinct` for `approx_count_distinct` (same plan shape,
     * sketch-bounded memory) if exact df is not required. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok")
       .agg(count("*").as("cnt"), count_distinct(col("doc_id")).as("df"))
@@ -234,7 +234,7 @@ object PipelineQueries {
     * fraction, most-frequent-token fraction, most-frequent-bigram
     * fraction — all pure per-row column expressions (narrow scan). */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"),
         TextOps.dupTokenFrac(col("text")).as("dup_tok_frac"),
         TextOps.topTokenFrac(col("text")).as("top_tok_frac"),
@@ -261,7 +261,7 @@ object PipelineQueries {
   /** Composed quality filter: first-fail reason per document + keep
     * flag (the C4/Gopher-style pre-training filter pass). */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.filterReason(col("text")).as("reason"))
       .withColumn("keep", col("reason") === "ok")
       .orderBy("doc_id")
@@ -300,7 +300,7 @@ object PipelineQueries {
     * predicate — same output contract. */
   def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))
@@ -342,19 +342,22 @@ object PipelineQueries {
     * not matter, so the mean is computed as an aggregate (no fold-order
     * divergence; round 6 on output). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val post = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = post.groupBy("tok").agg(count("*").as("tf"))
-    // total postings = sum of term frequencies — derived from the
-    // vocab-sized aggregate, not a second full postings scan
-    val total = freq.agg(sum(col("tf"))).head().getLong(0)
+    // total postings = sum of term frequencies — a broadcast 1-row
+    // scalar INSIDE the plan (an eager head() here would execute the
+    // whole post→freq aggregate once for the scalar and again for the
+    // joins — the q_lm_perplexity lesson, r18)
+    val tot = freq.agg(sum(col("tf")).cast("double").as("__total"))
     // no broadcast hint: at 100 TB the vocabulary is billions of tokens
     // (see Dedup's md5 token-id rationale); a shuffled join is the
     // scale-safe default and AQE broadcasts when freq actually fits
     post.join(freq, "tok")
+      .crossJoin(broadcast(tot))
       .groupBy("doc_id")
-      .agg(round(avg(log10(col("tf").cast("double") / total)), 6)
+      .agg(round(avg(log10(col("tf").cast("double") / col("__total"))), 6)
         .as("lm_score"))
       .orderBy("doc_id")
   }
@@ -382,7 +385,7 @@ object PipelineQueries {
     * broadcasts only when a side actually fits. Token order inside a
     * doc never matters to the mean, so no fold-order divergence. */
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val post = docs.select(explode(col("toks")).as("tok"))
     val uf = post.groupBy("tok").agg(count(lit(1)).as("uc"))
@@ -443,7 +446,7 @@ object PipelineQueries {
     * 6 decimals before the draw compare so both engines cut
     * identically. */
   def mixture(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val counts = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
@@ -497,7 +500,7 @@ object PipelineQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 512L
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -534,7 +537,7 @@ object PipelineQueries {
   def tokenizePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 1024L
-    val words = spark.read.parquet(s"$dir/documents.parquet")
+    val words = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -588,7 +591,7 @@ object PipelineQueries {
     Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
-    Splits.stratifiedSample(spark.read.parquet(s"$dir/documents.parquet"),
+    Splits.stratifiedSample(Tables.read(spark, dir, "documents"),
         "doc_id", "lang", SampleRates)
       .select("doc_id", "lang").orderBy("doc_id")
 
@@ -605,7 +608,7 @@ object PipelineQueries {
     * just its size — oracle-checkable; keys are rounded before the
     * doc_id-tie-broken rank, per the determinism rules. */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
-    Splits.weightedSample(spark.read.parquet(s"$dir/documents.parquet"),
+    Splits.weightedSample(Tables.read(spark, dir, "documents"),
         "doc_id", "n_chars", k = 100)
       .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
         col("es_key"))
@@ -632,7 +635,7 @@ object PipelineQueries {
     * from scratch, so a row landing in the wrong shard, dropped,
     * doubled, or with mutated text all hash-mismatch. */
   def exportManifest(spark: SparkSession, dir: String): DataFrame =
-    Splits.exportManifest(spark.read.parquet(s"$dir/documents.parquet"),
+    Splits.exportManifest(Tables.read(spark, dir, "documents"),
         "doc_id", "text", "n_chars", nShards = 8)
       .orderBy("shard")
 
@@ -676,7 +679,7 @@ object PipelineQueries {
     * boilerplate: docs < 200 plus 32-token-prefix copies at +5000.
     * Every 16-token chunk labeled with its first occurrence. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.read(spark, dir, "documents")
       .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ")
     val corpus = d.union(d.select((col("doc_id") + 5000).as("doc_id"),
@@ -718,7 +721,7 @@ object PipelineQueries {
     * q_kmeans / q_ann_ivf_kmeans) into the dedup family. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = trainedCentroids(spark, dir)
       .groupBy(_._1).toSeq
@@ -768,7 +771,7 @@ object PipelineQueries {
     * The distributed half of tokenizer training; the merge loop itself
     * is [[Bpe.train]] (spec-pinned). */
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
-    Bpe.pairCounts(spark.read.parquet(s"$dir/documents.parquet"), "text")
+    Bpe.pairCounts(Tables.read(spark, dir, "documents"), "text")
       .orderBy(desc("cnt"), asc("pair")).limit(30)
 
   val bpePairsSql: String =
@@ -784,7 +787,7 @@ object PipelineQueries {
     * construct it identically): every 3rd doc gains an email, every 7th
     * a 10-digit phone-like number. */
   private def piiCorpus(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 3 === 0,
@@ -832,7 +835,7 @@ object PipelineQueries {
     * operators COMPOSE: a kept row carries its language, split, quality
     * score and redacted-content fingerprint. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         concat(col("text"),
           when(col("doc_id") % 3 === 0,
@@ -908,7 +911,7 @@ object PipelineQueries {
   def normalizeNfcQ(spark: SparkSession, dir: String): DataFrame = {
     val raw = concat(col("text"), lit("e\u0301"))
     val nfc = graft.functions.TextFunctions.normalizeNfc(raw)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), length(raw).as("len_raw"),
         length(nfc).as("len_nfc"), md5(nfc).as("fp"))
       .orderBy("doc_id")
@@ -922,7 +925,7 @@ object PipelineQueries {
 
   /** Content fingerprint (md5 hex). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -931,7 +934,7 @@ object PipelineQueries {
 
   /** Corpus statistics per source. */
   def docStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .groupBy("source")
       .agg(count("*").as("n_docs"),
         round(avg(col("n_chars")), 6).as("avg_chars"),
@@ -949,7 +952,7 @@ object PipelineQueries {
   /** Corpus with exact duplicates injected (both engines construct it
     * identically): documents plus a full shifted copy. */
   private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     d.union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
@@ -971,7 +974,7 @@ object PipelineQueries {
   /** Near-duplicate corpus: first 150 docs plus truncated copies
     * (last 3 tokens dropped) at id+10000. */
   private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.read(spark, dir, "documents")
       .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ")
     d.union(d.select((col("doc_id") + 10000).as("doc_id"),
@@ -1140,7 +1143,7 @@ object PipelineQueries {
   def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 64
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Tables.read(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
     val hashed = toks.select(col("lang"),
@@ -1203,7 +1206,7 @@ object PipelineQueries {
         val path = "target/tmp/searchidx-" +
           java.lang.Integer.toHexString(System.identityHashCode(spark)) +
           "-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        Search.writeIndex(spark.read.parquet(s"$dir/documents.parquet"),
+        Search.writeIndex(Tables.read(spark, dir, "documents"),
           "doc_id", "text", path)
       })
     }
@@ -1546,7 +1549,7 @@ object PipelineQueries {
         Versioned.drop(spark, path)
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(sp))
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val docs = Tables.read(spark, dir, "documents")
         Versioned.append(docs.select("doc_id", "text", "lang"), path) // v1
         Versioned.append(docs.filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"),
@@ -1621,7 +1624,7 @@ object PipelineQueries {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"target/tmp/vtable-idxsyncvec-$tag"
     val vp = s"$path-vidx"
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("k"), col("embedding").as("vec"))
     idxSyncBuilt.synchronized {
       idxSyncBuilt.getOrElseUpdate(path, {
@@ -1743,7 +1746,7 @@ object PipelineQueries {
   }
 
   def searchBm25Stream(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1783,7 +1786,7 @@ object PipelineQueries {
     * the consolidated tombstones AND the corpus constants (which ride
     * the marker stats deltas through the fold) in one row. */
   def searchBm25Inc(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1817,7 +1820,7 @@ object PipelineQueries {
     * picked a wrong action or an action changed answers, the hash
     * gate catches it. */
   def searchBm25Auto(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1963,7 +1966,7 @@ object PipelineQueries {
   def searchFacets(spark: SparkSession, dir: String): DataFrame = {
     val hits = Search.searchAny(spark, searchIndex(spark, dir),
       SearchTerms, minMatch = 2)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("lang"))
       .join(hits, "id")
       .groupBy("lang")
@@ -1993,7 +1996,7 @@ object PipelineQueries {
     * per language no matter the corpus size. The md5-derived registers
     * make the ESTIMATE itself oracle-checkable. */
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Tables.read(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
     val exact = toks.distinct()
       .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
@@ -2020,7 +2023,7 @@ object PipelineQueries {
     * byte-wise partial merges and its estimate algebra must land on
     * the register-table path's numbers exactly. */
   def distinctHllNative(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Tables.read(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
     val exact = toks.distinct()
       .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
@@ -2037,7 +2040,7 @@ object PipelineQueries {
     * (collisions only inflate), and both the counters and the probes
     * are salted md5 positions the oracle recomputes cell by cell. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Tables.read(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
     // one corpus explode: the exact (tok, n) aggregate feeds BOTH the
     // candidate top-20 and the counter build (weighted over distinct
@@ -2224,7 +2227,7 @@ object PipelineQueries {
     * cross-multiplied ranks), so both engines decide every boundary
     * identically — the same no-libm discipline as the HLL rho. */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val s1 = Sketches.quantileBuckets(
       docs.filter(col("doc_id") % 2 === 0), "lang", "n_chars")
@@ -2252,7 +2255,7 @@ object PipelineQueries {
     * and the oracle replays the sketch recurrence cell-for-cell, so
     * the CUT itself is certified, not just the counts. */
   def qualityTrim(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(col("lang"), col("n_chars"))
     val cut = Sketches.quantileEstimate(
         Sketches.quantileBuckets(docs, "lang", "n_chars"), Seq(99))
@@ -2292,14 +2295,16 @@ object PipelineQueries {
     * be persisted once and both consumers (sketch + classify) read
     * the materialization; here the recompute is two narrow aggs. */
   def qualityTrimFloat(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val post = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = post.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = freq.agg(sum(col("tf"))).head().getLong(0)
+    // in-plan scalar, not an eager head() — see q_lm_score (r18)
+    val tot = freq.agg(sum(col("tf")).cast("double").as("__total"))
     val scored = post.join(freq, "tok")
+      .crossJoin(broadcast(tot))
       .groupBy("doc_id", "lang")
-      .agg(round(avg(log10(col("tf").cast("double") / total)), 6)
+      .agg(round(avg(log10(col("tf").cast("double") / col("__total"))), 6)
         .as("score"))
     val est = Sketches.quantileEstimateSigned(
       Sketches.quantileBucketsSigned(scored, "lang", "score"), Seq(1, 99))
@@ -2357,7 +2362,7 @@ object PipelineQueries {
     * land on identical values (no float-sum ordering anywhere). */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val x = (c: org.apache.spark.sql.Column) => c.cast("double")
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(spark, dir, "embeddings")
       .withColumn("scale",
         array_max(transform(col("embedding"), e => abs(x(e)))) / lit(127.0))
       .select(col("vec_id"),
@@ -2405,7 +2410,7 @@ object PipelineQueries {
     * recomputes the ESTIMATES bit for bit. */
   def distinctOverlap(spark: SparkSession, dir: String): DataFrame = {
     val k = 64
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Tables.read(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
     val dt = toks.distinct().localCheckpoint()
     // native bounded-state build — row-identical to the declarative
@@ -2494,7 +2499,7 @@ object PipelineQueries {
     * member (no false negatives) — the property that makes the
     * pre-filter safe at 100 TB. */
   def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     val evalVocab = docs.filter(col("doc_id") < 50)
       .select(explode(split(col("text"), " ")).as("tok")).distinct()
     val lanes = Bloom.build(evalVocab, "tok")
@@ -2522,11 +2527,11 @@ object PipelineQueries {
     * PLUS truncated copies of the eval docs injected at +20000 (known
     * contamination both engines construct identically). */
   private def evalCorpus(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
 
   private def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Tables.read(spark, dir, "documents")
     val rest = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
     val ev = d.filter(col("doc_id") < 50)
     val toks = split(col("text"), " ")
@@ -2594,7 +2599,7 @@ object PipelineQueries {
   /** Deterministic 80/10/10 hash split of the corpus: md5-derived
     * uniform per doc_id — stable across runs/engines/layouts. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
-    Splits.assign(spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+    Splits.assign(Tables.read(spark, dir, "documents"), "doc_id",
       Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
@@ -2935,7 +2940,7 @@ object PipelineQueries {
 
   /** Brute-force cosine top-3 neighbors for query vectors vec_id < 50. */
   def annCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.cosineTopK(emb.filter(col("id") < 50), emb, 3)
       .orderBy("qid", "nid")
@@ -2971,7 +2976,7 @@ object PipelineQueries {
     * way). The oracle replays the truncation and the full
     * rank-by-rounded-cosine arithmetic. */
   def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"),
         slice(col("embedding"), 1, 16).as("vec"))
     Similarity.cosineTopK(emb.filter(col("id") < 50), emb, 3)
@@ -3007,7 +3012,7 @@ object PipelineQueries {
   def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
     val size = 12
     val stride = 6
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), greatest(lit(0),
@@ -3037,7 +3042,7 @@ object PipelineQueries {
     * shortlist rank, and the rounded-cosine rerank — so a single
     * wrong bit anywhere reorders the shortlist and hash-mismatches. */
   def annBinary(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.binaryTopK(emb.filter(col("id") < 3), emb, 64, 20, 3)
       .orderBy("qid", "nid")
@@ -3086,7 +3091,7 @@ object PipelineQueries {
     * `id IN (…)` row-group-pruning variant). Output must be IDENTICAL
     * to the inline `q_ann_binary` — same oracle SQL. */
   def annBinaryRest(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
@@ -3112,7 +3117,7 @@ object PipelineQueries {
     * replays the Hamming+rerank answer against an index whose commit
     * log holds base+seg+del+seg generations. */
   def annBinaryGen(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
@@ -3146,7 +3151,7 @@ object PipelineQueries {
     * memoized. Factoring the build out makes ensuring the fixture
     * O(TrieMap hit) after the first call. */
   private def ivfGenIdx(spark: SparkSession, dir: String): VecIndex.Index = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -3171,7 +3176,7 @@ object PipelineQueries {
     * buckets pruning the generation scan. Output identical to the
     * inline `q_ann_ivf` — same oracle SQL. */
   def annIvfGen(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     VecIndex.ivfTopK(spark,
         emb.filter(col("id") < 50), ivfGenIdx(spark, dir), 2, 3)
@@ -3189,7 +3194,7 @@ object PipelineQueries {
     * a lost carried cluster surfaces as missing neighbors, a broken
     * tombstone consolidation as a duplicated nid. */
   def annIvfInc(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -3227,7 +3232,7 @@ object PipelineQueries {
     * probed-candidate restriction is the point (a full-corpus Hamming
     * would surface different candidates and hash-mismatch). */
   def annBinaryIvfGen(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     VecIndex.binaryTopKProbed(spark,
         emb.filter(col("id") < 3), ivfGenIdx(spark, dir),
@@ -3301,7 +3306,7 @@ object PipelineQueries {
     * an index born with that codebook (probing, assignment, and the
     * probed-bucket pruning all against version 1). */
   def annIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centA = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -3340,7 +3345,7 @@ object PipelineQueries {
     * oracle-gated proof that a continuously-ingesting embedding index
     * converges to the batch-built one. */
   def annBinaryStream(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val tagDir =
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
@@ -3372,7 +3377,7 @@ object PipelineQueries {
 
   /** Sign-LSH bucket occupancy over the embedding corpus (8 planes). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     emb.withColumn("bucket", Similarity.lshBucket(col("vec"), 8))
       .groupBy("bucket").agg(count("*").as("cnt"))
@@ -3398,7 +3403,7 @@ object PipelineQueries {
     * verified with exact cosine >= 0.1 (the scale path for
     * embedding-cosine dedup — cost follows bucket occupancy). */
   def annNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.cosineNearDup(emb, 0.1).orderBy("ida", "idb")
   }
@@ -3442,7 +3447,7 @@ object PipelineQueries {
     * candidates = union of per-table collisions, exact cosine >= 0.1
     * verify (the recall knob over q_ann_neardup's single table). */
   def annNearDupMulti(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.lshNearDupMulti(emb, 2, 8, 0.1).orderBy("ida", "idb")
   }
@@ -3475,7 +3480,7 @@ object PipelineQueries {
   /** IVF approximate top-3 neighbors: 8 coarse centroids (the first 8
     * corpus vectors), queries probe their 2 nearest clusters. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -3547,7 +3552,7 @@ object PipelineQueries {
     * silently under-fills (spec-pinned in VecIndexSpec). The oracle
     * replays plain IVF with candidates restricted to matching ids. */
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val tagged = emb.withColumn("lang",
       when(pmod(col("id"), lit(3)) === 0, "en").otherwise("xx"))
@@ -3591,7 +3596,7 @@ object PipelineQueries {
     * serving — same rationale as [[ivfGenIdx]]: q_ann_colbert used to
     * pay a discarded maxSimTopK serve per pass just to ensure it. */
   private def maxsimIdx(spark: SparkSession, dir: String): VecIndex.Index = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val chunks = emb.withColumn("doc", expr("id div 4"))
     val centroids = emb.filter(col("id") < 8)
@@ -3613,7 +3618,7 @@ object PipelineQueries {
   }
 
   def annMaxsim(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     VecIndex.maxSimTopK(spark, emb.filter(col("id") < 20),
         maxsimIdx(spark, dir), "doc", nProbe = 2, nChunks = 8,
@@ -3651,7 +3656,7 @@ object PipelineQueries {
   private def evalServe(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val qs = emb.filter(col("id") < 20)
     val results = VecIndex.ivfTopK(spark, qs, vIdx, 2, 10)
@@ -3805,7 +3810,7 @@ object PipelineQueries {
     * read). The oracle replays probe → per-token chunk top-8 →
     * per-(token, doc) max → per-doc sum → per-qid rank end to end. */
   def annColbert(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val idx = maxsimIdx(spark, dir)
     import spark.implicits._
@@ -3855,7 +3860,7 @@ object PipelineQueries {
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Hybrid.hybridTopK(spark, sIdx, vIdx, SearchTerms,
         emb.filter(col("id") === 0), nProbe = 2, nLex = 20, nSem = 20,
@@ -3918,11 +3923,11 @@ object PipelineQueries {
     * "ensure" it by running the ENTIRE single-query hybridFiltered
     * serve (~1.2 s at sf0.1) and discarding the result. */
   private def hybridFltIdx(spark: SparkSession, dir: String): VecIndex.Index = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     // the vector index stores the REAL documents.lang as metadata, so
     // the one predicate means the same thing on both sides
-    val tagged = emb.join(spark.read.parquet(s"$dir/documents.parquet")
+    val tagged = emb.join(Tables.read(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("lang")), "id")
     val centroids = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -3944,7 +3949,7 @@ object PipelineQueries {
 
   def hybridFiltered(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Hybrid.hybridTopK(spark, sIdx, hybridFltIdx(spark, dir),
         SearchTerms, emb.filter(col("id") === 0), nProbe = 2, nLex = 20,
@@ -4005,7 +4010,7 @@ object PipelineQueries {
   def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
     val sem = VecIndex.ivfTopK(spark, emb.filter(col("id") === 0),
@@ -4064,7 +4069,7 @@ object PipelineQueries {
   def hybridMinmax(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val lex = Search.searchBm25(spark, sIdx, SearchTerms, topK = 20)
     val sem = VecIndex.ivfTopK(spark, emb.filter(col("id") === 0),
@@ -4137,7 +4142,7 @@ object PipelineQueries {
   def hybridBatch(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._
     val termSets = Seq(
@@ -4216,7 +4221,7 @@ object PipelineQueries {
   def hybridFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = ivfGenIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._
     val queries = Seq(
@@ -4298,7 +4303,7 @@ object PipelineQueries {
   def hybridBatchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val sIdx = searchIndex(spark, dir)
     val vIdx = hybridFltIdx(spark, dir)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     import spark.implicits._
     val termSets = Seq(
@@ -4373,7 +4378,7 @@ object PipelineQueries {
     * probed clusters — [[Similarity.ivfRange]], the threshold-driven
     * retrieval shape next to top-k. */
   def annRange(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("id") < 8)
       .select(col("id").as("cid"), col("vec").as("cvec"))
@@ -4395,7 +4400,7 @@ object PipelineQueries {
   private def trainedCentroids(spark: SparkSession, dir: String): Seq[(Int, Int, Double)] =
     kmeansCache.synchronized {
       kmeansCache.getOrElseUpdate((spark, dir), {
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val emb = Tables.read(spark, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         Similarity.kmeansCentroids(emb, 8, 2).collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
@@ -4454,7 +4459,7 @@ object PipelineQueries {
     * composes — trained codebook in, ANN results out. */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = trainedCentroids(spark, dir)
       .groupBy(_._1).toSeq
@@ -4525,7 +4530,7 @@ object PipelineQueries {
     * memory path next to IVF (which prunes WORK; PQ shrinks MEMORY —
     * production stacks compose them). */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val books = Similarity.pqTrainCodebooks(emb, PqM, PqSubDim, PqK, 2)
     val codes = Similarity.pqEncode(emb, books, PqSubDim)
@@ -4544,7 +4549,7 @@ object PipelineQueries {
     * only (id, code0..code3) across the live generations. Output must
     * be IDENTICAL to the inline `q_ann_pq` — same oracle SQL. */
   def annPqGen(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val books = Similarity.pqTrainCodebooks(emb, PqM, PqSubDim, PqK, 2)
     val tagDir =
@@ -4747,7 +4752,7 @@ object PipelineQueries {
     ivfPqCache.synchronized {
       ivfPqCache.getOrElseUpdate((spark, dir), {
         val dim = PqM * PqSubDim
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val emb = Tables.read(spark, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val coarse: Seq[Array[Double]] = emb.filter(col("id") < IvfPqC)
           .collect()
@@ -4795,7 +4800,7 @@ object PipelineQueries {
     val st = ivfPqShared(spark, dir)
     val codes = Similarity.pqEncode(ivfPqResiduals(st.assigned, st.coarse),
       st.books, PqSubDim, extra = Seq("ccid"))
-    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = Tables.read(spark, dir, "embeddings")
       .filter(col("vec_id") < PqNQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0),
@@ -4845,7 +4850,7 @@ object PipelineQueries {
       java.lang.Integer.toHexString(System.identityHashCode(spark)) + "-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"target/tmp/vecidx-ivfpqgen-$tagDir"
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     binIdxBuilt.synchronized {
       binIdxBuilt.getOrElseUpdate(path, {
@@ -4857,7 +4862,7 @@ object PipelineQueries {
         ()
       })
     }
-    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = Tables.read(spark, dir, "embeddings")
       .filter(col("vec_id") < PqNQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0),
@@ -4879,7 +4884,7 @@ object PipelineQueries {
     * strings. */
   def dedupCdc(spark: SparkSession, dir: String): DataFrame =
     Dedup.cdcDuplicates(
-        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        Tables.read(spark, dir, "documents"), "doc_id", "text")
       .select(col("fp"), col("occurrences").cast("long").as("occurrences"),
         col("n_docs").cast("long").as("n_docs"))
       .orderBy("fp")
@@ -4918,7 +4923,7 @@ object PipelineQueries {
   /** Rolling polynomial document fingerprint (Karp-Rabin), computed as
     * a codegen'd column fold in Spark and a list_reduce in the oracle. */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -4934,7 +4939,7 @@ object PipelineQueries {
     * (MOSS, Schleimer et al. 2003) over the documents table. */
   def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
     TextOps.winnowFingerprints(
-      spark.read.parquet(s"$dir/documents.parquet"),
+      Tables.read(spark, dir, "documents"),
       "doc_id", "text", WinnowK, WinnowW)
       .orderBy("doc_id")
 
@@ -4969,7 +4974,7 @@ object PipelineQueries {
     * (multi-byte codepoints would diverge by definition, not by bug). */
   def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ascii = spark.read.parquet(s"$dir/documents.parquet")
+    val ascii = Tables.read(spark, dir, "documents")
       .filter(octet_length(col("text")) === length(col("text")))
     // columnar projection after the typed decode step — round() stays
     // in codegen where a per-row BigDecimal map would leave it
@@ -4998,7 +5003,7 @@ object PipelineQueries {
     * frame, identified by (doc, frame index, byte length, md5). The
     * oracle recomputes frames as substrings (ASCII ⇒ byte == char). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    val ascii = spark.read.parquet(s"$dir/documents.parquet")
+    val ascii = Tables.read(spark, dir, "documents")
       .filter(octet_length(col("text")) === length(col("text")))
     Multimodal.sampleFrames(Multimodal.asMedia(ascii), 32, 2)
       .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
@@ -5271,7 +5276,7 @@ object PipelineQueries {
     * gate a pipeline runs on every ingest batch. */
   def expectations(spark: SparkSession, dir: String): DataFrame = {
     import Expectations._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     run(docs, Seq(
       complete("doc_id"),
       unique("doc_id"),
@@ -5326,7 +5331,7 @@ object PipelineQueries {
     * all in the single aggregation pass. */
   def expectationsApprox(spark: SparkSession, dir: String): DataFrame = {
     import Expectations._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     run(docs, Seq(
       uniqueApprox("doc_id", allowed = 100000L, b = 8),
       uniqueApprox("lang", allowed = 100000000L, b = 8),

@@ -434,7 +434,7 @@ object Queries {
         // repartition the RAW source before projecting: the 32 feature
         // expressions then evaluate across all cores (and the shuffle
         // ships 4 narrow columns, not 33 computed ones)
-        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val li = Tables.read(spark, dir, "lineitem")
           .repartition(spark.sparkContext.defaultParallelism)
         val cols = (0 until WideN).map(i =>
           expr(wideFeatureExpr(i)).cast("int").as(s"w$i"))
@@ -494,7 +494,7 @@ object Queries {
     sparseCache.synchronized {
       sparseCache.getOrElseUpdate((spark, dir), {
         import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
-        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val li = Tables.read(spark, dir, "lineitem")
           .repartition(spark.sparkContext.defaultParallelism)
         val cols = (0 until SparseN).map(j => expr(sparseFeatExpr(j)).cast("double"))
         val toSparseVec = udf { a: Seq[Double] =>
@@ -699,7 +699,7 @@ object Queries {
   def discretize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.linalg.Vectors
-    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    val raw = Tables.read(spark, dir, "lineitem")
       .select(col("l_quantity").cast("double").as("q"))
     // The vector frame is consumed three times (fit's count, fit's
     // sample collect, the transform) — persist it for the query's
@@ -750,7 +750,7 @@ object Queries {
     * swap in `approx_percentile` (Greenwald-Khanna) — same call shape,
     * bounded memory, no sort. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    Tables.read(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25"),
@@ -805,7 +805,7 @@ object Queries {
     * aggregated per label, checked against the parquet oracle. */
   def keelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/keel-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = Tables.read(spark, dir, "lineitem")
     li.select(concat_ws(",",
         col("l_quantity").cast("int"),
         round(col("l_discount") * 100).cast("int"),
@@ -843,7 +843,7 @@ object Queries {
     * bit-for-bit; at 100 TB swap in `approx_count_distinct` — same
     * plan shape, HLL-sketch-bounded memory (documented in SCALING.md). */
   def profile(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = Tables.read(spark, dir, "lineitem")
     val stackArgs = profileCols
       .map(c => s"'$c', cast($c as double)").mkString(", ")
     li.select(expr(s"stack(${profileCols.length}, $stackArgs) as (column_name, v)"))
@@ -888,12 +888,12 @@ object Queries {
       // prune to the query's columns before the bucketed write — the
       // write is the pay-once cost of the pattern and column pruning
       // applies to it exactly as to any scan
-      spark.read.parquet(s"$dir/lineitem.parquet")
+      Tables.read(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(liT)
-      spark.read.parquet(s"$dir/orders.parquet")
+      Tables.read(spark, dir, "orders")
         .select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -927,7 +927,7 @@ object Queries {
     * escaping/encoding defect in either direction breaks the match. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/jsonl-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select("doc_id", "lang", "source", "text")
       .write.mode("overwrite").json(path)
     val back = spark.read
@@ -953,7 +953,7 @@ object Queries {
     * any quoting/escaping defect in either direction breaks the hash. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/csvdocs-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select("doc_id", "lang", "source", "text")
       .write.mode("overwrite").option("header", "true").csv(path)
     val back = spark.read
@@ -982,7 +982,7 @@ object Queries {
     * recomputes the same aggregate from the unpartitioned parquet. */
   def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/partlang-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .write.mode("overwrite").partitionBy("lang").parquet(path)
     prunedAgg(spark.read.parquet(path))
   }
@@ -1009,7 +1009,7 @@ object Queries {
     * grouping indicators match ANSI semantics on both engines. Sums
     * are integer-valued, cast to BIGINT after aggregation. */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    Tables.read(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").cast("long").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -1026,7 +1026,7 @@ object Queries {
     * 4 grouping sets map-side) — same plan family as rollup, the full
     * lattice instead of the hierarchy. */
   def cubeQty(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    Tables.read(spark, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").cast("long").as("sum_qty"),
         count(lit(1)).as("n_rows"))
@@ -1046,7 +1046,7 @@ object Queries {
   def ntileLang(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         ntile(4).over(w).as("quartile"))
       .orderBy("doc_id")
@@ -1066,7 +1066,7 @@ object Queries {
     * Missing values surface as NULLs and flow through COALESCE. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val base = "target/tmp/evolve-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
     docs.filter(col("doc_id") < 250)
       .select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").parquet(s"$base/batch=1")
@@ -1109,7 +1109,7 @@ object Queries {
     // On-disk state, not a Spark cache — clearCache leaves it alone.
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
       Versioned.append(docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"),
@@ -1265,7 +1265,7 @@ object Queries {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
       Versioned.append(docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"),
@@ -1363,7 +1363,7 @@ object Queries {
   def tableDpp(spark: SparkSession, dir: String): DataFrame = {
     val path = buildVersionedDemo(spark, dir, "cur", withCompact = true)
     val fact = spark.read.format("graft").load(path)
-    val dim = spark.read.parquet(s"$dir/documents.parquet")
+    val dim = Tables.read(spark, dir, "documents")
       .filter(col("doc_id") < 50).select(col("doc_id").as("dk"))
     val out = fact.join(broadcast(dim), col("doc_id") === col("dk"))
       .select(col("doc_id"), col("__v").cast("int").as("v"),
@@ -1412,7 +1412,7 @@ object Queries {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select(col("doc_id"), col("lang"),
         col("n_chars").cast("int").as("n_chars")), path)     // v1: INT
       Versioned.widenColumn(spark, path, "n_chars", "long")  // v2: meta
@@ -1508,7 +1508,7 @@ object Queries {
     val tbl = s"graft_sql.${name}_$tag"
     fixtureBuilt.getOrElseUpdate(s"$wh/${name}_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_sql_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
@@ -1718,7 +1718,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(s"$wh/$ns/t", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_sql.$ns")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_mnt_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT, source STRING) TBLPROPERTIES " +
@@ -1773,7 +1773,7 @@ object Queries {
     val tbl = s"graft_sql.sqlmerge_$tag"
     fixtureBuilt.getOrElseUpdate(s"$wh/sqlmerge_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_sql_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
@@ -1834,7 +1834,7 @@ object Queries {
       val fsys = ckptPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (fsys.exists(ckptPath)) fsys.delete(ckptPath, true)
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .repartition(3, col("doc_id"))
         .write.mode("overwrite").parquet(inDir)
@@ -1881,7 +1881,7 @@ object Queries {
     val tbl = s"graft_sql.sqlupd_$tag"
     fixtureBuilt.getOrElseUpdate(s"$wh/sqlupd_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_sql_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT, source STRING) TBLPROPERTIES ('key' = 'doc_id')")
@@ -1930,7 +1930,7 @@ object Queries {
     val tbl = s"graft_sql.sqlevolve_$tag"
     fixtureBuilt.getOrElseUpdate(s"$wh/sqlevolve_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_sqlev_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING) " +
         "TBLPROPERTIES ('key' = 'doc_id')")
@@ -1993,7 +1993,7 @@ object Queries {
     val tbl = s"graft_sql.renamedml_$tag"
     fixtureBuilt.getOrElseUpdate(s"$wh/renamedml_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_rdml_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id')")
@@ -2094,10 +2094,10 @@ object Queries {
       Versioned.drop(spark, factSrc)
       Versioned.drop(spark, dimSrc)
       Versioned.drop(spark, view)
-      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val orders = Tables.read(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice")).cast("long").as("p"))
-      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val cust = Tables.read(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       Versioned.append(orders, factSrc)
       Versioned.append(cust, dimSrc)
@@ -2159,7 +2159,7 @@ object Queries {
     val dead = s"target/tmp/quar-dead-$tagDir"
     fixtureBuilt.getOrElseUpdate(main, {
       Seq(main, dead).foreach(Versioned.drop(spark, _))
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
       val checks = Seq(
@@ -2210,7 +2210,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(s"$wh/quarsql_$tag", {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_dead")
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .createOrReplaceTempView(s"docs_qsql_$tag")
       spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id', " +
@@ -2275,13 +2275,13 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(view, {
       Seq(factSrc, custSrc, natSrc, view)
         .foreach(Versioned.drop(spark, _))
-      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val orders = Tables.read(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice")).cast("long").as("p"))
       Versioned.append(orders, factSrc)
-      Versioned.append(spark.read.parquet(s"$dir/customer.parquet")
+      Versioned.append(Tables.read(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")), custSrc)
-      Versioned.append(spark.read.parquet(s"$dir/nation.parquet")
+      Versioned.append(Tables.read(spark, dir, "nation")
         .select(col("n_nationkey"), col("n_regionkey")), natSrc)
       JoinView.init(spark, factSrc, "o_orderkey", "o_custkey",
         Seq("p"), dims, attrs, view, minMaxCols = Seq("p"))
@@ -2294,7 +2294,7 @@ object Queries {
         .select("o_orderkey"), factSrc)
       JoinView.refresh(spark, h)
       // dim migration with ZERO refresh: read-time snowflake resolve
-      Versioned.append(spark.read.parquet(s"$dir/customer.parquet")
+      Versioned.append(Tables.read(spark, dir, "customer")
         .filter(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"),
           lit(3).cast("int").as("c_nationkey")), custSrc)
@@ -2344,11 +2344,11 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(s"$wh/$view", {
       Seq(view, fact, cust, nat).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS graft_sql.$t"))
-      spark.read.parquet(s"$dir/orders.parquet")
+      Tables.read(spark, dir, "orders")
         .createOrReplaceTempView(s"ord_jvc_$tag")
-      spark.read.parquet(s"$dir/customer.parquet")
+      Tables.read(spark, dir, "customer")
         .createOrReplaceTempView(s"cus_jvc_$tag")
-      spark.read.parquet(s"$dir/nation.parquet")
+      Tables.read(spark, dir, "nation")
         .createOrReplaceTempView(s"nat_jvc_$tag")
       spark.sql(s"CREATE TABLE graft_sql.$fact (o_orderkey BIGINT, " +
         "o_custkey BIGINT, p BIGINT) TBLPROPERTIES ('key' = 'o_orderkey')")
@@ -2424,7 +2424,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(view, {
       Versioned.drop(spark, src)
       Versioned.drop(spark, view)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select(col("doc_id"), col("lang"),
         col("n_chars").cast("long").as("n_chars")), src)
       MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view)
@@ -2482,7 +2482,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(view, {
       Versioned.drop(spark, src)
       Versioned.drop(spark, view)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select(col("doc_id"), col("lang"),
         col("n_chars").cast("long").as("n_chars")), src)
       MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view,
@@ -2547,7 +2547,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(view, {
       Versioned.drop(spark, src)
       Versioned.drop(spark, view)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       def ncs(c: org.apache.spark.sql.Column) = c.cast("long").cast("string")
       Versioned.append(docs.select(col("doc_id"), col("lang"),
         ncs(col("n_chars")).as("ncs")), src)
@@ -2625,7 +2625,7 @@ object Queries {
       // monitor directories) and feed one file per micro-batch, so the
       // ingest→refresh loop genuinely folds multiple deltas
       val inDir = s"target/tmp/mvq3-in-$tagDir"
-      spark.read.parquet(s"$dir/documents.parquet")
+      Tables.read(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
         .repartition(3, col("doc_id"))
@@ -2670,7 +2670,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(view, {
       Versioned.drop(spark, src)
       Versioned.drop(spark, view)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select(col("doc_id"), col("lang"),
         col("n_chars").cast("long").as("n_chars")), src)
       MatView.init(spark, src, "doc_id", "lang", Seq("n_chars"), view)
@@ -2914,7 +2914,7 @@ object Queries {
     val path = "target/tmp/vtable-merge-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
       Versioned.merge(docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), (col("n_chars") + 5000).as("n_chars")), path)
@@ -2952,7 +2952,7 @@ object Queries {
     val path = "target/tmp/vtable-prune-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select("doc_id", "n_chars")
         .repartitionByRange(8, col("doc_id")), path)
       Versioned.append(docs.filter(col("doc_id") % 50 === 0)
@@ -2986,7 +2986,7 @@ object Queries {
     val path = "target/tmp/vtable-zsnap-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
       Versioned.append(docs.select("doc_id", "lang", "n_chars"), path)
       Versioned.append(docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"),
@@ -3029,7 +3029,7 @@ object Queries {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     fixtureBuilt.getOrElseUpdate(path, {
       Versioned.drop(spark, path)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"),
           lit(null).cast("string").as("source"))
@@ -3085,7 +3085,7 @@ object Queries {
     fixtureBuilt.getOrElseUpdate(dst, {
       Versioned.drop(spark, src)
       Versioned.drop(spark, dst)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = Tables.read(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"),
           lit(null).cast("string").as("source"))
@@ -3182,7 +3182,7 @@ object Queries {
     * like cube/rollup — Catalyst plans all three grouping shapes
     * through a single pass. */
   def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .groupingSets(
         Seq(Seq(col("lang")), Seq(col("source")),
           Seq(col("lang"), col("source"))),

@@ -11,8 +11,10 @@ object SparkEntry {
   /** Labeled byte-domain feature table derived from lineitem:
     * 4 discrete features + returnflag index as the class label.
     * Deterministic and SQL-expressible (mirrored by the DuckDB oracles). */
-  private[graft] def lineitemFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+  private[graft] def lineitemFeatures(spark: SparkSession, dir: String): DataFrame =
+    lineitemFeaturesOf(Tables.read(spark, dir, "lineitem"))
+
+  private[graft] def lineitemFeaturesOf(li: DataFrame): DataFrame = {
     li.select(
       (when(col("l_returnflag") === "A", 0)
         .when(col("l_returnflag") === "N", 1)
@@ -26,9 +28,12 @@ object SparkEntry {
   /** Columnar vector assembly via `array_to_vector` — stays in
     * whole-stage codegen up to the vector UDT boundary (no Dataset.map
     * row deserialization pass). */
-  private[graft] def assembled(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def assembled(spark: SparkSession, dir: String): DataFrame =
+    assembledOf(lineitemFeatures(spark, dir))
+
+  private[graft] def assembledOf(feats: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    lineitemFeatures(spark, dir).select(col("label"),
+    feats.select(col("label"),
       array_to_vector(array(col("f0").cast("double"), col("f1").cast("double"),
         col("f2").cast("double"), col("f3").cast("double"))).as("features"))
   }
@@ -37,7 +42,7 @@ object SparkEntry {
     * needing a deterministic per-row compare. */
   private[graft] def assembledWithKey(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = Tables.read(spark, dir, "lineitem")
     li.select(
       col("l_orderkey"), col("l_linenumber"),
       array_to_vector(array(

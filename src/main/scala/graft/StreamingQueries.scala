@@ -634,7 +634,7 @@ object StreamingQueries {
     * algebra in SQL; exact integer counts, so any orientation or
     * closure defect hash-diverges. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
     val edges = docs
@@ -691,7 +691,7 @@ object StreamingQueries {
     * is the only float and both engines compute it from identical
     * operands. */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Tables.read(spark, dir, "documents")
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
     val edges = docs

@@ -1015,9 +1015,14 @@ object Search {
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val exp = fuzzyExpandBatch(spark, idx, qt.select("term"), maxDist,
       prefixLen, maxExpansions)
+    // materialize the expansion ONCE: the result feeds searchBm25Batch,
+    // whose eager empty-terms require() and qt-localCheckpoint would
+    // otherwise each re-execute this subtree's dictionary scan (the
+    // expansion is query-count-bounded — qids × capped variants)
     qt.join(exp, "term")
       .select("qid", "tok").distinct()
       .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+      .localCheckpoint()
   }
 
   /** Rewrite a `(qid, prefixes)` query batch to its PREFIX-EXPANDED
@@ -1063,9 +1068,13 @@ object Search {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxExpansions)
       .select("prefix", "tok")
+    // materialize ONCE — same rationale as expandQueriesFuzzy: the
+    // downstream batch serve's eager checks would re-run the
+    // dictionary scan per action on a lazy expansion
     qp.join(exp, "prefix")
       .select("qid", "tok").distinct()
       .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+      .localCheckpoint()
   }
 
   /** BATCHED prefix (autocomplete) search: [[searchPrefix]] for a

@@ -703,11 +703,14 @@ object Queries {
       .select(col("l_quantity").cast("double").as("q"))
     // The vector frame is consumed three times (fit's count, fit's
     // sample collect, the transform) — persist it for the query's
-    // lifetime so the Dataset.map deserialization runs ONCE, and
-    // materialize the (tiny) result with an eager localCheckpoint so
-    // the cache can be released before returning (no session leak).
-    val df = raw.map(r => Tuple1(Vectors.dense(r.getDouble(0))))
-      .toDF("features")
+    // lifetime, and assemble via the codegen'd `array_to_vector`
+    // instead of a Dataset.map (which deserialized every row through
+    // a Scala closure — the q_discretize row's hottest stage in the
+    // r18 profile); materialize the (tiny) result with an eager
+    // localCheckpoint so the cache can be released before returning.
+    import org.apache.spark.ml.functions.array_to_vector
+    val df = raw
+      .select(array_to_vector(array(col("q"))).as("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = new FrequencyDiscretizer().setNumBuckets(245).setSeed(42)

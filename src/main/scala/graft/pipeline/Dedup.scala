@@ -587,9 +587,18 @@ object Dedup {
    * contribute to neither intersections nor sizes — both engines agree).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame =
-    jaccardFromPostings(
-      capByDocFrequency(shingles(df, idCol, textCol, n), maxDf), threshold)
+      n: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    // materialize the shingle postings and the capped set ONCE: the
+    // downstream pair topology consumes the capped frame three times
+    // (sizes + both join sides) and the cap itself reads the shingles
+    // twice (df table + join) — left lazy, the n-gram explode ran 6x
+    // per call (r18 profile). Postings are skinny (id, tok) rows.
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val capped =
+      if (maxDf == Long.MaxValue) sh
+      else capByDocFrequency(sh, maxDf).localCheckpoint()
+    jaccardFromPostings(capped, threshold)
+  }
 
   /** Jaccard pairs >= threshold over a prepared (id, tok) postings frame
     * — lets callers persist one postings set and reuse it across the
@@ -625,15 +634,19 @@ object Dedup {
   def crossJaccard(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val lsh0 = shingles(left, idCol, textCol, n)
-    val rsh0 = shingles(right, idCol, textCol, n)
+    // materialized once per side — each side is consumed two or three
+    // times below (union df-cap + size agg + the cross join); left
+    // lazy, the shingle explode re-ran per consumer (r18 profile)
+    val lsh0 = shingles(left, idCol, textCol, n).localCheckpoint()
+    val rsh0 = shingles(right, idCol, textCol, n).localCheckpoint()
     val keep =
       if (maxDf == Long.MaxValue) null
       else lsh0.select("tok").union(rsh0.select("tok"))
         .groupBy("tok").agg(count("*").as("dfc"))
         .filter(col("dfc") <= maxDf).drop("dfc")
     def cap(post: DataFrame): DataFrame =
-      if (keep == null) post else post.join(keep, "tok").select("id", "tok")
+      if (keep == null) post
+      else post.join(keep, "tok").select("id", "tok").localCheckpoint()
     val lsh = cap(lsh0)
     val rsh = cap(rsh0)
     val lsz = lsh.groupBy("id").agg(count("*").as("lsz"))

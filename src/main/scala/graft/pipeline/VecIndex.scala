@@ -895,9 +895,13 @@ object VecIndex {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(cands >= k, s"cands $cands must be >= k $k")
     val nWords = idx.dim / 32
+    // materialized once: the query frame feeds two broadcast joins
+    // (Hamming prefilter + exact rerank) — left lazy, the caller's
+    // query subtree re-executes per consumer
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
       Similarity.norm(col("vec")).as("qn"))
+      .localCheckpoint()
     val packed = liveVecs(spark, idx, Seq("id", "bwords"),
       preFilter = filter)
     val pre = packed.select(col("id").as("nid"), col("bwords"))
@@ -953,17 +957,23 @@ object VecIndex {
       "binaryTopKProbed needs one (use binaryTopK for flat indexes)")
     require(cands >= k, s"cands $cands must be >= k $k")
     val nWords = idx.dim / 32
+    // materialized once: the query frame feeds two broadcast joins
+    // (Hamming prefilter + exact rerank) — left lazy, the caller's
+    // query subtree re-executes per consumer
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
       Similarity.binaryQuantize(col("vec"), idx.dim).as("qb"),
       Similarity.norm(col("vec")).as("qn"))
+      .localCheckpoint()
     // one probe pass PER codebook-version group (one group outside a
     // retrain roll): each generation is probed with the codebook its
     // cids were assigned under, never a foreign one
     val parts = cbvGroups(spark, idx).map { case (v, gens) =>
       val cb = Similarity.collectCodebook(
         spark.read.parquet(sidecar(idx.path, "centroids", v)))
+      // materialized once — collect + join consumers (see ivfTopK)
       val probes = q.select(col("qid"), col("qb"),
         explode(Similarity.nearestCids(col("qvec"), cb, nProbe)).as("cid"))
+        .localCheckpoint()
       // bounded collect: distinct probed cids <= C (codebook contract);
       // their cb values become literal partition filters on BOTH reads.
       // This runs ONE Spark job PER CODEBOOK-VERSION GROUP — exactly 1
@@ -1161,11 +1171,16 @@ object VecIndex {
     val scored = cbvGroups(spark, idx).map { case (v, gens) =>
       val cb = Similarity.collectCodebook(
         spark.read.parquet(sidecar(idx.path, "centroids", v)))
+      // materialized once (|queries| × nProbe rows): consumed by the
+      // probed-cid collect AND the candidate join — left lazy, the
+      // caller's query subtree (often a parquet read + join) would
+      // re-execute per consumer
       val probes = queries
         .select(col("id").as("qid"), col("vec").as("qvec"),
           Similarity.norm(col("vec")).as("qnrm"),
           explode(Similarity.nearestCids(col("vec"), cb, nProbe))
             .as("cid"))
+        .localCheckpoint()
       // bounded collect: distinct probed cids <= C (codebook contract);
       // their cb values become literal partition filters
       val probedCids = probes.select("cid").distinct()

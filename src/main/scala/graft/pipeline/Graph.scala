@@ -97,8 +97,14 @@ object Graph {
       .select(col("src"), col("dst"),
         (col("weight") / col("wout")).as("p"))
       .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // node set from the MATERIALIZED probs, not the raw edges: probs
+    // carries exactly the same (src, dst) pairs (the outMass join is a
+    // same-keyed inner join that never drops an edge), so this reads
+    // checkpointed blocks instead of re-running the caller's edge
+    // derivation two more times (r18: the q_pagerank window+agg
+    // upstream ran 4x per call)
+    val nodes = probs.select(col("src").as("node"))
+      .union(probs.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
@@ -198,13 +204,23 @@ object Graph {
    * corners. `edges`: (src, dst), any orientation/duplication — they
    * are canonicalized and distinct'd first.
    */
-  def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesOf(canonicalUndirected(edges))
+
+  /** Canonical undirected edge set, MATERIALIZED once: the wedge
+    * topology below consumes it many times (degree agg, orientation,
+    * both wedge sides, the closing join) — left lazy, the dedup
+    * `distinct` shuffle and the caller's edge derivation re-ran per
+    * consumer (r18 profile: ~6x). */
+  private def canonicalUndirected(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") =!= col("b") && col("a").isNotNull &&
+      col("b").isNotNull)
+    .distinct()
+    .localCheckpoint()
+
+  private def trianglesOf(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -213,10 +229,12 @@ object Graph {
     // total order: (degree, node) — explicit boolean (engine-neutral)
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // materialized: feeds both wedge sides AND the closing join
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = e1.join(e2, Seq("u"))
@@ -239,15 +257,13 @@ object Graph {
     * the only float and both engines compute it from identical
     * operands. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull &&
-        col("b").isNotNull)
-      .distinct()
+    // ONE canonical edge set shared by the degree aggregate and the
+    // triangle count (previously triangles(edges) re-derived and
+    // re-distinct'd the whole set)
+    val und = canonicalUndirected(edges)
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangles(edges), Seq("node"), "left")
+    deg.join(trianglesOf(und), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"),
         when(col("deg") < 2, lit(0.0))

@@ -1228,9 +1228,10 @@ object Queries {
     import graft.io.Versioned
     val path = buildVersionedDemo(spark, dir, "pt")
     Versioned.bloomIndex(spark, path, "doc_id")
-    Seq(3L, 10L, 14L, 21L, 999999L)
-      .map(k => Versioned.currentPoint(spark, path, "doc_id", k))
-      .reduce(_.unionByName(_))
+    // one batched point lookup (shared metadata pass + resolve) —
+    // per-key rows identical to unioning five single-key lookups
+    Versioned.currentPoints(spark, path, "doc_id",
+        Seq(3L, 10L, 14L, 21L, 999999L))
       .select(col("doc_id"), col("lang"),
         col("n_chars").cast("long").as("n_chars"),
         coalesce(col("source"), lit("unknown")).as("source"))

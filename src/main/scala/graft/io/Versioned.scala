@@ -2452,7 +2452,20 @@ object Versioned {
    * key. Un-indexed files are read, never pruned.
    */
   def currentAsOfPoint(spark: SparkSession, path: String, keyCol: String,
-      version: Int, key: Any): DataFrame = {
+      version: Int, key: Any): DataFrame =
+    currentAsOfPoints(spark, path, keyCol, version, Seq(key))
+
+  /** BATCHED [[currentAsOfPoint]]: one metadata pass (zone maps +
+    * Bloom filters read once), one file set (a file is opened when it
+    * may hold ANY of the keys), one window resolve — instead of a
+    * per-key resolve plan unioned |keys| times. Per-key rows are
+    * identical to the single-key face: every file holding a key's
+    * rows survives that key's pruning, so the shared resolve sees the
+    * key's full history; rows of other (non-looked-up) keys the wider
+    * file set drags in are dropped by the final IN filter. */
+  def currentAsOfPoints(spark: SparkSession, path: String, keyCol: String,
+      version: Int, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "currentAsOfPoints: empty key list")
     val base = checkpoints(spark, path).filter(_ <= version).lastOption
     vacuumBase(spark, path).foreach { vb =>
       require(base.exists(_ >= vb), s"currentAsOfPoint($version): versions " +
@@ -2461,7 +2474,7 @@ object Versioned {
     val from = base.map(_ - 1).getOrElse(0)
     val vs = versions(spark, path).filter(v => v > from && v <= version)
     require(vs.nonEmpty, s"no committed versions in ($from, $version] at $path")
-    val keyS = String.valueOf(key)
+    val keyS = keys.map(String.valueOf(_))
     val f = fs(spark, path)
     val statsL = new StatsLookup(f)
     val bloomL = new BloomLookup(spark, f)
@@ -2471,23 +2484,32 @@ object Versioned {
     val files = vs.flatMap { v =>
       filesOf(f, path, v)
         .filter { fp =>
-          mayIntersect(statsL(fp), physKey, key, key) &&
-            (bloomL(fp) match {
-              case Some((kc, m, kh, lanes)) if kc == physKey =>
-                graft.pipeline.Bloom.testKey(keyS, lanes, m, kh)
-              case _ => true
-            })
+          val st = statsL(fp)
+          val bl = bloomL(fp)
+          keys.indices.exists { i =>
+            mayIntersect(st, physKey, keys(i), keys(i)) &&
+              (bl match {
+                case Some((kc, m, kh, lanes)) if kc == physKey =>
+                  graft.pipeline.Bloom.testKey(keyS(i), lanes, m, kh)
+                case _ => true
+              })
+          }
         }
         .map(_.toString)
     }
     resolve(readFilesAligned(spark, path, vs, files), keyCol,
       mergeVersions(spark, path).exists(v => v > from && v <= version))
-      .filter(col(keyCol) === lit(key))
+      .filter(col(keyCol).isin(keys: _*))
   }
 
   def currentPoint(spark: SparkSession, path: String, keyCol: String,
       key: Any): DataFrame =
     currentAsOfPoint(spark, path, keyCol, latestVersion(spark, path), key)
+
+  /** BATCHED [[currentPoint]] — see [[currentAsOfPoints]]. */
+  def currentPoints(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any]): DataFrame =
+    currentAsOfPoints(spark, path, keyCol, latestVersion(spark, path), keys)
 
   /** Materialize the resolved state as a checkpoint version. History
     * is preserved (time travel to older versions still works); reads

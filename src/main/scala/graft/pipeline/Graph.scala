@@ -136,15 +136,20 @@ object Graph {
     var ran = 0
     var converged = false
     for (i <- 1 to iters if !converged) {
-      val dMass =
-        if (!dangling) 0.0
-        else {
-          // materialize the round's rank vector so the scalar agg and
-          // the inflow join both read cached blocks, not the lineage
-          ranks = ranks.localCheckpoint()
-          sinks.join(ranks, "node")
-            .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
-        }
+      // dangling mass stays IN the plan as a 1-row broadcast scalar
+      // (the lmScore CROSS JOIN shape) instead of a per-round
+      // .head() driver action — one job per round (the checkpoint),
+      // not two. The rank vector still checkpoints each round: the
+      // scalar agg and the inflow join are two consumers of it, and
+      // the per-round lineage must stay flat. Arithmetic below
+      // replicates the former driver-literal op order exactly
+      // ((damping * dm) / n, added after the teleport term), so ranks
+      // are bit-identical to the collected-scalar plan.
+      val dMassCol = if (!dangling) None else {
+        ranks = ranks.localCheckpoint()
+        Some(sinks.join(ranks, "node")
+          .agg(coalesce(sum("r"), lit(0.0)).as("__dm")))
+      }
       val contrib = probs.join(ranks, probs("src") === ranks("node"))
         .select(probs("dst").as("node"), probs("src").as("src"),
           (col("p") * col("r")).as("c"))
@@ -155,17 +160,22 @@ object Graph {
           .withColumn("__salt", pmod(hash(col("src")), lit(saltBuckets)))
           .groupBy("node", "__salt").agg(sum("c").as("c1"))
           .groupBy("node").agg(sum("c1").as("inflow"))
+      def withDm(df: DataFrame): DataFrame = dMassCol match {
+        case None => df.withColumn("__dm", lit(0.0))
+        case Some(dm) => df.crossJoin(broadcast(dm))
+      }
       val next = nodesTele match {
         case None =>
-          nodes.join(inflow, Seq("node"), "left")
+          withDm(nodes.join(inflow, Seq("node"), "left"))
             .select(col("node"),
-              (lit((1.0 - damping) / n + damping * dMass / n)
+              (lit((1.0 - damping) / n)
+                + lit(damping) * col("__dm") / lit(n.toDouble)
                 + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
         case Some(nt) =>
-          nt.join(inflow, Seq("node"), "left")
+          withDm(nt.join(inflow, Seq("node"), "left"))
             .select(col("node"),
               (col("tele") * lit(1.0 - damping)
-                + lit(damping * dMass) * col("tele")
+                + lit(damping) * col("__dm") * col("tele")
                 + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
       }
       ran = i

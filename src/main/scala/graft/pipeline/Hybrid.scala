@@ -288,17 +288,26 @@ object Hybrid {
       fusion: String = "rrf"): DataFrame = {
     requireFusion(fusion)
     val qterms0 = queries.select("qid", "terms")
-    val qterms =
+    // fuzzy rewrite materializes once as (qid, tok) pairs and feeds
+    // the pair face of the batch BM25 serve directly — no collect_set
+    // → re-explode round trip between expansion and serve
+    val qtPairs =
       if (fuzzyDist > 0)
-        Search.expandQueriesFuzzy(spark, textIdx, qterms0, fuzzyDist,
-          fuzzyPrefixLen, fuzzyMaxExpansions)
-      else qterms0
-    val lex = filter match {
+        Some(Search.expandQueriesFuzzyPairs(spark, textIdx, qterms0,
+          fuzzyDist, fuzzyPrefixLen, fuzzyMaxExpansions))
+      else None
+    def bm25(k: Int, flt: Option[Column]) = qtPairs match {
+      case Some(qt) =>
+        Search.searchBm25BatchPairs(spark, textIdx, qt, topK = k,
+          filter = flt)
       case None =>
-        Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex)
+        Search.searchBm25Batch(spark, textIdx, qterms0, topK = k,
+          filter = flt)
+    }
+    val lex = filter match {
+      case None => bm25(nLex, None)
       case Some(flt) =>
-        try Search.searchBm25Batch(spark, textIdx, qterms, topK = nLex,
-          filter = Some(flt))
+        try bm25(nLex, Some(flt))
         catch {
           case _: FilterUnresolved =>
             val ok = VecIndex.liveVecs(spark, vecIdx, Seq("id"),
@@ -306,8 +315,7 @@ object Hybrid {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("qid")
               .orderBy(col("score").desc, col("id").asc)
-            Search.searchBm25Batch(spark, textIdx, qterms,
-                topK = nLex * FallbackDeepen)
+            bm25(nLex * FallbackDeepen, None)
               .join(ok.select("id"), Seq("id"), "left_semi")
               .withColumn("__rk", row_number().over(w))
               .filter(col("__rk") <= nLex)

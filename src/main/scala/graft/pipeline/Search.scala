@@ -791,13 +791,30 @@ object Search {
    */
   def searchBm25Vocab(spark: SparkSession, idx: Index,
       variants: DataFrame, topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchBm25VocabDf(spark, idx, variants.select("tok"), topK, filter)
+
+  /** [[searchBm25Vocab]] that REUSES a per-token df the expansion
+    * probe already computed when the variant frame carries a `__df`
+    * column (the [[fuzzyExpandBatchDf]] shape — exact, the prunings
+    * keep whole tokens): the serve plan then reads the postings ONCE
+    * instead of scanning them a second time for the df aggregate. A
+    * plain `tok`-only frame serves identically with the df aggregate
+    * inline. */
+  private def searchBm25VocabDf(spark: SparkSession, idx: Index,
+      variants: DataFrame, topK: Int,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(topK > 0, s"topK $topK must be > 0")
     import spark.implicits._
+    val carriesDf = variants.columns.contains("__df")
     val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
     val (nDocs, sumDlen) = stats(spark, idx)
     val avgdl = sumDlen.toDouble / nDocs
-    val v = variants.select(col("tok")).distinct().localCheckpoint()
+    val v0 = (if (carriesDf) variants.select(col("tok"),
+        col("__df").as("dfc"))
+      else variants.select(col("tok")))
+      .distinct().localCheckpoint()
+    val v = v0.select("tok")
     val buckets = v.select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
       .distinct().as[Int].collect().toSeq
     if (buckets.isEmpty)
@@ -808,7 +825,9 @@ object Search {
     val postAll = postings(spark, idx)
       .filter(col("tb").isin(buckets: _*))
       .join(broadcast(v), Seq("tok"), "left_semi")
-    val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val dfPerTerm =
+      if (carriesDf) broadcast(v0)
+      else postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
     val post = fdocs match {
       case None => postAll
       case Some(ids) => postAll.join(ids, Seq("id"), "left_semi")
@@ -854,7 +873,16 @@ object Search {
    */
   def fuzzyExpand(spark: SparkSession, idx: Index, terms: Seq[String],
       maxDist: Int, prefixLen: Int = 1,
-      maxExpansions: Int = 50): DataFrame = {
+      maxExpansions: Int = 50): DataFrame =
+    fuzzyExpandDf(spark, idx, terms, maxDist, prefixLen, maxExpansions)
+      .select("term", "tok")
+
+  /** [[fuzzyExpand]] keeping the probe's per-token postings count
+    * (`__df`) so the serve can skip its own df pass — see
+    * [[fuzzyExpandBatchDf]]. */
+  private def fuzzyExpandDf(spark: SparkSession, idx: Index,
+      terms: Seq[String], maxDist: Int, prefixLen: Int,
+      maxExpansions: Int): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     require(maxDist >= 0 && maxDist <= 2,
       s"maxDist $maxDist out of the useful fuzzy band [0, 2]")
@@ -884,7 +912,7 @@ object Search {
           levenshtein(col("tok"), col("term"), maxDist) >= 0)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxExpansions)
-      .select("term", "tok")
+      .select("term", "tok", "__df")
   }
 
   /** PREFIX search (Lucene `PrefixQuery` / `term*` semantics): every
@@ -922,8 +950,8 @@ object Search {
         col("tok").startsWith(col("prefix")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxExpansions)
-      .select("tok")
-    searchBm25Vocab(spark, idx, variants, topK)
+      .select("tok", "__df")
+    searchBm25VocabDf(spark, idx, variants, topK)
   }
 
   /** Typo-tolerant BM25 search: expand each query term against the
@@ -940,9 +968,9 @@ object Search {
   def searchFuzzy(spark: SparkSession, idx: Index, terms: Seq[String],
       maxDist: Int, topK: Int, prefixLen: Int = 1,
       maxExpansions: Int = 50): DataFrame = {
-    val variants = fuzzyExpand(spark, idx, terms, maxDist, prefixLen,
-      maxExpansions).select("tok")
-    searchBm25Vocab(spark, idx, variants, topK)
+    val variants = fuzzyExpandDf(spark, idx, terms, maxDist, prefixLen,
+      maxExpansions).select("tok", "__df")
+    searchBm25VocabDf(spark, idx, variants, topK)
   }
 
   /** Prefix-pushdown cap for the BATCH fuzzy expansion: the batch's
@@ -963,7 +991,18 @@ object Search {
     * tok-only dictionary column instead). */
   def fuzzyExpandBatch(spark: SparkSession, idx: Index,
       terms: DataFrame, maxDist: Int, prefixLen: Int = 1,
-      maxExpansions: Int = 50): DataFrame = {
+      maxExpansions: Int = 50): DataFrame =
+    fuzzyExpandBatchDf(spark, idx, terms, maxDist, prefixLen,
+      maxExpansions).select("term", "tok")
+
+  /** [[fuzzyExpandBatch]] KEEPING the per-token postings count
+    * (`__df`) the expansion probe already aggregates: `__df` per tok
+    * equals the serve-side df exactly (the prefix/bucket prunings both
+    * keep whole tokens), so a downstream BM25 serve can reuse it and
+    * skip its own second postings pass. */
+  private def fuzzyExpandBatchDf(spark: SparkSession, idx: Index,
+      terms: DataFrame, maxDist: Int, prefixLen: Int,
+      maxExpansions: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2,
       s"maxDist $maxDist out of the useful fuzzy band [0, 2]")
     require(prefixLen >= 1, "prefixLen must be >= 1")
@@ -992,7 +1031,7 @@ object Search {
           levenshtein(col("tok"), col("term"), maxDist) >= 0)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxExpansions)
-      .select("term", "tok")
+      .select("term", "tok", "__df")
   }
 
   /** Rewrite a `(qid, terms)` query batch to its FUZZY-EXPANDED form:
@@ -1004,24 +1043,40 @@ object Search {
     * straight into [[searchBm25Batch]] / the batched hybrid serve. */
   def expandQueriesFuzzy(spark: SparkSession, idx: Index,
       queries: DataFrame, maxDist: Int, prefixLen: Int = 1,
+      maxExpansions: Int = 50): DataFrame =
+    expandQueriesFuzzyPairs(spark, idx, queries, maxDist, prefixLen,
+        maxExpansions)
+      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+
+  /** `(qid, tok)` DISTINCT-pair face of [[expandQueriesFuzzy]] —
+    * the shape [[searchBm25BatchPairs]] consumes directly, skipping
+    * the collect_set → re-explode round trip (two shuffles of the
+    * bounded expansion plus re-materialization) the array-of-terms
+    * contract forces. Materialized once (query-count-bounded: qids ×
+    * capped variants); the query subtree executes exactly ONE job
+    * (`explode_outer` keeps a null/empty term list visible as a null
+    * term row, so the refusal check rides the same materialized
+    * frame instead of re-running the caller's plan). */
+  private[pipeline] def expandQueriesFuzzyPairs(spark: SparkSession,
+      idx: Index, queries: DataFrame, maxDist: Int, prefixLen: Int = 1,
       maxExpansions: Int = 50): DataFrame = {
-    require(queries
-        .filter(col("terms").isNull || size(col("terms")) === 0)
-        .isEmpty,
+    val qt = queries
+      .select(col("qid"), explode_outer(col("terms")).as("term"))
+      .distinct().localCheckpoint()
+    require(qt.filter(col("term").isNull).isEmpty,
       "expandQueriesFuzzy: a query has a null/empty term list — the " +
         "single-query contract refuses empty term lists, and a batch " +
         "must not silently drop the query")
-    val qt = queries
-      .select(col("qid"), explode(col("terms")).as("term")).distinct()
-    val exp = fuzzyExpandBatch(spark, idx, qt.select("term"), maxDist,
+    val exp = fuzzyExpandBatchDf(spark, idx, qt.select("term"), maxDist,
       prefixLen, maxExpansions)
-    // materialize the expansion ONCE: the result feeds searchBm25Batch,
-    // whose eager empty-terms require() and qt-localCheckpoint would
-    // otherwise each re-execute this subtree's dictionary scan (the
-    // expansion is query-count-bounded — qids × capped variants)
+    // materialize the expansion ONCE: the result feeds the batch BM25
+    // serve, whose eager bucket collect and row count would otherwise
+    // each re-execute this subtree's dictionary scan (the expansion is
+    // query-count-bounded — qids × capped variants). `__df` (per-tok
+    // postings count, exact) rides along so the serve skips its own
+    // df aggregate — one postings scan in the fused plan, not two.
     qt.join(exp, "term")
-      .select("qid", "tok").distinct()
-      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+      .select(col("qid"), col("tok"), col("__df")).distinct()
       .localCheckpoint()
   }
 
@@ -1035,23 +1090,31 @@ object Search {
     * empty result. Plugs into [[searchBm25Batch]] / the batched
     * hybrid serve. */
   def expandQueriesPrefix(spark: SparkSession, idx: Index,
-      queries: DataFrame, maxExpansions: Int = 50): DataFrame = {
+      queries: DataFrame, maxExpansions: Int = 50): DataFrame =
+    expandQueriesPrefixPairs(spark, idx, queries, maxExpansions)
+      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+
+  /** `(qid, tok)` DISTINCT-pair face of [[expandQueriesPrefix]] —
+    * same contract/rationale as [[expandQueriesFuzzyPairs]]: one
+    * materialization of the query subtree (`explode_outer` keeps a
+    * null/empty prefix list visible as a null row for the refusal),
+    * one materialization of the expansion, no collect_set →
+    * re-explode round trip before the batch BM25 serve. */
+  private[pipeline] def expandQueriesPrefixPairs(spark: SparkSession,
+      idx: Index, queries: DataFrame,
+      maxExpansions: Int = 50): DataFrame = {
     require(maxExpansions >= 1,
       s"maxExpansions $maxExpansions must be >= 1")
     import spark.implicits._
-    require(queries
-        .filter(col("prefixes").isNull || size(col("prefixes")) === 0)
-        .isEmpty,
-      "expandQueriesPrefix: a query has a null/empty prefix list — " +
-        "the single-query contract refuses empty lists, and a batch " +
-        "must not silently drop the query")
     val qp = queries
-      .select(col("qid"), explode(col("prefixes")).as("prefix"))
+      .select(col("qid"), explode_outer(col("prefixes")).as("prefix"))
       .distinct().localCheckpoint()
     require(qp.filter(col("prefix").isNull
         || length(col("prefix")) === 0).isEmpty,
-      "empty-string prefix matches the whole vocabulary — give at " +
-        "least one character")
+      "expandQueriesPrefix: a query has a null/empty prefix list or " +
+        "an empty-string prefix — the single-query contract refuses " +
+        "both (an empty prefix matches the whole vocabulary), and a " +
+        "batch must not silently drop the query")
     val ps = qp.select("prefix").distinct()
     val prefs = ps.limit(MaxPrefixPushdown + 1).as[String].collect()
     val dict = postings(spark, idx)
@@ -1067,13 +1130,14 @@ object Search {
         col("tok").startsWith(col("prefix")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxExpansions)
-      .select("prefix", "tok")
-    // materialize ONCE — same rationale as expandQueriesFuzzy: the
-    // downstream batch serve's eager checks would re-run the
-    // dictionary scan per action on a lazy expansion
+      .select("prefix", "tok", "__df")
+    // materialize ONCE — same rationale as expandQueriesFuzzyPairs:
+    // the downstream batch serve's eager checks would re-run the
+    // dictionary scan per action on a lazy expansion; `__df` rides
+    // along so the serve skips its own df aggregate (one postings
+    // scan in the fused plan, not two)
     qp.join(exp, "prefix")
-      .select("qid", "tok").distinct()
-      .groupBy("qid").agg(collect_set(col("tok")).as("terms"))
+      .select(col("qid"), col("tok"), col("__df")).distinct()
       .localCheckpoint()
   }
 
@@ -1084,9 +1148,9 @@ object Search {
   def searchPrefixBatch(spark: SparkSession, idx: Index,
       queries: DataFrame, topK: Int, maxExpansions: Int = 50,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val expanded = expandQueriesPrefix(spark, idx, queries,
+    val expanded = expandQueriesPrefixPairs(spark, idx, queries,
       maxExpansions)
-    searchBm25Batch(spark, idx, expanded, topK, filter)
+    searchBm25BatchPairs(spark, idx, expanded, topK, filter)
   }
 
   /** BATCHED typo-tolerant BM25: [[searchFuzzy]] for a whole
@@ -1101,9 +1165,9 @@ object Search {
       queries: DataFrame, maxDist: Int, topK: Int, prefixLen: Int = 1,
       maxExpansions: Int = 50,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val expanded = expandQueriesFuzzy(spark, idx, queries, maxDist,
+    val expanded = expandQueriesFuzzyPairs(spark, idx, queries, maxDist,
       prefixLen, maxExpansions)
-    searchBm25Batch(spark, idx, expanded, topK, filter)
+    searchBm25BatchPairs(spark, idx, expanded, topK, filter)
   }
 
   /**
@@ -1130,27 +1194,52 @@ object Search {
       queries: DataFrame, topK: Int,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(topK > 0, s"topK $topK must be > 0")
-    import spark.implicits._
     // a filter that can't resolve fails HERE, at analysis time,
     // before any of the batch's eager work below runs (the fallback
     // path in hybridTopKBatch relies on the refusal being cheap)
     val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
-    val (nDocs, sumDlen) = stats(spark, idx)
-    val avgdl = sumDlen.toDouble / nDocs
     // the single-query face refuses an empty term list loudly; the
-    // batch face must not silently DROP such a query instead (explode
-    // would) — same contract, batch-wide
-    require(queries
-        .filter(col("terms").isNull || size(col("terms")) === 0)
-        .isEmpty,
-      "searchBm25Batch: a query has a null/empty term list — the " +
-        "single-query contract refuses empty term lists, and a batch " +
-        "must not silently drop the query")
+    // batch face must not silently DROP such a query instead
+    // (explode_outer keeps it visible as a null tok row on the
+    // materialized frame — one job over the caller's subtree instead
+    // of a separate refusal scan)
     // duplicate terms inside one query contribute once (the Seq face
     // dedups via its isin filter — same rule here)
     val qt = queries
-      .select(col("qid"), explode(col("terms")).as("tok")).distinct()
-      .localCheckpoint()
+      .select(col("qid"), explode_outer(col("terms")).as("tok"))
+      .distinct().localCheckpoint()
+    require(qt.filter(col("tok").isNull).isEmpty,
+      "searchBm25Batch: a query has a null/empty term list — the " +
+        "single-query contract refuses empty term lists, and a batch " +
+        "must not silently drop the query")
+    searchBm25BatchResolved(spark, idx, qt, topK, fdocs, None)
+  }
+
+  /** Serve face of [[searchBm25Batch]] for a `(qid, tok, __df)`
+    * DISTINCT pair frame that is ALREADY materialized (the [[
+    * expandQueriesFuzzyPairs]]/[[expandQueriesPrefixPairs]] output
+    * shape): skips the array explode + distinct + re-materialization
+    * the public contract pays, and reuses the expansion's exact
+    * per-token df instead of re-aggregating the postings — ONE
+    * postings scan in the serve plan. Pair rows must be distinct,
+    * non-null, and backed by a checkpoint (the eager bucket collect
+    * and row count below re-execute the frame's plan otherwise). */
+  private[pipeline] def searchBm25BatchPairs(spark: SparkSession,
+      idx: Index, pairs: DataFrame, topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(topK > 0, s"topK $topK must be > 0")
+    val fdocs = filter.map(flt => filteredDocIds(spark, idx, flt))
+    val dfPre = pairs.select(col("tok"), col("__df").as("dfc")).distinct()
+    searchBm25BatchResolved(spark, idx, pairs.select("qid", "tok"),
+      topK, fdocs, Some(dfPre))
+  }
+
+  private def searchBm25BatchResolved(spark: SparkSession, idx: Index,
+      qt: DataFrame, topK: Int, fdocs: Option[DataFrame],
+      dfPre: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val (nDocs, sumDlen) = stats(spark, idx)
+    val avgdl = sumDlen.toDouble / nDocs
     // bounded collect: distinct buckets <= idx.nBuckets (an index
     // constant), regardless of how many queries the batch carries
     val buckets = qt.select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
@@ -1168,7 +1257,12 @@ object Search {
     val postAll = postings(spark, idx)
       .filter(col("tb").isin(buckets: _*))
       .join(small(vocab), Seq("tok"), "left_semi")
-    val dfPerTerm = postAll.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    // per-term df: reuse the expansion probe's exact count when the
+    // caller carried it (dfPre — bounded, derived from a checkpointed
+    // pair frame) instead of a SECOND aggregate pass over the
+    // bucket-pruned postings scan
+    val dfPerTerm = dfPre.map(small)
+      .getOrElse(postAll.groupBy("tok").agg(count(lit(1)).as("dfc")))
     val post = fdocs match {
       case None => postAll
       case Some(ids) => postAll.join(ids, Seq("id"), "left_semi")

@@ -1044,6 +1044,7 @@ object PipelineQueries {
       ivfPqCache.values.foreach(_.assigned.unpersist(blocking = false))
       ivfPqCache.clear()
     }
+    VecIndex.clearBookMemo()
     Similarity.releaseRetained()
   }
 

@@ -639,15 +639,17 @@ object Dedup {
     // lazy, the shingle explode re-ran per consumer (r18 profile)
     val lsh0 = shingles(left, idCol, textCol, n).localCheckpoint()
     val rsh0 = shingles(right, idCol, textCol, n).localCheckpoint()
-    // the surviving-token set is consumed by BOTH sides' caps — left
-    // lazy, the union+df aggregate over the two postings checkpoints
-    // ran twice per call; materialized it is one pass
+    // the surviving-token set is consumed by BOTH sides' caps and the
+    // df aggregate re-runs per side — measured (r19): checkpointing it
+    // is a wash at bench scale and pins a VOCABULARY-sized frame on
+    // the executors at 100 TB, so the recompute (one extra partial-agg
+    // pass over two already-checkpointed postings frames) is the
+    // better scale shape and stays
     val keep =
       if (maxDf == Long.MaxValue) null
       else lsh0.select("tok").union(rsh0.select("tok"))
         .groupBy("tok").agg(count("*").as("dfc"))
         .filter(col("dfc") <= maxDf).drop("dfc")
-        .localCheckpoint()
     def cap(post: DataFrame): DataFrame =
       if (keep == null) post
       else post.join(keep, "tok").select("id", "tok").localCheckpoint()

@@ -519,11 +519,19 @@ object Search {
     val ms = liveMetas(spark, f, path)
     // carry-aware (an incremental base carries the previous base's
     // docs dir by reference; see compactIncremental)
-    val docs = spark.read.option("basePath", s"$path/docs")
-      .option("mergeSchema", "true")
-      .parquet(ms.filter(_.kind != KindDel)
-        .flatMap(m =>
-          GenLog.genPaths(spark, f, path, "docs", m.gen)): _*)
+    val paths = ms.filter(_.kind != KindDel)
+      .flatMap(m => GenLog.genPaths(spark, f, path, "docs", m.gen))
+    // mergeSchema union memoized per committed generation set — a
+    // generation written before a metadata column existed still reads
+    // it as null (explicit-schema parquet reads null-fill missing
+    // columns), with the footer-merge job paid once, not per serve
+    val root = s"$path/docs"
+    val st = GenLog.memoSchema(root, GenLog.commitsSig(f, path)) {
+      spark.read.option("basePath", root).option("mergeSchema", "true")
+        .parquet(paths: _*).schema
+    }
+    val docs = spark.read.schema(st).option("basePath", root)
+      .parquet(paths: _*)
     val resolved = antiTombs(spark, f, path, ms, docs)
     resolved.select(resolved.columns
       .filterNot(c => c == "gen" || c == "g").map(col).toSeq: _*)
@@ -561,10 +569,16 @@ object Search {
     // bucket dirs PLUS its manifest-carried refs (which keep their
     // original gen partition value — exactly what the gen-aware
     // tombstone anti-join needs)
-    val post = spark.read.option("basePath", s"${idx.path}/post")
-      .parquet(ms.filter(_.kind != KindDel)
-        .flatMap(m =>
-          GenLog.genPaths(spark, f, idx.path, "post", m.gen)): _*)
+    val paths = ms.filter(_.kind != KindDel)
+      .flatMap(m => GenLog.genPaths(spark, f, idx.path, "post", m.gen))
+    // schema memoized per committed generation set (GenLog.memoSchema)
+    // — skips the per-call footer-inference job on the serve path
+    val root = s"${idx.path}/post"
+    val st = GenLog.memoSchema(root, GenLog.commitsSig(f, idx.path)) {
+      spark.read.option("basePath", root).parquet(paths: _*).schema
+    }
+    val post = spark.read.schema(st).option("basePath", root)
+      .parquet(paths: _*)
     antiTombs(spark, f, idx.path, ms, post)
   }
 

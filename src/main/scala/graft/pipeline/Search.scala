@@ -1251,20 +1251,21 @@ object Search {
   private def searchBm25BatchResolved(spark: SparkSession, idx: Index,
       qt: DataFrame, topK: Int, fdocs: Option[DataFrame],
       dfPre: Option[DataFrame]): DataFrame = {
-    import spark.implicits._
     val (nDocs, sumDlen) = stats(spark, idx)
     val avgdl = sumDlen.toDouble / nDocs
-    // bounded collect: distinct buckets <= idx.nBuckets (an index
-    // constant), regardless of how many queries the batch carries
-    val buckets = qt.select(bucketOf(col("tok"), idx.nBuckets).as("tb"))
-      .distinct().as[Int].collect().toSeq
-    // query-frame joins broadcast only while the batch is SMALL: the
-    // frame is already materialized (localCheckpoint), so its row
-    // count is a free driver read — an ordinary batch gets the
-    // broadcast plan (measured ~1.8× faster end-to-end at 1M docs),
-    // while a millions-of-queries offline batch legitimately plans as
-    // a shuffle join instead of capping at driver memory
-    val qtRows = qt.count()
+    // ONE bounded action gives both serve-planning inputs: the
+    // distinct bucket list (<= idx.nBuckets rows, an index constant
+    // regardless of query count) AND the pair-frame row count.
+    // The row count gates the broadcast choice: query-frame joins
+    // broadcast only while the batch is SMALL (measured ~1.8× faster
+    // end-to-end at 1M docs), while a millions-of-queries offline
+    // batch legitimately plans as a shuffle join instead of capping
+    // at driver memory.
+    val perBucket = qt
+      .groupBy(bucketOf(col("tok"), idx.nBuckets).as("tb")).count()
+      .collect()
+    val buckets = perBucket.map(_.getInt(0)).toSeq
+    val qtRows = perBucket.map(_.getLong(1)).sum
     def small(df: DataFrame): DataFrame =
       if (qtRows <= 1000000L) broadcast(df) else df
     val vocab = qt.select("tok").distinct()
